@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector scalar functions over `ArrayType(FloatType)` columns.
+  *
+  * Semantics derive from the reference's `Vector` ADT
+  * (hnsw.cc:33-92): fixed-dim dense float vectors with Euclidean (L2)
+  * distance (hnsw.cc:74-83). Differences by design (SURVEY.md §1.4):
+  *  - distances accumulate in Double (the reference accumulates in
+  *    float32, hnsw.cc:79), for oracle parity and accuracy at dim 64+;
+  *  - unequal dimensions are NOT zero-padded (the reference's masked
+  *    OOB read, hnsw.cc:29-31/66-72, silently truncates) — zip_with
+  *    yields null elements for the shorter side, which propagates to a
+  *    null distance, surfacing the bug instead of hiding it.
+  *
+  * All functions are pure Catalyst column expressions (higher-order
+  * functions over Tungsten arrays) — no UDF serialization, no Python.
+  * They operate element-in-order so the double accumulation is
+  * bit-reproducible across engines (DuckDB list_distance on DOUBLE[]
+  * matches exactly — verified).
+  */
+object VectorFunctions {
+
+  /** Squared L2 distance, accumulated in Double, in element order. */
+  def l2DistanceSq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0),
+      (s, v) => s + v)
+
+  /** Euclidean (L2) distance — reference `Vector::Distance`, hnsw.cc:74-83. */
+  def l2Distance(a: Column, b: Column): Column = sqrt(l2DistanceSq(a, b))
+
+  /** Dot product in Double. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (s, v) => s + v)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
+
+  /** Cosine similarity in Double (null if either side has zero norm). */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Cosine distance = 1 - cosine similarity. */
+  def cosineDistance(a: Column, b: Column): Column =
+    lit(1.0) - cosineSimilarity(a, b)
+
+  /** The reference's query-perturbation protocol (hnsw.cc:352-356):
+    * +1 on the first component, -1 on the second, rest unchanged.
+    * Returns a DOUBLE array (the query side of distance computations).
+    */
+  def perturbQuery(e: Column): Column =
+    concat(
+      array(
+        element_at(e, 1).cast("double") + lit(1.0),
+        element_at(e, 2).cast("double") - lit(1.0)),
+      transform(slice(e, lit(3), greatest(size(e) - lit(2), lit(0))), x => x.cast("double")))
+}
