@@ -1,10 +1,11 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Portable
 import graft.functions.VectorFunctions._
-import graft.operators.Knn
+import graft.operators.{Dedup, Events, Knn, Relational, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -13,6 +14,11 @@ import graft.sources.Tables
   * Parquet, and aliases every computed column identically to its
   * `oracleSql` counterpart (the driver's compare sorts columns by name
   * before hashing).
+  *
+  * The DuckDB oracle SQL for the portable-hash operators (MinHash,
+  * SimHash, fingerprints, level assignment) is GENERATED from the same
+  * Scala constants the Spark operators use, so the two sides cannot
+  * drift apart.
   */
 object SparkEntry {
 
@@ -24,6 +30,58 @@ object SparkEntry {
   // perturbed per the reference's RgbTest (hnsw.cc:352-356).
   private def queryVecOf(emb: DataFrame, id: Long) =
     emb.filter(col("vec_id") === id).select(perturbQuery(col("embedding")).as("query_vec"))
+
+  // ---------------- DuckDB SQL fragments (mirror the Scala constants) --
+
+  /** md5Int (Portable.md5Int) in DuckDB. */
+  private def duckMd5Int(x: String): String =
+    s"CAST(concat('0x', substring(md5($x),1,8)) AS BIGINT)"
+
+  /** unitHash (Portable.unitHash) in DuckDB. */
+  private def duckUnitHash(id: String): String =
+    s"((($id % 1048573) * 2654435761 + 999983) % 4294967296 + 0.5) / 4294967296.0"
+
+  /** The perturbed query vector of vec_id=0 (RgbTest protocol) as a CTE. */
+  private val duckQueryVec =
+    """(SELECT [CAST(embedding[1] AS DOUBLE)+1.0, CAST(embedding[2] AS DOUBLE)-1.0]
+              || list_transform(embedding[3:], x -> CAST(x AS DOUBLE)) AS query_vec
+       FROM embeddings WHERE vec_id=0)"""
+
+  /** 3-token shingle list over tokens `t` (TextFunctions.shingles). */
+  private val duckShingles =
+    "list_transform(range(1, greatest(len(t)-1, 1)), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
+
+  /** i-th MinHash shingle hash (Dedup.shingleHash) in DuckDB. */
+  private def duckShingleHash(i: Int): String =
+    s"(${duckMd5Int("s")} * ${2 * i + 1} + ${12582917L * i}) % ${Dedup.minhashPrime}"
+
+  /** Full MinHash signature list expression over shingle list `sh`. */
+  private val duckSig: String =
+    (0 until Dedup.numHashes)
+      .map(i => s"list_min(list_transform(sh, s -> ${duckShingleHash(i)}))")
+      .mkString("[", ", ", "]")
+
+  /** Signature CTE shared by the MinHash oracles. */
+  private val duckSigCte =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        shing AS (SELECT doc_id, $duckShingles AS sh FROM toks WHERE len(t) >= 3),
+        sigs AS (SELECT doc_id, $duckSig AS sig FROM shing)"""
+
+  /** events with ts truncated to µs TIMESTAMP (matches Spark's ntz µs). */
+  private val duckEvents =
+    "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
+
+  /** Exact order-independent double sum (Portable.dsumRounded). */
+  private def duckDsum(x: String): String =
+    s"round(CAST(sum(CAST($x AS DECIMAL(38,12))) AS DOUBLE), 6)"
+
+  /** Portable.dmean. */
+  private def duckDmean(x: String): String =
+    s"round(CAST(sum(CAST($x AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)"
+
+  private val duckStopEn = TextAnalysis.stopwords.head._2.map(w => s"'$w'").mkString(", ")
+
+  // ---------------- declared queries ----------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -37,21 +95,256 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Knn.topK(emb.crossJoin(broadcast(queryVecOf(emb, 0))), col("query_vec"), 10)
     }),
+    "q_knn_batch" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+      Knn.topKBatch(emb, qs, 10)
+    }),
+    "q_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(transform(col("embedding"), x => x.cast("double")).as("query_vec"))
+      Knn.cosineTopK(emb.crossJoin(broadcast(q)), col("query_vec"), 10)
+    }),
+    "q_level_assign" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(Portable.levelOf(col("vec_id"), m = 2, maxLevel = 4).as("level"))
+        .groupBy("level").agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- text analysis ----
+    "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
+    "q_quality" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
+    "q_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
+    "q_doc_stats" -> ((s, dir) => TextAnalysis.docStats(Tables.documents(s, dir))),
+    "q_token_counting" -> ((s, dir) => TextAnalysis.tokenCounting(Tables.documents(s, dir))),
+    "q_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
+
+    // ---- dedup family ----
+    "q_dedup_exact" -> ((s, dir) => Dedup.exactClusters(Tables.documents(s, dir), minSize = 1)),
+    "q_minhash_sig" -> ((s, dir) => Dedup.minhashSignatures(Tables.documents(s, dir))),
+    "q_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(Tables.documents(s, dir), 0.5)),
+    "q_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairsExact(Tables.documents(s, dir), 0.5)),
+    "q_simhash" -> ((s, dir) => Dedup.simhashes(Tables.documents(s, dir))),
+    "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), 3)),
+    "q_embedding_neardups" -> ((s, dir) => Dedup.embeddingNearDups(Tables.embeddings(s, dir), 0.4)),
+
+    // ---- events ----
+    "q_events_tumbling" -> ((s, dir) => Events.tumblingCounts(Tables.events(s, dir))),
+    "q_sessionize" -> ((s, dir) => Events.sessionize(Tables.events(s, dir))),
+    "q_top_purchasers" -> ((s, dir) => Events.topPurchasers(Tables.events(s, dir))),
+    "q_daily_type_rank" -> ((s, dir) => Events.dailyTypeRank(Tables.events(s, dir))),
+
+    // ---- relational (TPC-H-ish) ----
+    "q_tpch_pricing" -> ((s, dir) => Relational.pricingSummary(Tables.lineitem(s, dir))),
+    "q_revenue_nation" -> ((s, dir) => Relational.revenueByNation(s, dir)),
+    "q_orders_priority" -> ((s, dir) => Relational.ordersByPriority(Tables.orders(s, dir))),
+    "q_revenue_brand" -> ((s, dir) => Relational.revenueByBrand(s, dir)),
+    "q_segment_status" -> ((s, dir) => Relational.segmentStatus(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q_l2_distance" ->
-      """SELECT vec_id, round(list_distance(embedding::DOUBLE[], q.query_vec), 6) AS dist
-         FROM embeddings, (SELECT [CAST(embedding[1] AS DOUBLE)+1.0, CAST(embedding[2] AS DOUBLE)-1.0]
-                                  || list_transform(embedding[3:], x -> CAST(x AS DOUBLE)) AS query_vec
-                           FROM embeddings WHERE vec_id=0) q""",
+      s"""SELECT vec_id, round(list_distance(embedding::DOUBLE[], q.query_vec), 6) AS dist
+          FROM embeddings, $duckQueryVec q""",
     "q_knn_topk" ->
-      """SELECT vec_id, round(list_distance(embedding::DOUBLE[], q.query_vec), 6) AS dist
-         FROM embeddings, (SELECT [CAST(embedding[1] AS DOUBLE)+1.0, CAST(embedding[2] AS DOUBLE)-1.0]
-                                  || list_transform(embedding[3:], x -> CAST(x AS DOUBLE)) AS query_vec
-                           FROM embeddings WHERE vec_id=0) q
-         ORDER BY dist, vec_id LIMIT 10""",
+      s"""SELECT vec_id, round(list_distance(embedding::DOUBLE[], q.query_vec), 6) AS dist
+          FROM embeddings, $duckQueryVec q
+          ORDER BY dist, vec_id LIMIT 10""",
+    "q_knn_batch" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+                [CAST(embedding[1] AS DOUBLE)+1.0, CAST(embedding[2] AS DOUBLE)-1.0]
+                || list_transform(embedding[3:], x -> CAST(x AS DOUBLE)) AS query_vec
+              FROM embeddings WHERE vec_id < 20)
+         SELECT query_id, vec_id, round(list_distance(e.embedding::DOUBLE[], q.query_vec), 6) AS dist
+         FROM embeddings e, q
+         QUALIFY row_number() OVER (PARTITION BY query_id
+           ORDER BY round(list_distance(e.embedding::DOUBLE[], q.query_vec), 6), vec_id) <= 10""",
+    "q_cosine_topk" ->
+      """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS query_vec
+                    FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id, round(
+             list_inner_product(embedding::DOUBLE[], q.query_vec)
+             / (sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_inner_product(q.query_vec, q.query_vec))), 6) AS cos_sim
+         FROM embeddings, q
+         ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    "q_level_assign" ->
+      s"""SELECT CAST(least(floor(-ln(${duckUnitHash("vec_id")}) / 2), 4) AS INT) AS level,
+                 count(*) AS n
+          FROM embeddings GROUP BY 1""",
+
+    "q_lang_id" -> {
+      val scores = TextAnalysis.stopwords.map { case (l, ws) =>
+        s"len(list_filter(t, w -> w IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS s_$l"
+      }.mkString(", ")
+      val langs = TextAnalysis.stopwords.map(_._1)
+      val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val cases = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          scored AS (SELECT doc_id, $scores FROM toks)
+          SELECT *, CASE $cases ELSE 'und' END AS lang_pred FROM scored"""
+    },
+    "q_quality" ->
+      s"""WITH x AS (SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+              CAST(len(list_filter(string_split(text, ' '), w -> w IN ($duckStopEn))) AS DOUBLE) AS sw,
+              n_chars
+            FROM documents)
+          SELECT doc_id, CAST(nt AS INT) AS n_toks,
+            round(least(nt / 100.0, 1.0) * 0.5 + (sw / nt) * 0.3
+                  + least(((CAST(n_chars AS DOUBLE) - (nt - 1.0)) / nt) / 8.0, 1.0) * 0.2, 6) AS quality
+          FROM x""",
+    "q_token_counts" ->
+      """SELECT tok AS token, count(*) AS n
+         FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         GROUP BY tok ORDER BY n DESC, token LIMIT 100""",
+    "q_doc_stats" ->
+      """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+                round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
+                sum(len(string_split(text, ' '))) AS sum_tokens
+         FROM documents GROUP BY lang, source""",
+    "q_token_counting" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
+                len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_re_tokens
+         FROM documents""",
+    "q_fingerprints" ->
+      s"""SELECT doc_id,
+            list_reduce(
+              list_prepend(0, list_transform(string_split(text, ' '), w -> ${duckMd5Int("w")})),
+              (h, x) -> (h * 31 + x) % 1000000007) AS fp
+          FROM documents""",
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS keep_id
+         FROM documents GROUP BY 1""",
+    "q_minhash_sig" ->
+      s"WITH $duckSigCte SELECT doc_id, sig FROM sigs",
+    "q_minhash_pairs" -> {
+      val bandKeys = (0 until Dedup.bands).map { b =>
+        val parts = (0 until Dedup.rowsPerBand)
+          .map(r => s"sig[${b * Dedup.rowsPerBand + r + 1}]").mkString(", '_', ")
+        s"($b, concat($parts))"
+      }.mkString(", ")
+      s"""WITH $duckSigCte,
+          bands AS (SELECT doc_id, bk.b AS band, bk.k AS band_key
+                    FROM sigs CROSS JOIN LATERAL (VALUES $bandKeys) AS bk(b, k)),
+          cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+                   FROM bands l JOIN bands r
+                     ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+          shd AS (SELECT doc_id, list_distinct(sh) AS sh FROM shing),
+          scored AS (SELECT id1, id2,
+              round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+            FROM cand JOIN shd a ON cand.id1 = a.doc_id JOIN shd b ON cand.id2 = b.doc_id)
+          SELECT * FROM scored WHERE jaccard >= 0.5"""
+    },
+    "q_jaccard_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          shing AS (SELECT doc_id, $duckShingles AS sh FROM toks WHERE len(t) >= 3),
+          shd AS (SELECT doc_id, list_distinct(sh) AS sh FROM shing),
+          scored AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+              round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+            FROM shd a JOIN shd b ON a.doc_id < b.doc_id)
+          SELECT * FROM scored WHERE jaccard >= 0.5""",
+    "q_simhash" -> duckSimhashSql,
+    "q_simhash_pairs" ->
+      s"""WITH sh AS ($duckSimhashSql)
+          SELECT a.doc_id AS id1, b.doc_id AS id2,
+                 bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) AS hamming
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) <= 3""",
+    "q_embedding_neardups" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         scored AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+             round(list_inner_product(a.v, b.v)
+                   / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) AS cos_sim
+           FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         SELECT * FROM scored WHERE cos_sim >= 0.4""",
+
+    "q_events_tumbling" ->
+      s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+                 count(*) AS n_events, ${duckDsum("value")} AS sum_value
+          FROM $duckEvents e GROUP BY 1, 2""",
+    "q_sessionize" ->
+      s"""WITH x AS (SELECT user_id, ts, event_id,
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+              FROM $duckEvents e),
+          y AS (SELECT user_id, ts, event_id,
+                CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+              FROM x),
+          z AS (SELECT user_id, ts,
+                sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_no
+              FROM y)
+          SELECT user_id, session_no, count(*) AS n_events,
+                 min(ts) AS session_start, max(ts) AS session_end
+          FROM z GROUP BY user_id, session_no""",
+    "q_top_purchasers" ->
+      s"""SELECT user_id, count(*) AS n_purchases, ${duckDsum("value")} AS total_value,
+                 sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS sum_k
+          FROM $duckEvents e WHERE event_type = 'purchase'
+          GROUP BY user_id
+          ORDER BY total_value DESC, user_id LIMIT 50""",
+    "q_daily_type_rank" ->
+      s"""WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+                count(*) AS n
+              FROM $duckEvents e GROUP BY 1, 2)
+          SELECT *, rank() OVER (PARTITION BY day ORDER BY n DESC, event_type) AS rnk
+          FROM daily""",
+
+    "q_tpch_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+            ${duckDsum("l_quantity")} AS sum_qty,
+            ${duckDsum("l_extendedprice")} AS sum_base_price,
+            ${duckDsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+            ${duckDsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+            ${duckDmean("l_quantity")} AS avg_qty,
+            ${duckDmean("l_extendedprice")} AS avg_price,
+            ${duckDmean("l_discount")} AS avg_disc,
+            count(*) AS count_order
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          GROUP BY l_returnflag, l_linestatus""",
+    "q_revenue_nation" ->
+      s"""SELECT n_name, ${duckDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+                 count(*) AS n_lineitems
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name""",
+    "q_orders_priority" ->
+      s"""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, o_orderpriority,
+                 count(*) AS n_orders, ${duckDsum("o_totalprice")} AS sum_price
+          FROM orders GROUP BY 1, 2""",
+    "q_revenue_brand" ->
+      s"""SELECT p_brand, ${duckDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+                 ${duckDsum("l_quantity")} AS sum_qty
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY p_brand""",
+    "q_segment_status" ->
+      s"""SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
+                 ${duckDsum("o_totalprice")} AS sum_price
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_mktsegment, o_orderstatus""",
   )
+
+  /** SimHash per-doc oracle (mirrors Dedup.simhashes): unnest tokens →
+    * md5Int → 32 bit-count sums → reassemble fingerprint.
+    */
+  private lazy val duckSimhashSql: String = {
+    val bitSums = (0 until Dedup.simhashBits)
+      .map(j => s"sum((h >> $j) & 1) AS b$j").mkString(", ")
+    val fp = (0 until Dedup.simhashBits)
+      .map(j => s"(CASE WHEN b$j * 2 > n THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""SELECT doc_id, $fp AS simhash FROM (
+          SELECT doc_id, count(*) AS n, $bitSums
+          FROM (SELECT doc_id, ${duckMd5Int("tok")} AS h
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents))
+          GROUP BY doc_id)"""
+  }
 }

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Cross-engine-deterministic building blocks (SURVEY.md §7.3).
+  *
+  * The reference uses C `rand()` with `srand(3)` (hnsw.cc:329) — not
+  * reproducible outside that libc. Everything oracle-checked here derives
+  * randomness/hashing from *portable integer arithmetic* or md5, which
+  * evaluate identically in Spark and DuckDB.
+  *
+  * Floating-point rule: per-row arithmetic is deterministic (same ops,
+  * same order), but *aggregated* double sums are order-dependent under
+  * partition-parallel partial aggregation. Any summed double therefore
+  * goes through DECIMAL(38,12) — exact, associative, order-independent —
+  * and is cast back to double (rounded) only at the output boundary.
+  * At 100 TB this costs one decimal add per row in the partial agg, and
+  * buys bit-identical results on any cluster size / partitioning.
+  */
+object Portable {
+
+  /** First 8 hex chars of md5 as a non-negative BIGINT in [0, 2^32).
+    * DuckDB equivalent: CAST(concat('0x', substring(md5(x),1,8)) AS BIGINT).
+    */
+  def md5Int(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Deterministic uniform in (0,1) from an integer id (Knuth
+    * multiplicative hash). The `% 1048573` pre-reduction keeps the
+    * multiply far from Long overflow (DuckDB errors on BIGINT overflow;
+    * the JVM silently wraps — either way results would diverge).
+    */
+  def unitHash(id: Column): Column =
+    (((id % 1048573L) * 2654435761L + 999983L) % 4294967296L + 0.5) / 4294967296.0
+
+  /** HNSW level assignment — reference `RandomLevel` (hnsw.cc:140-145):
+    * floor(-ln(U) / m), clamped to maxLevel; U replaced by [[unitHash]].
+    */
+  def levelOf(id: Column, m: Int, maxLevel: Int): Column =
+    least(floor(-log(unitHash(id)) / m), lit(maxLevel)).cast("int")
+
+  /** Exact, order-independent sum of a double column. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 12)))
+
+  /** [[dsum]] rounded back to double for output/hash boundaries. */
+  def dsumRounded(c: Column, scale: Int = 6): Column =
+    round(dsum(c).cast("double"), scale)
+
+  /** Exact mean: decimal sum divided (in double) by the count. */
+  def dmean(c: Column, scale: Int = 6): Column =
+    round(dsum(c).cast("double") / count(lit(1)), scale)
+}

@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Deduplication operators for a training-data pipeline: exact,
+  * MinHash+LSH near-dup, SimHash, n-gram Jaccard, embedding-cosine.
+  *
+  * Scale design:
+  *  - exact dedup = one hash aggregation on a 128-bit digest (never
+  *    groupBy the raw text — the digest is 16 bytes, the text is KBs).
+  *  - MinHash: per-row signature (narrow, codegen'd); LSH banding turns
+  *    the O(n²) similarity join into an equi-join on (band, band_hash) —
+  *    the only shuffle is on band keys, exactly the published
+  *    shingle→minhash→band→bucket-join pipeline.
+  *  - candidate pairs are verified with the *real* Jaccard on the pair
+  *    (false-positive filter), so output quality doesn't depend on LSH
+  *    luck; verification touches only candidate pairs, not n².
+  *  - embedding near-dup: brute-force threshold join is the correctness
+  *    baseline; the scale path blocks by IVF cell (see Ivf).
+  *
+  * Hash functions are Portable (md5-derived integer arithmetic) — the
+  * same signatures are computable in any engine, which is what makes
+  * these oracle-checkable.
+  */
+object Dedup {
+
+  /** Exact duplicate clusters by full-text md5: digest, cluster size,
+    * kept (minimum) doc_id. `minSize = 2` restricts to true duplicate
+    * clusters; the declared query uses 1 (the testdata plants no exact
+    * dups, and an all-clusters dump is a stronger oracle check).
+    */
+  def exactClusters(documents: DataFrame, minSize: Long = 2): DataFrame =
+    documents
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(
+        count(lit(1)).as("n_dups"),
+        min("doc_id").as("keep_id"))
+      .filter(col("n_dups") >= minSize)
+
+  /** Kept view after exact dedup: one doc per distinct text (min id). */
+  def exactKept(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+
+  // ---- MinHash ----
+
+  /** Number of hash functions in the MinHash signature and the LSH
+    * banding shape (numHashes = bands * rowsPerBand).
+    */
+  val numHashes = 16
+  val bands = 8
+  val rowsPerBand = 2
+  val minhashPrime = 4294967311L // smallest prime > 2^32
+
+  /** The i-th portable hash of a shingle string: affine transform of
+    * md5Int modulo a >2^32 prime. Coefficients fixed, small, overflow-safe
+    * (max ~2e15 < 2^63).
+    */
+  def shingleHash(s: Column, i: Int): Column =
+    (md5Int(s) * (2L * i + 1L) + 12582917L * i) % minhashPrime
+
+  /** MinHash signature: array of `numHashes` minima over the doc's
+    * 3-token shingles. Docs with <3 tokens get null mins — callers filter.
+    */
+  def minhashSignature(toks: Column): Column = {
+    val sh = shingles(toks)
+    array((0 until numHashes).map(i => array_min(transform(sh, s => shingleHash(s, i)))): _*)
+  }
+
+  /** Per-doc MinHash signature table (docs with ≥3 tokens). */
+  def minhashSignatures(documents: DataFrame): DataFrame =
+    documents
+      .filter(size(tokens(col("text"))) >= 3)
+      .select(col("doc_id"), minhashSignature(tokens(col("text"))).as("sig"))
+
+  /** LSH band keys: (doc_id, band, band_key) where band_key summarises
+    * rowsPerBand consecutive signature slots. Emitting rows (via
+    * posexplode of the banded signature) keys the join.
+    */
+  def lshBands(signatures: DataFrame): DataFrame = {
+    val bandArray = array((0 until bands).map { b =>
+      concat_ws("_",
+        (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
+    }: _*)
+    signatures
+      .select(col("doc_id"), posexplode(bandArray).as(Seq("band", "band_key")))
+  }
+
+  /** Candidate near-dup pairs: equi-join on (band, band_key), id1<id2,
+    * distinct. The shuffle key is the band bucket — never an n² product.
+    */
+  def minhashCandidates(documents: DataFrame): DataFrame = {
+    val b = lshBands(minhashSignatures(documents))
+    val l = b.select(col("band"), col("band_key"), col("doc_id").as("id1"))
+    val r = b.select(col("band"), col("band_key"), col("doc_id").as("id2"))
+    l.join(r, Seq("band", "band_key"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct()
+  }
+
+  /** Near-dup pairs, LSH candidates verified by true shingle-set Jaccard
+    * ≥ threshold. Join back to text is on doc_id (broadcast-or-shuffle
+    * as the optimizer sees fit); Jaccard itself is per-pair array math.
+    */
+  def minhashPairs(documents: DataFrame, threshold: Double = 0.7): DataFrame = {
+    val sh = documents
+      .filter(size(tokens(col("text"))) >= 3)
+      .select(col("doc_id"), array_distinct(shingles(tokens(col("text")))).as("sh"))
+    minhashCandidates(documents)
+      .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** Exact n-gram Jaccard similarity for ALL pairs above a threshold —
+    * the O(n²) correctness baseline for [[minhashPairs]] (use only at
+    * test scale; the LSH path is the production path).
+    */
+  def jaccardPairsExact(documents: DataFrame, threshold: Double = 0.7): DataFrame = {
+    val sh = documents
+      .filter(size(tokens(col("text"))) >= 3)
+      .select(col("doc_id"), array_distinct(shingles(tokens(col("text")))).as("sh"))
+    val l = sh.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+    val r = sh.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+    l.crossJoin(r)
+      .filter(col("id1") < col("id2"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  // ---- SimHash ----
+
+  val simhashBits = 32
+
+  /** 32-bit SimHash over the token multiset: bit j of the fingerprint is
+    * set iff the count of tokens whose md5Int has bit j set exceeds half
+    * the token count.
+    *
+    * Shape: explode tokens → md5 once per token → ONE hash aggregation
+    * with 32 bit-count sums (all map-side partial), reassemble the
+    * fingerprint from the sums. One shuffle keyed on doc_id; md5 is
+    * computed once per token (not once per bit).
+    */
+  def simhashes(documents: DataFrame): DataFrame = {
+    val tok = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), md5Int(col("tok")).as("h"))
+    val bitSums = (0 until simhashBits).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(1L)).as(s"b$j"))
+    val counted = tok.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+    val fp = (0 until simhashBits)
+      .map(j => when(col(s"b$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    counted.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: hamming distance ≤ maxDist, candidate-blocked
+    * by identical 8-bit simhash quadrant (any pair within hamming 3 of a
+    * 32-bit hash shares at least one exact quadrant — pigeonhole), so the
+    * join is an equi-join on (quadrant index, quadrant value), not n².
+    */
+  def simhashPairs(documents: DataFrame, maxDist: Int = 3): DataFrame = {
+    val s = simhashes(documents)
+    val quads = s.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(q =>
+        shiftright(col("simhash"), q * 8).bitwiseAND(0xFFL)): _*)).as(Seq("q", "qv")))
+    val l = quads.select(col("q"), col("qv"), col("doc_id").as("id1"), col("simhash").as("h1"))
+    val r = quads.select(col("q"), col("qv"), col("doc_id").as("id2"), col("simhash").as("h2"))
+    l.join(r, Seq("q", "qv"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  // ---- Embedding near-dup ----
+
+  /** Embedding cosine near-duplicates: all pairs with cosine similarity
+    * ≥ threshold. Brute-force n² self-join — the correctness baseline.
+    */
+  def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.99): DataFrame = {
+    val l = embeddings.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+    val r = embeddings.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+    l.crossJoin(r)
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos_sim", round(cosineSimilarity(col("e1"), col("e2")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select("id1", "id2", "cos_sim")
+  }
+}

@@ -16,7 +16,20 @@ object Tables {
 
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
-  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+
+  /** `events.ts` is physical parquet `timestamp[ns]`, which Spark 4 only
+    * reads via the nanosAsLong legacy conf (as a Long of epoch nanos).
+    * Normalized here to a microsecond TIMESTAMP_NTZ column so every
+    * downstream operator (and the DuckDB oracle, which reads the same
+    * file as TIMESTAMP_NS) sees identical wall-clock values.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integer `div` (not `/`, which goes through double and can lose µs)
+    table(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+  }
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")

@@ -1,0 +1,68 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Portable
+import graft.operators.{Events, Knn}
+
+/** kNN top-k contract, level assignment, and sessionization invariants. */
+class KnnEventsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("topK == sorted-full-scan prefix (top-k ⊆ exact order, SURVEY.md §5.2)") {
+    val emb = (0L until 50L).map(i => (i, Array.fill(4)(((i * 7 + 3) % 13).toFloat + i)))
+      .toDF("vec_id", "embedding")
+    val q = array((0 until 4).map(_ => lit(1.0)): _*)
+    val top5 = Knn.topK(emb, q, 5).collect().map(_.getLong(0)).toSeq
+    val full = Knn.topK(emb, q, 50).collect().map(_.getLong(0)).toSeq
+    assert(top5 === full.take(5))
+  }
+
+  test("topKBatch returns exactly k rows per query, nearest-first") {
+    val emb = (0L until 30L).map(i => (i, Array(i.toFloat, 0f))).toDF("vec_id", "embedding")
+    val qs = Seq((100L, Array(0.0, 0.0)), (200L, Array(29.0, 0.0))).toDF("query_id", "query_vec")
+    val out = Knn.topKBatch(emb, qs, 3).collect()
+    assert(out.length === 6)
+    val byQ = out.groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSeq }
+    assert(byQ(100L) === Seq(0L, 1L, 2L))
+    assert(byQ(200L) === Seq(29L, 28L, 27L))
+  }
+
+  test("level assignment: exponential decay, clamped (hnsw.cc:140-145)") {
+    val levels = spark.range(100000)
+      .select(Portable.levelOf(col("id"), m = 2, maxLevel = 4).as("l"))
+      .groupBy("l").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(levels.keySet.subsetOf((0 to 4).toSet), "clamped to [0, maxLevel]")
+    // P(level 0) = 1 - e^(-m) ≈ 0.8647 for m=2
+    assert(math.abs(levels(0) / 100000.0 - 0.8647) < 0.01)
+    assert((0 to 3).forall(k => levels.getOrElse(k, 0L) > levels.getOrElse(k + 1, 0L)),
+      "monotone decay")
+  }
+
+  test("sessionize splits on gaps > 30min and aggregates bounds") {
+    def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val ev = Seq(
+      (1L, t(0), 10L), (2L, t(10), 10L), (3L, t(70), 10L), // user 10: 2 sessions
+      (4L, t(0), 20L))                                     // user 20: 1 session
+      .toDF("event_id", "ts", "user_id")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val out = Events.sessionize(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map((10L, 1L) -> 2L, (10L, 2L) -> 1L, (20L, 1L) -> 1L))
+  }
+
+  test("tumbling counts bucket by hour") {
+    def t(min: Int) = new Timestamp(1704067200000L + min * 60000L) // 2024-01-01 00:00 UTC
+    val ev = Seq((t(5), "a", 1.0), (t(25), "a", 2.0), (t(65), "a", 4.0))
+      .toDF("ts", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val out = Events.tumblingCounts(ev).orderBy("window_start").collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(2L, 1L))
+    assert(out.map(_.getDouble(3)).toSeq === Seq(3.0, 4.0))
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Text analysis + dedup operator invariants over small crafted inputs. */
+class TextDedupSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the cat sat on the mat", "en", "s0", 22L),
+    (2L, "the cat sat on the mat", "en", "s0", 22L), // exact dup of 1
+    (3L, "the cat sat on a mat", "en", "s1", 20L),   // near dup of 1
+    (4L, "el la de que y totalmente distinto", "es", "s1", 34L),
+    (5L, "one two three", "en", "s2", 13L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("shingles produce n-2 trigrams, empty under 3 tokens") {
+    val out = Seq("a b c d", "a b").toDF("text")
+      .select(shingles(tokens(col("text"))).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) === Seq("a b c", "b c d"))
+    assert(out(1) === Seq())
+  }
+
+  test("exact dedup clusters duplicates and keeps the min id") {
+    val clusters = Dedup.exactClusters(docs).collect()
+    assert(clusters.length === 1)
+    assert(clusters(0).getAs[Long]("n_dups") === 2)
+    assert(clusters(0).getAs[Long]("keep_id") === 1L)
+  }
+
+  test("minhash signature is identical for identical texts, and LSH finds exact+near dups") {
+    val sigs = Dedup.minhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) === sigs(2L), "identical docs, identical signatures")
+    assert(sigs.values.forall(_.length === Dedup.numHashes))
+    val pairs = Dedup.minhashPairs(docs, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "exact dup pair surfaces")
+  }
+
+  test("simhash pairs via quadrant blocking == brute-force hamming (pigeonhole losslessness)") {
+    val hashes = Dedup.simhashes(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      (i, hi) <- hashes; (j, hj) <- hashes if i < j
+      if java.lang.Long.bitCount(hi ^ hj) <= 3
+    } yield (i, j)).toSet
+    val blocked = Dedup.simhashPairs(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked === brute)
+    assert(hashes(1L) === hashes(2L))
+  }
+
+  test("jaccard exact pairs: dup pair has jaccard 1.0") {
+    val rows = Dedup.jaccardPairsExact(docs, 0.2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(rows((1L, 2L)) === 1.0)
+    assert(rows.contains((1L, 3L)), "near-dup pair above threshold")
+  }
+
+  test("langId predicts by stopword argmax with declaration-order ties") {
+    val out = TextAnalysis.langId(docs).select("doc_id", "lang_pred").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "en")
+    assert(out(4L) === "es")
+    assert(out(5L) === "en", "all-zero scores fall back to first language")
+  }
+
+  test("rolling fingerprint is order-sensitive") {
+    val fp = Seq("a b c", "c b a").toDF("text")
+      .select(rollingFingerprint(tokens(col("text"))).as("fp"))
+      .collect().map(_.getLong(0))
+    assert(fp(0) !== fp(1))
+  }
+
+  test("token counting: whitespace vs regex tokens") {
+    val out = Seq((9L, "ab3 c-d", "en", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.tokenCounting(out).head()
+    assert(r.getInt(1) === 2) // "ab3", "c-d"
+    assert(r.getInt(2) === 5) // ab | 3 | c | - | d
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions._
+
+/** Unit + property tests for the vector scalar functions — the
+  * `PriorityQueueTest` analog plus metric-space laws (SURVEY.md §5.2).
+  */
+class VectorFunctionsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def dist(a: Seq[Float], b: Seq[Float]): Double =
+    Seq((a.toArray, b.toArray)).toDF("a", "b")
+      .select(l2Distance(col("a"), col("b")).as("d"))
+      .head().getDouble(0)
+
+  test("l2Distance matches hand-computed values (hnsw.cc:74-83 semantics)") {
+    assert(dist(Seq(0f, 0f, 0f), Seq(3f, 4f, 0f)) === 5.0)
+    assert(dist(Seq(1f, 2f, 3f), Seq(1f, 2f, 3f)) === 0.0)
+    // the reference PriorityQueueTest fixture: probe (1,2,3) vs (2,4,6), (4,8,12)
+    val d1 = dist(Seq(1f, 2f, 3f), Seq(2f, 4f, 6f))
+    val d2 = dist(Seq(1f, 2f, 3f), Seq(4f, 8f, 12f))
+    assert(d1 < d2, "nearest-first ordering of the PriorityQueueTest candidates")
+  }
+
+  test("metric laws on random float vectors (fixed seed)") {
+    val rnd = new scala.util.Random(3) // the reference's seed, hnsw.cc:329
+    def vec() = Array.fill(8)(rnd.nextFloat() * 200f - 100f)
+    val rows = Seq.fill(20)((vec(), vec(), vec()))
+    val out = rows.toDF("a", "b", "c")
+      .select(
+        l2Distance(col("a"), col("b")).as("dab"),
+        l2Distance(col("b"), col("a")).as("dba"),
+        l2Distance(col("a"), col("a")).as("daa"),
+        l2Distance(col("a"), col("c")).as("dac"),
+        l2Distance(col("c"), col("b")).as("dcb"))
+      .collect()
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9, "symmetry")
+      assert(r.getDouble(2) === 0.0, "identity")
+      assert(r.getDouble(0) <= r.getDouble(3) + r.getDouble(4) + 1e-9, "triangle inequality")
+    }
+  }
+
+  test("cosineSimilarity of identical vectors is 1, orthogonal is 0") {
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f)),
+      (Array(1f, 0f), Array(0f, 1f))).toDF("a", "b")
+      .select(round(cosineSimilarity(col("a"), col("b")), 9).as("c"))
+    assert(df.collect().map(_.getDouble(0)).toSeq === Seq(1.0, 0.0))
+  }
+
+  test("perturbQuery applies (+1, -1, unchanged...) — hnsw.cc:352-356") {
+    val out = Seq(Tuple1(Array(10f, 20f, 30f, 40f))).toDF("e")
+      .select(perturbQuery(col("e")).as("q"))
+      .head().getSeq[Double](0)
+    assert(out === Seq(11.0, 19.0, 30.0, 40.0))
+  }
+
+  test("dimension mismatch surfaces as null, not silent truncation (SURVEY.md §1.4)") {
+    val d = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
+      .select(l2Distance(col("a"), col("b")).as("d"))
+      .head()
+    assert(d.isNullAt(0))
+  }
+}
