@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
 import graft.functions.VectorFunctions._
-import graft.operators.{Dedup, Events, Knn, Relational, TextAnalysis}
+import graft.operators.{Dedup, Events, Hnsw, Ivf, Knn, Relational, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -67,6 +67,12 @@ object SparkEntry {
         shing AS (SELECT doc_id, $duckShingles AS sh FROM toks WHERE len(t) >= 3),
         sigs AS (SELECT doc_id, $duckSig AS sig FROM shing)"""
 
+  /** Distinct md5-hashed shingle set over shingle list `sh`
+    * (Dedup.hashedShingleSets).
+    */
+  private val duckHashedShingleSet: String =
+    s"list_distinct(list_transform(sh, s -> ${duckMd5Int("s")}))"
+
   /** events with ts truncated to µs TIMESTAMP (matches Spark's ntz µs). */
   private val duckEvents =
     "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
@@ -111,6 +117,30 @@ object SparkEntry {
       Tables.embeddings(s, dir)
         .select(Portable.levelOf(col("vec_id"), m = 2, maxLevel = 4).as("level"))
         .groupBy("level").agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- ANN index paths (HNSW graph + IVF cells) ----
+    // HNSW build/search are not SQL-expressible (sequential graph
+    // construction) — no oracle; covered by HnswSpec invariants + the
+    // recall query. IVF is deterministic + declarative, so it IS oracled.
+    "q_index_degree" -> ((s, dir) =>
+      Hnsw.degreeStats(Hnsw.buildEdges(Tables.embeddings(s, dir), Hnsw.Params()))),
+    "q_hnsw_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+      Hnsw.searchTopK(emb, qs, 10, Hnsw.Params())
+    }),
+    "q_knn_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+      Hnsw.recallAtK(emb, qs, 10, Hnsw.Params())
+    }),
+    "q_ivf_assign" -> ((s, dir) => Ivf.assign(Tables.embeddings(s, dir), 16)),
+    "q_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ivf.topK(emb, queryVecOf(emb, 0), 10, c = 16, nprobe = 2)
     }),
 
     // ---- text analysis ----
@@ -176,6 +206,28 @@ object SparkEntry {
       s"""SELECT CAST(least(floor(-ln(${duckUnitHash("vec_id")}) / 2), 4) AS INT) AS level,
                  count(*) AS n
           FROM embeddings GROUP BY 1""",
+    "q_ivf_assign" ->
+      """WITH cent AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                       FROM embeddings WHERE vec_id < 16)
+         SELECT vec_id, cid AS cell
+         FROM embeddings e, cent c
+         QUALIFY row_number() OVER (PARTITION BY vec_id
+           ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), cid) = 1""",
+    "q_ivf_topk" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                        FROM embeddings WHERE vec_id < 16),
+          q AS (SELECT query_vec FROM $duckQueryVec),
+          probed AS (SELECT cid FROM cent, q ORDER BY list_distance(cv, q.query_vec), cid LIMIT 2),
+          assigned AS (SELECT e.vec_id, cid AS cell
+                       FROM embeddings e, cent c
+                       QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), cid) = 1)
+          SELECT e.vec_id, round(list_distance(e.embedding::DOUBLE[], q.query_vec), 6) AS dist
+          FROM embeddings e
+          JOIN assigned a ON e.vec_id = a.vec_id
+          JOIN q ON true
+          WHERE a.cell IN (SELECT cid FROM probed)
+          ORDER BY dist, e.vec_id LIMIT 10""",
 
     "q_lang_id" -> {
       val scores = TextAnalysis.stopwords.map { case (l, ws) =>
@@ -235,20 +287,20 @@ object SparkEntry {
           cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
                    FROM bands l JOIN bands r
                      ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
-          shd AS (SELECT doc_id, list_distinct(sh) AS sh FROM shing),
+          shd AS (SELECT doc_id, $duckHashedShingleSet AS sh FROM shing),
           scored AS (SELECT id1, id2,
               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                    / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+                    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
             FROM cand JOIN shd a ON cand.id1 = a.doc_id JOIN shd b ON cand.id2 = b.doc_id)
           SELECT * FROM scored WHERE jaccard >= 0.5"""
     },
     "q_jaccard_pairs" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
           shing AS (SELECT doc_id, $duckShingles AS sh FROM toks WHERE len(t) >= 3),
-          shd AS (SELECT doc_id, list_distinct(sh) AS sh FROM shing),
+          shd AS (SELECT doc_id, $duckHashedShingleSet AS sh FROM shing),
           scored AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                    / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+                    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
             FROM shd a JOIN shd b ON a.doc_id < b.doc_id)
           SELECT * FROM scored WHERE jaccard >= 0.5""",
     "q_simhash" -> duckSimhashSql,

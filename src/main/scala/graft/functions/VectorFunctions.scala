@@ -15,33 +15,30 @@ import org.apache.spark.sql.functions._
   *    yields null elements for the shorter side, which propagates to a
   *    null distance, surfacing the bug instead of hiding it.
   *
-  * All functions are pure Catalyst column expressions (higher-order
-  * functions over Tungsten arrays) — no UDF serialization, no Python.
-  * They operate element-in-order so the double accumulation is
-  * bit-reproducible across engines (DuckDB list_distance on DOUBLE[]
-  * matches exactly — verified).
+  * All functions are pure Catalyst column expressions — no UDF
+  * serialization, no Python. The fold kernels are native codegen'd
+  * expressions ([[VectorFoldExpression]]) that read primitives straight
+  * out of Tungsten arrays; they accumulate element-in-order in Double,
+  * so results are bit-reproducible across engines (DuckDB
+  * list_distance on DOUBLE[] matches exactly — verified).
   */
 object VectorFunctions {
 
+  private def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(e)
+  private def expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.graft.ColumnBridge.expression(c)
+
   /** Squared L2 distance, accumulated in Double, in element order. */
   def l2DistanceSq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double")
-        d * d
-      }),
-      lit(0.0),
-      (s, v) => s + v)
+    column(L2DistanceSqExpr(expr(a), expr(b)))
 
   /** Euclidean (L2) distance — reference `Vector::Distance`, hnsw.cc:74-83. */
   def l2Distance(a: Column, b: Column): Column = sqrt(l2DistanceSq(a, b))
 
   /** Dot product in Double. */
   def dotProduct(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (s, v) => s + v)
+    column(DotProductExpr(expr(a), expr(b)))
 
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))

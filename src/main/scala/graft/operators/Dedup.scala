@@ -59,26 +59,32 @@ object Dedup {
   val rowsPerBand = 2
   val minhashPrime = 4294967311L // smallest prime > 2^32
 
-  /** The i-th portable hash of a shingle string: affine transform of
-    * md5Int modulo a >2^32 prime. Coefficients fixed, small, overflow-safe
-    * (max ~2e15 < 2^63).
-    */
-  def shingleHash(s: Column, i: Int): Column =
-    (md5Int(s) * (2L * i + 1L) + 12582917L * i) % minhashPrime
+  // The i-th portable hash of a shingle = affine transform of md5Int
+  // modulo a >2^32 prime; coefficients fixed, small, overflow-safe
+  // (max ~2e15 < 2^63). Mirrored literally in the generated oracle SQL.
 
-  /** MinHash signature: array of `numHashes` minima over the doc's
-    * 3-token shingles. Docs with <3 tokens get null mins — callers filter.
+  /** The i-th affine transform of an already-md5-hashed shingle. */
+  private def affineHash(h: Column, i: Int): Column =
+    (h * (2L * i + 1L) + 12582917L * i) % minhashPrime
+
+  /** Per-doc MinHash signature table (docs with ≥3 tokens; docs below
+    * that have no shingles and drop out in the explode).
+    *
+    * Shape: explode shingles → md5 ONCE per (doc, shingle) → one hash
+    * aggregation computing all `numHashes` minima map-side. A per-row
+    * array-of-array_min formulation would recompute the md5 of every
+    * shingle `numHashes` times (CollapseProject inlines the common
+    * subexpression away) — measured 100× slower at bench scale.
     */
-  def minhashSignature(toks: Column): Column = {
-    val sh = shingles(toks)
-    array((0 until numHashes).map(i => array_min(transform(sh, s => shingleHash(s, i)))): _*)
+  def minhashSignatures(documents: DataFrame): DataFrame = {
+    val hashed = documents
+      .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("s"))
+      .select(col("doc_id"), md5Int(col("s")).as("h"))
+    val mins = (0 until numHashes).map(i => min(affineHash(col("h"), i)).as(s"m$i"))
+    hashed.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
-
-  /** Per-doc MinHash signature table (docs with ≥3 tokens). */
-  def minhashSignatures(documents: DataFrame): DataFrame =
-    documents
-      .filter(size(tokens(col("text"))) >= 3)
-      .select(col("doc_id"), minhashSignature(tokens(col("text"))).as("sig"))
 
   /** LSH band keys: (doc_id, band, band_key) where band_key summarises
     * rowsPerBand consecutive signature slots. Emitting rows (via
@@ -106,39 +112,63 @@ object Dedup {
       .distinct()
   }
 
+  /** Distinct hashed-shingle sets per doc: `(doc_id, sh: array<long>)`.
+    * Shingles are md5-hashed before set ops — long comparisons instead
+    * of repeated string comparisons (this is the standard "shingle =
+    * its hash" identification from the MinHash literature; the oracle
+    * hashes identically, so collisions — ~2⁻³² per pair — cannot cause
+    * a mismatch).
+    */
+  private def hashedShingleSets(documents: DataFrame): DataFrame =
+    documents
+      .filter(size(tokens(col("text"))) >= 3)
+      .select(col("doc_id"),
+        array_distinct(transform(shingles(tokens(col("text"))), s => md5Int(s))).as("sh"))
+
+  /** |a ∩ b| / |a ∪ b| with the union via inclusion-exclusion — one
+    * array op per pair instead of two.
+    */
+  private def jaccardOf(sh1: Column, sh2: Column): Column = {
+    val ni = size(array_intersect(sh1, sh2))
+    round(ni.cast("double") / (size(sh1) + size(sh2) - ni), 6)
+  }
+
   /** Near-dup pairs, LSH candidates verified by true shingle-set Jaccard
-    * ≥ threshold. Join back to text is on doc_id (broadcast-or-shuffle
-    * as the optimizer sees fit); Jaccard itself is per-pair array math.
+    * ≥ threshold. Join back to the shingle sets is on doc_id; Jaccard
+    * itself is per-candidate-pair array math — never touches non-pairs.
     */
   def minhashPairs(documents: DataFrame, threshold: Double = 0.7): DataFrame = {
-    val sh = documents
-      .filter(size(tokens(col("text"))) >= 3)
-      .select(col("doc_id"), array_distinct(shingles(tokens(col("text")))).as("sh"))
+    val sh = hashedShingleSets(documents)
     minhashCandidates(documents)
       .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
       .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))), 6))
+      .withColumn("jaccard", jaccardOf(col("sh1"), col("sh2")))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
   }
 
-  /** Exact n-gram Jaccard similarity for ALL pairs above a threshold —
-    * the O(n²) correctness baseline for [[minhashPairs]] (use only at
-    * test scale; the LSH path is the production path).
+  /** Exact n-gram Jaccard for ALL pairs above a threshold, via an
+    * inverted index: post (doc, shingle-hash) rows, equi-join on the
+    * hash, count common shingles per pair, then inclusion-exclusion
+    * with the per-doc set sizes. Cost is Σ_shingle (docs with it)² —
+    * near-linear when shingles are rare — instead of |docs|²; the
+    * equi-join shuffle key is the shingle hash, so it scales out.
+    * A pair appears iff it shares ≥1 shingle ⇔ jaccard > 0, so for any
+    * threshold > 0 this is EXACT (no candidate loss).
     */
   def jaccardPairsExact(documents: DataFrame, threshold: Double = 0.7): DataFrame = {
-    val sh = documents
-      .filter(size(tokens(col("text"))) >= 3)
-      .select(col("doc_id"), array_distinct(shingles(tokens(col("text")))).as("sh"))
-    val l = sh.select(col("doc_id").as("id1"), col("sh").as("sh1"))
-    val r = sh.select(col("doc_id").as("id2"), col("sh").as("sh2"))
-    l.crossJoin(r)
+    val sh = hashedShingleSets(documents)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    val posts = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+    posts.select(col("h"), col("doc_id").as("id1"))
+      .join(posts.select(col("h"), col("doc_id").as("id2")), Seq("h"))
       .filter(col("id1") < col("id2"))
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))), 6))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("ni"))
+      .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
+      .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
+      .withColumn("jaccard",
+        round(col("ni").cast("double") / (col("n1") + col("n2") - col("ni")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
   }
@@ -192,14 +222,20 @@ object Dedup {
   // ---- Embedding near-dup ----
 
   /** Embedding cosine near-duplicates: all pairs with cosine similarity
-    * ≥ threshold. Brute-force n² self-join — the correctness baseline.
+    * ≥ threshold. Brute-force n² self-join — the correctness baseline
+    * (the blocked scale path is IVF-cell-local pairing, see Ivf).
+    * Norms are computed once per vector BELOW the join (a projection on
+    * the join input), so each pair costs exactly one dot product.
     */
   def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.99): DataFrame = {
-    val l = embeddings.select(col("vec_id").as("id1"), col("embedding").as("e1"))
-    val r = embeddings.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+    val withNorm = embeddings.select(
+      col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+    val l = withNorm.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("nrm").as("n1"))
+    val r = withNorm.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("nrm").as("n2"))
     l.crossJoin(r)
       .filter(col("id1") < col("id2"))
-      .withColumn("cos_sim", round(cosineSimilarity(col("e1"), col("e2")), 6))
+      .withColumn("cos_sim",
+        round(dotProduct(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
       .filter(col("cos_sim") >= threshold)
       .select("id1", "id2", "cos_sim")
   }

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** IVF (inverted-file) approximate similarity search — the scale path
+  * for vector search, complementing [[Hnsw]] (graph) and [[Knn]]
+  * (exact). No counterpart exists in the reference (its only pruning
+  * structure is the layer hierarchy, hnsw.cc:276-285); this is the
+  * standard coarse-quantization design.
+  *
+  * Everything here is deterministic and declarative (no RNG, no
+  * training iterations): centroids are the vectors with the C smallest
+  * ids — a fixed, documented seeding rule (k-means refinement would be
+  * a drop-in improvement; determinism matters more for the oracle).
+  * That makes the whole operator SQL-expressible, so unlike most ANN
+  * code paths it hash-checks against DuckDB.
+  *
+  * Scale shape: centroids are broadcast (C ≪ N always); assignment is
+  * one narrow pass over the vectors (crossJoin with C rows + per-vector
+  * argmin — no shuffle of the big side); the search probes `nprobe`
+  * cells, i.e. reads ~nprobe/C of the data. Cell assignment would be
+  * written once as a partition column (`partitionBy("cell")`) in a
+  * production pipeline, making the probe a partition-pruned scan.
+  */
+object Ivf {
+
+  /** The C seed centroids: `(centroid_id, centroid_vec)` as doubles. */
+  def centroids(embeddings: DataFrame, c: Int): DataFrame =
+    embeddings.filter(col("vec_id") < c)
+      .select(col("vec_id").as("centroid_id"),
+        transform(col("embedding"), x => x.cast("double")).as("centroid_vec"))
+
+  /** Assign every vector to its nearest centroid (ties → smaller
+    * centroid id). One broadcast nested-loop + per-vector argmin.
+    */
+  def assign(embeddings: DataFrame, c: Int): DataFrame = {
+    val byVec = Window.partitionBy("vec_id").orderBy(col("cdist"), col("centroid_id"))
+    embeddings
+      .crossJoin(broadcast(centroids(embeddings, c)))
+      .select(col("vec_id"), col("centroid_id"),
+        l2Distance(col("embedding"), col("centroid_vec")).as("cdist"))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id").as("cell"))
+  }
+
+  /** Top-k by L2 for one query vector, probing the `nprobe` cells whose
+    * centroids are closest to the query. Approximate (a true neighbor
+    * can live in an unprobed cell) but fully deterministic.
+    *
+    * `queryVec` must be a double-array column present on `queries`
+    * (single row).
+    */
+  def topK(embeddings: DataFrame, queries: DataFrame, k: Int, c: Int, nprobe: Int,
+           roundTo: Int = 6): DataFrame = {
+    val probed = centroids(embeddings, c)
+      .crossJoin(broadcast(queries))
+      .select(col("centroid_id"),
+        l2Distance(col("centroid_vec"), col("query_vec")).as("qdist"))
+      .orderBy(col("qdist"), col("centroid_id"))
+      .limit(nprobe)
+      .select(col("centroid_id").as("cell"))
+    embeddings
+      .join(assign(embeddings, c), Seq("vec_id"))
+      .join(broadcast(probed), Seq("cell")) // semi-join shaped cell filter
+      .crossJoin(broadcast(queries))
+      .select(col("vec_id"),
+        round(l2Distance(col("embedding"), col("query_vec")), roundTo).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions._
+import graft.operators.{Hnsw, Ivf, Knn}
+
+/** HNSW build/search invariants + the RgbTest-analog recall harness
+  * (hnsw.cc:326-368, generalized per SURVEY.md §5.2.3).
+  */
+class HnswSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  // deterministic synthetic set: 200 vectors, dim 8, clustered-ish
+  private lazy val emb = (0L until 200L).map { i =>
+    val rnd = new scala.util.Random(i)
+    (i, Array.fill(8)(rnd.nextFloat() * 100f))
+  }.toDF("vec_id", "embedding").cache()
+
+  private val params = Hnsw.Params(numPartitions = 3)
+
+  test("edges table respects degree cap and layer structure") {
+    val edges = Hnsw.buildEdges(emb, params).cache()
+    val layers = edges.select("layer").distinct().collect().map(_.getInt(0)).sorted
+    assert(layers.head === 0)
+    assert(layers.last <= params.maxLevel)
+    val maxDeg = edges.groupBy("part", "src", "layer").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxDeg <= params.maxM, s"degree cap violated: $maxDeg")
+    // every node appears on layer 0
+    val n0 = edges.filter(col("layer") === 0).select("src").distinct().count()
+    assert(n0 === 200, "all nodes linked on layer 0")
+  }
+
+  test("build is deterministic (two runs, identical edge sets)") {
+    val e1 = Hnsw.buildEdges(emb, params).collect().map(_.toSeq).toSet
+    val e2 = Hnsw.buildEdges(emb, params).collect().map(_.toSeq).toSet
+    assert(e1 === e2)
+  }
+
+  test("perturbed self-query returns itself as 1-NN (RgbTest protocol)") {
+    // qv = stored vector of id 7, perturbed (+1, -1) — hnsw.cc:352-356
+    val qs = emb.filter(col("vec_id") === 7)
+      .select(lit(7L).as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+    val top1 = Hnsw.searchTopK(emb, qs, 1, params).head()
+    assert(top1.getLong(1) === 7L)
+  }
+
+  test("recall@10 of sharded HNSW vs exact kNN is high (reference greedy: ~0.30)") {
+    val qs = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+    val recalls = Hnsw.recallAtK(emb, qs, 10, params).collect().map(_.getDouble(1))
+    assert(recalls.length === 20)
+    val avg = recalls.sum / recalls.length
+    assert(avg >= 0.95, s"avg recall $avg below floor")
+  }
+
+  test("IVF topK probes cells and stays consistent with exact on easy queries") {
+    val qs = emb.filter(col("vec_id") === 7)
+      .select(perturbQuery(col("embedding")).as("query_vec"))
+    val ivf = Ivf.topK(emb, qs, 5, c = 8, nprobe = 8) // all cells probed == exact
+    val exact = Knn.topK(emb.crossJoin(broadcast(qs)), col("query_vec"), 5)
+    assert(ivf.collect().map(_.getLong(0)).toSeq ===
+      exact.collect().map(_.getLong(0)).toSeq)
+  }
+}
