@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
 import graft.functions.VectorFunctions._
-import graft.operators.{Dedup, Events, Hnsw, Ivf, Knn, Relational, TextAnalysis}
+import graft.operators.{AsofJoin, Dedup, Events, Hnsw, Ivf, Knn, Relational, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -162,12 +162,15 @@ object SparkEntry {
 
     // ---- events ----
     "q_events_tumbling" -> ((s, dir) => Events.tumblingCounts(Tables.events(s, dir))),
+    "q_asof_attribution" -> ((s, dir) => AsofJoin.purchaseAttribution(Tables.events(s, dir))),
     "q_sessionize" -> ((s, dir) => Events.sessionize(Tables.events(s, dir))),
     "q_top_purchasers" -> ((s, dir) => Events.topPurchasers(Tables.events(s, dir))),
     "q_daily_type_rank" -> ((s, dir) => Events.dailyTypeRank(Tables.events(s, dir))),
 
     // ---- relational (TPC-H-ish) ----
     "q_tpch_pricing" -> ((s, dir) => Relational.pricingSummary(Tables.lineitem(s, dir))),
+    "q_rollup_pricing" -> ((s, dir) => Relational.rollupPricing(Tables.lineitem(s, dir))),
+    "q_except_customers" -> ((s, dir) => Relational.openNotFulfilled(s, dir)),
     "q_revenue_nation" -> ((s, dir) => Relational.revenueByNation(s, dir)),
     "q_orders_priority" -> ((s, dir) => Relational.ordersByPriority(Tables.orders(s, dir))),
     "q_revenue_brand" -> ((s, dir) => Relational.revenueByBrand(s, dir)),
@@ -348,6 +351,25 @@ object SparkEntry {
           SELECT *, rank() OVER (PARTITION BY day ORDER BY n DESC, event_type) AS rnk
           FROM daily""",
 
+    "q_asof_attribution" ->
+      s"""WITH v AS (SELECT user_id, ts, event_id FROM $duckEvents e WHERE event_type = 'view'),
+          p AS (SELECT user_id, ts, event_id FROM $duckEvents e WHERE event_type = 'purchase')
+          SELECT p.user_id, p.event_id AS purchase_id, x.event_id AS view_id,
+                 epoch_us(p.ts) - epoch_us(x.ts) AS gap_us
+          FROM p LEFT JOIN LATERAL (
+            SELECT v.event_id, v.ts FROM v
+            WHERE v.user_id = p.user_id AND v.ts <= p.ts
+            ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) x ON true""",
+    "q_rollup_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+                 ${duckDsum("l_quantity")} AS sum_qty
+          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q_except_customers" ->
+      """SELECT c_custkey FROM customer
+         INTERSECT
+         SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+         EXCEPT
+         SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'""",
     "q_tpch_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
             ${duckDsum("l_quantity")} AS sum_qty,

@@ -82,6 +82,28 @@ object Relational {
         dsumRounded(col("l_quantity")).as("sum_qty"))
   }
 
+  /** ROLLUP over (returnflag, linestatus): subtotals + grand total in
+    * one pass (Spark expands grouping sets before the single shuffle).
+    */
+  def rollupPricing(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsumRounded(col("l_quantity")).as("sum_qty"))
+
+  /** Set-op pipeline: customers ∩ open-order buyers ∖ F-status buyers —
+    * exercises INTERSECT/EXCEPT (both plan as aggregated semi/anti
+    * joins; no counterpart at all in the reference).
+    */
+  def openNotFulfilled(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+    cust
+      .intersect(ord.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("c_custkey")))
+      .except(ord.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("c_custkey")))
+  }
+
   /** Market-segment × order-status matrix (semi-join shaped: customer
     * broadcast into orders, two-column rollup).
     */

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming variants of the event operators. The batch
+  * forms in `graft.operators.Events` are the oracled surface
+  * (SURVEY.md §7.5.6: batch first, streams share the column logic);
+  * these run the same computations incrementally with event-time
+  * watermarks.
+  *
+  * Scale notes: the windowed aggregation keeps one state row per
+  * (window, type) and evicts on watermark — state is bounded by the
+  * watermark horizon, not the stream length. Sessionization holds one
+  * state row per active user and times out via the same event-time
+  * clock, so idle users are flushed; the shuffle key is user_id,
+  * identical to the batch plan's.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour counts/sums per event_type with a watermark for
+    * late data. Streaming twin of `Events.tumblingCounts` (same window
+    * and aggregate columns; streaming uses `window()` so late rows
+    * merge into their window until the watermark passes).
+    */
+  def tumblingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("value").as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Sliding-window event rate (1h window, 15m slide) per type. */
+  def slidingRate(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+
+  case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp)
+  case class SessionState(sessionNo: Long, nEvents: Long, start: Timestamp, last: Timestamp)
+  case class SessionOut(user_id: Long, session_no: Long, n_events: Long,
+      session_start: Timestamp, session_end: Timestamp)
+
+  /** Gap-based sessionization as custom keyed state
+    * (`flatMapGroupsWithState`): one state row per live user; a session
+    * is emitted when the 30-min gap elapses (event-time timeout), which
+    * matches the batch `Events.sessionize` cut rule.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.sessionNo, s.nEvents, s.start, s.last))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts.getTime - s.last.getTime <= gapMs =>
+                  cur = Some(s.copy(nEvents = s.nEvents + 1, last = e.ts))
+                case Some(s) =>
+                  closed ::= SessionOut(user, s.sessionNo, s.nEvents, s.start, s.last)
+                  cur = Some(SessionState(s.sessionNo + 1, 1, e.ts, e.ts))
+                case None =>
+                  cur = Some(SessionState(1, 1, e.ts, e.ts))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last.getTime + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.SessionEvent
+
+/** Structured Streaming operators (MemoryStream → memory sink) and the
+  * multimodal binary-column pipeline.
+  */
+class StreamingMultimodalSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def t(min: Int) = new Timestamp(1704067200000L + min * 60000L) // 2024-01-01 00:00Z
+
+  test("streaming tumbling counts emit finalized windows after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.tumblingCounts(events, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((t(5), "a", 1.0), (t(20), "a", 2.0), (t(65), "b", 4.0))
+      q.processAllAvailable()
+      // advance event time far enough to close the first two windows
+      mem.addData((t(240), "a", 0.5))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_out")
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(r => (r._1.getTime, r._2))
+      assert(rows.toSeq === Seq(
+        (t(0), "a", 2L, 3.0),
+        (t(60), "b", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionization closes sessions on event-time gap timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val q = EventStreams.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        SessionEvent(10L, 1L, t(0)), SessionEvent(10L, 2L, t(10)),
+        SessionEvent(20L, 3L, t(1)))
+      q.processAllAvailable()
+      // 70min later: user 10's first session (gap > 30min) must close
+      mem.addData(SessionEvent(10L, 4L, t(80)))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(10L, 5L, t(300))) // push watermark far ahead
+      q.processAllAvailable()
+      val rows = spark.table("sessions_out")
+        .select("user_id", "session_no", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows.contains((10L, 1L, 2L)), s"user 10 first session closed: $rows")
+      assert(rows.contains((20L, 1L, 1L)), s"user 20 session closed: $rows")
+    } finally q.stop()
+  }
+
+  test("multimodal: batched feature extraction is deterministic with fixed dim") {
+    val assets = Seq(
+      (1L, "aaaa".getBytes("UTF-8"), "image/png", 100, 50),
+      (2L, "bbbbbbbb".getBytes("UTF-8"), "image/png", 30, 60))
+      .toDF("asset_id", "media", "mime", "width", "height")
+    val f1 = Multimodal.extractFeatures(assets, dim = 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val f2 = Multimodal.extractFeatures(assets, dim = 8, batchSize = 1).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(f1 === f2, "batch size must not change results")
+    assert(f1(1L).length === 8)
+    assert(f1(1L) !== f1(2L))
+  }
+
+  test("multimodal: frame sampling slices binary payloads on stride") {
+    val assets = Seq((1L, "0123456789AB".getBytes("UTF-8"), "video/raw", 0, 0))
+      .toDF("asset_id", "media", "mime", "width", "height")
+    val frames = Multimodal.sampleFrames(assets, frameBytes = 4, stride = 2)
+      .orderBy("frame_idx").collect()
+      .map(r => (r.getInt(1), new String(r.getAs[Array[Byte]](2), "UTF-8")))
+    assert(frames.toSeq === Seq((0, "0123"), (2, "89AB")))
+  }
+
+  test("multimodal: resize metadata preserves aspect ratio and never upscales") {
+    val assets = Seq(
+      (1L, Array[Byte](1), "image/png", 1000, 500),
+      (2L, Array[Byte](1), "image/png", 100, 50))
+      .toDF("asset_id", "media", "mime", "width", "height")
+    val out = Multimodal.resizeMeta(assets, maxSide = 200).collect()
+      .map(r => r.getLong(0) -> (r.getInt(4), r.getInt(5))).toMap
+    assert(out(1L) === ((200, 100)))
+    assert(out(2L) === ((100, 50)), "no upscaling")
+  }
+}
