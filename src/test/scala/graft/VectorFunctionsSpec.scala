@@ -60,6 +60,16 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(out === Seq(11.0, 19.0, 30.0, 40.0))
   }
 
+  test("SQL surface: l2_distance/dot_product registered via extensions") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT l2_distance(array(0D, 0D), array(3D, 4D)) AS d, " +
+        "dot_product(array(1D, 2D), array(3D, 4D)) AS p")
+      .head()
+    assert(r.getDouble(0) === 5.0)
+    assert(r.getDouble(1) === 11.0)
+  }
+
   test("dimension mismatch surfaces as null, not silent truncation (SURVEY.md §1.4)") {
     val d = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
       .select(l2Distance(col("a"), col("b")).as("d"))
