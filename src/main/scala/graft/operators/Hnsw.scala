@@ -177,6 +177,23 @@ object Hnsw {
           adj(i)(l).iterator.map(j => (ids(i), ids(j), l))
         }
       }
+
+    // -- direct loading from a persisted index (no re-insertion) --
+
+    /** Append a node without linking. Load in ascending id order so the
+      * entry point (first node reaching the max level) matches the one
+      * the insert path would have selected.
+      */
+    def loadNode(id: Long, vec: Array[Float], level: Int): Unit = {
+      val idx = vecs.length
+      vecs += vec; ids += id; levels += level
+      adj += Array.fill(level + 1)(mutable.ArrayBuffer.empty[Int])
+      if (entry < 0 || level > levels(entry)) entry = idx
+    }
+
+    /** Append one directed adjacency edge by node indices. */
+    def loadEdge(srcIdx: Int, dstIdx: Int, layer: Int): Unit =
+      adj(srcIdx)(layer) += dstIdx
   }
 
   // ------------------------------------------------------------------
@@ -205,13 +222,13 @@ object Hnsw {
       StructField("layer", IntegerType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     prepared.mapPartitions { rows =>
-      val buffered = rows.toArray
-      if (buffered.isEmpty) Iterator.empty
-      else {
-        val part = buffered.head.getAs[Int]("part")
-        val dim = buffered.head.getAs[Seq[Float]]("embedding").length
-        val g = new LocalGraph(dim, p)
-        buffered.foreach { r =>
+      // A task can receive several `part` values (hash partitioning of
+      // the part column does not biject values onto task ids) — build
+      // one independent graph per part so the shard layout is exactly
+      // `vec_id % numPartitions` everywhere (build, search, reload).
+      rows.toArray.groupBy(_.getAs[Int]("part")).iterator.flatMap { case (part, group) =>
+        val g = new LocalGraph(0, p)
+        group.sortBy(_.getAs[Long]("vec_id")).foreach { r =>
           g.insert(r.getAs[Long]("vec_id"), r.getAs[Seq[Float]]("embedding").toArray,
             r.getAs[Int]("level"))
         }
@@ -254,6 +271,65 @@ object Hnsw {
         val gs = Array.tabulate(numParts) { pi => new LocalGraph(0, p) }
         data.foreach { case (id, vec, level) =>
           gs((id % numParts).toInt).insert(id, vec, level)
+        }
+        gs
+      }
+      rows.flatMap { r =>
+        val qid = r.getLong(0)
+        val q = r.getAs[Seq[Double]](1).map(_.toFloat).toArray
+        graphs.iterator
+          .flatMap(_.search(q, k))
+          .toSeq.sortBy(t => (t._2, t._1)).take(k)
+          .map { case (id, d) => Row(qid, id, math.rint(d * 1e6) / 1e6) }
+      }
+    }(enc)
+  }
+
+  /** Persist a built index as two Parquet tables: `nodes(vec_id,
+    * embedding, level)` + `edges(part, src, dst, layer)` — the
+    * relational encoding of the reference's pointer graph (SURVEY.md
+    * §1.1). `load` + [[searchWithIndex]] then serve queries without
+    * rebuilding.
+    */
+  def save(embeddings: DataFrame, p: Params, dir: String): Unit = {
+    embeddings
+      .select(col("vec_id"), col("embedding"), levelColumn(p).as("level"))
+      .write.mode("overwrite").parquet(s"$dir/nodes")
+    buildEdges(embeddings, p).write.mode("overwrite").parquet(s"$dir/edges")
+  }
+
+  /** Search a PERSISTED index: shard graphs are reconstructed from the
+    * stored adjacency (no re-insertion — loading is O(edges)), then
+    * queries fan out over shards exactly as in [[searchTopK]].
+    */
+  def searchWithIndex(nodes: DataFrame, edges: DataFrame, queries: DataFrame,
+                      k: Int, p: Params): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val nodeData = nodes.select("vec_id", "embedding", "level")
+      .as[(Long, Array[Float], Int)].collect().sortBy(_._1)
+    val edgeData = edges.select("src", "dst", "layer")
+      .as[(Long, Long, Int)].collect()
+    val numParts = p.numPartitions
+    val bcNodes = spark.sparkContext.broadcast(nodeData)
+    val bcEdges = spark.sparkContext.broadcast(edgeData)
+
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("vec_id", LongType, nullable = false),
+      StructField("dist", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    queries.select(col("query_id"), col("query_vec")).mapPartitions { rows =>
+      lazy val graphs: Array[LocalGraph] = {
+        val gs = Array.fill(numParts)(new LocalGraph(0, p))
+        val idxOf = new mutable.LongMap[Int]()
+        bcNodes.value.foreach { case (id, vec, level) =>
+          val g = gs((id % numParts).toInt)
+          idxOf(id) = g.size
+          g.loadNode(id, vec, level)
+        }
+        bcEdges.value.foreach { case (src, dst, layer) =>
+          gs((src % numParts).toInt).loadEdge(idxOf(src), idxOf(dst), layer)
         }
         gs
       }

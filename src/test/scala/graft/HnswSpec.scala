@@ -57,6 +57,20 @@ class HnswSpec extends AnyFunSuite {
     assert(avg >= 0.95, s"avg recall $avg below floor")
   }
 
+  test("persisted index roundtrip: searchWithIndex == searchTopK") {
+    val dir = java.nio.file.Files.createTempDirectory("hnsw_idx").toString
+    Hnsw.save(emb, params, dir)
+    val nodes = spark.read.parquet(s"$dir/nodes")
+    val edges = spark.read.parquet(s"$dir/edges")
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+    val fromIndex = Hnsw.searchWithIndex(nodes, edges, qs, 5, params)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val rebuilt = Hnsw.searchTopK(emb, qs, 5, params)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromIndex === rebuilt)
+  }
+
   test("IVF topK probes cells and stays consistent with exact on easy queries") {
     val qs = emb.filter(col("vec_id") === 7)
       .select(perturbQuery(col("embedding")).as("query_vec"))
