@@ -170,6 +170,8 @@ object SparkEntry {
     // ---- relational (TPC-H-ish) ----
     "q_tpch_pricing" -> ((s, dir) => Relational.pricingSummary(Tables.lineitem(s, dir))),
     "q_rollup_pricing" -> ((s, dir) => Relational.rollupPricing(Tables.lineitem(s, dir))),
+    "q_shipping_priority" -> ((s, dir) => Relational.shippingPriority(s, dir)),
+    "q_distinct_users" -> ((s, dir) => Relational.distinctUsers(Tables.events(s, dir))),
     "q_except_customers" -> ((s, dir) => Relational.openNotFulfilled(s, dir)),
     "q_revenue_nation" -> ((s, dir) => Relational.revenueByNation(s, dir)),
     "q_orders_priority" -> ((s, dir) => Relational.ordersByPriority(Tables.orders(s, dir))),
@@ -370,6 +372,20 @@ object SparkEntry {
          SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
          EXCEPT
          SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'""",
+    "q_shipping_priority" ->
+      s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+                 ${duckDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+          GROUP BY l_orderkey, o_orderdate, o_orderpriority
+          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+         FROM events GROUP BY event_type""",
     "q_tpch_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
             ${duckDsum("l_quantity")} AS sum_qty,

@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation: salted two-phase aggregation. When one grouping key
+  * carries a disproportionate share of rows (a hot user, a stop-word),
+  * the single reducer for that key becomes the straggler. Salting
+  * splits each key into `buckets` sub-keys for a partial aggregate,
+  * then combines partials in a second (tiny) aggregate keyed by the
+  * true key — the hot key's work spreads over `buckets` reducers.
+  *
+  * AQE's skew-join handling covers joins; this utility covers
+  * aggregations, where decomposable measures (sum/count/min/max) make
+  * the two-phase split exact. The salt derives from a caller-provided
+  * unique column via the portable hash — deterministic, no RNG.
+  */
+object Skew {
+
+  /** Exact salted sum+count per key. `uniqueCol` seeds the salt (any
+    * high-cardinality column — a row id); measures are decomposable so
+    * the result is identical to a direct groupBy.
+    */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: Column,
+                     uniqueCol: Column, buckets: Int = 16): DataFrame = {
+    val keyCols = keys.map(col)
+    df
+      .withColumn("_salt", pmod(Portable.md5Int(uniqueCol.cast("string")), lit(buckets)))
+      .groupBy(keyCols :+ col("_salt"): _*)
+      .agg(
+        sum(valueCol).as("_psum"),
+        count(lit(1)).as("_pcnt"))
+      .groupBy(keyCols: _*)
+      .agg(
+        sum("_psum").as("sum_value"),
+        sum("_pcnt").as("n_rows"))
+  }
+}

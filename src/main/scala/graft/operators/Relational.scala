@@ -82,6 +82,43 @@ object Relational {
         dsumRounded(col("l_quantity")).as("sum_qty"))
   }
 
+  /** TPC-H Q3-style shipping priority: BUILDING-segment orders placed
+    * before the pivot date, revenue from lineitems shipped after it,
+    * top 10 by revenue. Customer is broadcast; both date filters are
+    * pushed into the Parquet scans; final top-k is
+    * TakeOrderedAndProject.
+    */
+  def shippingPriority(spark: SparkSession, dir: String, pivot: String = "1998-01-01"): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit(pivot).cast("date"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit(pivot).cast("date"))
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(dsumRounded(col("rev")).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      // date output (not raw ltz timestamp) so both engines print alike
+      .select(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
+  }
+
+  /** Exact distinct-user counts per event type (distinct aggregation —
+    * plans as the standard two-phase expand/aggregate).
+    */
+  def distinctUsers(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+
   /** ROLLUP over (returnflag, linestatus): subtotals + grand total in
     * one pass (Spark expands grouping sets before the single shuffle).
     */

@@ -56,6 +56,17 @@ class KnnEventsSpec extends AnyFunSuite {
     assert(out === Map((10L, 1L) -> 2L, (10L, 2L) -> 1L, (20L, 1L) -> 1L))
   }
 
+  test("salted two-phase aggregation equals direct groupBy (skew utility)") {
+    val df = (0L until 1000L).map(i => (i, if (i % 10 == 0) "hot" else s"k${i % 7}", i * 0.5))
+      .toDF("row_id", "key", "v")
+    val salted = graft.functions.Skew
+      .saltedSumCount(df, Seq("key"), col("v"), col("row_id"), buckets = 8)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val direct = df.groupBy("key").agg(sum("v").as("s"), count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(salted === direct)
+  }
+
   test("tumbling counts bucket by hour") {
     def t(min: Int) = new Timestamp(1704067200000L + min * 60000L) // 2024-01-01 00:00 UTC
     val ev = Seq((t(5), "a", 1.0), (t(25), "a", 2.0), (t(65), "a", 4.0))
