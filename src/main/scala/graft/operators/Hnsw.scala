@@ -196,6 +196,20 @@ object Hnsw {
       adj(srcIdx)(layer) += dstIdx
   }
 
+  /** Per-JVM (per-executor) cache of reconstructed shard graphs, keyed
+    * by the broadcast id of the index payload: every task of a search
+    * job reuses one build instead of rebuilding per partition. Tiny
+    * bound — entries die with the executor; at most a handful of live
+    * indexes per job.
+    */
+  private object GraphCache {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[Long, Array[LocalGraph]]()
+    def getOrBuild(key: Long, build: () => Array[LocalGraph]): Array[LocalGraph] = {
+      if (cache.size > 8) cache.clear()
+      cache.computeIfAbsent(key, _ => build())
+    }
+  }
+
   // ------------------------------------------------------------------
   // Distributed build
   // ------------------------------------------------------------------
@@ -265,15 +279,15 @@ object Hnsw {
       StructField("dist", DoubleType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     queries.select(col("query_id"), col("query_vec")).mapPartitions { rows =>
-      // build the shard graphs lazily once per task
-      lazy val graphs: Array[LocalGraph] = {
+      // shard graphs built once per executor (GraphCache), not per task
+      lazy val graphs: Array[LocalGraph] = GraphCache.getOrBuild(bc.id, () => {
         val data = bc.value
         val gs = Array.tabulate(numParts) { pi => new LocalGraph(0, p) }
         data.foreach { case (id, vec, level) =>
           gs((id % numParts).toInt).insert(id, vec, level)
         }
         gs
-      }
+      })
       rows.flatMap { r =>
         val qid = r.getLong(0)
         val q = r.getAs[Seq[Double]](1).map(_.toFloat).toArray
@@ -320,7 +334,7 @@ object Hnsw {
       StructField("dist", DoubleType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     queries.select(col("query_id"), col("query_vec")).mapPartitions { rows =>
-      lazy val graphs: Array[LocalGraph] = {
+      lazy val graphs: Array[LocalGraph] = GraphCache.getOrBuild(bcNodes.id, () => {
         val gs = Array.fill(numParts)(new LocalGraph(0, p))
         val idxOf = new mutable.LongMap[Int]()
         bcNodes.value.foreach { case (id, vec, level) =>
@@ -332,7 +346,7 @@ object Hnsw {
           gs((src % numParts).toInt).loadEdge(idxOf(src), idxOf(dst), layer)
         }
         gs
-      }
+      })
       rows.flatMap { r =>
         val qid = r.getLong(0)
         val q = r.getAs[Seq[Double]](1).map(_.toFloat).toArray
