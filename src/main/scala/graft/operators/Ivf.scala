@@ -48,6 +48,43 @@ object Ivf {
       .select(col("vec_id"), col("centroid_id").as("cell"))
   }
 
+  /** Materialize the cell layout: vectors written as Parquet
+    * partitioned BY cell (`dir/cell=<k>/...`). This is the production
+    * form of the index — a probe becomes a partition-pruned scan that
+    * never opens unprobed cells' files.
+    */
+  def writePartitioned(embeddings: DataFrame, c: Int, dir: String): Unit =
+    embeddings
+      .join(assign(embeddings, c), Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+
+  /** Top-k over the partitioned layout: the `cell IN probed` filter is
+    * a partition filter, so only nprobe/C of the files are read.
+    */
+  def topKPartitioned(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      queries: DataFrame, k: Int, nprobe: Int,
+                      roundTo: Int = 6): DataFrame = {
+    val stored = spark.read.parquet(dir)
+    val cents = stored // centroid vectors live in their own cells' data
+      .filter(col("vec_id") === col("cell"))
+      // partition-dir values read back as int — normalize to long
+      .select(col("cell").cast("long").as("centroid_id"),
+        transform(col("embedding"), x => x.cast("double")).as("centroid_vec"))
+    val probed = cents.crossJoin(broadcast(queries))
+      .select(col("centroid_id"),
+        l2Distance(col("centroid_vec"), col("query_vec")).as("qdist"))
+      .orderBy(col("qdist"), col("centroid_id"))
+      .limit(nprobe)
+      .collect().map(_.getLong(0))
+    stored
+      .filter(col("cell").isin(probed: _*)) // partition-pruned
+      .crossJoin(broadcast(queries))
+      .select(col("vec_id"),
+        round(l2Distance(col("embedding"), col("query_vec")), roundTo).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Top-k by L2 for one query vector, probing the `nprobe` cells whose
     * centroids are closest to the query. Approximate (a true neighbor
     * can live in an unprobed cell) but fully deterministic.
