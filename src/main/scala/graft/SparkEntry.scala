@@ -181,6 +181,7 @@ object SparkEntry {
     "q_rollup_pricing" -> ((s, dir) => Relational.rollupPricing(Tables.lineitem(s, dir))),
     "q_shipping_priority" -> ((s, dir) => Relational.shippingPriority(s, dir)),
     "q_distinct_users" -> ((s, dir) => Relational.distinctUsers(Tables.events(s, dir))),
+    "q_price_quantiles" -> ((s, dir) => Relational.priceQuantiles(Tables.lineitem(s, dir))),
     "q_except_customers" -> ((s, dir) => Relational.openNotFulfilled(s, dir)),
     "q_revenue_nation" -> ((s, dir) => Relational.revenueByNation(s, dir)),
     "q_orders_priority" -> ((s, dir) => Relational.ordersByPriority(Tables.orders(s, dir))),
@@ -395,6 +396,12 @@ object SparkEntry {
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
          FROM events GROUP BY event_type""",
+    "q_price_quantiles" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+                round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+                round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+         FROM lineitem GROUP BY l_returnflag""",
     "q_tpch_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
             ${duckDsum("l_quantity")} AS sum_qty,

@@ -16,11 +16,9 @@ import graft.functions.VectorFunctions._
   *    truncation (hnsw.cc:266-273) but partition-parallel: at 100 TB,
   *    each task ships only k rows to the driver.
   *  - query batch: broadcast the (small) query side into a nested-loop
-  *    join, then per-query top-k via a row_number window. The shuffle is
-  *    hash-partitioned on query_id only, i.e. #queries × k rows max out
-  *    of the window — the big side is never re-shuffled whole because
-  *    the window's partition key comes from the broadcast side... (the
-  *    scored crossproduct is shuffled; for large Q use `knnBatchAgg`).
+  *    join, then per-query top-k via a row_number window; the scored
+  *    product shuffles once on query_id. For huge query sets the ANN
+  *    paths (Hnsw.searchTopK / Ivf.topK) replace the window entirely.
   *
   * Distances are rounded where declared (oracle hashing), raw where
   * composed further.

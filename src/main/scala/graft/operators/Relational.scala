@@ -109,6 +109,18 @@ object Relational {
         col("o_orderpriority"), col("revenue"))
   }
 
+  /** Exact interpolated percentiles of extended price per return flag
+    * (sort-based percentile aggregation; linear interpolation matches
+    * DuckDB quantile_cont).
+    */
+  def priceQuantiles(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"))
+
   /** Exact distinct-user counts per event type (distinct aggregation —
     * plans as the standard two-phase expand/aggregate).
     */
