@@ -27,13 +27,19 @@ object GraftExtensions {
   private def info(name: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, name)
 
+  private def binary(name: String, mk: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = { args =>
+    require(args.length == 2, s"$name requires exactly 2 arguments, got ${args.length}")
+    mk(args(0), args(1))
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("l2_distance"), info("l2_distance"),
-      (args: Seq[Expression]) => Sqrt(L2DistanceSqExpr(args(0), args(1)))),
+      binary("l2_distance", (a, b) => Sqrt(L2DistanceSqExpr(a, b)))),
     (FunctionIdentifier("l2_distance_sq"), info("l2_distance_sq"),
-      (args: Seq[Expression]) => L2DistanceSqExpr(args(0), args(1))),
+      binary("l2_distance_sq", L2DistanceSqExpr(_, _))),
     (FunctionIdentifier("dot_product"), info("dot_product"),
-      (args: Seq[Expression]) => DotProductExpr(args(0), args(1))))
+      binary("dot_product", DotProductExpr(_, _))))
 
   /** Register on an already-created session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

@@ -37,9 +37,11 @@ object SparkEntry {
   private def duckMd5Int(x: String): String =
     s"CAST(concat('0x', substring(md5($x),1,8)) AS BIGINT)"
 
-  /** unitHash (Portable.unitHash) in DuckDB. */
+  /** unitHash (Portable.unitHash) in DuckDB (pmod spelled out — DuckDB
+    * `%` is sign-preserving like Spark's).
+    */
   private def duckUnitHash(id: String): String =
-    s"((($id % 1048573) * 2654435761 + 999983) % 4294967296 + 0.5) / 4294967296.0"
+    s"(((($id % 1048573 + 1048573) % 1048573) * 2654435761 + 999983) % 4294967296 + 0.5) / 4294967296.0"
 
   /** The perturbed query vector of vec_id=0 (RgbTest protocol) as a CTE. */
   private val duckQueryVec =

@@ -28,12 +28,15 @@ object Portable {
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   /** Deterministic uniform in (0,1) from an integer id (Knuth
-    * multiplicative hash). The `% 1048573` pre-reduction keeps the
+    * multiplicative hash). The `pmod 1048573` pre-reduction keeps the
     * multiply far from Long overflow (DuckDB errors on BIGINT overflow;
-    * the JVM silently wraps — either way results would diverge).
+    * the JVM silently wraps — either way results would diverge) and
+    * keeps negative ids in range (`%` is sign-preserving, which would
+    * feed log() a negative value downstream). Identical to `%` for the
+    * non-negative ids of every driver table.
     */
   def unitHash(id: Column): Column =
-    (((id % 1048573L) * 2654435761L + 999983L) % 4294967296L + 0.5) / 4294967296.0
+    ((pmod(id, lit(1048573L)) * 2654435761L + 999983L) % 4294967296L + 0.5) / 4294967296.0
 
   /** HNSW level assignment — reference `RandomLevel` (hnsw.cc:140-145):
     * floor(-ln(U) / m), clamped to maxLevel; U replaced by [[unitHash]].

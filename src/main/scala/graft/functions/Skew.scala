@@ -18,8 +18,11 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Exact salted sum+count per key. `uniqueCol` seeds the salt (any
-    * high-cardinality column — a row id); measures are decomposable so
-    * the result is identical to a direct groupBy.
+    * high-cardinality column — a row id). The sum accumulates in
+    * DECIMAL(38,12) (Portable's determinism rule): a raw double sum
+    * would differ from a direct groupBy in the last ulps because the
+    * two-phase plan adds in a different order. Output `sum_value` is
+    * the rounded double, identical to `Portable.dsumRounded` directly.
     */
   def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: Column,
                      uniqueCol: Column, buckets: Int = 16): DataFrame = {
@@ -28,11 +31,11 @@ object Skew {
       .withColumn("_salt", pmod(Portable.md5Int(uniqueCol.cast("string")), lit(buckets)))
       .groupBy(keyCols :+ col("_salt"): _*)
       .agg(
-        sum(valueCol).as("_psum"),
+        Portable.dsum(valueCol).as("_psum"),
         count(lit(1)).as("_pcnt"))
       .groupBy(keyCols: _*)
       .agg(
-        sum("_psum").as("sum_value"),
+        round(sum("_psum").cast("double"), 6).as("sum_value"),
         sum("_pcnt").as("n_rows"))
   }
 }

@@ -160,7 +160,10 @@ object Dedup {
     val sh = hashedShingleSets(documents)
     // The posting list feeds three subtrees (both self-join sides + the
     // size table); persist it so the tokenize→shingle→md5 pipeline runs
-    // once. Payload is two longs per posting — tiny relative to input.
+    // once. Payload is two longs per posting — a few MB per call, cached
+    // for the session (no unpersist hook exists for a lazily-returned
+    // DataFrame); callers running many independent corpora should
+    // unpersist via the catalog between calls.
     val posts = sh.select(col("doc_id"), explode(col("sh")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = posts.groupBy("doc_id").agg(count(lit(1)).as("n"))

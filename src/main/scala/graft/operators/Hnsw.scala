@@ -63,7 +63,7 @@ object Hnsw {
     * insertion order is the caller's sorted order, all ties break by
     * node index.
     */
-  private[operators] final class LocalGraph(dim: Int, p: Params) {
+  private[operators] final class LocalGraph(p: Params) {
     private val vecs = mutable.ArrayBuffer.empty[Array[Float]]
     private[operators] val ids = mutable.ArrayBuffer.empty[Long]
     private val levels = mutable.ArrayBuffer.empty[Int]
@@ -224,11 +224,13 @@ object Hnsw {
     */
   def buildEdges(embeddings: DataFrame, p: Params): DataFrame = {
     val spark = embeddings.sparkSession
+    // no sortWithinPartitions: the per-part in-memory sort below is the
+    // one that establishes insert order — a Tungsten sort here would be
+    // paid and then discarded by the groupBy
     val prepared = embeddings
       .select(col("vec_id"), col("embedding"), levelColumn(p).as("level"),
-        (col("vec_id") % p.numPartitions).cast("int").as("part"))
+        pmod(col("vec_id"), lit(p.numPartitions)).cast("int").as("part"))
       .repartition(p.numPartitions, col("part"))
-      .sortWithinPartitions("vec_id")
     val outSchema = StructType(Seq(
       StructField("part", IntegerType, nullable = false),
       StructField("src", LongType, nullable = false),
@@ -241,7 +243,7 @@ object Hnsw {
       // one independent graph per part so the shard layout is exactly
       // `vec_id % numPartitions` everywhere (build, search, reload).
       rows.toArray.groupBy(_.getAs[Int]("part")).iterator.flatMap { case (part, group) =>
-        val g = new LocalGraph(0, p)
+        val g = new LocalGraph(p)
         group.sortBy(_.getAs[Long]("vec_id")).foreach { r =>
           g.insert(r.getAs[Long]("vec_id"), r.getAs[Seq[Float]]("embedding").toArray,
             r.getAs[Int]("level"))
@@ -282,9 +284,9 @@ object Hnsw {
       // shard graphs built once per executor (GraphCache), not per task
       lazy val graphs: Array[LocalGraph] = GraphCache.getOrBuild(bc.id, () => {
         val data = bc.value
-        val gs = Array.tabulate(numParts) { pi => new LocalGraph(0, p) }
+        val gs = Array.tabulate(numParts) { _ => new LocalGraph(p) }
         data.foreach { case (id, vec, level) =>
-          gs((id % numParts).toInt).insert(id, vec, level)
+          gs(java.lang.Math.floorMod(id, numParts.toLong).toInt).insert(id, vec, level)
         }
         gs
       })
@@ -335,15 +337,15 @@ object Hnsw {
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     queries.select(col("query_id"), col("query_vec")).mapPartitions { rows =>
       lazy val graphs: Array[LocalGraph] = GraphCache.getOrBuild(bcNodes.id, () => {
-        val gs = Array.fill(numParts)(new LocalGraph(0, p))
+        val gs = Array.fill(numParts)(new LocalGraph(p))
         val idxOf = new mutable.LongMap[Int]()
         bcNodes.value.foreach { case (id, vec, level) =>
-          val g = gs((id % numParts).toInt)
+          val g = gs(java.lang.Math.floorMod(id, numParts.toLong).toInt)
           idxOf(id) = g.size
           g.loadNode(id, vec, level)
         }
         bcEdges.value.foreach { case (src, dst, layer) =>
-          gs((src % numParts).toInt).loadEdge(idxOf(src), idxOf(dst), layer)
+          gs(java.lang.Math.floorMod(src, numParts.toLong).toInt).loadEdge(idxOf(src), idxOf(dst), layer)
         }
         gs
       })

@@ -28,7 +28,13 @@ import graft.functions.VectorFunctions._
   */
 object Ivf {
 
-  /** The C seed centroids: `(centroid_id, centroid_vec)` as doubles. */
+  /** The C seed centroids: `(centroid_id, centroid_vec)` as doubles.
+    * Seed rule: the vectors with `vec_id < c` — correct for the dense
+    * 0-based ids of every driver table. A sparse id space needs a
+    * rank-based seed (`row_number over (order by vec_id) <= c`) here
+    * AND in the oracle SQL; the filter form keeps both sides trivially
+    * identical.
+    */
   def centroids(embeddings: DataFrame, c: Int): DataFrame =
     embeddings.filter(col("vec_id") < c)
       .select(col("vec_id").as("centroid_id"),
@@ -58,17 +64,21 @@ object Ivf {
       .join(assign(embeddings, c), Seq("vec_id"))
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
 
-  /** Top-k over the partitioned layout: the `cell IN probed` filter is
-    * a partition filter, so only nprobe/C of the files are read.
+  /** Top-k over the partitioned layout for a SINGLE query row (same
+    * contract as [[topK]]): the `cell IN probed` filter is a partition
+    * filter, so only nprobe/C of the files are read. Centroids are
+    * recovered by id (`vec_id < c`), NOT by `vec_id === cell` — a
+    * centroid whose vector duplicates an earlier centroid's is assigned
+    * to the earlier cell, and the self-cell filter would silently lose
+    * it.
     */
   def topKPartitioned(spark: org.apache.spark.sql.SparkSession, dir: String,
-                      queries: DataFrame, k: Int, nprobe: Int,
+                      queries: DataFrame, k: Int, c: Int, nprobe: Int,
                       roundTo: Int = 6): DataFrame = {
     val stored = spark.read.parquet(dir)
-    val cents = stored // centroid vectors live in their own cells' data
-      .filter(col("vec_id") === col("cell"))
-      // partition-dir values read back as int — normalize to long
-      .select(col("cell").cast("long").as("centroid_id"),
+    val cents = stored
+      .filter(col("vec_id") < c)
+      .select(col("vec_id").as("centroid_id"),
         transform(col("embedding"), x => x.cast("double")).as("centroid_vec"))
     val probed = cents.crossJoin(broadcast(queries))
       .select(col("centroid_id"),

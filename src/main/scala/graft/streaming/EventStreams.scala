@@ -32,7 +32,9 @@ object EventStreams {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum("value").as("sum_value"))
+        // same decimal-exact sum as the batch twin — a batch-vs-stream
+        // reconciliation must see identical values
+        graft.functions.Portable.dsumRounded(col("value")).as("sum_value"))
       .select(
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
@@ -76,7 +78,12 @@ object EventStreams {
             sorted.foreach { e =>
               cur match {
                 case Some(s) if e.ts.getTime - s.last.getTime <= gapMs =>
-                  cur = Some(s.copy(nEvents = s.nEvents + 1, last = e.ts))
+                  // late-but-in-watermark events may precede the stored
+                  // bounds — widen, never move bounds backwards
+                  cur = Some(s.copy(
+                    nEvents = s.nEvents + 1,
+                    start = if (e.ts.before(s.start)) e.ts else s.start,
+                    last = if (e.ts.after(s.last)) e.ts else s.last))
                 case Some(s) =>
                   closed ::= SessionOut(user, s.sessionNo, s.nEvents, s.start, s.last)
                   cur = Some(SessionState(s.sessionNo + 1, 1, e.ts, e.ts))

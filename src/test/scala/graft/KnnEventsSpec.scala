@@ -62,7 +62,8 @@ class KnnEventsSpec extends AnyFunSuite {
     val salted = graft.functions.Skew
       .saltedSumCount(df, Seq("key"), col("v"), col("row_id"), buckets = 8)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
-    val direct = df.groupBy("key").agg(sum("v").as("s"), count(lit(1)).as("c"))
+    val direct = df.groupBy("key")
+      .agg(graft.functions.Portable.dsumRounded(col("v")).as("s"), count(lit(1)).as("c"))
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
     assert(salted === direct)
   }

@@ -66,6 +66,28 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionization widens bounds on late in-watermark events") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val q = EventStreams.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sessions_late")
+      .outputMode("append").start()
+    try {
+      mem.addData(SessionEvent(30L, 1L, t(20)))
+      q.processAllAvailable()
+      // late event BEFORE the stored last, still within the session gap
+      mem.addData(SessionEvent(30L, 2L, t(10)))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(30L, 3L, t(600))) // close it
+      q.processAllAvailable()
+      val s = spark.table("sessions_late")
+        .filter(col("session_no") === 1).head()
+      assert(s.getAs[Long]("n_events") === 2L)
+      assert(s.getAs[java.sql.Timestamp]("session_start") === t(10), "start widened back")
+      assert(s.getAs[java.sql.Timestamp]("session_end") === t(20), "end not moved backward")
+    } finally q.stop()
+  }
+
   test("multimodal: batched feature extraction is deterministic with fixed dim") {
     val assets = Seq(
       (1L, "aaaa".getBytes("UTF-8"), "image/png", 100, 50),

@@ -17,7 +17,7 @@ object HnswProps extends Properties("Hnsw.LocalGraph") {
     maxLevel = 3, numPartitions = 1)
 
   private def mkGraph(vecs: Seq[Array[Float]]): Hnsw.LocalGraph = {
-    val g = new Hnsw.LocalGraph(0, p)
+    val g = new Hnsw.LocalGraph(p)
     vecs.zipWithIndex.foreach { case (v, i) =>
       // deterministic level from index (decaying), bounded by maxLevel
       g.insert(i.toLong, v, (java.lang.Long.numberOfTrailingZeros(i + 1L) / 2).min(p.maxLevel))
