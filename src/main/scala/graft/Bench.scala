@@ -27,6 +27,7 @@ object Bench {
       catch { case _: Throwable => }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      System.gc() // GC barrier: don't bill one query for its predecessors' garbage
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
