@@ -21,6 +21,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
+  /** File-source stream over a drop directory of events parquet files
+    * (the production shape: new files arriving become micro-batches).
+    * Streaming twin of `Tables.events`: same nanos→µs normalization,
+    * schema locked from a batch read (streaming sources require an
+    * explicit schema) — but typed TIMESTAMP (ltz), not NTZ, because
+    * event-time watermarks require it; wall clock matches under the
+    * pinned UTC session timezone.
+    */
+  def fileEvents(spark: org.apache.spark.sql.SparkSession, dropDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(dropDir).schema
+    spark.readStream.schema(schema).parquet(dropDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   /** Tumbling 1-hour counts/sums per event_type with a watermark for
     * late data. Streaming twin of `Events.tumblingCounts` (same window
     * and aggregate columns; streaming uses `window()` so late rows

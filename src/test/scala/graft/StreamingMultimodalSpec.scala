@@ -88,6 +88,37 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source stream of the events table reproduces the batch windows exactly") {
+    val dir = "/root/testdata/sf0.001"
+    // stage the table into a drop directory (the file source streams
+    // directories, not single files)
+    val drop = java.nio.file.Files.createTempDirectory("events_drop")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      drop.resolve("events.parquet"))
+    val q = EventStreams.tumblingCounts(EventStreams.fileEvents(spark, drop.toString))
+      .writeStream.format("memory").queryName("file_tumbling")
+      .outputMode("complete") // finite fixture: keep every window
+      .start()
+    try {
+      q.processAllAvailable()
+      // stream side is TIMESTAMP (ltz, watermark requirement); batch is
+      // NTZ — normalize to NTZ (equal wall clock under UTC) to compare
+      val streamed = spark.table("file_tumbling")
+        .select(col("window_start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .collect()
+        .map(r => (r.get(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val batch = graft.operators.Events
+        .tumblingCounts(graft.sources.Tables.events(spark, dir)).collect()
+        .map(r => (r.get(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("multimodal: batched feature extraction is deterministic with fixed dim") {
     val assets = Seq(
       (1L, "aaaa".getBytes("UTF-8"), "image/png", 100, 50),
