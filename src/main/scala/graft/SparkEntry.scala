@@ -177,6 +177,7 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) => Events.sessionize(Tables.events(s, dir))),
     "q_top_purchasers" -> ((s, dir) => Events.topPurchasers(Tables.events(s, dir))),
     "q_daily_type_rank" -> ((s, dir) => Events.dailyTypeRank(Tables.events(s, dir))),
+    "q_error_rates" -> ((s, dir) => Events.errorRates(Tables.events(s, dir))),
 
     // ---- relational (TPC-H-ish) ----
     "q_tpch_pricing" -> ((s, dir) => Relational.pricingSummary(Tables.lineitem(s, dir))),
@@ -364,6 +365,12 @@ object SparkEntry {
               FROM $duckEvents e GROUP BY 1, 2)
           SELECT *, rank() OVER (PARTITION BY day ORDER BY n DESC, event_type) AS rnk
           FROM daily""",
+    "q_error_rates" ->
+      s"""SELECT user_id, count(*) AS n_events,
+                 count(*) FILTER (event_type = 'error') AS n_errors,
+                 ${duckDsum("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END")} AS purchase_value,
+                 round(CAST(count(*) FILTER (event_type = 'error') AS DOUBLE) / count(*), 6) AS error_rate
+          FROM events GROUP BY user_id""",
 
     "q_asof_attribution" ->
       s"""WITH v AS (SELECT user_id, ts, event_id FROM $duckEvents e WHERE event_type = 'view'),

@@ -74,6 +74,21 @@ object Events {
       .orderBy(col("total_value").desc, col("user_id"))
       .limit(limit)
 
+  /** Per-user error rates: conditional aggregation (count/sum under a
+    * predicate) — one pass, no self-join; the FILTER-clause shape.
+    * Rate is exact integer-over-integer division in double, rounded.
+    */
+  def errorRates(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "error", 1)).as("n_errors"),
+        dsumRounded(when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0)))
+          .as("purchase_value"))
+      .withColumn("error_rate",
+        round(col("n_errors").cast("double") / col("n_events"), 6))
+
   /** Per-type daily event rates: counts per (day, type) with a ranking
     * window — exercises date_trunc + rank over aggregated rows.
     */
