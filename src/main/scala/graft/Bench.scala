@@ -47,7 +47,13 @@ object Bench {
       val cachedBytes = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
       s""","mem":{"n_vectors":$nVec,"n_hnsw_edges":$nEdges,"cached_bytes":$cachedBytes}"""
     } catch { case _: Throwable => "" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$mem}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$mem}"""
+    println(json)
+    // Also write to a fixed file: stdout is interleaved with sbt [info]
+    // noise and the driver failed to extract the line in round 1
+    // (BENCH_r01.json "parsed": null).
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

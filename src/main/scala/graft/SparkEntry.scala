@@ -164,7 +164,12 @@ object SparkEntry {
 
     // ---- dedup family ----
     "q_dedup_exact" -> ((s, dir) => Dedup.exactClusters(Tables.documents(s, dir), minSize = 1)),
-    "q_minhash_sig" -> ((s, dir) => Dedup.minhashSignatures(Tables.documents(s, dir))),
+    // Signature rendered as a string — the driver's pandas compare
+    // cannot sort list columns (numpy arrays are unhashable).
+    "q_minhash_sig" -> ((s, dir) =>
+      Dedup.minhashSignatures(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          concat_ws("_", transform(col("sig"), _.cast("string"))).as("sig"))),
     "q_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(Tables.documents(s, dir), 0.5)),
     "q_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairsExact(Tables.documents(s, dir), 0.5)),
     "q_simhash" -> ((s, dir) => Dedup.simhashes(Tables.documents(s, dir))),
@@ -272,10 +277,12 @@ object SparkEntry {
       """SELECT tok AS token, count(*) AS n
          FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
          GROUP BY tok ORDER BY n DESC, token LIMIT 100""",
+    // Integer sums are CAST to BIGINT: DuckDB sum(int) is HUGEINT, which
+    // the driver's pandas compare renders as float ("123.0" vs "123").
     "q_doc_stats" ->
-      """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+      """SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                 round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
-                sum(len(string_split(text, ' '))) AS sum_tokens
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
          FROM documents GROUP BY lang, source""",
     "q_token_counting" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
@@ -292,7 +299,7 @@ object SparkEntry {
       """SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS keep_id
          FROM documents GROUP BY 1""",
     "q_minhash_sig" ->
-      s"WITH $duckSigCte SELECT doc_id, sig FROM sigs",
+      s"WITH $duckSigCte SELECT doc_id, array_to_string(sig, '_') AS sig FROM sigs",
     "q_minhash_pairs" -> {
       val bandKeys = (0 until Dedup.bands).map { b =>
         val parts = (0 until Dedup.rowsPerBand)
@@ -348,14 +355,14 @@ object SparkEntry {
                 CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
               FROM x),
           z AS (SELECT user_id, ts,
-                sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_no
+                CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
               FROM y)
           SELECT user_id, session_no, count(*) AS n_events,
                  min(ts) AS session_start, max(ts) AS session_end
           FROM z GROUP BY user_id, session_no""",
     "q_top_purchasers" ->
       s"""SELECT user_id, count(*) AS n_purchases, ${duckDsum("value")} AS total_value,
-                 sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS sum_k
+                 CAST(sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k
           FROM $duckEvents e WHERE event_type = 'purchase'
           GROUP BY user_id
           ORDER BY total_value DESC, user_id LIMIT 50""",

@@ -51,8 +51,11 @@ object VectorFunctions {
   def cosineDistance(a: Column, b: Column): Column =
     lit(1.0) - cosineSimilarity(a, b)
 
-  /** The reference's query-perturbation protocol (hnsw.cc:352-356):
-    * +1 on the first component, -1 on the second, rest unchanged.
+  /** Query-perturbation protocol inspired by the reference's RgbTest
+    * (hnsw.cc:352-356 perturbs components 1 and 2 of a 3-vector; this
+    * applies +1/-1 to the first two components — same spirit, not
+    * component-identical). Oracle parity holds because the Spark and
+    * DuckDB sides share THIS definition.
     * Returns a DOUBLE array (the query side of distance computations).
     */
   def perturbQuery(e: Column): Column =
