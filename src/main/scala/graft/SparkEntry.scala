@@ -75,6 +75,43 @@ object SparkEntry {
   private val duckHashedShingleSet: String =
     s"list_distinct(list_transform(sh, s -> ${duckMd5Int("s")}))"
 
+  /** Unrolled fixed-iteration Lloyd refinement + final assignment
+    * (mirrors Ivf.kmeans + Ivf.assignWith): per-dimension means through
+    * DECIMAL(38,12) — exact, so both engines compute identical
+    * centroids and therefore identical assignments.
+    */
+  private def duckKmeansAssign(c: Int, iters: Int): String = {
+    val sb = new StringBuilder(
+      s"WITH c0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv FROM embeddings WHERE vec_id < $c)")
+    for (t <- 0 until iters) {
+      sb ++= s""",
+        a$t AS (SELECT e.vec_id, cid AS cell FROM embeddings e, c$t c
+                QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), cid) = 1),
+        m${t + 1} AS (SELECT cell, i, CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m
+                FROM (SELECT a$t.cell, unnest(range(1, len(e.embedding)+1)) AS i,
+                             unnest(list_transform(e.embedding, v -> CAST(v AS DOUBLE))) AS x
+                      FROM embeddings e JOIN a$t ON e.vec_id = a$t.vec_id)
+                GROUP BY cell, i),
+        n${t + 1} AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM m${t + 1} GROUP BY cell),
+        c${t + 1} AS (SELECT c$t.cid, coalesce(n${t + 1}.cv, c$t.cv) AS cv FROM c$t LEFT JOIN n${t + 1} USING (cid))"""
+    }
+    sb ++= s"""
+      SELECT e.vec_id, cid AS cell FROM embeddings e, c$iters c
+      QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), cid) = 1"""
+    sb.toString
+  }
+
+  /** Brute-force cosine near-dup pairs — the oracle for BOTH the n²
+    * form and the cell-blocked scale path (which must lose no pairs).
+    */
+  private val duckNearDups =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       scored AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round(list_inner_product(a.v, b.v)
+                 / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) AS cos_sim
+         FROM e a JOIN e b ON a.vec_id < b.vec_id)
+       SELECT * FROM scored WHERE cos_sim >= 0.4"""
+
   /** events with ts truncated to µs TIMESTAMP (matches Spark's ntz µs). */
   private val duckEvents =
     "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
@@ -142,13 +179,23 @@ object SparkEntry {
         perturbQuery(col("embedding")).as("query_vec"))
       Hnsw.searchTopK(emb, qs, 10, Hnsw.Params())
     }),
+    // Recall harness exercises the ROUTED scale path: semantic shards
+    // from k-means cells with 2× boundary replication, each query
+    // probing only its 5 nearest of 8 shards — recall@10 vs exact is
+    // asserted ≥ 0.95 in HnswSpec.
     "q_knn_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val qs = emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
-      Hnsw.recallAtK(emb, qs, 10, Hnsw.Params())
+      val ann = Hnsw.searchRouted(emb, qs, 10, Hnsw.Params(),
+        Ivf.kmeans(emb, 8, 2), nprobe = 5, replication = 2)
+      Hnsw.recallOf(ann, emb, qs, 10)
     }),
     "q_ivf_assign" -> ((s, dir) => Ivf.assign(Tables.embeddings(s, dir), 16)),
+    "q_ivf_kmeans_assign" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ivf.assignWith(emb, Ivf.kmeans(emb, 8, 2))
+    }),
     "q_ivf_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Ivf.topK(emb, queryVecOf(emb, 0), 10, c = 16, nprobe = 2)
@@ -175,6 +222,11 @@ object SparkEntry {
     "q_simhash" -> ((s, dir) => Dedup.simhashes(Tables.documents(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), 3)),
     "q_embedding_neardups" -> ((s, dir) => Dedup.embeddingNearDups(Tables.embeddings(s, dir), 0.4)),
+    // The blocked scale path must reproduce the brute-force result
+    // (same oracle): c=8/probes=4 drops zero true pairs at every sf
+    // (verified against DuckDB at sf0.001/0.01/0.1).
+    "q_embedding_neardups_blocked" -> ((s, dir) =>
+      Dedup.embeddingNearDupsBlocked(Tables.embeddings(s, dir), 0.4, c = 8, probes = 4)),
 
     // ---- events ----
     "q_events_tumbling" -> ((s, dir) => Events.tumblingCounts(Tables.events(s, dir))),
@@ -190,6 +242,10 @@ object SparkEntry {
     "q_shipping_priority" -> ((s, dir) => Relational.shippingPriority(s, dir)),
     "q_distinct_users" -> ((s, dir) => Relational.distinctUsers(Tables.events(s, dir))),
     "q_price_quantiles" -> ((s, dir) => Relational.priceQuantiles(Tables.lineitem(s, dir))),
+    // Sketch-based percentiles: no oracle (GK merge order isn't
+    // engine-portable); error bound asserted in RelationalSpec.
+    "q_price_quantiles_approx" -> ((s, dir) => Relational.priceQuantilesApprox(Tables.lineitem(s, dir))),
+    "q_tpch_local_supp" -> ((s, dir) => Relational.localSupplierRevenue(s, dir)),
     "q_except_customers" -> ((s, dir) => Relational.openNotFulfilled(s, dir)),
     "q_revenue_nation" -> ((s, dir) => Relational.revenueByNation(s, dir)),
     "q_orders_priority" -> ((s, dir) => Relational.ordersByPriority(Tables.orders(s, dir))),
@@ -335,13 +391,9 @@ object SparkEntry {
                  bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) AS hamming
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) <= 3""",
-    "q_embedding_neardups" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         scored AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
-             round(list_inner_product(a.v, b.v)
-                   / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) AS cos_sim
-           FROM e a JOIN e b ON a.vec_id < b.vec_id)
-         SELECT * FROM scored WHERE cos_sim >= 0.4""",
+    "q_embedding_neardups" -> duckNearDups,
+    "q_embedding_neardups_blocked" -> duckNearDups,
+    "q_ivf_kmeans_assign" -> duckKmeansAssign(8, 2),
 
     "q_events_tumbling" ->
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
@@ -453,6 +505,19 @@ object SparkEntry {
                  ${duckDsum("o_totalprice")} AS sum_price
           FROM orders JOIN customer ON o_custkey = c_custkey
           GROUP BY c_mktsegment, o_orderstatus""",
+    "q_tpch_local_supp" ->
+      s"""SELECT n_name, ${duckDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+                 count(*) AS n_lineitems
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY n_name""",
   )
 
   /** SimHash per-doc oracle (mirrors Dedup.simhashes): unnest tokens →

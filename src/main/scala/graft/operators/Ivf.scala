@@ -43,15 +43,64 @@ object Ivf {
   /** Assign every vector to its nearest centroid (ties → smaller
     * centroid id). One broadcast nested-loop + per-vector argmin.
     */
-  def assign(embeddings: DataFrame, c: Int): DataFrame = {
+  def assign(embeddings: DataFrame, c: Int): DataFrame =
+    assignWith(embeddings, centroids(embeddings, c))
+
+  /** [[assign]] with an explicit `(centroid_id, centroid_vec)` table
+    * (seeded or k-means-refined). Centroids are always broadcast.
+    */
+  def assignWith(embeddings: DataFrame, cents: DataFrame): DataFrame =
+    assignMulti(embeddings, cents, 1)
+
+  /** Multi-assignment: every vector posted to its `r` nearest cells
+    * (ties → smaller centroid id). `r = 1` is plain IVF assignment;
+    * `r > 1` is SPANN-style boundary replication — a vector near a
+    * Voronoi boundary lives in the neighboring cells too, which is what
+    * lets cell-routed search keep recall while probing few cells. Index
+    * size grows by exactly r×.
+    */
+  def assignMulti(embeddings: DataFrame, cents: DataFrame, r: Int): DataFrame = {
     val byVec = Window.partitionBy("vec_id").orderBy(col("cdist"), col("centroid_id"))
     embeddings
-      .crossJoin(broadcast(centroids(embeddings, c)))
+      .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("centroid_id"),
         l2Distance(col("embedding"), col("centroid_vec")).as("cdist"))
       .withColumn("rn", row_number().over(byVec))
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= r)
       .select(col("vec_id"), col("centroid_id").as("cell"))
+  }
+
+  /** Lloyd-refined centroids: `iters` FIXED iterations from the seed
+    * centroids — fully deterministic (no RNG, no convergence test), so
+    * the refined assignment stays oracle-checkable. Per-dimension means
+    * accumulate in DECIMAL(38,12) (exact, partition-order-invariant)
+    * and divide in DOUBLE — any engine reproduces the values bit-for-bit
+    * (float sources cannot tie at the 12th decimal: a tie needs a
+    * denominator divisible by 5^12 > 2^24). Cells that lose all members
+    * keep their previous centroid.
+    *
+    * Each iteration: one broadcast-assign pass + one (cell, dim)
+    * aggregation — both shuffle only C·dim rows; the vector table is
+    * never shuffled.
+    */
+  def kmeans(embeddings: DataFrame, c: Int, iters: Int): DataFrame = {
+    var cents = centroids(embeddings, c)
+    for (_ <- 0 until iters) {
+      val means = embeddings
+        .join(assignWith(embeddings, cents), Seq("vec_id"))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy("cell", "i")
+        .agg((sum(col("x").cast("double").cast("decimal(38,12)")).cast("double")
+          / count(lit(1))).as("m"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          s => s.getField("m")).as("new_vec"))
+        .select(col("cell").as("centroid_id"), col("new_vec"))
+      cents = cents.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("new_vec"), col("centroid_vec")).as("centroid_vec"))
+    }
+    cents
   }
 
   /** Materialize the cell layout: vectors written as Parquet

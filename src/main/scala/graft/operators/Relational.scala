@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable._
@@ -109,17 +110,94 @@ object Relational {
         col("o_orderpriority"), col("revenue"))
   }
 
+  private val quantilePs = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+
   /** Exact interpolated percentiles of extended price per return flag
-    * (sort-based percentile aggregation; linear interpolation matches
-    * DuckDB quantile_cont).
+    * (linear interpolation, matches DuckDB quantile_cont and Spark's
+    * `percentile()` bit-for-bit — same `p·(n-1)` position arithmetic).
+    *
+    * Scale shape: `percentile()` buffers EVERY value of a group in one
+    * in-memory aggregation buffer — linear memory, executor OOM at
+    * 100×. This form instead ranks values with a window sort (Tungsten
+    * sort-based, spills to disk), keeps only the ≤2 boundary rows per
+    * requested percentile, and interpolates. Memory is bounded
+    * regardless of group size; the residual cost is one sort whose
+    * parallelism is bounded by the group count (use
+    * [[priceQuantilesApprox]] when that sort dominates).
     */
-  def priceQuantiles(lineitem: DataFrame): DataFrame =
+  def priceQuantiles(lineitem: DataFrame): DataFrame = {
+    val w = Window.partitionBy("l_returnflag").orderBy("v")
+    val ranked = lineitem
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+      .withColumn("rk0", row_number().over(w) - lit(1)) // 0-based rank
+    val counts = ranked.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    val withN = ranked.join(broadcast(counts), Seq("l_returnflag"))
+    // 0-based position pos = p·(n-1): the exact arithmetic percentile()
+    // and quantile_cont share, so interpolated values are bit-identical
+    def pos(p: Double): Column = lit(p) * (col("n") - lit(1)).cast("double")
+    val boundaryAggs = quantilePs.flatMap { case (name, p) =>
+      Seq(
+        max(when(col("rk0") === floor(pos(p)), col("v"))).as(s"${name}_lo"),
+        max(when(col("rk0") === ceil(pos(p)), col("v"))).as(s"${name}_hi"))
+    }
+    val outs = quantilePs.map { case (name, p) =>
+      val frac = pos(p) - floor(pos(p)).cast("double")
+      round(col(s"${name}_lo")
+        + frac * (col(s"${name}_hi") - col(s"${name}_lo")), 6).as(name)
+    }
+    withN
+      .filter(quantilePs.map { case (_, p) =>
+        col("rk0") === floor(pos(p)) || col("rk0") === ceil(pos(p))
+      }.reduce(_ || _))
+      .groupBy("l_returnflag")
+      .agg(max(col("n")).as("n"), boundaryAggs: _*)
+      .select(col("l_returnflag") +: outs: _*)
+  }
+
+  /** Approximate percentiles (`approx_percentile`, bounded-memory GK
+    * sketch — the 1000-executor path when even the per-group window
+    * sort of [[priceQuantiles]] is too much). Rank error ≤ n/accuracy
+    * per group; no oracle (sketch merge order is not engine-portable),
+    * error bound asserted in RelationalSpec against the exact form.
+    */
+  def priceQuantilesApprox(lineitem: DataFrame, accuracy: Int = 10000): DataFrame =
     lineitem
       .groupBy("l_returnflag")
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"))
+        round(expr(s"approx_percentile(l_extendedprice, 0.5, $accuracy)"), 6).as("p50"),
+        round(expr(s"approx_percentile(l_extendedprice, 0.9, $accuracy)"), 6).as("p90"),
+        round(expr(s"approx_percentile(l_extendedprice, 0.99, $accuracy)"), 6).as("p99"))
+
+  /** TPC-H Q5-style local-supplier revenue: revenue from lineitems
+    * where the supplying and buying nations coincide, restricted to one
+    * region and an order-date year. Six tables; region/nation/customer/
+    * supplier are all broadcast dims (region prunes nation BEFORE the
+    * broadcast), so the only shuffle of consequence is
+    * lineitem⋈orders on orderkey + a ≤25-group aggregate.
+    */
+  def localSupplierRevenue(spark: SparkSession, dir: String,
+                           region: String = "ASIA", year: String = "1996"): DataFrame = {
+    val reg = Tables.region(spark, dir)
+      .filter(col("r_name") === region).select("r_regionkey")
+    val nat = Tables.nation(spark, dir)
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("date")
+        && col("o_orderdate") < lit(s"${year.toInt + 1}-01-01").cast("date"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(dsumRounded(col("rev")).as("revenue"), count(lit(1)).as("n_lineitems"))
+  }
 
   /** Exact distinct-user counts per event type (distinct aggregation —
     * plans as the standard two-phase expand/aggregate).

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.VectorFunctions._
-import graft.operators.{Hnsw, Ivf, Knn}
+import graft.operators.{Dedup, Hnsw, Ivf, Knn}
 
 /** HNSW build/search invariants + the RgbTest-analog recall harness
   * (hnsw.cc:326-368, generalized per SURVEY.md §5.2.3).
@@ -86,6 +86,49 @@ class HnswSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("cell"),
       "cell probe should be partition-pruned")
+  }
+
+  test("routed search (kmeans shards, 2× replication) keeps recall ≥ 0.95 probing 5 of 8 shards") {
+    val qs = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+    val cents = Ivf.kmeans(emb, 8, 2)
+    val ann = Hnsw.searchRouted(emb, qs, 10, params, cents, nprobe = 5, replication = 2)
+    // replication must not surface a vector twice for one query
+    assert(ann.groupBy("query_id", "vec_id").count().filter(col("count") > 1).count() === 0)
+    val recalls = Hnsw.recallOf(ann, emb, qs, 10).collect().map(_.getDouble(1))
+    val avg = recalls.sum / recalls.length
+    assert(avg >= 0.95, s"routed avg recall $avg below floor")
+  }
+
+  test("kmeans refinement is deterministic and lowers quantization cost vs seeds") {
+    def cost(cents: org.apache.spark.sql.DataFrame): Double =
+      emb.join(Ivf.assignWith(emb, cents), Seq("vec_id"))
+        .join(cents.withColumnRenamed("centroid_id", "cell"), Seq("cell"))
+        .select(avg(l2Distance(col("embedding"), col("centroid_vec"))).as("c"))
+        .head().getDouble(0)
+    val refined = Ivf.kmeans(emb, 8, 2)
+    val again = Ivf.kmeans(emb, 8, 2)
+    assert(refined.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+      === again.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq)
+    assert(refined.count() === 8)
+    assert(cost(refined) < cost(Ivf.centroids(emb, 8)), "Lloyd iterations should tighten cells")
+  }
+
+  test("blocked embedding near-dups == brute force on a Gaussian corpus (no lost pairs)") {
+    // zero-mean Gaussian directions — the embedding-like regime the
+    // blocking targets (the uniform-positive `emb` fixture above bunches
+    // every vector into one narrow cone, which no Voronoi blocking of
+    // the sphere can split cleanly; real embedding tables are centered)
+    val gauss = (0L until 200L).map { i =>
+      val rnd = new scala.util.Random(i + 1000)
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val brute = Dedup.embeddingNearDups(gauss, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val blocked = Dedup.embeddingNearDupsBlocked(gauss, 0.6, c = 8, probes = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute.nonEmpty, "threshold should yield pairs on this corpus")
+    assert(blocked === brute)
   }
 
   test("IVF topK probes cells and stays consistent with exact on easy queries") {

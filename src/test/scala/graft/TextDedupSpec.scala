@@ -64,6 +64,15 @@ class TextDedupSpec extends AnyFunSuite {
     assert(rows.contains((1L, 3L)), "near-dup pair above threshold")
   }
 
+  test("jaccard df cap: no-op above every fixture df; drops stop-shingle evidence when it bites") {
+    def pairs(maxDf: Int) = Dedup.jaccardPairsExact(docs, 0.2, maxDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // no shingle appears in more than 3 fixture docs → cap 64 is a no-op
+    assert(pairs(64) === pairs(Int.MaxValue))
+    // cap 1 removes every shared shingle → no pairs at all
+    assert(Dedup.jaccardPairsExact(docs, 0.0001, maxDf = 1).collect().isEmpty)
+  }
+
   test("langId predicts by stopword argmax with declaration-order ties") {
     val out = TextAnalysis.langId(docs).select("doc_id", "lang_pred").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
