@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Dedup, Events, Hnsw, Ivf, Knn, Relational, TextAnalysis}
+import graft.operators.{AsofJoin, Dedup, Events, Hnsw, Ivf, Knn, Relational, TextAnalysis, VectorLsh}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -99,6 +99,33 @@ object SparkEntry {
       SELECT e.vec_id, cid AS cell FROM embeddings e, c$iters c
       QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), cid) = 1"""
     sb.toString
+  }
+
+  /** Generated oracle for the vector-LSH pair pipeline — literal ±1
+    * hyperplanes from the SAME [[VectorLsh.signs]] constants the Spark
+    * plan embeds.
+    */
+  private def duckLshPairs(dim: Int, threshold: Double): String = {
+    val sigExpr = (0 until VectorLsh.numBits).map { i =>
+      val arr = VectorLsh.signs(i, dim).map(v => if (v > 0) "1.0" else "-1.0")
+        .mkString("[", ", ", "]")
+      s"(CASE WHEN list_inner_product(v, $arr) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val mask = (1L << VectorLsh.rowsPerBand) - 1
+    val bandVals = (0 until VectorLsh.bands)
+      .map(b => s"($b, (sig >> ${b * VectorLsh.rowsPerBand}) & $mask)").mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       sigs AS (SELECT vec_id, $sigExpr AS sig FROM e),
+       bandsx AS (SELECT vec_id, bk.b AS band, bk.k AS band_key
+                  FROM sigs CROSS JOIN LATERAL (VALUES $bandVals) AS bk(b, k)),
+       cand AS (SELECT DISTINCT l.vec_id AS id1, r.vec_id AS id2
+                FROM bandsx l JOIN bandsx r
+                  ON l.band = r.band AND l.band_key = r.band_key AND l.vec_id < r.vec_id),
+       scored AS (SELECT id1, id2,
+           round(list_inner_product(a.v, b.v)
+                 / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) AS cos_sim
+         FROM cand JOIN e a ON cand.id1 = a.vec_id JOIN e b ON cand.id2 = b.vec_id)
+       SELECT * FROM scored WHERE cos_sim >= $threshold"""
   }
 
   /** Brute-force cosine near-dup pairs — the oracle for BOTH the n²
@@ -227,6 +254,11 @@ object SparkEntry {
     // (verified against DuckDB at sf0.001/0.01/0.1).
     "q_embedding_neardups_blocked" -> ((s, dir) =>
       Dedup.embeddingNearDupsBlocked(Tables.embeddings(s, dir), 0.4, c = 8, probes = 4)),
+    // Random-hyperplane LSH comparison path (SURVEY §7.5.4): the oracle
+    // mirrors the full pipeline (same literal hyperplanes), so the
+    // hash-match is exact even though candidate generation is lossy.
+    "q_vector_lsh_pairs" -> ((s, dir) =>
+      VectorLsh.pairs(Tables.embeddings(s, dir), dim = 64, threshold = 0.4)),
 
     // ---- events ----
     "q_events_tumbling" -> ((s, dir) => Events.tumblingCounts(Tables.events(s, dir))),
@@ -394,6 +426,7 @@ object SparkEntry {
     "q_embedding_neardups" -> duckNearDups,
     "q_embedding_neardups_blocked" -> duckNearDups,
     "q_ivf_kmeans_assign" -> duckKmeansAssign(8, 2),
+    "q_vector_lsh_pairs" -> duckLshPairs(64, 0.4),
 
     "q_events_tumbling" ->
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,

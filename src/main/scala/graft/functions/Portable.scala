@@ -27,6 +27,15 @@ object Portable {
   def md5Int(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** [[md5Int]] evaluated in Scala — for plan-time constants (e.g. the
+    * LSH hyperplane signs) that get embedded as literals in BOTH the
+    * Spark plan and the generated oracle SQL.
+    */
+  def md5IntOf(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+  }
+
   /** Deterministic uniform in (0,1) from an integer id (Knuth
     * multiplicative hash). The `pmod 1048573` pre-reduction keeps the
     * multiply far from Long overflow (DuckDB errors on BIGINT overflow;
