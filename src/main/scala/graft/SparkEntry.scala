@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Dedup, Events, Hnsw, Ivf, Knn, Relational, TextAnalysis, VectorLsh}
+import graft.operators.{AsofJoin, Dedup, Events, Hnsw, Ivf, Knn, Multimodal, Relational, TextAnalysis, VectorLsh}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -260,6 +260,28 @@ object SparkEntry {
     "q_vector_lsh_pairs" -> ((s, dir) =>
       VectorLsh.pairs(Tables.embeddings(s, dir), dim = 64, threshold = 0.4)),
 
+    // ---- multimodal (documents' bytes as opaque payloads) ----
+    // Meta half (frame sampling + resize math) is pure column algebra →
+    // oracled; the feature half crosses the stub codec (Scala kernel,
+    // not SQL-expressible) → no oracle, scalar checksum output.
+    "q_multimodal_meta" -> ((s, dir) => {
+      val assets = Multimodal.assetsFromDocuments(Tables.documents(s, dir))
+      val frames = Multimodal.sampleFrames(assets, frameBytes = 64, stride = 2)
+        .groupBy("asset_id").agg(count(lit(1)).as("n_frames"))
+      Multimodal.resizeMeta(assets, maxSide = 256)
+        .join(frames, Seq("asset_id"), "left")
+        .select(col("asset_id"), col("width"), col("height"),
+          col("out_width"), col("out_height"),
+          coalesce(col("n_frames"), lit(0L)).as("n_frames"))
+    }),
+    "q_multimodal_features" -> ((s, dir) => {
+      val assets = Multimodal.assetsFromDocuments(Tables.documents(s, dir))
+      Multimodal.extractFeatures(assets, dim = 16, batchSize = 64)
+        .select(col("asset_id"),
+          round(expr("aggregate(features, 0D, (a, x) -> a + CAST(x AS DOUBLE))"), 6)
+            .as("feat_sum"))
+    }),
+
     // ---- events ----
     "q_events_tumbling" -> ((s, dir) => Events.tumblingCounts(Tables.events(s, dir))),
     "q_asof_attribution" -> ((s, dir) => AsofJoin.purchaseAttribution(Tables.events(s, dir))),
@@ -428,6 +450,16 @@ object SparkEntry {
     "q_ivf_kmeans_assign" -> duckKmeansAssign(8, 2),
     "q_vector_lsh_pairs" -> duckLshPairs(64, 0.4),
 
+    "q_multimodal_meta" ->
+      """WITH a AS (SELECT doc_id AS asset_id,
+                n_chars % 640 + 32 AS w, doc_id % 480 + 32 AS h,
+                octet_length(encode(text)) // 64 AS nf
+              FROM documents)
+         SELECT asset_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                CAST(floor(w * least(256.0/w, 256.0/h, 1.0)) AS INT) AS out_width,
+                CAST(floor(h * least(256.0/w, 256.0/h, 1.0)) AS INT) AS out_height,
+                CAST(CASE WHEN nf > 0 THEN (nf - 1) // 2 + 1 ELSE 0 END AS BIGINT) AS n_frames
+         FROM a""",
     "q_events_tumbling" ->
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
                  count(*) AS n_events, ${duckDsum("value")} AS sum_value

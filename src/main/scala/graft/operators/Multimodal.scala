@@ -52,6 +52,24 @@ object Multimodal {
     }
   }
 
+  /** Deterministic media-asset view of the `documents` table — the
+    * driver corpus has no binary column, so the declared multimodal
+    * queries treat each document's UTF-8 bytes as an opaque payload
+    * with synthesized (but deterministic, hence oracle-able) pixel
+    * metadata. The pipeline around the payload — schema, batching,
+    * frame math, resize math — is exactly what a real binary column
+    * would flow through.
+    */
+  def assetsFromDocuments(documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    documents.select(
+      col("doc_id").as("asset_id"),
+      col("text").cast("binary").as("media"),
+      lit("text/plain").as("mime"),
+      (pmod(col("n_chars"), lit(640)) + 32).cast("int").as("width"),
+      (pmod(col("doc_id"), lit(480)) + 32).cast("int").as("height"))
+  }
+
   /** Batched feature extraction: `(asset_id, features: array<float>)`.
     * Processes each partition in micro-batches of `batchSize` rows —
     * the real-codec shape (one codec/model session per batch).

@@ -54,6 +54,25 @@ object EventStreams {
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup → windowed counts: duplicate `event_id`s
+    * arriving within the watermark horizon are dropped before the
+    * aggregation (`dropDuplicatesWithinWatermark` — one state row per
+    * id seen inside the horizon, evicted with the watermark, so state
+    * is bounded like every other operator here). The streaming analog
+    * of exact dedup's keep-first rule for at-least-once sources.
+    */
+  def dedupedTumblingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark) // defined ONCE, upstream of both stateful ops
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        graft.functions.Portable.dsumRounded(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** Sliding-window event rate (1h window, 15m slide) per type. */
   def slidingRate(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events

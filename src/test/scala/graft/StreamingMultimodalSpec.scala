@@ -42,6 +42,26 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-watermark duplicate event ids before aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double, Long)]
+    val events = mem.toDF().toDF("ts", "event_type", "value", "event_id")
+    val q = EventStreams.dedupedTumblingCounts(events, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // event 100 delivered twice (at-least-once source); only one counts
+      mem.addData((t(5), "a", 1.0, 100L), (t(6), "a", 1.0, 100L), (t(20), "a", 2.0, 101L))
+      q.processAllAvailable()
+      mem.addData((t(240), "a", 0.5, 102L)) // advance watermark, close window
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out")
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.toSeq === Seq((t(0), "a", 2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions on event-time gap timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SessionEvent]
