@@ -300,6 +300,7 @@ object SparkEntry {
     // engine-portable); error bound asserted in RelationalSpec.
     "q_price_quantiles_approx" -> ((s, dir) => Relational.priceQuantilesApprox(Tables.lineitem(s, dir))),
     "q_tpch_local_supp" -> ((s, dir) => Relational.localSupplierRevenue(s, dir)),
+    "q_tpch_returned" -> ((s, dir) => Relational.returnedItemRevenue(s, dir)),
     "q_except_customers" -> ((s, dir) => Relational.openNotFulfilled(s, dir)),
     "q_revenue_nation" -> ((s, dir) => Relational.revenueByNation(s, dir)),
     "q_orders_priority" -> ((s, dir) => Relational.ordersByPriority(Tables.orders(s, dir))),
@@ -460,6 +461,19 @@ object SparkEntry {
                 CAST(floor(h * least(256.0/w, 256.0/h, 1.0)) AS INT) AS out_height,
                 CAST(CASE WHEN nf > 0 THEN (nf - 1) // 2 + 1 ELSE 0 END AS BIGINT) AS n_frames
          FROM a""",
+    "q_tpch_returned" ->
+      s"""SELECT c_custkey, c_mktsegment, n_name,
+                 ${duckDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+                 count(*) AS n_items
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE l_returnflag = 'R'
+            AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY c_custkey, c_mktsegment, n_name
+          ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "q_events_tumbling" ->
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
                  count(*) AS n_events, ${duckDsum("value")} AS sum_value

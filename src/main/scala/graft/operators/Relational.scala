@@ -199,6 +199,49 @@ object Relational {
       .agg(dsumRounded(col("rev")).as("revenue"), count(lit(1)).as("n_lineitems"))
   }
 
+  /** TPC-H Q10-style returned-item revenue: customers ranked by revenue
+    * from R-flagged lineitems in an order-date window; nation name
+    * joined for the report. Top-k via TakeOrderedAndProject.
+    */
+  def returnedItemRevenue(spark: SparkSession, dir: String,
+                          from: String = "1996-01-01", until: String = "1996-04-01",
+                          limit: Int = 20): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(from).cast("date")
+        && col("o_orderdate") < lit(until).cast("date"))
+      .select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey", "c_mktsegment")
+    val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_mktsegment", "n_name")
+      .agg(dsumRounded(col("rev")).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(limit)
+  }
+
+  /** Write both sides of the orderkey join BUCKETED on the key: a
+    * co-located layout where the lineitem⋈orders shuffle disappears —
+    * each bucket pair joins locally (verified by plan in
+    * RelationalSpec: no Exchange above the scans). At 100 TB this is
+    * the difference between re-shuffling the fact table on every query
+    * and paying the layout cost once at ingest.
+    */
+  def writeBucketedOrderJoin(spark: SparkSession, dir: String, path: String,
+                             buckets: Int, liTable: String, ordTable: String): Unit = {
+    Tables.lineitem(spark, dir)
+      .write.bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$path/$liTable").mode("overwrite").saveAsTable(liTable)
+    Tables.orders(spark, dir)
+      .write.bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$path/$ordTable").mode("overwrite").saveAsTable(ordTable)
+  }
+
   /** Exact distinct-user counts per event type (distinct aggregation —
     * plans as the standard two-phase expand/aggregate).
     */
