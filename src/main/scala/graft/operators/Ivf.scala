@@ -129,6 +129,9 @@ object Ivf {
       .filter(col("vec_id") < c)
       .select(col("vec_id").as("centroid_id"),
         transform(col("embedding"), x => x.cast("double")).as("centroid_vec"))
+    // collect() here moves exactly `nprobe` cell IDS (a handful of
+    // longs) to the driver — required to form the partition filter
+    // below; the vector data itself never leaves the executors
     val probed = cents.crossJoin(broadcast(queries))
       .select(col("centroid_id"),
         l2Distance(col("centroid_vec"), col("query_vec")).as("qdist"))
