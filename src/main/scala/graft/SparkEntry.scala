@@ -80,7 +80,7 @@ object SparkEntry {
     * DECIMAL(38,12) — exact, so both engines compute identical
     * centroids and therefore identical assignments.
     */
-  private def duckKmeansAssign(c: Int, iters: Int): String = {
+  private def duckKmeansCtes(c: Int, iters: Int): String = {
     val sb = new StringBuilder(
       s"WITH c0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv FROM embeddings WHERE vec_id < $c)")
     for (t <- 0 until iters) {
@@ -95,11 +95,27 @@ object SparkEntry {
         n${t + 1} AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM m${t + 1} GROUP BY cell),
         c${t + 1} AS (SELECT c$t.cid, coalesce(n${t + 1}.cv, c$t.cv) AS cv FROM c$t LEFT JOIN n${t + 1} USING (cid))"""
     }
-    sb ++= s"""
-      SELECT e.vec_id, cid AS cell FROM embeddings e, c$iters c
-      QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), cid) = 1"""
     sb.toString
   }
+
+  private def duckKmeansAssign(c: Int, iters: Int): String =
+    s"""${duckKmeansCtes(c, iters)}
+      SELECT e.vec_id, cid AS cell FROM embeddings e, c$iters c
+      QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), cid) = 1"""
+
+  /** Refined-centroid IVF probe (mirrors Ivf.topKWith ∘ Ivf.kmeans). */
+  private def duckKmeansTopK(c: Int, iters: Int, k: Int, nprobe: Int): String =
+    s"""${duckKmeansCtes(c, iters)},
+      q AS (SELECT query_vec FROM $duckQueryVec),
+      probed AS (SELECT cid FROM c$iters, q ORDER BY list_distance(cv, q.query_vec), cid LIMIT $nprobe),
+      assigned AS (SELECT e.vec_id, cid AS cell FROM embeddings e, c$iters c
+                   QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), cid) = 1)
+      SELECT e.vec_id, round(list_distance(e.embedding::DOUBLE[], q.query_vec), 6) AS dist
+      FROM embeddings e
+      JOIN assigned a ON e.vec_id = a.vec_id
+      JOIN q ON true
+      WHERE a.cell IN (SELECT cid FROM probed)
+      ORDER BY dist, e.vec_id LIMIT $k"""
 
   /** Generated oracle for the vector-LSH pair pipeline — literal ±1
     * hyperplanes from the SAME [[VectorLsh.signs]] constants the Spark
@@ -223,6 +239,10 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Ivf.assignWith(emb, Ivf.kmeans(emb, 8, 2))
     }),
+    "q_ivf_kmeans_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ivf.topKWith(emb, Ivf.kmeans(emb, 8, 2), queryVecOf(emb, 0), 10, nprobe = 2)
+    }),
     "q_ivf_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Ivf.topK(emb, queryVecOf(emb, 0), 10, c = 16, nprobe = 2)
@@ -301,6 +321,13 @@ object SparkEntry {
     "q_price_quantiles_approx" -> ((s, dir) => Relational.priceQuantilesApprox(Tables.lineitem(s, dir))),
     "q_tpch_local_supp" -> ((s, dir) => Relational.localSupplierRevenue(s, dir)),
     "q_tpch_returned" -> ((s, dir) => Relational.returnedItemRevenue(s, dir)),
+    // Salted two-phase aggregation surfaced through the driver gate:
+    // exact by construction (decimal partials), so the oracle is the
+    // PLAIN grouped sum — the salting must be invisible in the result.
+    "q_skew_salted" -> ((s, dir) =>
+      graft.functions.Skew.saltedSumCount(Tables.lineitem(s, dir),
+        Seq("l_returnflag"), col("l_extendedprice"),
+        concat_ws("_", col("l_orderkey"), col("l_linenumber")))),
     "q_except_customers" -> ((s, dir) => Relational.openNotFulfilled(s, dir)),
     "q_revenue_nation" -> ((s, dir) => Relational.revenueByNation(s, dir)),
     "q_orders_priority" -> ((s, dir) => Relational.ordersByPriority(Tables.orders(s, dir))),
@@ -450,6 +477,11 @@ object SparkEntry {
     "q_embedding_neardups_blocked" -> duckNearDups,
     "q_ivf_kmeans_assign" -> duckKmeansAssign(8, 2),
     "q_vector_lsh_pairs" -> duckLshPairs(64, 0.4),
+    "q_ivf_kmeans_topk" -> duckKmeansTopK(8, 2, 10, 2),
+    "q_skew_salted" ->
+      s"""SELECT l_returnflag, ${duckDsum("l_extendedprice")} AS sum_value,
+                 count(*) AS n_rows
+          FROM lineitem GROUP BY l_returnflag""",
 
     "q_multimodal_meta" ->
       """WITH a AS (SELECT doc_id AS asset_id,

@@ -155,8 +155,16 @@ object Ivf {
     * (single row).
     */
   def topK(embeddings: DataFrame, queries: DataFrame, k: Int, c: Int, nprobe: Int,
-           roundTo: Int = 6): DataFrame = {
-    val probed = centroids(embeddings, c)
+           roundTo: Int = 6): DataFrame =
+    topKWith(embeddings, centroids(embeddings, c), queries, k, nprobe, roundTo)
+
+  /** [[topK]] with an explicit centroid table — the entry point for
+    * k-means-refined probing ([[kmeans]] cents): tighter cells put more
+    * of each query's true neighbors inside the probed fraction.
+    */
+  def topKWith(embeddings: DataFrame, cents: DataFrame, queries: DataFrame,
+               k: Int, nprobe: Int, roundTo: Int = 6): DataFrame = {
+    val probed = cents
       .crossJoin(broadcast(queries))
       .select(col("centroid_id"),
         l2Distance(col("centroid_vec"), col("query_vec")).as("qdist"))
@@ -164,7 +172,7 @@ object Ivf {
       .limit(nprobe)
       .select(col("centroid_id").as("cell"))
     embeddings
-      .join(assign(embeddings, c), Seq("vec_id"))
+      .join(assignWith(embeddings, cents), Seq("vec_id"))
       .join(broadcast(probed), Seq("cell")) // semi-join shaped cell filter
       .crossJoin(broadcast(queries))
       .select(col("vec_id"),
