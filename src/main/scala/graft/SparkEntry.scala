@@ -144,6 +144,19 @@ object SparkEntry {
        SELECT * FROM scored WHERE cos_sim >= $threshold"""
   }
 
+  /** Exact n-gram Jaccard pairs — also the pair CTE of the transitive
+    * clustering oracle.
+    */
+  private lazy val duckJaccardPairs: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        shing AS (SELECT doc_id, $duckShingles AS sh FROM toks WHERE len(t) >= 3),
+        shd AS (SELECT doc_id, $duckHashedShingleSet AS sh FROM shing),
+        scored AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+            round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+          FROM shd a JOIN shd b ON a.doc_id < b.doc_id)
+        SELECT * FROM scored WHERE jaccard >= 0.5"""
+
   /** Brute-force cosine near-dup pairs — the oracle for BOTH the n²
     * form and the cell-blocked scale path (which must lose no pairs).
     */
@@ -266,6 +279,13 @@ object SparkEntry {
           concat_ws("_", transform(col("sig"), _.cast("string"))).as("sig"))),
     "q_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(Tables.documents(s, dir), 0.5)),
     "q_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairsExact(Tables.documents(s, dir), 0.5)),
+    // Transitive closure of the near-dup relation: every doc labeled
+    // with its duplicate-cluster representative (min reachable id) —
+    // the keep-one-per-cluster step; oracle = recursive CTE.
+    "q_neardup_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.nearDupClusters(docs, Dedup.jaccardPairsExact(docs, 0.5))
+    }),
     "q_simhash" -> ((s, dir) => Dedup.simhashes(Tables.documents(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), 3)),
     "q_embedding_neardups" -> ((s, dir) => Dedup.embeddingNearDups(Tables.embeddings(s, dir), 0.4)),
@@ -329,6 +349,7 @@ object SparkEntry {
         Seq("l_returnflag"), col("l_extendedprice"),
         concat_ws("_", col("l_orderkey"), col("l_linenumber")))),
     "q_except_customers" -> ((s, dir) => Relational.openNotFulfilled(s, dir)),
+    "q_customers_no_orders" -> ((s, dir) => Relational.customersWithoutOrders(s, dir)),
     "q_revenue_nation" -> ((s, dir) => Relational.revenueByNation(s, dir)),
     "q_orders_priority" -> ((s, dir) => Relational.ordersByPriority(Tables.orders(s, dir))),
     "q_revenue_brand" -> ((s, dir) => Relational.revenueByBrand(s, dir)),
@@ -457,15 +478,15 @@ object SparkEntry {
             FROM cand JOIN shd a ON cand.id1 = a.doc_id JOIN shd b ON cand.id2 = b.doc_id)
           SELECT * FROM scored WHERE jaccard >= 0.5"""
     },
-    "q_jaccard_pairs" ->
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-          shing AS (SELECT doc_id, $duckShingles AS sh FROM toks WHERE len(t) >= 3),
-          shd AS (SELECT doc_id, $duckHashedShingleSet AS sh FROM shing),
-          scored AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
-              round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
-            FROM shd a JOIN shd b ON a.doc_id < b.doc_id)
-          SELECT * FROM scored WHERE jaccard >= 0.5""",
+    "q_jaccard_pairs" -> duckJaccardPairs,
+    "q_neardup_clusters" ->
+      s"""WITH RECURSIVE pairsq AS ($duckJaccardPairs),
+          edges AS (SELECT id1 AS u, id2 AS v FROM pairsq UNION ALL SELECT id2, id1 FROM pairsq),
+          reach(u, v) AS (SELECT u, v FROM edges
+                          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+          comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u)
+          SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""",
     "q_simhash" -> duckSimhashSql,
     "q_simhash_pairs" ->
       s"""WITH sh AS ($duckSimhashSql)
@@ -561,6 +582,11 @@ object SparkEntry {
          SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
          EXCEPT
          SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'""",
+    "q_customers_no_orders" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00')""",
     "q_shipping_priority" ->
       s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
                  ${duckDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue

@@ -194,6 +194,54 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Transitive near-dup clusters: connected components over the
+    * near-dup pair graph, labeled by the minimum doc_id of each
+    * component — the "keep one representative per duplicate cluster"
+    * step of a dedup pipeline (pairs alone under-delete: a~b, b~c must
+    * collapse to ONE kept doc even when a~c is below threshold).
+    *
+    * Algorithm: iterative min-label propagation (the standard
+    * large-scale connected-components formulation): every vertex
+    * repeatedly adopts the smallest label among itself and its
+    * neighbors until a fixpoint. Each round is one equi-join + one
+    * aggregation keyed on doc id (both shuffle on the id — scales out);
+    * rounds needed = graph diameter, and near-dup components are
+    * shallow in practice. The driver-side loop checks only a changed-
+    * row COUNT per round — no data is ever collected.
+    *
+    * Input `pairs` must be `(id1, id2, ...)` with id1 < id2; `allDocs`
+    * supplies the vertex set so isolated documents come out as their
+    * own singleton cluster. Output: `(doc_id, cluster_id)` for every
+    * document.
+    */
+  def nearDupClusters(allDocs: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id1").as("u"), col("id2").as("v"))
+      .union(pairs.select(col("id2").as("u"), col("id1").as("v")))
+    var labels = allDocs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("v"), col("cluster_id").as("nl")), Seq("v"))
+        .groupBy(col("u").as("doc_id"))
+        .agg(min("nl").as("nmin"))
+      val next = labels
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next
+        .join(labels.select(col("doc_id"), col("cluster_id").as("prev")), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("prev"))
+        .count()
+      labels.unpersist() // previous round's cache (no-op on round 0's plain DF)
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   // ---- SimHash ----
 
   val simhashBits = 32

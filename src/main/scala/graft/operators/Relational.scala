@@ -262,6 +262,20 @@ object Relational {
         count(lit(1)).as("n_items"),
         dsumRounded(col("l_quantity")).as("sum_qty"))
 
+  /** Customers with no orders inside a date window — LEFT ANTI join
+    * (the NOT EXISTS shape; the order-date filter pushes into the
+    * anti-join's build side scan).
+    */
+  def customersWithoutOrders(spark: SparkSession, dir: String,
+                             from: String = "1996-01-01", until: String = "1996-04-01"): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(from).cast("date")
+        && col("o_orderdate") < lit(until).cast("date"))
+      .select("o_custkey")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+  }
+
   /** Set-op pipeline: customers ∩ open-order buyers ∖ F-status buyers —
     * exercises INTERSECT/EXCEPT (both plan as aggregated semi/anti
     * joins; no counterpart at all in the reference).

@@ -73,6 +73,27 @@ class TextDedupSpec extends AnyFunSuite {
     assert(Dedup.jaccardPairsExact(docs, 0.0001, maxDf = 1).collect().isEmpty)
   }
 
+  test("nearDupClusters: transitive chain collapses to one min-labeled cluster") {
+    // a(1)~b(2), b(2)~c(3) but 1 and 3 NOT directly paired — transitive
+    // closure must still put all three in cluster 1; 4 and 5 stay
+    // singletons (doc 4 shares no shingles, doc 5 is too short)
+    val chain = Seq(
+      (1L, "w x y z q r s t"),
+      (2L, "w x y z q r s DIFF"),
+      (3L, "DIFF2 x y z q r s DIFF"),
+      (4L, "totally different text with nothing shared here at all"),
+      (5L, "too short"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairsExact(chain, 0.6)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)) && got.contains((2L, 3L)) && !got.contains((1L, 3L)),
+      s"fixture should form an open chain, got $got")
+    val clusters = Dedup.nearDupClusters(chain, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) === 1L && clusters(2L) === 1L && clusters(3L) === 1L)
+    assert(clusters(4L) === 4L && clusters(5L) === 5L)
+  }
+
   test("langId predicts by stopword argmax with declaration-order ties") {
     val out = TextAnalysis.langId(docs).select("doc_id", "lang_pred").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
