@@ -215,8 +215,14 @@ object Dedup {
     * document.
     */
   def nearDupClusters(allDocs: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // The edge list is consumed once per round — persist it so the
+    // (possibly expensive) pair-generation pipeline upstream runs
+    // exactly once; released before returning. The returned labels
+    // remain persisted (they were materialized for the convergence
+    // check) — callers running many corpora should unpersist them.
     val edges = pairs.select(col("id1").as("u"), col("id2").as("v"))
       .union(pairs.select(col("id2").as("u"), col("id1").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = allDocs.select(col("doc_id"), col("doc_id").as("cluster_id"))
     var converged = false
     var i = 0
@@ -239,6 +245,7 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    edges.unpersist()
     labels
   }
 
