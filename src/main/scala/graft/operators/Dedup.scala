@@ -200,14 +200,15 @@ object Dedup {
     * step of a dedup pipeline (pairs alone under-delete: a~b, b~c must
     * collapse to ONE kept doc even when a~c is below threshold).
     *
-    * Algorithm: iterative min-label propagation (the standard
-    * large-scale connected-components formulation): every vertex
-    * repeatedly adopts the smallest label among itself and its
-    * neighbors until a fixpoint. Each round is one equi-join + one
-    * aggregation keyed on doc id (both shuffle on the id — scales out);
-    * rounds needed = graph diameter, and near-dup components are
-    * shallow in practice. The driver-side loop checks only a changed-
-    * row COUNT per round — no data is ever collected.
+    * Algorithm: iterative min-label propagation with POINTER JUMPING:
+    * each round every vertex adopts the smallest label among itself
+    * and its neighbors (one equi-join + one aggregation keyed on doc
+    * id — scales out), then follows its label one hop (label := label
+    * of label), which halves the remaining path length — convergence
+    * in O(log diameter) rounds instead of O(diameter), and each round
+    * costs a driver round-trip, so the log matters. The driver-side
+    * loop checks only a changed-row COUNT per round — no data is ever
+    * collected.
     *
     * Input `pairs` must be `(id1, id2, ...)` with id1 < id2; `allDocs`
     * supplies the vertex set so isolated documents come out as their
@@ -231,10 +232,17 @@ object Dedup {
         .join(labels.select(col("doc_id").as("v"), col("cluster_id").as("nl")), Seq("v"))
         .groupBy(col("u").as("doc_id"))
         .agg(min("nl").as("nmin"))
-      val next = labels
+      val prop = labels
         .join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+      // pointer jump: label := label(label). Labels only ever shrink
+      // toward the component min and every label is itself a doc id,
+      // so the inner self-join is total and jump ≤ current label.
+      val next = prop
+        .join(prop.select(col("doc_id").as("cluster_id"), col("cluster_id").as("jump")),
+          Seq("cluster_id"))
+        .select(col("doc_id"), col("jump").as("cluster_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val changed = next
         .join(labels.select(col("doc_id"), col("cluster_id").as("prev")), Seq("doc_id"))
