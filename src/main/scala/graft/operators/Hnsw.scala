@@ -209,15 +209,27 @@ object Hnsw {
     * id mod P (not hashpartitioning of the JVM), insert order = id order
     * within each partition.
     */
-  def buildEdges(embeddings: DataFrame, p: Params): DataFrame = {
-    val spark = embeddings.sparkSession
+  def buildEdges(embeddings: DataFrame, p: Params): DataFrame =
+    buildEdgesBy(embeddings
+      .select(col("vec_id"), col("embedding"), levelColumn(p).as("level"),
+        pmod(col("vec_id"), lit(p.numPartitions)).cast("int").as("part")), p)
+
+  /** [[buildEdges]] over an EXPLICIT shard layout: `prepared(vec_id,
+    * embedding, level, part)` with any part assignment (hash shards,
+    * IVF cells, …). One independent graph per part value.
+    */
+  def buildEdgesBy(prepared0: DataFrame, p: Params): DataFrame = {
+    val spark = prepared0.sparkSession
     // no sortWithinPartitions: the per-part in-memory sort below is the
     // one that establishes insert order — a Tungsten sort here would be
     // paid and then discarded by the groupBy
-    val prepared = embeddings
-      .select(col("vec_id"), col("embedding"), levelColumn(p).as("level"),
-        pmod(col("vec_id"), lit(p.numPartitions)).cast("int").as("part"))
-      .repartition(p.numPartitions, col("part"))
+    // repartition on the part value (task count = shuffle.partitions;
+    // results don't depend on task placement — each task groups by the
+    // part VALUE below, so any part→task assignment builds identical
+    // graphs)
+    val prepared = prepared0
+      .select(col("vec_id"), col("embedding"), col("level"), col("part"))
+      .repartition(col("part"))
     val outSchema = StructType(Seq(
       StructField("part", IntegerType, nullable = false),
       StructField("src", LongType, nullable = false),
@@ -352,15 +364,82 @@ object Hnsw {
     */
   def searchWithIndex(nodes: DataFrame, edges: DataFrame, queries: DataFrame,
                       k: Int, p: Params): DataFrame = {
-    val spark = nodes.sparkSession
+    val recs = nodeRecs(nodes.select("vec_id", "embedding"), p).union(edgeRecs(edges))
+    searchCogrouped(recs, replicateAll(queries, p.numPartitions), k, p, rebuild = false)
+  }
+
+  /** Stored adjacency rows as tagged shard records. */
+  private def edgeRecs(edges: DataFrame): org.apache.spark.sql.Dataset[ShardRec] = {
+    val spark = edges.sparkSession
     import spark.implicits._
-    val edgeRecs = edges.select(
+    edges.select(
         col("part").cast("int").as("part"), lit(false).as("is_node"),
         col("src"), col("dst"), col("layer"),
         lit(Array.empty[Float]).as("embedding"))
       .as[ShardRec]
-    val recs = nodeRecs(nodes.select("vec_id", "embedding"), p).union(edgeRecs)
-    searchCogrouped(recs, replicateAll(queries, p.numPartitions), k, p, rebuild = false)
+  }
+
+  /** [[save]] if `dir` holds no index yet (keyed by the caller choosing
+    * a content-derived dir name), then the loaded `(nodes, edges)` pair.
+    * This is how a serving pipeline amortizes the build the way the
+    * reference does (its `Hnsw` object outlives every `FindNearest`,
+    * hnsw.cc:114-137): build once, serve many batches.
+    */
+  def ensureSaved(embeddings: DataFrame, p: Params, dir: String): (DataFrame, DataFrame) = {
+    val spark = embeddings.sparkSession
+    if (!indexExists(spark, dir)) save(embeddings, p, dir)
+    (spark.read.parquet(s"$dir/nodes"), spark.read.parquet(s"$dir/edges"))
+  }
+
+  private def indexExists(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/edges/_SUCCESS")
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+  }
+
+  // ------------------------------------------------------------------
+  // Incremental insert (reference Insert, hnsw.cc:147-215)
+  // ------------------------------------------------------------------
+
+  /** Incremental insert: route `newRows(vec_id, embedding)` to their
+    * hash shards, load ONLY the affected shards' stored graphs
+    * (O(edges) — no re-insertion of existing points), insert the new
+    * vectors through the normal beam-insert path, and re-emit those
+    * shards' edge sets. Unaffected shards pass through untouched, so
+    * appending a batch costs O(batch·ef + affected shard edges), not a
+    * full rebuild — the engine's analog of the reference's always-on
+    * incremental `Insert`. Returns the updated `(nodes, edges)`.
+    */
+  def insertInto(nodes: DataFrame, edges: DataFrame, newRows: DataFrame,
+                 p: Params): (DataFrame, DataFrame) = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val newNodes = newRows
+      .select(pmod(col("vec_id"), lit(p.numPartitions)).cast("int").as("part"),
+        col("vec_id"), levelColumn(p).as("level"), col("embedding"))
+      .as[(Int, Long, Int, Array[Float])]
+    // affected shard ids: O(P) ints to the driver — partition-filter
+    // formation, same legitimacy class as Ivf.topKPartitioned's probe
+    val affected = newNodes.select(col("part")).distinct().as[Int].collect().toSeq
+    val stored = nodeRecs(nodes.select("vec_id", "embedding"), p)
+      .union(edgeRecs(edges))
+      .filter(col("part").isin(affected: _*))
+    val rebuilt = stored.groupByKey(_._1).cogroup(newNodes.groupByKey(_._1)) {
+      (part, rs, fresh) =>
+        val arr = rs.toArray
+        val g = new LocalGraph(p)
+        val idxOf = new mutable.LongMap[Int]()
+        arr.filter(_._2).sortBy(_._3).foreach { r =>
+          idxOf(r._3) = g.size; g.loadNode(r._3, r._6, r._5)
+        }
+        arr.foreach { r => if (!r._2) g.loadEdge(idxOf(r._3), idxOf(r._4), r._5) }
+        fresh.toArray.sortBy(_._2).foreach { n => g.insert(n._2, n._4, n._3) }
+        g.edges.map { case (s, d, l) => (part, s, d, l) }
+    }.toDF("part", "src", "dst", "layer")
+    val outEdges = edges.filter(!col("part").isin(affected: _*)).unionByName(rebuilt)
+    val outNodes = nodes.select("vec_id", "embedding", "level")
+      .unionByName(newNodes.toDF("part", "vec_id", "level", "embedding")
+        .select("vec_id", "embedding", "level"))
+    (outNodes, outEdges)
   }
 
   /** ROUTED search over a semantically-sharded layout: shards are IVF

@@ -84,6 +84,8 @@ object Ivf {
     * never shuffled.
     */
   def kmeans(embeddings: DataFrame, c: Int, iters: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     var cents = centroids(embeddings, c)
     for (_ <- 0 until iters) {
       val means = embeddings
@@ -96,9 +98,21 @@ object Ivf {
         .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
           s => s.getField("m")).as("new_vec"))
         .select(col("cell").as("centroid_id"), col("new_vec"))
-      cents = cents.join(means, Seq("centroid_id"), "left")
+      val next = cents.join(means, Seq("centroid_id"), "left")
         .select(col("centroid_id"),
           coalesce(col("new_vec"), col("centroid_vec")).as("centroid_vec"))
+      // Materialize each iteration into a LOCAL relation: C·dim doubles
+      // on the driver (C ≤ a few hundred by construction — this is the
+      // legitimate small side of every IVF plan). Without this, iteration
+      // t+1 references iteration t's plan TWICE (assign + carry-forward
+      // join), so the Lloyd DAG re-executes ~2^t times per consumer —
+      // and every consumer action (searchRouted routes + assigns,
+      // topKWith probes + assigns) replays the whole chain. Collecting
+      // makes each iteration read the vector table exactly once and
+      // downstream consumers pay zero recompute. Doubles round-trip
+      // exactly, so the DuckDB oracle hash is unaffected.
+      cents = next.as[(Long, Seq[Double])].collect().toSeq
+        .toDF("centroid_id", "centroid_vec")
     }
     cents
   }
