@@ -26,16 +26,28 @@ object Bench {
       try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
     }
+    // Each query runs `runs` times and reports the MIN — machine
+    // contention (GC pauses, co-tenant CPU steal) only ever inflates a
+    // wall-clock sample, so the min is the closest observable to the
+    // code's true cost (round 3 shipped a single-sample artifact taken
+    // on a contended machine that misread a 25% speedup as a 4×
+    // regression). All samples are kept in the JSON for swing checks.
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      System.gc() // GC barrier: don't bill one query for its predecessors' garbage
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val samples = (1 to runs).map { _ =>
+        System.gc() // GC barrier: don't bill one query for its predecessors' garbage
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> samples
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val allRuns = results.map { case (k, v) => s"\"" + k + "\":" + v.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2.min).sum
     // Memory accounting (the reference SizeTest analog, hnsw.cc:435-483):
     // cached columnar bytes of the vector table and a built HNSW edges
     // table at this sf.
@@ -47,7 +59,7 @@ object Bench {
       val cachedBytes = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
       s""","mem":{"n_vectors":$nVec,"n_hnsw_edges":$nEdges,"cached_bytes":$cachedBytes}"""
     } catch { case _: Throwable => "" }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$mem}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","agg":"min","runs_per_query":$runs,"queries":$qs,"runs":$allRuns,"sf":"$sfDir"$mem}"""
     println(json)
     // Also write to a fixed file: stdout is interleaved with sbt [info]
     // noise and the driver failed to extract the line in round 1

@@ -117,6 +117,29 @@ object Ivf {
     cents
   }
 
+  // Driver-resident centroid memo: C·dim doubles per entry (the
+  // legitimately-small side of every IVF plan). The reference amortizes
+  // Lloyd for free by keeping its index object alive across queries;
+  // this is the engine's analog for DECLARED queries that each start
+  // from (sfDir, c, iters).
+  private val kmeansMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Array[(Long, Seq[Double])]]
+
+  /** [[kmeans]] memoized per `(key, c, iters)` — `key` must identify the
+    * input table (e.g. its directory). The memo holds the collected
+    * local relation [[kmeans]] already materializes, so a hit costs one
+    * local-relation rebuild and zero Spark jobs; values (and therefore
+    * every downstream oracle hash) are bit-identical to the uncached
+    * path.
+    */
+  def kmeansCached(embeddings: DataFrame, c: Int, iters: Int, key: String): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    kmeansMemo.getOrElseUpdate((key, c, iters),
+      kmeans(embeddings, c, iters).as[(Long, Seq[Double])].collect())
+      .toSeq.toDF("centroid_id", "centroid_vec")
+  }
+
   /** Materialize the cell layout: vectors written as Parquet
     * partitioned BY cell (`dir/cell=<k>/...`). This is the production
     * form of the index — a probe becomes a partition-pruned scan that

@@ -1,0 +1,64 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.Ivf
+
+/** Session-scoped registry of vector indexes, keyed by the DATA PATH of
+  * the table they cover — the engine's analog of a database's index
+  * catalog. [[IndexRewriteRule]] consults it to decide whether a naive
+  * exact-kNN plan over a scanned table can be served by the IVF probe
+  * instead (the reference has no planner at all — its only access path
+  * is the `Hnsw` object the caller explicitly holds, hnsw.cc:114-137;
+  * an engine must make the index reachable from the QUERY, not the call
+  * site).
+  *
+  * Registering an index declares an approximation budget: the rewrite
+  * probes `nprobe` of the index's C cells, which is exact when
+  * `nprobe >= C` and the standard IVF recall trade below that. Entries
+  * hold the collected centroid table (C·dim doubles — driver-resident
+  * by design, like every IVF plan's broadcast side) plus the path of
+  * the persisted `(vec_id, cell)` assignment table.
+  */
+object IndexCatalog {
+
+  final case class IvfIndex(
+      assignPath: String,
+      centroids: Seq[(Long, Seq[Double])],
+      nprobe: Int)
+
+  private val registry = TrieMap.empty[String, IvfIndex]
+
+  /** Scheme-insensitive canonical form ("file:/x/y" == "/x/y"). */
+  private def canon(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath.stripSuffix("/")
+
+  def register(dataPath: String, assignPath: String,
+               centroids: Seq[(Long, Seq[Double])], nprobe: Int): Unit =
+    registry(canon(dataPath)) = IvfIndex(assignPath, centroids, nprobe)
+
+  def lookup(dataPath: String): Option[IvfIndex] = registry.get(canon(dataPath))
+
+  def unregister(dataPath: String): Unit = registry.remove(canon(dataPath))
+
+  def clear(): Unit = registry.clear()
+
+  /** Build and register an IVF index over a parquet vector table:
+    * k-means centroids (deterministic Lloyd, [[Ivf.kmeans]]) and the
+    * persisted assignment table under `indexDir/assign`. After this,
+    * any naive top-k-by-l2 plan scanning `dataPath` is eligible for the
+    * probe rewrite.
+    */
+  def buildAndRegister(spark: SparkSession, dataPath: String,
+                       c: Int, iters: Int, nprobe: Int, indexDir: String): Unit = {
+    import spark.implicits._
+    val emb = spark.read.parquet(dataPath)
+    val cents = Ivf.kmeans(emb, c, iters)
+    val assignPath = s"$indexDir/assign"
+    Ivf.assignWith(emb, cents).write.mode("overwrite").parquet(assignPath)
+    register(dataPath, assignPath,
+      cents.as[(Long, Seq[Double])].collect().toSeq, nprobe)
+  }
+}

@@ -71,6 +71,68 @@ class HnswSpec extends AnyFunSuite {
     assert(fromIndex === rebuilt)
   }
 
+  test("incremental insert: recall on N+M, untouched shards, save-roundtrip (hnsw.cc:147-215)") {
+    val p4 = Hnsw.Params(numPartitions = 4)
+    val base = emb.filter(col("vec_id") < 150)
+    // 50 new ids, all ≡ 3 (mod 4): exactly ONE of the four hash shards
+    // is affected, so the pass-through contract is observable
+    val newIds = (0 until 50).map(i => 151L + 4L * i)
+    val fresh = newIds.map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(8)(rnd.nextFloat() * 100f))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("hnsw_incr").toString
+    val (nodes0, edges0) = Hnsw.ensureSaved(base, p4, dir)
+    val (nodes1, edges1) = Hnsw.insertInto(nodes0, edges0, fresh, p4)
+    val all = base.unionByName(fresh)
+
+    // (a) the updated index answers over N+M with recall@10 ≥ 0.95
+    // (perturbed self-queries over both old and freshly inserted ids)
+    val qs = all.filter(col("vec_id") < 10 || col("vec_id") >= 330)
+      .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+    val ann = Hnsw.searchWithIndex(nodes1, edges1, qs, 10, p4)
+    val recalls = Hnsw.recallOf(ann, all, qs, 10).collect().map(_.getDouble(1))
+    assert(recalls.length === 15)
+    val avgRecall = recalls.sum / recalls.length
+    assert(avgRecall >= 0.95, s"post-insert recall $avgRecall below floor")
+    // every new id must be findable (its perturbed self-query returns it)
+    val selfHits = ann.filter(col("query_id") >= 330 && col("query_id") === col("vec_id")).count()
+    assert(selfHits === 5, "inserted vectors must be reachable in their shard graph")
+
+    // (b) unaffected shards' edge rows pass through byte-identical
+    val before = edges0.filter(col("part") =!= 3).collect().map(_.toSeq).toSet
+    val after = edges1.filter(col("part") =!= 3).collect().map(_.toSeq).toSet
+    assert(after === before, "untouched shards must not be rewritten")
+    assert(edges1.filter(col("part") === 3 && col("src").isin(newIds: _*)).count() > 0,
+      "affected shard must link the new nodes")
+
+    // (c) flushing the updated pair through save's on-disk layout and
+    // reloading serves identical results (and identical edge sets)
+    val dir2 = java.nio.file.Files.createTempDirectory("hnsw_incr2").toString
+    Hnsw.saveIndex(nodes1, edges1, dir2)
+    val rn = spark.read.parquet(s"$dir2/nodes")
+    val re = spark.read.parquet(s"$dir2/edges")
+    val fromDisk = Hnsw.searchWithIndex(rn, re, qs, 10, p4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inMem = ann.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromDisk === inMem)
+    assert(re.select("part", "src", "dst", "layer").collect().map(_.toSeq).toSet
+      === edges1.select("part", "src", "dst", "layer").collect().map(_.toSeq).toSet)
+  }
+
+  test("persisted routed index serves identically to the rebuilt routed search") {
+    val dir = java.nio.file.Files.createTempDirectory("hnsw_routed").toString
+    val cents = Ivf.kmeans(emb, 8, 2)
+    Hnsw.saveRouted(emb, cents, params, dir, replication = 2)
+    val qs = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+    val served = Hnsw.searchRoutedWithIndex(spark, dir, qs, 10, params, nprobe = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val rebuilt = Hnsw.searchRouted(emb, qs, 10, params, cents, nprobe = 5, replication = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served === rebuilt)
+  }
+
   test("IVF partitioned layout: pruned probe matches in-memory probe") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_cells").toString
     Ivf.writePartitioned(emb, c = 8, dir)
