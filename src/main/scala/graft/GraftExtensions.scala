@@ -4,8 +4,13 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Sqrt}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions.{broadcast, col}
 
 import graft.functions.{DotProductExpr, L2DistanceSqExpr}
+import graft.functions.VectorFunctions.perturbQuery
+import graft.operators.{Dedup, Knn}
+import graft.sources.Tables
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * vector expressions as SQL functions, so `spark.sql("... l2_distance
@@ -17,10 +22,17 @@ import graft.functions.{DotProductExpr, L2DistanceSqExpr}
   * or call [[GraftExtensions.register]] on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    GraftExtensions.tableFunctions.foreach { case (ident, info, builder) =>
+      ext.injectTableFunction((ident, info, builder))
+    }
+    // Index-aware planning: naive exact-kNN plans over tables with a
+    // registered IVF index execute the probe instead (IndexRewriteRule).
+    ext.injectOptimizerRule(session => graft.plans.IndexRewriteRule(session))
+  }
 }
 
 object GraftExtensions {
@@ -41,9 +53,57 @@ object GraftExtensions {
     (FunctionIdentifier("dot_product"), info("dot_product"),
       binary("dot_product", DotProductExpr(_, _))))
 
+  /** Lift a DataFrame builder over literal arguments into a TVF plan
+    * builder: arguments must be foldable (the SQL-literal contract of a
+    * parameterized view), evaluated at resolution time.
+    */
+  private def tvf(name: String)(build: (SparkSession, Seq[Any]) => org.apache.spark.sql.DataFrame)
+      : Seq[Expression] => LogicalPlan = { args =>
+    require(args.forall(_.foldable), s"$name arguments must be literals")
+    val spark = SparkSession.active
+    build(spark, args.map(_.eval())).queryExecution.logical
+  }
+
+  private def asString(a: Any): String = a.toString // UTF8String included
+  private def asInt(a: Any): Int = a.asInstanceOf[Number].intValue()
+  private def asDouble(a: Any): Double = a match {
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case n: Number => n.doubleValue()
+  }
+
+  /** SQL-callable operator surface (SURVEY.md §4: the reference's only
+    * API is C++ method calls; this engine exposes DataFrame, scalar-SQL
+    * AND table-function surfaces). Each TVF mirrors a declared-query
+    * operator over the canonical tables at a data dir:
+    *
+    *  - `knn_topk(dir, k)`: exact top-k by L2 for the RgbTest protocol
+    *    query (perturbed vector of vec_id=0) over `dir/embeddings`.
+    *  - `minhash_pairs(dir, threshold)`: MinHash-LSH candidate pairs
+    *    with exact-Jaccard verification ≥ threshold over
+    *    `dir/documents`.
+    */
+  val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] = Seq(
+    (FunctionIdentifier("knn_topk"), info("knn_topk"),
+      tvf("knn_topk") { (spark, args) =>
+        require(args.length == 2, "knn_topk(dir, k)")
+        val emb = Tables.embeddings(spark, asString(args(0)))
+        val q = emb.filter(col("vec_id") === 0)
+          .select(perturbQuery(col("embedding")).as("query_vec"))
+        Knn.topK(emb.crossJoin(broadcast(q)), col("query_vec"), asInt(args(1)))
+      }),
+    (FunctionIdentifier("minhash_pairs"), info("minhash_pairs"),
+      tvf("minhash_pairs") { (spark, args) =>
+        require(args.length == 2, "minhash_pairs(dir, threshold)")
+        Dedup.minhashPairs(Tables.documents(spark, asString(args(0))), asDouble(args(1)))
+      }))
+
   /** Register on an already-created session (tests, notebooks). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (ident, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, inf, builder)
     }
+    tableFunctions.foreach { case (ident, inf, builder) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(ident, inf, builder)
+    }
+  }
 }

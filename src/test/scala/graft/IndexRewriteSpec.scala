@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions._
+import graft.operators.Ivf
+import graft.plans.{IndexCatalog, IndexRewriteRule}
+
+/** Index-aware planning (SURVEY.md §4 item 3): the NAIVE exact-kNN
+  * DataFrame shape — crossJoin + distance projection + orderBy + limit
+  * — must execute the IVF probe plan when the scanned table has a
+  * registered index, with no change to the user's code.
+  */
+class IndexRewriteSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val C = 8
+
+  // vector table persisted as parquet (registration is by data path)
+  private lazy val dataPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("idxrw").toString
+    (0L until 200L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(8)(rnd.nextFloat() * 100f))
+    }.toDF("vec_id", "embedding").write.parquet(s"$dir/emb.parquet")
+    s"$dir/emb.parquet"
+  }
+
+  private lazy val indexDir: String =
+    java.nio.file.Files.createTempDirectory("idxrw_index").toString
+
+  /** The naive user query: no index API in sight. */
+  private def naive(k: Int): DataFrame = {
+    val emb = spark.read.parquet(dataPath)
+    val q = emb.filter(col("vec_id") === 7)
+      .select(perturbQuery(col("embedding")).as("query_vec"))
+    emb.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(l2Distance(col("embedding"), col("query_vec")), 6).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
+
+  private def withRule[T](body: => T): T = {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ IndexRewriteRule(spark)
+    try body finally spark.experimental.extraOptimizations = prev
+  }
+
+  private def rows(df: DataFrame): Seq[(Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("registered index at nprobe = C: probe plan fires and results equal exact") {
+    IndexCatalog.buildAndRegister(spark, dataPath, c = C, iters = 2,
+      nprobe = C, indexDir)
+    val exact = rows(naive(10)) // rule not installed
+    withRule {
+      val df = naive(10)
+      val opt = df.queryExecution.optimizedPlan.toString
+      // the cell semi-join against the persisted assignment table + the
+      // nprobe membership filter are both in the plan
+      assert(opt.contains("cell#"), s"no assignment join in:\n$opt")
+      assert(opt.contains("CASE WHEN"), s"no probe filter in:\n$opt")
+      assert(rows(df) === exact, "nprobe = C must reproduce the exact result")
+    }
+    IndexCatalog.unregister(dataPath)
+  }
+
+  test("registered index at nprobe = 2: rewrite matches the explicit Ivf probe") {
+    IndexCatalog.buildAndRegister(spark, dataPath, c = C, iters = 2,
+      nprobe = 2, indexDir)
+    val emb = spark.read.parquet(dataPath)
+    val q = emb.filter(col("vec_id") === 7)
+      .select(perturbQuery(col("embedding")).as("query_vec"))
+    val explicitProbe = rows(
+      Ivf.topKWith(emb, Ivf.kmeans(emb, C, 2), q, 10, nprobe = 2))
+    withRule {
+      assert(rows(naive(10)) === explicitProbe,
+        "rewritten naive plan must equal the explicit IVF probe")
+    }
+    IndexCatalog.unregister(dataPath)
+  }
+
+  test("no registered index: plan is untouched") {
+    IndexCatalog.unregister(dataPath)
+    withRule {
+      val opt = naive(10).queryExecution.optimizedPlan.toString
+      assert(!opt.contains("cell#"), "rule must not fire without an index")
+      assert(rows(naive(10)) === rows(naive(10)))
+    }
+  }
+
+  test("descending sort (farthest-first) is NOT rewritten") {
+    IndexCatalog.buildAndRegister(spark, dataPath, c = C, iters = 2,
+      nprobe = 2, indexDir)
+    withRule {
+      val emb = spark.read.parquet(dataPath)
+      val q = emb.filter(col("vec_id") === 7)
+        .select(perturbQuery(col("embedding")).as("query_vec"))
+      val farthest = emb.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(l2Distance(col("embedding"), col("query_vec")), 6).as("dist"))
+        .orderBy(col("dist").desc, col("vec_id"))
+        .limit(10)
+      val opt = farthest.queryExecution.optimizedPlan.toString
+      assert(!opt.contains("cell#"),
+        "probe rewrite is only sound for nearest-first top-k")
+    }
+    IndexCatalog.unregister(dataPath)
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** The SQL-callable operator surface: table functions registered by
+  * [[GraftExtensions]] must return exactly what the Column API returns.
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("SQL TVF knn_topk(dir, k) matches the declared Column-API query") {
+    GraftExtensions.register(spark)
+    val fromSql = spark.sql(s"SELECT * FROM knn_topk('$sf', 10)")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fromApi = SparkEntry.queries("q_knn_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromSql === fromApi)
+    assert(fromSql.length === 10)
+  }
+
+  test("SQL TVF minhash_pairs(dir, threshold) matches the Column API") {
+    GraftExtensions.register(spark)
+    val fromSql = spark.sql(s"SELECT * FROM minhash_pairs('$sf', 0.5)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fromApi = Dedup.minhashPairs(Tables.documents(spark, sf), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromSql === fromApi)
+    assert(fromSql.nonEmpty)
+  }
+
+  test("TVFs compose with plain SQL (filter + order over the TVF result)") {
+    GraftExtensions.register(spark)
+    val top3 = spark.sql(
+      s"SELECT vec_id FROM knn_topk('$sf', 10) ORDER BY dist, vec_id LIMIT 3")
+      .collect().map(_.getLong(0)).toSeq
+    val all = spark.sql(s"SELECT * FROM knn_topk('$sf', 10) ORDER BY dist, vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(top3 === all.take(3))
+  }
+}
