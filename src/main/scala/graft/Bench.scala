@@ -32,7 +32,8 @@ object Bench {
     // code's true cost (round 3 shipped a single-sample artifact taken
     // on a contended machine that misread a 25% speedup as a 4×
     // regression). All samples are kept in the JSON for swing checks.
-    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    val runs = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption).getOrElse(3))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val samples = (1 to runs).map { _ =>
         System.gc() // GC barrier: don't bill one query for its predecessors' garbage

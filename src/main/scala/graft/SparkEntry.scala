@@ -33,13 +33,17 @@ object SparkEntry {
 
   /** Where the serving queries persist their index (build once, serve
     * every later batch — the reference keeps its `Hnsw` object alive,
-    * hnsw.cc:114-137). Keyed by (layout tag, data dir, params) so
-    * distinct scale factors / layouts never collide; `v4` versions the
-    * on-disk format. Override the root via `spark.graft.indexDir`.
+    * hnsw.cc:114-137). Keyed by (layout tag, data dir, params
+    * fingerprint) so distinct scale factors / layouts / Params never
+    * collide; `v5` versions the on-disk format. A stale-but-colliding
+    * dir is additionally caught at load by the content fingerprint in
+    * `Hnsw.ensureSaved*`. Override the root via `spark.graft.indexDir`.
     */
-  private def idxDir(s: SparkSession, sfDir: String, tag: String): String = {
+  private def idxDir(s: SparkSession, sfDir: String, tag: String,
+                     p: Hnsw.Params = Hnsw.Params()): String = {
     val base = s.conf.getOption("spark.graft.indexDir").getOrElse("target/graft_index")
-    s"$base/v4_${tag}_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val pKey = p.productIterator.mkString("-")
+    s"$base/v5_${tag}_${pKey}_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
   }
 
   // ---------------- DuckDB SQL fragments (mirror the Scala constants) --
@@ -231,11 +235,17 @@ object SparkEntry {
     // recall query. IVF is deterministic + declarative, so it IS oracled.
     "q_index_degree" -> ((s, dir) =>
       Hnsw.degreeStats(Hnsw.buildEdges(Tables.embeddings(s, dir), Hnsw.Params()))),
+    // Served from the persisted hash-sharded index (same dir as
+    // q_hnsw_throughput): per-batch cost is loading stored adjacency,
+    // never graph construction — identical results to searchTopK
+    // (HnswSpec roundtrip).
     "q_hnsw_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val qs = emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
-      Hnsw.searchTopK(emb, qs, 10, Hnsw.Params())
+      val p = Hnsw.Params()
+      val (nodes, edges) = Hnsw.ensureSaved(emb, p, idxDir(s, dir, "hash", p))
+      Hnsw.searchWithIndex(nodes, edges, qs, 10, p)
     }),
     // ANN throughput harness: every vector perturbed into a query, k=10
     // (the reference's q/s benchmark shape, hnsw.cc measured in
@@ -249,7 +259,7 @@ object SparkEntry {
       val qs = emb.select(col("vec_id").as("query_id"),
         perturbQuery(col("embedding")).as("query_vec"))
       val p = Hnsw.Params()
-      val (nodes, edges) = Hnsw.ensureSaved(emb, p, idxDir(s, dir, "hash"))
+      val (nodes, edges) = Hnsw.ensureSaved(emb, p, idxDir(s, dir, "hash", p))
       Hnsw.searchWithIndex(nodes, edges, qs, 10, p)
     }),
     // Recall harness exercises the ROUTED scale path: semantic shards
@@ -263,7 +273,7 @@ object SparkEntry {
       val qs = emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
       val p = Hnsw.Params()
-      val rdir = idxDir(s, dir, "routed")
+      val rdir = idxDir(s, dir, "routed", p)
       Hnsw.ensureSavedRouted(emb, Ivf.kmeansCached(emb, 8, 2, dir), p, rdir)
       val ann = Hnsw.searchRoutedWithIndex(s, rdir, qs, 10, p, nprobe = 5)
       Hnsw.recallOf(ann, emb, qs, 10)

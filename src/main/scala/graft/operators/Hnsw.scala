@@ -46,7 +46,11 @@ object Hnsw {
 
   /** Index parameters. `m`: out-degree target per insert; `maxM`: hard
     * degree cap after shrink; `efConstruction`/`efSearch`: beam widths;
-    * `maxLevel`: level clamp (hnsw.cc:124-126 semantics).
+    * `maxLevel`: level clamp (hnsw.cc:124-126 semantics);
+    * `maxShardRows`: fail-fast budget on rows per shard — a shard's
+    * vectors and adjacency must fit one task's heap (size it to
+    * executorHeap / (dim·4B·~3)), and crossing the budget raises a
+    * sizing error instead of an OOM mid-build.
     */
   case class Params(
       m: Int = 8,
@@ -54,7 +58,8 @@ object Hnsw {
       efConstruction: Int = 64,
       efSearch: Int = 64,
       maxLevel: Int = 4,
-      numPartitions: Int = 4)
+      numPartitions: Int = 4,
+      maxShardRows: Int = 2000000)
 
   // ------------------------------------------------------------------
   // In-partition graph (plain arrays; lives only inside a task)
@@ -241,7 +246,21 @@ object Hnsw {
       // the part column does not biject values onto task ids) — build
       // one independent graph per part so the shard layout is exactly
       // `vec_id % numPartitions` everywhere (build, search, reload).
-      rows.toArray.groupBy(_.getAs[Int]("part")).iterator.flatMap { case (part, group) =>
+      // Buffering is incremental so an oversized shard fails fast at the
+      // row that crosses `maxShardRows`, not with an OOM after
+      // materializing the rest.
+      val byPart = mutable.HashMap.empty[Int, mutable.ArrayBuffer[Row]]
+      rows.foreach { r =>
+        val part = r.getAs[Int]("part")
+        val buf = byPart.getOrElseUpdate(part, mutable.ArrayBuffer.empty[Row])
+        if (buf.length >= p.maxShardRows)
+          throw new IllegalStateException(
+            s"HNSW shard $part exceeds maxShardRows=${p.maxShardRows}: " +
+              "raise Params.numPartitions (or the budget) so each shard's " +
+              "vectors + adjacency fit one task's heap")
+        buf += r
+      }
+      byPart.iterator.flatMap { case (part, group) =>
         val g = new LocalGraph(p)
         group.sortBy(_.getAs[Long]("vec_id")).foreach { r =>
           g.insert(r.getAs[Long]("vec_id"), r.getAs[Seq[Float]]("embedding").toArray,
@@ -387,11 +406,55 @@ object Hnsw {
     */
   def ensureSaved(embeddings: DataFrame, p: Params, dir: String): (DataFrame, DataFrame) = {
     val spark = embeddings.sparkSession
-    if (!indexExists(spark, dir)) save(embeddings, p, dir)
+    val fp = fingerprint(embeddings, s"p=$p")
+    if (!indexValid(spark, dir, fp)) { save(embeddings, p, dir); writeFp(spark, dir, fp) }
     (spark.read.parquet(s"$dir/nodes"), spark.read.parquet(s"$dir/edges"))
   }
 
-  private def indexExists(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+  /** Order-independent content fingerprint of a vector table (row count
+    * + summed per-row CRC) combined with the build parameters. One
+    * narrow aggregate job over (vec_id, embedding). `ensureSaved*`
+    * validate it at load so a regenerated source table or changed
+    * Params rebuild the index instead of silently serving a stale one
+    * (an index dir under a fixed root outlives the data it was built
+    * from).
+    */
+  private[graft] def fingerprint(embeddings: DataFrame, extra: String): String = {
+    val r = embeddings.agg(
+      count(lit(1)),
+      sum(crc32(concat_ws(":", col("vec_id"),
+        concat_ws(",", col("embedding").cast("array<string>")))))).head()
+    s"n=${r.getLong(0)};h=${r.get(1)};$extra"
+  }
+
+  private def fpFile(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/_graft_fingerprint")
+
+  private def writeFp(spark: org.apache.spark.sql.SparkSession, dir: String, fp: String): Unit = {
+    val path = fpFile(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(fp.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readFp(spark: org.apache.spark.sql.SparkSession, dir: String): Option[String] = {
+    val path = fpFile(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else {
+      val in = fs.open(path)
+      try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+      finally in.close()
+    }
+  }
+
+  /** A persisted index is served only when its files exist AND its
+    * recorded fingerprint matches the current source data + params.
+    */
+  private def indexValid(spark: org.apache.spark.sql.SparkSession, dir: String,
+                         fp: String): Boolean =
+    indexExists(spark, dir) && readFp(spark, dir).contains(fp)
+
+  private[graft] def indexExists(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/edges/_SUCCESS")
     path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
   }
@@ -517,7 +580,16 @@ object Hnsw {
   def ensureSavedRouted(embeddings: DataFrame, cents: DataFrame, p: Params, dir: String,
                         replication: Int = 2): Unit = {
     val spark = embeddings.sparkSession
-    if (!indexExists(spark, dir)) saveRouted(embeddings, cents, p, dir, replication)
+    // centroid content rides in the fingerprint (tiny: C rows) so a
+    // re-trained routing table also invalidates the persisted shards
+    val cfp = cents.agg(
+      sum(crc32(concat_ws(":", col("centroid_id"),
+        concat_ws(",", col("centroid_vec").cast("array<string>")))))).head().get(0)
+    val fp = fingerprint(embeddings, s"p=$p;r=$replication;c=$cfp")
+    if (!indexValid(spark, dir, fp)) {
+      saveRouted(embeddings, cents, p, dir, replication)
+      writeFp(spark, dir, fp)
+    }
   }
 
   /** Serve a query batch from a PERSISTED routed index: queries route

@@ -31,9 +31,16 @@ object IndexCatalog {
 
   private val registry = TrieMap.empty[String, IvfIndex]
 
-  /** Scheme-insensitive canonical form ("file:/x/y" == "/x/y"). */
-  private def canon(p: String): String =
-    new org.apache.hadoop.fs.Path(p).toUri.getPath.stripSuffix("/")
+  /** Canonical form: authority + path — "file:/x/y", "/x/y" and
+    * "file:///x/y" coincide (no authority), while "s3://bucketA/x" and
+    * "s3://bucketB/x" stay distinct. Scheme is still dropped (hdfs vs
+    * s3 with the SAME authority+path would collide — not a layout any
+    * one deployment produces).
+    */
+  private def canon(p: String): String = {
+    val uri = new org.apache.hadoop.fs.Path(p).toUri
+    Option(uri.getAuthority).getOrElse("") + uri.getPath.stripSuffix("/")
+  }
 
   def register(dataPath: String, assignPath: String,
                centroids: Seq[(Long, Seq[Double])], nprobe: Int): Unit =

@@ -120,6 +120,33 @@ class HnswSpec extends AnyFunSuite {
       === edges1.select("part", "src", "dst", "layer").collect().map(_.toSeq).toSet)
   }
 
+  test("oversized shard fails fast with a sizing error, not an OOM") {
+    val tiny = Hnsw.Params(numPartitions = 2, maxShardRows = 10)
+    val e = intercept[Exception] { Hnsw.buildEdges(emb, tiny).collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("maxShardRows")),
+      s"expected shard-budget error, got: ${messages(e).mkString(" | ")}")
+  }
+
+  test("ensureSaved detects changed source data and rebuilds; unchanged data serves as-is") {
+    val dir = java.nio.file.Files.createTempDirectory("hnsw_fp").toString
+    val base = emb.filter(col("vec_id") < 100)
+    val (n0, _) = Hnsw.ensureSaved(base, params, dir)
+    assert(n0.count() === 100)
+    // same dir, same data → fingerprint match, no rewrite
+    def successMtime: Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/edges/_SUCCESS")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p).getModificationTime
+    }
+    val t0 = successMtime
+    Hnsw.ensureSaved(base, params, dir)
+    assert(successMtime === t0, "unchanged data must not trigger a rebuild")
+    // same dir, DIFFERENT data → fingerprint mismatch, rebuilt index
+    val (n1, _) = Hnsw.ensureSaved(emb, params, dir)
+    assert(n1.count() === 200, "regenerated source data must rebuild the index")
+  }
+
   test("persisted routed index serves identically to the rebuilt routed search") {
     val dir = java.nio.file.Files.createTempDirectory("hnsw_routed").toString
     val cents = Ivf.kmeans(emb, 8, 2)
