@@ -46,6 +46,15 @@ object SparkEntry {
     s"$base/v5_${tag}_${pKey}_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
   }
 
+  /** Cell-partitioned IVF layout dir (Ivf.writePartitioned), keyed like
+    * [[idxDir]]; staleness is caught by Ivf.ensurePartitioned's content
+    * fingerprint.
+    */
+  private def ivfCellsDir(s: SparkSession, sfDir: String, c: Int): String = {
+    val base = s.conf.getOption("spark.graft.indexDir").getOrElse("target/graft_index")
+    s"$base/v5_ivfcells${c}_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+  }
+
   // ---------------- DuckDB SQL fragments (mirror the Scala constants) --
 
   /** md5Int (Portable.md5Int) in DuckDB. */
@@ -183,6 +192,25 @@ object SparkEntry {
          FROM e a JOIN e b ON a.vec_id < b.vec_id)
        SELECT * FROM scored WHERE cos_sim >= 0.4"""
 
+  /** Seed-centroid IVF probe at c=16, nprobe=2, k=10 (mirrors Ivf.topK
+    * AND Ivf.topKPartitioned — same semantics, different physical plan).
+    */
+  private val duckIvfTopK: String =
+    s"""WITH cent AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                      FROM embeddings WHERE vec_id < 16),
+        q AS (SELECT query_vec FROM $duckQueryVec),
+        probed AS (SELECT cid FROM cent, q ORDER BY list_distance(cv, q.query_vec), cid LIMIT 2),
+        assigned AS (SELECT e.vec_id, cid AS cell
+                     FROM embeddings e, cent c
+                     QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), cid) = 1)
+        SELECT e.vec_id, round(list_distance(e.embedding::DOUBLE[], q.query_vec), 6) AS dist
+        FROM embeddings e
+        JOIN assigned a ON e.vec_id = a.vec_id
+        JOIN q ON true
+        WHERE a.cell IN (SELECT cid FROM probed)
+        ORDER BY dist, e.vec_id LIMIT 10"""
+
   /** events with ts truncated to µs TIMESTAMP (matches Spark's ntz µs). */
   private val duckEvents =
     "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
@@ -278,6 +306,25 @@ object SparkEntry {
       val ann = Hnsw.searchRoutedWithIndex(s, rdir, qs, 10, p, nprobe = 5)
       Hnsw.recallOf(ann, emb, qs, 10)
     }),
+    // Incremental-insert lifecycle made driver-visible (reference
+    // Insert, hnsw.cc:147-215): the last ~10% of ids play the daily
+    // append — base index built once, batch inserted through the
+    // beam-insert path touching only affected shards, flushed, SERVED;
+    // output is per-query recall@10 vs exact over the full (N+M) set
+    // for 10 old + 10 freshly-inserted self-queries. No oracle (ANN);
+    // the recall floor is pinned in HnswSpec.
+    "q_hnsw_insert_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val p = Hnsw.Params()
+      val n = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+      val cut = n - math.max(n / 10, 1)
+      val (nodes, edges) = Hnsw.ensureInsertedSaved(
+        emb.filter(col("vec_id") < cut), emb.filter(col("vec_id") >= cut), p,
+        idxDir(s, dir, "incrbase", p), idxDir(s, dir, "incr", p))
+      val qs = emb.filter(col("vec_id") < 10 || col("vec_id") >= n - 10)
+        .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+      Hnsw.recallOf(Hnsw.searchWithIndex(nodes, edges, qs, 10, p), emb, qs, 10)
+    }),
     "q_ivf_assign" -> ((s, dir) => Ivf.assign(Tables.embeddings(s, dir), 16)),
     "q_ivf_kmeans_assign" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -290,6 +337,16 @@ object SparkEntry {
     "q_ivf_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Ivf.topK(emb, queryVecOf(emb, 0), 10, c = 16, nprobe = 2)
+    }),
+    // The 100×-scale IVF serving form: vectors stored partitioned BY
+    // cell (written once per dir), so the probe is a partition-pruned
+    // scan reading ~nprobe/C of the files — same oracle as q_ivf_topk
+    // (identical semantics, different physical plan).
+    "q_ivf_partitioned_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pdir = ivfCellsDir(s, dir, 16)
+      Ivf.ensurePartitioned(emb, 16, pdir)
+      Ivf.topKPartitioned(s, pdir, queryVecOf(emb, 0), 10, nprobe = 2)
     }),
 
     // ---- text analysis ----
@@ -429,21 +486,10 @@ object SparkEntry {
          FROM embeddings e, cent c
          QUALIFY row_number() OVER (PARTITION BY vec_id
            ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), cid) = 1""",
-    "q_ivf_topk" ->
-      s"""WITH cent AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-                        FROM embeddings WHERE vec_id < 16),
-          q AS (SELECT query_vec FROM $duckQueryVec),
-          probed AS (SELECT cid FROM cent, q ORDER BY list_distance(cv, q.query_vec), cid LIMIT 2),
-          assigned AS (SELECT e.vec_id, cid AS cell
-                       FROM embeddings e, cent c
-                       QUALIFY row_number() OVER (PARTITION BY e.vec_id
-                         ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), cid) = 1)
-          SELECT e.vec_id, round(list_distance(e.embedding::DOUBLE[], q.query_vec), 6) AS dist
-          FROM embeddings e
-          JOIN assigned a ON e.vec_id = a.vec_id
-          JOIN q ON true
-          WHERE a.cell IN (SELECT cid FROM probed)
-          ORDER BY dist, e.vec_id LIMIT 10""",
+    "q_ivf_topk" -> duckIvfTopK,
+    // identical semantics to q_ivf_topk — only the Spark-side physical
+    // plan differs (partition-pruned scan vs in-place assignment)
+    "q_ivf_partitioned_topk" -> duckIvfTopK,
 
     "q_lang_id" -> {
       val scores = TextAnalysis.stopwords.map { case (l, ws) =>

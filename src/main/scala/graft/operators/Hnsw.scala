@@ -411,48 +411,24 @@ object Hnsw {
     (spark.read.parquet(s"$dir/nodes"), spark.read.parquet(s"$dir/edges"))
   }
 
-  /** Order-independent content fingerprint of a vector table (row count
-    * + summed per-row CRC) combined with the build parameters. One
-    * narrow aggregate job over (vec_id, embedding). `ensureSaved*`
-    * validate it at load so a regenerated source table or changed
-    * Params rebuild the index instead of silently serving a stale one
-    * (an index dir under a fixed root outlives the data it was built
-    * from).
+  /** Content fingerprint of the source table + params — see
+    * [[IndexMeta.fingerprint]]. `ensureSaved*` validate it at load so a
+    * regenerated source table or changed Params rebuild the index
+    * instead of silently serving a stale one (an index dir under a
+    * fixed root outlives the data it was built from).
     */
-  private[graft] def fingerprint(embeddings: DataFrame, extra: String): String = {
-    val r = embeddings.agg(
-      count(lit(1)),
-      sum(crc32(concat_ws(":", col("vec_id"),
-        concat_ws(",", col("embedding").cast("array<string>")))))).head()
-    s"n=${r.getLong(0)};h=${r.get(1)};$extra"
-  }
+  private[graft] def fingerprint(embeddings: DataFrame, extra: String): String =
+    IndexMeta.fingerprint(embeddings, extra)
 
-  private def fpFile(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/_graft_fingerprint")
-
-  private def writeFp(spark: org.apache.spark.sql.SparkSession, dir: String, fp: String): Unit = {
-    val path = fpFile(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(path, true)
-    try out.write(fp.getBytes("UTF-8")) finally out.close()
-  }
-
-  private def readFp(spark: org.apache.spark.sql.SparkSession, dir: String): Option[String] = {
-    val path = fpFile(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) None
-    else {
-      val in = fs.open(path)
-      try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
-      finally in.close()
-    }
-  }
+  private def writeFp(spark: org.apache.spark.sql.SparkSession, dir: String, fp: String): Unit =
+    IndexMeta.write(spark, dir, fp)
 
   /** A persisted index is served only when its files exist AND its
     * recorded fingerprint matches the current source data + params.
     */
   private def indexValid(spark: org.apache.spark.sql.SparkSession, dir: String,
                          fp: String): Boolean =
-    indexExists(spark, dir) && readFp(spark, dir).contains(fp)
+    IndexMeta.valid(spark, dir, "edges/_SUCCESS", fp)
 
   private[graft] def indexExists(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/edges/_SUCCESS")
@@ -608,6 +584,28 @@ object Hnsw {
       .union(edgeRecs(spark.read.parquet(s"$dir/edges")))
     val cents = spark.read.parquet(s"$dir/centroids")
     searchCogrouped(recs, routeQueries(queries, cents, nprobe), k, p, rebuild = false)
+  }
+
+  /** The full incremental-append serving cycle, amortized per dir: build
+    * (or reuse) the base index over `base`, [[insertInto]] the `fresh`
+    * batch, flush via [[saveIndex]], and serve from the flushed files —
+    * the daily-append shape of a training pipeline (reference `Insert`,
+    * hnsw.cc:147-215, as an on-disk lifecycle). Both steps are skipped
+    * when `dir` already holds an index whose fingerprint matches
+    * (base + fresh content + params); a changed batch re-runs only the
+    * insert against the persisted base.
+    */
+  def ensureInsertedSaved(base: DataFrame, fresh: DataFrame, p: Params,
+                          baseDir: String, dir: String): (DataFrame, DataFrame) = {
+    val spark = base.sparkSession
+    val fp = fingerprint(base.unionByName(fresh), s"p=$p;incr")
+    if (!indexValid(spark, dir, fp)) {
+      val (nodes0, edges0) = ensureSaved(base, p, baseDir)
+      val (nodes1, edges1) = insertInto(nodes0, edges0, fresh, p)
+      saveIndex(nodes1, edges1, dir)
+      writeFp(spark, dir, fp)
+    }
+    (spark.read.parquet(s"$dir/nodes"), spark.read.parquet(s"$dir/edges"))
   }
 
   /** Persist an ALREADY-MATERIALIZED hash-layout index pair in

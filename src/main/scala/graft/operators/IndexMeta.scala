@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared persisted-index metadata: an order-independent content
+  * fingerprint of the source vector table plus the build parameters,
+  * recorded next to the index files and validated at load. Catches the
+  * stale-index hazard of content-addressed dirs under a fixed root: if
+  * the data at a source path is regenerated (or build params change),
+  * every `ensure*` entry point rebuilds instead of silently serving the
+  * old index.
+  */
+private[graft] object IndexMeta {
+
+  /** Row count + summed per-row CRC over `(vec_id, embedding)` + the
+    * caller's parameter string. One narrow aggregate job; the sum makes
+    * it partition-order invariant.
+    */
+  def fingerprint(embeddings: DataFrame, extra: String): String = {
+    val r = embeddings.agg(
+      count(lit(1)),
+      sum(crc32(concat_ws(":", col("vec_id"),
+        concat_ws(",", col("embedding").cast("array<string>")))))).head()
+    s"n=${r.getLong(0)};h=${r.get(1)};$extra"
+  }
+
+  private def fpFile(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/_graft_fingerprint")
+
+  def write(spark: SparkSession, dir: String, fp: String): Unit = {
+    val path = fpFile(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(fp.getBytes("UTF-8")) finally out.close()
+  }
+
+  def read(spark: SparkSession, dir: String): Option[String] = {
+    val path = fpFile(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else {
+      val in = fs.open(path)
+      try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+      finally in.close()
+    }
+  }
+
+  /** An index is served only when `successRel` (a _SUCCESS marker
+    * relative to `dir`) exists AND the recorded fingerprint matches.
+    */
+  def valid(spark: SparkSession, dir: String, successRel: String, fp: String): Boolean = {
+    val succ = new org.apache.hadoop.fs.Path(s"$dir/$successRel")
+    val fs = succ.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(succ) && read(spark, dir).contains(fp)
+  }
+}

@@ -141,31 +141,44 @@ object Ivf {
   }
 
   /** Materialize the cell layout: vectors written as Parquet
-    * partitioned BY cell (`dir/cell=<k>/...`). This is the production
-    * form of the index — a probe becomes a partition-pruned scan that
-    * never opens unprobed cells' files.
+    * partitioned BY cell (`dir/cell=<k>/...`), plus the centroid table
+    * as a `_centroids` sidecar (underscore-prefixed → invisible to
+    * partition discovery). This is the production form of the index — a
+    * probe becomes a partition-pruned scan that never opens unprobed
+    * cells' files, and centroid recovery reads C sidecar rows instead
+    * of scanning the data.
     */
-  def writePartitioned(embeddings: DataFrame, c: Int, dir: String): Unit =
+  def writePartitioned(embeddings: DataFrame, c: Int, dir: String): Unit = {
     embeddings
       .join(assign(embeddings, c), Seq("vec_id"))
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    centroids(embeddings, c).write.mode("overwrite").parquet(s"$dir/_centroids")
+  }
+
+  /** [[writePartitioned]] once per dir, with the same content-
+    * fingerprint staleness check as `Hnsw.ensureSaved` — the
+    * amortization point for serving repeated probes from one layout.
+    */
+  def ensurePartitioned(embeddings: DataFrame, c: Int, dir: String): Unit = {
+    val spark = embeddings.sparkSession
+    val fp = IndexMeta.fingerprint(embeddings, s"ivf_c=$c")
+    if (!IndexMeta.valid(spark, dir, "_SUCCESS", fp)) {
+      writePartitioned(embeddings, c, dir)
+      IndexMeta.write(spark, dir, fp)
+    }
+  }
 
   /** Top-k over the partitioned layout for a SINGLE query row (same
     * contract as [[topK]]): the `cell IN probed` filter is a partition
-    * filter, so only nprobe/C of the files are read. Centroids are
-    * recovered by id (`vec_id < c`), NOT by `vec_id === cell` — a
-    * centroid whose vector duplicates an earlier centroid's is assigned
-    * to the earlier cell, and the self-cell filter would silently lose
-    * it.
+    * filter, so only nprobe/C of the files are read. Centroids come
+    * from the `_centroids` sidecar — the probe never touches unprobed
+    * data files at all.
     */
   def topKPartitioned(spark: org.apache.spark.sql.SparkSession, dir: String,
-                      queries: DataFrame, k: Int, c: Int, nprobe: Int,
+                      queries: DataFrame, k: Int, nprobe: Int,
                       roundTo: Int = 6): DataFrame = {
     val stored = spark.read.parquet(dir)
-    val cents = stored
-      .filter(col("vec_id") < c)
-      .select(col("vec_id").as("centroid_id"),
-        transform(col("embedding"), x => x.cast("double")).as("centroid_vec"))
+    val cents = spark.read.parquet(s"$dir/_centroids")
     // collect() here moves exactly `nprobe` cell IDS (a handful of
     // longs) to the driver — required to form the partition filter
     // below; the vector data itself never leaves the executors

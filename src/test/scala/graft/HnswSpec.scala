@@ -165,13 +165,13 @@ class HnswSpec extends AnyFunSuite {
     Ivf.writePartitioned(emb, c = 8, dir)
     val qs = emb.filter(col("vec_id") === 7)
       .select(perturbQuery(col("embedding")).as("query_vec"))
-    val fromDisk = Ivf.topKPartitioned(spark, dir, qs, 5, c = 8, nprobe = 2)
+    val fromDisk = Ivf.topKPartitioned(spark, dir, qs, 5, nprobe = 2)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val inMem = Ivf.topK(emb, qs, 5, c = 8, nprobe = 2)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(fromDisk === inMem)
     // the probe plan must carry a partition filter on cell
-    val plan = Ivf.topKPartitioned(spark, dir, qs, 5, c = 8, nprobe = 2)
+    val plan = Ivf.topKPartitioned(spark, dir, qs, 5, nprobe = 2)
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("cell"),
       "cell probe should be partition-pruned")
