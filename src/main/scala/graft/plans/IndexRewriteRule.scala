@@ -1,57 +1,76 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 import graft.functions.L2DistanceSqExpr
 
-/** Index-aware planning: rewrites the NAIVE exact-kNN plan shape
+/** Index-aware planning: rewrites the two NAIVE exact-kNN plan shapes
+  * over a table with a registered IVF index ([[IndexCatalog]]) into the
+  * IVF probe.
   *
+  * Shape 1 — single query (TakeOrderedAndProject form):
   * {{{
   *   GlobalLimit k
   *     LocalLimit k
   *       Sort [dist ASC, ...]
   *         Project [..., round(l2_distance(embedding, query_vec), _) AS dist]
   *           Join Cross/Inner (no condition)
-  *             <scan of a table with a registered IVF index>   -- vectors
-  *             <query-vector side>                             -- 1 row
+  *             <scan of indexed table>       -- vectors
+  *             <query-vector side>           -- 1 row
   * }}}
   *
-  * into the IVF probe over the registered index: the vector side gains
-  * an equi-join against the persisted `(vec_id, cell)` assignment table
-  * (the cell semi-join — broadcastable: 2 narrow columns), and a filter
-  * keeps only rows whose cell is among the query's `nprobe` nearest
-  * centroids (centroids are driver-resident literals, so the probe is
-  * a pure row-level expression — no extra shuffle, no subtree
-  * duplication). Everything above the join — projection, sort, limit —
-  * is preserved untouched, so output attributes and exprIds are
-  * unchanged and the rewrite composes with TakeOrderedAndProject.
+  * Shape 2 — query batch (per-query top-k window form, the
+  * `Knn.topKBatch` plan):
+  * {{{
+  *   Filter (rn <= k)
+  *     Window [row_number() over (partitionBy query_id orderBy dist ASC) AS rn]
+  *       [WindowGroupLimit]                  -- inserted by InferWindowGroupLimit
+  *         Project [..., l2-distance AS dist]
+  *           Join Cross/Inner (no condition)
+  * }}}
   *
-  * Scale shape: the naive plan computes |table| distances and feeds
-  * them all into the top-k; the rewritten plan computes distances for
-  * ~nprobe/C of the rows (the survivors of the cell filter), which is
-  * the IVF contract. With the assignment stored as a partition column
-  * ([[graft.operators.Ivf.writePartitioned]]) the same probe becomes a
-  * partition-pruned scan; this rule is the in-place form for tables
-  * whose layout the user does not control.
+  * In both shapes the vector side gains an equi-join against the
+  * persisted `(vec_id, cell)` assignment table, and only rows whose
+  * cell is among the query's `nprobe` nearest centroids survive.
+  * Centroids are driver-resident literals (C·dim doubles), so the probe
+  * set is computed AT PLAN TIME by executing the query side — small by
+  * the same contract that makes it the broadcast side — and lands in
+  * the plan as:
   *
-  * Correctness contract: registering an index ([[IndexCatalog]])
-  * declares the approximation budget — results are EXACT for
-  * `nprobe >= C` (spec-pinned) and standard IVF recall below that.
-  * The rule only fires on plans whose distance expression contains the
-  * engine's native [[L2DistanceSqExpr]] kernel (the Column API's
-  * `l2Distance` and the SQL `l2_distance` both lower to it), never on
-  * arbitrary user arithmetic.
+  *  - shape 1: `cell IN (<nprobe literals>)` — O(nprobe) membership per
+  *    row (partition-prunable when cell is a partition column), never
+  *    the O(C)-per-row distance rank;
+  *  - shape 2: an equi-join against a `(query_id, cell)` local relation
+  *    of Q·nprobe rows — hash semi-join, O(1) per scanned row.
+  *
+  * If the query side cannot be executed or is unexpectedly large, the
+  * rewrite falls back to a per-row membership predicate (the CASE rank
+  * over centroid distances — correct for any batch, O(C) per row).
+  * Everything above the join — projection, window, sort, limit — is
+  * preserved untouched, so output attributes and exprIds are unchanged
+  * and the rewrite composes with TakeOrderedAndProject.
+  *
+  * Correctness contract: registering an index declares the
+  * approximation budget — results are EXACT for `nprobe >= C`
+  * (spec-pinned) and standard IVF recall below that. The rule only
+  * fires on plans whose distance expression contains the engine's
+  * native [[L2DistanceSqExpr]] kernel (the Column API's `l2Distance`
+  * and the SQL `l2_distance` both lower to it), never on arbitrary
+  * user arithmetic.
   *
   * Wire up via `spark.experimental.extraOptimizations` or
   * `GraftExtensions` (`spark.sql.extensions`).
   */
-case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case gl @ GlobalLimit(glk,
@@ -60,7 +79,13 @@ case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         .map(r => GlobalLimit(glk,
           LocalLimit(llk, sort.copy(child = Project(projList, r)))))
         .getOrElse(gl)
+    case f @ Filter(cond, w: Window) =>
+      tryRewriteBatch(cond, w).map(r => f.copy(child = r)).getOrElse(f)
   }
+
+  // ------------------------------------------------------------------
+  // Shape 1: single-query Sort+Limit
+  // ------------------------------------------------------------------
 
   private def tryRewrite(orders: Seq[SortOrder], projList: Seq[NamedExpression],
                          join: Join): Option[LogicalPlan] = join match {
@@ -72,23 +97,98 @@ case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // primary sort key must be that distance, ascending (top-k-nearest)
         head <- orders.headOption
         if head.direction == Ascending && head.child.semanticEquals(distAlias.toAttribute)
-        l2 <- distAlias.child.collectFirst { case e: L2DistanceSqExpr => e }
-        attrs = l2.collect { case a: AttributeReference => a }
-        embAttr <- attrs.find(left.outputSet.contains)
-        qAttr <- attrs.find(right.outputSet.contains)
-        idAttr <- left.output.find(_.name == "vec_id")
-        path <- leafPath(left)
-        idx <- IndexCatalog.lookup(path)
-      } yield rewrite(join, left, idAttr, qAttr, idx)
+        (qAttr, idAttr, idx) <- indexedSides(distAlias.child, left, right)
+      } yield rewrite(join, left, idAttr, qAttr, idx, qidAttr = None)
     case _ => None
   }
 
+  // ------------------------------------------------------------------
+  // Shape 2: batch per-query top-k window
+  // ------------------------------------------------------------------
+
+  /** `Filter(rn <= k)` over `Window(row_number over (partitionBy qid
+    * orderBy dist))` over (optionally WindowGroupLimit over)
+    * `Project(join)`: rewrite the join underneath, preserving every
+    * node above it.
+    */
+  private def tryRewriteBatch(cond: Expression, w: Window): Option[LogicalPlan] = {
+    for {
+      rnAttr <- w.windowExpressions.collectFirst {
+        case a @ Alias(WindowExpression(_: RowNumber, _), _) => a.toAttribute
+      }
+      if splitConjunctivePredicates(cond).exists {
+        case LessThanOrEqual(e, _: Literal) => e.semanticEquals(rnAttr)
+        case LessThan(e, _: Literal) => e.semanticEquals(rnAttr)
+        case _ => false
+      }
+      // primary window order: the l2 distance, ascending
+      headOrder <- w.orderSpec.headOption
+      if headOrder.direction == Ascending
+      (projList, join, rebuildChild) <- childProjectJoin(w.child)
+      sides <- join match {
+        case Join(l, r, Cross | Inner, None, _) => Some((l, r))
+        case _ => None
+      }
+      (left, right) = sides
+      distAlias <- projList.collectFirst {
+        case a: Alias if a.child.exists(_.isInstanceOf[L2DistanceSqExpr]) => a
+      }
+      if headOrder.child.semanticEquals(distAlias.toAttribute) ||
+        headOrder.child.semanticEquals(distAlias.child)
+      // per-query ranking: every partition key must come from the query side
+      if w.partitionSpec.nonEmpty &&
+        w.partitionSpec.forall(_.references.subsetOf(right.outputSet))
+      qidAttr <- w.partitionSpec match {
+        case Seq(a: AttributeReference) => Some(a)
+        case _ => None
+      }
+      (qAttr, idAttr, idx) <- indexedSides(distAlias.child, left, right)
+    } yield w.copy(child =
+      rebuildChild(Project(projList, rewrite(join, left, idAttr, qAttr, idx, Some(qidAttr)))))
+  }
+
+  /** Unwraps `w.child` down to `Project(projList, join)`, tolerating an
+    * interposed [[WindowGroupLimit]] (inserted by InferWindowGroupLimit
+    * before user rules run). Returns the pieces plus a function that
+    * re-wraps a replacement Project subtree into the original chain.
+    */
+  private def childProjectJoin(child: LogicalPlan)
+      : Option[(Seq[NamedExpression], Join, LogicalPlan => LogicalPlan)] = child match {
+    case Project(projList, join: Join) =>
+      Some((projList, join, identity))
+    case wgl @ WindowGroupLimit(_, _, _, _, Project(projList, join: Join)) =>
+      Some((projList, join, (p: LogicalPlan) => wgl.copy(child = p)))
+    case _ => None
+  }
+
+  // ------------------------------------------------------------------
+  // Shared probe machinery
+  // ------------------------------------------------------------------
+
+  /** From the distance expression and join sides: the query-vector
+    * attribute (right), the vec_id attribute (left), and the registered
+    * index of the left scan.
+    */
+  private def indexedSides(distExpr: Expression, left: LogicalPlan, right: LogicalPlan)
+      : Option[(Attribute, Attribute, IndexCatalog.IvfIndex)] =
+    for {
+      l2 <- distExpr.collectFirst { case e: L2DistanceSqExpr => e }
+      attrs = l2.collect { case a: AttributeReference => a }
+      embAttr <- attrs.find(left.outputSet.contains)
+      qAttr <- attrs.find(right.outputSet.contains)
+      idAttr <- left.output.find(_.name == "vec_id")
+      path <- leafPath(left)
+      idx <- IndexCatalog.lookup(path)
+    } yield (qAttr, idAttr, idx)
+
   /** The probe rewrite: join the scan side with the assignment table on
-    * vec_id, then keep rows whose cell is in the query's nprobe nearest
-    * centroids.
+    * vec_id, then keep only rows whose cell is in their query's nprobe
+    * nearest centroids — as literal membership when the query side is
+    * executable at plan time, as a per-row predicate otherwise.
     */
   private def rewrite(join: Join, left: LogicalPlan, idAttr: Attribute,
-                      qAttr: Attribute, idx: IndexCatalog.IvfIndex): LogicalPlan = {
+                      qAttr: Attribute, idx: IndexCatalog.IvfIndex,
+                      qidAttr: Option[Attribute]): LogicalPlan = {
     val assignRel = spark.read.parquet(idx.assignPath).queryExecution.analyzed
     val aVecId = assignRel.output.find(_.name == "vec_id")
       .getOrElse(sys.error(s"assignment table ${idx.assignPath} lacks vec_id"))
@@ -96,19 +196,112 @@ case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       .getOrElse(sys.error(s"assignment table ${idx.assignPath} lacks cell"))
     val newLeft = Join(left, assignRel, Inner,
       Some(EqualTo(idAttr, aVecId)), JoinHint.NONE)
-    Filter(probeFilter(qAttr, aCell, idx), join.copy(left = newLeft))
+    val crossed = join.copy(left = newLeft)
+    qidAttr match {
+      case None => // single query: cell IN (<nprobe literals>)
+        singleQueryCells(join.right, qAttr, idx) match {
+          case Some(cells) =>
+            Filter(In(aCell, cells.map(typedLit(_, aCell.dataType))), crossed)
+          case None => Filter(probeFilter(qAttr, aCell, idx), crossed)
+        }
+      case Some(qid) => // batch: equi-join against the (query_id, cell) probe table
+        batchProbeRelation(join.right, qid, qAttr, idx, aCell.dataType) match {
+          case Some(rel) =>
+            val Seq(pQid, pCell) = rel.output
+            Join(crossed, rel, Inner,
+              Some(And(EqualTo(qid, pQid), EqualTo(aCell, pCell))), JoinHint.NONE)
+          case None => Filter(probeFilter(qAttr, aCell, idx), crossed)
+        }
+    }
+  }
+
+  /** Execute the (by contract tiny) single-row query side at plan time
+    * and rank centroids exactly as `Ivf.topKWith` does (sqrt-l2
+    * ascending, ties by centroid id). None unless exactly one row.
+    */
+  private def singleQueryCells(right: LogicalPlan, qAttr: Attribute,
+                               idx: IndexCatalog.IvfIndex): Option[Seq[Long]] =
+    executeQuerySide(Project(Seq(qAttr), right), maxRows = 2).flatMap { rows =>
+      if (rows.length != 1) None
+      else Some(probedCells(vecOf(rows.head.getArray(0), qAttr.dataType), idx))
+    }
+
+  /** Execute the batch query side and materialize its probe set as a
+    * `(query_id, cell)` local relation of Q·nprobe rows. None when the
+    * side is not executable or larger than the broadcast-side contract.
+    */
+  private def batchProbeRelation(right: LogicalPlan, qidAttr: Attribute, qAttr: Attribute,
+                                 idx: IndexCatalog.IvfIndex,
+                                 cellType: DataType): Option[LocalRelation] = {
+    // InternalRow below carries qid verbatim — only primitive-backed ids
+    if (!Seq[DataType](LongType, IntegerType).contains(qidAttr.dataType)) return None
+    executeQuerySide(Project(Seq(qidAttr, qAttr), right), maxRows = 100000).map { rows =>
+      val qidOut = AttributeReference("graft_probe_qid", qidAttr.dataType, nullable = false)()
+      val cellOut = AttributeReference("graft_probe_cell", cellType, nullable = false)()
+      val data = rows.flatMap { r =>
+        val qid = r.get(0, qidAttr.dataType)
+        probedCells(vecOf(r.getArray(1), qAttr.dataType), idx)
+          .map(c => InternalRow(qid, internalCell(c, cellType)))
+      }
+      LocalRelation(Seq(qidOut, cellOut), data)
+    }
+  }
+
+  /** Run a plan-time subquery (a fresh QueryExecution — the same
+    * nested-execution mechanism Spark itself uses for scalar
+    * subqueries). None if execution fails or the row cap is exceeded
+    * (contract violation → per-row predicate fallback).
+    */
+  private def executeQuerySide(plan: LogicalPlan, maxRows: Int): Option[Seq[InternalRow]] =
+    try {
+      val qe = new org.apache.spark.sql.execution.QueryExecution(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+        Limit(Literal(maxRows + 1), plan))
+      val rows = qe.executedPlan.executeCollect().toSeq
+      if (rows.length > maxRows) None else Some(rows)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def vecOf(a: ArrayData, dt: DataType): Array[Double] = dt match {
+    case ArrayType(DoubleType, _) => a.toDoubleArray()
+    case _ => a.toFloatArray().map(_.toDouble)
+  }
+
+  /** The query's nprobe nearest centroid ids, ranked exactly as
+    * `Ivf.topKWith`'s probe: sqrt of the in-order (a-b)² double fold
+    * (same IEEE ops as [[L2DistanceSqExpr]] + SQRT), ascending, ties by
+    * centroid id.
+    */
+  private def probedCells(q: Array[Double], idx: IndexCatalog.IvfIndex): Seq[Long] =
+    idx.centroids.map { case (cid, v) =>
+      var s = 0.0
+      var i = 0
+      val n = math.min(q.length, v.length)
+      while (i < n) { val d = q(i) - v(i); s += d * d; i += 1 }
+      (math.sqrt(s), cid)
+    }.sortBy(identity).take(idx.nprobe).map(_._2)
+
+  private def typedLit(cid: Long, dt: DataType): Literal = dt match {
+    case LongType => Literal(cid)
+    case IntegerType => Literal(cid.toInt)
+    case other => Literal.create(cid, other)
+  }
+
+  private def internalCell(cid: Long, dt: DataType): Any = dt match {
+    case LongType => cid
+    case IntegerType => cid.toInt
+    case other => sys.error(s"unsupported cell type $other")
   }
 
   /** `cell ∈ (query's nprobe nearest centroids)` as a row-level
-    * predicate over resolved Catalyst nodes only (an optimizer rule
-    * cannot emit unanalyzed function-API columns): the row's cell is in
-    * the probe set iff FEWER THAN nprobe centroids rank strictly ahead
-    * of it. Centroids are literals (C·dim doubles, driver-resident by
-    * the IVF contract); ranking uses SQUARED l2 (same order as l2 —
-    * sqrt is monotone) with ties broken by centroid id exactly as
+    * predicate over resolved Catalyst nodes only — the FALLBACK when
+    * the query side cannot be executed at plan time: the row's cell is
+    * in the probe set iff FEWER THAN nprobe centroids rank strictly
+    * ahead of it. Ranking uses SQUARED l2 (same order as l2 — sqrt is
+    * monotone) with ties broken by centroid id exactly as
     * [[graft.operators.Ivf.assignWith]] breaks them. ~2C fused
     * primitive-loop distance evals per row, all inside whole-stage
-    * codegen.
+    * codegen — fine at small C, which is why the executed probe-set
+    * forms above are preferred.
     */
   private def probeFilter(qAttr: Attribute, aCell: Attribute,
                           idx: IndexCatalog.IvfIndex): Expression = {

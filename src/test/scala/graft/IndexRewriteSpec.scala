@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.VectorFunctions._
-import graft.operators.Ivf
+import graft.operators.{Ivf, Knn}
 import graft.plans.{IndexCatalog, IndexRewriteRule}
 
 /** Index-aware planning (SURVEY.md §4 item 3): the NAIVE exact-kNN
@@ -61,10 +61,56 @@ class IndexRewriteSpec extends AnyFunSuite {
       val df = naive(10)
       val opt = df.queryExecution.optimizedPlan.toString
       // the cell semi-join against the persisted assignment table + the
-      // nprobe membership filter are both in the plan
+      // probed-cell literal membership are both in the plan; the
+      // O(C)-per-row CASE rank must NOT be (probe set is computed at
+      // plan time from the executed query side)
       assert(opt.contains("cell#"), s"no assignment join in:\n$opt")
-      assert(opt.contains("CASE WHEN"), s"no probe filter in:\n$opt")
+      assert(opt.contains(" IN ") || opt.contains("IN ("), s"no cell IN literal filter in:\n$opt")
+      assert(!opt.contains("CASE WHEN"), s"per-row CASE rank should be replaced by IN:\n$opt")
       assert(rows(df) === exact, "nprobe = C must reproduce the exact result")
+    }
+    IndexCatalog.unregister(dataPath)
+  }
+
+  test("batch top-k window shape: probe join fires and equals exact at nprobe = C") {
+    IndexCatalog.buildAndRegister(spark, dataPath, c = C, iters = 2,
+      nprobe = C, indexDir)
+    val emb = spark.read.parquet(dataPath)
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+    def naiveBatch = Knn.topKBatch(emb, qs, 10)
+    val exact = naiveBatch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    withRule {
+      val df = naiveBatch
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("graft_probe_qid"), s"no per-query probe join in:\n$opt")
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        === exact, "nprobe = C must reproduce the exact batch result")
+    }
+    IndexCatalog.unregister(dataPath)
+  }
+
+  test("batch shape at nprobe = 2 equals the explicit per-query IVF probe") {
+    IndexCatalog.buildAndRegister(spark, dataPath, c = C, iters = 2,
+      nprobe = 2, indexDir)
+    val emb = spark.read.parquet(dataPath)
+    val cents = Ivf.kmeans(emb, C, 2)
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+    // explicit probe, one query at a time
+    val explicitPerQuery = (0L until 5L).map { qid =>
+      val q = emb.filter(col("vec_id") === qid)
+        .select(perturbQuery(col("embedding")).as("query_vec"))
+      qid -> Ivf.topKWith(emb, cents, q, 10, nprobe = 2).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    }.toMap
+    withRule {
+      val got = Knn.topKBatch(emb, qs, 10).collect()
+        .groupBy(_.getLong(0))
+        .map { case (qid, rs) => qid -> rs.map(r => (r.getLong(1), r.getDouble(2))).toSet }
+      assert(got === explicitPerQuery,
+        "rewritten batch plan must equal the explicit per-query IVF probe")
     }
     IndexCatalog.unregister(dataPath)
   }
