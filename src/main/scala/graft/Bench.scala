@@ -49,16 +49,24 @@ object Bench {
     val allRuns = results.map { case (k, v) => s"\"" + k + "\":" + v.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
-    // Memory accounting (the reference SizeTest analog, hnsw.cc:435-483):
-    // cached columnar bytes of the vector table and a built HNSW edges
-    // table at this sf.
+    // Memory accounting — the reference SizeTest's STAGED report
+    // (hnsw.cc:435-483 prints RSS after vectors, after nodes, after
+    // links) mapped to columnar bytes: vectors alone, then the built
+    // HNSW edge set, each with bytes/row. The 1M-row allocation shape
+    // itself is covered by `AnnBench scale` (target/scale_smoke.json).
     val mem = try {
+      def cachedBytes = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
       val emb = sources.Tables.embeddings(spark, sfDir).cache()
       val nVec = emb.count()
+      val vecBytes = cachedBytes
       val edges = operators.Hnsw.buildEdges(emb, operators.Hnsw.Params()).cache()
       val nEdges = edges.count()
-      val cachedBytes = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
-      s""","mem":{"n_vectors":$nVec,"n_hnsw_edges":$nEdges,"cached_bytes":$cachedBytes}"""
+      val edgeBytes = cachedBytes - vecBytes
+      s""","mem":{"n_vectors":$nVec,"vector_bytes":$vecBytes,""" +
+        s""""bytes_per_vector":${if (nVec > 0) vecBytes / nVec else 0},""" +
+        s""""n_hnsw_edges":$nEdges,"hnsw_edge_bytes":$edgeBytes,""" +
+        s""""bytes_per_edge":${if (nEdges > 0) edgeBytes / nEdges else 0},""" +
+        s""""cached_bytes":${vecBytes + edgeBytes}}"""
     } catch { case _: Throwable => "" }
     val json = s"""{"metric":"total","value":$total,"unit":"sec","agg":"min","runs_per_query":$runs,"queries":$qs,"runs":$allRuns,"sf":"$sfDir"$mem}"""
     println(json)

@@ -406,7 +406,9 @@ object Hnsw {
     */
   def ensureSaved(embeddings: DataFrame, p: Params, dir: String): (DataFrame, DataFrame) = {
     val spark = embeddings.sparkSession
-    val fp = fingerprint(embeddings, s"p=$p")
+    val fp = IndexMeta.cachedFingerprint(dir, s"p=$p", Seq(embeddings)) {
+      fingerprint(embeddings, s"p=$p")
+    }
     if (!indexValid(spark, dir, fp)) { save(embeddings, p, dir); writeFp(spark, dir, fp) }
     (spark.read.parquet(s"$dir/nodes"), spark.read.parquet(s"$dir/edges"))
   }
@@ -556,12 +558,14 @@ object Hnsw {
   def ensureSavedRouted(embeddings: DataFrame, cents: DataFrame, p: Params, dir: String,
                         replication: Int = 2): Unit = {
     val spark = embeddings.sparkSession
-    // centroid content rides in the fingerprint (tiny: C rows) so a
-    // re-trained routing table also invalidates the persisted shards
-    val cfp = cents.agg(
-      sum(crc32(concat_ws(":", col("centroid_id"),
-        concat_ws(",", col("centroid_vec").cast("array<string>")))))).head().get(0)
-    val fp = fingerprint(embeddings, s"p=$p;r=$replication;c=$cfp")
+    val fp = IndexMeta.cachedFingerprint(dir, s"p=$p;r=$replication", Seq(embeddings, cents)) {
+      // centroid content rides in the fingerprint (tiny: C rows) so a
+      // re-trained routing table also invalidates the persisted shards
+      val cfp = cents.agg(
+        sum(crc32(concat_ws(":", col("centroid_id"),
+          concat_ws(",", col("centroid_vec").cast("array<string>")))))).head().get(0)
+      fingerprint(embeddings, s"p=$p;r=$replication;c=$cfp")
+    }
     if (!indexValid(spark, dir, fp)) {
       saveRouted(embeddings, cents, p, dir, replication)
       writeFp(spark, dir, fp)
@@ -598,7 +602,9 @@ object Hnsw {
   def ensureInsertedSaved(base: DataFrame, fresh: DataFrame, p: Params,
                           baseDir: String, dir: String): (DataFrame, DataFrame) = {
     val spark = base.sparkSession
-    val fp = fingerprint(base.unionByName(fresh), s"p=$p;incr")
+    val fp = IndexMeta.cachedFingerprint(dir, s"p=$p;incr", Seq(base, fresh)) {
+      fingerprint(base.unionByName(fresh), s"p=$p;incr")
+    }
     if (!indexValid(spark, dir, fp)) {
       val (nodes0, edges0) = ensureSaved(base, p, baseDir)
       val (nodes1, edges1) = insertInto(nodes0, edges0, fresh, p)

@@ -161,7 +161,9 @@ object Ivf {
     */
   def ensurePartitioned(embeddings: DataFrame, c: Int, dir: String): Unit = {
     val spark = embeddings.sparkSession
-    val fp = IndexMeta.fingerprint(embeddings, s"ivf_c=$c")
+    val fp = IndexMeta.cachedFingerprint(dir, s"ivf_c=$c", Seq(embeddings)) {
+      IndexMeta.fingerprint(embeddings, s"ivf_c=$c")
+    }
     if (!IndexMeta.valid(spark, dir, "_SUCCESS", fp)) {
       writePartitioned(embeddings, c, dir)
       IndexMeta.write(spark, dir, fp)

@@ -12,6 +12,14 @@ import graft.sources.Tables
   * counts and the routed path, with repeats — the signal Bench's
   * single-shot timing can't separate from run variance. Measurement
   * input for tuning `Hnsw.Params.numPartitions`.
+  *
+  * `runMain graft.tools.AnnBench scale` instead runs the SCALE SMOKE —
+  * the engine's analog of the reference's `SizeTest(1e6, 25, 64)`
+  * (hnsw.cc:485-488, BASELINE.md: ≈167 MB vector RSS, 5.6 s wall,
+  * ≈5,530 q/s at recall ≈0.30): build a persisted HNSW over 1M
+  * synthetic 25-dim vectors, serve a 10k-query batch from it, measure
+  * a recall sample against exact kNN, and report bytes/row + q/s as
+  * one JSON line (also written to target/scale_smoke.json).
   */
 object AnnBench {
   def main(args: Array[String]): Unit = {
@@ -23,6 +31,7 @@ object AnnBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.contains("scale")) { scaleSmoke(spark); spark.stop(); return }
     val emb = Tables.embeddings(spark, sfDir)
     val qs = emb.select(col("vec_id").as("query_id"),
       perturbQuery(col("embedding")).as("query_vec"))
@@ -47,5 +56,96 @@ object AnnBench {
         .write.format("noop").mode("overwrite").save()
     }
     spark.stop()
+  }
+
+  /** The 1M×25 build + served-search smoke (see object doc). Vectors
+    * are a deterministic hash function of (id, dim-index) in [0, 100) —
+    * the value range of the driver testdata — so runs are reproducible
+    * without an RNG or stored input.
+    */
+  private def scaleSmoke(spark: SparkSession): Unit = {
+    val n = sys.env.get("SPARK_GRAFT_SCALE_N").flatMap(_.toIntOption).getOrElse(1000000)
+    val dim = sys.env.get("SPARK_GRAFT_SCALE_DIM").flatMap(_.toIntOption).getOrElse(25)
+    val nQueries = math.min(10000, n)
+    val p = Hnsw.Params(numPartitions = 32)
+    val emb = spark.range(n).select(col("id").as("vec_id"),
+      array((0 until dim).map(i =>
+        (pmod(hash(col("id"), lit(i)), lit(100000)) / lit(1000.0)).cast("float")): _*)
+        .as("embedding"))
+      .cache()
+    emb.count() // materialize the cache before timing
+    val cachedVecBytes = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+
+    val dir = s"target/graft_scale_idx/n${n}_d$dim"
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(dirPath, true) // always time a FRESH build
+    val t0 = System.nanoTime()
+    Hnsw.save(emb, p, dir)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    val indexBytes = fs.getContentSummary(dirPath).getLength
+    val nodes = spark.read.parquet(s"$dir/nodes")
+    val edges = spark.read.parquet(s"$dir/edges")
+    val nEdges = edges.count()
+
+    val qs = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        graft.functions.VectorFunctions.perturbQuery(col("embedding")).as("query_vec"))
+      .cache()
+    qs.count()
+    // one warm-up serve (plan codegen), then the timed pass
+    Hnsw.searchWithIndex(nodes, edges, qs.limit(32), 10, p)
+      .write.format("noop").mode("overwrite").save()
+    val t1 = System.nanoTime()
+    Hnsw.searchWithIndex(nodes, edges, qs, 10, p)
+      .write.format("noop").mode("overwrite").save()
+    val serveSec = (System.nanoTime() - t1) / 1e9
+
+    // recall sample vs exact kNN (full-corpus brute force — keep small)
+    val sample = qs.filter(col("query_id") < 200)
+    val recall = Hnsw.recallOf(
+        Hnsw.searchWithIndex(nodes, edges, sample, 10, p), emb, sample, 10)
+      .agg(avg(col("recall"))).head().getDouble(0)
+
+    // ROUTED serving — the O(nprobe)-per-query scale path: 64 k-means
+    // cells, 2x boundary replication, 8 probes/query. This is the form
+    // that stays sublinear as shard count grows with data size; the
+    // exhaustive fan-out above is the recall ceiling / simplicity
+    // baseline.
+    val rdir = s"target/graft_scale_idx/routed_n${n}_d$dim"
+    fs.delete(new org.apache.hadoop.fs.Path(rdir), true)
+    val tR = System.nanoTime()
+    val cents = Ivf.kmeans(emb, 64, 2)
+    Hnsw.saveRouted(emb, cents, p, rdir, replication = 2)
+    val routedBuildSec = (System.nanoTime() - tR) / 1e9
+    val routedBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(rdir)).getLength
+    Hnsw.searchRoutedWithIndex(spark, rdir, qs.limit(32), 10, p, nprobe = 8)
+      .write.format("noop").mode("overwrite").save() // warm-up
+    val tR1 = System.nanoTime()
+    Hnsw.searchRoutedWithIndex(spark, rdir, qs, 10, p, nprobe = 8)
+      .write.format("noop").mode("overwrite").save()
+    val routedServeSec = (System.nanoTime() - tR1) / 1e9
+    val routedRecall = Hnsw.recallOf(
+        Hnsw.searchRoutedWithIndex(spark, rdir, sample, 10, p, nprobe = 8),
+        emb, sample, 10)
+      .agg(avg(col("recall"))).head().getDouble(0)
+
+    val json =
+      s"""{"scale_smoke":{"n":$n,"dim":$dim,"ef_search":${p.efSearch},"build_sec":${f"$buildSec%.2f"},""" +
+        s""""inserts_per_sec":${(n / buildSec).toInt},""" +
+        s""""index_bytes":$indexBytes,"index_bytes_per_row":${f"${indexBytes.toDouble / n}%.1f"},""" +
+        s""""cached_vector_bytes":$cachedVecBytes,""" +
+        s""""n_hnsw_edges":$nEdges,"query_batch":$nQueries,""" +
+        s""""serve_sec":${f"$serveSec%.2f"},"queries_per_sec":${(nQueries / serveSec).toInt},""" +
+        s""""recall_sample_queries":200,"recall_at_10":${f"$recall%.4f"},""" +
+        s""""routed":{"cells":64,"nprobe":8,"replication":2,""" +
+        s""""build_sec":${f"$routedBuildSec%.2f"},"index_bytes":$routedBytes,""" +
+        s""""serve_sec":${f"$routedServeSec%.2f"},""" +
+        s""""queries_per_sec":${(nQueries / routedServeSec).toInt},""" +
+        s""""recall_at_10":${f"$routedRecall%.4f"}},""" +
+        s""""reference":"SizeTest(1e6,25,64) hnsw.cc:485-488 -- 167MB vectors, 5.6s wall, 5530 q/s @ recall 0.30"}}"""
+    println(json)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("target/scale_smoke.json"), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[annbench] file write failed: ${e.getMessage}") }
   }
 }
