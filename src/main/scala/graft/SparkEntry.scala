@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Dedup, Events, Hnsw, Ivf, Knn, Multimodal, Relational, TextAnalysis, VectorLsh}
+import graft.operators.{AsofJoin, CorpusPipeline, Dedup, Events, Hnsw, Ivf, Knn, Multimodal, Relational, TextAnalysis, VectorLsh}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -46,13 +46,13 @@ object SparkEntry {
     s"$base/v5_${tag}_${pKey}_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
   }
 
-  /** Cell-partitioned IVF layout dir (Ivf.writePartitioned), keyed like
-    * [[idxDir]]; staleness is caught by Ivf.ensurePartitioned's content
-    * fingerprint.
+  /** Cell-partitioned IVF layout dir (Ivf.writePartitioned*), keyed
+    * like [[idxDir]]; staleness is caught by Ivf.ensurePartitioned*'s
+    * content fingerprint.
     */
-  private def ivfCellsDir(s: SparkSession, sfDir: String, c: Int): String = {
+  private def ivfCellsDir(s: SparkSession, sfDir: String, tag: String): String = {
     val base = s.conf.getOption("spark.graft.indexDir").getOrElse("target/graft_index")
-    s"$base/v5_ivfcells${c}_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    s"$base/v5_ivfcells_${tag}_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
   }
 
   // ---------------- DuckDB SQL fragments (mirror the Scala constants) --
@@ -344,8 +344,18 @@ object SparkEntry {
     // (identical semantics, different physical plan).
     "q_ivf_partitioned_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val pdir = ivfCellsDir(s, dir, 16)
+      val pdir = ivfCellsDir(s, dir, "c16")
       Ivf.ensurePartitioned(emb, 16, pdir)
+      Ivf.topKPartitioned(s, pdir, queryVecOf(emb, 0), 10, nprobe = 2)
+    }),
+    // Same scale shape for the K-MEANS-refined cells: the Lloyd
+    // centroids become the partition layout (written once per dir),
+    // so the refined probe is ALSO a partition-pruned scan with no
+    // per-query assignment pass — same oracle as q_ivf_kmeans_topk.
+    "q_ivf_kmeans_partitioned_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pdir = ivfCellsDir(s, dir, "km8i2")
+      Ivf.ensurePartitionedWith(emb, Ivf.kmeansCached(emb, 8, 2, dir), pdir, tag = "km8i2")
       Ivf.topKPartitioned(s, pdir, queryVecOf(emb, 0), 10, nprobe = 2)
     }),
 
@@ -377,6 +387,13 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Dedup.nearDupClusters(docs, Dedup.jaccardPairsExact(docs, 0.5, maxDf = 10000))
     }),
+    // End-to-end curation pipeline: lang filter → quality filter →
+    // exact dedup → near-dup cluster keep-one → per-source corpus
+    // stats, all ONE Catalyst DAG composed from the operators above
+    // (narrow filters prune before any pair-generating shuffle).
+    "q_corpus_pipeline" -> ((s, dir) =>
+      CorpusPipeline.curate(Tables.documents(s, dir), lang = "en",
+        minQuality = 0.4, jaccardThreshold = 0.5)),
     "q_simhash" -> ((s, dir) => Dedup.simhashes(Tables.documents(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), 3)),
     "q_embedding_neardups" -> ((s, dir) => Dedup.embeddingNearDups(Tables.embeddings(s, dir), 0.4)),
@@ -559,6 +576,49 @@ object SparkEntry {
           SELECT * FROM scored WHERE jaccard >= 0.5"""
     },
     "q_jaccard_pairs" -> duckJaccardPairs,
+    "q_corpus_pipeline" -> {
+      // same composition in SQL, stage for stage, from the SAME Scala
+      // constants (stopword lists, quality weights, shingle/hash defs)
+      val scores = TextAnalysis.stopwords.map { case (l, ws) =>
+        s"len(list_filter(t, w -> w IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS s_$l"
+      }.mkString(", ")
+      val langs = TextAnalysis.stopwords.map(_._1)
+      val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val cases = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+      s"""WITH RECURSIVE
+          toks AS (SELECT doc_id, source, text, n_chars, string_split(text, ' ') AS t
+                   FROM documents),
+          lp AS (SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
+                 FROM (SELECT doc_id, $scores FROM toks)),
+          qual AS (SELECT doc_id,
+              round(least(len(t) / 100.0, 1.0) * 0.5
+                + (CAST(len(list_filter(t, w -> w IN ($duckStopEn))) AS DOUBLE) / len(t)) * 0.3
+                + least(((CAST(n_chars AS DOUBLE) - (len(t) - 1.0)) / len(t)) / 8.0, 1.0) * 0.2,
+                6) AS quality
+            FROM toks),
+          kept1 AS (SELECT toks.* FROM toks
+                    JOIN lp USING (doc_id) JOIN qual USING (doc_id)
+                    WHERE lang_pred = 'en' AND quality >= 0.4),
+          kept2 AS (SELECT * FROM kept1
+                    QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+          shing AS (SELECT doc_id, $duckShingles AS sh FROM kept2 WHERE len(t) >= 3),
+          shd AS (SELECT doc_id, $duckHashedShingleSet AS sh FROM shing),
+          pairsq AS (SELECT * FROM (
+              SELECT a.doc_id AS id1, b.doc_id AS id2,
+                  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+                FROM shd a JOIN shd b ON a.doc_id < b.doc_id)
+              WHERE jaccard >= 0.5),
+          edges AS (SELECT id1 AS u, id2 AS v FROM pairsq
+                    UNION ALL SELECT id2, id1 FROM pairsq),
+          reach(u, v) AS (SELECT u, v FROM edges
+                          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+          comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+          kept3 AS (SELECT k.* FROM kept2 k LEFT JOIN comp c USING (doc_id)
+                    WHERE coalesce(c.cluster_id, k.doc_id) = k.doc_id)
+          SELECT source, count(*) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS n_tokens
+          FROM kept3 GROUP BY source"""
+    },
     "q_neardup_clusters" ->
       s"""WITH RECURSIVE pairsq AS ($duckJaccardPairs),
           edges AS (SELECT id1 AS u, id2 AS v FROM pairsq UNION ALL SELECT id2, id1 FROM pairsq),
@@ -579,6 +639,8 @@ object SparkEntry {
     "q_ivf_kmeans_assign" -> duckKmeansAssign(8, 2),
     "q_vector_lsh_pairs" -> duckLshPairs(64, 0.4),
     "q_ivf_kmeans_topk" -> duckKmeansTopK(8, 2, 10, 2),
+    // identical semantics, partition-pruned physical plan
+    "q_ivf_kmeans_partitioned_topk" -> duckKmeansTopK(8, 2, 10, 2),
     "q_skew_salted" ->
       s"""SELECT l_returnflag, ${duckDsum("l_extendedprice")} AS sum_value,
                  count(*) AS n_rows

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** The canonical LLM training-data curation pipeline, composed from the
+  * engine's own operators: language ID → quality filter → exact dedup →
+  * transitive near-dup clustering (keep one per cluster) → corpus
+  * statistics. The reference has no pipeline surface at all (its API is
+  * one index object, hnsw.cc:114-137); this is the composition a 100 TB
+  * curation job actually runs, declared end-to-end so the whole DAG is
+  * one Catalyst plan.
+  *
+  * Stage order is the scale-critical part: the narrow per-row filters
+  * (language, quality) prune the corpus BEFORE any pair-generating
+  * shuffle; the exact-dedup hash-agg kills byte-identical copies before
+  * shingling; the transitive near-dup clustering — the only iterative
+  * stage — runs over the doubly-pruned survivors only. Every stage is
+  * individually oracled by its own declared query; `curate` is oracled
+  * end-to-end by the same composition in SQL.
+  */
+object CorpusPipeline {
+
+  /** Docs surviving the language + quality filters (all source columns
+    * kept). Both classifiers are shuffle-free per-row projections.
+    */
+  def filtered(documents: DataFrame, lang: String, minQuality: Double): DataFrame =
+    documents
+      .join(TextAnalysis.langId(documents).select("doc_id", "lang_pred"), Seq("doc_id"))
+      .join(TextAnalysis.qualityScore(documents).select("doc_id", "quality"), Seq("doc_id"))
+      .filter(col("lang_pred") === lang && col("quality") >= minQuality)
+
+  /** Full curation run: per-source kept-document counts and token sums
+    * after all three dedup/filter stages.
+    */
+  def curate(documents: DataFrame, lang: String, minQuality: Double,
+             jaccardThreshold: Double, maxDf: Int = 10000): DataFrame = {
+    val kept1 = filtered(documents, lang, minQuality)
+    val kept2 = kept1.join(Dedup.exactKept(kept1), Seq("doc_id")) // exact-dup survivors
+    val pairs = Dedup.jaccardPairsExact(kept2, jaccardThreshold, maxDf)
+    val reps = Dedup.nearDupClusters(kept2, pairs)
+      .filter(col("doc_id") === col("cluster_id")) // one representative per cluster
+      .select("doc_id")
+    kept2.join(reps, Seq("doc_id"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TextFunctions.tokens(col("text"))).cast("long")).as("n_tokens"))
+  }
+}

@@ -148,11 +148,20 @@ object Ivf {
     * cells' files, and centroid recovery reads C sidecar rows instead
     * of scanning the data.
     */
-  def writePartitioned(embeddings: DataFrame, c: Int, dir: String): Unit = {
+  def writePartitioned(embeddings: DataFrame, c: Int, dir: String): Unit =
+    writePartitionedWith(embeddings, centroids(embeddings, c), dir)
+
+  /** [[writePartitioned]] with an EXPLICIT centroid table (seed or
+    * k-means-refined): cells of the given centroids become the
+    * partition column, and the centroid table itself is the sidecar —
+    * so the refined layout serves probes with no assignment pass and
+    * no Lloyd replay.
+    */
+  def writePartitionedWith(embeddings: DataFrame, cents: DataFrame, dir: String): Unit = {
     embeddings
-      .join(assign(embeddings, c), Seq("vec_id"))
+      .join(assignWith(embeddings, cents), Seq("vec_id"))
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
-    centroids(embeddings, c).write.mode("overwrite").parquet(s"$dir/_centroids")
+    cents.write.mode("overwrite").parquet(s"$dir/_centroids")
   }
 
   /** [[writePartitioned]] once per dir, with the same content-
@@ -166,6 +175,24 @@ object Ivf {
     }
     if (!IndexMeta.valid(spark, dir, "_SUCCESS", fp)) {
       writePartitioned(embeddings, c, dir)
+      IndexMeta.write(spark, dir, fp)
+    }
+  }
+
+  /** [[writePartitionedWith]] once per dir (explicit centroids — the
+    * k-means-refined serving layout).
+    */
+  def ensurePartitionedWith(embeddings: DataFrame, cents: DataFrame, dir: String,
+                            tag: String): Unit = {
+    val spark = embeddings.sparkSession
+    val fp = IndexMeta.cachedFingerprint(dir, s"ivfw_$tag", Seq(embeddings, cents)) {
+      val cfp = cents.agg(
+        sum(crc32(concat_ws(":", col("centroid_id"),
+          concat_ws(",", col("centroid_vec").cast("array<string>")))))).head().get(0)
+      IndexMeta.fingerprint(embeddings, s"ivfw_$tag;c=$cfp")
+    }
+    if (!IndexMeta.valid(spark, dir, "_SUCCESS", fp)) {
+      writePartitionedWith(embeddings, cents, dir)
       IndexMeta.write(spark, dir, fp)
     }
   }
