@@ -24,10 +24,18 @@ import graft.operators.Ivf
   */
 object IndexCatalog {
 
+  /** `assignPath`: the persisted `(vec_id, cell)` assignment table —
+    * the in-place probe form. `partitionedPath`: optionally, a full
+    * cell-PARTITIONED copy of the table ([[Ivf.writePartitionedWith]]);
+    * when present, the rewrite serves the query from that copy with a
+    * partition-pruned scan (a materialized-layout rewrite — unprobed
+    * cells' files are never opened).
+    */
   final case class IvfIndex(
       assignPath: String,
       centroids: Seq[(Long, Seq[Double])],
-      nprobe: Int)
+      nprobe: Int,
+      partitionedPath: Option[String] = None)
 
   private val registry = TrieMap.empty[String, IvfIndex]
 
@@ -43,8 +51,9 @@ object IndexCatalog {
   }
 
   def register(dataPath: String, assignPath: String,
-               centroids: Seq[(Long, Seq[Double])], nprobe: Int): Unit =
-    registry(canon(dataPath)) = IvfIndex(assignPath, centroids, nprobe)
+               centroids: Seq[(Long, Seq[Double])], nprobe: Int,
+               partitionedPath: Option[String] = None): Unit =
+    registry(canon(dataPath)) = IvfIndex(assignPath, centroids, nprobe, partitionedPath)
 
   def lookup(dataPath: String): Option[IvfIndex] = registry.get(canon(dataPath))
 
@@ -59,13 +68,27 @@ object IndexCatalog {
     * probe rewrite.
     */
   def buildAndRegister(spark: SparkSession, dataPath: String,
-                       c: Int, iters: Int, nprobe: Int, indexDir: String): Unit = {
+                       c: Int, iters: Int, nprobe: Int, indexDir: String): Unit =
+    buildAndRegister(spark, dataPath, c, iters, nprobe, indexDir, partitioned = false)
+
+  /** [[buildAndRegister]] with `partitioned = true` ALSO writes the
+    * cell-partitioned copy of the table and registers it, upgrading the
+    * rewrite from an assignment-table join to a partition-pruned scan.
+    */
+  def buildAndRegister(spark: SparkSession, dataPath: String,
+                       c: Int, iters: Int, nprobe: Int, indexDir: String,
+                       partitioned: Boolean): Unit = {
     import spark.implicits._
     val emb = spark.read.parquet(dataPath)
     val cents = Ivf.kmeans(emb, c, iters)
     val assignPath = s"$indexDir/assign"
     Ivf.assignWith(emb, cents).write.mode("overwrite").parquet(assignPath)
+    val partPath = if (partitioned) {
+      val pp = s"$indexDir/cells"
+      Ivf.writePartitionedWith(emb, cents, pp)
+      Some(pp)
+    } else None
     register(dataPath, assignPath,
-      cents.as[(Long, Seq[Double])].collect().toSeq, nprobe)
+      cents.as[(Long, Seq[Double])].collect().toSeq, nprobe, partPath)
   }
 }

@@ -181,14 +181,79 @@ case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       idx <- IndexCatalog.lookup(path)
     } yield (qAttr, idAttr, idx)
 
-  /** The probe rewrite: join the scan side with the assignment table on
-    * vec_id, then keep only rows whose cell is in their query's nprobe
-    * nearest centroids — as literal membership when the query side is
-    * executable at plan time, as a per-row predicate otherwise.
+  /** The probe rewrite. Preferred form when the index carries a
+    * cell-PARTITIONED copy of the table: serve the scan from that copy
+    * with the probe as a PARTITION filter (unprobed cells' files are
+    * never opened) — a materialized-layout rewrite. Otherwise: join the
+    * original scan with the assignment table on vec_id and keep only
+    * rows whose cell is in their query's nprobe nearest centroids — as
+    * literal membership when the query side is executable at plan time,
+    * as a per-row predicate fallback otherwise.
     */
   private def rewrite(join: Join, left: LogicalPlan, idAttr: Attribute,
                       qAttr: Attribute, idx: IndexCatalog.IvfIndex,
-                      qidAttr: Option[Attribute]): LogicalPlan = {
+                      qidAttr: Option[Attribute]): LogicalPlan =
+    idx.partitionedPath
+      .flatMap(pp => rewriteToPartitioned(join, left, qAttr, idx, pp, qidAttr))
+      .getOrElse(rewriteWithAssignJoin(join, left, idAttr, qAttr, idx, qidAttr))
+
+  /** Replace the scan side with the cell-partitioned copy, filtered to
+    * the probed cells (a partition filter), with every original output
+    * attribute re-aliased onto the copy's columns under its ORIGINAL
+    * exprId — everything above the join is untouched. Only sound when
+    * the scan side is a bare relation or a column-pruning projection
+    * (any residual Filter would be lost); otherwise None → assignment
+    * join.
+    */
+  private def rewriteToPartitioned(join: Join, left: LogicalPlan, qAttr: Attribute,
+                                   idx: IndexCatalog.IvfIndex, pp: String,
+                                   qidAttr: Option[Attribute]): Option[LogicalPlan] = {
+    if (!prunableScan(left)) return None
+    val scan = spark.read.parquet(pp).queryExecution.analyzed
+    val byName = scan.output.map(a => a.name -> a).toMap
+    val cellAttr = byName.getOrElse("cell", return None)
+    val mapped = left.output.map(a => byName.get(a.name).map(na =>
+      Alias(na, a.name)(exprId = a.exprId): NamedExpression))
+    if (mapped.exists(_.isEmpty)) return None
+    val aliases = mapped.flatten
+    qidAttr match {
+      case None =>
+        singleQueryCells(join.right, qAttr, idx).map { cells =>
+          val pruned = Filter(In(cellAttr, cells.map(typedLit(_, cellAttr.dataType))), scan)
+          join.copy(left = Project(aliases, pruned))
+        }
+      case Some(qid) =>
+        batchProbeRelation(join.right, qid, qAttr, idx, cellAttr.dataType).map { rel =>
+          // partition-prune to the UNION of all queries' probed cells,
+          // then the per-query (query_id, cell) equi-join restores
+          // per-query exactness of the probe set
+          val unionCells = rel.data.map(_.get(1, cellAttr.dataType)).distinct
+          val pruned = Filter(
+            In(cellAttr, unionCells.map(v => Literal.create(v, cellAttr.dataType))), scan)
+          val crossed = join.copy(left = Project(aliases :+ cellAttr, pruned))
+          val Seq(pQid, pCell) = rel.output
+          Join(crossed, rel, Inner,
+            Some(And(EqualTo(qid, pQid), EqualTo(cellAttr, pCell))), JoinHint.NONE)
+        }
+    }
+  }
+
+  /** True when `plan` is a bare relation (or a pure column-pruning
+    * projection of one) — the shapes the partitioned-copy swap can
+    * replace without dropping semantics.
+    */
+  private def prunableScan(plan: LogicalPlan): Boolean = plan match {
+    case _: LogicalRelation => true
+    case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      prunableScan(child)
+    case SubqueryAlias(_, child) => prunableScan(child)
+    case _ => false
+  }
+
+  /** The in-place form: assignment-table join + probe predicate. */
+  private def rewriteWithAssignJoin(join: Join, left: LogicalPlan, idAttr: Attribute,
+                                    qAttr: Attribute, idx: IndexCatalog.IvfIndex,
+                                    qidAttr: Option[Attribute]): LogicalPlan = {
     val assignRel = spark.read.parquet(idx.assignPath).queryExecution.analyzed
     val aVecId = assignRel.output.find(_.name == "vec_id")
       .getOrElse(sys.error(s"assignment table ${idx.assignPath} lacks vec_id"))

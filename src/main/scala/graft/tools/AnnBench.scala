@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
@@ -93,19 +93,28 @@ object AnnBench {
         graft.functions.VectorFunctions.perturbQuery(col("embedding")).as("query_vec"))
       .cache()
     qs.count()
-    // one warm-up serve (plan codegen), then the timed pass
-    Hnsw.searchWithIndex(nodes, edges, qs.limit(32), 10, p)
-      .write.format("noop").mode("overwrite").save()
-    val t1 = System.nanoTime()
-    Hnsw.searchWithIndex(nodes, edges, qs, 10, p)
-      .write.format("noop").mode("overwrite").save()
-    val serveSec = (System.nanoTime() - t1) / 1e9
-
-    // recall sample vs exact kNN (full-corpus brute force — keep small)
     val sample = qs.filter(col("query_id") < 200)
-    val recall = Hnsw.recallOf(
-        Hnsw.searchWithIndex(nodes, edges, sample, 10, p), emb, sample, 10)
-      .agg(avg(col("recall"))).head().getDouble(0)
+
+    /** Warm-up + timed serve + recall sample for one serving function;
+      * efSearch is a pure query-time knob (the stored graph is
+      * ef-agnostic), so the sweep reuses one persisted index.
+      */
+    def serveStats(ef: Int)(serve: (DataFrame, Hnsw.Params) => DataFrame): String = {
+      val pe = p.copy(efSearch = ef)
+      serve(qs.limit(32), pe).write.format("noop").mode("overwrite").save() // warm-up
+      val t = System.nanoTime()
+      serve(qs, pe).write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t) / 1e9
+      val recall = Hnsw.recallOf(serve(sample, pe), emb, sample, 10)
+        .agg(avg(col("recall"))).head().getDouble(0)
+      s"""{"ef_search":$ef,"serve_sec":${f"$sec%.2f"},""" +
+        s""""queries_per_sec":${(nQueries / sec).toInt},"recall_at_10":${f"$recall%.4f"}}"""
+    }
+
+    val efs = Seq(64, 128)
+    val exhaustive = efs.map(serveStats(_) { (q, pe) =>
+      Hnsw.searchWithIndex(nodes, edges, q, 10, pe)
+    })
 
     // ROUTED serving — the O(nprobe)-per-query scale path: 64 k-means
     // cells, 2x boundary replication, 8 probes/query. This is the form
@@ -119,30 +128,21 @@ object AnnBench {
     Hnsw.saveRouted(emb, cents, p, rdir, replication = 2)
     val routedBuildSec = (System.nanoTime() - tR) / 1e9
     val routedBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(rdir)).getLength
-    Hnsw.searchRoutedWithIndex(spark, rdir, qs.limit(32), 10, p, nprobe = 8)
-      .write.format("noop").mode("overwrite").save() // warm-up
-    val tR1 = System.nanoTime()
-    Hnsw.searchRoutedWithIndex(spark, rdir, qs, 10, p, nprobe = 8)
-      .write.format("noop").mode("overwrite").save()
-    val routedServeSec = (System.nanoTime() - tR1) / 1e9
-    val routedRecall = Hnsw.recallOf(
-        Hnsw.searchRoutedWithIndex(spark, rdir, sample, 10, p, nprobe = 8),
-        emb, sample, 10)
-      .agg(avg(col("recall"))).head().getDouble(0)
+    val routed = efs.map(serveStats(_) { (q, pe) =>
+      Hnsw.searchRoutedWithIndex(spark, rdir, q, 10, pe, nprobe = 8)
+    })
 
     val json =
-      s"""{"scale_smoke":{"n":$n,"dim":$dim,"ef_search":${p.efSearch},"build_sec":${f"$buildSec%.2f"},""" +
+      s"""{"scale_smoke":{"n":$n,"dim":$dim,"build_sec":${f"$buildSec%.2f"},""" +
         s""""inserts_per_sec":${(n / buildSec).toInt},""" +
         s""""index_bytes":$indexBytes,"index_bytes_per_row":${f"${indexBytes.toDouble / n}%.1f"},""" +
         s""""cached_vector_bytes":$cachedVecBytes,""" +
         s""""n_hnsw_edges":$nEdges,"query_batch":$nQueries,""" +
-        s""""serve_sec":${f"$serveSec%.2f"},"queries_per_sec":${(nQueries / serveSec).toInt},""" +
-        s""""recall_sample_queries":200,"recall_at_10":${f"$recall%.4f"},""" +
+        s""""recall_sample_queries":200,""" +
+        s""""exhaustive":[${exhaustive.mkString(",")}],""" +
         s""""routed":{"cells":64,"nprobe":8,"replication":2,""" +
         s""""build_sec":${f"$routedBuildSec%.2f"},"index_bytes":$routedBytes,""" +
-        s""""serve_sec":${f"$routedServeSec%.2f"},""" +
-        s""""queries_per_sec":${(nQueries / routedServeSec).toInt},""" +
-        s""""recall_at_10":${f"$routedRecall%.4f"}},""" +
+        s""""serves":[${routed.mkString(",")}]},""" +
         s""""reference":"SizeTest(1e6,25,64) hnsw.cc:485-488 -- 167MB vectors, 5.6s wall, 5530 q/s @ recall 0.30"}}"""
     println(json)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("target/scale_smoke.json"), json + "\n")

@@ -91,6 +91,56 @@ class IndexRewriteSpec extends AnyFunSuite {
     IndexCatalog.unregister(dataPath)
   }
 
+  test("partitioned-layout index: naive plan becomes a partition-pruned scan of the copy") {
+    val pdir = java.nio.file.Files.createTempDirectory("idxrw_part").toString
+    IndexCatalog.buildAndRegister(spark, dataPath, c = C, iters = 2,
+      nprobe = C, pdir, partitioned = true)
+    val exact = rows(naive(10)) // rule not installed
+    withRule {
+      val df = naive(10)
+      val phys = df.queryExecution.executedPlan.toString
+      assert(phys.contains("PartitionFilters") && phys.contains("cell"),
+        s"probe should be a partition filter on the cell-partitioned copy:\n$phys")
+      assert(!df.queryExecution.optimizedPlan.toString.contains("assign"),
+        "partitioned form should not join the assignment table")
+      assert(rows(df) === exact, "nprobe = C must reproduce the exact result")
+    }
+    // nprobe = 2 must match the explicit probe semantics too
+    IndexCatalog.register(dataPath, s"$pdir/assign",
+      IndexCatalog.lookup(dataPath).get.centroids, nprobe = 2, Some(s"$pdir/cells"))
+    val emb = spark.read.parquet(dataPath)
+    val q = emb.filter(col("vec_id") === 7)
+      .select(perturbQuery(col("embedding")).as("query_vec"))
+    val explicitProbe = rows(
+      Ivf.topKWith(emb, Ivf.kmeans(emb, C, 2), q, 10, nprobe = 2))
+    withRule {
+      assert(rows(naive(10)) === explicitProbe,
+        "partition-pruned rewrite must equal the explicit IVF probe")
+    }
+    IndexCatalog.unregister(dataPath)
+  }
+
+  test("partitioned-layout index: batch shape prunes partitions and stays exact at nprobe = C") {
+    val pdir = java.nio.file.Files.createTempDirectory("idxrw_part_b").toString
+    IndexCatalog.buildAndRegister(spark, dataPath, c = C, iters = 2,
+      nprobe = C, pdir, partitioned = true)
+    val emb = spark.read.parquet(dataPath)
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+    def naiveBatch = Knn.topKBatch(emb, qs, 10)
+    val exact = naiveBatch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    withRule {
+      val df = naiveBatch
+      val phys = df.queryExecution.executedPlan.toString
+      assert(phys.contains("PartitionFilters") && phys.contains("graft_probe_qid"),
+        s"batch probe should combine partition pruning with the per-query join:\n$phys")
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        === exact, "nprobe = C must reproduce the exact batch result")
+    }
+    IndexCatalog.unregister(dataPath)
+  }
+
   test("batch shape at nprobe = 2 equals the explicit per-query IVF probe") {
     IndexCatalog.buildAndRegister(spark, dataPath, c = C, iters = 2,
       nprobe = 2, indexDir)
