@@ -24,13 +24,16 @@ import graft.functions.TextFunctions
 object CorpusPipeline {
 
   /** Docs surviving the language + quality filters (all source columns
-    * kept). Both classifiers are shuffle-free per-row projections.
+    * kept). Both classifiers are PURE COLUMNS over one tokenization —
+    * a single narrow filter over the scan, no joins (codegen CSE
+    * shares the repeated `split` across the score expressions).
     */
-  def filtered(documents: DataFrame, lang: String, minQuality: Double): DataFrame =
+  def filtered(documents: DataFrame, lang: String, minQuality: Double): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
     documents
-      .join(TextAnalysis.langId(documents).select("doc_id", "lang_pred"), Seq("doc_id"))
-      .join(TextAnalysis.qualityScore(documents).select("doc_id", "quality"), Seq("doc_id"))
-      .filter(col("lang_pred") === lang && col("quality") >= minQuality)
+      .filter(TextAnalysis.langPredCol(toks) === lang &&
+        TextAnalysis.qualityCol(toks, col("n_chars")) >= minQuality)
+  }
 
   /** Full curation run: per-source kept-document counts and token sums
     * after all three dedup/filter stages.
@@ -38,7 +41,11 @@ object CorpusPipeline {
   def curate(documents: DataFrame, lang: String, minQuality: Double,
              jaccardThreshold: Double, maxDf: Int = 10000): DataFrame = {
     val kept1 = filtered(documents, lang, minQuality)
-    val kept2 = kept1.join(Dedup.exactKept(kept1), Seq("doc_id")) // exact-dup survivors
+    // Exact-dup survivors, CHECKPOINTED: kept2 feeds three consumers
+    // (pair generation, the clustering vertex set, the final stats
+    // join) and the iterative clustering downstream — without the cut,
+    // the filter pipeline re-executes once per consumer.
+    val kept2 = Dedup.checkpointed(kept1.join(Dedup.exactKept(kept1), Seq("doc_id")))
     val pairs = Dedup.jaccardPairsExact(kept2, jaccardThreshold, maxDf)
     val reps = Dedup.nearDupClusters(kept2, pairs)
       .filter(col("doc_id") === col("cluster_id")) // one representative per cluster

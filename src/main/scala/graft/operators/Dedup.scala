@@ -279,18 +279,27 @@ object Dedup {
     // cache, not recomputing), after which every intermediate cache is
     // released — the caller's action leaves no persisted RDDs behind
     // and re-executions read the checkpoint files, not the loop.
-    // Checkpoint location: caller's sparkContext setting wins; else the
-    // session conf `spark.graft.checkpointDir`; else a dir under the
-    // warehouse path — resolves against the cluster's default FS, never
-    // a driver-local relative path.
+    val out = checkpointed(labels)
+    cached.foreach(_.unpersist())
+    edges.unpersist()
+    out
+  }
+
+  /** Eager reliable checkpoint with the engine's dir-resolution rule:
+    * the caller's sparkContext setting wins; else the session conf
+    * `spark.graft.checkpointDir`; else a dir under the warehouse path —
+    * resolves against the cluster's default FS, never a driver-local
+    * relative path. Use to cut the lineage of a multiply-consumed
+    * intermediate (the materialization runs ONCE, re-executions read
+    * the checkpoint files).
+    */
+  def checkpointed(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
     if (spark.sparkContext.getCheckpointDir.isEmpty)
       spark.sparkContext.setCheckpointDir(
         spark.conf.getOption("spark.graft.checkpointDir").getOrElse(
           spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") + "/graft_checkpoints"))
-    val out = labels.checkpoint(eager = true)
-    cached.foreach(_.unpersist())
-    edges.unpersist()
-    out
+    df.checkpoint(eager = true)
   }
 
   // ---- SimHash ----

@@ -28,36 +28,49 @@ object TextAnalysis {
   def stopwordScore(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))
 
-  /** Language ID: per-language stopword scores + argmax prediction
-    * (ties resolved by [[stopwords]] order). Output:
-    * doc_id, s_en..s_zh, lang_pred.
+  /** Argmax language prediction as a PURE COLUMN over a token array
+    * (ties resolved by [[stopwords]] order) — composable into any
+    * projection without a join.
+    */
+  def langPredCol(toks: Column): Column = {
+    val scores = stopwords.map { case (l, ws) => l -> stopwordScore(toks, ws) }
+    val best = greatest(scores.map(_._2): _*)
+    // first language (in declaration order) hitting the max score wins
+    scores.reverse.foldLeft(lit("und")) { case (alt, (l, s)) =>
+      when(s === best, lit(l)).otherwise(alt)
+    }
+  }
+
+  /** Language ID: per-language stopword scores + argmax prediction.
+    * Output: doc_id, s_en..s_zh, lang_pred.
     */
   def langId(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    val scored = documents.select(
-      col("doc_id") +: stopwords.map { case (l, ws) => stopwordScore(toks, ws).as(s"s_$l") }: _*)
-    val best = greatest(stopwords.map { case (l, _) => col(s"s_$l") }: _*)
-    // first language (in declaration order) hitting the max score wins
-    val firstMatch = stopwords.reverse.foldLeft(lit("und")) { case (alt, (l, _)) =>
-      when(col(s"s_$l") === best, lit(l)).otherwise(alt)
-    }
-    scored.withColumn("lang_pred", firstMatch)
+    documents.select(
+      col("doc_id") +:
+        stopwords.map { case (l, ws) => stopwordScore(toks, ws).as(s"s_$l") } :+
+        langPredCol(toks).as("lang_pred"): _*)
   }
 
-  /** Heuristic quality score in [0,1]: token volume, stopword density,
-    * and mean token length, each saturating. Deterministic per-row
-    * double arithmetic. Output: doc_id, n_toks, quality.
+  /** Heuristic quality score in [0,1] as a PURE COLUMN: token volume,
+    * stopword density, and mean token length, each saturating.
+    * Deterministic per-row double arithmetic, rounded to 6.
     */
-  def qualityScore(documents: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+  def qualityCol(toks: Column, nChars: Column): Column = {
     val nToks = size(toks).cast("double")
-    val avgLen = (col("n_chars").cast("double") - (nToks - 1.0)) / nToks
+    val avgLen = (nChars.cast("double") - (nToks - 1.0)) / nToks
     val stopRatio = stopwordScore(toks, stopwords.head._2).cast("double") / nToks
-    val quality = round(
+    round(
       least(nToks / 100.0, lit(1.0)) * 0.5 +
       stopRatio * 0.3 +
       least(avgLen / 8.0, lit(1.0)) * 0.2, 6)
-    documents.select(col("doc_id"), size(toks).as("n_toks"), quality.as("quality"))
+  }
+
+  /** Quality scores per doc. Output: doc_id, n_toks, quality. */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    documents.select(col("doc_id"), size(toks).as("n_toks"),
+      qualityCol(toks, col("n_chars")).as("quality"))
   }
 
   /** Global token frequency: top `limit` tokens by count (count desc,

@@ -6,8 +6,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Multimodal
-import graft.streaming.EventStreams
+import graft.operators.{Hnsw, Ivf, Multimodal}
+import graft.streaming.{EventStreams, StreamingAnn}
 import graft.streaming.EventStreams.SessionEvent
 
 /** Structured Streaming operators (MemoryStream → memory sink) and the
@@ -40,6 +40,46 @@ class StreamingMultimodalSpec extends AnyFunSuite {
         (t(0), "a", 2L, 3.0),
         (t(60), "b", 1L, 4.0)))
     } finally q.stop()
+  }
+
+  test("streaming ANN: micro-batches served from a persisted routed index match the batch path") {
+    implicit val sqlCtx = spark.sqlContext
+    // persisted routed index over the deterministic 200-vector fixture
+    val emb = (0L until 200L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(8)(rnd.nextFloat() * 100f))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("stream_ann").toString
+    val p = Hnsw.Params(numPartitions = 3)
+    Hnsw.saveRouted(emb, Ivf.kmeans(emb, 8, 2), p, dir, replication = 2)
+
+    val queryRows = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("query_id"),
+        graft.functions.VectorFunctions.perturbQuery(col("embedding")).as("query_vec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+    val mem = MemoryStream[(Long, Array[Double])]
+    val served = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = StreamingAnn.serveQueries(
+        mem.toDF().toDF("query_id", "query_vec"), dir, 10, p, nprobe = 5) { (res, _) =>
+      served.synchronized {
+        served ++= res.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }
+    }
+    try {
+      mem.addData(queryRows.take(3).toSeq: _*) // micro-batch 1
+      q.processAllAvailable()
+      mem.addData(queryRows.drop(3).toSeq: _*) // micro-batch 2
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val batchQs = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("query_id"),
+        graft.functions.VectorFunctions.perturbQuery(col("embedding")).as("query_vec"))
+    val expected = Hnsw.searchRoutedWithIndex(spark, dir, batchQs, 10, p, nprobe = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served.toSet === expected,
+      "streamed micro-batches must serve identical results to the batch path")
   }
 
   test("streaming dedup drops in-watermark duplicate event ids before aggregation") {
