@@ -394,6 +394,12 @@ object SparkEntry {
     "q_corpus_pipeline" -> ((s, dir) =>
       CorpusPipeline.curate(Tables.documents(s, dir), lang = "en",
         minQuality = 0.4, jaccardThreshold = 0.5)),
+    // Benchmark-contamination check: corpus docs (id ≥ 20) sharing any
+    // 3-gram hash with the probe set (id < 20 plays the eval
+    // benchmark). Probe side broadcast — one map-side pass over the
+    // corpus, no pair explosion.
+    "q_contamination" -> ((s, dir) =>
+      Dedup.contamination(Tables.documents(s, dir), col("doc_id") < 20, minOverlap = 1)),
     "q_simhash" -> ((s, dir) => Dedup.simhashes(Tables.documents(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), 3)),
     "q_embedding_neardups" -> ((s, dir) => Dedup.embeddingNearDups(Tables.embeddings(s, dir), 0.4)),
@@ -576,6 +582,16 @@ object SparkEntry {
           SELECT * FROM scored WHERE jaccard >= 0.5"""
     },
     "q_jaccard_pairs" -> duckJaccardPairs,
+    "q_contamination" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          shing AS (SELECT doc_id, $duckShingles AS sh FROM toks WHERE len(t) >= 3),
+          shd AS (SELECT doc_id, $duckHashedShingleSet AS sh FROM shing),
+          probe AS (SELECT DISTINCT unnest(sh) AS h FROM shd WHERE doc_id < 20),
+          corpus AS (SELECT doc_id, unnest(sh) AS h FROM shd WHERE doc_id >= 20)
+          SELECT doc_id, count(*) AS n_overlap
+          FROM corpus JOIN probe USING (h)
+          GROUP BY doc_id
+          HAVING count(*) >= 1""",
     "q_corpus_pipeline" -> {
       // same composition in SQL, stage for stage, from the SAME Scala
       // constants (stopword lists, quality weights, shingle/hash defs)

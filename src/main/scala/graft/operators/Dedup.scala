@@ -126,6 +126,31 @@ object Dedup {
       .select(col("doc_id"),
         array_distinct(transform(shingles(tokens(col("text"))), s => md5Int(s))).as("sh"))
 
+  /** Benchmark-contamination detection: flag corpus documents sharing
+    * at least `minOverlap` distinct shingles (3-gram hashes) with a
+    * PROBE set of documents (an eval benchmark) — the
+    * train-vs-test-overlap check a training pipeline runs before every
+    * data release. Asymmetric by design, which is what makes it scale:
+    * the probe side (benchmark suites are small) collapses to a
+    * DISTINCT shingle-hash set and is BROADCAST, so the corpus is
+    * scanned once map-side — no shuffle of corpus rows, no pair
+    * explosion (contrast [[jaccardPairsExact]]'s corpus×corpus shape).
+    * Partial aggregation keeps the one shuffle at (flagged doc, count)
+    * width. Output: `(doc_id, n_overlap)` for corpus docs (those NOT
+    * in the probe) meeting the threshold.
+    */
+  def contamination(documents: DataFrame, isProbe: Column, minOverlap: Long = 1): DataFrame = {
+    val sets = hashedShingleSets(documents)
+    val probe = sets.filter(isProbe)
+      .select(explode(col("sh")).as("h")).distinct()
+    sets.filter(!isProbe)
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+      .join(broadcast(probe), Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
   /** |a ∩ b| / |a ∪ b| with the union via inclusion-exclusion — one
     * array op per pair instead of two.
     */

@@ -64,6 +64,18 @@ class TextDedupSpec extends AnyFunSuite {
     assert(rows.contains((1L, 3L)), "near-dup pair above threshold")
   }
 
+  test("contamination: corpus docs sharing probe shingles are flagged with exact overlap counts") {
+    // probe = docs 1-2 ("the cat sat on the mat": shingles {"the cat sat",
+    // "cat sat on", "sat on the", "on the mat"}); corpus = docs 3-5.
+    // Doc 3 shares exactly {"the cat sat", "cat sat on"}; docs 4, 5
+    // share nothing (5 has only one shingle, "one two three").
+    val flagged = Dedup.contamination(docs, col("doc_id") <= 2, minOverlap = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged === Map(3L -> 2L))
+    // threshold excludes the 2-shingle overlap
+    assert(Dedup.contamination(docs, col("doc_id") <= 2, minOverlap = 3).count() === 0)
+  }
+
   test("jaccard df cap: no-op above every fixture df; drops stop-shingle evidence when it bites") {
     def pairs(maxDf: Int) = Dedup.jaccardPairsExact(docs, 0.2, maxDf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
