@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan REGRESSION pins for the scale-critical properties
+  * documented in PLANS.md: these are the plan shapes that must survive
+  * a 100 TB / 1000-executor scale-up, asserted mechanically so a
+  * refactor that silently loses a pushed filter, adds a shuffle, or
+  * degrades a top-k into a global sort fails here instead of in
+  * production. Plans are inspected at sf0.001 (shape, not size).
+  */
+class PlanPropertiesSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  private def countOf(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("q_knn_topk: per-partition heap top-k, never a global sort") {
+    val p = plan("q_knn_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Sort "), s"global sort would ship all rows:\n$p")
+  }
+
+  test("q_tpch_pricing: filter pushed to the scan, ONE exchange (map-side partial agg)") {
+    val p = plan("q_tpch_pricing")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"shipdate filter must reach the parquet scan:\n$p")
+    assert(countOf(p, "Exchange") == 1,
+      s"expected exactly one shuffle (partial -> final agg):\n$p")
+  }
+
+  test("q_knn_batch: rank <= k compiles to WindowGroupLimit, queries broadcast") {
+    val p = plan("q_knn_batch")
+    assert(p.contains("WindowGroupLimit"), s"group-limit pushdown lost:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query side must broadcast:\n$p")
+  }
+
+  test("q_ivf_partitioned_topk: probe is a partition filter on the cell layout") {
+    val p = plan("q_ivf_partitioned_topk")
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      s"probe must partition-prune, not scan all cells:\n$p")
+  }
+
+  test("q_embedding_neardups_blocked: no cartesian product of the table against itself") {
+    val p = plan("q_embedding_neardups_blocked")
+    assert(!p.contains("CartesianProduct"), s"blocking must prevent the n^2 join:\n$p")
+  }
+
+  test("q_token_counts: one shuffle between partial and final aggregation") {
+    val p = plan("q_token_counts")
+    assert(countOf(p, "Exchange") == 1, s"explode -> partial agg -> ONE shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_sessionize: window and aggregation share a single user_id shuffle") {
+    val p = plan("q_sessionize")
+    assert(countOf(p, "Exchange") == 1,
+      s"window + agg must reuse one user_id partitioning:\n$p")
+  }
+
+  test("vector distance kernels stay inside whole-stage codegen") {
+    // codegen spans only appear in the FINAL adaptive plan — execute
+    // through the SAME QueryExecution (a sink write would clone it)
+    val df = SparkEntry.queries("q_l2_distance")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd operators print with a "*(n) " stage prefix — the
+    // Project carrying the l2 kernel must have one
+    assert("""\*\(\d+\) Project \[[^\n]*l2_distance_sq""".r.findFirstIn(p).isDefined,
+      s"distance projection must codegen:\n$p")
+  }
+}
