@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{CorpusPipeline, Dedup, TextAnalysis}
 
 /** Text analysis + dedup operator invariants over small crafted inputs. */
 class TextDedupSpec extends AnyFunSuite {
@@ -62,6 +62,17 @@ class TextDedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(rows((1L, 2L)) === 1.0)
     assert(rows.contains((1L, 3L)), "near-dup pair above threshold")
+  }
+
+  test("corpus pipeline: filters, exact dedup and near-dup keep-one compose end to end") {
+    // en-predicted docs: 1, 2, 3, 5 (4 is es). minQuality=0 keeps them
+    // all → exact dedup drops 2 (dup of 1) → jaccard(1,3) = 2/6, so
+    // threshold 0.3 clusters {1, 3} and keeps representative 1 →
+    // kept = {1 (s0, 6 tokens), 5 (s2, 3 tokens)}.
+    val stats = CorpusPipeline.curate(docs, lang = "en", minQuality = 0.0,
+        jaccardThreshold = 0.3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stats === Set(("s0", 1L, 6L), ("s2", 1L, 3L)))
   }
 
   test("contamination: corpus docs sharing probe shingles are flagged with exact overlap counts") {
