@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, CorpusPipeline, Dedup, Events, Hnsw, Ivf, Knn, Multimodal, Relational, TextAnalysis, VectorLsh}
+import graft.operators.{AsofJoin, CorpusPipeline, Dedup, Events, Hnsw, Ivf, Knn, Multimodal, Pq, Relational, TextAnalysis, VectorLsh}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -104,32 +104,40 @@ object SparkEntry {
     * DECIMAL(38,12) — exact, so both engines compute identical
     * centroids and therefore identical assignments.
     */
-  private def duckKmeansCtes(c: Int, iters: Int): String = {
+  /** Generalized over the vector expression (`vecOf(alias)`, e.g. a
+    * subspace slice for the PQ oracles) and a CTE-name tag so several
+    * independent k-means runs can coexist in one WITH clause. Defaults
+    * reproduce the plain-IVF CTEs exactly. Returns CTE text WITHOUT the
+    * leading `WITH`.
+    */
+  private def duckKmeansCtes(c: Int, iters: Int,
+                             vecOf: String => String = p => s"${p}embedding",
+                             tag: String = ""): String = {
     val sb = new StringBuilder(
-      s"WITH c0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv FROM embeddings WHERE vec_id < $c)")
+      s"${tag}c0 AS (SELECT vec_id AS cid, list_transform(${vecOf("")}, x -> CAST(x AS DOUBLE)) AS cv FROM embeddings WHERE vec_id < $c)")
     for (t <- 0 until iters) {
       sb ++= s""",
-        a$t AS (SELECT e.vec_id, cid AS cell FROM embeddings e, c$t c
-                QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), cid) = 1),
-        m${t + 1} AS (SELECT cell, i, CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m
-                FROM (SELECT a$t.cell, unnest(range(1, len(e.embedding)+1)) AS i,
-                             unnest(list_transform(e.embedding, v -> CAST(v AS DOUBLE))) AS x
-                      FROM embeddings e JOIN a$t ON e.vec_id = a$t.vec_id)
+        ${tag}a$t AS (SELECT e.vec_id, cid AS cell FROM embeddings e, ${tag}c$t c
+                QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY list_distance((${vecOf("e.")})::DOUBLE[], c.cv), cid) = 1),
+        ${tag}m${t + 1} AS (SELECT cell, i, CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m
+                FROM (SELECT ${tag}a$t.cell, unnest(range(1, len(${vecOf("e.")})+1)) AS i,
+                             unnest(list_transform(${vecOf("e.")}, v -> CAST(v AS DOUBLE))) AS x
+                      FROM embeddings e JOIN ${tag}a$t ON e.vec_id = ${tag}a$t.vec_id)
                 GROUP BY cell, i),
-        n${t + 1} AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM m${t + 1} GROUP BY cell),
-        c${t + 1} AS (SELECT c$t.cid, coalesce(n${t + 1}.cv, c$t.cv) AS cv FROM c$t LEFT JOIN n${t + 1} USING (cid))"""
+        ${tag}n${t + 1} AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM ${tag}m${t + 1} GROUP BY cell),
+        ${tag}c${t + 1} AS (SELECT ${tag}c$t.cid, coalesce(${tag}n${t + 1}.cv, ${tag}c$t.cv) AS cv FROM ${tag}c$t LEFT JOIN ${tag}n${t + 1} USING (cid))"""
     }
     sb.toString
   }
 
   private def duckKmeansAssign(c: Int, iters: Int): String =
-    s"""${duckKmeansCtes(c, iters)}
+    s"""WITH ${duckKmeansCtes(c, iters)}
       SELECT e.vec_id, cid AS cell FROM embeddings e, c$iters c
       QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), cid) = 1"""
 
   /** Refined-centroid IVF probe (mirrors Ivf.topKWith ∘ Ivf.kmeans). */
   private def duckKmeansTopK(c: Int, iters: Int, k: Int, nprobe: Int): String =
-    s"""${duckKmeansCtes(c, iters)},
+    s"""WITH ${duckKmeansCtes(c, iters)},
       q AS (SELECT query_vec FROM $duckQueryVec),
       probed AS (SELECT cid FROM c$iters, q ORDER BY list_distance(cv, q.query_vec), cid LIMIT $nprobe),
       assigned AS (SELECT e.vec_id, cid AS cell FROM embeddings e, c$iters c
@@ -140,6 +148,53 @@ object SparkEntry {
       JOIN q ON true
       WHERE a.cell IN (SELECT cid FROM probed)
       ORDER BY dist, e.vec_id LIMIT $k"""
+
+  /** PQ oracle CTEs (mirror Pq.codebooks ∘ Ivf.kmeans per subspace +
+    * Pq.encode): m independent sliced k-means runs (tagged s0..s{m-1})
+    * + per-subspace argmin code assignments, unioned as `encall`.
+    */
+  private def duckPqCtes(m: Int, subDim: Int, c: Int, iters: Int): String = {
+    def sliceOf(s: Int)(p: String) = s"${p}embedding[${s * subDim + 1}:${(s + 1) * subDim}]"
+    val books = (0 until m)
+      .map(s => duckKmeansCtes(c, iters, sliceOf(s), s"s$s")).mkString(",\n")
+    val encs = (0 until m).map { s =>
+      s"""enc$s AS (SELECT e.vec_id, $s AS subspace, cid AS code
+          FROM embeddings e, s${s}c$iters c
+          QUALIFY row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_distance((${sliceOf(s)("e.")})::DOUBLE[], c.cv), cid) = 1)"""
+    }.mkString(",\n")
+    val encAll = (0 until m).map(s => s"SELECT * FROM enc$s").mkString(" UNION ALL ")
+    s"$books,\n$encs,\nencall AS ($encAll)"
+  }
+
+  /** PQ code table rendered per vector (mirrors Pq.codesAsString). */
+  private def duckPqCodes(m: Int, subDim: Int, c: Int, iters: Int): String =
+    s"""WITH ${duckPqCtes(m, subDim, c, iters)}
+        SELECT vec_id, array_to_string(list(code ORDER BY subspace), '_') AS codes
+        FROM encall GROUP BY vec_id"""
+
+  /** PQ ADC top-k (mirrors Pq.adcTopK): per-query lookup table of
+    * squared subspace distances (diff list + inner product — the same
+    * IEEE ops in the same order as the engine's fold kernel), summed
+    * per vector through DECIMAL(38,12).
+    */
+  private def duckPqTopK(m: Int, subDim: Int, c: Int, iters: Int, k: Int): String = {
+    val luts = (0 until m).map { s =>
+      s"""lut$s AS (SELECT $s AS subspace, cid AS code, list_inner_product(d, d) AS d2
+          FROM (SELECT cid, list_transform(range(1, ${subDim + 1}),
+                       i -> cv[i] - q.query_vec[${s * subDim} + i]) AS d
+                FROM s${s}c$iters, q))"""
+    }.mkString(",\n")
+    val lutAll = (0 until m).map(s => s"SELECT * FROM lut$s").mkString(" UNION ALL ")
+    s"""WITH ${duckPqCtes(m, subDim, c, iters)},
+        q AS (SELECT query_vec FROM $duckQueryVec),
+        $luts,
+        lutall AS ($lutAll)
+        SELECT e.vec_id, round(sqrt(CAST(sum(CAST(l.d2 AS DECIMAL(38,12))) AS DOUBLE)), 6) AS dist
+        FROM encall e JOIN lutall l USING (subspace, code)
+        GROUP BY e.vec_id
+        ORDER BY dist, e.vec_id LIMIT $k"""
+  }
 
   /** Generated oracle for the vector-LSH pair pipeline — literal ±1
     * hyperplanes from the SAME [[VectorLsh.signs]] constants the Spark
@@ -357,6 +412,20 @@ object SparkEntry {
       val pdir = ivfCellsDir(s, dir, "km8i2")
       Ivf.ensurePartitionedWith(emb, Ivf.kmeansCached(emb, 8, 2, dir), pdir, tag = "km8i2")
       Ivf.topKPartitioned(s, pdir, queryVecOf(emb, 0), 10, nprobe = 2)
+    }),
+
+    // Product quantization: 64-dim float32 → 4 subspace codes (16
+    // centroids each, 1 Lloyd iteration) — the vector-compression
+    // serving path (4 bytes/vector instead of 256). Codes and the
+    // ADC top-k are both fully deterministic → oracled.
+    "q_pq_codes" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Pq.codesAsString(Pq.encode(emb, Pq.codebooksCached(emb, 4, 16, 16, 1, dir), 4, 16))
+    }),
+    "q_pq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Pq.adcTopK(emb, Pq.codebooksCached(emb, 4, 16, 16, 1, dir),
+        queryVecOf(emb, 0), 4, 16, 10)
     }),
 
     // ---- text analysis ----
@@ -655,6 +724,8 @@ object SparkEntry {
     "q_ivf_kmeans_assign" -> duckKmeansAssign(8, 2),
     "q_vector_lsh_pairs" -> duckLshPairs(64, 0.4),
     "q_ivf_kmeans_topk" -> duckKmeansTopK(8, 2, 10, 2),
+    "q_pq_codes" -> duckPqCodes(4, 16, 16, 1),
+    "q_pq_topk" -> duckPqTopK(4, 16, 16, 1, 10),
     // identical semantics, partition-pruned physical plan
     "q_ivf_kmeans_partitioned_topk" -> duckKmeansTopK(8, 2, 10, 2),
     "q_skew_salted" ->
