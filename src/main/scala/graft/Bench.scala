@@ -55,13 +55,19 @@ object Bench {
     // HNSW edge set, each with bytes/row. The 1M-row allocation shape
     // itself is covered by `AnnBench scale` (target/scale_smoke.json).
     val mem = try {
-      def cachedBytes = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
       val emb = sources.Tables.embeddings(spark, sfDir).cache()
       val nVec = emb.count()
-      val vecBytes = cachedBytes
+      val embIds = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
       val edges = operators.Hnsw.buildEdges(emb, operators.Hnsw.Params()).cache()
       val nEdges = edges.count()
-      val edgeBytes = cachedBytes - vecBytes
+      // Attribute bytes PER RDD (mem + disk, so one cache evicting or
+      // spilling blocks of the other can never drive a number negative)
+      // instead of subtracting whole-store totals taken at two times.
+      val infos = spark.sparkContext.getRDDStorageInfo
+      val vecBytes = infos.filter(i => embIds.contains(i.id))
+        .map(i => i.memSize + i.diskSize).sum
+      val edgeBytes = infos.filter(i => !embIds.contains(i.id))
+        .map(i => i.memSize + i.diskSize).sum
       s""","mem":{"n_vectors":$nVec,"vector_bytes":$vecBytes,""" +
         s""""bytes_per_vector":${if (nVec > 0) vecBytes / nVec else 0},""" +
         s""""n_hnsw_edges":$nEdges,"hnsw_edge_bytes":$edgeBytes,""" +

@@ -47,10 +47,12 @@ object Hnsw {
   /** Index parameters. `m`: out-degree target per insert; `maxM`: hard
     * degree cap after shrink; `efConstruction`/`efSearch`: beam widths;
     * `maxLevel`: level clamp (hnsw.cc:124-126 semantics);
-    * `maxShardRows`: fail-fast budget on rows per shard — a shard's
-    * vectors and adjacency must fit one task's heap (size it to
-    * executorHeap / (dim·4B·~3)), and crossing the budget raises a
-    * sizing error instead of an OOM mid-build.
+    * `maxShardRows`: fail-fast budget on rows buffered per BUILD TASK —
+    * a task's shards' vectors and adjacency must fit its heap (size it
+    * to executorHeap / (dim·4B·~3)), and crossing the budget raises a
+    * sizing error instead of an OOM mid-build. Per task, not per shard:
+    * hash partitioning can land several shards in one task, and it is
+    * their sum that occupies the heap.
     */
   case class Params(
       m: Int = 8,
@@ -250,15 +252,20 @@ object Hnsw {
       // row that crosses `maxShardRows`, not with an OOM after
       // materializing the rest.
       val byPart = mutable.HashMap.empty[Int, mutable.ArrayBuffer[Row]]
+      var buffered = 0
       rows.foreach { r =>
-        val part = r.getAs[Int]("part")
-        val buf = byPart.getOrElseUpdate(part, mutable.ArrayBuffer.empty[Row])
-        if (buf.length >= p.maxShardRows)
+        // The budget bounds the TASK's total buffered rows, not each
+        // per-part buffer: several near-budget shards co-located in one
+        // task would otherwise OOM without ever tripping the guard.
+        if (buffered >= p.maxShardRows)
           throw new IllegalStateException(
-            s"HNSW shard $part exceeds maxShardRows=${p.maxShardRows}: " +
-              "raise Params.numPartitions (or the budget) so each shard's " +
-              "vectors + adjacency fit one task's heap")
-        buf += r
+            s"HNSW build task exceeds maxShardRows=${p.maxShardRows} rows " +
+              "buffered across its shards: raise spark.sql.shuffle.partitions " +
+              "(more tasks) or Params.numPartitions (smaller shards), or raise " +
+              "the budget, so each task's vectors + adjacency fit its heap")
+        buffered += 1
+        val part = r.getAs[Int]("part")
+        byPart.getOrElseUpdate(part, mutable.ArrayBuffer.empty[Row]) += r
       }
       byPart.iterator.flatMap { case (part, group) =>
         val g = new LocalGraph(p)
@@ -561,10 +568,8 @@ object Hnsw {
     val fp = IndexMeta.cachedFingerprint(dir, s"p=$p;r=$replication", Seq(embeddings, cents)) {
       // centroid content rides in the fingerprint (tiny: C rows) so a
       // re-trained routing table also invalidates the persisted shards
-      val cfp = cents.agg(
-        sum(crc32(concat_ws(":", col("centroid_id"),
-          concat_ws(",", col("centroid_vec").cast("array<string>")))))).head().get(0)
-      fingerprint(embeddings, s"p=$p;r=$replication;c=$cfp")
+      fingerprint(embeddings,
+        s"p=$p;r=$replication;c=${IndexMeta.centroidFingerprint(cents)}")
     }
     if (!indexValid(spark, dir, fp)) {
       saveRouted(embeddings, cents, p, dir, replication)
@@ -603,7 +608,11 @@ object Hnsw {
                           baseDir: String, dir: String): (DataFrame, DataFrame) = {
     val spark = base.sparkSession
     val fp = IndexMeta.cachedFingerprint(dir, s"p=$p;incr", Seq(base, fresh)) {
-      fingerprint(base.unionByName(fresh), s"p=$p;incr")
+      // base and fresh fingerprint SEPARATELY: the same total content
+      // under a different base/fresh split builds a different graph
+      // (which rows took the beam-insert path changes the edges), so a
+      // moved split must invalidate even when the union is unchanged
+      s"${fingerprint(base, s"p=$p;incr;base")}|${fingerprint(fresh, "fresh")}"
     }
     if (!indexValid(spark, dir, fp)) {
       val (nodes0, edges0) = ensureSaved(base, p, baseDir)

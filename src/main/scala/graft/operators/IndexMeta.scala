@@ -41,6 +41,37 @@ private[graft] object IndexMeta {
     s"n=${r.getLong(0)};h=${r.get(1)};$extra"
   }
 
+  /** Order-invariant content CRC of a `(centroid_id, centroid_vec)`
+    * table — the tiny (C-row) component of every routed/partitioned
+    * index fingerprint. One definition shared by `Hnsw.ensureSavedRouted`
+    * and `Ivf.ensurePartitionedWith` so the two index families'
+    * staleness semantics cannot drift.
+    */
+  def centroidFingerprint(cents: DataFrame): String =
+    String.valueOf(cents.agg(
+      sum(crc32(concat_ws(":", col("centroid_id"),
+        concat_ws(",", col("centroid_vec").cast("array<string>")))))).head().get(0))
+
+  /** Contract guard for the driver-resident memos (`Ivf.kmeansCached`,
+    * `Pq.codebooksCached`): `key` must identify the scanned table. When
+    * the plan bottoms out in file scans, require the key to match one of
+    * their root paths — a caller passing a different table under a
+    * reused key would otherwise silently get values trained on the
+    * wrong data. In-memory test frames have no file leaves → no check.
+    */
+  def requireKeyMatchesScan(df: DataFrame, key: String): Unit = {
+    val leaves = df.queryExecution.analyzed.collectLeaves().flatMap {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          fs.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+      case _ => Nil
+    }
+    require(leaves.isEmpty || leaves.exists(_.contains(key)),
+      s"memo key '$key' does not identify the scanned table (leaves: $leaves)")
+  }
+
   private def fpFile(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/_graft_fingerprint")
 
   def write(spark: SparkSession, dir: String, fp: String): Unit = {

@@ -135,21 +135,9 @@ object Ivf {
   def kmeansCached(embeddings: DataFrame, c: Int, iters: Int, key: String): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    // Guard the memo contract: `key` must identify the scanned table.
-    // When the plan bottoms out in file scans, require the key to match
-    // one of their root paths — a caller passing a different table
-    // under a reused key would otherwise get bit-wrong centroids with
-    // no error. (In-memory test frames have no file leaves → no check.)
-    val leaves = embeddings.queryExecution.analyzed.collectLeaves().flatMap {
-      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr.relation match {
-        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-          fs.location.rootPaths.map(_.toString)
-        case _ => Nil
-      }
-      case _ => Nil
-    }
-    require(leaves.isEmpty || leaves.exists(_.contains(key)),
-      s"kmeansCached key '$key' does not identify the scanned table (leaves: $leaves)")
+    // A caller passing a different table under a reused key would get
+    // bit-wrong centroids with no error — fail loudly instead.
+    IndexMeta.requireKeyMatchesScan(embeddings, key)
     kmeansMemo.getOrElseUpdate((key, c, iters),
       kmeans(embeddings, c, iters).as[(Long, Seq[Double])].collect())
       .toSeq.toDF("centroid_id", "centroid_vec")
@@ -201,10 +189,8 @@ object Ivf {
                             tag: String): Unit = {
     val spark = embeddings.sparkSession
     val fp = IndexMeta.cachedFingerprint(dir, s"ivfw_$tag", Seq(embeddings, cents)) {
-      val cfp = cents.agg(
-        sum(crc32(concat_ws(":", col("centroid_id"),
-          concat_ws(",", col("centroid_vec").cast("array<string>")))))).head().get(0)
-      IndexMeta.fingerprint(embeddings, s"ivfw_$tag;c=$cfp")
+      IndexMeta.fingerprint(embeddings,
+        s"ivfw_$tag;c=${IndexMeta.centroidFingerprint(cents)}")
     }
     if (!IndexMeta.valid(spark, dir, "_SUCCESS", fp)) {
       writePartitionedWith(embeddings, cents, dir)

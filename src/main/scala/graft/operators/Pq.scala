@@ -58,6 +58,9 @@ object Pq {
                       key: String): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    // Same hazard as Ivf.kmeansCached: a different table under a reused
+    // key would get bit-wrong codebooks with no error — fail loudly.
+    IndexMeta.requireKeyMatchesScan(embeddings, key)
     memo.getOrElseUpdate((key, m, subDim, c, iters),
         codebooks(embeddings, m, subDim, c, iters)
           .as[(Int, Long, Seq[Double])].collect())

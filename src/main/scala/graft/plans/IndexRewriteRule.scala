@@ -53,7 +53,10 @@ import graft.functions.L2DistanceSqExpr
   *
   * If the query side cannot be executed or is unexpectedly large, the
   * rewrite falls back to a per-row membership predicate (the CASE rank
-  * over centroid distances — correct for any batch, O(C) per row).
+  * over centroid distances — correct for any batch, O(C) per row). The
+  * query side is executed AT MOST ONCE per rewrite, and if the executed
+  * rows contain null ids or vectors the rule declines entirely (the
+  * naive plan's null-distance semantics have no probe analog).
   * Everything above the join — projection, window, sort, limit — is
   * preserved untouched, so output attributes and exprIds are unchanged
   * and the rewrite composes with TakeOrderedAndProject.
@@ -98,7 +101,8 @@ case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
         head <- orders.headOption
         if head.direction == Ascending && head.child.semanticEquals(distAlias.toAttribute)
         (qAttr, idAttr, idx) <- indexedSides(distAlias.child, left, right)
-      } yield rewrite(join, left, idAttr, qAttr, idx, qidAttr = None)
+        r <- rewrite(join, left, idAttr, qAttr, idx, qidAttr = None)
+      } yield r
     case _ => None
   }
 
@@ -143,8 +147,8 @@ case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
         case _ => None
       }
       (qAttr, idAttr, idx) <- indexedSides(distAlias.child, left, right)
-    } yield w.copy(child =
-      rebuildChild(Project(projList, rewrite(join, left, idAttr, qAttr, idx, Some(qidAttr)))))
+      r <- rewrite(join, left, idAttr, qAttr, idx, Some(qidAttr))
+    } yield w.copy(child = rebuildChild(Project(projList, r)))
   }
 
   /** Unwraps `w.child` down to `Project(projList, join)`, tolerating an
@@ -181,6 +185,19 @@ case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       idx <- IndexCatalog.lookup(path)
     } yield (qAttr, idAttr, idx)
 
+  /** Plan-time probe set — computed ONCE per rewrite and shared by the
+    * partitioned-copy and assignment-join forms (executing the query
+    * side is a Spark job; running it twice per optimization would
+    * double the plan-time cost).
+    */
+  private sealed trait Probe
+  /** Single query: the nprobe nearest centroid ids. */
+  private case class SingleCells(cells: Seq[Long]) extends Probe
+  /** Batch: the executed (query_id, query_vec) rows, all non-null. */
+  private case class BatchVecs(rows: Seq[(Any, Array[Double])]) extends Probe
+  /** Query side not executable at plan time → per-row predicate. */
+  private case object PerRow extends Probe
+
   /** The probe rewrite. Preferred form when the index carries a
     * cell-PARTITIONED copy of the table: serve the scan from that copy
     * with the probe as a PARTITION filter (unprobed cells' files are
@@ -188,14 +205,48 @@ case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     * original scan with the assignment table on vec_id and keep only
     * rows whose cell is in their query's nprobe nearest centroids — as
     * literal membership when the query side is executable at plan time,
-    * as a per-row predicate fallback otherwise.
+    * as a per-row predicate fallback otherwise. None (keep the naive
+    * plan) when the executed query side contains nulls.
     */
   private def rewrite(join: Join, left: LogicalPlan, idAttr: Attribute,
                       qAttr: Attribute, idx: IndexCatalog.IvfIndex,
-                      qidAttr: Option[Attribute]): LogicalPlan =
-    idx.partitionedPath
-      .flatMap(pp => rewriteToPartitioned(join, left, qAttr, idx, pp, qidAttr))
-      .getOrElse(rewriteWithAssignJoin(join, left, idAttr, qAttr, idx, qidAttr))
+                      qidAttr: Option[Attribute]): Option[LogicalPlan] =
+    computeProbe(join.right, qAttr, qidAttr, idx).map { probe =>
+      idx.partitionedPath
+        .flatMap(pp => rewriteToPartitioned(join, left, qAttr, idx, pp, qidAttr, probe))
+        .getOrElse(rewriteWithAssignJoin(join, left, idAttr, qAttr, idx, qidAttr, probe))
+    }
+
+  /** Execute the query side (once). None — NO rewrite, original plan
+    * kept — when any executed query id/vector is null or malformed: a
+    * null query vector has defined naive semantics (null distance, sorts
+    * per null ordering) that no probe set can reproduce, and silently
+    * dropping those queries would be wrong results, not approximation.
+    */
+  private def computeProbe(right: LogicalPlan, qAttr: Attribute,
+                           qidAttr: Option[Attribute],
+                           idx: IndexCatalog.IvfIndex): Option[Probe] = qidAttr match {
+    case None =>
+      executeQuerySide(Project(Seq(qAttr), right), maxRows = 2) match {
+        case Some(rows) if rows.length == 1 =>
+          if (rows.head.isNullAt(0)) None
+          else scala.util.Try(vecOf(rows.head.getArray(0), qAttr.dataType)).toOption
+            .map(v => SingleCells(probedCells(v, idx)))
+        case _ => Some(PerRow)
+      }
+    case Some(qid) =>
+      // InternalRow in probeRelation carries qid verbatim — only
+      // primitive-backed ids
+      if (!Seq[DataType](LongType, IntegerType).contains(qid.dataType)) Some(PerRow)
+      else executeQuerySide(Project(Seq(qid, qAttr), right), maxRows = 100000) match {
+        case Some(rows) =>
+          if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) None
+          else scala.util.Try(rows.map(r =>
+              (r.get(0, qid.dataType), vecOf(r.getArray(1), qAttr.dataType))))
+            .toOption.map(BatchVecs(_))
+        case None => Some(PerRow)
+      }
+  }
 
   /** Replace the scan side with the cell-partitioned copy, filtered to
     * the probed cells (a partition filter), with every original output
@@ -207,7 +258,8 @@ case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     */
   private def rewriteToPartitioned(join: Join, left: LogicalPlan, qAttr: Attribute,
                                    idx: IndexCatalog.IvfIndex, pp: String,
-                                   qidAttr: Option[Attribute]): Option[LogicalPlan] = {
+                                   qidAttr: Option[Attribute],
+                                   probe: Probe): Option[LogicalPlan] = {
     if (!prunableScan(left)) return None
     val scan = spark.read.parquet(pp).queryExecution.analyzed
     val byName = scan.output.map(a => a.name -> a).toMap
@@ -216,25 +268,25 @@ case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       Alias(na, a.name)(exprId = a.exprId): NamedExpression))
     if (mapped.exists(_.isEmpty)) return None
     val aliases = mapped.flatten
-    qidAttr match {
-      case None =>
-        singleQueryCells(join.right, qAttr, idx).map { cells =>
-          val pruned = Filter(In(cellAttr, cells.map(typedLit(_, cellAttr.dataType))), scan)
-          join.copy(left = Project(aliases, pruned))
-        }
-      case Some(qid) =>
-        batchProbeRelation(join.right, qid, qAttr, idx, cellAttr.dataType).map { rel =>
-          // partition-prune to the UNION of all queries' probed cells,
-          // then the per-query (query_id, cell) equi-join restores
-          // per-query exactness of the probe set
-          val unionCells = rel.data.map(_.get(1, cellAttr.dataType)).distinct
-          val pruned = Filter(
-            In(cellAttr, unionCells.map(v => Literal.create(v, cellAttr.dataType))), scan)
-          val crossed = join.copy(left = Project(aliases :+ cellAttr, pruned))
-          val Seq(pQid, pCell) = rel.output
-          Join(crossed, rel, Inner,
-            Some(And(EqualTo(qid, pQid), EqualTo(cellAttr, pCell))), JoinHint.NONE)
-        }
+    (qidAttr, probe) match {
+      case (None, SingleCells(cells)) =>
+        val pruned = Filter(In(cellAttr, cells.map(typedLit(_, cellAttr.dataType))), scan)
+        Some(join.copy(left = Project(aliases, pruned)))
+      case (Some(qid), BatchVecs(qrows)) =>
+        val rel = probeRelation(qrows, idx, qid.dataType, cellAttr.dataType)
+        // partition-prune to the UNION of all queries' probed cells,
+        // then the per-query (query_id, cell) equi-join restores
+        // per-query exactness of the probe set
+        val unionCells = rel.data.map(_.get(1, cellAttr.dataType)).distinct
+        val pruned = Filter(
+          In(cellAttr, unionCells.map(v => Literal.create(v, cellAttr.dataType))), scan)
+        val crossed = join.copy(left = Project(aliases :+ cellAttr, pruned))
+        val Seq(pQid, pCell) = rel.output
+        Some(Join(crossed, rel, Inner,
+          Some(And(EqualTo(qid, pQid), EqualTo(cellAttr, pCell))), JoinHint.NONE))
+      // PerRow has no literal cells — nothing to partition-prune with;
+      // fall through to the assignment join + per-row predicate
+      case _ => None
     }
   }
 
@@ -253,7 +305,8 @@ case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
   /** The in-place form: assignment-table join + probe predicate. */
   private def rewriteWithAssignJoin(join: Join, left: LogicalPlan, idAttr: Attribute,
                                     qAttr: Attribute, idx: IndexCatalog.IvfIndex,
-                                    qidAttr: Option[Attribute]): LogicalPlan = {
+                                    qidAttr: Option[Attribute],
+                                    probe: Probe): LogicalPlan = {
     val assignRel = spark.read.parquet(idx.assignPath).queryExecution.analyzed
     val aVecId = assignRel.output.find(_.name == "vec_id")
       .getOrElse(sys.error(s"assignment table ${idx.assignPath} lacks vec_id"))
@@ -262,54 +315,32 @@ case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     val newLeft = Join(left, assignRel, Inner,
       Some(EqualTo(idAttr, aVecId)), JoinHint.NONE)
     val crossed = join.copy(left = newLeft)
-    qidAttr match {
-      case None => // single query: cell IN (<nprobe literals>)
-        singleQueryCells(join.right, qAttr, idx) match {
-          case Some(cells) =>
-            Filter(In(aCell, cells.map(typedLit(_, aCell.dataType))), crossed)
-          case None => Filter(probeFilter(qAttr, aCell, idx), crossed)
-        }
-      case Some(qid) => // batch: equi-join against the (query_id, cell) probe table
-        batchProbeRelation(join.right, qid, qAttr, idx, aCell.dataType) match {
-          case Some(rel) =>
-            val Seq(pQid, pCell) = rel.output
-            Join(crossed, rel, Inner,
-              Some(And(EqualTo(qid, pQid), EqualTo(aCell, pCell))), JoinHint.NONE)
-          case None => Filter(probeFilter(qAttr, aCell, idx), crossed)
-        }
+    (qidAttr, probe) match {
+      case (None, SingleCells(cells)) => // single query: cell IN (<nprobe literals>)
+        Filter(In(aCell, cells.map(typedLit(_, aCell.dataType))), crossed)
+      case (Some(qid), BatchVecs(qrows)) =>
+        // batch: equi-join against the (query_id, cell) probe table
+        val rel = probeRelation(qrows, idx, qid.dataType, aCell.dataType)
+        val Seq(pQid, pCell) = rel.output
+        Join(crossed, rel, Inner,
+          Some(And(EqualTo(qid, pQid), EqualTo(aCell, pCell))), JoinHint.NONE)
+      case _ => Filter(probeFilter(qAttr, aCell, idx), crossed)
     }
   }
 
-  /** Execute the (by contract tiny) single-row query side at plan time
-    * and rank centroids exactly as `Ivf.topKWith` does (sqrt-l2
-    * ascending, ties by centroid id). None unless exactly one row.
+  /** Materialize a batch probe set as a `(query_id, cell)` local
+    * relation of Q·nprobe rows. `nullable = false` is sound:
+    * [[computeProbe]] aborts the whole rewrite when the executed batch
+    * contains null ids or vectors.
     */
-  private def singleQueryCells(right: LogicalPlan, qAttr: Attribute,
-                               idx: IndexCatalog.IvfIndex): Option[Seq[Long]] =
-    executeQuerySide(Project(Seq(qAttr), right), maxRows = 2).flatMap { rows =>
-      if (rows.length != 1) None
-      else Some(probedCells(vecOf(rows.head.getArray(0), qAttr.dataType), idx))
+  private def probeRelation(qrows: Seq[(Any, Array[Double])], idx: IndexCatalog.IvfIndex,
+                            qidType: DataType, cellType: DataType): LocalRelation = {
+    val qidOut = AttributeReference("graft_probe_qid", qidType, nullable = false)()
+    val cellOut = AttributeReference("graft_probe_cell", cellType, nullable = false)()
+    val data = qrows.flatMap { case (qid, vec) =>
+      probedCells(vec, idx).map(c => InternalRow(qid, internalCell(c, cellType)))
     }
-
-  /** Execute the batch query side and materialize its probe set as a
-    * `(query_id, cell)` local relation of Q·nprobe rows. None when the
-    * side is not executable or larger than the broadcast-side contract.
-    */
-  private def batchProbeRelation(right: LogicalPlan, qidAttr: Attribute, qAttr: Attribute,
-                                 idx: IndexCatalog.IvfIndex,
-                                 cellType: DataType): Option[LocalRelation] = {
-    // InternalRow below carries qid verbatim — only primitive-backed ids
-    if (!Seq[DataType](LongType, IntegerType).contains(qidAttr.dataType)) return None
-    executeQuerySide(Project(Seq(qidAttr, qAttr), right), maxRows = 100000).map { rows =>
-      val qidOut = AttributeReference("graft_probe_qid", qidAttr.dataType, nullable = false)()
-      val cellOut = AttributeReference("graft_probe_cell", cellType, nullable = false)()
-      val data = rows.flatMap { r =>
-        val qid = r.get(0, qidAttr.dataType)
-        probedCells(vecOf(r.getArray(1), qAttr.dataType), idx)
-          .map(c => InternalRow(qid, internalCell(c, cellType)))
-      }
-      LocalRelation(Seq(qidOut, cellOut), data)
-    }
+    LocalRelation(Seq(qidOut, cellOut), data)
   }
 
   /** Run a plan-time subquery (a fresh QueryExecution — the same

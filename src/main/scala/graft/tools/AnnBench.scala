@@ -22,6 +22,14 @@ import graft.sources.Tables
   * one JSON line (also written to target/scale_smoke.json).
   */
 object AnnBench {
+
+  /** Locale-independent fixed-decimal rendering: the `f""` interpolator
+    * uses the JVM default locale, which can emit comma decimals
+    * (invalid JSON) on e.g. de_DE machines.
+    */
+  private def fmt(d: Double, decimals: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(d))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -41,7 +49,8 @@ object AnnBench {
         System.gc()
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
-      println(f"[annbench] $label%-28s ${ts.min}%.2f s (min of 3: ${ts.map(t => f"$t%.2f").mkString(", ")})")
+      println(s"[annbench] ${label.padTo(28, ' ')} ${fmt(ts.min, 2)} s " +
+        s"(min of 3: ${ts.map(fmt(_, 2)).mkString(", ")})")
     }
 
     for (p <- Seq(2, 4, 8, 16)) {
@@ -107,8 +116,8 @@ object AnnBench {
       val sec = (System.nanoTime() - t) / 1e9
       val recall = Hnsw.recallOf(serve(sample, pe), emb, sample, 10)
         .agg(avg(col("recall"))).head().getDouble(0)
-      s"""{"ef_search":$ef,"serve_sec":${f"$sec%.2f"},""" +
-        s""""queries_per_sec":${(nQueries / sec).toInt},"recall_at_10":${f"$recall%.4f"}}"""
+      s"""{"ef_search":$ef,"serve_sec":${fmt(sec, 2)},""" +
+        s""""queries_per_sec":${(nQueries / sec).toInt},"recall_at_10":${fmt(recall, 4)}}"""
     }
 
     val efs = Seq(64, 128)
@@ -133,15 +142,15 @@ object AnnBench {
     })
 
     val json =
-      s"""{"scale_smoke":{"n":$n,"dim":$dim,"build_sec":${f"$buildSec%.2f"},""" +
+      s"""{"scale_smoke":{"n":$n,"dim":$dim,"build_sec":${fmt(buildSec, 2)},""" +
         s""""inserts_per_sec":${(n / buildSec).toInt},""" +
-        s""""index_bytes":$indexBytes,"index_bytes_per_row":${f"${indexBytes.toDouble / n}%.1f"},""" +
+        s""""index_bytes":$indexBytes,"index_bytes_per_row":${fmt(indexBytes.toDouble / n, 1)},""" +
         s""""cached_vector_bytes":$cachedVecBytes,""" +
         s""""n_hnsw_edges":$nEdges,"query_batch":$nQueries,""" +
         s""""recall_sample_queries":200,""" +
         s""""exhaustive":[${exhaustive.mkString(",")}],""" +
         s""""routed":{"cells":64,"nprobe":8,"replication":2,""" +
-        s""""build_sec":${f"$routedBuildSec%.2f"},"index_bytes":$routedBytes,""" +
+        s""""build_sec":${fmt(routedBuildSec, 2)},"index_bytes":$routedBytes,""" +
         s""""serves":[${routed.mkString(",")}]},""" +
         s""""reference":"SizeTest(1e6,25,64) hnsw.cc:485-488 -- 167MB vectors, 5.6s wall, 5530 q/s @ recall 0.30"}}"""
     println(json)

@@ -120,6 +120,22 @@ class HnswSpec extends AnyFunSuite {
       === edges1.select("part", "src", "dst", "layer").collect().map(_.toSeq).toSet)
   }
 
+  test("ensureInsertedSaved: a changed base/fresh split of the same rows rebuilds") {
+    val p4 = Hnsw.Params(numPartitions = 4)
+    def tmp(tag: String) = java.nio.file.Files.createTempDirectory(tag).toString
+    val dir = tmp("hnsw_split")
+    Hnsw.ensureInsertedSaved(emb.filter(col("vec_id") < 180),
+      emb.filter(col("vec_id") >= 180), p4, tmp("hnsw_split_b1"), dir)
+    val fp1 = graft.operators.IndexMeta.read(spark, dir).get
+    // same UNION (all 200 rows), different split: the graph differs
+    // (which rows took the beam-insert path), so the fingerprint must too
+    Hnsw.ensureInsertedSaved(emb.filter(col("vec_id") < 170),
+      emb.filter(col("vec_id") >= 170), p4, tmp("hnsw_split_b2"), dir)
+    val fp2 = graft.operators.IndexMeta.read(spark, dir).get
+    assert(fp1 !== fp2,
+      "identical total content under a moved split must invalidate the persisted index")
+  }
+
   test("oversized shard fails fast with a sizing error, not an OOM") {
     val tiny = Hnsw.Params(numPartitions = 2, maxShardRows = 10)
     val e = intercept[Exception] { Hnsw.buildEdges(emb, tiny).collect() }

@@ -180,6 +180,56 @@ class IndexRewriteSpec extends AnyFunSuite {
     IndexCatalog.unregister(dataPath)
   }
 
+  test("null query vector: rule declines, planning succeeds, result matches unrewritten") {
+    IndexCatalog.buildAndRegister(spark, dataPath, c = C, iters = 2,
+      nprobe = 2, indexDir)
+    val qdir = java.nio.file.Files.createTempDirectory("idxrw_nullq").toString
+    Seq(Tuple1(null: Array[Double])).toDF("query_vec").write.parquet(s"$qdir/q.parquet")
+    val q = spark.read.parquet(s"$qdir/q.parquet")
+    val emb = spark.read.parquet(dataPath)
+    def naiveNull = emb.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(l2Distance(col("embedding"), col("query_vec")), 6).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(10)
+    def keyed(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) Double.NaN else r.getDouble(1))).toSeq
+    val plain = keyed(naiveNull) // rule not installed: null dist, ordered by vec_id
+    withRule {
+      val df = naiveNull
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(!opt.contains("cell#"),
+        s"rule must decline on a null query vector (no probe can reproduce null-distance semantics):\n$opt")
+      assert(keyed(df).toString === plain.toString,
+        "declined plan must execute with unrewritten semantics")
+    }
+    IndexCatalog.unregister(dataPath)
+  }
+
+  test("batch shape with a null query id: rule declines and matches unrewritten") {
+    IndexCatalog.buildAndRegister(spark, dataPath, c = C, iters = 2,
+      nprobe = 2, indexDir)
+    val emb = spark.read.parquet(dataPath)
+    val qdir = java.nio.file.Files.createTempDirectory("idxrw_nullqid").toString
+    // one real query id + one NULL id (null forms its own window partition)
+    emb.filter(col("vec_id") < 2)
+      .select(when(col("vec_id") === 0, col("vec_id")).as("query_id"),
+        perturbQuery(col("embedding")).as("query_vec"))
+      .write.parquet(s"$qdir/q.parquet")
+    val qs = spark.read.parquet(s"$qdir/q.parquet")
+    def naiveBatch = Knn.topKBatch(emb, qs, 10)
+    def keyed(df: DataFrame) = df.collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = keyed(naiveBatch)
+    withRule {
+      val df = naiveBatch
+      assert(!df.queryExecution.optimizedPlan.toString.contains("graft_probe_qid"),
+        "rule must decline on a null query id (the probe join would silently drop that query)")
+      assert(keyed(df) === plain)
+    }
+    IndexCatalog.unregister(dataPath)
+  }
+
   test("no registered index: plan is untouched") {
     IndexCatalog.unregister(dataPath)
     withRule {

@@ -58,6 +58,21 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("codebooksCached rejects a memo key that does not identify the scanned table") {
+    val dir = java.nio.file.Files.createTempDirectory("pq_memo").toString
+    emb.write.parquet(s"$dir/emb.parquet")
+    val onDisk = spark.read.parquet(s"$dir/emb.parquet")
+    // the scanned path as key: accepted, memoized
+    assert(Pq.codebooksCached(onDisk, M, SubDim, C, 1, s"$dir/emb.parquet").count()
+      === M.toLong * C)
+    // a key naming a different table: must fail loudly, never silently
+    // serve codebooks trained on other data
+    val e = intercept[IllegalArgumentException] {
+      Pq.codebooksCached(onDisk, M, SubDim, C, 1, "/some/other/table")
+    }
+    assert(e.getMessage.contains("does not identify"))
+  }
+
   test("ADC ranks the quantized space correctly: self-query's own cell wins at c = N") {
     // with one centroid per vector (c = N on a tiny set), quantization
     // is lossless and ADC == exact kNN
