@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, CorpusPipeline, Dedup, Events, Hnsw, Ivf, Knn, Multimodal, Pq, Relational, TextAnalysis, VectorLsh}
+import graft.operators.{AsofJoin, CorpusPipeline, Dedup, Events, Hnsw, Ivf, Knn, Multimodal, Pq, Relational, Sampling, TextAnalysis, VectorLsh}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -266,6 +266,15 @@ object SparkEntry {
         WHERE a.cell IN (SELECT cid FROM probed)
         ORDER BY dist, e.vec_id LIMIT 10"""
 
+  // Sampling constants shared by the Spark queries AND their generated
+  // oracles (fraction sums and rate arithmetic must be the same doubles
+  // on both sides; Scala's Double.toString round-trips through DuckDB's
+  // literal parser bit-exactly).
+  private val splitTrain = 0.9
+  private val splitVal = 0.05
+  private val mixTargets = Map(
+    "en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
+
   /** events with ts truncated to µs TIMESTAMP (matches Spark's ntz µs). */
   private val duckEvents =
     "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
@@ -482,6 +491,22 @@ object SparkEntry {
     // hash-match is exact even though candidate generation is lossy.
     "q_vector_lsh_pairs" -> ((s, dir) =>
       VectorLsh.pairs(Tables.embeddings(s, dir), dim = 64, threshold = 0.4)),
+
+    // ---- deterministic sampling (corpus curation stages) ----
+    // Hash-keyed, not RNG-keyed: identical results at any parallelism /
+    // retry, and a row's membership is stable as the corpus grows.
+    "q_sample_bernoulli" -> ((s, dir) =>
+      Sampling.bernoulli(Tables.documents(s, dir), col("doc_id"), 0.3)
+        .select(col("doc_id"), col("source"))),
+    "q_sample_split" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Sampling.splitLabel(col("doc_id"), splitTrain, splitVal).as("split"))),
+    // Re-weight the corpus to a target language mixture at the largest
+    // achievable size (binding stratum kept whole, rest subsampled).
+    "q_domain_mix" -> ((s, dir) =>
+      Sampling.domainMix(Tables.documents(s, dir), col("lang"), col("doc_id"), mixTargets)
+        .select(col("doc_id"), col("lang"))),
 
     // ---- multimodal (documents' bytes as opaque payloads) ----
     // Meta half (frame sampling + resize math) is pure column algebra →
@@ -732,6 +757,28 @@ object SparkEntry {
       s"""SELECT l_returnflag, ${duckDsum("l_extendedprice")} AS sum_value,
                  count(*) AS n_rows
           FROM lineitem GROUP BY l_returnflag""",
+
+    "q_sample_bernoulli" ->
+      s"SELECT doc_id, source FROM documents WHERE ${duckUnitHash("doc_id")} < 0.3",
+    "q_sample_split" ->
+      s"""SELECT doc_id,
+            CASE WHEN ${duckUnitHash("doc_id")} < $splitTrain THEN 'train'
+                 WHEN ${duckUnitHash("doc_id")} < ${splitTrain + splitVal} THEN 'val'
+                 ELSE 'test' END AS split
+          FROM documents""",
+    // mirror of Sampling.mixRates + domainMix: same K = min(n/t) and
+    // rate = least(1, t*K/n) expression shapes → identical doubles
+    "q_domain_mix" -> {
+      val vals = mixTargets.toSeq.sortBy(_._1)
+        .map { case (l, t) => s"('$l', $t)" }.mkString(", ")
+      s"""WITH t(lang, tgt) AS (VALUES $vals),
+          n AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
+          k AS (SELECT min(n.n / t.tgt) AS k FROM n JOIN t USING (lang)),
+          r AS (SELECT n.lang, least(1.0, t.tgt * k.k / n.n) AS rate
+                FROM n JOIN t USING (lang), k)
+          SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+          WHERE ${duckUnitHash("d.doc_id")} < r.rate"""
+    },
 
     "q_multimodal_meta" ->
       """WITH a AS (SELECT doc_id AS asset_id,

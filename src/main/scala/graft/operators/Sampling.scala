@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** Deterministic sampling for training-data pipelines: Bernoulli
+  * subsampling, train/val/test splitting, and domain mixing (re-weight
+  * corpus strata to target mixture proportions). No counterpart in the
+  * reference (vector-only surface); standard corpus-curation stages.
+  *
+  * Everything keys on [[Portable.unitHash]] — a pure function of the
+  * row's id — instead of an RNG: no per-task seed state, identical
+  * results at any partitioning/parallelism/retry, and a row's
+  * membership never changes when the corpus around it grows (the
+  * property that keeps eval splits stable across dataset versions).
+  * Purely narrow map-side filters — no shuffle at any scale; the one
+  * aggregation ([[mixRates]]) moves C stratum counts to the driver,
+  * the legitimate small side.
+  */
+object Sampling {
+
+  /** Deterministic Bernoulli sample: keep the row iff
+    * `unitHash(key) < rate`. Expected fraction `rate`, exact
+    * reproducibility, zero shuffle.
+    */
+  def bernoulli(df: DataFrame, key: Column, rate: Double): DataFrame =
+    df.filter(Portable.unitHash(key) < lit(rate))
+
+  /** Deterministic split label (`train` / `val` / `test`) by hash
+    * range: `[0, trainFrac)` → train, `[trainFrac, trainFrac+valFrac)`
+    * → val, rest → test. A row's split never changes when other rows
+    * are added or removed.
+    */
+  def splitLabel(key: Column, trainFrac: Double, valFrac: Double): Column = {
+    val u = Portable.unitHash(key)
+    when(u < lit(trainFrac), lit("train"))
+      .when(u < lit(trainFrac + valFrac), lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  /** Per-stratum keep rates that hit the target mixture `targets`
+    * (stratum → proportion) at the LARGEST achievable total:
+    * `K = min_s n_s / t_s` (the binding stratum is kept whole) and
+    * `rate_s = min(1, t_s · K / n_s)`. Strata present in the data but
+    * absent from `targets` get no rate (dropped by [[domainMix]]).
+    *
+    * One count aggregation; C stratum counts collect to the driver.
+    * The arithmetic is plain IEEE doubles in a fixed expression shape
+    * (`n/t` for K, `t*K/n` for the rate) so an engine mirroring the
+    * shape reproduces the rates bit-for-bit — which keeps
+    * [[domainMix]] oracle-checkable.
+    */
+  def mixRates(df: DataFrame, strata: Column, targets: Map[String, Double])
+      : Map[String, Double] = {
+    val counts = df.groupBy(strata.as("s")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val present = targets.filter { case (s, _) => counts.contains(s) }
+    require(present.nonEmpty, s"no target stratum present in data: ${targets.keys}")
+    val k = present.map { case (s, t) => counts(s) / t }.min
+    present.map { case (s, t) => s -> math.min(1.0, t * k / counts(s)) }
+  }
+
+  /** Domain mixing: subsample each stratum at its [[mixRates]] rate so
+    * the output's mixture matches `targets` (in expectation) at the
+    * largest achievable size. Strata not in `targets` are dropped.
+    * After the one counting pass, a narrow map-side filter.
+    */
+  def domainMix(df: DataFrame, strata: Column, key: Column,
+                targets: Map[String, Double]): DataFrame = {
+    val rates = mixRates(df, strata, targets)
+    // deterministic CASE order; unitHash > 0 always, so rate 0 == drop
+    val rate = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(0.0)) { case (acc, (s, r)) => when(strata === lit(s), lit(r)).otherwise(acc) }
+    df.filter(Portable.unitHash(key) < rate)
+  }
+}

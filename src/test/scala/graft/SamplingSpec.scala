@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sampling
+
+/** Deterministic sampling invariants: reproducibility, stability under
+  * corpus growth, split partition laws, and the domain-mix rate
+  * formula (binding stratum kept whole, output mixture ≈ targets).
+  */
+class SamplingSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  // skewed strata: 600 a, 300 b, 100 c
+  private lazy val docs = ((0L until 600L).map(i => (i, "a")) ++
+    (600L until 900L).map(i => (i, "b")) ++
+    (900L until 1000L).map(i => (i, "c")))
+    .toDF("doc_id", "lang").cache()
+
+  test("bernoulli: deterministic, ~rate fraction kept, subset of input") {
+    val s1 = Sampling.bernoulli(docs, col("doc_id"), 0.3).collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.bernoulli(docs, col("doc_id"), 0.3).collect().map(_.getLong(0)).toSet
+    assert(s1 === s2)
+    assert(s1.size > 200 && s1.size < 400, s"kept ${s1.size} of 1000 at rate 0.3")
+    // membership is a pure function of the id: sampling a SUBSET of the
+    // corpus keeps exactly the intersection (rows don't flip when the
+    // corpus around them changes — the stable-eval-split property)
+    val sub = Sampling.bernoulli(docs.filter(col("doc_id") < 500), col("doc_id"), 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(sub === s1.filter(_ < 500))
+  }
+
+  test("splitLabel: total disjoint partition with ~0.9/0.05/0.05 fractions") {
+    val labeled = docs.select(col("doc_id"),
+      Sampling.splitLabel(col("doc_id"), 0.9, 0.05).as("split")).cache()
+    assert(labeled.count() === 1000)
+    val counts = labeled.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts("train") > 850 && counts("train") < 950, s"train=${counts("train")}")
+    assert(counts("val") > 20 && counts("val") < 80, s"val=${counts("val")}")
+    assert(counts("test") > 20 && counts("test") < 80, s"test=${counts("test")}")
+  }
+
+  test("mixRates: binding stratum rate is 1.0 and rates follow t·K/n") {
+    val targets = Map("a" -> 0.5, "b" -> 0.2, "c" -> 0.3)
+    val rates = Sampling.mixRates(docs, col("lang"), targets)
+    // K = min(600/0.5, 300/0.2, 100/0.3) = min(1200, 1500, 333.3) → c binds
+    val k = 100.0 / 0.3
+    assert(rates("c") === 1.0)
+    assert(rates("a") === 0.5 * k / 600.0)
+    assert(rates("b") === 0.2 * k / 300.0)
+    assert(rates.values.forall(r => r > 0.0 && r <= 1.0))
+  }
+
+  test("domainMix: output mixture approximates targets; untargeted strata dropped") {
+    val targets = Map("a" -> 0.5, "b" -> 0.5) // c untargeted → dropped
+    val mixed = Sampling.domainMix(docs, col("lang"), col("doc_id"), targets).cache()
+    val counts = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!counts.contains("c"), "stratum without a target must be dropped")
+    // b binds (300/0.5 = 600 < 1200): kept whole; a subsampled to ~300
+    assert(counts("b") === 300)
+    assert(counts("a") > 240 && counts("a") < 360, s"a=${counts("a")}")
+    // kept rows are a subset of the input rows
+    assert(mixed.join(docs, Seq("doc_id"), "left_anti").count() === 0)
+  }
+}
