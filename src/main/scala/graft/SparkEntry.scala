@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, CorpusPipeline, Dedup, Events, Hnsw, Ivf, Knn, Multimodal, Pq, Relational, Sampling, TextAnalysis, VectorLsh}
+import graft.operators.{AsofJoin, CorpusPipeline, Dedup, Events, Hnsw, Ivf, Knn, Multimodal, Packing, Pq, Relational, Sampling, TextAnalysis, VectorLsh}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -444,6 +444,13 @@ object SparkEntry {
     "q_doc_stats" -> ((s, dir) => TextAnalysis.docStats(Tables.documents(s, dir))),
     "q_token_counting" -> ((s, dir) => TextAnalysis.tokenCounting(Tables.documents(s, dir))),
     "q_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
+    // Gopher-style repetition cut input: duplicate-shingle fraction.
+    "q_repetition" -> ((s, dir) => TextAnalysis.repetition(Tables.documents(s, dir))),
+    // Concat-then-chunk sequence packing into 1024-token training
+    // sequences, per source (groups pack in parallel; no global sort).
+    "q_sequence_pack" -> ((s, dir) =>
+      Packing.packSequences(Tables.documents(s, dir), "source", "doc_id",
+        size(split(col("text"), " ")), budget = 1024)),
 
     // ---- dedup family ----
     "q_dedup_exact" -> ((s, dir) => Dedup.exactClusters(Tables.documents(s, dir), minSize = 1)),
@@ -758,6 +765,22 @@ object SparkEntry {
                  count(*) AS n_rows
           FROM lineitem GROUP BY l_returnflag""",
 
+    "q_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          shing AS (SELECT doc_id, $duckShingles AS sh FROM toks WHERE len(t) >= 3)
+          SELECT doc_id, len(sh) AS n_shingles, len(list_distinct(sh)) AS n_distinct,
+                 round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6) AS dup_frac
+          FROM shing""",
+    "q_sequence_pack" ->
+      """WITH x AS (SELECT doc_id, source,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+          c AS (SELECT doc_id, source, n_tokens,
+                sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum FROM x),
+          s AS (SELECT doc_id, source, n_tokens,
+                CAST(floor((cum - n_tokens) / 1024) AS BIGINT) AS seq_id FROM c)
+          SELECT *, row_number() OVER (PARTITION BY source, seq_id ORDER BY doc_id) AS seq_pos
+          FROM s""",
     "q_sample_bernoulli" ->
       s"SELECT doc_id, source FROM documents WHERE ${duckUnitHash("doc_id")} < 0.3",
     "q_sample_split" ->

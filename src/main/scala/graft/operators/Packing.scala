@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the concat-then-chunk step that turns a curated
+  * corpus into fixed-token-budget training sequences: conceptually
+  * concatenate each group's token stream in a stable order and cut at
+  * `budget` boundaries. A document belongs to the sequence in which it
+  * STARTS (`seq_id = floor(exclusiveCumTokens / budget)`), which is a
+  * pure window cumsum — no sequential packer state. No counterpart in
+  * the reference (vector-only surface).
+  *
+  * Scale shape: ONE window per group key — groups pack in parallel
+  * across the cluster and no global sort exists anywhere (a corpus-wide
+  * ordering would serialize 100 TB through one partition; per-source
+  * packing is also what keeps a source's documents adjacent, which is
+  * what training-data curation wants). The greedy "skip to the next
+  * sequence when a document doesn't fit" variant needs a sequential
+  * scan per group and changes results by at most one straddling
+  * document per boundary — not worth losing the parallel plan.
+  */
+object Packing {
+
+  /** Assign each document to its training sequence. Output:
+    * `(orderCol, groupCol, n_tokens, seq_id, seq_pos)` where `seq_id`
+    * is the group-local sequence index from 0 and `seq_pos` the 1-based
+    * position of the document within its sequence.
+    */
+  def packSequences(documents: DataFrame, groupCol: String, orderCol: String,
+                    nTokens: Column, budget: Int): DataFrame = {
+    val byGroup = Window.partitionBy(groupCol).orderBy(orderCol)
+    documents
+      .select(col(orderCol), col(groupCol), nTokens.cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(byGroup))
+      .select(col(orderCol), col(groupCol), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / budget).as("seq_id"))
+      .withColumn("seq_pos",
+        row_number().over(Window.partitionBy(col(groupCol), col("seq_id")).orderBy(orderCol)))
+  }
+}

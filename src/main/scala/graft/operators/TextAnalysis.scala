@@ -108,4 +108,20 @@ object TextAnalysis {
     documents.select(
       col("doc_id"),
       rollingFingerprint(tokens(col("text"))).as("fp"))
+
+  /** Repetition signal (the Gopher-rules style quality cut): the
+    * fraction of a document's 3-gram shingles that repeat an earlier
+    * shingle, `1 − distinct/total`. Boilerplate and template spam
+    * score high; a curation pass drops docs above a cut (~0.2–0.3).
+    * Narrow per-row projection; docs with < 3 tokens have no shingles
+    * and are excluded (mirrors the oracle's WHERE).
+    */
+  def repetition(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), size(col("sh")).as("n_shingles"),
+        size(array_distinct(col("sh"))).as("n_distinct"))
+      .withColumn("dup_frac",
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"), 6))
 }

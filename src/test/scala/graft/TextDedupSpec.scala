@@ -139,4 +139,17 @@ class TextDedupSpec extends AnyFunSuite {
     assert(r.getInt(1) === 2) // "ab3", "c-d"
     assert(r.getInt(2) === 5) // ab | 3 | c | - | d
   }
+
+  test("repetition: duplicate-shingle fraction; short docs excluded") {
+    val fixture = Seq(
+      (1L, "a b c a b c a b c"), // 7 shingles, 3 distinct → dup_frac 4/7
+      (2L, "a b c d e"),         // 3 shingles, all distinct → 0.0
+      (3L, "a b"))               // < 3 tokens → no shingles, excluded
+      .toDF("doc_id", "text")
+    val rep = TextAnalysis.repetition(fixture).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(rep.keySet === Set(1L, 2L))
+    assert(rep(1L) === ((7, 3, BigDecimal(4.0 / 7).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(rep(2L) === ((3, 3, 0.0)))
+  }
 }
