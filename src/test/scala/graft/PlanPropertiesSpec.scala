@@ -64,6 +64,20 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"window + agg must reuse one user_id partitioning:\n$p")
   }
 
+  test("q_sample_bernoulli / q_domain_mix: shuffle-free narrow filters, pruned scans") {
+    // Bernoulli is pure map-side; the mix's counting pass is a separate
+    // job — the declared OUTPUT plan (what runs per-batch at scale)
+    // must stay a narrow filter reading only the needed columns.
+    val pb = plan("q_sample_bernoulli")
+    assert(!pb.contains("Exchange"), s"sampling must not shuffle:\n$pb")
+    assert(pb.contains("struct<doc_id:bigint,source:string>"),
+      s"scan must prune to the 2 output columns:\n$pb")
+    val pm = plan("q_domain_mix")
+    assert(!pm.contains("Exchange"), s"domain mix output must not shuffle:\n$pm")
+    assert(pm.contains("struct<doc_id:bigint,lang:string>"),
+      s"scan must prune to the 2 output columns:\n$pm")
+  }
+
   test("vector distance kernels stay inside whole-stage codegen") {
     // codegen spans only appear in the FINAL adaptive plan — execute
     // through the SAME QueryExecution (a sink write would clone it)
