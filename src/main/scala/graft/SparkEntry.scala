@@ -274,6 +274,9 @@ object SparkEntry {
   private val splitVal = 0.05
   private val mixTargets = Map(
     "en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
+  // epochs per language: downsample en, repeat de 2.25x, fr 1.5x
+  private val mixEpochs = Map(
+    "en" -> 0.5, "de" -> 2.25, "es" -> 1.0, "fr" -> 1.5, "zh" -> 1.0)
 
   /** events with ts truncated to µs TIMESTAMP (matches Spark's ntz µs). */
   private val duckEvents =
@@ -514,6 +517,11 @@ object SparkEntry {
     "q_domain_mix" -> ((s, dir) =>
       Sampling.domainMix(Tables.documents(s, dir), col("lang"), col("doc_id"), mixTargets)
         .select(col("doc_id"), col("lang"))),
+    // Epoch-style mixing with upsampling: fractional repeats per
+    // stratum (the "N epochs of a source per pass" knob).
+    "q_epoch_mix" -> ((s, dir) =>
+      Sampling.epochMix(Tables.documents(s, dir), col("lang"), col("doc_id"), mixEpochs)
+        .select(col("doc_id"), col("lang"), col("copy_idx"))),
 
     // ---- multimodal (documents' bytes as opaque payloads) ----
     // Meta half (frame sampling + resize math) is pure column algebra →
@@ -783,6 +791,19 @@ object SparkEntry {
           FROM s""",
     "q_sample_bernoulli" ->
       s"SELECT doc_id, source FROM documents WHERE ${duckUnitHash("doc_id")} < 0.3",
+    // mirror of Sampling.epochMix: floor(e) copies + one extra for the
+    // e−floor(e) hash fraction; range() is exclusive like sequence(0,n−1)
+    "q_epoch_mix" -> {
+      val vals = mixEpochs.toSeq.sortBy(_._1)
+        .map { case (l, e) => s"('$l', $e)" }.mkString(", ")
+      s"""WITH e(lang, ep) AS (VALUES $vals),
+          x AS (SELECT doc_id, d.lang,
+                CAST(floor(ep) AS BIGINT)
+                  + CASE WHEN ${duckUnitHash("doc_id")} < ep - floor(ep)
+                         THEN 1 ELSE 0 END AS n
+                FROM documents d JOIN e USING (lang))
+          SELECT doc_id, lang, unnest(range(0, n)) AS copy_idx FROM x WHERE n > 0"""
+    },
     "q_sample_split" ->
       s"""SELECT doc_id,
             CASE WHEN ${duckUnitHash("doc_id")} < $splitTrain THEN 'train'

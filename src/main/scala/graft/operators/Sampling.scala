@@ -75,4 +75,25 @@ object Sampling {
       .foldLeft(lit(0.0)) { case (acc, (s, r)) => when(strata === lit(s), lit(r)).otherwise(acc) }
     df.filter(Portable.unitHash(key) < rate)
   }
+
+  /** Epoch-style mixing with UPSAMPLING: each stratum's rows appear
+    * `epochs(s)` times in expectation — `floor(e)` full copies plus one
+    * extra copy for the deterministic `e − floor(e)` fraction of keys
+    * (so `e < 1` degrades to a Bernoulli downsample, and e.g. `e = 2.25`
+    * repeats every row twice and a quarter of rows a third time — the
+    * "N epochs of a high-value source per training pass" knob). Output
+    * adds `copy_idx` (0-based) so downstream packing/shuffling treats
+    * copies as distinct rows. Strata not in `epochs` are dropped.
+    * Narrow map-side explode — no shuffle; output rows = Σ eₛ·nₛ.
+    */
+  def epochMix(df: DataFrame, strata: Column, key: Column,
+               epochs: Map[String, Double]): DataFrame = {
+    val e = epochs.toSeq.sortBy(_._1)
+      .foldLeft(lit(0.0)) { case (acc, (s, v)) => when(strata === lit(s), lit(v)).otherwise(acc) }
+    val extra = when(Portable.unitHash(key) < e - floor(e), 1L).otherwise(0L)
+    df.withColumn("n_copies", (floor(e) + extra).cast("long"))
+      .filter(col("n_copies") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0L), col("n_copies") - 1)))
+      .drop("n_copies")
+  }
 }

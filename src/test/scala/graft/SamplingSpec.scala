@@ -55,6 +55,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(rates.values.forall(r => r > 0.0 && r <= 1.0))
   }
 
+  test("epochMix: floor copies for all, fractional extra for a hash share; e<1 downsamples") {
+    val epochs = Map("a" -> 0.5, "b" -> 2.25, "c" -> 1.0)
+    val mixed = Sampling.epochMix(docs, col("lang"), col("doc_id"), epochs).cache()
+    val byLang = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // c: exactly one copy each; b: 2n plus a ~quarter extra; a: ~half kept
+    assert(byLang("c") === 100)
+    assert(byLang("b") >= 2 * 300 && byLang("b") <= 3 * 300, s"b=${byLang("b")}")
+    assert(byLang("b") > 630 && byLang("b") < 700, s"b=${byLang("b")} not ~2.25x")
+    assert(byLang("a") > 240 && byLang("a") < 360, s"a=${byLang("a")} not ~0.5x")
+    // copy_idx dense from 0 per doc; deterministic across runs
+    val bad = mixed.groupBy("doc_id").agg(min("copy_idx").as("mn"),
+      max("copy_idx").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1).count()
+    assert(bad === 0)
+    val again = Sampling.epochMix(docs, col("lang"), col("doc_id"), epochs)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(again === mixed.collect().map(r => (r.getLong(0), r.getLong(2))).toSet)
+  }
+
   test("domainMix: output mixture approximates targets; untargeted strata dropped") {
     val targets = Map("a" -> 0.5, "b" -> 0.5) // c untargeted → dropped
     val mixed = Sampling.domainMix(docs, col("lang"), col("doc_id"), targets).cache()
