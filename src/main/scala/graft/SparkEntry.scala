@@ -67,6 +67,10 @@ object SparkEntry {
   private def duckUnitHash(id: String): String =
     s"(((($id % 1048573 + 1048573) % 1048573) * 2654435761 + 999983) % 4294967296 + 0.5) / 4294967296.0"
 
+  /** unitHashSalted (Portable.unitHashSalted) in DuckDB. */
+  private def duckUnitHashSalted(id: String, salt: String): String =
+    s"(${duckMd5Int(s"concat($id, ':$salt')")} + 0.5) / 4294967296.0"
+
   /** The perturbed query vector of vec_id=0 (RgbTest protocol) as a CTE. */
   private val duckQueryVec =
     """(SELECT [CAST(embedding[1] AS DOUBLE)+1.0, CAST(embedding[2] AS DOUBLE)-1.0]
@@ -453,7 +457,7 @@ object SparkEntry {
     // sequences, per source (groups pack in parallel; no global sort).
     "q_sequence_pack" -> ((s, dir) =>
       Packing.packSequences(Tables.documents(s, dir), "source", "doc_id",
-        size(split(col("text"), " ")), budget = 1024)),
+        size(graft.functions.TextFunctions.tokens(col("text"))), budget = 1024)),
 
     // ---- dedup family ----
     "q_dedup_exact" -> ((s, dir) => Dedup.exactClusters(Tables.documents(s, dir), minSize = 1)),
@@ -790,7 +794,7 @@ object SparkEntry {
           SELECT *, row_number() OVER (PARTITION BY source, seq_id ORDER BY doc_id) AS seq_pos
           FROM s""",
     "q_sample_bernoulli" ->
-      s"SELECT doc_id, source FROM documents WHERE ${duckUnitHash("doc_id")} < 0.3",
+      s"SELECT doc_id, source FROM documents WHERE ${duckUnitHashSalted("doc_id", "bernoulli")} < 0.3",
     // mirror of Sampling.epochMix: floor(e) copies + one extra for the
     // e−floor(e) hash fraction; range() is exclusive like sequence(0,n−1)
     "q_epoch_mix" -> {
@@ -799,15 +803,15 @@ object SparkEntry {
       s"""WITH e(lang, ep) AS (VALUES $vals),
           x AS (SELECT doc_id, d.lang,
                 CAST(floor(ep) AS BIGINT)
-                  + CASE WHEN ${duckUnitHash("doc_id")} < ep - floor(ep)
+                  + CASE WHEN ${duckUnitHashSalted("doc_id", "epoch")} < ep - floor(ep)
                          THEN 1 ELSE 0 END AS n
                 FROM documents d JOIN e USING (lang))
           SELECT doc_id, lang, unnest(range(0, n)) AS copy_idx FROM x WHERE n > 0"""
     },
     "q_sample_split" ->
       s"""SELECT doc_id,
-            CASE WHEN ${duckUnitHash("doc_id")} < $splitTrain THEN 'train'
-                 WHEN ${duckUnitHash("doc_id")} < ${splitTrain + splitVal} THEN 'val'
+            CASE WHEN ${duckUnitHashSalted("doc_id", "split")} < $splitTrain THEN 'train'
+                 WHEN ${duckUnitHashSalted("doc_id", "split")} < ${splitTrain + splitVal} THEN 'val'
                  ELSE 'test' END AS split
           FROM documents""",
     // mirror of Sampling.mixRates + domainMix: same K = min(n/t) and
@@ -821,7 +825,7 @@ object SparkEntry {
           r AS (SELECT n.lang, least(1.0, t.tgt * k.k / n.n) AS rate
                 FROM n JOIN t USING (lang), k)
           SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
-          WHERE ${duckUnitHash("d.doc_id")} < r.rate"""
+          WHERE ${duckUnitHashSalted("d.doc_id", "mix")} < r.rate"""
     },
 
     "q_multimodal_meta" ->

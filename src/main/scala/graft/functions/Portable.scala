@@ -47,6 +47,17 @@ object Portable {
   def unitHash(id: Column): Column =
     ((pmod(id, lit(1048573L)) * 2654435761L + 999983L) % 4294967296L + 0.5) / 4294967296.0
 
+  /** Deterministic uniform in (0,1) from an id and an OPERATOR SALT,
+    * via md5 of `"<id>:<salt>"` — unlike [[unitHash]] the streams for
+    * distinct salts are genuinely independent, which is what lets
+    * composed sampling stages (filter → split → mix) behave like
+    * independent draws instead of nested threshold events on one
+    * stream. DuckDB mirror:
+    * `(md5Int(concat(id, ':<salt>')) + 0.5) / 4294967296.0`.
+    */
+  def unitHashSalted(id: Column, salt: String): Column =
+    (md5Int(concat(id.cast("string"), lit(":" + salt))) + 0.5) / 4294967296.0
+
   /** HNSW level assignment — reference `RandomLevel` (hnsw.cc:140-145):
     * floor(-ln(U) / m), clamped to maxLevel; U replaced by [[unitHash]].
     */

@@ -10,31 +10,39 @@ import graft.functions.Portable
   * corpus strata to target mixture proportions). No counterpart in the
   * reference (vector-only surface); standard corpus-curation stages.
   *
-  * Everything keys on [[Portable.unitHash]] — a pure function of the
-  * row's id — instead of an RNG: no per-task seed state, identical
-  * results at any partitioning/parallelism/retry, and a row's
-  * membership never changes when the corpus around it grows (the
-  * property that keeps eval splits stable across dataset versions).
-  * Purely narrow map-side filters — no shuffle at any scale; the one
-  * aggregation ([[mixRates]]) moves C stratum counts to the driver,
-  * the legitimate small side.
+  * Everything keys on [[Portable.unitHashSalted]] — a pure function of
+  * the row's id and an operator salt — instead of an RNG: no per-task
+  * seed state, identical results at any partitioning/parallelism/retry,
+  * and a row's membership never changes when the corpus around it grows
+  * (the property that keeps eval splits stable across dataset
+  * versions). Each operator draws from its own salt's stream, so
+  * COMPOSED stages behave like independent draws — without distinct
+  * salts, `bernoulli(0.3)` followed by `splitLabel(0.9, 0.05)` would
+  * label every surviving row `train` (the filter keeps exactly the
+  * low-hash rows). Purely narrow map-side filters — no shuffle at any
+  * scale; the one aggregation ([[mixRates]]) moves C stratum counts to
+  * the driver, the legitimate small side.
   */
 object Sampling {
 
   /** Deterministic Bernoulli sample: keep the row iff
-    * `unitHash(key) < rate`. Expected fraction `rate`, exact
-    * reproducibility, zero shuffle.
+    * `unitHashSalted(key, salt) < rate`. Expected fraction `rate`,
+    * exact reproducibility, zero shuffle. Pass a custom `salt` to make
+    * repeated subsampling stages independent of each other.
     */
-  def bernoulli(df: DataFrame, key: Column, rate: Double): DataFrame =
-    df.filter(Portable.unitHash(key) < lit(rate))
+  def bernoulli(df: DataFrame, key: Column, rate: Double,
+                salt: String = "bernoulli"): DataFrame =
+    df.filter(Portable.unitHashSalted(key, salt) < lit(rate))
 
   /** Deterministic split label (`train` / `val` / `test`) by hash
     * range: `[0, trainFrac)` → train, `[trainFrac, trainFrac+valFrac)`
     * → val, rest → test. A row's split never changes when other rows
-    * are added or removed.
+    * are added or removed, and the `split` salt keeps the assignment
+    * independent of any upstream sampling stage.
     */
-  def splitLabel(key: Column, trainFrac: Double, valFrac: Double): Column = {
-    val u = Portable.unitHash(key)
+  def splitLabel(key: Column, trainFrac: Double, valFrac: Double,
+                 salt: String = "split"): Column = {
+    val u = Portable.unitHashSalted(key, salt)
     when(u < lit(trainFrac), lit("train"))
       .when(u < lit(trainFrac + valFrac), lit("val"))
       .otherwise(lit("test"))
@@ -68,12 +76,13 @@ object Sampling {
     * After the one counting pass, a narrow map-side filter.
     */
   def domainMix(df: DataFrame, strata: Column, key: Column,
-                targets: Map[String, Double]): DataFrame = {
+                targets: Map[String, Double],
+                salt: String = "mix"): DataFrame = {
     val rates = mixRates(df, strata, targets)
-    // deterministic CASE order; unitHash > 0 always, so rate 0 == drop
+    // deterministic CASE order; the hash > 0 always, so rate 0 == drop
     val rate = rates.toSeq.sortBy(_._1)
       .foldLeft(lit(0.0)) { case (acc, (s, r)) => when(strata === lit(s), lit(r)).otherwise(acc) }
-    df.filter(Portable.unitHash(key) < rate)
+    df.filter(Portable.unitHashSalted(key, salt) < rate)
   }
 
   /** Epoch-style mixing with UPSAMPLING: each stratum's rows appear
@@ -87,10 +96,11 @@ object Sampling {
     * Narrow map-side explode — no shuffle; output rows = Σ eₛ·nₛ.
     */
   def epochMix(df: DataFrame, strata: Column, key: Column,
-               epochs: Map[String, Double]): DataFrame = {
+               epochs: Map[String, Double],
+               salt: String = "epoch"): DataFrame = {
     val e = epochs.toSeq.sortBy(_._1)
       .foldLeft(lit(0.0)) { case (acc, (s, v)) => when(strata === lit(s), lit(v)).otherwise(acc) }
-    val extra = when(Portable.unitHash(key) < e - floor(e), 1L).otherwise(0L)
+    val extra = when(Portable.unitHashSalted(key, salt) < e - floor(e), 1L).otherwise(0L)
     df.withColumn("n_copies", (floor(e) + extra).cast("long"))
       .filter(col("n_copies") > 0)
       .withColumn("copy_idx", explode(sequence(lit(0L), col("n_copies") - 1)))

@@ -118,8 +118,12 @@ object TextAnalysis {
     */
   def repetition(documents: DataFrame): DataFrame =
     documents
+      // guard on the CHEAP token count, not size(shingles): a filter on
+      // the shingle array gets the alias substituted under pushdown and
+      // rebuilds the whole shingle construction once in the predicate
+      // and again in the projection (the round-1 CollapseProject trap)
+      .filter(size(tokens(col("text"))) >= 3)
       .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
-      .filter(size(col("sh")) > 0)
       .select(col("doc_id"), size(col("sh")).as("n_shingles"),
         size(array_distinct(col("sh"))).as("n_distinct"))
       .withColumn("dup_frac",

@@ -13,7 +13,7 @@ class PackingSpec extends AnyFunSuite {
   import TestSpark.spark
   import spark.implicits._
 
-  // two groups, varied lengths; ids interleaved across groups
+  // three groups, varied lengths; ids interleaved across groups
   private lazy val docs = (0L until 300L)
     .map(i => (i, s"g${i % 3}", 1 + (i * 7 % 50).toInt))
     .toDF("doc_id", "grp", "n").cache()

@@ -44,6 +44,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(counts("test") > 20 && counts("test") < 80, s"test=${counts("test")}")
   }
 
+  test("composed stages are independent: split after bernoulli keeps all three labels") {
+    // each operator draws from its own salt's stream — without that,
+    // every row surviving bernoulli(0.5) has a low hash and would land
+    // in 'train' ([0, 0.9)), leaving val/test EMPTY
+    val kept = Sampling.bernoulli(docs, col("doc_id"), 0.5)
+    val counts = kept.select(Sampling.splitLabel(col("doc_id"), 0.8, 0.1).as("split"))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    assert(counts.keySet === Set("train", "val", "test"),
+      s"val/test must survive composition: $counts")
+    assert(counts("train") / n > 0.7 && counts("train") / n < 0.9, s"$counts")
+    assert(counts("val") / n > 0.03 && counts("test") / n > 0.03, s"$counts")
+  }
+
   test("mixRates: binding stratum rate is 1.0 and rates follow t·K/n") {
     val targets = Map("a" -> 0.5, "b" -> 0.2, "c" -> 0.3)
     val rates = Sampling.mixRates(docs, col("lang"), targets)
