@@ -562,6 +562,11 @@ object SparkEntry {
     "q_rollup_pricing" -> ((s, dir) => Relational.rollupPricing(Tables.lineitem(s, dir))),
     "q_shipping_priority" -> ((s, dir) => Relational.shippingPriority(s, dir)),
     "q_distinct_users" -> ((s, dir) => Relational.distinctUsers(Tables.events(s, dir))),
+    // HLL sketch twin: fixed-size state per group vs countDistinct's
+    // cardinality-sized expansion. No oracle (engine-specific HLL
+    // registers); error bound pinned in RelationalSpec.
+    "q_distinct_users_approx" -> ((s, dir) =>
+      Relational.distinctUsersApprox(Tables.events(s, dir))),
     "q_price_quantiles" -> ((s, dir) => Relational.priceQuantiles(Tables.lineitem(s, dir))),
     // Sketch-based percentiles: no oracle (GK merge order isn't
     // engine-portable); error bound asserted in RelationalSpec.

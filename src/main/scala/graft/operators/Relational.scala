@@ -252,6 +252,22 @@ object Relational {
         countDistinct(col("user_id")).as("n_users"),
         count(lit(1)).as("n_events"))
 
+  /** Sketch twin of [[distinctUsers]]: HyperLogLog++ approximate
+    * distinct counts. The exact form's `countDistinct` expands to a
+    * two-shuffle plan (distinct on (group, user) then re-aggregate)
+    * whose intermediate state grows with cardinality; the sketch is one
+    * fixed-size buffer per group in a single map-side-combined pass —
+    * the form that survives billions of distinct keys. No oracle (HLL
+    * register layouts differ per engine); the relative-error contract
+    * vs exact is pinned in RelationalSpec.
+    */
+  def distinctUsersApprox(events: DataFrame, rsd: Double = 0.01): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), rsd).as("n_users_approx"),
+        count(lit(1)).as("n_events"))
+
   /** ROLLUP over (returnflag, linestatus): subtotals + grand total in
     * one pass (Spark expands grouping sets before the single shuffle).
     */

@@ -66,6 +66,26 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("approx distinct (HLL) stays within rsd envelope of exact") {
+    // 3 types with known cardinalities (many repeat visits per user)
+    val events = (1 to 30000).map { i =>
+      val tpe = if (i % 3 == 0) "view" else if (i % 3 == 1) "click" else "purchase"
+      (tpe, (i % (i % 3 match { case 0 => 5000; case 1 => 800; case _ => 97 })).toLong)
+    }.toDF("event_type", "user_id").cache()
+    val exact = Relational.distinctUsers(events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val approx = Relational.distinctUsersApprox(events, rsd = 0.01).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    // rsd 0.01 → HLL standard error ~1%; assert a generous 5% envelope
+    for ((tpe, e, nEvents) <- exact) {
+      val (a, aEvents) = approx(tpe)
+      assert(math.abs(a - e).toDouble / e < 0.05, s"$tpe: approx $a vs exact $e")
+      // only the distinct count is sketched — event totals stay exact
+      assert(aEvents === nEvents)
+    }
+  }
+
   test("approx quantiles stay within rank-error of exact") {
     val exact = collect3(Relational.priceQuantiles(li))
       .map(t => t._1 -> (t._2, t._3, t._4)).toMap
