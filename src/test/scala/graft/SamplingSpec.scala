@@ -90,6 +90,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(again === mixed.collect().map(r => (r.getLong(0), r.getLong(2))).toSet)
   }
 
+  test("sampling operators apply unchanged to streams (stateless narrow ops)") {
+    // bernoulli/splitLabel are pure row-local column logic — the same
+    // DataFrame code runs under Structured Streaming with no watermark
+    // or state, and a micro-batched stream yields exactly the batch set
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val streamed = Sampling.bernoulli(mem.toDF().toDF("doc_id", "lang"),
+        col("doc_id"), 0.3)
+      .select(col("doc_id"), Sampling.splitLabel(col("doc_id"), 0.8, 0.1).as("split"))
+    val q = streamed.writeStream.format("memory").queryName("sample_out")
+      .outputMode("append").start()
+    try {
+      val rows = (0L until 300L).map(i => (i, s"g${i % 3}"))
+      mem.addData(rows.take(150): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(150): _*)
+      q.processAllAvailable()
+      val got = spark.table("sample_out").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val batch = Sampling.bernoulli(rows.toDF("doc_id", "lang"), col("doc_id"), 0.3)
+        .select(col("doc_id"), Sampling.splitLabel(col("doc_id"), 0.8, 0.1).as("split"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === batch)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("domainMix: output mixture approximates targets; untargeted strata dropped") {
     val targets = Map("a" -> 0.5, "b" -> 0.5) // c untargeted → dropped
     val mixed = Sampling.domainMix(docs, col("lang"), col("doc_id"), targets).cache()
