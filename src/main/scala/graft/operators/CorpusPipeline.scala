@@ -35,11 +35,11 @@ object CorpusPipeline {
         TextAnalysis.qualityCol(toks, col("n_chars")) >= minQuality)
   }
 
-  /** Full curation run: per-source kept-document counts and token sums
-    * after all three dedup/filter stages.
+  /** Kept documents after all three filter/dedup stages (all source
+    * columns) — the intermediate the mixing/packing stages consume.
     */
-  def curate(documents: DataFrame, lang: String, minQuality: Double,
-             jaccardThreshold: Double, maxDf: Int = 10000): DataFrame = {
+  def curatedDocs(documents: DataFrame, lang: String, minQuality: Double,
+                  jaccardThreshold: Double, maxDf: Int = 10000): DataFrame = {
     val kept1 = filtered(documents, lang, minQuality)
     // Exact-dup survivors, CHECKPOINTED: kept2 feeds three consumers
     // (pair generation, the clustering vertex set, the final stats
@@ -51,9 +51,38 @@ object CorpusPipeline {
       .filter(col("doc_id") === col("cluster_id")) // one representative per cluster
       .select("doc_id")
     kept2.join(reps, Seq("doc_id"))
+  }
+
+  /** Full curation run: per-source kept-document counts and token sums
+    * after all three dedup/filter stages.
+    */
+  def curate(documents: DataFrame, lang: String, minQuality: Double,
+             jaccardThreshold: Double, maxDf: Int = 10000): DataFrame =
+    curatedDocs(documents, lang, minQuality, jaccardThreshold, maxDf)
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
         sum(size(TextFunctions.tokens(col("text"))).cast("long")).as("n_tokens"))
+
+  /** The COMPLETE corpus-to-training-sequences flow: curation →
+    * epoch-style source mixing ([[Sampling.epochMix]], sources absent
+    * from `epochs` dropped) → sequence packing
+    * ([[Packing.packSequencesBy]] on the (doc_id, copy_idx) stream) —
+    * one composed Catalyst DAG from raw documents to per-sequence
+    * stats `(source, seq_id, n_docs, seq_tokens)`. Stage economics
+    * compose: narrow filters prune before the pair-generating shuffle,
+    * the mix is a narrow explode over the curated survivors, and the
+    * pack is one window per source.
+    */
+  def curateMixPack(documents: DataFrame, lang: String, minQuality: Double,
+                    jaccardThreshold: Double, epochs: Map[String, Double],
+                    budget: Int, maxDf: Int = 10000): DataFrame = {
+    val docs = curatedDocs(documents, lang, minQuality, jaccardThreshold, maxDf)
+      .withColumn("n_tokens", size(TextFunctions.tokens(col("text"))).cast("long"))
+    val mixed = Sampling.epochMix(docs, col("source"), col("doc_id"), epochs)
+    Packing.packSequencesBy(mixed, "source", Seq("doc_id", "copy_idx"),
+        col("n_tokens"), budget)
+      .groupBy("source", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("seq_tokens"))
   }
 }

@@ -29,14 +29,23 @@ object Packing {
     * position of the document within its sequence.
     */
   def packSequences(documents: DataFrame, groupCol: String, orderCol: String,
-                    nTokens: Column, budget: Int): DataFrame = {
-    val byGroup = Window.partitionBy(groupCol).orderBy(orderCol)
+                    nTokens: Column, budget: Int): DataFrame =
+    packSequencesBy(documents, groupCol, Seq(orderCol), nTokens, budget)
+
+  /** [[packSequences]] with a COMPOSITE order key — e.g. `(doc_id,
+    * copy_idx)` after epoch mixing, where upsampled copies are distinct
+    * rows that must occupy distinct positions in the token stream.
+    */
+  def packSequencesBy(documents: DataFrame, groupCol: String, orderCols: Seq[String],
+                      nTokens: Column, budget: Int): DataFrame = {
+    val ord = orderCols.map(col)
+    val byGroup = Window.partitionBy(groupCol).orderBy(ord: _*)
     documents
-      .select(col(orderCol), col(groupCol), nTokens.cast("long").as("n_tokens"))
+      .select(ord ++ Seq(col(groupCol), nTokens.cast("long").as("n_tokens")): _*)
       .withColumn("cum", sum(col("n_tokens")).over(byGroup))
-      .select(col(orderCol), col(groupCol), col("n_tokens"),
-        floor((col("cum") - col("n_tokens")) / budget).as("seq_id"))
+      .select(ord ++ Seq(col(groupCol), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / budget).as("seq_id")): _*)
       .withColumn("seq_pos",
-        row_number().over(Window.partitionBy(col(groupCol), col("seq_id")).orderBy(orderCol)))
+        row_number().over(Window.partitionBy(col(groupCol), col("seq_id")).orderBy(ord: _*)))
   }
 }
