@@ -55,18 +55,24 @@ object Bench {
     // HNSW edge set, each with bytes/row. The 1M-row allocation shape
     // itself is covered by `AnnBench scale` (target/scale_smoke.json).
     val mem = try {
+      // Drop every cache the query loop (or operator internals) left
+      // behind, so nothing stray is billed to the vector/edge numbers.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      val preIds = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
       val emb = sources.Tables.embeddings(spark, sfDir).cache()
       val nVec = emb.count()
-      val embIds = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+      val vecIds = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet -- preIds
       val edges = operators.Hnsw.buildEdges(emb, operators.Hnsw.Params()).cache()
       val nEdges = edges.count()
       // Attribute bytes PER RDD (mem + disk, so one cache evicting or
-      // spilling blocks of the other can never drive a number negative)
-      // instead of subtracting whole-store totals taken at two times.
+      // spilling blocks of the other can never drive a number negative):
+      // vectors = ids that appeared across emb.cache(), edges = ids that
+      // appeared across edges.cache() — never whole-store subtraction.
       val infos = spark.sparkContext.getRDDStorageInfo
-      val vecBytes = infos.filter(i => embIds.contains(i.id))
+      val vecBytes = infos.filter(i => vecIds.contains(i.id))
         .map(i => i.memSize + i.diskSize).sum
-      val edgeBytes = infos.filter(i => !embIds.contains(i.id))
+      val edgeBytes = infos.filter(i => !vecIds.contains(i.id) && !preIds.contains(i.id))
         .map(i => i.memSize + i.diskSize).sum
       s""","mem":{"n_vectors":$nVec,"vector_bytes":$vecBytes,""" +
         s""""bytes_per_vector":${if (nVec > 0) vecBytes / nVec else 0},""" +

@@ -55,6 +55,14 @@ object SparkEntry {
     s"$base/v5_ivfcells_${tag}_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
   }
 
+  /** Persisted PQ code-table dir (Pq.ensureEncoded*), keyed like
+    * [[idxDir]]; staleness caught by the content fingerprint.
+    */
+  private def pqDir(s: SparkSession, sfDir: String, tag: String): String = {
+    val base = s.conf.getOption("spark.graft.indexDir").getOrElse("target/graft_index")
+    s"$base/v5_pq_${tag}_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+  }
+
   // ---------------- DuckDB SQL fragments (mirror the Scala constants) --
 
   /** md5Int (Portable.md5Int) in DuckDB. */
@@ -401,13 +409,24 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Ivf.assignWith(emb, Ivf.kmeansCached(emb, 8, 2, dir))
     }),
+    // Both IVF probe queries serve from the cell-PARTITIONED layout
+    // (written once per dir): the in-place forms (Ivf.topK/topKWith),
+    // whose per-probe full-table assignment window does not survive
+    // 100×, are demoted to spec-only anchors (IndexRewriteSpec pins
+    // in-place == partitioned on identical inputs) the way brute-force
+    // embeddingNearDups anchors its blocked twin. Oracles unchanged —
+    // identical semantics, pruned physical plan.
     "q_ivf_kmeans_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Ivf.topKWith(emb, Ivf.kmeansCached(emb, 8, 2, dir), queryVecOf(emb, 0), 10, nprobe = 2)
+      val pdir = ivfCellsDir(s, dir, "km8i2")
+      Ivf.ensurePartitionedWith(emb, Ivf.kmeansCached(emb, 8, 2, dir), pdir, tag = "km8i2")
+      Ivf.topKPartitioned(s, pdir, queryVecOf(emb, 0), 10, nprobe = 2)
     }),
     "q_ivf_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Ivf.topK(emb, queryVecOf(emb, 0), 10, c = 16, nprobe = 2)
+      val pdir = ivfCellsDir(s, dir, "c16")
+      Ivf.ensurePartitioned(emb, 16, pdir)
+      Ivf.topKPartitioned(s, pdir, queryVecOf(emb, 0), 10, nprobe = 2)
     }),
     // The 100×-scale IVF serving form: vectors stored partitioned BY
     // cell (written once per dir), so the probe is a partition-pruned
@@ -433,15 +452,31 @@ object SparkEntry {
     // Product quantization: 64-dim float32 → 4 subspace codes (16
     // centroids each, 1 Lloyd iteration) — the vector-compression
     // serving path (4 bytes/vector instead of 256). Codes and the
-    // ADC top-k are both fully deterministic → oracled.
+    // ADC top-k are both fully deterministic → oracled. The encode is
+    // one map-side literal-codebook pass (no join/window/shuffle).
     "q_pq_codes" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Pq.codesAsString(Pq.encode(emb, Pq.codebooksCached(emb, 4, 16, 16, 1, dir), 4, 16))
+      Pq.codesAsString(Pq.codesArray(emb, Pq.codebooksCached(emb, 4, 16, 16, 1, dir), 4, 16))
     }),
+    // Served from the PERSISTED code table (written once per dir): the
+    // plan scans stored (vec_id, codes) only — no encode pass, the
+    // vector table is never read at query time.
     "q_pq_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Pq.adcTopK(emb, Pq.codebooksCached(emb, 4, 16, 16, 1, dir),
-        queryVecOf(emb, 0), 4, 16, 10)
+      val cdir = pqDir(s, dir, "m4sd16c16i1")
+      Pq.ensureEncoded(emb, Pq.codebooksCached(emb, 4, 16, 16, 1, dir), 4, 16, cdir)
+      Pq.adcTopKStored(s, cdir, queryVecOf(emb, 0), 10)
+    }),
+    // IVF-PQ: the code table partitioned by coarse IVF cell (c=16),
+    // probe = partition-pruned scan of nprobe=4 cells' CODE files, ADC
+    // inside probed cells only — the standard 100-TB serving
+    // composition (coarse quantizer prunes, product codes score).
+    "q_ivfpq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pdir = pqDir(s, dir, "ivfpq_c16_m4sd16c16i1")
+      Pq.ensureEncodedPartitioned(emb, Ivf.centroids(emb, 16),
+        Pq.codebooksCached(emb, 4, 16, 16, 1, dir), 4, 16, pdir)
+      Pq.ivfpqTopK(s, pdir, queryVecOf(emb, 0), 10, nprobe = 4)
     }),
 
     // ---- text analysis ----

@@ -140,10 +140,15 @@ object Dedup {
     * in the probe) meeting the threshold.
     */
   def contamination(documents: DataFrame, isProbe: Column, minOverlap: Long = 1): DataFrame = {
-    val sets = hashedShingleSets(documents)
-    val probe = sets.filter(isProbe)
+    // Split BEFORE shingling: hashedShingleSets projects down to
+    // (doc_id, sh), so filtering its output would reject any probe
+    // predicate over other document columns (source, an is_benchmark
+    // flag — the natural way to mark an eval set). Filtering the input
+    // lets the predicate reference anything on `documents`, and the
+    // narrow filters also prune both sides before tokenization.
+    val probe = hashedShingleSets(documents.filter(isProbe))
       .select(explode(col("sh")).as("h")).distinct()
-    sets.filter(!isProbe)
+    hashedShingleSets(documents.filter(!isProbe))
       .select(col("doc_id"), explode(col("sh")).as("h"))
       .join(broadcast(probe), Seq("h"))
       .groupBy("doc_id")

@@ -14,20 +14,37 @@ import org.apache.spark.sql.functions._
 private[graft] object IndexMeta {
 
   // Session-lifetime fingerprint memo, keyed by (index dir, params,
-  // SEMANTIC HASH of the source plans): repeated `ensure*` calls on the
-  // same declared query pay the fingerprint aggregate once per JVM, not
-  // once per serve. Cross-run staleness detection is unaffected (a new
-  // JVM recomputes); a mid-session regeneration of the SAME path is the
-  // one case this trades away — a different source plan (other dir,
-  // other filter) always recomputes because its semantic hash differs.
+  // SEMANTIC HASH of the source plans, FILE LISTING of the source
+  // scans): repeated `ensure*` calls on the same declared query pay the
+  // fingerprint aggregate once per JVM, not once per serve. The file
+  // listing (paths — Spark part files carry a per-job UUID — plus total
+  // size) changes whenever the data at the SAME path is regenerated, so
+  // a mid-session overwrite recomputes the fingerprint and the stale
+  // index is rebuilt; a different source plan (other dir, other filter)
+  // recomputes because its semantic hash differs.
   private val memo =
-    scala.collection.concurrent.TrieMap.empty[(String, String, Int), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int, Int), String]
 
   def cachedFingerprint(dir: String, extra: String, sources: Seq[DataFrame])
                        (compute: => String): String = {
     val planKey = sources.map(_.queryExecution.analyzed.semanticHash()).hashCode()
-    memo.getOrElseUpdate((dir, extra, planKey), compute)
+    memo.getOrElseUpdate((dir, extra, planKey, filesKey(sources)), compute)
   }
+
+  /** Driver-side listing signature of every file-based leaf: the file
+    * paths + the listed total bytes. In-memory frames contribute
+    * nothing (their semantic hash carries their identity).
+    */
+  private def filesKey(sources: Seq[DataFrame]): Int =
+    sources.map(_.queryExecution.analyzed.collectLeaves().flatMap {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.inputFiles.toSeq :+ fs.location.sizeInBytes.toString
+          case _ => Nil
+        }
+      case _ => Nil
+    }).hashCode()
 
   /** Row count + summed per-row CRC over `(vec_id, embedding)` + the
     * caller's parameter string. One narrow aggregate job; the sum makes

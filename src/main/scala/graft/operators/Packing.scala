@@ -35,11 +35,17 @@ object Packing {
   /** [[packSequences]] with a COMPOSITE order key — e.g. `(doc_id,
     * copy_idx)` after epoch mixing, where upsampled copies are distinct
     * rows that must occupy distinct positions in the token stream.
+    * `orderCols` must be a TOTAL order within each group: the cumsum
+    * frame is ROWS-based (explicitly — the default RANGE frame would
+    * give peer rows one shared cum value, diverging from the sequential
+    * concat-then-chunk semantics), so tied keys would pack in an
+    * unspecified relative order.
     */
   def packSequencesBy(documents: DataFrame, groupCol: String, orderCols: Seq[String],
                       nTokens: Column, budget: Int): DataFrame = {
     val ord = orderCols.map(col)
     val byGroup = Window.partitionBy(groupCol).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     documents
       .select(ord ++ Seq(col(groupCol), nTokens.cast("long").as("n_tokens")): _*)
       .withColumn("cum", sum(col("n_tokens")).over(byGroup))

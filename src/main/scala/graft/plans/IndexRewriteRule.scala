@@ -225,7 +225,14 @@ case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     */
   private def computeProbe(right: LogicalPlan, qAttr: Attribute,
                            qidAttr: Option[Attribute],
-                           idx: IndexCatalog.IvfIndex): Option[Probe] = qidAttr match {
+                           idx: IndexCatalog.IvfIndex): Option[Probe] = {
+    // A non-deterministic query side (e.g. a rand()-perturbed vector)
+    // must NOT be executed at plan time: the probe set would prune
+    // against a different vector than the one the runtime join scores —
+    // silently wrong results, not IVF approximation. The per-row
+    // predicate evaluates the SAME joined row the distance sees.
+    if (right.exists(_.expressions.exists(!_.deterministic))) return Some(PerRow)
+    qidAttr match {
     case None =>
       executeQuerySide(Project(Seq(qAttr), right), maxRows = 2) match {
         case Some(rows) if rows.length == 1 =>
@@ -246,6 +253,7 @@ case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
             .toOption.map(BatchVecs(_))
         case None => Some(PerRow)
       }
+    }
   }
 
   /** Replace the scan side with the cell-partitioned copy, filtered to

@@ -35,11 +35,27 @@ class PqSpec extends AnyFunSuite {
   test("codebooks and codes are deterministic across runs") {
     val again = Pq.codebooks(emb, M, SubDim, C, iters = 1)
     assert(books.collect().map(_.toSeq).toSet === again.collect().map(_.toSeq).toSet)
-    val c1 = Pq.codesAsString(Pq.encode(emb, books, M, SubDim)).collect()
+    val c1 = Pq.codesAsString(Pq.codesArray(emb, books, M, SubDim)).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
-    val c2 = Pq.codesAsString(Pq.encode(emb, books, M, SubDim)).collect()
+    val c2 = Pq.codesAsString(Pq.codesArray(emb, books, M, SubDim)).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(c1 === c2)
+  }
+
+  test("codesArray agrees with the exploded encode and is a pure map-side plan") {
+    val fromArr = Pq.codesAsString(Pq.codesArray(emb, books, M, SubDim)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val fromEnc = Pq.encode(emb, books, M, SubDim)
+      .groupBy("vec_id")
+      .agg(concat_ws("_",
+        transform(array_sort(collect_list(struct(col("subspace"), col("code")))),
+          x => x.getField("code").cast("string"))).as("codes"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(fromArr === fromEnc)
+    // the encode itself must be shuffle-free: literal-codebook argmin
+    // projection, no join/window/Exchange anywhere in the plan
+    val plan = Pq.codesArray(emb, books, M, SubDim).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"encode plan must have no Exchange:\n$plan")
   }
 
   test("ADC distance equals direct distance to the quantized reconstruction") {
