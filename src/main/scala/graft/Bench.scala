@@ -34,14 +34,29 @@ object Bench {
     // regression). All samples are kept in the JSON for swing checks.
     val runs = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption).getOrElse(3))
+    // Sub-2s queries get extra samples: their timings are dominated by
+    // fixed scheduling overhead whose variance (±100ms) is a large
+    // relative swing, so the min needs more draws to stabilize (rounds
+    // 4-7 all produced >10% phantom deltas on unchanged sub-2s queries).
+    val shortRuns = math.max(runs,
+      sys.env.get("SPARK_GRAFT_BENCH_SHORT_RUNS").flatMap(_.toIntOption).getOrElse(5))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val samples = (1 to runs).map { _ =>
+      def once(): Double = {
         System.gc() // GC barrier: don't bill one query for its predecessors' garbage
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
         (System.nanoTime() - t0) / 1e9
       }
+      // One untimed warm-up AT THE BENCH SF: builds/validates any
+      // persisted index this query serves from, faults its input files
+      // into the page cache, and JITs its codegen — so sample 1 measures
+      // the same steady state as samples 2..n (the sf0.001 pass above
+      // warms plan SHAPES only, not this sf's data).
+      once()
+      var samples = (1 to runs).map(_ => once())
+      if (samples.min < 2.0 && shortRuns > runs)
+        samples = samples ++ ((runs + 1) to shortRuns).map(_ => once())
       name -> samples
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }

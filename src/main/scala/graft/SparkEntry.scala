@@ -185,12 +185,14 @@ object SparkEntry {
         SELECT vec_id, array_to_string(list(code ORDER BY subspace), '_') AS codes
         FROM encall GROUP BY vec_id"""
 
-  /** PQ ADC top-k (mirrors Pq.adcTopK): per-query lookup table of
+  /** Per-query ADC lookup-table CTEs (`lut0..lut{m-1}` + `lutall`):
     * squared subspace distances (diff list + inner product — the same
-    * IEEE ops in the same order as the engine's fold kernel), summed
-    * per vector through DECIMAL(38,12).
+    * IEEE ops in the same order as the engine's fold kernel). Shared by
+    * the flat-ADC and IVF-PQ oracles. Returns CTE text WITHOUT the
+    * leading `WITH`; requires `q(query_vec)` and the `s{s}c{iters}`
+    * codebook CTEs in scope.
     */
-  private def duckPqTopK(m: Int, subDim: Int, c: Int, iters: Int, k: Int): String = {
+  private def duckPqLutCtes(m: Int, subDim: Int, iters: Int): String = {
     val luts = (0 until m).map { s =>
       s"""lut$s AS (SELECT $s AS subspace, cid AS code, list_inner_product(d, d) AS d2
           FROM (SELECT cid, list_transform(range(1, ${subDim + 1}),
@@ -198,15 +200,46 @@ object SparkEntry {
                 FROM s${s}c$iters, q))"""
     }.mkString(",\n")
     val lutAll = (0 until m).map(s => s"SELECT * FROM lut$s").mkString(" UNION ALL ")
+    s"$luts,\n        lutall AS ($lutAll)"
+  }
+
+  /** PQ ADC top-k (mirrors Pq.adcTopK): LUT entries summed per vector
+    * through DECIMAL(38,12).
+    */
+  private def duckPqTopK(m: Int, subDim: Int, c: Int, iters: Int, k: Int): String =
     s"""WITH ${duckPqCtes(m, subDim, c, iters)},
         q AS (SELECT query_vec FROM $duckQueryVec),
-        $luts,
-        lutall AS ($lutAll)
+        ${duckPqLutCtes(m, subDim, iters)}
         SELECT e.vec_id, round(sqrt(CAST(sum(CAST(l.d2 AS DECIMAL(38,12))) AS DOUBLE)), 6) AS dist
         FROM encall e JOIN lutall l USING (subspace, code)
         GROUP BY e.vec_id
         ORDER BY dist, e.vec_id LIMIT $k"""
-  }
+
+  /** IVF-PQ top-k (mirrors Pq.ivfpqTopK over Pq.ensureEncodedPartitioned
+    * with SEED coarse centroids, Ivf.centroids): probe the `nprobe`
+    * coarse cells nearest the query, ADC-score only vectors assigned to
+    * probed cells. The coarse assignment is the Ivf.assignWith argmin
+    * (ties → smaller centroid id); the ADC half is identical to
+    * [[duckPqTopK]].
+    */
+  private def duckIvfPqTopK(m: Int, subDim: Int, c: Int, iters: Int,
+                            coarseC: Int, k: Int, nprobe: Int): String =
+    s"""WITH ${duckPqCtes(m, subDim, c, iters)},
+        q AS (SELECT query_vec FROM $duckQueryVec),
+        coarse AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                   FROM embeddings WHERE vec_id < $coarseC),
+        probed AS (SELECT cid FROM coarse, q
+                   ORDER BY list_distance(cv, q.query_vec), cid LIMIT $nprobe),
+        assigned AS (SELECT e.vec_id, cid AS cell FROM embeddings e, coarse c
+                     QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), cid) = 1),
+        ${duckPqLutCtes(m, subDim, iters)}
+        SELECT e.vec_id, round(sqrt(CAST(sum(CAST(l.d2 AS DECIMAL(38,12))) AS DOUBLE)), 6) AS dist
+        FROM encall e JOIN lutall l USING (subspace, code)
+        JOIN assigned a ON e.vec_id = a.vec_id
+        WHERE a.cell IN (SELECT cid FROM probed)
+        GROUP BY e.vec_id
+        ORDER BY dist, e.vec_id LIMIT $k"""
 
   /** Generated oracle for the vector-LSH pair pipeline — literal ±1
     * hyperplanes from the SAME [[VectorLsh.signs]] constants the Spark
@@ -810,6 +843,8 @@ object SparkEntry {
     "q_ivf_kmeans_topk" -> duckKmeansTopK(8, 2, 10, 2),
     "q_pq_codes" -> duckPqCodes(4, 16, 16, 1),
     "q_pq_topk" -> duckPqTopK(4, 16, 16, 1, 10),
+    // coarse seed cells (c=16) prune, product codes (m=4, c=16) score
+    "q_ivfpq_topk" -> duckIvfPqTopK(4, 16, 16, 1, 16, 10, 4),
     // identical semantics, partition-pruned physical plan
     "q_ivf_kmeans_partitioned_topk" -> duckKmeansTopK(8, 2, 10, 2),
     "q_skew_salted" ->

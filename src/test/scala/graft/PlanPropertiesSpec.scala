@@ -47,6 +47,43 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"probe must partition-prune, not scan all cells:\n$p")
   }
 
+  test("demoted IVF probes serve from the partitioned layout: partition filter, no assignment window") {
+    // q_ivf_topk / q_ivf_kmeans_topk were demoted from in-place probing
+    // (round 6): their plans must now be partition-pruned scans of the
+    // cell layout with NO per-query full-table assignment (which would
+    // appear as a row_number Window over every vector).
+    for (name <- Seq("q_ivf_topk", "q_ivf_kmeans_topk", "q_ivf_kmeans_partitioned_topk")) {
+      val p = plan(name)
+      assert(p.contains("PartitionFilters") && p.contains("cell"),
+        s"$name: probe must partition-prune, not scan all cells:\n$p")
+      assert(!p.contains("Window"),
+        s"$name: serving must not run a per-query assignment window:\n$p")
+    }
+  }
+
+  test("PQ serving scans stored codes only: no encode pass, vector table never read") {
+    // q_pq_topk serves from the persisted (vec_id, codes) table; the
+    // query vector rides as ADC-LUT literals. A plan that reads the
+    // embedding column is re-encoding per query — the thing stored
+    // codes exist to avoid.
+    val p = plan("q_pq_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("embedding"),
+      s"ADC serving must never read the raw vectors:\n$p")
+    assert(!p.contains("Exchange"),
+      s"stored-code ADC is scan+project+top-k, shuffle-free:\n$p")
+  }
+
+  test("q_ivfpq_topk: partition-pruned code scan, no vector reads, no window") {
+    val p = plan("q_ivfpq_topk")
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      s"IVF-PQ probe must open only probed cells' code files:\n$p")
+    assert(!p.contains("embedding"),
+      s"IVF-PQ serving must never read the raw vectors:\n$p")
+    assert(!p.contains("Window"), s"no per-query assignment window:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q_embedding_neardups_blocked: no cartesian product of the table against itself") {
     val p = plan("q_embedding_neardups_blocked")
     assert(!p.contains("CartesianProduct"), s"blocking must prevent the n^2 join:\n$p")

@@ -89,6 +89,90 @@ class PqSpec extends AnyFunSuite {
     assert(e.getMessage.contains("does not identify"))
   }
 
+  test("stored-code serving == in-place ADC on identical inputs") {
+    val cdir = java.nio.file.Files.createTempDirectory("pq_codes").toString + "/codes"
+    Pq.ensureEncoded(emb, books, M, SubDim, cdir)
+    val q = emb.filter(col("vec_id") === 7)
+      .select(perturbQuery(col("embedding")).as("query_vec"))
+    val stored = Pq.adcTopKStored(spark, cdir, q, k = 100).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inPlace = Pq.adcTopK(emb, books, q, M, SubDim, k = 100).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stored.size === 100)
+    assert(stored === inPlace,
+      "serving from the persisted code table must be bit-identical to encode-and-score")
+  }
+
+  test("ivfpqTopK at nprobe=C == adcTopKStored (all cells probed ⇒ flat ADC)") {
+    val base = java.nio.file.Files.createTempDirectory("pq_ivfpq").toString
+    val coarseC = 8
+    val cents = graft.operators.Ivf.centroids(emb, coarseC)
+    Pq.ensureEncodedPartitioned(emb, cents, books, M, SubDim, s"$base/ivfpq")
+    Pq.ensureEncoded(emb, books, M, SubDim, s"$base/flat")
+    val q = emb.filter(col("vec_id") === 7)
+      .select(perturbQuery(col("embedding")).as("query_vec"))
+    val all = Pq.ivfpqTopK(spark, s"$base/ivfpq", q, k = 100, nprobe = coarseC).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val flat = Pq.adcTopKStored(spark, s"$base/flat", q, k = 100).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(all === flat, "probing every coarse cell must reduce IVF-PQ to flat ADC")
+    // pruned probe: results are a subset of the flat ADC ranking in order
+    val pruned = Pq.ivfpqTopK(spark, s"$base/ivfpq", q, k = 10, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val flatRank = flat.toMap
+    assert(pruned.nonEmpty && pruned.forall { case (id, d) => flatRank(id) == d },
+      "pruned-probe distances must agree with the flat ADC distances for the same ids")
+  }
+
+  test("retrained codebooks invalidate the persisted code table (booksFingerprint)") {
+    val cdir = java.nio.file.Files.createTempDirectory("pq_retrain").toString + "/codes"
+    def fp() = graft.operators.IndexMeta.read(spark, cdir).get
+    def storedCodes() = spark.read.parquet(cdir).orderBy("vec_id")
+      .select(col("vec_id"), concat_ws("_", col("codes").cast("array<string>")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    Pq.ensureEncoded(emb, books, M, SubDim, cdir)
+    val fp1 = fp()
+    // same books again: validated, NOT rebuilt (fingerprint unchanged)
+    Pq.ensureEncoded(emb, books, M, SubDim, cdir)
+    assert(fp() === fp1)
+    // retrain with different iteration count → different codebooks →
+    // the same dir must rebuild, and serve the NEW books' codes
+    val retrained = Pq.codebooks(emb, M, SubDim, C, iters = 2)
+    Pq.ensureEncoded(emb, retrained, M, SubDim, cdir)
+    assert(fp() !== fp1, "retrained codebooks must change the persisted fingerprint")
+    val expect = Pq.codesAsString(Pq.codesArray(emb, retrained, M, SubDim))
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(storedCodes() === expect,
+      "after retrain, the stored code table must be the new books' encoding")
+  }
+
+  test("in-place source regeneration invalidates the persisted code table (IndexMeta.filesKey)") {
+    val base = java.nio.file.Files.createTempDirectory("pq_regen").toString
+    val src = s"$base/emb.parquet"
+    val cdir = s"$base/codes"
+    emb.write.mode("overwrite").parquet(src)
+    val books1 = Pq.codebooks(spark.read.parquet(src), M, SubDim, C, iters = 1)
+    Pq.ensureEncoded(spark.read.parquet(src), books1, M, SubDim, cdir)
+    val fp1 = graft.operators.IndexMeta.read(spark, cdir).get
+    // regenerate the SAME path with different data (every component
+    // shifted by 1), then ensure again in the same JVM: the session
+    // fingerprint memo must miss (part-file listing changed) and the
+    // recomputed content fingerprint must force a rebuild
+    emb.withColumn("embedding", transform(col("embedding"), x => x + lit(1.0f)))
+      .write.mode("overwrite").parquet(src)
+    val regen = spark.read.parquet(src)
+    val books2 = Pq.codebooks(regen, M, SubDim, C, iters = 1)
+    Pq.ensureEncoded(regen, books2, M, SubDim, cdir)
+    val fp2 = graft.operators.IndexMeta.read(spark, cdir).get
+    assert(fp2 !== fp1, "regenerated source data must change the persisted fingerprint")
+    val expect = Pq.codesAsString(Pq.codesArray(regen, books2, M, SubDim))
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val stored = spark.read.parquet(cdir).orderBy("vec_id")
+      .select(col("vec_id"), concat_ws("_", col("codes").cast("array<string>")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(stored === expect, "after regeneration, stored codes must encode the NEW data")
+  }
+
   test("ADC ranks the quantized space correctly: self-query's own cell wins at c = N") {
     // with one centroid per vector (c = N on a tiny set), quantization
     // is lossless and ADC == exact kNN
