@@ -63,6 +63,38 @@ object SparkEntry {
     s"$base/v5_pq_${tag}_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
   }
 
+  // Once-per-JVM guard for the rewrite sandbox (copy + index + catalog
+  // registration): rebuilding on first use each session sidesteps
+  // staleness entirely — the build is one embeddings write + a c=8
+  // Lloyd run, trivial at every declared scale.
+  private val rewriteSandboxBuilt = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  /** Sandbox for the optimizer-rewrite query: a dedicated parquet COPY
+    * of the embeddings table, IVF-indexed (kmeans c=8, iters=2) and
+    * registered in [[graft.plans.IndexCatalog]] at nprobe = C (exact),
+    * with the cell-partitioned serving copy. A dedicated path keeps the
+    * catalog entry from rewriting OTHER declared queries' naive plans —
+    * each query must bench the plan it declares.
+    */
+  private def ensureRewriteSandbox(s: SparkSession, sfDir: String): String = {
+    val base = s.conf.getOption("spark.graft.indexDir").getOrElse("target/graft_index")
+    // ABSOLUTE path: the catalog keys by the scan's resolved root path
+    // (file:/abs/...), so a relative registration would never match
+    val rdir = java.nio.file.Paths.get(s"$base/v5_rw_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}")
+      .toAbsolutePath.toString
+    val dataPath = s"$rdir/data"
+    rewriteSandboxBuilt.getOrElseUpdate(rdir, {
+      Tables.embeddings(s, sfDir).write.mode("overwrite").parquet(dataPath)
+      graft.plans.IndexCatalog.buildAndRegister(s, dataPath, c = 8, iters = 2,
+        nprobe = 8, rdir, partitioned = true)
+      true
+    })
+    if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.IndexRewriteRule]))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.IndexRewriteRule(s)
+    dataPath
+  }
+
   // ---------------- DuckDB SQL fragments (mirror the Scala constants) --
 
   /** md5Int (Portable.md5Int) in DuckDB. */
@@ -147,8 +179,12 @@ object SparkEntry {
       SELECT e.vec_id, cid AS cell FROM embeddings e, c$iters c
       QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), cid) = 1"""
 
-  /** Refined-centroid IVF probe (mirrors Ivf.topKWith ∘ Ivf.kmeans). */
-  private def duckKmeansTopK(c: Int, iters: Int, k: Int, nprobe: Int): String =
+  /** Refined-centroid IVF probe (mirrors Ivf.topKWith ∘ Ivf.kmeans).
+    * `pred` (SQL over alias `e`) mirrors the engine's filtered-ANN
+    * predicate: candidates are restricted WITHIN the probed cells.
+    */
+  private def duckKmeansTopK(c: Int, iters: Int, k: Int, nprobe: Int,
+                             pred: Option[String] = None): String =
     s"""WITH ${duckKmeansCtes(c, iters)},
       q AS (SELECT query_vec FROM $duckQueryVec),
       probed AS (SELECT cid FROM c$iters, q ORDER BY list_distance(cv, q.query_vec), cid LIMIT $nprobe),
@@ -158,7 +194,7 @@ object SparkEntry {
       FROM embeddings e
       JOIN assigned a ON e.vec_id = a.vec_id
       JOIN q ON true
-      WHERE a.cell IN (SELECT cid FROM probed)
+      WHERE a.cell IN (SELECT cid FROM probed)${pred.map(p => s" AND ($p)").getOrElse("")}
       ORDER BY dist, e.vec_id LIMIT $k"""
 
   /** PQ oracle CTEs (mirror Pq.codebooks ∘ Ivf.kmeans per subspace +
@@ -310,6 +346,34 @@ object SparkEntry {
         JOIN q ON true
         WHERE a.cell IN (SELECT cid FROM probed)
         ORDER BY dist, e.vec_id LIMIT 10"""
+
+  /** Cosine ANN over seed-direction cells (mirrors
+    * Ivf.ensurePartitionedCosine + Ivf.cosineTopKPartitioned): both
+    * sides unit-normalize, cells/probes use L2 on the unit sphere, and
+    * the score is `1 − ‖û−v̂‖²/2` — the same diff-list inner-product
+    * fold as the engine's kernel, so the hash matches exactly.
+    */
+  private def duckCosineAnnTopK(c: Int, k: Int, nprobe: Int): String =
+    s"""WITH n AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)
+                / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+            FROM embeddings),
+        q0 AS (SELECT query_vec FROM $duckQueryVec),
+        q AS (SELECT list_transform(query_vec,
+                x -> x / sqrt(list_inner_product(query_vec, query_vec))) AS qv FROM q0),
+        cent AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < $c),
+        probed AS (SELECT cid FROM cent, q ORDER BY list_distance(cv, qv), cid LIMIT $nprobe),
+        assigned AS (SELECT n.vec_id, cid AS cell FROM n, cent c
+                     QUALIFY row_number() OVER (PARTITION BY n.vec_id
+                       ORDER BY list_distance(n.v, c.cv), cid) = 1),
+        diffs AS (SELECT n.vec_id,
+                    list_transform(range(1, len(n.v)+1), i -> n.v[i] - q.qv[i]) AS d
+                  FROM n JOIN q ON true
+                  WHERE n.vec_id IN (SELECT a.vec_id FROM assigned a
+                                     WHERE a.cell IN (SELECT cid FROM probed)))
+        SELECT vec_id, round(1.0 - list_inner_product(d, d) / 2.0, 6) AS cos_sim
+        FROM diffs
+        ORDER BY cos_sim DESC, vec_id LIMIT $k"""
 
   // Sampling constants shared by the Spark queries AND their generated
   // oracles (fraction sums and rate arithmetic must be the same doubles
@@ -480,6 +544,51 @@ object SparkEntry {
       val pdir = ivfCellsDir(s, dir, "km8i2")
       Ivf.ensurePartitionedWith(emb, Ivf.kmeansCached(emb, 8, 2, dir), pdir, tag = "km8i2")
       Ivf.topKPartitioned(s, pdir, queryVecOf(emb, 0), 10, nprobe = 2)
+    }),
+
+    // Index-aware planning, driver-visible: the query below is the
+    // NAIVE exact-kNN DataFrame (crossJoin + distance + orderBy +
+    // limit) with no index API in sight — IndexRewriteRule serves it
+    // from the registered cell-partitioned IVF copy instead (probe = a
+    // partition filter; nprobe = C ⇒ exact, so the plain exact oracle
+    // applies). This is the planner doing what the reference's caller
+    // must do by hand: route a query to the index that covers it.
+    "q_knn_rewrite_topk" -> ((s, dir) => {
+      val dataPath = ensureRewriteSandbox(s, dir)
+      val emb = s.read.parquet(dataPath)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(perturbQuery(col("embedding")).as("query_vec"))
+      emb.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(l2Distance(col("embedding"), col("query_vec")), 6).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
+    }),
+
+    // Cosine ANN over the partitioned index: the normalize-then-L2
+    // reduction (cos = 1 − ‖û−v̂‖²/2 on unit vectors) lets the same
+    // cell-partitioned machinery serve cosine — the layout holds unit
+    // directions, the probe partition-prunes, the score converts back.
+    // Exactly Knn.cosineTopK semantics on the pruned scale path.
+    "q_cosine_ann_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pdir = ivfCellsDir(s, dir, "cos16")
+      Ivf.ensurePartitionedCosine(emb, 16, pdir)
+      Ivf.cosineTopKPartitioned(s, pdir, queryVecOf(emb, 0), 10, nprobe = 2)
+    }),
+
+    // Filtered ANN — "nearest neighbors WHERE <predicate>" — over the
+    // partitioned IVF layout: the cell probe partition-prunes, the
+    // predicate pushes into the pruned scan (PushedFilters), and only
+    // surviving candidates are scored. Every production vector store
+    // serves this shape; here the predicate stands in for a metadata
+    // filter (exact DuckDB oracle: same cells, same WHERE).
+    "q_knn_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pdir = ivfCellsDir(s, dir, "c16")
+      Ivf.ensurePartitioned(emb, 16, pdir)
+      Ivf.topKPartitioned(s, pdir, queryVecOf(emb, 0), 10, nprobe = 2,
+        predicate = Some(col("vec_id") >= 100))
     }),
 
     // Product quantization: 64-dim float32 → 4 subspace codes (16
@@ -666,6 +775,12 @@ object SparkEntry {
       s"""SELECT vec_id, round(list_distance(embedding::DOUBLE[], q.query_vec), 6) AS dist
           FROM embeddings, $duckQueryVec q
           ORDER BY dist, vec_id LIMIT 10""",
+    // the rewrite serves the SAME naive query from the IVF copy at
+    // nprobe = C — exact by contract, so the exact-kNN oracle applies
+    "q_knn_rewrite_topk" ->
+      s"""SELECT vec_id, round(list_distance(embedding::DOUBLE[], q.query_vec), 6) AS dist
+          FROM embeddings, $duckQueryVec q
+          ORDER BY dist, vec_id LIMIT 10""",
     "q_knn_batch" ->
       """WITH q AS (SELECT vec_id AS query_id,
                 [CAST(embedding[1] AS DOUBLE)+1.0, CAST(embedding[2] AS DOUBLE)-1.0]
@@ -845,6 +960,11 @@ object SparkEntry {
     "q_pq_topk" -> duckPqTopK(4, 16, 16, 1, 10),
     // coarse seed cells (c=16) prune, product codes (m=4, c=16) score
     "q_ivfpq_topk" -> duckIvfPqTopK(4, 16, 16, 1, 16, 10, 4),
+    // filtered ANN: same seed-cell probe as q_ivf_topk (iters=0 → seed
+    // centroids), predicate restricted within the probed cells
+    "q_knn_filtered" -> duckKmeansTopK(16, 0, 10, 2, pred = Some("e.vec_id >= 100")),
+    // cosine ANN: normalize-then-L2 over seed-direction cells
+    "q_cosine_ann_topk" -> duckCosineAnnTopK(16, 10, 2),
     // identical semantics, partition-pruned physical plan
     "q_ivf_kmeans_partitioned_topk" -> duckKmeansTopK(8, 2, 10, 2),
     "q_skew_salted" ->

@@ -51,6 +51,11 @@ object VectorFunctions {
   def cosineDistance(a: Column, b: Column): Column =
     lit(1.0) - cosineSimilarity(a, b)
 
+  /** Unit-normalize a double-array vector (the cosine→L2 reduction's
+    * query side: `cos(a,b) = 1 − ‖â−b̂‖²/2` for unit â, b̂).
+    */
+  def normalizeQuery(v: Column): Column = transform(v, x => x / l2Norm(v))
+
   /** Query-perturbation protocol inspired by the reference's RgbTest
     * (hnsw.cc:352-356 perturbs components 1 and 2 of a 3-vector; this
     * applies +1/-1 to the first two components — same spirit, not

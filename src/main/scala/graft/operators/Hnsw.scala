@@ -75,6 +75,9 @@ object Hnsw {
     private val vecs = mutable.ArrayBuffer.empty[Array[Float]]
     private[operators] val ids = mutable.ArrayBuffer.empty[Long]
     private val levels = mutable.ArrayBuffer.empty[Int]
+    // result-eligibility per node (filtered ANN): ineligible nodes are
+    // traversed — they keep the graph navigable — but never returned
+    private val elig = mutable.ArrayBuffer.empty[Boolean]
     // adjacency(node)(layer) = neighbor node indices
     private val adj = mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
     private var entry: Int = -1
@@ -87,8 +90,14 @@ object Hnsw {
       math.sqrt(s)
     }
 
-    /** Best-first ef-bounded search on one layer from entry points. */
-    private def searchLayer(q: Array[Float], eps: Seq[Int], ef: Int, layer: Int): mutable.PriorityQueue[(Double, Int)] = {
+    /** Best-first ef-bounded search on one layer from entry points.
+      * `filtered = true` restricts RESULT admission to eligible nodes
+      * while traversal still walks every admitted candidate (the
+      * hnswlib filtered-search shape: ineligible nodes stay navigable
+      * bridges, so a selective predicate cannot disconnect the beam).
+      */
+    private def searchLayer(q: Array[Float], eps: Seq[Int], ef: Int, layer: Int,
+                            filtered: Boolean = false): mutable.PriorityQueue[(Double, Int)] = {
       val visited = mutable.BitSet.empty
       // candidates: nearest first; results: farthest first (bounded by ef)
       val cand = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by[(Double, Int), (Double, Int)](t => (-t._1, -t._2)))
@@ -97,7 +106,8 @@ object Hnsw {
         if (!visited(e)) {
           visited += e
           val d = dist(q, vecs(e))
-          cand.enqueue((d, e)); res.enqueue((d, e))
+          cand.enqueue((d, e))
+          if (!filtered || elig(e)) res.enqueue((d, e))
         }
       }
       while (res.size > ef) res.dequeue()
@@ -111,8 +121,11 @@ object Hnsw {
               visited += n
               val d = dist(q, vecs(n))
               if (res.size < ef || d < res.head._1) {
-                cand.enqueue((d, n)); res.enqueue((d, n))
-                if (res.size > ef) res.dequeue()
+                cand.enqueue((d, n))
+                if (!filtered || elig(n)) {
+                  res.enqueue((d, n))
+                  if (res.size > ef) res.dequeue()
+                }
               }
             }
           }
@@ -122,9 +135,9 @@ object Hnsw {
     }
 
     /** Insert one point with its preassigned level. */
-    def insert(id: Long, vec: Array[Float], level: Int): Unit = {
+    def insert(id: Long, vec: Array[Float], level: Int, eligible: Boolean = true): Unit = {
       val idx = vecs.length
-      vecs += vec; ids += id; levels += level
+      vecs += vec; ids += id; levels += level; elig += eligible
       adj += Array.fill(level + 1)(mutable.ArrayBuffer.empty[Int])
       if (entry < 0) { entry = idx; return }
 
@@ -163,8 +176,11 @@ object Hnsw {
       if (level > levels(entry)) entry = idx
     }
 
-    /** Top-k ANN query: greedy descent to layer 1, beam at layer 0. */
-    def search(q: Array[Float], k: Int): Seq[(Long, Double)] = {
+    /** Top-k ANN query: greedy descent to layer 1, beam at layer 0.
+      * `filtered = true` returns only result-eligible nodes (descent is
+      * always unfiltered — upper layers are pure navigation).
+      */
+    def search(q: Array[Float], k: Int, filtered: Boolean = false): Seq[(Long, Double)] = {
       if (entry < 0) return Nil
       var ep = entry
       var layer = levels(entry)
@@ -173,7 +189,7 @@ object Hnsw {
         if (r.nonEmpty) ep = r.minBy(t => (t._1, t._2))._2
         layer -= 1
       }
-      searchLayer(q, Seq(ep), math.max(p.efSearch, k), 0)
+      searchLayer(q, Seq(ep), math.max(p.efSearch, k), 0, filtered)
         .toSeq.sortBy(t => (t._1, t._2)).take(k)
         .map { case (d, i) => (ids(i), d) }
     }
@@ -192,9 +208,9 @@ object Hnsw {
       * entry point (first node reaching the max level) matches the one
       * the insert path would have selected.
       */
-    def loadNode(id: Long, vec: Array[Float], level: Int): Unit = {
+    def loadNode(id: Long, vec: Array[Float], level: Int, eligible: Boolean = true): Unit = {
       val idx = vecs.length
-      vecs += vec; ids += id; levels += level
+      vecs += vec; ids += id; levels += level; elig += eligible
       adj += Array.fill(level + 1)(mutable.ArrayBuffer.empty[Int])
       if (entry < 0 || level > levels(entry)) entry = idx
     }
@@ -279,10 +295,11 @@ object Hnsw {
   }
 
   /** One tagged shard record: `(part, isNode, a, b, c, vec)` — a node
-    * `(part, true, vec_id, _, level, embedding)` or a stored adjacency
-    * edge `(part, false, src, dst, layer, empty)`. The union shape lets
-    * one cogroup carry both the vectors and (for persisted indexes) the
-    * adjacency of a shard.
+    * `(part, true, vec_id, eligible(0|1), level, embedding)` or a stored
+    * adjacency edge `(part, false, src, dst, layer, empty)`. The union
+    * shape lets one cogroup carry both the vectors and (for persisted
+    * indexes) the adjacency of a shard; the node `b` slot carries the
+    * filtered-ANN result eligibility (1 everywhere when unfiltered).
     */
   private type ShardRec = (Int, Boolean, Long, Long, Int, Array[Float])
 
@@ -301,7 +318,7 @@ object Hnsw {
   private def searchCogrouped(
       recs: org.apache.spark.sql.Dataset[ShardRec],
       qrep: org.apache.spark.sql.Dataset[(Int, Long, Array[Double])],
-      k: Int, p: Params, rebuild: Boolean): DataFrame = {
+      k: Int, p: Params, rebuild: Boolean, filtered: Boolean = false): DataFrame = {
     val spark = recs.sparkSession
     import spark.implicits._
     val perShard = recs.groupByKey(_._1).cogroup(qrep.groupByKey(_._1)) { (_, rs, qs) =>
@@ -310,14 +327,14 @@ object Hnsw {
         val arr = rs.toArray
         val g = new LocalGraph(p)
         val nodes = arr.filter(_._2).sortBy(_._3) // id order = insert/load order
-        if (rebuild) nodes.foreach { r => g.insert(r._3, r._6, r._5) }
+        if (rebuild) nodes.foreach { r => g.insert(r._3, r._6, r._5, r._4 != 0L) }
         else {
           val idxOf = new mutable.LongMap[Int]()
-          nodes.foreach { r => idxOf(r._3) = g.size; g.loadNode(r._3, r._6, r._5) }
+          nodes.foreach { r => idxOf(r._3) = g.size; g.loadNode(r._3, r._6, r._5, r._4 != 0L) }
           arr.foreach { r => if (!r._2) g.loadEdge(idxOf(r._3), idxOf(r._4), r._5) }
         }
         qs.flatMap { case (_, qid, qv) =>
-          g.search(qv.map(_.toFloat), k).map { case (id, d) => (qid, id, d) }
+          g.search(qv.map(_.toFloat), k, filtered).map { case (id, d) => (qid, id, d) }
         }
       }
     }
@@ -344,7 +361,7 @@ object Hnsw {
     embeddings.select(
         pmod(col("vec_id"), lit(p.numPartitions)).cast("int").as("part"),
         lit(true).as("is_node"),
-        col("vec_id"), lit(0L).as("b"), levelColumn(p).as("level"), col("embedding"))
+        col("vec_id"), lit(1L).as("b"), levelColumn(p).as("level"), col("embedding"))
       .as[ShardRec]
   }
 
@@ -514,9 +531,31 @@ object Hnsw {
     val recs = embeddings
       .join(Ivf.assignMulti(embeddings, centroids, replication), Seq("vec_id"))
       .select(col("cell").cast("int").as("part"), lit(true).as("is_node"),
-        col("vec_id"), lit(0L).as("b"), levelColumn(p).as("level"), col("embedding"))
+        col("vec_id"), lit(1L).as("b"), levelColumn(p).as("level"), col("embedding"))
       .as[ShardRec]
     searchCogrouped(recs, routeQueries(queries, centroids, nprobe), k, p, rebuild = true)
+  }
+
+  /** COSINE routed search by the normalize-then-L2 reduction
+    * ([[Ivf.normalized]]): both sides unit-normalize, the L2 graph
+    * machinery runs unchanged, and the reported score converts back as
+    * `cos = 1 − d²/2`. Centroids must come from the NORMALIZED table
+    * (direction cells). Output `(query_id, vec_id, cos_sim)`, highest
+    * similarity first per query — [[Knn.cosineTopK]] semantics on the
+    * routed scale path.
+    */
+  def searchRoutedCosine(embeddings: DataFrame, queries: DataFrame, k: Int, p: Params,
+                         centroids: DataFrame, nprobe: Int,
+                         replication: Int = 2): DataFrame = {
+    val normedQ = queries.select(col("query_id"),
+      graft.functions.VectorFunctions.normalizeQuery(col("query_vec")).as("query_vec"))
+    // graph nodes store float32 (the ShardRec shape) — normalized
+    // directions survive the downcast at ~1e-7, well inside ANN slack
+    val normed = Ivf.normalized(embeddings)
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    searchRouted(normed, normedQ, k, p, centroids, nprobe, replication)
+      .select(col("query_id"), col("vec_id"),
+        round(lit(1.0) - col("dist") * col("dist") / lit(2.0), 6).as("cos_sim"))
   }
 
   /** Route each query to its `nprobe` nearest cells by centroid
@@ -584,15 +623,22 @@ object Hnsw {
     * (embeddings, cents, p, nprobe, replication) — pinned by HnswSpec.
     */
   def searchRoutedWithIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-                            queries: DataFrame, k: Int, p: Params, nprobe: Int): DataFrame = {
+                            queries: DataFrame, k: Int, p: Params, nprobe: Int,
+                            predicate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import spark.implicits._
+    // Filtered ANN: the predicate (over the stored node columns) marks
+    // result ELIGIBILITY — ineligible nodes still load and route the
+    // beam (removing them would sever graph edges and strand whole
+    // regions), but they can never appear in results.
+    val eligCol = predicate.map(pr => when(pr, 1L).otherwise(0L)).getOrElse(lit(1L))
     val recs = spark.read.parquet(s"$dir/nodes")
       .select(col("part"), lit(true).as("is_node"), col("vec_id"),
-        lit(0L).as("b"), col("level"), col("embedding"))
+        eligCol.as("b"), col("level"), col("embedding"))
       .as[ShardRec]
       .union(edgeRecs(spark.read.parquet(s"$dir/edges")))
     val cents = spark.read.parquet(s"$dir/centroids")
-    searchCogrouped(recs, routeQueries(queries, cents, nprobe), k, p, rebuild = false)
+    searchCogrouped(recs, routeQueries(queries, cents, nprobe), k, p,
+      rebuild = false, filtered = predicate.isDefined)
   }
 
   /** The full incremental-append serving cycle, amortized per dir: build
@@ -633,6 +679,68 @@ object Hnsw {
       .write.mode("overwrite").parquet(s"$dir/nodes")
     edges.select(col("part"), col("src"), col("dst"), col("layer"))
       .write.mode("overwrite").parquet(s"$dir/edges")
+  }
+
+  // ------------------------------------------------------------------
+  // Generational index maintenance (streaming-append serving state)
+  // ------------------------------------------------------------------
+
+  private def latestMarker(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/_graft_latest")
+
+  /** Latest generation id under a generational index root
+    * (`dir/gen=N/{nodes,edges}` + `_graft_latest` marker), if any.
+    */
+  def latestGenId(spark: org.apache.spark.sql.SparkSession, dir: String): Option[Int] = {
+    val path = latestMarker(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else {
+      val in = fs.open(path)
+      try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        .trim.toInt)
+      finally in.close()
+    }
+  }
+
+  /** The latest generation's `(nodes, edges)` frames, if a generation
+    * exists. Serving reads THIS; appends write the next generation.
+    */
+  def latestGeneration(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : Option[(Int, DataFrame, DataFrame)] =
+    latestGenId(spark, dir).map { g =>
+      (g, spark.read.parquet(s"$dir/gen=$g/nodes"), spark.read.parquet(s"$dir/gen=$g/edges"))
+    }
+
+  /** Append a batch of new vectors to a GENERATIONAL index: the first
+    * batch builds `gen=0` from scratch; each later batch loads the
+    * latest generation, [[insertInto]]s the new rows (only affected
+    * shards rebuild), and writes the result as a NEW generation before
+    * flipping the `_graft_latest` marker. Generations are immutable —
+    * a reader serving from gen N is never corrupted by the writer
+    * producing N+1 (the overwrite-in-place alternative would have the
+    * insert plan reading the very files it is replacing). This is the
+    * micro-batch maintenance shape: call it from a streaming
+    * `foreachBatch` sink ([[graft.streaming.StreamingAnn.maintainIndex]]).
+    */
+  def appendGeneration(fresh: DataFrame, dir: String, p: Params): Unit = {
+    val spark = fresh.sparkSession
+    latestGeneration(spark, dir) match {
+      case None =>
+        save(fresh, p, s"$dir/gen=0")
+        writeLatest(spark, dir, 0)
+      case Some((g, nodes, edges)) =>
+        val (n1, e1) = insertInto(nodes, edges, fresh, p)
+        saveIndex(n1, e1, s"$dir/gen=${g + 1}")
+        writeLatest(spark, dir, g + 1)
+    }
+  }
+
+  private def writeLatest(spark: org.apache.spark.sql.SparkSession, dir: String,
+                          gen: Int): Unit = {
+    val path = latestMarker(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(gen.toString.getBytes("UTF-8")) finally out.close()
   }
 
   /** Degree/size statistics per layer over a built edges table —

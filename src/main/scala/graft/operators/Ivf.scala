@@ -203,10 +203,17 @@ object Ivf {
     * filter, so only nprobe/C of the files are read. Centroids come
     * from the `_centroids` sidecar — the probe never touches unprobed
     * data files at all.
+    *
+    * `predicate` (filtered ANN: "nearest neighbors WHERE attr = x") is
+    * applied to the stored rows directly above the pruned scan, so a
+    * scan-pushable predicate lands in `PushedFilters` and filtered rows
+    * are dropped before any distance arithmetic. Candidates come from
+    * the probed cells only — the filter narrows the candidate set, it
+    * does not widen the probe.
     */
   def topKPartitioned(spark: org.apache.spark.sql.SparkSession, dir: String,
                       queries: DataFrame, k: Int, nprobe: Int,
-                      roundTo: Int = 6): DataFrame = {
+                      roundTo: Int = 6, predicate: Option[Column] = None): DataFrame = {
     val stored = spark.read.parquet(dir)
     val cents = spark.read.parquet(s"$dir/_centroids")
     // collect() here moves exactly `nprobe` cell IDS (a handful of
@@ -218,12 +225,66 @@ object Ivf {
       .orderBy(col("qdist"), col("centroid_id"))
       .limit(nprobe)
       .collect().map(_.getLong(0))
-    stored
-      .filter(col("cell").isin(probed: _*)) // partition-pruned
+    val pruned = stored.filter(col("cell").isin(probed: _*)) // partition-pruned
+    predicate.fold(pruned)(pruned.filter)
       .crossJoin(broadcast(queries))
       .select(col("vec_id"),
         round(l2Distance(col("embedding"), col("query_vec")), roundTo).as("dist"))
       .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Unit-normalized copy of the vector table (doubles): for unit
+    * vectors, cosine similarity is a pure function of L2 distance
+    * (`cos = 1 − ‖u−v‖²/2`), so EVERY L2 index path — IVF cells, HNSW
+    * shards, PQ codes — serves cosine by indexing this table instead of
+    * the raw one. Same reduction the blocked near-dup join proves
+    * ([[Dedup.embeddingNearDupsBlocked]]).
+    */
+  def normalized(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double") / l2Norm(col("embedding")))
+        .as("embedding"))
+
+  /** Unit-normalize a single-row `(query_vec)` frame (double arrays). */
+  def normalizedQuery(queries: DataFrame): DataFrame =
+    queries.select(
+      transform(col("query_vec"), x => x / l2Norm(col("query_vec"))).as("query_vec"))
+
+  /** Cell-partitioned COSINE serving layout: the normalized table
+    * partitioned by cells of its own seed centroids. Build once per
+    * dir; [[cosineTopKPartitioned]] probes it.
+    */
+  def ensurePartitionedCosine(embeddings: DataFrame, c: Int, dir: String): Unit = {
+    val normed = normalized(embeddings)
+    ensurePartitionedWith(normed, centroids(normed, c), dir, tag = s"cos_c=$c")
+  }
+
+  /** Cosine top-k over a [[ensurePartitionedCosine]] layout: the query
+    * normalizes, the probe partition-prunes exactly like
+    * [[topKPartitioned]], and the score is `1 − ‖u−v‖²/2` — highest
+    * similarity first, ties by vec_id ([[Knn.cosineTopK]] semantics,
+    * served from a pruned scan instead of a full pass).
+    */
+  def cosineTopKPartitioned(spark: org.apache.spark.sql.SparkSession, dir: String,
+                            queries: DataFrame, k: Int, nprobe: Int,
+                            roundTo: Int = 6): DataFrame = {
+    val stored = spark.read.parquet(dir)
+    val cents = spark.read.parquet(s"$dir/_centroids")
+    val qn = normalizedQuery(queries)
+    val probed = cents.crossJoin(broadcast(qn))
+      .select(col("centroid_id"),
+        l2Distance(col("centroid_vec"), col("query_vec")).as("qdist"))
+      .orderBy(col("qdist"), col("centroid_id"))
+      .limit(nprobe)
+      .collect().map(_.getLong(0))
+    stored
+      .filter(col("cell").isin(probed: _*)) // partition-pruned
+      .crossJoin(broadcast(qn))
+      .select(col("vec_id"),
+        round(lit(1.0) - l2DistanceSq(col("embedding"), col("query_vec")) / lit(2.0),
+          roundTo).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
 

@@ -246,7 +246,7 @@ object Pq {
     * reads of the raw vectors: the form PQ exists for at 100 TB.
     */
   def ivfpqTopK(spark: SparkSession, dir: String, queries: DataFrame, k: Int, nprobe: Int,
-                roundTo: Int = 6): DataFrame = {
+                roundTo: Int = 6, predicate: Option[Column] = None): DataFrame = {
     val stored = spark.read.parquet(dir)
     val cents = spark.read.parquet(s"$dir/_centroids")
     // nprobe cell ids to the driver — partition-filter formation, as in
@@ -257,7 +257,10 @@ object Pq {
       .orderBy(col("qdist"), col("centroid_id"))
       .limit(nprobe)
       .collect().map(_.getLong(0))
-    adcTopKFromCodes(stored.filter(col("cell").isin(probed: _*)),
+    // filtered ANN: the predicate sits directly above the pruned code
+    // scan (pushable parts land in PushedFilters), narrowing ADC input
+    val pruned = stored.filter(col("cell").isin(probed: _*))
+    adcTopKFromCodes(predicate.fold(pruned)(pruned.filter),
       collectBooks(spark.read.parquet(s"$dir/_codebooks")), collectQuery(queries), k, roundTo)
   }
 

@@ -33,4 +33,21 @@ object StreamingAnn {
           batch.toDF(), k, p, nprobe), batchId)
       }
       .start()
+
+  /** Streaming index MAINTENANCE: a stream of new vectors
+    * `(vec_id, embedding)` appended into a generational HNSW index at
+    * `indexDir` — each micro-batch runs the incremental insert
+    * ([[Hnsw.insertInto]]: only affected shards rebuild) and publishes
+    * an immutable new generation, so concurrent readers keep serving
+    * the previous one. The daily/streaming-append half of a production
+    * retrieval pipeline; [[serveQueries]] is the query half.
+    */
+  def maintainIndex(newVectors: DataFrame, indexDir: String,
+                    p: Hnsw.Params): StreamingQuery =
+    newVectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        Hnsw.appendGeneration(batch.toDF(), indexDir, p)
+      }
+      .start()
 }

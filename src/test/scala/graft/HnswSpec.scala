@@ -176,6 +176,49 @@ class HnswSpec extends AnyFunSuite {
     assert(served === rebuilt)
   }
 
+  test("filtered ANN: only predicate-eligible results; full beam == exact filtered kNN") {
+    val dir = java.nio.file.Files.createTempDirectory("hnsw_filtered").toString
+    val cents = Ivf.kmeans(emb, 8, 2)
+    // full-beam params: ef ≥ corpus size makes every shard search exact
+    // over its nodes, so with every shard probed the ONLY approximation
+    // left is the filter semantics — which must then match exact kNN
+    // over the eligible subset precisely
+    val pFull = params.copy(efSearch = 256)
+    Hnsw.saveRouted(emb, cents, pFull, dir, replication = 2)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+    val pred = col("vec_id") % 2 === 0
+    val ann = Hnsw.searchRoutedWithIndex(spark, dir, qs, 10, pFull, nprobe = 8,
+      predicate = Some(pred)).cache()
+    assert(ann.filter(col("vec_id") % 2 =!= 0).count() === 0,
+      "ineligible nodes must never surface in filtered results")
+    val annIds = ann.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactIds = Knn.topKBatch(emb.filter(pred), qs, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(annIds === exactIds,
+      "full-beam all-shard filtered search must equal exact kNN over the eligible subset")
+  }
+
+  test("cosine routed search (normalize-then-L2) == exact cosine ids at full beam") {
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+    val normed = Ivf.normalized(emb)
+    val cents = Ivf.kmeans(normed, 8, 2)
+    val pFull = params.copy(efSearch = 256)
+    val ann = Hnsw.searchRoutedCosine(emb, qs, 10, pFull, cents, nprobe = 8,
+      replication = 2).cache()
+    // scores are genuine cosines
+    assert(ann.filter(col("cos_sim") > 1.0001 || col("cos_sim") < -1.0001).count() === 0)
+    val annIds = ann.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact cosine top-k == exact L2 top-k on the unit sphere
+    val normedQ = qs.select(col("query_id"),
+      graft.functions.VectorFunctions.normalizeQuery(col("query_vec")).as("query_vec"))
+    val exactIds = Knn.topKBatch(normed, normedQ, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(annIds === exactIds,
+      "full-beam all-shard cosine routed search must equal exact cosine kNN ids")
+  }
+
   test("IVF partitioned layout: pruned probe matches in-memory probe") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_cells").toString
     Ivf.writePartitioned(emb, c = 8, dir)

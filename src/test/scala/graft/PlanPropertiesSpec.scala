@@ -84,6 +84,27 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_knn_rewrite_topk: naive crossJoin plan is served by the partitioned IVF copy") {
+    val df = SparkEntry.queries("q_knn_rewrite_topk")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      s"IndexRewriteRule must turn the naive scan into a partition-pruned probe:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // exactness at nprobe = C: same rows as the naive plan un-rewritten
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = SparkEntry.queries("q_knn_topk")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === exact, "nprobe = C rewrite must reproduce the exact result")
+  }
+
+  test("q_knn_filtered: predicate pushed INTO the partition-pruned scan") {
+    val p = plan("q_knn_filtered")
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      s"probe must partition-prune:\n$p")
+    assert(p.contains("GreaterThanOrEqual(vec_id,100)"),
+      s"the ANN predicate must reach the scan's PushedFilters:\n$p")
+  }
+
   test("q_embedding_neardups_blocked: no cartesian product of the table against itself") {
     val p = plan("q_embedding_neardups_blocked")
     assert(!p.contains("CartesianProduct"), s"blocking must prevent the n^2 join:\n$p")

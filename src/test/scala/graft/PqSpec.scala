@@ -124,6 +124,44 @@ class PqSpec extends AnyFunSuite {
       "pruned-probe distances must agree with the flat ADC distances for the same ids")
   }
 
+  test("PQ over normalized vectors serves cosine (lossless ADC == exact cosine ranking)") {
+    // the cosine→L2 reduction composes with PQ unchanged: quantize the
+    // UNIT directions and ADC ranks by cosine. With one centroid per
+    // vector quantization is lossless, so the ranking must be exact.
+    val tiny = emb.filter(col("vec_id") < 8).cache()
+    val normed = graft.operators.Ivf.normalized(tiny).cache()
+    val losslessBooks = Pq.codebooks(normed, M, SubDim, c = 8, iters = 0)
+    val q = tiny.filter(col("vec_id") === 3)
+      .select(perturbQuery(col("embedding")).as("query_vec"))
+    val qn = graft.operators.Ivf.normalizedQuery(q)
+    val adcIds = Pq.adcTopK(normed, losslessBooks, qn, M, SubDim, k = 8).collect()
+      .map(_.getLong(0)).toSeq
+    val exactIds = tiny.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosineSimilarity(col("embedding"), col("query_vec")), 6).as("c"))
+      .orderBy(col("c").desc, col("vec_id")).collect().map(_.getLong(0)).toSeq
+    assert(adcIds === exactIds,
+      "normalized-L2 ADC ranking must equal the exact cosine ranking")
+  }
+
+  test("filtered IVF-PQ: predicate restricts ADC candidates, ranking order preserved") {
+    val base = java.nio.file.Files.createTempDirectory("pq_filtered").toString
+    Pq.ensureEncodedPartitioned(emb, graft.operators.Ivf.centroids(emb, 8), books,
+      M, SubDim, s"$base/ivfpq")
+    Pq.ensureEncoded(emb, books, M, SubDim, s"$base/flat")
+    val q = emb.filter(col("vec_id") === 7)
+      .select(perturbQuery(col("embedding")).as("query_vec"))
+    val filtered = Pq.ivfpqTopK(spark, s"$base/ivfpq", q, k = 100, nprobe = 8,
+        predicate = Some(col("vec_id") >= 50)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // every coarse cell probed ⇒ the filtered ranking must be exactly
+    // the flat ADC ranking restricted to the eligible ids
+    val flatRestricted = Pq.adcTopKStored(spark, s"$base/flat", q, k = 100).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).filter(_._1 >= 50).toSeq
+    assert(filtered.size === 50)
+    assert(filtered === flatRestricted)
+  }
+
   test("retrained codebooks invalidate the persisted code table (booksFingerprint)") {
     val cdir = java.nio.file.Files.createTempDirectory("pq_retrain").toString + "/codes"
     def fp() = graft.operators.IndexMeta.read(spark, cdir).get

@@ -82,6 +82,51 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       "streamed micro-batches must serve identical results to the batch path")
   }
 
+  test("streaming index maintenance: micro-batch appends == batch incremental lifecycle") {
+    implicit val sqlCtx = spark.sqlContext
+    val p = Hnsw.Params(numPartitions = 3)
+    val all = (0L until 120L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(8)(rnd.nextFloat() * 100f))
+    }
+    val (baseRows, freshRows) = all.splitAt(100)
+    val dir = java.nio.file.Files.createTempDirectory("stream_maint").toString
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamingAnn.maintainIndex(mem.toDF().toDF("vec_id", "embedding"), dir, p)
+    try {
+      mem.addData(baseRows: _*) // micro-batch 0: builds gen=0
+      q.processAllAvailable()
+      mem.addData(freshRows: _*) // micro-batch 1: insertInto → gen=1
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val (gen, nodes, edges) = Hnsw.latestGeneration(spark, dir).get
+    assert(gen === 1, "two micro-batches must produce two generations")
+
+    // the batch incremental lifecycle over the SAME base/fresh split
+    // must produce the IDENTICAL graph (both paths: deterministic build
+    // of base, then the same beam-inserts of fresh)
+    val bdir = java.nio.file.Files.createTempDirectory("stream_maint_batch").toString
+    val (bn, be) = Hnsw.ensureInsertedSaved(
+      baseRows.toDF("vec_id", "embedding"), freshRows.toDF("vec_id", "embedding"),
+      p, s"$bdir/base", s"$bdir/incr")
+    assert(edges.collect().map(_.toSeq).toSet === be.collect().map(_.toSeq).toSet,
+      "streamed generation must hold the same edge set as the batch lifecycle")
+    assert(nodes.select("vec_id", "level").collect().map(_.toSeq).toSet
+      === bn.select("vec_id", "level").collect().map(_.toSeq).toSet)
+
+    // and serve identically
+    val qs = all.take(5).toDF("vec_id", "embedding")
+      .select(col("vec_id").as("query_id"),
+        graft.functions.VectorFunctions.perturbQuery(col("embedding")).as("query_vec"))
+    val fromStream = Hnsw.searchWithIndex(nodes, edges, qs, 10, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fromBatch = Hnsw.searchWithIndex(bn, be, qs, 10, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromStream === fromBatch)
+  }
+
   test("streaming dedup drops in-watermark duplicate event ids before aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double, Long)]
