@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -108,4 +108,140 @@ case class DotProductExpr(left: Expression, right: Expression) extends VectorFol
     s"$s += $ax * $bx;"
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProductExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** All m PQ codes of one vector in a single codegen pass: for each
+  * subspace `s`, the id of the nearest codebook centroid to elements
+  * `[s·subDim, (s+1)·subDim)` of the input, squared-L2, double
+  * accumulation element-in-order, ties to the smaller centroid id —
+  * bit-identical to the `array_min(array(struct(dist, cid)…))` literal
+  * formulation it replaces, but the codebooks ride as ONE reference
+  * object (`books[s][cid][i]`, flattened to a `double[]`) instead of
+  * m·c struct literals in the plan. At production codebook sizes
+  * (m=16, c=256 → 4096 argmin candidates) the literal form risks
+  * plan-size/codegen-method limits; this form is O(1) plan nodes
+  * regardless of m·c and the whole encode stays one whole-stage-codegen
+  * projection (no join, no shuffle — the shape PQ encode needs over
+  * 100 TB of vectors).
+  *
+  * Input may be array<float> (embeddings at rest) or array<double>
+  * (normalized/query-side). A vector whose length ≠ m·subDim yields
+  * null — the engine's explicit stance against the reference's silent
+  * zero-padding (hnsw.cc:29-31/66-72, SURVEY.md §1.4.1).
+  */
+case class PqEncodeExpr(child: Expression, books: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+
+  private val m = books.length
+  private val c = books.headOption.map(_.length).getOrElse(0)
+  private val subDim = books.headOption.flatMap(_.headOption).map(_.length).getOrElse(0)
+  require(m > 0 && c > 0 && subDim > 0, "pq_encode needs a non-empty m x c x subDim codebook")
+  require(books.forall(b => b.length == c && b.forall(_.length == subDim)),
+    "pq_encode codebook must be rectangular: every subspace c centroids of subDim dims")
+
+  override def prettyName: String = "pq_encode"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  // Render a compact descriptor instead of m·c·subDim doubles — plan
+  // strings (explain/UI/logs) must not grow with codebook size.
+  override def flatArguments: Iterator[Any] =
+    Iterator(child, s"books(m=$m, c=$c, subDim=$subDim)")
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> or array<double> argument, got ${dt.simpleString}")
+  }
+
+  // Flattened [s][cid][i] -> [(s*c + cid)*subDim + i]; one JVM object
+  // shared by every row (and shipped once per task via the codegen
+  // reference table), never serialized into the plan tree.
+  @transient private lazy val flat: Array[Double] = {
+    val a = new Array[Double](m * c * subDim)
+    var s = 0
+    while (s < m) {
+      var cid = 0
+      while (cid < c) {
+        val cv = books(s)(cid)
+        var i = 0
+        while (i < subDim) { a((s * c + cid) * subDim + i) = cv(i); i += 1 }
+        cid += 1
+      }
+      s += 1
+    }
+    a
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    if (a.numElements() != m * subDim) null
+    else {
+      val fl = isFloat
+      val codes = new Array[Int](m)
+      var s = 0
+      while (s < m) {
+        var best = Double.PositiveInfinity
+        var bc = 0
+        var cid = 0
+        while (cid < c) {
+          val base = (s * c + cid) * subDim
+          var acc = 0.0
+          var i = 0
+          while (i < subDim) {
+            val av = if (fl) a.getFloat(s * subDim + i).toDouble else a.getDouble(s * subDim + i)
+            val d = av - flat(base + i)
+            acc += d * d
+            i += 1
+          }
+          if (acc < best) { best = acc; bc = cid }
+          cid += 1
+        }
+        codes(s) = bc
+        s += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(codes)
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("pqBooks", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val codes = ctx.freshName("codes")
+      val s = ctx.freshName("s"); val cid = ctx.freshName("cid"); val i = ctx.freshName("i")
+      val best = ctx.freshName("best"); val bc = ctx.freshName("bc")
+      val acc = ctx.freshName("acc"); val base = ctx.freshName("base")
+      val d = ctx.freshName("d")
+      val get = if (isFloat) s"(double) $a.getFloat($s * $subDim + $i)"
+                else s"$a.getDouble($s * $subDim + $i)"
+      s"""
+      if ($a.numElements() != ${m * subDim}) {
+        ${ev.isNull} = true;
+      } else {
+        final int[] $codes = new int[$m];
+        for (int $s = 0; $s < $m; $s++) {
+          double $best = Double.POSITIVE_INFINITY; int $bc = 0;
+          for (int $cid = 0; $cid < $c; $cid++) {
+            final int $base = ($s * $c + $cid) * $subDim;
+            double $acc = 0.0;
+            for (int $i = 0; $i < $subDim; $i++) {
+              final double $d = $get - $booksRef[$base + $i];
+              $acc += $d * $d;
+            }
+            if ($acc < $best) { $best = $acc; $bc = $cid; }
+          }
+          $codes[$s] = $bc;
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($codes);
+      }"""
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
 }

@@ -40,6 +40,12 @@ object VectorFunctions {
   def dotProduct(a: Column, b: Column): Column =
     column(DotProductExpr(expr(a), expr(b)))
 
+  /** All m PQ subspace codes in one codegen pass ([[PqEncodeExpr]]);
+    * `books(s)(cid)` is centroid `cid` of subspace `s`.
+    */
+  def pqEncode(v: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    column(PqEncodeExpr(expr(v), books))
+
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
 

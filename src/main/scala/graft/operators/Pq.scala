@@ -100,27 +100,23 @@ object Pq {
 
   /** Encode every vector in ONE narrow pass: `(vec_id, codes)` with
     * `codes(s)` = nearest centroid of subspace `s` (ties → smaller
-    * centroid id, the [[Ivf.assignWith]] convention — `array_min` over
-    * `(distance, centroid_id)` structs orders lexicographically, and
-    * squared L2 ranks identically to L2). The codebooks ride in the
-    * plan as literals, so the whole encode is a map-side projection
-    * inside whole-stage codegen: no join, no window, no Exchange —
-    * replacing the m-scan union + N·m·c `row_number` shuffle of the
-    * first version.
+    * centroid id, the [[Ivf.assignWith]] convention; squared L2 ranks
+    * identically to L2). The whole encode is ONE native codegen
+    * expression ([[graft.functions.PqEncodeExpr]]) — the codebooks ride
+    * as a single flattened reference object, not m·c struct literals,
+    * so the plan stays O(1) nodes at production codebook sizes (m=16,
+    * c=256 would otherwise embed 4096 argmin candidates and risk
+    * codegen-method limits). Map-side projection inside whole-stage
+    * codegen: no join, no window, no Exchange.
     */
   def codesArray(embeddings: DataFrame, books: DataFrame, m: Int, subDim: Int): DataFrame = {
     val bySub = collectBooks(books)
     require(bySub.keySet == (0 until m).toSet,
       s"codebooks must cover subspaces 0..${m - 1}, got ${bySub.keySet.toSeq.sorted}")
-    val codeExprs = (0 until m).map { s =>
-      val cands = bySub(s).zipWithIndex.map { case (cv, cid) =>
-        struct(
-          l2DistanceSq(subVector(col("embedding"), s, subDim), typedlit(cv)).as("d"),
-          lit(cid).as("cid"))
-      }
-      array_min(array(cands: _*)).getField("cid")
-    }
-    embeddings.select(col("vec_id"), array(codeExprs: _*).as("codes"))
+    require(bySub.values.forall(_.forall(_.length == subDim)),
+      s"codebook centroids must have subDim=$subDim dims")
+    embeddings.select(col("vec_id"),
+      pqEncode(col("embedding"), (0 until m).map(bySub(_).toSeq)).as("codes"))
   }
 
   /** [[codesArray]] exploded to `(vec_id, subspace, code)` — the

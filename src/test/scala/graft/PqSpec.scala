@@ -58,6 +58,56 @@ class PqSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"encode plan must have no Exchange:\n$plan")
   }
 
+  test("pqEncode expression == the literal-struct argmin formulation, bit for bit") {
+    // the formulation PqEncodeExpr replaced, kept here as the semantic
+    // pin: per-subspace array_min over (l2DistanceSq to a typedlit
+    // centroid, cid) structs — lexicographic min ⇒ ties to smaller cid
+    val bySub = books
+      .select(col("subspace").cast("int"), col("centroid_id").cast("long"), col("centroid_vec"))
+      .as[(Int, Long, Seq[Double])].collect()
+      .groupBy(_._1).map { case (s, bs) => s -> bs.sortBy(_._2).map(_._3).toIndexedSeq }
+    val codeExprs = (0 until M).map { s =>
+      val cands = bySub(s).zipWithIndex.map { case (cv, cid) =>
+        struct(
+          l2DistanceSq(Pq.subVector(col("embedding"), s, SubDim), typedlit(cv)).as("d"),
+          lit(cid).as("cid"))
+      }
+      array_min(array(cands: _*)).getField("cid")
+    }
+    val literal = emb.select(col("vec_id"), array(codeExprs: _*).as("codes"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    val native = Pq.codesArray(emb, books, M, SubDim)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    assert(native === literal,
+      "PqEncodeExpr must reproduce the literal-struct argmin codes exactly")
+  }
+
+  test("pqEncode holds at production codebook size (m=16, c=256) with O(1) plan size") {
+    // the shape the literal formulation could NOT safely reach: 4096
+    // argmin candidates would be 4096 struct literals in the plan; the
+    // reference-object form keeps the plan constant-size
+    val rnd = new scala.util.Random(42)
+    val bigBooks = Seq.tabulate(16)(_ => Seq.tabulate(256)(_ => Seq(rnd.nextDouble() * 100)))
+    val out = emb.select(col("vec_id"), pqEncode(col("embedding"), bigBooks).as("codes"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.length < 20000, s"plan must not grow with m*c (got ${plan.length} chars)")
+    assert(!plan.contains("Exchange"), "encode must stay shuffle-free")
+    val rows = out.collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    assert(rows.length === 100)
+    assert(rows.forall { case (_, cs) => cs.length == 16 && cs.forall(c => c >= 0 && c < 256) })
+    // deterministic across plans
+    val again = emb.select(col("vec_id"), pqEncode(col("embedding"), bigBooks).as("codes"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    assert(rows.toMap === again.toMap)
+  }
+
+  test("pqEncode: a vector whose length != m*subDim yields null codes (no silent padding)") {
+    val bks = Seq.tabulate(M)(_ => Seq.tabulate(2)(_ => Seq.fill(SubDim)(1.0)))
+    val bad = Seq((1L, Array.fill(15)(1.0f))).toDF("vec_id", "embedding")
+    val r = bad.select(pqEncode(col("embedding"), bks).as("codes")).head()
+    assert(r.isNullAt(0), "dim-mismatched vectors must yield null, not truncated codes")
+  }
+
   test("ADC distance equals direct distance to the quantized reconstruction") {
     val q = emb.filter(col("vec_id") === 7)
       .select(perturbQuery(col("embedding")).as("query_vec"))
