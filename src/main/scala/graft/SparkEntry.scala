@@ -251,6 +251,72 @@ object SparkEntry {
         GROUP BY e.vec_id
         ORDER BY dist, e.vec_id LIMIT $k"""
 
+  /** The perturbed query BATCH (q_knn_batch protocol, first `qn` ids)
+    * as a CTE body: `(query_id, query_vec)`.
+    */
+  private def duckQueryBatch(qn: Int): String =
+    s"""(SELECT vec_id AS query_id,
+          [CAST(embedding[1] AS DOUBLE)+1.0, CAST(embedding[2] AS DOUBLE)-1.0]
+          || list_transform(embedding[3:], x -> CAST(x AS DOUBLE)) AS query_vec
+        FROM embeddings WHERE vec_id < $qn)"""
+
+  /** Per-QUERY ADC LUT CTEs (batch form of [[duckPqLutCtes]]): each
+    * lut row carries its query_id. Requires `qb(query_id, query_vec)`
+    * and the `s{s}c{iters}` codebook CTEs in scope.
+    */
+  private def duckPqLutBatchCtes(m: Int, subDim: Int, iters: Int): String = {
+    val luts = (0 until m).map { s =>
+      s"""lut$s AS (SELECT query_id, $s AS subspace, cid AS code, list_inner_product(d, d) AS d2
+          FROM (SELECT q.query_id, cid, list_transform(range(1, ${subDim + 1}),
+                       i -> cv[i] - q.query_vec[${s * subDim} + i]) AS d
+                FROM s${s}c$iters, qb q))"""
+    }.mkString(",\n")
+    val lutAll = (0 until m).map(s => s"SELECT * FROM lut$s").mkString(" UNION ALL ")
+    s"$luts,\n        lutall AS ($lutAll)"
+  }
+
+  /** BATCH flat ADC top-k (mirrors Pq.adcTopKStoredBatch): per-query
+    * LUTs, every (vector, query) pair scored, window top-k per query.
+    */
+  private def duckPqTopKBatch(m: Int, subDim: Int, c: Int, iters: Int, k: Int,
+                              qn: Int): String =
+    s"""WITH ${duckPqCtes(m, subDim, c, iters)},
+        qb AS (SELECT query_id, query_vec FROM ${duckQueryBatch(qn)}),
+        ${duckPqLutBatchCtes(m, subDim, iters)},
+        scored AS (SELECT l.query_id, e.vec_id,
+               round(sqrt(CAST(sum(CAST(l.d2 AS DECIMAL(38,12))) AS DOUBLE)), 6) AS dist
+             FROM encall e JOIN lutall l USING (subspace, code)
+             GROUP BY l.query_id, e.vec_id)
+        SELECT query_id, vec_id, dist FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) <= $k"""
+
+  /** BATCH IVF-PQ top-k (mirrors Pq.ivfpqTopKBatch): per-query coarse
+    * probes; a vector scores against a query only when its coarse cell
+    * is among that query's `nprobe` nearest.
+    */
+  private def duckIvfPqTopKBatch(m: Int, subDim: Int, c: Int, iters: Int,
+                                 coarseC: Int, k: Int, nprobe: Int, qn: Int): String =
+    s"""WITH ${duckPqCtes(m, subDim, c, iters)},
+        qb AS (SELECT query_id, query_vec FROM ${duckQueryBatch(qn)}),
+        coarse AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                   FROM embeddings WHERE vec_id < $coarseC),
+        probed AS (SELECT query_id, cid FROM (
+                     SELECT q.query_id, cid, row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY list_distance(cv, q.query_vec), cid) AS rn
+                     FROM coarse, qb q) WHERE rn <= $nprobe),
+        assigned AS (SELECT e.vec_id, cid AS cell FROM embeddings e, coarse c
+                     QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), cid) = 1),
+        ${duckPqLutBatchCtes(m, subDim, iters)},
+        scored AS (SELECT l.query_id, e.vec_id,
+               round(sqrt(CAST(sum(CAST(l.d2 AS DECIMAL(38,12))) AS DOUBLE)), 6) AS dist
+             FROM encall e JOIN lutall l USING (subspace, code)
+             JOIN assigned a ON e.vec_id = a.vec_id
+             JOIN probed p ON p.query_id = l.query_id AND p.cid = a.cell
+             GROUP BY l.query_id, e.vec_id)
+        SELECT query_id, vec_id, dist FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) <= $k"""
+
   /** IVF-PQ top-k (mirrors Pq.ivfpqTopK over Pq.ensureEncodedPartitioned
     * with SEED coarse centroids, Ivf.centroids): probe the `nprobe`
     * coarse cells nearest the query, ADC-score only vectors assigned to
@@ -620,6 +686,30 @@ object SparkEntry {
         Pq.codebooksCached(emb, 4, 16, 16, 1, dir), 4, 16, pdir)
       Pq.ivfpqTopK(s, pdir, queryVecOf(emb, 0), 10, nprobe = 4)
     }),
+    // BATCH ADC over the same persisted code table: Q queries build
+    // their LUTs executor-side (PqLutExpr), the code table is scanned
+    // ONCE for the whole batch, one window ranks per query — the
+    // amortized serving shape for production query streams.
+    "q_pq_batch_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cdir = pqDir(s, dir, "m4sd16c16i1")
+      Pq.ensureEncoded(emb, Pq.codebooksCached(emb, 4, 16, 16, 1, dir), 4, 16, cdir)
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+      Pq.adcTopKStoredBatch(s, cdir, qs, 10)
+    }),
+    // BATCH IVF-PQ: per-query probes, ONE scan partition-pruned to the
+    // union of probed cells, candidates joined only to the queries that
+    // probed their cell — the whole batch pays one pruned scan.
+    "q_ivfpq_batch_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pdir = pqDir(s, dir, "ivfpq_c16_m4sd16c16i1")
+      Pq.ensureEncodedPartitioned(emb, Ivf.centroids(emb, 16),
+        Pq.codebooksCached(emb, 4, 16, 16, 1, dir), 4, 16, pdir)
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+      Pq.ivfpqTopKBatch(s, pdir, qs, 10, nprobe = 4)
+    }),
 
     // ---- text analysis ----
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
@@ -960,6 +1050,8 @@ object SparkEntry {
     "q_pq_topk" -> duckPqTopK(4, 16, 16, 1, 10),
     // coarse seed cells (c=16) prune, product codes (m=4, c=16) score
     "q_ivfpq_topk" -> duckIvfPqTopK(4, 16, 16, 1, 16, 10, 4),
+    "q_pq_batch_topk" -> duckPqTopKBatch(4, 16, 16, 1, 10, 8),
+    "q_ivfpq_batch_topk" -> duckIvfPqTopKBatch(4, 16, 16, 1, 16, 10, 4, 8),
     // filtered ANN: same seed-cell probe as q_ivf_topk (iters=0 → seed
     // centroids), predicate restricted within the probed cells
     "q_knn_filtered" -> duckKmeansTopK(16, 0, 10, 2, pred = Some("e.vec_id >= 100")),

@@ -245,3 +245,123 @@ case class PqEncodeExpr(child: Expression, books: Seq[Seq[Seq[Double]]])
   override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
     copy(child = newChild)
 }
+
+/** The per-query ADC lookup table, computed ON THE EXECUTORS: for a
+  * query vector, returns the FLATTENED m·c double array with
+  * `lut[s·c + j] = ‖query_s − books[s][j]‖²` (squared L2 of subspace
+  * `s` of the query against centroid `j`, double accumulation
+  * element-in-order — the same IEEE ops in the same order as
+  * [[L2DistanceSqExpr]] and the driver-side LUT of the single-query
+  * ADC path, so batch and single serving score identically).
+  *
+  * This is what makes BATCH ADC distributed: Q queries each produce
+  * their own m·c-double LUT row map-side (no driver loop, no Q·m·c
+  * plan literals), which then broadcast-joins against the stored code
+  * table. Codebooks ride as one reference object, exactly like
+  * [[PqEncodeExpr]]. A query whose length ≠ m·subDim yields null.
+  */
+case class PqLutExpr(child: Expression, books: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+
+  private val m = books.length
+  private val c = books.headOption.map(_.length).getOrElse(0)
+  private val subDim = books.headOption.flatMap(_.headOption).map(_.length).getOrElse(0)
+  require(m > 0 && c > 0 && subDim > 0, "pq_lut needs a non-empty m x c x subDim codebook")
+  require(books.forall(b => b.length == c && b.forall(_.length == subDim)),
+    "pq_lut codebook must be rectangular: every subspace c centroids of subDim dims")
+
+  override def prettyName: String = "pq_lut"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def flatArguments: Iterator[Any] =
+    Iterator(child, s"books(m=$m, c=$c, subDim=$subDim)")
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> or array<double> argument, got ${dt.simpleString}")
+  }
+
+  @transient private lazy val flat: Array[Double] = {
+    val a = new Array[Double](m * c * subDim)
+    var s = 0
+    while (s < m) {
+      var cid = 0
+      while (cid < c) {
+        val cv = books(s)(cid)
+        var i = 0
+        while (i < subDim) { a((s * c + cid) * subDim + i) = cv(i); i += 1 }
+        cid += 1
+      }
+      s += 1
+    }
+    a
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    if (a.numElements() != m * subDim) null
+    else {
+      val fl = isFloat
+      val lut = new Array[Double](m * c)
+      var s = 0
+      while (s < m) {
+        var cid = 0
+        while (cid < c) {
+          val base = (s * c + cid) * subDim
+          var acc = 0.0
+          var i = 0
+          while (i < subDim) {
+            val qv = if (fl) a.getFloat(s * subDim + i).toDouble else a.getDouble(s * subDim + i)
+            val d = qv - flat(base + i)
+            acc += d * d
+            i += 1
+          }
+          lut(s * c + cid) = acc
+          cid += 1
+        }
+        s += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(lut)
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("pqBooks", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val lut = ctx.freshName("lut")
+      val s = ctx.freshName("s"); val cid = ctx.freshName("cid"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val base = ctx.freshName("base")
+      val d = ctx.freshName("d")
+      val get = if (isFloat) s"(double) $a.getFloat($s * $subDim + $i)"
+                else s"$a.getDouble($s * $subDim + $i)"
+      s"""
+      if ($a.numElements() != ${m * subDim}) {
+        ${ev.isNull} = true;
+      } else {
+        final double[] $lut = new double[${m * c}];
+        for (int $s = 0; $s < $m; $s++) {
+          for (int $cid = 0; $cid < $c; $cid++) {
+            final int $base = ($s * $c + $cid) * $subDim;
+            double $acc = 0.0;
+            for (int $i = 0; $i < $subDim; $i++) {
+              final double $d = $get - $booksRef[$base + $i];
+              $acc += $d * $d;
+            }
+            $lut[$s * $c + $cid] = $acc;
+          }
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($lut);
+      }"""
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLutExpr =
+    copy(child = newChild)
+}

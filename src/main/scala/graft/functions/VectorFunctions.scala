@@ -46,6 +46,12 @@ object VectorFunctions {
   def pqEncode(v: Column, books: Seq[Seq[Seq[Double]]]): Column =
     column(PqEncodeExpr(expr(v), books))
 
+  /** The flattened per-query ADC lookup table ([[PqLutExpr]]):
+    * `lut[s·c + j] = ‖v_s − books(s)(j)‖²`, computed executor-side.
+    */
+  def pqLut(v: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    column(PqLutExpr(expr(v), books))
+
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
 

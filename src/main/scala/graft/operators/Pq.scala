@@ -260,6 +260,99 @@ object Pq {
       collectBooks(spark.read.parquet(s"$dir/_codebooks")), collectQuery(queries), k, roundTo)
   }
 
+  /** BATCH ADC score column over `(codes, lut)` rows: the same static
+    * chain of m DECIMAL(38,12) term additions as [[adcTopKFromCodes]]
+    * (identical decimal-widening semantics, so batch == single
+    * bit-for-bit), but the LUT is a per-query COLUMN (flattened m·c
+    * doubles from [[graft.functions.PqLutExpr]]) instead of plan
+    * literals — so one plan serves every query in the batch.
+    */
+  private def adcDistBatch(m: Int, c: Int, roundTo: Int): Column = {
+    val total = (0 until m).map { s =>
+      element_at(col("lut"), col("codes").getItem(s) + lit(s * c + 1)).cast("decimal(38,12)")
+    }.reduce(_ + _)
+    round(sqrt(total.cast("double")), roundTo)
+  }
+
+  /** Per-query LUT rows `(query_id, lut)` computed ON THE EXECUTORS —
+    * the distributed form of the driver-side LUT in
+    * [[adcTopKFromCodes]]: Q queries stay a DataFrame, each mapping to
+    * its flattened m·c-double LUT in one narrow codegen pass.
+    */
+  def withLuts(queries: DataFrame, books: Map[Int, IndexedSeq[Seq[Double]]]): DataFrame = {
+    val m = books.size
+    require(books.keySet == (0 until m).toSet)
+    queries.select(col("query_id"),
+      pqLut(col("query_vec"), (0 until m).map(books(_).toSeq)).as("lut"))
+  }
+
+  /** BATCH ADC top-k from a persisted code table ([[ensureEncoded]]):
+    * `(query_id, query_vec)` in, per-query `(query_id, vec_id, dist)`
+    * top-k out. The LUTs broadcast (Q·m·c doubles — the legitimately
+    * small side), the code table is scanned ONCE for the whole batch,
+    * and ranking is one window per query — the amortized serving shape
+    * for production query streams (vs one scan per query in the
+    * single-query path).
+    */
+  def adcTopKStoredBatch(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
+                         roundTo: Int = 6): DataFrame = {
+    val books = collectBooks(spark.read.parquet(s"$dir/_codebooks"))
+    val m = books.size
+    val c = books(0).length
+    val byQuery = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    spark.read.parquet(dir)
+      .crossJoin(broadcast(withLuts(queries, books)))
+      .select(col("query_id"), col("vec_id"), adcDistBatch(m, c, roundTo).as("dist"))
+      .withColumn("rn", row_number().over(byQuery))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("dist"))
+  }
+
+  /** BATCH IVF-PQ top-k over an [[ensureEncodedPartitioned]] layout:
+    * every query probes its `nprobe` nearest coarse cells; the scan is
+    * partition-pruned to the UNION of all probed cells (files of cells
+    * no query probed are never opened); each candidate row joins only
+    * the queries that probed ITS cell (broadcast probe-pair join); ADC
+    * scores per (candidate, query); one window ranks per query. The
+    * whole batch costs ONE pruned scan — the form a 100 TB serving
+    * tier runs for query streams.
+    */
+  def ivfpqTopKBatch(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
+                     nprobe: Int, roundTo: Int = 6,
+                     predicate: Option[Column] = None): DataFrame = {
+    val stored = spark.read.parquet(dir)
+    val cents = spark.read.parquet(s"$dir/_centroids")
+    val books = collectBooks(spark.read.parquet(s"$dir/_codebooks"))
+    val m = books.size
+    val c = books(0).length
+    val byQc = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("qdist"), col("centroid_id"))
+    // Q·nprobe (query_id, cell) pairs to the driver — partition-filter
+    // formation plus the probe-pair relation; same legitimacy class as
+    // the single-query nprobe collect (never data-proportional).
+    val probePairs = cents.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("centroid_id"),
+        l2Distance(col("centroid_vec"), col("query_vec")).as("qdist"))
+      .withColumn("rn", row_number().over(byQc))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("centroid_id").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val unionCells = probePairs.map(_._2).distinct
+    import spark.implicits._
+    val probes = broadcast(probePairs.toSeq.toDF("query_id", "cell"))
+    val pruned = stored.filter(col("cell").isin(unionCells: _*)) // partition-pruned
+    val byQuery = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    predicate.fold(pruned)(pruned.filter)
+      .join(probes, Seq("cell")) // candidate meets only the queries probing its cell
+      .join(broadcast(withLuts(queries, books)), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), adcDistBatch(m, c, roundTo).as("dist"))
+      .withColumn("rn", row_number().over(byQuery))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("dist"))
+  }
+
   /** Quantized reconstruction `(vec_id, recon)` — concatenated codebook
     * centroids of each vector's codes (spec surface: ADC distances must
     * equal direct distances to these reconstructions).

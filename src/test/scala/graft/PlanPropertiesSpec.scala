@@ -84,6 +84,26 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_pq_batch_topk: ONE code scan serves the whole batch, LUTs broadcast") {
+    // exactly 2 scans: the stored code table (once, for ALL queries)
+    // and the 8-row query side — NOT a code scan per query
+    val p = plan("q_pq_batch_topk")
+    assert(countOf(p, "Scan parquet") == 2,
+      s"batch ADC must scan the code table exactly once for all queries:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the per-query LUT side must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"per-query rank <= k must group-limit:\n$p")
+  }
+
+  test("q_ivfpq_batch_topk: union-of-probes partition filter, one pruned code scan") {
+    val p = plan("q_ivfpq_batch_topk")
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      s"batch IVF-PQ must prune to the union of probed cells:\n$p")
+    assert(countOf(p, "Scan parquet") == 2,
+      s"one pruned code scan + the query side — not a scan per query:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"per-query rank <= k must group-limit:\n$p")
+  }
+
   test("q_knn_rewrite_topk: naive crossJoin plan is served by the partitioned IVF copy") {
     val df = SparkEntry.queries("q_knn_rewrite_topk")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString

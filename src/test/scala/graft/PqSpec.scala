@@ -174,6 +174,53 @@ class PqSpec extends AnyFunSuite {
       "pruned-probe distances must agree with the flat ADC distances for the same ids")
   }
 
+  test("batch ADC == per-query single ADC on the same stored codes") {
+    val cdir = java.nio.file.Files.createTempDirectory("pq_batch").toString + "/codes"
+    Pq.ensureEncoded(emb, books, M, SubDim, cdir)
+    val qids = Seq(3L, 7L, 11L)
+    val qs = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+    val batch = Pq.adcTopKStoredBatch(spark, cdir, qs, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    qids.foreach { qid =>
+      val single = Pq.adcTopKStored(spark, cdir,
+          emb.filter(col("vec_id") === qid)
+            .select(perturbQuery(col("embedding")).as("query_vec")), k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) === single,
+        s"batch ADC for query $qid must equal the single-query ADC ranking")
+    }
+  }
+
+  test("batch IVF-PQ == per-query single IVF-PQ (probes, pruning, and predicate)") {
+    val base = java.nio.file.Files.createTempDirectory("pq_batch_ivfpq").toString
+    val cents = graft.operators.Ivf.centroids(emb, 8)
+    Pq.ensureEncodedPartitioned(emb, cents, books, M, SubDim, s"$base/ivfpq")
+    val qids = Seq(3L, 7L, 11L)
+    val qs = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+    def groupBatch(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    val batch = groupBatch(Pq.ivfpqTopKBatch(spark, s"$base/ivfpq", qs, k = 10, nprobe = 3))
+    val batchPred = groupBatch(Pq.ivfpqTopKBatch(spark, s"$base/ivfpq", qs, k = 10, nprobe = 3,
+      predicate = Some(col("vec_id") >= 20)))
+    qids.foreach { qid =>
+      val q1 = emb.filter(col("vec_id") === qid)
+        .select(perturbQuery(col("embedding")).as("query_vec"))
+      val single = Pq.ivfpqTopK(spark, s"$base/ivfpq", q1, k = 10, nprobe = 3).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) === single,
+        s"batch IVF-PQ for query $qid must equal the single-query probe result")
+      val singlePred = Pq.ivfpqTopK(spark, s"$base/ivfpq", q1, k = 10, nprobe = 3,
+          predicate = Some(col("vec_id") >= 20)).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batchPred(qid) === singlePred,
+        s"filtered batch IVF-PQ for query $qid must equal the filtered single-query result")
+    }
+  }
+
   test("PQ over normalized vectors serves cosine (lossless ADC == exact cosine ranking)") {
     // the cosine→L2 reduction composes with PQ unchanged: quantize the
     // UNIT directions and ADC ranks by cosine. With one centroid per
