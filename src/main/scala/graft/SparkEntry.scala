@@ -197,6 +197,64 @@ object SparkEntry {
       WHERE a.cell IN (SELECT cid FROM probed)${pred.map(p => s" AND ($p)").getOrElse("")}
       ORDER BY dist, e.vec_id LIMIT $k"""
 
+  /** BATCH IVF top-k (mirrors Ivf.topKPartitionedBatch): per-query
+    * probes of the `nprobe` nearest cells; a vector scores against a
+    * query only when its cell is among that query's probes; one window
+    * ranks per query.
+    */
+  private def duckKmeansTopKBatch(c: Int, iters: Int, k: Int, nprobe: Int, qn: Int,
+                                  pred: Option[String] = None): String =
+    s"""WITH ${duckKmeansCtes(c, iters)},
+      qb AS (SELECT query_id, query_vec FROM ${duckQueryBatch(qn)}),
+      probed AS (SELECT query_id, cid FROM (
+                   SELECT q.query_id, cid, row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY list_distance(cv, q.query_vec), cid) AS rn
+                   FROM c$iters, qb q) WHERE rn <= $nprobe),
+      assigned AS (SELECT e.vec_id, cid AS cell FROM embeddings e, c$iters c
+                   QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), cid) = 1),
+      scored AS (SELECT q.query_id, e.vec_id,
+                   round(list_distance(e.embedding::DOUBLE[], q.query_vec), 6) AS dist
+                 FROM embeddings e
+                 JOIN assigned a ON e.vec_id = a.vec_id
+                 JOIN probed p ON p.cid = a.cell
+                 JOIN qb q ON q.query_id = p.query_id${pred.map(p => s" WHERE ($p)").getOrElse("")})
+      SELECT query_id, vec_id, dist FROM scored
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) <= $k"""
+
+  /** Exact kNN graph (mirrors Knn.knnGraph): every vector's k nearest
+    * OTHER vectors, ties by neighbor id.
+    */
+  private def duckKnnGraph(k: Int): String =
+    s"""WITH pairs AS (SELECT l.vec_id AS src_id, r.vec_id AS nbr_id,
+              round(list_distance(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) AS dist
+            FROM embeddings l, embeddings r WHERE l.vec_id <> r.vec_id)
+        SELECT src_id, nbr_id, dist FROM pairs
+        QUALIFY row_number() OVER (PARTITION BY src_id ORDER BY dist, nbr_id) <= $k"""
+
+  /** Cell-blocked kNN graph (mirrors Knn.knnGraphBlocked over seed
+    * centroids): candidates in their home cell, sources probing their
+    * `rq` nearest cells, pairs deduplicated before ranking.
+    */
+  private def duckKnnGraphBlocked(c: Int, k: Int, rq: Int): String =
+    s"""WITH cent AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+              FROM embeddings WHERE vec_id < $c),
+        home AS (SELECT e.vec_id, cid AS cell FROM embeddings e, cent c
+                 QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), cid) = 1),
+        probe AS (SELECT vec_id, cell FROM (
+                    SELECT e.vec_id, cid AS cell, row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), cid) AS rn
+                    FROM embeddings e, cent c) WHERE rn <= $rq),
+        cand AS (SELECT DISTINCT p.vec_id AS src_id, h.vec_id AS nbr_id
+                 FROM probe p JOIN home h ON p.cell = h.cell
+                 WHERE p.vec_id <> h.vec_id),
+        scored AS (SELECT src_id, nbr_id,
+                     round(list_distance(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) AS dist
+                   FROM cand JOIN embeddings l ON l.vec_id = src_id
+                             JOIN embeddings r ON r.vec_id = nbr_id)
+        SELECT src_id, nbr_id, dist FROM scored
+        QUALIFY row_number() OVER (PARTITION BY src_id ORDER BY dist, nbr_id) <= $k"""
+
   /** PQ oracle CTEs (mirror Pq.codebooks ∘ Ivf.kmeans per subspace +
     * Pq.encode): m independent sliced k-means runs (tagged s0..s{m-1})
     * + per-subspace argmin code assignments, unioned as `encall`.
@@ -441,6 +499,38 @@ object SparkEntry {
         FROM diffs
         ORDER BY cos_sim DESC, vec_id LIMIT $k"""
 
+  /** BATCH cosine ANN (mirrors Ivf.cosineTopKPartitionedBatch): unit
+    * directions index and serve, per-query probes, cosine recovered
+    * from unit-sphere L2, one window ranks per query.
+    */
+  private def duckCosineAnnTopKBatch(c: Int, k: Int, nprobe: Int, qn: Int): String =
+    s"""WITH n AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)
+                / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+            FROM embeddings),
+        qb0 AS (SELECT query_id, query_vec FROM ${duckQueryBatch(qn)}),
+        qb AS (SELECT query_id, list_transform(query_vec,
+                x -> x / sqrt(list_inner_product(query_vec, query_vec))) AS qv FROM qb0),
+        cent AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < $c),
+        probed AS (SELECT query_id, cid FROM (
+                     SELECT q.query_id, cid, row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY list_distance(cv, q.qv), cid) AS rn
+                     FROM cent, qb q) WHERE rn <= $nprobe),
+        assigned AS (SELECT n.vec_id, cid AS cell FROM n, cent c
+                     QUALIFY row_number() OVER (PARTITION BY n.vec_id
+                       ORDER BY list_distance(n.v, c.cv), cid) = 1),
+        diffs AS (SELECT q.query_id, n.vec_id,
+                    list_transform(range(1, len(n.v)+1), i -> n.v[i] - q.qv[i]) AS d
+                  FROM n
+                  JOIN assigned a ON n.vec_id = a.vec_id
+                  JOIN probed p ON p.cid = a.cell
+                  JOIN qb q ON q.query_id = p.query_id),
+        scored AS (SELECT query_id, vec_id,
+                     round(1.0 - list_inner_product(d, d) / 2.0, 6) AS cos_sim
+                   FROM diffs)
+        SELECT query_id, vec_id, cos_sim FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) <= $k"""
+
   // Sampling constants shared by the Spark queries AND their generated
   // oracles (fraction sums and rate arithmetic must be the same doubles
   // on both sides; Scala's Double.toString round-trips through DuckDB's
@@ -567,6 +657,15 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
       Hnsw.recallOf(Hnsw.searchWithIndex(nodes, edges, qs, 10, p), emb, qs, 10)
     }),
+    // kNN GRAPH — top-k nearest neighbors for EVERY vector (semantic
+    // dedup / clustering / diversity sampling substrate). The exact
+    // O(N²) form is the declared anchor; the cell-blocked form is the
+    // scale path (equi-join on cell instead of the cross product).
+    "q_knn_graph" -> ((s, dir) => Knn.knnGraph(Tables.embeddings(s, dir), 5)),
+    "q_knn_graph_blocked" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Knn.knnGraphBlocked(emb, Ivf.centroids(emb, 16), 5, rq = 2)
+    }),
     "q_ivf_assign" -> ((s, dir) => Ivf.assign(Tables.embeddings(s, dir), 16)),
     "q_ivf_kmeans_assign" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -612,6 +711,19 @@ object SparkEntry {
       Ivf.topKPartitioned(s, pdir, queryVecOf(emb, 0), 10, nprobe = 2)
     }),
 
+    // BATCH IVF over the cell-partitioned layout: per-query probes,
+    // ONE scan pruned to the union of probed cells, each candidate
+    // meeting only the queries that probed its cell — the amortized
+    // serving shape for production query streams.
+    "q_ivf_batch_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pdir = ivfCellsDir(s, dir, "c16")
+      Ivf.ensurePartitioned(emb, 16, pdir)
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+      Ivf.topKPartitionedBatch(s, pdir, qs, 10, nprobe = 2)
+    }),
+
     // Index-aware planning, driver-visible: the query below is the
     // NAIVE exact-kNN DataFrame (crossJoin + distance + orderBy +
     // limit) with no index API in sight — IndexRewriteRule serves it
@@ -641,6 +753,18 @@ object SparkEntry {
       val pdir = ivfCellsDir(s, dir, "cos16")
       Ivf.ensurePartitionedCosine(emb, 16, pdir)
       Ivf.cosineTopKPartitioned(s, pdir, queryVecOf(emb, 0), 10, nprobe = 2)
+    }),
+
+    // BATCH cosine ANN over the same unit-direction layout: per-query
+    // probes, one pruned scan for the whole batch, cosine recovered
+    // from unit-sphere L2 per (candidate, query).
+    "q_cosine_batch_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pdir = ivfCellsDir(s, dir, "cos16")
+      Ivf.ensurePartitionedCosine(emb, 16, pdir)
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+      Ivf.cosineTopKPartitionedBatch(s, pdir, qs, 10, nprobe = 2)
     }),
 
     // Filtered ANN — "nearest neighbors WHERE <predicate>" — over the
@@ -1050,6 +1174,10 @@ object SparkEntry {
     "q_pq_topk" -> duckPqTopK(4, 16, 16, 1, 10),
     // coarse seed cells (c=16) prune, product codes (m=4, c=16) score
     "q_ivfpq_topk" -> duckIvfPqTopK(4, 16, 16, 1, 16, 10, 4),
+    // seed cells (iters=0), per-query nprobe=2 probes, 8-query batch
+    "q_ivf_batch_topk" -> duckKmeansTopKBatch(16, 0, 10, 2, 8),
+    "q_knn_graph" -> duckKnnGraph(5),
+    "q_knn_graph_blocked" -> duckKnnGraphBlocked(16, 5, 2),
     "q_pq_batch_topk" -> duckPqTopKBatch(4, 16, 16, 1, 10, 8),
     "q_ivfpq_batch_topk" -> duckIvfPqTopKBatch(4, 16, 16, 1, 16, 10, 4, 8),
     // filtered ANN: same seed-cell probe as q_ivf_topk (iters=0 → seed
@@ -1057,6 +1185,7 @@ object SparkEntry {
     "q_knn_filtered" -> duckKmeansTopK(16, 0, 10, 2, pred = Some("e.vec_id >= 100")),
     // cosine ANN: normalize-then-L2 over seed-direction cells
     "q_cosine_ann_topk" -> duckCosineAnnTopK(16, 10, 2),
+    "q_cosine_batch_topk" -> duckCosineAnnTopKBatch(16, 10, 2, 8),
     // identical semantics, partition-pruned physical plan
     "q_ivf_kmeans_partitioned_topk" -> duckKmeansTopK(8, 2, 10, 2),
     "q_skew_salted" ->

@@ -234,6 +234,79 @@ object Ivf {
       .limit(k)
   }
 
+  /** BATCH top-k over the partitioned layout: `(query_id, query_vec)`
+    * rows in, per-query `(query_id, vec_id, dist)` top-k out. Every
+    * query probes its `nprobe` nearest cells; the scan is
+    * partition-pruned to the UNION of all probed cells; each candidate
+    * row is scored only against the queries that probed ITS cell
+    * (broadcast probe-pair join); one window ranks per query. The whole
+    * batch costs ONE pruned scan — the amortized serving shape for
+    * production query streams (vs one scan per query in
+    * [[topKPartitioned]]).
+    */
+  def topKPartitionedBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
+                           queries: DataFrame, k: Int, nprobe: Int,
+                           roundTo: Int = 6, predicate: Option[Column] = None): DataFrame = {
+    val (probes, pruned) = batchPrunedCandidates(spark, dir, queries, nprobe)
+    val byQuery = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    predicate.fold(pruned)(pruned.filter)
+      .join(probes, Seq("cell")) // candidate meets only the queries probing its cell
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(l2Distance(col("embedding"), col("query_vec")), roundTo).as("dist"))
+      .withColumn("rn", row_number().over(byQuery))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("dist"))
+  }
+
+  /** Shared batch-probe machinery: per-query nprobe nearest cells →
+    * `(probes, pruned)` where `probes` is the broadcast
+    * `(query_id, cell)` probe-pair relation and `pruned` is the stored
+    * table partition-pruned to the UNION of all probed cells. The
+    * collect moves Q·nprobe id pairs to the driver — partition-filter
+    * formation; never data-proportional.
+    */
+  private def batchPrunedCandidates(spark: org.apache.spark.sql.SparkSession, dir: String,
+                                    queries: DataFrame, nprobe: Int): (DataFrame, DataFrame) = {
+    val stored = spark.read.parquet(dir)
+    val cents = spark.read.parquet(s"$dir/_centroids")
+    val byQc = Window.partitionBy("query_id").orderBy(col("qdist"), col("centroid_id"))
+    val probePairs = cents.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("centroid_id"),
+        l2Distance(col("centroid_vec"), col("query_vec")).as("qdist"))
+      .withColumn("rn", row_number().over(byQc))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("centroid_id").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val unionCells = probePairs.map(_._2).distinct
+    import spark.implicits._
+    val probes = broadcast(probePairs.toSeq.toDF("query_id", "cell"))
+    (probes, stored.filter(col("cell").isin(unionCells: _*))) // partition-pruned
+  }
+
+  /** BATCH cosine top-k over an [[ensurePartitionedCosine]] layout:
+    * queries normalize (keeping their ids), the probe machinery is
+    * [[topKPartitionedBatch]]'s, and the score converts back to cosine
+    * (`1 − ‖û−v̂‖²/2`) ranked highest-first per query.
+    */
+  def cosineTopKPartitionedBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
+                                 queries: DataFrame, k: Int, nprobe: Int,
+                                 roundTo: Int = 6): DataFrame = {
+    val qn = queries.select(col("query_id"),
+      transform(col("query_vec"), x => x / l2Norm(col("query_vec"))).as("query_vec"))
+    val (probes, pruned) = batchPrunedCandidates(spark, dir, qn, nprobe)
+    val byQuery = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    pruned
+      .join(probes, Seq("cell"))
+      .join(broadcast(qn), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(lit(1.0) - l2DistanceSq(col("embedding"), col("query_vec")) / lit(2.0),
+          roundTo).as("cos_sim"))
+      .withColumn("rn", row_number().over(byQuery))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"))
+  }
+
   /** Unit-normalized copy of the vector table (doubles): for unit
     * vectors, cosine similarity is a pure function of L2 distance
     * (`cos = 1 − ‖u−v‖²/2`), so EVERY L2 index path — IVF cells, HNSW

@@ -66,4 +66,54 @@ object Knn {
       .select(col(idCol), round(cosineSimilarity(col(vecCol), queryVec), roundTo).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
+
+  /** EXACT kNN graph: for EVERY vector, its k nearest OTHER vectors
+    * (ties → smaller neighbor id) — the all-pairs form behind semantic
+    * dedup, graph clustering, and diversity sampling. O(N²) distance
+    * pairs: the declared exact twin that anchors [[knnGraphBlocked]]
+    * the way brute-force near-dup anchors its blocked twin — the
+    * blocked form is the 100 TB path.
+    */
+  def knnGraph(embeddings: DataFrame, k: Int, roundTo: Int = 6): DataFrame = {
+    val l = embeddings.select(col("vec_id").as("src_id"), col("embedding").as("src_vec"))
+    val r = embeddings.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_vec"))
+    val bySrc = Window.partitionBy("src_id").orderBy(col("dist"), col("nbr_id"))
+    l.crossJoin(r)
+      .filter(col("src_id") =!= col("nbr_id"))
+      .select(col("src_id"), col("nbr_id"),
+        round(l2Distance(col("src_vec"), col("nbr_vec")), roundTo).as("dist"))
+      .withColumn("rn", row_number().over(bySrc))
+      .filter(col("rn") <= k)
+      .select(col("src_id"), col("nbr_id"), col("dist"))
+  }
+
+  /** CELL-BLOCKED kNN graph — the scale path: candidates post to their
+    * home cell ([[Ivf.assignMulti]] r=1), every vector PROBES its `rq`
+    * nearest cells (SPANN-style boundary replication on the query
+    * side), and distances are computed only inside co-located cells —
+    * an equi-join on `cell` instead of the N² cross product, so the
+    * shuffle is bounded by cell size and the pair count by
+    * rq·(cell population). A pair meeting in several probed cells is
+    * collapsed before ranking (identical distances, so the collapse is
+    * order-insensitive). Deterministic given `cents` → oracle-checkable;
+    * `rq = C` probes every cell and reproduces [[knnGraph]] exactly.
+    */
+  def knnGraphBlocked(embeddings: DataFrame, cents: DataFrame, k: Int, rq: Int,
+                      roundTo: Int = 6): DataFrame = {
+    val cands = Ivf.assignWith(embeddings, cents)
+      .join(embeddings, Seq("vec_id"))
+      .select(col("cell"), col("vec_id").as("nbr_id"), col("embedding").as("nbr_vec"))
+    val probes = Ivf.assignMulti(embeddings, cents, rq)
+      .join(embeddings, Seq("vec_id"))
+      .select(col("cell"), col("vec_id").as("src_id"), col("embedding").as("src_vec"))
+    val bySrc = Window.partitionBy("src_id").orderBy(col("dist"), col("nbr_id"))
+    probes.join(cands, Seq("cell"))
+      .filter(col("src_id") =!= col("nbr_id"))
+      .select(col("src_id"), col("nbr_id"),
+        round(l2Distance(col("src_vec"), col("nbr_vec")), roundTo).as("dist"))
+      .dropDuplicates("src_id", "nbr_id")
+      .withColumn("rn", row_number().over(bySrc))
+      .filter(col("rn") <= k)
+      .select(col("src_id"), col("nbr_id"), col("dist"))
+  }
 }

@@ -236,6 +236,65 @@ class HnswSpec extends AnyFunSuite {
       "cell probe should be partition-pruned")
   }
 
+  test("batch IVF == per-query single IVF over the partitioned layout (incl. predicate)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_cells_batch").toString
+    Ivf.writePartitioned(emb, c = 8, dir)
+    val qids = Seq(3L, 7L, 11L)
+    val qs = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+    def groupBatch(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    val batch = groupBatch(Ivf.topKPartitionedBatch(spark, dir, qs, k = 5, nprobe = 2))
+    val batchPred = groupBatch(Ivf.topKPartitionedBatch(spark, dir, qs, k = 5, nprobe = 2,
+      predicate = Some(col("vec_id") >= 20)))
+    qids.foreach { qid =>
+      val q1 = emb.filter(col("vec_id") === qid)
+        .select(perturbQuery(col("embedding")).as("query_vec"))
+      val single = Ivf.topKPartitioned(spark, dir, q1, 5, nprobe = 2).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) === single,
+        s"batch IVF for query $qid must equal the single-query probe result")
+      val singlePred = Ivf.topKPartitioned(spark, dir, q1, 5, nprobe = 2,
+          predicate = Some(col("vec_id") >= 20)).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batchPred(qid) === singlePred,
+        s"filtered batch IVF for query $qid must equal the filtered single-query result")
+    }
+  }
+
+  test("batch cosine == per-query single cosine over the partitioned unit-direction layout") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_cos_batch").toString
+    Ivf.ensurePartitionedCosine(emb, 8, dir)
+    val qids = Seq(3L, 7L, 11L)
+    val qs = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+    val batch = Ivf.cosineTopKPartitionedBatch(spark, dir, qs, k = 5, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    qids.foreach { qid =>
+      val q1 = emb.filter(col("vec_id") === qid)
+        .select(perturbQuery(col("embedding")).as("query_vec"))
+      val single = Ivf.cosineTopKPartitioned(spark, dir, q1, 5, nprobe = 2).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) === single,
+        s"batch cosine for query $qid must equal the single-query probe result")
+    }
+  }
+
+  test("blocked kNN graph probing ALL cells == exact kNN graph (rq = C anchor)") {
+    val cents = Ivf.centroids(emb, 8)
+    val exact = Knn.knnGraph(emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._3, t._2))
+    val blockedAll = Knn.knnGraphBlocked(emb, cents, 5, rq = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._3, t._2))
+    assert(blockedAll === exact,
+      "probing every cell must reproduce the exact kNN graph")
+    // partial probing returns a per-source subset drawn from probed cells
+    val blocked = Knn.knnGraphBlocked(emb, cents, 5, rq = 2)
+    assert(blocked.groupBy("src_id").count().agg(max(col("count"))).head().getLong(0) <= 5)
+  }
+
   test("routed search (kmeans shards, 2× replication) keeps recall ≥ 0.95 probing 5 of 8 shards") {
     val qs = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))

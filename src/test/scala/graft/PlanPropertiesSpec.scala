@@ -84,6 +84,30 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_ivf_batch_topk: union-of-probes partition filter, one pruned vector scan") {
+    val p = plan("q_ivf_batch_topk")
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      s"batch IVF must prune to the union of probed cells:\n$p")
+    assert(countOf(p, "Scan parquet") == 2,
+      s"one pruned vector scan + the query side — not a scan per query:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"per-query rank <= k must group-limit:\n$p")
+  }
+
+  test("q_knn_graph_blocked: cell equi-join, no cartesian product of the table against itself") {
+    val p = plan("q_knn_graph_blocked")
+    assert(!p.contains("CartesianProduct"),
+      s"the blocked kNN graph must pair vectors via the cell equi-join:\n$p")
+  }
+
+  test("q_cosine_batch_topk: union-of-probes partition filter, one pruned unit-vector scan") {
+    val p = plan("q_cosine_batch_topk")
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      s"batch cosine must prune to the union of probed cells:\n$p")
+    assert(countOf(p, "Scan parquet") == 2,
+      s"one pruned unit-vector scan + the query side — not a scan per query:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"per-query rank <= k must group-limit:\n$p")
+  }
+
   test("q_pq_batch_topk: ONE code scan serves the whole batch, LUTs broadcast") {
     // exactly 2 scans: the stored code table (once, for ALL queries)
     // and the 8-row query side — NOT a code scan per query
