@@ -557,6 +557,33 @@ object SparkEntry {
 
   private val duckStopEn = TextAnalysis.stopwords.head._2.map(w => s"'$w'").mkString(", ")
 
+  /** Quality score (mirrors TextAnalysis.qualityScore) — also a CTE
+    * building block for composed curation oracles.
+    */
+  private lazy val duckQualitySql: String =
+    s"""WITH x AS (SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+            CAST(len(list_filter(string_split(text, ' '), w -> w IN ($duckStopEn))) AS DOUBLE) AS sw,
+            n_chars
+          FROM documents)
+        SELECT doc_id, CAST(nt AS INT) AS n_toks,
+          round(least(nt / 100.0, 1.0) * 0.5 + (sw / nt) * 0.3
+                + least(((CAST(n_chars AS DOUBLE) - (nt - 1.0)) / nt) / 8.0, 1.0) * 0.2, 6) AS quality
+        FROM x"""
+
+  /** Transitive near-dup clusters (mirrors Dedup.nearDupClusters over
+    * the exact Jaccard pairs) — recursive-CTE closure; also a CTE
+    * building block for composed curation oracles.
+    */
+  private lazy val duckClustersSql: String =
+    s"""WITH RECURSIVE pairsq AS ($duckJaccardPairs),
+        edges AS (SELECT id1 AS u, id2 AS v FROM pairsq UNION ALL SELECT id2, id1 FROM pairsq),
+        reach(u, v) AS (SELECT u, v FROM edges
+                        UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u)
+        SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id"""
+
   // ---------------- declared queries ----------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -870,6 +897,14 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Dedup.nearDupClusters(docs, Dedup.jaccardPairsExact(docs, 0.5, maxDf = 10000))
     }),
+    // The KEEP rule of dedup: per near-dup cluster, the highest-quality
+    // member (ties → smaller id) with the cluster size — clusters ∘
+    // quality composed; one join + one cluster_id shuffle.
+    "q_cluster_representatives" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val clusters = Dedup.nearDupClusters(docs, Dedup.jaccardPairsExact(docs, 0.5, maxDf = 10000))
+      Dedup.clusterRepresentatives(clusters, TextAnalysis.qualityScore(docs))
+    }),
     // End-to-end curation pipeline: lang filter → quality filter →
     // exact dedup → near-dup cluster keep-one → per-source corpus
     // stats, all ONE Catalyst DAG composed from the operators above
@@ -1040,16 +1075,7 @@ object SparkEntry {
           scored AS (SELECT doc_id, $scores FROM toks)
           SELECT *, CASE $cases ELSE 'und' END AS lang_pred FROM scored"""
     },
-    "q_quality" ->
-      s"""WITH x AS (SELECT doc_id,
-              CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
-              CAST(len(list_filter(string_split(text, ' '), w -> w IN ($duckStopEn))) AS DOUBLE) AS sw,
-              n_chars
-            FROM documents)
-          SELECT doc_id, CAST(nt AS INT) AS n_toks,
-            round(least(nt / 100.0, 1.0) * 0.5 + (sw / nt) * 0.3
-                  + least(((CAST(n_chars AS DOUBLE) - (nt - 1.0)) / nt) / 8.0, 1.0) * 0.2, 6) AS quality
-          FROM x""",
+    "q_quality" -> duckQualitySql,
     "q_token_counts" ->
       """SELECT tok AS token, count(*) AS n
          FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
@@ -1150,14 +1176,18 @@ object SparkEntry {
           SELECT source, count(*) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS n_tokens
           FROM kept3 GROUP BY source"""
     },
-    "q_neardup_clusters" ->
-      s"""WITH RECURSIVE pairsq AS ($duckJaccardPairs),
-          edges AS (SELECT id1 AS u, id2 AS v FROM pairsq UNION ALL SELECT id2, id1 FROM pairsq),
-          reach(u, v) AS (SELECT u, v FROM edges
-                          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-          comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u)
-          SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
-          FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""",
+    "q_neardup_clusters" -> duckClustersSql,
+    // clusters ∘ quality composed: highest quality per cluster wins,
+    // ties to the smaller doc id, cluster size alongside
+    "q_cluster_representatives" ->
+      s"""WITH clus AS ($duckClustersSql),
+          qual AS ($duckQualitySql),
+          j AS (SELECT c.cluster_id, c.doc_id, q.quality
+                FROM clus c JOIN qual q ON c.doc_id = q.doc_id)
+          SELECT cluster_id, doc_id AS rep_id, quality AS rep_quality,
+                 CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+          FROM j
+          QUALIFY row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) = 1""",
     "q_simhash" -> duckSimhashSql,
     "q_simhash_pairs" ->
       s"""WITH sh AS ($duckSimhashSql)

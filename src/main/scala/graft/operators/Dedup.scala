@@ -315,6 +315,28 @@ object Dedup {
     out
   }
 
+  /** Per-cluster representative selection — the KEEP side of dedup:
+    * for every near-dup cluster, keep the member with the highest
+    * quality score (ties → smaller doc id), with the cluster size
+    * alongside. `clusters(doc_id, cluster_id)` ([[nearDupClusters]]),
+    * `quality(doc_id, quality, ...)`.
+    *
+    * Scale shape: both inputs are doc-keyed narrow tables; one
+    * equi-join on doc_id, then ONE shuffle on cluster_id shared by the
+    * size count and the rank window — no pair explosion, nothing
+    * data-proportional on the driver.
+    */
+  def clusterRepresentatives(clusters: DataFrame, quality: DataFrame): DataFrame = {
+    val byCluster = Window.partitionBy("cluster_id")
+    val rank = Window.partitionBy("cluster_id").orderBy(col("quality").desc, col("doc_id"))
+    clusters.join(quality.select(col("doc_id"), col("quality")), Seq("doc_id"))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .withColumn("rn", row_number().over(rank))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("rep_id"),
+        col("quality").as("rep_quality"), col("n_members"))
+  }
+
   /** Eager reliable checkpoint with the engine's dir-resolution rule:
     * the caller's sparkContext setting wins; else the session conf
     * `spark.graft.checkpointDir`; else a dir under the warehouse path —

@@ -117,6 +117,20 @@ class TextDedupSpec extends AnyFunSuite {
     assert(clusters(4L) === 4L && clusters(5L) === 5L)
   }
 
+  test("clusterRepresentatives: highest quality wins, ties break to the smaller id") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val quality = Seq((1L, 0.3), (2L, 0.9), (3L, 0.9), (4L, 0.5), (5L, 0.5))
+      .toDF("doc_id", "quality")
+    val reps = Dedup.clusterRepresentatives(clusters, quality).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    // cluster 1: docs 2 and 3 tie at 0.9 — smaller id (2) wins, size 3
+    assert(reps(1L) === ((2L, 0.9, 3L)))
+    // cluster 4: tie at 0.5 — doc 4 wins, size 2
+    assert(reps(4L) === ((4L, 0.5, 2L)))
+    assert(reps.size === 2, "one representative per cluster")
+  }
+
   test("langId predicts by stopword argmax with declaration-order ties") {
     val out = TextAnalysis.langId(docs).select("doc_id", "lang_pred").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
