@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.TextAnalysis
+
+/** Streaming INGESTION form of the curation pipeline
+  * ([[graft.operators.CorpusPipeline]]): the narrow per-document
+  * stages — language ID, quality scoring, exact content dedup — run on
+  * the stream as documents arrive; the pair-generating near-dup stages
+  * stay batch (they need corpus-wide joins). This is the standard
+  * production split: cheap per-doc classification + exact dedup at
+  * ingestion, expensive cross-doc dedup as scheduled batch compaction
+  * over the ingested table.
+  *
+  * Scale shape: the filters are pure columns (no state at all); the
+  * exact dedup keeps ONE md5 per distinct surviving text inside the
+  * watermark horizon (`dropDuplicatesWithinWatermark`), so state is
+  * bounded by arrival rate × watermark, never by corpus size. A
+  * duplicate arriving after the horizon is the compaction job's to
+  * remove — the same contract as every at-ingestion dedup tier.
+  */
+object StreamingCuration {
+
+  /** Filter + exact-dedup a document stream (columns `ts, doc_id,
+    * text, n_chars` at minimum). Language/quality semantics are
+    * IDENTICAL to the batch [[graft.operators.CorpusPipeline.filtered]]
+    * (same classifier columns over one tokenization); the dedup keeps
+    * the first in-watermark arrival per md5(text).
+    */
+  def curateStream(docs: DataFrame, lang: String, minQuality: Double,
+                   watermark: String = "1 hour"): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    docs
+      .withWatermark("ts", watermark)
+      .filter(TextAnalysis.langPredCol(toks) === lang &&
+        TextAnalysis.qualityCol(toks, col("n_chars")) >= minQuality)
+      .withColumn("text_md5", md5(col("text")))
+      .dropDuplicatesWithinWatermark("text_md5")
+      .drop("text_md5")
+  }
+}

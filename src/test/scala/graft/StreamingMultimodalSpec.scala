@@ -6,8 +6,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Hnsw, Ivf, Multimodal}
-import graft.streaming.{EventStreams, StreamingAnn}
+import graft.operators.{CorpusPipeline, Dedup, Hnsw, Ivf, Multimodal}
+import graft.streaming.{EventStreams, StreamingAnn, StreamingCuration}
 import graft.streaming.EventStreams.SessionEvent
 
 /** Structured Streaming operators (MemoryStream → memory sink) and the
@@ -39,6 +39,39 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       assert(rows.toSeq === Seq(
         (t(0), "a", 2L, 3.0),
         (t(60), "b", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("streaming curation: filters + in-watermark exact dedup match the batch stages") {
+    implicit val sqlCtx = spark.sqlContext
+    // real corpus rows (lang/quality classifiers need real text), fed
+    // in doc_id order with synthetic arrival times
+    val fixture = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 60)
+      .select("doc_id", "text", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    val mem = MemoryStream[(Timestamp, Long, String, Long)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text", "n_chars")
+    val q = StreamingCuration.curateStream(docs, lang = "en", minQuality = 0.3,
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("curated_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(fixture.zipWithIndex.map { case ((id, tx, nc), i) =>
+        (t(i), id, tx, nc)
+      }.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("curated_out").select("text").collect()
+        .map(_.getString(0)).toSet
+      // batch twin: same filters, exact dedup keeps one doc per text
+      val batchDocs = fixture.toSeq.toDF("doc_id", "text", "n_chars")
+      val kept1 = CorpusPipeline.filtered(batchDocs, "en", 0.3)
+      val batch = kept1.join(Dedup.exactKept(kept1), Seq("doc_id"))
+        .select("text").collect().map(_.getString(0)).toSet
+      assert(batch.nonEmpty, "fixture must keep at least one document")
+      assert(streamed === batch,
+        "streaming curation must keep exactly the batch pipeline's surviving texts")
     } finally q.stop()
   }
 
