@@ -93,6 +93,13 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"per-query rank <= k must group-limit:\n$p")
   }
 
+  test("q_cluster_representatives: size count and rank share ONE cluster_id shuffle") {
+    val p = plan("q_cluster_representatives")
+    assert(countOf(p, "hashpartitioning(cluster_id") <= 1,
+      s"the count-over and rank-over windows must reuse one cluster_id exchange:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_knn_graph_blocked: cell equi-join, no cartesian product of the table against itself") {
     val p = plan("q_knn_graph_blocked")
     assert(!p.contains("CartesianProduct"),
