@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, CorpusPipeline, Dedup, Events, Hnsw, Ivf, Knn, Multimodal, Packing, Pq, Relational, Sampling, TextAnalysis, VectorLsh}
+import graft.operators.{AsofJoin, CorpusPipeline, Dedup, Events, Hnsw, Ivf, Knn, Multimodal, Packing, Pq, Relational, Retrieval, Sampling, TextAnalysis, VectorLsh}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -571,6 +571,42 @@ object SparkEntry {
                 + least(((CAST(n_chars AS DOUBLE) - (nt - 1.0)) / nt) / 8.0, 1.0) * 0.2, 6) AS quality
         FROM x"""
 
+  /** BM25 query-term bag: one rare term ('dup' lives mostly in the
+    * duplicated docs, df≈25/500 → idf≈3) + two common ones. Shared by
+    * the Spark queries and the generated oracle SQL.
+    */
+  private val retrievalTerms = Seq("dup", "vector", "spark")
+
+  /** BM25 scored-docs CTE chain (mirrors Retrieval.bm25TopK at k1=1.2,
+    * b=0.75). Constants are spelled as double-cast decimals so DuckDB
+    * computes the same IEEE doubles Spark's `lit` produces (notably
+    * k1+1, whose decimal and double sums differ in the last ulp).
+    */
+  private lazy val duckBm25Ctes: String = {
+    val dfCols = retrievalTerms.zipWithIndex.map { case (t, i) =>
+      s"CAST(sum(CASE WHEN list_contains(t, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i"
+    }.mkString(",\n                  ")
+    val tfCols = retrievalTerms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(t, x -> x = '$t')) AS DOUBLE) AS tf_$i"
+    }.mkString(",\n                  ")
+    val scoreSum = retrievalTerms.indices.map { i =>
+      s"""ln(1.0 + (n_docs - df_$i + 0.5) / (df_$i + 0.5))
+              * tf_$i * (CAST(1.2 AS DOUBLE) + 1.0)
+              / (tf_$i + CAST(1.2 AS DOUBLE) * (0.25 + CAST(0.75 AS DOUBLE) * dl / avgdl))"""
+    }.mkString("\n            + ")
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        bmstats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                  avg(CAST(len(t) AS DOUBLE)) AS avgdl,
+                  $dfCols
+                FROM toks),
+        bmtfs AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+                  $tfCols
+                FROM toks),
+        bmscored AS (SELECT doc_id,
+            round($scoreSum, 6) AS bm25
+          FROM bmtfs, bmstats)"""
+  }
+
   /** Transitive near-dup clusters (mirrors Dedup.nearDupClusters over
     * the exact Jaccard pairs) — recursive-CTE closure; also a CTE
     * building block for composed curation oracles.
@@ -876,6 +912,20 @@ object SparkEntry {
     "q_sequence_pack" -> ((s, dir) =>
       Packing.packSequences(Tables.documents(s, dir), "source", "doc_id",
         size(graft.functions.TextFunctions.tokens(col("text"))), budget = 1024)),
+
+    // ---- retrieval (lexical + hybrid) ----
+    // BM25 over the documents corpus: one broadcast stats row (N,
+    // avgdl, df per term) + one NARROW scoring scan (per-row tf from
+    // the token array — no explode, no posting-list shuffle), top-k
+    // via TakeOrderedAndProject.
+    "q_bm25_topk" -> ((s, dir) =>
+      Retrieval.bm25TopK(Tables.documents(s, dir), retrievalTerms, 10)),
+    // Reciprocal-rank fusion of the BM25 list with the cosine top-k
+    // list (doc_id ≡ vec_id) — both inputs already truncated to
+    // poolK rows before the windows and the full-outer join.
+    "q_hybrid_rrf" -> ((s, dir) =>
+      Retrieval.hybridRrfTopK(Tables.documents(s, dir), Tables.embeddings(s, dir),
+        retrievalTerms, queryVecId = 0L, k = 10)),
 
     // ---- dedup family ----
     "q_dedup_exact" -> ((s, dir) => Dedup.exactClusters(Tables.documents(s, dir), minSize = 1)),
@@ -1239,6 +1289,33 @@ object SparkEntry {
                 CAST(floor((cum - n_tokens) / 1024) AS BIGINT) AS seq_id FROM c)
           SELECT *, row_number() OVER (PARTITION BY source, seq_id ORDER BY doc_id) AS seq_pos
           FROM s""",
+    "q_bm25_topk" ->
+      s"""WITH $duckBm25Ctes
+          SELECT doc_id, bm25 FROM bmscored WHERE bm25 > 0
+          ORDER BY bm25 DESC, doc_id LIMIT 10""",
+    "q_hybrid_rrf" ->
+      s"""WITH $duckBm25Ctes,
+          lexpool AS (SELECT doc_id, bm25 FROM bmscored WHERE bm25 > 0
+                      ORDER BY bm25 DESC, doc_id LIMIT 20),
+          lex AS (SELECT doc_id AS id,
+                  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS lex_rank
+                  FROM lexpool),
+          qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS query_vec
+                 FROM embeddings WHERE vec_id = 0),
+          sempool AS (SELECT vec_id, round(
+                 list_inner_product(embedding::DOUBLE[], q.query_vec)
+                 / (sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_inner_product(q.query_vec, q.query_vec))), 6) AS cos_sim
+               FROM embeddings, qv q ORDER BY cos_sim DESC, vec_id LIMIT 20),
+          sem AS (SELECT vec_id AS id,
+                  CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS sem_rank
+                  FROM sempool)
+          SELECT coalesce(lex.id, sem.id) AS doc_id,
+            round(coalesce(CAST(1.0 AS DOUBLE) / (60 + lex_rank), CAST(0 AS DOUBLE))
+                  + coalesce(CAST(1.0 AS DOUBLE) / (60 + sem_rank), CAST(0 AS DOUBLE)), 6) AS rrf,
+            lex_rank, sem_rank
+          FROM lex FULL JOIN sem ON lex.id = sem.id
+          ORDER BY rrf DESC, doc_id LIMIT 10""",
     "q_sample_bernoulli" ->
       s"SELECT doc_id, source FROM documents WHERE ${duckUnitHashSalted("doc_id", "bernoulli")} < 0.3",
     // mirror of Sampling.epochMix: floor(e) copies + one extra for the

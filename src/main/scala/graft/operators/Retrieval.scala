@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+
+/** Text retrieval over the `documents` corpus: BM25 lexical scoring and
+  * reciprocal-rank-fusion hybrid (lexical + embedding) retrieval — the
+  * query side of a training-data pipeline (mining domain-relevant
+  * documents, sourcing eval-adjacent data, deduplicating a retrieval
+  * pool before annotation).
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *   - Corpus statistics (N, avgdl, per-term document frequency) come
+  *     from ONE partial-aggregated scan producing a single row —
+  *     map-side combine all the way, broadcast back to the scoring scan.
+  *     At 100 TB these stats are a once-per-corpus artifact; recompute
+  *     cost is one narrow column scan, and the broadcast is O(|terms|).
+  *   - Scoring is a NARROW projection: per-document term frequencies
+  *     come from `size(filter(tokens, _ = term))` over the row's own
+  *     token array — no explode, no (doc, term) shuffle, no posting
+  *     list materialization. The only wide node in the whole plan is
+  *     the TakeOrderedAndProject top-k (per-partition heads, driver
+  *     merge of |partitions| × k rows).
+  *   - Fusion joins two ALREADY-truncated k-row rank lists — the join
+  *     input is O(k), never corpus-sized.
+  */
+object Retrieval {
+
+  /** Okapi BM25 top-k for a bag-of-terms query.
+    *
+    * Standard formulation (Robertson/Sparck Jones, the +1-smoothed idf
+    * used by Lucene): for each query term t with document frequency
+    * df(t) over N docs,
+    *   idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))
+    *   score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1-b + b·dl/avgdl))
+    * Zero-score documents (no query term present) are dropped; ties
+    * break on doc_id. Scores are rounded for cross-engine portability.
+    */
+  def bm25TopK(documents: DataFrame, terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               roundTo: Int = 6): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    require(terms.size <= 64, "query term list is broadcast per-row; cap it")
+    val toks = tokens(col("text"))
+    // one partial-agg stats scan → 1 row: N, avgdl, df per term
+    val statCols =
+      count(lit(1)).cast("double").as("n_docs") +:
+        avg(size(toks).cast("double")).as("avgdl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(toks, t), 1L).otherwise(0L))
+            .cast("double").as(s"df_$i")
+        }
+    val stats = documents.agg(statCols.head, statCols.tail: _*)
+
+    val dl = size(toks).cast("double")
+    val norm = lit(k1) * (lit(1 - b) + lit(b) * dl / col("avgdl"))
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(toks, x => x === t)).cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5)))
+      idf * tf * lit(k1 + 1) / (tf + norm)
+    }.reduce(_ + _)
+
+    documents.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, roundTo).as("bm25"))
+      .filter(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Hybrid retrieval by reciprocal-rank fusion (Cormack et al.):
+    * fuse the BM25 top-`poolK` lexical list with the cosine top-`poolK`
+    * embedding list (doc_id ≡ vec_id row alignment),
+    *   rrf(d) = Σ_lists 1 / (kRrf + rank_list(d))
+    * over the lists that contain d. Rank-based fusion needs no score
+    * normalization across modalities — exactly why serving tiers use it.
+    * Both inputs are k-row lists, so the windows and the full-outer
+    * join touch O(poolK) rows, not the corpus.
+    */
+  def hybridRrfTopK(documents: DataFrame, embeddings: DataFrame,
+                    terms: Seq[String], queryVecId: Long, k: Int,
+                    kRrf: Int = 60, poolK: Int = 20,
+                    roundTo: Int = 6): DataFrame = {
+    val lex = bm25TopK(documents, terms, poolK)
+      .select(col("doc_id").as("id"),
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+          .cast("long").as("lex_rank"))
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(transform(col("embedding"), x => x.cast("double")).as("query_vec"))
+    val sem = Knn.cosineTopK(embeddings.crossJoin(broadcast(q)), col("query_vec"), poolK)
+      .select(col("vec_id").as("id"),
+        row_number().over(Window.orderBy(col("cos_sim").desc, col("vec_id")))
+          .cast("long").as("sem_rank"))
+    lex.join(sem, Seq("id"), "full_outer")
+      .select(col("id").as("doc_id"),
+        round(
+          coalesce(lit(1.0) / (lit(kRrf) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(kRrf) + col("sem_rank")), lit(0.0)),
+          roundTo).as("rrf"),
+        col("lex_rank"), col("sem_rank"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+}

@@ -100,6 +100,29 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_bm25_topk: one narrow scoring scan + broadcast stats, heap top-k, no global sort") {
+    val p = plan("q_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Sort "), s"top-k must never globally sort the corpus:\n$p")
+    // "Exchange" == 2 counts the broadcast (substring of BroadcastExchange)
+    // + exactly ONE shuffle: the single-row stats aggregation. The
+    // scoring scan itself is shuffle-free (per-row tf from the token
+    // array — no explode, no (doc, term) exchange).
+    assert(countOf(p, "BroadcastExchange") == 1, s"stats row must broadcast:\n$p")
+    assert(countOf(p, "Exchange") == 2,
+      s"expected the stats partial-agg shuffle as the ONLY shuffle:\n$p")
+  }
+
+  test("q_hybrid_rrf: both rank windows run over ALREADY-truncated k-row pools") {
+    val p = plan("q_hybrid_rrf")
+    // two pool top-ks + the final fused top-k; the rank windows sit
+    // above them, so no window ever sees a corpus-sized input
+    assert(countOf(p, "TakeOrderedAndProject") == 3,
+      s"lexical pool, semantic pool, and fusion must each heap-truncate:\n$p")
+    assert(countOf(p, "Window") == 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_knn_graph_blocked: cell equi-join, no cartesian product of the table against itself") {
     val p = plan("q_knn_graph_blocked")
     assert(!p.contains("CartesianProduct"),

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Retrieval
+
+/** BM25 + reciprocal-rank-fusion retrieval (Retrieval.scala), pinned
+  * against hand-computed scores on a corpus small enough to verify on
+  * paper. The sf-scale outputs are hash-checked against the DuckDB
+  * oracle (q_bm25_topk / q_hybrid_rrf); this spec pins the FORMULA.
+  */
+class RetrievalSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  // d0: one 'cat' of 2 tokens; d1: two 'cat's of 3; d2: no 'cat'.
+  // N=3, avgdl=2, df(cat)=2 -> idf = ln(1 + 1.5/2.5) = ln(1.6)
+  private lazy val docs = Seq(
+    (0L, "cat dog"), (1L, "cat cat fish"), (2L, "bird")
+  ).toDF("doc_id", "text")
+
+  test("bm25TopK matches the hand-computed Okapi scores, drops zero-score docs") {
+    val out = Retrieval.bm25TopK(docs, Seq("cat"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val idf = math.log(1.6)
+    val s0 = idf * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 2.0 / 2.0)) // = idf
+    val s1 = idf * 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 3.0 / 2.0))
+    assert(out.map(_._1).toSeq == Seq(1L, 0L), "tf=2 must outrank tf=1; d2 dropped")
+    assert(math.abs(out(0)._2 - s1) < 1e-6, s"got ${out(0)._2}, want $s1")
+    assert(math.abs(out(1)._2 - s0) < 1e-6, s"got ${out(1)._2}, want $s0")
+  }
+
+  test("bm25TopK: rarer term carries more weight at equal tf; absent term contributes 0") {
+    // 'rare' in 1 of 3 docs, 'common' in all 3; d0 has only rare,
+    // d1 only common, same dl -> d0 outranks d1. 'ghost' is in no doc:
+    // idf is finite (ln(1 + 3.5/0.5)), tf=0 everywhere -> no effect.
+    val d = Seq(
+      (0L, "rare pad"), (1L, "common pad"), (2L, "common x common y")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(d, Seq("rare", "common", "ghost"), k = 10)
+      .collect().map(_.getLong(0))
+    assert(out.head == 0L, s"rare-term doc must rank first: ${out.toSeq}")
+    assert(out.toSet == Set(0L, 1L, 2L))
+  }
+
+  test("hybridRrfTopK fuses ranks reciprocally, ties break on doc_id") {
+    // lex list: d1 rank1, d0 rank2 (d2 has no 'cat').
+    // sem list (query = v0): v0 rank1, v1 rank2, v2 rank3.
+    // rrf(d0) = 1/62 + 1/61 == rrf(d1) = 1/61 + 1/62 -> tie, d0 first.
+    // rrf(d2) = 1/63 (sem only; lex_rank null).
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val rows = Retrieval.hybridRrfTopK(docs, emb, Seq("cat"), queryVecId = 0L, k = 10)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L), rows.mkString(";"))
+    val tied = 1.0 / 61 + 1.0 / 62
+    assert(math.abs(rows(0).getDouble(1) - tied) < 1e-6)
+    assert(math.abs(rows(1).getDouble(1) - tied) < 1e-6)
+    assert(math.abs(rows(2).getDouble(1) - 1.0 / 63) < 1e-6)
+    assert(rows(2).isNullAt(2), "doc outside the lexical pool has null lex_rank")
+    assert(rows(2).getLong(3) == 3L)
+  }
+}
