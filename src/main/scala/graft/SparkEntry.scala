@@ -401,6 +401,36 @@ object SparkEntry {
         GROUP BY e.vec_id
         ORDER BY dist, e.vec_id LIMIT $k"""
 
+  /** IVF-PQ + exact re-rank (mirrors Pq.ivfpqTopKRerank): the
+    * [[duckIvfPqTopK]] pipeline truncated at `shortlist` candidates,
+    * then true L2 against the raw vectors of ONLY those ids orders the
+    * final top-k.
+    */
+  private def duckIvfPqRerankTopK(m: Int, subDim: Int, c: Int, iters: Int,
+                                  coarseC: Int, k: Int, nprobe: Int,
+                                  shortlist: Int): String =
+    s"""WITH ${duckPqCtes(m, subDim, c, iters)},
+        q AS (SELECT query_vec FROM $duckQueryVec),
+        coarse AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                   FROM embeddings WHERE vec_id < $coarseC),
+        probed AS (SELECT cid FROM coarse, q
+                   ORDER BY list_distance(cv, q.query_vec), cid LIMIT $nprobe),
+        assigned AS (SELECT e.vec_id, cid AS cell FROM embeddings e, coarse c
+                     QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), cid) = 1),
+        ${duckPqLutCtes(m, subDim, iters)},
+        shortl AS (SELECT e.vec_id,
+               round(sqrt(CAST(sum(CAST(l.d2 AS DECIMAL(38,12))) AS DOUBLE)), 6) AS adc_dist
+             FROM encall e JOIN lutall l USING (subspace, code)
+             JOIN assigned a ON e.vec_id = a.vec_id
+             WHERE a.cell IN (SELECT cid FROM probed)
+             GROUP BY e.vec_id
+             ORDER BY adc_dist, e.vec_id LIMIT $shortlist)
+        SELECT e.vec_id, round(list_distance(e.embedding::DOUBLE[], q.query_vec), 6) AS dist
+        FROM embeddings e, shortl sl, q
+        WHERE e.vec_id = sl.vec_id
+        ORDER BY dist, e.vec_id LIMIT $k"""
+
   /** Generated oracle for the vector-LSH pair pipeline — literal ±1
     * hyperplanes from the SAME [[VectorLsh.signs]] constants the Spark
     * plan embeds.
@@ -873,6 +903,17 @@ object SparkEntry {
         Pq.codebooksCached(emb, 4, 16, 16, 1, dir), 4, 16, pdir)
       Pq.ivfpqTopK(s, pdir, queryVecOf(emb, 0), 10, nprobe = 4)
     }),
+    // Two-stage serving: ADC shortlist (codes only) -> exact re-rank
+    // reading raw vectors for ONLY the 30 shortlisted ids (id-pushdown
+    // scan), final order by true L2 — recall recovered from PQ
+    // quantization error at R-rows-per-query raw I/O.
+    "q_ivfpq_rerank_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pdir = pqDir(s, dir, "ivfpq_c16_m4sd16c16i1")
+      Pq.ensureEncodedPartitioned(emb, Ivf.centroids(emb, 16),
+        Pq.codebooksCached(emb, 4, 16, 16, 1, dir), 4, 16, pdir)
+      Pq.ivfpqTopKRerank(s, pdir, emb, queryVecOf(emb, 0), 10, nprobe = 4, shortlist = 30)
+    }),
     // BATCH ADC over the same persisted code table: Q queries build
     // their LUTs executor-side (PqLutExpr), the code table is scanned
     // ONCE for the whole batch, one window ranks per query — the
@@ -1254,6 +1295,7 @@ object SparkEntry {
     "q_pq_topk" -> duckPqTopK(4, 16, 16, 1, 10),
     // coarse seed cells (c=16) prune, product codes (m=4, c=16) score
     "q_ivfpq_topk" -> duckIvfPqTopK(4, 16, 16, 1, 16, 10, 4),
+    "q_ivfpq_rerank_topk" -> duckIvfPqRerankTopK(4, 16, 16, 1, 16, 10, 4, 30),
     // seed cells (iters=0), per-query nprobe=2 probes, 8-query batch
     "q_ivf_batch_topk" -> duckKmeansTopKBatch(16, 0, 10, 2, 8),
     "q_knn_graph" -> duckKnnGraph(5),

@@ -260,6 +260,36 @@ object Pq {
       collectBooks(spark.read.parquet(s"$dir/_codebooks")), collectQuery(queries), k, roundTo)
   }
 
+  /** Two-stage IVF-PQ serving with EXACT re-ranking: ADC over the
+    * probed cells picks a `shortlist`-sized candidate set from the
+    * compressed codes alone ([[ivfpqTopK]]), then raw vectors are read
+    * for ONLY those ids — an id-pushdown scan of the vector table
+    * (`vec_id IN (…)` lands in PushedFilters; with vector files
+    * sorted/bucketed by id these are row-group point reads, R rows
+    * instead of a corpus scan) — and exact L2 orders the final top-k.
+    *
+    * The standard accuracy/IO trade (IVF-ADC+R in the PQ literature):
+    * PQ quantization error can only affect WHICH `shortlist` candidates
+    * survive, never their final ordering, so recall vs exact search is
+    * recovered by widening the shortlist (R = 3-5×k typical) while the
+    * per-query raw-vector read stays R rows at any corpus size.
+    */
+  def ivfpqTopKRerank(spark: SparkSession, dir: String, embeddings: DataFrame,
+                      queries: DataFrame, k: Int, nprobe: Int, shortlist: Int,
+                      roundTo: Int = 6): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    // R candidate ids to the driver — id-filter formation, the same
+    // driver round-trip the coarse probe already pays
+    val ids = ivfpqTopK(spark, dir, queries, shortlist, nprobe, roundTo)
+      .select("vec_id").collect().map(_.getLong(0))
+    embeddings.filter(col("vec_id").isin(ids: _*))
+      .crossJoin(broadcast(queries))
+      .select(col("vec_id"),
+        round(l2Distance(col("embedding"), col("query_vec")), roundTo).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
+
   /** BATCH ADC score column over `(codes, lut)` rows: the same static
     * chain of m DECIMAL(38,12) term additions as [[adcTopKFromCodes]]
     * (identical decimal-widening semantics, so batch == single

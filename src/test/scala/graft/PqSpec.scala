@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.VectorFunctions._
-import graft.operators.Pq
+import graft.operators.{Knn, Pq}
 
 /** Product-quantization invariants: code shape, determinism, and the
   * ADC decomposition identity (‖q − recon(v)‖² = Σ_s ‖q_s − cb_s‖²).
@@ -172,6 +172,33 @@ class PqSpec extends AnyFunSuite {
     val flatRank = flat.toMap
     assert(pruned.nonEmpty && pruned.forall { case (id, d) => flatRank(id) == d },
       "pruned-probe distances must agree with the flat ADC distances for the same ids")
+  }
+
+  test("rerank at shortlist=N, nprobe=C == exact kNN; dist is true L2, not ADC") {
+    val base = java.nio.file.Files.createTempDirectory("pq_rerank").toString
+    val coarseC = 8
+    val cents = graft.operators.Ivf.centroids(emb, coarseC)
+    Pq.ensureEncodedPartitioned(emb, cents, books, M, SubDim, s"$base/ivfpq")
+    val q = emb.filter(col("vec_id") === 7)
+      .select(perturbQuery(col("embedding")).as("query_vec"))
+    // full shortlist + all cells probed: PQ error cannot drop any
+    // candidate, so the exact re-rank IS exact kNN
+    val rr = Pq.ivfpqTopKRerank(spark, s"$base/ivfpq", emb, q, k = 10,
+        nprobe = coarseC, shortlist = 100).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = Knn.topK(emb.crossJoin(broadcast(q)), col("query_vec"), 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rr === exact,
+      "rerank with a full shortlist must reproduce exact kNN (ids AND true-L2 dists)")
+    // narrow shortlist: every returned dist is still the TRUE distance
+    val narrow = Pq.ivfpqTopKRerank(spark, s"$base/ivfpq", emb, q, k = 5,
+        nprobe = 2, shortlist = 8).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exactDist = exact.toMap
+    assert(narrow.size === 5)
+    assert(narrow.filter(p => exactDist.contains(p._1))
+      .forall { case (id, d) => exactDist(id) == d },
+      "reranked distances must be the exact L2 values, never the ADC approximations")
   }
 
   test("batch ADC == per-query single ADC on the same stored codes") {
