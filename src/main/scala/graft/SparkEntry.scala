@@ -970,6 +970,13 @@ object SparkEntry {
 
     // ---- dedup family ----
     "q_dedup_exact" -> ((s, dir) => Dedup.exactClusters(Tables.documents(s, dir), minSize = 1)),
+    // Ingestion-time incremental dedup: docs >= 250 arrive against the
+    // existing corpus of docs < 250 — corpus reduced to distinct md5s
+    // map-side, anti-join on md5, first-copy-wins within the batch.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalExact(docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
+    }),
     // Signature rendered as a string — the driver's pandas compare
     // cannot sort list columns (numpy arrays are unhashable).
     "q_minhash_sig" -> ((s, dir) =>
@@ -1043,6 +1050,12 @@ object SparkEntry {
     "q_epoch_mix" -> ((s, dir) =>
       Sampling.epochMix(Tables.documents(s, dir), col("lang"), col("doc_id"), mixEpochs)
         .select(col("doc_id"), col("lang"), col("copy_idx"))),
+    // EXACT-count stratified sample (50 per language, salted-hash
+    // order): the constant rank cutoff compiles to WindowGroupLimit —
+    // map partitions pre-truncate per stratum before the exchange.
+    "q_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedExact(Tables.documents(s, dir), col("lang"), col("doc_id"), 50)
+        .select(col("doc_id"), col("lang"))),
 
     // ---- multimodal (documents' bytes as opaque payloads) ----
     // Meta half (frame sampling + resize math) is pure column algebra →
@@ -1192,6 +1205,12 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS keep_id
          FROM documents GROUP BY 1""",
+    "q_dedup_incremental" ->
+      """WITH corpus AS (SELECT DISTINCT md5(text) AS text_md5 FROM documents WHERE doc_id < 250),
+          batch AS (SELECT doc_id, md5(text) AS text_md5 FROM documents WHERE doc_id >= 250)
+          SELECT min(doc_id) AS doc_id, text_md5 FROM batch
+          WHERE text_md5 NOT IN (SELECT text_md5 FROM corpus)
+          GROUP BY text_md5""",
     "q_minhash_sig" ->
       s"WITH $duckSigCte SELECT doc_id, array_to_string(sig, '_') AS sig FROM sigs",
     "q_minhash_pairs" -> {
@@ -1358,6 +1377,10 @@ object SparkEntry {
             lex_rank, sem_rank
           FROM lex FULL JOIN sem ON lex.id = sem.id
           ORDER BY rrf DESC, doc_id LIMIT 10""",
+    "q_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+          QUALIFY row_number() OVER (PARTITION BY lang
+            ORDER BY ${duckUnitHashSalted("doc_id", "stratified")}, doc_id) <= 50""",
     "q_sample_bernoulli" ->
       s"SELECT doc_id, source FROM documents WHERE ${duckUnitHashSalted("doc_id", "bernoulli")} < 0.3",
     // mirror of Sampling.epochMix: floor(e) copies + one extra for the

@@ -50,6 +50,27 @@ object Dedup {
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
 
+  /** Ingestion-time INCREMENTAL exact dedup: keep an incoming-batch doc
+    * iff its content md5 is (a) absent from the existing corpus and
+    * (b) first among its duplicates WITHIN the batch (min doc_id) —
+    * the form every later ingestion pays, where [[exactClusters]] is
+    * the once-per-corpus compaction.
+    *
+    * Scale shape: the corpus side reduces to its DISTINCT md5 set
+    * before the join (map-side partial agg — the corpus text itself is
+    * never shuffled), then a left-anti equi-join on md5 drops known
+    * content and one md5-keyed agg keeps the batch's first copy. Both
+    * joins key on md5, so with corpus digests bucketed by md5 repeated
+    * ingestion is a co-located join against a digest table, never a
+    * corpus rescan.
+    */
+  def incrementalExact(corpus: DataFrame, batch: DataFrame): DataFrame =
+    batch.select(col("doc_id"), md5(col("text")).as("text_md5"))
+      .join(corpus.select(md5(col("text")).as("text_md5")).distinct(),
+        Seq("text_md5"), "left_anti")
+      .groupBy("text_md5").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "text_md5")
+
   // ---- MinHash ----
 
   /** Number of hash functions in the MinHash signature and the LSH

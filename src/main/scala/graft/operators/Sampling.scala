@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
@@ -95,6 +96,27 @@ object Sampling {
     * copies as distinct rows. Strata not in `epochs` are dropped.
     * Narrow map-side explode — no shuffle; output rows = Σ eₛ·nₛ.
     */
+  /** EXACT-count stratified sample: exactly min(n, |stratum|) rows per
+    * stratum, chosen by salted-hash order (ties → key) — the "carve
+    * 10k eval docs per language" op, where [[bernoulli]]'s
+    * expected-fraction guarantee isn't enough. Rank-based, so
+    * membership is NOT stable under corpus growth (a new low-hash row
+    * displaces the current rank-n one) — inherent to exact counts;
+    * use [[bernoulli]] when stability matters more than exactness.
+    *
+    * Scale shape: row_number with a CONSTANT cutoff compiles to
+    * WindowGroupLimit — every map partition pre-truncates to its local
+    * top-n per stratum BEFORE the exchange, so the shuffle carries at
+    * most n rows per (stratum, partition), never a stratum's full
+    * population (the stratum-skew hazard of naive per-group ranking).
+    */
+  def stratifiedExact(df: DataFrame, strata: Column, key: Column, n: Int,
+                      salt: String = "stratified"): DataFrame = {
+    val w = Window.partitionBy(strata)
+      .orderBy(Portable.unitHashSalted(key, salt), key)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n).drop("rn")
+  }
+
   def epochMix(df: DataFrame, strata: Column, key: Column,
                epochs: Map[String, Double],
                salt: String = "epoch"): DataFrame = {

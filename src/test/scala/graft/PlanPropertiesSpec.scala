@@ -123,6 +123,21 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_stratified_sample: constant rank cutoff compiles to map-side WindowGroupLimit") {
+    val p = plan("q_stratified_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"partitions must pre-truncate per stratum before the exchange:\n$p")
+  }
+
+  test("q_dedup_incremental: md5 anti-join, corpus reduced to distinct digests before the join") {
+    val p = plan("q_dedup_incremental")
+    assert(p.contains("LeftAnti"), s"known content must drop via anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the corpus side must aggregate (distinct md5) below the join —
+    // never ship corpus text through the join
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q_knn_graph_blocked: cell equi-join, no cartesian product of the table against itself") {
     val p = plan("q_knn_graph_blocked")
     assert(!p.contains("CartesianProduct"),

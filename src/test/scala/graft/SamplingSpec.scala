@@ -118,6 +118,25 @@ class SamplingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stratifiedExact: exactly min(n, |stratum|) per stratum, deterministic, hash-order membership") {
+    val out = Sampling.stratifiedExact(docs, col("lang"), col("doc_id"), 200)
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1)))
+    val perStratum = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // a:600 b:300 -> capped at 200; c:100 -> whole stratum
+    assert(perStratum === Map("a" -> 200, "b" -> 200, "c" -> 100))
+    val again = Sampling.stratifiedExact(docs, col("lang"), col("doc_id"), 200)
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.sorted.toSeq === again.sorted.toSeq, "exact sample must be deterministic")
+    // membership IS the n lowest salted hashes of each stratum
+    val hashes = docs.select(col("doc_id"), col("lang"),
+        graft.functions.Portable.unitHashSalted(col("doc_id"), "stratified").as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val expected = hashes.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (r._3, r._1)).take(200).toSeq
+    }.map(r => (r._1, r._2)).toSet
+    assert(out.toSet === expected)
+  }
+
   test("domainMix: output mixture approximates targets; untargeted strata dropped") {
     val targets = Map("a" -> 0.5, "b" -> 0.5) // c untargeted → dropped
     val mixed = Sampling.domainMix(docs, col("lang"), col("doc_id"), targets).cache()

@@ -34,6 +34,19 @@ class TextDedupSpec extends AnyFunSuite {
     assert(clusters(0).getAs[Long]("keep_id") === 1L)
   }
 
+  test("incrementalExact: corpus content dropped, within-batch first copy wins, fresh kept") {
+    val corpus = docs.filter(col("doc_id") <= 2) // contains "the cat sat on the mat"
+    val batch = Seq(
+      (10L, "the cat sat on the mat"), // known content -> dropped
+      (11L, "brand new content"),      // fresh -> kept
+      (12L, "brand new content"),      // batch-internal dup -> 11 wins
+      (13L, "one two three"))          // fresh (doc 5 is NOT in corpus)
+      .toDF("doc_id", "text")
+    val kept = graft.operators.Dedup.incrementalExact(corpus, batch)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(11L, 13L))
+  }
+
   test("minhash signature is identical for identical texts, and LSH finds exact+near dups") {
     val sigs = Dedup.minhashSignatures(docs).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
