@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions.{broadcast, col}
 
 import graft.functions.{DotProductExpr, L2DistanceSqExpr}
 import graft.functions.VectorFunctions.perturbQuery
-import graft.operators.{Dedup, Knn}
+import graft.operators.{Dedup, Knn, Retrieval}
 import graft.sources.Tables
 
 /** SparkSessionExtensions entry point: registers the engine's native
@@ -81,6 +81,8 @@ object GraftExtensions {
     *  - `minhash_pairs(dir, threshold)`: MinHash-LSH candidate pairs
     *    with exact-Jaccard verification ≥ threshold over
     *    `dir/documents`.
+    *  - `bm25_topk(dir, k, term, ...)`: Okapi BM25 top-k over
+    *    `dir/documents` for a variadic bag of query terms.
     */
   val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] = Seq(
     (FunctionIdentifier("knn_topk"), info("knn_topk"),
@@ -95,6 +97,12 @@ object GraftExtensions {
       tvf("minhash_pairs") { (spark, args) =>
         require(args.length == 2, "minhash_pairs(dir, threshold)")
         Dedup.minhashPairs(Tables.documents(spark, asString(args(0))), asDouble(args(1)))
+      }),
+    (FunctionIdentifier("bm25_topk"), info("bm25_topk"),
+      tvf("bm25_topk") { (spark, args) =>
+        require(args.length >= 3, "bm25_topk(dir, k, term, ...)")
+        Retrieval.bm25TopK(Tables.documents(spark, asString(args(0))),
+          args.drop(2).map(asString), asInt(args(1)))
       }))
 
   /** Register on an already-created session (tests, notebooks). */

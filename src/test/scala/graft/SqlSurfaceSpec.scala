@@ -33,6 +33,16 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(fromSql.nonEmpty)
   }
 
+  test("SQL TVF bm25_topk(dir, k, terms...) matches the declared Column-API query") {
+    GraftExtensions.register(spark)
+    val fromSql = spark.sql(s"SELECT * FROM bm25_topk('$sf', 10, 'dup', 'vector', 'spark')")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fromApi = SparkEntry.queries("q_bm25_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromSql === fromApi)
+    assert(fromSql.length === 10)
+  }
+
   test("TVFs compose with plain SQL (filter + order over the TVF result)") {
     GraftExtensions.register(spark)
     val top3 = spark.sql(
