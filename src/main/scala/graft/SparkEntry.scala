@@ -375,6 +375,42 @@ object SparkEntry {
         SELECT query_id, vec_id, dist FROM scored
         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) <= $k"""
 
+  /** BATCH IVF-PQ + exact re-rank (mirrors Pq.ivfpqTopKRerankBatch):
+    * the [[duckIvfPqTopKBatch]] pipeline truncated at `shortlist` per
+    * query, then true L2 against the raw vectors of the shortlisted
+    * ids orders each query's final top-k.
+    */
+  private def duckIvfPqRerankTopKBatch(m: Int, subDim: Int, c: Int, iters: Int,
+                                       coarseC: Int, k: Int, nprobe: Int,
+                                       qn: Int, shortlist: Int): String =
+    s"""WITH ${duckPqCtes(m, subDim, c, iters)},
+        qb AS (SELECT query_id, query_vec FROM ${duckQueryBatch(qn)}),
+        coarse AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                   FROM embeddings WHERE vec_id < $coarseC),
+        probed AS (SELECT query_id, cid FROM (
+                     SELECT q.query_id, cid, row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY list_distance(cv, q.query_vec), cid) AS rn
+                     FROM coarse, qb q) WHERE rn <= $nprobe),
+        assigned AS (SELECT e.vec_id, cid AS cell FROM embeddings e, coarse c
+                     QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), cid) = 1),
+        ${duckPqLutBatchCtes(m, subDim, iters)},
+        scored AS (SELECT l.query_id, e.vec_id,
+               round(sqrt(CAST(sum(CAST(l.d2 AS DECIMAL(38,12))) AS DOUBLE)), 6) AS adc_dist
+             FROM encall e JOIN lutall l USING (subspace, code)
+             JOIN assigned a ON e.vec_id = a.vec_id
+             JOIN probed p ON p.query_id = l.query_id AND p.cid = a.cell
+             GROUP BY l.query_id, e.vec_id),
+        shortl AS (SELECT query_id, vec_id FROM scored
+             QUALIFY row_number() OVER (PARTITION BY query_id
+               ORDER BY adc_dist, vec_id) <= $shortlist)
+        SELECT s.query_id, s.vec_id,
+               round(list_distance(e.embedding::DOUBLE[], q.query_vec), 6) AS dist
+        FROM shortl s, embeddings e, qb q
+        WHERE e.vec_id = s.vec_id AND q.query_id = s.query_id
+        QUALIFY row_number() OVER (PARTITION BY s.query_id
+          ORDER BY dist, s.vec_id) <= $k"""
+
   /** IVF-PQ top-k (mirrors Pq.ivfpqTopK over Pq.ensureEncodedPartitioned
     * with SEED coarse centroids, Ivf.centroids): probe the `nprobe`
     * coarse cells nearest the query, ADC-score only vectors assigned to
@@ -938,6 +974,18 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
       Pq.ivfpqTopKBatch(s, pdir, qs, 10, nprobe = 4)
     }),
+    // BATCH two-stage serving: one pruned code scan picks per-query
+    // shortlists, raw vectors read once for the distinct shortlisted
+    // ids (id-pushdown), exact L2 + one window rank per query.
+    "q_ivfpq_rerank_batch_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pdir = pqDir(s, dir, "ivfpq_c16_m4sd16c16i1")
+      Pq.ensureEncodedPartitioned(emb, Ivf.centroids(emb, 16),
+        Pq.codebooksCached(emb, 4, 16, 16, 1, dir), 4, 16, pdir)
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+      Pq.ivfpqTopKRerankBatch(s, pdir, emb, qs, 10, nprobe = 4, shortlist = 30)
+    }),
 
     // ---- text analysis ----
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
@@ -1321,6 +1369,7 @@ object SparkEntry {
     "q_knn_graph_blocked" -> duckKnnGraphBlocked(16, 5, 2),
     "q_pq_batch_topk" -> duckPqTopKBatch(4, 16, 16, 1, 10, 8),
     "q_ivfpq_batch_topk" -> duckIvfPqTopKBatch(4, 16, 16, 1, 16, 10, 4, 8),
+    "q_ivfpq_rerank_batch_topk" -> duckIvfPqRerankTopKBatch(4, 16, 16, 1, 16, 10, 4, 8, 30),
     // filtered ANN: same seed-cell probe as q_ivf_topk (iters=0 → seed
     // centroids), predicate restricted within the probed cells
     "q_knn_filtered" -> duckKmeansTopK(16, 0, 10, 2, pred = Some("e.vec_id >= 100")),

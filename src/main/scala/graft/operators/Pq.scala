@@ -383,6 +383,36 @@ object Pq {
       .select(col("query_id"), col("vec_id"), col("dist"))
   }
 
+  /** BATCH two-stage serving: [[ivfpqTopKBatch]] picks a per-query
+    * `shortlist` from the compressed codes (one pruned scan for the
+    * whole batch), then exact L2 re-ranks — raw vectors are read
+    * through an id-pushdown scan of the DISTINCT shortlisted ids
+    * (≤ Q·R rows at any corpus size), paired back to their queries by
+    * an equi-join on the Q·R-row candidate relation, and one window
+    * rank per query emits the final top-k. Batch analog of
+    * [[ivfpqTopKRerank]]: PQ error affects WHICH candidates survive,
+    * never the final (true-L2) ordering.
+    */
+  def ivfpqTopKRerankBatch(spark: SparkSession, dir: String, embeddings: DataFrame,
+                           queries: DataFrame, k: Int, nprobe: Int, shortlist: Int,
+                           roundTo: Int = 6): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val cand = ivfpqTopKBatch(spark, dir, queries, shortlist, nprobe, roundTo)
+      .select(col("query_id"), col("vec_id")) // ADC dist discarded: rerank is exact
+    val ids = cand.select("vec_id").distinct().collect().map(_.getLong(0))
+    val vecs = embeddings.filter(col("vec_id").isin(ids.toIndexedSeq: _*))
+      .select(col("vec_id"), col("embedding"))
+    val byQuery = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    cand.join(vecs, Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(l2Distance(col("embedding"), col("query_vec")), roundTo).as("dist"))
+      .withColumn("rn", row_number().over(byQuery))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("dist"))
+  }
+
   /** Quantized reconstruction `(vec_id, recon)` — concatenated codebook
     * centroids of each vector's codes (spec surface: ADC distances must
     * equal direct distances to these reconstructions).

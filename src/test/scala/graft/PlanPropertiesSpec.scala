@@ -138,6 +138,16 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q_ivfpq_rerank_batch_topk: id-pushdown raw-vector read, per-query WindowGroupLimit") {
+    val p = plan("q_ivfpq_rerank_batch_topk")
+    assert(p.contains("WindowGroupLimit"), s"per-query rank <= k must group-limit:\n$p")
+    // the rerank's raw-vector scan reads ONLY the shortlisted ids —
+    // the In(vec_id, ...) filter must reach the parquet scan
+    assert(p.contains("PushedFilters: [In(vec_id"),
+      s"shortlist ids must push into the vector scan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_knn_graph_blocked: cell equi-join, no cartesian product of the table against itself") {
     val p = plan("q_knn_graph_blocked")
     assert(!p.contains("CartesianProduct"),

@@ -248,6 +248,35 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("batch rerank == per-query single rerank; full shortlist == exact batch kNN") {
+    val base = java.nio.file.Files.createTempDirectory("pq_rrb").toString
+    val cents = graft.operators.Ivf.centroids(emb, 8)
+    Pq.ensureEncodedPartitioned(emb, cents, books, M, SubDim, s"$base/ivfpq")
+    val qids = Seq(3L, 7L, 11L)
+    val qs = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+    def group(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    val batch = group(Pq.ivfpqTopKRerankBatch(spark, s"$base/ivfpq", emb, qs,
+      k = 5, nprobe = 3, shortlist = 12))
+    qids.foreach { qid =>
+      val q1 = emb.filter(col("vec_id") === qid)
+        .select(perturbQuery(col("embedding")).as("query_vec"))
+      val single = Pq.ivfpqTopKRerank(spark, s"$base/ivfpq", emb, q1, k = 5,
+          nprobe = 3, shortlist = 12).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) === single,
+        s"batch rerank for query $qid must equal the single-query rerank")
+    }
+    // all cells probed + full shortlist: exact batch kNN, true L2 dists
+    val full = group(Pq.ivfpqTopKRerankBatch(spark, s"$base/ivfpq", emb, qs,
+      k = 10, nprobe = 8, shortlist = 100))
+    val exact = group(Knn.topKBatch(emb, qs, 10))
+    assert(full === exact,
+      "full-shortlist batch rerank must reproduce exact batch kNN")
+  }
+
   test("PQ over normalized vectors serves cosine (lossless ADC == exact cosine ranking)") {
     // the cosine→L2 reduction composes with PQ unchanged: quantize the
     // UNIT directions and ADC ranks by cosine. With one centroid per
