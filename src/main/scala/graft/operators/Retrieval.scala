@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -54,21 +54,57 @@ object Retrieval {
             .cast("double").as(s"df_$i")
         }
     val stats = documents.agg(statCols.head, statCols.tail: _*)
-
-    val dl = size(toks).cast("double")
-    val norm = lit(k1) * (lit(1 - b) + lit(b) * dl / col("avgdl"))
-    val score = terms.zipWithIndex.map { case (t, i) =>
-      val tf = size(filter(toks, x => x === t)).cast("double")
-      val idf = log(lit(1.0) +
-        (col("n_docs") - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5)))
-      idf * tf * lit(k1 + 1) / (tf + norm)
-    }.reduce(_ + _)
-
+    val score = scoreCol(terms, k1, b,
+      col("n_docs"), col("avgdl"), i => col(s"df_$i"))
     documents.crossJoin(broadcast(stats))
       .select(col("doc_id"), round(score, roundTo).as("bm25"))
       .filter(col("bm25") > 0)
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** The BM25 score as a PURE COLUMN over a row carrying `text`, with
+    * the corpus statistics supplied as columns — `col("n_docs")`-style
+    * references for the batch top-k (stats row crossJoined in) or
+    * literals for the frozen-stats streaming scorer. One code path, so
+    * the two cannot drift (and the IEEE evaluation order is shared).
+    */
+  private def scoreCol(terms: Seq[String], k1: Double, b: Double,
+                       nDocs: Column, avgdl: Column, df: Int => Column): Column = {
+    val toks = tokens(col("text"))
+    val dl = size(toks).cast("double")
+    val norm = lit(k1) * (lit(1 - b) + lit(b) * dl / avgdl)
+    terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(toks, x => x === t)).cast("double")
+      val idf = log(lit(1.0) + (nDocs - df(i) + lit(0.5)) / (df(i) + lit(0.5)))
+      idf * tf * lit(k1 + 1) / (tf + norm)
+    }.reduce(_ + _)
+  }
+
+  /** STREAMING-ready BM25 scorer: corpus statistics are computed ONCE
+    * from the (batch) reference corpus, collected, and frozen into the
+    * returned column as LITERALS — scoring an incoming document stream
+    * is then a stateless narrow projection (no agg, no join): the
+    * `readStream → select(bm25) → route` form a pipeline runs at
+    * ingestion. Stats staleness is the caller's policy knob (recompute
+    * per corpus snapshot), exactly like a serving index. Identical
+    * arithmetic to [[bm25TopK]]'s scoring phase (spec-pinned equal).
+    */
+  def bm25Scorer(referenceCorpus: DataFrame, terms: Seq[String],
+                 k1: Double = 1.2, b: Double = 0.75,
+                 roundTo: Int = 6): Column = {
+    val toks = tokens(col("text"))
+    val statCols =
+      count(lit(1)).cast("double").as("n_docs") +:
+        avg(size(toks).cast("double")).as("avgdl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(toks, t), 1L).otherwise(0L))
+            .cast("double").as(s"df_$i")
+        }
+    val row = referenceCorpus.agg(statCols.head, statCols.tail: _*).head()
+    round(scoreCol(terms, k1, b,
+      lit(row.getDouble(0)), lit(row.getDouble(1)), i => lit(row.getDouble(2 + i))),
+      roundTo)
   }
 
   /** Hybrid retrieval by reciprocal-rank fusion (Cormack et al.):

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Retrieval
@@ -41,6 +42,38 @@ class RetrievalSpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(out.head == 0L, s"rare-term doc must rank first: ${out.toSeq}")
     assert(out.toSet == Set(0L, 1L, 2L))
+  }
+
+  test("bm25Scorer (frozen stats) reproduces bm25TopK's scores, and runs on a stream") {
+    // frozen-literal scorer == the crossJoined-stats batch scoring
+    val terms = Seq("cat", "fish")
+    val scored = docs.select(col("doc_id"),
+        Retrieval.bm25Scorer(docs, terms).as("bm25"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val topk = Retrieval.bm25TopK(docs, terms, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    topk.foreach { case (id, s) =>
+      assert(scored(id) == s, s"frozen-stats score for doc $id: ${scored(id)} != $s")
+    }
+    // the same column scores a document STREAM as a stateless narrow
+    // projection (stats are literals -> no agg, no join in the stream)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val scorer = Retrieval.bm25Scorer(docs, terms)
+    val streamed = mem.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), scorer.as("bm25"))
+    val q = streamed.writeStream.format("memory").queryName("bm25_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((0L, "cat dog"), (1L, "cat cat fish"))
+      q.processAllAvailable()
+      mem.addData((2L, "bird"))
+      q.processAllAvailable()
+      val got = spark.table("bm25_out").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got === scored, "streamed scores must equal batch scores row-for-row")
+    } finally q.stop()
   }
 
   test("hybridRrfTopK fuses ranks reciprocally, ties break on doc_id") {
