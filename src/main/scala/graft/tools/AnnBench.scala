@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
-import graft.operators.{Hnsw, Ivf}
+import graft.operators.{Hnsw, Ivf, Pq}
 import graft.sources.Tables
 
 /** Targeted ANN micro-benchmark: times the throughput-query shape
@@ -176,6 +176,39 @@ object AnnBench {
       s"""{"cells":64,"nprobe":8,"build_sec":${fmt(ivfBuildSec, 2)},""" +
         s""""recall_at_10":${fmt(ivfRecall, 4)},"serves":[${ivfServes.mkString(",")}]}"""
 
+    // IVF-PQ two-stage serving at 1M: codes are 5 bytes/vector (m=5
+    // over dim 25) vs 100 raw float bytes; the ADC stage reads ONLY
+    // codes in the probed cells, the exact re-rank reads raw vectors
+    // for the R-row shortlist (~R point reads/query vs the ~nprobe/C·N
+    // ≈ 125k raw rows the flat-IVF path scores). ADC-only recall shows
+    // the quantization loss; the re-rank recovers it back to the
+    // coarse-probe ceiling (= flat-IVF recall at the same nprobe).
+    val pqdir = s"target/graft_scale_idx/ivfpq_n${n}_d$dim"
+    fs.delete(new org.apache.hadoop.fs.Path(pqdir), true)
+    val tQ = System.nanoTime()
+    val books = Pq.codebooks(emb, m = 5, subDim = 5, c = 256, iters = 2)
+    Pq.ensureEncodedPartitioned(emb, cents, books, 5, 5, pqdir)
+    val pqBuildSec = (System.nanoTime() - tQ) / 1e9
+    Pq.ivfpqTopKBatch(spark, pqdir, sample.limit(32), 10, nprobe = 8)
+      .write.format("noop").mode("overwrite").save() // warm-up
+    val adcRecall = Hnsw.recallOf(
+      Pq.ivfpqTopKBatch(spark, pqdir, sample, 10, nprobe = 8), emb, sample, 10)
+      .agg(avg(col("recall"))).head().getDouble(0)
+    val tRr = System.nanoTime()
+    val rrDf = Pq.ivfpqTopKRerankBatch(spark, pqdir, emb, sample, 10,
+      nprobe = 8, shortlist = 100)
+    rrDf.write.format("noop").mode("overwrite").save()
+    val rrSec = (System.nanoTime() - tRr) / 1e9
+    val rrRecall = Hnsw.recallOf(
+      Pq.ivfpqTopKRerankBatch(spark, pqdir, emb, sample, 10, nprobe = 8, shortlist = 100),
+      emb, sample, 10).agg(avg(col("recall"))).head().getDouble(0)
+    val ivfpqRerank =
+      s"""{"m":5,"c":256,"nprobe":8,"shortlist":100,"build_sec":${fmt(pqBuildSec, 2)},""" +
+        s""""adc_recall_at_10":${fmt(adcRecall, 4)},""" +
+        s""""rerank_recall_at_10":${fmt(rrRecall, 4)},""" +
+        s""""rerank_batch":200,"rerank_serve_sec":${fmt(rrSec, 2)},""" +
+        s""""queries_per_sec":${(200 / rrSec).toInt}}"""
+
     val json =
       s"""{"scale_smoke":{"n":$n,"dim":$dim,"build_sec":${fmt(buildSec, 2)},""" +
         s""""inserts_per_sec":${(n / buildSec).toInt},""" +
@@ -188,6 +221,7 @@ object AnnBench {
         s""""build_sec":${fmt(routedBuildSec, 2)},"index_bytes":$routedBytes,""" +
         s""""serves":[${routed.mkString(",")}]},""" +
         s""""ivf_batch":$ivfBatch,""" +
+        s""""ivfpq_rerank":$ivfpqRerank,""" +
         s""""reference":"SizeTest(1e6,25,64) hnsw.cc:485-488 -- 167MB vectors, 5.6s wall, 5530 q/s @ recall 0.30"}}"""
     println(json)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("target/scale_smoke.json"), json + "\n")
