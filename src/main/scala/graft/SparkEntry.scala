@@ -990,6 +990,9 @@ object SparkEntry {
     // ---- text analysis ----
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "q_quality" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
+    // per-source quality gate: thresholds = exact interpolated p75 per
+    // source (broadcast, S rows), corpus passes ONE narrow filter
+    "q_quality_gate" -> ((s, dir) => TextAnalysis.qualityGate(Tables.documents(s, dir), 0.75)),
     "q_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
     "q_doc_stats" -> ((s, dir) => TextAnalysis.docStats(Tables.documents(s, dir))),
     "q_token_counting" -> ((s, dir) => TextAnalysis.tokenCounting(Tables.documents(s, dir))),
@@ -1228,6 +1231,21 @@ object SparkEntry {
           SELECT *, CASE $cases ELSE 'und' END AS lang_pred FROM scored"""
     },
     "q_quality" -> duckQualitySql,
+    "q_quality_gate" ->
+      s"""WITH x AS (SELECT doc_id, source,
+              CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+              CAST(len(list_filter(string_split(text, ' '), w -> w IN ($duckStopEn))) AS DOUBLE) AS sw,
+              n_chars
+            FROM documents),
+          qx AS (SELECT doc_id, source,
+              round(least(nt / 100.0, 1.0) * 0.5 + (sw / nt) * 0.3
+                    + least(((CAST(n_chars AS DOUBLE) - (nt - 1.0)) / nt) / 8.0, 1.0) * 0.2, 6) AS quality
+            FROM x),
+          thr AS (SELECT source, round(quantile_cont(quality, 0.75), 6) AS thr
+                  FROM qx GROUP BY source)
+          SELECT doc_id, qx.source, quality
+          FROM qx JOIN thr ON qx.source = thr.source
+          WHERE quality >= thr""",
     "q_token_counts" ->
       """SELECT tok AS token, count(*) AS n
          FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)

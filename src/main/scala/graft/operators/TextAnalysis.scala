@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable._
@@ -71,6 +72,44 @@ object TextAnalysis {
     val toks = tokens(col("text"))
     documents.select(col("doc_id"), size(toks).as("n_toks"),
       qualityCol(toks, col("n_chars")).as("quality"))
+  }
+
+  /** Per-source quality GATE: keep documents whose quality score is at
+    * or above their source's `p`-th exact interpolated percentile —
+    * "drop the worst quartile of every crawl" as one composable stage.
+    * Threshold-then-filter, NOT rank-then-cut: per-source thresholds
+    * (one boundary-rank window pass, ≤ 2 boundary rows per source kept,
+    * same spill-safe machinery and `p·(n-1)` position arithmetic as
+    * [[Relational.priceQuantiles]] — bit-compatible with DuckDB
+    * `quantile_cont`) are broadcast (S rows) and the corpus passes
+    * through one narrow filter. At 100 TB the threshold pass is the
+    * only sort and its output is tiny; swap in `approx_percentile`
+    * thresholds when that sort dominates — the gate filter is
+    * unchanged.
+    *
+    * Output: doc_id, source, quality (rounded, as in [[qualityScore]]).
+    */
+  def qualityGate(documents: DataFrame, p: Double = 0.75): DataFrame = {
+    val scored = documents.select(col("doc_id"), col("source"),
+      qualityCol(tokens(col("text")), col("n_chars")).as("quality"))
+    val w = Window.partitionBy("source").orderBy("quality")
+    val ranked = scored.withColumn("rk0", row_number().over(w) - lit(1))
+    val counts = ranked.groupBy("source").agg(count(lit(1)).as("n"))
+    def pos(n: Column): Column = lit(p) * (n - lit(1)).cast("double")
+    val thresholds = ranked.join(broadcast(counts), Seq("source"))
+      .filter(col("rk0") === floor(pos(col("n"))) ||
+        col("rk0") === ceil(pos(col("n"))))
+      .groupBy("source")
+      .agg(max(col("n")).as("n"),
+        max(when(col("rk0") === floor(pos(col("n"))), col("quality"))).as("lo"),
+        max(when(col("rk0") === ceil(pos(col("n"))), col("quality"))).as("hi"))
+      .select(col("source"), {
+        val frac = pos(col("n")) - floor(pos(col("n"))).cast("double")
+        round(col("lo") + frac * (col("hi") - col("lo")), 6).as("thr")
+      })
+    scored.join(broadcast(thresholds), Seq("source"))
+      .filter(col("quality") >= col("thr"))
+      .select("doc_id", "source", "quality")
   }
 
   /** Global token frequency: top `limit` tokens by count (count desc,

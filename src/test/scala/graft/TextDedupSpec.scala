@@ -34,6 +34,30 @@ class TextDedupSpec extends AnyFunSuite {
     assert(clusters(0).getAs[Long]("keep_id") === 1L)
   }
 
+  test("qualityGate keeps exactly the docs at/above the per-source interpolated percentile") {
+    // 8 docs across 2 sources with strictly varying token counts ->
+    // distinct quality scores per source
+    val d = (0L until 8L).map { i =>
+      val text = Seq.fill(i.toInt + 2)("tok").mkString(" ")
+      (i, text, "en", s"s${i % 2}", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val scored = d.select(col("doc_id"), col("source"),
+        TextAnalysis.qualityCol(tokens(col("text")), col("n_chars")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val expected = scored.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val qs = rows.map(_._3).sorted
+      val pos = 0.75 * (qs.length - 1)
+      val (lo, hi) = (qs(pos.toInt), qs(math.ceil(pos).toInt))
+      val thr = BigDecimal(lo + (pos - math.floor(pos)) * (hi - lo))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      rows.filter(_._3 >= thr).toSeq
+    }.map(r => (r._1, r._3)).toMap
+    val got = TextAnalysis.qualityGate(d, 0.75)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty && got.size < 8, "the gate must actually drop low-quality docs")
+  }
+
   test("incrementalExact: corpus content dropped, within-batch first copy wins, fresh kept") {
     val corpus = docs.filter(col("doc_id") <= 2) // contains "the cat sat on the mat"
     val batch = Seq(
