@@ -123,6 +123,14 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_quality_gate: corpus is never group-ranked — ONE window (threshold side), thresholds broadcast") {
+    val p = plan("q_quality_gate")
+    assert(countOf(p, "Window") == 1,
+      s"only the threshold computation may sort/rank; the gate itself must stay narrow:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"S-row thresholds must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_stratified_sample: constant rank cutoff compiles to map-side WindowGroupLimit") {
     val p = plan("q_stratified_sample")
     assert(p.contains("WindowGroupLimit"),
