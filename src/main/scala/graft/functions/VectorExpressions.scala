@@ -18,7 +18,11 @@ import org.apache.spark.sql.types._
   * (embeddings are float32 at rest, query vectors are double);
   * mismatched lengths yield null (the engine's explicit stance against
   * the reference's silent zero-padding, hnsw.cc:29-31/66-72 —
-  * SURVEY.md §1.4.1).
+  * SURVEY.md §1.4.1), and so does a null ELEMENT — reading one as
+  * 0.0/garbage would be the same silent corruption in disguise. The
+  * per-element null check is emitted only when the input type says
+  * `containsNull=true`; arrays whose schema guarantees dense elements
+  * pay nothing.
   *
   * `doGenCode` keeps the loop inside whole-stage codegen: the generated
   * Java reads primitives straight out of Tungsten `ArrayData` with no
@@ -30,6 +34,11 @@ abstract class VectorFoldExpression extends BinaryExpression {
 
   private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private def mayHaveNullElems(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
     case _ => false
   }
 
@@ -57,9 +66,11 @@ abstract class VectorFoldExpression extends BinaryExpression {
     if (n != b.numElements()) null
     else {
       val lf = isFloat(left); val rf = isFloat(right)
+      val lnul = mayHaveNullElems(left); val rnul = mayHaveNullElems(right)
       var s = 0.0
       var i = 0
       while (i < n) {
+        if ((lnul && a.isNullAt(i)) || (rnul && b.isNullAt(i))) return null
         val av = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
         val bv = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
         s += step(av, bv)
@@ -76,14 +87,20 @@ abstract class VectorFoldExpression extends BinaryExpression {
       val s = ctx.freshName("s")
       val aGet = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val bGet = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      // specialized away entirely when the schema says containsNull=false
+      val nullChecks = Seq(
+        if (mayHaveNullElems(left)) Some(s"$a.isNullAt($i)") else None,
+        if (mayHaveNullElems(right)) Some(s"$b.isNullAt($i)") else None).flatten
+      val elemGuard = if (nullChecks.isEmpty) ""
+        else s"if (${nullChecks.mkString(" || ")}) { ${ev.isNull} = true; break; }"
       s"""
       final int $n = $a.numElements();
       if ($n != $b.numElements()) {
         ${ev.isNull} = true;
       } else {
         double $s = 0.0;
-        for (int $i = 0; $i < $n; $i++) { ${javaStep(aGet, bGet, s)} }
-        ${ev.value} = $s;
+        for (int $i = 0; $i < $n; $i++) { $elemGuard ${javaStep(aGet, bGet, s)} }
+        if (!${ev.isNull}) { ${ev.value} = $s; }
       }"""
     })
 }
@@ -153,6 +170,11 @@ case class PqEncodeExpr(child: Expression, books: Seq[Seq[Seq[Double]]])
     case _ => false
   }
 
+  private def mayHaveNullElems: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(
@@ -181,6 +203,9 @@ case class PqEncodeExpr(child: Expression, books: Seq[Seq[Seq[Double]]])
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     if (a.numElements() != m * subDim) null
+    // a null ELEMENT yields null too — never read as 0.0 (same stance
+    // as the dim-mismatch rule; check skipped when containsNull=false)
+    else if (mayHaveNullElems && (0 until m * subDim).exists(a.isNullAt)) null
     else {
       val fl = isFloat
       val codes = new Array[Int](m)
@@ -219,25 +244,33 @@ case class PqEncodeExpr(child: Expression, books: Seq[Seq[Seq[Double]]])
       val d = ctx.freshName("d")
       val get = if (isFloat) s"(double) $a.getFloat($s * $subDim + $i)"
                 else s"$a.getDouble($s * $subDim + $i)"
+      // null-element pre-scan, specialized away when containsNull=false
+      val j = ctx.freshName("j")
+      val nullScan = if (!mayHaveNullElems) "" else
+        s"for (int $j = 0; $j < ${m * subDim}; $j++) " +
+          s"{ if ($a.isNullAt($j)) { ${ev.isNull} = true; break; } }"
       s"""
       if ($a.numElements() != ${m * subDim}) {
         ${ev.isNull} = true;
       } else {
-        final int[] $codes = new int[$m];
-        for (int $s = 0; $s < $m; $s++) {
-          double $best = Double.POSITIVE_INFINITY; int $bc = 0;
-          for (int $cid = 0; $cid < $c; $cid++) {
-            final int $base = ($s * $c + $cid) * $subDim;
-            double $acc = 0.0;
-            for (int $i = 0; $i < $subDim; $i++) {
-              final double $d = $get - $booksRef[$base + $i];
-              $acc += $d * $d;
+        $nullScan
+        if (!${ev.isNull}) {
+          final int[] $codes = new int[$m];
+          for (int $s = 0; $s < $m; $s++) {
+            double $best = Double.POSITIVE_INFINITY; int $bc = 0;
+            for (int $cid = 0; $cid < $c; $cid++) {
+              final int $base = ($s * $c + $cid) * $subDim;
+              double $acc = 0.0;
+              for (int $i = 0; $i < $subDim; $i++) {
+                final double $d = $get - $booksRef[$base + $i];
+                $acc += $d * $d;
+              }
+              if ($acc < $best) { $best = $acc; $bc = $cid; }
             }
-            if ($acc < $best) { $best = $acc; $bc = $cid; }
+            $codes[$s] = $bc;
           }
-          $codes[$s] = $bc;
+          ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($codes);
         }
-        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($codes);
       }"""
     })
   }
@@ -258,7 +291,8 @@ case class PqEncodeExpr(child: Expression, books: Seq[Seq[Seq[Double]]])
   * their own m·c-double LUT row map-side (no driver loop, no Q·m·c
   * plan literals), which then broadcast-joins against the stored code
   * table. Codebooks ride as one reference object, exactly like
-  * [[PqEncodeExpr]]. A query whose length ≠ m·subDim yields null.
+  * [[PqEncodeExpr]]. A query whose length ≠ m·subDim yields null, and
+  * so does one carrying a null element (same stance as the encode).
   */
 case class PqLutExpr(child: Expression, books: Seq[Seq[Seq[Double]]])
     extends UnaryExpression {
@@ -279,6 +313,11 @@ case class PqLutExpr(child: Expression, books: Seq[Seq[Seq[Double]]])
 
   private def isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private def mayHaveNullElems: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
     case _ => false
   }
 
@@ -307,6 +346,7 @@ case class PqLutExpr(child: Expression, books: Seq[Seq[Seq[Double]]])
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     if (a.numElements() != m * subDim) null
+    else if (mayHaveNullElems && (0 until m * subDim).exists(a.isNullAt)) null
     else {
       val fl = isFloat
       val lut = new Array[Double](m * c)
@@ -341,23 +381,30 @@ case class PqLutExpr(child: Expression, books: Seq[Seq[Seq[Double]]])
       val d = ctx.freshName("d")
       val get = if (isFloat) s"(double) $a.getFloat($s * $subDim + $i)"
                 else s"$a.getDouble($s * $subDim + $i)"
+      val j = ctx.freshName("j")
+      val nullScan = if (!mayHaveNullElems) "" else
+        s"for (int $j = 0; $j < ${m * subDim}; $j++) " +
+          s"{ if ($a.isNullAt($j)) { ${ev.isNull} = true; break; } }"
       s"""
       if ($a.numElements() != ${m * subDim}) {
         ${ev.isNull} = true;
       } else {
-        final double[] $lut = new double[${m * c}];
-        for (int $s = 0; $s < $m; $s++) {
-          for (int $cid = 0; $cid < $c; $cid++) {
-            final int $base = ($s * $c + $cid) * $subDim;
-            double $acc = 0.0;
-            for (int $i = 0; $i < $subDim; $i++) {
-              final double $d = $get - $booksRef[$base + $i];
-              $acc += $d * $d;
+        $nullScan
+        if (!${ev.isNull}) {
+          final double[] $lut = new double[${m * c}];
+          for (int $s = 0; $s < $m; $s++) {
+            for (int $cid = 0; $cid < $c; $cid++) {
+              final int $base = ($s * $c + $cid) * $subDim;
+              double $acc = 0.0;
+              for (int $i = 0; $i < $subDim; $i++) {
+                final double $d = $get - $booksRef[$base + $i];
+                $acc += $d * $d;
+              }
+              $lut[$s * $c + $cid] = $acc;
             }
-            $lut[$s * $c + $cid] = $acc;
           }
+          ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($lut);
         }
-        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($lut);
       }"""
     })
   }

@@ -38,12 +38,25 @@ object Retrieval {
     *   score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1-b + b·dl/avgdl))
     * Zero-score documents (no query term present) are dropped; ties
     * break on doc_id. Scores are rounded for cross-engine portability.
+    *
+    * Width bounds: the stats row carries one `df_i` column per query
+    * term and the score is a static Σ over terms, so BOTH the stats
+    * row and the scoring expression grow linearly with |terms| — the
+    * 64-term cap keeps the single-row broadcast and the codegen method
+    * bounded (a 64-term query works and is spec-pinned; 65 fails fast
+    * here, not in codegen). Queries wider than the cap are not a BM25
+    * serving shape — route them through a posting-list join instead.
+    * An EMPTY corpus yields an empty result, not an error: the
+    * degenerate stats row (n_docs=0, avgdl=null) never meets a
+    * document row.
     */
   def bm25TopK(documents: DataFrame, terms: Seq[String], k: Int,
                k1: Double = 1.2, b: Double = 0.75,
                roundTo: Int = 6): DataFrame = {
     require(terms.nonEmpty, "bm25TopK needs at least one query term")
-    require(terms.size <= 64, "query term list is broadcast per-row; cap it")
+    require(terms.size <= 64,
+      s"bm25TopK supports at most 64 query terms (got ${terms.size}): the per-term " +
+        "df columns and the static score sum grow with the term list")
     val toks = tokens(col("text"))
     // one partial-agg stats scan → 1 row: N, avgdl, df per term
     val statCols =
@@ -102,6 +115,11 @@ object Retrieval {
             .cast("double").as(s"df_$i")
         }
     val row = referenceCorpus.agg(statCols.head, statCols.tail: _*).head()
+    // avg() over zero rows is null — fail with a real message instead
+    // of an NPE three lines later (frozen stats from nothing are
+    // meaningless anyway; the caller must pick a non-empty snapshot)
+    require(!row.isNullAt(1) && row.getDouble(0) > 0,
+      "bm25Scorer needs a non-empty reference corpus to freeze statistics from")
     round(scoreCol(terms, k1, b,
       lit(row.getDouble(0)), lit(row.getDouble(1)), i => lit(row.getDouble(2 + i))),
       roundTo)

@@ -76,6 +76,33 @@ class RetrievalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bm25TopK works AT the 64-term cap and fails fast one past it") {
+    // the stats row carries one df column per term and the score is a
+    // static 64-way sum — the documented width bound must actually
+    // compile, run, and score identically to a narrower query whose
+    // extra terms are all absent from the corpus
+    val cap = Seq("cat", "fish") ++ (0 until 62).map(i => s"zz$i")
+    assert(cap.size == 64)
+    val atCap = Retrieval.bm25TopK(docs, cap, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val narrow = Retrieval.bm25TopK(docs, Seq("cat", "fish"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(atCap.toSeq === narrow.toSeq,
+      "absent terms contribute 0: the 64-term query must score like the 2-term one")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(docs, cap :+ "one_too_many", k = 10)
+    }
+    assert(e.getMessage.contains("64"), e.getMessage)
+  }
+
+  test("bm25Scorer rejects an empty reference corpus with a real message") {
+    val empty = docs.filter(col("doc_id") < 0)
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25Scorer(empty, Seq("cat"))
+    }
+    assert(e.getMessage.contains("non-empty"), e.getMessage)
+  }
+
   test("hybridRrfTopK fuses ranks reciprocally, ties break on doc_id") {
     // lex list: d1 rank1, d0 rank2 (d2 has no 'cat').
     // sem list (query = v0): v0 rank1, v1 rank2, v2 rank3.

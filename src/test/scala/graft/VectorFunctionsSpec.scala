@@ -76,4 +76,27 @@ class VectorFunctionsSpec extends AnyFunSuite {
       .head()
     assert(d.isNullAt(0))
   }
+
+  test("null array ELEMENT surfaces as null too — never read as 0.0") {
+    // same stance as the dim-mismatch rule, for every codegen expression
+    val withHole = Seq[Option[Float]](Some(1f), None, Some(3f))
+    val clean = Seq[Option[Float]](Some(1f), Some(2f), Some(3f))
+    val rows = Seq((withHole, clean), (clean, clean)).toDF("a", "b")
+      .select(l2Distance(col("a"), col("b")).as("d"),
+        dotProduct(col("a"), col("b")).as("p"))
+      .collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1),
+      "a null element must poison the fold, not contribute 0.0")
+    assert(rows(1).getDouble(0) === 0.0 && rows(1).getDouble(1) === 14.0,
+      "nullable-typed but dense arrays still compute")
+    // PQ encode + LUT: m=3 subspaces of 1 dim, 2 centroids each
+    val books = Seq.fill(3)(Seq(Seq(0.0), Seq(10.0)))
+    val pq = Seq(Tuple1(withHole), Tuple1(clean)).toDF("v")
+      .select(pqEncode(col("v"), books).as("codes"), pqLut(col("v"), books).as("lut"))
+      .collect()
+    assert(pq(0).isNullAt(0) && pq(0).isNullAt(1),
+      "pq_encode/pq_lut must yield null on a null element")
+    assert(pq(1).getSeq[Int](0) === Seq(0, 0, 0))
+    assert(pq(1).getSeq[Double](1).length === 6)
+  }
 }
