@@ -262,26 +262,40 @@ object Ivf {
   /** Shared batch-probe machinery: per-query nprobe nearest cells →
     * `(probes, pruned)` where `probes` is the broadcast
     * `(query_id, cell)` probe-pair relation and `pruned` is the stored
-    * table partition-pruned to the UNION of all probed cells. The
-    * collect moves Q·nprobe id pairs to the driver — partition-filter
-    * formation; never data-proportional.
+    * table partition-pruned to the UNION of all probed cells.
+    *
+    * The probe-pair relation stays DISTRIBUTED (Q·nprobe rows computed
+    * executor-side from the C-row centroid sidecar × broadcast
+    * queries); the only collect moves the DISTINCT probed-cell ids —
+    * ≤ C longs regardless of batch size — which must become plan
+    * literals to form the partition filter. Driver traffic is bounded
+    * by the cell count, never by the query batch.
     */
-  private def batchPrunedCandidates(spark: org.apache.spark.sql.SparkSession, dir: String,
-                                    queries: DataFrame, nprobe: Int): (DataFrame, DataFrame) = {
+  private[operators] def batchPrunedCandidates(spark: org.apache.spark.sql.SparkSession,
+                                               dir: String, queries: DataFrame,
+                                               nprobe: Int): (DataFrame, DataFrame) = {
     val stored = spark.read.parquet(dir)
+    val probePairs = batchProbePairs(spark, dir, queries, nprobe)
+    val unionCells = probePairs.select("cell").distinct().collect().map(_.getLong(0))
+    (broadcast(probePairs),
+      stored.filter(col("cell").isin(unionCells.toIndexedSeq: _*))) // partition-pruned
+  }
+
+  /** The per-query probe-pair relation `(query_id, cell)`: each query's
+    * `nprobe` nearest centroids, ranked executor-side (ties → smaller
+    * centroid id). Q·nprobe rows, never collected.
+    */
+  private[operators] def batchProbePairs(spark: org.apache.spark.sql.SparkSession,
+                                         dir: String, queries: DataFrame,
+                                         nprobe: Int): DataFrame = {
     val cents = spark.read.parquet(s"$dir/_centroids")
     val byQc = Window.partitionBy("query_id").orderBy(col("qdist"), col("centroid_id"))
-    val probePairs = cents.crossJoin(broadcast(queries))
+    cents.crossJoin(broadcast(queries))
       .select(col("query_id"), col("centroid_id"),
         l2Distance(col("centroid_vec"), col("query_vec")).as("qdist"))
       .withColumn("rn", row_number().over(byQc))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("centroid_id").as("cell"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val unionCells = probePairs.map(_._2).distinct
-    import spark.implicits._
-    val probes = broadcast(probePairs.toSeq.toDF("query_id", "cell"))
-    (probes, stored.filter(col("cell").isin(unionCells: _*))) // partition-pruned
   }
 
   /** BATCH cosine top-k over an [[ensurePartitionedCosine]] layout:

@@ -351,27 +351,13 @@ object Pq {
   def ivfpqTopKBatch(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
                      nprobe: Int, roundTo: Int = 6,
                      predicate: Option[Column] = None): DataFrame = {
-    val stored = spark.read.parquet(dir)
-    val cents = spark.read.parquet(s"$dir/_centroids")
     val books = collectBooks(spark.read.parquet(s"$dir/_codebooks"))
     val m = books.size
     val c = books(0).length
-    val byQc = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("qdist"), col("centroid_id"))
-    // Q·nprobe (query_id, cell) pairs to the driver — partition-filter
-    // formation plus the probe-pair relation; same legitimacy class as
-    // the single-query nprobe collect (never data-proportional).
-    val probePairs = cents.crossJoin(broadcast(queries))
-      .select(col("query_id"), col("centroid_id"),
-        l2Distance(col("centroid_vec"), col("query_vec")).as("qdist"))
-      .withColumn("rn", row_number().over(byQc))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("centroid_id").as("cell"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val unionCells = probePairs.map(_._2).distinct
-    import spark.implicits._
-    val probes = broadcast(probePairs.toSeq.toDF("query_id", "cell"))
-    val pruned = stored.filter(col("cell").isin(unionCells: _*)) // partition-pruned
+    // shared probe machinery (Ivf): probe pairs stay distributed; the
+    // only driver traffic is the ≤C distinct probed-cell literals the
+    // partition filter needs — bounded by cell count, not batch size
+    val (probes, pruned) = Ivf.batchPrunedCandidates(spark, dir, queries, nprobe)
     val byQuery = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
     predicate.fold(pruned)(pruned.filter)
@@ -385,13 +371,21 @@ object Pq {
 
   /** BATCH two-stage serving: [[ivfpqTopKBatch]] picks a per-query
     * `shortlist` from the compressed codes (one pruned scan for the
-    * whole batch), then exact L2 re-ranks — raw vectors are read
-    * through an id-pushdown scan of the DISTINCT shortlisted ids
-    * (≤ Q·R rows at any corpus size), paired back to their queries by
-    * an equi-join on the Q·R-row candidate relation, and one window
-    * rank per query emits the final top-k. Batch analog of
-    * [[ivfpqTopKRerank]]: PQ error affects WHICH candidates survive,
-    * never the final (true-L2) ordering.
+    * whole batch), then exact L2 re-ranks — the raw-vector table meets
+    * the Q·R-row candidate relation through ONE broadcast hash join on
+    * `vec_id` (the candidate side is tiny relative to the corpus at
+    * any scale), and one window rank per query emits the final top-k.
+    * Batch analog of [[ivfpqTopKRerank]]: PQ error affects WHICH
+    * candidates survive, never the final (true-L2) ordering.
+    *
+    * No driver round-trip and no per-id plan literals: a serving batch
+    * of 10k queries × shortlist 100 would otherwise collect 1M ids and
+    * embed 1M `In` literals — a plan-size/codegen bomb on exactly the
+    * path this engine serves at 100 TB. The join keeps the plan O(1)
+    * in batch × shortlist; Spark's runtime bloom/semi-join filters can
+    * still push candidate membership into the scan. (The SINGLE-query
+    * form keeps literal-id pushdown: ≤ `shortlist` ids get true
+    * row-group point reads, [[ivfpqTopKRerank]].)
     */
   def ivfpqTopKRerankBatch(spark: SparkSession, dir: String, embeddings: DataFrame,
                            queries: DataFrame, k: Int, nprobe: Int, shortlist: Int,
@@ -399,12 +393,10 @@ object Pq {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     val cand = ivfpqTopKBatch(spark, dir, queries, shortlist, nprobe, roundTo)
       .select(col("query_id"), col("vec_id")) // ADC dist discarded: rerank is exact
-    val ids = cand.select("vec_id").distinct().collect().map(_.getLong(0))
-    val vecs = embeddings.filter(col("vec_id").isin(ids.toIndexedSeq: _*))
-      .select(col("vec_id"), col("embedding"))
     val byQuery = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
-    cand.join(vecs, Seq("vec_id"))
+    embeddings.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cand), Seq("vec_id"))
       .join(broadcast(queries), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(l2Distance(col("embedding"), col("query_vec")), roundTo).as("dist"))

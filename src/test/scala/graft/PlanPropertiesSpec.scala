@@ -86,10 +86,13 @@ class PlanPropertiesSpec extends AnyFunSuite {
 
   test("q_ivf_batch_topk: union-of-probes partition filter, one pruned vector scan") {
     val p = plan("q_ivf_batch_topk")
-    assert(p.contains("PartitionFilters") && p.contains("cell"),
-      s"batch IVF must prune to the union of probed cells:\n$p")
-    assert(countOf(p, "Scan parquet") == 2,
-      s"one pruned vector scan + the query side — not a scan per query:\n$p")
+    assert(countOf(p, "PartitionFilters: [cell") == 1,
+      s"exactly ONE pruned vector scan serves the whole batch:\n$p")
+    // in-plan probe pairs (round 9): 1 pruned stored scan + probe
+    // formation (centroid sidecar + query side) + the same pair dumped
+    // again inside the DPP subquery + the scoring-side query scan = 6.
+    // Constant in batch size — the point is NOT a scan per query.
+    assert(countOf(p, "Scan parquet") == 6, s"unexpected scan count:\n$p")
     assert(p.contains("WindowGroupLimit"), s"per-query rank <= k must group-limit:\n$p")
   }
 
@@ -146,13 +149,17 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
-  test("q_ivfpq_rerank_batch_topk: id-pushdown raw-vector read, per-query WindowGroupLimit") {
+  test("q_ivfpq_rerank_batch_topk: candidate JOIN on the raw vectors, no Q*R id literals") {
     val p = plan("q_ivfpq_rerank_batch_topk")
     assert(p.contains("WindowGroupLimit"), s"per-query rank <= k must group-limit:\n$p")
-    // the rerank's raw-vector scan reads ONLY the shortlisted ids —
-    // the In(vec_id, ...) filter must reach the parquet scan
-    assert(p.contains("PushedFilters: [In(vec_id"),
-      s"shortlist ids must push into the vector scan:\n$p")
+    // the rerank's raw-vector read meets the shortlist through a
+    // broadcast hash join — NEVER a collect + In(vec_id, ...) literal
+    // list, whose plan would grow with batch x shortlist (the 100-TB
+    // serving-path plan bomb flagged in round 8)
+    assert(!p.contains("In(vec_id"),
+      s"shortlist must join, not push Q*R id literals:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate relation must broadcast onto the vector scan:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
 
@@ -164,10 +171,14 @@ class PlanPropertiesSpec extends AnyFunSuite {
 
   test("q_cosine_batch_topk: union-of-probes partition filter, one pruned unit-vector scan") {
     val p = plan("q_cosine_batch_topk")
-    assert(p.contains("PartitionFilters") && p.contains("cell"),
-      s"batch cosine must prune to the union of probed cells:\n$p")
-    assert(countOf(p, "Scan parquet") == 2,
-      s"one pruned unit-vector scan + the query side — not a scan per query:\n$p")
+    assert(countOf(p, "PartitionFilters: [cell") == 1,
+      s"exactly ONE pruned unit-vector scan serves the whole batch:\n$p")
+    // probe pairs are computed IN-PLAN now (round 9: no Q-proportional
+    // driver collect): 1 pruned stored scan + probe formation (C-row
+    // centroid sidecar + Q-row query side) + the same pair dumped again
+    // inside the DPP subquery + the scoring-side query scan = 6 — none
+    // data-proportional, constant in batch size
+    assert(countOf(p, "Scan parquet") == 6, s"unexpected scan count:\n$p")
     assert(p.contains("WindowGroupLimit"), s"per-query rank <= k must group-limit:\n$p")
   }
 
@@ -184,10 +195,12 @@ class PlanPropertiesSpec extends AnyFunSuite {
 
   test("q_ivfpq_batch_topk: union-of-probes partition filter, one pruned code scan") {
     val p = plan("q_ivfpq_batch_topk")
-    assert(p.contains("PartitionFilters") && p.contains("cell"),
-      s"batch IVF-PQ must prune to the union of probed cells:\n$p")
-    assert(countOf(p, "Scan parquet") == 2,
-      s"one pruned code scan + the query side — not a scan per query:\n$p")
+    assert(countOf(p, "PartitionFilters: [cell") == 1,
+      s"exactly ONE pruned code scan serves the whole batch:\n$p")
+    // in-plan probe pairs (round 9): 1 pruned code scan + probe
+    // formation (centroid sidecar + query side) + the DPP-subquery dump
+    // of the same pair + the LUT-side query scan = 6, constant in Q
+    assert(countOf(p, "Scan parquet") == 6, s"unexpected scan count:\n$p")
     assert(p.contains("WindowGroupLimit"), s"per-query rank <= k must group-limit:\n$p")
   }
 

@@ -277,6 +277,29 @@ class PqSpec extends AnyFunSuite {
       "full-shortlist batch rerank must reproduce exact batch kNN")
   }
 
+  test("batch rerank at 2k queries: no per-id literals, plan O(1) in batch size") {
+    // the de-bombed two-stage serving path: shortlist candidates meet
+    // the raw vectors via a broadcast join, never a collect + isin —
+    // at 2,000 queries the old form would embed Q·R id literals
+    val base = java.nio.file.Files.createTempDirectory("pq_rrb2k").toString
+    val cents = graft.operators.Ivf.centroids(emb, 8)
+    Pq.ensureEncodedPartitioned(emb, cents, books, M, SubDim, s"$base/ivfpq")
+    val baseQ = emb.select(col("vec_id"), perturbQuery(col("embedding")).as("query_vec"))
+    val qs = (0 until 20).map { i =>
+      baseQ.select((col("vec_id") + lit(100L * i)).as("query_id"), col("query_vec"))
+    }.reduce(_ unionByName _) // 2,000 queries
+    val df = Pq.ivfpqTopKRerankBatch(spark, s"$base/ivfpq", emb, qs,
+      k = 10, nprobe = 4, shortlist = 20)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("In(vec_id"),
+      s"shortlist ids must meet the raw vectors via a join, not literals:\n$plan")
+    assert(plan.length < 100000,
+      s"plan must not grow with batch x shortlist: ${plan.length} chars")
+    val perQuery = df.groupBy("query_id").count().collect()
+    assert(perQuery.length === 2000, "every query must be answered")
+    assert(perQuery.forall(_.getLong(1) <= 10))
+  }
+
   test("PQ over normalized vectors serves cosine (lossless ADC == exact cosine ranking)") {
     // the cosine→L2 reduction composes with PQ unchanged: quantize the
     // UNIT directions and ADC ranks by cosine. With one centroid per
