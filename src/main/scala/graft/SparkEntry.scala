@@ -991,8 +991,15 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "q_quality" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
     // per-source quality gate: thresholds = exact interpolated p75 per
-    // source (broadcast, S rows), corpus passes ONE narrow filter
+    // source (broadcast, S rows), corpus passes ONE narrow filter.
+    // The threshold pass sorts the whole scored corpus (parallelism =
+    // #sources): exact form = oracle anchor; approx twin = 100-TB path.
     "q_quality_gate" -> ((s, dir) => TextAnalysis.qualityGate(Tables.documents(s, dir), 0.75)),
+    // Sketch-threshold gate (GK approx_percentile per source, one hash
+    // agg, no corpus sort): no oracle (sketch isn't engine-portable);
+    // kept-set bound vs the exact gate asserted in TextDedupSpec.
+    "q_quality_gate_approx" -> ((s, dir) =>
+      TextAnalysis.qualityGateApprox(Tables.documents(s, dir), 0.75)),
     "q_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
     "q_doc_stats" -> ((s, dir) => TextAnalysis.docStats(Tables.documents(s, dir))),
     "q_token_counting" -> ((s, dir) => TextAnalysis.tokenCounting(Tables.documents(s, dir))),

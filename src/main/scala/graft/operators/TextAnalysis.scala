@@ -82,10 +82,17 @@ object TextAnalysis {
     * same spill-safe machinery and `p·(n-1)` position arithmetic as
     * [[Relational.priceQuantiles]] — bit-compatible with DuckDB
     * `quantile_cont`) are broadcast (S rows) and the corpus passes
-    * through one narrow filter. At 100 TB the threshold pass is the
-    * only sort and its output is tiny; swap in `approx_percentile`
-    * thresholds when that sort dominates — the gate filter is
-    * unchanged.
+    * through one narrow filter.
+    *
+    * SCALE HONESTY: the threshold pass SORTS THE WHOLE SCORED CORPUS —
+    * `row_number` over `partitionBy(source)` shuffles every (doc_id,
+    * source, quality) row and its parallelism is the number of
+    * sources. The projection is narrow and the sort spills, so it
+    * completes, but with billions of rows per source it is a
+    * wall-clock bottleneck. This exact form is the small-scale oracle
+    * anchor; [[qualityGateApprox]] is the 100-TB path (fixed-size GK
+    * sketch per source, one hash aggregation, no sort) — the gate
+    * filter itself is identical.
     *
     * Output: doc_id, source, quality (rounded, as in [[qualityScore]]).
     */
@@ -107,6 +114,28 @@ object TextAnalysis {
         val frac = pos(col("n")) - floor(pos(col("n"))).cast("double")
         round(col("lo") + frac * (col("hi") - col("lo")), 6).as("thr")
       })
+    scored.join(broadcast(thresholds), Seq("source"))
+      .filter(col("quality") >= col("thr"))
+      .select("doc_id", "source", "quality")
+  }
+
+  /** Scale path for [[qualityGate]]: per-source thresholds via
+    * `approx_percentile` (Greenwald-Khanna sketch, fixed-size state,
+    * ONE hash aggregation — no corpus-wide sort, no per-source-sized
+    * reducer). Rank error ≤ n/accuracy per source; the threshold is an
+    * OBSERVED quality value (GK returns a sample, not an interpolation),
+    * so the kept set can differ from the exact gate by at most the
+    * documents between the interpolated and sketched thresholds —
+    * bounded in TextDedupSpec against [[qualityGate]]. No DuckDB oracle
+    * (sketch merge order isn't engine-portable), same precedent as
+    * [[Relational.priceQuantilesApprox]].
+    */
+  def qualityGateApprox(documents: DataFrame, p: Double = 0.75,
+                        accuracy: Int = 10000): DataFrame = {
+    val scored = documents.select(col("doc_id"), col("source"),
+      qualityCol(tokens(col("text")), col("n_chars")).as("quality"))
+    val thresholds = scored.groupBy("source")
+      .agg(expr(s"approx_percentile(quality, $p, $accuracy)").as("thr"))
     scored.join(broadcast(thresholds), Seq("source"))
       .filter(col("quality") >= col("thr"))
       .select("doc_id", "source", "quality")

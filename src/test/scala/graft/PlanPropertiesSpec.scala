@@ -126,12 +126,24 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q_quality_gate: corpus is never group-ranked — ONE window (threshold side), thresholds broadcast") {
+  test("q_quality_gate: ONE window (the corpus-sorting threshold pass), thresholds broadcast") {
+    // the exact gate's threshold pass window-sorts the whole scored
+    // corpus — that is its documented cost as the oracle anchor; the
+    // pin is that the GATE side adds no second rank pass
     val p = plan("q_quality_gate")
     assert(countOf(p, "Window") == 1,
       s"only the threshold computation may sort/rank; the gate itself must stay narrow:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"S-row thresholds must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_quality_gate_approx: NO sort anywhere — sketch thresholds, one hash agg, narrow filter") {
+    val p = plan("q_quality_gate_approx")
+    assert(!p.contains("Window"), s"the approx gate must never rank the corpus:\n$p")
+    assert(!p.contains("Sort"), s"the approx gate must never sort the corpus:\n$p")
+    assert(p.contains("approx_percentile") || p.contains("ApproximatePercentile"),
+      s"thresholds must come from the GK sketch aggregate:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"S-row thresholds must broadcast:\n$p")
   }
 
   test("q_stratified_sample: constant rank cutoff compiles to map-side WindowGroupLimit") {

@@ -58,6 +58,41 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.size < 8, "the gate must actually drop low-quality docs")
   }
 
+  test("qualityGateApprox: sketch threshold is an observed value; kept set within one boundary doc of exact") {
+    // same fixture as the exact-gate test: 8 docs, 2 sources, 4 docs
+    // each with distinct quality scores. At accuracy=10000 the GK rank
+    // error is 0, so approx and exact may disagree ONLY on docs whose
+    // quality lies between the exact INTERPOLATED threshold and the
+    // sketch's OBSERVED threshold — at most one doc per source.
+    val d = (0L until 8L).map { i =>
+      val text = Seq.fill(i.toInt + 2)("tok").mkString(" ")
+      (i, text, "en", s"s${i % 2}", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val scored = d.select(col("doc_id"), col("source"),
+        TextAnalysis.qualityCol(tokens(col("text")), col("n_chars")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val exact = TextAnalysis.qualityGate(d, 0.75)
+      .collect().map(_.getLong(0)).toSet
+    val approx = TextAnalysis.qualityGateApprox(d, 0.75)
+      .collect().map(_.getLong(0)).toSet
+    // the sketch threshold must be an observed per-source quality value
+    // (GK returns a sample, never an interpolation) — every kept doc's
+    // quality >= some observed value of its own source
+    val bySource = scored.groupBy(_._2)
+    for ((src, rows) <- bySource) {
+      val qs = rows.map(_._3).sorted
+      val keptQ = rows.filter(r => approx.contains(r._1)).map(_._3)
+      assert(keptQ.nonEmpty, s"approx gate must keep at least the max-quality doc of $src")
+      assert(qs.contains(keptQ.min), s"approx threshold for $src must be an observed value")
+      // disagreement with exact is at most ONE boundary doc per source
+      val exactSrc = rows.filter(r => exact.contains(r._1)).map(_._1).toSet
+      val approxSrc = rows.filter(r => approx.contains(r._1)).map(_._1).toSet
+      val diff = (exactSrc diff approxSrc) union (approxSrc diff exactSrc)
+      assert(diff.size <= 1,
+        s"approx/exact kept sets for $src differ by more than a boundary doc: $diff")
+    }
+  }
+
   test("incrementalExact: corpus content dropped, within-batch first copy wins, fresh kept") {
     val corpus = docs.filter(col("doc_id") <= 2) // contains "the cat sat on the mat"
     val batch = Seq(
