@@ -565,6 +565,36 @@ object SparkEntry {
         FROM diffs
         ORDER BY cos_sim DESC, vec_id LIMIT $k"""
 
+  /** MIPS ANN (mirrors Ivf.ensurePartitionedMips +
+    * Ivf.mipsTopKPartitioned): the augmented-vector reduction in SQL —
+    * vectors append `sqrt(M² − ‖x‖²)`, the query appends 0, cells and
+    * probes use L2 on the augmented space, and the score is the raw
+    * inner product (the query's extra coordinate is 0, so the d+1-term
+    * dot equals the raw dot bit-for-bit — same fold as the engine's
+    * kernel, so the hash matches exactly).
+    */
+  private def duckMipsAnnTopK(c: Int, k: Int, nprobe: Int): String =
+    s"""WITH m AS (SELECT max(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS mn
+                   FROM embeddings),
+        a AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE))
+                  || [sqrt(greatest(m.mn * m.mn
+                       - list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]), 0.0))] AS v
+              FROM embeddings, m),
+        q0 AS (SELECT query_vec FROM $duckQueryVec),
+        q AS (SELECT query_vec || [0.0] AS qv FROM q0),
+        cent AS (SELECT vec_id AS cid, v AS cv FROM a WHERE vec_id < $c),
+        probed AS (SELECT cid FROM cent, q ORDER BY list_distance(cv, qv), cid LIMIT $nprobe),
+        assigned AS (SELECT a.vec_id, cid AS cell FROM a, cent c
+                     QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY list_distance(a.v, c.cv), cid) = 1)
+        SELECT a.vec_id, round(list_inner_product(a.v, q.qv), 6) AS ip
+        FROM a
+        JOIN assigned s ON a.vec_id = s.vec_id
+        JOIN q ON true
+        WHERE s.cell IN (SELECT cid FROM probed)
+        ORDER BY ip DESC, a.vec_id LIMIT $k"""
+
   /** BATCH cosine ANN (mirrors Ivf.cosineTopKPartitionedBatch): unit
     * directions index and serve, per-query probes, cosine recovered
     * from unit-sphere L2, one window ranks per query.
@@ -711,6 +741,12 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") === 0)
         .select(transform(col("embedding"), x => x.cast("double")).as("query_vec"))
       Knn.cosineTopK(emb.crossJoin(broadcast(q)), col("query_vec"), 10)
+    }),
+    // Exact max-inner-product top-k (the retrieval-model scoring norm):
+    // the brute-force anchor for the augmented-reduction index path.
+    "q_mips_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Knn.mipsTopK(emb.crossJoin(broadcast(queryVecOf(emb, 0))), col("query_vec"), 10)
     }),
     "q_level_assign" -> ((s, dir) => {
       Tables.embeddings(s, dir)
@@ -882,6 +918,18 @@ object SparkEntry {
       val pdir = ivfCellsDir(s, dir, "cos16")
       Ivf.ensurePartitionedCosine(emb, 16, pdir)
       Ivf.cosineTopKPartitioned(s, pdir, queryVecOf(emb, 0), 10, nprobe = 2)
+    }),
+
+    // MIPS through the partition-pruned index path: the augmented-vector
+    // reduction ([x, sqrt(M²−‖x‖²)] vs [q, 0]) turns max-inner-product
+    // into L2 NN, so the SAME cell-partitioned machinery serves it —
+    // layout holds augmented vectors, probe partition-prunes, score is
+    // the raw dot product (no back-conversion needed).
+    "q_mips_ann_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pdir = ivfCellsDir(s, dir, "mips16")
+      Ivf.ensurePartitionedMips(emb, 16, pdir)
+      Ivf.mipsTopKPartitioned(s, pdir, queryVecOf(emb, 0), 10, nprobe = 2)
     }),
 
     // BATCH cosine ANN over the same unit-direction layout: per-query
@@ -1401,6 +1449,11 @@ object SparkEntry {
     // cosine ANN: normalize-then-L2 over seed-direction cells
     "q_cosine_ann_topk" -> duckCosineAnnTopK(16, 10, 2),
     "q_cosine_batch_topk" -> duckCosineAnnTopKBatch(16, 10, 2, 8),
+    "q_mips_topk" ->
+      s"""SELECT vec_id, round(list_inner_product(embedding::DOUBLE[], q.query_vec), 6) AS ip
+          FROM embeddings, $duckQueryVec q
+          ORDER BY ip DESC, vec_id LIMIT 10""",
+    "q_mips_ann_topk" -> duckMipsAnnTopK(16, 10, 2),
     // identical semantics, partition-pruned physical plan
     "q_ivf_kmeans_partitioned_topk" -> duckKmeansTopK(8, 2, 10, 2),
     "q_skew_salted" ->

@@ -375,6 +375,76 @@ object Ivf {
       .limit(k)
   }
 
+  // ---- MIPS: max-inner-product search on the L2 machinery ----
+
+  /** Augmented copy of the vector table for MIPS serving (the
+    * Bachrach et al. 2014 reduction): append `sqrt(M² − ‖x‖²)` (M =
+    * corpus max L2 norm) as one extra coordinate. Queries augment with
+    * a 0, so `‖aug(x) − aug(q)‖² = M² + ‖q‖² − 2·x·q` — L2 NN on the
+    * augmented space IS max-inner-product on the raw space, and every
+    * L2 index path (IVF cells, HNSW shards, PQ codes) serves MIPS by
+    * indexing this table. Because the query's extra coordinate is 0,
+    * `dot(aug(x), aug(q)) == dot(x, q)` EXACTLY (adding a `+ extra·0.0`
+    * term is an IEEE no-op), so scores need no back-conversion and the
+    * DuckDB oracle composes from `list_inner_product` unchanged.
+    *
+    * The max-norm reduction to the driver is ONE scalar (a plan
+    * literal) — never data-proportional. The extra coordinate clamps at
+    * 0 (fp roundoff could drive `M² − ‖x‖²` epsilon-negative on the
+    * max-norm row itself).
+    */
+  def augmented(embeddings: DataFrame): DataFrame = {
+    val m = embeddings.agg(max(l2Norm(col("embedding")))).collect()(0).getDouble(0)
+    embeddings.select(col("vec_id"),
+      concat(
+        transform(col("embedding"), x => x.cast("double")),
+        array(sqrt(greatest(
+          lit(m * m) - dotProduct(col("embedding"), col("embedding")),
+          lit(0.0))))).as("embedding"))
+  }
+
+  /** Zero-augment a `(query_vec)` query frame: `[q, 0]` as doubles. */
+  def augmentedQuery(queries: DataFrame): DataFrame =
+    queries.withColumn("query_vec",
+      concat(transform(col("query_vec"), x => x.cast("double")), array(lit(0.0))))
+
+  /** Cell-partitioned MIPS serving layout: the augmented table
+    * partitioned by cells of its own seed centroids — probe geometry
+    * and partition pruning are [[ensurePartitioned]]'s, unchanged.
+    */
+  def ensurePartitionedMips(embeddings: DataFrame, c: Int, dir: String): Unit = {
+    val aug = augmented(embeddings)
+    ensurePartitionedWith(aug, centroids(aug, c), dir, tag = s"mips_c=$c")
+  }
+
+  /** MIPS top-k over an [[ensurePartitionedMips]] layout: the query
+    * zero-augments, the probe partition-prunes exactly like
+    * [[topKPartitioned]] (nearest augmented centroids by L2), and the
+    * score is the raw inner product (see [[augmented]]) — highest
+    * first, ties by vec_id ([[Knn.mipsTopK]] semantics on the pruned
+    * scale path).
+    */
+  def mipsTopKPartitioned(spark: org.apache.spark.sql.SparkSession, dir: String,
+                          queries: DataFrame, k: Int, nprobe: Int,
+                          roundTo: Int = 6): DataFrame = {
+    val stored = spark.read.parquet(dir)
+    val cents = spark.read.parquet(s"$dir/_centroids")
+    val qa = augmentedQuery(queries)
+    val probed = cents.crossJoin(broadcast(qa))
+      .select(col("centroid_id"),
+        l2Distance(col("centroid_vec"), col("query_vec")).as("qdist"))
+      .orderBy(col("qdist"), col("centroid_id"))
+      .limit(nprobe)
+      .collect().map(_.getLong(0))
+    stored
+      .filter(col("cell").isin(probed: _*)) // partition-pruned
+      .crossJoin(broadcast(qa))
+      .select(col("vec_id"),
+        round(dotProduct(col("embedding"), col("query_vec")), roundTo).as("ip"))
+      .orderBy(col("ip").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Top-k by L2 for one query vector, probing the `nprobe` cells whose
     * centroids are closest to the query. Approximate (a true neighbor
     * can live in an unprobed cell) but fully deterministic.

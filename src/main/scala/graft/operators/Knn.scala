@@ -67,6 +67,20 @@ object Knn {
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
 
+  /** Exact max-inner-product top-k (MIPS — the retrieval-model scoring
+    * norm: recommendation / dual-encoder scores are dot products, not
+    * distances). Highest inner product first, ties by id. Same
+    * TakeOrderedAndProject shape as [[topK]]; the indexed scale path is
+    * `Ivf.mipsTopKPartitioned` via the augmented-vector reduction.
+    */
+  def mipsTopK(embeddings: DataFrame, queryVec: Column, k: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               roundTo: Int = 6): DataFrame =
+    embeddings
+      .select(col(idCol), round(dotProduct(col(vecCol), queryVec), roundTo).as("ip"))
+      .orderBy(col("ip").desc, col(idCol))
+      .limit(k)
+
   /** EXACT kNN graph: for EVERY vector, its k nearest OTHER vectors
     * (ties → smaller neighbor id) — the all-pairs form behind semantic
     * dedup, graph clustering, and diversity sampling. O(N²) distance
