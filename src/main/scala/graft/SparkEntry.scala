@@ -772,6 +772,21 @@ object SparkEntry {
       val (nodes, edges) = Hnsw.ensureSaved(emb, p, idxDir(s, dir, "hash", p))
       Hnsw.searchWithIndex(nodes, edges, qs, 10, p)
     }),
+    // Deletion lifecycle made driver-visible: tombstoned ids (every
+    // 7th) are excluded from serving through the filtered-ANN
+    // eligibility machinery — deleted nodes stay navigable bridges but
+    // are never returned; no rebuild. No oracle (HNSW is approximate);
+    // IndexDeleteSpec pins serving ≡ rebuild-without-deleted plus the
+    // compaction path (affected shards only, untouched byte-identical).
+    "q_hnsw_tombstone_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+      val p = Hnsw.Params()
+      val (nodes, edges) = Hnsw.ensureSaved(emb, p, idxDir(s, dir, "hash", p))
+      val dels = emb.filter(pmod(col("vec_id"), lit(7)) === 0).select("vec_id")
+      Hnsw.searchWithIndexDeletes(nodes, edges, dels, qs, 10, p)
+    }),
     // ANN throughput harness: every vector perturbed into a query, k=10
     // (the reference's q/s benchmark shape, hnsw.cc measured in
     // BASELINE.md). No oracle — approximate result set. SERVED from the

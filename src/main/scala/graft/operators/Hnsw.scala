@@ -393,10 +393,17 @@ object Hnsw {
     * rebuilding.
     */
   def save(embeddings: DataFrame, p: Params, dir: String): Unit = {
+    // Both tables are stored PARTITIONED BY shard (`part=<k>/…`): every
+    // maintenance op that touches a subset of shards — insertInto's
+    // affected-shard load, compactGeneration's rebuild — becomes a
+    // partition-pruned read, and compaction can byte-copy untouched
+    // shards' files instead of rewriting the whole index.
     embeddings
-      .select(col("vec_id"), col("embedding"), levelColumn(p).as("level"))
-      .write.mode("overwrite").parquet(s"$dir/nodes")
-    buildEdges(embeddings, p).write.mode("overwrite").parquet(s"$dir/edges")
+      .select(col("vec_id"), col("embedding"), levelColumn(p).as("level"),
+        pmod(col("vec_id"), lit(p.numPartitions)).cast("int").as("part"))
+      .write.mode("overwrite").partitionBy("part").parquet(s"$dir/nodes")
+    buildEdges(embeddings, p)
+      .write.mode("overwrite").partitionBy("part").parquet(s"$dir/edges")
   }
 
   /** Search a PERSISTED index: shard graphs are reconstructed from the
@@ -663,7 +670,7 @@ object Hnsw {
     if (!indexValid(spark, dir, fp)) {
       val (nodes0, edges0) = ensureSaved(base, p, baseDir)
       val (nodes1, edges1) = insertInto(nodes0, edges0, fresh, p)
-      saveIndex(nodes1, edges1, dir)
+      saveIndex(nodes1, edges1, dir, p)
       writeFp(spark, dir, fp)
     }
     (spark.read.parquet(s"$dir/nodes"), spark.read.parquet(s"$dir/edges"))
@@ -674,11 +681,12 @@ object Hnsw {
     * proving the incremental path roundtrips through the same files a
     * fresh [[save]] writes.
     */
-  def saveIndex(nodes: DataFrame, edges: DataFrame, dir: String): Unit = {
-    nodes.select(col("vec_id"), col("embedding"), col("level"))
-      .write.mode("overwrite").parquet(s"$dir/nodes")
+  def saveIndex(nodes: DataFrame, edges: DataFrame, dir: String, p: Params): Unit = {
+    nodes.select(col("vec_id"), col("embedding"), col("level"),
+        pmod(col("vec_id"), lit(p.numPartitions)).cast("int").as("part"))
+      .write.mode("overwrite").partitionBy("part").parquet(s"$dir/nodes")
     edges.select(col("part"), col("src"), col("dst"), col("layer"))
-      .write.mode("overwrite").parquet(s"$dir/edges")
+      .write.mode("overwrite").partitionBy("part").parquet(s"$dir/edges")
   }
 
   // ------------------------------------------------------------------
@@ -730,7 +738,7 @@ object Hnsw {
         writeLatest(spark, dir, 0)
       case Some((g, nodes, edges)) =>
         val (n1, e1) = insertInto(nodes, edges, fresh, p)
-        saveIndex(n1, e1, s"$dir/gen=${g + 1}")
+        saveIndex(n1, e1, s"$dir/gen=${g + 1}", p)
         writeLatest(spark, dir, g + 1)
     }
   }
@@ -741,6 +749,132 @@ object Hnsw {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(path, true)
     try out.write(gen.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  // ------------------------------------------------------------------
+  // Deletion lifecycle (tombstones + compaction)
+  // ------------------------------------------------------------------
+  // The reference is insert-only (hnsw.cc:147-215 has no erase); this
+  // is the production lifecycle it lacks: dataset takedowns and
+  // contaminated-shard purges as (1) an O(batch) tombstone append,
+  // (2) immediate serve-time exclusion through the filtered-ANN
+  // eligibility machinery, (3) a compaction that rewrites ONLY the
+  // affected shards and byte-copies the rest.
+
+  private def deletesPath(dir: String) = s"$dir/_deletes"
+
+  /** Record tombstones: append `ids(vec_id)` to the `_deletes` sidecar
+    * under the index root — O(batch) I/O, no graph rewrite, repeatable
+    * (batches accumulate). Serving applies them immediately
+    * ([[searchWithIndexDeletes]]); [[compactGeneration]] folds them
+    * into the files and clears the sidecar.
+    */
+  def recordDeletes(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    ids: DataFrame): Unit =
+    ids.select(col("vec_id")).write.mode("append").parquet(deletesPath(dir))
+
+  /** Current tombstones (distinct), or None if none recorded. */
+  def deletedIds(spark: org.apache.spark.sql.SparkSession, dir: String): Option[DataFrame] = {
+    val path = new org.apache.hadoop.fs.Path(deletesPath(dir))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) Some(spark.read.parquet(deletesPath(dir)).distinct()) else None
+  }
+
+  /** [[searchWithIndex]] under tombstones: deleted nodes load
+    * INELIGIBLE — still traversed (they stay navigable bridges, exactly
+    * the filtered-ANN shape of `LocalGraph.elig`) but never returned.
+    * `deletes` is the tombstone set — always small relative to the
+    * corpus (it is folded away by compaction), so it broadcasts.
+    */
+  def searchWithIndexDeletes(nodes: DataFrame, edges: DataFrame, deletes: DataFrame,
+                             queries: DataFrame, k: Int, p: Params): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val marked = nodes.select("vec_id", "embedding")
+      .join(broadcast(deletes.select(col("vec_id")).distinct()
+        .withColumn("__tomb", lit(true))), Seq("vec_id"), "left")
+    val recs = marked.select(
+        pmod(col("vec_id"), lit(p.numPartitions)).cast("int").as("part"),
+        lit(true).as("is_node"), col("vec_id"),
+        when(col("__tomb").isNull, 1L).otherwise(0L).as("b"),
+        levelColumn(p).as("level"), col("embedding"))
+      .as[ShardRec]
+      .union(edgeRecs(edges))
+    searchCogrouped(recs, replicateAll(queries, p.numPartitions), k, p,
+      rebuild = false, filtered = true)
+  }
+
+  /** Serve the latest generation under the root's tombstones: the
+    * read path a serving tier runs between a takedown and the next
+    * compaction. Falls back to the plain path when nothing is deleted.
+    */
+  def searchLatestGeneration(spark: org.apache.spark.sql.SparkSession, dir: String,
+                             queries: DataFrame, k: Int, p: Params): DataFrame = {
+    val (_, nodes, edges) = latestGeneration(spark, dir)
+      .getOrElse(throw new IllegalStateException(s"no generation under $dir"))
+    deletedIds(spark, dir) match {
+      case Some(dels) => searchWithIndexDeletes(nodes, edges, dels, queries, k, p)
+      case None       => searchWithIndex(nodes, edges, queries, k, p)
+    }
+  }
+
+  /** Fold the tombstones into the files: write generation N+1 in which
+    * ONLY the shards holding deleted rows are rebuilt (a deletion
+    * invalidates its shard's adjacency, so those shards re-insert their
+    * remaining rows from scratch — same determinism as a fresh build),
+    * every untouched shard's node and edge partitions are BYTE-COPIED
+    * verbatim, the `_deletes` sidecar is cleared, and the `_graft_latest`
+    * marker flips. Compaction I/O is proportional to the AFFECTED data
+    * (deleted ids hash to ≤ P shards), never to the index size — the
+    * property that makes takedowns affordable at 100 TB.
+    */
+  def compactGeneration(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        p: Params): Unit = {
+    val (g, nodes, _) = latestGeneration(spark, dir)
+      .getOrElse(throw new IllegalStateException(s"no generation under $dir"))
+    val dels = deletedIds(spark, dir).getOrElse(return)
+    // affected shard ids: ≤ P ints to the driver (partition-filter
+    // formation) — only ids actually present in the index count
+    val affected = dels.join(nodes.select("vec_id"), Seq("vec_id"), "left_semi")
+      .select(pmod(col("vec_id"), lit(p.numPartitions)).cast("int").as("part"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val srcBase = s"$dir/gen=$g"
+    val dstBase = s"$dir/gen=${g + 1}"
+    // rebuild ONLY the affected shards (partition-pruned node read)
+    val kept = nodes.filter(col("part").isin(affected: _*))
+      .join(broadcast(dels.select("vec_id")), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("embedding"), col("level"), col("part").cast("int").as("part"))
+    kept.write.mode("overwrite").partitionBy("part").parquet(s"$dstBase/nodes")
+    buildEdgesBy(kept, p)
+      .write.mode("overwrite").partitionBy("part").parquet(s"$dstBase/edges")
+    // byte-copy every untouched shard's files verbatim
+    copyUntouchedParts(spark, s"$srcBase/nodes", s"$dstBase/nodes", affected.toSet)
+    copyUntouchedParts(spark, s"$srcBase/edges", s"$dstBase/edges", affected.toSet)
+    val delPath = new org.apache.hadoop.fs.Path(deletesPath(dir))
+    delPath.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(delPath, true)
+    writeLatest(spark, dir, g + 1)
+  }
+
+  /** Copy `part=<k>` subtrees of `src` into `dst` for every k NOT in
+    * `affected` — a filesystem copy, no deserialization: untouched
+    * shards land in the new generation byte-identical.
+    */
+  private def copyUntouchedParts(spark: org.apache.spark.sql.SparkSession,
+                                 src: String, dst: String,
+                                 affected: Set[Int]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcPath = new org.apache.hadoop.fs.Path(src)
+    val fs = srcPath.getFileSystem(conf)
+    fs.listStatus(srcPath).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("part=")) {
+        val k = name.stripPrefix("part=").toInt
+        if (!affected.contains(k))
+          org.apache.hadoop.fs.FileUtil.copy(
+            fs, st.getPath, fs, new org.apache.hadoop.fs.Path(s"$dst/$name"),
+            false, false, conf)
+      }
+    }
   }
 
   /** Degree/size statistics per layer over a built edges table —

@@ -109,7 +109,7 @@ class HnswSpec extends AnyFunSuite {
     // (c) flushing the updated pair through save's on-disk layout and
     // reloading serves identical results (and identical edge sets)
     val dir2 = java.nio.file.Files.createTempDirectory("hnsw_incr2").toString
-    Hnsw.saveIndex(nodes1, edges1, dir2)
+    Hnsw.saveIndex(nodes1, edges1, dir2, p4)
     val rn = spark.read.parquet(s"$dir2/nodes")
     val re = spark.read.parquet(s"$dir2/edges")
     val fromDisk = Hnsw.searchWithIndex(rn, re, qs, 10, p4)
