@@ -15,6 +15,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // batch ANN serving holds one bounded heap per query per task;
+      // without this, ObjectHashAggregate falls back to sort-based
+      // aggregation past 128 distinct query ids and re-buys the sort
+      // the heap top-k exists to remove
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

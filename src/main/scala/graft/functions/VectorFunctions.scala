@@ -52,6 +52,15 @@ object VectorFunctions {
   def pqLut(v: Column, books: Seq[Seq[Seq[Double]]]): Column =
     column(PqLutExpr(expr(v), books))
 
+  /** Bounded-heap top-k aggregation ([[TopKPairsAgg]]): the k smallest
+    * `(key, id)` pairs per group as `array<struct<id, key>>`, ascending.
+    * The serving-path replacement for a `row_number` rank window — no
+    * sort of the candidate set, O(1) per rejected candidate, map-side
+    * partial aggregation.
+    */
+  def topKPairs(key: Column, id: Column, k: Int): Column =
+    column(TopKPairsAgg(expr(key), expr(id), k).toAggregateExpression())
+
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
 

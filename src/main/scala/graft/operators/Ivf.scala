@@ -239,7 +239,8 @@ object Ivf {
     * query probes its `nprobe` nearest cells; the scan is
     * partition-pruned to the UNION of all probed cells; each candidate
     * row is scored only against the queries that probed ITS cell
-    * (broadcast probe-pair join); one window ranks per query. The whole
+    * (broadcast probe-pair join); the bounded-heap aggregate
+    * ([[heapTopKPerQuery]]) ranks per query without sorting. The whole
     * batch costs ONE pruned scan — the amortized serving shape for
     * production query streams (vs one scan per query in
     * [[topKPartitioned]]).
@@ -248,15 +249,102 @@ object Ivf {
                            queries: DataFrame, k: Int, nprobe: Int,
                            roundTo: Int = 6, predicate: Option[Column] = None): DataFrame = {
     val (probes, pruned) = batchPrunedCandidates(spark, dir, queries, nprobe)
-    val byQuery = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
-    predicate.fold(pruned)(pruned.filter)
+    val scored = predicate.fold(pruned)(pruned.filter)
       .join(probes, Seq("cell")) // candidate meets only the queries probing its cell
       .join(broadcast(queries), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(l2Distance(col("embedding"), col("query_vec")), roundTo).as("dist"))
-      .withColumn("rn", row_number().over(byQuery))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("vec_id"), col("dist"))
+    heapTopKPerQuery(scored, k, "dist")
+  }
+
+  /** Per-query top-k of `scored(query_id, vec_id, <scoreName>)` via the
+    * bounded-heap aggregate ([[graft.functions.TopKPairsAgg]]) —
+    * ascending by default, descending for similarity scores. This is
+    * the batch serving rank: the `row_number` window it replaces
+    * LOCAL-SORTS the full candidate-pair set before WindowGroupLimit
+    * can truncate (measured 85% of flat-IVF batch wall at 1M — 125M
+    * pairs sorted to keep 10/query); the heap keeps ≤k rows per
+    * (query, task) with an O(1) root comparison per rejected candidate
+    * and map-side partial aggregation, no sort anywhere. Identical
+    * output: the (rounded score, vec_id) order is total, so results
+    * and oracle hashes are unchanged. Descending scores negate on the
+    * way in and back out — IEEE negation is exact, bit-identical
+    * round-trip.
+    */
+  private[operators] def heapTopKPerQuery(scored: DataFrame, k: Int, scoreName: String,
+                                          asc: Boolean = true): DataFrame = {
+    val keyIn = if (asc) col(scoreName) else -col(scoreName)
+    scored
+      .groupBy("query_id")
+      .agg(topKPairs(keyIn, col("vec_id"), k).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("p"))
+      .select(col("query_id"), col("p.id").as("vec_id"),
+        (if (asc) col("p.key") else -col("p.key")).as(scoreName))
+  }
+
+  /** FUSED batch top-k — the serving-tier throughput kernel: one tight
+    * per-partition primitive loop scores each pruned candidate against
+    * the queries that probed its cell and feeds per-query bounded heaps
+    * ([[graft.functions.TopKHeap]]), so the 10⁸–10⁹ (candidate, query)
+    * pairs are never materialized as rows and never pass through the
+    * aggregate framework (measured: the per-pair row/eval overhead is
+    * ~3× the L2 arithmetic itself). The declarative twin
+    * ([[topKPartitionedBatch]]) is the oracle-anchored form; this
+    * kernel computes BIT-IDENTICAL distances (same double fold in the
+    * same order as `l2Distance`) and differs ONLY in ranking by the
+    * raw double instead of the 6-dp-rounded value — a divergence
+    * requiring two distinct raw distances that round equal at the
+    * top-k boundary (≈1e-9-relative event; IvfSpec pins equality on
+    * the fixtures). Probe formation, partition pruning, and the
+    * queries-broadcast are identical to the declarative path;
+    * `mapPartitions` is used exactly per the custom-operator ladder —
+    * the semantics (fused multi-query scan + bounded heaps) have no
+    * declarative expression.
+    */
+  def topKPartitionedBatchFused(spark: org.apache.spark.sql.SparkSession, dir: String,
+                                queries: DataFrame, k: Int, nprobe: Int,
+                                roundTo: Int = 6): DataFrame = {
+    import spark.implicits._
+    val probePairs = batchProbePairs(spark, dir, queries, nprobe)
+    val unionCells = probePairs.select("cell").distinct().collect().map(_.getLong(0))
+    // per-cell query lists: the same Q·nprobe payload the declarative
+    // path ships through its BroadcastExchange (a broadcast IS a
+    // driver collect in Spark), grouped for O(1) cell lookup
+    val qByCell: Map[Long, Array[(Long, Array[Double])]] =
+      probePairs.join(queries, Seq("query_id"))
+        .select(col("cell"), col("query_id"), col("query_vec"))
+        .as[(Long, Long, Array[Double])].collect()
+        .groupBy(_._1).map { case (c, arr) => c -> arr.map(t => (t._2, t._3)) }
+    val bc = spark.sparkContext.broadcast(qByCell)
+    val pruned = spark.read.parquet(dir)
+      .filter(col("cell").isin(unionCells.toIndexedSeq: _*)) // partition-pruned
+      .select(col("cell"), col("vec_id"), col("embedding"))
+    val perTask = pruned.as[(Long, Long, Array[Float])].mapPartitions { rows =>
+      val heaps = new java.util.HashMap[Long, graft.functions.TopKHeap]()
+      rows.foreach { case (cell, vid, emb) =>
+        val qs = bc.value.getOrElse(cell, null)
+        if (qs != null) {
+          var i = 0
+          while (i < qs.length) {
+            val (qid, qv) = qs(i)
+            // same fold as l2Distance: double accumulate in element order
+            var s = 0.0; var j = 0
+            while (j < emb.length) { val d = emb(j).toDouble - qv(j); s += d * d; j += 1 }
+            var h = heaps.get(qid)
+            if (h == null) { h = new graft.functions.TopKHeap(k); heaps.put(qid, h) }
+            h.offer(math.sqrt(s), vid)
+            i += 1
+          }
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.entrySet().iterator().asScala.flatMap { e =>
+        e.getValue.sorted.iterator.map { case (d, vid) => (e.getKey, vid, d) }
+      }
+    }.toDF("query_id", "vec_id", "dist")
+    // merge the ≤ tasks·k rows per query, then round for portability
+    heapTopKPerQuery(perTask, k, "dist")
+      .select(col("query_id"), col("vec_id"), round(col("dist"), roundTo).as("dist"))
   }
 
   /** Shared batch-probe machinery: per-query nprobe nearest cells →
@@ -309,16 +397,13 @@ object Ivf {
     val qn = queries.select(col("query_id"),
       transform(col("query_vec"), x => x / l2Norm(col("query_vec"))).as("query_vec"))
     val (probes, pruned) = batchPrunedCandidates(spark, dir, qn, nprobe)
-    val byQuery = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
-    pruned
+    val scored = pruned
       .join(probes, Seq("cell"))
       .join(broadcast(qn), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(lit(1.0) - l2DistanceSq(col("embedding"), col("query_vec")) / lit(2.0),
           roundTo).as("cos_sim"))
-      .withColumn("rn", row_number().over(byQuery))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("vec_id"), col("cos_sim"))
+    heapTopKPerQuery(scored, k, "cos_sim", asc = false)
   }
 
   /** Unit-normalized copy of the vector table (doubles): for unit

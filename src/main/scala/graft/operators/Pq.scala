@@ -320,7 +320,7 @@ object Pq {
     * `(query_id, query_vec)` in, per-query `(query_id, vec_id, dist)`
     * top-k out. The LUTs broadcast (Q·m·c doubles — the legitimately
     * small side), the code table is scanned ONCE for the whole batch,
-    * and ranking is one window per query — the amortized serving shape
+    * and ranking is the bounded-heap aggregate — the amortized serving shape
     * for production query streams (vs one scan per query in the
     * single-query path).
     */
@@ -329,14 +329,10 @@ object Pq {
     val books = collectBooks(spark.read.parquet(s"$dir/_codebooks"))
     val m = books.size
     val c = books(0).length
-    val byQuery = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
-    spark.read.parquet(dir)
+    val scored = spark.read.parquet(dir)
       .crossJoin(broadcast(withLuts(queries, books)))
       .select(col("query_id"), col("vec_id"), adcDistBatch(m, c, roundTo).as("dist"))
-      .withColumn("rn", row_number().over(byQuery))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("vec_id"), col("dist"))
+    Ivf.heapTopKPerQuery(scored, k, "dist")
   }
 
   /** BATCH IVF-PQ top-k over an [[ensureEncodedPartitioned]] layout:
@@ -344,7 +340,8 @@ object Pq {
     * partition-pruned to the UNION of all probed cells (files of cells
     * no query probed are never opened); each candidate row joins only
     * the queries that probed ITS cell (broadcast probe-pair join); ADC
-    * scores per (candidate, query); one window ranks per query. The
+    * scores per (candidate, query); the bounded-heap aggregate ranks
+    * per query without sorting the candidate set. The
     * whole batch costs ONE pruned scan — the form a 100 TB serving
     * tier runs for query streams.
     */
@@ -358,15 +355,11 @@ object Pq {
     // only driver traffic is the ≤C distinct probed-cell literals the
     // partition filter needs — bounded by cell count, not batch size
     val (probes, pruned) = Ivf.batchPrunedCandidates(spark, dir, queries, nprobe)
-    val byQuery = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
-    predicate.fold(pruned)(pruned.filter)
+    val scored = predicate.fold(pruned)(pruned.filter)
       .join(probes, Seq("cell")) // candidate meets only the queries probing its cell
       .join(broadcast(withLuts(queries, books)), Seq("query_id"))
       .select(col("query_id"), col("vec_id"), adcDistBatch(m, c, roundTo).as("dist"))
-      .withColumn("rn", row_number().over(byQuery))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("vec_id"), col("dist"))
+    Ivf.heapTopKPerQuery(scored, k, "dist")
   }
 
   /** BATCH two-stage serving: [[ivfpqTopKBatch]] picks a per-query
@@ -374,7 +367,8 @@ object Pq {
     * whole batch), then exact L2 re-ranks — the raw-vector table meets
     * the Q·R-row candidate relation through ONE broadcast hash join on
     * `vec_id` (the candidate side is tiny relative to the corpus at
-    * any scale), and one window rank per query emits the final top-k.
+    * any scale), and the bounded-heap aggregate emits the final
+    * per-query top-k without sorting.
     * Batch analog of [[ivfpqTopKRerank]]: PQ error affects WHICH
     * candidates survive, never the final (true-L2) ordering.
     *
@@ -393,16 +387,12 @@ object Pq {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     val cand = ivfpqTopKBatch(spark, dir, queries, shortlist, nprobe, roundTo)
       .select(col("query_id"), col("vec_id")) // ADC dist discarded: rerank is exact
-    val byQuery = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
-    embeddings.select(col("vec_id"), col("embedding"))
+    val scored = embeddings.select(col("vec_id"), col("embedding"))
       .join(broadcast(cand), Seq("vec_id"))
       .join(broadcast(queries), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(l2Distance(col("embedding"), col("query_vec")), roundTo).as("dist"))
-      .withColumn("rn", row_number().over(byQuery))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("vec_id"), col("dist"))
+    Ivf.heapTopKPerQuery(scored, k, "dist")
   }
 
   /** Quantized reconstruction `(vec_id, recon)` — concatenated codebook

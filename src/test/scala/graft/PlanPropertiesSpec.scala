@@ -93,7 +93,11 @@ class PlanPropertiesSpec extends AnyFunSuite {
     // again inside the DPP subquery + the scoring-side query scan = 6.
     // Constant in batch size — the point is NOT a scan per query.
     assert(countOf(p, "Scan parquet") == 6, s"unexpected scan count:\n$p")
-    assert(p.contains("WindowGroupLimit"), s"per-query rank <= k must group-limit:\n$p")
+    // candidate rank = bounded-heap aggregate (no sort of the pairs);
+    // the surviving WindowGroupLimit is the C-row probe formation only
+    assert(p.contains("ObjectHashAggregate"),
+      s"per-query top-k must be the heap aggregate, not a sort/rank:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"probe formation must group-limit:\n$p")
   }
 
   test("q_cluster_representatives: size count and rank share ONE cluster_id shuffle") {
@@ -163,7 +167,8 @@ class PlanPropertiesSpec extends AnyFunSuite {
 
   test("q_ivfpq_rerank_batch_topk: candidate JOIN on the raw vectors, no Q*R id literals") {
     val p = plan("q_ivfpq_rerank_batch_topk")
-    assert(p.contains("WindowGroupLimit"), s"per-query rank <= k must group-limit:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"the final exact rank must be the heap aggregate:\n$p")
     // the rerank's raw-vector read meets the shortlist through a
     // broadcast hash join — NEVER a collect + In(vec_id, ...) literal
     // list, whose plan would grow with batch x shortlist (the 100-TB
@@ -191,7 +196,11 @@ class PlanPropertiesSpec extends AnyFunSuite {
     // inside the DPP subquery + the scoring-side query scan = 6 — none
     // data-proportional, constant in batch size
     assert(countOf(p, "Scan parquet") == 6, s"unexpected scan count:\n$p")
-    assert(p.contains("WindowGroupLimit"), s"per-query rank <= k must group-limit:\n$p")
+    // candidate rank = bounded-heap aggregate; the WindowGroupLimit
+    // left in the plan is the C-row probe formation only
+    assert(p.contains("ObjectHashAggregate"),
+      s"per-query top-k must be the heap aggregate, not a sort/rank:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"probe formation must group-limit:\n$p")
   }
 
   test("q_pq_batch_topk: ONE code scan serves the whole batch, LUTs broadcast") {
@@ -202,7 +211,13 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"batch ADC must scan the code table exactly once for all queries:\n$p")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"the per-query LUT side must broadcast:\n$p")
-    assert(p.contains("WindowGroupLimit"), s"per-query rank <= k must group-limit:\n$p")
+    // round 9: the per-query rank is the bounded-heap aggregate — the
+    // full code-scan candidate set is never sorted (no window at all
+    // in this plan: there is no nprobe probe side here)
+    assert(p.contains("ObjectHashAggregate"),
+      s"per-query top-k must be the heap aggregate:\n$p")
+    assert(!p.contains("WindowGroupLimit"),
+      s"no rank window may remain in the batch ADC plan:\n$p")
   }
 
   test("q_ivfpq_batch_topk: union-of-probes partition filter, one pruned code scan") {
@@ -213,7 +228,11 @@ class PlanPropertiesSpec extends AnyFunSuite {
     // formation (centroid sidecar + query side) + the DPP-subquery dump
     // of the same pair + the LUT-side query scan = 6, constant in Q
     assert(countOf(p, "Scan parquet") == 6, s"unexpected scan count:\n$p")
-    assert(p.contains("WindowGroupLimit"), s"per-query rank <= k must group-limit:\n$p")
+    // candidate rank = bounded-heap aggregate; the WindowGroupLimit
+    // left in the plan is the C-row probe formation only
+    assert(p.contains("ObjectHashAggregate"),
+      s"per-query top-k must be the heap aggregate, not a sort/rank:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"probe formation must group-limit:\n$p")
   }
 
   test("q_knn_rewrite_topk: naive crossJoin plan is served by the partitioned IVF copy") {
