@@ -595,6 +595,37 @@ object SparkEntry {
         WHERE s.cell IN (SELECT cid FROM probed)
         ORDER BY ip DESC, a.vec_id LIMIT $k"""
 
+  /** BATCH MIPS ANN (mirrors Ivf.mipsTopKPartitionedBatch): augmented
+    * reduction in SQL, per-query probes on the augmented space, raw
+    * inner-product scores, one rank per query.
+    */
+  private def duckMipsAnnTopKBatch(c: Int, k: Int, nprobe: Int, qn: Int): String =
+    s"""WITH m AS (SELECT max(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS mn
+                   FROM embeddings),
+        a AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE))
+                  || [sqrt(greatest(m.mn * m.mn
+                       - list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]), 0.0))] AS v
+              FROM embeddings, m),
+        qb0 AS (SELECT query_id, query_vec FROM ${duckQueryBatch(qn)}),
+        qb AS (SELECT query_id, query_vec || [0.0] AS qv FROM qb0),
+        cent AS (SELECT vec_id AS cid, v AS cv FROM a WHERE vec_id < $c),
+        probed AS (SELECT query_id, cid FROM (
+                     SELECT q.query_id, cid, row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY list_distance(cv, q.qv), cid) AS rn
+                     FROM cent, qb q) WHERE rn <= $nprobe),
+        assigned AS (SELECT a.vec_id, cid AS cell FROM a, cent c
+                     QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY list_distance(a.v, c.cv), cid) = 1),
+        scored AS (SELECT q.query_id, a.vec_id,
+                     round(list_inner_product(a.v, q.qv), 6) AS ip
+                   FROM a
+                   JOIN assigned s ON a.vec_id = s.vec_id
+                   JOIN probed p ON p.cid = s.cell
+                   JOIN qb q ON q.query_id = p.query_id)
+        SELECT query_id, vec_id, ip FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, vec_id) <= $k"""
+
   /** BATCH cosine ANN (mirrors Ivf.cosineTopKPartitionedBatch): unit
     * directions index and serve, per-query probes, cosine recovered
     * from unit-sphere L2, one window ranks per query.
@@ -945,6 +976,16 @@ object SparkEntry {
       val pdir = ivfCellsDir(s, dir, "mips16")
       Ivf.ensurePartitionedMips(emb, 16, pdir)
       Ivf.mipsTopKPartitioned(s, pdir, queryVecOf(emb, 0), 10, nprobe = 2)
+    }),
+    // BATCH MIPS over the same augmented layout: per-query probes, one
+    // pruned scan for the whole batch, raw-dot scores heap-ranked.
+    "q_mips_batch_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pdir = ivfCellsDir(s, dir, "mips16")
+      Ivf.ensurePartitionedMips(emb, 16, pdir)
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+      Ivf.mipsTopKPartitionedBatch(s, pdir, qs, 10, nprobe = 2)
     }),
 
     // BATCH cosine ANN over the same unit-direction layout: per-query
@@ -1469,6 +1510,7 @@ object SparkEntry {
           FROM embeddings, $duckQueryVec q
           ORDER BY ip DESC, vec_id LIMIT 10""",
     "q_mips_ann_topk" -> duckMipsAnnTopK(16, 10, 2),
+    "q_mips_batch_topk" -> duckMipsAnnTopKBatch(16, 10, 2, 8),
     // identical semantics, partition-pruned physical plan
     "q_ivf_kmeans_partitioned_topk" -> duckKmeansTopK(8, 2, 10, 2),
     "q_skew_salted" ->

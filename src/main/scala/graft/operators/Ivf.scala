@@ -530,6 +530,27 @@ object Ivf {
       .limit(k)
   }
 
+  /** BATCH MIPS top-k over an [[ensurePartitionedMips]] layout: queries
+    * zero-augment (keeping their ids), the probe machinery is
+    * [[topKPartitionedBatch]]'s (one pruned scan for the whole batch),
+    * and the score is the raw inner product ranked highest-first per
+    * query through the bounded-heap aggregate.
+    */
+  def mipsTopKPartitionedBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
+                               queries: DataFrame, k: Int, nprobe: Int,
+                               roundTo: Int = 6): DataFrame = {
+    val qa = queries.select(col("query_id"),
+      concat(transform(col("query_vec"), x => x.cast("double")), array(lit(0.0)))
+        .as("query_vec"))
+    val (probes, pruned) = batchPrunedCandidates(spark, dir, qa, nprobe)
+    val scored = pruned
+      .join(probes, Seq("cell"))
+      .join(broadcast(qa), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dotProduct(col("embedding"), col("query_vec")), roundTo).as("ip"))
+    heapTopKPerQuery(scored, k, "ip", asc = false)
+  }
+
   /** Top-k by L2 for one query vector, probing the `nprobe` cells whose
     * centroids are closest to the query. Approximate (a true neighbor
     * can live in an unprobed cell) but fully deterministic.

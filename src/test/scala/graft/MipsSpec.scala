@@ -67,6 +67,22 @@ class MipsSpec extends AnyFunSuite {
     assert(got === exact, "full-beam index MIPS must reproduce the exact ranking and scores")
   }
 
+  test("batch MIPS at full beam == exact per query; scores are true inner products") {
+    val dir = java.nio.file.Files.createTempDirectory("mips_batch").toString
+    Ivf.ensurePartitionedMips(emb, C, s"$dir/idx")
+    val qs = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+    val got = Ivf.mipsTopKPartitionedBatch(spark, s"$dir/idx", qs, k = 10, nprobe = C)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = (0L until 8L).flatMap { qid =>
+      val q = emb.filter(col("vec_id") === qid)
+        .select(perturbQuery(col("embedding")).as("query_vec"))
+      Knn.mipsTopK(emb.crossJoin(broadcast(q)), col("query_vec"), 10)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }.toSet
+    assert(got === exact)
+  }
+
   test("partial probe returns a subset of candidates ranked identically to exact on overlap") {
     val dir = java.nio.file.Files.createTempDirectory("mips_part").toString
     Ivf.ensurePartitionedMips(emb, C, s"$dir/idx")
