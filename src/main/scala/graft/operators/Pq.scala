@@ -304,6 +304,26 @@ object Pq {
     round(sqrt(total.cast("double")), roundTo)
   }
 
+  /** [[adcDistBatch]] with plain DOUBLE term additions — the SERVING
+    * twin of the decimal-exact sum. The decimal widening exists for
+    * oracle portability, but it prices wide codes out of serving:
+    * decimal adds are ~50× a double add, and at m=25 the ADC stage
+    * drops to ~2 q/s at 1M (SCALE_SMOKE.md). The double chain sums the
+    * same terms in the same fixed subspace order (deterministic — the
+    * fold order never depends on partitioning), so rankings can differ
+    * from the exact form only where two candidates' decimal sums are
+    * closer than double rounding error; PqSpec pins fixture equality.
+    * Used by the fast shortlist stage ([[ivfpqTopKBatch]] with
+    * `exactSums = false`) — in two-stage serving the ADC only SELECTS
+    * candidates and the final ranking is exact L2 either way.
+    */
+  private def adcDistBatchDouble(m: Int, c: Int, roundTo: Int): Column = {
+    val total = (0 until m).map { s =>
+      element_at(col("lut"), col("codes").getItem(s) + lit(s * c + 1))
+    }.reduce(_ + _)
+    round(sqrt(total), roundTo)
+  }
+
   /** Per-query LUT rows `(query_id, lut)` computed ON THE EXECUTORS —
     * the distributed form of the driver-side LUT in
     * [[adcTopKFromCodes]]: Q queries stay a DataFrame, each mapping to
@@ -347,7 +367,8 @@ object Pq {
     */
   def ivfpqTopKBatch(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
                      nprobe: Int, roundTo: Int = 6,
-                     predicate: Option[Column] = None): DataFrame = {
+                     predicate: Option[Column] = None,
+                     exactSums: Boolean = true): DataFrame = {
     val books = collectBooks(spark.read.parquet(s"$dir/_codebooks"))
     val m = books.size
     val c = books(0).length
@@ -355,10 +376,12 @@ object Pq {
     // only driver traffic is the ≤C distinct probed-cell literals the
     // partition filter needs — bounded by cell count, not batch size
     val (probes, pruned) = Ivf.batchPrunedCandidates(spark, dir, queries, nprobe)
+    val adc = if (exactSums) adcDistBatch(m, c, roundTo)
+              else adcDistBatchDouble(m, c, roundTo)
     val scored = predicate.fold(pruned)(pruned.filter)
       .join(probes, Seq("cell")) // candidate meets only the queries probing its cell
       .join(broadcast(withLuts(queries, books)), Seq("query_id"))
-      .select(col("query_id"), col("vec_id"), adcDistBatch(m, c, roundTo).as("dist"))
+      .select(col("query_id"), col("vec_id"), adc.as("dist"))
     Ivf.heapTopKPerQuery(scored, k, "dist")
   }
 
@@ -383,9 +406,14 @@ object Pq {
     */
   def ivfpqTopKRerankBatch(spark: SparkSession, dir: String, embeddings: DataFrame,
                            queries: DataFrame, k: Int, nprobe: Int, shortlist: Int,
-                           roundTo: Int = 6): DataFrame = {
+                           roundTo: Int = 6, exactSums: Boolean = true): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
-    val cand = ivfpqTopKBatch(spark, dir, queries, shortlist, nprobe, roundTo)
+    // exactSums=false: the fast double-sum ADC selects the shortlist —
+    // the final ranking below is exact L2 either way, so the knob
+    // trades oracle-grade shortlist selection for serving throughput
+    // (the wide-code operating points need it; SCALE_SMOKE.md)
+    val cand = ivfpqTopKBatch(spark, dir, queries, shortlist, nprobe, roundTo,
+        exactSums = exactSums)
       .select(col("query_id"), col("vec_id")) // ADC dist discarded: rerank is exact
     val scored = embeddings.select(col("vec_id"), col("embedding"))
       .join(broadcast(cand), Seq("vec_id"))

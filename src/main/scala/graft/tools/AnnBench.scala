@@ -44,6 +44,7 @@ object AnnBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (args.contains("scale")) { scaleSmoke(spark); spark.stop(); return }
+    if (args.contains("adc")) { adcFastSmoke(spark); spark.stop(); return }
     val emb = Tables.embeddings(spark, sfDir)
     val qs = emb.select(col("vec_id").as("query_id"),
       perturbQuery(col("embedding")).as("query_vec"))
@@ -71,6 +72,55 @@ object AnnBench {
     spark.stop()
   }
 
+  /** Deterministic hash vectors in [0,100) — the smoke's corpus. */
+  private def scaleVectors(spark: SparkSession, n: Int, dim: Int): DataFrame =
+    spark.range(n).select(col("id").as("vec_id"),
+      array((0 until dim).map(i =>
+        (pmod(hash(col("id"), lit(i)), lit(100000)) / lit(1000.0)).cast("float")): _*)
+        .as("embedding"))
+
+  /** Fast-ADC (double-sum shortlist) serve points against the code
+    * tables the `scale` smoke persisted — the serving twins of the
+    * decimal-exact sweep points. Run AFTER `AnnBench scale`.
+    */
+  private def adcFastSmoke(spark: SparkSession): Unit = {
+    val n = sys.env.get("SPARK_GRAFT_SCALE_N").flatMap(_.toIntOption).getOrElse(1000000)
+    val dim = sys.env.get("SPARK_GRAFT_SCALE_DIM").flatMap(_.toIntOption).getOrElse(25)
+    val emb = scaleVectors(spark, n, dim).cache()
+    emb.count()
+    val qs = emb.filter(col("vec_id") < 10000)
+      .select(col("vec_id").as("query_id"),
+        graft.functions.VectorFunctions.perturbQuery(col("embedding")).as("query_vec"))
+      .cache()
+    qs.count()
+    val sample = qs.filter(col("query_id") < 200)
+    val rerankBatch = qs.filter(col("query_id") < 2000)
+    val points = Seq((5, 16, 400), (25, 16, 200)).map { case (m, nprobe, shortlist) =>
+      val pqdir = s"target/graft_scale_idx/ivfpq_m${m}_n${n}_d$dim"
+      require(new java.io.File(pqdir).exists(), s"run `AnnBench scale` first: missing $pqdir")
+      Pq.ivfpqTopKRerankBatch(spark, pqdir, emb, sample.limit(32), 10,
+          nprobe = nprobe, shortlist = shortlist, exactSums = false)
+        .write.format("noop").mode("overwrite").save() // warm-up
+      val t = System.nanoTime()
+      Pq.ivfpqTopKRerankBatch(spark, pqdir, emb, rerankBatch, 10,
+          nprobe = nprobe, shortlist = shortlist, exactSums = false)
+        .write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t) / 1e9
+      val recall = Hnsw.recallOf(
+        Pq.ivfpqTopKRerankBatch(spark, pqdir, emb, sample, 10,
+          nprobe = nprobe, shortlist = shortlist, exactSums = false),
+        emb, sample, 10).agg(avg(col("recall"))).head().getDouble(0)
+      s"""{"m":$m,"nprobe":$nprobe,"shortlist":$shortlist,""" +
+        s""""rerank_recall_at_10":${fmt(recall, 4)},"rerank_batch":2000,""" +
+        s""""rerank_serve_sec":${fmt(sec, 2)},"queries_per_sec":${(2000 / sec).toInt}}"""
+    }
+    val json = s"""{"adc_fast":{"points":[${points.mkString(",")}]}}"""
+    println(json)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/adc_fast.json"), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[annbench] file write failed: ${e.getMessage}") }
+  }
+
   /** The 1M×25 build + served-search smoke (see object doc). Vectors
     * are a deterministic hash function of (id, dim-index) in [0, 100) —
     * the value range of the driver testdata — so runs are reproducible
@@ -81,11 +131,7 @@ object AnnBench {
     val dim = sys.env.get("SPARK_GRAFT_SCALE_DIM").flatMap(_.toIntOption).getOrElse(25)
     val nQueries = math.min(10000, n)
     val p = Hnsw.Params(numPartitions = 32)
-    val emb = spark.range(n).select(col("id").as("vec_id"),
-      array((0 until dim).map(i =>
-        (pmod(hash(col("id"), lit(i)), lit(100000)) / lit(1000.0)).cast("float")): _*)
-        .as("embedding"))
-      .cache()
+    val emb = scaleVectors(spark, n, dim).cache()
     emb.count() // materialize the cache before timing
     val cachedVecBytes = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
 

@@ -300,6 +300,32 @@ class PqSpec extends AnyFunSuite {
     assert(perQuery.forall(_.getLong(1) <= 10))
   }
 
+  test("fast double-sum ADC == decimal-exact ADC on the fixture; fast rerank == exact rerank") {
+    // the serving twin (exactSums = false) sums the same LUT terms in
+    // the same fixed subspace order in DOUBLE — rankings diverge only
+    // where decimal sums are closer than double rounding error, which
+    // the fixture (well-separated random vectors) cannot produce
+    val base = java.nio.file.Files.createTempDirectory("pq_fast").toString
+    val cents = graft.operators.Ivf.centroids(emb, 8)
+    Pq.ensureEncodedPartitioned(emb, cents, books, M, SubDim, s"$base/ivfpq")
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+    val exact = Pq.ivfpqTopKBatch(spark, s"$base/ivfpq", qs, 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fast = Pq.ivfpqTopKBatch(spark, s"$base/ivfpq", qs, 10, nprobe = 4,
+        exactSums = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast === exact, "double-sum ADC must select the same candidates on the fixture")
+    val exactRr = Pq.ivfpqTopKRerankBatch(spark, s"$base/ivfpq", emb, qs, 5,
+        nprobe = 4, shortlist = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fastRr = Pq.ivfpqTopKRerankBatch(spark, s"$base/ivfpq", emb, qs, 5,
+        nprobe = 4, shortlist = 20, exactSums = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fastRr === exactRr,
+      "final rerank scores are exact L2 regardless of which ADC picked the shortlist")
+  }
+
   test("PQ over normalized vectors serves cosine (lossless ADC == exact cosine ranking)") {
     // the cosine→L2 reduction composes with PQ unchanged: quantize the
     // UNIT directions and ADC ranks by cosine. With one centroid per
