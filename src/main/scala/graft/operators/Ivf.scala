@@ -347,6 +347,95 @@ object Ivf {
       .select(col("query_id"), col("vec_id"), round(col("dist"), roundTo).as("dist"))
   }
 
+  /** Shared fused-kernel engine for layouts storing DOUBLE vectors
+    * (the cosine unit-direction and MIPS augmented tables): one tight
+    * per-partition loop scores each pruned candidate against the
+    * queries probing its cell into per-query bounded heaps keeping the
+    * k SMALLEST `score` values (negate the score for largest-first
+    * rankings). Returns `(query_id, vec_id, key)` with the raw heap
+    * key — callers project the final score column. Same contract as
+    * [[topKPartitionedBatchFused]] (which owns the float raw-vector
+    * layout): identical probe/pruning, bit-identical fold arithmetic,
+    * ranking by the raw double rather than the rounded value.
+    */
+  private def fusedHeapBatchDouble(spark: org.apache.spark.sql.SparkSession, dir: String,
+                                   qPrepared: DataFrame, k: Int, nprobe: Int)
+                                  (score: (Array[Double], Array[Double]) => Double)
+      : DataFrame = {
+    import spark.implicits._
+    val probePairs = batchProbePairs(spark, dir, qPrepared, nprobe)
+    val unionCells = probePairs.select("cell").distinct().collect().map(_.getLong(0))
+    val qByCell: Map[Long, Array[(Long, Array[Double])]] =
+      probePairs.join(qPrepared, Seq("query_id"))
+        .select(col("cell"), col("query_id"), col("query_vec"))
+        .as[(Long, Long, Array[Double])].collect()
+        .groupBy(_._1).map { case (c, arr) => c -> arr.map(t => (t._2, t._3)) }
+    val bc = spark.sparkContext.broadcast(qByCell)
+    val perTask = spark.read.parquet(dir)
+      .filter(col("cell").isin(unionCells.toIndexedSeq: _*)) // partition-pruned
+      .select(col("cell"), col("vec_id"), col("embedding"))
+      .as[(Long, Long, Array[Double])].mapPartitions { rows =>
+        val heaps = new java.util.HashMap[Long, graft.functions.TopKHeap]()
+        rows.foreach { case (cell, vid, emb) =>
+          val qs = bc.value.getOrElse(cell, null)
+          if (qs != null) {
+            var i = 0
+            while (i < qs.length) {
+              val (qid, qv) = qs(i)
+              var h = heaps.get(qid)
+              if (h == null) { h = new graft.functions.TopKHeap(k); heaps.put(qid, h) }
+              h.offer(score(emb, qv), vid)
+              i += 1
+            }
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        heaps.entrySet().iterator().asScala.flatMap { e =>
+          e.getValue.sorted.iterator.map { case (d, vid) => (e.getKey, vid, d) }
+        }
+      }.toDF("query_id", "vec_id", "key")
+    heapTopKPerQuery(perTask, k, "key") // merge the ≤ tasks·k rows per query
+  }
+
+  /** FUSED batch cosine over an [[ensurePartitionedCosine]] layout —
+    * [[cosineTopKPartitionedBatch]]'s throughput kernel: the heap
+    * ranks by the raw unit-sphere squared L2 (ascending ≡ cosine
+    * descending), and the final projection converts `1 − ‖û−v̂‖²/2`
+    * with the same rounding as the declarative twin (same double fold,
+    * so emitted scores are bit-identical; TopKAggSpec pins equality).
+    */
+  def cosineTopKPartitionedBatchFused(spark: org.apache.spark.sql.SparkSession, dir: String,
+                                      queries: DataFrame, k: Int, nprobe: Int,
+                                      roundTo: Int = 6): DataFrame = {
+    val qn = queries.select(col("query_id"),
+      transform(col("query_vec"), x => x / l2Norm(col("query_vec"))).as("query_vec"))
+    fusedHeapBatchDouble(spark, dir, qn, k, nprobe) { (e, q) =>
+      var s = 0.0; var j = 0
+      while (j < e.length) { val d = e(j) - q(j); s += d * d; j += 1 }
+      s
+    }.select(col("query_id"), col("vec_id"),
+      round(lit(1.0) - col("key") / lit(2.0), roundTo).as("cos_sim"))
+  }
+
+  /** FUSED batch MIPS over an [[ensurePartitionedMips]] layout —
+    * [[mipsTopKPartitionedBatch]]'s throughput kernel: the heap ranks
+    * by the NEGATED raw inner product (k largest), and the final
+    * projection emits the rounded raw dot (IEEE negation is exact).
+    */
+  def mipsTopKPartitionedBatchFused(spark: org.apache.spark.sql.SparkSession, dir: String,
+                                    queries: DataFrame, k: Int, nprobe: Int,
+                                    roundTo: Int = 6): DataFrame = {
+    val qa = queries.select(col("query_id"),
+      concat(transform(col("query_vec"), x => x.cast("double")), array(lit(0.0)))
+        .as("query_vec"))
+    fusedHeapBatchDouble(spark, dir, qa, k, nprobe) { (e, q) =>
+      var s = 0.0; var j = 0
+      while (j < e.length) { s += e(j) * q(j); j += 1 }
+      -s
+    }.select(col("query_id"), col("vec_id"),
+      round(-col("key"), roundTo).as("ip"))
+  }
+
   /** Shared batch-probe machinery: per-query nprobe nearest cells →
     * `(probes, pruned)` where `probes` is the broadcast
     * `(query_id, cell)` probe-pair relation and `pruned` is the stored

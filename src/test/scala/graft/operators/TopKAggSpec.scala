@@ -75,4 +75,28 @@ class TopKAggSpec extends AnyFunSuite {
       assert(fused === decl, s"nprobe=$nprobe")
     }
   }
+
+  test("fused cosine and MIPS batch kernels == their declarative twins") {
+    val emb = (0L until 200L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(16)(rnd.nextFloat() * 100f))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_fused_cm").toString
+    Ivf.ensurePartitionedCosine(emb, 16, s"$dir/cos")
+    Ivf.ensurePartitionedMips(emb, 16, s"$dir/mips")
+    val qs = emb.filter(col("vec_id") < 40)
+      .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+    for (nprobe <- Seq(2, 16)) {
+      val cosD = Ivf.cosineTopKPartitionedBatch(spark, s"$dir/cos", qs, 10, nprobe)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val cosF = Ivf.cosineTopKPartitionedBatchFused(spark, s"$dir/cos", qs, 10, nprobe)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(cosF === cosD, s"cosine nprobe=$nprobe")
+      val mipsD = Ivf.mipsTopKPartitionedBatch(spark, s"$dir/mips", qs, 10, nprobe)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val mipsF = Ivf.mipsTopKPartitionedBatchFused(spark, s"$dir/mips", qs, 10, nprobe)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(mipsF === mipsD, s"mips nprobe=$nprobe")
+    }
+  }
 }
