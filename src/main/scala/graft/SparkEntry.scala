@@ -934,6 +934,18 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
       Ivf.topKPartitionedBatch(s, pdir, qs, 10, nprobe = 2)
     }),
+    // FUSED twin of q_ivf_batch_topk — the throughput kernel (one
+    // primitive loop scores + heaps per partition; 10k-query 1M smoke
+    // 97 s → 4.5 s): same probe, same pruning, bit-identical distance
+    // fold, so it shares the SAME DuckDB oracle as the declarative form.
+    "q_ivf_batch_fused_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pdir = ivfCellsDir(s, dir, "c16")
+      Ivf.ensurePartitioned(emb, 16, pdir)
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+      Ivf.topKPartitionedBatchFused(s, pdir, qs, 10, nprobe = 2)
+    }),
 
     // Index-aware planning, driver-visible: the query below is the
     // NAIVE exact-kNN DataFrame (crossJoin + distance + orderBy +
@@ -987,6 +999,16 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
       Ivf.mipsTopKPartitionedBatch(s, pdir, qs, 10, nprobe = 2)
     }),
+    // FUSED twin (shared fused engine over the augmented doubles):
+    // same oracle as q_mips_batch_topk.
+    "q_mips_batch_fused_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pdir = ivfCellsDir(s, dir, "mips16")
+      Ivf.ensurePartitionedMips(emb, 16, pdir)
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+      Ivf.mipsTopKPartitionedBatchFused(s, pdir, qs, 10, nprobe = 2)
+    }),
 
     // BATCH cosine ANN over the same unit-direction layout: per-query
     // probes, one pruned scan for the whole batch, cosine recovered
@@ -998,6 +1020,16 @@ object SparkEntry {
       val qs = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
       Ivf.cosineTopKPartitionedBatch(s, pdir, qs, 10, nprobe = 2)
+    }),
+    // FUSED twin (unit-sphere squared-L2 heap, cosine on emission):
+    // same oracle as q_cosine_batch_topk.
+    "q_cosine_batch_fused_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pdir = ivfCellsDir(s, dir, "cos16")
+      Ivf.ensurePartitionedCosine(emb, 16, pdir)
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+      Ivf.cosineTopKPartitionedBatchFused(s, pdir, qs, 10, nprobe = 2)
     }),
 
     // Filtered ANN — "nearest neighbors WHERE <predicate>" — over the
@@ -1494,6 +1526,9 @@ object SparkEntry {
     "q_ivfpq_rerank_topk" -> duckIvfPqRerankTopK(4, 16, 16, 1, 16, 10, 4, 30),
     // seed cells (iters=0), per-query nprobe=2 probes, 8-query batch
     "q_ivf_batch_topk" -> duckKmeansTopKBatch(16, 0, 10, 2, 8),
+    // the fused kernels compute bit-identical scores through the same
+    // probe geometry — they share their declarative twins' oracles
+    "q_ivf_batch_fused_topk" -> duckKmeansTopKBatch(16, 0, 10, 2, 8),
     "q_knn_graph" -> duckKnnGraph(5),
     "q_knn_graph_blocked" -> duckKnnGraphBlocked(16, 5, 2),
     "q_pq_batch_topk" -> duckPqTopKBatch(4, 16, 16, 1, 10, 8),
@@ -1505,12 +1540,14 @@ object SparkEntry {
     // cosine ANN: normalize-then-L2 over seed-direction cells
     "q_cosine_ann_topk" -> duckCosineAnnTopK(16, 10, 2),
     "q_cosine_batch_topk" -> duckCosineAnnTopKBatch(16, 10, 2, 8),
+    "q_cosine_batch_fused_topk" -> duckCosineAnnTopKBatch(16, 10, 2, 8),
     "q_mips_topk" ->
       s"""SELECT vec_id, round(list_inner_product(embedding::DOUBLE[], q.query_vec), 6) AS ip
           FROM embeddings, $duckQueryVec q
           ORDER BY ip DESC, vec_id LIMIT 10""",
     "q_mips_ann_topk" -> duckMipsAnnTopK(16, 10, 2),
     "q_mips_batch_topk" -> duckMipsAnnTopKBatch(16, 10, 2, 8),
+    "q_mips_batch_fused_topk" -> duckMipsAnnTopKBatch(16, 10, 2, 8),
     // identical semantics, partition-pruned physical plan
     "q_ivf_kmeans_partitioned_topk" -> duckKmeansTopK(8, 2, 10, 2),
     "q_skew_salted" ->

@@ -100,6 +100,26 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"probe formation must group-limit:\n$p")
   }
 
+  test("fused batch queries: pruned scan + heap merge — no joins, no windows, no sorts in-plan") {
+    // the fused kernels' probe formation runs EAGERLY (collect of the
+    // <=C cell ids + the Q*nprobe query payload a BroadcastExchange
+    // would ship anyway); the returned plan is exactly: partition-pruned
+    // scan -> mapPartitions (score + per-query heaps) -> heap-merge
+    // aggregate -> explode. Nothing pair-proportional survives.
+    for (name <- Seq("q_ivf_batch_fused_topk", "q_cosine_batch_fused_topk",
+                     "q_mips_batch_fused_topk")) {
+      val p = plan(name)
+      assert(p.contains("PartitionFilters: [cell"),
+        s"$name: fused kernel must still partition-prune:\n$p")
+      assert(p.contains("ObjectHashAggregate"),
+        s"$name: the per-query merge must be the heap aggregate:\n$p")
+      assert(!p.contains("Window"), s"$name: no rank window may appear:\n$p")
+      assert(!p.contains("Join"), s"$name: no pair-level join may appear:\n$p")
+      assert(countOf(p, "Scan parquet") == 1,
+        s"$name: exactly the pruned stored scan:\n$p")
+    }
+  }
+
   test("q_cluster_representatives: size count and rank share ONE cluster_id shuffle") {
     val p = plan("q_cluster_representatives")
     assert(countOf(p, "hashpartitioning(cluster_id") <= 1,
