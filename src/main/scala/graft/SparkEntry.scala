@@ -911,6 +911,21 @@ object SparkEntry {
       Ivf.ensurePartitioned(emb, 16, pdir)
       Ivf.topKPartitioned(s, pdir, queryVecOf(emb, 0), 10, nprobe = 2)
     }),
+    // Takedowns on the IVF serving tier: ids recorded in the layout's
+    // `_deletes` sidecar are excluded from results IMMEDIATELY (a
+    // broadcast anti-join above the pruned scan — never an isin literal
+    // list), with no layout rewrite; Ivf.compactPartitioned later folds
+    // them in rewriting only the affected cells (IvfDeleteSpec). The
+    // exclusion is deterministic, so unlike the HNSW tombstone twin
+    // this one is fully oracle-checked (… AND vec_id % 7 != 0).
+    // Dedicated dir: the shared c16 layout must stay tombstone-free.
+    "q_ivf_tombstone_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pdir = ivfCellsDir(s, dir, "c16del")
+      Ivf.ensurePartitioned(emb, 16, pdir)
+      Ivf.recordDeletes(s, pdir, emb.filter(pmod(col("vec_id"), lit(7)) === 0).select("vec_id"))
+      Ivf.topKPartitionedWithDeletes(s, pdir, queryVecOf(emb, 0), 10, nprobe = 2)
+    }),
     // Same scale shape for the K-MEANS-refined cells: the Lloyd
     // centroids become the partition layout (written once per dir),
     // so the refined probe is ALSO a partition-pruned scan with no
@@ -1361,6 +1376,9 @@ object SparkEntry {
     // identical semantics to q_ivf_topk — only the Spark-side physical
     // plan differs (partition-pruned scan vs in-place assignment)
     "q_ivf_partitioned_topk" -> duckIvfTopK,
+    // the same probe under tombstones: serve-time exclusion of the
+    // deterministic takedown set (vec_id % 7 == 0)
+    "q_ivf_tombstone_topk" -> duckKmeansTopK(16, 0, 10, 2, Some("e.vec_id % 7 != 0")),
 
     "q_lang_id" -> {
       val scores = TextAnalysis.stopwords.map { case (l, ws) =>

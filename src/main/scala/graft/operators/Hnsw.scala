@@ -761,8 +761,6 @@ object Hnsw {
   // eligibility machinery, (3) a compaction that rewrites ONLY the
   // affected shards and byte-copies the rest.
 
-  private def deletesPath(dir: String) = s"$dir/_deletes"
-
   /** Record tombstones: append `ids(vec_id)` to the `_deletes` sidecar
     * under the index root — O(batch) I/O, no graph rewrite, repeatable
     * (batches accumulate). Serving applies them immediately
@@ -771,14 +769,11 @@ object Hnsw {
     */
   def recordDeletes(spark: org.apache.spark.sql.SparkSession, dir: String,
                     ids: DataFrame): Unit =
-    ids.select(col("vec_id")).write.mode("append").parquet(deletesPath(dir))
+    Tombstones.record(spark, dir, ids)
 
   /** Current tombstones (distinct), or None if none recorded. */
-  def deletedIds(spark: org.apache.spark.sql.SparkSession, dir: String): Option[DataFrame] = {
-    val path = new org.apache.hadoop.fs.Path(deletesPath(dir))
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) Some(spark.read.parquet(deletesPath(dir)).distinct()) else None
-  }
+  def deletedIds(spark: org.apache.spark.sql.SparkSession, dir: String): Option[DataFrame] =
+    Tombstones.ids(spark, dir)
 
   /** [[searchWithIndex]] under tombstones: deleted nodes load
     * INELIGIBLE — still traversed (they stay navigable bridges, exactly
@@ -850,8 +845,7 @@ object Hnsw {
     // byte-copy every untouched shard's files verbatim
     copyUntouchedParts(spark, s"$srcBase/nodes", s"$dstBase/nodes", affected.toSet)
     copyUntouchedParts(spark, s"$srcBase/edges", s"$dstBase/edges", affected.toSet)
-    val delPath = new org.apache.hadoop.fs.Path(deletesPath(dir))
-    delPath.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(delPath, true)
+    Tombstones.clear(spark, dir)
     writeLatest(spark, dir, g + 1)
   }
 

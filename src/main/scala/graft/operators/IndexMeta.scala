@@ -109,6 +109,15 @@ private[graft] object IndexMeta {
     }
   }
 
+  /** Drop the recorded fingerprint: the layout no longer derives from
+    * its source (e.g. a compaction folded tombstones in), so the next
+    * `ensure*` against that source must rebuild rather than serve it.
+    */
+  def invalidate(spark: SparkSession, dir: String): Unit = {
+    val path = fpFile(dir)
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(path, false)
+  }
+
   /** An index is served only when `successRel` (a _SUCCESS marker
     * relative to `dir`) exists AND the recorded fingerprint matches.
     */

@@ -213,7 +213,8 @@ object Ivf {
     */
   def topKPartitioned(spark: org.apache.spark.sql.SparkSession, dir: String,
                       queries: DataFrame, k: Int, nprobe: Int,
-                      roundTo: Int = 6, predicate: Option[Column] = None): DataFrame = {
+                      roundTo: Int = 6, predicate: Option[Column] = None,
+                      excluded: Option[DataFrame] = None): DataFrame = {
     val stored = spark.read.parquet(dir)
     val cents = spark.read.parquet(s"$dir/_centroids")
     // collect() here moves exactly `nprobe` cell IDS (a handful of
@@ -226,12 +227,98 @@ object Ivf {
       .limit(nprobe)
       .collect().map(_.getLong(0))
     val pruned = stored.filter(col("cell").isin(probed: _*)) // partition-pruned
-    predicate.fold(pruned)(pruned.filter)
+    withoutExcluded(predicate.fold(pruned)(pruned.filter), excluded)
       .crossJoin(broadcast(queries))
       .select(col("vec_id"),
         round(l2Distance(col("embedding"), col("query_vec")), roundTo).as("dist"))
       .orderBy(col("dist"), col("vec_id"))
       .limit(k)
+  }
+
+  /** Drop `excluded(vec_id)` rows (index tombstones) from a candidate
+    * set via a broadcast anti-join — O(1) plan nodes regardless of how
+    * many ids are tombstoned (never an `isin` literal list), and the
+    * tombstone set is contractually small (bounded by takedown rate ×
+    * compaction cadence — [[Tombstones]]), so the broadcast is safe.
+    */
+  private def withoutExcluded(candidates: DataFrame, excluded: Option[DataFrame]): DataFrame =
+    excluded.fold(candidates) { dels =>
+      candidates.join(broadcast(dels.select(col("vec_id")).distinct()),
+        Seq("vec_id"), "left_anti")
+    }
+
+  /** [[topKPartitioned]] under the layout's `_deletes` tombstones — the
+    * serving path between a takedown and the next [[compactPartitioned]]
+    * (same contract as `Hnsw.searchLatestGeneration`): recorded ids are
+    * excluded from results immediately, with no layout rewrite. Falls
+    * back to the plain path when nothing is deleted.
+    */
+  def topKPartitionedWithDeletes(spark: org.apache.spark.sql.SparkSession, dir: String,
+                                 queries: DataFrame, k: Int, nprobe: Int,
+                                 roundTo: Int = 6): DataFrame =
+    topKPartitioned(spark, dir, queries, k, nprobe, roundTo,
+      excluded = Tombstones.ids(spark, dir))
+
+  /** [[topKPartitionedBatch]] under the layout's tombstones. */
+  def topKPartitionedBatchWithDeletes(spark: org.apache.spark.sql.SparkSession, dir: String,
+                                      queries: DataFrame, k: Int, nprobe: Int,
+                                      roundTo: Int = 6): DataFrame =
+    topKPartitionedBatch(spark, dir, queries, k, nprobe, roundTo,
+      excluded = Tombstones.ids(spark, dir))
+
+  /** Record takedown ids against a cell-partitioned layout (appends to
+    * the `_deletes` sidecar; see [[Tombstones]]).
+    */
+  def recordDeletes(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    ids: DataFrame): Unit =
+    Tombstones.record(spark, dir, ids)
+
+  /** Fold the tombstones into the cell-partitioned layout: ONLY the
+    * `cell=` subtrees that hold deleted rows are rewritten (staged to a
+    * scratch dir, then swapped in); every untouched cell's files are
+    * not touched at all — compaction I/O is proportional to the
+    * AFFECTED cells (≤ |tombstones| of them), never to the layout size.
+    * The `_deletes` sidecar is cleared and the layout's source
+    * fingerprint is invalidated: the compacted layout no longer derives
+    * from its source table, so a later `ensurePartitioned` against the
+    * UNCHANGED source rebuilds in full — and resurrects the deleted
+    * rows. That is deliberate: tombstones cover the serving gap between
+    * a takedown and the upstream source-of-record cleanup; the takedown
+    * pipeline must also delete from the source table.
+    */
+  def compactPartitioned(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val dels = Tombstones.ids(spark, dir).getOrElse(return)
+    val stored = spark.read.parquet(dir)
+    // affected cell ids: ≤ |tombstones| longs to the driver (needed to
+    // form the partition filter and the subtree swap list)
+    // cast: the partition column's read type is inferred (int for small
+    // cell ids), while centroid ids are long everywhere else
+    val affected = stored.join(broadcast(dels.select("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("cell").cast("long")).distinct().collect().map(_.getLong(0))
+    if (affected.nonEmpty) {
+      val tmp = s"$dir/_graft_compact_tmp"
+      // rebuild ONLY the affected cells' rows (partition-pruned read),
+      // staged under a scratch dir (Spark cannot overwrite its input)
+      spark.read.parquet(dir)
+        .filter(col("cell").isin(affected: _*))
+        .join(broadcast(dels.select("vec_id")), Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val base = new org.apache.hadoop.fs.Path(dir)
+      val fs = base.getFileSystem(conf)
+      affected.foreach { cell =>
+        val dst = new org.apache.hadoop.fs.Path(s"$dir/cell=$cell")
+        val src = new org.apache.hadoop.fs.Path(s"$tmp/cell=$cell")
+        fs.delete(dst, true)
+        // a cell whose every row was deleted has no staged subtree — it
+        // simply disappears from the layout (its centroid stays; a probe
+        // of it reads zero rows)
+        if (fs.exists(src)) fs.rename(src, dst)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    Tombstones.clear(spark, dir)
+    IndexMeta.invalidate(spark, dir)
   }
 
   /** BATCH top-k over the partitioned layout: `(query_id, query_vec)`
@@ -247,9 +334,10 @@ object Ivf {
     */
   def topKPartitionedBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
                            queries: DataFrame, k: Int, nprobe: Int,
-                           roundTo: Int = 6, predicate: Option[Column] = None): DataFrame = {
+                           roundTo: Int = 6, predicate: Option[Column] = None,
+                           excluded: Option[DataFrame] = None): DataFrame = {
     val (probes, pruned) = batchPrunedCandidates(spark, dir, queries, nprobe)
-    val scored = predicate.fold(pruned)(pruned.filter)
+    val scored = withoutExcluded(predicate.fold(pruned)(pruned.filter), excluded)
       .join(probes, Seq("cell")) // candidate meets only the queries probing its cell
       .join(broadcast(queries), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),

@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions._
+import graft.operators.{IndexMeta, Ivf}
+
+/** Deletion lifecycle for the cell-partitioned IVF serving layout —
+  * the non-graph twin of IndexDeleteSpec: tombstones exclude rows from
+  * serving immediately (single AND batch paths); compaction rewrites
+  * ONLY the cells holding deleted rows, leaves every other cell's
+  * files byte-identical, clears the sidecar, and invalidates the
+  * source fingerprint.
+  */
+class IvfDeleteSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val C = 8
+
+  private lazy val emb = (0L until 200L).map { i =>
+    val rnd = new scala.util.Random(i)
+    (i, Array.fill(8)(rnd.nextFloat() * 10f))
+  }.toDF("vec_id", "embedding").cache()
+
+  private val delIds = Seq(21L, 22L, 23L, 24L, 60L)
+
+  private lazy val queries = emb.filter(col("vec_id") < 5)
+    .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+
+  private lazy val oneQuery = queries.filter(col("query_id") === 0).drop("query_id")
+
+  private def single(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  private def batch(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  /** Files of every `cell=<v>` subtree, keyed by relative path, valued
+    * by content checksum — the byte-identity witness.
+    */
+  private def cellFiles(base: String, cells: Set[Long]): Map[String, Int] = {
+    def walk(p: Path): Seq[Path] =
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p); try { import scala.jdk.CollectionConverters._
+          s.iterator().asScala.toSeq.flatMap(walk) } finally s.close()
+      } else Seq(p)
+    cells.toSeq.flatMap { v =>
+      val d = Paths.get(s"$base/cell=$v")
+      walk(d).filter(f => !f.getFileName.toString.endsWith(".crc"))
+        .map(f => (s"cell=$v/${d.relativize(f)}",
+          java.util.Arrays.hashCode(Files.readAllBytes(f))))
+    }.toMap
+  }
+
+  private def layoutCells(dir: String): Set[Long] =
+    spark.read.parquet(dir).select(col("cell").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+
+  test("tombstoned ids vanish from single AND batch serving; results == layout rebuilt without them") {
+    val dir = Files.createTempDirectory("ivf_del_serve").toString
+    val cents = Ivf.centroids(emb, C)
+    Ivf.writePartitionedWith(emb, cents, dir)
+    Ivf.recordDeletes(spark, dir, delIds.toDF("vec_id"))
+
+    val got = single(Ivf.topKPartitionedWithDeletes(spark, dir, oneQuery, 10, nprobe = 3))
+    assert(got.forall(r => !delIds.contains(r._1)), "deleted ids must never be returned")
+
+    // vs the SAME centroids over the source minus the deleted rows —
+    // identical probe geometry, so serving under tombstones must match
+    val cleanDir = Files.createTempDirectory("ivf_del_clean").toString
+    Ivf.writePartitionedWith(emb.filter(!col("vec_id").isin(delIds: _*)), cents, cleanDir)
+    assert(got === single(Ivf.topKPartitioned(spark, cleanDir, oneQuery, 10, nprobe = 3)),
+      "tombstone serving must equal a layout built without the deleted rows")
+
+    assert(batch(Ivf.topKPartitionedBatchWithDeletes(spark, dir, queries, 10, nprobe = 3))
+      === batch(Ivf.topKPartitionedBatch(spark, cleanDir, queries, 10, nprobe = 3)),
+      "batch tombstone serving must equal the clean layout's batch results")
+  }
+
+  test("compaction rewrites only affected cells; untouched cells byte-identical; meta invalidated") {
+    val dir = Files.createTempDirectory("ivf_del_compact").toString
+    Ivf.ensurePartitionedWith(emb, Ivf.centroids(emb, C), dir, tag = "delspec")
+    assert(IndexMeta.read(spark, dir).nonEmpty, "ensure must record a fingerprint")
+    Ivf.recordDeletes(spark, dir, delIds.toDF("vec_id"))
+
+    val assigned = Ivf.assignWith(emb, Ivf.centroids(emb, C))
+    val affected = assigned.filter(col("vec_id").isin(delIds: _*))
+      .select("cell").distinct().collect().map(_.getLong(0)).toSet
+    val untouched = layoutCells(dir) -- affected
+    assert(affected.nonEmpty && untouched.nonEmpty, "the fixture must split the cells")
+    val before = cellFiles(dir, untouched)
+    assert(before.nonEmpty)
+
+    Ivf.compactPartitioned(spark, dir)
+
+    assert(cellFiles(dir, untouched) === before,
+      "untouched cells' files must not be rewritten")
+    assert(spark.read.parquet(dir).filter(col("vec_id").isin(delIds: _*)).count() === 0,
+      "compaction must fold the deletions into the files")
+    assert(graft.operators.Tombstones.ids(spark, dir).isEmpty,
+      "compaction must clear the tombstones")
+    assert(IndexMeta.read(spark, dir).isEmpty,
+      "compaction must invalidate the source fingerprint")
+
+    // post-compaction serving (no tombstones left) == pre-compaction
+    // serving under tombstones
+    val got = single(Ivf.topKPartitionedWithDeletes(spark, dir, oneQuery, 10, nprobe = 3))
+    val cleanDir = Files.createTempDirectory("ivf_del_compact_clean").toString
+    Ivf.writePartitionedWith(emb.filter(!col("vec_id").isin(delIds: _*)),
+      Ivf.centroids(emb, C), cleanDir)
+    assert(got === single(Ivf.topKPartitioned(spark, cleanDir, oneQuery, 10, nprobe = 3)))
+  }
+
+  test("a fully-deleted cell disappears from the layout; probing it reads zero rows, serving still works") {
+    val dir = Files.createTempDirectory("ivf_del_empty").toString
+    val cents = Ivf.centroids(emb, C)
+    Ivf.writePartitionedWith(emb, cents, dir)
+    // delete EVERY row of one populated cell
+    val victim = Ivf.assignWith(emb, cents)
+      .groupBy("cell").count().orderBy("count", "cell")
+      .select(col("cell")).first().getLong(0)
+    val victims = Ivf.assignWith(emb, cents).filter(col("cell") === victim).select("vec_id")
+    val nVictims = victims.count()
+    assert(nVictims > 0)
+    Ivf.recordDeletes(spark, dir, victims)
+    Ivf.compactPartitioned(spark, dir)
+    assert(!layoutCells(dir).contains(victim), "an emptied cell's subtree must be gone")
+    assert(spark.read.parquet(dir).count() === 200 - nVictims)
+    // probing every cell (nprobe = C) still serves — the emptied cell
+    // contributes nothing
+    val got = single(Ivf.topKPartitioned(spark, dir, oneQuery, 10, nprobe = C))
+    assert(got.size === 10)
+  }
+}

@@ -47,6 +47,16 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"probe must partition-prune, not scan all cells:\n$p")
   }
 
+  test("q_ivf_tombstone_topk: pruned scan + broadcast anti-join — tombstones never an In-literal list") {
+    val p = plan("q_ivf_tombstone_topk")
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      s"tombstone serving must still partition-prune:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"exclusion must be a broadcast anti-join:\n$p")
+    assert(!p.contains("vec_id#") || !"""In\(vec_id[^)]{200,}""".r.findFirstIn(p).isDefined,
+      s"tombstone ids must not be pushed as a growing literal list:\n$p")
+  }
+
   test("demoted IVF probes serve from the partitioned layout: partition filter, no assignment window") {
     // q_ivf_topk / q_ivf_kmeans_topk were demoted from in-place probing
     // (round 6): their plans must now be partition-pruned scans of the
