@@ -648,6 +648,33 @@ object Hnsw {
       rebuild = false, filtered = predicate.isDefined)
   }
 
+  /** [[searchRoutedWithIndex]] under the routed dir's `_deletes`
+    * tombstones ([[Tombstones]]): recorded ids load INELIGIBLE — still
+    * navigable bridges, never returned — so a takedown reaches routed
+    * serving (and, through [[graft.streaming.StreamingAnn]], every
+    * subsequent micro-batch) immediately, with no shard rewrite. Falls
+    * back to the plain path when nothing is recorded.
+    */
+  def searchRoutedWithIndexDeletes(spark: org.apache.spark.sql.SparkSession, dir: String,
+                                   queries: DataFrame, k: Int, p: Params,
+                                   nprobe: Int): DataFrame =
+    Tombstones.ids(spark, dir) match {
+      case None => searchRoutedWithIndex(spark, dir, queries, k, p, nprobe)
+      case Some(dels) =>
+        import spark.implicits._
+        val marked = spark.read.parquet(s"$dir/nodes")
+          .join(broadcast(dels.select(col("vec_id")).withColumn("__tomb", lit(true))),
+            Seq("vec_id"), "left")
+        val recs = marked.select(col("part"), lit(true).as("is_node"), col("vec_id"),
+            when(col("__tomb").isNull, 1L).otherwise(0L).as("b"),
+            col("level"), col("embedding"))
+          .as[ShardRec]
+          .union(edgeRecs(spark.read.parquet(s"$dir/edges")))
+        val cents = spark.read.parquet(s"$dir/centroids")
+        searchCogrouped(recs, routeQueries(queries, cents, nprobe), k, p,
+          rebuild = false, filtered = true)
+    }
+
   /** The full incremental-append serving cycle, amortized per dir: build
     * (or reuse) the base index over `base`, [[insertInto]] the `fresh`
     * batch, flush via [[saveIndex]], and serve from the flushed files —

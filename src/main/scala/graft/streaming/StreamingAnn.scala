@@ -23,13 +23,21 @@ object StreamingAnn {
   /** Start serving `queries` — a streaming DataFrame with
     * `(query_id, query_vec)` — from the index at `indexDir`, handing
     * each answered micro-batch `(query_id, vec_id, dist)` to `sink`.
+    *
+    * The `_deletes` tombstone sidecar is consulted PER MICRO-BATCH
+    * ([[Hnsw.searchRoutedWithIndexDeletes]]): a takedown recorded while
+    * the stream runs is excluded from every subsequent batch's results
+    * with no restart and no index rewrite — the serving-tier contract
+    * that makes takedowns immediate. With no sidecar the behavior (and
+    * plan) is the plain routed serve, byte-identical to batch serving
+    * (spec-pinned).
     */
   def serveQueries(queries: DataFrame, indexDir: String, k: Int, p: Hnsw.Params,
                    nprobe: Int)(sink: (DataFrame, Long) => Unit): StreamingQuery =
     queries.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        sink(Hnsw.searchRoutedWithIndex(batch.sparkSession, indexDir,
+        sink(Hnsw.searchRoutedWithIndexDeletes(batch.sparkSession, indexDir,
           batch.toDF(), k, p, nprobe), batchId)
       }
       .start()

@@ -115,6 +115,26 @@ class IvfDeleteSpec extends AnyFunSuite {
     assert(got === single(Ivf.topKPartitioned(spark, cleanDir, oneQuery, 10, nprobe = 3)))
   }
 
+  test("routed HNSW serving under tombstones == routed serving over the index built without them") {
+    val p = graft.operators.Hnsw.Params(efSearch = 256, numPartitions = 3)
+    val cents = Ivf.kmeans(emb, 8, 2)
+    val dir = Files.createTempDirectory("routed_del").toString
+    graft.operators.Hnsw.saveRouted(emb, cents, p, dir, replication = 2)
+    graft.operators.Hnsw.recordDeletes(spark, dir, delIds.toDF("vec_id"))
+    val got = batch(graft.operators.Hnsw.searchRoutedWithIndexDeletes(
+      spark, dir, queries, 10, p, nprobe = 8))
+    assert(got.nonEmpty && got.forall(r => !delIds.contains(r._2)))
+    // nprobe = all cells → exhaustive routed search: must equal the
+    // routed search over an index REBUILT without the deleted rows
+    val cleanDir = Files.createTempDirectory("routed_del_clean").toString
+    graft.operators.Hnsw.saveRouted(emb.filter(!col("vec_id").isin(delIds: _*)),
+      cents, p, cleanDir, replication = 2)
+    val rebuilt = batch(graft.operators.Hnsw.searchRoutedWithIndex(
+      spark, cleanDir, queries, 10, p, nprobe = 8))
+    assert(got === rebuilt,
+      "routed tombstone serving must equal a routed index built without the deleted rows")
+  }
+
   test("a fully-deleted cell disappears from the layout; probing it reads zero rows, serving still works") {
     val dir = Files.createTempDirectory("ivf_del_empty").toString
     val cents = Ivf.centroids(emb, C)

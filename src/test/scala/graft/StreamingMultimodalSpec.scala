@@ -115,6 +115,54 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       "streamed micro-batches must serve identical results to the batch path")
   }
 
+  test("streaming ANN: a takedown recorded MID-STREAM is excluded from every later micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = (0L until 200L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(8)(rnd.nextFloat() * 100f))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("stream_ann_del").toString
+    val p = Hnsw.Params(numPartitions = 3)
+    Hnsw.saveRouted(emb, Ivf.kmeans(emb, 8, 2), p, dir, replication = 2)
+
+    val queryRows = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("query_id"),
+        graft.functions.VectorFunctions.perturbQuery(col("embedding")).as("query_vec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val delIds = Seq(3L, 4L, 5L) // the later queries' own vectors — their usual top-1s
+
+    val mem = MemoryStream[(Long, Array[Double])]
+    val perBatch = scala.collection.mutable.Map.empty[Long, Set[(Long, Long, Double)]]
+    val q = StreamingAnn.serveQueries(
+        mem.toDF().toDF("query_id", "query_vec"), dir, 10, p, nprobe = 5) { (res, id) =>
+      perBatch.synchronized {
+        perBatch(id) = res.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      }
+    }
+    try {
+      mem.addData(queryRows.take(3).toSeq: _*) // before the takedown
+      q.processAllAvailable()
+      Hnsw.recordDeletes(spark, dir, delIds.toDF("vec_id"))
+      mem.addData(queryRows.drop(3).toSeq: _*) // after
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def batchQs(ids: Seq[Long]) = emb.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("query_id"),
+        graft.functions.VectorFunctions.perturbQuery(col("embedding")).as("query_vec"))
+    // batch 0 (pre-takedown) matches the PLAIN routed path
+    assert(perBatch(0L) === Hnsw.searchRoutedWithIndex(spark, dir, batchQs(Seq(0L, 1L, 2L)),
+        10, p, nprobe = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+    // batch 1 (post-takedown): no deleted id served, results match the
+    // deletes-aware routed path
+    assert(perBatch(1L).forall(r => !delIds.contains(r._2)),
+      "tombstoned ids must vanish from micro-batches after the takedown")
+    assert(perBatch(1L) === Hnsw.searchRoutedWithIndexDeletes(spark, dir,
+        batchQs(Seq(3L, 4L, 5L)), 10, p, nprobe = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+  }
+
   test("streaming index maintenance: micro-batch appends == batch incremental lifecycle") {
     implicit val sqlCtx = spark.sqlContext
     val p = Hnsw.Params(numPartitions = 3)
