@@ -419,7 +419,8 @@ object SparkEntry {
     * [[duckPqTopK]].
     */
   private def duckIvfPqTopK(m: Int, subDim: Int, c: Int, iters: Int,
-                            coarseC: Int, k: Int, nprobe: Int): String =
+                            coarseC: Int, k: Int, nprobe: Int,
+                            pred: Option[String] = None): String =
     s"""WITH ${duckPqCtes(m, subDim, c, iters)},
         q AS (SELECT query_vec FROM $duckQueryVec),
         coarse AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
@@ -433,7 +434,7 @@ object SparkEntry {
         SELECT e.vec_id, round(sqrt(CAST(sum(CAST(l.d2 AS DECIMAL(38,12))) AS DOUBLE)), 6) AS dist
         FROM encall e JOIN lutall l USING (subspace, code)
         JOIN assigned a ON e.vec_id = a.vec_id
-        WHERE a.cell IN (SELECT cid FROM probed)
+        WHERE a.cell IN (SELECT cid FROM probed)${pred.map(p => s" AND ($p)").getOrElse("")}
         GROUP BY e.vec_id
         ORDER BY dist, e.vec_id LIMIT $k"""
 
@@ -1090,6 +1091,19 @@ object SparkEntry {
         Pq.codebooksCached(emb, 4, 16, 16, 1, dir), 4, 16, pdir)
       Pq.ivfpqTopK(s, pdir, queryVecOf(emb, 0), 10, nprobe = 4)
     }),
+    // Takedowns on the COMPRESSED serving tier: tombstoned ids never
+    // enter ADC scoring (broadcast anti-join above the pruned code
+    // scan), so they reach no shortlist and no result — the same
+    // `_deletes` contract as q_ivf_tombstone_topk, on the code layout.
+    // Dedicated dir: the shared ivfpq layout stays tombstone-free.
+    "q_ivfpq_tombstone_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pdir = pqDir(s, dir, "ivfpq_del_c16_m4sd16c16i1")
+      Pq.ensureEncodedPartitioned(emb, Ivf.centroids(emb, 16),
+        Pq.codebooksCached(emb, 4, 16, 16, 1, dir), 4, 16, pdir)
+      Pq.recordDeletes(s, pdir, emb.filter(pmod(col("vec_id"), lit(7)) === 0).select("vec_id"))
+      Pq.ivfpqTopKWithDeletes(s, pdir, queryVecOf(emb, 0), 10, nprobe = 4)
+    }),
     // Two-stage serving: ADC shortlist (codes only) -> exact re-rank
     // reading raw vectors for ONLY the 30 shortlisted ids (id-pushdown
     // scan), final order by true L2 — recall recovered from PQ
@@ -1541,6 +1555,9 @@ object SparkEntry {
     "q_pq_topk" -> duckPqTopK(4, 16, 16, 1, 10),
     // coarse seed cells (c=16) prune, product codes (m=4, c=16) score
     "q_ivfpq_topk" -> duckIvfPqTopK(4, 16, 16, 1, 16, 10, 4),
+    // the same composition under the deterministic takedown set
+    "q_ivfpq_tombstone_topk" ->
+      duckIvfPqTopK(4, 16, 16, 1, 16, 10, 4, Some("e.vec_id % 7 != 0")),
     "q_ivfpq_rerank_topk" -> duckIvfPqRerankTopK(4, 16, 16, 1, 16, 10, 4, 30),
     // seed cells (iters=0), per-query nprobe=2 probes, 8-query batch
     "q_ivf_batch_topk" -> duckKmeansTopKBatch(16, 0, 10, 2, 8),

@@ -241,7 +241,7 @@ object Ivf {
     * tombstone set is contractually small (bounded by takedown rate ×
     * compaction cadence — [[Tombstones]]), so the broadcast is safe.
     */
-  private def withoutExcluded(candidates: DataFrame, excluded: Option[DataFrame]): DataFrame =
+  private[operators] def withoutExcluded(candidates: DataFrame, excluded: Option[DataFrame]): DataFrame =
     excluded.fold(candidates) { dels =>
       candidates.join(broadcast(dels.select(col("vec_id")).distinct()),
         Seq("vec_id"), "left_anti")

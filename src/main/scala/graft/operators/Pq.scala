@@ -242,7 +242,8 @@ object Pq {
     * reads of the raw vectors: the form PQ exists for at 100 TB.
     */
   def ivfpqTopK(spark: SparkSession, dir: String, queries: DataFrame, k: Int, nprobe: Int,
-                roundTo: Int = 6, predicate: Option[Column] = None): DataFrame = {
+                roundTo: Int = 6, predicate: Option[Column] = None,
+                excluded: Option[DataFrame] = None): DataFrame = {
     val stored = spark.read.parquet(dir)
     val cents = spark.read.parquet(s"$dir/_centroids")
     // nprobe cell ids to the driver — partition-filter formation, as in
@@ -254,11 +255,27 @@ object Pq {
       .limit(nprobe)
       .collect().map(_.getLong(0))
     // filtered ANN: the predicate sits directly above the pruned code
-    // scan (pushable parts land in PushedFilters), narrowing ADC input
+    // scan (pushable parts land in PushedFilters), narrowing ADC input;
+    // tombstones drop via a broadcast anti-join (Ivf.withoutExcluded)
     val pruned = stored.filter(col("cell").isin(probed: _*))
-    adcTopKFromCodes(predicate.fold(pruned)(pruned.filter),
+    adcTopKFromCodes(Ivf.withoutExcluded(predicate.fold(pruned)(pruned.filter), excluded),
       collectBooks(spark.read.parquet(s"$dir/_codebooks")), collectQuery(queries), k, roundTo)
   }
+
+  /** [[ivfpqTopK]] under the code layout's `_deletes` tombstones
+    * ([[Tombstones]]): a takedown reaches the compressed serving tier
+    * immediately — tombstoned ids never enter ADC scoring, so they can
+    * appear in no shortlist and no final result. Same sidecar contract
+    * as `Ivf.topKPartitionedWithDeletes`.
+    */
+  def ivfpqTopKWithDeletes(spark: SparkSession, dir: String, queries: DataFrame,
+                           k: Int, nprobe: Int, roundTo: Int = 6): DataFrame =
+    ivfpqTopK(spark, dir, queries, k, nprobe, roundTo,
+      excluded = Tombstones.ids(spark, dir))
+
+  /** Record takedown ids against an encoded layout ([[Tombstones]]). */
+  def recordDeletes(spark: SparkSession, dir: String, ids: DataFrame): Unit =
+    Tombstones.record(spark, dir, ids)
 
   /** Two-stage IVF-PQ serving with EXACT re-ranking: ADC over the
     * probed cells picks a `shortlist`-sized candidate set from the
@@ -276,11 +293,14 @@ object Pq {
     */
   def ivfpqTopKRerank(spark: SparkSession, dir: String, embeddings: DataFrame,
                       queries: DataFrame, k: Int, nprobe: Int, shortlist: Int,
-                      roundTo: Int = 6): DataFrame = {
+                      roundTo: Int = 6, excluded: Option[DataFrame] = None): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     // R candidate ids to the driver — id-filter formation, the same
-    // driver round-trip the coarse probe already pays
-    val ids = ivfpqTopK(spark, dir, queries, shortlist, nprobe, roundTo)
+    // driver round-trip the coarse probe already pays. Tombstones
+    // (`excluded`) are dropped at the SHORTLIST stage, so they never
+    // reach the rerank read either.
+    val ids = ivfpqTopK(spark, dir, queries, shortlist, nprobe, roundTo,
+        excluded = excluded)
       .select("vec_id").collect().map(_.getLong(0))
     embeddings.filter(col("vec_id").isin(ids: _*))
       .crossJoin(broadcast(queries))
@@ -368,7 +388,8 @@ object Pq {
   def ivfpqTopKBatch(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
                      nprobe: Int, roundTo: Int = 6,
                      predicate: Option[Column] = None,
-                     exactSums: Boolean = true): DataFrame = {
+                     exactSums: Boolean = true,
+                     excluded: Option[DataFrame] = None): DataFrame = {
     val books = collectBooks(spark.read.parquet(s"$dir/_codebooks"))
     val m = books.size
     val c = books(0).length
@@ -378,7 +399,7 @@ object Pq {
     val (probes, pruned) = Ivf.batchPrunedCandidates(spark, dir, queries, nprobe)
     val adc = if (exactSums) adcDistBatch(m, c, roundTo)
               else adcDistBatchDouble(m, c, roundTo)
-    val scored = predicate.fold(pruned)(pruned.filter)
+    val scored = Ivf.withoutExcluded(predicate.fold(pruned)(pruned.filter), excluded)
       .join(probes, Seq("cell")) // candidate meets only the queries probing its cell
       .join(broadcast(withLuts(queries, books)), Seq("query_id"))
       .select(col("query_id"), col("vec_id"), adc.as("dist"))
@@ -406,14 +427,17 @@ object Pq {
     */
   def ivfpqTopKRerankBatch(spark: SparkSession, dir: String, embeddings: DataFrame,
                            queries: DataFrame, k: Int, nprobe: Int, shortlist: Int,
-                           roundTo: Int = 6, exactSums: Boolean = true): DataFrame = {
+                           roundTo: Int = 6, exactSums: Boolean = true,
+                           excluded: Option[DataFrame] = None): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     // exactSums=false: the fast double-sum ADC selects the shortlist —
     // the final ranking below is exact L2 either way, so the knob
     // trades oracle-grade shortlist selection for serving throughput
-    // (the wide-code operating points need it; SCALE_SMOKE.md)
+    // (the wide-code operating points need it; SCALE_SMOKE.md).
+    // Tombstones drop at the shortlist stage — they never reach the
+    // rerank read.
     val cand = ivfpqTopKBatch(spark, dir, queries, shortlist, nprobe, roundTo,
-        exactSums = exactSums)
+        exactSums = exactSums, excluded = excluded)
       .select(col("query_id"), col("vec_id")) // ADC dist discarded: rerank is exact
     val scored = embeddings.select(col("vec_id"), col("embedding"))
       .join(broadcast(cand), Seq("vec_id"))

@@ -47,14 +47,16 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"probe must partition-prune, not scan all cells:\n$p")
   }
 
-  test("q_ivf_tombstone_topk: pruned scan + broadcast anti-join — tombstones never an In-literal list") {
-    val p = plan("q_ivf_tombstone_topk")
-    assert(p.contains("PartitionFilters") && p.contains("cell"),
-      s"tombstone serving must still partition-prune:\n$p")
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
-      s"exclusion must be a broadcast anti-join:\n$p")
-    assert(!p.contains("vec_id#") || !"""In\(vec_id[^)]{200,}""".r.findFirstIn(p).isDefined,
-      s"tombstone ids must not be pushed as a growing literal list:\n$p")
+  test("tombstone queries: pruned scan + broadcast anti-join — tombstones never an In-literal list") {
+    for (name <- Seq("q_ivf_tombstone_topk", "q_ivfpq_tombstone_topk")) {
+      val p = plan(name)
+      assert(p.contains("PartitionFilters") && p.contains("cell"),
+        s"$name: tombstone serving must still partition-prune:\n$p")
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+        s"$name: exclusion must be a broadcast anti-join:\n$p")
+      assert(!p.contains("vec_id#") || !"""In\(vec_id[^)]{200,}""".r.findFirstIn(p).isDefined,
+        s"$name: tombstone ids must not be pushed as a growing literal list:\n$p")
+    }
   }
 
   test("demoted IVF probes serve from the partitioned layout: partition filter, no assignment window") {
