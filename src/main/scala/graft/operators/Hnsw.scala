@@ -599,9 +599,67 @@ object Hnsw {
       .join(Ivf.assignMulti(embeddings, cents, replication), Seq("vec_id"))
       .select(col("cell").cast("int").as("part"), col("vec_id"),
         col("embedding"), levelColumn(p).as("level"))
-    assigned.write.mode("overwrite").parquet(s"$dir/nodes")
-    buildEdgesBy(assigned, p).write.mode("overwrite").parquet(s"$dir/edges")
+    // stored partitionBy(part): maintenance reads partition-prune and
+    // [[compactRouted]] can swap single cells without touching the rest
+    assigned.write.mode("overwrite").partitionBy("part").parquet(s"$dir/nodes")
+    buildEdgesBy(assigned, p).write.mode("overwrite").partitionBy("part").parquet(s"$dir/edges")
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Fold the tombstones into a ROUTED layout ([[saveRouted]]): ONLY
+    * the cells (`part=` subtrees) holding deleted rows are rebuilt — a
+    * deletion invalidates its cell's adjacency, so those cells
+    * re-insert their remaining rows from scratch (same determinism as
+    * a fresh build) and the rewritten subtrees are swapped in; every
+    * other cell's node and edge files are not touched at all.
+    * Compaction I/O is proportional to the AFFECTED cells (deleted ids
+    * live in ≤ replication·|tombstones| of them), never to the index
+    * size. The sidecar is cleared and the source fingerprint
+    * invalidated — same contract as `Ivf.compactPartitioned`: the
+    * compacted layout no longer derives from its source, and a later
+    * `ensureSavedRouted` against the UNCHANGED source rebuilds in full
+    * (the takedown pipeline must also clean the source of record).
+    */
+  def compactRouted(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    p: Params): Unit = {
+    val dels = Tombstones.ids(spark, dir).getOrElse(return)
+    val nodes = spark.read.parquet(s"$dir/nodes")
+    // affected cell ids: ≤ replication·|tombstones| ints to the driver
+    // (partition-filter + subtree-swap formation)
+    val affected = nodes.join(broadcast(dels.select("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("part").cast("int")).distinct().collect().map(_.getInt(0)).toSeq
+    if (affected.nonEmpty) {
+      val kept = nodes.filter(col("part").isin(affected: _*)) // partition-pruned read
+        .join(broadcast(dels.select("vec_id")), Seq("vec_id"), "left_anti")
+        .select(col("part").cast("int").as("part"), col("vec_id"),
+          col("embedding"), col("level"))
+      val tmpNodes = s"$dir/_graft_compact_nodes"
+      val tmpEdges = s"$dir/_graft_compact_edges"
+      kept.write.mode("overwrite").partitionBy("part").parquet(tmpNodes)
+      buildEdgesBy(kept, p).write.mode("overwrite").partitionBy("part").parquet(tmpEdges)
+      swapParts(spark, tmpNodes, s"$dir/nodes", affected)
+      swapParts(spark, tmpEdges, s"$dir/edges", affected)
+    }
+    Tombstones.clear(spark, dir)
+    IndexMeta.invalidate(spark, dir)
+  }
+
+  /** Swap the rebuilt `part=<k>` subtrees of `tmp` into `dst` for every
+    * k in `affected`, then drop `tmp` — filesystem renames, no
+    * deserialization; a part whose every row was deleted has no staged
+    * subtree and simply disappears.
+    */
+  private def swapParts(spark: org.apache.spark.sql.SparkSession,
+                        tmp: String, dst: String, affected: Seq[Int]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dst).getFileSystem(conf)
+    affected.foreach { k =>
+      val d = new org.apache.hadoop.fs.Path(s"$dst/part=$k")
+      val s = new org.apache.hadoop.fs.Path(s"$tmp/part=$k")
+      fs.delete(d, true)
+      if (fs.exists(s)) fs.rename(s, d)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
   /** [[saveRouted]] once per dir (caller keys the dir by content/params),

@@ -39,22 +39,26 @@ class IvfDeleteSpec extends AnyFunSuite {
   private def batch(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
 
-  /** Files of every `cell=<v>` subtree, keyed by relative path, valued
-    * by content checksum — the byte-identity witness.
+  /** Files of every `<key>=<v>` subtree, keyed by relative path, valued
+    * by content checksum — the byte-identity witness (`cell=` for IVF
+    * layouts, `part=` for routed HNSW).
     */
-  private def cellFiles(base: String, cells: Set[Long]): Map[String, Int] = {
+  private def subtreeFiles(base: String, key: String, ids: Set[Long]): Map[String, Int] = {
     def walk(p: Path): Seq[Path] =
       if (Files.isDirectory(p)) {
         val s = Files.list(p); try { import scala.jdk.CollectionConverters._
           s.iterator().asScala.toSeq.flatMap(walk) } finally s.close()
       } else Seq(p)
-    cells.toSeq.flatMap { v =>
-      val d = Paths.get(s"$base/cell=$v")
+    ids.toSeq.flatMap { v =>
+      val d = Paths.get(s"$base/$key=$v")
       walk(d).filter(f => !f.getFileName.toString.endsWith(".crc"))
-        .map(f => (s"cell=$v/${d.relativize(f)}",
+        .map(f => (s"$key=$v/${d.relativize(f)}",
           java.util.Arrays.hashCode(Files.readAllBytes(f))))
     }.toMap
   }
+
+  private def cellFiles(base: String, cells: Set[Long]): Map[String, Int] =
+    subtreeFiles(base, "cell", cells)
 
   private def layoutCells(dir: String): Set[Long] =
     spark.read.parquet(dir).select(col("cell").cast("long"))
@@ -133,6 +137,50 @@ class IvfDeleteSpec extends AnyFunSuite {
       spark, cleanDir, queries, 10, p, nprobe = 8))
     assert(got === rebuilt,
       "routed tombstone serving must equal a routed index built without the deleted rows")
+  }
+
+  test("routed compaction rebuilds only affected cells; untouched cells byte-identical; serving == rebuild-without") {
+    import graft.operators.Hnsw
+    val p = Hnsw.Params(efSearch = 256, numPartitions = 3)
+    val cents = Ivf.kmeans(emb, 8, 2)
+    val dir = Files.createTempDirectory("routed_compact").toString
+    Hnsw.saveRouted(emb, cents, p, dir, replication = 2)
+    val dels = delIds.take(2) // few ids -> few affected cells (x2 replication)
+    Hnsw.recordDeletes(spark, dir, dels.toDF("vec_id"))
+
+    val nodes = spark.read.parquet(s"$dir/nodes")
+    val affected = nodes.filter(col("vec_id").isin(dels: _*))
+      .select(col("part").cast("long")).distinct().collect().map(_.getLong(0)).toSet
+    val allParts = nodes.select(col("part").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val untouched = allParts -- affected
+    assert(affected.nonEmpty && untouched.nonEmpty, "the fixture must split the cells")
+    val nodesBefore = subtreeFiles(s"$dir/nodes", "part", untouched)
+    val edgesBefore = subtreeFiles(s"$dir/edges", "part", untouched)
+    assert(nodesBefore.nonEmpty && edgesBefore.nonEmpty)
+
+    Hnsw.compactRouted(spark, dir, p)
+
+    assert(subtreeFiles(s"$dir/nodes", "part", untouched) === nodesBefore,
+      "untouched node cells must not be rewritten")
+    assert(subtreeFiles(s"$dir/edges", "part", untouched) === edgesBefore,
+      "untouched edge cells must not be rewritten")
+    assert(spark.read.parquet(s"$dir/nodes").filter(col("vec_id").isin(dels: _*)).count() === 0)
+    assert(spark.read.parquet(s"$dir/edges")
+      .filter(col("src").isin(dels: _*) || col("dst").isin(dels: _*)).count() === 0,
+      "compacted adjacency must not reference deleted ids")
+    assert(graft.operators.Tombstones.ids(spark, dir).isEmpty)
+    assert(graft.operators.IndexMeta.read(spark, dir).isEmpty,
+      "compaction must invalidate the source fingerprint")
+
+    // full-probe serving of the compacted index == routed index built
+    // without the deleted rows (same centroids)
+    val got = batch(Hnsw.searchRoutedWithIndex(spark, dir, queries, 10, p, nprobe = 8))
+    val cleanDir = Files.createTempDirectory("routed_compact_clean").toString
+    Hnsw.saveRouted(emb.filter(!col("vec_id").isin(dels: _*)), cents, p, cleanDir,
+      replication = 2)
+    assert(got === batch(Hnsw.searchRoutedWithIndex(spark, cleanDir, queries, 10, p,
+      nprobe = 8)))
   }
 
   test("IVF-PQ serving under tombstones == codes encoded without the deleted rows; rerank never reads them") {
