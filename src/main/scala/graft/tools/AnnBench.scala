@@ -45,6 +45,7 @@ object AnnBench {
     spark.sparkContext.setLogLevel("WARN")
     if (args.contains("scale")) { scaleSmoke(spark); spark.stop(); return }
     if (args.contains("adc")) { adcFastSmoke(spark); spark.stop(); return }
+    if (args.contains("deletes")) { deleteSmoke(spark); spark.stop(); return }
     val emb = Tables.embeddings(spark, sfDir)
     val qs = emb.select(col("vec_id").as("query_id"),
       perturbQuery(col("embedding")).as("query_vec"))
@@ -118,6 +119,92 @@ object AnnBench {
     println(json)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/adc_fast.json"), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[annbench] file write failed: ${e.getMessage}") }
+  }
+
+  /** Deletion-lifecycle smoke at the scale-smoke geometry (1M×25,
+    * routed 64-cell layout): measures what a takedown costs a serving
+    * tier — (a) recording tombstones (O(batch) sidecar append),
+    * (b) the serving overhead while tombstones are live (one broadcast
+    * anti-mark join on the node load), (c) cell-local compaction
+    * (rebuild ONLY the cells holding deleted rows, swap their
+    * subtrees) vs the full build, with the rewritten fraction
+    * reported. The takedown batch is 10 scattered ids — the
+    * takedown-request shape; at replication 2 they live in ≤ 20 of the
+    * 64 cells, so compaction I/O is bounded by the AFFECTED cells,
+    * never the index (the fraction reported makes the bound concrete).
+    */
+  private def deleteSmoke(spark: SparkSession): Unit = {
+    val n = sys.env.get("SPARK_GRAFT_SCALE_N").flatMap(_.toIntOption).getOrElse(1000000)
+    val dim = sys.env.get("SPARK_GRAFT_SCALE_DIM").flatMap(_.toIntOption).getOrElse(25)
+    val nQueries = math.min(10000, n)
+    val p = Hnsw.Params(numPartitions = 32, efSearch = 64)
+    val emb = scaleVectors(spark, n, dim).cache()
+    emb.count()
+    val qs = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        graft.functions.VectorFunctions.perturbQuery(col("embedding")).as("query_vec"))
+      .cache()
+    qs.count()
+
+    val rdir = s"target/graft_scale_idx/routed_del_n${n}_d$dim"
+    val fs = new org.apache.hadoop.fs.Path(rdir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(rdir), true)
+    val cents = Ivf.kmeans(emb, 64, 2)
+    val tB = System.nanoTime()
+    Hnsw.saveRouted(emb, cents, p, rdir, replication = 2)
+    val buildSec = (System.nanoTime() - tB) / 1e9
+    val totalBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(rdir)).getLength
+
+    def timedServe(serve: DataFrame => DataFrame): Double = {
+      serve(qs.limit(32)).write.format("noop").mode("overwrite").save() // warm-up
+      val t = System.nanoTime()
+      serve(qs).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t) / 1e9
+    }
+    val serveBase = timedServe(Hnsw.searchRoutedWithIndex(spark, rdir, _, 10, p, nprobe = 8))
+
+    // the takedown: 10 scattered ids, recorded as an O(batch) append
+    val dels = emb.filter(pmod(col("vec_id"), lit(n / 10)) === lit(7)).select("vec_id")
+    val nDels = dels.count()
+    val tRec = System.nanoTime()
+    Hnsw.recordDeletes(spark, rdir, dels)
+    val recordSec = (System.nanoTime() - tRec) / 1e9
+
+    val serveTomb = timedServe(
+      Hnsw.searchRoutedWithIndexDeletes(spark, rdir, _, 10, p, nprobe = 8))
+
+    val affected = spark.read.parquet(s"$rdir/nodes")
+      .join(broadcast(dels), Seq("vec_id"), "left_semi")
+      .select(col("part").cast("int")).distinct().collect().map(_.getInt(0))
+    val tC = System.nanoTime()
+    Hnsw.compactRouted(spark, rdir, p)
+    val compactSec = (System.nanoTime() - tC) / 1e9
+    val rewrittenBytes = affected.map { k =>
+      val np = new org.apache.hadoop.fs.Path(s"$rdir/nodes/part=$k")
+      val ep = new org.apache.hadoop.fs.Path(s"$rdir/edges/part=$k")
+      (if (fs.exists(np)) fs.getContentSummary(np).getLength else 0L) +
+        (if (fs.exists(ep)) fs.getContentSummary(ep).getLength else 0L)
+    }.sum
+
+    val servePost = timedServe(Hnsw.searchRoutedWithIndex(spark, rdir, _, 10, p, nprobe = 8))
+
+    val json =
+      s"""{"delete_smoke":{"n":$n,"dim":$dim,"cells":64,"replication":2,""" +
+        s""""build_sec":${fmt(buildSec, 2)},"index_bytes":$totalBytes,""" +
+        s""""tombstones":$nDels,"record_sec":${fmt(recordSec, 2)},""" +
+        s""""query_batch":$nQueries,""" +
+        s""""serve_sec_baseline":${fmt(serveBase, 2)},""" +
+        s""""serve_sec_with_tombstones":${fmt(serveTomb, 2)},""" +
+        s""""serve_sec_post_compaction":${fmt(servePost, 2)},""" +
+        s""""affected_cells":${affected.length},"total_cells":64,""" +
+        s""""compact_sec":${fmt(compactSec, 2)},""" +
+        s""""rewritten_bytes":$rewrittenBytes,""" +
+        s""""rewritten_fraction":${fmt(rewrittenBytes.toDouble / totalBytes, 4)}}}"""
+    println(json)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/delete_smoke.json"), json + "\n")
     catch { case e: Throwable => System.err.println(s"[annbench] file write failed: ${e.getMessage}") }
   }
 
