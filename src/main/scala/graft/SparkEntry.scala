@@ -927,6 +927,25 @@ object SparkEntry {
       Ivf.recordDeletes(s, pdir, emb.filter(pmod(col("vec_id"), lit(7)) === 0).select("vec_id"))
       Ivf.topKPartitionedWithDeletes(s, pdir, queryVecOf(emb, 0), 10, nprobe = 2)
     }),
+    // The APPEND half of the lifecycle on the IVF serving tier
+    // (q_ivf_tombstone_topk is the remove half): the layout is built
+    // from 4/5 of the corpus, then the remaining 1/5 arrives through
+    // Ivf.insertInto — a cell-local append (only the receiving cell=
+    // subtrees gain files; IvfInsertSpec pins byte-identity of the
+    // rest). Assignment against the frozen sidecar centroids is
+    // deterministic, so the grown layout serves EXACTLY like one built
+    // from the full table in one pass — same oracle as
+    // q_ivf_partitioned_topk. Dedicated dir: the shared c16 layout
+    // must stay single-build.
+    "q_ivf_insert_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pdir = ivfCellsDir(s, dir, "c16ins")
+      Ivf.ensureInsertedPartitioned(
+        emb.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+        emb.filter(pmod(col("vec_id"), lit(5)) === 0),
+        Ivf.centroids(emb, 16), pdir, tag = "c16ins")
+      Ivf.topKPartitioned(s, pdir, queryVecOf(emb, 0), 10, nprobe = 2)
+    }),
     // Same scale shape for the K-MEANS-refined cells: the Lloyd
     // centroids become the partition layout (written once per dir),
     // so the refined probe is ALSO a partition-pruned scan with no
@@ -1103,6 +1122,22 @@ object SparkEntry {
         Pq.codebooksCached(emb, 4, 16, 16, 1, dir), 4, 16, pdir)
       Pq.recordDeletes(s, pdir, emb.filter(pmod(col("vec_id"), lit(7)) === 0).select("vec_id"))
       Pq.ivfpqTopKWithDeletes(s, pdir, queryVecOf(emb, 0), 10, nprobe = 4)
+    }),
+    // The append half on the COMPRESSED tier: fresh rows are encoded
+    // with the layout's frozen _codebooks sidecar, assigned with its
+    // _centroids, and appended cell-locally (Pq.insertInto) — encoding
+    // against frozen books is deterministic, so the grown code layout
+    // serves identically to a single-pass encode of the union (same
+    // oracle as q_ivfpq_topk). Dedicated dir.
+    "q_ivfpq_insert_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pdir = pqDir(s, dir, "ivfpq_ins_c16_m4sd16c16i1")
+      Pq.ensureInsertedEncodedPartitioned(
+        emb.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+        emb.filter(pmod(col("vec_id"), lit(5)) === 0),
+        Ivf.centroids(emb, 16), Pq.codebooksCached(emb, 4, 16, 16, 1, dir),
+        4, 16, pdir)
+      Pq.ivfpqTopK(s, pdir, queryVecOf(emb, 0), 10, nprobe = 4)
     }),
     // Two-stage serving: ADC shortlist (codes only) -> exact re-rank
     // reading raw vectors for ONLY the 30 shortlisted ids (id-pushdown
@@ -1393,6 +1428,10 @@ object SparkEntry {
     // the same probe under tombstones: serve-time exclusion of the
     // deterministic takedown set (vec_id % 7 == 0)
     "q_ivf_tombstone_topk" -> duckKmeansTopK(16, 0, 10, 2, Some("e.vec_id % 7 != 0")),
+    // identical semantics to q_ivf_partitioned_topk: a build-then-
+    // insert layout under frozen centroids must serve exactly like a
+    // single-pass build — THAT is the checked claim
+    "q_ivf_insert_topk" -> duckIvfTopK,
 
     "q_lang_id" -> {
       val scores = TextAnalysis.stopwords.map { case (l, ws) =>
@@ -1558,6 +1597,9 @@ object SparkEntry {
     // the same composition under the deterministic takedown set
     "q_ivfpq_tombstone_topk" ->
       duckIvfPqTopK(4, 16, 16, 1, 16, 10, 4, Some("e.vec_id % 7 != 0")),
+    // identical semantics to q_ivfpq_topk: frozen-codebook encode of
+    // the inserted rows must serve exactly like a single-pass encode
+    "q_ivfpq_insert_topk" -> duckIvfPqTopK(4, 16, 16, 1, 16, 10, 4),
     "q_ivfpq_rerank_topk" -> duckIvfPqRerankTopK(4, 16, 16, 1, 16, 10, 4, 30),
     // seed cells (iters=0), per-query nprobe=2 probes, 8-query batch
     "q_ivf_batch_topk" -> duckKmeansTopKBatch(16, 0, 10, 2, 8),

@@ -321,6 +321,56 @@ object Ivf {
     IndexMeta.invalidate(spark, dir)
   }
 
+  /** Cell-local incremental insert — the append half of the layout
+    * lifecycle ([[compactPartitioned]] is the remove half): assign
+    * `rows(vec_id, embedding)` with the layout's own `_centroids`
+    * sidecar and APPEND them to their cells. Only the receiving
+    * `cell=` subtrees gain files; every other cell's files are not
+    * touched at all — insert I/O is proportional to the batch, never
+    * to the layout. Serving needs no change: the pruned probe scan
+    * picks up appended files automatically, and assignment against
+    * the UNCHANGED sidecar centroids is deterministic, so an
+    * incrementally-grown layout serves identically to one built from
+    * the union in a single pass (IvfInsertSpec pins this and the
+    * byte-identity of non-receiving cells).
+    *
+    * The source fingerprint is invalidated: the layout no longer
+    * derives from any single `ensurePartitioned` source, so a later
+    * ensure against an updated source-of-record table rebuilds in
+    * full — inserts cover the serving gap until then, mirroring the
+    * tombstone contract on the delete side.
+    */
+  def insertInto(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 rows: DataFrame): Unit = {
+    val cents = spark.read.parquet(s"$dir/_centroids")
+    rows.join(assignWith(rows, cents), Seq("vec_id"))
+      .write.mode("append").partitionBy("cell").parquet(dir)
+    IndexMeta.invalidate(spark, dir)
+  }
+
+  /** Build-on-base + [[insertInto]]-the-rest, memoized — the
+    * declared-query form of the incremental lifecycle (the IVF twin of
+    * `Hnsw.ensureInsertedSaved`). `base` and `fresh` fingerprint
+    * SEPARATELY: the same union under a different split is a different
+    * I/O history, and the split IS what this layout witnesses.
+    */
+  def ensureInsertedPartitioned(base: DataFrame, fresh: DataFrame, cents: DataFrame,
+                                dir: String, tag: String): Unit = {
+    val spark = base.sparkSession
+    val fp = IndexMeta.cachedFingerprint(dir, s"ivfins_$tag", Seq(base, fresh, cents)) {
+      val c = IndexMeta.centroidFingerprint(cents)
+      s"${IndexMeta.fingerprint(base, s"ivfins_$tag;c=$c;base")}|" +
+        IndexMeta.fingerprint(fresh, "fresh")
+    }
+    if (!IndexMeta.valid(spark, dir, "_SUCCESS", fp)) {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      writePartitionedWith(base, cents, dir)
+      insertInto(spark, dir, fresh)
+      IndexMeta.write(spark, dir, fp)
+    }
+  }
+
   /** BATCH top-k over the partitioned layout: `(query_id, query_vec)`
     * rows in, per-query `(query_id, vec_id, dist)` top-k out. Every
     * query probes its `nprobe` nearest cells; the scan is

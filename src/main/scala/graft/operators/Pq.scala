@@ -277,6 +277,58 @@ object Pq {
   def recordDeletes(spark: SparkSession, dir: String, ids: DataFrame): Unit =
     Tombstones.record(spark, dir, ids)
 
+  /** Cell-local incremental insert into an [[ensureEncodedPartitioned]]
+    * code layout — the compressed-tier twin of `Ivf.insertInto`:
+    * `rows(vec_id, embedding)` are ENCODED with the layout's own
+    * `_codebooks` sidecar, assigned with its `_centroids`, and appended
+    * to their cells. Only the receiving `cell=` subtrees gain files;
+    * encoding against the frozen codebooks is deterministic, so the
+    * grown layout serves (ADC, batch, rerank) identically to one
+    * encoded from the union in a single pass (IvfInsertSpec). The
+    * source fingerprint is invalidated, same contract as the IVF form.
+    *
+    * Frozen-codebook inserts are the production posture (re-training
+    * codebooks would re-encode the whole corpus); codebook drift under
+    * a shifting distribution is caught by the `booksFingerprint`
+    * staleness check when the owner eventually retrains.
+    */
+  def insertInto(spark: SparkSession, dir: String, rows: DataFrame,
+                 m: Int, subDim: Int): Unit = {
+    val cents = spark.read.parquet(s"$dir/_centroids")
+    val books = spark.read.parquet(s"$dir/_codebooks")
+    codesArray(rows, books, m, subDim)
+      .join(Ivf.assignWith(rows, cents), Seq("vec_id"))
+      .write.mode("append").partitionBy("cell").parquet(dir)
+    IndexMeta.invalidate(spark, dir)
+  }
+
+  /** Build-on-base + [[insertInto]]-the-rest for the code layout,
+    * memoized — the declared-query form (`Ivf.ensureInsertedPartitioned`
+    * on the compressed tier).
+    */
+  def ensureInsertedEncodedPartitioned(base: DataFrame, fresh: DataFrame,
+                                       cents: DataFrame, books: DataFrame,
+                                       m: Int, subDim: Int, dir: String): Unit = {
+    val spark = base.sparkSession
+    val fp = IndexMeta.cachedFingerprint(dir, s"ivfpqins_m=$m,sd=$subDim",
+        Seq(base, fresh, cents, books)) {
+      val tail = s"c=${IndexMeta.centroidFingerprint(cents)};b=${booksFingerprint(books)}"
+      s"${IndexMeta.fingerprint(base, s"ivfpqins_m=$m,sd=$subDim;$tail;base")}|" +
+        IndexMeta.fingerprint(fresh, "fresh")
+    }
+    if (!IndexMeta.valid(spark, dir, "_SUCCESS", fp)) {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      codesArray(base, books, m, subDim)
+        .join(Ivf.assignWith(base, cents), Seq("vec_id"))
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      cents.write.mode("overwrite").parquet(s"$dir/_centroids")
+      books.write.mode("overwrite").parquet(s"$dir/_codebooks")
+      insertInto(spark, dir, fresh, m, subDim)
+      IndexMeta.write(spark, dir, fp)
+    }
+  }
+
   /** Two-stage IVF-PQ serving with EXACT re-ranking: ADC over the
     * probed cells picks a `shortlist`-sized candidate set from the
     * compressed codes alone ([[ivfpqTopK]]), then raw vectors are read
