@@ -927,6 +927,31 @@ object SparkEntry {
       Ivf.recordDeletes(s, pdir, emb.filter(pmod(col("vec_id"), lit(7)) === 0).select("vec_id"))
       Ivf.topKPartitionedWithDeletes(s, pdir, queryVecOf(emb, 0), 10, nprobe = 2)
     }),
+    // RANGE search — "everything within r of the query", the k-unknown
+    // twin of top-k that dedup/matching pipelines ask. Served from the
+    // same cell-partitioned layout; cells are skipped by the triangle-
+    // inequality bound over the _radii sidecar (lossless — a skipped
+    // cell provably holds no result), so the oracle is a one-line
+    // full-scan filter. On this unit-sphere testdata no cell prunes
+    // (every ball intersects every cell — a data property);
+    // IvfRangeSpec proves the skip on a clustered fixture.
+    "q_range_search" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pdir = ivfCellsDir(s, dir, "c16")
+      Ivf.ensurePartitioned(emb, 16, pdir)
+      Ivf.rangeSearch(s, pdir, queryVecOf(emb, 0), radius = 1.8)
+    }),
+    // BATCH range search: per-query eligible cells computed executor-
+    // side, ONE scan pruned to their union, each candidate scored only
+    // against the queries whose ball intersects its cell.
+    "q_range_search_batch" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pdir = ivfCellsDir(s, dir, "c16")
+      Ivf.ensurePartitioned(emb, 16, pdir)
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+      Ivf.rangeSearchBatch(s, pdir, qs, radius = 1.8)
+    }),
     // The APPEND half of the lifecycle on the IVF serving tier
     // (q_ivf_tombstone_topk is the remove half): the layout is built
     // from 4/5 of the corpus, then the remaining 1/5 arrives through
@@ -1432,6 +1457,22 @@ object SparkEntry {
     // insert layout under frozen centroids must serve exactly like a
     // single-pass build — THAT is the checked claim
     "q_ivf_insert_topk" -> duckIvfTopK,
+    // range search: the cell pruning is lossless (triangle
+    // inequality), so the oracle is the plain full-scan filter — that
+    // equality IS the checked claim
+    "q_range_search" ->
+      s"""WITH q AS (SELECT query_vec FROM $duckQueryVec)
+          SELECT e.vec_id, round(list_distance(e.embedding::DOUBLE[], q.query_vec), 6) AS dist
+          FROM embeddings e JOIN q ON true
+          WHERE round(list_distance(e.embedding::DOUBLE[], q.query_vec), 6) <= 1.8
+          ORDER BY dist, e.vec_id""",
+    "q_range_search_batch" ->
+      s"""WITH qb AS (SELECT query_id, query_vec FROM ${duckQueryBatch(8)})
+          SELECT q.query_id, e.vec_id,
+            round(list_distance(e.embedding::DOUBLE[], q.query_vec), 6) AS dist
+          FROM embeddings e JOIN qb q ON true
+          WHERE round(list_distance(e.embedding::DOUBLE[], q.query_vec), 6) <= 1.8
+          ORDER BY q.query_id, dist, e.vec_id""",
 
     "q_lang_id" -> {
       val scores = TextAnalysis.stopwords.map { case (l, ws) =>

@@ -318,7 +318,122 @@ object Ivf {
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     }
     Tombstones.clear(spark, dir)
+    // compaction only REMOVES rows, so the stale radii over-estimate —
+    // still lossless for pruning — but regenerating costs one narrow
+    // scan, so keep the sidecar's meaning exact rather than "some
+    // upper bound of unknown vintage"
+    dropRadii(spark, dir)
     IndexMeta.invalidate(spark, dir)
+  }
+
+  // ------------------------------------------------------------------
+  // Range (radius) search
+  // ------------------------------------------------------------------
+
+  private def radiiPath(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/_radii")
+
+  private def dropRadii(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val p = radiiPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Per-cell covering radii (`_radii` sidecar): for each cell, the
+    * max L2 distance from any member to the cell centroid. Written
+    * once per layout — ONE narrow scan, amortized like the build
+    * itself — and invalidated by [[insertInto]]/[[compactPartitioned]]
+    * (membership changes move the covering radius). Range serving uses
+    * it to skip whole cells by the triangle inequality:
+    * `‖q−x‖ ≥ ‖q−c‖ − rad(cell)` for every member x, so a cell with
+    * `‖q−c‖ − rad(cell) > r` can hold NO result — the pruning is
+    * lossless, never a recall trade.
+    */
+  def ensureRadii(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val p = radiiPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      val cents = spark.read.parquet(s"$dir/_centroids")
+      spark.read.parquet(dir)
+        .join(broadcast(cents), col("cell") === col("centroid_id"))
+        .groupBy(col("cell").cast("long").as("cell"))
+        .agg(max(l2Distance(col("embedding"), col("centroid_vec"))).as("radius"))
+        .write.mode("overwrite").parquet(s"$dir/_radii")
+    }
+  }
+
+  /** RANGE search over the partitioned layout: every vector within
+    * `radius` of the query (rounded distance ≤ radius, ties ordered by
+    * id) — the "find all matches" twin of [[topKPartitioned]], the
+    * shape dedup/recommendation pipelines ask when k is unknown.
+    * Cells are pruned with the [[ensureRadii]] triangle-inequality
+    * bound — LOSSLESSLY, so the result equals a full-scan filter and
+    * hash-checks against a one-line DuckDB oracle (the bound carries a
+    * +10^-roundTo margin so boundary rows that ROUND into the radius
+    * are never lost to raw-double pruning).
+    *
+    * Scale shape: the probe arithmetic runs on C (cell, centroid,
+    * radius) rows; only eligible cells' files are opened (partition
+    * filter). On clustered corpora — real embedding spaces — most
+    * cells fail the bound and are never read (IvfRangeSpec proves the
+    * skip on a clustered fixture); on uniform unit-sphere data every
+    * cell intersects every query ball and nothing prunes, which is a
+    * property of the data, not the operator.
+    */
+  def rangeSearch(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  queries: DataFrame, radius: Double, roundTo: Int = 6,
+                  predicate: Option[Column] = None,
+                  excluded: Option[DataFrame] = None): DataFrame = {
+    ensureRadii(spark, dir)
+    val stored = spark.read.parquet(dir)
+    val cents = spark.read.parquet(s"$dir/_centroids")
+    val radii = spark.read.parquet(s"$dir/_radii")
+    // ≤ C eligible cell ids to the driver — the partition filter, same
+    // contract as topKPartitioned's nprobe collect
+    val eligible = cents.join(radii, col("centroid_id") === col("cell"))
+      .crossJoin(broadcast(queries))
+      .filter(l2Distance(col("centroid_vec"), col("query_vec")) - col("radius")
+        <= lit(radius) + lit(math.pow(10.0, -roundTo)))
+      .select(col("centroid_id")).collect().map(_.getLong(0))
+    val pruned = stored.filter(col("cell").isin(eligible.toIndexedSeq: _*))
+    withoutExcluded(predicate.fold(pruned)(pruned.filter), excluded)
+      .crossJoin(broadcast(queries))
+      .select(col("vec_id"),
+        round(l2Distance(col("embedding"), col("query_vec")), roundTo).as("dist"))
+      .filter(col("dist") <= radius)
+      .orderBy(col("dist"), col("vec_id"))
+  }
+
+  /** BATCH range search: `(query_id, query_vec)` rows in, every
+    * `(query_id, vec_id, dist ≤ radius)` pair out. Per-query eligible
+    * cells come from the same lossless triangle-inequality bound,
+    * computed executor-side (C×Q rows — never collected); the scan is
+    * pruned to the UNION of eligible cells (≤ C ids to the driver);
+    * each candidate is scored only against the queries whose ball
+    * intersects ITS cell — the same join geometry as
+    * [[topKPartitionedBatch]], without the heap (range output is
+    * unbounded by design).
+    */
+  def rangeSearchBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       queries: DataFrame, radius: Double,
+                       roundTo: Int = 6): DataFrame = {
+    ensureRadii(spark, dir)
+    val stored = spark.read.parquet(dir)
+    val cents = spark.read.parquet(s"$dir/_centroids")
+    val radii = spark.read.parquet(s"$dir/_radii")
+    val probePairs = cents.join(radii, col("centroid_id") === col("cell"))
+      .drop("cell")
+      .crossJoin(broadcast(queries))
+      .filter(l2Distance(col("centroid_vec"), col("query_vec")) - col("radius")
+        <= lit(radius) + lit(math.pow(10.0, -roundTo)))
+      .select(col("query_id"), col("centroid_id").as("cell"))
+    val unionCells = probePairs.select("cell").distinct().collect().map(_.getLong(0))
+    stored.filter(col("cell").isin(unionCells.toIndexedSeq: _*))
+      .join(broadcast(probePairs), Seq("cell"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(l2Distance(col("embedding"), col("query_vec")), roundTo).as("dist"))
+      .filter(col("dist") <= radius)
+      .orderBy(col("query_id"), col("dist"), col("vec_id"))
   }
 
   /** Cell-local incremental insert — the append half of the layout
@@ -345,6 +460,10 @@ object Ivf {
     val cents = spark.read.parquet(s"$dir/_centroids")
     rows.join(assignWith(rows, cents), Seq("vec_id"))
       .write.mode("append").partitionBy("cell").parquet(dir)
+    // inserted rows can EXTEND a cell's covering radius, so a stale
+    // `_radii` sidecar would under-estimate and make range pruning
+    // lossy — drop it (the next range serve regenerates in one scan)
+    dropRadii(spark, dir)
     IndexMeta.invalidate(spark, dir)
   }
 

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions._
+import graft.operators.Ivf
+
+/** Range (radius) search over the cell-partitioned layout: the result
+  * must equal a brute-force full-scan filter (the cell pruning is the
+  * triangle inequality — LOSSLESS by construction), and on clustered
+  * data the pruning must actually skip cells (the scale claim: a
+  * query ball that intersects few clusters reads few cells' files).
+  */
+class IvfRangeSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  /** Clustered fixture: 4 well-separated blobs in 8-d (centers at
+    * 0, 100, 200, 300 on every coordinate, members within ±1), so a
+    * small ball around one blob provably cannot touch the others.
+    */
+  private lazy val clustered = (0L until 200L).map { i =>
+    val rnd = new scala.util.Random(i)
+    val center = (i % 4) * 100.0f
+    (i, Array.fill(8)(center + rnd.nextFloat() * 2f - 1f))
+  }.toDF("vec_id", "embedding").cache()
+
+  private def brute(emb: org.apache.spark.sql.DataFrame,
+                    q: org.apache.spark.sql.DataFrame, r: Double) =
+    emb.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(l2Distance(col("embedding"), col("query_vec")), 6).as("dist"))
+      .filter(col("dist") <= r)
+      .orderBy(col("dist"), col("vec_id"))
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+
+  test("rangeSearch == brute-force filter; clustered fixture skips non-intersecting cells") {
+    val dir = Files.createTempDirectory("ivf_range").toString
+    Ivf.writePartitionedWith(clustered, Ivf.centroids(clustered, 8), dir)
+    // query near blob 0; radius covers that blob only (blob diameter
+    // <= 2*sqrt(8*1) ~ 5.7, blob separation >= 100*sqrt(8) ~ 283)
+    val q = clustered.filter(col("vec_id") === 0)
+      .select(perturbQuery(col("embedding")).as("query_vec"))
+    val r = 10.0
+
+    val got = Ivf.rangeSearch(spark, dir, q, r)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(got === brute(clustered, q, r), "pruned range search must equal brute force")
+    assert(got.nonEmpty && got.size < 200, "fixture must select a proper subset")
+    assert(got.forall(_._1 % 4 == 0), "only blob-0 members lie within the ball")
+
+    // the scale claim: the triangle-inequality bound must have skipped
+    // the cells of the other blobs (re-derive the eligible set the way
+    // rangeSearch does and count)
+    val cents = spark.read.parquet(s"$dir/_centroids")
+    val radii = spark.read.parquet(s"$dir/_radii")
+    val eligible = cents.join(radii, col("centroid_id") === col("cell"))
+      .crossJoin(broadcast(q))
+      .filter(l2Distance(col("centroid_vec"), col("query_vec")) - col("radius")
+        <= lit(r) + lit(1e-6))
+      .count()
+    val total = cents.count()
+    assert(eligible < total,
+      s"clustered fixture must prune: $eligible of $total cells eligible")
+  }
+
+  test("batch rangeSearch == per-query brute force, on clustered AND near-uniform data") {
+    val dir = Files.createTempDirectory("ivf_range_batch").toString
+    Ivf.writePartitionedWith(clustered, Ivf.centroids(clustered, 8), dir)
+    val qs = clustered.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+    val got = Ivf.rangeSearchBatch(spark, dir, qs, 10.0)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    val expected = clustered.crossJoin(broadcast(qs))
+      .select(col("query_id"), col("vec_id"),
+        round(l2Distance(col("embedding"), col("query_vec")), 6).as("dist"))
+      .filter(col("dist") <= 10.0)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    assert(got === expected, "batch range must equal per-query brute force")
+    // every query finds its own blob's members
+    assert((0L until 6L).forall(qid => got.exists(_._1 == qid)))
+  }
+
+  test("insertInto drops stale radii so grown cells never under-prune") {
+    val dir = Files.createTempDirectory("ivf_range_ins").toString
+    val base = clustered.filter(col("vec_id") >= 4)   // blob centers stay seeded
+    val cents = Ivf.centroids(clustered, 8)
+    Ivf.writePartitionedWith(base, cents, dir)
+    val q = clustered.filter(col("vec_id") === 0)
+      .select(perturbQuery(col("embedding")).as("query_vec"))
+    // materialize radii for the base layout, then grow it
+    Ivf.rangeSearch(spark, dir, q, 10.0).count()
+    Ivf.insertInto(spark, dir, clustered.filter(col("vec_id") < 4))
+    val got = Ivf.rangeSearch(spark, dir, q, 10.0)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(got === brute(clustered, q, 10.0),
+      "post-insert range search must see the inserted rows (radii regenerated)")
+    assert(got.exists(_._1 == 0L), "the inserted near-query row must be found")
+  }
+}
