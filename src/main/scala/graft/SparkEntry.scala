@@ -1250,6 +1250,19 @@ object SparkEntry {
     "q_hybrid_rrf" -> ((s, dir) =>
       Retrieval.hybridRrfTopK(Tables.documents(s, dir), Tables.embeddings(s, dir),
         retrievalTerms, queryVecId = 0L, k = 10)),
+    // Late-interaction (maxsim) retrieval: documents as BAGS of token
+    // vectors (4 consecutive embedding rows per doc — the multi-vector
+    // protocol), query = 4 perturbed token vectors; score = per query
+    // token, the best-matching doc token's inner product, summed.
+    // One doc-vector scan, broadcast tokens, map-side partial max.
+    "q_maxsim_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val docs = emb.select(floor(col("vec_id") / 4).cast("long").as("doc_id"),
+        col("embedding"))
+      val toks = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("tok_id"), perturbQuery(col("embedding")).as("query_vec"))
+      Retrieval.maxsimTopK(docs, toks, 10)
+    }),
 
     // ---- dedup family ----
     "q_dedup_exact" -> ((s, dir) => Dedup.exactClusters(Tables.documents(s, dir), minSize = 1)),
@@ -1693,6 +1706,19 @@ object SparkEntry {
       s"""WITH $duckBm25Ctes
           SELECT doc_id, bm25 FROM bmscored WHERE bm25 > 0
           ORDER BY bm25 DESC, doc_id LIMIT 10""",
+    // maxsim: per (doc, query-token) max inner product, summed in the
+    // SAME static ascending-tok order as the engine's score chain
+    "q_maxsim_topk" ->
+      s"""WITH qt AS (SELECT query_id AS tok_id, query_vec FROM ${duckQueryBatch(4)}),
+          dv AS (SELECT vec_id // 4 AS doc_id, embedding::DOUBLE[] AS v FROM embeddings),
+          best AS (SELECT d.doc_id,
+                     ${(0 until 4).map(t =>
+                       s"max(CASE WHEN q.tok_id = $t THEN list_inner_product(d.v, q.query_vec) END) AS m_$t")
+                       .mkString(", ")}
+                   FROM dv d, qt q GROUP BY d.doc_id)
+          SELECT doc_id, round(${(0 until 4).map(t => s"m_$t").mkString(" + ")}, 6) AS maxsim
+          FROM best
+          ORDER BY maxsim DESC, doc_id LIMIT 10""",
     "q_hybrid_rrf" ->
       s"""WITH $duckBm25Ctes,
           lexpool AS (SELECT doc_id, bm25 FROM bmscored WHERE bm25 > 0

@@ -134,6 +134,53 @@ object Retrieval {
     * Both inputs are k-row lists, so the windows and the full-outer
     * join touch O(poolK) rows, not the corpus.
     */
+  /** Late-interaction (maxsim) top-k — ColBERT-style multi-vector
+    * retrieval: a document is a BAG of token vectors, the query is a
+    * bag of token vectors, and
+    *   score(doc) = Σ_{t ∈ query} max_{v ∈ doc} ⟨t, v⟩
+    * — each query token matches its best document token, so fine-
+    * grained term-level interaction survives into a corpus-scale
+    * index scan (the retrieval-quality step between single-vector
+    * cosine and full cross-attention re-ranking).
+    *
+    * `docVectors(doc_id, embedding)` (one row per document token
+    * vector); `queryTokens(tok_id, query_vec)` — query-sized, like a
+    * BM25 term list, so it broadcasts.
+    *
+    * Scale shape: ONE scan of the doc-vector table; each row meets
+    * the broadcast T query tokens (a bounded ×T blowup, like nprobe —
+    * never doc×doc); the per-(doc, token) max PARTIAL-aggregates
+    * map-side, so the first shuffle carries ≤ T rows per doc, the
+    * second ≤ 1 — both post-agg tiny. Final k via
+    * TakeOrderedAndProject. The dot is the codegen `dotProduct` fold,
+    * so scores hash-match DuckDB `list_inner_product`.
+    */
+  def maxsimTopK(docVectors: DataFrame, queryTokens: DataFrame, k: Int,
+                 roundTo: Int = 6): DataFrame = {
+    import graft.functions.VectorFunctions.dotProduct
+    // the token ids pivot into one max column each and the score is a
+    // STATIC ascending-tok-id chain of adds — a fixed fold order, so
+    // the rounded score is bit-reproducible across engines (the same
+    // portability rule as bm25's static Σ over terms; an unordered
+    // float `sum` agg would be run-dependent in the last bits). Query
+    // size is bounded like bm25's term list.
+    val tokIds = queryTokens.select(col("tok_id")).collect().map(_.getLong(0)).sorted
+    require(tokIds.nonEmpty && tokIds.length <= 64,
+      s"maxsimTopK supports 1..64 query tokens (got ${tokIds.length}): the per-token " +
+        "max columns and the static score chain grow with the query")
+    val maxCols = tokIds.map(t =>
+      max(when(col("tok_id") === t, col("dot"))).as(s"m_$t"))
+    val score = tokIds.map(t => col(s"m_$t")).reduce(_ + _)
+    docVectors.crossJoin(broadcast(queryTokens))
+      .select(col("doc_id"), col("tok_id"),
+        dotProduct(col("embedding"), col("query_vec")).as("dot"))
+      .groupBy(col("doc_id"))
+      .agg(maxCols.head, maxCols.tail: _*)
+      .select(col("doc_id"), round(score, roundTo).as("maxsim"))
+      .orderBy(col("maxsim").desc, col("doc_id"))
+      .limit(k)
+  }
+
   def hybridRrfTopK(documents: DataFrame, embeddings: DataFrame,
                     terms: Seq[String], queryVecId: Long, k: Int,
                     kRrf: Int = 60, poolK: Int = 20,

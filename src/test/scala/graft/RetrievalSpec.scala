@@ -121,4 +121,43 @@ class RetrievalSpec extends AnyFunSuite {
     assert(rows(2).isNullAt(2), "doc outside the lexical pool has null lex_rank")
     assert(rows(2).getLong(3) == 3L)
   }
+
+  test("maxsimTopK: each query token matches its best doc token; max (not sum) over doc tokens") {
+    // doc 0 holds both axis vectors, doc 1 only x (twice — the dup
+    // must NOT double its score: max, not sum), doc 2 only y.
+    val dv = Seq(
+      (0L, Array(1f, 0f)), (0L, Array(0f, 1f)),
+      (1L, Array(1f, 0f)), (1L, Array(1f, 0f)),
+      (2L, Array(0f, 1f))
+    ).toDF("doc_id", "embedding")
+    val toks = Seq(
+      (0L, Array(2.0, 0.0)), (1L, Array(0.0, 3.0))
+    ).toDF("tok_id", "query_vec")
+    val out = Retrieval.maxsimTopK(dv, toks, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // doc0: max⟨t0,·⟩=2, max⟨t1,·⟩=3 → 5; doc1: 2 + 0 = 2; doc2: 0 + 3 = 3
+    assert(out.toSeq == Seq(0L -> 5.0, 2L -> 3.0, 1L -> 2.0), out.mkString(";"))
+  }
+
+  test("maxsimTopK == brute-force per-token max on a random fixture") {
+    val rnd = new scala.util.Random(7)
+    val dv = (0 until 120).map { i =>
+      (i.toLong / 3, Array.fill(6)(rnd.nextFloat() * 2f - 1f))
+    }.toDF("doc_id", "embedding")
+    val toks = (0 until 3).map { t =>
+      (t.toLong, Array.fill(6)(rnd.nextDouble() * 2 - 1))
+    }.toDF("tok_id", "query_vec")
+    val got = Retrieval.maxsimTopK(dv, toks, k = 40)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val docVecs = dv.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble))).toSeq
+    val qToks = toks.collect().map(r => r.getSeq[Double](1)).toSeq
+    val expected = docVecs.groupBy(_._1).map { case (d, pairs) =>
+      val vs = pairs.map(_._2)
+      d -> BigDecimal(qToks.map(t =>
+        vs.map(v => v.zip(t).map { case (a, b) => a * b }.sum).max).sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toSeq.sortBy { case (d, s) => (-s, d) }.take(40)
+    assert(got === expected)
+  }
 }
