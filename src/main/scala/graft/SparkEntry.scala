@@ -927,6 +927,21 @@ object SparkEntry {
       Ivf.recordDeletes(s, pdir, emb.filter(pmod(col("vec_id"), lit(7)) === 0).select("vec_id"))
       Ivf.topKPartitionedWithDeletes(s, pdir, queryVecOf(emb, 0), 10, nprobe = 2)
     }),
+    // Diversified top-k: best 10 by distance subject to AT MOST 2 per
+    // document source (doc_id ≡ vec_id) — the result-diversity quota
+    // of a serving response. Exact WITHOUT a corpus sort: the constant
+    // per-source cutoff compiles to map-side WindowGroupLimit (the
+    // stratifiedExact shape, plan-pinned), then TakeOrderedAndProject
+    // over the ≤ j·|sources| survivors.
+    "q_diversified_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val docs = Tables.documents(s, dir)
+      val scored = emb.crossJoin(broadcast(queryVecOf(emb, 0)))
+        .select(col("vec_id"),
+          round(l2Distance(col("embedding"), col("query_vec")), 6).as("dist"))
+        .join(docs.select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id"))
+      Knn.diversifiedTopK(scored, col("source"), col("dist"), col("vec_id"), k = 10, j = 2)
+    }),
     // RANGE search — "everything within r of the query", the k-unknown
     // twin of top-k that dedup/matching pipelines ask. Served from the
     // same cell-partitioned layout; cells are skipped by the triangle-
@@ -1470,6 +1485,19 @@ object SparkEntry {
     // insert layout under frozen centroids must serve exactly like a
     // single-pass build — THAT is the checked claim
     "q_ivf_insert_topk" -> duckIvfTopK,
+    // diversified top-k: per-source quota first (rows beyond a
+    // source's 2nd can never appear), then the global cut
+    "q_diversified_topk" ->
+      s"""WITH q AS (SELECT query_vec FROM $duckQueryVec),
+          scored AS (SELECT e.vec_id,
+              round(list_distance(e.embedding::DOUBLE[], q.query_vec), 6) AS dist,
+              d.source
+            FROM embeddings e
+            JOIN documents d ON d.doc_id = e.vec_id
+            JOIN q ON true),
+          quota AS (SELECT * FROM scored
+            QUALIFY row_number() OVER (PARTITION BY source ORDER BY dist, vec_id) <= 2)
+          SELECT vec_id, dist, source FROM quota ORDER BY dist, vec_id LIMIT 10""",
     // range search: the cell pruning is lossless (triangle
     // inequality), so the oracle is the plain full-scan filter — that
     // equality IS the checked claim

@@ -130,4 +130,34 @@ object Knn {
       .filter(col("rn") <= k)
       .select(col("src_id"), col("nbr_id"), col("dist"))
   }
+
+  /** Exact diversified top-k: the best `k` rows of `scored` by
+    * `score` subject to AT MOST `j` per `group` — the result-diversity
+    * quota every serving tier ends up needing (≤ j hits per source /
+    * domain / near-dup cluster in a recommendation or retrieval
+    * response).
+    *
+    * Exact in two stages, neither of which sorts the input corpus:
+    * rows beyond a group's j-th can NEVER appear in the answer, so a
+    * CONSTANT-cutoff per-group rank prunes first — which Catalyst
+    * compiles to `WindowGroupLimit`, truncating each task's partition
+    * to j rows per group BEFORE the window exchange (the
+    * `stratifiedExact` shape, immune to group skew — never a
+    * parallelism-equals-#groups sort); the global
+    * `orderBy(...).limit(k)` over the ≤ j·|groups| survivors then
+    * plans as `TakeOrderedAndProject` (plan-pinned).
+    *
+    * `asc = true` ranks ascending (distances); `false` descending
+    * (similarities/scores). Ties break on `id` in both stages.
+    */
+  def diversifiedTopK(scored: DataFrame, group: Column, score: Column, id: Column,
+                      k: Int, j: Int, asc: Boolean = true): DataFrame = {
+    require(j >= 1 && k >= 1, s"need j >= 1 and k >= 1 (got j=$j, k=$k)")
+    val ord = if (asc) Seq(score.asc, id.asc) else Seq(score.desc, id.asc)
+    val w = Window.partitionBy(group).orderBy(ord: _*)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= j).drop("rn")
+      .orderBy(ord: _*)
+      .limit(k)
+  }
 }

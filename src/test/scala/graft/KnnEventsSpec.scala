@@ -77,4 +77,25 @@ class KnnEventsSpec extends AnyFunSuite {
     assert(out.map(_.getLong(2)).toSeq === Seq(2L, 1L))
     assert(out.map(_.getDouble(3)).toSeq === Seq(3.0, 4.0))
   }
+
+  test("diversifiedTopK: per-group quota binds, displaced rows backfill from other groups") {
+    import org.apache.spark.sql.functions.col
+    // group a holds the 3 best scores but only 2 may appear; rank 3
+    // overall must then be b's best (score 4), not a's third (3)
+    val scored = Seq(
+      (1L, 1.0, "a"), (2L, 2.0, "a"), (3L, 3.0, "a"),
+      (4L, 4.0, "b"), (5L, 5.0, "b"), (6L, 6.0, "c")
+    ).toDF("vec_id", "dist", "source")
+    val got = graft.operators.Knn
+      .diversifiedTopK(scored, col("source"), col("dist"), col("vec_id"), k = 4, j = 2)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(got === Seq((1L, "a"), (2L, "a"), (4L, "b"), (5L, "b")))
+
+    // desc ranking flips which rows survive the quota
+    val gotDesc = graft.operators.Knn
+      .diversifiedTopK(scored, col("source"), col("dist"), col("vec_id"),
+        k = 3, j = 1, asc = false)
+      .collect().map(_.getLong(0)).toSeq
+    assert(gotDesc === Seq(6L, 5L, 3L))
+  }
 }

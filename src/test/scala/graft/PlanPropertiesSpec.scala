@@ -188,6 +188,20 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"partitions must pre-truncate per stratum before the exchange:\n$p")
   }
 
+  test("q_diversified_topk: per-group quota is a WindowGroupLimit, final cut a TakeOrdered — no corpus sort") {
+    val p = plan("q_diversified_topk")
+    assert(p.contains("WindowGroupLimit"),
+      s"the constant per-source cutoff must pre-truncate map-side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the global k over quota survivors must be a heap cut, not a sort:\n$p")
+  }
+
+  test("q_range_search: eligible cells form a partition filter on the layout") {
+    val p = plan("q_range_search")
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      s"range serve must partition-prune by cell:\n$p")
+  }
+
   test("q_dedup_incremental: md5 anti-join, corpus reduced to distinct digests before the join") {
     val p = plan("q_dedup_incremental")
     assert(p.contains("LeftAnti"), s"known content must drop via anti join:\n$p")
