@@ -58,4 +58,24 @@ object StreamingAnn {
         Hnsw.appendGeneration(batch.toDF(), indexDir, p)
       }
       .start()
+
+  /** Streaming maintenance of a cell-partitioned IVF layout: each
+    * micro-batch of `(vec_id, embedding)` rows appends cell-locally
+    * through [[graft.operators.Ivf.insertInto]] — assignment against
+    * the layout's frozen `_centroids` sidecar, only the receiving
+    * `cell=` subtrees gain files, so per-batch I/O is O(batch) and the
+    * probe scan of concurrent readers picks each appended file up as
+    * it lands (Parquet is immutable-file append — readers never see a
+    * torn row). The flat-layout twin of [[maintainIndex]]: no graph to
+    * rebuild means no generation swap is needed; a streamed layout is
+    * IDENTICAL to a batch-built one (StreamingMultimodalSpec pins
+    * serving equality).
+    */
+  def maintainIvf(newVectors: DataFrame, layoutDir: String): StreamingQuery =
+    newVectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        graft.operators.Ivf.insertInto(batch.sparkSession, layoutDir, batch.toDF())
+      }
+      .start()
 }

@@ -208,6 +208,50 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(fromStream === fromBatch)
   }
 
+  test("streaming IVF maintenance: micro-batch cell appends == single-pass layout; serves mid-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Ivf
+    val all = (0L until 150L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(8)(rnd.nextFloat() * 100f))
+    }
+    val (baseRows, freshRows) = all.splitAt(100)
+    val (fresh1, fresh2) = freshRows.splitAt(25)
+    val cents = Ivf.centroids(all.toDF("vec_id", "embedding"), 8)
+    val dir = java.nio.file.Files.createTempDirectory("stream_ivf").toString
+    Ivf.writePartitionedWith(baseRows.toDF("vec_id", "embedding"), cents, dir)
+
+    val oneQuery = all.take(1).toDF("vec_id", "embedding")
+      .select(graft.functions.VectorFunctions.perturbQuery(col("embedding")).as("query_vec"))
+    def serve() = Ivf.topKPartitioned(spark, dir, oneQuery, 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamingAnn.maintainIvf(mem.toDF().toDF("vec_id", "embedding"), dir)
+    try {
+      mem.addData(fresh1: _*)
+      q.processAllAvailable()
+      // MID-STREAM: the first batch's rows already serve (nprobe=C —
+      // every cell probed, so the full corpus-so-far is visible)
+      val mid = serve()
+      val midDir = java.nio.file.Files.createTempDirectory("stream_ivf_mid").toString
+      Ivf.writePartitionedWith((baseRows ++ fresh1).toDF("vec_id", "embedding"), cents, midDir)
+      assert(mid === Ivf.topKPartitioned(spark, midDir, oneQuery, 10, nprobe = 8)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+        "mid-stream serving must equal a layout built from the rows so far")
+      mem.addData(fresh2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val fullDir = java.nio.file.Files.createTempDirectory("stream_ivf_full").toString
+    Ivf.writePartitionedWith(all.toDF("vec_id", "embedding"), cents, fullDir)
+    assert(serve() === Ivf.topKPartitioned(spark, fullDir, oneQuery, 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+      "post-stream serving must equal the single-pass layout over all rows")
+    assert(spark.read.parquet(dir).count() === 150L,
+      "every streamed row must land exactly once")
+  }
+
   test("streaming dedup drops in-watermark duplicate event ids before aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double, Long)]
