@@ -312,6 +312,23 @@ object SparkEntry {
   /** The perturbed query BATCH (q_knn_batch protocol, first `qn` ids)
     * as a CTE body: `(query_id, query_vec)`.
     */
+  /** Late-interaction maxsim (mirrors Retrieval.maxsimTopK AND the
+    * nprobe=C pruned form): per (doc, query-token) max inner product,
+    * summed in the SAME static ascending-tok order as the engine's
+    * score chain (fixed float fold).
+    */
+  private lazy val duckMaxsimTopK: String =
+    s"""WITH qt AS (SELECT query_id AS tok_id, query_vec FROM ${duckQueryBatch(4)}),
+        dv AS (SELECT vec_id // 4 AS doc_id, embedding::DOUBLE[] AS v FROM embeddings),
+        best AS (SELECT d.doc_id,
+                   ${(0 until 4).map(t =>
+                     s"max(CASE WHEN q.tok_id = $t THEN list_inner_product(d.v, q.query_vec) END) AS m_$t")
+                     .mkString(", ")}
+                 FROM dv d, qt q GROUP BY d.doc_id)
+        SELECT doc_id, round(${(0 until 4).map(t => s"m_$t").mkString(" + ")}, 6) AS maxsim
+        FROM best
+        ORDER BY maxsim DESC, doc_id LIMIT 10"""
+
   private def duckQueryBatch(qn: Int): String =
     s"""(SELECT vec_id AS query_id,
           [CAST(embedding[1] AS DOUBLE)+1.0, CAST(embedding[2] AS DOUBLE)-1.0]
@@ -927,6 +944,21 @@ object SparkEntry {
       Ivf.recordDeletes(s, pdir, emb.filter(pmod(col("vec_id"), lit(7)) === 0).select("vec_id"))
       Ivf.topKPartitionedWithDeletes(s, pdir, queryVecOf(emb, 0), 10, nprobe = 2)
     }),
+    // The 100-TB maxsim form: doc TOKEN vectors live in the
+    // cell-partitioned layout, each query token probes nprobe cells,
+    // the scan prunes to the union — scoring touches ~T·nprobe/C of
+    // the doc-vector files. Declared at nprobe=C (exact — the
+    // q_knn_rewrite_topk pattern), sharing q_maxsim_topk's full-scan
+    // oracle; pruned operation is spec-pinned (RetrievalSpec).
+    "q_maxsim_pruned_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pdir = ivfCellsDir(s, dir, "c16")
+      Ivf.ensurePartitioned(emb, 16, pdir)
+      val toks = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("tok_id"), perturbQuery(col("embedding")).as("query_vec"))
+      Retrieval.maxsimTopKPruned(s, pdir, toks,
+        v => floor(v / 4).cast("long"), 10, nprobe = 16)
+    }),
     // Diversified top-k: best 10 by distance subject to AT MOST 2 per
     // document source (doc_id ≡ vec_id) — the result-diversity quota
     // of a serving response. Exact WITHOUT a corpus sort: the constant
@@ -1392,6 +1424,10 @@ object SparkEntry {
 
     // ---- events ----
     "q_events_tumbling" -> ((s, dir) => Events.tumblingCounts(Tables.events(s, dir))),
+    // SLIDING 2h windows advancing hourly: the window() generator
+    // expands each event into its 2 windows map-side, then ONE
+    // (window, type) hash agg — no self-join, no range join.
+    "q_events_sliding" -> ((s, dir) => Events.slidingCounts(Tables.events(s, dir))),
     "q_asof_attribution" -> ((s, dir) => AsofJoin.purchaseAttribution(Tables.events(s, dir))),
     "q_sessionize" -> ((s, dir) => Events.sessionize(Tables.events(s, dir))),
     "q_top_purchasers" -> ((s, dir) => Events.topPurchasers(Tables.events(s, dir))),
@@ -1427,6 +1463,11 @@ object SparkEntry {
     "q_orders_priority" -> ((s, dir) => Relational.ordersByPriority(Tables.orders(s, dir))),
     "q_revenue_brand" -> ((s, dir) => Relational.revenueByBrand(s, dir)),
     "q_segment_status" -> ((s, dir) => Relational.segmentStatus(s, dir)),
+    // Declared as a CORRELATED scalar subquery; Catalyst decorrelates
+    // it into ONE per-customer aggregate + equi-join (plan-pinned) —
+    // the optimizer contract that makes the declarative form safe at
+    // any scale.
+    "q_orders_above_avg" -> ((s, dir) => Relational.ordersAboveCustomerAvg(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1736,17 +1777,11 @@ object SparkEntry {
           ORDER BY bm25 DESC, doc_id LIMIT 10""",
     // maxsim: per (doc, query-token) max inner product, summed in the
     // SAME static ascending-tok order as the engine's score chain
-    "q_maxsim_topk" ->
-      s"""WITH qt AS (SELECT query_id AS tok_id, query_vec FROM ${duckQueryBatch(4)}),
-          dv AS (SELECT vec_id // 4 AS doc_id, embedding::DOUBLE[] AS v FROM embeddings),
-          best AS (SELECT d.doc_id,
-                     ${(0 until 4).map(t =>
-                       s"max(CASE WHEN q.tok_id = $t THEN list_inner_product(d.v, q.query_vec) END) AS m_$t")
-                       .mkString(", ")}
-                   FROM dv d, qt q GROUP BY d.doc_id)
-          SELECT doc_id, round(${(0 until 4).map(t => s"m_$t").mkString(" + ")}, 6) AS maxsim
-          FROM best
-          ORDER BY maxsim DESC, doc_id LIMIT 10""",
+    "q_maxsim_topk" -> duckMaxsimTopK,
+    // the pruned form is declared at nprobe=C, where every cell is
+    // probed and no (doc, token) pair is missing — identical
+    // semantics, partition-filtered physical plan
+    "q_maxsim_pruned_topk" -> duckMaxsimTopK,
     "q_hybrid_rrf" ->
       s"""WITH $duckBm25Ctes,
           lexpool AS (SELECT doc_id, bm25 FROM bmscored WHERE bm25 > 0
@@ -1836,6 +1871,14 @@ object SparkEntry {
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
                  count(*) AS n_events, ${duckDsum("value")} AS sum_value
           FROM $duckEvents e GROUP BY 1, 2""",
+    // each event belongs to the 2 hour-aligned 2h windows covering it
+    "q_events_sliding" ->
+      s"""SELECT window_start, event_type,
+                 count(*) AS n_events, ${duckDsum("value")} AS sum_value
+          FROM (SELECT date_trunc('hour', ts) - to_hours(k) AS window_start,
+                       event_type, value
+                FROM $duckEvents e, range(2) r(k))
+          GROUP BY 1, 2""",
     "q_sessionize" ->
       s"""WITH x AS (SELECT user_id, ts, event_id,
                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
@@ -1947,6 +1990,15 @@ object SparkEntry {
                  ${duckDsum("o_totalprice")} AS sum_price
           FROM orders JOIN customer ON o_custkey = c_custkey
           GROUP BY c_mktsegment, o_orderstatus""",
+    // the same correlated form; both engines decorrelate, and the
+    // threshold's decimal-exact sum / count is bit-identical
+    "q_orders_above_avg" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS o_totalprice
+         FROM orders o
+         WHERE o_totalprice > 1.5 * (
+           SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+           FROM orders i
+           WHERE i.o_custkey = o.o_custkey)""",
     "q_tpch_local_supp" ->
       s"""SELECT n_name, ${duckDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
                  count(*) AS n_lineitems

@@ -31,6 +31,24 @@ object Events {
         count(lit(1)).as("n_events"),
         dsumRounded(col("value")).as("sum_value"))
 
+  /** SLIDING 2-hour windows advancing hourly, per event_type: each
+    * event lands in exactly 2 overlapping windows (Spark's `window()`
+    * generator — a bounded ×(len/slide) row expansion map-side, then
+    * the same single (window, type) hash aggregation as
+    * [[tumblingCounts]]; no self-join, no range join). The
+    * trend-smoothing readout of monitoring/curation dashboards.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        window(col("ts"), "2 hours", "1 hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsumRounded(col("value")).as("sum_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** Gap-based sessionization (30-min inactivity gap): one row per
     * session with bounds and size. Window partitioned by user_id —
     * single shuffle, narrow state.

@@ -316,4 +316,28 @@ object Relational {
         count(lit(1)).as("n_orders"),
         dsumRounded(col("o_totalprice")).as("sum_price"))
   }
+
+  /** Orders priced above 1.5× their own customer's average — declared
+    * as a CORRELATED scalar subquery and left to Catalyst to
+    * DECORRELATE: the optimizer rewrites the per-row subquery into one
+    * per-customer aggregate joined back on `o_custkey` (plan-pinned —
+    * one aggregate + one equi-join, no per-row re-execution, no
+    * cartesian product). The point is the optimizer contract: the
+    * declarative correlated form costs the same as the hand-written
+    * groupBy+join at any scale.
+    */
+  def ordersAboveCustomerAvg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders_corr")
+    // the mean is a DECIMAL-exact sum divided by the count (the
+    // Portable.dsum portability rule) so the comparison threshold is
+    // bit-identical across engines — a float-summed avg would make
+    // boundary rows run-dependent
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS o_totalprice
+         FROM graft_orders_corr o
+         WHERE o_totalprice > 1.5 * (
+           SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+           FROM graft_orders_corr i
+           WHERE i.o_custkey = o.o_custkey)""")
+  }
 }

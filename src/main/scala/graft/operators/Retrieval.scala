@@ -181,6 +181,55 @@ object Retrieval {
       .limit(k)
   }
 
+  /** [[maxsimTopK]] served from a cell-partitioned doc-vector layout
+    * (`Ivf.ensurePartitioned*` over the token-vector table) — the
+    * 100-TB form: each query token probes its `nprobe` nearest cells
+    * and the scan is pruned to the UNION of probed cells, so scoring
+    * touches ~|tokens|·nprobe/C of the doc-vector files instead of
+    * the corpus. `docIdOf` maps a stored `vec_id` to its document.
+    *
+    * Approximate: a document token outside every probed cell
+    * contributes nothing; a (doc, token) pair with NO surviving dot
+    * scores that token as 0 — the conventional no-match floor (note
+    * it can exceed a true NEGATIVE best-dot; on similarity-normalized
+    * corpora best-dots are non-negative and the floor is exact-or-
+    * under, never over). At `nprobe = C`
+    * every cell is probed, no pair is missing, and the result is
+    * EXACTLY [[maxsimTopK]] (spec-pinned; the declared query runs at
+    * nprobe = C against the same full-scan oracle, the
+    * `q_knn_rewrite_topk` pattern — machinery oracled exact, pruning
+    * exercised by spec/bench).
+    */
+  def maxsimTopKPruned(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       queryTokens: DataFrame, docIdOf: Column => Column,
+                       k: Int, nprobe: Int, roundTo: Int = 6): DataFrame = {
+    import graft.functions.VectorFunctions.dotProduct
+    val tokIds = queryTokens.select(col("tok_id")).collect().map(_.getLong(0)).sorted
+    require(tokIds.nonEmpty && tokIds.length <= 64,
+      s"maxsimTopKPruned supports 1..64 query tokens (got ${tokIds.length})")
+    // per-token probes ride the batch machinery (tok_id plays query_id)
+    val probes = Ivf.batchProbePairs(spark, dir,
+      queryTokens.select(col("tok_id").as("query_id"), col("query_vec")), nprobe)
+      .select(col("query_id").as("tok_id"), col("cell"))
+    val unionCells = probes.select("cell").distinct().collect().map(_.getLong(0))
+    val pruned = spark.read.parquet(dir)
+      .filter(col("cell").isin(unionCells.toIndexedSeq: _*)) // partition-pruned
+    val maxCols = tokIds.map(t =>
+      max(when(col("tok_id") === t, col("dot"))).as(s"m_$t"))
+    // a token with no surviving (doc, token) dot floors at 0
+    val score = tokIds.map(t => coalesce(col(s"m_$t"), lit(0.0))).reduce(_ + _)
+    pruned
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(queryTokens), Seq("tok_id"))
+      .select(docIdOf(col("vec_id")).as("doc_id"), col("tok_id"),
+        dotProduct(col("embedding"), col("query_vec")).as("dot"))
+      .groupBy(col("doc_id"))
+      .agg(maxCols.head, maxCols.tail: _*)
+      .select(col("doc_id"), round(score, roundTo).as("maxsim"))
+      .orderBy(col("maxsim").desc, col("doc_id"))
+      .limit(k)
+  }
+
   def hybridRrfTopK(documents: DataFrame, embeddings: DataFrame,
                     terms: Seq[String], queryVecId: Long, k: Int,
                     kRrf: Int = 60, poolK: Int = 20,

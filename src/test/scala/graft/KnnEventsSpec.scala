@@ -78,6 +78,20 @@ class KnnEventsSpec extends AnyFunSuite {
     assert(out.map(_.getDouble(3)).toSeq === Seq(3.0, 4.0))
   }
 
+  test("sliding 2h/1h windows: every event lands in exactly 2 windows; counts overlap correctly") {
+    import java.sql.Timestamp
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:15:00"), 1L, "view", 1.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 10:45:00"), 1L, "view", 2.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-01 11:30:00"), 2L, "view", 4.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.slidingCounts(ev).orderBy("window_start").collect()
+    // windows: 09:00 (e1,e2), 10:00 (e1,e2,e3), 11:00 (e3)
+    assert(out.map(_.getLong(2)).toSeq === Seq(2L, 3L, 1L))
+    assert(out.map(_.getDouble(3)).toSeq === Seq(3.0, 7.0, 4.0))
+    assert(out.map(_.getLong(2)).sum === 2 * ev.count(), "each event in exactly 2 windows")
+  }
+
   test("diversifiedTopK: per-group quota binds, displaced rows backfill from other groups") {
     import org.apache.spark.sql.functions.col
     // group a holds the 3 best scores but only 2 may appear; rank 3

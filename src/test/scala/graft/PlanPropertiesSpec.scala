@@ -202,6 +202,21 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"range serve must partition-prune by cell:\n$p")
   }
 
+  test("q_maxsim_pruned_topk: token probes form a partition filter on the doc-vector layout") {
+    val p = plan("q_maxsim_pruned_topk")
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      s"pruned maxsim must partition-prune by cell:\n$p")
+  }
+
+  test("q_orders_above_avg: the correlated subquery decorrelates to one aggregate + equi-join") {
+    val p = plan("q_orders_above_avg")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"decorrelation must not leave a per-row or cross join:\n$p")
+    assert(p.contains("HashAggregate"), s"the per-customer mean must be ONE aggregate:\n$p")
+    assert(p.contains("Join") && p.contains("o_custkey"),
+      s"the aggregate must join back on the correlation key:\n$p")
+  }
+
   test("q_dedup_incremental: md5 anti-join, corpus reduced to distinct digests before the join") {
     val p = plan("q_dedup_incremental")
     assert(p.contains("LeftAnti"), s"known content must drop via anti join:\n$p")

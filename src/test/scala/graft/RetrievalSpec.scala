@@ -139,6 +139,45 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(0L -> 5.0, 2L -> 3.0, 1L -> 2.0), out.mkString(";"))
   }
 
+  test("maxsimTopKPruned: nprobe=C == exact maxsim; small nprobe prunes yet finds the clustered winner") {
+    import graft.operators.Ivf
+    // 3 well-separated blobs; docs of 2 consecutive token vectors
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 90L).map { i =>
+      val c = (i % 3) * 50.0f
+      (i, Array.fill(6)(c + rnd.nextFloat()))
+    }
+    val dv = vecs.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("maxsim_pruned").toString
+    Ivf.writePartitionedWith(dv, Ivf.centroids(dv, 6), dir)
+    val toks = vecs.take(2).map { case (i, v) => (i, v.map(_.toDouble)) }
+      .toDF("tok_id", "query_vec")
+    val docIdOf = (v: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.functions.floor(v / 2).cast("long")
+
+    val exact = Retrieval.maxsimTopK(
+      dv.select(docIdOf(col("vec_id")).as("doc_id"), col("embedding")), toks, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = Retrieval.maxsimTopKPruned(spark, dir, toks, docIdOf, 10, nprobe = 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full === exact, "nprobe=C must reproduce exact maxsim bit-for-bit")
+
+    // small nprobe: hidden tokens can only LOWER a doc's score (all
+    // dots are non-negative in this fixture, so the 0-floor is also a
+    // lower bound) — pruned scores are bounded by the exact scores,
+    // and the probed blobs' docs still fill the result
+    val exactAll = Retrieval.maxsimTopK(
+      dv.select(docIdOf(col("vec_id")).as("doc_id"), col("embedding")), toks, 45)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pruned = Retrieval.maxsimTopKPruned(spark, dir, toks, docIdOf, 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pruned.size === 10)
+    pruned.foreach { case (d, s) =>
+      assert(s <= exactAll(d) + 1e-9,
+        s"pruned score for doc $d ($s) must not exceed the exact score (${exactAll(d)})")
+    }
+  }
+
   test("maxsimTopK == brute-force per-token max on a random fixture") {
     val rnd = new scala.util.Random(7)
     val dv = (0 until 120).map { i =>
