@@ -83,6 +83,10 @@ object GraftExtensions {
     *    `dir/documents`.
     *  - `bm25_topk(dir, k, term, ...)`: Okapi BM25 top-k over
     *    `dir/documents` for a variadic bag of query terms.
+    *  - `range_search(dir, radius)`: every vector within `radius` of
+    *    the protocol query (full-scan form — the `q_range_search`
+    *    oracle semantics; the layout-pruned form is the Column API's
+    *    `Ivf.rangeSearch`).
     */
   val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] = Seq(
     (FunctionIdentifier("knn_topk"), info("knn_topk"),
@@ -103,6 +107,21 @@ object GraftExtensions {
         require(args.length >= 3, "bm25_topk(dir, k, term, ...)")
         Retrieval.bm25TopK(Tables.documents(spark, asString(args(0))),
           args.drop(2).map(asString), asInt(args(1)))
+      }),
+    (FunctionIdentifier("range_search"), info("range_search"),
+      tvf("range_search") { (spark, args) =>
+        require(args.length == 2, "range_search(dir, radius)")
+        val emb = Tables.embeddings(spark, asString(args(0)))
+        val q = emb.filter(col("vec_id") === 0)
+          .select(perturbQuery(col("embedding")).as("query_vec"))
+        val r = asDouble(args(1))
+        import org.apache.spark.sql.functions.round
+        emb.crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(graft.functions.VectorFunctions.l2Distance(
+              col("embedding"), col("query_vec")), 6).as("dist"))
+          .filter(col("dist") <= r)
+          .orderBy(col("dist"), col("vec_id"))
       }))
 
   /** Register on an already-created session (tests, notebooks). */

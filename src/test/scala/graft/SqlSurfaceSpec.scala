@@ -43,6 +43,18 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(fromSql.length === 10)
   }
 
+  test("SQL TVF range_search(dir, radius) matches the declared layout-served query") {
+    GraftExtensions.register(spark)
+    val fromSql = spark.sql(s"SELECT * FROM range_search('$sf', 1.8)")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // the layout-pruned declared form has identical semantics (the
+    // pruning is lossless) — the TVF must reproduce it exactly
+    val fromApi = SparkEntry.queries("q_range_search")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromSql === fromApi)
+    assert(fromSql.nonEmpty)
+  }
+
   test("TVFs compose with plain SQL (filter + order over the TVF result)") {
     GraftExtensions.register(spark)
     val top3 = spark.sql(
