@@ -999,6 +999,16 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
       Ivf.rangeSearchBatch(s, pdir, qs, radius = 1.8)
     }),
+    // COSINE range search — "everything at least this similar": the
+    // similarity floor is an L2 ball on the unit sphere
+    // (cos = 1 − ‖û−v̂‖²/2), so it rides the SAME lossless radii
+    // pruning as q_range_search, served from the cosine layout.
+    "q_cosine_range_search" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pdir = ivfCellsDir(s, dir, "cos16")
+      Ivf.ensurePartitionedCosine(emb, 16, pdir)
+      Ivf.cosineRangeSearch(s, pdir, queryVecOf(emb, 0), minSim = 0.15)
+    }),
     // The APPEND half of the lifecycle on the IVF serving tier
     // (q_ivf_tombstone_topk is the remove half): the layout is built
     // from 4/5 of the corpus, then the remaining 1/5 arrives through
@@ -1555,6 +1565,24 @@ object SparkEntry {
           FROM embeddings e JOIN qb q ON true
           WHERE round(list_distance(e.embedding::DOUBLE[], q.query_vec), 6) <= 1.8
           ORDER BY q.query_id, dist, e.vec_id""",
+    // cosine range: normalize both sides, diff-list score (the exact
+    // engine fold), plain full-scan similarity filter — the cell
+    // pruning is lossless so no probe CTEs appear
+    "q_cosine_range_search" ->
+      s"""WITH n AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)
+                / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+            FROM embeddings),
+          q0 AS (SELECT query_vec FROM $duckQueryVec),
+          q AS (SELECT list_transform(query_vec,
+                  x -> x / sqrt(list_inner_product(query_vec, query_vec))) AS qv FROM q0),
+          diffs AS (SELECT n.vec_id,
+                      list_transform(range(1, len(n.v)+1), i -> n.v[i] - q.qv[i]) AS d
+                    FROM n JOIN q ON true)
+          SELECT vec_id, round(1.0 - list_inner_product(d, d) / 2.0, 6) AS cos_sim
+          FROM diffs
+          WHERE round(1.0 - list_inner_product(d, d) / 2.0, 6) >= 0.15
+          ORDER BY cos_sim DESC, vec_id""",
 
     "q_lang_id" -> {
       val scores = TextAnalysis.stopwords.map { case (l, ws) =>

@@ -436,6 +436,48 @@ object Ivf {
       .orderBy(col("query_id"), col("dist"), col("vec_id"))
   }
 
+  /** [[rangeSearch]] under the layout's `_deletes` tombstones — the
+    * takedown contract on the range path (same sidecar as
+    * [[topKPartitionedWithDeletes]]): recorded ids never appear in a
+    * range result, no layout rewrite.
+    */
+  def rangeSearchWithDeletes(spark: org.apache.spark.sql.SparkSession, dir: String,
+                             queries: DataFrame, radius: Double,
+                             roundTo: Int = 6): DataFrame =
+    rangeSearch(spark, dir, queries, radius, roundTo,
+      excluded = Tombstones.ids(spark, dir))
+
+  /** COSINE range search over an [[ensurePartitionedCosine]] layout:
+    * every vector with cosine similarity ≥ `minSim` to the query. On
+    * the unit sphere `cos = 1 − ‖û−v̂‖²/2`, so the similarity floor is
+    * the L2 ball of radius `√(2(1−minSim))` around the normalized
+    * query — the SAME lossless triangle-inequality cell pruning as
+    * [[rangeSearch]] (the bound carries the rounding margin inside
+    * the radicand, so boundary rows that ROUND up to `minSim` are
+    * never lost). Results are scored in cosine, highest first.
+    */
+  def cosineRangeSearch(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        queries: DataFrame, minSim: Double,
+                        roundTo: Int = 6): DataFrame = {
+    ensureRadii(spark, dir)
+    val qn = normalizedQuery(queries)
+    val r = math.sqrt(2.0 * (1.0 - minSim) + math.pow(10.0, -roundTo))
+    val stored = spark.read.parquet(dir)
+    val cents = spark.read.parquet(s"$dir/_centroids")
+    val radii = spark.read.parquet(s"$dir/_radii")
+    val eligible = cents.join(radii, col("centroid_id") === col("cell"))
+      .crossJoin(broadcast(qn))
+      .filter(l2Distance(col("centroid_vec"), col("query_vec")) - col("radius") <= lit(r))
+      .select(col("centroid_id")).collect().map(_.getLong(0))
+    stored.filter(col("cell").isin(eligible.toIndexedSeq: _*)) // partition-pruned
+      .crossJoin(broadcast(qn))
+      .select(col("vec_id"),
+        round(lit(1.0) - l2DistanceSq(col("embedding"), col("query_vec")) / lit(2.0),
+          roundTo).as("cos_sim"))
+      .filter(col("cos_sim") >= minSim)
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+  }
+
   /** Cell-local incremental insert — the append half of the layout
     * lifecycle ([[compactPartitioned]] is the remove half): assign
     * `rows(vec_id, embedding)` with the layout's own `_centroids`

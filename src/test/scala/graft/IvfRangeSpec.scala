@@ -84,6 +84,56 @@ class IvfRangeSpec extends AnyFunSuite {
     assert((0L until 6L).forall(qid => got.exists(_._1 == qid)))
   }
 
+  test("rangeSearchWithDeletes: tombstoned ids vanish; == layout rebuilt without them") {
+    val dir = Files.createTempDirectory("ivf_range_del").toString
+    val cents = Ivf.centroids(clustered, 8)
+    Ivf.writePartitionedWith(clustered, cents, dir)
+    val q = clustered.filter(col("vec_id") === 0)
+      .select(perturbQuery(col("embedding")).as("query_vec"))
+    val dels = Seq(0L, 4L, 8L).toDF("vec_id")
+    Ivf.recordDeletes(spark, dir, dels)
+    val got = Ivf.rangeSearchWithDeletes(spark, dir, q, 10.0)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(got.forall(r => !Seq(0L, 4L, 8L).contains(r._1)))
+    val cleanDir = Files.createTempDirectory("ivf_range_del_clean").toString
+    Ivf.writePartitionedWith(clustered.filter(!col("vec_id").isin(0L, 4L, 8L)),
+      cents, cleanDir)
+    assert(got === Ivf.rangeSearch(spark, cleanDir, q, 10.0)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq,
+      "tombstone range serving must equal a layout built without the deleted rows")
+  }
+
+  test("cosineRangeSearch == brute-force cosine filter; direction clusters prune") {
+    // directional blobs: all vectors near one of 3 orthogonal axes —
+    // after normalization these are tight caps on the sphere, so a
+    // high similarity floor prunes the other caps' cells
+    val rnd = new scala.util.Random(5)
+    val dirs = Seq(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    val vecs = (0L until 120L).map { i =>
+      val base = dirs((i % 3).toInt)
+      (i, base.map(x => x * 10f + rnd.nextFloat() * 0.5f))
+    }.toDF("vec_id", "embedding").cache()
+    val dir = Files.createTempDirectory("cos_range").toString
+    Ivf.ensurePartitionedCosine(vecs, 6, dir)
+    val q = vecs.filter(col("vec_id") === 0)
+      .select(perturbQuery(col("embedding")).as("query_vec"))
+
+    val got = Ivf.cosineRangeSearch(spark, dir, q, minSim = 0.9)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    // brute force: normalized diff-list score over every vector
+    val qn = Ivf.normalizedQuery(q)
+    val expected = Ivf.normalized(vecs).crossJoin(broadcast(qn))
+      .select(col("vec_id"),
+        round(lit(1.0) - l2DistanceSq(col("embedding"), col("query_vec")) / lit(2.0),
+          6).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.9)
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(got === expected, "pruned cosine range must equal brute force")
+    assert(got.nonEmpty && got.forall(_._1 % 3 == 0),
+      "only the query's own direction cap clears a 0.9 floor")
+  }
+
   test("insertInto drops stale radii so grown cells never under-prune") {
     val dir = Files.createTempDirectory("ivf_range_ins").toString
     val base = clustered.filter(col("vec_id") >= 4)   // blob centers stay seeded
