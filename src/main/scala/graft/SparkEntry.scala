@@ -1009,6 +1009,16 @@ object SparkEntry {
       Ivf.ensurePartitionedCosine(emb, 16, pdir)
       Ivf.cosineRangeSearch(s, pdir, queryVecOf(emb, 0), minSim = 0.15)
     }),
+    // MIPS range — "everything with inner product at least t", the
+    // third range form: in the augmented space the dot floor is an L2
+    // ball whose per-cell bound folds in the sidecar's max norm² —
+    // lossless, same plain full-scan oracle shape.
+    "q_mips_range_search" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pdir = ivfCellsDir(s, dir, "mips16")
+      Ivf.ensurePartitionedMips(emb, 16, pdir)
+      Ivf.mipsRangeSearch(s, pdir, queryVecOf(emb, 0), minDot = 0.3)
+    }),
     // The APPEND half of the lifecycle on the IVF serving tier
     // (q_ivf_tombstone_topk is the remove half): the layout is built
     // from 4/5 of the corpus, then the remaining 1/5 arrives through
@@ -1565,6 +1575,15 @@ object SparkEntry {
           FROM embeddings e JOIN qb q ON true
           WHERE round(list_distance(e.embedding::DOUBLE[], q.query_vec), 6) <= 1.8
           ORDER BY q.query_id, dist, e.vec_id""",
+    // mips range: plain full-scan dot filter (the augmented-space
+    // pruning is lossless; augmented dot ≡ raw dot exactly)
+    "q_mips_range_search" ->
+      s"""WITH q AS (SELECT query_vec FROM $duckQueryVec)
+          SELECT e.vec_id,
+            round(list_inner_product(e.embedding::DOUBLE[], q.query_vec), 6) AS ip
+          FROM embeddings e JOIN q ON true
+          WHERE round(list_inner_product(e.embedding::DOUBLE[], q.query_vec), 6) >= 0.3
+          ORDER BY ip DESC, e.vec_id""",
     // cosine range: normalize both sides, diff-list score (the exact
     // engine fold), plain full-scan similarity filter — the cell
     // pruning is lossless so no probe CTEs appear

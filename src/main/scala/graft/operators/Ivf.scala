@@ -356,7 +356,11 @@ object Ivf {
       spark.read.parquet(dir)
         .join(broadcast(cents), col("cell") === col("centroid_id"))
         .groupBy(col("cell").cast("long").as("cell"))
-        .agg(max(l2Distance(col("embedding"), col("centroid_vec"))).as("radius"))
+        .agg(
+          max(l2Distance(col("embedding"), col("centroid_vec"))).as("radius"),
+          // per-cell max squared norm: the MIPS similarity-floor bound
+          // needs it (d² = ‖q‖² + ‖x‖² − 2·dot); L2/cosine ignore it
+          max(dotProduct(col("embedding"), col("embedding"))).as("normsq"))
         .write.mode("overwrite").parquet(s"$dir/_radii")
     }
   }
@@ -476,6 +480,41 @@ object Ivf {
           roundTo).as("cos_sim"))
       .filter(col("cos_sim") >= minSim)
       .orderBy(col("cos_sim").desc, col("vec_id"))
+  }
+
+  /** MIPS range search over an [[ensurePartitionedMips]] layout: every
+    * vector with inner product ≥ `minDot` — the third member of the
+    * range family (L2 ball, cosine floor, dot floor). In the augmented
+    * space `d(q̂,x̂)² = ‖q̂‖² + ‖x̂‖² − 2·dot(q,x)` (the query's extra
+    * coordinate is 0, so the augmented dot IS the raw dot), so
+    * `dot ≥ t` confines members to an L2 ball whose radius depends on
+    * the member's norm — bounded per cell by the `_radii` sidecar's
+    * max squared norm: a cell is skipped only when
+    * `(d(q̂,c) − rad)² > ‖q̂‖² + maxnormsq(cell) − 2t + margin` (with
+    * `d(q̂,c) > rad`), which no member within the floor can violate —
+    * LOSSLESS, so the oracle is a plain full-scan dot filter.
+    */
+  def mipsRangeSearch(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      queries: DataFrame, minDot: Double,
+                      roundTo: Int = 6): DataFrame = {
+    ensureRadii(spark, dir)
+    val qa = augmentedQuery(queries)
+    val stored = spark.read.parquet(dir)
+    val cents = spark.read.parquet(s"$dir/_centroids")
+    val radii = spark.read.parquet(s"$dir/_radii")
+    val lb = l2Distance(col("centroid_vec"), col("query_vec")) - col("radius")
+    val rsq = dotProduct(col("query_vec"), col("query_vec")) + col("normsq") -
+      lit(2.0 * minDot) + lit(math.pow(10.0, -roundTo))
+    val eligible = cents.join(radii, col("centroid_id") === col("cell"))
+      .crossJoin(broadcast(qa))
+      .filter(lb <= lit(0.0) || lb * lb <= rsq)
+      .select(col("centroid_id")).collect().map(_.getLong(0))
+    stored.filter(col("cell").isin(eligible.toIndexedSeq: _*)) // partition-pruned
+      .crossJoin(broadcast(qa))
+      .select(col("vec_id"),
+        round(dotProduct(col("embedding"), col("query_vec")), roundTo).as("ip"))
+      .filter(col("ip") >= minDot)
+      .orderBy(col("ip").desc, col("vec_id"))
   }
 
   /** Cell-local incremental insert — the append half of the layout

@@ -95,4 +95,49 @@ class MipsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
     got.foreach { case (id, ip) => assert(ips(id) === ip, s"vec $id score mismatch") }
   }
+
+  test("mipsRangeSearch == brute-force dot filter; norm-varied clusters prune") {
+    // two spatial blobs with very different norms: a small-norm blob
+    // near the origin and a large-norm blob far out — the dot floor
+    // can only be cleared by the far blob, and the augmented-space
+    // bound (using per-cell max norm²) must prune the near blob's
+    // cells. Norms vary, so MIPS ≠ cosine here.
+    val rnd = new scala.util.Random(17)
+    val vecs = (0L until 120L).map { i =>
+      val scale = if (i % 2 == 0) 1f else 100f
+      (i, Array.fill(8)(scale + rnd.nextFloat()))
+    }.toDF("vec_id", "embedding").cache()
+    val dir = java.nio.file.Files.createTempDirectory("mips_range").toString
+    Ivf.ensurePartitionedMips(vecs, C, dir)
+    val q = vecs.filter(col("vec_id") === 1L)
+      .select(perturbQuery(col("embedding")).as("query_vec"))
+    val minDot = 70000.0 // far-blob pair dots ~ 8·100.5² ≈ 80k; near-blob pairs ~ 1.2k
+
+    val got = Ivf.mipsRangeSearch(spark, dir, q, minDot)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val expected = vecs.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dotProduct(col("embedding"), col("query_vec")), 6).as("ip"))
+      .filter(col("ip") >= minDot)
+      .orderBy(col("ip").desc, col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === expected, "pruned MIPS range must equal brute force")
+    assert(got.nonEmpty && got.forall(_._1 % 2 == 1),
+      "only the large-norm blob can clear the floor")
+
+    // pruning evidence: re-derive the eligible set the way
+    // mipsRangeSearch does and confirm some cell was skipped
+    val qa = Ivf.augmentedQuery(q)
+    val cents = spark.read.parquet(s"$dir/_centroids")
+    val radii = spark.read.parquet(s"$dir/_radii")
+    val lb = l2Distance(col("centroid_vec"), col("query_vec")) - col("radius")
+    val rsq = dotProduct(col("query_vec"), col("query_vec")) + col("normsq") -
+      lit(2.0 * minDot) + lit(1e-6)
+    val eligible = cents.join(radii, col("centroid_id") === col("cell"))
+      .crossJoin(broadcast(qa))
+      .filter(lb <= lit(0.0) || lb * lb <= rsq)
+      .count()
+    assert(eligible < cents.count(),
+      s"norm-varied fixture must prune: $eligible of ${cents.count()} cells eligible")
+  }
 }
