@@ -87,6 +87,13 @@ object GraftExtensions {
     *    the protocol query (full-scan form — the `q_range_search`
     *    oracle semantics; the layout-pruned form is the Column API's
     *    `Ivf.rangeSearch`).
+    *  - `maxsim_topk(dir, k)`: late-interaction (ColBERT-style) top-k
+    *    over `dir/embeddings` for the multi-vector protocol (4 token
+    *    vectors per doc, query = 4 perturbed tokens — the
+    *    `q_maxsim_topk` semantics).
+    *  - `diversified_topk(dir, k, j)`: best k by L2 to the protocol
+    *    query subject to AT MOST j per document `source` — the
+    *    `q_diversified_topk` semantics.
     */
   val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] = Seq(
     (FunctionIdentifier("knn_topk"), info("knn_topk"),
@@ -122,6 +129,34 @@ object GraftExtensions {
               col("embedding"), col("query_vec")), 6).as("dist"))
           .filter(col("dist") <= r)
           .orderBy(col("dist"), col("vec_id"))
+      }),
+    (FunctionIdentifier("maxsim_topk"), info("maxsim_topk"),
+      tvf("maxsim_topk") { (spark, args) =>
+        require(args.length == 2, "maxsim_topk(dir, k)")
+        val emb = Tables.embeddings(spark, asString(args(0)))
+        import org.apache.spark.sql.functions.floor
+        val docs = emb.select(floor(col("vec_id") / 4).cast("long").as("doc_id"),
+          col("embedding"))
+        val toks = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("tok_id"), perturbQuery(col("embedding")).as("query_vec"))
+        Retrieval.maxsimTopK(docs, toks, asInt(args(1)))
+      }),
+    (FunctionIdentifier("diversified_topk"), info("diversified_topk"),
+      tvf("diversified_topk") { (spark, args) =>
+        require(args.length == 3, "diversified_topk(dir, k, j)")
+        val dir = asString(args(0))
+        val emb = Tables.embeddings(spark, dir)
+        val docs = Tables.documents(spark, dir)
+        val q = emb.filter(col("vec_id") === 0)
+          .select(perturbQuery(col("embedding")).as("query_vec"))
+        import org.apache.spark.sql.functions.round
+        val scored = emb.crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(graft.functions.VectorFunctions.l2Distance(
+              col("embedding"), col("query_vec")), 6).as("dist"))
+          .join(docs.select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id"))
+        Knn.diversifiedTopK(scored, col("source"), col("dist"), col("vec_id"),
+          asInt(args(1)), asInt(args(2)))
       }))
 
   /** Register on an already-created session (tests, notebooks). */

@@ -941,7 +941,10 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val pdir = ivfCellsDir(s, dir, "c16del")
       Ivf.ensurePartitioned(emb, 16, pdir)
-      Ivf.recordDeletes(s, pdir, emb.filter(pmod(col("vec_id"), lit(7)) === 0).select("vec_id"))
+      // recordOnce: re-executions against the memoized layout must not
+      // grow the sidecar (one identical batch per bench/verify run)
+      graft.operators.Tombstones.recordOnce(s, pdir,
+        emb.filter(pmod(col("vec_id"), lit(7)) === 0).select("vec_id"))
       Ivf.topKPartitionedWithDeletes(s, pdir, queryVecOf(emb, 0), 10, nprobe = 2)
     }),
     // The 100-TB maxsim form: doc TOKEN vectors live in the
@@ -987,6 +990,19 @@ object SparkEntry {
       val pdir = ivfCellsDir(s, dir, "c16")
       Ivf.ensurePartitioned(emb, 16, pdir)
       Ivf.rangeSearch(s, pdir, queryVecOf(emb, 0), radius = 1.8)
+    }),
+    // FILTERED range search: the serving predicate ("matches within r
+    // WHERE attr") sits DIRECTLY above the pruned scan — scan-pushable
+    // parts land in PushedFilters (plan-pinned), so filtered rows drop
+    // before any distance arithmetic; the filter narrows candidates,
+    // never widens the probe. Same lossless pruning ⇒ same full-scan-
+    // filter oracle shape as q_range_search.
+    "q_range_search_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pdir = ivfCellsDir(s, dir, "c16")
+      Ivf.ensurePartitioned(emb, 16, pdir)
+      Ivf.rangeSearch(s, pdir, queryVecOf(emb, 0), radius = 1.8,
+        predicate = Some(pmod(col("vec_id"), lit(3)) === 1))
     }),
     // BATCH range search: per-query eligible cells computed executor-
     // side, ONE scan pruned to their union, each candidate scored only
@@ -1212,7 +1228,9 @@ object SparkEntry {
       val pdir = pqDir(s, dir, "ivfpq_del_c16_m4sd16c16i1")
       Pq.ensureEncodedPartitioned(emb, Ivf.centroids(emb, 16),
         Pq.codebooksCached(emb, 4, 16, 16, 1, dir), 4, 16, pdir)
-      Pq.recordDeletes(s, pdir, emb.filter(pmod(col("vec_id"), lit(7)) === 0).select("vec_id"))
+      // recordOnce: idempotent across bench/verify re-executions
+      graft.operators.Tombstones.recordOnce(s, pdir,
+        emb.filter(pmod(col("vec_id"), lit(7)) === 0).select("vec_id"))
       Pq.ivfpqTopKWithDeletes(s, pdir, queryVecOf(emb, 0), 10, nprobe = 4)
     }),
     // The append half on the COMPRESSED tier: fresh rows are encoded
@@ -1329,6 +1347,24 @@ object SparkEntry {
       val toks = emb.filter(col("vec_id") < 4)
         .select(col("vec_id").as("tok_id"), perturbQuery(col("embedding")).as("query_vec"))
       Retrieval.maxsimTopK(docs, toks, 10)
+    }),
+    // BATCH late-interaction serving: Q query token BAGS amortize ONE
+    // pruned scan of the cell-partitioned token-vector layout — per-
+    // (query, token) probes ride the batch join geometry, the per-
+    // (query, doc) score folds best-dots in static ascending-tok_id
+    // order (deterministic float sum), and the bounded-heap aggregate
+    // ranks per query. Declared at nprobe = C (exact — the established
+    // rewrite pattern) against a full-scan oracle; pruned operation
+    // and batch ≡ single are spec-pinned (RetrievalSpec).
+    "q_maxsim_batch_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pdir = ivfCellsDir(s, dir, "c16")
+      Ivf.ensurePartitioned(emb, 16, pdir)
+      val toks = emb.filter(col("vec_id") < 12)
+        .select(floor(col("vec_id") / 4).cast("long").as("query_id"),
+          col("vec_id").as("tok_id"), perturbQuery(col("embedding")).as("query_vec"))
+      Retrieval.maxsimTopKBatch(s, pdir, toks,
+        v => floor(v / 4).cast("long"), 10, nprobe = 16)
     }),
 
     // ---- dedup family ----
@@ -1567,6 +1603,15 @@ object SparkEntry {
           SELECT e.vec_id, round(list_distance(e.embedding::DOUBLE[], q.query_vec), 6) AS dist
           FROM embeddings e JOIN q ON true
           WHERE round(list_distance(e.embedding::DOUBLE[], q.query_vec), 6) <= 1.8
+          ORDER BY dist, e.vec_id""",
+    // filtered range: the predicate composes with the lossless pruning,
+    // so the oracle stays a one-line full-scan filter + the predicate
+    "q_range_search_filtered" ->
+      s"""WITH q AS (SELECT query_vec FROM $duckQueryVec)
+          SELECT e.vec_id, round(list_distance(e.embedding::DOUBLE[], q.query_vec), 6) AS dist
+          FROM embeddings e JOIN q ON true
+          WHERE round(list_distance(e.embedding::DOUBLE[], q.query_vec), 6) <= 1.8
+            AND e.vec_id % 3 = 1
           ORDER BY dist, e.vec_id""",
     "q_range_search_batch" ->
       s"""WITH qb AS (SELECT query_id, query_vec FROM ${duckQueryBatch(8)})
@@ -1825,6 +1870,26 @@ object SparkEntry {
     // maxsim: per (doc, query-token) max inner product, summed in the
     // SAME static ascending-tok order as the engine's score chain
     "q_maxsim_topk" -> duckMaxsimTopK,
+    // batch maxsim at nprobe=C: per-(query, doc, relative-token) best
+    // dot, summed in the SAME static ascending-tok order as the
+    // engine's sorted fold (left-assoc; the fold's 0.0 seed is an IEEE
+    // no-op), ranked per query
+    "q_maxsim_batch_topk" ->
+      s"""WITH qt AS (SELECT b.query_id AS tok_id, b.query_id // 4 AS query_id, b.query_vec
+                      FROM ${duckQueryBatch(12)} b),
+          dv AS (SELECT vec_id // 4 AS doc_id, embedding::DOUBLE[] AS v FROM embeddings),
+          best AS (SELECT q.query_id, d.doc_id,
+                     ${(0 until 4).map(t =>
+                       s"max(CASE WHEN q.tok_id - q.query_id * 4 = $t " +
+                         s"THEN list_inner_product(d.v, q.query_vec) END) AS m_$t")
+                       .mkString(", ")}
+                   FROM dv d, qt q GROUP BY 1, 2),
+          score AS (SELECT query_id, doc_id,
+                      round(${(0 until 4).map(t => s"m_$t").mkString(" + ")}, 6) AS maxsim
+                    FROM best)
+          SELECT query_id, doc_id, maxsim FROM score
+          QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY maxsim DESC, doc_id) <= 10
+          ORDER BY query_id, maxsim DESC, doc_id""",
     // the pruned form is declared at nprobe=C, where every cell is
     // probed and no (doc, token) pair is missing — identical
     // semantics, partition-filtered physical plan

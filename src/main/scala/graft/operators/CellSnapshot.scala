@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot-isolated publication for cell-partitioned index layouts
+  * ([[Ivf]] `cell=` trees, [[Hnsw]] routed `part=` trees, [[Pq]] code
+  * cells). The reference has no storage lifecycle at all (hnsw.cc is a
+  * single in-memory structure); this is the piece that makes the
+  * on-disk layouts SAFE under concurrent readers: published files are
+  * IMMUTABLE — a maintenance operation never deletes or renames a file
+  * a reader could have planned against — and visibility flips through
+  * one atomically-replaced marker, the same write-then-flip discipline
+  * as `Hnsw.appendGeneration`'s `_graft_latest`.
+  *
+  * Physical layout under an index root `dir` (per sub-tree `sub`,
+  * empty for IVF, `nodes`/`edges` for routed HNSW):
+  *
+  *   dir/<sub>/<partCol>=<id>/...          generation-0 subtrees (the
+  *                                         original build — partition
+  *                                         discovery works unchanged)
+  *   dir/_gen/g=<N>/<sub>/<partCol>=<id>/  subtrees REBUILT by
+  *                                         compaction N (N >= 1)
+  *   dir/_manifests/m<V>                   manifest version V: one
+  *                                         "<id> <gen>" line per live
+  *                                         cell (immutable, never
+  *                                         overwritten)
+  *   dir/_graft_snap                       current manifest version —
+  *                                         THE atomic flip point
+  *
+  * Until a first compaction publishes a manifest, no marker exists and
+  * [[read]] is exactly `spark.read.parquet` — zero overhead on the
+  * build-then-serve path. After one, readers resolve the marker once
+  * at plan time and union the per-generation trees filtered to their
+  * live cells; a reader that resolved version V keeps a consistent
+  * view forever, because no file referenced by manifest V is ever
+  * mutated (only [[vacuum]] — an explicitly unsafe-with-old-readers
+  * GC — reclaims superseded subtrees).
+  *
+  * Scale contract: the manifest is O(C) lines (C = cell count, never
+  * data-proportional); compaction writes only the affected cells'
+  * replacement subtrees + one manifest file + one marker flip.
+  */
+private[graft] object CellSnapshot {
+
+  private def markerPath(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/_graft_snap")
+
+  private def manifestPath(dir: String, v: Int) =
+    new org.apache.hadoop.fs.Path(s"$dir/_manifests/m$v")
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Root of generation `g`'s `sub` tree (g = 0 is the original build). */
+  def genRoot(dir: String, sub: String, g: Int): String = {
+    val base = if (g == 0) dir else s"$dir/_gen/g=$g"
+    if (sub.isEmpty) base else s"$base/$sub"
+  }
+
+  private def readSmallFile(spark: SparkSession, p: org.apache.hadoop.fs.Path): Option[String] = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+      finally in.close()
+    }
+  }
+
+  /** Current published snapshot version, if any. */
+  def version(spark: SparkSession, dir: String): Option[Int] =
+    readSmallFile(spark, markerPath(dir)).map(_.trim.toInt)
+
+  /** Current `(version, cell → generation)` manifest, if published. */
+  def mapping(spark: SparkSession, dir: String): Option[(Int, Map[Long, Int])] =
+    version(spark, dir).map { v =>
+      val txt = readSmallFile(spark, manifestPath(dir, v))
+        .getOrElse(throw new IllegalStateException(
+          s"snapshot marker at $dir names manifest m$v, which does not exist"))
+      val m = txt.linesIterator.filter(_.nonEmpty).map { l =>
+        val parts = l.split(' ')
+        parts(0).toLong -> parts(1).toInt
+      }.toMap
+      (v, m)
+    }
+
+  /** Current manifest, synthesizing the implicit version-0 state (every
+    * `partCol=` child of `sub`'s generation-0 tree lives at gen 0) when
+    * none has been published yet.
+    */
+  def mappingOrBase(spark: SparkSession, dir: String, sub: String,
+                    partCol: String): (Int, Map[Long, Int]) =
+    mapping(spark, dir).getOrElse(
+      (0, listParts(spark, genRoot(dir, sub, 0), partCol).map(_ -> 0).toMap))
+
+  /** The `partCol=` child ids of `root` (driver-side listing — O(C)). */
+  def listParts(spark: SparkSession, root: String, partCol: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith(partCol + "="))
+      .map(_.substring(partCol.length + 1).toLong)
+      .sorted
+  }
+
+  /** Snapshot-resolved read of `sub`'s live rows. No manifest → plain
+    * `spark.read.parquet` (identical plan to the pre-snapshot engine);
+    * with one, a union of the per-generation trees each filtered to its
+    * live cells — the cell filters stay partition filters, so probe
+    * pruning composes unchanged.
+    */
+  def read(spark: SparkSession, dir: String, sub: String, partCol: String): DataFrame = {
+    val basePath = genRoot(dir, sub, 0)
+    mapping(spark, dir) match {
+      case None => spark.read.parquet(basePath)
+      case Some((_, m)) =>
+        val base = spark.read.parquet(basePath)
+        val fs = fsOf(spark, dir)
+        val frames = m.groupBy(_._2).toSeq.sortBy(_._1).flatMap { case (g, cells) =>
+          val root = genRoot(dir, sub, g)
+          // a generation whose `sub` tree is empty was never written
+          // (e.g. a rebuilt part with zero edges) — contributes nothing
+          if (g == 0) Some(base.filter(col(partCol).isin(cells.keys.toSeq: _*)))
+          else if (!fs.exists(new org.apache.hadoop.fs.Path(root))) None
+          else Some(spark.read.parquet(root)
+            .filter(col(partCol).isin(cells.keys.toSeq: _*)))
+        }
+        if (frames.isEmpty) base.filter(lit(false))
+        else frames.reduce(_ unionByName _)
+    }
+  }
+
+  /** Publish manifest version `v`: write the (immutable, version-named)
+    * manifest file FIRST, then flip the marker — the only mutation in
+    * the whole lifecycle, and it is a single-file replace. A crash
+    * before the flip leaves the previous snapshot fully live (the
+    * orphan manifest/generation files are inert and overwritten-by-name
+    * on retry); a crash after it leaves the new snapshot fully live.
+    */
+  def publish(spark: SparkSession, dir: String, v: Int, m: Map[Long, Int]): Unit = {
+    val fs = fsOf(spark, dir)
+    val body = m.toSeq.sorted.map { case (c, g) => s"$c $g" }.mkString("\n")
+    val out = fs.create(manifestPath(dir, v), true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val mk = fs.create(markerPath(dir), true)
+    try mk.write(v.toString.getBytes("UTF-8")) finally mk.close()
+  }
+
+  /** Manifest-aware cell append (the insert half of the lifecycle):
+    * rows land in the subtree their cell CURRENTLY lives in, so a
+    * post-compaction insert is visible to the next snapshot read.
+    * Appends only add files — a concurrent reader's planned file list
+    * is unaffected. A cell absent from the manifest (emptied by a
+    * compaction, now receiving rows again) appends into the CURRENT
+    * version's generation tree — guaranteed to hold no superseded
+    * files for it (its gen-0 / older-gen subtrees may still exist for
+    * old readers, so appending there would resurrect them) — and is
+    * re-added to the manifest (one version bump).
+    */
+  def appendAssigned(spark: SparkSession, dir: String, assigned: DataFrame,
+                     partCol: String = "cell"): Unit =
+    mapping(spark, dir) match {
+      case None =>
+        assigned.write.mode("append").partitionBy(partCol).parquet(dir)
+      case Some((v, m)) =>
+        val batchCells = assigned.select(col(partCol).cast("long"))
+          .distinct().collect().map(_.getLong(0))
+        // manifest-absent cells land at gen v (v >= 1 whenever a
+        // manifest exists, so this is never the gen-0 tree)
+        batchCells.groupBy(c => m.getOrElse(c, v)).foreach { case (g, cells) =>
+          assigned.filter(col(partCol).isin(cells.toIndexedSeq: _*))
+            .write.mode("append").partitionBy(partCol).parquet(genRoot(dir, "", g))
+        }
+        val fresh = batchCells.filterNot(m.contains)
+        if (fresh.nonEmpty) publish(spark, dir, v + 1, m ++ fresh.map(_ -> v))
+    }
+
+  /** Drop all snapshot state — called by every full-rebuild writer so a
+    * fresh layout can never resolve a stale manifest.
+    */
+  def reset(spark: SparkSession, dir: String): Unit = {
+    val fs = fsOf(spark, dir)
+    Seq(markerPath(dir), new org.apache.hadoop.fs.Path(s"$dir/_manifests"),
+      new org.apache.hadoop.fs.Path(s"$dir/_gen"))
+      .foreach(p => if (fs.exists(p)) fs.delete(p, true))
+  }
+
+  /** Reclaim superseded subtrees: delete every `partCol=` child (in the
+    * gen-0 tree and each `_gen/g=N` tree, per `sub`) that the CURRENT
+    * manifest does not reference, plus manifests older than current.
+    * UNSAFE under readers still serving a pre-vacuum snapshot — run it
+    * on the takedown pipeline's cadence, after the serving fleet has
+    * re-resolved (the standard snapshot-GC contract). No manifest
+    * published → nothing is superseded → no-op.
+    */
+  def vacuum(spark: SparkSession, dir: String, subs: Seq[String],
+             partCol: String): Unit =
+    mapping(spark, dir).foreach { case (v, m) =>
+      val fs = fsOf(spark, dir)
+      val liveByGen = m.groupBy(_._2).map { case (g, cells) => g -> cells.keySet }
+      val gens = 0 +: listParts(spark, s"$dir/_gen", "g").map(_.toInt)
+      for (g <- gens; sub <- subs) {
+        val root = genRoot(dir, sub, g)
+        val live = liveByGen.getOrElse(g, Set.empty[Long])
+        listParts(spark, root, partCol).filterNot(live.contains).foreach { c =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$root/$partCol=$c"), true)
+        }
+        // a generation with no live cells left: drop its whole dir
+        if (g > 0 && live.isEmpty) {
+          val gdir = new org.apache.hadoop.fs.Path(s"$dir/_gen/g=$g")
+          if (fs.exists(gdir)) fs.delete(gdir, true)
+        }
+      }
+      val mdir = new org.apache.hadoop.fs.Path(s"$dir/_manifests")
+      if (fs.exists(mdir)) fs.listStatus(mdir).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("m") && name.drop(1).toIntOption.exists(_ < v))
+          fs.delete(st.getPath, false)
+      }
+    }
+}

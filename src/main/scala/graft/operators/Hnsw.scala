@@ -603,63 +603,78 @@ object Hnsw {
     // [[compactRouted]] can swap single cells without touching the rest
     assigned.write.mode("overwrite").partitionBy("part").parquet(s"$dir/nodes")
     buildEdgesBy(assigned, p).write.mode("overwrite").partitionBy("part").parquet(s"$dir/edges")
+    // a full rebuild supersedes any snapshot lineage from a previous
+    // routed index at this dir (see CellSnapshot.reset)
+    CellSnapshot.reset(embeddings.sparkSession, dir)
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
   }
+
+  /** Snapshot-resolved reads of a routed index's live node/edge rows —
+    * the read path for routed serving and maintenance. Before the
+    * first [[compactRouted]] these are plain `spark.read.parquet`
+    * (identical plans); after one they resolve the shared
+    * [[CellSnapshot]] manifest (ONE manifest governs both trees, so
+    * nodes and edges can never be read at different generations).
+    */
+  def readRoutedNodes(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    CellSnapshot.read(spark, dir, "nodes", "part")
+
+  def readRoutedEdges(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    CellSnapshot.read(spark, dir, "edges", "part")
+
+  /** Reclaim routed subtrees superseded by [[compactRouted]] — safe
+    * once no reader still serves a pre-vacuum snapshot.
+    */
+  def vacuumRouted(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    CellSnapshot.vacuum(spark, dir, Seq("nodes", "edges"), "part")
 
   /** Fold the tombstones into a ROUTED layout ([[saveRouted]]): ONLY
     * the cells (`part=` subtrees) holding deleted rows are rebuilt — a
     * deletion invalidates its cell's adjacency, so those cells
     * re-insert their remaining rows from scratch (same determinism as
-    * a fresh build) and the rewritten subtrees are swapped in; every
-    * other cell's node and edge files are not touched at all.
-    * Compaction I/O is proportional to the AFFECTED cells (deleted ids
-    * live in ≤ replication·|tombstones| of them), never to the index
-    * size. The sidecar is cleared and the source fingerprint
-    * invalidated — same contract as `Ivf.compactPartitioned`: the
-    * compacted layout no longer derives from its source, and a later
+    * a fresh build). The rebuilt node AND edge subtrees are written as
+    * one new immutable [[CellSnapshot]] generation and published by a
+    * single atomic manifest flip — no published file is ever deleted
+    * or renamed, so a reader that planned against the previous
+    * snapshot keeps a consistent index (nodes and edges at the SAME
+    * generation, no missing cells) while compaction runs; superseded
+    * subtrees are reclaimed by [[vacuumRouted]]. Every other cell's
+    * node and edge files are not touched at all — compaction I/O is
+    * proportional to the AFFECTED cells (deleted ids live in
+    * ≤ replication·|tombstones| of them), never to the index size.
+    * The sidecar is cleared and the source fingerprint invalidated —
+    * same contract as `Ivf.compactPartitioned`: the compacted layout
+    * no longer derives from its source, and a later
     * `ensureSavedRouted` against the UNCHANGED source rebuilds in full
     * (the takedown pipeline must also clean the source of record).
     */
   def compactRouted(spark: org.apache.spark.sql.SparkSession, dir: String,
                     p: Params): Unit = {
     val dels = Tombstones.ids(spark, dir).getOrElse(return)
-    val nodes = spark.read.parquet(s"$dir/nodes")
+    val nodes = readRoutedNodes(spark, dir)
     // affected cell ids: ≤ replication·|tombstones| ints to the driver
-    // (partition-filter + subtree-swap formation)
+    // (partition-filter + manifest-delta formation)
     val affected = nodes.join(broadcast(dels.select("vec_id")), Seq("vec_id"), "left_semi")
-      .select(col("part").cast("int")).distinct().collect().map(_.getInt(0)).toSeq
+      .select(col("part").cast("long")).distinct().collect().map(_.getLong(0))
     if (affected.nonEmpty) {
-      val kept = nodes.filter(col("part").isin(affected: _*)) // partition-pruned read
+      val kept = nodes.filter(col("part").isin(affected.toIndexedSeq: _*)) // partition-pruned
         .join(broadcast(dels.select("vec_id")), Seq("vec_id"), "left_anti")
         .select(col("part").cast("int").as("part"), col("vec_id"),
           col("embedding"), col("level"))
-      val tmpNodes = s"$dir/_graft_compact_nodes"
-      val tmpEdges = s"$dir/_graft_compact_edges"
-      kept.write.mode("overwrite").partitionBy("part").parquet(tmpNodes)
-      buildEdgesBy(kept, p).write.mode("overwrite").partitionBy("part").parquet(tmpEdges)
-      swapParts(spark, tmpNodes, s"$dir/nodes", affected)
-      swapParts(spark, tmpEdges, s"$dir/edges", affected)
+      val (v, m) = CellSnapshot.mappingOrBase(spark, dir, "nodes", "part")
+      val g = v + 1
+      kept.write.mode("overwrite").partitionBy("part")
+        .parquet(CellSnapshot.genRoot(dir, "nodes", g))
+      buildEdgesBy(kept, p).write.mode("overwrite").partitionBy("part")
+        .parquet(CellSnapshot.genRoot(dir, "edges", g))
+      // a part whose every row was deleted has no staged subtree and
+      // simply leaves the manifest
+      val survived = CellSnapshot.listParts(spark,
+        CellSnapshot.genRoot(dir, "nodes", g), "part")
+      CellSnapshot.publish(spark, dir, g, m -- affected ++ survived.map(_ -> g))
     }
     Tombstones.clear(spark, dir)
     IndexMeta.invalidate(spark, dir)
-  }
-
-  /** Swap the rebuilt `part=<k>` subtrees of `tmp` into `dst` for every
-    * k in `affected`, then drop `tmp` — filesystem renames, no
-    * deserialization; a part whose every row was deleted has no staged
-    * subtree and simply disappears.
-    */
-  private def swapParts(spark: org.apache.spark.sql.SparkSession,
-                        tmp: String, dst: String, affected: Seq[Int]): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(dst).getFileSystem(conf)
-    affected.foreach { k =>
-      val d = new org.apache.hadoop.fs.Path(s"$dst/part=$k")
-      val s = new org.apache.hadoop.fs.Path(s"$tmp/part=$k")
-      fs.delete(d, true)
-      if (fs.exists(s)) fs.rename(s, d)
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
   /** [[saveRouted]] once per dir (caller keys the dir by content/params),
@@ -696,11 +711,11 @@ object Hnsw {
     // beam (removing them would sever graph edges and strand whole
     // regions), but they can never appear in results.
     val eligCol = predicate.map(pr => when(pr, 1L).otherwise(0L)).getOrElse(lit(1L))
-    val recs = spark.read.parquet(s"$dir/nodes")
+    val recs = readRoutedNodes(spark, dir)
       .select(col("part"), lit(true).as("is_node"), col("vec_id"),
         eligCol.as("b"), col("level"), col("embedding"))
       .as[ShardRec]
-      .union(edgeRecs(spark.read.parquet(s"$dir/edges")))
+      .union(edgeRecs(readRoutedEdges(spark, dir)))
     val cents = spark.read.parquet(s"$dir/centroids")
     searchCogrouped(recs, routeQueries(queries, cents, nprobe), k, p,
       rebuild = false, filtered = predicate.isDefined)
@@ -720,7 +735,7 @@ object Hnsw {
       case None => searchRoutedWithIndex(spark, dir, queries, k, p, nprobe)
       case Some(dels) =>
         import spark.implicits._
-        val marked = spark.read.parquet(s"$dir/nodes")
+        val marked = readRoutedNodes(spark, dir)
           .join(broadcast(dels.select(col("vec_id")).withColumn("__tomb", lit(true))),
             Seq("vec_id"), "left")
         val recs = marked.select(col("part"), lit(true).as("is_node"), col("vec_id"),

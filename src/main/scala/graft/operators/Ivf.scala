@@ -160,12 +160,59 @@ object Ivf {
     * so the refined layout serves probes with no assignment pass and
     * no Lloyd replay.
     */
-  def writePartitionedWith(embeddings: DataFrame, cents: DataFrame, dir: String): Unit = {
+  def writePartitionedWith(embeddings: DataFrame, cents: DataFrame, dir: String,
+                           kind: String = "plain"): Unit = {
     embeddings
       .join(assignWith(embeddings, cents), Seq("vec_id"))
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    // a full rebuild supersedes any snapshot lineage from a previous
+    // layout at this dir — a stale manifest over fresh cells would
+    // resolve to garbage
+    CellSnapshot.reset(embeddings.sparkSession, dir)
+    writeKind(embeddings.sparkSession, dir, kind)
     cents.write.mode("overwrite").parquet(s"$dir/_centroids")
   }
+
+  /** The vector TRANSFORM the layout's rows carry (`plain` raw floats,
+    * `cosine` normalized doubles, `mips` augmented doubles), recorded
+    * at build time so maintenance entry points can validate instead of
+    * silently mixing element types (`_graft_kind` sidecar; layouts
+    * predating the marker read as `plain`).
+    */
+  def layoutKind(spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_graft_kind")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "plain"
+    else {
+      val in = fs.open(p)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
+      finally in.close()
+    }
+  }
+
+  private def writeKind(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        kind: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_graft_kind")
+    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration).create(p, true)
+    try out.write(kind.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Snapshot-resolved read of the layout's live rows — THE read path
+    * for every serving entry point. Before the first compaction this
+    * is exactly `spark.read.parquet(dir)` (same plan, zero overhead);
+    * after one it resolves the [[CellSnapshot]] manifest, so
+    * maintenance can publish atomically while readers keep a
+    * consistent view (see [[compactPartitioned]]).
+    */
+  def readLayout(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    CellSnapshot.read(spark, dir, "", "cell")
+
+  /** Reclaim subtrees superseded by compactions ([[CellSnapshot.vacuum]]):
+    * storage GC on the takedown pipeline's cadence — safe once no
+    * reader still serves a pre-vacuum snapshot.
+    */
+  def vacuumPartitioned(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    CellSnapshot.vacuum(spark, dir, Seq(""), "cell")
 
   /** [[writePartitioned]] once per dir, with the same content-
     * fingerprint staleness check as `Hnsw.ensureSaved` — the
@@ -186,14 +233,14 @@ object Ivf {
     * k-means-refined serving layout).
     */
   def ensurePartitionedWith(embeddings: DataFrame, cents: DataFrame, dir: String,
-                            tag: String): Unit = {
+                            tag: String, kind: String = "plain"): Unit = {
     val spark = embeddings.sparkSession
     val fp = IndexMeta.cachedFingerprint(dir, s"ivfw_$tag", Seq(embeddings, cents)) {
       IndexMeta.fingerprint(embeddings,
         s"ivfw_$tag;c=${IndexMeta.centroidFingerprint(cents)}")
     }
     if (!IndexMeta.valid(spark, dir, "_SUCCESS", fp)) {
-      writePartitionedWith(embeddings, cents, dir)
+      writePartitionedWith(embeddings, cents, dir, kind)
       IndexMeta.write(spark, dir, fp)
     }
   }
@@ -215,7 +262,7 @@ object Ivf {
                       queries: DataFrame, k: Int, nprobe: Int,
                       roundTo: Int = 6, predicate: Option[Column] = None,
                       excluded: Option[DataFrame] = None): DataFrame = {
-    val stored = spark.read.parquet(dir)
+    val stored = readLayout(spark, dir)
     val cents = spark.read.parquet(s"$dir/_centroids")
     // collect() here moves exactly `nprobe` cell IDS (a handful of
     // longs) to the driver — required to form the partition filter
@@ -274,10 +321,16 @@ object Ivf {
     Tombstones.record(spark, dir, ids)
 
   /** Fold the tombstones into the cell-partitioned layout: ONLY the
-    * `cell=` subtrees that hold deleted rows are rewritten (staged to a
-    * scratch dir, then swapped in); every untouched cell's files are
-    * not touched at all — compaction I/O is proportional to the
-    * AFFECTED cells (≤ |tombstones| of them), never to the layout size.
+    * cells that hold deleted rows are rebuilt — their surviving rows
+    * are written as a NEW immutable generation ([[CellSnapshot]]
+    * `_gen/g=N` subtrees) and the manifest flips atomically; every
+    * untouched cell's files are not touched at all, and no published
+    * file is ever deleted or renamed, so a reader that planned against
+    * the previous snapshot keeps a consistent view (no missing cells)
+    * while — and after — compaction runs. Compaction I/O is
+    * proportional to the AFFECTED cells (≤ |tombstones| of them),
+    * never to the layout size; superseded subtrees are reclaimed by
+    * [[vacuumPartitioned]] on the caller's cadence.
     * The `_deletes` sidecar is cleared and the layout's source
     * fingerprint is invalidated: the compacted layout no longer derives
     * from its source table, so a later `ensurePartitioned` against the
@@ -288,34 +341,27 @@ object Ivf {
     */
   def compactPartitioned(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val dels = Tombstones.ids(spark, dir).getOrElse(return)
-    val stored = spark.read.parquet(dir)
+    val stored = readLayout(spark, dir)
     // affected cell ids: ≤ |tombstones| longs to the driver (needed to
-    // form the partition filter and the subtree swap list)
+    // form the partition filter and the manifest delta)
     // cast: the partition column's read type is inferred (int for small
     // cell ids), while centroid ids are long everywhere else
     val affected = stored.join(broadcast(dels.select("vec_id")), Seq("vec_id"), "left_semi")
       .select(col("cell").cast("long")).distinct().collect().map(_.getLong(0))
     if (affected.nonEmpty) {
-      val tmp = s"$dir/_graft_compact_tmp"
-      // rebuild ONLY the affected cells' rows (partition-pruned read),
-      // staged under a scratch dir (Spark cannot overwrite its input)
-      spark.read.parquet(dir)
-        .filter(col("cell").isin(affected: _*))
+      val (v, m) = CellSnapshot.mappingOrBase(spark, dir, "", "cell")
+      val g = v + 1
+      val out = CellSnapshot.genRoot(dir, "", g)
+      // rebuild ONLY the affected cells' rows (partition-pruned read)
+      // into the next generation's tree — never over the input files
+      stored.filter(col("cell").isin(affected: _*))
         .join(broadcast(dels.select("vec_id")), Seq("vec_id"), "left_anti")
-        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
-      val conf = spark.sparkContext.hadoopConfiguration
-      val base = new org.apache.hadoop.fs.Path(dir)
-      val fs = base.getFileSystem(conf)
-      affected.foreach { cell =>
-        val dst = new org.apache.hadoop.fs.Path(s"$dir/cell=$cell")
-        val src = new org.apache.hadoop.fs.Path(s"$tmp/cell=$cell")
-        fs.delete(dst, true)
-        // a cell whose every row was deleted has no staged subtree — it
-        // simply disappears from the layout (its centroid stays; a probe
-        // of it reads zero rows)
-        if (fs.exists(src)) fs.rename(src, dst)
-      }
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        .write.mode("overwrite").partitionBy("cell").parquet(out)
+      // a cell whose every row was deleted has no staged subtree — it
+      // simply leaves the manifest (its centroid stays; a probe of it
+      // reads zero rows)
+      val survived = CellSnapshot.listParts(spark, out, "cell")
+      CellSnapshot.publish(spark, dir, g, m -- affected ++ survived.map(_ -> g))
     }
     Tombstones.clear(spark, dir)
     // compaction only REMOVES rows, so the stale radii over-estimate —
@@ -353,7 +399,7 @@ object Ivf {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) {
       val cents = spark.read.parquet(s"$dir/_centroids")
-      spark.read.parquet(dir)
+      readLayout(spark, dir)
         .join(broadcast(cents), col("cell") === col("centroid_id"))
         .groupBy(col("cell").cast("long").as("cell"))
         .agg(
@@ -386,9 +432,10 @@ object Ivf {
   def rangeSearch(spark: org.apache.spark.sql.SparkSession, dir: String,
                   queries: DataFrame, radius: Double, roundTo: Int = 6,
                   predicate: Option[Column] = None,
-                  excluded: Option[DataFrame] = None): DataFrame = {
+                  excluded: Option[DataFrame] = None,
+                  ordered: Boolean = true): DataFrame = {
     ensureRadii(spark, dir)
-    val stored = spark.read.parquet(dir)
+    val stored = readLayout(spark, dir)
     val cents = spark.read.parquet(s"$dir/_centroids")
     val radii = spark.read.parquet(s"$dir/_radii")
     // ≤ C eligible cell ids to the driver — the partition filter, same
@@ -399,13 +446,22 @@ object Ivf {
         <= lit(radius) + lit(math.pow(10.0, -roundTo)))
       .select(col("centroid_id")).collect().map(_.getLong(0))
     val pruned = stored.filter(col("cell").isin(eligible.toIndexedSeq: _*))
-    withoutExcluded(predicate.fold(pruned)(pruned.filter), excluded)
+    orderedRange(withoutExcluded(predicate.fold(pruned)(pruned.filter), excluded)
       .crossJoin(broadcast(queries))
       .select(col("vec_id"),
         round(l2Distance(col("embedding"), col("query_vec")), roundTo).as("dist"))
-      .filter(col("dist") <= radius)
-      .orderBy(col("dist"), col("vec_id"))
+      .filter(col("dist") <= radius),
+      ordered, col("dist"), col("vec_id"))
   }
+
+  /** Range results are SETS; the `orderBy` forms are the oracle
+    * anchors (deterministic row order for hashing), but a serving tier
+    * must not pay a global sort of an unbounded result set — `ordered
+    * = false` returns the same rows with no Sort/Exchange at the top
+    * (IvfRangeSpec pins set equality).
+    */
+  private def orderedRange(df: DataFrame, ordered: Boolean, by: Column*): DataFrame =
+    if (ordered) df.orderBy(by: _*) else df
 
   /** BATCH range search: `(query_id, query_vec)` rows in, every
     * `(query_id, vec_id, dist ≤ radius)` pair out. Per-query eligible
@@ -419,9 +475,10 @@ object Ivf {
     */
   def rangeSearchBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
                        queries: DataFrame, radius: Double,
-                       roundTo: Int = 6): DataFrame = {
+                       roundTo: Int = 6, predicate: Option[Column] = None,
+                       ordered: Boolean = true): DataFrame = {
     ensureRadii(spark, dir)
-    val stored = spark.read.parquet(dir)
+    val stored = readLayout(spark, dir)
     val cents = spark.read.parquet(s"$dir/_centroids")
     val radii = spark.read.parquet(s"$dir/_radii")
     val probePairs = cents.join(radii, col("centroid_id") === col("cell"))
@@ -431,13 +488,14 @@ object Ivf {
         <= lit(radius) + lit(math.pow(10.0, -roundTo)))
       .select(col("query_id"), col("centroid_id").as("cell"))
     val unionCells = probePairs.select("cell").distinct().collect().map(_.getLong(0))
-    stored.filter(col("cell").isin(unionCells.toIndexedSeq: _*))
+    val pruned = stored.filter(col("cell").isin(unionCells.toIndexedSeq: _*))
+    orderedRange(predicate.fold(pruned)(pruned.filter) // scan-pushable → PushedFilters
       .join(broadcast(probePairs), Seq("cell"))
       .join(broadcast(queries), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(l2Distance(col("embedding"), col("query_vec")), roundTo).as("dist"))
-      .filter(col("dist") <= radius)
-      .orderBy(col("query_id"), col("dist"), col("vec_id"))
+      .filter(col("dist") <= radius),
+      ordered, col("query_id"), col("dist"), col("vec_id"))
   }
 
   /** [[rangeSearch]] under the layout's `_deletes` tombstones — the
@@ -462,24 +520,26 @@ object Ivf {
     */
   def cosineRangeSearch(spark: org.apache.spark.sql.SparkSession, dir: String,
                         queries: DataFrame, minSim: Double,
-                        roundTo: Int = 6): DataFrame = {
+                        roundTo: Int = 6, predicate: Option[Column] = None,
+                        ordered: Boolean = true): DataFrame = {
     ensureRadii(spark, dir)
     val qn = normalizedQuery(queries)
     val r = math.sqrt(2.0 * (1.0 - minSim) + math.pow(10.0, -roundTo))
-    val stored = spark.read.parquet(dir)
+    val stored = readLayout(spark, dir)
     val cents = spark.read.parquet(s"$dir/_centroids")
     val radii = spark.read.parquet(s"$dir/_radii")
     val eligible = cents.join(radii, col("centroid_id") === col("cell"))
       .crossJoin(broadcast(qn))
       .filter(l2Distance(col("centroid_vec"), col("query_vec")) - col("radius") <= lit(r))
       .select(col("centroid_id")).collect().map(_.getLong(0))
-    stored.filter(col("cell").isin(eligible.toIndexedSeq: _*)) // partition-pruned
+    val pruned = stored.filter(col("cell").isin(eligible.toIndexedSeq: _*)) // partition-pruned
+    orderedRange(predicate.fold(pruned)(pruned.filter) // scan-pushable → PushedFilters
       .crossJoin(broadcast(qn))
       .select(col("vec_id"),
         round(lit(1.0) - l2DistanceSq(col("embedding"), col("query_vec")) / lit(2.0),
           roundTo).as("cos_sim"))
-      .filter(col("cos_sim") >= minSim)
-      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .filter(col("cos_sim") >= minSim),
+      ordered, col("cos_sim").desc, col("vec_id"))
   }
 
   /** MIPS range search over an [[ensurePartitionedMips]] layout: every
@@ -496,10 +556,11 @@ object Ivf {
     */
   def mipsRangeSearch(spark: org.apache.spark.sql.SparkSession, dir: String,
                       queries: DataFrame, minDot: Double,
-                      roundTo: Int = 6): DataFrame = {
+                      roundTo: Int = 6, predicate: Option[Column] = None,
+                      ordered: Boolean = true): DataFrame = {
     ensureRadii(spark, dir)
     val qa = augmentedQuery(queries)
-    val stored = spark.read.parquet(dir)
+    val stored = readLayout(spark, dir)
     val cents = spark.read.parquet(s"$dir/_centroids")
     val radii = spark.read.parquet(s"$dir/_radii")
     val lb = l2Distance(col("centroid_vec"), col("query_vec")) - col("radius")
@@ -509,12 +570,13 @@ object Ivf {
       .crossJoin(broadcast(qa))
       .filter(lb <= lit(0.0) || lb * lb <= rsq)
       .select(col("centroid_id")).collect().map(_.getLong(0))
-    stored.filter(col("cell").isin(eligible.toIndexedSeq: _*)) // partition-pruned
+    val pruned = stored.filter(col("cell").isin(eligible.toIndexedSeq: _*)) // partition-pruned
+    orderedRange(predicate.fold(pruned)(pruned.filter) // scan-pushable → PushedFilters
       .crossJoin(broadcast(qa))
       .select(col("vec_id"),
         round(dotProduct(col("embedding"), col("query_vec")), roundTo).as("ip"))
-      .filter(col("ip") >= minDot)
-      .orderBy(col("ip").desc, col("vec_id"))
+      .filter(col("ip") >= minDot),
+      ordered, col("ip").desc, col("vec_id"))
   }
 
   /** Cell-local incremental insert — the append half of the layout
@@ -538,9 +600,19 @@ object Ivf {
     */
   def insertInto(spark: org.apache.spark.sql.SparkSession, dir: String,
                  rows: DataFrame): Unit = {
+    // raw float rows only fit a raw-float layout: a cosine layout
+    // stores normalized doubles and a MIPS layout augmented doubles —
+    // appending unmodified rows there would drift the parquet schema
+    // and serve silently wrong results, so fail fast on the kind the
+    // layout recorded at build time
+    val kind = layoutKind(spark, dir)
+    require(kind == "plain",
+      s"Ivf.insertInto appends raw float vectors, but the layout at $dir stores " +
+        s"'$kind' vectors (transformed doubles) — rebuild through " +
+        "ensurePartitionedCosine/ensurePartitionedMips instead of appending")
     val cents = spark.read.parquet(s"$dir/_centroids")
-    rows.join(assignWith(rows, cents), Seq("vec_id"))
-      .write.mode("append").partitionBy("cell").parquet(dir)
+    CellSnapshot.appendAssigned(spark, dir,
+      rows.join(assignWith(rows, cents), Seq("vec_id")))
     // inserted rows can EXTEND a cell's covering radius, so a stale
     // `_radii` sidecar would under-estimate and make range pruning
     // lossy — drop it (the next range serve regenerates in one scan)
@@ -629,15 +701,16 @@ object Ivf {
     * ~3× the L2 arithmetic itself). The declarative twin
     * ([[topKPartitionedBatch]]) is the oracle-anchored form; this
     * kernel computes BIT-IDENTICAL distances (same double fold in the
-    * same order as `l2Distance`) and differs ONLY in ranking by the
-    * raw double instead of the 6-dp-rounded value — a divergence
-    * requiring two distinct raw distances that round equal at the
-    * top-k boundary (≈1e-9-relative event; IvfSpec pins equality on
-    * the fixtures). Probe formation, partition pruning, and the
-    * queries-broadcast are identical to the declarative path;
-    * `mapPartitions` is used exactly per the custom-operator ladder —
-    * the semantics (fused multi-query scan + bounded heaps) have no
-    * declarative expression.
+    * same order as `l2Distance`) AND ranks by the same
+    * `roundTo`-rounded key with the same vec_id tie order
+    * ([[roundKey]] replicates Spark `round`'s HALF_UP double
+    * semantics, RoundKeySpec pins the equality) — so fused results are
+    * IDENTICAL to the declarative twin on every input, including
+    * raw-distance ties at the k boundary that round equal. Probe
+    * formation, partition pruning, and the queries-broadcast are
+    * identical to the declarative path; `mapPartitions` is used
+    * exactly per the custom-operator ladder — the semantics (fused
+    * multi-query scan + bounded heaps) have no declarative expression.
     */
   def topKPartitionedBatchFused(spark: org.apache.spark.sql.SparkSession, dir: String,
                                 queries: DataFrame, k: Int, nprobe: Int,
@@ -654,7 +727,7 @@ object Ivf {
         .as[(Long, Long, Array[Double])].collect()
         .groupBy(_._1).map { case (c, arr) => c -> arr.map(t => (t._2, t._3)) }
     val bc = spark.sparkContext.broadcast(qByCell)
-    val pruned = spark.read.parquet(dir)
+    val pruned = readLayout(spark, dir)
       .filter(col("cell").isin(unionCells.toIndexedSeq: _*)) // partition-pruned
       .select(col("cell"), col("vec_id"), col("embedding"))
     val perTask = pruned.as[(Long, Long, Array[Float])].mapPartitions { rows =>
@@ -670,7 +743,7 @@ object Ivf {
             while (j < emb.length) { val d = emb(j).toDouble - qv(j); s += d * d; j += 1 }
             var h = heaps.get(qid)
             if (h == null) { h = new graft.functions.TopKHeap(k); heaps.put(qid, h) }
-            h.offer(math.sqrt(s), vid)
+            h.offer(roundKey(math.sqrt(s), roundTo), vid)
             i += 1
           }
         }
@@ -680,21 +753,36 @@ object Ivf {
         e.getValue.sorted.iterator.map { case (d, vid) => (e.getKey, vid, d) }
       }
     }.toDF("query_id", "vec_id", "dist")
-    // merge the ≤ tasks·k rows per query, then round for portability
+    // merge the ≤ tasks·k rows per query (keys already rounded — the
+    // outer round is an exact no-op kept for schema/plan symmetry with
+    // the declarative twin)
     heapTopKPerQuery(perTask, k, "dist")
       .select(col("query_id"), col("vec_id"), round(col("dist"), roundTo).as("dist"))
   }
+
+  /** Spark `round(col, s)` for a non-negative finite double, replicated
+    * on the JVM side so the fused kernels can rank by the ROUNDED key:
+    * identical HALF_UP decimal semantics (RoundKeySpec property-pins
+    * equality against the Catalyst expression), which makes fused
+    * selection — including k-boundary ties — exactly the declarative
+    * path's.
+    */
+  private[graft] def roundKey(d: Double, s: Int): Double =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** Shared fused-kernel engine for layouts storing DOUBLE vectors
     * (the cosine unit-direction and MIPS augmented tables): one tight
     * per-partition loop scores each pruned candidate against the
     * queries probing its cell into per-query bounded heaps keeping the
     * k SMALLEST `score` values (negate the score for largest-first
-    * rankings). Returns `(query_id, vec_id, key)` with the raw heap
-    * key — callers project the final score column. Same contract as
-    * [[topKPartitionedBatchFused]] (which owns the float raw-vector
-    * layout): identical probe/pruning, bit-identical fold arithmetic,
-    * ranking by the raw double rather than the rounded value.
+    * rankings). `score` must return the FINAL ROUNDED ranking key
+    * (use [[roundKey]]), so heap selection — ties at the k boundary
+    * included — is exactly the declarative twin's (key asc, vec_id
+    * asc). Returns `(query_id, vec_id, key)`; callers project the
+    * final score column (negation only — IEEE-exact). Same
+    * probe/pruning and fold arithmetic as
+    * [[topKPartitionedBatchFused]].
     */
   private def fusedHeapBatchDouble(spark: org.apache.spark.sql.SparkSession, dir: String,
                                    qPrepared: DataFrame, k: Int, nprobe: Int)
@@ -709,7 +797,7 @@ object Ivf {
         .as[(Long, Long, Array[Double])].collect()
         .groupBy(_._1).map { case (c, arr) => c -> arr.map(t => (t._2, t._3)) }
     val bc = spark.sparkContext.broadcast(qByCell)
-    val perTask = spark.read.parquet(dir)
+    val perTask = readLayout(spark, dir)
       .filter(col("cell").isin(unionCells.toIndexedSeq: _*)) // partition-pruned
       .select(col("cell"), col("vec_id"), col("embedding"))
       .as[(Long, Long, Array[Double])].mapPartitions { rows =>
@@ -737,28 +825,29 @@ object Ivf {
 
   /** FUSED batch cosine over an [[ensurePartitionedCosine]] layout —
     * [[cosineTopKPartitionedBatch]]'s throughput kernel: the heap
-    * ranks by the raw unit-sphere squared L2 (ascending ≡ cosine
-    * descending), and the final projection converts `1 − ‖û−v̂‖²/2`
-    * with the same rounding as the declarative twin (same double fold,
-    * so emitted scores are bit-identical; TopKAggSpec pins equality).
+    * ranks by the negated ROUNDED cosine (same double fold and same
+    * rounding as the declarative twin, so selection and emitted
+    * scores are identical on every input; TopKAggSpec pins equality).
     */
   def cosineTopKPartitionedBatchFused(spark: org.apache.spark.sql.SparkSession, dir: String,
                                       queries: DataFrame, k: Int, nprobe: Int,
                                       roundTo: Int = 6): DataFrame = {
     val qn = queries.select(col("query_id"),
       transform(col("query_vec"), x => x / l2Norm(col("query_vec"))).as("query_vec"))
+    // heap key = NEGATED rounded cosine (same double fold as the
+    // declarative `1 − ‖û−v̂‖²/2` then the same rounding), so k-boundary
+    // ties resolve exactly like the oracle-anchored twin
     fusedHeapBatchDouble(spark, dir, qn, k, nprobe) { (e, q) =>
       var s = 0.0; var j = 0
       while (j < e.length) { val d = e(j) - q(j); s += d * d; j += 1 }
-      s
-    }.select(col("query_id"), col("vec_id"),
-      round(lit(1.0) - col("key") / lit(2.0), roundTo).as("cos_sim"))
+      -roundKey(1.0 - s / 2.0, roundTo)
+    }.select(col("query_id"), col("vec_id"), (-col("key")).as("cos_sim"))
   }
 
   /** FUSED batch MIPS over an [[ensurePartitionedMips]] layout —
     * [[mipsTopKPartitionedBatch]]'s throughput kernel: the heap ranks
-    * by the NEGATED raw inner product (k largest), and the final
-    * projection emits the rounded raw dot (IEEE negation is exact).
+    * by the NEGATED rounded inner product (k largest, declarative tie
+    * order), and the final projection un-negates (IEEE-exact).
     */
   def mipsTopKPartitionedBatchFused(spark: org.apache.spark.sql.SparkSession, dir: String,
                                     queries: DataFrame, k: Int, nprobe: Int,
@@ -766,12 +855,12 @@ object Ivf {
     val qa = queries.select(col("query_id"),
       concat(transform(col("query_vec"), x => x.cast("double")), array(lit(0.0)))
         .as("query_vec"))
+    // heap key = NEGATED rounded dot — see the cosine kernel's note
     fusedHeapBatchDouble(spark, dir, qa, k, nprobe) { (e, q) =>
       var s = 0.0; var j = 0
       while (j < e.length) { s += e(j) * q(j); j += 1 }
-      -s
-    }.select(col("query_id"), col("vec_id"),
-      round(-col("key"), roundTo).as("ip"))
+      -roundKey(s, roundTo)
+    }.select(col("query_id"), col("vec_id"), (-col("key")).as("ip"))
   }
 
   /** Shared batch-probe machinery: per-query nprobe nearest cells →
@@ -789,7 +878,7 @@ object Ivf {
   private[operators] def batchPrunedCandidates(spark: org.apache.spark.sql.SparkSession,
                                                dir: String, queries: DataFrame,
                                                nprobe: Int): (DataFrame, DataFrame) = {
-    val stored = spark.read.parquet(dir)
+    val stored = readLayout(spark, dir)
     val probePairs = batchProbePairs(spark, dir, queries, nprobe)
     val unionCells = probePairs.select("cell").distinct().collect().map(_.getLong(0))
     (broadcast(probePairs),
@@ -856,7 +945,8 @@ object Ivf {
     */
   def ensurePartitionedCosine(embeddings: DataFrame, c: Int, dir: String): Unit = {
     val normed = normalized(embeddings)
-    ensurePartitionedWith(normed, centroids(normed, c), dir, tag = s"cos_c=$c")
+    ensurePartitionedWith(normed, centroids(normed, c), dir, tag = s"cos_c=$c",
+      kind = "cosine")
   }
 
   /** Cosine top-k over a [[ensurePartitionedCosine]] layout: the query
@@ -868,7 +958,7 @@ object Ivf {
   def cosineTopKPartitioned(spark: org.apache.spark.sql.SparkSession, dir: String,
                             queries: DataFrame, k: Int, nprobe: Int,
                             roundTo: Int = 6): DataFrame = {
-    val stored = spark.read.parquet(dir)
+    val stored = readLayout(spark, dir)
     val cents = spark.read.parquet(s"$dir/_centroids")
     val qn = normalizedQuery(queries)
     val probed = cents.crossJoin(broadcast(qn))
@@ -906,7 +996,12 @@ object Ivf {
     * max-norm row itself).
     */
   def augmented(embeddings: DataFrame): DataFrame = {
-    val m = embeddings.agg(max(l2Norm(col("embedding")))).collect()(0).getDouble(0)
+    val maxRow = embeddings.agg(max(l2Norm(col("embedding")))).collect()(0)
+    // max over zero rows is null — fail with a real message instead of
+    // an NPE (an augmented layout over nothing is meaningless anyway)
+    require(!maxRow.isNullAt(0),
+      "Ivf.augmented needs a non-empty vector table to derive the max norm from")
+    val m = maxRow.getDouble(0)
     embeddings.select(col("vec_id"),
       concat(
         transform(col("embedding"), x => x.cast("double")),
@@ -926,7 +1021,8 @@ object Ivf {
     */
   def ensurePartitionedMips(embeddings: DataFrame, c: Int, dir: String): Unit = {
     val aug = augmented(embeddings)
-    ensurePartitionedWith(aug, centroids(aug, c), dir, tag = s"mips_c=$c")
+    ensurePartitionedWith(aug, centroids(aug, c), dir, tag = s"mips_c=$c",
+      kind = "mips")
   }
 
   /** MIPS top-k over an [[ensurePartitionedMips]] layout: the query
@@ -939,7 +1035,7 @@ object Ivf {
   def mipsTopKPartitioned(spark: org.apache.spark.sql.SparkSession, dir: String,
                           queries: DataFrame, k: Int, nprobe: Int,
                           roundTo: Int = 6): DataFrame = {
-    val stored = spark.read.parquet(dir)
+    val stored = readLayout(spark, dir)
     val cents = spark.read.parquet(s"$dir/_centroids")
     val qa = augmentedQuery(queries)
     val probed = cents.crossJoin(broadcast(qa))

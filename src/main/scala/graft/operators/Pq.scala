@@ -229,6 +229,9 @@ object Pq {
       codesArray(embeddings, books, m, subDim)
         .join(Ivf.assignWith(embeddings, cents), Seq("vec_id"))
         .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      // a full rebuild supersedes any snapshot lineage from a previous
+      // code layout at this dir (see CellSnapshot.reset)
+      CellSnapshot.reset(spark, dir)
       cents.write.mode("overwrite").parquet(s"$dir/_centroids")
       books.write.mode("overwrite").parquet(s"$dir/_codebooks")
       IndexMeta.write(spark, dir, fp)
@@ -244,7 +247,7 @@ object Pq {
   def ivfpqTopK(spark: SparkSession, dir: String, queries: DataFrame, k: Int, nprobe: Int,
                 roundTo: Int = 6, predicate: Option[Column] = None,
                 excluded: Option[DataFrame] = None): DataFrame = {
-    val stored = spark.read.parquet(dir)
+    val stored = Ivf.readLayout(spark, dir) // snapshot-resolved cell scan
     val cents = spark.read.parquet(s"$dir/_centroids")
     // nprobe cell ids to the driver — partition-filter formation, as in
     // Ivf.topKPartitioned
@@ -296,9 +299,9 @@ object Pq {
                  m: Int, subDim: Int): Unit = {
     val cents = spark.read.parquet(s"$dir/_centroids")
     val books = spark.read.parquet(s"$dir/_codebooks")
-    codesArray(rows, books, m, subDim)
-      .join(Ivf.assignWith(rows, cents), Seq("vec_id"))
-      .write.mode("append").partitionBy("cell").parquet(dir)
+    CellSnapshot.appendAssigned(spark, dir,
+      codesArray(rows, books, m, subDim)
+        .join(Ivf.assignWith(rows, cents), Seq("vec_id")))
     IndexMeta.invalidate(spark, dir)
   }
 

@@ -164,7 +164,14 @@ object Retrieval {
     // portability rule as bm25's static Σ over terms; an unordered
     // float `sum` agg would be run-dependent in the last bits). Query
     // size is bounded like bm25's term list.
-    val tokIds = queryTokens.select(col("tok_id")).collect().map(_.getLong(0)).sorted
+    val tokIdsAll = queryTokens.select(col("tok_id")).collect().map(_.getLong(0))
+    val tokIds = tokIdsAll.distinct.sorted
+    // duplicate tok_ids would emit duplicate m_<id> pivot columns — an
+    // ambiguous-reference AnalysisException at best, a double-counted
+    // token at worst — and the intended semantics are undefined anyway
+    require(tokIds.length == tokIdsAll.length,
+      "maxsimTopK: queryTokens carries duplicate tok_id rows — give each query " +
+        "token a unique tok_id")
     require(tokIds.nonEmpty && tokIds.length <= 64,
       s"maxsimTopK supports 1..64 query tokens (got ${tokIds.length}): the per-token " +
         "max columns and the static score chain grow with the query")
@@ -204,7 +211,11 @@ object Retrieval {
                        queryTokens: DataFrame, docIdOf: Column => Column,
                        k: Int, nprobe: Int, roundTo: Int = 6): DataFrame = {
     import graft.functions.VectorFunctions.dotProduct
-    val tokIds = queryTokens.select(col("tok_id")).collect().map(_.getLong(0)).sorted
+    val tokIdsAll = queryTokens.select(col("tok_id")).collect().map(_.getLong(0))
+    val tokIds = tokIdsAll.distinct.sorted
+    require(tokIds.length == tokIdsAll.length,
+      "maxsimTopKPruned: queryTokens carries duplicate tok_id rows — give each " +
+        "query token a unique tok_id")
     require(tokIds.nonEmpty && tokIds.length <= 64,
       s"maxsimTopKPruned supports 1..64 query tokens (got ${tokIds.length})")
     // per-token probes ride the batch machinery (tok_id plays query_id)
@@ -212,7 +223,7 @@ object Retrieval {
       queryTokens.select(col("tok_id").as("query_id"), col("query_vec")), nprobe)
       .select(col("query_id").as("tok_id"), col("cell"))
     val unionCells = probes.select("cell").distinct().collect().map(_.getLong(0))
-    val pruned = spark.read.parquet(dir)
+    val pruned = Ivf.readLayout(spark, dir) // snapshot-resolved cell scan
       .filter(col("cell").isin(unionCells.toIndexedSeq: _*)) // partition-pruned
     val maxCols = tokIds.map(t =>
       max(when(col("tok_id") === t, col("dot"))).as(s"m_$t"))
@@ -228,6 +239,66 @@ object Retrieval {
       .select(col("doc_id"), round(score, roundTo).as("maxsim"))
       .orderBy(col("maxsim").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** BATCH late-interaction maxsim over a cell-partitioned token-vector
+    * layout — the serving form of [[maxsimTopKPruned]]: Q query token
+    * BAGS (`queryTokens(query_id, tok_id, query_vec)`) are served by
+    * ONE pruned scan. Each (query, token) probes its `nprobe` nearest
+    * cells (probe pairs computed executor-side — Q·T·nprobe rows, never
+    * collected; only the ≤ C distinct probed-cell ids reach the driver
+    * as partition-filter literals, the [[graft.operators.Ivf]] batch
+    * contract); each stored token row meets only the (query, token)
+    * pairs probing ITS cell; the per-(query, doc, token) best dot
+    * partial-aggregates map-side, and the per-(query, doc) score folds
+    * the best dots in STATIC ascending-tok_id order (deterministic
+    * float sum — the same portability rule as the single-bag pivot
+    * chain, expressed as a sorted-array fold because the batch form
+    * cannot pivot per-query columns). Per-query top-k via the
+    * bounded-heap aggregate.
+    *
+    * At `nprobe = C` every pair survives and results are EXACTLY the
+    * per-query [[maxsimTopK]] (RetrievalSpec pins batch ≡ single; the
+    * declared query runs at nprobe = C against the full-scan oracle —
+    * the established rewrite pattern). A (doc, token) pair with no
+    * surviving dot floors at 0, as in [[maxsimTopKPruned]].
+    */
+  def maxsimTopKBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      queryTokens: DataFrame, docIdOf: Column => Column,
+                      k: Int, nprobe: Int, roundTo: Int = 6): DataFrame = {
+    import graft.functions.VectorFunctions.{dotProduct, l2Distance}
+    // per-(query, token) probes: tok rows rank the C centroids
+    // executor-side, exactly the Ivf.batchProbePairs geometry keyed by
+    // the composite (query_id, tok_id)
+    val cents = spark.read.parquet(s"$dir/_centroids")
+    val byTok = Window.partitionBy("query_id", "tok_id")
+      .orderBy(col("qdist"), col("centroid_id"))
+    val probes = cents.crossJoin(broadcast(queryTokens))
+      .select(col("query_id"), col("tok_id"), col("centroid_id"),
+        l2Distance(col("centroid_vec"), col("query_vec")).as("qdist"))
+      .withColumn("rn", row_number().over(byTok))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("tok_id"), col("centroid_id").as("cell"))
+    val unionCells = probes.select("cell").distinct().collect().map(_.getLong(0))
+    val pruned = Ivf.readLayout(spark, dir)
+      .filter(col("cell").isin(unionCells.toIndexedSeq: _*)) // partition-pruned
+    val best = pruned
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(queryTokens), Seq("query_id", "tok_id"))
+      .select(col("query_id"), docIdOf(col("vec_id")).as("doc_id"), col("tok_id"),
+        dotProduct(col("embedding"), col("query_vec")).as("dot"))
+      .groupBy("query_id", "doc_id", "tok_id")
+      .agg(max(col("dot")).as("m"))
+    // deterministic score: fold the (tok_id, m) pairs ascending by
+    // tok_id — bit-reproducible across partitionings and engines
+    val scored = best.groupBy("query_id", "doc_id")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("tok_id"), col("m")))),
+        lit(0.0), (acc, x) => acc + x.getField("m")).as("s"))
+      .select(col("query_id"), col("doc_id").as("vec_id"),
+        round(col("s"), roundTo).as("maxsim"))
+    Ivf.heapTopKPerQuery(scored, k, "maxsim", asc = false)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("maxsim"))
   }
 
   def hybridRrfTopK(documents: DataFrame, embeddings: DataFrame,

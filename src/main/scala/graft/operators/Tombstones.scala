@@ -31,6 +31,19 @@ private[graft] object Tombstones {
   def record(spark: SparkSession, dir: String, ids: DataFrame): Unit =
     ids.select(col("vec_id")).write.mode("append").parquet(path(dir))
 
+  /** [[record]] only when NO sidecar exists yet — the idempotent form
+    * for DECLARED queries that re-run against a memoized layout (bench
+    * and verify iterate them): repeated executions must not grow the
+    * sidecar linearly with run count (results were always correct —
+    * [[ids]] dedupes — but the sidecar read/broadcast shouldn't pay
+    * for accumulated identical batches).
+    */
+  def recordOnce(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) record(spark, dir, ids)
+  }
+
   /** Current tombstones (distinct), or None if none recorded. */
   def ids(spark: SparkSession, dir: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(path(dir))

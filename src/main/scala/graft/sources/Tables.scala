@@ -17,18 +17,26 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
 
-  /** `events.ts` is physical parquet `timestamp[ns]`, which Spark 4 only
-    * reads via the nanosAsLong legacy conf (as a Long of epoch nanos).
-    * Normalized here to a microsecond TIMESTAMP_NTZ column so every
-    * downstream operator (and the DuckDB oracle, which reads the same
-    * file as TIMESTAMP_NS) sees identical wall-clock values.
+  /** `events.ts` normalized to a microsecond TIMESTAMP_NTZ column so
+    * every downstream operator (and the DuckDB oracle, reading the
+    * same file) sees identical wall-clock values — robust to the two
+    * physical encodings the generator has produced: parquet
+    * `timestamp[ns]` (which Spark 4 only reads via the nanosAsLong
+    * legacy conf, as a Long of epoch nanos) and plain `timestamp[us]`
+    * (read natively as TIMESTAMP_NTZ).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integer `div` (not `/`, which goes through double and can lose µs)
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions
-        .expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val df = table(spark, dir, "events")
+    val norm = df.schema("ts").dataType match {
+      // integer `div` (not `/`, which goes through double and can lose µs)
+      case org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.functions
+          .expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+      case _ =>
+        org.apache.spark.sql.functions.col("ts").cast("timestamp_ntz")
+    }
+    df.withColumn("ts", norm)
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")

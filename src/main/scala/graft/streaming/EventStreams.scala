@@ -23,7 +23,9 @@ object EventStreams {
 
   /** File-source stream over a drop directory of events parquet files
     * (the production shape: new files arriving become micro-batches).
-    * Streaming twin of `Tables.events`: same nanos→µs normalization,
+    * Streaming twin of `Tables.events`: same µs normalization (robust
+    * to both physical ts encodings the generator has produced — long
+    * epoch-nanos via the nanosAsLong conf, or native timestamp),
     * schema locked from a batch read (streaming sources require an
     * explicit schema) — but typed TIMESTAMP (ltz), not NTZ, because
     * event-time watermarks require it; wall clock matches under the
@@ -32,8 +34,13 @@ object EventStreams {
   def fileEvents(spark: org.apache.spark.sql.SparkSession, dropDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(dropDir).schema
-    spark.readStream.schema(schema).parquet(dropDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = spark.readStream.schema(schema).parquet(dropDir)
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        stream.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Tumbling 1-hour counts/sums per event_type with a watermark for

@@ -61,7 +61,7 @@ class IvfDeleteSpec extends AnyFunSuite {
     subtreeFiles(base, "cell", cells)
 
   private def layoutCells(dir: String): Set[Long] =
-    spark.read.parquet(dir).select(col("cell").cast("long"))
+    Ivf.readLayout(spark, dir).select(col("cell").cast("long"))
       .distinct().collect().map(_.getLong(0)).toSet
 
   test("tombstoned ids vanish from single AND batch serving; results == layout rebuilt without them") {
@@ -103,8 +103,8 @@ class IvfDeleteSpec extends AnyFunSuite {
 
     assert(cellFiles(dir, untouched) === before,
       "untouched cells' files must not be rewritten")
-    assert(spark.read.parquet(dir).filter(col("vec_id").isin(delIds: _*)).count() === 0,
-      "compaction must fold the deletions into the files")
+    assert(Ivf.readLayout(spark, dir).filter(col("vec_id").isin(delIds: _*)).count() === 0,
+      "compaction must fold the deletions out of the published snapshot")
     assert(graft.operators.Tombstones.ids(spark, dir).isEmpty,
       "compaction must clear the tombstones")
     assert(IndexMeta.read(spark, dir).isEmpty,
@@ -165,8 +165,8 @@ class IvfDeleteSpec extends AnyFunSuite {
       "untouched node cells must not be rewritten")
     assert(subtreeFiles(s"$dir/edges", "part", untouched) === edgesBefore,
       "untouched edge cells must not be rewritten")
-    assert(spark.read.parquet(s"$dir/nodes").filter(col("vec_id").isin(dels: _*)).count() === 0)
-    assert(spark.read.parquet(s"$dir/edges")
+    assert(Hnsw.readRoutedNodes(spark, dir).filter(col("vec_id").isin(dels: _*)).count() === 0)
+    assert(Hnsw.readRoutedEdges(spark, dir)
       .filter(col("src").isin(dels: _*) || col("dst").isin(dels: _*)).count() === 0,
       "compacted adjacency must not reference deleted ids")
     assert(graft.operators.Tombstones.ids(spark, dir).isEmpty)
@@ -229,8 +229,8 @@ class IvfDeleteSpec extends AnyFunSuite {
     assert(nVictims > 0)
     Ivf.recordDeletes(spark, dir, victims)
     Ivf.compactPartitioned(spark, dir)
-    assert(!layoutCells(dir).contains(victim), "an emptied cell's subtree must be gone")
-    assert(spark.read.parquet(dir).count() === 200 - nVictims)
+    assert(!layoutCells(dir).contains(victim), "an emptied cell must leave the snapshot")
+    assert(Ivf.readLayout(spark, dir).count() === 200 - nVictims)
     // probing every cell (nprobe = C) still serves — the emptied cell
     // contributes nothing
     val got = single(Ivf.topKPartitioned(spark, dir, oneQuery, 10, nprobe = C))
