@@ -102,11 +102,20 @@ object Bench {
     } catch { case _: Throwable => "" }
     val json = s"""{"metric":"total","value":$total,"unit":"sec","agg":"min","runs_per_query":$runs,"queries":$qs,"runs":$allRuns,"sf":"$sfDir"$mem}"""
     println(json)
-    // Also write to a fixed file: stdout is interleaved with sbt [info]
+    // Also write to fixed files: stdout is interleaved with sbt [info]
     // noise and the driver failed to extract the line in round 1
-    // (BENCH_r01.json "parsed": null).
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), json + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
+    // (BENCH_r01.json "parsed": null); the driver artifact additionally
+    // truncates the stdout tail at 2,000 chars — far smaller than the
+    // 100+-query map — so `bench/latest.json` is the COMMITTED
+    // self-contained artifact (full per-query map + total + samples),
+    // refreshed and checked in each round.
+    for (p <- Seq("target/bench.json", "bench/latest.json")) {
+      try {
+        val path = java.nio.file.Paths.get(p)
+        Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.writeString(path, json + "\n")
+      } catch { case e: Throwable => System.err.println(s"[bench] $p write failed: ${e.getMessage}") }
+    }
     spark.stop()
   }
 }

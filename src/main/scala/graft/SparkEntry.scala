@@ -156,17 +156,18 @@ object SparkEntry {
     */
   private def duckKmeansCtes(c: Int, iters: Int,
                              vecOf: String => String = p => s"${p}embedding",
-                             tag: String = ""): String = {
+                             tag: String = "",
+                             table: String = "embeddings"): String = {
     val sb = new StringBuilder(
-      s"${tag}c0 AS (SELECT vec_id AS cid, list_transform(${vecOf("")}, x -> CAST(x AS DOUBLE)) AS cv FROM embeddings WHERE vec_id < $c)")
+      s"${tag}c0 AS (SELECT vec_id AS cid, list_transform(${vecOf("")}, x -> CAST(x AS DOUBLE)) AS cv FROM $table WHERE vec_id < $c)")
     for (t <- 0 until iters) {
       sb ++= s""",
-        ${tag}a$t AS (SELECT e.vec_id, cid AS cell FROM embeddings e, ${tag}c$t c
+        ${tag}a$t AS (SELECT e.vec_id, cid AS cell FROM $table e, ${tag}c$t c
                 QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY list_distance((${vecOf("e.")})::DOUBLE[], c.cv), cid) = 1),
         ${tag}m${t + 1} AS (SELECT cell, i, CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m
                 FROM (SELECT ${tag}a$t.cell, unnest(range(1, len(${vecOf("e.")})+1)) AS i,
                              unnest(list_transform(${vecOf("e.")}, v -> CAST(v AS DOUBLE))) AS x
-                      FROM embeddings e JOIN ${tag}a$t ON e.vec_id = ${tag}a$t.vec_id)
+                      FROM $table e JOIN ${tag}a$t ON e.vec_id = ${tag}a$t.vec_id)
                 GROUP BY cell, i),
         ${tag}n${t + 1} AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM ${tag}m${t + 1} GROUP BY cell),
         ${tag}c${t + 1} AS (SELECT ${tag}c$t.cid, coalesce(${tag}n${t + 1}.cv, ${tag}c$t.cv) AS cv FROM ${tag}c$t LEFT JOIN ${tag}n${t + 1} USING (cid))"""
@@ -259,19 +260,40 @@ object SparkEntry {
     * Pq.encode): m independent sliced k-means runs (tagged s0..s{m-1})
     * + per-subspace argmin code assignments, unioned as `encall`.
     */
-  private def duckPqCtes(m: Int, subDim: Int, c: Int, iters: Int): String = {
+  private def duckPqCtes(m: Int, subDim: Int, c: Int, iters: Int,
+                         table: String = "embeddings"): String = {
     def sliceOf(s: Int)(p: String) = s"${p}embedding[${s * subDim + 1}:${(s + 1) * subDim}]"
     val books = (0 until m)
-      .map(s => duckKmeansCtes(c, iters, sliceOf(s), s"s$s")).mkString(",\n")
+      .map(s => duckKmeansCtes(c, iters, sliceOf(s), s"s$s", table)).mkString(",\n")
     val encs = (0 until m).map { s =>
       s"""enc$s AS (SELECT e.vec_id, $s AS subspace, cid AS code
-          FROM embeddings e, s${s}c$iters c
+          FROM $table e, s${s}c$iters c
           QUALIFY row_number() OVER (PARTITION BY e.vec_id
             ORDER BY list_distance((${sliceOf(s)("e.")})::DOUBLE[], c.cv), cid) = 1)"""
     }.mkString(",\n")
     val encAll = (0 until m).map(s => s"SELECT * FROM enc$s").mkString(" UNION ALL ")
     s"$books,\n$encs,\nencall AS ($encAll)"
   }
+
+  /** OPQ-lite permutation + permuted table CTEs (mirror
+    * Pq.balancedPerm ∘ Pq.permute): per-dim variance from the same
+    * DECIMAL-exact sums as the kmeans means, rank desc (ties by dim),
+    * rank r → subspace r mod m, permuted copy exposed as `pemb`.
+    */
+  private def duckPermCtes(m: Int, subDim: Int): String =
+    s"""vstats AS (SELECT i,
+            CAST(sum(CAST(x*x AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+              - (CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*))
+                * (CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*)) AS var
+          FROM (SELECT unnest(range(1, len(embedding)+1)) AS i,
+                       unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+                FROM embeddings)
+          GROUP BY i),
+        ranked AS (SELECT i, row_number() OVER (ORDER BY var DESC, i) - 1 AS r FROM vstats),
+        posmap AS (SELECT (r % $m) * $subDim + (r // $m) AS o, i FROM ranked),
+        permlist AS (SELECT list(i ORDER BY o) AS pl FROM posmap),
+        pemb AS (SELECT e.vec_id, list_transform(p.pl, j -> e.embedding[j]) AS embedding
+                 FROM embeddings e, permlist p)"""
 
   /** PQ code table rendered per vector (mirrors Pq.codesAsString). */
   private def duckPqCodes(m: Int, subDim: Int, c: Int, iters: Int): String =
@@ -1198,6 +1220,21 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Pq.codesAsString(Pq.codesArray(emb, Pq.codebooksCached(emb, 4, 16, 16, 1, dir), 4, 16))
     }),
+    // OPQ-lite rotated encode: dims permute to balance per-subspace
+    // variance (Pq.balancedPerm — a permutation IS an orthogonal
+    // rotation) BEFORE codebook training and encoding, the first-order
+    // fix for plain PQ's worst case (energy concentrated in one
+    // subspace's slice). Deterministic end-to-end: exact-decimal
+    // variances rank the dims, then the standard PQ chain runs on the
+    // permuted copy — fully mirrored in SQL. PqSpec pins the recall
+    // value of the rotation on a correlated fixture.
+    "q_pq_rotated_codes" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val perm = Pq.balancedPerm(emb, 4, 16)
+      val rot = emb.select(col("vec_id"), Pq.permute(col("embedding"), perm).as("embedding"))
+      Pq.codesAsString(Pq.codesArray(rot,
+        Pq.codebooksCached(rot, 4, 16, 16, 1, dir, tag = "#perm"), 4, 16))
+    }),
     // Served from the PERSISTED code table (written once per dir): the
     // plan scans stored (vec_id, codes) only — no encode pass, the
     // vector table is never read at query time.
@@ -1806,6 +1843,11 @@ object SparkEntry {
     "q_vector_lsh_pairs" -> duckLshPairs(64, 0.4),
     "q_ivf_kmeans_topk" -> duckKmeansTopK(8, 2, 10, 2),
     "q_pq_codes" -> duckPqCodes(4, 16, 16, 1),
+    "q_pq_rotated_codes" ->
+      s"""WITH ${duckPermCtes(4, 16)},
+          ${duckPqCtes(4, 16, 16, 1, table = "pemb")}
+          SELECT vec_id, array_to_string(list(code ORDER BY subspace), '_') AS codes
+          FROM encall GROUP BY vec_id""",
     "q_pq_topk" -> duckPqTopK(4, 16, 16, 1, 10),
     // coarse seed cells (c=16) prune, product codes (m=4, c=16) score
     "q_ivfpq_topk" -> duckIvfPqTopK(4, 16, 16, 1, 16, 10, 4),

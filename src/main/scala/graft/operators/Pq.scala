@@ -55,19 +55,67 @@ object Pq {
   private val memo = scala.collection.concurrent.TrieMap
     .empty[(String, Int, Int, Int, Int), Array[(Int, Long, Seq[Double])]]
 
-  /** [[codebooks]] memoized per (key, m, subDim, c, iters). */
+  /** [[codebooks]] memoized per (key+tag, m, subDim, c, iters). `tag`
+    * distinguishes TRANSFORMED views of the same source table (e.g. the
+    * [[balancedPerm]]-rotated copy) whose scan leaves — and therefore
+    * `key` — are identical to the raw table's.
+    */
   def codebooksCached(embeddings: DataFrame, m: Int, subDim: Int, c: Int, iters: Int,
-                      key: String): DataFrame = {
+                      key: String, tag: String = ""): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     // Same hazard as Ivf.kmeansCached: a different table under a reused
     // key would get bit-wrong codebooks with no error — fail loudly.
     IndexMeta.requireKeyMatchesScan(embeddings, key)
-    memo.getOrElseUpdate((key, m, subDim, c, iters),
+    memo.getOrElseUpdate((key + tag, m, subDim, c, iters),
         codebooks(embeddings, m, subDim, c, iters)
           .as[(Int, Long, Seq[Double])].collect())
       .toSeq.toDF("subspace", "centroid_id", "centroid_vec")
   }
+
+  /** OPQ-lite: a variance-BALANCING dimension permutation (the cheap
+    * member of the OPQ family — a permutation IS an orthogonal
+    * rotation, exactly invertible, zero arithmetic on the data path).
+    * Plain PQ slices CONSECUTIVE dims into subspaces, so on real
+    * (PCA-correlated / anisotropic) embeddings a few high-variance
+    * dims can land in one subspace and starve the rest — that
+    * subspace's c centroids carry most of the corpus energy and
+    * quantization error concentrates. Ranking dims by variance and
+    * dealing them round-robin across the m subspaces (rank r →
+    * subspace r mod m) equalizes per-subspace energy, the first-order
+    * objective OPQ optimizes with a full learned rotation.
+    *
+    * Deterministic and oracle-checkable: per-dim variance uses the
+    * DECIMAL(38,12)-exact sums of the kmeans machinery (partition-
+    * order invariant; E[x²]−E[x]² assembled in fixed double ops), ties
+    * rank by dim index. Returns `perm` with `perm(o)` = the 0-based
+    * INPUT dim stored at output position `o`. One narrow aggregate
+    * scan; the d variances collect driver-side (d doubles).
+    */
+  def balancedPerm(embeddings: DataFrame, m: Int, subDim: Int): Seq[Int] = {
+    val stats = embeddings
+      .select(posexplode(transform(col("embedding"), x => x.cast("double")))
+        .as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,12)")).cast("double").as("s1"),
+        sum((col("x") * col("x")).cast("decimal(38,12)")).cast("double").as("s2"))
+      .select(col("i"),
+        (col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n"))).as("v"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    val d = stats.length
+    require(d == m * subDim, s"vector dim $d != m*subDim = ${m * subDim}")
+    val ranked = stats.sortBy { case (i, v) => (-v, i) }.map(_._1)
+    val perm = new Array[Int](d)
+    for (r <- 0 until d) perm((r % m) * subDim + r / m) = ranked(r)
+    perm.toIndexedSeq
+  }
+
+  /** Apply a dimension permutation to a vector column (the rotation's
+    * whole data path: d positional reads, inside codegen).
+    */
+  def permute(vec: Column, perm: Seq[Int]): Column =
+    array(perm.map(j => vec.getItem(j)): _*)
 
   /** Collected codebook rows — the legitimately tiny side (m·c·subDim
     * doubles), grouped by subspace with centroid ids validated dense

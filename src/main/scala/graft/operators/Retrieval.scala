@@ -267,6 +267,13 @@ object Retrieval {
                       queryTokens: DataFrame, docIdOf: Column => Column,
                       k: Int, nprobe: Int, roundTo: Int = 6): DataFrame = {
     import graft.functions.VectorFunctions.{dotProduct, l2Distance}
+    // duplicate (query, token) keys would double-join their dots with
+    // undefined intent — same contract as the single-bag forms
+    // (queryTokens is query-sized, so the two counts are trivial jobs)
+    require(queryTokens.select("query_id", "tok_id").distinct().count()
+        == queryTokens.count(),
+      "maxsimTopKBatch: queryTokens carries duplicate tok_id rows within a query — " +
+        "give each query token a unique (query_id, tok_id)")
     // per-(query, token) probes: tok rows rank the C centroids
     // executor-side, exactly the Ivf.batchProbePairs geometry keyed by
     // the composite (query_id, tok_id)

@@ -46,6 +46,8 @@ object AnnBench {
     if (args.contains("scale")) { scaleSmoke(spark); spark.stop(); return }
     if (args.contains("adc")) { adcFastSmoke(spark); spark.stop(); return }
     if (args.contains("deletes")) { deleteSmoke(spark); spark.stop(); return }
+    if (args.contains("pqclustered")) { pqClusteredSmoke(spark); spark.stop(); return }
+    if (args.contains("dedupscale")) { dedupScaleSmoke(spark); spark.stop(); return }
     val emb = Tables.embeddings(spark, sfDir)
     val qs = emb.select(col("vec_id").as("query_id"),
       perturbQuery(col("embedding")).as("query_vec"))
@@ -71,6 +73,176 @@ object AnnBench {
         .write.format("noop").mode("overwrite").save()
     }
     spark.stop()
+  }
+
+  /** PQ-on-realistic-geometry smoke: the scale smoke's PQ table is
+    * hash-uniform — PQ's WORST-case input (no structure for the
+    * codebooks to exploit), so its recall numbers under-sell the
+    * compressed tier. This smoke measures ADC and ADC+rerank recall on
+    * a CLUSTERED corpus with a PCA-like decaying variance spectrum
+    * (blob structure + anisotropy — the geometry of real embedding
+    * spaces), for plain consecutive-slice PQ vs the OPQ-lite
+    * variance-balanced permutation (`Pq.balancedPerm`). Deterministic
+    * hash data, no RNG. Output: one JSON line + target/pq_clustered.json.
+    */
+  private def pqClusteredSmoke(spark: SparkSession): Unit = {
+    val n = sys.env.get("SPARK_GRAFT_PQC_N").flatMap(_.toIntOption).getOrElse(200000)
+    val dim = 32
+    val kBlobs = 16
+    val (m, subDim, c, iters) = (8, 4, 64, 2)
+    // blob centers spread in [-40, 40] on dim 0 decaying ~1/(1+i);
+    // member noise at 10% of the center spread — tight, well-separated
+    // blobs whose energy concentrates in the leading dims
+    val blob = pmod(hash(col("id")), lit(kBlobs))
+    val emb = spark.range(n).select(col("id").as("vec_id"),
+      array((0 until dim).map { i =>
+        val center = (pmod(hash(blob, lit(i)), lit(2001)) - lit(1000)) / lit(1000.0)
+        val noise = (pmod(hash(col("id"), lit(i + 7919)), lit(2001)) - lit(1000)) / lit(10000.0)
+        ((center + noise) * lit(40.0 / (1.0 + i))).cast("float")
+      }: _*).as("embedding")).cache()
+    emb.count()
+    val qs = emb.filter(col("vec_id") < 2000)
+      .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+      .cache()
+    qs.count()
+
+    /** ADC + rerank recall for one table/query pair (recall is against
+      * exact L2 over the SAME table — a permutation is orthogonal, so
+      * rotated-space ground truth equals raw-space ground truth).
+      */
+    def point(variant: String, table: DataFrame, queries: DataFrame): String = {
+      val dir = s"target/graft_pqc/${variant}_n${n}"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val books = Pq.codebooks(table, m, subDim, c, iters)
+      Pq.ensureEncoded(table, books, m, subDim, dir)
+      val adc = Pq.adcTopKStoredBatch(spark, dir, queries, 10)
+      val adcRecall = Hnsw.recallOf(adc, table, queries, 10)
+        .agg(avg(col("recall"))).head().getDouble(0)
+      // two-stage: ADC shortlist 100 → exact L2 rerank (window rank is
+      // fine here: 2000 queries × 100 candidates)
+      val cand = Pq.adcTopKStoredBatch(spark, dir, queries, 100)
+        .select(col("query_id"), col("vec_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+      val reranked = table.join(broadcast(cand), Seq("vec_id"))
+        .join(broadcast(queries), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(l2Distance(col("embedding"), col("query_vec")), 6).as("dist"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      val rrRecall = Hnsw.recallOf(reranked, table, queries, 10)
+        .agg(avg(col("recall"))).head().getDouble(0)
+      s"""{"variant":"$variant","adc_recall_at_10":${fmt(adcRecall, 4)},""" +
+        s""""rerank100_recall_at_10":${fmt(rrRecall, 4)}}"""
+    }
+
+    val plain = point("plain", emb, qs)
+    val perm = Pq.balancedPerm(emb, m, subDim)
+    val rotEmb = emb.select(col("vec_id"), Pq.permute(col("embedding"), perm).as("embedding"))
+      .cache()
+    rotEmb.count()
+    val rotQs = qs.select(col("query_id"), Pq.permute(col("query_vec"), perm).as("query_vec"))
+    val rotated = point("rotated", rotEmb, rotQs)
+    val json = s"""{"pq_clustered":{"n":$n,"dim":$dim,"blobs":$kBlobs,""" +
+      s""""m":$m,"sub_dim":$subDim,"c":$c,"iters":$iters,"queries":2000,""" +
+      s""""perm":[${perm.mkString(",")}],"points":[$plain,$rotated]}}"""
+    println(json)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/pq_clustered.json"), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[annbench] file write failed: ${e.getMessage}") }
+  }
+
+  /** Text-dedup SCALE smoke (the 1M-vector ANN smoke's counterpart for
+    * the dedup/curation family): a synthetic multi-million-doc corpus
+    * with PLANTED near/exact duplicates, measured through the blocked
+    * pipeline — MinHash-LSH candidates → verified pairs → connected-
+    * component clusters → the full curate() flow. Records wall time,
+    * cumulative shuffle-WRITE bytes per phase (task-metrics listener;
+    * attribution is per-phase snapshot, ±listener-lag), and the
+    * measured candidate-pair count against the all-pairs n(n−1)/2
+    * bound — the number that proves the banded blocking claim at
+    * scale. Deterministic hash text, no RNG.
+    */
+  private def dedupScaleSmoke(spark: SparkSession): Unit = {
+    import graft.operators.{CorpusPipeline, Dedup}
+    val n = sys.env.get("SPARK_GRAFT_DEDUP_N").flatMap(_.toIntOption).getOrElse(2000000)
+    val vocab = ("the quick brown fox jumps over lazy dog table scan merge sort join filter " +
+      "group window batch stream row value data key order hash part small fast slow query " +
+      "spark line customer index cache disk memory block shard range probe").split(" ").toSeq
+    val vlit = array(vocab.map(lit): _*)
+    val wordsPerDoc = 40
+    // id%20==1 → NEAR-dup of id-1 (same word stream + one extra word);
+    // id%30==2 → EXACT dup of id-2
+    val baseId = when(pmod(col("id"), lit(20)) === 1, col("id") - 1)
+      .when(pmod(col("id"), lit(30)) === 2, col("id") - 2)
+      .otherwise(col("id"))
+    // word = base word + a hashed numeric suffix: effective vocabulary
+    // ~38·4096 ≈ 150k distinct tokens, so non-duplicate docs share
+    // almost no 3-gram shingles (a 38-word vocab alone packs 2M docs
+    // into a 55k-shingle space — average shingle df ≈ 1.4k — and the
+    // posting-list pair generation degenerates toward all-pairs; real
+    // corpora are shingle-sparse, which is exactly what the blocked
+    // pipeline exploits)
+    val baseText = concat_ws(" ", (0 until wordsPerDoc).map(w =>
+      concat(
+        element_at(vlit, (pmod(hash(baseId, lit(w)), lit(vocab.size)) + 1).cast("int")),
+        pmod(hash(baseId, lit(w + 104729)), lit(4096)).cast("string"))): _*)
+    val text = when(pmod(col("id"), lit(20)) === 1, concat(baseText, lit(" extensionword")))
+      .otherwise(baseText)
+    val docs = spark.range(n).select(
+        col("id").as("doc_id"), text.as("text"),
+        concat(lit("src"), pmod(col("id"), lit(8))).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .cache()
+    docs.count()
+
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+    def phase(label: String)(f: => Long): String = {
+      System.gc()
+      val s0 = shuffleBytes.get()
+      val t0 = System.nanoTime()
+      val count = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // let straggler task-end events drain
+      val sb = shuffleBytes.get() - s0
+      s""""$label":{"rows":$count,"wall_sec":${fmt(sec, 1)},"shuffle_write_bytes":$sb}"""
+    }
+
+    val allPairsBound = n.toLong * (n.toLong - 1) / 2
+    val candidates = phase("minhash_candidates") {
+      Dedup.minhashCandidates(docs).count()
+    }
+    val verified = phase("minhash_pairs_verified") {
+      Dedup.minhashPairs(docs, threshold = 0.7).count()
+    }
+    val clusters = phase("neardup_clusters") {
+      Dedup.nearDupClusters(docs, Dedup.minhashPairs(docs, 0.7))
+        .select(col("cluster_id")).distinct().count()
+    }
+    val curate = phase("curate_full") {
+      // minQuality 0: the quality gate is exercised structurally, not
+      // as a corpus-specific threshold; lang from the corpus itself
+      val lang = graft.operators.TextAnalysis
+        .langPredCol(graft.functions.TextFunctions.tokens(col("text")))
+      val majority = docs.limit(1000).select(lang.as("l"))
+        .groupBy("l").count().orderBy(col("count").desc).head().getString(0)
+      CorpusPipeline.curate(docs, majority, 0.0, 0.7).count()
+    }
+    val json = s"""{"dedup_scale":{"n_docs":$n,"words_per_doc":$wordsPerDoc,""" +
+      s""""planted_near_dups":${n / 20},"planted_exact_dups":${n / 30},""" +
+      s""""all_pairs_bound":$allPairsBound,""" +
+      s"""$candidates,$verified,$clusters,$curate}}"""
+    println(json)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/dedup_scale.json"), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[annbench] file write failed: ${e.getMessage}") }
   }
 
   /** Deterministic hash vectors in [0,100) — the smoke's corpus. */
@@ -175,18 +347,22 @@ object AnnBench {
     val serveTomb = timedServe(
       Hnsw.searchRoutedWithIndexDeletes(spark, rdir, _, 10, p, nprobe = 8))
 
-    val affected = spark.read.parquet(s"$rdir/nodes")
+    val affected = Hnsw.readRoutedNodes(spark, rdir)
       .join(broadcast(dels), Seq("vec_id"), "left_semi")
       .select(col("part").cast("int")).distinct().collect().map(_.getInt(0))
     val tC = System.nanoTime()
     Hnsw.compactRouted(spark, rdir, p)
     val compactSec = (System.nanoTime() - tC) / 1e9
-    val rewrittenBytes = affected.map { k =>
-      val np = new org.apache.hadoop.fs.Path(s"$rdir/nodes/part=$k")
-      val ep = new org.apache.hadoop.fs.Path(s"$rdir/edges/part=$k")
-      (if (fs.exists(np)) fs.getContentSummary(np).getLength else 0L) +
-        (if (fs.exists(ep)) fs.getContentSummary(ep).getLength else 0L)
-    }.sum
+    // round 10: compaction publishes rebuilt cells as an immutable
+    // CellSnapshot generation — the staged `_gen` tree IS the
+    // rewritten I/O; vacuum then reclaims the superseded subtrees
+    // (no concurrent readers in this smoke)
+    val genPath = new org.apache.hadoop.fs.Path(s"$rdir/_gen")
+    val rewrittenBytes =
+      if (fs.exists(genPath)) fs.getContentSummary(genPath).getLength else 0L
+    val tV = System.nanoTime()
+    Hnsw.vacuumRouted(spark, rdir)
+    val vacuumSec = (System.nanoTime() - tV) / 1e9
 
     val servePost = timedServe(Hnsw.searchRoutedWithIndex(spark, rdir, _, 10, p, nprobe = 8))
 
@@ -199,7 +375,7 @@ object AnnBench {
         s""""serve_sec_with_tombstones":${fmt(serveTomb, 2)},""" +
         s""""serve_sec_post_compaction":${fmt(servePost, 2)},""" +
         s""""affected_cells":${affected.length},"total_cells":64,""" +
-        s""""compact_sec":${fmt(compactSec, 2)},""" +
+        s""""compact_sec":${fmt(compactSec, 2)},"vacuum_sec":${fmt(vacuumSec, 2)},""" +
         s""""rewritten_bytes":$rewrittenBytes,""" +
         s""""rewritten_fraction":${fmt(rewrittenBytes.toDouble / totalBytes, 4)}}}"""
     println(json)

@@ -84,6 +84,71 @@ class IvfRangeSpec extends AnyFunSuite {
     assert((0L until 6L).forall(qid => got.exists(_._1 == qid)))
   }
 
+  test("filtered range search: predicate == brute force with the same filter, on every form") {
+    val dir = Files.createTempDirectory("ivf_range_filt").toString
+    Ivf.writePartitionedWith(clustered, Ivf.centroids(clustered, 8), dir)
+    val q = clustered.filter(col("vec_id") === 0)
+      .select(perturbQuery(col("embedding")).as("query_vec"))
+    val pred = pmod(col("vec_id"), lit(2)) === 0
+
+    val got = Ivf.rangeSearch(spark, dir, q, 10.0, predicate = Some(pred))
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    val expected = brute(clustered.filter(pred), q, 10.0)
+    assert(got === expected, "filtered range must equal brute force over the filtered table")
+    assert(got.nonEmpty && got.forall(_._1 % 2 == 0))
+
+    val qs = clustered.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+    val gotB = Ivf.rangeSearchBatch(spark, dir, qs, 10.0, predicate = Some(pred))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    val expB = clustered.filter(pred).crossJoin(broadcast(qs))
+      .select(col("query_id"), col("vec_id"),
+        round(l2Distance(col("embedding"), col("query_vec")), 6).as("dist"))
+      .filter(col("dist") <= 10.0)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    assert(gotB === expB)
+  }
+
+  test("ordered=false serving twins return the same row SETS with no top-level sort") {
+    val dir = Files.createTempDirectory("ivf_range_unord").toString
+    Ivf.writePartitionedWith(clustered, Ivf.centroids(clustered, 8), dir)
+    val q = clustered.filter(col("vec_id") === 0)
+      .select(perturbQuery(col("embedding")).as("query_vec"))
+    val qs = clustered.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+
+    val sortedRows = Ivf.rangeSearch(spark, dir, q, 10.0)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSet
+    val unord = Ivf.rangeSearch(spark, dir, q, 10.0, ordered = false)
+    assert(unord.collect().map(x => (x.getLong(0), x.getDouble(1))).toSet === sortedRows)
+    assert(!unord.queryExecution.executedPlan.toString.contains("Sort "),
+      "the serving twin must not pay a global sort of an unbounded result")
+
+    val sortedB = Ivf.rangeSearchBatch(spark, dir, qs, 10.0)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    val unordB = Ivf.rangeSearchBatch(spark, dir, qs, 10.0, ordered = false)
+    assert(unordB.collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+      === sortedB)
+    assert(!unordB.queryExecution.executedPlan.toString.contains("Sort "))
+
+    // cosine + MIPS twins on their own layouts
+    val cosDir = Files.createTempDirectory("cos_range_unord").toString
+    Ivf.ensurePartitionedCosine(clustered, 8, cosDir)
+    val sortedC = Ivf.cosineRangeSearch(spark, cosDir, q, 0.5)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSet
+    val unordC = Ivf.cosineRangeSearch(spark, cosDir, q, 0.5, ordered = false)
+    assert(unordC.collect().map(x => (x.getLong(0), x.getDouble(1))).toSet === sortedC)
+    assert(!unordC.queryExecution.executedPlan.toString.contains("Sort "))
+
+    val mipsDir = Files.createTempDirectory("mips_range_unord").toString
+    Ivf.ensurePartitionedMips(clustered, 8, mipsDir)
+    val sortedM = Ivf.mipsRangeSearch(spark, mipsDir, q, 100.0)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSet
+    val unordM = Ivf.mipsRangeSearch(spark, mipsDir, q, 100.0, ordered = false)
+    assert(unordM.collect().map(x => (x.getLong(0), x.getDouble(1))).toSet === sortedM)
+    assert(!unordM.queryExecution.executedPlan.toString.contains("Sort "))
+  }
+
   test("rangeSearchWithDeletes: tombstoned ids vanish; == layout rebuilt without them") {
     val dir = Files.createTempDirectory("ivf_range_del").toString
     val cents = Ivf.centroids(clustered, 8)

@@ -208,6 +208,23 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"pruned maxsim must partition-prune by cell:\n$p")
   }
 
+  test("q_range_search_filtered: predicate pushed INTO the pruned scan, cells still a partition filter") {
+    val p = plan("q_range_search_filtered")
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      s"filtered range serve must still partition-prune by cell:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("vec_id"),
+      s"the serving predicate must reach the parquet scan (PushedFilters):\n$p")
+  }
+
+  test("q_maxsim_batch_topk: ONE pruned scan serves the whole token-bag batch, probes broadcast") {
+    val p = plan("q_maxsim_batch_topk")
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      s"batch maxsim must partition-prune to the union of probed cells:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"probe pairs and token bags must broadcast, never shuffle the scan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_orders_above_avg: the correlated subquery decorrelates to one aggregate + equi-join") {
     val p = plan("q_orders_above_avg")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

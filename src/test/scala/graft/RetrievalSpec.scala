@@ -178,6 +178,46 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("maxsimTopKBatch at nprobe=C == per-query maxsimTopK; duplicate tok_ids rejected") {
+    import graft.operators.Ivf
+    val rnd = new scala.util.Random(23)
+    val vecs = (0L until 80L).map { i =>
+      (i, Array.fill(6)(rnd.nextFloat() * 4f - 2f))
+    }
+    val dv = vecs.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("maxsim_batch").toString
+    Ivf.writePartitionedWith(dv, Ivf.centroids(dv, 5), dir)
+    val docIdOf = (v: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.functions.floor(v / 2).cast("long")
+    // 3 queries × 2 tokens each (globally unique tok_ids)
+    val toks = (0 until 6).map { t =>
+      (t.toLong / 2, t.toLong, Array.fill(6)(rnd.nextDouble() * 2 - 1))
+    }.toDF("query_id", "tok_id", "query_vec")
+
+    val batch = Retrieval.maxsimTopKBatch(spark, dir, toks, docIdOf, 10, nprobe = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(p => (-p._2, p._1)).toSeq)
+      .toMap
+    for (q <- 0L until 3L) {
+      val single = Retrieval.maxsimTopK(
+        dv.select(docIdOf(col("vec_id")).as("doc_id"), col("embedding")),
+        toks.filter(col("query_id") === q).select("tok_id", "query_vec"), 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(q) === single, s"batch row set for query $q must equal the single-bag form")
+    }
+
+    val dup = Seq((0L, 1L, Array.fill(6)(0.5)), (0L, 1L, Array.fill(6)(0.25)))
+      .toDF("query_id", "tok_id", "query_vec")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.maxsimTopKBatch(spark, dir, dup, docIdOf, 5, nprobe = 5)
+    }
+    assert(e.getMessage.contains("duplicate tok_id"))
+    intercept[IllegalArgumentException] {
+      Retrieval.maxsimTopK(dv.select(docIdOf(col("vec_id")).as("doc_id"), col("embedding")),
+        dup.select("tok_id", "query_vec"), 5)
+    }
+  }
+
   test("maxsimTopK == brute-force per-token max on a random fixture") {
     val rnd = new scala.util.Random(7)
     val dv = (0 until 120).map { i =>

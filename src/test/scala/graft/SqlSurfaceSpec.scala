@@ -55,6 +55,28 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(fromSql.nonEmpty)
   }
 
+  test("SQL TVF maxsim_topk(dir, k) matches the declared Column-API query") {
+    GraftExtensions.register(spark)
+    val fromSql = spark.sql(s"SELECT * FROM maxsim_topk('$sf', 10)")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fromApi = SparkEntry.queries("q_maxsim_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromSql === fromApi)
+    assert(fromSql.length === 10)
+  }
+
+  test("SQL TVF diversified_topk(dir, k, j) matches the declared Column-API query") {
+    GraftExtensions.register(spark)
+    val fromSql = spark.sql(s"SELECT * FROM diversified_topk('$sf', 10, 2)")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    val fromApi = SparkEntry.queries("q_diversified_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(fromSql === fromApi)
+    assert(fromSql.length === 10)
+    // the quota holds in the SQL result too
+    assert(fromSql.groupBy(_._3).values.forall(_.size <= 2))
+  }
+
   test("TVFs compose with plain SQL (filter + order over the TVF result)") {
     GraftExtensions.register(spark)
     val top3 = spark.sql(
