@@ -1255,6 +1255,26 @@ object SparkEntry {
         Pq.codebooksCached(emb, 4, 16, 16, 1, dir), 4, 16, pdir)
       Pq.ivfpqTopK(s, pdir, queryVecOf(emb, 0), 10, nprobe = 4)
     }),
+    // The OPQ-lite rotation through the full COMPRESSED SERVING tier:
+    // corpus and query permute (Pq.balancedPerm — orthogonal, so L2
+    // geometry is preserved), coarse cells, codebooks, codes and the
+    // ADC probe all operate in the rotated space — the layout a
+    // production deployment would build after the SCALE_SMOKE result
+    // (rotated ADC recall 6× plain on clustered corpora). Same probe
+    // machinery and partition pruning as q_ivfpq_topk; oracle mirrors
+    // the whole chain (variance-rank permutation + rotated PQ + coarse
+    // probe) in SQL. Dedicated dir.
+    "q_ivfpq_rotated_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val perm = Pq.balancedPerm(emb, 4, 16)
+      val rot = emb.select(col("vec_id"), Pq.permute(col("embedding"), perm).as("embedding"))
+      val pdir = pqDir(s, dir, "ivfpq_rot_c16_m4sd16c16i1")
+      Pq.ensureEncodedPartitioned(rot, Ivf.centroids(rot, 16),
+        Pq.codebooksCached(rot, 4, 16, 16, 1, dir, tag = "#perm"), 4, 16, pdir)
+      val qrot = queryVecOf(emb, 0)
+        .select(Pq.permute(col("query_vec"), perm).as("query_vec"))
+      Pq.ivfpqTopK(s, pdir, qrot, 10, nprobe = 4)
+    }),
     // Takedowns on the COMPRESSED serving tier: tombstoned ids never
     // enter ADC scoring (broadcast anti-join above the pruned code
     // scan), so they reach no shortlist and no result — the same
@@ -1851,6 +1871,28 @@ object SparkEntry {
     "q_pq_topk" -> duckPqTopK(4, 16, 16, 1, 10),
     // coarse seed cells (c=16) prune, product codes (m=4, c=16) score
     "q_ivfpq_topk" -> duckIvfPqTopK(4, 16, 16, 1, 16, 10, 4),
+    // rotated IVF-PQ: the duckIvfPqTopK chain with every table replaced
+    // by the permuted copy and the query permuted identically
+    "q_ivfpq_rotated_topk" ->
+      s"""WITH ${duckPermCtes(4, 16)},
+          ${duckPqCtes(4, 16, 16, 1, table = "pemb")},
+          q0 AS (SELECT query_vec FROM $duckQueryVec),
+          q AS (SELECT list_transform(p.pl, j -> q0.query_vec[j]) AS query_vec
+                FROM q0, permlist p),
+          coarse AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                     FROM pemb WHERE vec_id < 16),
+          probed AS (SELECT cid FROM coarse, q
+                     ORDER BY list_distance(cv, q.query_vec), cid LIMIT 4),
+          assigned AS (SELECT e.vec_id, cid AS cell FROM pemb e, coarse c
+                       QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), cid) = 1),
+          ${duckPqLutCtes(4, 16, 1)}
+          SELECT e.vec_id, round(sqrt(CAST(sum(CAST(l.d2 AS DECIMAL(38,12))) AS DOUBLE)), 6) AS dist
+          FROM encall e JOIN lutall l USING (subspace, code)
+          JOIN assigned a ON e.vec_id = a.vec_id
+          WHERE a.cell IN (SELECT cid FROM probed)
+          GROUP BY e.vec_id
+          ORDER BY dist, e.vec_id LIMIT 10""",
     // the same composition under the deterministic takedown set
     "q_ivfpq_tombstone_topk" ->
       duckIvfPqTopK(4, 16, 16, 1, 16, 10, 4, Some("e.vec_id % 7 != 0")),

@@ -24,18 +24,26 @@ import org.apache.spark.sql.functions._
   *   dir/_manifests/m<V>                   manifest version V: one
   *                                         "<id> <gen>" line per live
   *                                         cell (immutable, never
-  *                                         overwritten)
-  *   dir/_graft_snap                       current manifest version —
-  *                                         THE atomic flip point
+  *                                         overwritten; appears via an
+  *                                         ATOMIC tmp-write + rename —
+  *                                         THE flip point)
   *
-  * Until a first compaction publishes a manifest, no marker exists and
+  * The current version is the LARGEST m<V> present — no mutable marker
+  * file exists anywhere in the lifecycle (a create-overwrite marker
+  * would itself be a truncate-then-write race for concurrent readers),
+  * so every publish is one atomic rename of a new name. Concurrent
+  * maintenance is single-writer by contract (two compactions racing
+  * the same version is a caller error; the loser's rename fails loudly
+  * rather than silently clobbering).
+  *
+  * Until a first compaction publishes a manifest, none exists and
   * [[read]] is exactly `spark.read.parquet` — zero overhead on the
-  * build-then-serve path. After one, readers resolve the marker once
-  * at plan time and union the per-generation trees filtered to their
-  * live cells; a reader that resolved version V keeps a consistent
-  * view forever, because no file referenced by manifest V is ever
-  * mutated (only [[vacuum]] — an explicitly unsafe-with-old-readers
-  * GC — reclaims superseded subtrees).
+  * build-then-serve path. After one, readers resolve the newest
+  * manifest once at plan time and union the per-generation trees
+  * filtered to their live cells; a reader that resolved version V
+  * keeps a consistent view forever, because no file referenced by
+  * manifest V is ever mutated (only [[vacuum]] — an explicitly
+  * unsafe-with-old-readers GC — reclaims superseded subtrees).
   *
   * Scale contract: the manifest is O(C) lines (C = cell count, never
   * data-proportional); compaction writes only the affected cells'
@@ -43,7 +51,7 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object CellSnapshot {
 
-  private def markerPath(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/_graft_snap")
+  private def manifestDir(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/_manifests")
 
   private def manifestPath(dir: String, v: Int) =
     new org.apache.hadoop.fs.Path(s"$dir/_manifests/m$v")
@@ -67,16 +75,30 @@ private[graft] object CellSnapshot {
     }
   }
 
-  /** Current published snapshot version, if any. */
-  def version(spark: SparkSession, dir: String): Option[Int] =
-    readSmallFile(spark, markerPath(dir)).map(_.trim.toInt)
+  /** Current published snapshot version — the largest `m<V>` in the
+    * manifest dir (one driver-side listing of an O(compaction-count)
+    * dir; [[vacuum]] trims old versions). A manifest file is only ever
+    * VISIBLE complete (tmp-write + rename), so the max is always safe
+    * to read.
+    */
+  def version(spark: SparkSession, dir: String): Option[Int] = {
+    val md = manifestDir(dir)
+    val fs = md.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(md)) None
+    else fs.listStatus(md).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("m") && n.drop(1).forall(_.isDigit) && n.length > 1)
+      .map(_.drop(1).toInt)
+      .maxOption
+  }
 
   /** Current `(version, cell → generation)` manifest, if published. */
   def mapping(spark: SparkSession, dir: String): Option[(Int, Map[Long, Int])] =
     version(spark, dir).map { v =>
       val txt = readSmallFile(spark, manifestPath(dir, v))
         .getOrElse(throw new IllegalStateException(
-          s"snapshot marker at $dir names manifest m$v, which does not exist"))
+          s"manifest m$v at $dir vanished between listing and read (concurrent " +
+            "vacuum of the current version?)"))
       val m = txt.linesIterator.filter(_.nonEmpty).map { l =>
         val parts = l.split(' ')
         parts(0).toLong -> parts(1).toInt
@@ -132,20 +154,29 @@ private[graft] object CellSnapshot {
     }
   }
 
-  /** Publish manifest version `v`: write the (immutable, version-named)
-    * manifest file FIRST, then flip the marker — the only mutation in
-    * the whole lifecycle, and it is a single-file replace. A crash
-    * before the flip leaves the previous snapshot fully live (the
-    * orphan manifest/generation files are inert and overwritten-by-name
-    * on retry); a crash after it leaves the new snapshot fully live.
+  /** Publish manifest version `v`: write the body to a dot-prefixed
+    * temp file (invisible to [[version]]'s listing), then RENAME it to
+    * its immutable `m<v>` name — an atomic create of a NEW name on
+    * both local filesystems and HDFS, so no reader can ever observe a
+    * partial manifest and no existing file is ever overwritten. A
+    * crash before the rename leaves the previous snapshot fully live
+    * (the orphan temp/generation files are inert and replaced on
+    * retry); after it, the new snapshot is fully live. A rename
+    * failure (m<v> already exists) means a concurrent writer raced
+    * this publish — fail loudly, maintenance is single-writer by
+    * contract.
     */
   def publish(spark: SparkSession, dir: String, v: Int, m: Map[Long, Int]): Unit = {
     val fs = fsOf(spark, dir)
     val body = m.toSeq.sorted.map { case (c, g) => s"$c $g" }.mkString("\n")
-    val out = fs.create(manifestPath(dir, v), true)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/_manifests/.m$v.tmp")
+    val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    val mk = fs.create(markerPath(dir), true)
-    try mk.write(v.toString.getBytes("UTF-8")) finally mk.close()
+    val dst = manifestPath(dir, v)
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(
+        s"snapshot publish of m$v at $dir failed: another writer published it " +
+          "concurrently (the lifecycle is single-writer)")
   }
 
   /** Manifest-aware cell append (the insert half of the lifecycle):
@@ -182,8 +213,7 @@ private[graft] object CellSnapshot {
     */
   def reset(spark: SparkSession, dir: String): Unit = {
     val fs = fsOf(spark, dir)
-    Seq(markerPath(dir), new org.apache.hadoop.fs.Path(s"$dir/_manifests"),
-      new org.apache.hadoop.fs.Path(s"$dir/_gen"))
+    Seq(manifestDir(dir), new org.apache.hadoop.fs.Path(s"$dir/_gen"))
       .foreach(p => if (fs.exists(p)) fs.delete(p, true))
   }
 
