@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * on-disk layouts SAFE under concurrent readers: published files are
   * IMMUTABLE — a maintenance operation never deletes or renames a file
   * a reader could have planned against — and visibility flips through
-  * one atomically-replaced marker, the same write-then-flip discipline
-  * as `Hnsw.appendGeneration`'s `_graft_latest`.
+  * the atomic appearance of a NEW manifest file, the same
+  * write-everything-then-commit discipline as `Hnsw.appendGeneration`'s
+  * per-generation `_graft_commit`.
   *
   * Physical layout under an index root `dir` (per sub-tree `sub`,
   * empty for IVF, `nodes`/`edges` for routed HNSW):

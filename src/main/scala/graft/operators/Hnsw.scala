@@ -793,20 +793,40 @@ object Hnsw {
   // Generational index maintenance (streaming-append serving state)
   // ------------------------------------------------------------------
 
-  private def latestMarker(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/_graft_latest")
+  private def genCommit(dir: String, g: Int) =
+    new org.apache.hadoop.fs.Path(s"$dir/gen=$g/_graft_commit")
 
-  /** Latest generation id under a generational index root
-    * (`dir/gen=N/{nodes,edges}` + `_graft_latest` marker), if any.
+  /** Latest COMMITTED generation id under a generational index root
+    * (`dir/gen=N/{nodes,edges}`): the largest N whose `_graft_commit`
+    * file exists. The commit file is created LAST (after every data
+    * write and byte-copy of its generation) and its appearance — a
+    * brand-new name, never an overwrite — is the atomic publish point,
+    * the same no-mutable-marker discipline as [[CellSnapshot]] (the
+    * earlier `_graft_latest` create-overwrite marker was itself a
+    * truncate-then-write race for a concurrent reader; it is still
+    * read as a legacy fallback for indexes written before the commit
+    * files existed).
     */
   def latestGenId(spark: org.apache.spark.sql.SparkSession, dir: String): Option[Int] = {
-    val path = latestMarker(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) None
-    else {
-      val in = fs.open(path)
-      try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-        .trim.toInt)
-      finally in.close()
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return None
+    val committed = fs.listStatus(base).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen="))
+      .map(_.getPath.getName.stripPrefix("gen=").toInt)
+      .filter(g => fs.exists(genCommit(dir, g)))
+      .maxOption
+    committed.orElse {
+      // legacy fallback: pre-commit-file indexes recorded the latest
+      // generation in a `_graft_latest` marker
+      val marker = new org.apache.hadoop.fs.Path(s"$dir/_graft_latest")
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+          .trim.toInt)
+        finally in.close()
+      }
     }
   }
 
@@ -823,10 +843,11 @@ object Hnsw {
     * batch builds `gen=0` from scratch; each later batch loads the
     * latest generation, [[insertInto]]s the new rows (only affected
     * shards rebuild), and writes the result as a NEW generation before
-    * flipping the `_graft_latest` marker. Generations are immutable —
-    * a reader serving from gen N is never corrupted by the writer
-    * producing N+1 (the overwrite-in-place alternative would have the
-    * insert plan reading the very files it is replacing). This is the
+    * creating its `_graft_commit` file (the atomic publish point —
+    * see [[latestGenId]]). Generations are immutable — a reader
+    * serving from gen N is never corrupted by the writer producing
+    * N+1 (the overwrite-in-place alternative would have the insert
+    * plan reading the very files it is replacing). This is the
     * micro-batch maintenance shape: call it from a streaming
     * `foreachBatch` sink ([[graft.streaming.StreamingAnn.maintainIndex]]).
     */
@@ -835,20 +856,23 @@ object Hnsw {
     latestGeneration(spark, dir) match {
       case None =>
         save(fresh, p, s"$dir/gen=0")
-        writeLatest(spark, dir, 0)
+        commitGeneration(spark, dir, 0)
       case Some((g, nodes, edges)) =>
         val (n1, e1) = insertInto(nodes, edges, fresh, p)
         saveIndex(n1, e1, s"$dir/gen=${g + 1}", p)
-        writeLatest(spark, dir, g + 1)
+        commitGeneration(spark, dir, g + 1)
     }
   }
 
-  private def writeLatest(spark: org.apache.spark.sql.SparkSession, dir: String,
-                          gen: Int): Unit = {
-    val path = latestMarker(dir)
+  /** Publish generation `gen`: create its (empty, never-overwritten)
+    * `_graft_commit` file — an atomic appearance of a new name, AFTER
+    * every data file of the generation is in place.
+    */
+  private def commitGeneration(spark: org.apache.spark.sql.SparkSession, dir: String,
+                               gen: Int): Unit = {
+    val path = genCommit(dir, gen)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(path, true)
-    try out.write(gen.toString.getBytes("UTF-8")) finally out.close()
+    fs.create(path, true).close()
   }
 
   // ------------------------------------------------------------------
@@ -918,8 +942,10 @@ object Hnsw {
     * invalidates its shard's adjacency, so those shards re-insert their
     * remaining rows from scratch — same determinism as a fresh build),
     * every untouched shard's node and edge partitions are BYTE-COPIED
-    * verbatim, the `_deletes` sidecar is cleared, and the `_graft_latest`
-    * marker flips. Compaction I/O is proportional to the AFFECTED data
+    * verbatim, the `_deletes` sidecar is cleared, and the generation's
+    * `_graft_commit` file appears LAST (after the byte-copies — a
+    * reader can never resolve a half-copied generation; see
+    * [[latestGenId]]). Compaction I/O is proportional to the AFFECTED data
     * (deleted ids hash to ≤ P shards), never to the index size — the
     * property that makes takedowns affordable at 100 TB.
     */
@@ -946,7 +972,7 @@ object Hnsw {
     copyUntouchedParts(spark, s"$srcBase/nodes", s"$dstBase/nodes", affected.toSet)
     copyUntouchedParts(spark, s"$srcBase/edges", s"$dstBase/edges", affected.toSet)
     Tombstones.clear(spark, dir)
-    writeLatest(spark, dir, g + 1)
+    commitGeneration(spark, dir, g + 1)
   }
 
   /** Copy `part=<k>` subtrees of `src` into `dst` for every k NOT in

@@ -73,7 +73,7 @@ class IndexDeleteSpec extends AnyFunSuite {
 
     Hnsw.compactGeneration(spark, dir, P)
 
-    assert(Hnsw.latestGenId(spark, dir) === Some(1), "compaction must flip the marker")
+    assert(Hnsw.latestGenId(spark, dir) === Some(1), "compaction must commit the new generation")
     assert(Hnsw.deletedIds(spark, dir).isEmpty, "compaction must clear the tombstones")
 
     // untouched shards: same file names, same bytes
