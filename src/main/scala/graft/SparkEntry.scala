@@ -984,6 +984,26 @@ object SparkEntry {
       Retrieval.maxsimTopKPruned(s, pdir, toks,
         v => floor(v / 4).cast("long"), 10, nprobe = 16)
     }),
+    // Takedowns on the LATE-INTERACTION serving tier: a document
+    // takedown records all its token-vector ids in the layout's
+    // `_deletes` sidecar; pruned maxsim excludes them above the pruned
+    // scan (the shared broadcast anti-join contract), so a taken-down
+    // document can contribute NO token match and vanishes from
+    // results. Deterministic exclusion → fully oracled (docs ≡ 0 mod
+    // 13 taken down; the oracle filters the doc-vector table).
+    // Dedicated dir: the shared c16 layout stays tombstone-free.
+    "q_maxsim_tombstone_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pdir = ivfCellsDir(s, dir, "c16msdel")
+      Ivf.ensurePartitioned(emb, 16, pdir)
+      graft.operators.Tombstones.recordOnce(s, pdir,
+        emb.filter(pmod(floor(col("vec_id") / 4), lit(13)) === 0).select("vec_id"))
+      val toks = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("tok_id"), perturbQuery(col("embedding")).as("query_vec"))
+      Retrieval.maxsimTopKPruned(s, pdir, toks,
+        v => floor(v / 4).cast("long"), 10, nprobe = 16,
+        excluded = graft.operators.Tombstones.ids(s, pdir))
+    }),
     // Diversified top-k: best 10 by distance subject to AT MOST 2 per
     // document source (doc_id ≡ vec_id) — the result-diversity quota
     // of a serving response. Exact WITHOUT a corpus sort: the constant
@@ -1954,6 +1974,21 @@ object SparkEntry {
     // maxsim: per (doc, query-token) max inner product, summed in the
     // SAME static ascending-tok order as the engine's score chain
     "q_maxsim_topk" -> duckMaxsimTopK,
+    // maxsim under takedowns: the doc-vector table minus the
+    // taken-down documents' token vectors (exclusion is deterministic,
+    // so the oracle is the plain filtered full scan)
+    "q_maxsim_tombstone_topk" ->
+      s"""WITH qt AS (SELECT query_id AS tok_id, query_vec FROM ${duckQueryBatch(4)}),
+          dv AS (SELECT vec_id // 4 AS doc_id, embedding::DOUBLE[] AS v FROM embeddings
+                 WHERE (vec_id // 4) % 13 != 0),
+          best AS (SELECT d.doc_id,
+                     ${(0 until 4).map(t =>
+                       s"max(CASE WHEN q.tok_id = $t THEN list_inner_product(d.v, q.query_vec) END) AS m_$t")
+                       .mkString(", ")}
+                   FROM dv d, qt q GROUP BY d.doc_id)
+          SELECT doc_id, round(${(0 until 4).map(t => s"m_$t").mkString(" + ")}, 6) AS maxsim
+          FROM best
+          ORDER BY maxsim DESC, doc_id LIMIT 10""",
     // batch maxsim at nprobe=C: per-(query, doc, relative-token) best
     // dot, summed in the SAME static ascending-tok order as the
     // engine's sorted fold (left-assoc; the fold's 0.0 seed is an IEEE

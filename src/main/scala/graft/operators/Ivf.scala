@@ -521,7 +521,8 @@ object Ivf {
   def cosineRangeSearch(spark: org.apache.spark.sql.SparkSession, dir: String,
                         queries: DataFrame, minSim: Double,
                         roundTo: Int = 6, predicate: Option[Column] = None,
-                        ordered: Boolean = true): DataFrame = {
+                        ordered: Boolean = true,
+                        excluded: Option[DataFrame] = None): DataFrame = {
     ensureRadii(spark, dir)
     val qn = normalizedQuery(queries)
     val r = math.sqrt(2.0 * (1.0 - minSim) + math.pow(10.0, -roundTo))
@@ -533,7 +534,7 @@ object Ivf {
       .filter(l2Distance(col("centroid_vec"), col("query_vec")) - col("radius") <= lit(r))
       .select(col("centroid_id")).collect().map(_.getLong(0))
     val pruned = stored.filter(col("cell").isin(eligible.toIndexedSeq: _*)) // partition-pruned
-    orderedRange(predicate.fold(pruned)(pruned.filter) // scan-pushable → PushedFilters
+    orderedRange(withoutExcluded(predicate.fold(pruned)(pruned.filter), excluded)
       .crossJoin(broadcast(qn))
       .select(col("vec_id"),
         round(lit(1.0) - l2DistanceSq(col("embedding"), col("query_vec")) / lit(2.0),
@@ -541,6 +542,16 @@ object Ivf {
       .filter(col("cos_sim") >= minSim),
       ordered, col("cos_sim").desc, col("vec_id"))
   }
+
+  /** [[cosineRangeSearch]] under the layout's tombstones (shared
+    * `_deletes` contract — the similarity-floor twin of
+    * [[rangeSearchWithDeletes]]).
+    */
+  def cosineRangeSearchWithDeletes(spark: org.apache.spark.sql.SparkSession, dir: String,
+                                   queries: DataFrame, minSim: Double,
+                                   roundTo: Int = 6): DataFrame =
+    cosineRangeSearch(spark, dir, queries, minSim, roundTo,
+      excluded = Tombstones.ids(spark, dir))
 
   /** MIPS range search over an [[ensurePartitionedMips]] layout: every
     * vector with inner product ≥ `minDot` — the third member of the
@@ -557,7 +568,8 @@ object Ivf {
   def mipsRangeSearch(spark: org.apache.spark.sql.SparkSession, dir: String,
                       queries: DataFrame, minDot: Double,
                       roundTo: Int = 6, predicate: Option[Column] = None,
-                      ordered: Boolean = true): DataFrame = {
+                      ordered: Boolean = true,
+                      excluded: Option[DataFrame] = None): DataFrame = {
     ensureRadii(spark, dir)
     val qa = augmentedQuery(queries)
     val stored = readLayout(spark, dir)
@@ -571,13 +583,23 @@ object Ivf {
       .filter(lb <= lit(0.0) || lb * lb <= rsq)
       .select(col("centroid_id")).collect().map(_.getLong(0))
     val pruned = stored.filter(col("cell").isin(eligible.toIndexedSeq: _*)) // partition-pruned
-    orderedRange(predicate.fold(pruned)(pruned.filter) // scan-pushable → PushedFilters
+    orderedRange(withoutExcluded(predicate.fold(pruned)(pruned.filter), excluded)
       .crossJoin(broadcast(qa))
       .select(col("vec_id"),
         round(dotProduct(col("embedding"), col("query_vec")), roundTo).as("ip"))
       .filter(col("ip") >= minDot),
       ordered, col("ip").desc, col("vec_id"))
   }
+
+  /** [[mipsRangeSearch]] under the layout's tombstones (shared
+    * `_deletes` contract — the dot-floor twin of
+    * [[rangeSearchWithDeletes]]).
+    */
+  def mipsRangeSearchWithDeletes(spark: org.apache.spark.sql.SparkSession, dir: String,
+                                 queries: DataFrame, minDot: Double,
+                                 roundTo: Int = 6): DataFrame =
+    mipsRangeSearch(spark, dir, queries, minDot, roundTo,
+      excluded = Tombstones.ids(spark, dir))
 
   /** Cell-local incremental insert — the append half of the layout
     * lifecycle ([[compactPartitioned]] is the remove half): assign

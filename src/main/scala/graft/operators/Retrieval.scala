@@ -209,7 +209,8 @@ object Retrieval {
     */
   def maxsimTopKPruned(spark: org.apache.spark.sql.SparkSession, dir: String,
                        queryTokens: DataFrame, docIdOf: Column => Column,
-                       k: Int, nprobe: Int, roundTo: Int = 6): DataFrame = {
+                       k: Int, nprobe: Int, roundTo: Int = 6,
+                       excluded: Option[DataFrame] = None): DataFrame = {
     import graft.functions.VectorFunctions.dotProduct
     val tokIdsAll = queryTokens.select(col("tok_id")).collect().map(_.getLong(0))
     val tokIds = tokIdsAll.distinct.sorted
@@ -229,7 +230,10 @@ object Retrieval {
       max(when(col("tok_id") === t, col("dot"))).as(s"m_$t"))
     // a token with no surviving (doc, token) dot floors at 0
     val score = tokIds.map(t => coalesce(col(s"m_$t"), lit(0.0))).reduce(_ + _)
-    pruned
+    // takedowns: excluded token-vector ids (a doc takedown records all
+    // its token ids) drop above the pruned scan — the shared
+    // `_deletes` broadcast anti-join contract (Ivf.withoutExcluded)
+    Ivf.withoutExcluded(pruned, excluded)
       .join(broadcast(probes), Seq("cell"))
       .join(broadcast(queryTokens), Seq("tok_id"))
       .select(docIdOf(col("vec_id")).as("doc_id"), col("tok_id"),
@@ -265,7 +269,8 @@ object Retrieval {
     */
   def maxsimTopKBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
                       queryTokens: DataFrame, docIdOf: Column => Column,
-                      k: Int, nprobe: Int, roundTo: Int = 6): DataFrame = {
+                      k: Int, nprobe: Int, roundTo: Int = 6,
+                      excluded: Option[DataFrame] = None): DataFrame = {
     import graft.functions.VectorFunctions.{dotProduct, l2Distance}
     // duplicate (query, token) keys would double-join their dots with
     // undefined intent — same contract as the single-bag forms
@@ -289,7 +294,8 @@ object Retrieval {
     val unionCells = probes.select("cell").distinct().collect().map(_.getLong(0))
     val pruned = Ivf.readLayout(spark, dir)
       .filter(col("cell").isin(unionCells.toIndexedSeq: _*)) // partition-pruned
-    val best = pruned
+    // takedowns drop above the pruned scan (shared `_deletes` contract)
+    val best = Ivf.withoutExcluded(pruned, excluded)
       .join(broadcast(probes), Seq("cell"))
       .join(broadcast(queryTokens), Seq("query_id", "tok_id"))
       .select(col("query_id"), docIdOf(col("vec_id")).as("doc_id"), col("tok_id"),

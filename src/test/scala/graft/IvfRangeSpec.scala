@@ -168,6 +168,45 @@ class IvfRangeSpec extends AnyFunSuite {
       "tombstone range serving must equal a layout built without the deleted rows")
   }
 
+  test("cosine/MIPS range under tombstones == layouts rebuilt without the deleted rows") {
+    val dels = Seq(0L, 4L, 8L).toDF("vec_id")
+    val keep = !col("vec_id").isin(0L, 4L, 8L)
+    val q = clustered.filter(col("vec_id") === 1)
+      .select(perturbQuery(col("embedding")).as("query_vec"))
+
+    val cosDir = Files.createTempDirectory("cos_range_del").toString
+    Ivf.ensurePartitionedCosine(clustered, 8, cosDir)
+    Ivf.recordDeletes(spark, cosDir, dels)
+    val gotC = Ivf.cosineRangeSearchWithDeletes(spark, cosDir, q, 0.5)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(gotC.forall(r => !Seq(0L, 4L, 8L).contains(r._1)))
+    val cosClean = Files.createTempDirectory("cos_range_del_clean").toString
+    // same centroid geometry: normalize the FULL table for seeding so
+    // the probe bounds match, then serve the kept rows
+    Ivf.ensurePartitionedWith(Ivf.normalized(clustered).filter(keep),
+      Ivf.centroids(Ivf.normalized(clustered), 8), cosClean, tag = "cosdelclean",
+      kind = "cosine")
+    assert(gotC === Ivf.cosineRangeSearch(spark, cosClean, q, 0.5)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq,
+      "cosine range tombstone serving must equal a layout built without the deleted rows")
+
+    val mipsDir = Files.createTempDirectory("mips_range_del").toString
+    Ivf.ensurePartitionedMips(clustered, 8, mipsDir)
+    Ivf.recordDeletes(spark, mipsDir, dels)
+    val gotM = Ivf.mipsRangeSearchWithDeletes(spark, mipsDir, q, 100.0)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(gotM.forall(r => !Seq(0L, 4L, 8L).contains(r._1)))
+    val mipsClean = Files.createTempDirectory("mips_range_del_clean").toString
+    // same augmentation (corpus max norm from the FULL table) so the
+    // augmented geometry is identical, kept rows only
+    Ivf.ensurePartitionedWith(Ivf.augmented(clustered).filter(keep),
+      Ivf.centroids(Ivf.augmented(clustered), 8), mipsClean, tag = "mipsdelclean",
+      kind = "mips")
+    assert(gotM === Ivf.mipsRangeSearch(spark, mipsClean, q, 100.0)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq,
+      "MIPS range tombstone serving must equal a layout built without the deleted rows")
+  }
+
   test("cosineRangeSearch == brute-force cosine filter; direction clusters prune") {
     // directional blobs: all vectors near one of 3 orthogonal axes —
     // after normalization these are tight caps on the sphere, so a

@@ -218,6 +218,41 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("maxsim under tombstones: taken-down docs' tokens vanish; == corpus without them (pruned AND batch)") {
+    import graft.operators.{Ivf, Tombstones}
+    val rnd = new scala.util.Random(31)
+    val vecs = (0L until 80L).map { i => (i, Array.fill(6)(rnd.nextFloat() * 4f - 2f)) }
+    val dv = vecs.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("maxsim_del").toString
+    Ivf.writePartitionedWith(dv, Ivf.centroids(dv, 5), dir)
+    val docIdOf = (v: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.functions.floor(v / 2).cast("long")
+    // take down docs 3 and 7 → token ids 6,7 and 14,15
+    val delToks = Seq(6L, 7L, 14L, 15L).toDF("vec_id")
+    Ivf.recordDeletes(spark, dir, delToks)
+    val toks = vecs.take(2).map { case (i, v) => (i, v.map(_.toDouble)) }
+      .toDF("tok_id", "query_vec")
+
+    val got = Retrieval.maxsimTopKPruned(spark, dir, toks, docIdOf, 40, nprobe = 5,
+        excluded = Tombstones.ids(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.nonEmpty && got.forall(r => r._1 != 3L && r._1 != 7L))
+    val without = Retrieval.maxsimTopK(
+      dv.filter(!col("vec_id").isin(6L, 7L, 14L, 15L))
+        .select(docIdOf(col("vec_id")).as("doc_id"), col("embedding")), toks, 40)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === without,
+      "maxsim tombstone serving must equal the corpus without the taken-down docs")
+
+    val btoks = toks.select(
+      org.apache.spark.sql.functions.lit(0L).as("query_id"),
+      col("tok_id"), col("query_vec"))
+    val gotB = Retrieval.maxsimTopKBatch(spark, dir, btoks, docIdOf, 40, nprobe = 5,
+        excluded = Tombstones.ids(spark, dir))
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(gotB.toSet === without.toSet, "batch maxsim must honor the same tombstones")
+  }
+
   test("maxsimTopK == brute-force per-token max on a random fixture") {
     val rnd = new scala.util.Random(7)
     val dv = (0 until 120).map { i =>
