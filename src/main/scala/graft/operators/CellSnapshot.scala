@@ -95,16 +95,21 @@ private[graft] object CellSnapshot {
 
   /** Current `(version, cell → generation)` manifest, if published. */
   def mapping(spark: SparkSession, dir: String): Option[(Int, Map[Long, Int])] =
-    version(spark, dir).map { v =>
-      val txt = readSmallFile(spark, manifestPath(dir, v))
-        .getOrElse(throw new IllegalStateException(
-          s"manifest m$v at $dir vanished between listing and read (concurrent " +
-            "vacuum of the current version?)"))
-      val m = txt.linesIterator.filter(_.nonEmpty).map { l =>
+    version(spark, dir).map(v => (v, mappingAt(spark, dir, v)
+      .getOrElse(throw new IllegalStateException(
+        s"manifest m$v at $dir vanished between listing and read (concurrent " +
+          "vacuum of the current version?)"))))
+
+  /** The cell → generation manifest of a SPECIFIC published version,
+    * if that version's manifest still exists ([[vacuum]] reclaims old
+    * versions along with their superseded subtrees).
+    */
+  def mappingAt(spark: SparkSession, dir: String, v: Int): Option[Map[Long, Int]] =
+    readSmallFile(spark, manifestPath(dir, v)).map { txt =>
+      txt.linesIterator.filter(_.nonEmpty).map { l =>
         val parts = l.split(' ')
         parts(0).toLong -> parts(1).toInt
       }.toMap
-      (v, m)
     }
 
   /** Current manifest, synthesizing the implicit version-0 state (every
@@ -134,11 +139,28 @@ private[graft] object CellSnapshot {
     * live cells — the cell filters stay partition filters, so probe
     * pruning composes unchanged.
     */
-  def read(spark: SparkSession, dir: String, sub: String, partCol: String): DataFrame = {
+  def read(spark: SparkSession, dir: String, sub: String, partCol: String): DataFrame =
+    readResolved(spark, dir, sub, partCol, mapping(spark, dir).map(_._2))
+
+  /** TIME-TRAVEL read: `sub`'s live rows AS OF published version `v`.
+    * Generations are immutable and manifests version-named, so any
+    * not-yet-[[vacuum]]ed snapshot reproduces exactly — the
+    * reproducible-training-run contract (pin the snapshot version a
+    * run trained against; a later takedown compaction does not change
+    * what that version serves). Fails loudly when `v` was vacuumed.
+    */
+  def readAt(spark: SparkSession, dir: String, sub: String, partCol: String,
+             v: Int): DataFrame =
+    readResolved(spark, dir, sub, partCol, Some(mappingAt(spark, dir, v)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no manifest m$v under $dir: the version was never published or was vacuumed"))))
+
+  private def readResolved(spark: SparkSession, dir: String, sub: String, partCol: String,
+                           mapping: Option[Map[Long, Int]]): DataFrame = {
     val basePath = genRoot(dir, sub, 0)
-    mapping(spark, dir) match {
+    mapping match {
       case None => spark.read.parquet(basePath)
-      case Some((_, m)) =>
+      case Some(m) =>
         val base = spark.read.parquet(basePath)
         val fs = fsOf(spark, dir)
         val frames = m.groupBy(_._2).toSeq.sortBy(_._1).flatMap { case (g, cells) =>

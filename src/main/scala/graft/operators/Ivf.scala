@@ -207,6 +207,16 @@ object Ivf {
   def readLayout(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     CellSnapshot.read(spark, dir, "", "cell")
 
+  /** TIME-TRAVEL read: the layout AS OF published snapshot `version`
+    * ([[CellSnapshot.readAt]]) — pin the version a training run
+    * consumed and re-reading it stays bit-identical through later
+    * compactions (until [[vacuumPartitioned]] reclaims it). Versions
+    * come from [[CellSnapshot.version]] after each publish.
+    */
+  def readLayoutAt(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   version: Int): DataFrame =
+    CellSnapshot.readAt(spark, dir, "", "cell", version)
+
   /** Reclaim subtrees superseded by compactions ([[CellSnapshot.vacuum]]):
     * storage GC on the takedown pipeline's cadence — safe once no
     * reader still serves a pre-vacuum snapshot.

@@ -73,6 +73,36 @@ class CellSnapshotSpec extends AnyFunSuite {
     assert(CellSnapshot.version(spark, dir).exists(_ >= 2), "each compaction publishes a new version")
   }
 
+  test("IVF: time-travel reads reproduce each published version exactly, through later compactions") {
+    val dir = Files.createTempDirectory("snap_tt").toString
+    Ivf.writePartitionedWith(emb, Ivf.centroids(emb, C), dir)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val all = rows(Ivf.readLayout(spark, dir))
+
+    Ivf.recordDeletes(spark, dir, delIds.toDF("vec_id"))
+    Ivf.compactPartitioned(spark, dir)
+    val v1 = CellSnapshot.version(spark, dir).get
+    val afterFirst = rows(Ivf.readLayout(spark, dir))
+    assert(afterFirst === all -- delIds)
+
+    Ivf.recordDeletes(spark, dir, Seq(100L, 101L).toDF("vec_id"))
+    Ivf.compactPartitioned(spark, dir)
+    val v2 = CellSnapshot.version(spark, dir).get
+    assert(v2 > v1)
+
+    // v1 still reproduces the first compaction's snapshot exactly,
+    // even though a later compaction has published
+    assert(rows(Ivf.readLayoutAt(spark, dir, v1)) === afterFirst)
+    assert(rows(Ivf.readLayoutAt(spark, dir, v2)) === afterFirst -- Seq(100L, 101L))
+    // an unknown/vacuumed version fails loudly
+    intercept[IllegalArgumentException] { Ivf.readLayoutAt(spark, dir, 999) }
+    Ivf.vacuumPartitioned(spark, dir)
+    intercept[IllegalArgumentException] { Ivf.readLayoutAt(spark, dir, v1) }
+    assert(rows(Ivf.readLayout(spark, dir)) === afterFirst -- Seq(100L, 101L),
+      "vacuum keeps the current version intact")
+  }
+
   test("IVF: vacuum reclaims superseded subtrees; the current snapshot still serves identically") {
     val dir = Files.createTempDirectory("snap_vac").toString
     Ivf.writePartitionedWith(emb, Ivf.centroids(emb, C), dir)
@@ -113,6 +143,58 @@ class CellSnapshotSpec extends AnyFunSuite {
     assert(post.select(col("cell").cast("long")).distinct()
       .collect().map(_.getLong(0)).contains(victim),
       "an emptied cell that receives inserts must rejoin the manifest")
+  }
+
+  test("random lifecycle (delete/compact/insert/vacuum) always matches the model") {
+    // model-based check: after EVERY operation, the snapshot-resolved
+    // layout content equals a driver-side model — hammers the manifest
+    // transitions (chained compactions, emptied cells, re-populated
+    // cells, vacuum interleavings) that example tests pick one path
+    // through
+    val rnd = new scala.util.Random(20260814L)
+    val dir = Files.createTempDirectory("snap_model").toString
+    def vecOf(i: Long): Array[Float] = {
+      val r = new scala.util.Random(i); Array.fill(8)(r.nextFloat() * 10f)
+    }
+    var model: Set[Long] = (0L until 120L).toSet
+    var nextId = 120L
+    var tombs: Set[Long] = Set.empty
+    val cents = Ivf.centroids(model.toSeq.sorted.map(i => (i, vecOf(i))).toDF("vec_id", "embedding"), C)
+    Ivf.writePartitionedWith(
+      model.toSeq.sorted.map(i => (i, vecOf(i))).toDF("vec_id", "embedding"), cents, dir)
+
+    def layoutIds(): Set[Long] =
+      Ivf.readLayout(spark, dir).select("vec_id").collect().map(_.getLong(0)).toSet
+    def tombIds(): Set[Long] =
+      graft.operators.Tombstones.ids(spark, dir)
+        .map(_.collect().map(_.getLong(0)).toSet).getOrElse(Set.empty)
+
+    for (step <- 1 to 14) {
+      rnd.nextInt(4) match {
+        case 0 if model.nonEmpty => // record a takedown batch
+          val ids = rnd.shuffle(model.toSeq).take(1 + rnd.nextInt(8))
+          Ivf.recordDeletes(spark, dir, ids.toDF("vec_id"))
+          tombs ++= ids
+        case 1 => // fold tombstones in
+          Ivf.compactPartitioned(spark, dir)
+          model --= tombs; tombs = Set.empty
+        case 2 => // insert a fresh batch
+          val ids = (nextId until nextId + 1 + rnd.nextInt(6)).toSeq
+          nextId = ids.max + 1
+          Ivf.insertInto(spark, dir, ids.map(i => (i, vecOf(i))).toDF("vec_id", "embedding"))
+          model ++= ids
+        case _ => // GC — semantically a no-op for the current snapshot
+          Ivf.vacuumPartitioned(spark, dir)
+      }
+      assert(layoutIds() === model, s"layout diverged from model at step $step")
+      assert(tombIds() === tombs, s"tombstones diverged from model at step $step")
+    }
+    // drain: compact everything and confirm the final state end-to-end
+    Ivf.compactPartitioned(spark, dir)
+    model --= tombs; tombs = Set.empty
+    assert(layoutIds() === model)
+    Ivf.vacuumPartitioned(spark, dir)
+    assert(layoutIds() === model)
   }
 
   test("insertInto refuses cosine/MIPS layouts (layout-kind guard)") {
