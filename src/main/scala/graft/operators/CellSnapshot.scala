@@ -82,16 +82,8 @@ private[graft] object CellSnapshot {
     * VISIBLE complete (tmp-write + rename), so the max is always safe
     * to read.
     */
-  def version(spark: SparkSession, dir: String): Option[Int] = {
-    val md = manifestDir(dir)
-    val fs = md.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(md)) None
-    else fs.listStatus(md).toSeq
-      .map(_.getPath.getName)
-      .filter(n => n.startsWith("m") && n.drop(1).forall(_.isDigit) && n.length > 1)
-      .map(_.drop(1).toInt)
-      .maxOption
-  }
+  def version(spark: SparkSession, dir: String): Option[Int] =
+    versions(spark, dir).maxOption
 
   /** Current `(version, cell → generation)` manifest, if published. */
   def mapping(spark: SparkSession, dir: String): Option[(Int, Map[Long, Int])] =
@@ -99,6 +91,20 @@ private[graft] object CellSnapshot {
       .getOrElse(throw new IllegalStateException(
         s"manifest m$v at $dir vanished between listing and read (concurrent " +
           "vacuum of the current version?)"))))
+
+  /** All published versions still on disk, ascending — the time-travel
+    * catalog ([[vacuum]] trims all but the current one).
+    */
+  def versions(spark: SparkSession, dir: String): Seq[Int] = {
+    val md = manifestDir(dir)
+    val fs = md.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(md)) Seq.empty
+    else fs.listStatus(md).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("m") && n.drop(1).forall(_.isDigit) && n.length > 1)
+      .map(_.drop(1).toInt)
+      .sorted
+  }
 
   /** The cell → generation manifest of a SPECIFIC published version,
     * if that version's manifest still exists ([[vacuum]] reclaims old

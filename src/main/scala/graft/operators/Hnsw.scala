@@ -622,6 +622,19 @@ object Hnsw {
   def readRoutedEdges(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     CellSnapshot.read(spark, dir, "edges", "part")
 
+  /** TIME-TRAVEL reads of a routed index AS OF published snapshot
+    * `version` (`Ivf.readLayoutAt`'s routed twin): nodes and edges
+    * resolve the SAME versioned manifest, so the graph is consistent
+    * at any pinned version until [[vacuumRouted]] reclaims it.
+    */
+  def readRoutedNodesAt(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        version: Int): DataFrame =
+    CellSnapshot.readAt(spark, dir, "nodes", "part", version)
+
+  def readRoutedEdgesAt(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        version: Int): DataFrame =
+    CellSnapshot.readAt(spark, dir, "edges", "part", version)
+
   /** Reclaim routed subtrees superseded by [[compactRouted]] — safe
     * once no reader still serves a pre-vacuum snapshot.
     */

@@ -93,6 +93,7 @@ class CellSnapshotSpec extends AnyFunSuite {
 
     // v1 still reproduces the first compaction's snapshot exactly,
     // even though a later compaction has published
+    assert(CellSnapshot.versions(spark, dir) === Seq(v1, v2))
     assert(rows(Ivf.readLayoutAt(spark, dir, v1)) === afterFirst)
     assert(rows(Ivf.readLayoutAt(spark, dir, v2)) === afterFirst -- Seq(100L, 101L))
     // an unknown/vacuumed version fails loudly
@@ -243,9 +244,18 @@ class CellSnapshotSpec extends AnyFunSuite {
     val post = batch(Hnsw.searchRoutedWithIndex(spark, dir, queries, 10, p, nprobe = 8))
     assert(post.nonEmpty && post.forall(r => !delIds.take(2).contains(r._2)))
 
+    // routed time travel: the pinned version reproduces the
+    // pre-vacuum node/edge sets, nodes and edges at the SAME version
+    val v = CellSnapshot.version(spark, dir).get
+    val nodesAtV = Hnsw.readRoutedNodesAt(spark, dir, v).count()
+    val edgesAtV = Hnsw.readRoutedEdgesAt(spark, dir, v).count()
+    assert(nodesAtV === nodes.count() && edgesAtV === edges.count())
+
     Hnsw.vacuumRouted(spark, dir)
     assert(batch(Hnsw.searchRoutedWithIndex(spark, dir, queries, 10, p, nprobe = 8)) === post,
       "vacuum must not change routed serving")
+    assert(Hnsw.readRoutedNodesAt(spark, dir, v).count() === nodesAtV,
+      "the current version survives vacuum")
   }
 
   test("IVF-PQ: a code-layout reader planned before compaction is isolated; compaction folds codes") {
