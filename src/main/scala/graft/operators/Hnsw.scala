@@ -888,6 +888,34 @@ object Hnsw {
     fs.create(path, true).close()
   }
 
+  /** Reclaim old generations, keeping the newest `keep` committed ones
+    * (plus any uncommitted leftovers newer than the cut — a concurrent
+    * writer's in-flight generation is never touched). Generations are
+    * the layout's time-travel/rollback catalog, so this is the
+    * explicit storage-GC knob a maintenance pipeline runs on its own
+    * cadence — UNSAFE for readers still serving a reclaimed
+    * generation, same contract as `CellSnapshot.vacuum`.
+    */
+  def vacuumGenerations(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        keep: Int = 1): Unit = {
+    require(keep >= 1, s"must keep at least the current generation (got $keep)")
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return
+    val committed = fs.listStatus(base).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen="))
+      .map(_.getPath.getName.stripPrefix("gen=").toInt)
+      .filter(g => fs.exists(genCommit(dir, g)))
+      .sorted
+    committed.dropRight(keep).foreach { g =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/gen=$g"), true)
+    }
+    // the legacy marker (if any) may now name a reclaimed generation —
+    // committed-generation listing supersedes it entirely
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_graft_latest")
+    if (fs.exists(marker)) fs.delete(marker, false)
+  }
+
   // ------------------------------------------------------------------
   // Deletion lifecycle (tombstones + compaction)
   // ------------------------------------------------------------------

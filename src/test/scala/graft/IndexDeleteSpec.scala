@@ -103,6 +103,16 @@ class IndexDeleteSpec extends AnyFunSuite {
     val fresh = emb.filter(col("vec_id") >= 80)
     Hnsw.appendGeneration(fresh, dir, P) // gen 2 via insertInto
     assert(Hnsw.latestGenId(spark, dir) === Some(2))
+    // generation GC: keep only the newest; serving is unchanged and
+    // the reclaimed generations are gone from disk
+    val servedBefore = results(Hnsw.searchLatestGeneration(spark, dir, queries, 10, P))
+    Hnsw.vacuumGenerations(spark, dir, keep = 1)
+    assert(Hnsw.latestGenId(spark, dir) === Some(2), "the newest generation survives GC")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/gen=0")) &&
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/gen=1")),
+      "reclaimed generations must leave the disk")
+    assert(results(Hnsw.searchLatestGeneration(spark, dir, queries, 10, P)) === servedBefore,
+      "generation GC must not change what the latest generation serves")
     val got = results(Hnsw.searchLatestGeneration(spark, dir, queries, 10, P))
     assert(got.forall(r => !delIds.contains(r._2)))
     val (_, nodes2, _) = Hnsw.latestGeneration(spark, dir).get
