@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, CorpusPipeline, Dedup, Events, Hnsw, Ivf, Knn, Multimodal, Packing, Pq, Relational, Retrieval, Sampling, TextAnalysis, VectorLsh}
+import graft.operators.{AsofJoin, CorpusPipeline, Dedup, Events, Hnsw, Ivf, Knn, Multimodal, Packing, Pq, Relational, Retrieval, Sampling, Sq, TextAnalysis, VectorLsh}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -62,6 +62,13 @@ object SparkEntry {
     val base = s.conf.getOption("spark.graft.indexDir").getOrElse("target/graft_index")
     s"$base/v5_pq_${tag}_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
   }
+
+  // Driver-resident SQ8 bounds memo (2·d doubles per sfDir) — same
+  // amortization contract as Pq.codebooksCached.
+  private val sqBoundsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (Seq[Double], Seq[Double])]
+  private def sqBounds(emb: DataFrame, dir: String): (Seq[Double], Seq[Double]) =
+    sqBoundsMemo.getOrElseUpdate(dir, Sq.bounds(emb))
 
   // Once-per-JVM guard for the rewrite sandbox (copy + index + catalog
   // registration): rebuilding on first use each session sidesteps
@@ -157,9 +164,10 @@ object SparkEntry {
   private def duckKmeansCtes(c: Int, iters: Int,
                              vecOf: String => String = p => s"${p}embedding",
                              tag: String = "",
-                             table: String = "embeddings"): String = {
+                             table: String = "embeddings",
+                             seedOff: Int = 0): String = {
     val sb = new StringBuilder(
-      s"${tag}c0 AS (SELECT vec_id AS cid, list_transform(${vecOf("")}, x -> CAST(x AS DOUBLE)) AS cv FROM $table WHERE vec_id < $c)")
+      s"${tag}c0 AS (SELECT vec_id - $seedOff AS cid, list_transform(${vecOf("")}, x -> CAST(x AS DOUBLE)) AS cv FROM $table WHERE vec_id >= $seedOff AND vec_id < ${seedOff + c})")
     for (t <- 0 until iters) {
       sb ++= s""",
         ${tag}a$t AS (SELECT e.vec_id, cid AS cell FROM $table e, ${tag}c$t c
@@ -261,10 +269,10 @@ object SparkEntry {
     * + per-subspace argmin code assignments, unioned as `encall`.
     */
   private def duckPqCtes(m: Int, subDim: Int, c: Int, iters: Int,
-                         table: String = "embeddings"): String = {
+                         table: String = "embeddings", seedOff: Int = 0): String = {
     def sliceOf(s: Int)(p: String) = s"${p}embedding[${s * subDim + 1}:${(s + 1) * subDim}]"
     val books = (0 until m)
-      .map(s => duckKmeansCtes(c, iters, sliceOf(s), s"s$s", table)).mkString(",\n")
+      .map(s => duckKmeansCtes(c, iters, sliceOf(s), s"s$s", table, seedOff)).mkString(",\n")
     val encs = (0 until m).map { s =>
       s"""enc$s AS (SELECT e.vec_id, $s AS subspace, cid AS code
           FROM $table e, s${s}c$iters c
@@ -502,6 +510,225 @@ object SparkEntry {
              WHERE a.cell IN (SELECT cid FROM probed)
              GROUP BY e.vec_id
              ORDER BY adc_dist, e.vec_id LIMIT $shortlist)
+        SELECT e.vec_id, round(list_distance(e.embedding::DOUBLE[], q.query_vec), 6) AS dist
+        FROM embeddings e, shortl sl, q
+        WHERE e.vec_id = sl.vec_id
+        ORDER BY dist, e.vec_id LIMIT $k"""
+
+  /** Shared CTE prefix of the RESIDUAL IVF-PQ oracles (mirrors
+    * Pq.residuals ∘ Pq.codebooks): coarse seed centroids + argmin
+    * assignment, the residual table `remb` (x − centroid as doubles),
+    * and the PQ codebook/encode CTEs trained ON the residuals. Requires
+    * nothing in scope; `q`/`qb` come separately.
+    */
+  private def duckResidualCtes(m: Int, subDim: Int, c: Int, iters: Int,
+                               coarseC: Int): String =
+    s"""coarse AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                   FROM embeddings WHERE vec_id < $coarseC),
+        assigned AS (SELECT e.vec_id, cid AS cell FROM embeddings e, coarse c
+                     QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), cid) = 1),
+        remb AS (SELECT e.vec_id, list_transform(range(1, len(e.embedding)+1),
+                     i -> CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) AS embedding
+                 FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id
+                 JOIN coarse c ON c.cid = a.cell),
+        ${duckPqCtes(m, subDim, c, iters, table = "remb", seedOff = coarseC)}"""
+
+  /** Per-CELL residual-query LUT CTEs (`rlutall(cell, subspace, code,
+    * d2)`): the ADC table of the query's residual `q − centroid(cell)`
+    * against the residual codebooks — mirrors Pq.residualLuts. Requires
+    * `q(query_vec)`, `coarse` and the `s{s}c{iters}` codebook CTEs.
+    */
+  private def duckResidualLutCtes(m: Int, subDim: Int, iters: Int): String = {
+    val luts = (0 until m).map { s =>
+      s"""rlut$s AS (SELECT cell, $s AS subspace, cid AS code, list_inner_product(d, d) AS d2
+          FROM (SELECT rq.cell, cid, list_transform(range(1, ${subDim + 1}),
+                       i -> cv[i] - rq.qv[${s * subDim} + i]) AS d
+                FROM s${s}c$iters, rq))"""
+    }.mkString(",\n")
+    val lutAll = (0 until m).map(s => s"SELECT * FROM rlut$s").mkString(" UNION ALL ")
+    s"$luts,\n        rlutall AS ($lutAll)"
+  }
+
+  /** BATCH form of [[duckResidualLutCtes]]: each LUT row additionally
+    * carries its query_id (requires `rqb(query_id, cell, qv)`).
+    */
+  private def duckResidualLutBatchCtes(m: Int, subDim: Int, iters: Int): String = {
+    val luts = (0 until m).map { s =>
+      s"""rlut$s AS (SELECT query_id, cell, $s AS subspace, cid AS code, list_inner_product(d, d) AS d2
+          FROM (SELECT rqb.query_id, rqb.cell, cid, list_transform(range(1, ${subDim + 1}),
+                       i -> cv[i] - rqb.qv[${s * subDim} + i]) AS d
+                FROM s${s}c$iters, rqb))"""
+    }.mkString(",\n")
+    val lutAll = (0 until m).map(s => s"SELECT * FROM rlut$s").mkString(" UNION ALL ")
+    s"$luts,\n        rlutall AS ($lutAll)"
+  }
+
+  /** Residual IVF-PQ top-k (mirrors Pq.ivfpqResidualTopK over
+    * Pq.ensureEncodedPartitionedResidual): codes quantize the residual
+    * x − centroid(cell); scoring joins each probed cell's codes with
+    * that cell's residual-query LUT — the true ADC identity
+    * ‖(q−c) − r̂‖ = ‖q − (c+r̂)‖ needs no correction term.
+    */
+  private def duckIvfPqResidualTopK(m: Int, subDim: Int, c: Int, iters: Int,
+                                    coarseC: Int, k: Int, nprobe: Int): String =
+    s"""WITH q AS (SELECT query_vec FROM $duckQueryVec),
+        ${duckResidualCtes(m, subDim, c, iters, coarseC)},
+        probed AS (SELECT cid FROM coarse, q
+                   ORDER BY list_distance(cv, q.query_vec), cid LIMIT $nprobe),
+        rq AS (SELECT c.cid AS cell, list_transform(range(1, len(q.query_vec)+1),
+                   i -> q.query_vec[i] - c.cv[i]) AS qv
+               FROM coarse c, q),
+        ${duckResidualLutCtes(m, subDim, iters)}
+        SELECT e.vec_id, round(sqrt(CAST(sum(CAST(l.d2 AS DECIMAL(38,12))) AS DOUBLE)), 6) AS dist
+        FROM encall e
+        JOIN assigned a ON e.vec_id = a.vec_id
+        JOIN rlutall l ON l.cell = a.cell AND l.subspace = e.subspace AND l.code = e.code
+        WHERE a.cell IN (SELECT cid FROM probed)
+        GROUP BY e.vec_id
+        ORDER BY dist, e.vec_id LIMIT $k"""
+
+  /** BATCH residual IVF-PQ top-k (mirrors Pq.ivfpqResidualTopKBatch). */
+  private def duckIvfPqResidualTopKBatch(m: Int, subDim: Int, c: Int, iters: Int,
+                                         coarseC: Int, k: Int, nprobe: Int,
+                                         qn: Int): String =
+    s"""WITH qb AS (SELECT query_id, query_vec FROM ${duckQueryBatch(qn)}),
+        ${duckResidualCtes(m, subDim, c, iters, coarseC)},
+        probed AS (SELECT query_id, cid FROM (
+                     SELECT q.query_id, cid, row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY list_distance(cv, q.query_vec), cid) AS rn
+                     FROM coarse, qb q) WHERE rn <= $nprobe),
+        rqb AS (SELECT p.query_id, c.cid AS cell,
+                    list_transform(range(1, len(q.query_vec)+1),
+                      i -> q.query_vec[i] - c.cv[i]) AS qv
+                FROM probed p JOIN coarse c ON c.cid = p.cid
+                JOIN qb q ON q.query_id = p.query_id),
+        ${duckResidualLutBatchCtes(m, subDim, iters)},
+        scored AS (SELECT l.query_id, e.vec_id,
+               round(sqrt(CAST(sum(CAST(l.d2 AS DECIMAL(38,12))) AS DOUBLE)), 6) AS dist
+             FROM encall e
+             JOIN assigned a ON e.vec_id = a.vec_id
+             JOIN rlutall l ON l.cell = a.cell AND l.subspace = e.subspace AND l.code = e.code
+             GROUP BY l.query_id, e.vec_id)
+        SELECT query_id, vec_id, dist FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) <= $k"""
+
+  /** Residual IVF-PQ + exact re-rank (mirrors
+    * Pq.ivfpqResidualTopKRerank): the [[duckIvfPqResidualTopK]]
+    * pipeline truncated at `shortlist`, then true L2 on the raw vectors
+    * of only those ids.
+    */
+  private def duckIvfPqResidualRerankTopK(m: Int, subDim: Int, c: Int, iters: Int,
+                                          coarseC: Int, k: Int, nprobe: Int,
+                                          shortlist: Int): String =
+    s"""WITH q AS (SELECT query_vec FROM $duckQueryVec),
+        ${duckResidualCtes(m, subDim, c, iters, coarseC)},
+        probed AS (SELECT cid FROM coarse, q
+                   ORDER BY list_distance(cv, q.query_vec), cid LIMIT $nprobe),
+        rq AS (SELECT c.cid AS cell, list_transform(range(1, len(q.query_vec)+1),
+                   i -> q.query_vec[i] - c.cv[i]) AS qv
+               FROM coarse c, q),
+        ${duckResidualLutCtes(m, subDim, iters)},
+        shortl AS (SELECT e.vec_id,
+               round(sqrt(CAST(sum(CAST(l.d2 AS DECIMAL(38,12))) AS DOUBLE)), 6) AS adc_dist
+             FROM encall e
+             JOIN assigned a ON e.vec_id = a.vec_id
+             JOIN rlutall l ON l.cell = a.cell AND l.subspace = e.subspace AND l.code = e.code
+             WHERE a.cell IN (SELECT cid FROM probed)
+             GROUP BY e.vec_id
+             ORDER BY adc_dist, e.vec_id LIMIT $shortlist)
+        SELECT e.vec_id, round(list_distance(e.embedding::DOUBLE[], q.query_vec), 6) AS dist
+        FROM embeddings e, shortl sl, q
+        WHERE e.vec_id = sl.vec_id
+        ORDER BY dist, e.vec_id LIMIT $k"""
+
+  /** SQ8 oracle CTEs (mirror Sq.bounds ∘ Sq.encodeCol): exact per-dim
+    * min/max bounds `b(i, lo, hi)` and the arithmetic encode
+    * `enc(vec_id, i, code)` — explicit floor(t·255 + 0.5), the same
+    * spelling as the engine (no round-half-even ambiguity).
+    */
+  private val duckSqCtes: String =
+    s"""b AS (SELECT i, min(x) AS lo, max(x) AS hi
+          FROM (SELECT unnest(range(1, len(embedding)+1)) AS i,
+                       unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+                FROM embeddings)
+          GROUP BY i),
+        enc AS (SELECT e.vec_id, b.i,
+                  CASE WHEN b.hi = b.lo THEN 0
+                       ELSE CAST(floor(least(greatest(
+                              (CAST(e.embedding[b.i] AS DOUBLE) - b.lo) / (b.hi - b.lo),
+                              0), 1) * 255.0 + 0.5) AS INT) END AS code
+                FROM embeddings e, b)"""
+
+  /** SQ8 ADC term: squared diff between the query component and the
+    * dequantized level `lo + code·(hi−lo)/255` — the engine's affine-
+    * codebook LUT entry, spelled identically.
+    */
+  private def duckSqTerm(qv: String): String =
+    s"($qv[b.i] - (b.lo + enc.code * ((b.hi - b.lo)/255.0)))"
+
+  private val duckSqCodes: String =
+    s"""WITH $duckSqCtes
+        SELECT vec_id, array_to_string(list(code ORDER BY i), '_') AS codes
+        FROM enc GROUP BY vec_id"""
+
+  private def duckSqTopK(k: Int): String =
+    s"""WITH $duckSqCtes,
+        q AS (SELECT query_vec FROM $duckQueryVec),
+        terms AS (SELECT enc.vec_id, ${duckSqTerm("q.query_vec")} AS dd
+                  FROM enc JOIN b USING (i), q)
+        SELECT vec_id, round(sqrt(CAST(sum(CAST(dd*dd AS DECIMAL(38,12))) AS DOUBLE)), 6) AS dist
+        FROM terms GROUP BY vec_id
+        ORDER BY dist, vec_id LIMIT $k"""
+
+  private def duckSqTopKBatch(k: Int, qn: Int): String =
+    s"""WITH $duckSqCtes,
+        qb AS (SELECT query_id, query_vec FROM ${duckQueryBatch(qn)}),
+        terms AS (SELECT q.query_id, enc.vec_id, ${duckSqTerm("q.query_vec")} AS dd
+                  FROM enc JOIN b USING (i), qb q),
+        scored AS (SELECT query_id, vec_id,
+               round(sqrt(CAST(sum(CAST(dd*dd AS DECIMAL(38,12))) AS DOUBLE)), 6) AS dist
+             FROM terms GROUP BY query_id, vec_id)
+        SELECT query_id, vec_id, dist FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) <= $k"""
+
+  private def duckIvfSqTopK(coarseC: Int, k: Int, nprobe: Int): String =
+    s"""WITH $duckSqCtes,
+        q AS (SELECT query_vec FROM $duckQueryVec),
+        coarse AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                   FROM embeddings WHERE vec_id < $coarseC),
+        probed AS (SELECT cid FROM coarse, q
+                   ORDER BY list_distance(cv, q.query_vec), cid LIMIT $nprobe),
+        assigned AS (SELECT e.vec_id, cid AS cell FROM embeddings e, coarse c
+                     QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), cid) = 1),
+        terms AS (SELECT enc.vec_id, ${duckSqTerm("q.query_vec")} AS dd
+                  FROM enc JOIN b USING (i)
+                  JOIN assigned a ON enc.vec_id = a.vec_id, q
+                  WHERE a.cell IN (SELECT cid FROM probed))
+        SELECT vec_id, round(sqrt(CAST(sum(CAST(dd*dd AS DECIMAL(38,12))) AS DOUBLE)), 6) AS dist
+        FROM terms GROUP BY vec_id
+        ORDER BY dist, vec_id LIMIT $k"""
+
+  private def duckIvfSqRerankTopK(coarseC: Int, k: Int, nprobe: Int,
+                                  shortlist: Int): String =
+    s"""WITH $duckSqCtes,
+        q AS (SELECT query_vec FROM $duckQueryVec),
+        coarse AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                   FROM embeddings WHERE vec_id < $coarseC),
+        probed AS (SELECT cid FROM coarse, q
+                   ORDER BY list_distance(cv, q.query_vec), cid LIMIT $nprobe),
+        assigned AS (SELECT e.vec_id, cid AS cell FROM embeddings e, coarse c
+                     QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), cid) = 1),
+        terms AS (SELECT enc.vec_id, ${duckSqTerm("q.query_vec")} AS dd
+                  FROM enc JOIN b USING (i)
+                  JOIN assigned a ON enc.vec_id = a.vec_id, q
+                  WHERE a.cell IN (SELECT cid FROM probed)),
+        shortl AS (SELECT vec_id,
+               round(sqrt(CAST(sum(CAST(dd*dd AS DECIMAL(38,12))) AS DOUBLE)), 6) AS adc_dist
+             FROM terms GROUP BY vec_id
+             ORDER BY adc_dist, vec_id LIMIT $shortlist)
         SELECT e.vec_id, round(list_distance(e.embedding::DOUBLE[], q.query_vec), 6) AS dist
         FROM embeddings e, shortl sl, q
         WHERE e.vec_id = sl.vec_id
@@ -1326,6 +1553,107 @@ object SparkEntry {
         4, 16, pdir)
       Pq.ivfpqTopK(s, pdir, queryVecOf(emb, 0), 10, nprobe = 4)
     }),
+    // RESIDUAL IVF-PQ — the classic Jégou/Douze/Schmid composition in
+    // full: codes quantize x − centroid(cell) instead of x. Residual
+    // energy is the WITHIN-cell variance (a fraction of corpus energy),
+    // so the same m·c code budget covers a far smaller sphere and ADC
+    // error shrinks — the principled recall lift for the compressed
+    // tier (SCALE_SMOKE.md measures it on the clustered corpus).
+    // Serving: per-cell LUTs of the query's residual q − centroid,
+    // computed in-plan (PqLutExpr over zip_with), codes meet their
+    // cell's LUT through one broadcast join above the pruned scan.
+    "q_ivfpq_residual_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Ivf.centroids(emb, 16)
+      val pdir = pqDir(s, dir, "ivfpqres_c16_m4sd16c16i1")
+      Pq.ensureEncodedPartitionedResidual(emb, cents,
+        Pq.residualCodebooksCached(emb, cents, 4, 16, 16, 1, dir, tag = "#res16", seedOffset = 16),
+        4, 16, pdir)
+      Pq.ivfpqResidualTopK(s, pdir, queryVecOf(emb, 0), 10, nprobe = 4)
+    }),
+    // BATCH residual serving: one scan pruned to the union of probed
+    // cells; each candidate meets exactly the (query, cell) residual
+    // LUT rows of queries that probed its cell — the cell join IS the
+    // probe semantics. Bounded-heap rank per query.
+    "q_ivfpq_residual_batch_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Ivf.centroids(emb, 16)
+      val pdir = pqDir(s, dir, "ivfpqres_c16_m4sd16c16i1")
+      Pq.ensureEncodedPartitionedResidual(emb, cents,
+        Pq.residualCodebooksCached(emb, cents, 4, 16, 16, 1, dir, tag = "#res16", seedOffset = 16),
+        4, 16, pdir)
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+      Pq.ivfpqResidualTopKBatch(s, pdir, qs, 10, nprobe = 4)
+    }),
+    // Two-stage residual serving: residual-ADC shortlist → exact L2
+    // re-rank of only the shortlisted raw rows — the production
+    // operating point of the residual tier (quantization error affects
+    // WHICH candidates survive, never their final ordering).
+    "q_ivfpq_residual_rerank_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Ivf.centroids(emb, 16)
+      val pdir = pqDir(s, dir, "ivfpqres_c16_m4sd16c16i1")
+      Pq.ensureEncodedPartitionedResidual(emb, cents,
+        Pq.residualCodebooksCached(emb, cents, 4, 16, 16, 1, dir, tag = "#res16", seedOffset = 16),
+        4, 16, pdir)
+      Pq.ivfpqResidualTopKRerank(s, pdir, emb, queryVecOf(emb, 0), 10,
+        nprobe = 4, shortlist = 30)
+    }),
+    // SCALAR quantization (SQ8) — the training-free compressed tier:
+    // per-dim 8-bit levels on exact min/max bounds, encode is one
+    // arithmetic projection (no kmeans at all). The serving math is
+    // the PQ ADC machinery viewing SQ8 as d subspaces of 1 dim with a
+    // FIXED affine codebook — same LUT expression, same decimal-exact
+    // sum, same plan shapes.
+    "q_sq_codes" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (lo, hi) = sqBounds(emb, dir)
+      Pq.codesAsString(emb.select(col("vec_id"),
+        Sq.encodeCol(col("embedding"), lo, hi).as("codes")))
+    }),
+    // Flat SQ8 ADC from the PERSISTED code table: the per-query d·256
+    // LUT computed executor-side, one scan of the codes, the raw
+    // vector table never read.
+    "q_sq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (lo, hi) = sqBounds(emb, dir)
+      val cdir = pqDir(s, dir, "sq8")
+      Sq.ensureEncoded(emb, lo, hi, cdir)
+      Sq.adcTopKStored(s, cdir, queryVecOf(emb, 0), 10)
+    }),
+    // BATCH flat SQ8 ADC: Q queries, ONE code-table scan, bounded-heap
+    // rank per query — the amortized serving shape.
+    "q_sq_batch_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (lo, hi) = sqBounds(emb, dir)
+      val cdir = pqDir(s, dir, "sq8")
+      Sq.ensureEncoded(emb, lo, hi, cdir)
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+      Sq.adcTopKStoredBatch(s, cdir, qs, 10)
+    }),
+    // IVF-SQ8: the scalar code table partitioned by coarse cell —
+    // probe = partition-pruned scan of nprobe cells' code files, ADC
+    // inside probed cells only (the q_ivfpq_topk geometry, zero
+    // codebook training).
+    "q_ivfsq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (lo, hi) = sqBounds(emb, dir)
+      val pdir = pqDir(s, dir, "ivfsq8_c16")
+      Sq.ensureEncodedPartitioned(emb, Ivf.centroids(emb, 16), lo, hi, pdir)
+      Sq.ivfsqTopK(s, pdir, queryVecOf(emb, 0), 10, nprobe = 4)
+    }),
+    // Two-stage SQ8 serving: scalar-ADC shortlist → exact re-rank of
+    // the 30 shortlisted raw rows (id-pushdown scan).
+    "q_ivfsq_rerank_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (lo, hi) = sqBounds(emb, dir)
+      val pdir = pqDir(s, dir, "ivfsq8_c16")
+      Sq.ensureEncodedPartitioned(emb, Ivf.centroids(emb, 16), lo, hi, pdir)
+      Sq.ivfsqTopKRerank(s, pdir, emb, queryVecOf(emb, 0), 10, nprobe = 4,
+        shortlist = 30)
+    }),
     // Two-stage serving: ADC shortlist (codes only) -> exact re-rank
     // reading raw vectors for ONLY the 30 shortlisted ids (id-pushdown
     // scan), final order by true L2 — recall recovered from PQ
@@ -1891,6 +2219,20 @@ object SparkEntry {
     "q_pq_topk" -> duckPqTopK(4, 16, 16, 1, 10),
     // coarse seed cells (c=16) prune, product codes (m=4, c=16) score
     "q_ivfpq_topk" -> duckIvfPqTopK(4, 16, 16, 1, 16, 10, 4),
+    // residual chain: codebooks train on x − centroid(cell); scoring
+    // joins each cell's codes with that cell's residual-query LUT
+    "q_ivfpq_residual_topk" -> duckIvfPqResidualTopK(4, 16, 16, 1, 16, 10, 4),
+    "q_ivfpq_residual_batch_topk" ->
+      duckIvfPqResidualTopKBatch(4, 16, 16, 1, 16, 10, 4, 8),
+    "q_ivfpq_residual_rerank_topk" ->
+      duckIvfPqResidualRerankTopK(4, 16, 16, 1, 16, 10, 4, 30),
+    // scalar-quantized (SQ8) tier: exact min/max bounds, arithmetic
+    // encode, affine-codebook ADC — no kmeans anywhere
+    "q_sq_codes" -> duckSqCodes,
+    "q_sq_topk" -> duckSqTopK(10),
+    "q_sq_batch_topk" -> duckSqTopKBatch(10, 8),
+    "q_ivfsq_topk" -> duckIvfSqTopK(16, 10, 4),
+    "q_ivfsq_rerank_topk" -> duckIvfSqRerankTopK(16, 10, 4, 30),
     // rotated IVF-PQ: the duckIvfPqTopK chain with every table replaced
     // by the permuted copy and the query permuted identically
     "q_ivfpq_rotated_topk" ->

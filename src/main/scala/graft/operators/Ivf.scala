@@ -36,8 +36,19 @@ object Ivf {
     * identical.
     */
   def centroids(embeddings: DataFrame, c: Int): DataFrame =
-    embeddings.filter(col("vec_id") < c)
-      .select(col("vec_id").as("centroid_id"),
+    centroidsFrom(embeddings, c, 0)
+
+  /** [[centroids]] with a SEED OFFSET: rows `off ≤ vec_id < off + c`,
+    * centroid ids re-based to `0..c-1`. Exists for composed quantizers:
+    * PQ codebooks trained on the RESIDUALS of coarse cells must NOT
+    * seed from the coarse seeds themselves — those rows' residuals are
+    * exactly zero (each is its own cell centroid), so every product
+    * codeword would start at the origin and Lloyd collapses into one
+    * degenerate cell (ResidualPqSpec pins the non-degenerate path).
+    */
+  def centroidsFrom(embeddings: DataFrame, c: Int, off: Int): DataFrame =
+    embeddings.filter(col("vec_id") >= off && col("vec_id") < off + c)
+      .select((col("vec_id") - off).as("centroid_id"),
         transform(col("embedding"), x => x.cast("double")).as("centroid_vec"))
 
   /** Assign every vector to its nearest centroid (ties → smaller
@@ -83,10 +94,11 @@ object Ivf {
     * aggregation — both shuffle only C·dim rows; the vector table is
     * never shuffled.
     */
-  def kmeans(embeddings: DataFrame, c: Int, iters: Int): DataFrame = {
+  def kmeans(embeddings: DataFrame, c: Int, iters: Int,
+             seedOffset: Int = 0): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    var cents = centroids(embeddings, c)
+    var cents = centroidsFrom(embeddings, c, seedOffset)
     for (_ <- 0 until iters) {
       val means = embeddings
         .join(assignWith(embeddings, cents), Seq("vec_id"))
@@ -189,6 +201,14 @@ object Ivf {
       finally in.close()
     }
   }
+
+  /** Record a layout's vector-transform kind (see [[layoutKind]]) —
+    * shared with the code layouts (e.g. `pq_residual`) so their
+    * maintenance entry points get the same mix-up guard.
+    */
+  private[operators] def writeLayoutKind(spark: org.apache.spark.sql.SparkSession,
+                                         dir: String, kind: String): Unit =
+    writeKind(spark, dir, kind)
 
   private def writeKind(spark: org.apache.spark.sql.SparkSession, dir: String,
                         kind: String): Unit = {

@@ -40,12 +40,13 @@ object Pq {
     * one deterministic [[Ivf.kmeans]] per subspace over the sliced
     * sub-vectors (seed rule and tie-breaks identical to IVF's).
     */
-  def codebooks(embeddings: DataFrame, m: Int, subDim: Int, c: Int, iters: Int): DataFrame =
+  def codebooks(embeddings: DataFrame, m: Int, subDim: Int, c: Int, iters: Int,
+                seedOffset: Int = 0): DataFrame =
     (0 until m).map { s =>
       Ivf.kmeans(
           embeddings.select(col("vec_id"),
             subVector(col("embedding"), s, subDim).as("embedding")),
-          c, iters)
+          c, iters, seedOffset)
         .select(lit(s).as("subspace"), col("centroid_id"), col("centroid_vec"))
     }.reduce(_ unionByName _)
 
@@ -61,14 +62,14 @@ object Pq {
     * `key` — are identical to the raw table's.
     */
   def codebooksCached(embeddings: DataFrame, m: Int, subDim: Int, c: Int, iters: Int,
-                      key: String, tag: String = ""): DataFrame = {
+                      key: String, tag: String = "", seedOffset: Int = 0): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     // Same hazard as Ivf.kmeansCached: a different table under a reused
     // key would get bit-wrong codebooks with no error — fail loudly.
     IndexMeta.requireKeyMatchesScan(embeddings, key)
-    memo.getOrElseUpdate((key + tag, m, subDim, c, iters),
-        codebooks(embeddings, m, subDim, c, iters)
+    memo.getOrElseUpdate((key + tag + s"@$seedOffset", m, subDim, c, iters),
+        codebooks(embeddings, m, subDim, c, iters, seedOffset)
           .as[(Int, Long, Seq[Double])].collect())
       .toSeq.toDF("subspace", "centroid_id", "centroid_vec")
   }
@@ -204,9 +205,11 @@ object Pq {
         acc
       }
     }
+    // exact re-cast per add — see adcDistBatch (decimal promotion
+    // would cut scale past 38 digits of precision at large m)
     val total = (0 until m).map { s =>
       element_at(typedlit(lut(s)), col("codes").getItem(s) + 1).cast("decimal(38,12)")
-    }.reduce(_ + _)
+    }.reduce((a, b) => (a + b).cast("decimal(38,12)"))
     codes
       .select(col("vec_id"), round(sqrt(total.cast("double")), roundTo).as("dist"))
       .orderBy(col("dist"), col("vec_id"))
@@ -345,11 +348,37 @@ object Pq {
     */
   def insertInto(spark: SparkSession, dir: String, rows: DataFrame,
                  m: Int, subDim: Int): Unit = {
+    // layout-kind guard: raw-vector encode appended to a RESIDUAL code
+    // layout would serve silently wrong distances — fail loudly
+    val kind = Ivf.layoutKind(spark, dir)
+    require(kind != "pq_residual",
+      s"$dir holds residual codes — use insertIntoResidual, not insertInto")
     val cents = spark.read.parquet(s"$dir/_centroids")
     val books = spark.read.parquet(s"$dir/_codebooks")
     CellSnapshot.appendAssigned(spark, dir,
       codesArray(rows, books, m, subDim)
         .join(Ivf.assignWith(rows, cents), Seq("vec_id")))
+    IndexMeta.invalidate(spark, dir)
+  }
+
+  /** Cell-local incremental insert into a RESIDUAL code layout
+    * ([[ensureEncodedPartitionedResidual]]): fresh rows assign with the
+    * frozen `_centroids`, encode their residuals with the frozen
+    * `_codebooks`, and append to their cells — deterministic, so the
+    * grown layout serves identically to a single-pass residual encode
+    * of the union (ResidualPqSpec).
+    */
+  def insertIntoResidual(spark: SparkSession, dir: String, rows: DataFrame): Unit = {
+    require(Ivf.layoutKind(spark, dir) == "pq_residual",
+      s"$dir does not hold residual codes — use insertInto")
+    val cents = spark.read.parquet(s"$dir/_centroids")
+    val books = spark.read.parquet(s"$dir/_codebooks")
+    val bySub = collectBooks(books)
+    CellSnapshot.appendAssigned(spark, dir,
+      residuals(rows, cents)
+        .select(col("vec_id"),
+          pqEncode(col("embedding"), (0 until bySub.size).map(bySub(_).toSeq)).as("codes"),
+          col("cell")))
     IndexMeta.invalidate(spark, dir)
   }
 
@@ -420,10 +449,16 @@ object Pq {
     * doubles from [[graft.functions.PqLutExpr]]) instead of plan
     * literals — so one plan serves every query in the batch.
     */
-  private def adcDistBatch(m: Int, c: Int, roundTo: Int): Column = {
+  private[operators] def adcDistBatch(m: Int, c: Int, roundTo: Int): Column = {
+    // re-cast after EVERY add: Spark's decimal promotion grows the
+    // result type by one digit per chained addition, and past precision
+    // 38 it rescues precision by cutting scale (to as low as 6) — at
+    // SQ8's m=64 the sum would silently round to 6 decimals and break
+    // the oracle hash. The interposed casts are exact (ADC sums are
+    // far below 10^26) and keep every intermediate at scale 12.
     val total = (0 until m).map { s =>
       element_at(col("lut"), col("codes").getItem(s) + lit(s * c + 1)).cast("decimal(38,12)")
-    }.reduce(_ + _)
+    }.reduce((a, b) => (a + b).cast("decimal(38,12)"))
     round(sqrt(total.cast("double")), roundTo)
   }
 
@@ -440,7 +475,7 @@ object Pq {
     * `exactSums = false`) — in two-stage serving the ADC only SELECTS
     * candidates and the final ranking is exact L2 either way.
     */
-  private def adcDistBatchDouble(m: Int, c: Int, roundTo: Int): Column = {
+  private[operators] def adcDistBatchDouble(m: Int, c: Int, roundTo: Int): Column = {
     val total = (0 until m).map { s =>
       element_at(col("lut"), col("codes").getItem(s) + lit(s * c + 1))
     }.reduce(_ + _)
@@ -562,4 +597,203 @@ object Pq {
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("subspace"), col("centroid_vec")))),
         x => x.getField("centroid_vec"))).as("recon"))
+
+  // ======================================================================
+  // Residual IVF-PQ — codes quantize x − centroid(cell), not x
+  // ======================================================================
+
+  /** Residual table `(vec_id, cell, embedding)`: each vector's coarse
+    * assignment plus its DOUBLE residual `x − centroid(cell)`. This is
+    * the classic IVF-PQ refinement (Jégou/Douze/Schmid §IV: quantize
+    * the residual of the coarse quantizer, not the vector): residual
+    * energy is the WITHIN-cell variance — a fraction of total corpus
+    * energy — so the same m·c code budget covers a much smaller sphere
+    * and ADC error shrinks accordingly (SCALE_SMOKE.md measures the
+    * lift on the clustered corpus). Fully deterministic: the coarse
+    * assignment is [[Ivf.assignWith]]'s argmin and the subtraction is
+    * elementwise double — both mirrored exactly in the DuckDB oracle.
+    *
+    * Scale shape: one broadcast-assign pass + one broadcast centroid
+    * join — the vector table is scanned, never shuffled.
+    */
+  def residuals(embeddings: DataFrame, cents: DataFrame): DataFrame =
+    embeddings
+      .join(Ivf.assignWith(embeddings, cents), Seq("vec_id"))
+      .join(broadcast(cents.select(col("centroid_id").as("cell"), col("centroid_vec"))),
+        Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(transform(col("embedding"), x => x.cast("double")),
+          col("centroid_vec"), (x, cv) => x - cv).as("embedding"))
+
+  /** Codebooks trained on the RESIDUALS of `cents`' cells
+    * ([[codebooks]] over [[residuals]]), memoized like
+    * [[codebooksCached]] — `tag` must encode the coarse-centroid choice
+    * (residual geometry changes with it). `seedOffset` defaults PAST
+    * the coarse seed rows: when `cents` are [[Ivf.centroids]]-seeded,
+    * rows `vec_id < coarseC` ARE the coarse centroids, so their
+    * residuals are exactly zero — seeding the product codebooks from
+    * them would collapse every codeword to the origin
+    * (ResidualPqSpec's degeneracy pin).
+    */
+  def residualCodebooksCached(embeddings: DataFrame, cents: DataFrame,
+                              m: Int, subDim: Int, c: Int, iters: Int,
+                              key: String, tag: String, seedOffset: Int): DataFrame =
+    codebooksCached(residuals(embeddings, cents).select(col("vec_id"), col("embedding")),
+      m, subDim, c, iters, key, tag, seedOffset)
+
+  /** Residual-encoded IVF-PQ serving layout: `dir/cell=<k>/` holds
+    * `(vec_id, codes)` where `codes` quantize the RESIDUAL against the
+    * cell's centroid (`_centroids` / `_codebooks` sidecars as in
+    * [[ensureEncodedPartitioned]]; `_graft_kind` records `pq_residual`
+    * so maintenance entry points cannot silently mix plain and residual
+    * codes). Encode is the same single narrow pass — the residual
+    * subtraction fuses into the projection feeding
+    * [[graft.functions.PqEncodeExpr]].
+    */
+  def ensureEncodedPartitionedResidual(embeddings: DataFrame, cents: DataFrame,
+                                       books: DataFrame, m: Int, subDim: Int,
+                                       dir: String): Unit = {
+    val spark = embeddings.sparkSession
+    val fp = IndexMeta.cachedFingerprint(dir, s"ivfpqres_m=$m,sd=$subDim",
+        Seq(embeddings, cents, books)) {
+      IndexMeta.fingerprint(embeddings, s"ivfpqres_m=$m,sd=$subDim" +
+        s";c=${IndexMeta.centroidFingerprint(cents)};b=${booksFingerprint(books)}")
+    }
+    if (!IndexMeta.valid(spark, dir, "_SUCCESS", fp)) {
+      val bySub = collectBooks(books)
+      require(bySub.keySet == (0 until m).toSet,
+        s"codebooks must cover subspaces 0..${m - 1}, got ${bySub.keySet.toSeq.sorted}")
+      residuals(embeddings, cents)
+        .select(col("vec_id"),
+          pqEncode(col("embedding"), (0 until m).map(bySub(_).toSeq)).as("codes"),
+          col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      CellSnapshot.reset(spark, dir)
+      Ivf.writeLayoutKind(spark, dir, "pq_residual")
+      cents.write.mode("overwrite").parquet(s"$dir/_centroids")
+      books.write.mode("overwrite").parquet(s"$dir/_codebooks")
+      IndexMeta.write(spark, dir, fp)
+    }
+  }
+
+  /** Per-cell residual-query LUT relation `(cell, lut)` (single query)
+    * or `(query_id, cell, lut)` (batch): the ADC lookup table of the
+    * query's RESIDUAL `q − centroid(cell)` against the residual
+    * codebooks, one row per probed (query, cell) pair. Computed in-plan
+    * ([[graft.functions.PqLutExpr]] over a `zip_with` subtraction) —
+    * centroids and queries are the broadcast-small sides, no driver
+    * LUT loop. Size contract: rows = Σ probes (nprobe per query) of
+    * m·c doubles each — broadcastable for serving batches (Q ≤ ~1k at
+    * m=16,c=256); beyond that the final join should drop the broadcast
+    * hint and let AQE pick a shuffled hash join.
+    */
+  private def residualLuts(cents: DataFrame, queries: DataFrame,
+                           books: Map[Int, IndexedSeq[Seq[Double]]],
+                           keyCols: Seq[String]): DataFrame = {
+    val m = books.size
+    queries
+      .crossJoin(broadcast(cents.select(col("centroid_id").as("cell"), col("centroid_vec"))))
+      .select((keyCols.map(col) :+
+        pqLut(zip_with(col("query_vec"), col("centroid_vec"), (q, cv) => q - cv),
+          (0 until m).map(books(_).toSeq)).as("lut")): _*)
+  }
+
+  /** Residual IVF-PQ top-k: probe `nprobe` coarse cells (partition
+    * filter), ADC-score the probed cells' RESIDUAL codes against the
+    * query's per-cell residual LUTs. Same plan skeleton as
+    * [[ivfpqTopK]] with one extra broadcast join (codes meet their
+    * cell's LUT on `cell`); the true ADC distance
+    * `‖(q − c) − r̂‖ = ‖q − (c + r̂)‖` needs no correction term.
+    */
+  def ivfpqResidualTopK(spark: SparkSession, dir: String, queries: DataFrame,
+                        k: Int, nprobe: Int, roundTo: Int = 6,
+                        predicate: Option[Column] = None,
+                        excluded: Option[DataFrame] = None): DataFrame = {
+    val stored = Ivf.readLayout(spark, dir)
+    val cents = spark.read.parquet(s"$dir/_centroids")
+    val books = collectBooks(spark.read.parquet(s"$dir/_codebooks"))
+    val m = books.size
+    val c = books(0).length
+    // nprobe cell ids to the driver — partition-filter formation
+    val probed = cents.crossJoin(broadcast(queries))
+      .select(col("centroid_id"),
+        l2Distance(col("centroid_vec"), col("query_vec")).as("qdist"))
+      .orderBy(col("qdist"), col("centroid_id"))
+      .limit(nprobe)
+      .collect().map(_.getLong(0))
+    val luts = residualLuts(cents.filter(col("centroid_id").isin(probed: _*)),
+      queries, books, Seq("cell"))
+    val pruned = stored.filter(col("cell").isin(probed: _*))
+    Ivf.withoutExcluded(predicate.fold(pruned)(pruned.filter), excluded)
+      .join(broadcast(luts), Seq("cell"))
+      .select(col("vec_id"), adcDistBatch(m, c, roundTo).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** BATCH residual IVF-PQ: one scan pruned to the union of probed
+    * cells; each candidate meets exactly the (query, cell) LUT rows of
+    * queries that probed ITS cell — the `cell` join IS the probe
+    * semantics (no separate probe-pair join needed). Bounded-heap rank
+    * per query, as every batch serving path.
+    */
+  def ivfpqResidualTopKBatch(spark: SparkSession, dir: String, queries: DataFrame,
+                             k: Int, nprobe: Int, roundTo: Int = 6,
+                             exactSums: Boolean = true,
+                             excluded: Option[DataFrame] = None): DataFrame = {
+    val books = collectBooks(spark.read.parquet(s"$dir/_codebooks"))
+    val m = books.size
+    val c = books(0).length
+    val cents = spark.read.parquet(s"$dir/_centroids")
+    val (probes, pruned) = Ivf.batchPrunedCandidates(spark, dir, queries, nprobe)
+    // LUTs only for the probed (query, cell) pairs: probes ⋈ queries ⋈
+    // centroids (on cell), all broadcast-small
+    val luts = probes
+      .join(broadcast(queries), Seq("query_id"))
+      .join(broadcast(cents.select(col("centroid_id").as("cell"), col("centroid_vec"))),
+        Seq("cell"))
+      .select(col("query_id"), col("cell"),
+        pqLut(zip_with(col("query_vec"), col("centroid_vec"), (q, cv) => q - cv),
+          (0 until m).map(books(_).toSeq)).as("lut"))
+    val adc = if (exactSums) adcDistBatch(m, c, roundTo)
+              else adcDistBatchDouble(m, c, roundTo)
+    val scored = Ivf.withoutExcluded(pruned, excluded)
+      .join(broadcast(luts), Seq("cell"))
+      .select(col("query_id"), col("vec_id"), adc.as("dist"))
+    Ivf.heapTopKPerQuery(scored, k, "dist")
+  }
+
+  /** Two-stage residual serving: residual-ADC shortlist → exact L2
+    * re-rank of only the shortlisted raw rows ([[ivfpqTopKRerank]]'s
+    * contract on the residual layout).
+    */
+  def ivfpqResidualTopKRerank(spark: SparkSession, dir: String, embeddings: DataFrame,
+                              queries: DataFrame, k: Int, nprobe: Int, shortlist: Int,
+                              roundTo: Int = 6, excluded: Option[DataFrame] = None): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val ids = ivfpqResidualTopK(spark, dir, queries, shortlist, nprobe, roundTo,
+        excluded = excluded)
+      .select("vec_id").collect().map(_.getLong(0))
+    embeddings.filter(col("vec_id").isin(ids: _*))
+      .crossJoin(broadcast(queries))
+      .select(col("vec_id"),
+        round(l2Distance(col("embedding"), col("query_vec")), roundTo).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Residual reconstruction `x̂ = centroid(cell) + decode(codes)` —
+    * spec surface: residual ADC distances must equal direct distances
+    * to these reconstructions.
+    */
+  def reconstructResidual(embeddings: DataFrame, cents: DataFrame, books: DataFrame,
+                          m: Int, subDim: Int): DataFrame = {
+    val res = residuals(embeddings, cents)
+    reconstruct(res.select(col("vec_id"), col("embedding")), books, m, subDim)
+      .join(res.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .join(broadcast(cents.select(col("centroid_id").as("cell"), col("centroid_vec"))),
+        Seq("cell"))
+      .select(col("vec_id"),
+        zip_with(col("centroid_vec"), col("recon"), (cv, r) => cv + r).as("recon"))
+  }
 }
