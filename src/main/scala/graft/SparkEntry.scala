@@ -70,6 +70,12 @@ object SparkEntry {
   private def sqBounds(emb: DataFrame, dir: String): (Seq[Double], Seq[Double]) =
     sqBoundsMemo.getOrElseUpdate(dir, Sq.bounds(emb))
 
+  // Driver-resident binary-threshold memo (d doubles per sfDir).
+  private val binThrMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Double]]
+  private def binThresholds(emb: DataFrame, dir: String): Seq[Double] =
+    binThrMemo.getOrElseUpdate(dir, graft.operators.Binary.thresholds(emb))
+
   // Once-per-JVM guard for the rewrite sandbox (copy + index + catalog
   // registration): rebuilding on first use each session sidesteps
   // staleness entirely — the build is one embeddings write + a c=8
@@ -729,6 +735,68 @@ object SparkEntry {
                round(sqrt(CAST(sum(CAST(dd*dd AS DECIMAL(38,12))) AS DOUBLE)), 6) AS adc_dist
              FROM terms GROUP BY vec_id
              ORDER BY adc_dist, vec_id LIMIT $shortlist)
+        SELECT e.vec_id, round(list_distance(e.embedding::DOUBLE[], q.query_vec), 6) AS dist
+        FROM embeddings e, shortl sl, q
+        WHERE e.vec_id = sl.vec_id
+        ORDER BY dist, e.vec_id LIMIT $k"""
+
+  /** Binary-signature oracle CTEs (mirror Binary.thresholds ∘
+    * Binary.signatureCol): DECIMAL-exact per-dim mean thresholds `t`,
+    * corpus signatures `sigs(vec_id, w, word)` and the single-query
+    * signature `qsig(w, qword)` — 32 bits per word, the engine's
+    * packing.
+    */
+  private val duckBinaryCtes: String =
+    s"""t AS (SELECT i, CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS thr
+          FROM (SELECT unnest(range(1, len(embedding)+1)) AS i,
+                       unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+                FROM embeddings)
+          GROUP BY i),
+        sigs AS (SELECT e.vec_id, (t.i-1) // 32 AS w,
+                   CAST(sum(CASE WHEN CAST(e.embedding[t.i] AS DOUBLE) > t.thr
+                        THEN (CAST(1 AS BIGINT) << ((t.i-1) % 32)) ELSE 0 END) AS BIGINT) AS word
+                 FROM embeddings e, t
+                 GROUP BY e.vec_id, (t.i-1) // 32)"""
+
+  private def duckBinaryQsig(qTable: String): String =
+    s"""qsig AS (SELECT $qTable.query_id, (t.i-1) // 32 AS w,
+           CAST(sum(CASE WHEN $qTable.query_vec[t.i] > t.thr
+                THEN (CAST(1 AS BIGINT) << ((t.i-1) % 32)) ELSE 0 END) AS BIGINT) AS qword
+         FROM $qTable, t GROUP BY $qTable.query_id, (t.i-1) // 32)"""
+
+  private val duckBinaryCodes: String =
+    s"""WITH $duckBinaryCtes
+        SELECT vec_id, array_to_string(list(word ORDER BY w), '_') AS sig
+        FROM sigs GROUP BY vec_id"""
+
+  private def duckHammingTopK(k: Int): String =
+    s"""WITH $duckBinaryCtes,
+        q AS (SELECT 0 AS query_id, query_vec FROM $duckQueryVec),
+        ${duckBinaryQsig("q")}
+        SELECT s.vec_id, CAST(sum(bit_count(xor(s.word, qs.qword))) AS INT) AS hamming
+        FROM sigs s JOIN qsig qs ON s.w = qs.w
+        GROUP BY s.vec_id
+        ORDER BY hamming, s.vec_id LIMIT $k"""
+
+  private def duckHammingTopKBatch(k: Int, qn: Int): String =
+    s"""WITH $duckBinaryCtes,
+        qb AS (SELECT query_id, query_vec FROM ${duckQueryBatch(qn)}),
+        ${duckBinaryQsig("qb")},
+        scored AS (SELECT qs.query_id, s.vec_id,
+               CAST(sum(bit_count(xor(s.word, qs.qword))) AS DOUBLE) AS hamming
+             FROM sigs s JOIN qsig qs ON s.w = qs.w
+             GROUP BY qs.query_id, s.vec_id)
+        SELECT query_id, vec_id, hamming FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) <= $k"""
+
+  private def duckHammingRerankTopK(k: Int, shortlist: Int): String =
+    s"""WITH $duckBinaryCtes,
+        q AS (SELECT 0 AS query_id, query_vec FROM $duckQueryVec),
+        ${duckBinaryQsig("q")},
+        shortl AS (SELECT s.vec_id, CAST(sum(bit_count(xor(s.word, qs.qword))) AS INT) AS h
+             FROM sigs s JOIN qsig qs ON s.w = qs.w
+             GROUP BY s.vec_id
+             ORDER BY h, s.vec_id LIMIT $shortlist)
         SELECT e.vec_id, round(list_distance(e.embedding::DOUBLE[], q.query_vec), 6) AS dist
         FROM embeddings e, shortl sl, q
         WHERE e.vec_id = sl.vec_id
@@ -1654,6 +1722,45 @@ object SparkEntry {
       Sq.ivfsqTopKRerank(s, pdir, emb, queryVecOf(emb, 0), 10, nprobe = 4,
         shortlist = 30)
     }),
+    // BINARY (sign) quantization — the cheapest compressed tier: one
+    // bit per dim at the per-dim mean, 32× smaller than float32, and
+    // scoring is XOR+popcount. The standard FIRST stage of a serving
+    // funnel; signatures pack 32 bits per word (see Binary scaladoc).
+    "q_binary_codes" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val thr = binThresholds(emb, dir)
+      emb.select(col("vec_id"),
+        concat_ws("_", graft.operators.Binary.signatureCol(col("embedding"), thr)
+          .cast("array<string>")).as("sig"))
+    }),
+    // Hamming top-k from the PERSISTED signature table: the query
+    // binarizes with the layout's own thresholds; candidates score by
+    // popcount; ties by vec_id — the full ranking oracle-checks.
+    "q_hamming_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val bdir = pqDir(s, dir, "bin")
+      graft.operators.Binary.ensureEncoded(emb, binThresholds(emb, dir), bdir)
+      graft.operators.Binary.hammingTopK(s, bdir, queryVecOf(emb, 0), 10)
+    }),
+    // BATCH Hamming: Q queries binarize in-plan, one signature-table
+    // scan, bounded-heap rank per query.
+    "q_hamming_batch_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val bdir = pqDir(s, dir, "bin")
+      graft.operators.Binary.ensureEncoded(emb, binThresholds(emb, dir), bdir)
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+      graft.operators.Binary.hammingTopKBatch(s, bdir, qs, 10)
+    }),
+    // The binary funnel: 1-bit Hamming shortlist (50) → exact re-rank
+    // of only the shortlisted raw rows.
+    "q_hamming_rerank_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val bdir = pqDir(s, dir, "bin")
+      graft.operators.Binary.ensureEncoded(emb, binThresholds(emb, dir), bdir)
+      graft.operators.Binary.hammingRerankTopK(s, bdir, emb, queryVecOf(emb, 0), 10,
+        shortlist = 50)
+    }),
     // Two-stage serving: ADC shortlist (codes only) -> exact re-rank
     // reading raw vectors for ONLY the 30 shortlisted ids (id-pushdown
     // scan), final order by true L2 — recall recovered from PQ
@@ -2226,6 +2333,12 @@ object SparkEntry {
       duckIvfPqResidualTopKBatch(4, 16, 16, 1, 16, 10, 4, 8),
     "q_ivfpq_residual_rerank_topk" ->
       duckIvfPqResidualRerankTopK(4, 16, 16, 1, 16, 10, 4, 30),
+    // binary tier: sign bits at DECIMAL-exact per-dim means, 32 bits
+    // per word, XOR+popcount scoring
+    "q_binary_codes" -> duckBinaryCodes,
+    "q_hamming_topk" -> duckHammingTopK(10),
+    "q_hamming_batch_topk" -> duckHammingTopKBatch(10, 8),
+    "q_hamming_rerank_topk" -> duckHammingRerankTopK(10, 50),
     // scalar-quantized (SQ8) tier: exact min/max bounds, arithmetic
     // encode, affine-codebook ADC — no kmeans anywhere
     "q_sq_codes" -> duckSqCodes,
