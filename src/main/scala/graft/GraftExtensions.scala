@@ -94,6 +94,11 @@ object GraftExtensions {
     *  - `diversified_topk(dir, k, j)`: best k by L2 to the protocol
     *    query subject to AT MOST j per document `source` — the
     *    `q_diversified_topk` semantics.
+    *  - `sq_topk(dir, k)`: scalar-quantized (SQ8) ADC top-k for the
+    *    protocol query — the `q_sq_topk` semantics in one in-plan
+    *    encode+score pass.
+    *  - `hamming_topk(dir, k)`: binary-signature Hamming top-k for the
+    *    protocol query — the `q_hamming_topk` semantics.
     */
   val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] = Seq(
     (FunctionIdentifier("knn_topk"), info("knn_topk"),
@@ -140,6 +145,31 @@ object GraftExtensions {
         val toks = emb.filter(col("vec_id") < 4)
           .select(col("vec_id").as("tok_id"), perturbQuery(col("embedding")).as("query_vec"))
         Retrieval.maxsimTopK(docs, toks, asInt(args(1)))
+      }),
+    (FunctionIdentifier("sq_topk"), info("sq_topk"),
+      tvf("sq_topk") { (spark, args) =>
+        require(args.length == 2, "sq_topk(dir, k)")
+        val emb = Tables.embeddings(spark, asString(args(0)))
+        val (lo, hi) = graft.operators.Sq.bounds(emb)
+        val q = emb.filter(col("vec_id") === 0)
+          .select(perturbQuery(col("embedding")).as("query_vec"))
+        graft.operators.Sq.adcTopK(emb, lo, hi, q, asInt(args(1)))
+      }),
+    (FunctionIdentifier("hamming_topk"), info("hamming_topk"),
+      tvf("hamming_topk") { (spark, args) =>
+        require(args.length == 2, "hamming_topk(dir, k)")
+        val emb = Tables.embeddings(spark, asString(args(0)))
+        val B = graft.operators.Binary
+        val thr = B.thresholds(emb)
+        val words = (thr.length + B.BitsPerWord - 1) / B.BitsPerWord
+        val q = emb.filter(col("vec_id") === 0)
+          .select(perturbQuery(col("embedding")).as("query_vec"))
+        val qsig = q.select(B.signatureCol(col("query_vec"), thr).as("qsig"))
+        emb.select(col("vec_id"), B.signatureCol(col("embedding"), thr).as("sig"))
+          .crossJoin(broadcast(qsig))
+          .select(col("vec_id"), B.hammingCol(col("sig"), col("qsig"), words).as("hamming"))
+          .orderBy(col("hamming"), col("vec_id"))
+          .limit(asInt(args(1)))
       }),
     (FunctionIdentifier("diversified_topk"), info("diversified_topk"),
       tvf("diversified_topk") { (spark, args) =>

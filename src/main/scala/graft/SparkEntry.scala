@@ -528,15 +528,15 @@ object SparkEntry {
     * nothing in scope; `q`/`qb` come separately.
     */
   private def duckResidualCtes(m: Int, subDim: Int, c: Int, iters: Int,
-                               coarseC: Int): String =
+                               coarseC: Int, table: String = "embeddings"): String =
     s"""coarse AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-                   FROM embeddings WHERE vec_id < $coarseC),
-        assigned AS (SELECT e.vec_id, cid AS cell FROM embeddings e, coarse c
+                   FROM $table WHERE vec_id < $coarseC),
+        assigned AS (SELECT e.vec_id, cid AS cell FROM $table e, coarse c
                      QUALIFY row_number() OVER (PARTITION BY e.vec_id
                        ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), cid) = 1),
         remb AS (SELECT e.vec_id, list_transform(range(1, len(e.embedding)+1),
                      i -> CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) AS embedding
-                 FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id
+                 FROM $table e JOIN assigned a ON e.vec_id = a.vec_id
                  JOIN coarse c ON c.cid = a.cell),
         ${duckPqCtes(m, subDim, c, iters, table = "remb", seedOff = coarseC)}"""
 
@@ -580,6 +580,32 @@ object SparkEntry {
                                     coarseC: Int, k: Int, nprobe: Int): String =
     s"""WITH q AS (SELECT query_vec FROM $duckQueryVec),
         ${duckResidualCtes(m, subDim, c, iters, coarseC)},
+        probed AS (SELECT cid FROM coarse, q
+                   ORDER BY list_distance(cv, q.query_vec), cid LIMIT $nprobe),
+        rq AS (SELECT c.cid AS cell, list_transform(range(1, len(q.query_vec)+1),
+                   i -> q.query_vec[i] - c.cv[i]) AS qv
+               FROM coarse c, q),
+        ${duckResidualLutCtes(m, subDim, iters)}
+        SELECT e.vec_id, round(sqrt(CAST(sum(CAST(l.d2 AS DECIMAL(38,12))) AS DOUBLE)), 6) AS dist
+        FROM encall e
+        JOIN assigned a ON e.vec_id = a.vec_id
+        JOIN rlutall l ON l.cell = a.cell AND l.subspace = e.subspace AND l.code = e.code
+        WHERE a.cell IN (SELECT cid FROM probed)
+        GROUP BY e.vec_id
+        ORDER BY dist, e.vec_id LIMIT $k"""
+
+  /** Rotation ∘ residual IVF-PQ (mirrors the q_ivfpq_rotres_topk
+    * chain): the [[duckIvfPqResidualTopK]] pipeline with every table
+    * replaced by the [[duckPermCtes]] permuted copy and the query
+    * permuted identically.
+    */
+  private def duckIvfPqRotResTopK(m: Int, subDim: Int, c: Int, iters: Int,
+                                  coarseC: Int, k: Int, nprobe: Int): String =
+    s"""WITH ${duckPermCtes(m, subDim)},
+        q0 AS (SELECT query_vec FROM $duckQueryVec),
+        q AS (SELECT list_transform(p.pl, j -> q0.query_vec[j]) AS query_vec
+              FROM q0, permlist p),
+        ${duckResidualCtes(m, subDim, c, iters, coarseC, table = "pemb")},
         probed AS (SELECT cid FROM coarse, q
                    ORDER BY list_distance(cv, q.query_vec), cid LIMIT $nprobe),
         rq AS (SELECT c.cid AS cell, list_transform(range(1, len(q.query_vec)+1),
@@ -716,6 +742,29 @@ object SparkEntry {
         FROM terms GROUP BY vec_id
         ORDER BY dist, vec_id LIMIT $k"""
 
+  private def duckIvfSqTopKBatch(coarseC: Int, k: Int, nprobe: Int, qn: Int): String =
+    s"""WITH $duckSqCtes,
+        qb AS (SELECT query_id, query_vec FROM ${duckQueryBatch(qn)}),
+        coarse AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                   FROM embeddings WHERE vec_id < $coarseC),
+        probed AS (SELECT query_id, cid FROM (
+                     SELECT q.query_id, cid, row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY list_distance(cv, q.query_vec), cid) AS rn
+                     FROM coarse, qb q) WHERE rn <= $nprobe),
+        assigned AS (SELECT e.vec_id, cid AS cell FROM embeddings e, coarse c
+                     QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), cid) = 1),
+        terms AS (SELECT q.query_id, enc.vec_id, ${duckSqTerm("q.query_vec")} AS dd
+                  FROM enc JOIN b USING (i)
+                  JOIN assigned a ON enc.vec_id = a.vec_id
+                  JOIN probed p ON p.cid = a.cell
+                  JOIN qb q ON q.query_id = p.query_id),
+        scored AS (SELECT query_id, vec_id,
+               round(sqrt(CAST(sum(CAST(dd*dd AS DECIMAL(38,12))) AS DOUBLE)), 6) AS dist
+             FROM terms GROUP BY query_id, vec_id)
+        SELECT query_id, vec_id, dist FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) <= $k"""
+
   private def duckIvfSqRerankTopK(coarseC: Int, k: Int, nprobe: Int,
                                   shortlist: Int): String =
     s"""WITH $duckSqCtes,
@@ -800,6 +849,31 @@ object SparkEntry {
         SELECT e.vec_id, round(list_distance(e.embedding::DOUBLE[], q.query_vec), 6) AS dist
         FROM embeddings e, shortl sl, q
         WHERE e.vec_id = sl.vec_id
+        ORDER BY dist, e.vec_id LIMIT $k"""
+
+  /** Three-tier cascade oracle (mirrors Cascade.topK): Hamming
+    * shortlist `l1` → SQ8 ADC over only those rows keeps `l2` → exact
+    * L2 over only those rows orders the final `k`.
+    */
+  private def duckCascadeTopK(k: Int, l1: Int, l2: Int): String =
+    s"""WITH $duckBinaryCtes,
+        $duckSqCtes,
+        q AS (SELECT 0 AS query_id, query_vec FROM $duckQueryVec),
+        ${duckBinaryQsig("q")},
+        s1 AS (SELECT s.vec_id, CAST(sum(bit_count(xor(s.word, qs.qword))) AS INT) AS h
+             FROM sigs s JOIN qsig qs ON s.w = qs.w
+             GROUP BY s.vec_id
+             ORDER BY h, s.vec_id LIMIT $l1),
+        terms AS (SELECT enc.vec_id, ${duckSqTerm("q.query_vec")} AS dd
+                  FROM enc JOIN b USING (i)
+                  JOIN s1 ON enc.vec_id = s1.vec_id, q),
+        s2 AS (SELECT vec_id,
+               round(sqrt(CAST(sum(CAST(dd*dd AS DECIMAL(38,12))) AS DOUBLE)), 6) AS adc
+             FROM terms GROUP BY vec_id
+             ORDER BY adc, vec_id LIMIT $l2)
+        SELECT e.vec_id, round(list_distance(e.embedding::DOUBLE[], q.query_vec), 6) AS dist
+        FROM embeddings e, s2, q
+        WHERE e.vec_id = s2.vec_id
         ORDER BY dist, e.vec_id LIMIT $k"""
 
   /** Generated oracle for the vector-LSH pair pipeline — literal ±1
@@ -1668,6 +1742,27 @@ object SparkEntry {
       Pq.ivfpqResidualTopKRerank(s, pdir, emb, queryVecOf(emb, 0), 10,
         nprobe = 4, shortlist = 30)
     }),
+    // The DEPLOYMENT operating point of the compressed tier: rotation
+    // ∘ residual — balance per-subspace energy first (Pq.balancedPerm,
+    // an orthogonal permutation), then spend the code budget on
+    // within-cell residuals. The two lifts COMPOSE (SCALE_SMOKE: ADC
+    // recall plain 0.12 → rotated 0.39 → residual 0.29 →
+    // rotated+residual 0.67 on the clustered corpus) at identical
+    // storage/serving cost. Whole chain mirrored in SQL.
+    "q_ivfpq_rotres_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val perm = Pq.balancedPerm(emb, 4, 16)
+      val rot = emb.select(col("vec_id"), Pq.permute(col("embedding"), perm).as("embedding"))
+      val cents = Ivf.centroids(rot, 16)
+      val pdir = pqDir(s, dir, "ivfpqrotres_c16_m4sd16c16i1")
+      Pq.ensureEncodedPartitionedResidual(rot, cents,
+        Pq.residualCodebooksCached(rot, cents, 4, 16, 16, 1, dir,
+          tag = "#rotres16", seedOffset = 16),
+        4, 16, pdir)
+      val qrot = queryVecOf(emb, 0)
+        .select(Pq.permute(col("query_vec"), perm).as("query_vec"))
+      Pq.ivfpqResidualTopK(s, pdir, qrot, 10, nprobe = 4)
+    }),
     // SCALAR quantization (SQ8) — the training-free compressed tier:
     // per-dim 8-bit levels on exact min/max bounds, encode is one
     // arithmetic projection (no kmeans at all). The serving math is
@@ -1712,6 +1807,17 @@ object SparkEntry {
       Sq.ensureEncodedPartitioned(emb, Ivf.centroids(emb, 16), lo, hi, pdir)
       Sq.ivfsqTopK(s, pdir, queryVecOf(emb, 0), 10, nprobe = 4)
     }),
+    // BATCH IVF-SQ8: one union-pruned scan for the whole query batch,
+    // probe-pair join, bounded-heap rank per query.
+    "q_ivfsq_batch_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (lo, hi) = sqBounds(emb, dir)
+      val pdir = pqDir(s, dir, "ivfsq8_c16")
+      Sq.ensureEncodedPartitioned(emb, Ivf.centroids(emb, 16), lo, hi, pdir)
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+      Sq.ivfsqTopKBatch(s, pdir, qs, 10, nprobe = 4)
+    }),
     // Two-stage SQ8 serving: scalar-ADC shortlist → exact re-rank of
     // the 30 shortlisted raw rows (id-pushdown scan).
     "q_ivfsq_rerank_topk" -> ((s, dir) => {
@@ -1751,6 +1857,22 @@ object SparkEntry {
       val qs = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
       graft.operators.Binary.hammingTopKBatch(s, bdir, qs, 10)
+    }),
+    // The FULL production funnel, all three tiers composed: 1-bit
+    // Hamming (corpus scan, 32× under raw) shortlists 100; SQ8 ADC
+    // reads ONLY those 100 code rows and keeps 30; exact L2 reads
+    // ONLY those 30 raw rows for the final 10. Each stage is
+    // deterministic (ties by vec_id), so the whole cascade
+    // oracle-checks.
+    "q_cascade_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val bdir = pqDir(s, dir, "bin")
+      val sdir = pqDir(s, dir, "sq8")
+      graft.operators.Binary.ensureEncoded(emb, binThresholds(emb, dir), bdir)
+      val (lo, hi) = sqBounds(emb, dir)
+      Sq.ensureEncoded(emb, lo, hi, sdir)
+      graft.operators.Cascade.topK(s, bdir, sdir, emb, queryVecOf(emb, 0),
+        k = 10, l1 = 100, l2 = 30)
     }),
     // The binary funnel: 1-bit Hamming shortlist (50) → exact re-rank
     // of only the shortlisted raw rows.
@@ -2329,6 +2451,7 @@ object SparkEntry {
     // residual chain: codebooks train on x − centroid(cell); scoring
     // joins each cell's codes with that cell's residual-query LUT
     "q_ivfpq_residual_topk" -> duckIvfPqResidualTopK(4, 16, 16, 1, 16, 10, 4),
+    "q_ivfpq_rotres_topk" -> duckIvfPqRotResTopK(4, 16, 16, 1, 16, 10, 4),
     "q_ivfpq_residual_batch_topk" ->
       duckIvfPqResidualTopKBatch(4, 16, 16, 1, 16, 10, 4, 8),
     "q_ivfpq_residual_rerank_topk" ->
@@ -2339,12 +2462,15 @@ object SparkEntry {
     "q_hamming_topk" -> duckHammingTopK(10),
     "q_hamming_batch_topk" -> duckHammingTopKBatch(10, 8),
     "q_hamming_rerank_topk" -> duckHammingRerankTopK(10, 50),
+    // the three-tier funnel end-to-end: hamming 100 → SQ8 30 → exact 10
+    "q_cascade_topk" -> duckCascadeTopK(10, 100, 30),
     // scalar-quantized (SQ8) tier: exact min/max bounds, arithmetic
     // encode, affine-codebook ADC — no kmeans anywhere
     "q_sq_codes" -> duckSqCodes,
     "q_sq_topk" -> duckSqTopK(10),
     "q_sq_batch_topk" -> duckSqTopKBatch(10, 8),
     "q_ivfsq_topk" -> duckIvfSqTopK(16, 10, 4),
+    "q_ivfsq_batch_topk" -> duckIvfSqTopKBatch(16, 10, 4, 8),
     "q_ivfsq_rerank_topk" -> duckIvfSqRerankTopK(16, 10, 4, 30),
     // rotated IVF-PQ: the duckIvfPqTopK chain with every table replaced
     // by the permuted copy and the query permuted identically

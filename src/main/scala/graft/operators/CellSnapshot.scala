@@ -247,18 +247,31 @@ private[graft] object CellSnapshot {
   }
 
   /** Reclaim superseded subtrees: delete every `partCol=` child (in the
-    * gen-0 tree and each `_gen/g=N` tree, per `sub`) that the CURRENT
-    * manifest does not reference, plus manifests older than current.
-    * UNSAFE under readers still serving a pre-vacuum snapshot — run it
-    * on the takedown pipeline's cadence, after the serving fleet has
-    * re-resolved (the standard snapshot-GC contract). No manifest
-    * published → nothing is superseded → no-op.
+    * gen-0 tree and each `_gen/g=N` tree, per `sub`) that none of the
+    * RETAINED manifests reference, plus manifests older than the
+    * retention window.
+    *
+    * `keep` is the snapshot-retention knob (default 1 = current only):
+    * the newest `keep` published versions — and therefore every
+    * [[readAt]] time-travel pin inside the window — survive the GC
+    * byte-identically. This is how a production deployment bounds
+    * storage while honoring "training run R reads version V until it
+    * finishes": vacuum with `keep` ≥ the oldest live pin's distance
+    * from the head. UNSAFE only for readers pinned OUTSIDE the window —
+    * run on the takedown pipeline's cadence. No manifest published →
+    * nothing is superseded → no-op.
     */
   def vacuum(spark: SparkSession, dir: String, subs: Seq[String],
-             partCol: String): Unit =
-    mapping(spark, dir).foreach { case (v, m) =>
+             partCol: String, keep: Int = 1): Unit = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val vs = versions(spark, dir)
+    if (vs.nonEmpty) {
+      val kept = vs.takeRight(keep)
       val fs = fsOf(spark, dir)
-      val liveByGen = m.groupBy(_._2).map { case (g, cells) => g -> cells.keySet }
+      // union of live (cell → gen) references across every kept version
+      val liveByGen: Map[Int, Set[Long]] = kept
+        .flatMap(v => mappingAt(spark, dir, v).getOrElse(Map.empty).toSeq)
+        .groupBy(_._2).map { case (g, cells) => g -> cells.map(_._1).toSet }
       val gens = 0 +: listParts(spark, s"$dir/_gen", "g").map(_.toInt)
       for (g <- gens; sub <- subs) {
         val root = genRoot(dir, sub, g)
@@ -275,8 +288,9 @@ private[graft] object CellSnapshot {
       val mdir = new org.apache.hadoop.fs.Path(s"$dir/_manifests")
       if (fs.exists(mdir)) fs.listStatus(mdir).foreach { st =>
         val name = st.getPath.getName
-        if (name.startsWith("m") && name.drop(1).toIntOption.exists(_ < v))
+        if (name.startsWith("m") && name.drop(1).toIntOption.exists(_ < kept.head))
           fs.delete(st.getPath, false)
       }
     }
+  }
 }

@@ -638,8 +638,9 @@ object Hnsw {
   /** Reclaim routed subtrees superseded by [[compactRouted]] — safe
     * once no reader still serves a pre-vacuum snapshot.
     */
-  def vacuumRouted(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
-    CellSnapshot.vacuum(spark, dir, Seq("nodes", "edges"), "part")
+  def vacuumRouted(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   keep: Int = 1): Unit =
+    CellSnapshot.vacuum(spark, dir, Seq("nodes", "edges"), "part", keep)
 
   /** Fold the tombstones into a ROUTED layout ([[saveRouted]]): ONLY
     * the cells (`part=` subtrees) holding deleted rows are rebuilt — a

@@ -241,8 +241,9 @@ object Ivf {
     * storage GC on the takedown pipeline's cadence — safe once no
     * reader still serves a pre-vacuum snapshot.
     */
-  def vacuumPartitioned(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
-    CellSnapshot.vacuum(spark, dir, Seq(""), "cell")
+  def vacuumPartitioned(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        keep: Int = 1): Unit =
+    CellSnapshot.vacuum(spark, dir, Seq(""), "cell", keep)
 
   /** [[writePartitioned]] once per dir, with the same content-
     * fingerprint staleness check as `Hnsw.ensureSaved` — the

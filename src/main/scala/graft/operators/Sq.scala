@@ -139,17 +139,33 @@ object Sq {
     }
   }
 
+  /** In-place flat ADC (encode + score in one plan) — the TVF/spec
+    * anchor; serving paths use the persisted forms below.
+    */
+  def adcTopK(embeddings: DataFrame, lo: Seq[Double], hi: Seq[Double],
+              queries: DataFrame, k: Int, roundTo: Int = 6): DataFrame = {
+    val books = affineBooks(lo, hi)
+    val d = lo.length
+    embeddings.select(col("vec_id"), encodeCol(col("embedding"), lo, hi).as("codes"))
+      .crossJoin(broadcast(Pq.withLuts(
+        queries.select(lit(0L).as("query_id"), col("query_vec")), books)))
+      .select(col("vec_id"), Pq.adcDistBatch(d, 256, roundTo).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Flat ADC top-k from a persisted SQ8 code table: the per-query LUT
     * (d·256 doubles) computed executor-side from the affine codebooks,
     * broadcast against ONE scan of the codes — the raw vector table is
     * never read.
     */
   def adcTopKStored(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
-                    roundTo: Int = 6): DataFrame = {
+                    roundTo: Int = 6, predicate: Option[Column] = None): DataFrame = {
     val (lo, hi) = readBounds(spark, dir)
     val books = affineBooks(lo, hi)
     val d = lo.length
-    val scored = spark.read.parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val scored = predicate.fold(stored)(stored.filter)
       .crossJoin(broadcast(Pq.withLuts(
         queries.select(lit(0L).as("query_id"), col("query_vec")), books)))
       .select(col("vec_id"), Pq.adcDistBatch(d, 256, roundTo).as("dist"))
@@ -195,6 +211,25 @@ object Sq {
       .select(col("vec_id"), Pq.adcDistBatch(d, 256, roundTo).as("dist"))
       .orderBy(col("dist"), col("vec_id"))
       .limit(k)
+  }
+
+  /** BATCH IVF-SQ8 top-k: one scan pruned to the union of probed
+    * cells, candidates meet only the queries probing their cell
+    * (broadcast probe-pair join), affine-LUT ADC per pair, bounded-
+    * heap rank per query — [[Pq.ivfpqTopKBatch]] on the scalar tier.
+    */
+  def ivfsqTopKBatch(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
+                     nprobe: Int, roundTo: Int = 6,
+                     excluded: Option[DataFrame] = None): DataFrame = {
+    val (lo, hi) = readBounds(spark, dir)
+    val books = affineBooks(lo, hi)
+    val d = lo.length
+    val (probes, pruned) = Ivf.batchPrunedCandidates(spark, dir, queries, nprobe)
+    val scored = Ivf.withoutExcluded(pruned, excluded)
+      .join(probes, Seq("cell"))
+      .join(broadcast(Pq.withLuts(queries, books)), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), Pq.adcDistBatch(d, 256, roundTo).as("dist"))
+    Ivf.heapTopKPerQuery(scored, k, "dist")
   }
 
   /** Two-stage SQ8 serving: ADC shortlist → exact L2 re-rank of only

@@ -137,6 +137,89 @@ object AnnBench {
         s""""rerank100_recall_at_10":${fmt(rrRecall, 4)}}"""
     }
 
+    /** Shared exact re-rank of a (query_id, vec_id) candidate relation. */
+    def rerankRecall(table: DataFrame, queries: DataFrame, cand: DataFrame): Double = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+      val reranked = table.join(broadcast(cand), Seq("vec_id"))
+        .join(broadcast(queries), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(l2Distance(col("embedding"), col("query_vec")), 6).as("dist"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      Hnsw.recallOf(reranked, table, queries, 10)
+        .agg(avg(col("recall"))).head().getDouble(0)
+    }
+
+    /** Residual IVF-PQ on the same corpus: kmeans coarse cells at the
+      * blob count, residual codebooks (seeded past the coarse rows),
+      * nprobe = C so the measured number is PURE quantization recall —
+      * apples-to-apples with the flat plain/rotated points.
+      */
+    def residualPoint(tag: String, table: DataFrame, queries: DataFrame): String = {
+      val dir = s"target/graft_pqc/${tag}_n$n"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val coarseC = 16
+      val cents = graft.operators.Ivf.kmeans(table, coarseC, 2)
+      val books = Pq.codebooks(
+        Pq.residuals(table, cents).select(col("vec_id"), col("embedding")),
+        m, subDim, c, iters, seedOffset = coarseC)
+      Pq.ensureEncodedPartitionedResidual(table, cents, books, m, subDim, dir)
+      val adc = Pq.ivfpqResidualTopKBatch(spark, dir, queries, 10, nprobe = coarseC)
+      val adcRecall = Hnsw.recallOf(adc, table, queries, 10)
+        .agg(avg(col("recall"))).head().getDouble(0)
+      val cand = Pq.ivfpqResidualTopKBatch(spark, dir, queries, 100, nprobe = coarseC)
+        .select(col("query_id"), col("vec_id"))
+      val rr = rerankRecall(table, queries, cand)
+      s"""{"variant":"$tag","adc_recall_at_10":${fmt(adcRecall, 4)},""" +
+        s""""rerank100_recall_at_10":${fmt(rr, 4)}}"""
+    }
+
+    /** SQ8 on the same corpus: 8 bits per DIM (32 bytes/row at dim 32
+      * vs 8 for PQ m=8) — more storage, zero training, and the recall
+      * ceiling of per-dim quantization.
+      */
+    def sqPoint(table: DataFrame, queries: DataFrame): String = {
+      val dir = s"target/graft_pqc/sq8_n$n"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val (lo, hi) = graft.operators.Sq.bounds(table)
+      graft.operators.Sq.ensureEncoded(table, lo, hi, dir)
+      val adc = graft.operators.Sq.adcTopKStoredBatch(spark, dir, queries, 10)
+      val adcRecall = Hnsw.recallOf(adc, table, queries, 10)
+        .agg(avg(col("recall"))).head().getDouble(0)
+      val cand = graft.operators.Sq.adcTopKStoredBatch(spark, dir, queries, 100)
+        .select(col("query_id"), col("vec_id"))
+      val rr = rerankRecall(table, queries, cand)
+      s"""{"variant":"sq8","adc_recall_at_10":${fmt(adcRecall, 4)},""" +
+        s""""rerank100_recall_at_10":${fmt(rr, 4)}}"""
+    }
+
+    /** Binary signatures on the same corpus: 1 bit per dim (4 bytes/row
+      * at dim 32) — the funnel's cheapest pre-filter; recall reported
+      * for the hamming rank itself and for hamming-100 → exact rerank.
+      */
+    def binaryPoint(table: DataFrame, queries: DataFrame): String = {
+      val dir = s"target/graft_pqc/bin_n$n"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val B = graft.operators.Binary
+      val thr = B.thresholds(table)
+      B.ensureEncoded(table, thr, dir)
+      val ham = B.hammingTopKBatch(spark, dir, queries, 10)
+      val hamRecall = Hnsw.recallOf(ham.select(col("query_id"), col("vec_id"),
+          col("hamming").as("dist")), table, queries, 10)
+        .agg(avg(col("recall"))).head().getDouble(0)
+      val cand = B.hammingTopKBatch(spark, dir, queries, 100)
+        .select(col("query_id"), col("vec_id"))
+      val rr = rerankRecall(table, queries, cand)
+      s"""{"variant":"binary","hamming_recall_at_10":${fmt(hamRecall, 4)},""" +
+        s""""rerank100_recall_at_10":${fmt(rr, 4)}}"""
+    }
+
     val plain = point("plain", emb, qs)
     val perm = Pq.balancedPerm(emb, m, subDim)
     val rotEmb = emb.select(col("vec_id"), Pq.permute(col("embedding"), perm).as("embedding"))
@@ -144,9 +227,15 @@ object AnnBench {
     rotEmb.count()
     val rotQs = qs.select(col("query_id"), Pq.permute(col("query_vec"), perm).as("query_vec"))
     val rotated = point("rotated", rotEmb, rotQs)
+    val residual = residualPoint("residual_c16", emb, qs)
+    // rotation ∘ residual: balance subspace energy FIRST, then spend
+    // the code budget on within-cell residuals — the two lifts compose
+    val rotResidual = residualPoint("rotated_residual_c16", rotEmb, rotQs)
+    val sq8 = sqPoint(emb, qs)
+    val bin = binaryPoint(emb, qs)
     val json = s"""{"pq_clustered":{"n":$n,"dim":$dim,"blobs":$kBlobs,""" +
       s""""m":$m,"sub_dim":$subDim,"c":$c,"iters":$iters,"queries":2000,""" +
-      s""""perm":[${perm.mkString(",")}],"points":[$plain,$rotated]}}"""
+      s""""perm":[${perm.mkString(",")}],"points":[$plain,$rotated,$residual,$rotResidual,$sq8,$bin]}}"""
     println(json)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/pq_clustered.json"), json + "\n")

@@ -104,6 +104,35 @@ class CellSnapshotSpec extends AnyFunSuite {
       "vacuum keeps the current version intact")
   }
 
+  test("IVF: vacuum retention window — keep=2 preserves the previous version's time travel, keep=1 then reclaims it") {
+    val dir = Files.createTempDirectory("snap_keep").toString
+    Ivf.writePartitionedWith(emb, Ivf.centroids(emb, C), dir)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    Ivf.recordDeletes(spark, dir, delIds.toDF("vec_id"))
+    Ivf.compactPartitioned(spark, dir)
+    val v1 = CellSnapshot.version(spark, dir).get
+    val atV1 = rows(Ivf.readLayoutAt(spark, dir, v1))
+    Ivf.recordDeletes(spark, dir, Seq(100L, 101L).toDF("vec_id"))
+    Ivf.compactPartitioned(spark, dir)
+    val v2 = CellSnapshot.version(spark, dir).get
+    val bytesBefore = fsBytes(dir)
+    // a reader is pinned at v1 (a training run mid-flight): vacuum with
+    // keep=2 must reclaim what neither version references while the v1
+    // pin keeps reading byte-identically
+    Ivf.vacuumPartitioned(spark, dir, keep = 2)
+    assert(CellSnapshot.versions(spark, dir) === Seq(v1, v2))
+    assert(rows(Ivf.readLayoutAt(spark, dir, v1)) === atV1,
+      "a pin inside the retention window must survive vacuum")
+    assert(fsBytes(dir) <= bytesBefore)
+    // the pin is released: keep=1 reclaims v1 and its exclusive subtrees
+    Ivf.vacuumPartitioned(spark, dir, keep = 1)
+    assert(CellSnapshot.versions(spark, dir) === Seq(v2))
+    intercept[IllegalArgumentException] { Ivf.readLayoutAt(spark, dir, v1) }
+    assert(rows(Ivf.readLayout(spark, dir)) === atV1 -- Seq(100L, 101L),
+      "the current snapshot serves unchanged after both vacuums")
+  }
+
   test("IVF: vacuum reclaims superseded subtrees; the current snapshot still serves identically") {
     val dir = Files.createTempDirectory("snap_vac").toString
     Ivf.writePartitionedWith(emb, Ivf.centroids(emb, C), dir)

@@ -77,6 +77,26 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(fromSql.groupBy(_._3).values.forall(_.size <= 2))
   }
 
+  test("SQL TVF sq_topk(dir, k) matches the declared layout-served query") {
+    GraftExtensions.register(spark)
+    val fromSql = spark.sql(s"SELECT * FROM sq_topk('$sf', 10)")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fromApi = SparkEntry.queries("q_sq_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromSql === fromApi)
+    assert(fromSql.length === 10)
+  }
+
+  test("SQL TVF hamming_topk(dir, k) matches the declared layout-served query") {
+    GraftExtensions.register(spark)
+    val fromSql = spark.sql(s"SELECT * FROM hamming_topk('$sf', 10)")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val fromApi = SparkEntry.queries("q_hamming_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(fromSql === fromApi)
+    assert(fromSql.length === 10)
+  }
+
   test("TVFs compose with plain SQL (filter + order over the TVF result)") {
     GraftExtensions.register(spark)
     val top3 = spark.sql(
