@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, CorpusPipeline, Dedup, Events, Hnsw, Ivf, Knn, Multimodal, Packing, Pq, Relational, Retrieval, Sampling, Sq, TextAnalysis, VectorLsh}
+import graft.operators.{AsofJoin, CorpusPipeline, Dedup, Events, Hnsw, Ivf, Knn, Multimodal, Packing, Pca, Pq, Relational, Retrieval, Sampling, Sq, TextAnalysis, VectorLsh}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -75,6 +75,23 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, Seq[Double]]
   private def binThresholds(emb: DataFrame, dir: String): Seq[Double] =
     binThrMemo.getOrElseUpdate(dir, graft.operators.Binary.thresholds(emb))
+
+  // Driver-resident PCA memo: means + top-k components per sfDir
+  // (d + k·d doubles). Components derive from the EXACT covariance
+  // (12-dp-rounded — deterministic across runs and partitionings) via
+  // the fixed-sweep Jacobi, so q_pca_project is reproducible.
+  private val pcaMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), (Seq[Double], Seq[Seq[Double]])]
+  private def pcaComponents(emb: DataFrame, dir: String,
+                            k: Int): (Seq[Double], Seq[Seq[Double]]) =
+    pcaMemo.getOrElseUpdate((dir, k), {
+      val mu = Pca.means(emb)
+      val d = mu.length
+      val cov = Array.ofDim[Double](d, d)
+      Pca.covariance(emb, roundTo = 12).collect()
+        .foreach(r => cov(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      (mu, Pca.principalComponents(cov, k)._1)
+    })
 
   // Once-per-JVM guard for the rewrite sandbox (copy + index + catalog
   // registration): rebuilding on first use each session sidesteps
@@ -1828,6 +1845,26 @@ object SparkEntry {
       Sq.ivfsqTopKRerank(s, pdir, emb, queryVecOf(emb, 0), 10, nprobe = 4,
         shortlist = 30)
     }),
+    // PCA moment pass — the dimensionality-reduction stage of an
+    // embedding pipeline. The full d² covariance matrix through
+    // DECIMAL-exact sums (partition-order invariant), the oracle
+    // anchor for the mapPartitions outer-product scale twin
+    // (Pca.covarianceApprox, spec-bounded).
+    "q_pca_covariance" -> ((s, dir) =>
+      Pca.covariance(Tables.embeddings(s, dir))),
+    // Projection onto the top-8 principal components (deterministic
+    // fixed-sweep Jacobi on the exact covariance, sign-normalized
+    // eigenvectors) — k codegen dot chains per row. Non-SQL-expressible
+    // eigensolver → rows-only driver check; PcaSpec pins orthonormality,
+    // monotone reconstruction error, k=d exactness and determinism.
+    "q_pca_project" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (mu, comps) = pcaComponents(emb, dir, 8)
+      Pca.project(emb, mu, comps)
+        .select(col("vec_id"),
+          concat_ws("_", transform(col("proj"), p => round(p, 6).cast("string")))
+            .as("proj"))
+    }),
     // BINARY (sign) quantization — the cheapest compressed tier: one
     // bit per dim at the per-dim mean, 32× smaller than float32, and
     // scoring is XOR+popcount. The standard FIRST stage of a serving
@@ -2456,6 +2493,20 @@ object SparkEntry {
       duckIvfPqResidualTopKBatch(4, 16, 16, 1, 16, 10, 4, 8),
     "q_ivfpq_residual_rerank_topk" ->
       duckIvfPqResidualRerankTopK(4, 16, 16, 1, 16, 10, 4, 30),
+    // full d² covariance through decimal-exact sums (0-based dims both
+    // sides; the same E[xy] − E[x]E[y] assembly in the same op order)
+    "q_pca_covariance" ->
+      s"""WITH x AS (SELECT vec_id, unnest(range(1, len(embedding)+1)) - 1 AS i,
+                unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+              FROM embeddings),
+          p AS (SELECT a.i AS i, b.i AS j, a.x * b.x AS xy, a.x AS xi, b.x AS xj
+                FROM x a JOIN x b ON a.vec_id = b.vec_id)
+          SELECT i, j,
+                 round(CAST(sum(CAST(xy AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+                   - (CAST(sum(CAST(xi AS DECIMAL(38,12))) AS DOUBLE) / count(*))
+                     * (CAST(sum(CAST(xj AS DECIMAL(38,12))) AS DOUBLE) / count(*)), 6)
+                   + 0 AS cov
+          FROM p GROUP BY i, j""",
     // binary tier: sign bits at DECIMAL-exact per-dim means, 32 bits
     // per word, XOR+popcount scoring
     "q_binary_codes" -> duckBinaryCodes,
