@@ -893,6 +893,37 @@ object SparkEntry {
         WHERE e.vec_id = s2.vec_id
         ORDER BY dist, e.vec_id LIMIT $k"""
 
+  /** BATCH cascade oracle (mirrors Cascade.topKBatch): per-query
+    * Hamming shortlist l1 → per-query SQ8 ADC keeps l2 → per-query
+    * exact top-k.
+    */
+  private def duckCascadeTopKBatch(k: Int, l1: Int, l2: Int, qn: Int): String =
+    s"""WITH $duckBinaryCtes,
+        $duckSqCtes,
+        qb AS (SELECT query_id, query_vec FROM ${duckQueryBatch(qn)}),
+        ${duckBinaryQsig("qb")},
+        s1 AS (SELECT query_id, vec_id FROM (
+             SELECT qs.query_id, s.vec_id,
+               row_number() OVER (PARTITION BY qs.query_id
+                 ORDER BY sum(bit_count(xor(s.word, qs.qword))), s.vec_id) AS rn
+             FROM sigs s JOIN qsig qs ON s.w = qs.w
+             GROUP BY qs.query_id, s.vec_id) WHERE rn <= $l1),
+        terms AS (SELECT s1.query_id, enc.vec_id, ${duckSqTerm("q.query_vec")} AS dd
+                  FROM enc JOIN b USING (i)
+                  JOIN s1 ON enc.vec_id = s1.vec_id
+                  JOIN qb q ON q.query_id = s1.query_id),
+        s2 AS (SELECT query_id, vec_id FROM (
+             SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(sqrt(CAST(sum(CAST(dd*dd AS DECIMAL(38,12))) AS DOUBLE)), 6),
+                 vec_id) AS rn
+             FROM terms GROUP BY query_id, vec_id) WHERE rn <= $l2)
+        SELECT s2.query_id, e.vec_id,
+               round(list_distance(e.embedding::DOUBLE[], q.query_vec), 6) AS dist
+        FROM embeddings e JOIN s2 ON e.vec_id = s2.vec_id
+        JOIN qb q ON q.query_id = s2.query_id
+        QUALIFY row_number() OVER (PARTITION BY s2.query_id ORDER BY dist, e.vec_id) <= $k"""
+
   /** Generated oracle for the vector-LSH pair pipeline — literal ±1
     * hyperplanes from the SAME [[VectorLsh.signs]] constants the Spark
     * plan embeds.
@@ -1911,6 +1942,21 @@ object SparkEntry {
       graft.operators.Cascade.topK(s, bdir, sdir, emb, queryVecOf(emb, 0),
         k = 10, l1 = 100, l2 = 30)
     }),
+    // BATCH funnel: Q queries, ONE scan per tier, zero driver
+    // round-trips — stage survivors gate the next tier's scan through
+    // broadcast joins, bounded-heap rank at every gate.
+    "q_cascade_batch_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val bdir = pqDir(s, dir, "bin")
+      val sdir = pqDir(s, dir, "sq8")
+      graft.operators.Binary.ensureEncoded(emb, binThresholds(emb, dir), bdir)
+      val (lo, hi) = sqBounds(emb, dir)
+      Sq.ensureEncoded(emb, lo, hi, sdir)
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+      graft.operators.Cascade.topKBatch(s, bdir, sdir, emb, qs,
+        k = 10, l1 = 100, l2 = 30)
+    }),
     // The binary funnel: 1-bit Hamming shortlist (50) → exact re-rank
     // of only the shortlisted raw rows.
     "q_hamming_rerank_topk" -> ((s, dir) => {
@@ -2515,6 +2561,7 @@ object SparkEntry {
     "q_hamming_rerank_topk" -> duckHammingRerankTopK(10, 50),
     // the three-tier funnel end-to-end: hamming 100 → SQ8 30 → exact 10
     "q_cascade_topk" -> duckCascadeTopK(10, 100, 30),
+    "q_cascade_batch_topk" -> duckCascadeTopKBatch(10, 100, 30, 8),
     // scalar-quantized (SQ8) tier: exact min/max bounds, arithmetic
     // encode, affine-codebook ADC — no kmeans anywhere
     "q_sq_codes" -> duckSqCodes,

@@ -52,4 +52,38 @@ object Cascade {
       .orderBy(col("dist"), col("vec_id"))
       .limit(k)
   }
+
+  /** BATCH funnel: Q queries, ONE scan per tier, no driver round-trips
+    * — each stage's survivors meet the next tier's table through a
+    * broadcast join on (query_id, vec_id), and the bounded-heap
+    * aggregate ranks per query at every gate. The amortized serving
+    * shape: Q·l1 signature survivors gate the code scan, Q·l2 code
+    * survivors gate the raw read.
+    */
+  def topKBatch(spark: SparkSession, binDir: String, sqDir: String,
+                embeddings: DataFrame, queries: DataFrame, k: Int,
+                l1: Int, l2: Int, roundTo: Int = 6,
+                exactSums: Boolean = true,
+                excluded: Option[DataFrame] = None): DataFrame = {
+    require(l1 >= l2 && l2 >= k, s"funnel must narrow: l1=$l1 >= l2=$l2 >= k=$k")
+    val c1 = Binary.hammingTopKBatch(spark, binDir, queries, l1, excluded)
+      .select(col("query_id"), col("vec_id"))
+    val (lo, hi) = Sq.readBounds(spark, sqDir)
+    val books = Sq.affineBooks(lo, hi)
+    val d = lo.length
+    val adc = if (exactSums) Pq.adcDistBatch(d, 256, roundTo)
+              else Pq.adcDistBatchDouble(d, 256, roundTo)
+    val scored2 = spark.read.parquet(sqDir)
+      .join(broadcast(c1), Seq("vec_id"))
+      .join(broadcast(Pq.withLuts(queries, books)), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), adc.as("dist"))
+    val c2 = Ivf.heapTopKPerQuery(scored2, l2, "dist")
+      .select(col("query_id"), col("vec_id"))
+    val scored3 = embeddings
+      .join(broadcast(c2), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(l2Distance(col("embedding"), col("query_vec")), roundTo).as("dist"))
+    Ivf.heapTopKPerQuery(scored3, k, "dist")
+  }
 }

@@ -80,7 +80,7 @@ object Sq {
 
   private def boundsPath(dir: String) = s"$dir/_bounds"
 
-  private def readBounds(spark: SparkSession, dir: String): (Seq[Double], Seq[Double]) = {
+  private[operators] def readBounds(spark: SparkSession, dir: String): (Seq[Double], Seq[Double]) = {
     val rows = spark.read.parquet(boundsPath(dir)).orderBy("i").collect()
     (rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
   }
@@ -160,15 +160,25 @@ object Sq {
     * never read.
     */
   def adcTopKStored(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
-                    roundTo: Int = 6, predicate: Option[Column] = None): DataFrame = {
+                    roundTo: Int = 6, predicate: Option[Column] = None,
+                    exactSums: Boolean = true): DataFrame = {
     val (lo, hi) = readBounds(spark, dir)
     val books = affineBooks(lo, hi)
     val d = lo.length
     val stored = spark.read.parquet(dir)
+    // exactSums=false: plain double-chain term sum — the SERVING twin.
+    // At d=64 the decimal chain is 64 decimal adds per candidate
+    // (~50x a double add); the double chain sums the same terms in the
+    // same fixed dim order (deterministic), diverging only where two
+    // candidates' decimal sums are closer than double rounding error
+    // (SqSpec pins fixture equality — the Pq.adcDistBatchDouble
+    // contract on the scalar tier).
+    val adc = if (exactSums) Pq.adcDistBatch(d, 256, roundTo)
+              else Pq.adcDistBatchDouble(d, 256, roundTo)
     val scored = predicate.fold(stored)(stored.filter)
       .crossJoin(broadcast(Pq.withLuts(
         queries.select(lit(0L).as("query_id"), col("query_vec")), books)))
-      .select(col("vec_id"), Pq.adcDistBatch(d, 256, roundTo).as("dist"))
+      .select(col("vec_id"), adc.as("dist"))
     scored.orderBy(col("dist"), col("vec_id")).limit(k)
   }
 
@@ -176,13 +186,15 @@ object Sq {
     * heap rank per query ([[Pq.adcTopKStoredBatch]]'s shape).
     */
   def adcTopKStoredBatch(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
-                         roundTo: Int = 6): DataFrame = {
+                         roundTo: Int = 6, exactSums: Boolean = true): DataFrame = {
     val (lo, hi) = readBounds(spark, dir)
     val books = affineBooks(lo, hi)
     val d = lo.length
+    val adc = if (exactSums) Pq.adcDistBatch(d, 256, roundTo)
+              else Pq.adcDistBatchDouble(d, 256, roundTo)
     val scored = spark.read.parquet(dir)
       .crossJoin(broadcast(Pq.withLuts(queries, books)))
-      .select(col("query_id"), col("vec_id"), Pq.adcDistBatch(d, 256, roundTo).as("dist"))
+      .select(col("query_id"), col("vec_id"), adc.as("dist"))
     Ivf.heapTopKPerQuery(scored, k, "dist")
   }
 
@@ -192,7 +204,8 @@ object Sq {
     */
   def ivfsqTopK(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
                 nprobe: Int, roundTo: Int = 6, predicate: Option[Column] = None,
-                excluded: Option[DataFrame] = None): DataFrame = {
+                excluded: Option[DataFrame] = None,
+                exactSums: Boolean = true): DataFrame = {
     val stored = Ivf.readLayout(spark, dir)
     val cents = spark.read.parquet(s"$dir/_centroids")
     val (lo, hi) = readBounds(spark, dir)
@@ -205,10 +218,12 @@ object Sq {
       .limit(nprobe)
       .collect().map(_.getLong(0))
     val pruned = stored.filter(col("cell").isin(probed: _*))
+    val adc = if (exactSums) Pq.adcDistBatch(d, 256, roundTo)
+              else Pq.adcDistBatchDouble(d, 256, roundTo)
     Ivf.withoutExcluded(predicate.fold(pruned)(pruned.filter), excluded)
       .crossJoin(broadcast(Pq.withLuts(
         queries.select(lit(0L).as("query_id"), col("query_vec")), books)))
-      .select(col("vec_id"), Pq.adcDistBatch(d, 256, roundTo).as("dist"))
+      .select(col("vec_id"), adc.as("dist"))
       .orderBy(col("dist"), col("vec_id"))
       .limit(k)
   }
@@ -220,15 +235,18 @@ object Sq {
     */
   def ivfsqTopKBatch(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
                      nprobe: Int, roundTo: Int = 6,
-                     excluded: Option[DataFrame] = None): DataFrame = {
+                     excluded: Option[DataFrame] = None,
+                     exactSums: Boolean = true): DataFrame = {
     val (lo, hi) = readBounds(spark, dir)
     val books = affineBooks(lo, hi)
     val d = lo.length
     val (probes, pruned) = Ivf.batchPrunedCandidates(spark, dir, queries, nprobe)
+    val adc = if (exactSums) Pq.adcDistBatch(d, 256, roundTo)
+              else Pq.adcDistBatchDouble(d, 256, roundTo)
     val scored = Ivf.withoutExcluded(pruned, excluded)
       .join(probes, Seq("cell"))
       .join(broadcast(Pq.withLuts(queries, books)), Seq("query_id"))
-      .select(col("query_id"), col("vec_id"), Pq.adcDistBatch(d, 256, roundTo).as("dist"))
+      .select(col("query_id"), col("vec_id"), adc.as("dist"))
     Ivf.heapTopKPerQuery(scored, k, "dist")
   }
 

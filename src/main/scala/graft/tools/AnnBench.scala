@@ -47,6 +47,7 @@ object AnnBench {
     if (args.contains("adc")) { adcFastSmoke(spark); spark.stop(); return }
     if (args.contains("deletes")) { deleteSmoke(spark); spark.stop(); return }
     if (args.contains("pqclustered")) { pqClusteredSmoke(spark); spark.stop(); return }
+    if (args.contains("tiers")) { tiersSmoke(spark); spark.stop(); return }
     if (args.contains("dedupscale")) { dedupScaleSmoke(spark); spark.stop(); return }
     val emb = Tables.embeddings(spark, sfDir)
     val qs = emb.select(col("vec_id").as("query_id"),
@@ -166,10 +167,14 @@ object AnnBench {
         Pq.residuals(table, cents).select(col("vec_id"), col("embedding")),
         m, subDim, c, iters, seedOffset = coarseC)
       Pq.ensureEncodedPartitionedResidual(table, cents, books, m, subDim, dir)
-      val adc = Pq.ivfpqResidualTopKBatch(spark, dir, queries, 10, nprobe = coarseC)
+      // double-sum serving twin: recall is unchanged on separated data
+      // and the decimal chain prices the 400M-pair recall pass out
+      val adc = Pq.ivfpqResidualTopKBatch(spark, dir, queries, 10, nprobe = coarseC,
+        exactSums = false)
       val adcRecall = Hnsw.recallOf(adc, table, queries, 10)
         .agg(avg(col("recall"))).head().getDouble(0)
-      val cand = Pq.ivfpqResidualTopKBatch(spark, dir, queries, 100, nprobe = coarseC)
+      val cand = Pq.ivfpqResidualTopKBatch(spark, dir, queries, 100, nprobe = coarseC,
+          exactSums = false)
         .select(col("query_id"), col("vec_id"))
       val rr = rerankRecall(table, queries, cand)
       s"""{"variant":"$tag","adc_recall_at_10":${fmt(adcRecall, 4)},""" +
@@ -345,6 +350,94 @@ object AnnBench {
     * tables the `scale` smoke persisted — the serving twins of the
     * decimal-exact sweep points. Run AFTER `AnnBench scale`.
     */
+  /** New-tier serving smoke at the scale geometry (1M×25): SQ8 flat
+    * batch ADC (double-sum serving twin), binary Hamming batch, and
+    * the three-tier BATCH cascade — throughput (2k-query batch) +
+    * recall@10 + layout bytes at rest per tier. The numbers that place
+    * each tier on the cost/recall curve beside the IVF-PQ points
+    * (`adc` smoke) and the exact/HNSW baselines (`scale` smoke).
+    */
+  private def tiersSmoke(spark: SparkSession): Unit = {
+    import graft.operators.{Binary, Cascade, Sq}
+    val n = sys.env.get("SPARK_GRAFT_SCALE_N").flatMap(_.toIntOption).getOrElse(1000000)
+    val dim = sys.env.get("SPARK_GRAFT_SCALE_DIM").flatMap(_.toIntOption).getOrElse(25)
+    val emb = scaleVectors(spark, n, dim).cache()
+    emb.count()
+    val qs = emb.filter(col("vec_id") < 2000)
+      .select(col("vec_id").as("query_id"),
+        graft.functions.VectorFunctions.perturbQuery(col("embedding")).as("query_vec"))
+      .cache()
+    qs.count()
+    val sample = qs.filter(col("query_id") < 200)
+
+    def dirBytes(dir: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
+    }
+
+    val base = s"target/graft_scale_idx"
+    val binDir = s"$base/bin_n${n}_d$dim"
+    val sqDir = s"$base/sq8_n${n}_d$dim"
+    val tBin = System.nanoTime()
+    Binary.ensureEncoded(emb, Binary.thresholds(emb), binDir)
+    val binBuild = (System.nanoTime() - tBin) / 1e9
+    val tSq = System.nanoTime()
+    val (lo, hi) = Sq.bounds(emb)
+    Sq.ensureEncoded(emb, lo, hi, sqDir)
+    val sqBuild = (System.nanoTime() - tSq) / 1e9
+
+    def timeIt(f: => Unit): Double = {
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }
+    def recallOfDf(df: org.apache.spark.sql.DataFrame): Double =
+      Hnsw.recallOf(df, emb, sample, 10).agg(avg(col("recall"))).head().getDouble(0)
+
+    // SQ8 flat batch ADC — double-sum serving twin
+    Sq.adcTopKStoredBatch(spark, sqDir, sample.limit(32), 10, exactSums = false)
+      .write.format("noop").mode("overwrite").save() // warm-up
+    val sqSec = timeIt {
+      Sq.adcTopKStoredBatch(spark, sqDir, qs, 10, exactSums = false)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val sqRecall = recallOfDf(
+      Sq.adcTopKStoredBatch(spark, sqDir, sample, 10, exactSums = false))
+
+    // binary Hamming batch
+    val binSec = timeIt {
+      Binary.hammingTopKBatch(spark, binDir, qs, 10)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val binRecall = recallOfDf(
+      Binary.hammingTopKBatch(spark, binDir, sample, 10)
+        .select(col("query_id"), col("vec_id"), col("hamming").as("dist")))
+
+    // three-tier batch cascade
+    val (l1, l2) = (200, 50)
+    val cascSec = timeIt {
+      Cascade.topKBatch(spark, binDir, sqDir, emb, qs, 10, l1, l2, exactSums = false)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val cascRecall = recallOfDf(
+      Cascade.topKBatch(spark, binDir, sqDir, emb, sample, 10, l1, l2,
+        exactSums = false))
+
+    val json = s"""{"tiers":{"n":$n,"dim":$dim,"batch":2000,""" +
+      s""""binary":{"build_sec":${fmt(binBuild, 2)},"bytes":${dirBytes(binDir)},""" +
+      s""""serve_sec":${fmt(binSec, 2)},"queries_per_sec":${(2000 / binSec).toInt},""" +
+      s""""recall_at_10":${fmt(binRecall, 4)}},""" +
+      s""""sq8":{"build_sec":${fmt(sqBuild, 2)},"bytes":${dirBytes(sqDir)},""" +
+      s""""serve_sec":${fmt(sqSec, 2)},"queries_per_sec":${(2000 / sqSec).toInt},""" +
+      s""""recall_at_10":${fmt(sqRecall, 4)}},""" +
+      s""""cascade":{"l1":$l1,"l2":$l2,""" +
+      s""""serve_sec":${fmt(cascSec, 2)},"queries_per_sec":${(2000 / cascSec).toInt},""" +
+      s""""recall_at_10":${fmt(cascRecall, 4)}}}}"""
+    println(json)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/tiers_smoke.json"), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[annbench] file write failed: ${e.getMessage}") }
+  }
+
   private def adcFastSmoke(spark: SparkSession): Unit = {
     val n = sys.env.get("SPARK_GRAFT_SCALE_N").flatMap(_.toIntOption).getOrElse(1000000)
     val dim = sys.env.get("SPARK_GRAFT_SCALE_DIM").flatMap(_.toIntOption).getOrElse(25)

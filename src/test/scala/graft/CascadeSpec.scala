@@ -63,6 +63,23 @@ class CascadeSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(_ % 3 != 0))
   }
 
+  test("batch funnel == single-query funnel, per query") {
+    val (bin, sq) = dirs
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+      .cache()
+    val batch = Cascade.topKBatch(spark, bin, sq, emb, qs, k = 10, l1 = 60, l2 = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(t => (t._2, t._1))).toMap
+    (0L until 5L).foreach { qid =>
+      val single = Cascade.topK(spark, bin, sq, emb,
+          qs.filter(col("query_id") === qid).select("query_vec"),
+          k = 10, l1 = 60, l2 = 25)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(t => (t._2, t._1)).toSeq
+      assert(batch(qid).toSeq === single, s"query $qid: batch != single")
+    }
+  }
+
   test("funnel shape is validated") {
     val (bin, sq) = dirs
     val e = intercept[IllegalArgumentException] {

@@ -83,6 +83,33 @@ class SqSpec extends AnyFunSuite {
     }
   }
 
+  test("fast double-sum ADC == decimal-exact ADC on the fixture (serving twin)") {
+    // at d=64-class widths the decimal chain is ~50x a double add per
+    // candidate; the double chain sums the same terms in the same
+    // fixed dim order, so rankings diverge only where two decimal
+    // sums are closer than double rounding error — impossible on this
+    // well-separated fixture
+    val dir = java.nio.file.Files.createTempDirectory("sq_fast").toString + "/codes"
+    Sq.ensureEncoded(emb, lo, hi, dir)
+    val qs = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+    val exact = Sq.adcTopKStoredBatch(spark, dir, qs, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fast = Sq.adcTopKStoredBatch(spark, dir, qs, 10, exactSums = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast === exact)
+    val pdir = java.nio.file.Files.createTempDirectory("sq_fast2").toString + "/cells"
+    Sq.ensureEncodedPartitioned(emb, Ivf.centroids(emb, 8), lo, hi, pdir)
+    val e1 = Sq.ivfsqTopK(spark, pdir, emb.filter(col("vec_id") === 3)
+        .select(perturbQuery(col("embedding")).as("query_vec")), 10, nprobe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    val f1 = Sq.ivfsqTopK(spark, pdir, emb.filter(col("vec_id") === 3)
+        .select(perturbQuery(col("embedding")).as("query_vec")), 10, nprobe = 8,
+        exactSums = false)
+      .collect().map(_.getLong(0)).toSeq
+    assert(f1 === e1)
+  }
+
   test("frozen-bounds insert: grown layout == single-pass encode; out-of-range rows clamp") {
     val base = java.nio.file.Files.createTempDirectory("sq_ins").toString
     val grown = s"$base/grown"
