@@ -691,6 +691,37 @@ object SparkEntry {
         WHERE e.vec_id = sl.vec_id
         ORDER BY dist, e.vec_id LIMIT $k"""
 
+  /** Fixed-iteration PageRank oracle (mirrors Graph.pageRank over the
+    * q_pagerank purchase graph): `iters` unrolled CTE rounds, each the
+    * SAME arithmetic — contribution `pr/deg` summed through
+    * DECIMAL(38,12), `(1−d)/n + d·Σ` assembled in the same double op
+    * order, dangling mass dropped (no coalesce source row).
+    */
+  private def duckPageRank(iters: Int): String = {
+    val d = "CAST(0.85 AS DOUBLE)"
+    val sb = new StringBuilder(
+      s"""WITH e AS (SELECT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+          nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          c AS (SELECT count(*) AS n FROM nodes),
+          deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+          p0 AS (SELECT node, CAST(1.0 AS DOUBLE) / c.n AS pr FROM nodes, c)""")
+    for (t <- 0 until iters) {
+      sb ++= s""",
+          s${t + 1} AS (SELECT e.dst AS node,
+                CAST(sum(CAST(p.pr / deg.deg AS DECIMAL(38,12))) AS DOUBLE) AS s
+              FROM e JOIN p$t p ON p.node = e.src JOIN deg ON deg.src = e.src
+              GROUP BY e.dst),
+          p${t + 1} AS (SELECT nodes.node,
+                (CAST(1.0 AS DOUBLE) - $d) / c.n
+                  + $d * coalesce(s${t + 1}.s, CAST(0.0 AS DOUBLE)) AS pr
+              FROM nodes CROSS JOIN c
+              LEFT JOIN s${t + 1} ON s${t + 1}.node = nodes.node)"""
+    }
+    sb ++= s"\n          SELECT node, round(pr, 6) AS pr FROM p$iters"
+    sb.toString
+  }
+
   /** SQ8 oracle CTEs (mirror Sq.bounds ∘ Sq.encodeCol): exact per-dim
     * min/max bounds `b(i, lo, hi)` and the arithmetic encode
     * `enc(vec_id, i, code)` — explicit floor(t·255 + 0.5), the same
@@ -1876,6 +1907,19 @@ object SparkEntry {
       Sq.ivfsqTopKRerank(s, pdir, emb, queryVecOf(emb, 0), 10, nprobe = 4,
         shortlist = 30)
     }),
+    // PageRank-style centrality over the customer→supplier purchase
+    // graph (supplier ids offset by 1e6 into their own key space) —
+    // the link-graph quality signal a crawl/curation pipeline computes
+    // beside dedup. Fixed 3 iterations, DECIMAL-exact contribution
+    // sums, dangling mass dropped — fully deterministic, so the whole
+    // iteration oracle-checks against 3 unrolled SQL CTEs.
+    "q_pagerank" -> ((s, dir) => {
+      val edges = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (col("l_suppkey").cast("long") + 1000000L).as("dst"))
+      graft.operators.Graph.pageRank(edges, iters = 3)
+    }),
     // PCA moment pass — the dimensionality-reduction stage of an
     // embedding pipeline. The full d² covariance matrix through
     // DECIMAL-exact sums (partition-order invariant), the oracle
@@ -2539,6 +2583,8 @@ object SparkEntry {
       duckIvfPqResidualTopKBatch(4, 16, 16, 1, 16, 10, 4, 8),
     "q_ivfpq_residual_rerank_topk" ->
       duckIvfPqResidualRerankTopK(4, 16, 16, 1, 16, 10, 4, 30),
+    // 3 unrolled PageRank iterations over the purchase graph
+    "q_pagerank" -> duckPageRank(3),
     // full d² covariance through decimal-exact sums (0-based dims both
     // sides; the same E[xy] − E[x]E[y] assembly in the same op order)
     "q_pca_covariance" ->

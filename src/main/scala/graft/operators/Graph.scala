@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics for corpus curation — the link-graph quality signals
+  * a web-scale training pipeline computes beside dedup: PageRank-style
+  * centrality (crawl frontier priority, document quality priors,
+  * representative selection). The near-dup CLUSTERING half of graph
+  * processing already lives in [[Dedup]] (pointer-jumping connected
+  * components); this adds the iterative-scoring half.
+  *
+  * Deterministic by construction, so the whole iteration oracle-checks:
+  * fixed iteration count (no convergence test), per-node contribution
+  * sums accumulate through DECIMAL(38,12) (partition-order invariant),
+  * and every scalar (1/n, (1−d)/n, d) enters as the same double in
+  * both engines. Dangling nodes (no out-edges) contribute nothing —
+  * the dropped-mass convention, documented and mirrored in SQL.
+  *
+  * Scale shape: each iteration is ONE join of the edge table with the
+  * current rank vector (shuffle keyed on src, then one grouped
+  * aggregation keyed on dst) — the vector table carries one double per
+  * node, the edge table is never materialized to the driver, and
+  * `localCheckpoint` truncates the lineage so iteration t+1 reads
+  * iteration t's rows instead of replaying the whole chain (the
+  * [[Ivf.kmeans]] lesson, kept distributed because ranks are O(nodes),
+  * not O(cells)).
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank over `edges(src, dst)` (multi-edges
+    * count once per row, the adjacency-list convention). Returns
+    * `(node, pr)` for every node appearing as a src or dst.
+    */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+               roundTo: Int = 6): DataFrame = {
+    val spark = edges.sparkSession
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty edge table")
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val base = (1.0 - damping) / n
+    var pr = nodes.select(col("node"), lit(1.0 / n).as("pr"))
+    for (_ <- 0 until iters) {
+      val contribs = edges
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outDeg, Seq("src"))
+        .select(col("dst").as("node"), (col("pr") / col("deg")).as("c"))
+      pr = nodes
+        .join(contribs.groupBy("node")
+            .agg(sum(col("c").cast("decimal(38,12)")).cast("double").as("s")),
+          Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
+        .localCheckpoint() // truncate lineage: iteration t+1 reads rows, not the chain
+    }
+    pr.select(col("node"), round(col("pr"), roundTo).as("pr"))
+  }
+
+  /** Degree relation `(node, out_deg, in_deg)` — the cheap centrality
+    * twin (and the spec's cross-check surface).
+    */
+  def degrees(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))
+    val in = edges.groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("node"), "full")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+}
