@@ -662,6 +662,72 @@ object SparkEntry {
         SELECT query_id, vec_id, dist FROM scored
         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) <= $k"""
 
+  /** BATCH residual IVF-PQ + exact re-rank (mirrors
+    * Pq.ivfpqResidualTopKRerankBatch): the batch residual pipeline
+    * truncated at `shortlist` per query, then true L2 per query.
+    */
+  private def duckIvfPqResidualRerankTopKBatch(m: Int, subDim: Int, c: Int,
+                                               iters: Int, coarseC: Int, k: Int,
+                                               nprobe: Int, qn: Int,
+                                               shortlist: Int): String =
+    s"""WITH qb AS (SELECT query_id, query_vec FROM ${duckQueryBatch(qn)}),
+        ${duckResidualCtes(m, subDim, c, iters, coarseC)},
+        probed AS (SELECT query_id, cid FROM (
+                     SELECT q.query_id, cid, row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY list_distance(cv, q.query_vec), cid) AS rn
+                     FROM coarse, qb q) WHERE rn <= $nprobe),
+        rqb AS (SELECT p.query_id, c.cid AS cell,
+                    list_transform(range(1, len(q.query_vec)+1),
+                      i -> q.query_vec[i] - c.cv[i]) AS qv
+                FROM probed p JOIN coarse c ON c.cid = p.cid
+                JOIN qb q ON q.query_id = p.query_id),
+        ${duckResidualLutBatchCtes(m, subDim, iters)},
+        shortl AS (SELECT query_id, vec_id FROM (
+             SELECT l.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY l.query_id
+                 ORDER BY round(sqrt(CAST(sum(CAST(l.d2 AS DECIMAL(38,12))) AS DOUBLE)), 6),
+                 e.vec_id) AS rn
+             FROM encall e
+             JOIN assigned a ON e.vec_id = a.vec_id
+             JOIN rlutall l ON l.cell = a.cell AND l.subspace = e.subspace AND l.code = e.code
+             GROUP BY l.query_id, e.vec_id) WHERE rn <= $shortlist)
+        SELECT sl.query_id, e.vec_id,
+               round(list_distance(e.embedding::DOUBLE[], q.query_vec), 6) AS dist
+        FROM shortl sl JOIN embeddings e ON e.vec_id = sl.vec_id
+        JOIN qb q ON q.query_id = sl.query_id
+        QUALIFY row_number() OVER (PARTITION BY sl.query_id ORDER BY dist, e.vec_id) <= $k"""
+
+  /** BATCH IVF-SQ8 + exact re-rank (mirrors Sq.ivfsqTopKRerankBatch). */
+  private def duckIvfSqRerankTopKBatch(coarseC: Int, k: Int, nprobe: Int,
+                                       qn: Int, shortlist: Int): String =
+    s"""WITH $duckSqCtes,
+        qb AS (SELECT query_id, query_vec FROM ${duckQueryBatch(qn)}),
+        coarse AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                   FROM embeddings WHERE vec_id < $coarseC),
+        probed AS (SELECT query_id, cid FROM (
+                     SELECT q.query_id, cid, row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY list_distance(cv, q.query_vec), cid) AS rn
+                     FROM coarse, qb q) WHERE rn <= $nprobe),
+        assigned AS (SELECT e.vec_id, cid AS cell FROM embeddings e, coarse c
+                     QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), cid) = 1),
+        terms AS (SELECT q.query_id, enc.vec_id, ${duckSqTerm("q.query_vec")} AS dd
+                  FROM enc JOIN b USING (i)
+                  JOIN assigned a ON enc.vec_id = a.vec_id
+                  JOIN probed p ON p.cid = a.cell
+                  JOIN qb q ON q.query_id = p.query_id),
+        shortl AS (SELECT query_id, vec_id FROM (
+             SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(sqrt(CAST(sum(CAST(dd*dd AS DECIMAL(38,12))) AS DOUBLE)), 6),
+                 vec_id) AS rn
+             FROM terms GROUP BY query_id, vec_id) WHERE rn <= $shortlist)
+        SELECT sl.query_id, e.vec_id,
+               round(list_distance(e.embedding::DOUBLE[], q.query_vec), 6) AS dist
+        FROM shortl sl JOIN embeddings e ON e.vec_id = sl.vec_id
+        JOIN qb q ON q.query_id = sl.query_id
+        QUALIFY row_number() OVER (PARTITION BY sl.query_id ORDER BY dist, e.vec_id) <= $k"""
+
   /** Residual IVF-PQ + exact re-rank (mirrors
     * Pq.ivfpqResidualTopKRerank): the [[duckIvfPqResidualTopK]]
     * pipeline truncated at `shortlist`, then true L2 on the raw vectors
@@ -1807,6 +1873,19 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
       Pq.ivfpqResidualTopKBatch(s, pdir, qs, 10, nprobe = 4)
     }),
+    // BATCH two-stage residual serving: per-query residual shortlists
+    // from one pruned scan, exact rerank through one broadcast join.
+    "q_ivfpq_residual_rerank_batch_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Ivf.centroids(emb, 16)
+      val pdir = pqDir(s, dir, "ivfpqres_c16_m4sd16c16i1")
+      Pq.ensureEncodedPartitionedResidual(emb, cents,
+        Pq.residualCodebooksCached(emb, cents, 4, 16, 16, 1, dir, tag = "#res16", seedOffset = 16),
+        4, 16, pdir)
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+      Pq.ivfpqResidualTopKRerankBatch(s, pdir, emb, qs, 10, nprobe = 4, shortlist = 30)
+    }),
     // Two-stage residual serving: residual-ADC shortlist → exact L2
     // re-rank of only the shortlisted raw rows — the production
     // operating point of the residual tier (quantization error affects
@@ -1896,6 +1975,17 @@ object SparkEntry {
       val qs = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
       Sq.ivfsqTopKBatch(s, pdir, qs, 10, nprobe = 4)
+    }),
+    // BATCH two-stage SQ8 serving: per-query scalar shortlists from
+    // one pruned scan, exact rerank through one broadcast join.
+    "q_ivfsq_rerank_batch_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (lo, hi) = sqBounds(emb, dir)
+      val pdir = pqDir(s, dir, "ivfsq8_c16")
+      Sq.ensureEncodedPartitioned(emb, Ivf.centroids(emb, 16), lo, hi, pdir)
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+      Sq.ivfsqTopKRerankBatch(s, pdir, emb, qs, 10, nprobe = 4, shortlist = 30)
     }),
     // Two-stage SQ8 serving: scalar-ADC shortlist → exact re-rank of
     // the 30 shortlisted raw rows (id-pushdown scan).
@@ -2583,6 +2673,9 @@ object SparkEntry {
       duckIvfPqResidualTopKBatch(4, 16, 16, 1, 16, 10, 4, 8),
     "q_ivfpq_residual_rerank_topk" ->
       duckIvfPqResidualRerankTopK(4, 16, 16, 1, 16, 10, 4, 30),
+    "q_ivfpq_residual_rerank_batch_topk" ->
+      duckIvfPqResidualRerankTopKBatch(4, 16, 16, 1, 16, 10, 4, 8, 30),
+    "q_ivfsq_rerank_batch_topk" -> duckIvfSqRerankTopKBatch(16, 10, 4, 8, 30),
     // 3 unrolled PageRank iterations over the purchase graph
     "q_pagerank" -> duckPageRank(3),
     // full d² covariance through decimal-exact sums (0-based dims both

@@ -782,6 +782,29 @@ object Pq {
       .limit(k)
   }
 
+  /** BATCH two-stage residual serving: [[ivfpqResidualTopKBatch]]
+    * picks per-query shortlists from the residual codes (one pruned
+    * scan for the whole batch), then exact L2 re-ranks through one
+    * broadcast hash join — [[ivfpqTopKRerankBatch]]'s contract on the
+    * residual layout.
+    */
+  def ivfpqResidualTopKRerankBatch(spark: SparkSession, dir: String,
+                                   embeddings: DataFrame, queries: DataFrame,
+                                   k: Int, nprobe: Int, shortlist: Int,
+                                   roundTo: Int = 6, exactSums: Boolean = true,
+                                   excluded: Option[DataFrame] = None): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val cand = ivfpqResidualTopKBatch(spark, dir, queries, shortlist, nprobe,
+        roundTo, exactSums, excluded)
+      .select(col("query_id"), col("vec_id"))
+    val scored = embeddings.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(l2Distance(col("embedding"), col("query_vec")), roundTo).as("dist"))
+    Ivf.heapTopKPerQuery(scored, k, "dist")
+  }
+
   /** Residual reconstruction `x̂ = centroid(cell) + decode(codes)` —
     * spec surface: residual ADC distances must equal direct distances
     * to these reconstructions.

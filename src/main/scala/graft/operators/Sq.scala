@@ -250,6 +250,27 @@ object Sq {
     Ivf.heapTopKPerQuery(scored, k, "dist")
   }
 
+  /** BATCH two-stage SQ8 serving: [[ivfsqTopKBatch]] shortlists from
+    * the scalar codes (one pruned scan for the batch), then exact L2
+    * re-ranks through one broadcast hash join —
+    * [[Pq.ivfpqTopKRerankBatch]]'s contract on the scalar tier.
+    */
+  def ivfsqTopKRerankBatch(spark: SparkSession, dir: String, embeddings: DataFrame,
+                           queries: DataFrame, k: Int, nprobe: Int, shortlist: Int,
+                           roundTo: Int = 6, exactSums: Boolean = true,
+                           excluded: Option[DataFrame] = None): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val cand = ivfsqTopKBatch(spark, dir, queries, shortlist, nprobe, roundTo,
+        excluded, exactSums)
+      .select(col("query_id"), col("vec_id"))
+    val scored = embeddings.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(l2Distance(col("embedding"), col("query_vec")), roundTo).as("dist"))
+    Ivf.heapTopKPerQuery(scored, k, "dist")
+  }
+
   /** Two-stage SQ8 serving: ADC shortlist → exact L2 re-rank of only
     * the shortlisted raw rows ([[Pq.ivfpqTopKRerank]]'s contract).
     */
