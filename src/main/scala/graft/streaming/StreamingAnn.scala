@@ -78,4 +78,31 @@ object StreamingAnn {
         graft.operators.Ivf.insertInto(batch.sparkSession, layoutDir, batch.toDF())
       }
       .start()
+
+  /** Streaming maintenance of an IVF-SQ8 code layout: each micro-batch
+    * encodes with the frozen `_bounds` (out-of-range components clamp —
+    * the documented drift posture), assigns with the frozen
+    * `_centroids`, and appends cell-locally ([[graft.operators.Sq.insertInto]]).
+    * The compressed-tier member of the [[maintainIvf]] family.
+    */
+  def maintainSq(newVectors: DataFrame, layoutDir: String): StreamingQuery =
+    newVectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        graft.operators.Sq.insertInto(batch.sparkSession, layoutDir, batch.toDF())
+      }
+      .start()
+
+  /** Streaming maintenance of a binary signature table: each
+    * micro-batch encodes with the frozen `_thresholds` and appends
+    * ([[graft.operators.Binary.insertInto]]) — the funnel's widest gate
+    * grows with the corpus, no rebuild.
+    */
+  def maintainBinary(newVectors: DataFrame, layoutDir: String): StreamingQuery =
+    newVectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        graft.operators.Binary.insertInto(batch.sparkSession, layoutDir, batch.toDF())
+      }
+      .start()
 }

@@ -252,6 +252,68 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       "every streamed row must land exactly once")
   }
 
+  test("streaming SQ8 maintenance: micro-batch frozen-bounds appends == single-pass encode") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Ivf, Sq}
+    val all = (0L until 150L).map { i =>
+      val rnd = new scala.util.Random(i * 3 + 7)
+      (i, Array.fill(8)(rnd.nextFloat() * 100f))
+    }
+    val (baseRows, freshRows) = all.splitAt(100)
+    val allDf = all.toDF("vec_id", "embedding")
+    val cents = Ivf.centroids(allDf, 8)
+    val (lo, hi) = Sq.bounds(allDf)
+    val dir = java.nio.file.Files.createTempDirectory("stream_sq").toString + "/codes"
+    Sq.ensureEncodedPartitioned(baseRows.toDF("vec_id", "embedding"), cents, lo, hi, dir)
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamingAnn.maintainSq(mem.toDF().toDF("vec_id", "embedding"), dir)
+    try {
+      mem.addData(freshRows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val oneQuery = all.take(1).toDF("vec_id", "embedding")
+      .select(graft.functions.VectorFunctions.perturbQuery(col("embedding")).as("query_vec"))
+    val fullDir = java.nio.file.Files.createTempDirectory("stream_sq_full").toString + "/codes"
+    Sq.ensureEncodedPartitioned(allDf, cents, lo, hi, fullDir)
+    val streamed = Sq.ivfsqTopK(spark, dir, oneQuery, 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val batch = Sq.ivfsqTopK(spark, fullDir, oneQuery, 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(streamed === batch, "streamed SQ8 layout must serve like a single-pass encode")
+  }
+
+  test("streaming binary maintenance: micro-batch frozen-threshold appends == single-pass encode") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Binary
+    val all = (0L until 150L).map { i =>
+      val rnd = new scala.util.Random(i * 5 + 2)
+      (i, Array.fill(8)(rnd.nextFloat() * 100f))
+    }
+    val (baseRows, freshRows) = all.splitAt(100)
+    val thr = Binary.thresholds(all.toDF("vec_id", "embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("stream_bin").toString + "/sigs"
+    Binary.ensureEncoded(baseRows.toDF("vec_id", "embedding"), thr, dir)
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamingAnn.maintainBinary(mem.toDF().toDF("vec_id", "embedding"), dir)
+    try {
+      mem.addData(freshRows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val oneQuery = all.take(1).toDF("vec_id", "embedding")
+      .select(graft.functions.VectorFunctions.perturbQuery(col("embedding")).as("query_vec"))
+    val fullDir = java.nio.file.Files.createTempDirectory("stream_bin_full").toString + "/sigs"
+    Binary.ensureEncoded(all.toDF("vec_id", "embedding"), thr, fullDir)
+    val streamed = Binary.hammingTopK(spark, dir, oneQuery, 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val batch = Binary.hammingTopK(spark, fullDir, oneQuery, 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(streamed === batch, "streamed signature table must serve like a single-pass encode")
+  }
+
   test("streaming dedup drops in-watermark duplicate event ids before aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double, Long)]
