@@ -969,13 +969,15 @@ object SparkEntry {
     * shortlist `l1` → SQ8 ADC over only those rows keeps `l2` → exact
     * L2 over only those rows orders the final `k`.
     */
-  private def duckCascadeTopK(k: Int, l1: Int, l2: Int): String =
+  private def duckCascadeTopK(k: Int, l1: Int, l2: Int,
+                              pred: Option[String] = None): String =
     s"""WITH $duckBinaryCtes,
         $duckSqCtes,
         q AS (SELECT 0 AS query_id, query_vec FROM $duckQueryVec),
         ${duckBinaryQsig("q")},
         s1 AS (SELECT s.vec_id, CAST(sum(bit_count(xor(s.word, qs.qword))) AS INT) AS h
              FROM sigs s JOIN qsig qs ON s.w = qs.w
+             ${pred.map(p => s"WHERE ($p)").getOrElse("")}
              GROUP BY s.vec_id
              ORDER BY h, s.vec_id LIMIT $l1),
         terms AS (SELECT enc.vec_id, ${duckSqTerm("q.query_vec")} AS dd
@@ -2076,6 +2078,24 @@ object SparkEntry {
       graft.operators.Cascade.topK(s, bdir, sdir, emb, queryVecOf(emb, 0),
         k = 10, l1 = 100, l2 = 30)
     }),
+    // Takedowns through the funnel: tombstones recorded against the
+    // widest gate (the binary tier) are excluded BEFORE the Hamming
+    // rank, so a taken-down id can enter no shortlist of any later
+    // stage. Deterministic exclusion → fully oracled. Dedicated dirs:
+    // the shared bin/sq8 layouts stay tombstone-free.
+    "q_cascade_tombstone_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val bdir = pqDir(s, dir, "bindel")
+      val sdir = pqDir(s, dir, "sq8del")
+      graft.operators.Binary.ensureEncoded(emb, binThresholds(emb, dir), bdir)
+      val (lo, hi) = sqBounds(emb, dir)
+      Sq.ensureEncoded(emb, lo, hi, sdir)
+      graft.operators.Tombstones.recordOnce(s, bdir,
+        emb.filter(pmod(col("vec_id"), lit(7)) === 0).select("vec_id"))
+      graft.operators.Cascade.topK(s, bdir, sdir, emb, queryVecOf(emb, 0),
+        k = 10, l1 = 100, l2 = 30,
+        excluded = graft.operators.Tombstones.ids(s, bdir))
+    }),
     // BATCH funnel: Q queries, ONE scan per tier, zero driver
     // round-trips — stage survivors gate the next tier's scan through
     // broadcast joins, bounded-heap rank at every gate.
@@ -2700,6 +2720,9 @@ object SparkEntry {
     "q_hamming_rerank_topk" -> duckHammingRerankTopK(10, 50),
     // the three-tier funnel end-to-end: hamming 100 → SQ8 30 → exact 10
     "q_cascade_topk" -> duckCascadeTopK(10, 100, 30),
+    // the funnel under takedowns: the widest gate drops the ids first
+    "q_cascade_tombstone_topk" ->
+      duckCascadeTopK(10, 100, 30, pred = Some("s.vec_id % 7 != 0")),
     "q_cascade_batch_topk" -> duckCascadeTopKBatch(10, 100, 30, 8),
     // scalar-quantized (SQ8) tier: exact min/max bounds, arithmetic
     // encode, affine-codebook ADC — no kmeans anywhere
