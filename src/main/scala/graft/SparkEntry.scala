@@ -1999,6 +1999,17 @@ object SparkEntry {
       Sq.ivfsqTopKRerank(s, pdir, emb, queryVecOf(emb, 0), 10, nprobe = 4,
         shortlist = 30)
     }),
+    // Token→document mean pooling — the multi-vector table reduced to
+    // one embedding per doc before single-vector indexing (the batch
+    // complement of the late-interaction path). DECIMAL-exact per-dim
+    // means; output exploded to (doc_id, i, m) rows so the hash
+    // compares raw doubles, not engine-specific string renderings.
+    "q_meanpool_embeddings" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Knn.meanPool(emb, floor(col("vec_id") / 4).cast("long"), col("embedding"))
+        .select(col("group_id").as("doc_id"),
+          posexplode(col("embedding")).as(Seq("i", "m")))
+    }),
     // PageRank-style centrality over the customer→supplier purchase
     // graph (supplier ids offset by 1e6 into their own key space) —
     // the link-graph quality signal a crawl/curation pipeline computes
@@ -2696,6 +2707,15 @@ object SparkEntry {
     "q_ivfpq_residual_rerank_batch_topk" ->
       duckIvfPqResidualRerankTopKBatch(4, 16, 16, 1, 16, 10, 4, 8, 30),
     "q_ivfsq_rerank_batch_topk" -> duckIvfSqRerankTopKBatch(16, 10, 4, 8, 30),
+    // decimal-exact token→doc mean pooling, exploded per (doc, dim)
+    "q_meanpool_embeddings" ->
+      s"""WITH x AS (SELECT vec_id // 4 AS doc_id,
+                unnest(range(1, len(embedding)+1)) - 1 AS i,
+                unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+              FROM embeddings)
+          SELECT doc_id, i,
+                 round(CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) + 0 AS m
+          FROM x GROUP BY doc_id, i""",
     // 3 unrolled PageRank iterations over the purchase graph
     "q_pagerank" -> duckPageRank(3),
     // full d² covariance through decimal-exact sums (0-based dims both

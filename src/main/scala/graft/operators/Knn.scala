@@ -160,4 +160,25 @@ object Knn {
       .orderBy(ord: _*)
       .limit(k)
   }
+
+  /** Mean-pool token vectors into one embedding per group (the
+    * token→document reduction every multi-vector pipeline runs before
+    * single-vector indexing — the batch complement of the
+    * late-interaction path, which keeps the token vectors). Per-dim
+    * means accumulate through DECIMAL(38,12) (the Lloyd-mean
+    * arithmetic: exact, partition-order invariant, oracle-checkable);
+    * ONE explode + grouped aggregation, shuffle keyed on (group, dim)
+    * then (group) — never on the vector payload itself.
+    */
+  def meanPool(vectors: DataFrame, group: Column, vec: Column,
+               roundTo: Int = 6): DataFrame =
+    vectors
+      .select(group.as("group_id"), posexplode(transform(vec, x => x.cast("double")))
+        .as(Seq("i", "x")))
+      .groupBy("group_id", "i")
+      .agg((sum(col("x").cast("decimal(38,12)")).cast("double")
+        / count(lit(1))).as("m"))
+      .groupBy("group_id")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+        s => round(s.getField("m"), roundTo)).as("embedding"))
 }

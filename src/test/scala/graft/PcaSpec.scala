@@ -102,6 +102,39 @@ class PcaSpec extends AnyFunSuite {
       s"orthogonal projection must preserve distances: $dRaw vs $dProj")
   }
 
+  test("PCA-reduced search funnel: shortlist in k=4 projected space + full-space rerank == exact top-k") {
+    // the dim-reduction serving story: search in the projected space
+    // (4/12 of the arithmetic and storage), recover exactness by
+    // re-ranking the shortlist with full-dimension distances — sound
+    // here because the dropped components carry <1% of the variance
+    val (comps, _) = Pca.principalComponents(cov, 4)
+    val proj = Pca.project(emb, mu, comps).cache()
+    val qRaw = emb.filter(col("vec_id") === 42)
+      .select(graft.functions.VectorFunctions.perturbQuery(col("embedding")).as("query_vec"))
+    val qProj = Pca.project(
+        qRaw.select(lit(999999L).as("vec_id"), col("query_vec").as("embedding")),
+        mu, comps)
+      .select(col("proj").as("query_vec"))
+    val shortlist = proj.crossJoin(broadcast(qProj))
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.l2Distance(col("proj"), col("query_vec")).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(50)
+      .select("vec_id").collect().map(_.getLong(0))
+    val reranked = emb.filter(col("vec_id").isin(shortlist.map(Long.box): _*))
+      .crossJoin(broadcast(qRaw))
+      .select(col("vec_id"),
+        round(graft.functions.VectorFunctions.l2Distance(col("embedding"), col("query_vec")), 6).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = emb.crossJoin(broadcast(qRaw))
+      .select(col("vec_id"),
+        round(graft.functions.VectorFunctions.l2Distance(col("embedding"), col("query_vec")), 6).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(reranked === exact,
+      "a 50-candidate shortlist in the 4-dim projected space must recover the exact top-10")
+  }
+
   test("mapPartitions covariance (scale twin) matches the exact form within float tolerance") {
     val approx = Pca.covarianceApprox(emb)
     var worst = 0.0
