@@ -2023,6 +2023,21 @@ object SparkEntry {
           (col("l_suppkey").cast("long") + 1000000L).as("dst"))
       graft.operators.Graph.pageRank(edges, iters = 3)
     }),
+    // Per-node triangle counts over the PART co-occurrence graph
+    // (parts sharing an order — sparse and non-bipartite, unlike the
+    // purchase graph). The engine enumerates via degree orientation
+    // (Σ outdeg² ≤ m^1.5 wedges regardless of hub skew); the oracle is
+    // the naive id-ordered 3-way join — same triangles, no skew guard.
+    "q_triangle_counts" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey").cast("long")).distinct()
+      val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")),
+          Seq("l_orderkey"))
+        .filter(col("src") < col("dst"))
+        .select("src", "dst")
+      graft.operators.Graph.triangleCounts(edges)
+    }),
     // PCA moment pass — the dimensionality-reduction stage of an
     // embedding pipeline. The full d² covariance matrix through
     // DECIMAL-exact sums (partition-order invariant), the oracle
@@ -2299,6 +2314,12 @@ object SparkEntry {
       Dedup.contamination(Tables.documents(s, dir), col("doc_id") < 20, minOverlap = 1)),
     "q_simhash" -> ((s, dir) => Dedup.simhashes(Tables.documents(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), 3)),
+    // Edit-distance ≤ 1 pairs on the 16-char leading key, blocked by
+    // SymSpell deletion neighborhoods — a LOSSLESS equi-join blocking
+    // (O(n·len²) postings, never n² levenshtein), verified by the real
+    // levenshtein. The oracle pays the quadratic predicate join.
+    "q_editdist_pairs" -> ((s, dir) =>
+      Dedup.editDistancePairs(Tables.documents(s, dir), 16)),
     "q_embedding_neardups" -> ((s, dir) => Dedup.embeddingNearDups(Tables.embeddings(s, dir), 0.4)),
     // The blocked scale path must reproduce the brute-force result
     // (same oracle): c=8/probes=4 drops zero true pairs at every sf
@@ -2314,6 +2335,15 @@ object SparkEntry {
     // ---- deterministic sampling (corpus curation stages) ----
     // Hash-keyed, not RNG-keyed: identical results at any parallelism /
     // retry, and a row's membership is stable as the corpus grows.
+    // Quality-weighted deterministic sampling: keep probability
+    // proportional to a per-row weight (here the length-derived score
+    // n_chars/500 clamped to 1) — the curation draw that keeps more of
+    // the better documents. Same contract as bernoulli: row-local,
+    // shuffle-free, reproducible.
+    "q_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedBernoulli(Tables.documents(s, dir), col("doc_id"),
+          least(col("n_chars") / lit(500.0), lit(1.0)))
+        .select(col("doc_id"), col("source"), col("n_chars"))),
     "q_sample_bernoulli" -> ((s, dir) =>
       Sampling.bernoulli(Tables.documents(s, dir), col("doc_id"), 0.3)
         .select(col("doc_id"), col("source"))),
@@ -2367,6 +2397,20 @@ object SparkEntry {
     // (window, type) hash agg — no self-join, no range join.
     "q_events_sliding" -> ((s, dir) => Events.slidingCounts(Tables.events(s, dir))),
     "q_asof_attribution" -> ((s, dir) => AsofJoin.purchaseAttribution(Tables.events(s, dir))),
+    // Bucket-blocked INTERVAL JOIN (no equi key): each error event's
+    // [ts, ts+5min) window counts the clicks inside it. The raw range
+    // predicate would force a cartesian; bucketizing both sides to the
+    // window width turns it into ONE equi-join on the time bucket + a
+    // residual filter (plan-pinned: no BroadcastNestedLoopJoin).
+    "q_interval_clicks" -> ((s, dir) =>
+      Events.errorWindowClicks(Tables.events(s, dir))),
+    // Equi-key + time-range join: every purchase pulls ALL of the same
+    // user's clicks from the preceding hour (the multi-row complement
+    // of as-of attribution). Shares its join condition verbatim with
+    // the stream-stream state-bounded twin (EventStreams
+    // .purchaseClickJoin, spec: streamed ≡ batch).
+    "q_purchase_clicks" -> ((s, dir) =>
+      Events.purchaseClicks(Tables.events(s, dir))),
     "q_sessionize" -> ((s, dir) => Events.sessionize(Tables.events(s, dir))),
     "q_top_purchasers" -> ((s, dir) => Events.topPurchasers(Tables.events(s, dir))),
     "q_daily_type_rank" -> ((s, dir) => Events.dailyTypeRank(Tables.events(s, dir))),
@@ -2375,6 +2419,11 @@ object SparkEntry {
     // ---- relational (TPC-H-ish) ----
     "q_tpch_pricing" -> ((s, dir) => Relational.pricingSummary(Tables.lineitem(s, dir))),
     "q_rollup_pricing" -> ((s, dir) => Relational.rollupPricing(Tables.lineitem(s, dir))),
+    // Full grouping-set lattice in one pass (rollup's CUBE sibling).
+    "q_cube_pricing" -> ((s, dir) => Relational.cubePricing(Tables.lineitem(s, dir))),
+    // Fixed-value-list pivot → compiles to conditional aggregation,
+    // one scan, no driver-side distinct-values job.
+    "q_pivot_priority" -> ((s, dir) => Relational.priorityPivot(Tables.orders(s, dir))),
     "q_shipping_priority" -> ((s, dir) => Relational.shippingPriority(s, dir)),
     "q_distinct_users" -> ((s, dir) => Relational.distinctUsers(Tables.events(s, dir))),
     // HLL sketch twin: fixed-size state per group vs countDistinct's
@@ -2395,6 +2444,20 @@ object SparkEntry {
       graft.functions.Skew.saltedSumCount(Tables.lineitem(s, dir),
         Seq("l_returnflag"), col("l_extendedprice"),
         concat_ws("_", col("l_orderkey"), col("l_linenumber")))),
+    // Salted skew JOIN (the join-side sibling of q_skew_salted): fact
+    // side salted into 16 sub-keys, dimension replicated per salt —
+    // the hot key's probe work spreads over 16 reducers. Exact by
+    // construction, so the oracle is the PLAIN join + aggregate.
+    "q_salted_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val dim = li.select(col("l_returnflag")).distinct()
+        .withColumn("flag_label", concat(lit("flag_"), col("l_returnflag")))
+      graft.functions.Skew.saltedJoin(li, dim, "l_returnflag",
+          concat_ws("_", col("l_orderkey"), col("l_linenumber")), buckets = 16)
+        .groupBy("flag_label")
+        .agg(count(lit(1)).as("n_rows"),
+          graft.functions.Portable.dsumRounded(col("l_extendedprice")).as("sum_price"))
+    }),
     "q_except_customers" -> ((s, dir) => Relational.openNotFulfilled(s, dir)),
     "q_customers_no_orders" -> ((s, dir) => Relational.customersWithoutOrders(s, dir)),
     "q_revenue_nation" -> ((s, dir) => Relational.revenueByNation(s, dir)),
@@ -2903,6 +2966,17 @@ object SparkEntry {
             ORDER BY ${duckUnitHashSalted("doc_id", "stratified")}, doc_id) <= 50""",
     "q_sample_bernoulli" ->
       s"SELECT doc_id, source FROM documents WHERE ${duckUnitHashSalted("doc_id", "bernoulli")} < 0.3",
+    "q_weighted_sample" ->
+      s"""SELECT doc_id, source, n_chars FROM documents
+          WHERE ${duckUnitHashSalted("doc_id", "weighted")} < least(n_chars / 500.0, 1.0)""",
+    "q_salted_join" ->
+      s"""WITH dim AS (SELECT DISTINCT l_returnflag,
+                              concat('flag_', l_returnflag) AS flag_label
+                       FROM lineitem)
+          SELECT flag_label, count(*) AS n_rows,
+                 ${duckDsum("l_extendedprice")} AS sum_price
+          FROM lineitem JOIN dim USING (l_returnflag)
+          GROUP BY flag_label""",
     // mirror of Sampling.epochMix: floor(e) copies + one extra for the
     // e−floor(e) hash fraction; range() is exclusive like sequence(0,n−1)
     "q_epoch_mix" -> {
@@ -3104,6 +3178,59 @@ object SparkEntry {
             AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
             AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
           GROUP BY n_name""",
+    "q_cube_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+                 ${duckDsum("l_quantity")} AS sum_qty
+          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q_pivot_priority" ->
+      """SELECT o_orderstatus,
+                count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p_urgent,
+                count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p_high,
+                count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p_medium,
+                count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p_notspec,
+                count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p_low
+         FROM orders GROUP BY o_orderstatus""",
+    // the blocked interval join's oracle IS the raw range-predicate
+    // join — DuckDB runs it as an IEJoin; the engine may not
+    "q_interval_clicks" ->
+      s"""SELECT e.event_id, count(c.event_id) AS n_clicks
+          FROM $duckEvents e LEFT JOIN $duckEvents c
+            ON c.event_type = 'click'
+            AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 5 MINUTE
+          WHERE e.event_type = 'error'
+          GROUP BY e.event_id""",
+    "q_purchase_clicks" ->
+      s"""SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+          FROM $duckEvents p JOIN $duckEvents c
+            ON c.user_id = p.user_id
+            AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+          WHERE p.event_type = 'purchase' AND c.event_type = 'click'""",
+    // naive id-ordered triangle enumeration (no degree orientation —
+    // the oracle doesn't need the skew guard, only the same triangles)
+    "q_triangle_counts" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          und AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey),
+          nodes AS (SELECT a AS node FROM und UNION SELECT b FROM und),
+          tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                  FROM und e1 JOIN und e2 ON e2.a = e1.b
+                  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+          cnt AS (SELECT node, count(*) AS n_tri
+                  FROM (SELECT x AS node FROM tri
+                        UNION ALL SELECT y FROM tri
+                        UNION ALL SELECT z FROM tri)
+                  GROUP BY node)
+          SELECT n.node, coalesce(c.n_tri, 0) AS n_tri
+          FROM nodes n LEFT JOIN cnt c USING (node)""",
+    // quadratic predicate join — the deletion-neighborhood blocking's
+    // correctness anchor
+    "q_editdist_pairs" ->
+      """WITH k AS (SELECT doc_id, substring(text, 1, 16) AS k FROM documents)
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+                CAST(levenshtein(a.k, b.k) AS BIGINT) AS ed
+         FROM k a JOIN k b ON a.doc_id < b.doc_id
+         WHERE levenshtein(a.k, b.k) <= 1""",
   )
 
   /** SimHash per-doc oracle (mirrors Dedup.simhashes): unnest tokens →

@@ -38,4 +38,32 @@ object Skew {
         round(sum("_psum").cast("double"), 6).as("sum_value"),
         sum("_pcnt").as("n_rows"))
   }
+
+  /** Salted INNER equi-join for a skewed fact side. A plain shuffled
+    * join lands every row of a hot key on ONE reducer; salting splits
+    * the fact side into `buckets` sub-keys and replicates each
+    * dimension row once per bucket, so the join key becomes
+    * (key, salt) and the hot key's probe work spreads over `buckets`
+    * reducers. EXACT: a fact row joins only its own salt's dimension
+    * copy, so each matching (fact, dim) pair is produced exactly once
+    * — salting must be invisible in the result (the oracle is the
+    * plain join).
+    *
+    * When the dimension is broadcastable there is no shuffle to skew
+    * and this is pure overhead — the technique targets the mid-size
+    * dimension (too big to broadcast, small enough that ×buckets
+    * replication is cheap) with a power-law fact key. AQE's skew-join
+    * split covers sort-merge joins adaptively at runtime; the explicit
+    * salt covers what AQE can't: skew materializing mid-stage, and
+    * aggregation-above-join pipelines where the salt can ride into the
+    * downstream groupBy ([[saltedSumCount]]'s two-phase shape).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 uniqueCol: Column, buckets: Int = 16): DataFrame = {
+    val salted = fact.withColumn("_salt",
+      pmod(Portable.md5Int(uniqueCol.cast("string")), lit(buckets)).cast("int"))
+    val replicated = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
 }

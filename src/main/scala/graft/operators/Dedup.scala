@@ -421,6 +421,40 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Edit-distance ≤ 1 key pairs via DELETION-NEIGHBORHOOD blocking
+    * (the SymSpell observation): for keys a, b, ed(a,b) ≤ 1 implies
+    * ({a} ∪ D(a)) ∩ ({b} ∪ D(b)) ≠ ∅ where D(x) is the set of 1-char
+    * deletions of x — equality shares the key itself, an insert/delete
+    * pair shares the shorter key, a substitution at position i shares
+    * del_i. So posting each key under its |key|+1 variants and
+    * EQUI-joining on the variant is a LOSSLESS blocking for ed ≤ 1:
+    * candidate work is O(n·|key|²) postings instead of the n² theta-join
+    * a raw `levenshtein(a,b) ≤ 1` predicate forces (which Catalyst can
+    * only run as a cartesian). Survivors verify with the real
+    * levenshtein — the distinct() between block-join and verify dedups
+    * multi-variant collisions once, BEFORE the per-pair edit-distance
+    * work. Here applied to the leading `keyLen` chars of each document
+    * (the "near-identical title" curation probe).
+    */
+  def editDistancePairs(documents: DataFrame, keyLen: Int = 16): DataFrame = {
+    val keyed = documents.select(col("doc_id"),
+      substring(col("text"), 1, keyLen).as("k"))
+    val variants = keyed.select(col("doc_id"), col("k"),
+      explode(array_union(
+        array(col("k")),
+        expr("transform(sequence(1, length(k)), i -> " +
+          "concat(substring(k, 1, i-1), substring(k, i+1, length(k))))")))
+        .as("v"))
+    val l = variants.select(col("v"), col("doc_id").as("id1"), col("k").as("k1"))
+    val r = variants.select(col("v"), col("doc_id").as("id2"), col("k").as("k2"))
+    l.join(r, Seq("v"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2", "k1", "k2").distinct()
+      .filter(levenshtein(col("k1"), col("k2")) <= 1)
+      .select(col("id1"), col("id2"),
+        levenshtein(col("k1"), col("k2")).cast("long").as("ed"))
+  }
+
   // ---- Embedding near-dup ----
 
   /** Embedding cosine near-duplicates: all pairs with cosine similarity

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -118,5 +118,75 @@ object Events {
       .agg(count(lit(1)).as("n"))
     daily.withColumn("rnk",
       rank().over(Window.partitionBy("day").orderBy(col("n").desc, col("event_type"))))
+  }
+
+  /** INTERVAL JOIN, bucket-blocked: every interval `(interval_id, t0,
+    * t1)` (microsecond epochs, half-open `[t0, t1)`) is matched with
+    * every point `(point_id, t)` it contains, without an equi key.
+    *
+    * A pure range predicate has no equi-join key, so Catalyst can only
+    * execute it as a broadcast-nested-loop / cartesian — O(|I|·|P|)
+    * comparisons, the plan that dies first at scale. This blocks both
+    * sides into fixed-width time buckets instead: an interval is
+    * replicated to every bucket it overlaps (⌈len/bucketUs⌉+1 at most —
+    * choose `bucketUs` ≈ the typical interval length so that's ≤ 2), a
+    * point lands in exactly 1 — so ONE shuffled equi-join on `bucket` +
+    * the residual range filter produces each qualifying pair exactly
+    * once (no post-dedup needed: the point's single bucket appears at
+    * most once in the interval's bucket list). Shuffle is keyed on time
+    * buckets — uniform for event streams; a hot bucket is AQE-skew
+    * territory, not a plan defect.
+    */
+  def intervalJoin(intervals: DataFrame, points: DataFrame,
+                   bucketUs: Long): DataFrame = {
+    val ib = intervals.withColumn("bucket",
+      explode(sequence(floor(col("t0") / bucketUs),
+        floor((col("t1") - 1) / bucketUs))))
+    val pb = points.withColumn("bucket", floor(col("t") / bucketUs))
+    ib.join(pb, Seq("bucket"))
+      .filter(col("t") >= col("t0") && col("t") < col("t1"))
+      .drop("bucket")
+  }
+
+  /** Error-burst attribution through [[intervalJoin]]: each `error`
+    * event opens a `[ts, ts+window)` interval; count the `click`
+    * events (any user — deliberately no equi key) inside each window.
+    * Zero-click windows kept via the left join back to the intervals.
+    */
+  def errorWindowClicks(events: DataFrame, windowMinutes: Int = 5): DataFrame = {
+    val winUs = windowMinutes * 60L * 1000000L
+    // ts arrives TIMESTAMP_NTZ (Tables.events); the UTC-pinned session
+    // makes the instant cast exact, and bucket math runs on µs longs
+    val us = (c: Column) => unix_micros(c.cast("timestamp"))
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("interval_id"), us(col("ts")).as("t0"))
+      .withColumn("t1", col("t0") + lit(winUs))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("point_id"), us(col("ts")).as("t"))
+    val hits = intervalJoin(errors, clicks, winUs)
+      .groupBy("interval_id").agg(count(lit(1)).as("n_clicks"))
+    errors.select(col("interval_id").as("event_id"))
+      .join(hits.withColumnRenamed("interval_id", "event_id"), Seq("event_id"), "left")
+      .select(col("event_id"), coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+  }
+
+  /** Purchase→click basket join: for each purchase, ALL of the same
+    * user's clicks in the preceding hour (the multi-row complement of
+    * [[AsofJoin.purchaseAttribution]], which keeps only the latest).
+    * Equi key (user_id) + range predicate → Catalyst executes the equi
+    * part as a shuffled hash join and the range as a residual filter;
+    * the streaming twin ([[graft.streaming.EventStreams.purchaseClickJoin]])
+    * runs the IDENTICAL condition with watermark-bounded state.
+    */
+  def purchaseClicks(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("cts"))
+    p.join(c, col("user_id") === col("c_user") &&
+        col("cts") >= col("pts") - expr("INTERVAL 1 HOUR") &&
+        col("cts") < col("pts"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"))
   }
 }

@@ -278,6 +278,37 @@ object Relational {
         count(lit(1)).as("n_items"),
         dsumRounded(col("l_quantity")).as("sum_qty"))
 
+  /** CUBE over (returnflag, linestatus): all 4 grouping-set combinations
+    * in ONE pass — Catalyst expands the grouping sets map-side (each row
+    * feeds every set's partial aggregate) and shuffles once; the
+    * hand-rolled alternative is 4 scans + a union. Complements
+    * [[rollupPricing]]'s hierarchy with the full lattice.
+    */
+  def cubePricing(lineitem: DataFrame): DataFrame =
+    lineitem
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsumRounded(col("l_quantity")).as("sum_qty"))
+
+  /** Orders pivoted to one column per priority (fixed value list → the
+    * pivot compiles to conditional aggregation in a single pass, no
+    * per-value scan and no driver-side distinct-values job). Absent
+    * cells are 0, not null — the FILTER-clause count convention the
+    * oracle shares.
+    */
+  def priorityPivot(orders: DataFrame): DataFrame = {
+    val vals = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val names = Seq("p_urgent", "p_high", "p_medium", "p_notspec", "p_low")
+    val piv = orders.groupBy("o_orderstatus")
+      .pivot("o_orderpriority", vals)
+      .agg(count(lit(1)))
+    piv.select(col("o_orderstatus") +:
+      vals.zip(names).map { case (v, n) =>
+        coalesce(col(s"`$v`"), lit(0L)).as(n)
+      }: _*)
+  }
+
   /** Customers with no orders inside a date window — LEFT ANTI join
     * (the NOT EXISTS shape; the order-date filter pushes into the
     * anti-join's build side scan).

@@ -35,6 +35,20 @@ object Sampling {
                 salt: String = "bernoulli"): DataFrame =
     df.filter(Portable.unitHashSalted(key, salt) < lit(rate))
 
+  /** WEIGHT-proportional deterministic sample: keep the row iff
+    * `unitHashSalted(key, salt) < weight`, where `weight` is a
+    * per-row column in [0, 1] (a quality score, a source boost). The
+    * quality-weighted curation draw — high-quality documents survive
+    * proportionally more often — with [[bernoulli]]'s contract intact:
+    * pure row-local filter, zero shuffle, reproducible (a row's fate
+    * depends only on its own key and weight), and composable with the
+    * other stages through its own salt. Weights outside [0, 1] clamp
+    * to always-drop/always-keep rather than failing.
+    */
+  def weightedBernoulli(df: DataFrame, key: Column, weight: Column,
+                        salt: String = "weighted"): DataFrame =
+    df.filter(Portable.unitHashSalted(key, salt) < weight)
+
   /** Deterministic split label (`train` / `val` / `test`) by hash
     * range: `[0, trainFrac)` → train, `[trainFrac, trainFrac+valFrac)`
     * → val, rest → test. A row's split never changes when other rows

@@ -140,4 +140,32 @@ object EventStreams {
           }
       }
   }
+
+  /** STREAM-STREAM inner join: purchases ⋈ the same user's clicks in
+    * the preceding hour — the incremental twin of
+    * `Events.purchaseClicks` (identical join condition, so the spec
+    * checks streamed ≡ batch on the same rows).
+    *
+    * State-bound contract: both sides carry event-time watermarks and
+    * the join condition time-bounds cts against pts from BOTH
+    * directions, so Spark derives a state watermark for each side —
+    * buffered rows are evicted once they can no longer match any future
+    * input (clicks after max(watermark) + 1h horizon; purchases after
+    * theirs). Without the range bound the click buffer would grow with
+    * the stream; with it, state is O(rate × horizon) per user shard.
+    */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame,
+                        watermark: String = "2 hours"): DataFrame = {
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+      .withWatermark("pts", watermark)
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("cts"))
+      .withWatermark("cts", watermark)
+    p.join(c, col("user_id") === col("c_user") &&
+        col("cts") >= col("pts") - expr("INTERVAL 1 HOUR") &&
+        col("cts") < col("pts"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"))
+  }
 }

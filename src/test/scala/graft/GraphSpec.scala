@@ -50,4 +50,39 @@ class GraphSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(d === Set((1L, 2L, 0L), (2L, 1L, 1L), (3L, 0L, 2L)))
   }
+
+  test("triangles: K4 gives every node 3; a path gives everyone 0") {
+    val k4 = (for (a <- 0 to 3; b <- 0 to 3 if a < b) yield (a.toLong, b.toLong))
+      .toDF("src", "dst")
+    val tk4 = Graph.triangleCounts(k4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(tk4 === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val tp = Graph.triangleCounts(path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(tp === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+  }
+
+  test("triangles: degree-oriented counts match naive enumeration; direction/dup/self-loop invariant") {
+    val rnd = new scala.util.Random(7)
+    // random multigraph with self-loops, both directions, duplicates
+    val raw = (0 until 2000).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    val edges = raw.toDF("src", "dst")
+    val got = Graph.triangleCounts(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // naive truth: canonical simple edges, count per-node triangle memberships
+    val und = raw.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2))
+    val adj = nodes.map(n => n -> und.collect {
+      case (a, b) if a == n => b
+      case (a, b) if b == n => a
+    }).toMap
+    val naive = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      (a, b) <- und
+      c <- adj(a) if c > b && adj(b).contains(c)
+    } { naive(a) += 1; naive(b) += 1; naive(c) += 1 }
+    assert(got === nodes.map(n => n -> naive(n)).toMap)
+    assert(got.values.sum % 3 === 0, "every triangle contributes to exactly 3 nodes")
+  }
 }

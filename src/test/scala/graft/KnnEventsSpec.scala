@@ -68,6 +68,27 @@ class KnnEventsSpec extends AnyFunSuite {
     assert(salted === direct)
   }
 
+  test("salted join equals plain join (exactly-once pairs), with broadcast disabled") {
+    // 90% of fact rows on one hot key — the shuffled-join straggler shape
+    val fact = (0L until 1000L)
+      .map(i => (i, if (i % 10 != 0) "hot" else s"k${i % 7}", i * 0.25))
+      .toDF("row_id", "key", "v")
+    val dim = Seq(("hot", 100.0), ("k0", 1.0), ("k3", 3.0), ("zz", 9.0))
+      .toDF("key", "boost")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val salted = graft.functions.Skew
+        .saltedJoin(fact, dim, "key", col("row_id"), buckets = 8)
+        .collect().map(r => (r.getLong(1), r.getString(0), r.getDouble(2), r.getDouble(3)))
+      val plain = fact.join(dim, Seq("key"))
+        .collect().map(r => (r.getLong(1), r.getString(0), r.getDouble(2), r.getDouble(3)))
+      assert(salted.sorted.toSeq === plain.sorted.toSeq,
+        "each matching (fact, dim) pair exactly once — salting invisible in the result")
+      assert(!plain.exists(_._2 == "zz"), "inner semantics: unmatched dim keys dropped")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("tumbling counts bucket by hour") {
     def t(min: Int) = new Timestamp(1704067200000L + min * 60000L) // 2024-01-01 00:00 UTC
     val ev = Seq((t(5), "a", 1.0), (t(25), "a", 2.0), (t(65), "a", 4.0))
@@ -111,5 +132,40 @@ class KnnEventsSpec extends AnyFunSuite {
         k = 3, j = 1, asc = false)
       .collect().map(_.getLong(0)).toSeq
     assert(gotDesc === Seq(6L, 5L, 3L))
+  }
+
+  test("intervalJoin: bucket blocking reproduces the brute-force range join exactly") {
+    val rnd = new scala.util.Random(11)
+    val bucket = 1000L
+    // interval lengths span sub-bucket AND multi-bucket (replication > 2)
+    val ivs = (0 until 300).map { i =>
+      val t0 = rnd.nextInt(100000).toLong
+      (i.toLong, t0, t0 + 1 + rnd.nextInt(3000))
+    }
+    val pts = (0 until 2000).map(i => (i.toLong, rnd.nextInt(100000).toLong))
+    val got = Events.intervalJoin(
+        ivs.toDF("interval_id", "t0", "t1"), pts.toDF("point_id", "t"), bucket)
+      .select("interval_id", "point_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val truth = for {
+      (iid, t0, t1) <- ivs; (pid, t) <- pts if t >= t0 && t < t1
+    } yield (iid, pid)
+    assert(got.sorted === truth.sorted,
+      "each qualifying pair exactly once — no misses, no bucket-replication dups")
+  }
+
+  test("purchaseClicks: equi+range join matches per-row filtering; bounds are half-open") {
+    def t(min: Int) = new Timestamp(1704067200000L + min * 60000L)
+    val ev = Seq(
+      (1L, t(100), 7L, "purchase", 0.0),
+      (2L, t(41), 7L, "click", 0.0),   // 59 min before: in
+      (3L, t(100), 7L, "click", 0.0),  // same instant: OUT (cts < pts strict)
+      (4L, t(40), 7L, "click", 0.0),   // exactly 60 min before: in (>= closed)
+      (5L, t(39), 7L, "click", 0.0),   // 61 min before: out
+      (6L, t(99), 8L, "click", 0.0))   // other user: out
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.purchaseClicks(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 2L, 7L), (1L, 4L, 7L)))
   }
 }

@@ -101,4 +101,28 @@ class RelationalSpec extends AnyFunSuite {
       assert(math.abs(a99 - e99) / e99 < 0.01, s"$flag p99: $a99 vs $e99")
     }
   }
+
+  test("cube: all 4 grouping sets present, every stratum sums to the grand total") {
+    val df = Seq(("A", "F", 1.0), ("A", "O", 2.0), ("B", "F", 4.0), ("A", "F", 8.0))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity")
+    val rows = Relational.cubePricing(df).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getDouble(3)))
+    // lattice: (f,s) 3 cells + f totals 2 + s totals 2 + grand 1
+    assert(rows.length === 8)
+    val grand = rows.filter(r => r._1.isEmpty && r._2.isEmpty)
+    assert(grand === Array((None, None, 4L, 15.0)))
+    assert(rows.filter(r => r._1.isDefined && r._2.isEmpty).map(_._4).sum === 15.0)
+    assert(rows.filter(r => r._1.isEmpty && r._2.isDefined).map(_._4).sum === 15.0)
+  }
+
+  test("pivot: fixed-value-list pivot matches per-cell counts, absent cell is 0") {
+    val df = Seq(("O", "1-URGENT"), ("O", "1-URGENT"), ("O", "5-LOW"), ("F", "2-HIGH"))
+      .toDF("o_orderstatus", "o_orderpriority")
+    val rows = Relational.priorityPivot(df).collect()
+      .map(r => r.getString(0) -> (1 to 5).map(r.getLong))
+      .toMap
+    assert(rows("O") === Seq(2L, 0L, 0L, 0L, 1L))
+    assert(rows("F") === Seq(0L, 1L, 0L, 0L, 0L))
+  }
 }

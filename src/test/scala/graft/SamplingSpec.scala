@@ -149,4 +149,25 @@ class SamplingSpec extends AnyFunSuite {
     // kept rows are a subset of the input rows
     assert(mixed.join(docs, Seq("doc_id"), "left_anti").count() === 0)
   }
+
+  test("weightedBernoulli: keep rate tracks per-row weight; 0 drops all, 1 keeps all") {
+    // weights by stratum: a→0.0, b→1.0, c→0.5
+    val w = when(col("lang") === "a", 0.0)
+      .when(col("lang") === "b", 1.0).otherwise(0.5)
+    val kept = Sampling.weightedBernoulli(docs, col("doc_id"), w)
+    val counts = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!counts.contains("a"), "weight 0 must drop every row")
+    assert(counts("b") === 300L, "weight 1 must keep every row")
+    assert(counts("c") > 25 && counts("c") < 75, s"c=${counts.get("c")} of 100 at weight 0.5")
+    // deterministic: same draw twice
+    val again = Sampling.weightedBernoulli(docs, col("doc_id"), w)
+    assert(kept.collect().map(_.getLong(0)).toSet === again.collect().map(_.getLong(0)).toSet)
+    // a row's fate is independent of the weight OTHER rows carry: the
+    // c-stratum survivors under the mixed weight equal the survivors
+    // of a uniform-0.5 draw restricted to c
+    val uniform = Sampling.weightedBernoulli(docs, col("doc_id"), lit(0.5))
+      .filter(col("lang") === "c").collect().map(_.getLong(0)).toSet
+    assert(kept.filter(col("lang") === "c").collect().map(_.getLong(0)).toSet === uniform)
+  }
 }

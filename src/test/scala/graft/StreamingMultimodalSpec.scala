@@ -434,6 +434,38 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(frames.toSeq === Seq((0, "0123"), (2, "89AB")))
   }
 
+  test("stream-stream purchase⋈click join: watermarked range join == batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreams.purchaseClickJoin(events, events)
+      .writeStream.format("memory").queryName("ppc_out")
+      .outputMode("append").start()
+    // clicks before/at/after each purchase, two users, spanning the 1h bound
+    val fixture = Seq(
+      (1L, t(0), 7L, "click", 0.0),
+      (2L, t(30), 7L, "click", 0.0),
+      (3L, t(61), 7L, "purchase", 0.0),  // t(0) is 61min back: out; t(30): in
+      (4L, t(30), 8L, "click", 0.0),
+      (5L, t(90), 8L, "purchase", 0.0),  // exactly 60min back: in (closed bound)
+      (6L, t(90), 7L, "purchase", 0.0))  // t(30) 60min back in; t(90)? none
+    try {
+      // two micro-batches so the join must buffer state across batches
+      mem.addData(fixture.take(3).toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(fixture.drop(3).toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("ppc_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.operators.Events.purchaseClicks(
+          fixture.toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch === Set((3L, 2L, 7L), (5L, 4L, 8L), (6L, 2L, 7L)))
+      assert(streamed === batch,
+        "stream-stream join must emit exactly the batch twin's pairs")
+    } finally q.stop()
+  }
+
   test("multimodal: resize metadata preserves aspect ratio and never upscales") {
     val assets = Seq(
       (1L, Array[Byte](1), "image/png", 1000, 500),

@@ -238,4 +238,40 @@ class TextDedupSpec extends AnyFunSuite {
     assert(rep(1L) === ((7, 3, BigDecimal(4.0 / 7).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
     assert(rep(2L) === ((3, 3, 0.0)))
   }
+
+  test("editDistancePairs: deletion-neighborhood blocking is LOSSLESS for ed ≤ 1") {
+    // planted: exact dup, substitution, insertion, deletion, transposed
+    // (ed 2 — must NOT pair), and an unrelated key; keys are the full
+    // texts (shorter than keyLen) so the planted distances are exact
+    val fixture = Seq(
+      (1L, "hello world"),
+      (2L, "hello world"),  // ed 0 to 1
+      (3L, "hallo world"),  // substitution: ed 1 to 1/2
+      (4L, "helloo world"), // insertion: ed 1 to 1/2
+      (5L, "hell world"),   // deletion: ed 1 to 1/2
+      (6L, "ehllo world"),  // transposition: ed 2 to 1/2 — excluded
+      (7L, "goodbye moon"))
+      .toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(fixture, keyLen = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute-force truth over all pairs
+    val keys = fixture.collect().map(r => (r.getLong(0), r.getString(1)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val truth = (for {
+      (i1, k1) <- keys; (i2, k2) <- keys if i1 < i2
+      e = lev(k1, k2) if e <= 1
+    } yield (i1, i2, e.toLong)).toSet
+    assert(got === truth)
+    assert(got.contains((1L, 2L, 0L)) && got.contains((1L, 3L, 1L)) &&
+      got.contains((1L, 4L, 1L)) && got.contains((1L, 5L, 1L)))
+    assert(!got.exists(p => p._1 == 6L || p._2 == 6L), "ed-2 transposition must not pair")
+  }
 }
