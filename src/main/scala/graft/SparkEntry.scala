@@ -2412,6 +2412,13 @@ object SparkEntry {
     "q_purchase_clicks" -> ((s, dir) =>
       Events.purchaseClicks(Tables.events(s, dir))),
     "q_sessionize" -> ((s, dir) => Events.sessionize(Tables.events(s, dir))),
+    // Window FRAME (rowsBetween) feature: 7-day moving average over
+    // pre-aggregated daily rows — aggregate first, frame the small
+    // result; decimal frame sums (add order must not matter).
+    "q_moving_avg" -> ((s, dir) => Events.movingAvgDaily(Tables.events(s, dir))),
+    // Ordered view→click→purchase funnel: stage-wise earliest-after
+    // frontier, three aggs sharing the user_id key, one summary row.
+    "q_conversion_funnel" -> ((s, dir) => Events.conversionFunnel(Tables.events(s, dir))),
     "q_top_purchasers" -> ((s, dir) => Events.topPurchasers(Tables.events(s, dir))),
     "q_daily_type_rank" -> ((s, dir) => Events.dailyTypeRank(Tables.events(s, dir))),
     "q_error_rates" -> ((s, dir) => Events.errorRates(Tables.events(s, dir))),
@@ -3205,6 +3212,28 @@ object SparkEntry {
             ON c.user_id = p.user_id
             AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
           WHERE p.event_type = 'purchase' AND c.event_type = 'click'""",
+    "q_moving_avg" ->
+      s"""WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+                 sum(CAST(value AS DECIMAL(38,12))) AS d
+               FROM $duckEvents e GROUP BY 1, 2)
+          SELECT day, event_type,
+                 round(CAST(sum(d) OVER w AS DOUBLE) / count(*) OVER w, 6) AS avg_7d
+          FROM daily
+          WINDOW w AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+    "q_conversion_funnel" ->
+      s"""WITH v AS (SELECT user_id, min(ts) AS vts FROM $duckEvents e
+                     WHERE event_type = 'view' GROUP BY user_id),
+          c AS (SELECT e.user_id, min(e.ts) AS cts
+                FROM $duckEvents e JOIN v ON v.user_id = e.user_id
+                WHERE e.event_type = 'click' AND e.ts > v.vts GROUP BY e.user_id),
+          p AS (SELECT e.user_id, min(e.ts) AS pts
+                FROM $duckEvents e JOIN c ON c.user_id = e.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > c.cts GROUP BY e.user_id)
+          SELECT 'funnel' AS stage_set,
+                 (SELECT count(*) FROM v) AS n_view,
+                 (SELECT count(*) FROM c) AS n_click_after_view,
+                 (SELECT count(*) FROM p) AS n_purchase_after_click""",
     // naive id-ordered triangle enumeration (no degree orientation —
     // the oracle doesn't need the skew guard, only the same triangles)
     "q_triangle_counts" ->

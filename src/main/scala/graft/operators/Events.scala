@@ -120,6 +120,56 @@ object Events {
       rank().over(Window.partitionBy("day").orderBy(col("n").desc, col("event_type"))))
   }
 
+  /** 7-day moving average of daily event value per type — the window
+    * FRAME feature (`rowsBetween`) over pre-aggregated daily rows.
+    * Scale shape: the frame runs over the DAILY aggregate (≤366 rows
+    * per type per year), not raw events — aggregate first, window the
+    * small result. Frame sums accumulate in DECIMAL (a double sum's
+    * value would depend on the frame's physical add order); the mean
+    * divides by the frame's actual row count, so the first 6 days
+    * average over the days seen so far.
+    */
+  def movingAvgDaily(events: DataFrame, days: Int = 7): DataFrame = {
+    val daily = events
+      .groupBy(
+        date_trunc("day", col("ts")).cast("date").as("day"),
+        col("event_type"))
+      .agg(dsum(col("value")).as("_d"))
+    val frame = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-(days - 1), Window.currentRow)
+    daily.select(col("day"), col("event_type"),
+      round((sum(col("_d")).over(frame).cast("double") /
+        count(lit(1)).over(frame)), 6).as(s"avg_${days}d"))
+  }
+
+  /** Ordered conversion funnel: view → click (after the view) →
+    * purchase (after that click), per user, summarized as one row of
+    * stage survivor counts. Each stage's timestamp is the EARLIEST
+    * event strictly after the previous stage's — the standard funnel
+    * semantics (a click before any view doesn't count).
+    *
+    * Scale shape: three grouped aggregations all keyed on user_id (the
+    * partitioning is reused across stages — one logical shuffle key),
+    * each stage joining the per-user frontier (1 row per surviving
+    * user) back to its event slice; no window over raw events, no
+    * self-join of the full table.
+    */
+  def conversionFunnel(events: DataFrame): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("vts"))
+    val c = events.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("vts"))
+      .groupBy("user_id").agg(min(col("ts")).as("cts"))
+    val p = events.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") > col("cts"))
+      .groupBy("user_id").agg(min(col("ts")).as("pts"))
+    v.select(lit("funnel").as("stage_set"), count(lit(1)).as("n_view"))
+      .crossJoin(c.select(count(lit(1)).as("n_click_after_view")))
+      .crossJoin(p.select(count(lit(1)).as("n_purchase_after_click")))
+  }
+
   /** INTERVAL JOIN, bucket-blocked: every interval `(interval_id, t0,
     * t1)` (microsecond epochs, half-open `[t0, t1)`) is matched with
     * every point `(point_id, t)` it contains, without an equi key.

@@ -49,6 +49,7 @@ object AnnBench {
     if (args.contains("pqclustered")) { pqClusteredSmoke(spark); spark.stop(); return }
     if (args.contains("tiers")) { tiersSmoke(spark); spark.stop(); return }
     if (args.contains("dedupscale")) { dedupScaleSmoke(spark); spark.stop(); return }
+    if (args.contains("graphscale")) { graphScaleSmoke(spark); spark.stop(); return }
     val emb = Tables.embeddings(spark, sfDir)
     val qs = emb.select(col("vec_id").as("query_id"),
       perturbQuery(col("embedding")).as("query_vec"))
@@ -336,6 +337,103 @@ object AnnBench {
     println(json)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/dedup_scale.json"), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[annbench] file write failed: ${e.getMessage}") }
+  }
+
+  /** Graph + interval-join scale smoke: quantifies the two blocking
+    * claims the sf0.1 gate can't stress.
+    *
+    * 1. Triangle counting's DEGREE ORIENTATION on a power-law
+    *    multigraph (endpoints drawn as ⌊n·u³⌋ — node 0's expected
+    *    degree is m·n^(−1/3), the hub that kills naive wedge
+    *    enumeration). Reports the measured wedge workload both ways —
+    *    Σ deg·(deg−1)/2 naive vs Σ outdeg·(outdeg−1)/2 oriented (the
+    *    actual join size `Graph.triangleCounts` pays) — plus wall
+    *    time and the triangle total. PageRank wall on the same edges.
+    * 2. `Events.intervalJoin` bucket blocking: I intervals × P points
+    *    with NO equi key — reports wall, matched pairs, and the
+    *    I·P comparison bound the cartesian plan would pay.
+    */
+  private def graphScaleSmoke(spark: SparkSession): Unit = {
+    import graft.operators.{Events, Graph}
+    val m = sys.env.get("SPARK_GRAFT_GRAPH_M").flatMap(_.toIntOption).getOrElse(5000000)
+    val n = 1000000L
+    def u(salt: Int) =
+      (pmod(hash(col("id"), lit(salt)), lit(1000003)) + 0.5) / lit(1000003.0)
+    def endpoint(salt: Int) = {
+      val x = u(salt)
+      floor(x * x * x * n).cast("long")
+    }
+    val edges = spark.range(m)
+      .select(endpoint(1).as("src"), endpoint(2).as("dst")).cache()
+    edges.count()
+
+    // canonical simple graph + both wedge workloads (cheap aggregates)
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().cache()
+    val nUnd = und.count()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg")).cache()
+    def wedgeSum(d: DataFrame, c: String): Long =
+      d.agg(sum((col(c) * (col(c) - 1) / 2).cast("decimal(38,0)")))
+        .head().getDecimal(0).longValueExact()
+    val naiveWedges = wedgeSum(deg, "deg")
+    val maxDeg = deg.agg(max(col("deg"))).head().getLong(0)
+    // oriented out-degree: edges whose (deg, id)-smaller endpoint is this node
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+    val apexIsA = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val outDeg = withDeg
+      .select(when(apexIsA, col("a")).otherwise(col("b")).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("odeg"))
+    val orientedWedges = wedgeSum(outDeg, "odeg")
+
+    def timed[T](f: => T): (T, Double) = {
+      System.gc()
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (nTri, triSec) = timed {
+      Graph.triangleCounts(edges)
+        .agg(sum(col("n_tri"))).head().getLong(0) / 3
+    }
+    val (_, prSec) = timed {
+      Graph.pageRank(edges, iters = 3)
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    // interval join: I short windows × P points over a 30-day span
+    val dayUs = 86400L * 1000000L
+    val winUs = 600L * 1000000L // 10-min buckets = max interval length
+    val nIv = 500000
+    val nPt = m
+    // xxhash64: long-range hashes so the µs epochs cover the whole span
+    val ivs = spark.range(nIv).select(col("id").as("interval_id"),
+        pmod(xxhash64(col("id"), lit(3)), lit(30 * dayUs)).as("t0"),
+        (pmod(xxhash64(col("id"), lit(3)), lit(30 * dayUs)) + lit(1L) +
+          pmod(xxhash64(col("id"), lit(4)), lit(winUs))).as("t1"))
+    val pts = spark.range(nPt).select(col("id").as("point_id"),
+      pmod(xxhash64(col("id"), lit(5)), lit(30 * dayUs)).as("t"))
+    val (nPairs, ivSec) = timed {
+      Events.intervalJoin(ivs, pts, winUs).count()
+    }
+
+    val json = s"""{"graph_scale":{"m_edges":$m,"n_nodes":$n,""" +
+      s""""distinct_undirected_edges":$nUnd,"max_degree":$maxDeg,""" +
+      s""""naive_wedges":$naiveWedges,"oriented_wedges":$orientedWedges,""" +
+      s""""triangles":$nTri,"triangle_wall_sec":${fmt(triSec, 1)},""" +
+      s""""pagerank3_wall_sec":${fmt(prSec, 1)},""" +
+      s""""interval_join":{"n_intervals":$nIv,"n_points":$nPt,""" +
+      s""""cartesian_bound":${nIv.toLong * nPt},"matched_pairs":$nPairs,""" +
+      s""""wall_sec":${fmt(ivSec, 1)}}}}"""
+    println(json)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/graph_scale.json"), json + "\n")
     catch { case e: Throwable => System.err.println(s"[annbench] file write failed: ${e.getMessage}") }
   }
 

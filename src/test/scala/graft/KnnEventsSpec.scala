@@ -134,6 +134,41 @@ class KnnEventsSpec extends AnyFunSuite {
     assert(gotDesc === Seq(6L, 5L, 3L))
   }
 
+  test("movingAvgDaily: frame means over days-so-far; partitions don't leak across types") {
+    def d(day: Int, h: Int) = new Timestamp(1704067200000L + (day * 24L + h) * 3600000L)
+    val ev = Seq(
+      (d(0, 1), "a", 2.0), (d(0, 2), "a", 4.0), // day0 a: 6
+      (d(1, 1), "a", 12.0),                     // day1 a: 12
+      (d(2, 1), "a", 3.0),                      // day2 a: 3
+      (d(0, 1), "b", 100.0))                    // day0 b: 100
+      .toDF("ts", "event_type", "value")
+    val got = Events.movingAvgDaily(ev, days = 2).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getDouble(2))).toSet
+    assert(got === Set(
+      ("2024-01-01", "a", 6.0),   // 1-day frame
+      ("2024-01-02", "a", 9.0),   // (6+12)/2
+      ("2024-01-03", "a", 7.5),   // (12+3)/2 — day0 left the 2-row frame
+      ("2024-01-01", "b", 100.0)))
+  }
+
+  test("conversionFunnel: stage order is enforced (a click before any view doesn't count)") {
+    def t(min: Int) = new Timestamp(1704067200000L + min * 60000L)
+    val ev = Seq(
+      // user 1 converts in order
+      (1L, t(0), 1L, "view", 0.0), (2L, t(10), 1L, "click", 0.0),
+      (3L, t(20), 1L, "purchase", 0.0),
+      // user 2: click precedes its only view → stalls at view stage
+      (4L, t(5), 2L, "click", 0.0), (5L, t(10), 2L, "view", 0.0),
+      // user 3: view+click but purchase BEFORE the click → no conversion
+      (6L, t(0), 3L, "view", 0.0), (7L, t(30), 3L, "click", 0.0),
+      (8L, t(15), 3L, "purchase", 0.0),
+      // user 4: never viewed → not even stage 1
+      (9L, t(0), 4L, "purchase", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.conversionFunnel(ev).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((3L, 2L, 1L)))
+  }
+
   test("intervalJoin: bucket blocking reproduces the brute-force range join exactly") {
     val rnd = new scala.util.Random(11)
     val bucket = 1000L

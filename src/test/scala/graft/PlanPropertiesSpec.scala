@@ -365,6 +365,38 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"scan must prune to the 2 output columns:\n$pm")
   }
 
+  test("q_interval_clicks: bucket equi-join, never a nested-loop/cartesian range join") {
+    val p = plan("q_interval_clicks")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the range predicate must ride the bucket equi-join as a residual:\n$p")
+    assert(p.contains("Generate"), s"interval side must explode to its buckets:\n$p")
+  }
+
+  test("q_editdist_pairs / q_triangle_counts: blocked pair generation, no cartesian product") {
+    for (name <- Seq("q_editdist_pairs", "q_triangle_counts")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name: candidate generation must stay an equi-join:\n$p")
+    }
+  }
+
+  test("q_weighted_sample: shuffle-free narrow filter, pruned scan") {
+    val p = plan("q_weighted_sample")
+    assert(!p.contains("Exchange"), s"weighted sampling must not shuffle:\n$p")
+    assert(p.contains("struct<doc_id:bigint,source:string,n_chars:bigint>"),
+      s"scan must prune to the 3 output columns:\n$p")
+  }
+
+  test("q_moving_avg: ONE shuffle up to the daily aggregate; frame windows over it") {
+    // daily agg partial->final is one exchange; the frame window runs on
+    // the (event_type)-partitioned aggregate — its exchange + sort are
+    // over ≤(days × types) rows, never raw events
+    val p = plan("q_moving_avg")
+    assert(p.contains("Window"), p)
+    assert(countOf(p, "Exchange") <= 2,
+      s"expected agg exchange + window repartition only:\n$p")
+  }
+
   test("vector distance kernels stay inside whole-stage codegen") {
     // codegen spans only appear in the FINAL adaptive plan — execute
     // through the SAME QueryExecution (a sink write would clone it)
