@@ -757,6 +757,48 @@ object SparkEntry {
         WHERE e.vec_id = sl.vec_id
         ORDER BY dist, e.vec_id LIMIT $k"""
 
+  /** Part co-occurrence edges (parts sharing an order) — the shared
+    * graph-analytics fixture (sparse, non-bipartite).
+    */
+  private def partCoEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey").cast("long")).distinct()
+    li.select(col("l_orderkey"), col("l_partkey").as("src"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")),
+        Seq("l_orderkey"))
+      .filter(col("src") < col("dst"))
+      .select("src", "dst")
+  }
+
+  /** Label-propagation oracle (mirrors Graph.labelPropagation over the
+    * part co-occurrence graph): `iters` unrolled rounds, each ONE
+    * neighbor-label frequency count + a (n DESC, label ASC) argmax —
+    * the same synchronous update and tie order as the engine.
+    */
+  private def duckLabelProp(iters: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          und AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey),
+          sym AS (SELECT a AS node, b AS nbr FROM und
+                  UNION ALL SELECT b, a FROM und),
+          l0 AS (SELECT DISTINCT node, node AS label FROM sym)""")
+    for (t <- 0 until iters) {
+      sb ++= s""",
+          f${t + 1} AS (SELECT s.node, l.label, count(*) AS n
+              FROM sym s JOIN l$t l ON l.node = s.nbr
+              GROUP BY s.node, l.label),
+          l${t + 1} AS (SELECT node, label FROM (
+              SELECT node, label,
+                     row_number() OVER (PARTITION BY node
+                       ORDER BY n DESC, label) AS rn
+              FROM f${t + 1}) WHERE rn = 1)"""
+    }
+    sb ++= s"\n          SELECT node, label FROM l$iters"
+    sb.toString
+  }
+
   /** Fixed-iteration PageRank oracle (mirrors Graph.pageRank over the
     * q_pagerank purchase graph): `iters` unrolled CTE rounds, each the
     * SAME arithmetic — contribution `pr/deg` summed through
@@ -2029,14 +2071,15 @@ object SparkEntry {
     // (Σ outdeg² ≤ m^1.5 wedges regardless of hub skew); the oracle is
     // the naive id-ordered 3-way join — same triangles, no skew guard.
     "q_triangle_counts" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey").cast("long")).distinct()
-      val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
-        .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")),
-          Seq("l_orderkey"))
-        .filter(col("src") < col("dst"))
-        .select("src", "dst")
-      graft.operators.Graph.triangleCounts(edges)
+      graft.operators.Graph.triangleCounts(partCoEdges(s, dir))
+    }),
+    // Synchronous label propagation (3 rounds) over the same part
+    // co-occurrence graph: most-frequent-neighbor-label update, ties
+    // to the smallest label — fully deterministic, so the whole
+    // iteration oracle-checks as 3 unrolled SQL rounds (the pageRank
+    // contract applied to community detection).
+    "q_label_propagation" -> ((s, dir) => {
+      graft.operators.Graph.labelPropagation(partCoEdges(s, dir), iters = 3)
     }),
     // PCA moment pass — the dimensionality-reduction stage of an
     // embedding pipeline. The full d² covariance matrix through
@@ -2788,6 +2831,7 @@ object SparkEntry {
           FROM x GROUP BY doc_id, i""",
     // 3 unrolled PageRank iterations over the purchase graph
     "q_pagerank" -> duckPageRank(3),
+    "q_label_propagation" -> duckLabelProp(3),
     // full d² covariance through decimal-exact sums (0-based dims both
     // sides; the same E[xy] − E[x]E[y] assembly in the same op order)
     "q_pca_covariance" ->

@@ -113,6 +113,50 @@ object Graph {
       .select(col("node"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
 
+  /** SYNCHRONOUS label propagation (community detection) over the
+    * undirected simple graph of `edges(src, dst)`: every node starts
+    * with its own id as label; each round, every node adopts the most
+    * frequent label among its NEIGHBORS (ties → the smallest label; a
+    * node with no neighbors keeps its label). Fixed `iters` rounds, no
+    * convergence test — fully deterministic, so the whole iteration
+    * oracle-checks as unrolled SQL (the [[pageRank]] contract). The
+    * cheap community signal of link-graph curation — groups tightly
+    * interlinked pages without the quadratic machinery of modularity.
+    *
+    * Scale shape per round: ONE join of the (symmetrized) edge list
+    * with the current label vector + one (node, label) count + one
+    * max_by argmax — all keyed on node ids; the label vector carries
+    * one long per node and `localCheckpoint` truncates lineage between
+    * rounds. Synchronous update (not the paper's async sweep) keeps
+    * the result independent of row visit order — the property that
+    * makes it reproducible on ANY cluster size.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val sym = und.select(col("a").as("node"), col("b").as("nbr"))
+      .union(und.select(col("b").as("node"), col("a").as("nbr")))
+      .localCheckpoint()
+    var labels = sym.select(col("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 0 until iters) {
+      val freq = sym
+        .join(labels.withColumnRenamed("node", "nbr"), Seq("nbr"))
+        .groupBy("node", "label").agg(count(lit(1)).as("n"))
+      // most frequent neighbor label, ties to the smallest label:
+      // max_by over (n, -label) — a single hash aggregate, no window
+      val best = freq.groupBy("node")
+        .agg(max_by(col("label"), struct(col("n"), (-col("label")).as("t"))).as("label"))
+      labels = labels.select(col("node"))
+        .join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** Degree relation `(node, out_deg, in_deg)` — the cheap centrality
     * twin (and the spec's cross-check surface).
     */

@@ -406,6 +406,10 @@ object AnnBench {
       Graph.pageRank(edges, iters = 3)
         .write.format("noop").mode("overwrite").save()
     }
+    val (nComms, lpSec) = timed {
+      Graph.labelPropagation(edges, iters = 3)
+        .select(col("label")).distinct().count()
+    }
 
     // interval join: I short windows × P points over a 30-day span
     val dayUs = 86400L * 1000000L
@@ -428,6 +432,7 @@ object AnnBench {
       s""""naive_wedges":$naiveWedges,"oriented_wedges":$orientedWedges,""" +
       s""""triangles":$nTri,"triangle_wall_sec":${fmt(triSec, 1)},""" +
       s""""pagerank3_wall_sec":${fmt(prSec, 1)},""" +
+      s""""labelprop3_communities":$nComms,"labelprop3_wall_sec":${fmt(lpSec, 1)},""" +
       s""""interval_join":{"n_intervals":$nIv,"n_points":$nPt,""" +
       s""""cartesian_bound":${nIv.toLong * nPt},"matched_pairs":$nPairs,""" +
       s""""wall_sec":${fmt(ivSec, 1)}}}}"""

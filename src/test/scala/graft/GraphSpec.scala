@@ -63,6 +63,39 @@ class GraphSpec extends AnyFunSuite {
     assert(tp === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
   }
 
+  test("labelPropagation: two cliques joined by a bridge resolve to two communities") {
+    // cliques {1,2,3,4} and {10,11,12,13}, one bridge edge 4-10
+    val clique = (ns: Seq[Long]) =>
+      for (a <- ns; b <- ns if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L, 13L)) :+
+      ((4L, 10L))).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, iters = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val c1 = Seq(1L, 2L, 3L, 4L).map(got)
+    val c2 = Seq(10L, 11L, 12L, 13L).map(got)
+    assert(c1.distinct.size === 1, s"clique 1 must agree on a label: $got")
+    assert(c2.distinct.size === 1, s"clique 2 must agree on a label: $got")
+    assert(c1.head !== c2.head, "the bridge must not merge the cliques")
+  }
+
+  test("labelPropagation: synchronous update matches a reference implementation (ties to smallest)") {
+    val rnd = new scala.util.Random(13)
+    val raw = (0 until 400).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val got = Graph.labelPropagation(raw.toDF("src", "dst"), iters = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // reference: same canonicalization + synchronous most-frequent update
+    val und = raw.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.toSet
+    val nbrs = und.flatMap(e => Seq(e, e.swap)).groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    var lab = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 0 until 3) {
+      lab = nbrs.map { case (n, ns) =>
+        val freq = ns.groupBy(lab).map { case (l, xs) => (l, xs.size) }
+        n -> freq.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    assert(got === lab)
+  }
+
   test("triangles: degree-oriented counts match naive enumeration; direction/dup/self-loop invariant") {
     val rnd = new scala.util.Random(7)
     // random multigraph with self-loops, both directions, duplicates

@@ -397,6 +397,35 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"expected agg exchange + window repartition only:\n$p")
   }
 
+  test("runtime bloom-filter semi-join reduction fires on a selective shuffled join") {
+    // Spark's InjectRuntimeFilter: a selective filter on one join side
+    // gets a bloom filter built and pushed into the OTHER side's scan —
+    // the optimizer-native form of semi-join reduction (at 100 TB this
+    // is TBs of fact rows dropped before the shuffle). Pin that our
+    // join shapes stay eligible: lowered thresholds stand in for the
+    // production sizes local test data can't reach.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val lineitem = graft.sources.Tables.lineitem(spark, sfDir)
+      val orders = graft.sources.Tables.orders(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val p = lineitem.join(orders,
+          org.apache.spark.sql.functions.col("l_orderkey") ===
+            org.apache.spark.sql.functions.col("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        s"runtime bloom filter must be injected into the fact-side scan:\n$p")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("vector distance kernels stay inside whole-stage codegen") {
     // codegen spans only appear in the FINAL adaptive plan — execute
     // through the SAME QueryExecution (a sink write would clone it)
