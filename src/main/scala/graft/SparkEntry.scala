@@ -2363,6 +2363,10 @@ object SparkEntry {
     // levenshtein. The oracle pays the quadratic predicate join.
     "q_editdist_pairs" -> ((s, dir) =>
       Dedup.editDistancePairs(Tables.documents(s, dir), 16)),
+    // Depth-2 deletion neighborhoods: ed ≤ 2 pairs (two substitutions,
+    // sub+indel, double indels) — same lossless-blocking contract.
+    "q_editdist2_pairs" -> ((s, dir) =>
+      Dedup.editDistancePairs(Tables.documents(s, dir), 16, maxEd = 2)),
     "q_embedding_neardups" -> ((s, dir) => Dedup.embeddingNearDups(Tables.embeddings(s, dir), 0.4)),
     // The blocked scale path must reproduce the brute-force result
     // (same oracle): c=8/probes=4 drops zero true pairs at every sf
@@ -3304,6 +3308,12 @@ object SparkEntry {
                 CAST(levenshtein(a.k, b.k) AS BIGINT) AS ed
          FROM k a JOIN k b ON a.doc_id < b.doc_id
          WHERE levenshtein(a.k, b.k) <= 1""",
+    "q_editdist2_pairs" ->
+      """WITH k AS (SELECT doc_id, substring(text, 1, 16) AS k FROM documents)
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+                CAST(levenshtein(a.k, b.k) AS BIGINT) AS ed
+         FROM k a JOIN k b ON a.doc_id < b.doc_id
+         WHERE levenshtein(a.k, b.k) <= 2""",
   )
 
   /** SimHash per-doc oracle (mirrors Dedup.simhashes): unnest tokens →

@@ -435,22 +435,38 @@ object Dedup {
     * multi-variant collisions once, BEFORE the per-pair edit-distance
     * work. Here applied to the leading `keyLen` chars of each document
     * (the "near-identical title" curation probe).
+    *
+    * `maxEd = 2` deepens the neighborhoods to two deletions (≤ 1 +
+    * len + len·(len−1) variants/key): every ed ≤ 2 case — two
+    * substitutions, sub+indel, two indels — still shares a variant
+    * (each edit is absorbed by deleting its touched position from the
+    * side(s) carrying it), so the blocking stays lossless and the
+    * levenshtein verify stays the only quadratic-free filter.
     */
-  def editDistancePairs(documents: DataFrame, keyLen: Int = 16): DataFrame = {
+  def editDistancePairs(documents: DataFrame, keyLen: Int = 16,
+                        maxEd: Int = 1): DataFrame = {
+    require(maxEd == 1 || maxEd == 2,
+      s"editDistancePairs blocks deletion neighborhoods of depth 1 or 2, got $maxEd")
+    // ed(a,b) ≤ e ⟹ the ≤e-deletion neighborhoods intersect: each of
+    // the ≤e edits is absorbed by deleting its touched position from
+    // whichever side carries the longer form (substitution: from both)
+    val del1 = "transform(sequence(1, length(%s)), i -> " +
+      "concat(substring(%s, 1, i-1), substring(%s, i+1, length(%s))))"
+    def d1(x: String) = del1.format(x, x, x, x)
+    val variantsExpr =
+      if (maxEd == 1) s"array_union(array(k), ${d1("k")})"
+      else s"array_distinct(concat(array(k), ${d1("k")}, " +
+        s"flatten(transform(${d1("k")}, v -> ${d1("v")}))))"
     val keyed = documents.select(col("doc_id"),
       substring(col("text"), 1, keyLen).as("k"))
     val variants = keyed.select(col("doc_id"), col("k"),
-      explode(array_union(
-        array(col("k")),
-        expr("transform(sequence(1, length(k)), i -> " +
-          "concat(substring(k, 1, i-1), substring(k, i+1, length(k))))")))
-        .as("v"))
+      explode(expr(variantsExpr)).as("v"))
     val l = variants.select(col("v"), col("doc_id").as("id1"), col("k").as("k1"))
     val r = variants.select(col("v"), col("doc_id").as("id2"), col("k").as("k2"))
     l.join(r, Seq("v"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2", "k1", "k2").distinct()
-      .filter(levenshtein(col("k1"), col("k2")) <= 1)
+      .filter(levenshtein(col("k1"), col("k2")) <= maxEd)
       .select(col("id1"), col("id2"),
         levenshtein(col("k1"), col("k2")).cast("long").as("ed"))
   }

@@ -273,5 +273,27 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got.contains((1L, 2L, 0L)) && got.contains((1L, 3L, 1L)) &&
       got.contains((1L, 4L, 1L)) && got.contains((1L, 5L, 1L)))
     assert(!got.exists(p => p._1 == 6L || p._2 == 6L), "ed-2 transposition must not pair")
+
+    // depth-2 neighborhoods: every ed ≤ 2 shape pairs, ed-3 does not
+    val fixture2 = Seq(
+      (1L, "hello world"),
+      (2L, "hallo wurld"),   // 2 substitutions
+      (3L, "helo wrld"),     // 2 deletions
+      (4L, "ehllo world"),   // transposition = sub+sub-ish: ed 2
+      (5L, "hxello worl"),   // 1 insertion + 1 deletion
+      (6L, "haxlo world"),   // sub + insertion: ed 2 to 1
+      (7L, "xyzlo world"))   // ed 3 — excluded
+      .toDF("doc_id", "text")
+    val got2 = Dedup.editDistancePairs(fixture2, keyLen = 16, maxEd = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val keys2 = fixture2.collect().map(r => (r.getLong(0), r.getString(1)))
+    val truth2 = (for {
+      (i1, k1) <- keys2; (i2, k2) <- keys2 if i1 < i2
+      e = lev(k1, k2) if e <= 2
+    } yield (i1, i2, e.toLong)).toSet
+    assert(got2 === truth2)
+    for (i <- 2L to 6L)
+      assert(got2.contains((1L, i, 2L)), s"planted ed-2 pair (1,$i) must survive blocking")
+    assert(!got2.exists(p => p._2 == 7L && p._1 == 1L), "ed-3 must not pair with 1")
   }
 }
