@@ -10,6 +10,12 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Optional arg: comma-separated substrings — bench only matching
+    // queries (the Verify filter, for local iteration on one query).
+    // The driver passes no args and benches the full surface.
+    val only: Option[Seq[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").toSeq) else None
+    def keep(name: String) = only.forall(_.exists(name.contains))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -27,7 +33,7 @@ object Bench {
     // shape (Janino/JIT) so the timed numbers measure execution, not
     // first-query codegen (measured ~6s on the alphabetically-first
     // query otherwise).
-    SparkEntry.queries.foreach { case (_, fn) =>
+    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
     }
@@ -45,7 +51,8 @@ object Bench {
     // 4-7 all produced >10% phantom deltas on unchanged sub-2s queries).
     val shortRuns = math.max(runs,
       sys.env.get("SPARK_GRAFT_BENCH_SHORT_RUNS").flatMap(_.toIntOption).getOrElse(5))
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.filter(kv => keep(kv._1))
+      .toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         System.gc() // GC barrier: don't bill one query for its predecessors' garbage
         val t0 = System.nanoTime()
@@ -109,7 +116,9 @@ object Bench {
     // 100+-query map — so `bench/latest.json` is the COMMITTED
     // self-contained artifact (full per-query map + total + samples),
     // refreshed and checked in each round.
-    for (p <- Seq("target/bench.json", "bench/latest.json")) {
+    // A filtered run is a local iteration aid — never let its partial
+    // map overwrite the committed full-surface artifact.
+    for (p <- Seq("target/bench.json", "bench/latest.json") if only.isEmpty) {
       try {
         val path = java.nio.file.Paths.get(p)
         Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))

@@ -53,18 +53,33 @@ object Pca {
     * anchor; [[covarianceApprox]] is the scale twin.
     */
   def covariance(embeddings: DataFrame, roundTo: Int = 6): DataFrame = {
+    // Two chained generators expand each row to its d² (i, j) pairs
+    // with NO self-join: the original form joined the n·d exploded
+    // relation to itself on vec_id (a full shuffle join just to pair a
+    // row with itself). The decimal sums run over the identical value
+    // multisets in either shape, and E[x_i] over the (i, j) group IS
+    // the per-dim mean, so the d-row mean relation (same DECIMAL
+    // arithmetic as [[means]]) substitutes for the per-pair exi/exj
+    // sums — bit-identical output, one generator pipeline + a tiny
+    // (i, j)-keyed partial agg instead of a 3-sum agg fed by a join.
     val exploded = embeddings
-      .select(col("vec_id"),
+      .select(col("embedding"),
         posexplode(transform(col("embedding"), x => x.cast("double"))).as(Seq("i", "x")))
-    val pairs = exploded.as("a")
-      .join(exploded.as("b"), col("a.vec_id") === col("b.vec_id"))
-      .select(col("a.i").as("i"), col("b.i").as("j"),
-        (col("a.x") * col("b.x")).as("xy"), col("a.x").as("xi"), col("b.x").as("xj"))
-    pairs.groupBy("i", "j")
-      .agg(
-        (sum(col("xy").cast("decimal(38,12)")).cast("double") / count(lit(1))).as("exy"),
-        (sum(col("xi").cast("decimal(38,12)")).cast("double") / count(lit(1))).as("exi"),
-        (sum(col("xj").cast("decimal(38,12)")).cast("double") / count(lit(1))).as("exj"))
+    val pairs = exploded
+      .select(col("i"), col("x"),
+        posexplode(transform(col("embedding"), y => y.cast("double"))).as(Seq("j", "y")))
+    val exy = pairs.groupBy("i", "j")
+      .agg((sum((col("x") * col("y")).cast("decimal(38,12)")).cast("double")
+        / count(lit(1))).as("exy"))
+    val mu = embeddings
+      .select(posexplode(transform(col("embedding"), x => x.cast("double")))
+        .as(Seq("i", "x")))
+      .groupBy("i")
+      .agg((sum(col("x").cast("decimal(38,12)")).cast("double")
+        / count(lit(1))).as("m"))
+    exy
+      .join(broadcast(mu.select(col("i"), col("m").as("exi"))), Seq("i"))
+      .join(broadcast(mu.select(col("i").as("j"), col("m").as("exj"))), Seq("j"))
       .select(col("i"), col("j"),
         round(col("exy") - col("exi") * col("exj"), roundTo).as("cov"))
   }

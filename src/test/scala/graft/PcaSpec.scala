@@ -45,6 +45,14 @@ class PcaSpec extends AnyFunSuite {
     for (i <- 0 until D) assert(cov(i)(i) >= 0)
   }
 
+  test("covariance plan: pair expansion is generator-chained, never a self-join") {
+    val p = Pca.covariance(emb).queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the d² pair expansion must not shuffle-join the exploded relation to itself:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the d-row mean relation must join broadcast:\n$p")
+  }
+
   test("principal components are orthonormal eigenvectors, descending eigenvalues, deterministic") {
     val (comps, evs) = Pca.principalComponents(cov, D)
     for (a <- 0 until D; b <- 0 until D) {
