@@ -46,9 +46,12 @@ object Graph {
     val base = (1.0 - damping) / n
     var pr = nodes.select(col("node"), lit(1.0 / n).as("pr"))
     for (_ <- 0 until iters) {
+      // shuffle_hash on the O(nodes) side: the edge stream is the big
+      // relation; sort-merge would re-sort it every round (the
+      // triangleCounts lesson — build on the small keyed side instead)
       val contribs = edges
-        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outDeg, Seq("src"))
+        .join(pr.withColumnRenamed("node", "src").hint("shuffle_hash"), Seq("src"))
+        .join(outDeg.hint("shuffle_hash"), Seq("src"))
         .select(col("dst").as("node"), (col("pr") / col("deg")).as("c"))
       pr = nodes
         .join(contribs.groupBy("node")
@@ -154,7 +157,7 @@ object Graph {
       .select(col("node"), col("node").as("label"))
     for (_ <- 0 until iters) {
       val freq = sym
-        .join(labels.withColumnRenamed("node", "nbr"), Seq("nbr"))
+        .join(labels.withColumnRenamed("node", "nbr").hint("shuffle_hash"), Seq("nbr"))
         .groupBy("node", "label").agg(count(lit(1)).as("n"))
       // most frequent neighbor label, ties to the smallest label:
       // max_by over (n, -label) — a single hash aggregate, no window
