@@ -1615,6 +1615,27 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
       Ivf.rangeSearchBatch(s, pdir, qs, radius = 1.8)
     }),
+    // BATCH cosine range: the whole query batch pays ONE scan pruned
+    // to the union of eligible cells (per-(query, cell) bounds stay
+    // executor-side) — the serving form of q_cosine_range_search.
+    "q_cosine_range_batch" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pdir = ivfCellsDir(s, dir, "cos16")
+      Ivf.ensurePartitionedCosine(emb, 16, pdir)
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+      Ivf.cosineRangeSearchBatch(s, pdir, qs, minSim = 0.15)
+    }),
+    // BATCH MIPS range — same union-pruned single-scan geometry over
+    // the augmented layout (per-cell max-norm² bound per query).
+    "q_mips_range_batch" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pdir = ivfCellsDir(s, dir, "mips16")
+      Ivf.ensurePartitionedMips(emb, 16, pdir)
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+      Ivf.mipsRangeSearchBatch(s, pdir, qs, minDot = 0.3)
+    }),
     // COSINE range search — "everything at least this similar": the
     // similarity floor is an L2 ball on the unit sphere
     // (cos = 1 − ‖û−v̂‖²/2), so it rides the SAME lossless radii
@@ -2619,6 +2640,32 @@ object SparkEntry {
           FROM embeddings e JOIN qb q ON true
           WHERE round(list_distance(e.embedding::DOUBLE[], q.query_vec), 6) <= 1.8
           ORDER BY q.query_id, dist, e.vec_id""",
+    // batch cosine range: per-query normalize + full-scan similarity
+    // filter (the union-cell pruning is lossless, so no probe CTEs)
+    "q_cosine_range_batch" ->
+      s"""WITH n AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)
+                / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+            FROM embeddings),
+          qb AS (SELECT query_id, list_transform(query_vec,
+                   x -> x / sqrt(list_inner_product(query_vec, query_vec))) AS qv
+                 FROM ${duckQueryBatch(8)}),
+          diffs AS (SELECT q.query_id, n.vec_id,
+                      list_transform(range(1, len(n.v)+1), i -> n.v[i] - q.qv[i]) AS d
+                    FROM n JOIN qb q ON true)
+          SELECT query_id, vec_id,
+                 round(1.0 - list_inner_product(d, d) / 2.0, 6) AS cos_sim
+          FROM diffs
+          WHERE round(1.0 - list_inner_product(d, d) / 2.0, 6) >= 0.15
+          ORDER BY query_id, cos_sim DESC, vec_id""",
+    // batch mips range: plain per-query full-scan dot filter
+    "q_mips_range_batch" ->
+      s"""WITH qb AS (SELECT query_id, query_vec FROM ${duckQueryBatch(8)})
+          SELECT q.query_id, e.vec_id,
+            round(list_inner_product(e.embedding::DOUBLE[], q.query_vec), 6) AS ip
+          FROM embeddings e JOIN qb q ON true
+          WHERE round(list_inner_product(e.embedding::DOUBLE[], q.query_vec), 6) >= 0.3
+          ORDER BY q.query_id, ip DESC, e.vec_id""",
     // mips range: plain full-scan dot filter (the augmented-space
     // pruning is lossless; augmented dot ≡ raw dot exactly)
     "q_mips_range_search" ->

@@ -574,6 +574,42 @@ object Ivf {
       ordered, col("cos_sim").desc, col("vec_id"))
   }
 
+  /** BATCH cosine range search — [[rangeSearchBatch]]'s join geometry
+    * on the normalized layout: every query's similarity floor is the
+    * SAME L2 ball radius `√(2(1−minSim) + margin)` around its
+    * normalized vector, so per-query eligible cells come from one
+    * executor-side C×Q bound pass, the scan is pruned to the union
+    * (≤ C ids to the driver), and each candidate is scored only
+    * against the queries whose ball intersects ITS cell.
+    */
+  def cosineRangeSearchBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
+                             queries: DataFrame, minSim: Double,
+                             roundTo: Int = 6, predicate: Option[Column] = None,
+                             ordered: Boolean = true): DataFrame = {
+    ensureRadii(spark, dir)
+    val qn = queries.select(col("query_id"),
+      transform(col("query_vec"), x => x / l2Norm(col("query_vec"))).as("query_vec"))
+    val r = math.sqrt(2.0 * (1.0 - minSim) + math.pow(10.0, -roundTo))
+    val stored = readLayout(spark, dir)
+    val cents = spark.read.parquet(s"$dir/_centroids")
+    val radii = spark.read.parquet(s"$dir/_radii")
+    val probePairs = cents.join(radii, col("centroid_id") === col("cell"))
+      .drop("cell")
+      .crossJoin(broadcast(qn))
+      .filter(l2Distance(col("centroid_vec"), col("query_vec")) - col("radius") <= lit(r))
+      .select(col("query_id"), col("centroid_id").as("cell"))
+    val unionCells = probePairs.select("cell").distinct().collect().map(_.getLong(0))
+    val pruned = stored.filter(col("cell").isin(unionCells.toIndexedSeq: _*))
+    orderedRange(predicate.fold(pruned)(pruned.filter)
+      .join(broadcast(probePairs), Seq("cell"))
+      .join(broadcast(qn), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(lit(1.0) - l2DistanceSq(col("embedding"), col("query_vec")) / lit(2.0),
+          roundTo).as("cos_sim"))
+      .filter(col("cos_sim") >= minSim),
+      ordered, col("query_id"), col("cos_sim").desc, col("vec_id"))
+  }
+
   /** [[cosineRangeSearch]] under the layout's tombstones (shared
     * `_deletes` contract — the similarity-floor twin of
     * [[rangeSearchWithDeletes]]).
@@ -620,6 +656,43 @@ object Ivf {
         round(dotProduct(col("embedding"), col("query_vec")), roundTo).as("ip"))
       .filter(col("ip") >= minDot),
       ordered, col("ip").desc, col("vec_id"))
+  }
+
+  /** BATCH MIPS range search — [[rangeSearchBatch]]'s join geometry
+    * on the augmented layout: each (cell, query) pair passes the same
+    * lossless per-cell bound as [[mipsRangeSearch]] (`(d(q̂,c) − rad)²
+    * ≤ ‖q̂‖² + maxnormsq(cell) − 2t + margin` unless the ball contains
+    * the centroid), computed executor-side; one scan pruned to the
+    * union of eligible cells serves the whole batch.
+    */
+  def mipsRangeSearchBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
+                           queries: DataFrame, minDot: Double,
+                           roundTo: Int = 6, predicate: Option[Column] = None,
+                           ordered: Boolean = true): DataFrame = {
+    ensureRadii(spark, dir)
+    val qa = queries.select(col("query_id"),
+      concat(transform(col("query_vec"), x => x.cast("double")), array(lit(0.0)))
+        .as("query_vec"))
+    val stored = readLayout(spark, dir)
+    val cents = spark.read.parquet(s"$dir/_centroids")
+    val radii = spark.read.parquet(s"$dir/_radii")
+    val lb = l2Distance(col("centroid_vec"), col("query_vec")) - col("radius")
+    val rsq = dotProduct(col("query_vec"), col("query_vec")) + col("normsq") -
+      lit(2.0 * minDot) + lit(math.pow(10.0, -roundTo))
+    val probePairs = cents.join(radii, col("centroid_id") === col("cell"))
+      .drop("cell")
+      .crossJoin(broadcast(qa))
+      .filter(lb <= lit(0.0) || lb * lb <= rsq)
+      .select(col("query_id"), col("centroid_id").as("cell"))
+    val unionCells = probePairs.select("cell").distinct().collect().map(_.getLong(0))
+    val pruned = stored.filter(col("cell").isin(unionCells.toIndexedSeq: _*))
+    orderedRange(predicate.fold(pruned)(pruned.filter)
+      .join(broadcast(probePairs), Seq("cell"))
+      .join(broadcast(qa), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dotProduct(col("embedding"), col("query_vec")), roundTo).as("ip"))
+      .filter(col("ip") >= minDot),
+      ordered, col("query_id"), col("ip").desc, col("vec_id"))
   }
 
   /** [[mipsRangeSearch]] under the layout's tombstones (shared

@@ -238,6 +238,42 @@ class IvfRangeSpec extends AnyFunSuite {
       "only the query's own direction cap clears a 0.9 floor")
   }
 
+  test("batch cosine/MIPS range == per-query single forms, per query") {
+    val rnd = new scala.util.Random(5)
+    val dirs3 = Seq(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    val vecs = (0L until 120L).map { i =>
+      val base = dirs3((i % 3).toInt)
+      (i, base.map(x => x * 10f + rnd.nextFloat() * 0.5f))
+    }.toDF("vec_id", "embedding").cache()
+    val qs = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+
+    val cosDir = Files.createTempDirectory("cos_range_batch").toString
+    Ivf.ensurePartitionedCosine(vecs, 6, cosDir)
+    val gotCos = Ivf.cosineRangeSearchBatch(spark, cosDir, qs, minSim = 0.9)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    val expCos = (0L until 5L).flatMap { qid =>
+      val q = qs.filter(col("query_id") === qid).select("query_vec")
+      Ivf.cosineRangeSearch(spark, cosDir, q, minSim = 0.9)
+        .collect().map(x => (qid, x.getLong(0), x.getDouble(1)))
+    }.toSet
+    assert(gotCos === expCos, "batch cosine range must equal the per-query form")
+    assert((0L until 5L).forall(qid => gotCos.exists(_._1 == qid)))
+
+    val mipsDir = Files.createTempDirectory("mips_range_batch").toString
+    Ivf.ensurePartitionedMips(vecs, 6, mipsDir)
+    val gotMips = Ivf.mipsRangeSearchBatch(spark, mipsDir, qs, minDot = 95.0)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    val expMips = (0L until 5L).flatMap { qid =>
+      val q = qs.filter(col("query_id") === qid).select("query_vec")
+      Ivf.mipsRangeSearch(spark, mipsDir, q, minDot = 95.0)
+        .collect().map(x => (qid, x.getLong(0), x.getDouble(1)))
+    }.toSet
+    assert(gotMips === expMips, "batch MIPS range must equal the per-query form")
+    assert(gotMips.nonEmpty && gotMips.forall(t => t._1 % 3 == t._2 % 3),
+      "a 95 dot floor only clears within the query's own direction cap")
+  }
+
   test("insertInto drops stale radii so grown cells never under-prune") {
     val dir = Files.createTempDirectory("ivf_range_ins").toString
     val base = clustered.filter(col("vec_id") >= 4)   // blob centers stay seeded
