@@ -507,7 +507,8 @@ object Ivf {
   def rangeSearchBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
                        queries: DataFrame, radius: Double,
                        roundTo: Int = 6, predicate: Option[Column] = None,
-                       ordered: Boolean = true): DataFrame = {
+                       ordered: Boolean = true,
+                       excluded: Option[DataFrame] = None): DataFrame = {
     ensureRadii(spark, dir)
     val stored = readLayout(spark, dir)
     val cents = spark.read.parquet(s"$dir/_centroids")
@@ -520,8 +521,8 @@ object Ivf {
       .select(col("query_id"), col("centroid_id").as("cell"))
     val unionCells = probePairs.select("cell").distinct().collect().map(_.getLong(0))
     val pruned = stored.filter(col("cell").isin(unionCells.toIndexedSeq: _*))
-    orderedRange(predicate.fold(pruned)(pruned.filter) // scan-pushable → PushedFilters
-      .join(broadcast(probePairs), Seq("cell"))
+    orderedRange(withoutExcluded(predicate.fold(pruned)(pruned.filter), excluded)
+      .join(broadcast(probePairs), Seq("cell")) // predicate scan-pushable → PushedFilters
       .join(broadcast(queries), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(l2Distance(col("embedding"), col("query_vec")), roundTo).as("dist"))
@@ -585,7 +586,8 @@ object Ivf {
   def cosineRangeSearchBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
                              queries: DataFrame, minSim: Double,
                              roundTo: Int = 6, predicate: Option[Column] = None,
-                             ordered: Boolean = true): DataFrame = {
+                             ordered: Boolean = true,
+                             excluded: Option[DataFrame] = None): DataFrame = {
     ensureRadii(spark, dir)
     val qn = queries.select(col("query_id"),
       transform(col("query_vec"), x => x / l2Norm(col("query_vec"))).as("query_vec"))
@@ -600,7 +602,7 @@ object Ivf {
       .select(col("query_id"), col("centroid_id").as("cell"))
     val unionCells = probePairs.select("cell").distinct().collect().map(_.getLong(0))
     val pruned = stored.filter(col("cell").isin(unionCells.toIndexedSeq: _*))
-    orderedRange(predicate.fold(pruned)(pruned.filter)
+    orderedRange(withoutExcluded(predicate.fold(pruned)(pruned.filter), excluded)
       .join(broadcast(probePairs), Seq("cell"))
       .join(broadcast(qn), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
@@ -609,6 +611,16 @@ object Ivf {
       .filter(col("cos_sim") >= minSim),
       ordered, col("query_id"), col("cos_sim").desc, col("vec_id"))
   }
+
+  /** [[rangeSearchBatch]] under the layout's tombstones — the batch
+    * serving form honors takedowns exactly like the single-query path
+    * (same broadcast anti-join above the pruned scan).
+    */
+  def rangeSearchBatchWithDeletes(spark: org.apache.spark.sql.SparkSession, dir: String,
+                                  queries: DataFrame, radius: Double,
+                                  roundTo: Int = 6): DataFrame =
+    rangeSearchBatch(spark, dir, queries, radius, roundTo,
+      excluded = Tombstones.ids(spark, dir))
 
   /** [[cosineRangeSearch]] under the layout's tombstones (shared
     * `_deletes` contract — the similarity-floor twin of
@@ -668,7 +680,8 @@ object Ivf {
   def mipsRangeSearchBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
                            queries: DataFrame, minDot: Double,
                            roundTo: Int = 6, predicate: Option[Column] = None,
-                           ordered: Boolean = true): DataFrame = {
+                           ordered: Boolean = true,
+                           excluded: Option[DataFrame] = None): DataFrame = {
     ensureRadii(spark, dir)
     val qa = queries.select(col("query_id"),
       concat(transform(col("query_vec"), x => x.cast("double")), array(lit(0.0)))
@@ -686,7 +699,7 @@ object Ivf {
       .select(col("query_id"), col("centroid_id").as("cell"))
     val unionCells = probePairs.select("cell").distinct().collect().map(_.getLong(0))
     val pruned = stored.filter(col("cell").isin(unionCells.toIndexedSeq: _*))
-    orderedRange(predicate.fold(pruned)(pruned.filter)
+    orderedRange(withoutExcluded(predicate.fold(pruned)(pruned.filter), excluded)
       .join(broadcast(probePairs), Seq("cell"))
       .join(broadcast(qa), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
@@ -694,6 +707,15 @@ object Ivf {
       .filter(col("ip") >= minDot),
       ordered, col("query_id"), col("ip").desc, col("vec_id"))
   }
+
+  /** [[cosineRangeSearchBatch]] under the layout's tombstones (the
+    * batch similarity-floor serving form of the takedown contract).
+    */
+  def cosineRangeSearchBatchWithDeletes(spark: org.apache.spark.sql.SparkSession,
+                                        dir: String, queries: DataFrame,
+                                        minSim: Double, roundTo: Int = 6): DataFrame =
+    cosineRangeSearchBatch(spark, dir, queries, minSim, roundTo,
+      excluded = Tombstones.ids(spark, dir))
 
   /** [[mipsRangeSearch]] under the layout's tombstones (shared
     * `_deletes` contract — the dot-floor twin of
@@ -703,6 +725,15 @@ object Ivf {
                                  queries: DataFrame, minDot: Double,
                                  roundTo: Int = 6): DataFrame =
     mipsRangeSearch(spark, dir, queries, minDot, roundTo,
+      excluded = Tombstones.ids(spark, dir))
+
+  /** [[mipsRangeSearchBatch]] under the layout's tombstones (the
+    * batch dot-floor serving form of the takedown contract).
+    */
+  def mipsRangeSearchBatchWithDeletes(spark: org.apache.spark.sql.SparkSession,
+                                      dir: String, queries: DataFrame,
+                                      minDot: Double, roundTo: Int = 6): DataFrame =
+    mipsRangeSearchBatch(spark, dir, queries, minDot, roundTo,
       excluded = Tombstones.ids(spark, dir))
 
   /** Cell-local incremental insert — the append half of the layout

@@ -205,6 +205,20 @@ class IvfRangeSpec extends AnyFunSuite {
     assert(gotM === Ivf.mipsRangeSearch(spark, mipsClean, q, 100.0)
       .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq,
       "MIPS range tombstone serving must equal a layout built without the deleted rows")
+
+    // the BATCH serving forms honor the same sidecar (all 3 metrics)
+    val qs = clustered.filter(col("vec_id").isin(1L, 2L))
+      .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+    val l2Dir = Files.createTempDirectory("l2_range_del_batch").toString
+    Ivf.writePartitionedWith(clustered, Ivf.centroids(clustered, 8), l2Dir)
+    Ivf.recordDeletes(spark, l2Dir, dels)
+    val batchRows =
+      Ivf.rangeSearchBatchWithDeletes(spark, l2Dir, qs, 10.0).select("vec_id") union
+      Ivf.cosineRangeSearchBatchWithDeletes(spark, cosDir, qs, 0.5).select("vec_id") union
+      Ivf.mipsRangeSearchBatchWithDeletes(spark, mipsDir, qs, 100.0).select("vec_id")
+    assert(batchRows.filter(col("vec_id").isin(0L, 4L, 8L)).count() === 0,
+      "tombstoned ids must reach no batch range result in any metric")
+    assert(batchRows.count() > 0)
   }
 
   test("cosineRangeSearch == brute-force cosine filter; direction clusters prune") {
