@@ -1675,6 +1675,34 @@ object SparkEntry {
         Ivf.centroids(emb, 16), pdir, tag = "c16ins")
       Ivf.topKPartitioned(s, pdir, queryVecOf(emb, 0), 10, nprobe = 2)
     }),
+    // The insert lifecycle on the COSINE serving layout: base 4/5 +
+    // insertIntoCosine'd 1/5 (rows normalized with the layout's own
+    // transform before the cell-local append). Served at nprobe = C,
+    // so the result is the exact cosine ANN answer — the established
+    // rewrite oracle pattern (duckCosineAnnTopK at nprobe = c).
+    "q_cosine_insert_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pdir = ivfCellsDir(s, dir, "cos16ins")
+      Ivf.ensureInsertedCosine(
+        emb.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+        emb.filter(pmod(col("vec_id"), lit(5)) === 0),
+        16, pdir, tag = "cos16ins")
+      Ivf.cosineTopKPartitioned(s, pdir, queryVecOf(emb, 0), 10, nprobe = 16)
+    }),
+    // The insert lifecycle on the MIPS layout: fresh rows augment with
+    // the RECORDED base-corpus constant (a larger-norm arrival clamps
+    // its extra coordinate — the served dot is still the exact raw
+    // dot, which is why nprobe = C serves the exact MIPS answer and
+    // the oracle can augment with the full-corpus max instead).
+    "q_mips_insert_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pdir = ivfCellsDir(s, dir, "mips16ins")
+      Ivf.ensureInsertedMips(
+        emb.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+        emb.filter(pmod(col("vec_id"), lit(5)) === 0),
+        16, pdir, tag = "mips16ins")
+      Ivf.mipsTopKPartitioned(s, pdir, queryVecOf(emb, 0), 10, nprobe = 16)
+    }),
     // Same scale shape for the K-MEANS-refined cells: the Lloyd
     // centroids become the partition layout (written once per dir),
     // so the refined probe is ALSO a partition-pruned scan with no
@@ -2968,6 +2996,12 @@ object SparkEntry {
           FROM embeddings, $duckQueryVec q
           ORDER BY ip DESC, vec_id LIMIT 10""",
     "q_mips_ann_topk" -> duckMipsAnnTopK(16, 10, 2),
+    // insert-grown layouts served at nprobe = C ≡ the exact ANN
+    // answers (cell provenance cannot matter when every cell probes);
+    // the MIPS oracle's full-corpus augmentation constant is fine
+    // because the extra coordinate meets the query's 0
+    "q_cosine_insert_topk" -> duckCosineAnnTopK(16, 10, 16),
+    "q_mips_insert_topk" -> duckMipsAnnTopK(16, 10, 16),
     "q_mips_batch_topk" -> duckMipsAnnTopKBatch(16, 10, 2, 8),
     "q_mips_batch_fused_topk" -> duckMipsAnnTopKBatch(16, 10, 2, 8),
     // identical semantics, partition-pruned physical plan

@@ -211,10 +211,26 @@ object Ivf {
     writeKind(spark, dir, kind)
 
   private def writeKind(spark: org.apache.spark.sql.SparkSession, dir: String,
-                        kind: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/_graft_kind")
+                        kind: String): Unit =
+    writeScalarFile(spark, dir, "_graft_kind", kind)
+
+  private def writeScalarFile(spark: org.apache.spark.sql.SparkSession, dir: String,
+                              name: String, value: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
     val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration).create(p, true)
-    try out.write(kind.getBytes("UTF-8")) finally out.close()
+    try out.write(value.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readScalarFile(spark: org.apache.spark.sql.SparkSession, dir: String,
+                             name: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim)
+      finally in.close()
+    }
   }
 
   /** Snapshot-resolved read of the layout's live rows — THE read path
@@ -767,9 +783,53 @@ object Ivf {
       s"Ivf.insertInto appends raw float vectors, but the layout at $dir stores " +
         s"'$kind' vectors (transformed doubles) — rebuild through " +
         "ensurePartitionedCosine/ensurePartitionedMips instead of appending")
+    appendPrepared(spark, dir, rows)
+  }
+
+  /** [[insertInto]] for a COSINE layout: rows are unit-normalized (the
+    * same transform [[ensurePartitionedCosine]] stores) before the
+    * cell-local append, so a grown layout serves exactly like a
+    * single-pass build.
+    */
+  def insertIntoCosine(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       rows: DataFrame): Unit = {
+    val kind = layoutKind(spark, dir)
+    require(kind == "cosine",
+      s"Ivf.insertIntoCosine appends normalized vectors, but the layout at $dir " +
+        s"stores '$kind' vectors")
+    appendPrepared(spark, dir, normalized(rows))
+  }
+
+  /** [[insertInto]] for a MIPS layout: rows are augmented with the
+    * layout's RECORDED build-time constant (`_graft_maxnorm`), not a
+    * fresh max — the geometry every stored row already lives in. A new
+    * row with norm > m clamps its extra coordinate to 0: its served
+    * dot is still exact (see [[augmentedWith]]); only its cell
+    * assignment degrades, so serving matches a single-pass build
+    * whenever the base corpus contains the max-norm row.
+    */
+  def insertIntoMips(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     rows: DataFrame): Unit = {
+    val kind = layoutKind(spark, dir)
+    require(kind == "mips",
+      s"Ivf.insertIntoMips appends augmented vectors, but the layout at $dir " +
+        s"stores '$kind' vectors")
+    val m = readScalarFile(spark, dir, "_graft_maxnorm").map(_.toDouble).getOrElse(
+      throw new IllegalStateException(
+        s"MIPS layout at $dir has no _graft_maxnorm sidecar — rebuild through " +
+          "ensurePartitionedMips before appending"))
+    appendPrepared(spark, dir, augmentedWith(rows, m))
+  }
+
+  /** Shared append tail: assign with the layout's frozen centroids,
+    * cell-local append, drop the (now under-estimating) `_radii`
+    * sidecar, invalidate the source fingerprint.
+    */
+  private def appendPrepared(spark: org.apache.spark.sql.SparkSession, dir: String,
+                             prepared: DataFrame): Unit = {
     val cents = spark.read.parquet(s"$dir/_centroids")
     CellSnapshot.appendAssigned(spark, dir,
-      rows.join(assignWith(rows, cents), Seq("vec_id")))
+      prepared.join(assignWith(prepared, cents), Seq("vec_id")))
     // inserted rows can EXTEND a cell's covering radius, so a stale
     // `_radii` sidecar would under-estimate and make range pruning
     // lossy — drop it (the next range serve regenerates in one scan)
@@ -796,6 +856,51 @@ object Ivf {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       writePartitionedWith(base, cents, dir)
       insertInto(spark, dir, fresh)
+      IndexMeta.write(spark, dir, fp)
+    }
+  }
+
+  /** Build-on-base + [[insertIntoCosine]]-the-rest, memoized — the
+    * cosine twin of [[ensureInsertedPartitioned]] (centroids seeded
+    * from the NORMALIZED base, the same table the layout stores).
+    */
+  def ensureInsertedCosine(base: DataFrame, fresh: DataFrame, c: Int,
+                           dir: String, tag: String): Unit = {
+    val spark = base.sparkSession
+    val fp = IndexMeta.cachedFingerprint(dir, s"cosins_$tag;c=$c", Seq(base, fresh)) {
+      s"${IndexMeta.fingerprint(base, s"cosins_$tag;c=$c;base")}|" +
+        IndexMeta.fingerprint(fresh, "fresh")
+    }
+    if (!IndexMeta.valid(spark, dir, "_SUCCESS", fp)) {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      val nb = normalized(base)
+      writePartitionedWith(nb, centroids(nb, c), dir, kind = "cosine")
+      insertIntoCosine(spark, dir, fresh)
+      IndexMeta.write(spark, dir, fp)
+    }
+  }
+
+  /** Build-on-base + [[insertIntoMips]]-the-rest, memoized — the MIPS
+    * twin of [[ensureInsertedPartitioned]]: the augmentation constant
+    * is the BASE corpus's max norm, recorded for the append (fresh
+    * rows with a larger norm clamp — served dots stay exact).
+    */
+  def ensureInsertedMips(base: DataFrame, fresh: DataFrame, c: Int,
+                         dir: String, tag: String): Unit = {
+    val spark = base.sparkSession
+    val fp = IndexMeta.cachedFingerprint(dir, s"mipsins_$tag;c=$c", Seq(base, fresh)) {
+      s"${IndexMeta.fingerprint(base, s"mipsins_$tag;c=$c;base")}|" +
+        IndexMeta.fingerprint(fresh, "fresh")
+    }
+    if (!IndexMeta.valid(spark, dir, "_SUCCESS", fp)) {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      val m = maxNormOf(base)
+      val ab = augmentedWith(base, m)
+      writePartitionedWith(ab, centroids(ab, c), dir, kind = "mips")
+      writeScalarFile(spark, dir, "_graft_maxnorm", m.toString)
+      insertIntoMips(spark, dir, fresh)
       IndexMeta.write(spark, dir, fp)
     }
   }
@@ -1152,20 +1257,35 @@ object Ivf {
     * 0 (fp roundoff could drive `M² − ‖x‖²` epsilon-negative on the
     * max-norm row itself).
     */
-  def augmented(embeddings: DataFrame): DataFrame = {
+  def augmented(embeddings: DataFrame): DataFrame =
+    augmentedWith(embeddings, maxNormOf(embeddings))
+
+  /** The corpus max L2 norm — THE augmentation constant: recorded at
+    * MIPS-layout build time so incremental inserts augment with the
+    * SAME geometry the layout was built in.
+    */
+  def maxNormOf(embeddings: DataFrame): Double = {
     val maxRow = embeddings.agg(max(l2Norm(col("embedding")))).collect()(0)
     // max over zero rows is null — fail with a real message instead of
     // an NPE (an augmented layout over nothing is meaningless anyway)
     require(!maxRow.isNullAt(0),
       "Ivf.augmented needs a non-empty vector table to derive the max norm from")
-    val m = maxRow.getDouble(0)
+    maxRow.getDouble(0)
+  }
+
+  /** Augment with an EXPLICIT constant `m`: rows with norm > m clamp
+    * the extra coordinate to 0 — their stored d+1-dot is still the
+    * exact raw dot (the query's extra coordinate is 0), so MIPS
+    * serving stays exact; only the cell-assignment geometry degrades
+    * for such rows.
+    */
+  def augmentedWith(embeddings: DataFrame, m: Double): DataFrame =
     embeddings.select(col("vec_id"),
       concat(
         transform(col("embedding"), x => x.cast("double")),
         array(sqrt(greatest(
           lit(m * m) - dotProduct(col("embedding"), col("embedding")),
           lit(0.0))))).as("embedding"))
-  }
 
   /** Zero-augment a `(query_vec)` query frame: `[q, 0]` as doubles. */
   def augmentedQuery(queries: DataFrame): DataFrame =
@@ -1177,9 +1297,13 @@ object Ivf {
     * and partition pruning are [[ensurePartitioned]]'s, unchanged.
     */
   def ensurePartitionedMips(embeddings: DataFrame, c: Int, dir: String): Unit = {
-    val aug = augmented(embeddings)
+    val m = maxNormOf(embeddings)
+    val aug = augmentedWith(embeddings, m)
     ensurePartitionedWith(aug, centroids(aug, c), dir, tag = s"mips_c=$c",
       kind = "mips")
+    // the augmentation constant, for insertIntoMips (idempotent write;
+    // refreshed alongside any fingerprint-triggered rebuild)
+    writeScalarFile(embeddings.sparkSession, dir, "_graft_maxnorm", m.toString)
   }
 
   /** MIPS top-k over an [[ensurePartitionedMips]] layout: the query

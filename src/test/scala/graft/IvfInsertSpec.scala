@@ -97,6 +97,68 @@ class IvfInsertSpec extends AnyFunSuite {
       "the grown layout must hold every row exactly once")
   }
 
+  test("cosine/MIPS insertInto: grown layouts serve == single-pass builds; kind guards fire") {
+    // MIPS needs the base split to CONTAIN the max-norm row so the
+    // recorded augmentation constant equals the single-pass one
+    val maxId = emb.select(col("vec_id"),
+        graft.functions.VectorFunctions.l2Norm(col("embedding")).as("n"))
+      .orderBy(col("n").desc, col("vec_id")).limit(1)
+      .collect()(0).getLong(0)
+    val fresh = emb.filter(col("vec_id") % 5 === 1 && col("vec_id") =!= maxId)
+    val base = emb.join(fresh.select("vec_id"), Seq("vec_id"), "left_anti")
+
+    val cosDir = Files.createTempDirectory("cos_ins").toString
+    // seed centroids from the FULL normalized table so grown == full
+    val cosCents = Ivf.centroids(Ivf.normalized(emb), C)
+    Ivf.ensurePartitionedWith(Ivf.normalized(base), cosCents, cosDir,
+      tag = "cosins", kind = "cosine")
+    Ivf.insertIntoCosine(spark, cosDir, fresh)
+    val cosFull = Files.createTempDirectory("cos_ins_full").toString
+    Ivf.ensurePartitionedWith(Ivf.normalized(emb), cosCents, cosFull,
+      tag = "cosinsfull", kind = "cosine")
+    assert(single(Ivf.cosineTopKPartitioned(spark, cosDir, oneQuery, 10, nprobe = C))
+      === single(Ivf.cosineTopKPartitioned(spark, cosFull, oneQuery, 10, nprobe = C)),
+      "insert-grown cosine serving must equal the single-pass layout")
+    assert(spark.read.parquet(cosDir).count() === emb.count())
+
+    val mipsDir = Files.createTempDirectory("mips_ins").toString
+    val m = Ivf.maxNormOf(base)
+    assert(m === Ivf.maxNormOf(emb), "fixture must keep the max-norm row in base")
+    val mipsCents = Ivf.centroids(Ivf.augmentedWith(emb, m), C)
+    Ivf.ensurePartitionedWith(Ivf.augmentedWith(base, m), mipsCents, mipsDir,
+      tag = "mipsins", kind = "mips")
+    // ensurePartitionedWith doesn't record the constant — mirror
+    // ensurePartitionedMips's contract through the public entry point
+    val e0 = intercept[IllegalStateException] {
+      Ivf.insertIntoMips(spark, mipsDir, fresh)
+    }
+    assert(e0.getMessage.contains("_graft_maxnorm"))
+    val mipsDir2 = Files.createTempDirectory("mips_ins2").toString
+    Ivf.ensurePartitionedMips(base, C, mipsDir2)
+    Ivf.insertIntoMips(spark, mipsDir2, fresh)
+    val mipsFull = Files.createTempDirectory("mips_ins_full").toString
+    Ivf.ensurePartitionedMips(emb, C, mipsFull)
+    // same m on both sides, so serving geometry matches a single-pass
+    // build up to centroid seeding; compare against the EXACT answer
+    assert(single(Ivf.mipsTopKPartitioned(spark, mipsDir2, oneQuery, 10, nprobe = C))
+      === single(Ivf.mipsTopKPartitioned(spark, mipsFull, oneQuery, 10, nprobe = C)),
+      "insert-grown MIPS serving must equal the single-pass layout at nprobe=C")
+    assert(spark.read.parquet(mipsDir2).count() === emb.count())
+
+    // kind guards: wrong-variant appends fail loudly in every direction
+    val plainDir = Files.createTempDirectory("ivf_ins_guard").toString
+    Ivf.ensurePartitionedWith(emb, cents, plainDir, tag = "guardplain")
+    assert(intercept[IllegalArgumentException] {
+      Ivf.insertIntoCosine(spark, plainDir, fresh)
+    }.getMessage.contains("plain"))
+    assert(intercept[IllegalArgumentException] {
+      Ivf.insertIntoMips(spark, plainDir, fresh)
+    }.getMessage.contains("plain"))
+    assert(intercept[IllegalArgumentException] {
+      Ivf.insertInto(spark, cosDir, fresh)
+    }.getMessage.contains("cosine"))
+  }
+
   test("ensureInsertedPartitioned memoizes on the (base, fresh, cents) split") {
     val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
     val fresh = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
