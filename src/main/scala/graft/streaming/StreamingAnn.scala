@@ -79,6 +79,33 @@ object StreamingAnn {
       }
       .start()
 
+  /** [[maintainIvf]] for a COSINE layout: each micro-batch
+    * unit-normalizes (the layout's own transform) before the
+    * cell-local append ([[graft.operators.Ivf.insertIntoCosine]]);
+    * the kind guard rejects a mis-wired plain/MIPS dir on the FIRST
+    * batch instead of silently drifting the schema.
+    */
+  def maintainIvfCosine(newVectors: DataFrame, layoutDir: String): StreamingQuery =
+    newVectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        graft.operators.Ivf.insertIntoCosine(batch.sparkSession, layoutDir, batch.toDF())
+      }
+      .start()
+
+  /** [[maintainIvf]] for a MIPS layout: each micro-batch augments with
+    * the layout's RECORDED `_graft_maxnorm` build constant
+    * ([[graft.operators.Ivf.insertIntoMips]] — a larger-norm arrival
+    * clamps its extra coordinate; served dots stay exact).
+    */
+  def maintainIvfMips(newVectors: DataFrame, layoutDir: String): StreamingQuery =
+    newVectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        graft.operators.Ivf.insertIntoMips(batch.sparkSession, layoutDir, batch.toDF())
+      }
+      .start()
+
   /** Streaming maintenance of an IVF-SQ8 code layout: each micro-batch
     * encodes with the frozen `_bounds` (out-of-range components clamp —
     * the documented drift posture), assigns with the frozen

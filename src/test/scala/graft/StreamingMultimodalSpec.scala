@@ -252,6 +252,55 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       "every streamed row must land exactly once")
   }
 
+  test("streaming cosine/MIPS maintenance: transformed appends == single-pass layouts") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Ivf
+    val all = (0L until 150L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(8)(rnd.nextFloat() * 100f))
+    }
+    // keep the max-norm row in the base split so the streamed MIPS
+    // geometry equals the single-pass one
+    val maxId = all.maxBy { case (_, v) =>
+      math.sqrt(v.map(x => x.toDouble * x).sum) }._1
+    val (baseRows, freshRows) = all.partition { case (i, _) =>
+      i < 100 || i == maxId }
+    val oneQuery = all.take(1).toDF("vec_id", "embedding")
+      .select(graft.functions.VectorFunctions.perturbQuery(col("embedding")).as("query_vec"))
+
+    val cosDir = java.nio.file.Files.createTempDirectory("stream_cos").toString
+    Ivf.ensurePartitionedCosine(baseRows.toDF("vec_id", "embedding"), 8, cosDir)
+    val memC = MemoryStream[(Long, Array[Float])]
+    val qc = StreamingAnn.maintainIvfCosine(memC.toDF().toDF("vec_id", "embedding"), cosDir)
+    try { memC.addData(freshRows: _*); qc.processAllAvailable() } finally qc.stop()
+
+    val mipsDir = java.nio.file.Files.createTempDirectory("stream_mips").toString
+    Ivf.ensurePartitionedMips(baseRows.toDF("vec_id", "embedding"), 8, mipsDir)
+    val memM = MemoryStream[(Long, Array[Float])]
+    val qm = StreamingAnn.maintainIvfMips(memM.toDF().toDF("vec_id", "embedding"), mipsDir)
+    try { memM.addData(freshRows: _*); qm.processAllAvailable() } finally qm.stop()
+
+    // nprobe = C: the streamed layouts must serve the exact answers
+    // over the full corpus (cell provenance cannot matter)
+    val gotCos = Ivf.cosineTopKPartitioned(spark, cosDir, oneQuery, 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val expCos = graft.operators.Knn.cosineTopK(
+        all.toDF("vec_id", "embedding").crossJoin(broadcast(oneQuery)),
+        col("query_vec"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(gotCos === expCos, "streamed cosine layout must serve the exact answer at nprobe=C")
+
+    val gotMips = Ivf.mipsTopKPartitioned(spark, mipsDir, oneQuery, 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val expMips = graft.operators.Knn.mipsTopK(
+        all.toDF("vec_id", "embedding").crossJoin(broadcast(oneQuery)),
+        col("query_vec"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(gotMips === expMips, "streamed MIPS layout must serve the exact answer at nprobe=C")
+    assert(spark.read.parquet(cosDir).count() === 150L)
+    assert(spark.read.parquet(mipsDir).count() === 150L)
+  }
+
   test("streaming SQ8 maintenance: micro-batch frozen-bounds appends == single-pass encode") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.{Ivf, Sq}
