@@ -99,6 +99,13 @@ object GraftExtensions {
     *    encode+score pass.
     *  - `hamming_topk(dir, k)`: binary-signature Hamming top-k for the
     *    protocol query — the `q_hamming_topk` semantics.
+    *  - `cascade_topk(dir, k, l1, l2)`: the three-tier serving funnel
+    *    (binary Hamming shortlist → SQ8 ADC shortlist → exact L2) for
+    *    the protocol query, fully declarative — the `q_cascade_topk`
+    *    semantics with in-plan encoding ([[graft.operators.Cascade.topKFlat]]).
+    *  - `pagerank(dir, iters)`: PageRank over the customer→supplier
+    *    purchase graph derived from `dir/{orders,lineitem}` — the
+    *    `q_pagerank` semantics.
     */
   val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] = Seq(
     (FunctionIdentifier("knn_topk"), info("knn_topk"),
@@ -170,6 +177,25 @@ object GraftExtensions {
           .select(col("vec_id"), B.hammingCol(col("sig"), col("qsig"), words).as("hamming"))
           .orderBy(col("hamming"), col("vec_id"))
           .limit(asInt(args(1)))
+      }),
+    (FunctionIdentifier("cascade_topk"), info("cascade_topk"),
+      tvf("cascade_topk") { (spark, args) =>
+        require(args.length == 4, "cascade_topk(dir, k, l1, l2)")
+        val emb = Tables.embeddings(spark, asString(args(0)))
+        val q = emb.filter(col("vec_id") === 0)
+          .select(perturbQuery(col("embedding")).as("query_vec"))
+        graft.operators.Cascade.topKFlat(emb, q, asInt(args(1)), asInt(args(2)),
+          asInt(args(3)))
+      }),
+    (FunctionIdentifier("pagerank"), info("pagerank"),
+      tvf("pagerank") { (spark, args) =>
+        require(args.length == 2, "pagerank(dir, iters)")
+        val dir = asString(args(0))
+        val edges = Tables.orders(spark, dir)
+          .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").cast("long").as("src"),
+            (col("l_suppkey").cast("long") + 1000000L).as("dst"))
+        graft.operators.Graph.pageRank(edges, asInt(args(1)))
       }),
     (FunctionIdentifier("diversified_topk"), info("diversified_topk"),
       tvf("diversified_topk") { (spark, args) =>

@@ -53,6 +53,45 @@ object Cascade {
       .limit(k)
   }
 
+  /** Fully DECLARATIVE single-query funnel over the raw vector table —
+    * signatures and SQ8 codes computed in-plan (no persisted layouts),
+    * stage gates expressed as `limit` + semi-joins instead of driver
+    * collects: one logical plan end to end, so the funnel is usable as
+    * a SQL TVF (`cascade_topk`) and inside larger plans. Semantics are
+    * identical to [[topK]] over layouts encoded with the same
+    * thresholds/bounds (CascadeSpec pins the equality); the persisted
+    * forms remain the serving path — this form re-encodes per query.
+    */
+  def topKFlat(emb: DataFrame, queries: DataFrame, k: Int, l1: Int, l2: Int,
+               roundTo: Int = 6): DataFrame = {
+    require(l1 >= l2 && l2 >= k, s"funnel must narrow: l1=$l1 >= l2=$l2 >= k=$k")
+    val thr = Binary.thresholds(emb)
+    val words = (thr.length + Binary.BitsPerWord - 1) / Binary.BitsPerWord
+    val (lo, hi) = Sq.bounds(emb)
+    val qluts = Pq.withLuts(
+      queries.select(lit(0L).as("query_id"), col("query_vec")),
+      Sq.affineBooks(lo, hi))
+    val qsig = queries.select(Binary.signatureCol(col("query_vec"), thr).as("qsig"))
+    val c1 = emb
+      .select(col("vec_id"), Binary.signatureCol(col("embedding"), thr).as("sig"))
+      .crossJoin(broadcast(qsig))
+      .select(col("vec_id"), Binary.hammingCol(col("sig"), col("qsig"), words).as("hamming"))
+      .orderBy(col("hamming"), col("vec_id")).limit(l1)
+      .select("vec_id")
+    val c2 = emb.join(broadcast(c1), Seq("vec_id"))
+      .select(col("vec_id"), Sq.encodeCol(col("embedding"), lo, hi).as("codes"))
+      .crossJoin(broadcast(qluts))
+      .select(col("vec_id"), Pq.adcDistBatch(lo.length, 256, roundTo).as("dist"))
+      .orderBy(col("dist"), col("vec_id")).limit(l2)
+      .select("vec_id")
+    emb.join(broadcast(c2), Seq("vec_id"))
+      .crossJoin(broadcast(queries))
+      .select(col("vec_id"),
+        round(l2Distance(col("embedding"), col("query_vec")), roundTo).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
+
   /** BATCH funnel: Q queries, ONE scan per tier, no driver round-trips
     * — each stage's survivors meet the next tier's table through a
     * broadcast join on (query_id, vec_id), and the bounded-heap

@@ -132,4 +132,36 @@ object StreamingAnn {
         graft.operators.Binary.insertInto(batch.sparkSession, layoutDir, batch.toDF())
       }
       .start()
+
+  /** Streaming maintenance of a plain IVF-PQ code layout: each
+    * micro-batch encodes with the frozen `_codebooks`, assigns with the
+    * frozen `_centroids`, and appends cell-locally
+    * ([[graft.operators.Pq.insertInto]]) — completing the
+    * [[maintainIvf]] family on the compressed tier (the kind guard
+    * rejects a residual layout on the first batch).
+    */
+  def maintainPq(newVectors: DataFrame, layoutDir: String,
+                 m: Int, subDim: Int): StreamingQuery =
+    newVectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        graft.operators.Pq.insertInto(batch.sparkSession, layoutDir, batch.toDF(),
+          m, subDim)
+      }
+      .start()
+
+  /** Streaming maintenance of a RESIDUAL IVF-PQ code layout: each
+    * micro-batch assigns with the frozen `_centroids`, encodes its
+    * residuals x − centroid(cell) with the frozen residual-trained
+    * `_codebooks`, and appends cell-locally
+    * ([[graft.operators.Pq.insertIntoResidual]]; the `pq_residual`
+    * kind guard rejects a plain code dir on the first batch).
+    */
+  def maintainResidual(newVectors: DataFrame, layoutDir: String): StreamingQuery =
+    newVectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        graft.operators.Pq.insertIntoResidual(batch.sparkSession, layoutDir, batch.toDF())
+      }
+      .start()
 }

@@ -63,6 +63,17 @@ class CascadeSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(_ % 3 != 0))
   }
 
+  test("declarative flat funnel == layout-served funnel (one logical plan, no collects)") {
+    val (bin, sq) = dirs
+    val q = query(42)
+    val flat = Cascade.topKFlat(emb, q, k = 10, l1 = 60, l2 = 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val served = Cascade.topK(spark, bin, sq, emb, q, k = 10, l1 = 60, l2 = 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(flat === served,
+      "in-plan encode funnel must match the persisted-layout funnel stage for stage")
+  }
+
   test("batch funnel == single-query funnel, per query") {
     val (bin, sq) = dirs
     val qs = emb.filter(col("vec_id") < 5)

@@ -97,6 +97,26 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(fromSql.length === 10)
   }
 
+  test("SQL TVF cascade_topk(dir, k, l1, l2) matches the declared funnel query") {
+    GraftExtensions.register(spark)
+    val fromSql = spark.sql(s"SELECT * FROM cascade_topk('$sf', 10, 100, 30)")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fromApi = SparkEntry.queries("q_cascade_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromSql === fromApi)
+    assert(fromSql.length === 10)
+  }
+
+  test("SQL TVF pagerank(dir, iters) matches the declared Column-API query") {
+    GraftExtensions.register(spark)
+    val fromSql = spark.sql(s"SELECT * FROM pagerank('$sf', 3)")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val fromApi = SparkEntry.queries("q_pagerank")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(fromSql === fromApi)
+    assert(fromSql.nonEmpty)
+  }
+
   test("TVFs compose with plain SQL (filter + order over the TVF result)") {
     GraftExtensions.register(spark)
     val top3 = spark.sql(

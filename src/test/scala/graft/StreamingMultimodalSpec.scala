@@ -363,6 +363,74 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(streamed === batch, "streamed signature table must serve like a single-pass encode")
   }
 
+  test("streaming PQ maintenance: micro-batch frozen-codebook appends == single-pass encode") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Ivf, Pq}
+    val all = (0L until 150L).map { i =>
+      val rnd = new scala.util.Random(i * 7 + 3)
+      (i, Array.fill(8)(rnd.nextFloat() * 100f))
+    }
+    val (baseRows, freshRows) = all.splitAt(100)
+    val allDf = all.toDF("vec_id", "embedding")
+    val cents = Ivf.centroids(allDf, 8)
+    val books = Pq.codebooks(allDf, 4, 2, 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("stream_pq").toString + "/codes"
+    Pq.ensureEncodedPartitioned(baseRows.toDF("vec_id", "embedding"), cents, books, 4, 2, dir)
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamingAnn.maintainPq(mem.toDF().toDF("vec_id", "embedding"), dir, 4, 2)
+    try {
+      mem.addData(freshRows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val oneQuery = all.take(1).toDF("vec_id", "embedding")
+      .select(graft.functions.VectorFunctions.perturbQuery(col("embedding")).as("query_vec"))
+    val fullDir = java.nio.file.Files.createTempDirectory("stream_pq_full").toString + "/codes"
+    Pq.ensureEncodedPartitioned(allDf, cents, books, 4, 2, fullDir)
+    val streamed = Pq.ivfpqTopK(spark, dir, oneQuery, 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val batch = Pq.ivfpqTopK(spark, fullDir, oneQuery, 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(streamed === batch, "streamed PQ code layout must serve like a single-pass encode")
+  }
+
+  test("streaming residual-PQ maintenance: micro-batch appends == single-pass residual encode") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Ivf, Pq}
+    val all = (0L until 150L).map { i =>
+      val rnd = new scala.util.Random(i * 11 + 5)
+      (i, Array.fill(8)(rnd.nextFloat() * 100f))
+    }
+    val (baseRows, freshRows) = all.splitAt(100)
+    val allDf = all.toDF("vec_id", "embedding")
+    val cents = Ivf.centroids(allDf, 8)
+    val resBooks = Pq.codebooks(
+      Pq.residuals(allDf, cents).select(col("vec_id"), col("embedding")),
+      4, 2, 8, iters = 1, seedOffset = 8)
+    val dir = java.nio.file.Files.createTempDirectory("stream_respq").toString + "/codes"
+    Pq.ensureEncodedPartitionedResidual(
+      baseRows.toDF("vec_id", "embedding"), cents, resBooks, 4, 2, dir)
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamingAnn.maintainResidual(mem.toDF().toDF("vec_id", "embedding"), dir)
+    try {
+      mem.addData(freshRows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val oneQuery = all.take(1).toDF("vec_id", "embedding")
+      .select(graft.functions.VectorFunctions.perturbQuery(col("embedding")).as("query_vec"))
+    val fullDir = java.nio.file.Files.createTempDirectory("stream_respq_full").toString + "/codes"
+    Pq.ensureEncodedPartitionedResidual(allDf, cents, resBooks, 4, 2, fullDir)
+    val streamed = Pq.ivfpqResidualTopK(spark, dir, oneQuery, 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val batch = Pq.ivfpqResidualTopK(spark, fullDir, oneQuery, 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(streamed === batch,
+      "streamed residual code layout must serve like a single-pass encode")
+  }
+
   test("streaming dedup drops in-watermark duplicate event ids before aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double, Long)]
