@@ -2440,6 +2440,24 @@ object SparkEntry {
       Sampling.weightedBernoulli(Tables.documents(s, dir), col("doc_id"),
           least(col("n_chars") / lit(500.0), lit(1.0)))
         .select(col("doc_id"), col("source"), col("n_chars"))),
+    // Z-order layout serving: events re-clustered on (user_id, value)
+    // by interleaved-bit range shuffle (Layout.ensureZordered), then a
+    // 2-D box filter over the clustered copy — every written file
+    // carries tight min/max footer stats on BOTH dims, so the pushed
+    // predicates skip non-intersecting row groups (LayoutSpec measures
+    // the skipping; at 100 TB the one-off layout shuffle amortizes
+    // over every such scan). Results are layout-independent by
+    // construction — the oracle runs the same filter on the
+    // unclustered table.
+    "q_zorder_box" -> ((s, dir) => {
+      val zdir = pqDir(s, dir, "zorder")
+      graft.operators.Layout.ensureZordered(
+        Tables.events(s, dir).select("event_id", "user_id", "event_type", "value"),
+        Seq("user_id", "value"), bits = 10, numFiles = 32, zdir)
+      s.read.parquet(zdir)
+        .filter(col("user_id").between(3, 7) && col("value").between(5.0, 50.0))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    }),
     "q_sample_bernoulli" -> ((s, dir) =>
       Sampling.bernoulli(Tables.documents(s, dir), col("doc_id"), 0.3)
         .select(col("doc_id"), col("source"))),
@@ -3105,6 +3123,9 @@ object SparkEntry {
     "q_weighted_sample" ->
       s"""SELECT doc_id, source, n_chars FROM documents
           WHERE ${duckUnitHashSalted("doc_id", "weighted")} < least(n_chars / 500.0, 1.0)""",
+    "q_zorder_box" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+         WHERE user_id BETWEEN 3 AND 7 AND value BETWEEN 5.0 AND 50.0""",
     "q_salted_join" ->
       s"""WITH dim AS (SELECT DISTINCT l_returnflag,
                               concat('flag_', l_returnflag) AS flag_label
