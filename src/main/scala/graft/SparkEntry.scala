@@ -2461,6 +2461,13 @@ object SparkEntry {
     "q_sample_bernoulli" -> ((s, dir) =>
       Sampling.bernoulli(Tables.documents(s, dir), col("doc_id"), 0.3)
         .select(col("doc_id"), col("source"))),
+    // Deterministic global training shuffle: every document gets a
+    // shard and a pseudo-random in-shard position — the reproducible
+    // example order a training run streams. One exchange (shard_id);
+    // in-shard sort parallelism = numShards.
+    "q_training_shards" -> ((s, dir) =>
+      Sampling.trainingShards(Tables.documents(s, dir), col("doc_id"), 8)
+        .select(col("doc_id"), col("shard_id"), col("shard_pos"))),
     "q_sample_split" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -3126,6 +3133,15 @@ object SparkEntry {
     "q_zorder_box" ->
       """SELECT event_id, user_id, event_type, value FROM events
          WHERE user_id BETWEEN 3 AND 7 AND value BETWEEN 5.0 AND 50.0""",
+    "q_training_shards" ->
+      s"""SELECT doc_id,
+                 CAST(floor(${duckUnitHashSalted("doc_id", "shards")} * 8) AS INT)
+                   AS shard_id,
+                 row_number() OVER (
+                   PARTITION BY CAST(floor(${duckUnitHashSalted("doc_id", "shards")} * 8) AS INT)
+                   ORDER BY ${duckUnitHashSalted("doc_id", "shards_pos")}, doc_id) - 1
+                   AS shard_pos
+          FROM documents""",
     "q_salted_join" ->
       s"""WITH dim AS (SELECT DISTINCT l_returnflag,
                               concat('flag_', l_returnflag) AS flag_label

@@ -131,6 +131,29 @@ object Sampling {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n).drop("rn")
   }
 
+  /** Deterministic global training shuffle: assign every row to one of
+    * `numShards` shards and a pseudo-random position WITHIN its shard —
+    * the reproducible read order a training run consumes (shard files
+    * streamed in `shard_pos` order give the same example sequence on
+    * every rerun, at any cluster parallelism). Shard membership is
+    * `floor(unitHash · N)` (uniform, row-local); in-shard order ranks
+    * by an INDEPENDENT salt's hash so position is not correlated with
+    * the membership draw. Exactly ONE exchange (the shard_id window
+    * partitioning); each shard sorts only its own slice, so the sort
+    * parallelism is `numShards` — size shards to executor memory
+    * (100 TB / 10k shards = 10 GB spill-safe sorts), never one global
+    * sort.
+    */
+  def trainingShards(df: DataFrame, key: Column, numShards: Int,
+                     salt: String = "shards"): DataFrame = {
+    require(numShards >= 1, s"numShards must be positive, got $numShards")
+    val shard = floor(Portable.unitHashSalted(key, salt) * numShards).cast("int")
+    val w = Window.partitionBy(col("shard_id"))
+      .orderBy(Portable.unitHashSalted(key, salt + "_pos"), key)
+    df.withColumn("shard_id", shard)
+      .withColumn("shard_pos", row_number().over(w) - 1)
+  }
+
   def epochMix(df: DataFrame, strata: Column, key: Column,
                epochs: Map[String, Double],
                salt: String = "epoch"): DataFrame = {

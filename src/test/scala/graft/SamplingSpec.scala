@@ -170,4 +170,39 @@ class SamplingSpec extends AnyFunSuite {
       .filter(col("lang") === "c").collect().map(_.getLong(0)).toSet
     assert(kept.filter(col("lang") === "c").collect().map(_.getLong(0)).toSet === uniform)
   }
+
+  test("trainingShards: total cover, dense in-shard positions, deterministic, one exchange") {
+    val sharded = Sampling.trainingShards(docs, col("doc_id"), 8)
+      .select("doc_id", "shard_id", "shard_pos")
+    val rows = sharded.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(rows.length === 1000, "every row lands in exactly one shard")
+    assert(rows.map(_._2).toSet === (0 until 8).toSet, "all shards populated")
+    // positions are 0..n_s-1 dense per shard (the streaming-read contract)
+    rows.groupBy(_._2).foreach { case (s, g) =>
+      assert(g.map(_._3).sorted.toSeq === (0 until g.length), s"shard $s positions not dense")
+    }
+    // shard sizes are hash-balanced (uniform over 8 shards, 1000 rows)
+    val sizes = rows.groupBy(_._2).values.map(_.size)
+    assert(sizes.min > 60 && sizes.max < 190, s"shard sizes $sizes")
+    // order is pseudo-random, not id order: some shard must rank a
+    // larger id before a smaller one
+    assert(rows.groupBy(_._2).values.exists { g =>
+      val byPos = g.sortBy(_._3).map(_._1)
+      byPos.zip(byPos.tail).exists { case (a, b) => a > b }
+    }, "in-shard order must not be id order")
+    // deterministic under different input partitioning
+    val again = Sampling.trainingShards(docs.repartition(17), col("doc_id"), 8)
+      .select("doc_id", "shard_id", "shard_pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(rows.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    // exactly one exchange: the shard_id window partitioning (fresh
+    // frame — an executed AQE plan prints initial + final sections and
+    // would double-count)
+    val p = Sampling.trainingShards(docs, col("doc_id"), 8)
+      .select("doc_id", "shard_id", "shard_pos")
+      .queryExecution.executedPlan.toString
+    val n = p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(n === 1, s"expected the single shard_id exchange, got $n:\n$p")
+  }
 }
