@@ -770,6 +770,24 @@ object SparkEntry {
       .select("src", "dst")
   }
 
+  /** Edges of the REPEAT part co-occurrence graph: parts sharing at
+    * least `minOrders` orders. The ≥2 threshold sparsifies the (dense)
+    * raw co-occurrence graph into one with real core structure — the
+    * [[partCoEdges]] input for peeling-style analytics.
+    */
+  private def partCoEdgesRepeat(s: SparkSession, dir: String,
+                                minOrders: Int = 2): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey").cast("long")).distinct()
+    li.select(col("l_orderkey"), col("l_partkey").as("src"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")),
+        Seq("l_orderkey"))
+      .filter(col("src") < col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("n_ord"))
+      .filter(col("n_ord") >= minOrders)
+      .select("src", "dst")
+  }
+
   /** Label-propagation oracle (mirrors Graph.labelPropagation over the
     * part co-occurrence graph): `iters` unrolled rounds, each ONE
     * neighbor-label frequency count + a (n DESC, label ASC) argmax —
@@ -2130,6 +2148,15 @@ object SparkEntry {
     "q_label_propagation" -> ((s, dir) => {
       graft.operators.Graph.labelPropagation(partCoEdges(s, dir), iters = 3)
     }),
+    // k-core peeling over the REPEAT part co-occurrence graph (pairs
+    // sharing >= 2 orders — the raw co-occurrence graph is too dense
+    // to have a nontrivial core structure): 3 synchronous peel rounds
+    // at k = 2, deterministic, so the whole iteration oracle-checks
+    // unrolled. The dense-subgraph curation signal (link farms /
+    // template clusters sit in high cores).
+    "q_kcore" -> ((s, dir) => {
+      graft.operators.Graph.kcore(partCoEdgesRepeat(s, dir), k = 2, rounds = 3)
+    }),
     // PCA moment pass — the dimensionality-reduction stage of an
     // embedding pipeline. The full d² covariance matrix through
     // DECIMAL-exact sums (partition-order invariant), the oracle
@@ -2936,6 +2963,32 @@ object SparkEntry {
     // 3 unrolled PageRank iterations over the purchase graph
     "q_pagerank" -> duckPageRank(3),
     "q_label_propagation" -> duckLabelProp(3),
+    // k-core: 3 unrolled synchronous peel rounds at k = 2 over the
+    // repeat (>= 2 shared orders) part co-occurrence graph
+    "q_kcore" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          e0 AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+                 FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+                 GROUP BY 1, 2 HAVING count(*) >= 2),
+          k1 AS (SELECT node FROM (SELECT node, count(*) AS deg
+                  FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+                  GROUP BY node) WHERE deg >= 2),
+          e1 AS (SELECT a, b FROM e0
+                 WHERE a IN (SELECT node FROM k1) AND b IN (SELECT node FROM k1)),
+          k2 AS (SELECT node FROM (SELECT node, count(*) AS deg
+                  FROM (SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1)
+                  GROUP BY node) WHERE deg >= 2),
+          e2 AS (SELECT a, b FROM e1
+                 WHERE a IN (SELECT node FROM k2) AND b IN (SELECT node FROM k2)),
+          k3 AS (SELECT node FROM (SELECT node, count(*) AS deg
+                  FROM (SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2)
+                  GROUP BY node) WHERE deg >= 2),
+          e3 AS (SELECT a, b FROM e2
+                 WHERE a IN (SELECT node FROM k3) AND b IN (SELECT node FROM k3))
+          SELECT node, count(*) AS deg
+          FROM (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
+          GROUP BY node""",
     // full d² covariance through decimal-exact sums (0-based dims both
     // sides; the same E[xy] − E[x]E[y] assembly in the same op order)
     "q_pca_covariance" ->

@@ -171,6 +171,44 @@ object Graph {
     labels
   }
 
+  /** k-core peeling (fixed rounds) over the undirected simple graph of
+    * `edges(src, dst)`: each round drops every node whose CURRENT
+    * degree is below `k` (with all its incident edges), synchronously.
+    * Returns `(node, deg)` for the nodes of the subgraph surviving
+    * `rounds` rounds — when `rounds` reaches the peel depth this IS
+    * the classic k-core (every survivor has ≥ k neighbors among
+    * survivors; GraphSpec pins the fixpoint), and the fixed count
+    * keeps the whole iteration deterministic and oracle-checkable as
+    * unrolled SQL (the [[labelPropagation]] contract). The
+    * dense-subgraph curation signal: spam link farms and boilerplate
+    * template clusters sit in high cores; low-core pages are the
+    * periphery.
+    *
+    * Scale shape per round: one degree aggregation + two left-semi
+    * joins of the edge list against the O(nodes) survivor relation
+    * (shuffle_hash — build on the keyed small side, stream the
+    * edges), lineage truncated between rounds.
+    */
+  def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    for (_ <- 0 until rounds) {
+      val keep = und.select(col("a").as("node"))
+        .union(und.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+      und = und
+        .join(keep.select(col("node").as("a")).hint("shuffle_hash"), Seq("a"), "leftsemi")
+        .join(keep.select(col("node").as("b")).hint("shuffle_hash"), Seq("b"), "leftsemi")
+        .localCheckpoint()
+    }
+    und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+  }
+
   /** Degree relation `(node, out_deg, in_deg)` — the cheap centrality
     * twin (and the spec's cross-check surface).
     */

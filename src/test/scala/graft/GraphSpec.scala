@@ -118,4 +118,42 @@ class GraphSpec extends AnyFunSuite {
     assert(got === nodes.map(n => n -> naive(n)).toMap)
     assert(got.values.sum % 3 === 0, "every triangle contributes to exactly 3 nodes")
   }
+
+  test("kcore: triangle with a pendant chain — the 2-core is exactly the triangle") {
+    // 1-2-3 triangle, chain 3-4-5, isolated-ish leaf 6-1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (6L, 1L))
+      .toDF("src", "dst")
+    val got = Graph.kcore(edges, k = 2, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
+      s"2-core must peel the chain and the leaf: $got")
+  }
+
+  test("kcore: run to depth, every survivor has >= k surviving neighbors (fixpoint)") {
+    val rnd = new scala.util.Random(11)
+    val raw = (0 until 600).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+    val edges = raw.toDF("src", "dst")
+    val got = Graph.kcore(edges, k = 4, rounds = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // driver-side reference peel to convergence
+    var und = raw.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.toSet
+    var changed = true
+    while (changed) {
+      val deg = und.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val keep = deg.filter(_._2 >= 4).keySet
+      val next = und.filter(e => keep(e._1) && keep(e._2))
+      changed = next != und
+      und = next
+    }
+    val refDeg = und.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    assert(got === refDeg, "engine k-core must equal the converged reference peel")
+    assert(got.values.forall(_ >= 4), "every survivor keeps >= k surviving neighbors")
+    // direction/duplicate invariance: reversing and duplicating edges changes nothing
+    val noisy = raw ++ raw.map(_.swap) ++ raw.take(100)
+    val got2 = Graph.kcore(noisy.toDF("src", "dst"), k = 4, rounds = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got2 === got)
+  }
 }
