@@ -50,6 +50,7 @@ object AnnBench {
     if (args.contains("tiers")) { tiersSmoke(spark); spark.stop(); return }
     if (args.contains("dedupscale")) { dedupScaleSmoke(spark); spark.stop(); return }
     if (args.contains("graphscale")) { graphScaleSmoke(spark); spark.stop(); return }
+    if (args.contains("layoutscale")) { layoutScaleSmoke(spark); spark.stop(); return }
     val emb = Tables.embeddings(spark, sfDir)
     val qs = emb.select(col("vec_id").as("query_id"),
       perturbQuery(col("embedding")).as("query_vec"))
@@ -857,6 +858,76 @@ object AnnBench {
         s""""reference":"SizeTest(1e6,25,64) hnsw.cc:485-488 -- 167MB vectors, 5.6s wall, 5530 q/s @ recall 0.30"}}"""
     println(json)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("target/scale_smoke.json"), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[annbench] file write failed: ${e.getMessage}") }
+  }
+
+  /** Z-order layout smoke: an N-row synthetic 2-D table written both
+    * Z-ordered and single-column-sorted, then the SAME box scans on
+    * each — records the footer-stats eligible-row-group fraction (the
+    * quantity a pruning reader acts on) and the measured scan wall.
+    * Deterministic hash data, no RNG. Output: one JSON line +
+    * target/layout_scale.json.
+    */
+  private def layoutScaleSmoke(spark: SparkSession): Unit = {
+    import graft.operators.Layout
+    val n = sys.env.get("SPARK_GRAFT_LAYOUT_N").flatMap(_.toIntOption).getOrElse(5000000)
+    val files = 256
+    def u(salt: Int) =
+      (pmod(hash(col("id"), lit(salt)), lit(1000003)) + 0.5) / lit(1000003.0)
+    val rows = spark.range(n).select(col("id"),
+      floor(u(1) * 100000).cast("long").as("x"),
+      (u(2) * 100000.0).as("y"))
+    val base = "target/graft_layout"
+    val (zDir, linDir) = (s"$base/z_n$n", s"$base/lin_n$n")
+    def timed[T](f: => T): (T, Double) = {
+      System.gc()
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (_, wz) = timed {
+      Layout.zorderWrite(rows, Seq("x", "y"), bits = 16, numFiles = files, zDir)
+    }
+    val (_, wl) = timed {
+      rows.repartitionByRange(files, col("x")).sortWithinPartitions("x")
+        .write.mode("overwrite").parquet(linDir)
+    }
+    println(s"[annbench] layout write: z ${fmt(wz, 1)} s, x-sorted ${fmt(wl, 1)} s ($n rows, $files files)")
+
+    val zStats = Layout.rowGroupStats(spark, zDir, Seq("x", "y"))
+    val linStats = Layout.rowGroupStats(spark, linDir, Seq("x", "y"))
+    // 1% box on both dims, and a 2% slab on the SECOND dim only (the
+    // case a single-column sort cannot serve at all)
+    val box2d = Map("x" -> (40000.0, 50000.0), "y" -> (70000.0, 71000.0))
+    val slabY = Map("y" -> (70000.0, 72000.0))
+    def frac(st: Seq[Map[String, (Double, Double)]], b: Map[String, (Double, Double)]) =
+      Layout.eligibleRowGroups(st, b).toDouble / st.size
+    val (zBox, linBox) = (frac(zStats, box2d), frac(linStats, box2d))
+    val (zSlab, linSlab) = (frac(zStats, slabY), frac(linStats, slabY))
+    println(f"[annbench] eligible row groups, 2-D box:  z $zBox%.3f  x-sorted $linBox%.3f")
+    println(f"[annbench] eligible row groups, y slab:   z $zSlab%.3f  x-sorted $linSlab%.3f")
+
+    def scan(dir: String, pred: org.apache.spark.sql.Column): Double = {
+      val ts = (1 to 3).map { _ =>
+        timed(spark.read.parquet(dir).filter(pred).agg(count(lit(1))).head())._2
+      }
+      ts.min
+    }
+    val boxPred = col("x").between(40000, 50000) && col("y").between(70000.0, 71000.0)
+    val slabPred = col("y").between(70000.0, 72000.0)
+    val sZBox = scan(zDir, boxPred); val sLBox = scan(linDir, boxPred)
+    val sZSlab = scan(zDir, slabPred); val sLSlab = scan(linDir, slabPred)
+    println(s"[annbench] box scan wall: z ${fmt(sZBox, 2)} s vs x-sorted ${fmt(sLBox, 2)} s; " +
+      s"y-slab: z ${fmt(sZSlab, 2)} s vs ${fmt(sLSlab, 2)} s")
+    val json = s"""{"smoke":"layoutscale","n":$n,"files":$files,""" +
+      s""""elig_box_z":${fmt(zBox, 3)},"elig_box_lin":${fmt(linBox, 3)},""" +
+      s""""elig_slab_z":${fmt(zSlab, 3)},"elig_slab_lin":${fmt(linSlab, 3)},""" +
+      s""""scan_box_z_s":${fmt(sZBox, 2)},"scan_box_lin_s":${fmt(sLBox, 2)},""" +
+      s""""scan_slab_z_s":${fmt(sZSlab, 2)},"scan_slab_lin_s":${fmt(sLSlab, 2)},""" +
+      s""""write_z_s":${fmt(wz, 1)},"write_lin_s":${fmt(wl, 1)}}"""
+    println(json)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/layout_scale.json"), json + "\n")
     catch { case e: Throwable => System.err.println(s"[annbench] file write failed: ${e.getMessage}") }
   }
 }
