@@ -106,6 +106,11 @@ object GraftExtensions {
     *  - `pagerank(dir, iters)`: PageRank over the customer→supplier
     *    purchase graph derived from `dir/{orders,lineitem}` — the
     *    `q_pagerank` semantics.
+    *  - `kcore(dir, k, rounds)`: fixed-round k-core peeling over the
+    *    repeat (≥2 shared orders) part co-occurrence graph — the
+    *    `q_kcore` semantics.
+    *  - `triangle_counts(dir)`: per-node triangle counts over the part
+    *    co-occurrence graph — the `q_triangle_counts` semantics.
     */
   val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] = Seq(
     (FunctionIdentifier("knn_topk"), info("knn_topk"),
@@ -196,6 +201,21 @@ object GraftExtensions {
           .select(col("o_custkey").cast("long").as("src"),
             (col("l_suppkey").cast("long") + 1000000L).as("dst"))
         graft.operators.Graph.pageRank(edges, asInt(args(1)))
+      }),
+    (FunctionIdentifier("kcore"), info("kcore"),
+      tvf("kcore") { (spark, args) =>
+        require(args.length == 3, "kcore(dir, k, rounds)")
+        graft.operators.Graph.kcore(
+          graft.operators.Graph.partCoOccurrence(
+            Tables.lineitem(spark, asString(args(0))), minOrders = 2),
+          asInt(args(1)), asInt(args(2)))
+      }),
+    (FunctionIdentifier("triangle_counts"), info("triangle_counts"),
+      tvf("triangle_counts") { (spark, args) =>
+        require(args.length == 1, "triangle_counts(dir)")
+        graft.operators.Graph.triangleCounts(
+          graft.operators.Graph.partCoOccurrence(
+            Tables.lineitem(spark, asString(args(0)))))
       }),
     (FunctionIdentifier("diversified_topk"), info("diversified_topk"),
       tvf("diversified_topk") { (spark, args) =>

@@ -760,15 +760,8 @@ object SparkEntry {
   /** Part co-occurrence edges (parts sharing an order) — the shared
     * graph-analytics fixture (sparse, non-bipartite).
     */
-  private def partCoEdges(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_partkey").cast("long")).distinct()
-    li.select(col("l_orderkey"), col("l_partkey").as("src"))
-      .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")),
-        Seq("l_orderkey"))
-      .filter(col("src") < col("dst"))
-      .select("src", "dst")
-  }
+  private def partCoEdges(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.partCoOccurrence(Tables.lineitem(s, dir))
 
   /** Edges of the REPEAT part co-occurrence graph: parts sharing at
     * least `minOrders` orders. The ≥2 threshold sparsifies the (dense)
@@ -776,17 +769,8 @@ object SparkEntry {
     * [[partCoEdges]] input for peeling-style analytics.
     */
   private def partCoEdgesRepeat(s: SparkSession, dir: String,
-                                minOrders: Int = 2): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_partkey").cast("long")).distinct()
-    li.select(col("l_orderkey"), col("l_partkey").as("src"))
-      .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")),
-        Seq("l_orderkey"))
-      .filter(col("src") < col("dst"))
-      .groupBy("src", "dst").agg(count(lit(1)).as("n_ord"))
-      .filter(col("n_ord") >= minOrders)
-      .select("src", "dst")
-  }
+                                minOrders: Int = 2): DataFrame =
+    graft.operators.Graph.partCoOccurrence(Tables.lineitem(s, dir), minOrders)
 
   /** Label-propagation oracle (mirrors Graph.labelPropagation over the
     * part co-occurrence graph): `iters` unrolled rounds, each ONE

@@ -28,6 +28,30 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Part co-occurrence edges from a `lineitem` relation: parts sharing
+    * at least `minOrders` orders (src < dst, one row per pair). The
+    * canonical graph-analytics input over the TPC-H-ish tables — one
+    * definition shared by the declared queries and the SQL TVFs so the
+    * two surfaces cannot drift. `minOrders = 1` is the raw (dense)
+    * co-occurrence graph; `≥ 2` sparsifies to the repeat graph with
+    * real core structure.
+    */
+  def partCoOccurrence(lineitem: DataFrame, minOrders: Int = 1): DataFrame = {
+    val li = lineitem
+      .select(col("l_orderkey"), col("l_partkey").cast("long")).distinct()
+    val pairs = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")),
+        Seq("l_orderkey"))
+      .filter(col("src") < col("dst"))
+    // minOrders = 1 returns the raw pair stream (one row per shared
+    // order — a multigraph; every consumer canonicalizes, and an eager
+    // distinct here would only buy an extra exchange)
+    if (minOrders <= 1) pairs.select("src", "dst")
+    else pairs.groupBy("src", "dst").agg(count(lit(1)).as("n_ord"))
+      .filter(col("n_ord") >= minOrders)
+      .select("src", "dst")
+  }
+
   /** Fixed-iteration PageRank over `edges(src, dst)` (multi-edges
     * count once per row, the adjacency-list convention). Returns
     * `(node, pr)` for every node appearing as a src or dst.

@@ -117,6 +117,26 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(fromSql.nonEmpty)
   }
 
+  test("SQL TVF kcore(dir, k, rounds) matches the declared Column-API query") {
+    GraftExtensions.register(spark)
+    val fromSql = spark.sql(s"SELECT * FROM kcore('$sf', 2, 3)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fromApi = SparkEntry.queries("q_kcore")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromSql === fromApi)
+    assert(fromSql.nonEmpty)
+  }
+
+  test("SQL TVF triangle_counts(dir) matches the declared Column-API query") {
+    GraftExtensions.register(spark)
+    val fromSql = spark.sql(s"SELECT * FROM triangle_counts('$sf')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fromApi = SparkEntry.queries("q_triangle_counts")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromSql === fromApi)
+    assert(fromSql.nonEmpty)
+  }
+
   test("TVFs compose with plain SQL (filter + order over the TVF result)") {
     GraftExtensions.register(spark)
     val top3 = spark.sql(
