@@ -240,9 +240,39 @@ object AnnBench {
     val rotResidual = residualPoint("rotated_residual_c16", rotEmb, rotQs)
     val sq8 = sqPoint(emb, qs)
     val bin = binaryPoint(emb, qs)
+
+    // FULL-rank PCA rotation (the OPQ-lite upgrade beyond a
+    // permutation): rotate corpus AND queries by the deterministic
+    // Jacobi eigenbasis of the covariance — orthogonal, so exact-L2
+    // ground truth is preserved and any recall change is purely the
+    // quantizer seeing better-aligned axes. Composed with the
+    // balancing permutation IN ROTATED SPACE (PCA concentrates energy
+    // into the leading dims, which plain consecutive slicing would
+    // trap in one subspace — the permutation re-deals it).
+    val P = graft.operators.Pca
+    val mu = emb.select((0 until dim).map(i =>
+        avg(col("embedding").getItem(i).cast("double"))): _*)
+      .head().toSeq.map(_.asInstanceOf[Double])
+    val (comps, _) = P.principalComponents(P.covarianceApprox(emb), dim)
+    def pcaRotate(t: DataFrame, id: String, vec: String): DataFrame =
+      P.project(t.select(col(id).as("vec_id"), col(vec).as("embedding")), mu, comps)
+        .select(col("vec_id").as(id), col("proj").cast("array<float>").as(vec))
+    val pcaEmb = pcaRotate(emb, "vec_id", "embedding").cache()
+    pcaEmb.count()
+    val pcaQs = pcaRotate(qs, "query_id", "query_vec").cache()
+    val pca = point("pca", pcaEmb, pcaQs)
+    val permP = Pq.balancedPerm(pcaEmb, m, subDim)
+    val pcaPermEmb = pcaEmb.select(col("vec_id"),
+      Pq.permute(col("embedding"), permP).as("embedding")).cache()
+    val pcaPermQs = pcaQs.select(col("query_id"),
+      Pq.permute(col("query_vec"), permP).as("query_vec"))
+    val pcaPerm = point("pca_perm", pcaPermEmb, pcaPermQs)
+    val pcaPermResidual = residualPoint("pca_perm_residual_c16", pcaPermEmb, pcaPermQs)
+
     val json = s"""{"pq_clustered":{"n":$n,"dim":$dim,"blobs":$kBlobs,""" +
       s""""m":$m,"sub_dim":$subDim,"c":$c,"iters":$iters,"queries":2000,""" +
-      s""""perm":[${perm.mkString(",")}],"points":[$plain,$rotated,$residual,$rotResidual,$sq8,$bin]}}"""
+      s""""perm":[${perm.mkString(",")}],"points":[$plain,$rotated,$residual,$rotResidual,""" +
+      s"""$sq8,$bin,$pca,$pcaPerm,$pcaPermResidual]}}"""
     println(json)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/pq_clustered.json"), json + "\n")
