@@ -2387,6 +2387,13 @@ object SparkEntry {
     // on the driver corpora, so the oracle — which has no cap — matches).
     "q_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairsExact(Tables.documents(s, dir), 0.5, maxDf = 10000)),
+    // Substring-level dedup (the published span-dedup shape): maximal
+    // duplicated 6-gram runs, and the corpus rebuilt with every
+    // non-first duplicated occurrence cut out.
+    "q_dup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(Tables.documents(s, dir), n = 6)),
+    "q_span_dedup" -> ((s, dir) =>
+      Dedup.spanDedup(Tables.documents(s, dir), n = 6)),
     // Transitive closure of the near-dup relation: every doc labeled
     // with its duplicate-cluster representative (min reachable id) —
     // the keep-one-per-cluster step; oracle = recursive CTE.
@@ -2838,6 +2845,56 @@ object SparkEntry {
           SELECT * FROM scored WHERE jaccard >= 0.5"""
     },
     "q_jaccard_pairs" -> duckJaccardPairs,
+    "q_dup_spans" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          grams AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   ${duckMd5Int("array_to_string(t[i:i+5], ' ')")} AS g
+            FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 5)) AS i) u
+            WHERE len(t) >= 6),
+          counts AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+          dup AS (SELECT doc_id, pos FROM grams JOIN counts USING (g) WHERE c >= 2),
+          flagged AS (SELECT doc_id, pos,
+              CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 6
+                   THEN 1 ELSE 0 END AS brk
+            FROM dup),
+          ids AS (SELECT doc_id, pos,
+              sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id
+            FROM flagged)
+          SELECT doc_id, min(pos) AS span_start, max(pos) + 5 AS span_end,
+                 max(pos) + 5 - min(pos) + 1 AS span_words, count(*) AS n_windows
+          FROM ids GROUP BY doc_id, span_id""",
+    "q_span_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          grams AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   doc_id * 1048576 + CAST(i AS BIGINT) AS occ,
+                   ${duckMd5Int("array_to_string(t[i:i+5], ' ')")} AS g
+            FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 5)) AS i) u
+            WHERE len(t) >= 6),
+          stats AS (SELECT g, count(*) AS c, min(occ) AS first_occ FROM grams GROUP BY g),
+          drops AS (SELECT doc_id, pos FROM grams JOIN stats USING (g)
+                    WHERE c >= 2 AND occ <> first_occ),
+          flagged AS (SELECT doc_id, pos,
+              CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 6
+                   THEN 1 ELSE 0 END AS brk
+            FROM drops),
+          ids AS (SELECT doc_id, pos,
+              sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id
+            FROM flagged),
+          sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 5 AS e
+                 FROM ids GROUP BY doc_id, span_id),
+          words AS (SELECT doc_id, CAST(i AS BIGINT) AS wpos, t[i] AS word
+                    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) u),
+          kept AS (SELECT w.doc_id, w.wpos, w.word FROM words w
+                   WHERE NOT EXISTS (SELECT 1 FROM sp
+                     WHERE sp.doc_id = w.doc_id AND w.wpos BETWEEN sp.s AND sp.e)),
+          rebuilt AS (SELECT doc_id, string_agg(word, ' ' ORDER BY wpos) AS clean_text,
+                             count(*) AS n_kept
+                      FROM kept GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+                 CAST(len(string_split(d.text, ' ')) AS BIGINT) - coalesce(r.n_kept, 0) AS n_removed
+          FROM documents d LEFT JOIN rebuilt r USING (doc_id)""",
     "q_contamination" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
           shing AS (SELECT doc_id, $duckShingles AS sh FROM toks WHERE len(t) >= 3),

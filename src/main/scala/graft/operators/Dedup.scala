@@ -545,4 +545,133 @@ object Dedup {
       .select("id1", "id2", "cos_sim")
       .dropDuplicates("id1", "id2")
   }
+
+  // ---- Duplicated-span (substring-level) dedup ----
+
+  /** Word-position cap for the span-occurrence encoding: an occurrence
+    * is identified as `doc_id * spanPosCap + pos`, so "first occurrence
+    * of a gram" = min over one 64-bit key — computable as a plain `min`
+    * aggregate in ANY engine (no struct/arg-min needed). Requires
+    * `pos < spanPosCap` (docs under 2²⁰ words) and
+    * `doc_id < 2⁶³ / spanPosCap ≈ 8.8e12`; [[spanWindows]] fails fast
+    * on the former.
+    */
+  val spanPosCap = 1048576L
+
+  /** Duplicated n-gram windows with 1-based start positions:
+    * `(doc_id, pos, g)` where `g` is the portable hash of the n-word
+    * gram starting at word `pos`. One narrow explode per doc — no
+    * shuffle; text leaves the scan only as 8-byte gram hashes.
+    */
+  private def spanWindows(documents: DataFrame, n: Int): DataFrame =
+    documents
+      .select(col("doc_id"), posexplode(shingles(tokens(col("text")), n)).as(Seq("p0", "gram")))
+      .select(col("doc_id"),
+        when(col("p0") + 1 < spanPosCap, col("p0") + 1)
+          .otherwise(raise_error(lit("spanWindows: doc exceeds spanPosCap words")))
+          .cast("long").as("pos"),
+        md5Int(col("gram")).as("g"))
+
+  /** Merge duplicated windows into MAXIMAL spans per doc (gaps-and-
+    * islands): windows at `p` and `p'` (p < p') cover overlapping or
+    * touching word ranges iff `p' - p <= n`, so a new island starts
+    * exactly when the gap exceeds n. Output one row per maximal span:
+    * `(doc_id, span_start, span_end, span_words, n_windows)` with both
+    * endpoints inclusive 1-based word indices.
+    *
+    * Scale shape: one shuffle on doc_id shared by the lag flag, the
+    * running span-id sum, and the span aggregation (all three window/
+    * group operations key on doc_id, so AQE plans them over a single
+    * Exchange); per-doc window state is O(1).
+    */
+  private def mergeWindows(wins: DataFrame, n: Int): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    wins
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(byDoc) > n, 1).otherwise(0))
+      .withColumn("span_id",
+        sum("brk").over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(
+        min("pos").as("span_start"),
+        (max("pos") + (n - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_words"),
+        col("n_windows"))
+  }
+
+  /** Substring-level duplicate DETECTION (the published train-data
+    * span-dedup shape: find every maximal run of words whose n-gram
+    * windows all occur at least twice in the corpus — including
+    * self-repetition within one doc). Returns the maximal duplicated
+    * spans `(doc_id, span_start, span_end, span_words, n_windows)`.
+    *
+    * Scale shape: grams are hashed at the scan (text never shuffles);
+    * ONE shuffle on the 8-byte gram hash for the occurrence count; the
+    * join back to windows is the same key (no new shuffle side for the
+    * counted relation under AQE); the island merge is one doc_id
+    * shuffle. Nothing is quadratic: work is linear in total words.
+    */
+  def duplicateSpans(documents: DataFrame, n: Int = 6): DataFrame = {
+    val wins = spanWindows(documents, n)
+    val counts = wins.groupBy("g").agg(count(lit(1)).as("c"))
+    val dup = wins.join(counts.filter(col("c") >= 2), Seq("g")).select("doc_id", "pos")
+    mergeWindows(dup, n)
+  }
+
+  /** Substring-level dedup REMOVAL — keep the globally FIRST occurrence
+    * (minimal `(doc_id, pos)`, encoded as one 64-bit key, see
+    * [[spanPosCap]]) of every duplicated n-gram and cut every other
+    * occurrence, greedily merging the cut windows into maximal spans
+    * before rebuilding each doc's text from its surviving words.
+    * Returns `(doc_id, clean_text, n_removed)` for EVERY input doc
+    * (`clean_text = ""` when the whole doc was duplicated content).
+    *
+    * Greedy-cut caveat (shared with the published byte-range form): a
+    * kept first occurrence can still lose words when an overlapping
+    * LATER window of a different gram is cut — the output is a
+    * deterministic function of the corpus, not a guarantee that one
+    * verbatim copy of every gram survives.
+    *
+    * Scale shape: one gram-hash shuffle (count + first-occurrence min
+    * in the SAME aggregate), one doc_id shuffle for the island merge,
+    * and one doc_id shuffle for the rebuild; the rebuild join is
+    * doc-keyed with the span-range predicate evaluated as a residual
+    * condition, so no pair explosion. Span rows are the only payload
+    * broadcast-or-shuffled beside word tokens.
+    */
+  def spanDedup(documents: DataFrame, n: Int = 6): DataFrame = {
+    val occ = spanWindows(documents, n)
+      .withColumn("occ", col("doc_id") * spanPosCap + col("pos"))
+    val stats = occ.groupBy("g")
+      .agg(count(lit(1)).as("c"), min("occ").as("first_occ"))
+    val drops = occ.join(stats.filter(col("c") >= 2), Seq("g"))
+      .filter(col("occ") =!= col("first_occ"))
+      .select("doc_id", "pos")
+    // the span side is re-keyed to a distinct column name: both sides
+    // descend from `documents`, and a same-name join condition on a
+    // self-derived pair is the classic ambiguous-attribute trap
+    val spans = mergeWindows(drops, n)
+      .select(col("doc_id").as("span_doc"), col("span_start"), col("span_end"))
+    val words = documents
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("w0", "word")))
+      .select(col("doc_id"), (col("w0") + 1).cast("long").as("wpos"), col("word"))
+    val kept = words.join(spans,
+      col("doc_id") === col("span_doc") &&
+        col("wpos") >= col("span_start") && col("wpos") <= col("span_end"),
+      "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("wpos"), col("word")))),
+            s => s.getField("word")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    documents
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_words"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
 }

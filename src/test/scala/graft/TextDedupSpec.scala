@@ -296,4 +296,38 @@ class TextDedupSpec extends AnyFunSuite {
       assert(got2.contains((1L, i, 2L)), s"planted ed-2 pair (1,$i) must survive blocking")
     assert(!got2.exists(p => p._2 == 7L && p._1 == 1L), "ed-3 must not pair with 1")
   }
+
+  // Span-dedup fixture (n = 3): doc 5 is a verbatim copy of doc 1, doc 2
+  // embeds doc 1's "a b c d e" run, doc 3 is unique, doc 4 is one word
+  // repeated (self-repetition within a single doc).
+  private val spanDocs = Seq(
+    (1L, "a b c d e x y"),
+    (2L, "q r a b c d e s"),
+    (3L, "m n o p q u v w"),
+    (4L, "z z z z z z z z"),
+    (5L, "a b c d e x y"))
+    .toDF("doc_id", "text")
+
+  test("duplicateSpans finds maximal duplicated runs, incl. self-repetition") {
+    val got = Dedup.duplicateSpans(spanDocs, n = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // (doc, start, end, span_words, n_windows); endpoints inclusive 1-based
+    assert(got === Set(
+      (1L, 1L, 7L, 7L, 5L),   // whole doc duplicated by doc 5
+      (2L, 3L, 7L, 5L, 3L),   // the embedded "a b c d e" run
+      (4L, 1L, 8L, 8L, 6L),   // every "z z z" window repeats
+      (5L, 1L, 7L, 7L, 5L)))
+  }
+
+  test("spanDedup keeps the globally first occurrence and rebuilds the rest") {
+    val got = Dedup.spanDedup(spanDocs, n = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (1L, "a b c d e x y", 0L),    // first occurrences: untouched
+      (2L, "q r s", 5L),            // embedded run cut, frame kept
+      (3L, "m n o p q u v w", 0L),  // unique doc: untouched
+      (4L, "z", 7L),                // self-repetition collapses to one word
+      (5L, "", 7L)))                // full duplicate of doc 1: emptied
+  }
 }
