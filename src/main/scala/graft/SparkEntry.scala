@@ -2435,6 +2435,12 @@ object SparkEntry {
     "q_editdist2_pairs" -> ((s, dir) =>
       Dedup.editDistancePairs(Tables.documents(s, dir), 16, maxEd = 2)),
     "q_embedding_neardups" -> ((s, dir) => Dedup.embeddingNearDups(Tables.embeddings(s, dir), 0.4)),
+    // SemDeDup: refined-k-means cells block the cosine relation; per
+    // duplicate component, keep the member farthest from its centroid.
+    "q_semdedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Dedup.semDedup(emb, Ivf.kmeansCached(emb, 8, 2, dir), 0.4)
+    }),
     // The blocked scale path must reproduce the brute-force result
     // (same oracle): c=8/probes=4 drops zero true pairs at every sf
     // (verified against DuckDB at sf0.001/0.01/0.1).
@@ -2969,6 +2975,33 @@ object SparkEntry {
           WHERE bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) <= 3""",
     "q_embedding_neardups" -> duckNearDups,
     "q_embedding_neardups_blocked" -> duckNearDups,
+    "q_semdedup" ->
+      s"""WITH RECURSIVE ${duckKmeansCtes(8, 2)},
+          assigned AS (SELECT e.vec_id, cid AS cell FROM embeddings e, c2 c
+                       QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), cid) = 1),
+          ev AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                        sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                 FROM embeddings),
+          prs AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+                  FROM ev a JOIN assigned aa ON a.vec_id = aa.vec_id
+                       JOIN ev b ON a.vec_id < b.vec_id
+                       JOIN assigned bb ON b.vec_id = bb.vec_id AND aa.cell = bb.cell
+                  WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4),
+          edges AS (SELECT id1 AS u, id2 AS v FROM prs UNION ALL SELECT id2, id1 FROM prs),
+          reach(u, v) AS (SELECT u, v FROM edges
+                          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+          comp AS (SELECT u AS vec_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+          lab AS (SELECT e.vec_id, coalesce(c.cluster_id, e.vec_id) AS cluster_id
+                  FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.vec_id),
+          cosc AS (SELECT ev.vec_id,
+                     round(list_inner_product(ev.v, c.cv)
+                           / (ev.nrm * sqrt(list_inner_product(c.cv, c.cv))), 6) AS cos_centroid
+                   FROM ev JOIN assigned a ON ev.vec_id = a.vec_id JOIN c2 c ON c.cid = a.cell)
+          SELECT l.vec_id, l.cluster_id, cosc.cos_centroid,
+                 CASE WHEN row_number() OVER (PARTITION BY l.cluster_id
+                        ORDER BY cosc.cos_centroid, l.vec_id) = 1 THEN 1 ELSE 0 END AS keep
+          FROM lab l JOIN cosc ON l.vec_id = cosc.vec_id""",
     "q_ivf_kmeans_assign" -> duckKmeansAssign(8, 2),
     "q_vector_lsh_pairs" -> duckLshPairs(64, 0.4),
     "q_ivf_kmeans_topk" -> duckKmeansTopK(8, 2, 10, 2),

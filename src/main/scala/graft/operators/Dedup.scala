@@ -546,6 +546,55 @@ object Dedup {
       .dropDuplicates("id1", "id2")
   }
 
+  /** SemDeDup-style SEMANTIC dedup: k-means-cluster the embedding
+    * space, find duplicate groups as connected components of the
+    * within-cell cosine-≥-tau relation, and keep per group the member
+    * FARTHEST from its cell centroid (lowest cosine to centroid — the
+    * published keep rule: boundary points carry more information than
+    * cell-center redundancy), ties → smaller id. Returns every vector
+    * labeled: `(vec_id, cluster_id, cos_centroid, keep)` with
+    * `keep ∈ {0,1}` (singletons keep themselves).
+    *
+    * `cents` are refined k-means centroids (pass [[Ivf.kmeansCached]]).
+    * Cross-cell duplicate pairs are missed BY DESIGN — that is the
+    * published algorithm's approximation contract; it is what bounds
+    * pair work at Σ_cell (N/C)² instead of N².
+    *
+    * Scale shape: one equi-join on cell for pair generation (cosine
+    * evaluated cell-locally, threshold before any pair shuffle),
+    * pointer-jumping components over the surviving slim pairs, one
+    * cluster_id window for the keep rank; centroids are the broadcast
+    * side everywhere.
+    */
+  def semDedup(embeddings: DataFrame, cents: DataFrame, tau: Double): DataFrame = {
+    val assigned = Ivf.assignWith(embeddings, cents)
+    val posted = embeddings
+      .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+      .join(assigned, Seq("vec_id"))
+    val l = posted.select(col("cell"), col("vec_id").as("id1"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val r = posted.select(col("cell"), col("vec_id").as("id2"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
+    val pairs = l.join(r, Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .filter(round(dotProduct(col("e1"), col("e2")) / (col("n1") * col("n2")), 6) >= tau)
+      .select("id1", "id2")
+    val comps = nearDupClusters(embeddings.select(col("vec_id").as("doc_id")), pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    val cosc = posted
+      .join(broadcast(cents.select(col("centroid_id").as("cell"),
+        col("centroid_vec"), l2Norm(col("centroid_vec")).as("cnrm"))), Seq("cell"))
+      .select(col("vec_id"),
+        round(dotProduct(col("embedding"), col("centroid_vec"))
+          / (col("nrm") * col("cnrm")), 6).as("cos_centroid"))
+    val byCluster = Window.partitionBy("cluster_id")
+      .orderBy(col("cos_centroid"), col("vec_id"))
+    comps.join(cosc, Seq("vec_id"))
+      .withColumn("keep",
+        when(row_number().over(byCluster) === 1, 1).otherwise(0))
+      .select("vec_id", "cluster_id", "cos_centroid", "keep")
+  }
+
   // ---- Duplicated-span (substring-level) dedup ----
 
   /** Word-position cap for the span-occurrence encoding: an occurrence
