@@ -2394,6 +2394,14 @@ object SparkEntry {
       Dedup.duplicateSpans(Tables.documents(s, dir), n = 6)),
     "q_span_dedup" -> ((s, dir) =>
       Dedup.spanDedup(Tables.documents(s, dir), n = 6)),
+    // Ingestion-time span dedup: docs >= 250 arrive against the
+    // existing corpus of docs < 250; the corpus participates only as
+    // its distinct gram-hash set.
+    "q_span_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalSpanDedup(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250), n = 6)
+    }),
     // Transitive closure of the near-dup relation: every doc labeled
     // with its duplicate-cluster representative (min reachable id) —
     // the keep-one-per-cluster step; oracle = recursive CTE.
@@ -2901,6 +2909,45 @@ object SparkEntry {
           SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
                  CAST(len(string_split(d.text, ' ')) AS BIGINT) - coalesce(r.n_kept, 0) AS n_removed
           FROM documents d LEFT JOIN rebuilt r USING (doc_id)""",
+    "q_span_dedup_incremental" ->
+      s"""WITH ctoks AS (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id < 250),
+          cgrams AS (SELECT DISTINCT ${duckMd5Int("array_to_string(t[i:i+5], ' ')")} AS g
+                     FROM ctoks, LATERAL (SELECT unnest(generate_series(1, len(t) - 5)) AS i) u
+                     WHERE len(t) >= 6),
+          toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id >= 250),
+          grams AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   doc_id * 1048576 + CAST(i AS BIGINT) AS occ,
+                   ${duckMd5Int("array_to_string(t[i:i+5], ' ')")} AS g
+            FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 5)) AS i) u
+            WHERE len(t) >= 6),
+          stats AS (SELECT g, count(*) AS c, min(occ) AS first_occ FROM grams GROUP BY g),
+          drops AS (
+            SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM cgrams)
+            UNION
+            SELECT doc_id, pos FROM grams JOIN stats USING (g)
+            WHERE c >= 2 AND occ <> first_occ),
+          flagged AS (SELECT doc_id, pos,
+              CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 6
+                   THEN 1 ELSE 0 END AS brk
+            FROM drops),
+          ids AS (SELECT doc_id, pos,
+              sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id
+            FROM flagged),
+          sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 5 AS e
+                 FROM ids GROUP BY doc_id, span_id),
+          words AS (SELECT doc_id, CAST(i AS BIGINT) AS wpos, t[i] AS word
+                    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) u),
+          kept AS (SELECT w.doc_id, w.wpos, w.word FROM words w
+                   WHERE NOT EXISTS (SELECT 1 FROM sp
+                     WHERE sp.doc_id = w.doc_id AND w.wpos BETWEEN sp.s AND sp.e)),
+          rebuilt AS (SELECT doc_id, string_agg(word, ' ' ORDER BY wpos) AS clean_text,
+                             count(*) AS n_kept
+                      FROM kept GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+                 CAST(len(string_split(d.text, ' ')) AS BIGINT) - coalesce(r.n_kept, 0) AS n_removed
+          FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+          WHERE d.doc_id >= 250""",
     "q_contamination" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
           shing AS (SELECT doc_id, $duckShingles AS sh FROM toks WHERE len(t) >= 3),

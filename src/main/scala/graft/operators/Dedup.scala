@@ -698,10 +698,47 @@ object Dedup {
     val drops = occ.join(stats.filter(col("c") >= 2), Seq("g"))
       .filter(col("occ") =!= col("first_occ"))
       .select("doc_id", "pos")
+    rebuildWithoutSpans(documents, mergeWindows(drops, n), n)
+  }
+
+  /** Ingestion-time INCREMENTAL span dedup: cut from each BATCH doc
+    * every n-gram window whose gram (a) already occurs anywhere in the
+    * existing corpus or (b) repeats within the batch and is not the
+    * batch-first occurrence — the form every later ingestion pays,
+    * where [[spanDedup]] is the once-per-corpus compaction. Returns
+    * `(doc_id, clean_text, n_removed)` for every batch doc; corpus
+    * docs are never rewritten.
+    *
+    * Scale shape: the corpus reduces to its DISTINCT gram-hash set
+    * map-side (corpus text never shuffles; 8 bytes per distinct gram),
+    * the known-gram check is a left-semi equi-join on the hash, and
+    * with the corpus gram set bucketed by `g` repeated ingestion is a
+    * co-located join against a gram table, never a corpus rescan —
+    * exactly [[incrementalExact]]'s contract one level down.
+    */
+  def incrementalSpanDedup(corpus: DataFrame, batch: DataFrame, n: Int = 6): DataFrame = {
+    val corpusGrams = spanWindows(corpus, n).select("g").distinct()
+    val bw = spanWindows(batch, n)
+      .withColumn("occ", col("doc_id") * spanPosCap + col("pos"))
+    val known = bw.join(corpusGrams, Seq("g"), "left_semi").select("doc_id", "pos")
+    val stats = bw.groupBy("g").agg(count(lit(1)).as("c"), min("occ").as("first_occ"))
+    val batchDups = bw.join(stats.filter(col("c") >= 2), Seq("g"))
+      .filter(col("occ") =!= col("first_occ"))
+      .select("doc_id", "pos")
+    val drops = known.unionByName(batchDups).distinct()
+    rebuildWithoutSpans(batch, mergeWindows(drops, n), n)
+  }
+
+  /** Shared rebuild tail: docs minus the words covered by `spans`
+    * (`doc_id, span_start, span_end`), one doc_id-keyed anti-join with
+    * the range predicate as a residual condition, then one doc_id
+    * aggregation reassembling the surviving words in order.
+    */
+  private def rebuildWithoutSpans(documents: DataFrame, spans0: DataFrame, n: Int): DataFrame = {
     // the span side is re-keyed to a distinct column name: both sides
     // descend from `documents`, and a same-name join condition on a
     // self-derived pair is the classic ambiguous-attribute trap
-    val spans = mergeWindows(drops, n)
+    val spans = spans0
       .select(col("doc_id").as("span_doc"), col("span_start"), col("span_end"))
     val words = documents
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("w0", "word")))

@@ -330,4 +330,21 @@ class TextDedupSpec extends AnyFunSuite {
       (4L, "z", 7L),                // self-repetition collapses to one word
       (5L, "", 7L)))                // full duplicate of doc 1: emptied
   }
+
+  test("incrementalSpanDedup cuts corpus-known and batch-repeated grams, batch-first wins") {
+    val corpus = Seq((1L, "a b c d e x y")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "q r a b c d e s"), // embeds the corpus run -> cut
+      (11L, "z z z z z z z z"), // self-repetition within the batch
+      (12L, "f g h i j"),      // novel content: untouched
+      (13L, "z z z z"))        // repeats doc 11's gram; 11 is batch-first
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalSpanDedup(corpus, batch, n = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (10L, "q r s", 5L),
+      (11L, "z", 7L),
+      (12L, "f g h i j", 0L),
+      (13L, "", 4L)))
+  }
 }
