@@ -2316,6 +2316,9 @@ object SparkEntry {
     "q_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
     // Gopher-style repetition cut input: duplicate-shingle fraction.
     "q_repetition" -> ((s, dir) => TextAnalysis.repetition(Tables.documents(s, dir))),
+    // Perplexity quality filter: corpus-trained add-0.5-smoothed bigram
+    // LM, per-doc mean negative log-likelihood.
+    "q_bigram_nll" -> ((s, dir) => TextAnalysis.bigramNll(Tables.documents(s, dir))),
     // Concat-then-chunk sequence packing into 1024-token training
     // sequences, per source (groups pack in parallel; no global sort).
     "q_sequence_pack" -> ((s, dir) =>
@@ -3216,6 +3219,21 @@ object SparkEntry {
           SELECT doc_id, len(sh) AS n_shingles, len(list_distinct(sh)) AS n_distinct,
                  round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6) AS dup_frac
           FROM shing""",
+    "q_bigram_nll" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          prs AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+                  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) u
+                  WHERE len(t) >= 2),
+          cb AS (SELECT w1, w2, count(*) AS cb FROM prs GROUP BY w1, w2),
+          cu AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM cb GROUP BY w1),
+          v AS (SELECT count(DISTINCT w) AS v
+                FROM (SELECT unnest(t) AS w FROM toks)),
+          lp AS (SELECT doc_id,
+                   CAST(ln((cb + 0.5) / (cu + 0.5 * v)) AS DECIMAL(38,12)) AS lp
+                 FROM prs JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v)
+          SELECT doc_id, count(*) AS n_bigrams,
+                 round(-(CAST(sum(lp) AS DOUBLE) / count(*)), 6) AS nll
+          FROM lp GROUP BY doc_id""",
     "q_sequence_pack" ->
       """WITH x AS (SELECT doc_id, source,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),

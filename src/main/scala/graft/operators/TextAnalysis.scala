@@ -196,4 +196,58 @@ object TextAnalysis {
         size(array_distinct(col("sh"))).as("n_distinct"))
       .withColumn("dup_frac",
         round(lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"), 6))
+
+  /** Adjacent word-token bigram array over `text`: zip the token array
+    * against its own tail — one narrow projection, exploded once by
+    * the caller.
+    */
+  private def bigramsCol: Column = {
+    val t = tokens(col("text"))
+    arrays_zip(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1))
+  }
+
+  /** Bigram-LM negative log-likelihood per document — the perplexity
+    * quality filter (the CCNet-style cut: docs whose text the corpus
+    * LM finds surprising are boilerplate, wrong-language, or junk;
+    * docs it finds TOO predictable are templates). The LM is trained
+    * on the corpus itself: add-alpha-smoothed conditional
+    * `p(w2|w1) = (c(w1,w2) + a) / (c(w1·) + a·V)` with `V` the corpus
+    * vocabulary and `c(w1·)` the bigram-prefix count. Returns
+    * `(doc_id, n_bigrams, nll)` with `nll = −mean log p`, i.e.
+    * `perplexity = exp(nll)`; docs with < 2 tokens have no bigrams
+    * and are excluded.
+    *
+    * Determinism: each per-bigram log term is truncated to
+    * DECIMAL(38,12) BEFORE the mean — decimal addition is associative,
+    * so the cross-partition aggregation order cannot move the hash
+    * (the k-means moment-pass pattern).
+    *
+    * Scale shape: counts are two hash aggregations on slim keys
+    * (map-side partial); the scoring join keys on (w1, w2) and w1 —
+    * the LM tables are the SMALL side (vocabulary-sized, not
+    * corpus-sized) so AQE broadcasts them at any corpus scale; one
+    * doc_id aggregation ends the plan. The vocabulary size is one
+    * scalar — the BM25 stats-row contract.
+    */
+  def bigramNll(documents: DataFrame, alpha: Double = 0.5): DataFrame = {
+    val pairs = documents
+      .filter(size(tokens(col("text"))) >= 2)
+      .select(col("doc_id"), explode(bigramsCol).as("bg"))
+      .select(col("doc_id"), col("bg.0").as("w1"), col("bg.1").as("w2"))
+    val cb = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cu = cb.groupBy("w1").agg(sum("cb").as("cu"))
+    val vocab = documents
+      .select(explode(tokens(col("text"))).as("w"))
+      .agg(countDistinct(col("w"))).first().getLong(0)
+    pairs
+      .join(cb, Seq("w1", "w2"))
+      .join(cu, Seq("w1"))
+      .select(col("doc_id"),
+        log((col("cb") + alpha) / (col("cu") + lit(alpha) * vocab))
+          .cast("decimal(38,12)").as("lp"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(-(sum(col("lp")).cast("double") / count(lit(1))), 6).as("nll"))
+  }
 }

@@ -347,4 +347,24 @@ class TextDedupSpec extends AnyFunSuite {
       (12L, "f g h i j", 0L),
       (13L, "", 4L)))
   }
+
+  test("bigramNll matches the hand-computed smoothed bigram LM") {
+    val d = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    // counts: cb(a,b)=3 cb(b,a)=1 cb(b,c)=1; cu(a)=3 cu(b)=2; V=4 (a b c x)
+    def lp(cb: Long, cu: Long): BigDecimal =
+      BigDecimal(math.log((cb + 0.5) / (cu + 0.5 * 4)))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def nll(lps: Seq[BigDecimal]): Double =
+      BigDecimal(-(lps.sum.toDouble / lps.length))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = Map(
+      1L -> (3L, nll(Seq(lp(3, 3), lp(1, 2), lp(3, 3)))),
+      2L -> (2L, nll(Seq(lp(3, 3), lp(1, 2)))))
+    val got = TextAnalysis.bigramNll(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got === expected) // doc 3 has no bigrams and is excluded
+    assert(got(1L)._2 < got(2L)._2,
+      "the more-predictable doc must score a lower NLL")
+  }
 }
