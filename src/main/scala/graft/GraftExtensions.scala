@@ -111,6 +111,14 @@ object GraftExtensions {
     *    `q_kcore` semantics.
     *  - `triangle_counts(dir)`: per-node triangle counts over the part
     *    co-occurrence graph — the `q_triangle_counts` semantics.
+    *  - `dup_spans(dir, n)` / `span_dedup(dir, n)`: substring-level
+    *    dedup over `dir/documents` — maximal duplicated n-gram runs,
+    *    and the keep-first rebuild (the `q_dup_spans` /
+    *    `q_span_dedup` semantics).
+    *  - `semdedup(dir, c, iters, tau)`: semantic dedup labeling over
+    *    `dir/embeddings` — the `q_semdedup` semantics.
+    *  - `bigram_nll(dir)`: corpus-trained bigram-LM perplexity scores
+    *    over `dir/documents` — the `q_bigram_nll` semantics.
     */
   val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] = Seq(
     (FunctionIdentifier("knn_topk"), info("knn_topk"),
@@ -233,6 +241,30 @@ object GraftExtensions {
           .join(docs.select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id"))
         Knn.diversifiedTopK(scored, col("source"), col("dist"), col("vec_id"),
           asInt(args(1)), asInt(args(2)))
+      }),
+    (FunctionIdentifier("dup_spans"), info("dup_spans"),
+      tvf("dup_spans") { (spark, args) =>
+        require(args.length == 2, "dup_spans(dir, n)")
+        Dedup.duplicateSpans(Tables.documents(spark, asString(args(0))), asInt(args(1)))
+      }),
+    (FunctionIdentifier("span_dedup"), info("span_dedup"),
+      tvf("span_dedup") { (spark, args) =>
+        require(args.length == 2, "span_dedup(dir, n)")
+        Dedup.spanDedup(Tables.documents(spark, asString(args(0))), asInt(args(1)))
+      }),
+    (FunctionIdentifier("semdedup"), info("semdedup"),
+      tvf("semdedup") { (spark, args) =>
+        require(args.length == 4, "semdedup(dir, c, iters, tau)")
+        val emb = Tables.embeddings(spark, asString(args(0)))
+        Dedup.semDedup(emb,
+          graft.operators.Ivf.kmeansCached(emb, asInt(args(1)), asInt(args(2)),
+            asString(args(0))),
+          asDouble(args(3)))
+      }),
+    (FunctionIdentifier("bigram_nll"), info("bigram_nll"),
+      tvf("bigram_nll") { (spark, args) =>
+        require(args.length == 1, "bigram_nll(dir)")
+        graft.operators.TextAnalysis.bigramNll(Tables.documents(spark, asString(args(0))))
       }))
 
   /** Register on an already-created session (tests, notebooks). */

@@ -137,6 +137,46 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(fromSql.nonEmpty)
   }
 
+  test("SQL TVF dup_spans(dir, n) matches the declared Column-API query") {
+    GraftExtensions.register(spark)
+    val fromSql = spark.sql(s"SELECT * FROM dup_spans('$sf', 6)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val fromApi = SparkEntry.queries("q_dup_spans")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(fromSql === fromApi)
+    assert(fromSql.nonEmpty)
+  }
+
+  test("SQL TVF span_dedup(dir, n) matches the declared Column-API query") {
+    GraftExtensions.register(spark)
+    val fromSql = spark.sql(s"SELECT * FROM span_dedup('$sf', 6)")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val fromApi = SparkEntry.queries("q_span_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(fromSql === fromApi)
+    assert(fromSql.nonEmpty)
+  }
+
+  test("SQL TVF semdedup(dir, c, iters, tau) matches the declared Column-API query") {
+    GraftExtensions.register(spark)
+    val fromSql = spark.sql(s"SELECT * FROM semdedup('$sf', 8, 2, 0.4)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val fromApi = SparkEntry.queries("q_semdedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(fromSql === fromApi)
+    assert(fromSql.nonEmpty)
+  }
+
+  test("SQL TVF bigram_nll(dir) matches the declared Column-API query") {
+    GraftExtensions.register(spark)
+    val fromSql = spark.sql(s"SELECT * FROM bigram_nll('$sf')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fromApi = SparkEntry.queries("q_bigram_nll")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromSql === fromApi)
+    assert(fromSql.nonEmpty)
+  }
+
   test("TVFs compose with plain SQL (filter + order over the TVF result)") {
     GraftExtensions.register(spark)
     val top3 = spark.sql(
