@@ -131,6 +131,10 @@ object SparkEntry {
   private def duckMd5Int(x: String): String =
     s"CAST(concat('0x', substring(md5($x),1,8)) AS BIGINT)"
 
+  /** md5Long (Portable.md5Long, the 60-bit identity hash) in DuckDB. */
+  private def duckMd5Long(x: String): String =
+    s"CAST(concat('0x', substring(md5($x),1,15)) AS BIGINT)"
+
   /** unitHash (Portable.unitHash) in DuckDB (pmod spelled out — DuckDB
     * `%` is sign-preserving like Spark's).
     */
@@ -2866,7 +2870,7 @@ object SparkEntry {
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
           grams AS (
             SELECT doc_id, CAST(i AS BIGINT) AS pos,
-                   ${duckMd5Int("array_to_string(t[i:i+5], ' ')")} AS g
+                   ${duckMd5Long("array_to_string(t[i:i+5], ' ')")} AS g
             FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 5)) AS i) u
             WHERE len(t) >= 6),
           counts AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
@@ -2886,7 +2890,7 @@ object SparkEntry {
           grams AS (
             SELECT doc_id, CAST(i AS BIGINT) AS pos,
                    doc_id * 1048576 + CAST(i AS BIGINT) AS occ,
-                   ${duckMd5Int("array_to_string(t[i:i+5], ' ')")} AS g
+                   ${duckMd5Long("array_to_string(t[i:i+5], ' ')")} AS g
             FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 5)) AS i) u
             WHERE len(t) >= 6),
           stats AS (SELECT g, count(*) AS c, min(occ) AS first_occ FROM grams GROUP BY g),
@@ -2914,14 +2918,14 @@ object SparkEntry {
           FROM documents d LEFT JOIN rebuilt r USING (doc_id)""",
     "q_span_dedup_incremental" ->
       s"""WITH ctoks AS (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id < 250),
-          cgrams AS (SELECT DISTINCT ${duckMd5Int("array_to_string(t[i:i+5], ' ')")} AS g
+          cgrams AS (SELECT DISTINCT ${duckMd5Long("array_to_string(t[i:i+5], ' ')")} AS g
                      FROM ctoks, LATERAL (SELECT unnest(generate_series(1, len(t) - 5)) AS i) u
                      WHERE len(t) >= 6),
           toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id >= 250),
           grams AS (
             SELECT doc_id, CAST(i AS BIGINT) AS pos,
                    doc_id * 1048576 + CAST(i AS BIGINT) AS occ,
-                   ${duckMd5Int("array_to_string(t[i:i+5], ' ')")} AS g
+                   ${duckMd5Long("array_to_string(t[i:i+5], ' ')")} AS g
             FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 5)) AS i) u
             WHERE len(t) >= 6),
           stats AS (SELECT g, count(*) AS c, min(occ) AS first_occ FROM grams GROUP BY g),

@@ -27,6 +27,18 @@ object Portable {
   def md5Int(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** First 15 hex chars of md5 as a non-negative BIGINT in [0, 2^60) —
+    * the WIDE identity hash. 32 bits ([[md5Int]]) is fine for blocking
+    * keys (a collision only costs one extra verified candidate) but NOT
+    * for identity semantics at scale: equating items BY 32-bit hash
+    * produces birthday collisions from ~10⁵ distinct values (~600k
+    * false matches at 70M values). 60 bits pushes the first expected
+    * collision past 10⁹ values. DuckDB equivalent:
+    * CAST(concat('0x', substring(md5(x),1,15)) AS BIGINT).
+    */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** [[md5Int]] evaluated in Scala — for plan-time constants (e.g. the
     * LSH hyperplane signs) that get embedded as literals in BOTH the
     * Spark plan and the generated oracle SQL.

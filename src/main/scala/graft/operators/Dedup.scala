@@ -608,9 +608,14 @@ object Dedup {
   val spanPosCap = 1048576L
 
   /** Duplicated n-gram windows with 1-based start positions:
-    * `(doc_id, pos, g)` where `g` is the portable hash of the n-word
-    * gram starting at word `pos`. One narrow explode per doc — no
-    * shuffle; text leaves the scan only as 8-byte gram hashes.
+    * `(doc_id, pos, g)` where `g` is the WIDE portable hash
+    * ([[graft.functions.Portable.md5Long]], 60 bits) of the n-word
+    * gram starting at word `pos`. Wide because the hash is the gram's
+    * IDENTITY here — equal hash ⇒ treated as duplicated content — and
+    * 32 bits birthday-collides from ~10⁵ distinct grams (a 2M-doc
+    * corpus carries 70M); 60 bits is collision-free past 10⁹. One
+    * narrow explode per doc — no shuffle; text leaves the scan only
+    * as 8-byte gram hashes.
     */
   private def spanWindows(documents: DataFrame, n: Int): DataFrame =
     documents
@@ -619,7 +624,7 @@ object Dedup {
         when(col("p0") + 1 < spanPosCap, col("p0") + 1)
           .otherwise(raise_error(lit("spanWindows: doc exceeds spanPosCap words")))
           .cast("long").as("pos"),
-        md5Int(col("gram")).as("g"))
+        md5Long(col("gram")).as("g"))
 
   /** Merge duplicated windows into MAXIMAL spans per doc (gaps-and-
     * islands): windows at `p` and `p'` (p < p') cover overlapping or

@@ -49,6 +49,7 @@ object AnnBench {
     if (args.contains("pqclustered")) { pqClusteredSmoke(spark); spark.stop(); return }
     if (args.contains("tiers")) { tiersSmoke(spark); spark.stop(); return }
     if (args.contains("dedupscale")) { dedupScaleSmoke(spark); spark.stop(); return }
+    if (args.contains("spanscale")) { spanScaleSmoke(spark); spark.stop(); return }
     if (args.contains("graphscale")) { graphScaleSmoke(spark); spark.stop(); return }
     if (args.contains("layoutscale")) { layoutScaleSmoke(spark); spark.stop(); return }
     val emb = Tables.embeddings(spark, sfDir)
@@ -368,6 +369,92 @@ object AnnBench {
     println(json)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/dedup_scale.json"), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[annbench] file write failed: ${e.getMessage}") }
+  }
+
+  /** Substring-level span-dedup scale smoke: the blocked-linear-work
+    * claim for [[graft.operators.Dedup.duplicateSpans]] /
+    * [[graft.operators.Dedup.spanDedup]] at 2M docs (80M words, 70M
+    * 6-gram windows). Two planted duplication modes with ANALYTIC
+    * expectations the measured output is checked against:
+    *
+    *  - BOILERPLATE: docs with id%10==3 (200k) carry one fixed
+    *    12-word template at words 15–26 → 7 windows merging into one
+    *    span; every non-first occurrence cut = 12 words.
+    *  - HEADERS: every doc opens with its source's fixed 6-word header
+    *    (8 sources) → exactly one window at pos 1; all but 8 docs lose
+    *    6 words.
+    *
+    * The hot grams (template df 200k, header df 250k) stress the
+    * gram-hash aggregation's skew behavior: counting is a map-side
+    * partial aggregate, and the join back to windows fans OUT of the
+    * count row (never pairs windows with windows), so work stays
+    * linear in total windows — the measured shuffle bytes demonstrate
+    * it.
+    */
+  private def spanScaleSmoke(spark: SparkSession): Unit = {
+    import graft.operators.Dedup
+    val n = sys.env.get("SPARK_GRAFT_SPAN_N").flatMap(_.toIntOption).getOrElse(2000000)
+    val vocab = ("the quick brown fox jumps over lazy dog table scan merge sort join filter " +
+      "group window batch stream row value data key order hash part small fast slow query " +
+      "spark line customer index cache disk memory block shard range probe").split(" ").toSeq
+    val vlit = array(vocab.map(lit): _*)
+    val wordsPerDoc = 40
+    val header = (0 until 6).map(w => concat(lit(s"hdr${w}s"), pmod(col("id"), lit(8))))
+    val boiler = (0 until 12).map(w => lit(s"boiler$w"))
+    val uniq = (0 until wordsPerDoc).map(w =>
+      concat(
+        element_at(vlit, (pmod(hash(col("id"), lit(w)), lit(vocab.size)) + 1).cast("int")),
+        lit("_"), hash(col("id"), lit(w + 104729)).cast("string")))
+    val isBoiler = pmod(col("id"), lit(10)) === 3
+    val wordCols = (0 until wordsPerDoc).map { w =>
+      if (w < 6) header(w)
+      else if (w >= 14 && w < 26) when(isBoiler, boiler(w - 14)).otherwise(uniq(w))
+      else uniq(w)
+    }
+    val docs = spark.range(n).select(
+        col("id").as("doc_id"), concat_ws(" ", wordCols: _*).as("text"))
+      .cache()
+    docs.count()
+
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+    def phase(label: String)(f: => Long): (String, Long) = {
+      System.gc()
+      val s0 = shuffleBytes.get()
+      val t0 = System.nanoTime()
+      val v = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      val sb = shuffleBytes.get() - s0
+      (s""""$label":{"value":$v,"wall_sec":${fmt(sec, 1)},"shuffle_write_bytes":$sb}""", v)
+    }
+
+    val nBoiler = (0L until n.toLong).count(_ % 10 == 3)
+    // expected removals: every non-first boilerplate doc loses 12,
+    // every non-first doc per source-header loses 6
+    val expectedRemoved = (nBoiler - 1) * 12 + (n.toLong - 8) * 6
+    val (spansJson, _) = phase("dup_spans") {
+      Dedup.duplicateSpans(docs, n = 6).count()
+    }
+    val (removedJson, removed) = phase("span_dedup_removed_words") {
+      Dedup.spanDedup(docs, n = 6)
+        .agg(sum(col("n_removed"))).head().getLong(0)
+    }
+    val totalWords = n.toLong * wordsPerDoc
+    val json = s"""{"span_scale":{"n_docs":$n,"words_per_doc":$wordsPerDoc,""" +
+      s""""n_boiler_docs":$nBoiler,"expected_removed_words":$expectedRemoved,""" +
+      s""""measured_removed_words":$removed,""" +
+      s""""removed_frac":${fmt(removed.toDouble / totalWords, 4)},""" +
+      s"""$spansJson,$removedJson}}"""
+    println(json)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/span_scale.json"), json + "\n")
     catch { case e: Throwable => System.err.println(s"[annbench] file write failed: ${e.getMessage}") }
   }
 
