@@ -397,6 +397,44 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"expected agg exchange + window repartition only:\n$p")
   }
 
+  test("q_dup_spans: gram-count + island merge, no pair join, bounded exchanges") {
+    val p = plan("q_dup_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span detection must never pair windows with windows:\n$p")
+    // gram-hash count (partial -> final) + ONE doc_id exchange shared by
+    // the lag window, the span-id running sum, and the span aggregation
+    assert(countOf(p, "Exchange") - countOf(p, "BroadcastExchange") <= 2,
+      s"expected the gram-count shuffle + one shared doc_id shuffle:\n$p")
+  }
+
+  test("q_span_dedup: stats count+min in ONE aggregate pass, no cartesian rebuild") {
+    val p = plan("q_span_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"rebuild must stay a doc-keyed anti-join:\n$p")
+    // the gram stats (count, min first_occ) must come out of a single
+    // grouped aggregation, not two passes over the windows
+    assert(p.contains("count(1)") && p.contains("min("),
+      s"gram stats must compute count and min together:\n$p")
+  }
+
+  test("q_semdedup: the only cross is the broadcast centroid assignment") {
+    val p = plan("q_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      s"pair generation must block on the cell key:\n$p")
+    // assignment = corpus x C-row local centroid relation (the declared
+    // IVF pattern); the pair join itself must be an equi-join on cell
+    assert(countOf(p, "BroadcastNestedLoopJoin") <= 2,
+      s"only the centroid-assignment crosses may be nested-loop:\n$p")
+  }
+
+  test("q_bigram_nll: LM tables join broadcast, one doc_id aggregation") {
+    val p = plan("q_bigram_nll")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"scoring joins must be equi-joins:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin"),
+      s"LM tables must hash-join (vocabulary-sized side):\n$p")
+  }
+
   test("runtime bloom-filter semi-join reduction fires on a selective shuffled join") {
     // Spark's InjectRuntimeFilter: a selective filter on one join side
     // gets a bloom filter built and pushed into the OTHER side's scan —
