@@ -2323,6 +2323,8 @@ object SparkEntry {
     // Perplexity quality filter: corpus-trained add-0.5-smoothed bigram
     // LM, per-doc mean negative log-likelihood.
     "q_bigram_nll" -> ((s, dir) => TextAnalysis.bigramNll(Tables.documents(s, dir))),
+    // Mergeable-sketch heavy hitters; q_token_counts is the exact anchor.
+    "q_cms_topk" -> ((s, dir) => TextAnalysis.cmsHeavyHitters(Tables.documents(s, dir), 50)),
     // Concat-then-chunk sequence packing into 1024-token training
     // sequences, per source (groups pack in parallel; no global sort).
     "q_sequence_pack" -> ((s, dir) =>
@@ -3238,6 +3240,23 @@ object SparkEntry {
           SELECT doc_id, count(*) AS n_bigrams,
                  round(-(CAST(sum(lp) AS DOUBLE) / count(*)), 6) AS nll
           FROM lp GROUP BY doc_id""",
+    "q_cms_topk" -> {
+      val probeRows = (0 until TextAnalysis.cmsRows).map { j =>
+        s"($j, ((h * ${TextAnalysis.cmsA(j)} + ${TextAnalysis.cmsC(j)}) % 4294967311) % ${TextAnalysis.cmsWidth})"
+      }.mkString(", ")
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+          occ AS (SELECT ${duckMd5Int("token")} AS h FROM tok),
+          cells AS (SELECT p.r AS row, p.c AS counter
+                    FROM occ CROSS JOIN LATERAL (VALUES $probeRows) AS p(r, c)),
+          sketch AS (SELECT row, counter, count(*) AS c FROM cells GROUP BY row, counter),
+          dt AS (SELECT DISTINCT token FROM tok),
+          dh AS (SELECT token, ${duckMd5Int("token")} AS h FROM dt),
+          est AS (SELECT token, min(s.c) AS est
+                  FROM dh CROSS JOIN LATERAL (VALUES $probeRows) AS p(r, c)
+                  JOIN sketch s ON s.row = p.r AND s.counter = p.c
+                  GROUP BY token)
+          SELECT token, est FROM est ORDER BY est DESC, token LIMIT 50"""
+    },
     "q_sequence_pack" ->
       """WITH x AS (SELECT doc_id, source,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),

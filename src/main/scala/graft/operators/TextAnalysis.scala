@@ -197,6 +197,85 @@ object TextAnalysis {
       .withColumn("dup_frac",
         round(lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"), 6))
 
+  // ---- Count-Min Sketch heavy hitters ----
+
+  /** CMS shape: `cmsRows` independent hash rows × `cmsWidth` counters.
+    * Row hashes are affine transforms of the token's portable 32-bit
+    * hash mod a >2³² prime, reduced mod the width — deterministic,
+    * engine-independent, mirrored literally in the oracle SQL.
+    *
+    * The multipliers MUST be large (hash-derived odd constants < 2³¹,
+    * sized so h·A never overflows int64): with small multipliers the
+    * products never wrap mod the prime, every row's counter is a
+    * function of the SAME low bits of h, and any two tokens congruent
+    * mod the width collide in ALL rows at once (measured: "the" and
+    * "join" collided 4/4 on the gate corpus). Wrapping restores
+    * per-row independence: all-row collision probability is the
+    * designed (1/width)^rows.
+    *
+    * One-sided error: each row's counter ≥ the true count, so the min
+    * over rows OVERestimates by at most the row's collision mass
+    * (≤ N/width in expectation).
+    */
+  val cmsRows = 4
+  val cmsWidth = 1024
+
+  /** Per-row odd multiplier < 2³¹ and offset < 2³², hash-derived. */
+  def cmsA(j: Int): Long = (md5IntOf(s"cms_a_$j") % (1L << 30)) * 2 + 1
+  def cmsC(j: Int): Long = md5IntOf(s"cms_c_$j")
+
+  private def cmsRowHash(h: Column, j: Int): Column =
+    pmod((h * cmsA(j) + cmsC(j)) % 4294967311L, lit(cmsWidth))
+
+  /** The Count-Min sketch of the corpus token stream:
+    * `(row, counter, c)` — `cmsRows × cmsWidth` cells. MERGEABLE: the
+    * sketch of a union of corpora is the cell-wise sum of their
+    * sketches, so shards/partitions/days aggregate without rescans
+    * (the property the approx-distinct and quantile sketches already
+    * provide, completed here for heavy hitters).
+    *
+    * Scale shape: tokens are hashed at the scan; one groupBy on
+    * (row, counter) whose partial aggregation collapses each task to
+    * ≤ rows·width cells — the exchange carries O(tasks · rows · width)
+    * regardless of corpus size.
+    */
+  def cmsSketch(documents: DataFrame): DataFrame = {
+    val probes = array((0 until cmsRows).map { j =>
+      struct(lit(j).as("row"), cmsRowHash(col("h"), j).as("counter"))
+    }: _*)
+    documents
+      .select(explode(tokens(col("text"))).as("token"))
+      .select(md5Int(col("token")).as("h"))
+      .select(explode(probes).as("p"))
+      .groupBy(col("p.row").as("row"), col("p.counter").as("counter"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Heavy hitters by CMS estimate: every DISTINCT token's estimate
+    * `min_j sketch[j][h_j(token)]`, top `k` by (estimate desc, token).
+    * The sketch is rows·width cells — the BROADCAST side of the probe
+    * join at any corpus scale; the exact twin ([[tokenCounts]]) is the
+    * anchor, and the estimate is ≥ the true count per token (the
+    * one-sided CMS guarantee, pinned in the spec).
+    */
+  def cmsHeavyHitters(documents: DataFrame, k: Int = 50): DataFrame = {
+    val sketch = cmsSketch(documents)
+    val probes = array((0 until cmsRows).map { j =>
+      struct(lit(j).as("row"), cmsRowHash(col("h"), j).as("counter"))
+    }: _*)
+    documents
+      .select(explode(tokens(col("text"))).as("token"))
+      .distinct()
+      .select(col("token"), md5Int(col("token")).as("h"))
+      .select(col("token"), explode(probes).as("p"))
+      .select(col("token"), col("p.row").as("row"), col("p.counter").as("counter"))
+      .join(broadcast(sketch), Seq("row", "counter"))
+      .groupBy("token")
+      .agg(min("c").as("est"))
+      .orderBy(col("est").desc, col("token"))
+      .limit(k)
+  }
+
   /** Adjacent word-token bigram array over `text`: zip the token array
     * against its own tail — one narrow projection, exploded once by
     * the caller.

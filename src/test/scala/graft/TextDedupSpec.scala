@@ -367,4 +367,35 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got(1L)._2 < got(2L)._2,
       "the more-predictable doc must score a lower NLL")
   }
+
+  test("CMS heavy hitters: one-sided estimates that recover the exact top tokens") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = TextAnalysis.tokenCounts(d, limit = Int.MaxValue).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = TextAnalysis.cmsHeavyHitters(d, k = Int.MaxValue).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet === exact.keySet, "every distinct token gets an estimate")
+    for ((t, e) <- est)
+      assert(e >= exact(t), s"CMS must never underestimate: $t est $e < ${exact(t)}")
+    // sketch width 1024 >> distinct tokens here, so estimates are exact
+    // and the heavy-hitter ranking reproduces the exact ranking
+    val topExact = exact.toSeq.sortBy { case (t, c) => (-c, t) }.take(10)
+    val topEst = est.toSeq.sortBy { case (t, c) => (-c, t) }.take(10)
+    assert(topEst === topExact)
+  }
+
+  test("CMS sketch is mergeable: sketch(a ∪ b) = cell-wise sum of sketches") {
+    val docs = spark.range(100).selectExpr("id AS doc_id",
+      "concat('tok', cast(id % 7 AS string), ' tok', cast(id % 3 AS string)) AS text")
+    val a = docs.filter(col("doc_id") < 40)
+    val b = docs.filter(col("doc_id") >= 40)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.cmsSketch(df).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = {
+      val ca = cells(a); val cb = cells(b)
+      (ca.keySet ++ cb.keySet).map(k => k -> (ca.getOrElse(k, 0L) + cb.getOrElse(k, 0L))).toMap
+    }
+    assert(cells(docs) === merged)
+  }
 }
