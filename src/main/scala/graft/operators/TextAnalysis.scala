@@ -258,8 +258,15 @@ object TextAnalysis {
     * anchor, and the estimate is ≥ the true count per token (the
     * one-sided CMS guarantee, pinned in the spec).
     */
-  def cmsHeavyHitters(documents: DataFrame, k: Int = 50): DataFrame = {
-    val sketch = cmsSketch(documents)
+  def cmsHeavyHitters(documents: DataFrame, k: Int = 50): DataFrame =
+    cmsHeavyHittersWith(cmsSketch(documents), documents, k)
+
+  /** [[cmsHeavyHitters]] against an EXTERNALLY maintained sketch (e.g.
+    * the streamed increments of `StreamingCuration.maintainCms`, read
+    * back via [[cmsFromDir]]): estimates the given corpus's distinct
+    * tokens against whatever token stream the sketch summarizes.
+    */
+  def cmsHeavyHittersWith(sketch: DataFrame, documents: DataFrame, k: Int): DataFrame = {
     val probes = array((0 until cmsRows).map { j =>
       struct(lit(j).as("row"), cmsRowHash(col("h"), j).as("counter"))
     }: _*)
@@ -275,6 +282,22 @@ object TextAnalysis {
       .orderBy(col("est").desc, col("token"))
       .limit(k)
   }
+
+  /** The served sketch from an append-only increment dir: cell-wise
+    * sum (mergeability). Read cost is bounded by appended increments
+    * (≤ batches · rows · width cells), not corpus size.
+    */
+  def cmsFromDir(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy("row", "counter")
+      .agg(sum("c").as("c"))
+
+  /** Fold an increment dir to a single summed generation at `outDir`
+    * (a maintenance-window fold — callers needing crash-safe in-place
+    * compaction should ride the CellSnapshot manifest machinery).
+    */
+  def compactCms(spark: org.apache.spark.sql.SparkSession, dir: String, outDir: String): Unit =
+    cmsFromDir(spark, dir).write.mode("overwrite").parquet(outDir)
 
   /** Adjacent word-token bigram array over `text`: zip the token array
     * against its own tail — one narrow projection, exploded once by

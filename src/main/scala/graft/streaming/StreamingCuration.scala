@@ -41,4 +41,23 @@ object StreamingCuration {
       .dropDuplicatesWithinWatermark("text_md5")
       .drop("text_md5")
   }
+
+  /** Streaming maintenance for the Count-Min sketch: each micro-batch
+    * appends its OWN sketch cells as immutable files — no
+    * read-modify-write, no state store; mergeability
+    * ([[graft.operators.TextAnalysis.cmsSketch]]: sketch of a union =
+    * cell-wise sum) makes the served sketch `sum(c)` over everything
+    * appended, read back with [[graft.operators.TextAnalysis.cmsFromDir]].
+    * Appended bytes per batch are ≤ rows·width cells regardless of
+    * batch size; a periodic [[graft.operators.TextAnalysis.compactCms]]
+    * folds the accumulated increments back to one generation.
+    */
+  def maintainCms(newDocs: DataFrame, sketchDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        TextAnalysis.cmsSketch(batch.toDF())
+          .write.mode("append").parquet(sketchDir)
+      }
+      .start()
 }

@@ -384,6 +384,34 @@ class TextDedupSpec extends AnyFunSuite {
     assert(topEst === topExact)
   }
 
+  test("streamed CMS maintenance: appended increments sum to the batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cms_stream").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingCuration.maintainCms(
+      mem.toDF().toDF("doc_id", "text"), dir)
+    try {
+      val rows = (0L until 200L).map(i => (i, s"tok${i % 11} tok${i % 5} tok${i % 3}"))
+      mem.addData(rows.take(90): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(90): _*)
+      q.processAllAvailable()
+      val served = TextAnalysis.cmsFromDir(spark, dir).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = TextAnalysis.cmsSketch(rows.toDF("doc_id", "text")).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(served === batch)
+      // heavy hitters served from the maintained dir ≡ the batch path
+      val fromDir = TextAnalysis.cmsHeavyHittersWith(
+          TextAnalysis.cmsFromDir(spark, dir), rows.toDF("doc_id", "text"), 5)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val fromBatch = TextAnalysis.cmsHeavyHitters(rows.toDF("doc_id", "text"), 5)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(fromDir === fromBatch)
+    } finally q.stop()
+  }
+
   test("CMS sketch is mergeable: sketch(a ∪ b) = cell-wise sum of sketches") {
     val docs = spark.range(100).selectExpr("id AS doc_id",
       "concat('tok', cast(id % 7 AS string), ' tok', cast(id % 3 AS string)) AS text")
