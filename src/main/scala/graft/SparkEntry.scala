@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, CorpusPipeline, Dedup, Events, Hnsw, Ivf, Knn, Multimodal, Packing, Pca, Pq, Relational, Retrieval, Sampling, Sq, TextAnalysis, VectorLsh}
+import graft.operators.{AsofJoin, Bpe, CorpusPipeline, Dedup, Events, Hnsw, Ivf, Knn, Multimodal, Packing, Pca, Pq, Relational, Retrieval, Sampling, Sq, TextAnalysis, VectorLsh}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -206,6 +206,49 @@ object SparkEntry {
                 GROUP BY cell, i),
         ${tag}n${t + 1} AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM ${tag}m${t + 1} GROUP BY cell),
         ${tag}c${t + 1} AS (SELECT ${tag}c$t.cid, coalesce(${tag}n${t + 1}.cv, ${tag}c$t.cv) AS cv FROM ${tag}c$t LEFT JOIN ${tag}n${t + 1} USING (cid))"""
+    }
+    sb.toString
+  }
+
+  /** Unrolled BPE training rounds (mirrors Bpe.train ∘ Bpe.applyMerge):
+    * per round — pair counts over the word-type symbol table, argmax
+    * rule by (c desc, pair), greedy left-to-right application via the
+    * run-parity window form. Produces CTEs `s0..s$k` (symbol tables)
+    * and `r0..r${k-1}` (the learned rules with counts).
+    */
+  private def duckBpeCtes(k: Int): String = {
+    val sb = new StringBuilder(
+      """s0 AS MATERIALIZED (SELECT word, freq, list_append(string_split(word, ''), '</w>') AS sym
+          FROM (SELECT word, count(*) AS freq
+                FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+                GROUP BY word))""")
+    for (r <- 0 until k) {
+      sb ++= s""",
+        p$r AS (SELECT sym[i] AS w1, sym[i+1] AS w2, sum(freq) AS c
+                FROM s$r, LATERAL (SELECT unnest(generate_series(1, len(sym) - 1)) AS i) u
+                GROUP BY 1, 2),
+        r$r AS MATERIALIZED (SELECT w1, w2, CAST(c AS BIGINT) AS c FROM p$r ORDER BY c DESC, w1, w2 LIMIT 1),
+        e$r AS (SELECT word, freq, CAST(i AS BIGINT) AS i, sym[i] AS s
+                FROM s$r, LATERAL (SELECT unnest(generate_series(1, len(sym))) AS i) u),
+        m$r AS MATERIALIZED (SELECT e$r.word, e$r.freq, e$r.i, e$r.s,
+                  CASE WHEN e$r.s = r$r.w1
+                       AND lead(e$r.s) OVER (PARTITION BY e$r.word ORDER BY e$r.i) = r$r.w2
+                       THEN 1 ELSE 0 END AS mm
+                FROM e$r CROSS JOIN r$r),
+        g$r AS (SELECT word, i, i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp
+                FROM m$r WHERE mm = 1),
+        t$r AS (SELECT word, i,
+                  CASE WHEN row_number() OVER (PARTITION BY word, grp ORDER BY i) % 2 = 1
+                       THEN 1 ELSE 0 END AS tk
+                FROM g$r),
+        j$r AS (SELECT m$r.word, m$r.freq, m$r.i, m$r.s, coalesce(t$r.tk, 0) AS tk
+                FROM m$r LEFT JOIN t$r ON m$r.word = t$r.word AND m$r.i = t$r.i),
+        d$r AS (SELECT *, coalesce(lag(tk) OVER (PARTITION BY word ORDER BY i), 0) AS prev_tk
+                FROM j$r),
+        s${r + 1} AS MATERIALIZED (SELECT word, freq,
+                  list(CASE WHEN tk = 1 THEN r$r.w1 || r$r.w2 ELSE s END ORDER BY i) AS sym
+                FROM d$r CROSS JOIN r$r WHERE prev_tk <> 1
+                GROUP BY word, freq)"""
     }
     sb.toString
   }
@@ -2325,6 +2368,10 @@ object SparkEntry {
     "q_bigram_nll" -> ((s, dir) => TextAnalysis.bigramNll(Tables.documents(s, dir))),
     // Mergeable-sketch heavy hitters; q_token_counts is the exact anchor.
     "q_cms_topk" -> ((s, dir) => TextAnalysis.cmsHeavyHitters(Tables.documents(s, dir), 50)),
+    // In-engine BPE tokenizer training (word-type-weighted merge
+    // learning) and the re-encoded word-type view under those merges.
+    "q_bpe_merges" -> ((s, dir) => Bpe.train(Tables.documents(s, dir), 8)),
+    "q_bpe_encode" -> ((s, dir) => Bpe.encode(Tables.documents(s, dir), 8)),
     // Concat-then-chunk sequence packing into 1024-token training
     // sequences, per source (groups pack in parallel; no global sort).
     "q_sequence_pack" -> ((s, dir) =>
@@ -3257,6 +3304,12 @@ object SparkEntry {
                   GROUP BY token)
           SELECT token, est FROM est ORDER BY est DESC, token LIMIT 50"""
     },
+    "q_bpe_merges" ->
+      s"""WITH ${duckBpeCtes(8)}
+          ${(1 to 8).map(i => s"SELECT $i AS step, w1, w2, c FROM r${i - 1}").mkString("\n UNION ALL ")}""",
+    "q_bpe_encode" ->
+      s"""WITH ${duckBpeCtes(8)}
+          SELECT word, freq, array_to_string(sym, ' ') AS toks FROM s8""",
     "q_sequence_pack" ->
       """WITH x AS (SELECT doc_id, source,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),

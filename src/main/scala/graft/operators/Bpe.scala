@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Byte-pair-encoding tokenizer TRAINING in-engine — the published
+  * merge-rule learner (Sennrich et al.: iteratively merge the most
+  * frequent adjacent symbol pair), run as k declarative rounds.
+  *
+  * Formulation: training operates on the WORD-TYPE table (distinct
+  * words weighted by corpus frequency) — the standard reduction. The
+  * corpus-scale cost is exactly ONE groupBy(word) count; every round
+  * after that is vocabulary-sized (a 100-TB corpus still has a
+  * bounded word-type table, the broadcast side of any plan that uses
+  * the learned rules).
+  *
+  * Semantics pinned for the oracle (all deterministic):
+  *  - initial symbols: the word's characters plus a final `</w>`
+  *    end-of-word marker;
+  *  - pair counts: EVERY adjacent symbol pair, weighted by word freq
+  *    (overlapping occurrences counted, the reference implementation's
+  *    get_stats behavior);
+  *  - rule selection: max count, ties by (w1, w2) lexicographic;
+  *  - merge application: greedy left-to-right non-overlapping. For a
+  *    rule (a,b) with a ≠ b adjacent matches can never overlap; for
+  *    a = b they overlap exactly within runs of equal symbols, where
+  *    greedy takes every OTHER match (run-parity) — that equivalence
+  *    is what lets both engines apply merges with window functions
+  *    instead of a per-row fold.
+  */
+object Bpe {
+
+  /** Corpus word-type table: `(word, freq)`. The one corpus-scale pass. */
+  def wordTypes(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"))
+
+  /** Initial symbol table: `(word, freq, sym: array<string>)`. */
+  def initialSymbols(words: DataFrame): DataFrame =
+    words.select(col("word"), col("freq"),
+      concat(
+        filter(split(col("word"), ""), s => length(s) > 0),
+        array(lit("</w>"))).as("sym"))
+
+  /** Adjacent-pair frequencies over a symbol table:
+    * `(w1, w2, c)` with c = Σ freq over every adjacent occurrence.
+    */
+  def pairCounts(syms: DataFrame): DataFrame = {
+    val s = col("sym")
+    val zipped = arrays_zip(
+      slice(s, lit(1), size(s) - 1), slice(s, lit(2), size(s) - 1))
+    syms
+      .filter(size(s) >= 2)
+      .select(col("freq"), explode(zipped).as("p"))
+      .groupBy(col("p.0").as("w1"), col("p.1").as("w2"))
+      .agg(sum("freq").as("c"))
+  }
+
+  /** Apply one merge rule (a,b) → "ab" to every row's symbol array —
+    * greedy left-to-right via run-parity (see object doc). Explode →
+    * two windows → regroup; all work is vocabulary-sized.
+    */
+  def applyMerge(syms: DataFrame, a: String, b: String): DataFrame = {
+    val byWord = Window.partitionBy("word").orderBy("i")
+    val e = syms
+      .select(col("word"), col("freq"), posexplode(col("sym")).as(Seq("i0", "s")))
+      .select(col("word"), col("freq"), (col("i0") + 1).as("i"), col("s"))
+      .withColumn("mm",
+        when(col("s") === a && lead("s", 1).over(byWord) === b, 1).otherwise(0))
+    // islands of CONSECUTIVE matches (only possible when a = b); greedy
+    // takes the 1st, 3rd, ... match of each island
+    val matches = e.filter(col("mm") === 1)
+      .withColumn("grp", col("i") - row_number().over(byWord))
+    val taken = matches
+      .withColumn("tk",
+        when(row_number().over(Window.partitionBy("word", "grp").orderBy("i")) % 2 === 1, 1)
+          .otherwise(0))
+      .select(col("word").as("t_word"), col("i").as("t_i"), col("tk"))
+    val joined = e
+      .join(taken, col("word") === col("t_word") && col("i") === col("t_i"), "left")
+      .select(col("word"), col("freq"), col("i"), col("s"),
+        coalesce(col("tk"), lit(0)).as("tk"))
+      .withColumn("drop_second",
+        coalesce(lag("tk", 1).over(byWord), lit(0)) === 1)
+    joined
+      .filter(!col("drop_second"))
+      .groupBy("word", "freq")
+      .agg(transform(array_sort(collect_list(struct(col("i"),
+          when(col("tk") === 1, lit(a + b)).otherwise(col("s")).as("s")))),
+        x => x.getField("s")).as("sym"))
+  }
+
+  /** Learn `k` merge rules: `(step, w1, w2, c)`, step 1-based in learn
+    * order. Each round collects ONE row (the argmax rule) to the
+    * driver — the centroid-collect contract; the symbol table is
+    * localCheckpointed per round to truncate the unrolled lineage.
+    */
+  def train(documents: DataFrame, k: Int): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    var syms = initialSymbols(wordTypes(documents))
+    val rules = Seq.newBuilder[(Int, String, String, Long)]
+    for (step <- 1 to k) {
+      val top = pairCounts(syms)
+        .orderBy(col("c").desc, col("w1"), col("w2"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val r = top(0)
+        val (a, b) = (r.getString(0), r.getString(1))
+        rules += ((step, a, b, r.getLong(2)))
+        syms = applyMerge(syms, a, b).localCheckpoint(true)
+      }
+    }
+    rules.result().toDF("step", "w1", "w2", "c")
+  }
+
+  /** The word-type table re-encoded under `k` learned merges:
+    * `(word, freq, toks)` with `toks` the space-joined symbol string
+    * (symbols never contain spaces). The trained-tokenizer view a
+    * pipeline joins against its corpus — vocabulary-sized, broadcast
+    * side at any scale.
+    */
+  def encode(documents: DataFrame, k: Int): DataFrame = {
+    val spark = documents.sparkSession
+    val rules = train(documents, k).orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    var syms = initialSymbols(wordTypes(documents))
+    for ((a, b) <- rules) syms = applyMerge(syms, a, b).localCheckpoint(true)
+    syms.select(col("word"), col("freq"),
+      array_join(col("sym"), " ").as("toks"))
+  }
+}

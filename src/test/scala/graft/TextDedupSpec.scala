@@ -426,4 +426,36 @@ class TextDedupSpec extends AnyFunSuite {
     }
     assert(cells(docs) === merged)
   }
+
+  test("BPE training reproduces the published worked example") {
+    import graft.operators.Bpe
+    // the Sennrich corpus: low x5, lower x2, newest x6, widest x3
+    def rep(w: String, n: Int) = Seq.fill(n)(w)
+    val text = (rep("low", 5) ++ rep("lower", 2) ++ rep("newest", 6) ++ rep("widest", 3))
+      .mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val rules = Bpe.train(docs, 5).orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(rules === Seq(
+      ("e", "s", 9L),        // es/st/t</w> tie at 9 -> lexicographic
+      ("es", "t", 9L),
+      ("est", "</w>", 9L),
+      ("l", "o", 7L),        // lo/ow tie at 7
+      ("lo", "w", 7L)))
+    val enc = Bpe.encode(docs, 5).collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(enc === Map(
+      "low" -> "low </w>",
+      "lower" -> "low e r </w>",
+      "newest" -> "n e w est</w>",
+      "widest" -> "w i d est</w>"))
+  }
+
+  test("BPE merge application is greedy left-to-right within equal-symbol runs") {
+    import graft.operators.Bpe
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    // chars a a a a </w>: (a,a) x3 overlapping; greedy takes offsets 1 and 3
+    val enc = Bpe.encode(docs, 1).collect().map(r => r.getString(2))
+    assert(enc.toSeq === Seq("aa aa </w>"))
+  }
 }
