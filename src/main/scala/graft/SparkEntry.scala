@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Bpe, CorpusPipeline, Dedup, Events, Hnsw, Ivf, Knn, Multimodal, Packing, Pca, Pq, Relational, Retrieval, Sampling, Sq, TextAnalysis, VectorLsh}
+import graft.operators.{AsofJoin, Bpe, Classifier, CorpusPipeline, Dedup, Events, Hnsw, Ivf, Knn, Multimodal, Packing, Pca, Pq, Relational, Retrieval, Sampling, Sq, TextAnalysis, VectorLsh}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -249,6 +249,47 @@ object SparkEntry {
                   list(CASE WHEN tk = 1 THEN r$r.w1 || r$r.w2 ELSE s END ORDER BY i) AS sym
                 FROM d$r CROSS JOIN r$r WHERE prev_tk <> 1
                 GROUP BY word, freq)"""
+    }
+    sb.toString
+  }
+
+  /** Unrolled-GD CTE chain mirroring Classifier.train (the BPE
+    * pattern): feats, then per round r a weights row r{r} from
+    * r{r-1} × feats. Arithmetic mirrors the engine bit-for-bit:
+    * decimal margin → double, algebraic sigmoid (IEEE-only ops),
+    * per-row gradient truncated to DECIMAL(38,12) before the sum,
+    * step cast back to DECIMAL(18,12).
+    */
+  private def duckLogregCtes(rounds: Int, lr: Double, labelTerm: String,
+                             featTerms: Seq[String]): String = {
+    val nf = featTerms.size
+    val xDefs = featTerms.zipWithIndex.map { case (t, j) =>
+      s"CAST(len(list_filter(string_split(text, ' '), t -> t = '$t')) AS BIGINT) AS x${j + 1}"
+    }.mkString(",\n                ")
+    val w0 = (0 to nf).map(j => s"CAST(0 AS DECIMAL(18,12)) AS w$j").mkString(", ")
+    val sb = new StringBuilder(
+      s"""lrfeats AS MATERIALIZED (SELECT doc_id,
+                CAST(CASE WHEN list_contains(string_split(text, ' '), '$labelTerm')
+                     THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y,
+                $xDefs
+              FROM documents),
+        lr0 AS (SELECT $w0)""")
+    val margin = (1 to nf).map(j => s" + r.w$j * CAST(f.x$j AS DECIMAL(6,0))")
+      .mkString
+    for (r <- 1 to rounds) {
+      val upd = (0 to nf).map { j =>
+        val xj = if (j == 0) "1.0" else s"CAST(x$j AS DOUBLE)"
+        s"""CAST(max(w$j) - CAST($lr * (CAST(sum(CAST((p - y) * $xj AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS DECIMAL(18,12)) AS DECIMAL(18,12)) AS w$j"""
+      }.mkString(",\n                  ")
+      sb ++= s""",
+        lr$r AS MATERIALIZED (
+          SELECT $upd
+          FROM (SELECT y, ${(1 to nf).map(j => s"x$j").mkString(", ")},
+                       ${(0 to nf).map(j => s"w$j").mkString(", ")},
+                       0.5 + 0.5 * m / (1.0 + abs(m)) AS p
+                FROM (SELECT f.*, ${(0 to nf).map(j => s"r.w$j").mkString(", ")},
+                             CAST(r.w0$margin AS DOUBLE) AS m
+                      FROM lrfeats f, lr${r - 1} r)))"""
     }
     sb.toString
   }
@@ -2377,6 +2418,19 @@ object SparkEntry {
     "q_sequence_pack" -> ((s, dir) =>
       Packing.packSequences(Tables.documents(s, dir), "source", "doc_id",
         size(graft.functions.TextFunctions.tokens(col("text"))), budget = 1024)),
+    // Sliding-window chunking (32-word chunks every 24 words) —
+    // narrow split + bounded sequence explode + slice; no shuffle.
+    "q_chunk_docs" -> ((s, dir) =>
+      Packing.chunkDocs(Tables.documents(s, dir), window = 32, stride = 24)),
+    // In-engine trainable relevance classifier: 6 unrolled declarative
+    // GD rounds (algebraic sigmoid — IEEE-portable; see Classifier doc),
+    // label = contains "spark", features = tf of three pivot terms.
+    "q_logreg_weights" -> ((s, dir) =>
+      Classifier.weights(Tables.documents(s, dir), "spark",
+        Seq("query", "join", "table"), rounds = 6)),
+    "q_logreg_scores" -> ((s, dir) =>
+      Classifier.scores(Tables.documents(s, dir), "spark",
+        Seq("query", "join", "table"), rounds = 6)),
 
     // ---- retrieval (lexical + hybrid) ----
     // BM25 over the documents corpus: one broadcast stats row (N,
@@ -2385,6 +2439,12 @@ object SparkEntry {
     // via TakeOrderedAndProject.
     "q_bm25_topk" -> ((s, dir) =>
       Retrieval.bm25TopK(Tables.documents(s, dir), retrievalTerms, 10)),
+    // TF-IDF cosine through the POSTING-LIST shape (true doc norms
+    // over the full vocabulary — the wide-query form BM25's narrow
+    // scan can't express): one explode shuffle, broadcast idf, one
+    // doc-keyed agg, TakeOrdered k.
+    "q_tfidf_topk" -> ((s, dir) =>
+      Retrieval.tfidfTopK(Tables.documents(s, dir), retrievalTerms, 10)),
     // Reciprocal-rank fusion of the BM25 list with the cosine top-k
     // list (doc_id ≡ vec_id) — both inputs already truncated to
     // poolK rows before the windows and the full-outer join.
@@ -3320,10 +3380,62 @@ object SparkEntry {
                 CAST(floor((cum - n_tokens) / 1024) AS BIGINT) AS seq_id FROM c)
           SELECT *, row_number() OVER (PARTITION BY source, seq_id ORDER BY doc_id) AS seq_pos
           FROM s""",
+    // Sliding-window chunking: starts 0, 24, 48, …; a doc shorter than
+    // the window is one chunk; list_slice clamps the final window.
+    "q_chunk_docs" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          s AS (SELECT doc_id, w,
+                unnest(generate_series(0, greatest(len(w) - 32, 0) // 24)) AS chunk_id FROM d),
+          c AS (SELECT doc_id, chunk_id,
+                list_slice(w, chunk_id * 24 + 1, chunk_id * 24 + 32) AS cw FROM s)
+          SELECT doc_id, chunk_id, CAST(len(cw) AS BIGINT) AS n_words,
+                 array_to_string(cw, ' ') AS chunk_text FROM c""",
+    // In-engine GD classifier: 6 unrolled rounds (the BPE CTE-chain
+    // pattern); lr6 is the trained weights row.
+    "q_logreg_weights" ->
+      s"""WITH ${duckLogregCtes(6, 0.5, "spark", Seq("query", "join", "table"))}
+          SELECT round(CAST(w0 AS DOUBLE), 6) AS w0, round(CAST(w1 AS DOUBLE), 6) AS w1,
+                 round(CAST(w2 AS DOUBLE), 6) AS w2, round(CAST(w3 AS DOUBLE), 6) AS w3
+          FROM lr6""",
+    "q_logreg_scores" ->
+      s"""WITH ${duckLogregCtes(6, 0.5, "spark", Seq("query", "join", "table"))}
+          SELECT doc_id, y, round(0.5 + 0.5 * m / (1.0 + abs(m)), 6) AS score
+          FROM (SELECT f.doc_id, f.y,
+                       CAST(r.w0 + r.w1 * CAST(f.x1 AS DECIMAL(6,0))
+                                 + r.w2 * CAST(f.x2 AS DECIMAL(6,0))
+                                 + r.w3 * CAST(f.x3 AS DECIMAL(6,0)) AS DOUBLE) AS m
+                FROM lrfeats f, lr6 r)""",
     "q_bm25_topk" ->
       s"""WITH $duckBm25Ctes
           SELECT doc_id, bm25 FROM bmscored WHERE bm25 > 0
           ORDER BY bm25 DESC, doc_id LIMIT 10""",
+    // TF-IDF cosine, posting-list shape: idf truncated to
+    // DECIMAL(38,12) per term; per-posting norm/numerator
+    // contributions are IEEE-double products truncated to
+    // DECIMAL(38,12) before the per-doc sums (mirrors tfidfTopK).
+    "q_tfidf_topk" -> {
+      val inList = retrievalTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+          post AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+          n AS (SELECT count(*) AS n_docs FROM documents),
+          idf AS (SELECT term,
+                    CAST(ln(CAST((SELECT n_docs FROM n) + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) + 1.0
+                         AS DECIMAL(38,12)) AS idf
+                  FROM (SELECT term, count(*) AS df FROM post GROUP BY term)),
+          pd AS (SELECT p.doc_id,
+                   sum(CAST((CAST(p.tf AS DOUBLE) * CAST(i.idf AS DOUBLE))
+                            * (CAST(p.tf AS DOUBLE) * CAST(i.idf AS DOUBLE)) AS DECIMAL(38,12))) AS norm2,
+                   sum(CASE WHEN p.term IN ($inList)
+                       THEN CAST((CAST(p.tf AS DOUBLE) * CAST(i.idf AS DOUBLE)) * CAST(i.idf AS DOUBLE) AS DECIMAL(38,12))
+                       ELSE CAST(0 AS DECIMAL(38,12)) END) AS num
+                 FROM post p JOIN idf i USING (term) GROUP BY p.doc_id),
+          qn AS (SELECT sum(CAST(CAST(idf AS DOUBLE) * CAST(idf AS DOUBLE) AS DECIMAL(38,12))) AS qnorm2
+                 FROM idf WHERE term IN ($inList))
+          SELECT doc_id,
+                 round(CAST(num AS DOUBLE) / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(qnorm2 AS DOUBLE))), 6) AS tfidf
+          FROM pd, qn WHERE num > 0
+          ORDER BY tfidf DESC, doc_id LIMIT 10"""
+    },
     // maxsim: per (doc, query-token) max inner product, summed in the
     // SAME static ascending-tok order as the engine's score chain
     "q_maxsim_topk" -> duckMaxsimTopK,

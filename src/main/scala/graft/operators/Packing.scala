@@ -54,4 +54,37 @@ object Packing {
       .withColumn("seq_pos",
         row_number().over(Window.partitionBy(col(groupCol), col("seq_id")).orderBy(ord: _*)))
   }
+
+  /** Sliding-window document chunking — the RAG/pretraining step that
+    * cuts each document into overlapping `window`-word pieces every
+    * `stride` words. Chunk `i` of a document covers words
+    * `[i·stride, i·stride + window)`; a document emits
+    * `1 + floor(max(n − window, 0) / stride)` chunks, so a document
+    * shorter than `window` is exactly one (short) chunk; when
+    * `n > window`, at most `stride − 1` trailing words past the final
+    * window are dropped (standard sliding-window truncation).
+    *
+    * Scale shape: entirely NARROW — per row, a split, a bounded
+    * `sequence` explode (fan-out ≈ n/stride), and an array slice. No
+    * shuffle, no window function, no state; 100 TB chunks at scan
+    * speed and the output inherits the input's partitioning. Output:
+    * `(doc_id, chunk_id, n_words, chunk_text)`.
+    */
+  def chunkDocs(documents: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window >= 1, s"chunk window must be >= 1 (got $window)")
+    require(stride >= 1 && stride <= window,
+      s"stride must be in [1, window] (got stride=$stride, window=$window)")
+    val w = graft.functions.TextFunctions.tokens(col("text"))
+    documents
+      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0),
+          floor(greatest(size(col("w")) - window, lit(0)) / stride).cast("int")))
+          .as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("w"), col("chunk_id") * stride + 1, lit(window)).as("cw"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("cw")).cast("long").as("n_words"),
+        concat_ws(" ", col("cw")).as("chunk_text"))
+  }
 }

@@ -125,6 +125,75 @@ object Retrieval {
       roundTo)
   }
 
+  /** TF-IDF cosine retrieval through the POSTING-LIST shape — the
+    * complement of [[bm25TopK]]'s narrow per-row scan, and the form
+    * the BM25 doc points wide queries at: corpus terms are exploded
+    * once into a `(doc_id, term, tf)` posting table, document
+    * frequencies and idf weights come from one vocabulary-sized
+    * aggregate of it, and a single per-document aggregation produces
+    * BOTH the true cosine norm (over the document's ENTIRE tf-idf
+    * vector, every term — what the narrow BM25 shape cannot reach)
+    * and the query-term numerator:
+    *   idf(t)    = ln((N+1)/(df+1)) + 1          (smoothed, ≥ 1)
+    *   w(t,d)    = tf(t,d)·idf(t);  q(t) = idf(t), t ∈ query
+    *   score(d)  = Σ_{t∈q} w(t,d)·q(t) / (‖w(·,d)‖ · ‖q‖)
+    *
+    * Scale shape: the explode+groupBy posting build is the ONE
+    * corpus-scale exchange (keyed (doc_id, term) — map-side combine
+    * collapses repeats within a partition first); idf is
+    * vocabulary-sized and BROADCASTs onto the postings; the norm +
+    * numerator fold is one hash aggregate back on doc_id; top-k is
+    * TakeOrderedAndProject. Nothing after the posting build touches
+    * corpus-scale data twice.
+    *
+    * Determinism (the cross-engine contract): idf is truncated to
+    * DECIMAL(38,12) once per TERM; each posting's norm/numerator
+    * contribution is computed in IEEE doubles (products only —
+    * correctly rounded everywhere) and truncated to DECIMAL(38,12)
+    * BEFORE the per-document sums, so partition order cannot move a
+    * bit; the final score is double arithmetic over exact sums,
+    * rounded to `roundTo`.
+    */
+  def tfidfTopK(documents: DataFrame, terms: Seq[String], k: Int,
+                roundTo: Int = 6): DataFrame = {
+    require(terms.nonEmpty, "tfidfTopK needs at least one query term")
+    require(terms.distinct == terms, "tfidfTopK query terms must be distinct")
+    val postings = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    // one scalar to the driver (the bigramNll vocabulary pattern)
+    val nDocs = documents.count()
+    val idf = postings
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"))
+      .select(col("term"),
+        (log(lit((nDocs + 1).toDouble) / (col("df") + lit(1)).cast("double")) + lit(1.0))
+          .cast("decimal(38,12)").as("idf"))
+    val w = col("tf").cast("double") * col("idf").cast("double")
+    val perDoc = postings
+      .join(broadcast(idf), Seq("term"))
+      .groupBy("doc_id")
+      .agg(
+        sum((w * w).cast("decimal(38,12)")).as("norm2"),
+        sum(when(col("term").isin(terms: _*),
+          (w * col("idf").cast("double")).cast("decimal(38,12)"))
+          .otherwise(lit(0).cast("decimal(38,12)"))).as("num"))
+    val qnorm2 = idf
+      .filter(col("term").isin(terms: _*))
+      .agg(sum((col("idf").cast("double") * col("idf").cast("double"))
+        .cast("decimal(38,12)")).as("qnorm2"))
+    perDoc
+      .crossJoin(broadcast(qnorm2))
+      .filter(col("num") > 0)
+      .select(col("doc_id"),
+        round(col("num").cast("double") /
+          (sqrt(col("norm2").cast("double")) * sqrt(col("qnorm2").cast("double"))),
+          roundTo).as("tfidf"))
+      .orderBy(col("tfidf").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Hybrid retrieval by reciprocal-rank fusion (Cormack et al.):
     * fuse the BM25 top-`poolK` lexical list with the cosine top-`poolK`
     * embedding list (doc_id ≡ vec_id row alignment),

@@ -56,6 +56,40 @@ class PackingSpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  test("chunkDocs: window/stride laws — count, full windows, overlap reconstruction") {
+    import graft.operators.Packing.chunkDocs
+    val texts = Seq(
+      (0L, "a"), // shorter than window: one short chunk
+      (1L, (1 to 32).map(i => s"w$i").mkString(" ")), // exactly one window
+      (2L, (1 to 33).map(i => s"w$i").mkString(" ")), // one word past: still 1 chunk, tail rides nowhere
+      (3L, (1 to 100).map(i => s"w$i").mkString(" ")) // several overlapping chunks
+    ).toDF("doc_id", "text")
+    val got = chunkDocs(texts, window = 32, stride = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(x => (x._1, x._2))
+    // counts: 1 + floor(max(n-32,0)/24)
+    val counts = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(counts == Map(0L -> 1, 1L -> 1, 2L -> 1, 3L -> (1 + (100 - 32) / 24)))
+    // every chunk of a doc with n >= window has exactly `window` words
+    got.filter(c => c._1 >= 1).foreach { c =>
+      assert(c._3 == 32L, s"chunk $c must be a full window")
+    }
+    // chunk i starts at word i*stride + 1
+    val d3 = got.filter(_._1 == 3L)
+    d3.foreach { case (_, i, _, text) =>
+      assert(text.startsWith(s"w${i * 24 + 1} "), s"chunk $i misaligned: $text")
+    }
+    // short doc: the whole text, once
+    assert(got.filter(_._1 == 0L).head._4 == "a")
+  }
+
+  test("chunkDocs is shuffle-free (narrow split + explode + slice)") {
+    import graft.operators.Packing.chunkDocs
+    val texts = Seq((0L, (1 to 80).map(_.toString).mkString(" "))).toDF("doc_id", "text")
+    val plan = chunkDocs(texts, 32, 24).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
   test("one exchange only: the seq_pos window reuses the group partitioning") {
     // budget 101: avoid hitting test 2's cached relation, whose AQE
     // string would double-print its exchange (initial + final plan)

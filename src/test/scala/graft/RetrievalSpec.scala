@@ -274,4 +274,45 @@ class RetrievalSpec extends AnyFunSuite {
     }.toSeq.sortBy { case (d, s) => (-s, d) }.take(40)
     assert(got === expected)
   }
+
+  test("tfidfTopK: hand-computed cosine over the full tf-idf vectors; zero-overlap docs dropped") {
+    // corpus: d0 {cat dog}, d1 {cat cat fish}, d2 {bird}; query {cat}
+    val got = Retrieval.tfidfTopK(docs, Seq("cat"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // idf(t) = trunc12(ln(4/(df+1)) + 1); w(t,d) = tf*idf
+    def idf(df: Int): Double =
+      BigDecimal(math.log(4.0 / (df + 1)) + 1.0)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val iCat = idf(2); val iDog = idf(1); val iFish = idf(1); val iBird = idf(1)
+    def trunc(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    // per-doc norm² and numerator from DECIMAL-truncated contributions
+    val n0 = trunc(iCat * iCat) + trunc(iDog * iDog)
+    val n1 = trunc((2 * iCat) * (2 * iCat)) + trunc(iFish * iFish)
+    val qn = trunc(iCat * iCat)
+    val s0 = (trunc(iCat * iCat).toDouble /
+      (math.sqrt(n0.toDouble) * math.sqrt(qn.toDouble)))
+    val s1 = (trunc((2 * iCat) * iCat).toDouble /
+      (math.sqrt(n1.toDouble) * math.sqrt(qn.toDouble)))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = Seq(1L -> r6(s1), 0L -> r6(s0))
+      .sortBy { case (d, s) => (-s, d) }
+    assert(got === expected, s"got $got expected $expected")
+    assert(!got.exists(_._1 == 2L), "doc without any query term must be dropped")
+  }
+
+  test("tfidfTopK: idf join broadcasts and scores are partition-count-invariant") {
+    val many = (0L until 200L).map { i =>
+      (i, if (i % 5 == 0) "cat common" else "common filler fish")
+    }.toDF("doc_id", "text")
+    val a = Retrieval.tfidfTopK(many.repartition(1), Seq("cat", "fish"), 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val b = Retrieval.tfidfTopK(many.repartition(7), Seq("cat", "fish"), 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(a === b, "decimal-truncated sums must not move with partitioning")
+    val plan = Retrieval.tfidfTopK(many, Seq("cat"), 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"the vocabulary-sized idf relation must broadcast onto the postings:\n$plan")
+  }
 }
