@@ -119,6 +119,14 @@ object GraftExtensions {
     *    `dir/embeddings` — the `q_semdedup` semantics.
     *  - `bigram_nll(dir)`: corpus-trained bigram-LM perplexity scores
     *    over `dir/documents` — the `q_bigram_nll` semantics.
+    *  - `chunk_docs(dir, window, stride)`: sliding-window word
+    *    chunking over `dir/documents` — the `q_chunk_docs` semantics.
+    *  - `tfidf_topk(dir, k, term, ...)`: TF-IDF cosine top-k (posting-
+    *    list shape, full-vocabulary doc norms) over `dir/documents` —
+    *    the `q_tfidf_topk` semantics.
+    *  - `logreg_scores(dir, rounds, label, feat, ...)`: corpus scored
+    *    under the in-engine GD-trained linear classifier — the
+    *    `q_logreg_scores` semantics.
     */
   val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] = Seq(
     (FunctionIdentifier("knn_topk"), info("knn_topk"),
@@ -265,6 +273,24 @@ object GraftExtensions {
       tvf("bigram_nll") { (spark, args) =>
         require(args.length == 1, "bigram_nll(dir)")
         graft.operators.TextAnalysis.bigramNll(Tables.documents(spark, asString(args(0))))
+      }),
+    (FunctionIdentifier("chunk_docs"), info("chunk_docs"),
+      tvf("chunk_docs") { (spark, args) =>
+        require(args.length == 3, "chunk_docs(dir, window, stride)")
+        graft.operators.Packing.chunkDocs(Tables.documents(spark, asString(args(0))),
+          asInt(args(1)), asInt(args(2)))
+      }),
+    (FunctionIdentifier("tfidf_topk"), info("tfidf_topk"),
+      tvf("tfidf_topk") { (spark, args) =>
+        require(args.length >= 3, "tfidf_topk(dir, k, term, ...)")
+        Retrieval.tfidfTopK(Tables.documents(spark, asString(args(0))),
+          args.drop(2).map(asString), asInt(args(1)))
+      }),
+    (FunctionIdentifier("logreg_scores"), info("logreg_scores"),
+      tvf("logreg_scores") { (spark, args) =>
+        require(args.length >= 4, "logreg_scores(dir, rounds, label, feat, ...)")
+        graft.operators.Classifier.scores(Tables.documents(spark, asString(args(0))),
+          asString(args(2)), args.drop(3).map(asString), asInt(args(1)))
       }))
 
   /** Register on an already-created session (tests, notebooks). */

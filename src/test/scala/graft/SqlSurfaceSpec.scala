@@ -177,6 +177,37 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(fromSql.nonEmpty)
   }
 
+  test("SQL TVF chunk_docs(dir, window, stride) matches the declared Column-API query") {
+    GraftExtensions.register(spark)
+    val fromSql = spark.sql(s"SELECT * FROM chunk_docs('$sf', 32, 24)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val fromApi = SparkEntry.queries("q_chunk_docs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(fromSql === fromApi)
+    assert(fromSql.nonEmpty)
+  }
+
+  test("SQL TVF tfidf_topk(dir, k, terms...) matches the declared Column-API query") {
+    GraftExtensions.register(spark)
+    val fromSql = spark.sql(s"SELECT * FROM tfidf_topk('$sf', 10, 'dup', 'vector', 'spark')")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fromApi = SparkEntry.queries("q_tfidf_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromSql === fromApi)
+    assert(fromSql.length === 10)
+  }
+
+  test("SQL TVF logreg_scores(dir, rounds, label, feats...) matches the declared Column-API query") {
+    GraftExtensions.register(spark)
+    val fromSql = spark.sql(
+      s"SELECT * FROM logreg_scores('$sf', 6, 'spark', 'query', 'join', 'table')")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    val fromApi = SparkEntry.queries("q_logreg_scores")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(fromSql === fromApi)
+    assert(fromSql.nonEmpty)
+  }
+
   test("TVFs compose with plain SQL (filter + order over the TVF result)") {
     GraftExtensions.register(spark)
     val top3 = spark.sql(
