@@ -134,4 +134,28 @@ object Classifier {
     w.select((0 to featTerms.size).map(j =>
       round(col(s"w$j").cast("double"), 6).as(s"w$j")): _*)
   }
+
+  /** STREAMING-ready scorer (the bm25Scorer pattern): train ONCE on
+    * the (batch) reference corpus, collect the weights, and freeze
+    * them into the returned column as LITERALS — scoring an incoming
+    * document stream is then a stateless narrow projection over
+    * `text` (no agg, no join): `readStream → select(score) → route`
+    * is the ingest-time quality/relevance gate. Identical arithmetic
+    * to [[scores]] (decimal margin from the same frozen decimals →
+    * double → σ̃ → round), so batch and streamed scores are equal —
+    * spec-pinned. Weight staleness is the caller's retrain policy,
+    * exactly like an ANN index generation.
+    */
+  def scorer(referenceCorpus: DataFrame, labelTerm: String,
+             featTerms: Seq[String], rounds: Int, lr: Double = 0.5): Column = {
+    val row = train(referenceCorpus, labelTerm, featTerms, rounds, lr).head()
+    val toks = tokens(col("text"))
+    val margin = cast18(
+      featTerms.zipWithIndex.foldLeft(
+        lit(row.getDecimal(0)).cast("decimal(18,12)"): Column) { case (acc, (t, j0)) =>
+        acc + lit(row.getDecimal(j0 + 1)).cast("decimal(18,12)") *
+          size(filter(toks, x => x === t)).cast("decimal(6,0)")
+      }).cast("double")
+    round(squash(margin), 6)
+  }
 }

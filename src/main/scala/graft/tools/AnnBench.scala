@@ -49,6 +49,7 @@ object AnnBench {
     if (args.contains("pqclustered")) { pqClusteredSmoke(spark); spark.stop(); return }
     if (args.contains("tiers")) { tiersSmoke(spark); spark.stop(); return }
     if (args.contains("dedupscale")) { dedupScaleSmoke(spark); spark.stop(); return }
+    if (args.contains("textscale")) { textScaleSmoke(spark); spark.stop(); return }
     if (args.contains("spanscale")) { spanScaleSmoke(spark); spark.stop(); return }
     if (args.contains("graphscale")) { graphScaleSmoke(spark); spark.stop(); return }
     if (args.contains("layoutscale")) { layoutScaleSmoke(spark); spark.stop(); return }
@@ -369,6 +370,83 @@ object AnnBench {
     println(json)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/dedup_scale.json"), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[annbench] file write failed: ${e.getMessage}") }
+  }
+
+  /** Chunking / TF-IDF / classifier scale smoke at 2M docs (80M words):
+    *
+    *  - `chunk_full`: 16/8 sliding-window chunking. Analytic row count
+    *    (docs are fixed-length): exactly `1 + (40−16)/8 = 4` chunks per
+    *    doc — the measured count is CHECKED against 4n, and the phase's
+    *    shuffle bytes demonstrate the claimed shuffle-free plan (only
+    *    the count's own 32-row partial-agg exchange remains).
+    *  - `tfidf_topk10`: posting-list TF-IDF over a ~150k-term effective
+    *    vocabulary — the explode+groupBy posting build is the measured
+    *    corpus-scale exchange; everything above it is vocabulary- or
+    *    k-sized.
+    *  - `logreg_train4`: 4 unrolled GD rounds over the 2M-doc feature
+    *    projection — wall ≈ 4 narrow scans + 4 one-row aggregates; the
+    *    shuffle bytes stay task-count-sized (one partial-sum row per
+    *    task per round), never corpus-sized.
+    *
+    * Word 0 of every doc is an UNSUFFIXED vocab word so the query /
+    * label / feature terms ("query", "spark", "join", "table") exist
+    * with realistic document frequencies.
+    */
+  private def textScaleSmoke(spark: SparkSession): Unit = {
+    import graft.operators.{Classifier, Packing, Retrieval}
+    val n = sys.env.get("SPARK_GRAFT_TEXT_N").flatMap(_.toIntOption).getOrElse(2000000)
+    val vocab = ("the quick brown fox jumps over lazy dog table scan merge sort join filter " +
+      "group window batch stream row value data key order hash part small fast slow query " +
+      "spark line customer index cache disk memory block shard range probe").split(" ").toSeq
+    val vlit = array(vocab.map(lit): _*)
+    val wordsPerDoc = 40
+    val wordCols = (0 until wordsPerDoc).map { w =>
+      val base = element_at(vlit, (pmod(hash(col("id"), lit(w)), lit(vocab.size)) + 1).cast("int"))
+      if (w == 0) base
+      else concat(base, pmod(hash(col("id"), lit(w + 104729)), lit(4096)).cast("string"))
+    }
+    val docs = spark.range(n).select(
+        col("id").as("doc_id"), concat_ws(" ", wordCols: _*).as("text"))
+      .cache()
+    docs.count()
+
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+    def phase(label: String)(f: => Long): String = {
+      System.gc()
+      val s0 = shuffleBytes.get()
+      val t0 = System.nanoTime()
+      val count = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      val sb = shuffleBytes.get() - s0
+      s""""$label":{"rows":$count,"wall_sec":${fmt(sec, 1)},"shuffle_write_bytes":$sb}"""
+    }
+
+    val chunks = phase("chunk_full") {
+      val c = Packing.chunkDocs(docs, window = 16, stride = 8).count()
+      require(c == 4L * n, s"chunk count $c != analytic ${4L * n}")
+      c
+    }
+    val tfidf = phase("tfidf_topk10") {
+      Retrieval.tfidfTopK(docs, Seq("query", "spark", "join"), 10).count()
+    }
+    val logreg = phase("logreg_train4") {
+      val w = Classifier.train(docs, "spark", Seq("query", "join", "table"), rounds = 4).head()
+      require((0 to 3).exists(j => w.getDecimal(j).signum != 0), "weights must move")
+      1L
+    }
+    val json = s"""{"text_scale":{"n_docs":$n,"words_per_doc":$wordsPerDoc,""" +
+      s"""$chunks,$tfidf,$logreg}}"""
+    println(json)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/text_scale.json"), json + "\n")
     catch { case e: Throwable => System.err.println(s"[annbench] file write failed: ${e.getMessage}") }
   }
 

@@ -75,6 +75,34 @@ class ClassifierSpec extends AnyFunSuite {
     }
   }
 
+  test("scorer (frozen weights) == batch scores, and runs on a stream statelessly") {
+    val batch = Classifier.scores(docs, "pos", featTerms, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val frozen = Classifier.scorer(docs, "pos", featTerms, rounds = 4)
+    val viaCol = docs.select(col("doc_id"), frozen.as("score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaCol === batch, "frozen-literal scorer must equal the crossJoined form")
+    // same column over a document stream: stateless narrow projection
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val streamed = mem.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), frozen.as("score"))
+    val q = streamed.writeStream.format("memory").queryName("clf_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((7L, "good good filler pos"), (8L, "bad filler"))
+      q.processAllAvailable()
+      val got = spark.table("clf_out").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val expect = Seq((7L, "good good filler pos"), (8L, "bad filler"))
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), frozen.as("score"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got === expect, "streamed scores must equal batch scores row-for-row")
+    } finally q.stop()
+  }
+
   test("feature/rounds guards fail fast") {
     intercept[IllegalArgumentException] {
       Classifier.train(docs, "pos", Seq.empty, rounds = 2)
