@@ -294,6 +294,43 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Shared TF-IDF oracle substrate (mirrors Retrieval.postingsWithIdf
+    * + the per-doc norm aggregate): postings, truncated idf, and
+    * full-vocabulary norm² per doc.
+    */
+  private val duckTfidfShared: String =
+    """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       post AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+       n AS (SELECT count(*) AS n_docs FROM documents),
+       idf AS (SELECT term,
+                 CAST(ln(CAST((SELECT n_docs FROM n) + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) + 1.0
+                      AS DECIMAL(38,12)) AS idf
+               FROM (SELECT term, count(*) AS df FROM post GROUP BY term)),
+       pd AS (SELECT p.doc_id,
+                sum(CAST((CAST(p.tf AS DOUBLE) * CAST(i.idf AS DOUBLE))
+                         * (CAST(p.tf AS DOUBLE) * CAST(i.idf AS DOUBLE)) AS DECIMAL(38,12))) AS norm2
+              FROM post p JOIN idf i USING (term) GROUP BY p.doc_id)"""
+
+  /** One batch-TF-IDF oracle block: query `qid`'s top-k over the
+    * shared substrate (WHERE-filtered numerator ≡ the engine's
+    * matched-postings join; zeros cannot move a decimal sum).
+    */
+  private def duckTfidfBlock(qid: Long, terms: Seq[String], k: Int): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""(SELECT $qid AS query_id, x.doc_id, x.tfidf FROM (
+        SELECT nq.doc_id,
+               round(CAST(nq.num AS DOUBLE) /
+                     (sqrt(CAST(pd.norm2 AS DOUBLE)) *
+                      sqrt(CAST((SELECT sum(CAST(CAST(idf AS DOUBLE) * CAST(idf AS DOUBLE) AS DECIMAL(38,12)))
+                                 FROM idf WHERE term IN ($inList)) AS DOUBLE))), 6) AS tfidf
+        FROM (SELECT p.doc_id,
+                     sum(CAST((CAST(p.tf AS DOUBLE) * CAST(i.idf AS DOUBLE)) * CAST(i.idf AS DOUBLE) AS DECIMAL(38,12))) AS num
+              FROM post p JOIN idf i USING (term) WHERE p.term IN ($inList) GROUP BY p.doc_id) nq
+        JOIN pd ON nq.doc_id = pd.doc_id
+        WHERE nq.num > 0
+        ORDER BY tfidf DESC, nq.doc_id LIMIT $k) x)"""
+  }
+
   private def duckKmeansAssign(c: Int, iters: Int): String =
     s"""WITH ${duckKmeansCtes(c, iters)}
       SELECT e.vec_id, cid AS cell FROM embeddings e, c$iters c
@@ -1392,6 +1429,15 @@ object SparkEntry {
     */
   private val retrievalTerms = Seq("dup", "vector", "spark")
 
+  /** Query bags for the batch TF-IDF serving form: query 0 is the
+    * single-form bag (the batch≡single pin rides it).
+    */
+  private val tfidfBatchQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> retrievalTerms,
+    1L -> Seq("spark"),
+    2L -> Seq("query", "join", "table"),
+    3L -> Seq("vector", "dup"))
+
   /** BM25 scored-docs CTE chain (mirrors Retrieval.bm25TopK at k1=1.2,
     * b=0.75). Constants are spelled as double-cast decimals so DuckDB
     * computes the same IEEE doubles Spark's `lit` produces (notably
@@ -2445,6 +2491,11 @@ object SparkEntry {
     // doc-keyed agg, TakeOrdered k.
     "q_tfidf_topk" -> ((s, dir) =>
       Retrieval.tfidfTopK(Tables.documents(s, dir), retrievalTerms, 10)),
+    // BATCH TF-IDF: Q term bags amortize one posting build + one
+    // norm aggregate; numerators join only matching postings;
+    // bounded-heap rank per query (no sort).
+    "q_tfidf_batch_topk" -> ((s, dir) =>
+      Retrieval.tfidfTopKBatch(Tables.documents(s, dir), tfidfBatchQueries, 10)),
     // Reciprocal-rank fusion of the BM25 list with the cosine top-k
     // list (doc_id ≡ vec_id) — both inputs already truncated to
     // poolK rows before the windows and the full-outer join.
@@ -3413,29 +3464,17 @@ object SparkEntry {
     // DECIMAL(38,12) per term; per-posting norm/numerator
     // contributions are IEEE-double products truncated to
     // DECIMAL(38,12) before the per-doc sums (mirrors tfidfTopK).
-    "q_tfidf_topk" -> {
-      val inList = retrievalTerms.map(t => s"'$t'").mkString(", ")
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-          post AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
-          n AS (SELECT count(*) AS n_docs FROM documents),
-          idf AS (SELECT term,
-                    CAST(ln(CAST((SELECT n_docs FROM n) + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) + 1.0
-                         AS DECIMAL(38,12)) AS idf
-                  FROM (SELECT term, count(*) AS df FROM post GROUP BY term)),
-          pd AS (SELECT p.doc_id,
-                   sum(CAST((CAST(p.tf AS DOUBLE) * CAST(i.idf AS DOUBLE))
-                            * (CAST(p.tf AS DOUBLE) * CAST(i.idf AS DOUBLE)) AS DECIMAL(38,12))) AS norm2,
-                   sum(CASE WHEN p.term IN ($inList)
-                       THEN CAST((CAST(p.tf AS DOUBLE) * CAST(i.idf AS DOUBLE)) * CAST(i.idf AS DOUBLE) AS DECIMAL(38,12))
-                       ELSE CAST(0 AS DECIMAL(38,12)) END) AS num
-                 FROM post p JOIN idf i USING (term) GROUP BY p.doc_id),
-          qn AS (SELECT sum(CAST(CAST(idf AS DOUBLE) * CAST(idf AS DOUBLE) AS DECIMAL(38,12))) AS qnorm2
-                 FROM idf WHERE term IN ($inList))
-          SELECT doc_id,
-                 round(CAST(num AS DOUBLE) / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(qnorm2 AS DOUBLE))), 6) AS tfidf
-          FROM pd, qn WHERE num > 0
-          ORDER BY tfidf DESC, doc_id LIMIT 10"""
-    },
+    "q_tfidf_topk" ->
+      s"""WITH $duckTfidfShared
+          SELECT doc_id, tfidf
+          FROM ${duckTfidfBlock(0L, retrievalTerms, 10)} y""",
+    // BATCH TF-IDF: each query's block over the SHARED posting/idf/
+    // norm substrate — the engine's one-substrate batch form at
+    // nprobe-free lexical semantics; per-query ≡ the single form.
+    "q_tfidf_batch_topk" ->
+      s"""WITH $duckTfidfShared
+          ${tfidfBatchQueries.map { case (qid, ts) => duckTfidfBlock(qid, ts, 10) }
+             .mkString("\n UNION ALL ")}""",
     // maxsim: per (doc, query-token) max inner product, summed in the
     // SAME static ascending-tok order as the engine's score chain
     "q_maxsim_topk" -> duckMaxsimTopK,

@@ -154,10 +154,11 @@ object Retrieval {
     * bit; the final score is double arithmetic over exact sums,
     * rounded to `roundTo`.
     */
-  def tfidfTopK(documents: DataFrame, terms: Seq[String], k: Int,
-                roundTo: Int = 6): DataFrame = {
-    require(terms.nonEmpty, "tfidfTopK needs at least one query term")
-    require(terms.distinct == terms, "tfidfTopK query terms must be distinct")
+  /** The shared TF-IDF substrate: the `(doc_id, term, tf)` posting
+    * table (ONE corpus-scale explode+groupBy) and the vocabulary-sized
+    * `(term, idf)` relation with idf truncated to DECIMAL(38,12).
+    */
+  private def postingsWithIdf(documents: DataFrame): (DataFrame, DataFrame) = {
     val postings = documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term")
@@ -170,7 +171,20 @@ object Retrieval {
       .select(col("term"),
         (log(lit((nDocs + 1).toDouble) / (col("df") + lit(1)).cast("double")) + lit(1.0))
           .cast("decimal(38,12)").as("idf"))
-    val w = col("tf").cast("double") * col("idf").cast("double")
+    (postings, idf)
+  }
+
+  /** Per-posting tf·idf weight in IEEE doubles (over the frozen
+    * decimal idf) — the unit both the norm and the numerator truncate.
+    */
+  private def tfidfW: Column = col("tf").cast("double") * col("idf").cast("double")
+
+  def tfidfTopK(documents: DataFrame, terms: Seq[String], k: Int,
+                roundTo: Int = 6): DataFrame = {
+    require(terms.nonEmpty, "tfidfTopK needs at least one query term")
+    require(terms.distinct == terms, "tfidfTopK query terms must be distinct")
+    val (postings, idf) = postingsWithIdf(documents)
+    val w = tfidfW
     val perDoc = postings
       .join(broadcast(idf), Seq("term"))
       .groupBy("doc_id")
@@ -192,6 +206,61 @@ object Retrieval {
           roundTo).as("tfidf"))
       .orderBy(col("tfidf").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** BATCH TF-IDF serving — Q query term bags amortize ONE posting
+    * build (the `ivfpqTopKBatch` economics applied to lexical
+    * retrieval): the per-query single form re-explodes the corpus per
+    * query; here the posting table and the per-document norms are
+    * built once and every query's numerator rides the same relation.
+    *
+    * Shape: `(query_id, term)` pairs (bag-sized) join the vocabulary
+    * idf and BROADCAST onto the postings — each posting meets only
+    * the queries containing its term, so the numerator aggregate is
+    * bounded by Σ_q df(terms_q), never Q×corpus; per-document norms
+    * are the same once-per-corpus doc-keyed aggregate as the single
+    * form; ranking is the bounded-heap per-query aggregate (map-side
+    * partials, ≤k rows per query per task — no sort), on the ROUNDED
+    * score so k-boundary ties resolve exactly like the declarative
+    * `ORDER BY score DESC, doc_id`.
+    *
+    * Same truncation contract as [[tfidfTopK]], so batch output at
+    * any Q ≡ the single form per query — spec-pinned and oracled.
+    */
+  def tfidfTopKBatch(documents: DataFrame, queries: Seq[(Long, Seq[String])],
+                     k: Int, roundTo: Int = 6): DataFrame = {
+    require(queries.nonEmpty, "tfidfTopKBatch needs at least one query")
+    require(queries.map(_._1).distinct.size == queries.size, "query ids must be distinct")
+    queries.foreach { case (qid, ts) =>
+      require(ts.nonEmpty && ts.distinct == ts,
+        s"query $qid: terms must be non-empty and distinct")
+    }
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val (postings, idf) = postingsWithIdf(documents)
+    val w = tfidfW
+    val qrel = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val qterms = broadcast(idf.join(broadcast(qrel), Seq("term")))
+    val norms = postings.join(broadcast(idf), Seq("term"))
+      .groupBy("doc_id")
+      .agg(sum((w * w).cast("decimal(38,12)")).as("norm2"))
+    val nums = postings.join(qterms, Seq("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum((w * col("idf").cast("double")).cast("decimal(38,12)")).as("num"))
+    val qnorms = qterms.groupBy("query_id")
+      .agg(sum((col("idf").cast("double") * col("idf").cast("double"))
+        .cast("decimal(38,12)")).as("qnorm2"))
+    val scored = nums
+      .filter(col("num") > 0)
+      .join(norms, Seq("doc_id"))
+      .join(broadcast(qnorms), Seq("query_id"))
+      .select(col("query_id"), col("doc_id").as("vec_id"),
+        round(col("num").cast("double") /
+          (sqrt(col("norm2").cast("double")) * sqrt(col("qnorm2").cast("double"))),
+          roundTo).as("tfidf"))
+    Ivf.heapTopKPerQuery(scored, k, "tfidf", asc = false)
+      .withColumnRenamed("vec_id", "doc_id")
   }
 
   /** Hybrid retrieval by reciprocal-rank fusion (Cormack et al.):

@@ -301,6 +301,35 @@ class RetrievalSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 2L), "doc without any query term must be dropped")
   }
 
+  test("tfidfTopKBatch == per-query tfidfTopK for every bag; heap rank, no window sort") {
+    val corpus = (0L until 150L).map { i =>
+      val t = i % 7 match {
+        case 0 => "cat dog fish"
+        case 1 => "cat cat bird"
+        case 2 => "dog dog dog common"
+        case 3 => "fish bird common filler"
+        case _ => s"common filler pad${i % 11}"
+      }
+      (i, t)
+    }.toDF("doc_id", "text")
+    val bags = Seq(0L -> Seq("cat", "dog"), 1L -> Seq("fish"), 2L -> Seq("bird", "common"))
+    val batch = Retrieval.tfidfTopKBatch(corpus, bags, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).sortBy(x => (-x._2, x._1)).toSeq).toMap
+    bags.foreach { case (qid, ts) =>
+      val single = Retrieval.tfidfTopK(corpus, ts, k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid).sortBy(x => (-x._2, x._1)) === single.sortBy(x => (-x._2, x._1)),
+        s"batch result for query $qid must equal the single form")
+    }
+    // ranking is the bounded-heap aggregate, not a sorted window
+    val plan = Retrieval.tfidfTopKBatch(corpus, bags, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("topk_pairs") || plan.contains("TopKPairsAgg"),
+      s"batch rank must be the heap aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"no window sort on the batch rank path:\n$plan")
+  }
+
   test("tfidfTopK: idf join broadcasts and scores are partition-count-invariant") {
     val many = (0L until 200L).map { i =>
       (i, if (i % 5 == 0) "cat common" else "common filler fish")
