@@ -55,6 +55,14 @@ object SparkEntry {
     s"$base/v5_ivfcells_${tag}_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
   }
 
+  /** Persisted inverted-index (TF-IDF) layout dir, keyed like the ANN
+    * layouts; staleness caught by the documents content fingerprint.
+    */
+  private def tfidfDir(s: SparkSession, sfDir: String, tag: String = "m"): String = {
+    val base = s.conf.getOption("spark.graft.indexDir").getOrElse("target/graft_index")
+    s"$base/v1_tfidf_${tag}_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+  }
+
   /** Persisted PQ code-table dir (Pq.ensureEncoded*), keyed like
     * [[idxDir]]; staleness caught by the content fingerprint.
     */
@@ -315,7 +323,8 @@ object SparkEntry {
     * shared substrate (WHERE-filtered numerator ≡ the engine's
     * matched-postings join; zeros cannot move a decimal sum).
     */
-  private def duckTfidfBlock(qid: Long, terms: Seq[String], k: Int): String = {
+  private def duckTfidfBlock(qid: Long, terms: Seq[String], k: Int,
+                             pred: Option[String] = None): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
     s"""(SELECT $qid AS query_id, x.doc_id, x.tfidf FROM (
         SELECT nq.doc_id,
@@ -327,7 +336,7 @@ object SparkEntry {
                      sum(CAST((CAST(p.tf AS DOUBLE) * CAST(i.idf AS DOUBLE)) * CAST(i.idf AS DOUBLE) AS DECIMAL(38,12))) AS num
               FROM post p JOIN idf i USING (term) WHERE p.term IN ($inList) GROUP BY p.doc_id) nq
         JOIN pd ON nq.doc_id = pd.doc_id
-        WHERE nq.num > 0
+        WHERE nq.num > 0${pred.map(p => s" AND ($p)").getOrElse("")}
         ORDER BY tfidf DESC, nq.doc_id LIMIT $k) x)"""
   }
 
@@ -2496,6 +2505,35 @@ object SparkEntry {
     // bounded-heap rank per query (no sort).
     "q_tfidf_batch_topk" -> ((s, dir) =>
       Retrieval.tfidfTopKBatch(Tables.documents(s, dir), tfidfBatchQueries, 10)),
+    // The same retrieval SERVED from the persisted inverted-index
+    // layout: term-clustered postings (pushed term filter + footer
+    // skipping), idf + norm sidecars — identical arithmetic, so both
+    // indexed forms share their full-compute twins' oracles.
+    "q_tfidf_indexed_topk" -> ((s, dir) => {
+      val ldir = tfidfDir(s, dir)
+      Retrieval.ensureTfidfLayout(Tables.documents(s, dir), ldir)
+      Retrieval.tfidfTopKIndexed(s, ldir, retrievalTerms, 10)
+    }),
+    "q_tfidf_indexed_batch_topk" -> ((s, dir) => {
+      val ldir = tfidfDir(s, dir)
+      Retrieval.ensureTfidfLayout(Tables.documents(s, dir), ldir)
+      Retrieval.tfidfTopKBatchIndexed(s, ldir, tfidfBatchQueries, 10)
+    }),
+    // Takedowns on the inverted-index tier: ids in the layout's
+    // `_deletes` sidecar are excluded at serve time (broadcast
+    // anti-join above the df-bounded aggregate); corpus stats stay
+    // those of the built corpus until rebuild — the ANN tiers'
+    // exclusion semantics, so the oracle is the full-corpus SQL plus
+    // the takedown predicate. Separate layout dir: the tombstones
+    // must not leak into the plain indexed queries.
+    "q_tfidf_indexed_tombstone_topk" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ldir = tfidfDir(s, dir, "del")
+      Retrieval.ensureTfidfLayout(docs, ldir)
+      Retrieval.deleteDocsOnce(s, ldir,
+        docs.filter(pmod(col("doc_id"), lit(7)) === 0).select("doc_id"))
+      Retrieval.tfidfTopKIndexed(s, ldir, retrievalTerms, 10)
+    }),
     // Reciprocal-rank fusion of the BM25 list with the cosine top-k
     // list (doc_id ≡ vec_id) — both inputs already truncated to
     // poolK rows before the windows and the full-outer join.
@@ -3475,6 +3513,20 @@ object SparkEntry {
       s"""WITH $duckTfidfShared
           ${tfidfBatchQueries.map { case (qid, ts) => duckTfidfBlock(qid, ts, 10) }
              .mkString("\n UNION ALL ")}""",
+    // layout-served twins: identical semantics, different physical
+    // plan (pushed term filter over the stored posting table)
+    "q_tfidf_indexed_topk" ->
+      s"""WITH $duckTfidfShared
+          SELECT doc_id, tfidf
+          FROM ${duckTfidfBlock(0L, retrievalTerms, 10)} y""",
+    "q_tfidf_indexed_batch_topk" ->
+      s"""WITH $duckTfidfShared
+          ${tfidfBatchQueries.map { case (qid, ts) => duckTfidfBlock(qid, ts, 10) }
+             .mkString("\n UNION ALL ")}""",
+    "q_tfidf_indexed_tombstone_topk" ->
+      s"""WITH $duckTfidfShared
+          SELECT doc_id, tfidf
+          FROM ${duckTfidfBlock(0L, retrievalTerms, 10, Some("nq.doc_id % 7 != 0"))} y""",
     // maxsim: per (doc, query-token) max inner product, summed in the
     // SAME static ascending-tok order as the engine's score chain
     "q_maxsim_topk" -> duckMaxsimTopK,

@@ -263,6 +263,190 @@ object Retrieval {
       .withColumnRenamed("vec_id", "doc_id")
   }
 
+  /** Content fingerprint of a documents table (the IndexMeta contract
+    * applied to text): row count + order-invariant CRC sum over
+    * `(doc_id, md5(text))`.
+    */
+  private def docsFingerprint(documents: DataFrame, extra: String): String = {
+    val r = documents.agg(count(lit(1)),
+      sum(crc32(concat_ws(":", col("doc_id"), md5(col("text")))))).head()
+    s"n=${r.getLong(0)};h=${r.get(1)};$extra"
+  }
+
+  /** Build the PERSISTED inverted-index layout — the 100-TB serving
+    * form of TF-IDF retrieval (the ANN tiers' layout pattern applied
+    * to lexical search). One corpus-scale explode builds the posting
+    * table; it is stored TERM-CLUSTERED (`repartition(term)` +
+    * `sortWithinPartitions(term)`), so a query-term predicate both
+    * pushes into the parquet scan (`PushedFilters`) and skips row
+    * groups by footer min/max — serve cost is bounded by the query
+    * terms' summed document frequency, not corpus size. The
+    * vocabulary-sized idf table and the per-document norm² sidecar
+    * are derived FROM the stored postings (no second corpus pass)
+    * and written beside it:
+    *
+    *   dir/postings  (doc_id, term, tf)   term-clustered, corpus-scale
+    *   dir/idf       (term, idf)          vocabulary-sized
+    *   dir/norms     (doc_id, norm2)      one row per document
+    *
+    * `norms` is written LAST: its `_SUCCESS` is the layout's
+    * completeness marker. All decimals survive the parquet round trip
+    * exactly, so layout-served scores ≡ the in-memory forms — the
+    * indexed queries share their full-compute twins' oracles.
+    */
+  def writeTfidfLayout(documents: DataFrame, dir: String): Unit = {
+    val spark = documents.sparkSession
+    val nDocs = documents.count()
+    documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    val stored = spark.read.parquet(s"$dir/postings")
+    stored
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"))
+      .select(col("term"),
+        (log(lit((nDocs + 1).toDouble) / (col("df") + lit(1)).cast("double")) + lit(1.0))
+          .cast("decimal(38,12)").as("idf"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/idf")
+    val storedIdf = spark.read.parquet(s"$dir/idf")
+    stored.join(broadcast(storedIdf), Seq("term"))
+      .groupBy("doc_id")
+      .agg(sum((tfidfW * tfidfW).cast("decimal(38,12)")).as("norm2"))
+      .write.mode("overwrite").parquet(s"$dir/norms")
+  }
+
+  /** [[writeTfidfLayout]] once per (dir, corpus content) — the shared
+    * `ensure*` staleness contract (fingerprint memo + completeness
+    * marker).
+    */
+  def ensureTfidfLayout(documents: DataFrame, dir: String): Unit = {
+    val spark = documents.sparkSession
+    val fp = IndexMeta.cachedFingerprint(dir, "tfidf_v1", Seq(documents)) {
+      docsFingerprint(documents, "tfidf_v1")
+    }
+    if (!IndexMeta.valid(spark, dir, "norms/_SUCCESS", fp)) {
+      writeTfidfLayout(documents, dir)
+      IndexMeta.write(spark, dir, fp)
+    }
+  }
+
+  /** Record document takedowns against the inverted-index layout —
+    * the shared `_deletes` sidecar contract ([[Tombstones]]): O(batch)
+    * append, serve-time exclusion in both indexed forms, no layout
+    * rewrite. Unlike the doc/cell-partitioned ANN layouts there is no
+    * bounded compaction here (postings are TERM-clustered, so folding
+    * a takedown touches every term's files) — the compaction story for
+    * this layout is a rebuild from the cleaned source
+    * (`writeTfidfLayout`), and the sidecar bounds live exclusions
+    * until then. Exclusion-only semantics: corpus statistics (idf,
+    * norms) stay those of the built corpus until rebuild — the same
+    * staleness contract as the ANN tiers' serve-time exclusion.
+    */
+  def deleteDocs(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 docIds: DataFrame): Unit =
+    Tombstones.record(spark, dir, docIds.select(col("doc_id").as("vec_id")))
+
+  /** [[deleteDocs]] only when no sidecar exists (idempotent across
+    * re-runs of declared queries).
+    */
+  def deleteDocsOnce(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     docIds: DataFrame): Unit =
+    Tombstones.recordOnce(spark, dir, docIds.select(col("doc_id").as("vec_id")))
+
+  /** Tombstone exclusion above a doc-keyed relation: a broadcast
+    * anti-join on the (small, takedown-rate-bounded) sidecar.
+    */
+  private def excludeDeleted(spark: org.apache.spark.sql.SparkSession, dir: String,
+                             docs: DataFrame): DataFrame =
+    Tombstones.ids(spark, dir) match {
+      case Some(dels) =>
+        docs.join(broadcast(dels.select(col("vec_id").as("doc_id"))),
+          Seq("doc_id"), "left_anti")
+      case None => docs
+    }
+
+  /** TF-IDF top-k SERVED from the persisted layout: the postings scan
+    * carries `term IN (...)` as a pushed parquet filter over the
+    * term-clustered files, so only the query terms' posting lists are
+    * read; idf and the query-side norm come from the vocabulary
+    * sidecar; document norms join back on doc_id; tombstoned docs are
+    * excluded by a broadcast anti-join before ranking. Identical
+    * arithmetic to [[tfidfTopK]] — same oracle (plus the takedown
+    * predicate when tombstones exist).
+    */
+  def tfidfTopKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       terms: Seq[String], k: Int, roundTo: Int = 6): DataFrame = {
+    require(terms.nonEmpty, "tfidfTopKIndexed needs at least one query term")
+    require(terms.distinct == terms, "query terms must be distinct")
+    val postings = spark.read.parquet(s"$dir/postings")
+    val idfQ = spark.read.parquet(s"$dir/idf").filter(col("term").isin(terms: _*))
+    val norms = spark.read.parquet(s"$dir/norms")
+    val nq = excludeDeleted(spark, dir, postings
+      .filter(col("term").isin(terms: _*))
+      .join(broadcast(idfQ), Seq("term"))
+      .groupBy("doc_id")
+      .agg(sum((tfidfW * col("idf").cast("double")).cast("decimal(38,12)")).as("num")))
+    val qn = idfQ.agg(sum((col("idf").cast("double") * col("idf").cast("double"))
+      .cast("decimal(38,12)")).as("qnorm2"))
+    nq.filter(col("num") > 0)
+      .join(norms, Seq("doc_id"))
+      .crossJoin(broadcast(qn))
+      .select(col("doc_id"),
+        round(col("num").cast("double") /
+          (sqrt(col("norm2").cast("double")) * sqrt(col("qnorm2").cast("double"))),
+          roundTo).as("tfidf"))
+      .orderBy(col("tfidf").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** BATCH serving from the persisted layout: the postings scan is
+    * pruned to the UNION of all queries' terms (one pushed filter,
+    * one pass), each posting meets only the queries containing its
+    * term, and the bounded-heap rank closes per query — the
+    * [[tfidfTopKBatch]] economics with the build amortized to zero.
+    * Same arithmetic — shares the batch oracle.
+    */
+  def tfidfTopKBatchIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                            queries: Seq[(Long, Seq[String])], k: Int,
+                            roundTo: Int = 6): DataFrame = {
+    require(queries.nonEmpty, "tfidfTopKBatchIndexed needs at least one query")
+    require(queries.map(_._1).distinct.size == queries.size, "query ids must be distinct")
+    queries.foreach { case (qid, ts) =>
+      require(ts.nonEmpty && ts.distinct == ts,
+        s"query $qid: terms must be non-empty and distinct")
+    }
+    import spark.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val postings = spark.read.parquet(s"$dir/postings")
+      .filter(col("term").isin(allTerms: _*))
+    val idf = spark.read.parquet(s"$dir/idf")
+    val norms = spark.read.parquet(s"$dir/norms")
+    val qrel = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val qterms = broadcast(idf.join(broadcast(qrel), Seq("term")))
+    val nums = excludeDeleted(spark, dir, postings.join(qterms, Seq("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum((tfidfW * col("idf").cast("double")).cast("decimal(38,12)")).as("num")))
+    val qnorms = qterms.groupBy("query_id")
+      .agg(sum((col("idf").cast("double") * col("idf").cast("double"))
+        .cast("decimal(38,12)")).as("qnorm2"))
+    val scored = nums
+      .filter(col("num") > 0)
+      .join(norms, Seq("doc_id"))
+      .join(broadcast(qnorms), Seq("query_id"))
+      .select(col("query_id"), col("doc_id").as("vec_id"),
+        round(col("num").cast("double") /
+          (sqrt(col("norm2").cast("double")) * sqrt(col("qnorm2").cast("double"))),
+          roundTo).as("tfidf"))
+    Ivf.heapTopKPerQuery(scored, k, "tfidf", asc = false)
+      .withColumnRenamed("vec_id", "doc_id")
+  }
+
   /** Hybrid retrieval by reciprocal-rank fusion (Cormack et al.):
     * fuse the BM25 top-`poolK` lexical list with the cosine top-`poolK`
     * embedding list (doc_id ≡ vec_id row alignment),

@@ -437,13 +437,27 @@ object AnnBench {
     val tfidf = phase("tfidf_topk10") {
       Retrieval.tfidfTopK(docs, Seq("query", "spark", "join"), 10).count()
     }
+    val ixDir = "target/graft_index/textscale_tfidf"
+    val ixBuild = phase("tfidf_layout_build") {
+      Retrieval.writeTfidfLayout(docs, ixDir); 1L
+    }
+    val ixServe = phase("tfidf_indexed_topk10") {
+      Retrieval.tfidfTopKIndexed(spark, ixDir, Seq("query", "spark", "join"), 10).count()
+    }
+    val ixBatch = phase("tfidf_indexed_batch1k") {
+      val bags = (0L until 1000L).map { q =>
+        (q, Seq("query", "spark", "join", "table", "merge", "scan")
+          .drop((q % 3).toInt).take(3))
+      }
+      Retrieval.tfidfTopKBatchIndexed(spark, ixDir, bags, 10).count()
+    }
     val logreg = phase("logreg_train4") {
       val w = Classifier.train(docs, "spark", Seq("query", "join", "table"), rounds = 4).head()
       require((0 to 3).exists(j => w.getDecimal(j).signum != 0), "weights must move")
       1L
     }
     val json = s"""{"text_scale":{"n_docs":$n,"words_per_doc":$wordsPerDoc,""" +
-      s"""$chunks,$tfidf,$logreg}}"""
+      s"""$chunks,$tfidf,$ixBuild,$ixServe,$ixBatch,$logreg}}"""
     println(json)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/text_scale.json"), json + "\n")

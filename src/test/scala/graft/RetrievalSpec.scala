@@ -330,6 +330,60 @@ class RetrievalSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"no window sort on the batch rank path:\n$plan")
   }
 
+  test("tfidf layout: indexed single+batch == full compute; term filter pushes into the postings scan; stale layout rebuilds") {
+    val corpus = (0L until 120L).map { i =>
+      (i, if (i % 4 == 0) "cat dog shared" else s"shared filler pad${i % 9} fish")
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("tfidf_layout").toString
+    Retrieval.ensureTfidfLayout(corpus, dir)
+    // single
+    val full = Retrieval.tfidfTopK(corpus, Seq("cat", "fish"), 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val served = Retrieval.tfidfTopKIndexed(spark, dir, Seq("cat", "fish"), 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served === full, "layout-served scores must equal full compute")
+    // batch
+    val bags = Seq(0L -> Seq("cat"), 1L -> Seq("fish", "dog"))
+    val fullB = Retrieval.tfidfTopKBatch(corpus, bags, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val servedB = Retrieval.tfidfTopKBatchIndexed(spark, dir, bags, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(servedB === fullB, "layout-served batch must equal full-compute batch")
+    // the query-term predicate reaches the stored postings scan
+    val plan = Retrieval.tfidfTopKIndexed(spark, dir, Seq("cat", "dog"), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("In(term") || plan.contains("EqualTo(term"),
+      s"term predicate must push into the parquet postings scan:\n$plan")
+    // a changed corpus must rebuild (completeness + fingerprint contract)
+    import org.apache.spark.sql.functions.{concat_ws, lit}
+    val corpus2 = corpus.withColumn("text", concat_ws(" ", col("text"), lit("newword")))
+    Retrieval.ensureTfidfLayout(corpus2, dir)
+    val after = Retrieval.tfidfTopKIndexed(spark, dir, Seq("newword"), 3).count()
+    assert(after === 3, "rebuilt layout must serve the new corpus content")
+  }
+
+  test("tfidf layout takedowns: tombstoned docs vanish from both indexed forms; others' scores unmoved") {
+    val corpus = (0L until 80L).map { i =>
+      (i, if (i % 4 == 0) "cat dog shared" else s"shared filler pad${i % 9} fish")
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("tfidf_del").toString
+    Retrieval.ensureTfidfLayout(corpus, dir)
+    val before = Retrieval.tfidfTopKIndexed(spark, dir, Seq("cat", "fish"), 80)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val deleted = corpus.filter(col("doc_id") % 3 === 0).select("doc_id")
+    Retrieval.deleteDocs(spark, dir, deleted)
+    val after = Retrieval.tfidfTopKIndexed(spark, dir, Seq("cat", "fish"), 80)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // exclusion-only semantics: survivors keep the built corpus' scores
+    assert(after === before.filter { case (id, _) => id % 3 != 0 },
+      "takedowns must drop exactly the tombstoned docs, scores unchanged")
+    // batch path honors the same sidecar
+    val afterB = Retrieval.tfidfTopKBatchIndexed(spark, dir, Seq(0L -> Seq("cat")), 80)
+      .collect().map(_.getLong(1)).toSet
+    assert(afterB.forall(_ % 3 != 0), "batch serving must exclude tombstones too")
+    assert(afterB.nonEmpty)
+  }
+
   test("tfidfTopK: idf join broadcasts and scores are partition-count-invariant") {
     val many = (0L until 200L).map { i =>
       (i, if (i % 5 == 0) "cat common" else "common filler fish")
