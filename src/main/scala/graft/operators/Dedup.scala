@@ -282,14 +282,13 @@ object Dedup {
       .union(pairs.select(col("id2").as("u"), col("id1").as("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = allDocs.select(col("doc_id"), col("doc_id").as("cluster_id"))
-    var cached: Option[DataFrame] = None // persisted handle for `labels`
     // Convergence is read off Σ cluster_id, exact in DECIMAL(38,0):
     // every per-doc label is monotone non-increasing (prop takes a
     // least(); jump maps a label to that doc's label, itself ≤ the doc
     // id by induction), so the sum is unchanged iff NO label changed.
-    // That makes the convergence check a BY-PRODUCT of the one action
-    // that materializes the round's cache — round 2 ran a second
-    // full join+count per round just to count changed rows.
+    // That makes the convergence check a BY-PRODUCT of the round's
+    // materialization — round 2 ran a second full join+count per
+    // round just to count changed rows.
     var prevSum: Option[java.math.BigDecimal] = None
     var converged = false
     var i = 0
@@ -298,10 +297,19 @@ object Dedup {
         .join(labels.select(col("doc_id").as("v"), col("cluster_id").as("nl")), Seq("v"))
         .groupBy(col("u").as("doc_id"))
         .agg(min("nl").as("nmin"))
+      // localCheckpoint (the Graph.scala iteration contract): prop is
+      // referenced TWICE by the jump self-join and labels feeds the
+      // next round — without truncation each round's LOGICAL plan
+      // embeds the previous round's plan at every reference, so the
+      // plan tree doubles per round (2^rounds nodes: measured 45 s of
+      // pure planning at ~20 rounds on 2,000 rows, and an OOM in
+      // treeString). Caching stores the DATA but not a flat plan;
+      // localCheckpoint stores blocks AND makes the plan a leaf.
       val prop = labels
         .join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint()
       // pointer jump: label := label(label). Labels only ever shrink
       // toward the component min and every label is itself a doc id,
       // so the inner self-join is total and jump ≤ current label.
@@ -309,13 +317,9 @@ object Dedup {
         .join(prop.select(col("doc_id").as("cluster_id"), col("cluster_id").as("jump")),
           Seq("cluster_id"))
         .select(col("doc_id"), col("jump").as("cluster_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // ONE job per round: the aggregate scan populates `next`'s cache
-      // and yields the convergence statistic.
+        .localCheckpoint()
       val newSum = next.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
       converged = prevSum.exists(_.compareTo(newSum) == 0)
-      cached.foreach(_.unpersist())
-      cached = Some(next)
       labels = next
       prevSum = Some(newSum)
       i += 1
@@ -325,13 +329,12 @@ object Dedup {
         .warn(s"nearDupClusters: labels still changing after $maxIters rounds — " +
           "returning PARTIALLY converged clusters (raise maxIters; " +
           "convergence needs ~log2(graph diameter) rounds)")
-    // Hand the result off lineage-truncated and UNCACHED: a reliable
-    // checkpoint writes the final labels once (reading the last round's
-    // cache, not recomputing), after which every intermediate cache is
-    // released — the caller's action leaves no persisted RDDs behind
-    // and re-executions read the checkpoint files, not the loop.
+    // Hand the result off via a RELIABLE checkpoint: re-executions
+    // read the checkpoint files, not the loop, and the final labels
+    // survive the local-checkpoint blocks' lifetime (localCheckpoint
+    // blocks die with their executors — fine within the loop, not for
+    // the returned relation).
     val out = checkpointed(labels)
-    cached.foreach(_.unpersist())
     edges.unpersist()
     out
   }
