@@ -2709,6 +2709,16 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select(col("doc_id"),
           Sampling.splitLabel(col("doc_id"), splitTrain, splitVal).as("split"))),
+    // Leakage-safe split: label by near-dup CLUSTER so duplicate
+    // families never straddle the train/test boundary (per-doc splits
+    // leak near-dups into eval). One join over the dedup pass's
+    // cluster artifact + the same portable hash label.
+    "q_leakage_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val clusters = Dedup.nearDupClusters(docs,
+        Dedup.jaccardPairsExact(docs, 0.5, maxDf = 10000))
+      Sampling.leakageSafeSplit(docs, clusters, splitTrain, splitVal)
+    }),
     // Re-weight the corpus to a target language mixture at the largest
     // achievable size (binding stratum kept whole, rest subsampled).
     "q_domain_mix" -> ((s, dir) =>
@@ -3640,6 +3650,14 @@ object SparkEntry {
                  WHEN ${duckUnitHashSalted("doc_id", "split")} < ${splitTrain + splitVal} THEN 'val'
                  ELSE 'test' END AS split
           FROM documents""",
+    // clusters ∘ split composed: the hash keys on cluster_id
+    "q_leakage_split" ->
+      s"""WITH clus AS ($duckClustersSql)
+          SELECT doc_id, cluster_id,
+            CASE WHEN ${duckUnitHashSalted("cluster_id", "split")} < $splitTrain THEN 'train'
+                 WHEN ${duckUnitHashSalted("cluster_id", "split")} < ${splitTrain + splitVal} THEN 'val'
+                 ELSE 'test' END AS split
+          FROM clus""",
     // mirror of Sampling.mixRates + domainMix: same K = min(n/t) and
     // rate = least(1, t*K/n) expression shapes → identical doubles
     "q_domain_mix" -> {

@@ -63,6 +63,29 @@ object Sampling {
       .otherwise(lit("test"))
   }
 
+  /** LEAKAGE-SAFE split: label by near-dup CLUSTER, not by document —
+    * a per-doc split puts two near-duplicates on opposite sides of the
+    * train/test boundary and the eval silently measures memorization.
+    * `clusters(doc_id, cluster_id)` is [[Dedup.nearDupClusters]]'
+    * total labeling (singletons label themselves), so hashing the
+    * cluster id keeps every duplicate family on ONE side, and a
+    * singleton's assignment equals the plain per-doc split of its own
+    * id (cluster_id = doc_id) — adding near-dup edges only ever MERGES
+    * families onto the min-id member's side, it never reshuffles
+    * unrelated docs.
+    *
+    * Scale shape: one doc_id-keyed equi-join + a narrow hash label —
+    * the cluster relation is the artifact the dedup pass already
+    * produced; no new corpus-scale work.
+    */
+  def leakageSafeSplit(documents: DataFrame, clusters: DataFrame,
+                       trainFrac: Double, valFrac: Double,
+                       salt: String = "split"): DataFrame =
+    documents.select("doc_id")
+      .join(clusters, Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        splitLabel(col("cluster_id"), trainFrac, valFrac, salt).as("split"))
+
   /** Per-stratum keep rates that hit the target mixture `targets`
     * (stratum → proportion) at the LARGEST achievable total:
     * `K = min_s n_s / t_s` (the binding stratum is kept whole) and

@@ -171,6 +171,29 @@ class SamplingSpec extends AnyFunSuite {
     assert(kept.filter(col("lang") === "c").collect().map(_.getLong(0)).toSet === uniform)
   }
 
+  test("leakageSafeSplit: near-dup families never straddle splits; singletons == per-doc split") {
+    import graft.operators.Dedup
+    // pairs: (0,1), (1,2) one family; (10,11) another; rest singletons
+    val docs = (0L until 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id1", "id2")
+    val clusters = Dedup.nearDupClusters(docs.select("doc_id"), pairs)
+    val split = Sampling.leakageSafeSplit(docs, clusters, 0.6, 0.2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(split.size === 40, "split must be total")
+    // every paired doc shares its family's split
+    Seq((0L, 1L), (1L, 2L), (0L, 2L), (10L, 11L)).foreach { case (a, b) =>
+      assert(split(a)._2 === split(b)._2, s"docs $a and $b must co-split")
+    }
+    // singleton: cluster_id = own id, label = plain per-doc split
+    val plain = docs.filter(col("doc_id") >= 20)
+      .select(col("doc_id"), Sampling.splitLabel(col("doc_id"), 0.6, 0.2).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    plain.foreach { case (id, s) =>
+      assert(split(id)._1 === id && split(id)._2 === s,
+        s"singleton $id must split exactly like the per-doc label")
+    }
+  }
+
   test("trainingShards: total cover, dense in-shard positions, deterministic, one exchange") {
     val sharded = Sampling.trainingShards(docs, col("doc_id"), 8)
       .select("doc_id", "shard_id", "shard_pos")
