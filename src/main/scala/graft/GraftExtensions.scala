@@ -127,6 +127,8 @@ object GraftExtensions {
     *  - `logreg_scores(dir, rounds, label, feat, ...)`: corpus scored
     *    under the in-engine GD-trained linear classifier — the
     *    `q_logreg_scores` semantics.
+    *  - `leakage_split(dir, trainFrac, valFrac)`: near-dup-cluster-keyed
+    *    train/val/test labels — the `q_leakage_split` semantics.
     */
   val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] = Seq(
     (FunctionIdentifier("knn_topk"), info("knn_topk"),
@@ -285,6 +287,15 @@ object GraftExtensions {
         require(args.length >= 3, "tfidf_topk(dir, k, term, ...)")
         Retrieval.tfidfTopK(Tables.documents(spark, asString(args(0))),
           args.drop(2).map(asString), asInt(args(1)))
+      }),
+    (FunctionIdentifier("leakage_split"), info("leakage_split"),
+      tvf("leakage_split") { (spark, args) =>
+        require(args.length == 3, "leakage_split(dir, trainFrac, valFrac)")
+        val docs = Tables.documents(spark, asString(args(0)))
+        val clusters = Dedup.nearDupClusters(docs,
+          Dedup.jaccardPairsExact(docs, 0.5, maxDf = 10000))
+        graft.operators.Sampling.leakageSafeSplit(docs, clusters,
+          asDouble(args(1)), asDouble(args(2)))
       }),
     (FunctionIdentifier("logreg_scores"), info("logreg_scores"),
       tvf("logreg_scores") { (spark, args) =>

@@ -208,6 +208,16 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(fromSql.nonEmpty)
   }
 
+  test("SQL TVF leakage_split(dir, trainFrac, valFrac) matches the declared Column-API query") {
+    GraftExtensions.register(spark)
+    val fromSql = spark.sql(s"SELECT * FROM leakage_split('$sf', 0.9, 0.05)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val fromApi = SparkEntry.queries("q_leakage_split")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(fromSql === fromApi)
+    assert(fromSql.nonEmpty)
+  }
+
   test("TVFs compose with plain SQL (filter + order over the TVF result)") {
     GraftExtensions.register(spark)
     val top3 = spark.sql(
