@@ -103,6 +103,15 @@ class ClassifierSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("training plan has no corpus-keyed exchange: one-row aggregates + broadcasts only") {
+    val plan = Classifier.scores(docs, "pos", featTerms, rounds = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"GD rounds must shuffle only one-row partial sums (SinglePartition), never corpus keys:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      "the weights row must broadcast back onto the feature projection")
+  }
+
   test("feature/rounds guards fail fast") {
     intercept[IllegalArgumentException] {
       Classifier.train(docs, "pos", Seq.empty, rounds = 2)
