@@ -2757,6 +2757,29 @@ object SparkEntry {
           round(expr("aggregate(features, 0D, (a, x) -> a + CAST(x AS DOUBLE))"), 6)
             .as("feat_sum"))
     }),
+    // REAL image decode (javax.imageio): each document becomes a genuine
+    // solid-color PNG (encoded in-task), decoded back via ImageIO. The
+    // decoded dims/channel-means are pure formulas of (doc_id, n_chars),
+    // so DuckDB oracles the whole encode→decode round trip.
+    "q_image_decode" -> ((s, dir) => {
+      val assets = Multimodal.pngAssetsFromDocuments(Tables.documents(s, dir))
+      Multimodal.decodeImages(assets)
+        .select(col("asset_id"), col("width"), col("height"), col("channels"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+    }),
+    // REAL pixel resize: decode → nearest-neighbor aspect-fit → PNG
+    // re-encode → decode again. Solid inputs stay solid, so the second
+    // decode's stats are still formula-predictable; out dims follow the
+    // same fit math the oracle mirrors.
+    "q_image_resize" -> ((s, dir) => {
+      val assets = Multimodal.pngAssetsFromDocuments(Tables.documents(s, dir))
+      val resized = Multimodal.resizeImages(assets, maxSide = 16)
+        .select(col("asset_id"), col("media"), lit("image/png").as("mime"))
+      Multimodal.decodeImages(resized)
+        .select(col("asset_id"),
+          col("width").as("out_width"), col("height").as("out_height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+    }),
 
     // ---- events ----
     "q_events_tumbling" -> ((s, dir) => Events.tumblingCounts(Tables.events(s, dir))),
@@ -3672,6 +3695,35 @@ object SparkEntry {
           WHERE ${duckUnitHashSalted("d.doc_id", "mix")} < r.rate"""
     },
 
+    // The engine really encodes+decodes PNG pixels (ImageIO); the oracle
+    // predicts the decoded metadata/stats from the synthesis formulas. A
+    // codec bug (wrong raster, wrong channel order, lossy write) breaks
+    // the hash match.
+    "q_image_decode" ->
+      """SELECT doc_id AS asset_id,
+                CAST(n_chars % 60 + 4 AS INT) AS width,
+                CAST(doc_id % 40 + 4 AS INT) AS height,
+                CAST(3 AS INT) AS channels,
+                CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+                CAST((doc_id * 7 + 13) % 256 AS DOUBLE) AS mean_g,
+                CAST(n_chars % 256 AS DOUBLE) AS mean_b
+         FROM documents""",
+    "q_image_resize" ->
+      """WITH a AS (SELECT doc_id AS asset_id,
+                CAST(n_chars % 60 + 4 AS DOUBLE) AS w,
+                CAST(doc_id % 40 + 4 AS DOUBLE) AS h,
+                doc_id % 256 AS cr, (doc_id * 7 + 13) % 256 AS cg,
+                n_chars % 256 AS cb
+              FROM documents),
+            s AS (SELECT asset_id, least(16.0 / w, 16.0 / h, 1.0) AS sc,
+                w, h, cr, cg, cb FROM a)
+         SELECT asset_id,
+                GREATEST(1, CAST(floor(w * sc) AS INT)) AS out_width,
+                GREATEST(1, CAST(floor(h * sc) AS INT)) AS out_height,
+                CAST(cr AS DOUBLE) AS mean_r,
+                CAST(cg AS DOUBLE) AS mean_g,
+                CAST(cb AS DOUBLE) AS mean_b
+         FROM s""",
     "q_multimodal_meta" ->
       """WITH a AS (SELECT doc_id AS asset_id,
                 n_chars % 640 + 32 AS w, doc_id % 480 + 32 AS h,

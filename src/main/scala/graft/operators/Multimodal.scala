@@ -1,5 +1,10 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -10,15 +15,18 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side plumbing is real — schemas, batched partition
   * processing, frame slicing, metadata math are all exactly what a
-  * production pipeline runs. The codec itself is a STUB
-  * ([[StubCodec]]): no image/audio libraries exist in this
-  * environment, so "decode" is a deterministic bytes→features fake
-  * with the same signature a real codec adapter would have. Swapping
-  * in javacv/ffmpeg changes one function, not the pipeline.
+  * production pipeline runs. The IMAGE codec is also real:
+  * [[ImageCodec]] decodes/encodes PNG/JPEG/BMP/GIF via the JDK's own
+  * `javax.imageio.ImageIO` (java.desktop ships in every JDK — no new
+  * dependency), computes true per-channel pixel statistics, and does a
+  * deterministic nearest-neighbor pixel resize. Audio/video mimes still
+  * go through the deterministic [[StubCodec]] stand-in (no audio/video
+  * codecs exist in a bare JDK); swapping in a real one changes one
+  * function, not the pipeline.
   *
-  * Scale notes: feature extraction runs `mapPartitions` with an
-  * explicit micro-batch size — the shape that amortizes per-batch codec
-  * or model-session startup and keeps peak memory at `batchSize ×
+  * Scale notes: decode and feature extraction run `mapPartitions` with
+  * an explicit micro-batch size — the shape that amortizes per-batch
+  * codec or model-session startup and keeps peak memory at `batchSize ×
   * avgAssetBytes` per task regardless of partition size. Frame
   * sampling is pure column arithmetic (`substring` over binary inside
   * codegen), so Catalyst prunes and pushes around it freely.
@@ -33,10 +41,128 @@ object Multimodal {
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false)))
 
-  /** STUB decode/embed kernel — deterministic stand-in for a real codec
-    * (??? boundary). Features are a rolling FNV-1a-style hash of the
-    * payload, folded per feature slot into [0, 1) floats: stable across
-    * JVMs/partitionings, so pipeline tests assert real equalities.
+  /** Real image codec over the JDK's `javax.imageio` (zero external
+    * dependencies). Pixels are normalized to packed 0xAARRGGBB ints via
+    * `BufferedImage.getRGB`, so stats and resizes are identical no
+    * matter which underlying raster layout the reader chose.
+    */
+  object ImageCodec {
+    // in-memory streams only: the default ImageIO disk cache would add a
+    // temp-file write per asset per task — pure overhead at pipeline scale
+    ImageIO.setUseCache(false)
+
+    /** Mimes `ImageIO` decodes out of the box in a bare JDK. */
+    val imageMimes: Set[String] =
+      Set("image/png", "image/jpeg", "image/bmp", "image/gif")
+
+    final case class Decoded(width: Int, height: Int, channels: Int,
+        argb: Array[Int]) {
+      /** Exact per-channel means over all pixels (alpha ignored). */
+      def channelMeans: (Double, Double, Double) = {
+        var r = 0L; var g = 0L; var b = 0L
+        var i = 0
+        while (i < argb.length) {
+          val p = argb(i)
+          r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+          i += 1
+        }
+        val n = argb.length.toDouble
+        (r / n, g / n, b / n)
+      }
+    }
+
+    /** Decode any ImageIO-supported payload; None if the bytes are not
+      * a decodable image (corrupt or unsupported container).
+      */
+    def decode(bytes: Array[Byte]): Option[Decoded] =
+      Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+        val w = img.getWidth; val h = img.getHeight
+        val px = new Array[Int](w * h)
+        img.getRGB(0, 0, w, h, px, 0, w)
+        Decoded(w, h, img.getColorModel.getNumComponents, px)
+      }
+
+    /** Encode packed-ARGB pixels as PNG (lossless — decode(encode(x))
+      * round-trips RGB exactly).
+      */
+    def encodePng(width: Int, height: Int, argb: Array[Int]): Array[Byte] = {
+      require(argb.length == width * height, "pixel count must match dims")
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, width, height, argb, 0, width)
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** Solid-color PNG — the deterministic synthetic asset used by the
+      * oracled decode queries (a solid image's channel means equal its
+      * color exactly, so DuckDB can predict them from the formula).
+      */
+    def solidPng(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] =
+      encodePng(width, height,
+        Array.fill(width * height)(0xff000000 | (r << 16) | (g << 8) | b))
+
+    /** Deterministic nearest-neighbor pixel resize (no interpolation
+      * state, bit-identical across JVMs — unlike AWT's area-averaging
+      * scaler). Source pixel for output (x, y) is
+      * (x * w / ow, y * h / oh).
+      */
+    def resizeNearest(d: Decoded, outW: Int, outH: Int): Decoded = {
+      require(outW > 0 && outH > 0, "output dims must be positive")
+      val out = new Array[Int](outW * outH)
+      var y = 0
+      while (y < outH) {
+        val sy = (y.toLong * d.height / outH).toInt
+        var x = 0
+        while (x < outW) {
+          out(y * outW + x) = d.argb(sy * d.width + (x.toLong * d.width / outW).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      Decoded(outW, outH, d.channels, out)
+    }
+
+    /** Aspect-preserving fit into a maxSide box, never upscaling —
+      * the same math as [[resizeMeta]], applied to real pixels.
+      */
+    def fitWithin(d: Decoded, maxSide: Int): Decoded = {
+      val scale = math.min(1.0,
+        math.min(maxSide.toDouble / d.width, maxSide.toDouble / d.height))
+      resizeNearest(d,
+        math.max(1, math.floor(d.width * scale).toInt),
+        math.max(1, math.floor(d.height * scale).toInt))
+    }
+
+    /** Pixel-histogram features: `dim/3` luminance-ordered bins per
+      * channel — a real (if simple) visual descriptor, deterministic.
+      */
+    def features(d: Decoded, dim: Int): Array[Float] = {
+      require(dim >= 3, "histogram features need at least one bin per channel")
+      val out = new Array[Float](dim)
+      val bins = dim / 3            // r and g each get `bins`,
+      val bBins = dim - 2 * bins    // b absorbs the remainder
+      var i = 0
+      while (i < d.argb.length) {
+        val p = d.argb(i)
+        out(((p >> 16) & 0xff) * bins / 256) += 1f
+        out(bins + ((p >> 8) & 0xff) * bins / 256) += 1f
+        out(2 * bins + (p & 0xff) * bBins / 256) += 1f
+        i += 1
+      }
+      val n = d.argb.length.toFloat
+      var j = 0
+      while (j < dim) { out(j) /= n; j += 1 }
+      out
+    }
+  }
+
+  /** STUB decode/embed kernel for audio/video mimes — a deterministic
+    * stand-in (rolling FNV-1a of the payload folded per feature slot
+    * into [0, 1) floats) with the same signature a real codec adapter
+    * would have: stable across JVMs/partitionings, so pipeline tests
+    * assert real equalities. Image mimes do NOT use this — they decode
+    * for real via [[ImageCodec]].
     */
   object StubCodec {
     def featuresOf(bytes: Array[Byte], dim: Int): Array[Float] = {
@@ -70,20 +196,122 @@ object Multimodal {
       (pmod(col("doc_id"), lit(480)) + 32).cast("int").as("height"))
   }
 
+  /** Deterministic REAL-PNG asset view of the `documents` table: each
+    * document becomes a solid-color PNG whose dims and color are pure
+    * formulas of (doc_id, n_chars). The payloads are genuine PNG bytes
+    * (encoded with ImageIO inside the task), so the decode queries
+    * exercise the real codec end to end, while DuckDB can still oracle
+    * the decoded metadata/stats from the formulas alone.
+    *
+    * Encoding runs in batched `mapPartitions` — the codec-session shape
+    * — and the declared width/height columns are intentionally NOT
+    * trusted by the decode operators (they re-derive dims from pixels).
+    */
+  def pngAssetsFromDocuments(documents: DataFrame, batchSize: Int = 64): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    documents.select("doc_id", "n_chars").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0); val nChars = r.getLong(1)
+          val w = (nChars % 60 + 4).toInt
+          val h = (id % 40 + 4).toInt
+          val cr = (id % 256).toInt
+          val cg = ((id * 7 + 13) % 256).toInt
+          val cb = (nChars % 256).toInt
+          Row(id, ImageCodec.solidPng(w, h, cr, cg, cb), "image/png", w, h)
+        }
+      }
+    }(enc)
+  }
+
+  /** Real image decode: `(asset_id, width, height, channels, mean_r,
+    * mean_g, mean_b, decoded)`. Dims and stats come from the decoded
+    * pixel raster, not the metadata columns. Non-image or corrupt
+    * payloads yield `decoded = false` with null stats (poison-safe: one
+    * bad asset never kills the batch).
+    */
+  def decodeImages(assets: DataFrame, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("mean_r", DoubleType, nullable = true),
+      StructField("mean_g", DoubleType, nullable = true),
+      StructField("mean_b", DoubleType, nullable = true),
+      StructField("decoded", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    assets.select("asset_id", "media", "mime").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val dec =
+            if (ImageCodec.imageMimes.contains(r.getString(2)))
+              try ImageCodec.decode(r.getAs[Array[Byte]](1)) catch { case _: Exception => None }
+            else None
+          dec match {
+            case Some(d) =>
+              val (mr, mg, mb) = d.channelMeans
+              Row(id, d.width, d.height, d.channels, mr, mg, mb, true)
+            case None => Row(id, null, null, null, null, null, null, false)
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Real pixel resize: decode, aspect-fit into `maxSide` (nearest
+    * neighbor, never upscaling), re-encode as PNG. Output
+    * `(asset_id, out_width, out_height, media)` — undecodable assets
+    * are dropped (they carry no pixels to resize).
+    */
+  def resizeImages(assets: DataFrame, maxSide: Int, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("out_width", IntegerType, nullable = false),
+      StructField("out_height", IntegerType, nullable = false),
+      StructField("media", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    assets.select("asset_id", "media", "mime").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val dec =
+            if (ImageCodec.imageMimes.contains(r.getString(2)))
+              try ImageCodec.decode(r.getAs[Array[Byte]](1)) catch { case _: Exception => None }
+            else None
+          dec.map { d =>
+            val small = ImageCodec.fitWithin(d, maxSide)
+            Row(r.getLong(0), small.width, small.height,
+              ImageCodec.encodePng(small.width, small.height, small.argb))
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** Batched feature extraction: `(asset_id, features: array<float>)`.
     * Processes each partition in micro-batches of `batchSize` rows —
-    * the real-codec shape (one codec/model session per batch).
+    * the real-codec shape (one codec/model session per batch). Image
+    * mimes produce real pixel-histogram descriptors via [[ImageCodec]];
+    * other mimes fall back to the deterministic [[StubCodec]].
     */
   def extractFeatures(assets: DataFrame, dim: Int = 16, batchSize: Int = 64): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
       StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    assets.select("asset_id", "media").mapPartitions { rows =>
+    assets.select("asset_id", "media", "mime").mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         // a real adapter would open one codec session for `batch` here
         batch.map { r =>
-          Row(r.getLong(0), StubCodec.featuresOf(r.getAs[Array[Byte]](1), dim))
+          val bytes = r.getAs[Array[Byte]](1)
+          val feats =
+            if (ImageCodec.imageMimes.contains(r.getString(2)))
+              (try ImageCodec.decode(bytes) catch { case _: Exception => None })
+                .map(ImageCodec.features(_, dim))
+                .getOrElse(StubCodec.featuresOf(bytes, dim))
+            else StubCodec.featuresOf(bytes, dim)
+          Row(r.getLong(0), feats)
         }
       }
     }(enc)
@@ -108,7 +336,7 @@ object Multimodal {
   }
 
   /** Resize metadata to fit a bounding box preserving aspect ratio —
-    * the metadata half of a resize (the pixel half is codec work).
+    * the metadata half of a resize (the pixel half is [[resizeImages]]).
     */
   def resizeMeta(assets: DataFrame, maxSide: Int): DataFrame = {
     val scale = least(

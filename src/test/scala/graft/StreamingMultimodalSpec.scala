@@ -583,6 +583,84 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("multimodal: ImageIO codec round-trips a known 2x2 PNG to exact pixels") {
+    import Multimodal.ImageCodec
+    val px = Array(0xffff0000, 0xff00ff00, 0xff0000ff, 0xff102030)
+    val d = ImageCodec.decode(ImageCodec.encodePng(2, 2, px)).get
+    assert((d.width, d.height, d.channels) === ((2, 2, 3)))
+    assert(d.argb.toSeq === px.toSeq, "PNG must round-trip RGB losslessly")
+    val (mr, mg, mb) = d.channelMeans
+    assert(mr === (0xff + 0x00 + 0x00 + 0x10) / 4.0)
+    assert(mg === (0x00 + 0xff + 0x00 + 0x20) / 4.0)
+    assert(mb === (0x00 + 0x00 + 0xff + 0x30) / 4.0)
+  }
+
+  test("multimodal: ImageIO decodes real JPEG and BMP payloads (dims exact)") {
+    import Multimodal.ImageCodec
+    val img = new java.awt.image.BufferedImage(5, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (fmt <- Seq("jpg", "bmp")) {
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"JDK must ship a $fmt writer")
+      val d = ImageCodec.decode(out.toByteArray).get
+      assert((d.width, d.height) === ((5, 3)), s"$fmt decode dims")
+    }
+  }
+
+  test("multimodal: nearest-neighbor resize picks exact source pixels; fit never upscales") {
+    import Multimodal.ImageCodec
+    // 4x4 quadrant image: resize to 2x2 must sample (0,0),(2,0),(0,2),(2,2)
+    val q = Array.tabulate(16) { i =>
+      val x = i % 4; val y = i / 4
+      if (x < 2 && y < 2) 0xff110000 else if (y < 2) 0xff002200
+      else if (x < 2) 0xff000033 else 0xff444444
+    }
+    val small = ImageCodec.resizeNearest(ImageCodec.Decoded(4, 4, 3, q), 2, 2)
+    assert(small.argb.toSeq === Seq(0xff110000, 0xff002200, 0xff000033, 0xff444444))
+    // aspect fit: 100x50 into 20 → 20x10; 4x4 into 16 → unchanged
+    val wide = ImageCodec.Decoded(100, 50, 3, Array.fill(5000)(0xff000000))
+    val fit = ImageCodec.fitWithin(wide, 20)
+    assert((fit.width, fit.height) === ((20, 10)))
+    val tiny = ImageCodec.fitWithin(ImageCodec.Decoded(4, 4, 3, q), 16)
+    assert((tiny.width, tiny.height) === ((4, 4)), "never upscale")
+  }
+
+  test("multimodal: decodeImages decodes real PNGs and poison-safely flags non-images") {
+    import Multimodal.ImageCodec
+    val assets = Seq(
+      (1L, ImageCodec.solidPng(6, 4, 10, 20, 30), "image/png", 6, 4),
+      (2L, "not an image at all".getBytes("UTF-8"), "image/png", 0, 0),
+      (3L, "plain text payload".getBytes("UTF-8"), "text/plain", 0, 0))
+      .toDF("asset_id", "media", "mime", "width", "height")
+    val rows = Multimodal.decodeImages(assets).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val ok = rows(1L)
+    assert((ok.getInt(1), ok.getInt(2), ok.getInt(3)) === ((6, 4, 3)))
+    assert((ok.getDouble(4), ok.getDouble(5), ok.getDouble(6)) === ((10.0, 20.0, 30.0)))
+    assert(ok.getBoolean(7))
+    assert(!rows(2L).getBoolean(7), "corrupt payload flags, never throws")
+    assert(!rows(3L).getBoolean(7), "non-image mime skips the codec")
+  }
+
+  test("multimodal: image features are real pixel histograms, stable across batch sizes") {
+    import Multimodal.ImageCodec
+    val assets = Seq(
+      (1L, ImageCodec.solidPng(8, 8, 255, 0, 128), "image/png", 8, 8),
+      (2L, "audio bytes stand-in".getBytes("UTF-8"), "audio/wav", 0, 0))
+      .toDF("asset_id", "media", "mime", "width", "height")
+    val f1 = Multimodal.extractFeatures(assets, dim = 9).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val f2 = Multimodal.extractFeatures(assets, dim = 9, batchSize = 1).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(f1 === f2)
+    // solid (255, 0, 128): r lands in the top r-bin, g in the first g-bin,
+    // b mid-range — one full bin per channel, everything else 0
+    assert(math.abs(f1(1L).sum - 3.0f) < 1e-5f, "each pixel lands in one bin per channel")
+    assert(f1(1L)(2) === 1.0f, "r=255 fills the last of 3 r-bins")
+    assert(f1(1L)(3) === 1.0f, "g=0 fills the first g-bin")
+    // non-image mime still flows through the deterministic stub
+    assert(f1(2L).length === 9)
+  }
+
   test("multimodal: resize metadata preserves aspect ratio and never upscales") {
     val assets = Seq(
       (1L, Array[Byte](1), "image/png", 1000, 500),
