@@ -51,7 +51,9 @@ object GraftExtensions {
     (FunctionIdentifier("l2_distance_sq"), info("l2_distance_sq"),
       binary("l2_distance_sq", L2DistanceSqExpr(_, _))),
     (FunctionIdentifier("dot_product"), info("dot_product"),
-      binary("dot_product", DotProductExpr(_, _))))
+      binary("dot_product", DotProductExpr(_, _))),
+    (FunctionIdentifier("regexp_spans"), info("regexp_spans"),
+      binary("regexp_spans", graft.functions.RegexpSpansExpr(_, _))))
 
   /** Lift a DataFrame builder over literal arguments into a TVF plan
     * builder: arguments must be foldable (the SQL-literal contract of a

@@ -136,6 +136,38 @@ object SparkEntry {
   // ---------------- DuckDB SQL fragments (mirror the Scala constants) --
 
   /** md5Int (Portable.md5Int) in DuckDB. */
+  /** Deterministic PII injection over the (digit-free) documents table:
+    * doc_id%5 ∈ {0,1,2} gain an email+IPv4 / phone / SSN+card suffix;
+    * {3,4} stay clean. [[duckPiiInject]] is the same formula in DuckDB
+    * SQL, so both engines extract from byte-identical texts.
+    */
+  private def injectPii(docs: DataFrame): DataFrame = {
+    val id4 = lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")
+    val m = pmod(col("doc_id"), lit(5))
+    docs.withColumn("text",
+      when(m === 0, concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com via 10.0."),
+          pmod(col("doc_id"), lit(100)).cast("string"), lit("."),
+          pmod(col("n_chars"), lit(100)).cast("string")))
+        .when(m === 1, concat(col("text"), lit(" call 555-010-"), id4))
+        .when(m === 2, concat(col("text"), lit(" ssn 123-45-"), id4,
+          lit(" card 4111 1111 1111 "), id4))
+        .otherwise(col("text")))
+  }
+
+  private val duckPiiInject: String =
+    """SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@example.com via 10.0.' || CAST(doc_id % 100 AS VARCHAR)
+             || '.' || CAST(n_chars % 100 AS VARCHAR)
+           WHEN 1 THEN text || ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           WHEN 2 THEN text || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             || ' card 4111 1111 1111 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           ELSE text END AS text
+       FROM documents"""
+
   private def duckMd5Int(x: String): String =
     s"CAST(concat('0x', substring(md5($x),1,8)) AS BIGINT)"
 
@@ -2464,6 +2496,17 @@ object SparkEntry {
     "q_bigram_nll" -> ((s, dir) => TextAnalysis.bigramNll(Tables.documents(s, dir))),
     // Mergeable-sketch heavy hitters; q_token_counts is the exact anchor.
     "q_cms_topk" -> ((s, dir) => TextAnalysis.cmsHeavyHitters(Tables.documents(s, dir), 50)),
+    // ---- PII detection / redaction ----
+    // The synthetic corpus is digit-free, so deterministic PII is
+    // injected first (formula mirrored verbatim in the oracle SQL) and
+    // the real extractors/redactors run over it: spans via the codegen
+    // RegexpSpansExpr matcher sweep, redaction via the ordered
+    // regexp_replace chain. ~40% of documents stay PII-free on purpose.
+    "q_pii_spans" -> ((s, dir) =>
+      TextAnalysis.piiSpans(injectPii(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("kind"), col("pii"))),
+    "q_pii_redact" -> ((s, dir) =>
+      TextAnalysis.redactPii(injectPii(Tables.documents(s, dir)))),
     // In-engine BPE tokenizer training (word-type-weighted merge
     // learning) and the re-encoded word-type view under those merges.
     "q_bpe_merges" -> ((s, dir) => Bpe.train(Tables.documents(s, dir), 8)),
@@ -3029,6 +3072,26 @@ object SparkEntry {
           SELECT *, CASE $cases ELSE 'und' END AS lang_pred FROM scored"""
     },
     "q_quality" -> duckQualitySql,
+    // GENERATED from TextAnalysis.piiPatterns — pattern text, rule
+    // order, and replacement tokens cannot drift from the engine.
+    "q_pii_spans" -> {
+      val branches = TextAnalysis.piiPatterns.map { case (kind, pat, _) =>
+        s"SELECT doc_id, '$kind' AS kind, unnest(regexp_extract_all(text, '$pat')) AS pii FROM p"
+      }.mkString(" UNION ALL ")
+      s"WITH p AS ($duckPiiInject) $branches"
+    },
+    "q_pii_redact" -> {
+      val redacted = TextAnalysis.piiPatterns.foldLeft("text") {
+        case (e, (_, pat, rep)) => s"regexp_replace($e, '$pat', '$rep', 'g')"
+      }
+      val counts = TextAnalysis.piiPatterns.map { case (_, pat, _) =>
+        s"len(regexp_extract_all(text, '$pat'))"
+      }.mkString(" + ")
+      s"""WITH p AS ($duckPiiInject)
+          SELECT doc_id, $redacted AS text_redacted,
+                 CAST($counts AS BIGINT) AS n_pii
+          FROM p"""
+    },
     "q_quality_gate" ->
       s"""WITH x AS (SELECT doc_id, source,
               CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,

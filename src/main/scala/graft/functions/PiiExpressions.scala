@@ -1,0 +1,77 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Regex span kernel shared by the interpreted and generated paths of
+  * [[RegexpSpansExpr]]. One `Matcher` sweep per row; offsets are Java
+  * `String` char indices (== byte offsets on the ASCII corpora these
+  * operators curate).
+  */
+object PiiKernels {
+  def spans(s: UTF8String, p: Pattern): ArrayData = {
+    val str = s.toString
+    val m = p.matcher(str)
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    while (m.find()) {
+      out += InternalRow(m.start(), m.end(), UTF8String.fromString(m.group()))
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+}
+
+/** All match spans of a constant regex over a string column in one
+  * matcher sweep: `array<struct<start int, stop int, pii string>>`
+  * ([start, stop) char offsets, leftmost-first match order — Java
+  * `Matcher.find` semantics, same as RE2 for the lookaround-free
+  * PII patterns this engine ships).
+  *
+  * The pattern child must be foldable (compiled once at plan build,
+  * shipped as a reference object); the per-row call is one static
+  * method inside whole-stage codegen — same shape as Spark's own
+  * `RegExpExtractAll`.
+  */
+case class RegexpSpansExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "regexp_spans"
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("start", IntegerType, nullable = false),
+    StructField("stop", IntegerType, nullable = false),
+    StructField("pii", StringType, nullable = false))), containsNull = false)
+
+  override def nullable: Boolean = left.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != StringType || right.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string), got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName pattern must be a literal")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val pattern: Pattern =
+    Pattern.compile(right.eval().asInstanceOf[UTF8String].toString)
+
+  override def nullSafeEval(s: Any, p: Any): Any =
+    PiiKernels.spans(s.asInstanceOf[UTF8String], pattern)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val patRef = ctx.addReferenceObj("pattern", pattern, classOf[Pattern].getName)
+    nullSafeCodeGen(ctx, ev, (s, _) =>
+      s"${ev.value} = graft.functions.PiiKernels.spans($s, $patRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RegexpSpansExpr =
+    copy(left = newLeft, right = newRight)
+}

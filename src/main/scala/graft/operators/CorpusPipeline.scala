@@ -39,8 +39,16 @@ object CorpusPipeline {
     * columns) — the intermediate the mixing/packing stages consume.
     */
   def curatedDocs(documents: DataFrame, lang: String, minQuality: Double,
-                  jaccardThreshold: Double, maxDf: Int = 10000): DataFrame = {
-    val kept1 = filtered(documents, lang, minQuality)
+                  jaccardThreshold: Double, maxDf: Int = 10000,
+                  redactPii: Boolean = false): DataFrame = {
+    // PII redaction slots between quality filtering and dedup (the
+    // production stage order): a narrow per-row rewrite, so exact dedup
+    // then keys on the redacted bytes and identical documents that
+    // differed only in their PII still collapse.
+    val kept1raw = filtered(documents, lang, minQuality)
+    val kept1 =
+      if (redactPii) kept1raw.withColumn("text", TextAnalysis.redactCol(col("text")))
+      else kept1raw
     // Exact-dup survivors, CHECKPOINTED: kept2 feeds three consumers
     // (pair generation, the clustering vertex set, the final stats
     // join) and the iterative clustering downstream — without the cut,
@@ -57,8 +65,9 @@ object CorpusPipeline {
     * after all three dedup/filter stages.
     */
   def curate(documents: DataFrame, lang: String, minQuality: Double,
-             jaccardThreshold: Double, maxDf: Int = 10000): DataFrame =
-    curatedDocs(documents, lang, minQuality, jaccardThreshold, maxDf)
+             jaccardThreshold: Double, maxDf: Int = 10000,
+             redactPii: Boolean = false): DataFrame =
+    curatedDocs(documents, lang, minQuality, jaccardThreshold, maxDf, redactPii)
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),

@@ -352,4 +352,71 @@ object TextAnalysis {
         count(lit(1)).as("n_bigrams"),
         round(-(sum(col("lp")).cast("double") / count(lit(1))), 6).as("nll"))
   }
+
+  // -------------------------------------------------------------------
+  // PII detection / redaction — the curation stage between quality
+  // filtering and packing. Deterministic regex rules only (no model):
+  // every pattern is lookaround-free so Java regex (engine) and RE2
+  // (DuckDB oracle) agree match-for-match, and the oracle SQL is
+  // GENERATED from these same constants so the two sides cannot drift.
+  // -------------------------------------------------------------------
+
+  /** (kind, pattern, replacement token), in REDACTION ORDER — applied
+    * top to bottom; replacements contain no digits/@, so later rules
+    * can never re-match inside an earlier rule's token.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("card",  "\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b",      "<CARD>"),
+    ("ssn",   "\\b\\d{3}-\\d{2}-\\d{4}\\b",                      "<SSN>"),
+    ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b",                "<PHONE>"),
+    ("ipv4",  "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IPV4>"))
+
+  /** All PII spans of one kind as a column:
+    * `array<struct<start, stop, pii>>` (one matcher sweep per row via
+    * the codegen [[graft.functions.RegexpSpansExpr]]).
+    */
+  def piiSpansCol(text: Column, pattern: String): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.RegexpSpansExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text),
+        org.apache.spark.sql.catalyst.expressions.Literal(pattern)))
+
+  /** PII span table: `(doc_id, kind, start, stop, pii)` — every match
+    * of every rule with [start, stop) char offsets. ONE corpus scan:
+    * all rules run per row and concat into a single exploded array
+    * (narrow, shuffle-free, streaming-safe like [[langId]]). Documents
+    * with no PII produce no rows.
+    */
+  def piiSpans(documents: DataFrame): DataFrame = {
+    val tagged = piiPatterns.map { case (kind, pat, _) =>
+      transform(piiSpansCol(col("text"), pat), s =>
+        struct(lit(kind).as("kind"), s.getField("start").as("start"),
+          s.getField("stop").as("stop"), s.getField("pii").as("pii")))
+    }
+    documents
+      .select(col("doc_id"), explode(concat(tagged: _*)).as("m"))
+      .select(col("doc_id"), col("m.kind"), col("m.start"), col("m.stop"), col("m.pii"))
+  }
+
+  /** Redacted text as a pure column: the [[piiPatterns]] replace chain
+    * in declared order (regexp_replace replaces ALL occurrences).
+    */
+  def redactCol(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (t, (_, pat, rep)) =>
+      regexp_replace(t, pat, rep)
+    }
+
+  /** PII redaction: `(doc_id, text_redacted, n_pii)` — the curation
+    * stage's output plus how many spans were masked (cheap audit
+    * signal). Narrow per-row projection, no shuffle.
+    */
+  def redactPii(documents: DataFrame): DataFrame = {
+    val nPii = piiPatterns.map { case (_, pat, _) =>
+      regexp_count(col("text"), lit(pat))
+    }.reduce(_ + _)
+    documents.select(col("doc_id"),
+      redactCol(col("text")).as("text_redacted"),
+      nPii.cast("long").as("n_pii"))
+  }
 }
