@@ -114,17 +114,28 @@ object SparkEntry {
     * catalog entry from rewriting OTHER declared queries' naive plans —
     * each query must bench the plan it declares.
     */
-  private def ensureRewriteSandbox(s: SparkSession, sfDir: String): String = {
+  private def ensureRewriteSandbox(s: SparkSession, sfDir: String,
+                                   metric: String = "l2"): String = {
     val base = s.conf.getOption("spark.graft.indexDir").getOrElse("target/graft_index")
     // ABSOLUTE path: the catalog keys by the scan's resolved root path
-    // (file:/abs/...), so a relative registration would never match
-    val rdir = java.nio.file.Paths.get(s"$base/v5_rw_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}")
+    // (file:/abs/...), so a relative registration would never match.
+    // One sandbox dir per metric — each metric's catalog entry covers
+    // only its own copy, so the kind-match guard is actually exercised.
+    val tag = if (metric == "l2") "rw" else s"rw$metric"
+    val rdir = java.nio.file.Paths.get(
+        s"$base/v5_${tag}_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}")
       .toAbsolutePath.toString
     val dataPath = s"$rdir/data"
     rewriteSandboxBuilt.getOrElseUpdate(rdir, {
       Tables.embeddings(s, sfDir).write.mode("overwrite").parquet(dataPath)
-      graft.plans.IndexCatalog.buildAndRegister(s, dataPath, c = 8, iters = 2,
-        nprobe = 8, rdir, partitioned = true)
+      metric match {
+        case "cosine" => graft.plans.IndexCatalog.buildAndRegisterCosine(
+          s, dataPath, c = 8, iters = 2, nprobe = 8, rdir)
+        case "mips" => graft.plans.IndexCatalog.buildAndRegisterMips(
+          s, dataPath, c = 8, iters = 2, nprobe = 8, rdir)
+        case _ => graft.plans.IndexCatalog.buildAndRegister(s, dataPath, c = 8,
+          iters = 2, nprobe = 8, rdir, partitioned = true)
+      }
       true
     })
     if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.IndexRewriteRule]))
@@ -1934,6 +1945,36 @@ object SparkEntry {
         .orderBy(col("dist"), col("vec_id"))
         .limit(10)
     }),
+    // the NAIVE cosine top-k (the most common embedding metric) over a
+    // table with a registered COSINE index: the rule recognizes the
+    // similarity-descending dot/norm shape, transforms the query into
+    // the normalized probe geometry, and restricts candidates via the
+    // assignment join — score expression untouched, nprobe = C ⇒ exact
+    "q_cosine_rewrite_topk" -> ((s, dir) => {
+      val dataPath = ensureRewriteSandbox(s, dir, metric = "cosine")
+      val emb = s.read.parquet(dataPath)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(perturbQuery(col("embedding")).as("query_vec"))
+      emb.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(cosineSimilarity(col("embedding"), col("query_vec")), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+    // the NAIVE MIPS top-k over a table with a registered MIPS index:
+    // the bare cross-dot descending shape, query zero-augmented into
+    // the augmented-centroid geometry, assignment-join restriction
+    "q_mips_rewrite_topk" -> ((s, dir) => {
+      val dataPath = ensureRewriteSandbox(s, dir, metric = "mips")
+      val emb = s.read.parquet(dataPath)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(perturbQuery(col("embedding")).as("query_vec"))
+      emb.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(dotProduct(col("embedding"), col("query_vec")), 6).as("ip"))
+        .orderBy(col("ip").desc, col("vec_id"))
+        .limit(10)
+    }),
 
     // Cosine ANN over the partitioned index: the normalize-then-L2
     // reduction (cos = 1 − ‖û−v̂‖²/2 on unit vectors) lets the same
@@ -2928,6 +2969,20 @@ object SparkEntry {
       s"""SELECT vec_id, round(list_distance(embedding::DOUBLE[], q.query_vec), 6) AS dist
           FROM embeddings, $duckQueryVec q
           ORDER BY dist, vec_id LIMIT 10""",
+    // the cosine/MIPS rewrites restrict candidates at nprobe = C (all
+    // cells) with the score expression untouched — the plain exact
+    // oracles apply, perturbed-query form
+    "q_cosine_rewrite_topk" ->
+      s"""SELECT vec_id, round(
+              list_inner_product(embedding::DOUBLE[], q.query_vec)
+              / (sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                 * sqrt(list_inner_product(q.query_vec, q.query_vec))), 6) AS cos_sim
+          FROM embeddings, $duckQueryVec q
+          ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    "q_mips_rewrite_topk" ->
+      s"""SELECT vec_id, round(list_inner_product(embedding::DOUBLE[], q.query_vec), 6) AS ip
+          FROM embeddings, $duckQueryVec q
+          ORDER BY ip DESC, vec_id LIMIT 10""",
     "q_knn_batch" ->
       """WITH q AS (SELECT vec_id AS query_id,
                 [CAST(embedding[1] AS DOUBLE)+1.0, CAST(embedding[2] AS DOUBLE)-1.0]

@@ -30,12 +30,25 @@ object IndexCatalog {
     * when present, the rewrite serves the query from that copy with a
     * partition-pruned scan (a materialized-layout rewrite — unprobed
     * cells' files are never opened).
+    *
+    * `kind` declares the metric GEOMETRY the index was built in — the
+    * rewrite only fires when the plan's score shape matches:
+    *  - "l2": centroids/assignments over the raw vectors;
+    *  - "cosine": over the unit-normalized copy ([[Ivf.normalized]]) —
+    *    covers naive cosine-similarity top-k plans;
+    *  - "mips": over the augmented copy ([[Ivf.augmented]], d+1 dims)
+    *    — covers naive inner-product top-k plans (queries zero-augment
+    *    before probing).
+    * For cosine/mips the assignment table is the ONLY probe form (the
+    * partitioned copies hold transformed vectors, which cannot serve
+    * the original plan's raw-vector score expression bit-identically).
     */
   final case class IvfIndex(
       assignPath: String,
       centroids: Seq[(Long, Seq[Double])],
       nprobe: Int,
-      partitionedPath: Option[String] = None)
+      partitionedPath: Option[String] = None,
+      kind: String = "l2")
 
   private val registry = TrieMap.empty[String, IvfIndex]
 
@@ -52,8 +65,10 @@ object IndexCatalog {
 
   def register(dataPath: String, assignPath: String,
                centroids: Seq[(Long, Seq[Double])], nprobe: Int,
-               partitionedPath: Option[String] = None): Unit =
-    registry(canon(dataPath)) = IvfIndex(assignPath, centroids, nprobe, partitionedPath)
+               partitionedPath: Option[String] = None,
+               kind: String = "l2"): Unit =
+    registry(canon(dataPath)) =
+      IvfIndex(assignPath, centroids, nprobe, partitionedPath, kind)
 
   def lookup(dataPath: String): Option[IvfIndex] = registry.get(canon(dataPath))
 
@@ -90,5 +105,40 @@ object IndexCatalog {
     } else None
     register(dataPath, assignPath,
       cents.as[(Long, Seq[Double])].collect().toSeq, nprobe, partPath)
+  }
+
+  /** Build and register a COSINE index over a parquet vector table:
+    * centroids and `(vec_id, cell)` assignments are computed over the
+    * unit-NORMALIZED copy (the cosine→L2 reduction's geometry), but the
+    * registration keys on the RAW table's path — the rewrite restricts
+    * the naive plan's candidate set by cell and keeps its raw-vector
+    * cosine score expression untouched, so nprobe = C is bit-exact.
+    */
+  def buildAndRegisterCosine(spark: SparkSession, dataPath: String,
+                             c: Int, iters: Int, nprobe: Int, indexDir: String): Unit = {
+    import spark.implicits._
+    val normed = Ivf.normalized(spark.read.parquet(dataPath))
+    val cents = Ivf.kmeans(normed, c, iters)
+    val assignPath = s"$indexDir/assign"
+    Ivf.assignWith(normed, cents).write.mode("overwrite").parquet(assignPath)
+    register(dataPath, assignPath,
+      cents.as[(Long, Seq[Double])].collect().toSeq, nprobe, None, kind = "cosine")
+  }
+
+  /** Build and register a MIPS index: centroids/assignments over the
+    * AUGMENTED copy (d+1 dims, [[Ivf.augmented]]); queries zero-augment
+    * before probing. Same candidate-restriction contract as
+    * [[buildAndRegisterCosine]] — the raw dot-product score expression
+    * is preserved, nprobe = C is bit-exact.
+    */
+  def buildAndRegisterMips(spark: SparkSession, dataPath: String,
+                           c: Int, iters: Int, nprobe: Int, indexDir: String): Unit = {
+    import spark.implicits._
+    val aug = Ivf.augmented(spark.read.parquet(dataPath))
+    val cents = Ivf.kmeans(aug, c, iters)
+    val assignPath = s"$indexDir/assign"
+    Ivf.assignWith(aug, cents).write.mode("overwrite").parquet(assignPath)
+    register(dataPath, assignPath,
+      cents.as[(Long, Seq[Double])].collect().toSeq, nprobe, None, kind = "mips")
   }
 }

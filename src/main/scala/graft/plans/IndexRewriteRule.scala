@@ -10,11 +10,21 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
-import graft.functions.L2DistanceSqExpr
+import graft.functions.{DotProductExpr, L2DistanceSqExpr}
 
-/** Index-aware planning: rewrites the two NAIVE exact-kNN plan shapes
+/** Index-aware planning: rewrites the NAIVE exact top-k plan shapes
   * over a table with a registered IVF index ([[IndexCatalog]]) into the
-  * IVF probe.
+  * IVF probe — in all three metrics. L2 plans (distance ascending,
+  * score contains the native [[L2DistanceSqExpr]]) take either the
+  * partitioned-copy swap or the assignment join; COSINE plans
+  * (similarity descending, cross [[DotProductExpr]] normalized by the
+  * scan side's own norm) and MIPS plans (similarity descending, bare
+  * cross [[DotProductExpr]]) take the assignment join against cells
+  * computed in the normalized / augmented geometry, with the query
+  * transformed the same way (unit-normalize / zero-augment) before
+  * probing. In every metric the ORIGINAL score expression is preserved
+  * — the rewrite only restricts the candidate set, so nprobe = C is
+  * bit-exact.
   *
   * Shape 1 — single query (TakeOrderedAndProject form):
   * {{{
@@ -94,14 +104,14 @@ case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
                          join: Join): Option[LogicalPlan] = join match {
     case Join(left, right, Cross | Inner, None, _) =>
       for {
-        distAlias <- projList.collectFirst {
-          case a: Alias if a.child.exists(_.isInstanceOf[L2DistanceSqExpr]) => a
-        }
-        // primary sort key must be that distance, ascending (top-k-nearest)
+        (distAlias, metric) <- findScore(projList, left, right)
+        // primary sort key must be that score: distance ascending for
+        // L2 (top-k-nearest), similarity DESCENDING for cosine/MIPS
         head <- orders.headOption
-        if head.direction == Ascending && head.child.semanticEquals(distAlias.toAttribute)
-        (qAttr, idAttr, idx) <- indexedSides(distAlias.child, left, right)
-        r <- rewrite(join, left, idAttr, qAttr, idx, qidAttr = None)
+        if head.direction == expectedDirection(metric) &&
+          head.child.semanticEquals(distAlias.toAttribute)
+        (qAttr, idAttr, idx) <- indexedSides(distAlias.child, left, right, metric)
+        r <- rewrite(join, left, idAttr, qAttr, idx, qidAttr = None, metric)
       } yield r
     case _ => None
   }
@@ -127,16 +137,14 @@ case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       }
       // primary window order: the l2 distance, ascending
       headOrder <- w.orderSpec.headOption
-      if headOrder.direction == Ascending
       (projList, join, rebuildChild) <- childProjectJoin(w.child)
       sides <- join match {
         case Join(l, r, Cross | Inner, None, _) => Some((l, r))
         case _ => None
       }
       (left, right) = sides
-      distAlias <- projList.collectFirst {
-        case a: Alias if a.child.exists(_.isInstanceOf[L2DistanceSqExpr]) => a
-      }
+      (distAlias, metric) <- findScore(projList, left, right)
+      if headOrder.direction == expectedDirection(metric)
       if headOrder.child.semanticEquals(distAlias.toAttribute) ||
         headOrder.child.semanticEquals(distAlias.child)
       // per-query ranking: every partition key must come from the query side
@@ -146,8 +154,8 @@ case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
         case Seq(a: AttributeReference) => Some(a)
         case _ => None
       }
-      (qAttr, idAttr, idx) <- indexedSides(distAlias.child, left, right)
-      r <- rewrite(join, left, idAttr, qAttr, idx, Some(qidAttr))
+      (qAttr, idAttr, idx) <- indexedSides(distAlias.child, left, right, metric)
+      r <- rewrite(join, left, idAttr, qAttr, idx, Some(qidAttr), metric)
     } yield w.copy(child = rebuildChild(Project(projList, r)))
   }
 
@@ -166,23 +174,80 @@ case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
   }
 
   // ------------------------------------------------------------------
+  // Metric classification
+  // ------------------------------------------------------------------
+
+  /** The three score shapes the rule recognizes. Classification is
+    * structural: L2 plans contain the native [[L2DistanceSqExpr]];
+    * similarity plans contain a CROSS [[DotProductExpr]] (one side from
+    * each join input) — cosine when the score also normalizes by the
+    * SCAN side's own norm (a left-only self-dot, `‖a‖ =
+    * sqrt(dot(a, a))`), plain MIPS otherwise.
+    */
+  private sealed trait Metric
+  private case object L2Metric extends Metric
+  private case object CosMetric extends Metric
+  private case object MipsMetric extends Metric
+
+  private def expectedDirection(m: Metric): SortDirection = m match {
+    case L2Metric => Ascending            // smallest distance first
+    case CosMetric | MipsMetric => Descending // highest similarity first
+  }
+
+  private def kindOf(m: Metric): String = m match {
+    case L2Metric => "l2"
+    case CosMetric => "cosine"
+    case MipsMetric => "mips"
+  }
+
+  /** The score alias in `projList` and its metric, if the expression is
+    * one of the recognized shapes over this join's sides.
+    */
+  private def findScore(projList: Seq[NamedExpression], left: LogicalPlan,
+                        right: LogicalPlan): Option[(Alias, Metric)] =
+    projList.iterator.collect { case a: Alias => a }.flatMap { a =>
+      if (a.child.exists(_.isInstanceOf[L2DistanceSqExpr]))
+        Some((a, L2Metric: Metric))
+      else {
+        val dots = a.child.collect { case e: DotProductExpr => e }
+        val cross = dots.exists(d =>
+          d.references.exists(left.outputSet.contains) &&
+            d.references.exists(right.outputSet.contains))
+        val leftSelf = dots.exists(d =>
+          d.references.nonEmpty && d.references.subsetOf(left.outputSet))
+        if (!cross) None
+        else Some((a, if (leftSelf) CosMetric else MipsMetric: Metric))
+      }
+    }.nextOption()
+
+  // ------------------------------------------------------------------
   // Shared probe machinery
   // ------------------------------------------------------------------
 
   /** From the distance expression and join sides: the query-vector
     * attribute (right), the vec_id attribute (left), and the registered
-    * index of the left scan.
+    * index of the left scan — only when the index's declared geometry
+    * matches the plan's metric (pruning a cosine query with an L2
+    * index's cells would be a different approximation than the one the
+    * registration declared).
     */
-  private def indexedSides(distExpr: Expression, left: LogicalPlan, right: LogicalPlan)
+  private def indexedSides(distExpr: Expression, left: LogicalPlan, right: LogicalPlan,
+                           metric: Metric)
       : Option[(Attribute, Attribute, IndexCatalog.IvfIndex)] =
     for {
-      l2 <- distExpr.collectFirst { case e: L2DistanceSqExpr => e }
-      attrs = l2.collect { case a: AttributeReference => a }
+      crossExpr <- distExpr.collectFirst {
+        case e: L2DistanceSqExpr => e: Expression
+        case e: DotProductExpr
+            if e.references.exists(left.outputSet.contains) &&
+              e.references.exists(right.outputSet.contains) => e: Expression
+      }
+      attrs = crossExpr.collect { case a: AttributeReference => a }
       embAttr <- attrs.find(left.outputSet.contains)
       qAttr <- attrs.find(right.outputSet.contains)
       idAttr <- left.output.find(_.name == "vec_id")
       path <- leafPath(left)
       idx <- IndexCatalog.lookup(path)
+      if idx.kind == kindOf(metric)
     } yield (qAttr, idAttr, idx)
 
   /** Plan-time probe set — computed ONCE per rewrite and shared by the
@@ -210,11 +275,18 @@ case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     */
   private def rewrite(join: Join, left: LogicalPlan, idAttr: Attribute,
                       qAttr: Attribute, idx: IndexCatalog.IvfIndex,
-                      qidAttr: Option[Attribute]): Option[LogicalPlan] =
-    computeProbe(join.right, qAttr, qidAttr, idx).map { probe =>
-      idx.partitionedPath
-        .flatMap(pp => rewriteToPartitioned(join, left, qAttr, idx, pp, qidAttr, probe))
-        .getOrElse(rewriteWithAssignJoin(join, left, idAttr, qAttr, idx, qidAttr, probe))
+                      qidAttr: Option[Attribute], metric: Metric): Option[LogicalPlan] =
+    computeProbe(join.right, qAttr, qidAttr, idx, metric).map { probe =>
+      // the partitioned-copy swap serves the ORIGINAL score expression
+      // only when the copy holds raw vectors — i.e. the L2 layout;
+      // cosine/MIPS copies are transformed, so those always take the
+      // assignment join (cells were computed in the transformed space,
+      // the raw-vector score expression stays untouched)
+      (metric match {
+        case L2Metric => idx.partitionedPath
+          .flatMap(pp => rewriteToPartitioned(join, left, qAttr, idx, pp, qidAttr, probe))
+        case _ => None
+      }).getOrElse(rewriteWithAssignJoin(join, left, idAttr, qAttr, idx, qidAttr, probe))
     }
 
   /** Execute the query side (once). None — NO rewrite, original plan
@@ -225,36 +297,60 @@ case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     */
   private def computeProbe(right: LogicalPlan, qAttr: Attribute,
                            qidAttr: Option[Attribute],
-                           idx: IndexCatalog.IvfIndex): Option[Probe] = {
+                           idx: IndexCatalog.IvfIndex,
+                           metric: Metric): Option[Probe] = {
+    // The per-row predicate fallback exists only for L2 (probeFilter
+    // ranks with L2DistanceSqExpr); for cosine/MIPS an inexecutable
+    // query side simply declines the rewrite (keep the naive plan).
+    def fallback: Option[Probe] = if (metric == L2Metric) Some(PerRow) else None
     // A non-deterministic query side (e.g. a rand()-perturbed vector)
     // must NOT be executed at plan time: the probe set would prune
     // against a different vector than the one the runtime join scores —
     // silently wrong results, not IVF approximation. The per-row
     // predicate evaluates the SAME joined row the distance sees.
-    if (right.exists(_.expressions.exists(!_.deterministic))) return Some(PerRow)
+    if (right.exists(_.expressions.exists(!_.deterministic))) return fallback
     qidAttr match {
     case None =>
       executeQuerySide(Project(Seq(qAttr), right), maxRows = 2) match {
         case Some(rows) if rows.length == 1 =>
           if (rows.head.isNullAt(0)) None
           else scala.util.Try(vecOf(rows.head.getArray(0), qAttr.dataType)).toOption
-            .map(v => SingleCells(probedCells(v, idx)))
-        case _ => Some(PerRow)
+            .map(v => SingleCells(probedCells(transformQuery(v, metric), idx)))
+        case _ => fallback
       }
     case Some(qid) =>
       // InternalRow in probeRelation carries qid verbatim — only
       // primitive-backed ids
-      if (!Seq[DataType](LongType, IntegerType).contains(qid.dataType)) Some(PerRow)
+      if (!Seq[DataType](LongType, IntegerType).contains(qid.dataType)) fallback
       else executeQuerySide(Project(Seq(qid, qAttr), right), maxRows = 100000) match {
         case Some(rows) =>
           if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) None
           else scala.util.Try(rows.map(r =>
-              (r.get(0, qid.dataType), vecOf(r.getArray(1), qAttr.dataType))))
+              (r.get(0, qid.dataType),
+                transformQuery(vecOf(r.getArray(1), qAttr.dataType), metric))))
             .toOption.map(BatchVecs(_))
-        case None => Some(PerRow)
+        case None => fallback
       }
     }
   }
+
+  /** Map an executed query vector into the index's probe geometry:
+    * unit-normalize for cosine (the normalized-table centroids' space;
+    * a zero vector passes through — every naive score for it is
+    * NaN/null anyway, any probe set is as good as any other), zero-
+    * augment for MIPS (the augmented centroids are d+1-dimensional and
+    * a query's extra coordinate is 0 by the reduction).
+    */
+  private def transformQuery(q: Array[Double], metric: Metric): Array[Double] =
+    metric match {
+      case L2Metric => q
+      case CosMetric =>
+        var s = 0.0; var i = 0
+        while (i < q.length) { s += q(i) * q(i); i += 1 }
+        val n = math.sqrt(s)
+        if (n == 0.0) q else q.map(_ / n)
+      case MipsMetric => q :+ 0.0
+    }
 
   /** Replace the scan side with the cell-partitioned copy, filtered to
     * the probed cells (a partition filter), with every original output

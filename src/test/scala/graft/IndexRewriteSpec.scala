@@ -239,6 +239,111 @@ class IndexRewriteSpec extends AnyFunSuite {
     }
   }
 
+  /** The naive cosine top-k (similarity descending). */
+  private def naiveCosine(k: Int): DataFrame = {
+    val emb = spark.read.parquet(dataPath)
+    val q = emb.filter(col("vec_id") === 7)
+      .select(perturbQuery(col("embedding")).as("query_vec"))
+    emb.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosineSimilarity(col("embedding"), col("query_vec")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** The naive MIPS top-k (inner product descending). */
+  private def naiveMips(k: Int): DataFrame = {
+    val emb = spark.read.parquet(dataPath)
+    val q = emb.filter(col("vec_id") === 7)
+      .select(perturbQuery(col("embedding")).as("query_vec"))
+    emb.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dotProduct(col("embedding"), col("query_vec")), 6).as("ip"))
+      .orderBy(col("ip").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  test("cosine index at nprobe = C: naive cosine plan fires and equals exact") {
+    val cdir = java.nio.file.Files.createTempDirectory("idxrw_cos").toString
+    IndexCatalog.buildAndRegisterCosine(spark, dataPath, c = C, iters = 2,
+      nprobe = C, cdir)
+    val exact = rows(naiveCosine(10)) // rule not installed
+    withRule {
+      val df = naiveCosine(10)
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("cell#"), s"no assignment join in:\n$opt")
+      assert(opt.contains(" IN ") || opt.contains("IN ("),
+        s"no probed-cell literal filter in:\n$opt")
+      assert(rows(df) === exact,
+        "nprobe = C must reproduce the exact cosine result bit-identically")
+    }
+    IndexCatalog.unregister(dataPath)
+  }
+
+  test("MIPS index at nprobe = C: naive inner-product plan fires and equals exact") {
+    val mdir = java.nio.file.Files.createTempDirectory("idxrw_mips").toString
+    IndexCatalog.buildAndRegisterMips(spark, dataPath, c = C, iters = 2,
+      nprobe = C, mdir)
+    val exact = rows(naiveMips(10))
+    withRule {
+      val df = naiveMips(10)
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("cell#"), s"no assignment join in:\n$opt")
+      assert(rows(df) === exact,
+        "nprobe = C must reproduce the exact MIPS result bit-identically")
+    }
+    IndexCatalog.unregister(dataPath)
+  }
+
+  test("cosine batch window shape fires and equals exact at nprobe = C") {
+    val cdir = java.nio.file.Files.createTempDirectory("idxrw_cos_b").toString
+    IndexCatalog.buildAndRegisterCosine(spark, dataPath, c = C, iters = 2,
+      nprobe = C, cdir)
+    val emb = spark.read.parquet(dataPath)
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+    def naiveBatch = {
+      val scored = emb.crossJoin(broadcast(qs))
+        .select(col("query_id"), col("vec_id"),
+          round(cosineSimilarity(col("embedding"), col("query_vec")), 6).as("cos_sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10).drop("rn")
+    }
+    val exact = naiveBatch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    withRule {
+      val df = naiveBatch
+      assert(df.queryExecution.optimizedPlan.toString.contains("graft_probe_qid"),
+        "no per-query probe join in the batch cosine plan")
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        === exact)
+    }
+    IndexCatalog.unregister(dataPath)
+  }
+
+  test("metric/kind mismatch declines: cosine plan over an L2 index and vice versa") {
+    // L2 index registered — the cosine and MIPS shapes must NOT fire
+    IndexCatalog.buildAndRegister(spark, dataPath, c = C, iters = 2,
+      nprobe = 2, indexDir)
+    withRule {
+      assert(!naiveCosine(10).queryExecution.optimizedPlan.toString.contains("cell#"),
+        "cosine plan must not prune with L2-geometry cells")
+      assert(!naiveMips(10).queryExecution.optimizedPlan.toString.contains("cell#"),
+        "MIPS plan must not prune with L2-geometry cells")
+    }
+    IndexCatalog.unregister(dataPath)
+    // cosine index registered — the L2 shape must NOT fire
+    val cdir = java.nio.file.Files.createTempDirectory("idxrw_mm").toString
+    IndexCatalog.buildAndRegisterCosine(spark, dataPath, c = C, iters = 2,
+      nprobe = 2, cdir)
+    withRule {
+      assert(!naive(10).queryExecution.optimizedPlan.toString.contains("cell#"),
+        "L2 plan must not prune with cosine-geometry cells")
+    }
+    IndexCatalog.unregister(dataPath)
+  }
+
   test("descending sort (farthest-first) is NOT rewritten") {
     IndexCatalog.buildAndRegister(spark, dataPath, c = C, iters = 2,
       nprobe = 2, indexDir)
