@@ -54,6 +54,17 @@ object Hnsw {
     * hash partitioning can land several shards in one task, and it is
     * their sum that occupies the heap.
     */
+  /** `diversify`: opt-in SELECT-NEIGHBORS-HEURISTIC (Malkov & Yashunin
+    * 2018, Alg. 4) for neighbor selection and degree-cap shrink — a
+    * candidate is kept only if it is closer to the base point than to
+    * every already-kept neighbor, spreading a node's edge budget across
+    * directions/clusters instead of filling it inside one blob (the
+    * known recall-per-edge win on clustered real-embedding geometry;
+    * pruned slots refill closest-first, the keepPrunedConnections
+    * variant, so degree never drops below budget). Deterministic: the
+    * candidate scan is (dist, node-index)-ordered. Off by default — the
+    * closest-first baseline is the reference-faithful shape.
+    */
   case class Params(
       m: Int = 8,
       maxM: Int = 12,
@@ -61,7 +72,8 @@ object Hnsw {
       efSearch: Int = 64,
       maxLevel: Int = 4,
       numPartitions: Int = 4,
-      maxShardRows: Int = 2000000)
+      maxShardRows: Int = 2000000,
+      diversify: Boolean = false)
 
   // ------------------------------------------------------------------
   // In-partition graph (plain arrays; lives only inside a task)
@@ -134,6 +146,36 @@ object Hnsw {
       res
     }
 
+    /** SELECT-NEIGHBORS-HEURISTIC (Malkov & Yashunin, Alg. 4): scan
+      * candidates closest-first (ties by node index — deterministic)
+      * and keep a candidate only if it is closer to `base` than to
+      * every already-kept neighbor. Slots left by pruning refill with
+      * the closest rejected candidates (keepPrunedConnections), so the
+      * selected degree equals `math.min(m, candidates)` like the
+      * closest-first baseline — only the SPREAD differs.
+      */
+    private def selectDiverse(base: Array[Float], cands: Seq[Int], m: Int)
+        : mutable.ArrayBuffer[Int] = {
+      val sorted = cands.map(x => (dist(base, vecs(x)), x)).sorted
+      val kept = mutable.ArrayBuffer.empty[Int]
+      val rejected = mutable.ArrayBuffer.empty[Int]
+      val it = sorted.iterator
+      while (it.hasNext && kept.length < m) {
+        val (dq, e) = it.next()
+        val ev = vecs(e)
+        var diverse = true
+        var j = 0
+        while (diverse && j < kept.length) {
+          if (dist(ev, vecs(kept(j))) < dq) diverse = false
+          j += 1
+        }
+        if (diverse) kept += e else rejected += e
+      }
+      var r = 0
+      while (kept.length < m && r < rejected.length) { kept += rejected(r); r += 1 }
+      kept
+    }
+
     /** Insert one point with its preassigned level. */
     def insert(id: Long, vec: Array[Float], level: Int, eligible: Boolean = true): Unit = {
       val idx = vecs.length
@@ -156,18 +198,23 @@ object Hnsw {
       while (layer >= 0) {
         val res = searchLayer(vec, eps, p.efConstruction, layer).toSeq
         val closest = res.sortBy(t => (t._1, t._2)).map(_._2)
-        val neighbors = closest.take(p.m)
+        val neighbors =
+          if (p.diversify) selectDiverse(vec, closest, p.m).toSeq
+          else closest.take(p.m)
         neighbors.foreach { n =>
           adj(idx)(layer) += n
           adj(n)(layer) += idx
-          // degree cap with closest-first shrink (absent in reference)
+          // degree cap (absent in reference): closest-first shrink, or
+          // the diversity heuristic when opted in
           if (adj(n)(layer).length > p.maxM) {
             val nv = vecs(n)
-            adj(n)(layer) = adj(n)(layer)
-              .map(x => (dist(nv, vecs(x)), x))
-              .sortBy(identity)
-              .take(p.maxM)
-              .map(_._2)
+            adj(n)(layer) =
+              if (p.diversify) selectDiverse(nv, adj(n)(layer).toSeq, p.maxM)
+              else adj(n)(layer)
+                .map(x => (dist(nv, vecs(x)), x))
+                .sortBy(identity)
+                .take(p.maxM)
+                .map(_._2)
           }
         }
         eps = closest.take(p.efConstruction)

@@ -53,6 +53,7 @@ object AnnBench {
     if (args.contains("spanscale")) { spanScaleSmoke(spark); spark.stop(); return }
     if (args.contains("graphscale")) { graphScaleSmoke(spark); spark.stop(); return }
     if (args.contains("layoutscale")) { layoutScaleSmoke(spark); spark.stop(); return }
+    if (args.contains("diversity")) { diversitySmoke(spark); spark.stop(); return }
     val emb = Tables.embeddings(spark, sfDir)
     val qs = emb.select(col("vec_id").as("query_id"),
       perturbQuery(col("embedding")).as("query_vec"))
@@ -1137,6 +1138,75 @@ object AnnBench {
     println(json)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/layout_scale.json"), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[annbench] file write failed: ${e.getMessage}") }
+  }
+
+  /** HNSW neighbor-selection smoke: closest-first vs the diversity
+    * heuristic (Params.diversify, SELECT-NEIGHBORS-HEURISTIC) at the
+    * SAME edge budget on the clustered anisotropic corpus (the
+    * pqclustered geometry — blob structure + decaying variance, where
+    * closest-first selection wastes the budget inside one blob).
+    * Measures recall@10 and build wall for both policies at a tight
+    * budget and at the default budget. Output: one JSON line +
+    * target/diversity.json.
+    */
+  private def diversitySmoke(spark: SparkSession): Unit = {
+    val n = sys.env.get("SPARK_GRAFT_DIV_N").flatMap(_.toIntOption).getOrElse(100000)
+    val dim = 32
+    val kBlobs = 16
+    // SPARK_GRAFT_DIV_GEOM=uniform runs the control geometry (no blob
+    // structure) — where the heuristic is expected to tie the baseline
+    val uniform = sys.env.get("SPARK_GRAFT_DIV_GEOM").contains("uniform")
+    val blob = pmod(hash(col("id")), lit(kBlobs))
+    val emb = spark.range(n).select(col("id").as("vec_id"),
+      array((0 until dim).map { i =>
+        if (uniform)
+          (pmod(hash(col("id"), lit(i)), lit(100000)) / lit(1000.0)).cast("float")
+        else {
+          val center = (pmod(hash(blob, lit(i)), lit(2001)) - lit(1000)) / lit(1000.0)
+          val noise = (pmod(hash(col("id"), lit(i + 7919)), lit(2001)) - lit(1000)) / lit(10000.0)
+          ((center + noise) * lit(40.0 / (1.0 + i))).cast("float")
+        }
+      }: _*).as("embedding")).cache()
+    emb.count()
+    val qs = emb.filter(col("vec_id") < 1000)
+      .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+      .cache()
+    qs.count()
+
+    def timed[T](f: => T): (T, Double) = {
+      System.gc()
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    def point(tag: String, p: Hnsw.Params): String = {
+      val (_, buildS) = timed(
+        Hnsw.buildEdges(emb, p).write.format("noop").mode("overwrite").save())
+      val recall = Hnsw.recallAtK(emb, qs, 10, p)
+        .agg(avg(col("recall"))).head().getDouble(0)
+      println(s"[annbench] diversity $tag: recall@10 ${fmt(recall, 4)}, " +
+        s"build ${fmt(buildS, 1)} s (m=${p.m}, maxM=${p.maxM}, " +
+        s"efC=${p.efConstruction}, efS=${p.efSearch}, diversify=${p.diversify})")
+      s"""{"tag":"$tag","recall_at_10":${fmt(recall, 4)},""" +
+        s""""build_s":${fmt(buildS, 1)},"m":${p.m},"maxM":${p.maxM},""" +
+        s""""efC":${p.efConstruction},"efS":${p.efSearch},"diversify":${p.diversify}}"""
+    }
+
+    val tight = Hnsw.Params(m = 4, maxM = 6, efConstruction = 24, efSearch = 16,
+      numPartitions = 4)
+    val deflt = Hnsw.Params(numPartitions = 4)
+    val points = Seq(
+      point("tight_closest", tight),
+      point("tight_diverse", tight.copy(diversify = true)),
+      point("default_closest", deflt),
+      point("default_diverse", deflt.copy(diversify = true)))
+    val json = s"""{"diversity":{"n":$n,"dim":$dim,"blobs":$kBlobs,""" +
+      s""""queries":1000,"points":[${points.mkString(",")}]}}"""
+    println(json)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/diversity.json"), json + "\n")
     catch { case e: Throwable => System.err.println(s"[annbench] file write failed: ${e.getMessage}") }
   }
 }

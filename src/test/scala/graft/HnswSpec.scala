@@ -57,6 +57,49 @@ class HnswSpec extends AnyFunSuite {
     assert(avg >= 0.95, s"avg recall $avg below floor")
   }
 
+  // clustered anisotropic fixture (blob structure + decaying variance —
+  // the geometry of real embedding spaces, same shape as AnnBench
+  // pqclustered): where closest-first neighbor selection wastes the
+  // edge budget inside one blob
+  private lazy val clustered = {
+    val kBlobs = 12; val dim = 16
+    (0L until 600L).map { i =>
+      val rc = new scala.util.Random((i % kBlobs) * 7919)
+      val center = Array.fill(dim)(rc.nextDouble() * 80 - 40)
+      val rn = new scala.util.Random(i * 104729 + 13)
+      (i, Array.tabulate(dim)(d =>
+        ((center(d) + rn.nextDouble() * 8 - 4) / (1.0 + d)).toFloat))
+    }.toDF("vec_id", "embedding").cache()
+  }
+
+  test("diversity neighbor selection (opt-in): recall-per-edge on clustered geometry; deterministic") {
+    // tight edge budget so selection policy is the binding constraint
+    val base = Hnsw.Params(m = 3, maxM = 4, efConstruction = 12, efSearch = 10,
+      numPartitions = 1)
+    val divp = base.copy(diversify = true)
+    val qs = clustered.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+    def avgRecall(p: Hnsw.Params): Double = {
+      val r = Hnsw.recallAtK(clustered, qs, 10, p).collect().map(_.getDouble(1))
+      r.sum / r.length
+    }
+    val rBase = avgRecall(base)
+    val rDiv = avgRecall(divp)
+    info(f"recall@10 closest-first=$rBase%.3f diversified=$rDiv%.3f (m=3, maxM=4, ef=12/10)")
+    assert(rDiv >= rBase,
+      f"diversified selection must not lose recall at equal edge budget: $rDiv%.3f < $rBase%.3f")
+    // determinism and structural invariants under the heuristic
+    val e1 = Hnsw.buildEdges(clustered, divp).collect().map(_.toSeq).toSet
+    val e2 = Hnsw.buildEdges(clustered, divp).collect().map(_.toSeq).toSet
+    assert(e1 === e2, "diversified build must stay deterministic")
+    val edges = Hnsw.buildEdges(clustered, divp)
+    val maxDeg = edges.groupBy("part", "src", "layer").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxDeg <= divp.maxM, s"degree cap violated under diversify: $maxDeg")
+    assert(edges.filter(col("layer") === 0).select("src").distinct().count() === 600,
+      "all nodes linked on layer 0")
+  }
+
   test("persisted index roundtrip: searchWithIndex == searchTopK") {
     val dir = java.nio.file.Files.createTempDirectory("hnsw_idx").toString
     Hnsw.save(emb, params, dir)
