@@ -267,6 +267,12 @@ object SparkEntry {
     * run-parity window form. Produces CTEs `s0..s$k` (symbol tables)
     * and `r0..r${k-1}` (the learned rules with counts).
     */
+  /** Rounds join the rule row with LEFT JOIN ON TRUE (not CROSS JOIN):
+    * when a round's pair table is EMPTY (corpus exhausts merges before
+    * k), r\$r has no row — a cross join would empty every later symbol
+    * CTE, while the left join leaves mm = 0 / tk = 0 everywhere so
+    * s{r+1} = s{r}, exactly Bpe.train's top.isEmpty no-op behavior.
+    */
   private def duckBpeCtes(k: Int): String = {
     val sb = new StringBuilder(
       """s0 AS MATERIALIZED (SELECT word, freq, list_append(string_split(word, ''), '</w>') AS sym
@@ -285,7 +291,7 @@ object SparkEntry {
                   CASE WHEN e$r.s = r$r.w1
                        AND lead(e$r.s) OVER (PARTITION BY e$r.word ORDER BY e$r.i) = r$r.w2
                        THEN 1 ELSE 0 END AS mm
-                FROM e$r CROSS JOIN r$r),
+                FROM e$r LEFT JOIN r$r ON TRUE),
         g$r AS (SELECT word, i, i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp
                 FROM m$r WHERE mm = 1),
         t$r AS (SELECT word, i,
@@ -298,7 +304,7 @@ object SparkEntry {
                 FROM j$r),
         s${r + 1} AS MATERIALIZED (SELECT word, freq,
                   list(CASE WHEN tk = 1 THEN r$r.w1 || r$r.w2 ELSE s END ORDER BY i) AS sym
-                FROM d$r CROSS JOIN r$r WHERE prev_tk <> 1
+                FROM d$r LEFT JOIN r$r ON TRUE WHERE prev_tk <> 1
                 GROUP BY word, freq)"""
     }
     sb.toString

@@ -100,7 +100,14 @@ object Bpe {
     * driver — the centroid-collect contract; the symbol table is
     * localCheckpointed per round to truncate the unrolled lineage.
     */
-  def train(documents: DataFrame, k: Int): DataFrame = {
+  def train(documents: DataFrame, k: Int): DataFrame =
+    trainWithSymbols(documents, k)._1
+
+  /** [[train]] that ALSO returns the final merged symbol table, so
+    * [[encode]] reuses it instead of re-deriving all k rounds from a
+    * fresh table (which would double the whole BPE workload per call).
+    */
+  def trainWithSymbols(documents: DataFrame, k: Int): (DataFrame, DataFrame) = {
     val spark = documents.sparkSession
     import spark.implicits._
     var syms = initialSymbols(wordTypes(documents))
@@ -116,7 +123,7 @@ object Bpe {
         syms = applyMerge(syms, a, b).localCheckpoint(true)
       }
     }
-    rules.result().toDF("step", "w1", "w2", "c")
+    (rules.result().toDF("step", "w1", "w2", "c"), syms)
   }
 
   /** The word-type table re-encoded under `k` learned merges:
@@ -126,11 +133,7 @@ object Bpe {
     * side at any scale.
     */
   def encode(documents: DataFrame, k: Int): DataFrame = {
-    val spark = documents.sparkSession
-    val rules = train(documents, k).orderBy("step").collect()
-      .map(r => (r.getString(1), r.getString(2)))
-    var syms = initialSymbols(wordTypes(documents))
-    for ((a, b) <- rules) syms = applyMerge(syms, a, b).localCheckpoint(true)
+    val (_, syms) = trainWithSymbols(documents, k)
     syms.select(col("word"), col("freq"),
       array_join(col("sym"), " ").as("toks"))
   }

@@ -35,17 +35,18 @@ object Cascade {
            l1: Int, l2: Int, roundTo: Int = 6,
            excluded: Option[DataFrame] = None): DataFrame = {
     require(l1 >= l2 && l2 >= k, s"funnel must narrow: l1=$l1 >= l2=$l2 >= k=$k")
-    // stage 1: 1-bit Hamming shortlist — l1 ids to the driver (id-
-    // pushdown formation, the rerank contract; tombstones drop here,
-    // the widest gate, so they reach neither later stage)
-    val ids1 = Binary.hammingTopK(spark, binDir, queries, l1, excluded)
-      .select("vec_id").collect().map(_.getLong(0))
+    // ONE logical plan end to end: each stage's survivors gate the next
+    // tier through a broadcast LEFT SEMI join (the topKBatch shape) —
+    // no driver collects, no O(l1) In-literal plans. Tombstones drop at
+    // stage 1, the widest gate, so they reach neither later stage.
+    val c1 = Binary.hammingTopK(spark, binDir, queries, l1, excluded)
+      .select("vec_id")
     // stage 2: SQ8 ADC over ONLY the l1 surviving code rows
-    val ids2 = Sq.adcTopKStored(spark, sqDir, queries, l2, roundTo,
-        predicate = Some(col("vec_id").isin(ids1.map(Long.box): _*)))
-      .select("vec_id").collect().map(_.getLong(0))
+    val c2 = Sq.adcTopKStored(spark, sqDir, queries, l2, roundTo,
+        candidates = Some(c1))
+      .select("vec_id")
     // stage 3: exact L2 over ONLY the l2 raw rows
-    embeddings.filter(col("vec_id").isin(ids2.map(Long.box): _*))
+    embeddings.join(broadcast(c2), Seq("vec_id"), "left_semi")
       .crossJoin(broadcast(queries))
       .select(col("vec_id"),
         round(l2Distance(col("embedding"), col("query_vec")), roundTo).as("dist"))
@@ -65,6 +66,11 @@ object Cascade {
   def topKFlat(emb: DataFrame, queries: DataFrame, k: Int, l1: Int, l2: Int,
                roundTo: Int = 6): DataFrame = {
     require(l1 >= l2 && l2 >= k, s"funnel must narrow: l1=$l1 >= l2=$l2 >= k=$k")
+    // single-query form: a multi-row queries frame would silently mix
+    // every query's signature/LUT into one shortlist and return a
+    // meaningless top-k — fail loudly (the batch form covers Q > 1)
+    require(queries.limit(2).count() == 1,
+      "topKFlat serves exactly one query row; use topKBatch for Q > 1")
     val thr = Binary.thresholds(emb)
     val words = (thr.length + Binary.BitsPerWord - 1) / Binary.BitsPerWord
     val (lo, hi) = Sq.bounds(emb)

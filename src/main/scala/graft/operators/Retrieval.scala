@@ -330,6 +330,13 @@ object Retrieval {
       docsFingerprint(documents, "tfidf_v1")
     }
     if (!IndexMeta.valid(spark, dir, "norms/_SUCCESS", fp)) {
+      // rebuild IS this layout's compaction (deleteDocs contract): a
+      // fingerprint-triggered rebuild comes from a cleaned corpus, so
+      // the `_deletes` sidecar must reset with it — stale tombstones
+      // would silently hide any later document reusing a tombstoned id
+      val del = new org.apache.hadoop.fs.Path(s"$dir/_deletes")
+      val fs = del.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(del)) fs.delete(del, true)
       writeTfidfLayout(documents, dir)
       IndexMeta.write(spark, dir, fp)
     }

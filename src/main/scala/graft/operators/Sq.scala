@@ -161,11 +161,18 @@ object Sq {
     */
   def adcTopKStored(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
                     roundTo: Int = 6, predicate: Option[Column] = None,
-                    exactSums: Boolean = true): DataFrame = {
+                    exactSums: Boolean = true,
+                    candidates: Option[DataFrame] = None): DataFrame = {
     val (lo, hi) = readBounds(spark, dir)
     val books = affineBooks(lo, hi)
     val d = lo.length
-    val stored = spark.read.parquet(dir)
+    // `candidates`: an optional (vec_id) gate met through a broadcast
+    // LEFT SEMI join — the cascade's stage coupling, equivalent to a
+    // vec_id-membership predicate but with zero driver round-trips and
+    // an O(|candidates|)-bounded build side instead of an In-literal plan
+    val stored0 = spark.read.parquet(dir)
+    val stored = candidates.fold(stored0)(c =>
+      stored0.join(broadcast(c.select("vec_id")), Seq("vec_id"), "left_semi"))
     // exactSums=false: plain double-chain term sum — the SERVING twin.
     // At d=64 the decimal chain is 64 decimal adds per candidate
     // (~50x a double add); the double chain sums the same terms in the

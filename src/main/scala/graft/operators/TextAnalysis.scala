@@ -264,7 +264,11 @@ object TextAnalysis {
   /** [[cmsHeavyHitters]] against an EXTERNALLY maintained sketch (e.g.
     * the streamed increments of `StreamingCuration.maintainCms`, read
     * back via [[cmsFromDir]]): estimates the given corpus's distinct
-    * tokens against whatever token stream the sketch summarizes.
+    * tokens against whatever token stream the sketch summarizes. The
+    * sketch join is LEFT with absent cells coalesced to 0: a SPARSE
+    * external sketch (increment dirs store only touched cells) must
+    * estimate 0 for a token whose cells were never incremented, not
+    * silently skip those cells and over-estimate from the rest.
     */
   def cmsHeavyHittersWith(sketch: DataFrame, documents: DataFrame, k: Int): DataFrame = {
     val probes = array((0 until cmsRows).map { j =>
@@ -276,9 +280,9 @@ object TextAnalysis {
       .select(col("token"), md5Int(col("token")).as("h"))
       .select(col("token"), explode(probes).as("p"))
       .select(col("token"), col("p.row").as("row"), col("p.counter").as("counter"))
-      .join(broadcast(sketch), Seq("row", "counter"))
+      .join(broadcast(sketch), Seq("row", "counter"), "left")
       .groupBy("token")
-      .agg(min("c").as("est"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
       .orderBy(col("est").desc, col("token"))
       .limit(k)
   }

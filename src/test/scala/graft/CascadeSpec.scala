@@ -91,6 +91,27 @@ class CascadeSpec extends AnyFunSuite {
     }
   }
 
+  test("single-query funnel is one logical plan: semi-join gates, no id In-literals") {
+    val (bin, sq) = dirs
+    val df = Cascade.topK(spark, bin, sq, emb, query(42), k = 10, l1 = 60, l2 = 25)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // the former shape collected each stage and re-injected ids as an
+    // O(l1) isin literal list — both gates must now be semi-joins
+    assert(!opt.contains("vec_id#") || !"""vec_id#\d+ IN \(""".r.findFirstIn(opt).isDefined,
+      s"stage gate regressed to an In-literal of ids:\n$opt")
+    val semis = "LeftSemi".r.findAllIn(opt).length
+    assert(semis >= 2, s"expected both stage gates as semi-joins, found $semis:\n$opt")
+  }
+
+  test("flat funnel rejects a multi-row queries frame (batch form covers Q > 1)") {
+    val qs2 = emb.filter(col("vec_id") < 2)
+      .select(perturbQuery(col("embedding")).as("query_vec"))
+    val e = intercept[IllegalArgumentException] {
+      Cascade.topKFlat(emb, qs2, k = 5, l1 = 20, l2 = 10)
+    }
+    assert(e.getMessage.contains("exactly one query row"))
+  }
+
   test("funnel shape is validated") {
     val (bin, sq) = dirs
     val e = intercept[IllegalArgumentException] {
