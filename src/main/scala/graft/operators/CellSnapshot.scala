@@ -242,7 +242,7 @@ private[graft] object CellSnapshot {
     */
   def reset(spark: SparkSession, dir: String): Unit = {
     val fs = fsOf(spark, dir)
-    Seq(manifestDir(dir), new org.apache.hadoop.fs.Path(s"$dir/_gen"))
+    Seq(manifestDir(dir), new org.apache.hadoop.fs.Path(s"$dir/_gen"), pinsDir(dir))
       .foreach(p => if (fs.exists(p)) fs.delete(p, true))
   }
 
@@ -265,32 +265,109 @@ private[graft] object CellSnapshot {
              partCol: String, keep: Int = 1): Unit = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
     val vs = versions(spark, dir)
+    if (vs.nonEmpty) gc(spark, dir, subs, partCol, vs.takeRight(keep).toSet)
+  }
+
+  // ------------------------------------------------------------------
+  // Retention policy: pins + age — the production knob ("keep versions
+  // referenced by live training runs and anything newer than N days")
+  // instead of a manual keep-count.
+  // ------------------------------------------------------------------
+
+  private def pinsDir(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/_pins")
+  private def pinPath(dir: String, v: Int) =
+    new org.apache.hadoop.fs.Path(s"$dir/_pins/p$v")
+
+  /** PIN a published version: an empty `_pins/p<V>` marker. A training
+    * run pins the snapshot version it reads before starting; [[retain]]
+    * never reclaims a pinned version, so the run's [[readAt]] view
+    * stays bit-identical however many takedown compactions land while
+    * it trains. Fails loudly on a never-published / already-vacuumed
+    * version (pinning it could not protect anything).
+    */
+  def pin(spark: SparkSession, dir: String, v: Int): Unit = {
+    require(versions(spark, dir).contains(v),
+      s"cannot pin version $v at $dir: no manifest m$v is published")
+    val fs = fsOf(spark, dir)
+    val out = fs.create(pinPath(dir, v), true)
+    out.close()
+  }
+
+  /** Release a pin (idempotent) — the training run finished. */
+  def unpin(spark: SparkSession, dir: String, v: Int): Unit = {
+    val fs = fsOf(spark, dir)
+    val p = pinPath(dir, v)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
+  /** Currently pinned versions, ascending. */
+  def pins(spark: SparkSession, dir: String): Seq[Int] = {
+    val pd = pinsDir(dir)
+    val fs = pd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(pd)) Seq.empty
+    else fs.listStatus(pd).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("p") && n.length > 1 && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toInt)
+      .sorted
+  }
+
+  /** POLICY-driven GC: keep the CURRENT version, every PINNED version,
+    * and every version whose manifest was published within `maxAge` of
+    * now (manifest files are immutable, so their filesystem mtime IS
+    * the publish time); reclaim everything else — superseded subtrees
+    * and manifests alike. `maxAge = 0` keeps only current + pins. This
+    * is the scheduler-facing form of [[vacuum]]: a nightly
+    * `retain(dir, subs, partCol, maxAge = 7 days)` bounds storage while
+    * honoring "training run R reads version V until it finishes"
+    * (the run pins V; see [[pin]]).
+    */
+  def retain(spark: SparkSession, dir: String, subs: Seq[String], partCol: String,
+             maxAge: java.time.Duration = java.time.Duration.ZERO): Unit = {
+    val vs = versions(spark, dir)
     if (vs.nonEmpty) {
-      val kept = vs.takeRight(keep)
       val fs = fsOf(spark, dir)
-      // union of live (cell → gen) references across every kept version
-      val liveByGen: Map[Int, Set[Long]] = kept
-        .flatMap(v => mappingAt(spark, dir, v).getOrElse(Map.empty).toSeq)
-        .groupBy(_._2).map { case (g, cells) => g -> cells.map(_._1).toSet }
-      val gens = 0 +: listParts(spark, s"$dir/_gen", "g").map(_.toInt)
-      for (g <- gens; sub <- subs) {
-        val root = genRoot(dir, sub, g)
-        val live = liveByGen.getOrElse(g, Set.empty[Long])
-        listParts(spark, root, partCol).filterNot(live.contains).foreach { c =>
-          fs.delete(new org.apache.hadoop.fs.Path(s"$root/$partCol=$c"), true)
-        }
-        // a generation with no live cells left: drop its whole dir
-        if (g > 0 && live.isEmpty) {
-          val gdir = new org.apache.hadoop.fs.Path(s"$dir/_gen/g=$g")
-          if (fs.exists(gdir)) fs.delete(gdir, true)
-        }
+      val cutoff = System.currentTimeMillis() - maxAge.toMillis
+      val young = vs.filter { v =>
+        maxAge.toMillis > 0 &&
+          fs.getFileStatus(manifestPath(dir, v)).getModificationTime >= cutoff
       }
-      val mdir = new org.apache.hadoop.fs.Path(s"$dir/_manifests")
-      if (fs.exists(mdir)) fs.listStatus(mdir).foreach { st =>
-        val name = st.getPath.getName
-        if (name.startsWith("m") && name.drop(1).toIntOption.exists(_ < kept.head))
-          fs.delete(st.getPath, false)
+      val kept = (Set(vs.max) ++ pins(spark, dir).filter(vs.contains) ++ young)
+      gc(spark, dir, subs, partCol, kept)
+    }
+  }
+
+  /** The GC core shared by [[vacuum]] and [[retain]]: delete every
+    * `partCol=` child (gen-0 tree and each `_gen/g=N` tree, per `sub`)
+    * that no KEPT manifest references, then every manifest outside the
+    * kept set. Kept versions — contiguous or not — survive
+    * byte-identically ([[readAt]] of any kept version is unchanged).
+    */
+  private def gc(spark: SparkSession, dir: String, subs: Seq[String],
+                 partCol: String, kept: Set[Int]): Unit = {
+    val fs = fsOf(spark, dir)
+    // union of live (cell → gen) references across every kept version
+    val liveByGen: Map[Int, Set[Long]] = kept.toSeq
+      .flatMap(v => mappingAt(spark, dir, v).getOrElse(Map.empty).toSeq)
+      .groupBy(_._2).map { case (g, cells) => g -> cells.map(_._1).toSet }
+    val gens = 0 +: listParts(spark, s"$dir/_gen", "g").map(_.toInt)
+    for (g <- gens; sub <- subs) {
+      val root = genRoot(dir, sub, g)
+      val live = liveByGen.getOrElse(g, Set.empty[Long])
+      listParts(spark, root, partCol).filterNot(live.contains).foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/$partCol=$c"), true)
       }
+      // a generation with no live cells left: drop its whole dir
+      if (g > 0 && live.isEmpty) {
+        val gdir = new org.apache.hadoop.fs.Path(s"$dir/_gen/g=$g")
+        if (fs.exists(gdir)) fs.delete(gdir, true)
+      }
+    }
+    val mdir = new org.apache.hadoop.fs.Path(s"$dir/_manifests")
+    if (fs.exists(mdir)) fs.listStatus(mdir).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("m") && name.drop(1).toIntOption.exists(!kept.contains(_)))
+        fs.delete(st.getPath, false)
     }
   }
 }

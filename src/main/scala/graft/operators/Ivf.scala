@@ -261,6 +261,15 @@ object Ivf {
                         keep: Int = 1): Unit =
     CellSnapshot.vacuum(spark, dir, Seq(""), "cell", keep)
 
+  /** Policy-driven GC ([[CellSnapshot.retain]]): keep the current
+    * version, every [[CellSnapshot.pin]]ned version (live training
+    * runs), and versions younger than `maxAge` — the scheduler-facing
+    * retention knob a production job runs nightly.
+    */
+  def retainPartitioned(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        maxAge: java.time.Duration = java.time.Duration.ZERO): Unit =
+    CellSnapshot.retain(spark, dir, Seq(""), "cell", maxAge)
+
   /** [[writePartitioned]] once per dir, with the same content-
     * fingerprint staleness check as `Hnsw.ensureSaved` — the
     * amortization point for serving repeated probes from one layout.

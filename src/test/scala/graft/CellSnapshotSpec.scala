@@ -133,6 +133,55 @@ class CellSnapshotSpec extends AnyFunSuite {
       "the current snapshot serves unchanged after both vacuums")
   }
 
+  test("retention policy: a pinned training-run version survives retain; release reclaims it") {
+    val dir = Files.createTempDirectory("snap_retain").toString
+    Ivf.writePartitionedWith(emb, Ivf.centroids(emb, C), dir)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    // three published versions: v1 (pinned by a training run), v2
+    // (nobody references it), v3 (current)
+    Ivf.recordDeletes(spark, dir, delIds.toDF("vec_id"))
+    Ivf.compactPartitioned(spark, dir)
+    val v1 = CellSnapshot.version(spark, dir).get
+    CellSnapshot.pin(spark, dir, v1) // training run R starts reading v1
+    val atV1 = rows(Ivf.readLayoutAt(spark, dir, v1))
+    Ivf.recordDeletes(spark, dir, Seq(100L, 101L).toDF("vec_id"))
+    Ivf.compactPartitioned(spark, dir)
+    val v2 = CellSnapshot.version(spark, dir).get
+    Ivf.recordDeletes(spark, dir, Seq(102L).toDF("vec_id"))
+    Ivf.compactPartitioned(spark, dir)
+    val v3 = CellSnapshot.version(spark, dir).get
+    val bytesBefore = fsBytes(dir)
+    // retain with no age window: keeps current + pins, reclaims v2
+    Ivf.retainPartitioned(spark, dir)
+    assert(CellSnapshot.versions(spark, dir) === Seq(v1, v3),
+      "retain must keep exactly the pinned version and the current one")
+    assert(rows(Ivf.readLayoutAt(spark, dir, v1)) === atV1,
+      "the pinned version must time-travel bit-identically after retain")
+    intercept[IllegalArgumentException] { Ivf.readLayoutAt(spark, dir, v2) }
+    assert(fsBytes(dir) <= bytesBefore)
+    // run R finishes: unpin + retain reclaims v1's exclusive subtrees
+    CellSnapshot.unpin(spark, dir, v1)
+    Ivf.retainPartitioned(spark, dir)
+    assert(CellSnapshot.versions(spark, dir) === Seq(v3))
+    intercept[IllegalArgumentException] { Ivf.readLayoutAt(spark, dir, v1) }
+    assert(rows(Ivf.readLayout(spark, dir)) === atV1 -- Seq(100L, 101L, 102L),
+      "the current snapshot serves unchanged through both retains")
+    // an age window keeps every fresh-enough version (all just written)
+    val dir2 = Files.createTempDirectory("snap_retain_age").toString
+    Ivf.writePartitionedWith(emb, Ivf.centroids(emb, C), dir2)
+    Ivf.recordDeletes(spark, dir2, delIds.toDF("vec_id"))
+    Ivf.compactPartitioned(spark, dir2)
+    Ivf.recordDeletes(spark, dir2, Seq(100L).toDF("vec_id"))
+    Ivf.compactPartitioned(spark, dir2)
+    val all = CellSnapshot.versions(spark, dir2)
+    Ivf.retainPartitioned(spark, dir2, maxAge = java.time.Duration.ofDays(1))
+    assert(CellSnapshot.versions(spark, dir2) === all,
+      "versions inside the age window must all survive")
+    // pinning an unpublished version fails loudly
+    intercept[IllegalArgumentException] { CellSnapshot.pin(spark, dir2, 999) }
+  }
+
   test("IVF: vacuum reclaims superseded subtrees; the current snapshot still serves identically") {
     val dir = Files.createTempDirectory("snap_vac").toString
     Ivf.writePartitionedWith(emb, Ivf.centroids(emb, C), dir)
