@@ -54,6 +54,7 @@ object AnnBench {
     if (args.contains("graphscale")) { graphScaleSmoke(spark); spark.stop(); return }
     if (args.contains("layoutscale")) { layoutScaleSmoke(spark); spark.stop(); return }
     if (args.contains("diversity")) { diversitySmoke(spark); spark.stop(); return }
+    if (args.contains("streamscale")) { streamScaleSmoke(spark); spark.stop(); return }
     val emb = Tables.embeddings(spark, sfDir)
     val qs = emb.select(col("vec_id").as("query_id"),
       perturbQuery(col("embedding")).as("query_vec"))
@@ -1138,6 +1139,134 @@ object AnnBench {
     println(json)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/layout_scale.json"), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[annbench] file write failed: ${e.getMessage}") }
+  }
+
+  /** Streaming-maintenance throughput smoke: the micro-batch append
+    * family is spec-EQUAL to batch (StreamingMultimodalSpec) — this
+    * measures its COST. Three maintenance paths, each with sustained
+    * append throughput (rows/s across all micro-batches), serve
+    * latency BEFORE / MID-STREAM / AFTER appends against the same
+    * layout (readers and maintenance share the dir by design), and
+    * on-disk state bytes:
+    *
+    *  - IVF cell-partitioned layout: 500k base + 10 × 50k batches via
+    *    `StreamingAnn.maintainIvf` (frozen `_centroids`, cell-local
+    *    file appends);
+    *  - HNSW routed index: 100k base + 5 × 10k batches via
+    *    `StreamingAnn.maintainIndex` (per-generation graph builds +
+    *    `_graft_commit` flips);
+    *  - CMS sketch: 10 × 20k-doc batches via
+    *    `StreamingCuration.maintainCms` (O(width) increments/batch).
+    *
+    * Output: one JSON line + target/stream_scale.json.
+    */
+  private def streamScaleSmoke(spark: SparkSession): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = 25
+    val fsOf = (d: String) => new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bytes(d: String): Long =
+      fsOf(d).getContentSummary(new org.apache.hadoop.fs.Path(d)).getLength
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def vecRows(from: Long, until: Long): Seq[(Long, Array[Float])] =
+      scaleVectors(spark, until.toInt, dim).filter(col("vec_id") >= from)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+    // ---- IVF cell-partitioned layout ----
+    val ivfBase = sys.env.get("SPARK_GRAFT_STREAM_N").flatMap(_.toIntOption).getOrElse(500000)
+    val ivfBatch = ivfBase / 10
+    val ivfDir = s"target/graft_stream/ivf_n$ivfBase"
+    fsOf(ivfDir).delete(new org.apache.hadoop.fs.Path(ivfDir), true)
+    val baseEmb = scaleVectors(spark, ivfBase, dim)
+    Ivf.writePartitionedWith(baseEmb, Ivf.kmeans(baseEmb, 32, 1), ivfDir)
+    val oneQuery = scaleVectors(spark, 1, dim)
+      .select(perturbQuery(col("embedding")).as("query_vec"))
+    def serveS(): Double = timed(
+      Ivf.topKPartitioned(spark, ivfDir, oneQuery, 10, nprobe = 8).collect())._2
+    val serveBefore = serveS()
+    val memIvf = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val qIvf = graft.streaming.StreamingAnn.maintainIvf(
+      memIvf.toDF().toDF("vec_id", "embedding"), ivfDir)
+    var midServe = 0.0
+    val (_, ivfWall) = timed {
+      for (b <- 0 until 10) {
+        memIvf.addData(vecRows(ivfBase + b.toLong * ivfBatch,
+          ivfBase + (b + 1).toLong * ivfBatch): _*)
+        qIvf.processAllAvailable()
+        if (b == 4) midServe = serveS()
+      }
+    }
+    qIvf.stop()
+    val serveAfter = serveS()
+    val ivfRowsPerSec = (10L * ivfBatch / ivfWall).toLong
+    println(s"[annbench] streamscale ivf: ${10 * ivfBatch} rows in ${fmt(ivfWall, 1)} s " +
+      s"($ivfRowsPerSec rows/s); serve ${fmt(serveBefore, 2)} s before, " +
+      s"${fmt(midServe, 2)} s mid-stream, ${fmt(serveAfter, 2)} s after; " +
+      s"layout ${bytes(ivfDir)} B")
+
+    // ---- HNSW routed generations ----
+    val hnswBase = 100000
+    val hnswBatch = 10000
+    val hp = Hnsw.Params(numPartitions = 8)
+    val hnswDir = s"target/graft_stream/hnsw_n$hnswBase"
+    fsOf(hnswDir).delete(new org.apache.hadoop.fs.Path(hnswDir), true)
+    Hnsw.save(scaleVectors(spark, hnswBase, dim), hp, hnswDir)
+    val memH = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val qH = graft.streaming.StreamingAnn.maintainIndex(
+      memH.toDF().toDF("vec_id", "embedding"), hnswDir, hp)
+    val (_, hWall) = timed {
+      for (b <- 0 until 5) {
+        memH.addData(vecRows(hnswBase + b.toLong * hnswBatch,
+          hnswBase + (b + 1).toLong * hnswBatch): _*)
+        qH.processAllAvailable()
+      }
+    }
+    qH.stop()
+    val hRowsPerSec = (5L * hnswBatch / hWall).toLong
+    val gens = Hnsw.latestGeneration(spark, hnswDir).map(_._1).getOrElse(-1)
+    println(s"[annbench] streamscale hnsw: ${5 * hnswBatch} inserts in ${fmt(hWall, 1)} s " +
+      s"($hRowsPerSec inserts/s, ${gens + 1} generations); index ${bytes(hnswDir)} B")
+
+    // ---- CMS sketch increments ----
+    val docBatch = 20000
+    val cmsDir = s"target/graft_stream/cms"
+    fsOf(cmsDir).delete(new org.apache.hadoop.fs.Path(cmsDir), true)
+    def docRows(from: Long, until: Long): Seq[(Long, String)] =
+      spark.range(from, until).select(col("id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(19)),
+          j => concat(lit("w"), pmod(hash(col("id"), j), lit(1000))))).as("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+    val memC = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val qC = graft.streaming.StreamingCuration.maintainCms(
+      memC.toDF().toDF("doc_id", "text"), cmsDir)
+    val (_, cWall) = timed {
+      for (b <- 0 until 10) {
+        memC.addData(docRows(b.toLong * docBatch, (b + 1).toLong * docBatch): _*)
+        qC.processAllAvailable()
+      }
+    }
+    qC.stop()
+    val cDocsPerSec = (10L * docBatch / cWall).toLong
+    println(s"[annbench] streamscale cms: ${10 * docBatch} docs in ${fmt(cWall, 1)} s " +
+      s"($cDocsPerSec docs/s); sketch state ${bytes(cmsDir)} B")
+
+    val json = s"""{"stream_scale":{""" +
+      s""""ivf":{"base":$ivfBase,"batches":10,"batch_rows":$ivfBatch,""" +
+      s""""append_wall_s":${fmt(ivfWall, 1)},"rows_per_sec":$ivfRowsPerSec,""" +
+      s""""serve_before_s":${fmt(serveBefore, 2)},"serve_mid_s":${fmt(midServe, 2)},""" +
+      s""""serve_after_s":${fmt(serveAfter, 2)},"layout_bytes":${bytes(ivfDir)}},""" +
+      s""""hnsw":{"base":$hnswBase,"batches":5,"batch_rows":$hnswBatch,""" +
+      s""""append_wall_s":${fmt(hWall, 1)},"inserts_per_sec":$hRowsPerSec,""" +
+      s""""generations":${gens + 1},"index_bytes":${bytes(hnswDir)}},""" +
+      s""""cms":{"batches":10,"batch_docs":$docBatch,"append_wall_s":${fmt(cWall, 1)},""" +
+      s""""docs_per_sec":$cDocsPerSec,"state_bytes":${bytes(cmsDir)}}}}"""
+    println(json)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/stream_scale.json"), json + "\n")
     catch { case e: Throwable => System.err.println(s"[annbench] file write failed: ${e.getMessage}") }
   }
 
