@@ -141,6 +141,73 @@ object TextAnalysis {
       .select("doc_id", "source", "quality")
   }
 
+  // -------------------------------------------------------------------
+  // Mergeable quality-quantile sketch — the CMS `_sketch` sidecar
+  // pattern for ORDER STATISTICS, so streaming curation can maintain
+  // per-source gate thresholds without ever re-scanning the corpus.
+  // Quality scores are rounded to 6 decimals ([[qualityCol]]), so a
+  // histogram on 1e-6-wide bins is LOSSLESS: the "sketch" is exact at
+  // any merge order (cells sum, like CMS rows), and its size is
+  // bounded by 1e6+1 bins per source regardless of corpus size.
+  // -------------------------------------------------------------------
+
+  private val qbinScale = 1e6
+
+  /** One sketch increment over a document batch: `(source, qbin, c)`.
+    * Mergeable by cell-wise sum; O(distinct bins) rows per source.
+    */
+  def qualitySketch(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"),
+        round(qualityCol(tokens(col("text")), col("n_chars")) * qbinScale)
+          .cast("long").as("qbin"))
+      .groupBy("source", "qbin")
+      .agg(count(lit(1)).as("c"))
+
+  /** The merged sketch of an append-only increment dir (cell-wise sum —
+    * read cost bounded by appended increments, never corpus size).
+    */
+  def qualitySketchFromDir(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy("source", "qbin")
+      .agg(sum("c").as("c"))
+
+  /** Per-source `p`-th quantile threshold from a (merged) sketch: the
+    * exact TYPE-1 (lower) quantile of the binned distribution — the
+    * smallest value whose cumulative count reaches `ceil(p·n)`.
+    * Deterministic and merge-order-invariant; `thr` is bit-equal to
+    * the corresponding `round(quality, 6)` double, so gate comparisons
+    * are exact. The sketch is source-bounded, so the rank window costs
+    * O(bins), never O(corpus).
+    */
+  def thresholdsFromSketch(sketch: DataFrame, p: Double): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("qbin")
+    val tot = sketch.groupBy("source").agg(sum("c").as("n"))
+    sketch
+      .withColumn("cum", sum("c").over(w))
+      .join(broadcast(tot), Seq("source"))
+      .filter(col("cum") >= ceil(lit(p) * col("n")))
+      .groupBy("source")
+      .agg(min("qbin").as("qbin"))
+      .select(col("source"), (col("qbin") / qbinScale).as("thr"))
+  }
+
+  /** The quality gate served from a maintained sketch: score the batch,
+    * broadcast the sketch thresholds, ONE narrow filter — no corpus
+    * sort, no re-scan of anything the sketch already summarized. The
+    * type-1 threshold is ≤ the exact interpolated one by at most one
+    * quality value, so the kept set is a boundary-superset of
+    * [[qualityGate]]'s (spec-pinned).
+    */
+  def qualityGateFromSketch(documents: DataFrame, sketch: DataFrame,
+                            p: Double = 0.75): DataFrame = {
+    val scored = documents.select(col("doc_id"), col("source"),
+      qualityCol(tokens(col("text")), col("n_chars")).as("quality"))
+    scored.join(broadcast(thresholdsFromSketch(sketch, p)), Seq("source"))
+      .filter(col("quality") >= col("thr"))
+      .select("doc_id", "source", "quality")
+  }
+
   /** Global token frequency: top `limit` tokens by count (count desc,
     * token asc). One explode + one hash aggregate + TakeOrdered.
     */

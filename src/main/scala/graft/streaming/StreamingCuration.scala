@@ -60,4 +60,22 @@ object StreamingCuration {
           .write.mode("append").parquet(sketchDir)
       }
       .start()
+
+  /** Streaming maintenance of the per-source quality-quantile sketch
+    * ([[TextAnalysis.qualitySketch]]): each micro-batch appends its
+    * own (source, qbin, c) increment — O(distinct bins) rows, never
+    * corpus-sized — and `TextAnalysis.qualitySketchFromDir` +
+    * `thresholdsFromSketch` serve gate thresholds from the fold. The
+    * quantile twin of [[maintainCms]]: curation thresholds stay
+    * current without ever re-scanning summarized documents.
+    */
+  def maintainQualitySketch(newDocs: DataFrame,
+                            sketchDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        TextAnalysis.qualitySketch(batch.toDF())
+          .write.mode("append").parquet(sketchDir)
+      }
+      .start()
 }
