@@ -464,6 +464,42 @@ class PlanPropertiesSpec extends AnyFunSuite {
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
+  test("PII queries are shuffle-free narrow scans with pruned columns") {
+    // spans: scan → project → matcher sweep → explode; redact: scan →
+    // replace chain. Neither has any reason to exchange, and neither
+    // should read columns the injection/rules don't touch.
+    for (name <- Seq("q_pii_spans", "q_pii_redact")) {
+      val p = plan(name)
+      assert(countOf(p, "Exchange") == 0,
+        s"$name must be a narrow map-side pass, found a shuffle:\n$p")
+      assert(p.contains("ReadSchema") && !p.contains("lang:"),
+        s"$name: unused corpus columns must prune from the scan:\n$p")
+    }
+  }
+
+  test("image decode/resize queries are shuffle-free codec passes") {
+    // encode→decode (and decode→resize→encode→decode) are per-row
+    // mapPartitions chains — one narrow pass over documents, no joins,
+    // no aggregation, nothing to exchange
+    for (name <- Seq("q_image_decode", "q_image_resize")) {
+      val p = plan(name)
+      assert(countOf(p, "Exchange") == 0,
+        s"$name must be a narrow codec pass, found a shuffle:\n$p")
+      assert(p.contains("MapPartitions"),
+        s"$name: the batched codec boundary must be a MapPartitions:\n$p")
+    }
+  }
+
+  test("cosine/MIPS rewrite queries: probe fired (cell gate in plan), top-k stays a heap") {
+    for (name <- Seq("q_cosine_rewrite_topk", "q_mips_rewrite_topk")) {
+      val p = plan(name)
+      assert(p.contains("cell"),
+        s"$name: the index rewrite must fire (no cell gate in the plan):\n$p")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name: top-k must stay a per-partition heap:\n$p")
+    }
+  }
+
   test("vector distance kernels stay inside whole-stage codegen") {
     // codegen spans only appear in the FINAL adaptive plan — execute
     // through the SAME QueryExecution (a sink write would clone it)
