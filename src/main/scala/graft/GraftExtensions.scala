@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions.{broadcast, col}
 
 import graft.functions.{DotProductExpr, L2DistanceSqExpr}
 import graft.functions.VectorFunctions.perturbQuery
-import graft.operators.{Dedup, Knn, Retrieval}
+import graft.operators.{Dedup, Knn, Retrieval, TextAnalysis}
 import graft.sources.Tables
 
 /** SparkSessionExtensions entry point: registers the engine's native
@@ -304,6 +304,16 @@ object GraftExtensions {
         require(args.length >= 4, "logreg_scores(dir, rounds, label, feat, ...)")
         graft.operators.Classifier.scores(Tables.documents(spark, asString(args(0))),
           asString(args(2)), args.drop(3).map(asString), asInt(args(1)))
+      }),
+    (FunctionIdentifier("pii_spans"), info("pii_spans"),
+      tvf("pii_spans") { (spark, args) =>
+        require(args.length == 1, "pii_spans(dir)")
+        TextAnalysis.piiSpans(Tables.documents(spark, asString(args(0))))
+      }),
+    (FunctionIdentifier("redact_pii"), info("redact_pii"),
+      tvf("redact_pii") { (spark, args) =>
+        require(args.length == 1, "redact_pii(dir)")
+        TextAnalysis.redactPii(Tables.documents(spark, asString(args(0))))
       }))
 
   /** Register on an already-created session (tests, notebooks). */

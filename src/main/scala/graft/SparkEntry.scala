@@ -2532,6 +2532,14 @@ object SparkEntry {
     // kept-set bound vs the exact gate asserted in TextDedupSpec.
     "q_quality_gate_approx" -> ((s, dir) =>
       TextAnalysis.qualityGateApprox(Tables.documents(s, dir), 0.75)),
+    // The MERGEABLE-sketch gate (lossless 1e-6 bins → exact type-1
+    // quantile thresholds): unlike the GK twin above this IS
+    // deterministic and SQL-expressible, so it oracles — the streaming
+    // threshold-maintenance path gets a full hash check.
+    "q_quality_gate_sketch" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.qualityGateFromSketch(docs, TextAnalysis.qualitySketch(docs), 0.75)
+    }),
     "q_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
     "q_doc_stats" -> ((s, dir) => TextAnalysis.docStats(Tables.documents(s, dir))),
     "q_token_counting" -> ((s, dir) => TextAnalysis.tokenCounting(Tables.documents(s, dir))),
@@ -3165,6 +3173,30 @@ object SparkEntry {
             FROM x),
           thr AS (SELECT source, round(quantile_cont(quality, 0.75), 6) AS thr
                   FROM qx GROUP BY source)
+          SELECT doc_id, qx.source, quality
+          FROM qx JOIN thr ON qx.source = thr.source
+          WHERE quality >= thr""",
+    // sketch gate: 1e-6-binned histogram → exact type-1 (lower)
+    // quantile per source — the smallest bin whose cumulative count
+    // reaches ceil(p·n); bins are lossless for 6-decimal scores
+    "q_quality_gate_sketch" ->
+      s"""WITH x AS (SELECT doc_id, source,
+              CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+              CAST(len(list_filter(string_split(text, ' '), w -> w IN ($duckStopEn))) AS DOUBLE) AS sw,
+              n_chars
+            FROM documents),
+          qx AS (SELECT doc_id, source,
+              round(least(nt / 100.0, 1.0) * 0.5 + (sw / nt) * 0.3
+                    + least(((CAST(n_chars AS DOUBLE) - (nt - 1.0)) / nt) / 8.0, 1.0) * 0.2, 6) AS quality
+            FROM x),
+          b AS (SELECT source, CAST(round(quality * 1000000) AS BIGINT) AS qbin, count(*) AS c
+                FROM qx GROUP BY 1, 2),
+          cum AS (SELECT source, qbin,
+                sum(c) OVER (PARTITION BY source ORDER BY qbin) AS cum,
+                sum(c) OVER (PARTITION BY source) AS n
+              FROM b),
+          thr AS (SELECT source, min(qbin) / 1000000.0 AS thr
+                  FROM cum WHERE cum >= ceil(0.75 * n) GROUP BY source)
           SELECT doc_id, qx.source, quality
           FROM qx JOIN thr ON qx.source = thr.source
           WHERE quality >= thr""",

@@ -689,6 +689,14 @@ object Hnsw {
                    keep: Int = 1): Unit =
     CellSnapshot.vacuum(spark, dir, Seq("nodes", "edges"), "part", keep)
 
+  /** Policy-driven GC for a routed layout ([[CellSnapshot.retain]]):
+    * keep current + pinned + younger-than-maxAge versions — the routed
+    * twin of `Ivf.retainPartitioned`.
+    */
+  def retainRouted(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   maxAge: java.time.Duration = java.time.Duration.ZERO): Unit =
+    CellSnapshot.retain(spark, dir, Seq("nodes", "edges"), "part", maxAge)
+
   /** Fold the tombstones into a ROUTED layout ([[saveRouted]]): ONLY
     * the cells (`part=` subtrees) holding deleted rows are rebuilt — a
     * deletion invalidates its cell's adjacency, so those cells

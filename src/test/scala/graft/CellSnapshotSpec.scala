@@ -334,6 +334,19 @@ class CellSnapshotSpec extends AnyFunSuite {
       "vacuum must not change routed serving")
     assert(Hnsw.readRoutedNodesAt(spark, dir, v).count() === nodesAtV,
       "the current version survives vacuum")
+
+    // retention policy on the routed layout: pin v, compact again,
+    // retain — the pinned snapshot still time-travels bit-identically
+    CellSnapshot.pin(spark, dir, v)
+    Hnsw.recordDeletes(spark, dir, delIds.drop(2).take(1).toDF("vec_id"))
+    Hnsw.compactRouted(spark, dir, p)
+    Hnsw.retainRouted(spark, dir)
+    assert(Hnsw.readRoutedNodesAt(spark, dir, v).count() === nodesAtV,
+      "a pinned routed version must survive retain")
+    assert(Hnsw.readRoutedEdgesAt(spark, dir, v).count() === edgesAtV)
+    CellSnapshot.unpin(spark, dir, v)
+    Hnsw.retainRouted(spark, dir)
+    intercept[IllegalArgumentException] { Hnsw.readRoutedNodesAt(spark, dir, v) }
   }
 
   test("IVF-PQ: a code-layout reader planned before compaction is isolated; compaction folds codes") {

@@ -322,6 +322,33 @@ class IndexRewriteSpec extends AnyFunSuite {
     IndexCatalog.unregister(dataPath)
   }
 
+  test("MIPS batch window shape fires and equals exact at nprobe = C") {
+    val mdir = java.nio.file.Files.createTempDirectory("idxrw_mips_b").toString
+    IndexCatalog.buildAndRegisterMips(spark, dataPath, c = C, iters = 2,
+      nprobe = C, mdir)
+    val emb = spark.read.parquet(dataPath)
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+    def naiveBatch = {
+      val scored = emb.crossJoin(broadcast(qs))
+        .select(col("query_id"), col("vec_id"),
+          round(dotProduct(col("embedding"), col("query_vec")), 6).as("ip"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("ip").desc, col("vec_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10).drop("rn")
+    }
+    val exact = naiveBatch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    withRule {
+      val df = naiveBatch
+      assert(df.queryExecution.optimizedPlan.toString.contains("graft_probe_qid"),
+        "no per-query probe join in the batch MIPS plan")
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        === exact)
+    }
+    IndexCatalog.unregister(dataPath)
+  }
+
   test("metric/kind mismatch declines: cosine plan over an L2 index and vice versa") {
     // L2 index registered — the cosine and MIPS shapes must NOT fire
     IndexCatalog.buildAndRegister(spark, dataPath, c = C, iters = 2,

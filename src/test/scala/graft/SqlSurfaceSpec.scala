@@ -218,6 +218,21 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(fromSql.nonEmpty)
   }
 
+  test("SQL TVFs pii_spans(dir) / redact_pii(dir) match the Column API") {
+    GraftExtensions.register(spark)
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+    val spansSql = spark.sql(s"SELECT * FROM pii_spans('$sf')")
+      .collect().map(_.toSeq).toSet
+    val spansApi = TextAnalysis.piiSpans(docs).collect().map(_.toSeq).toSet
+    assert(spansSql === spansApi) // corpus is PII-free: both empty — the
+    assert(spansSql.isEmpty)      // extraction itself is oracled on injected PII
+    val redSql = spark.sql(s"SELECT * FROM redact_pii('$sf') WHERE n_pii > 0").count()
+    val redApi = TextAnalysis.redactPii(docs).filter(
+      org.apache.spark.sql.functions.col("n_pii") > 0).count()
+    assert(redSql === redApi)
+  }
+
   test("TVFs compose with plain SQL (filter + order over the TVF result)") {
     GraftExtensions.register(spark)
     val top3 = spark.sql(
