@@ -2865,6 +2865,20 @@ object SparkEntry {
         .select(col("asset_id"), col("width"), col("height"), col("channels"),
           col("mean_r"), col("mean_g"), col("mean_b"))
     }),
+    // REAL pixel-histogram features over decoded PNGs: a solid image
+    // concentrates each channel's whole mass in ONE bin, so the set of
+    // nonzero feature indices is a pure formula of the synthesis color
+    // — the histogram binning (and the decode under it) hash-checks
+    // against DuckDB. dim=9 → 3 bins per channel at offsets 0/3/6.
+    "q_image_features" -> ((s, dir) => {
+      val assets = Multimodal.pngAssetsFromDocuments(Tables.documents(s, dir))
+      Multimodal.extractFeatures(assets, dim = 9)
+        .select(col("asset_id"),
+          sort_array(filter(
+            transform(col("features"),
+              (f, i) => when(f > 0f, i).otherwise(lit(-1))),
+            i => i >= 0)).as("hot_bins"))
+    }),
     // REAL pixel resize: decode → nearest-neighbor aspect-fit → PNG
     // re-encode → decode again. Solid inputs stay solid, so the second
     // decode's stats are still formula-predictable; out dims follow the
@@ -3863,6 +3877,12 @@ object SparkEntry {
                 CAST(doc_id % 256 AS DOUBLE) AS mean_r,
                 CAST((doc_id * 7 + 13) % 256 AS DOUBLE) AS mean_g,
                 CAST(n_chars % 256 AS DOUBLE) AS mean_b
+         FROM documents""",
+    "q_image_features" ->
+      """SELECT doc_id AS asset_id,
+                list_sort([CAST((doc_id % 256) * 3 // 256 AS INT),
+                           CAST(3 + ((doc_id * 7 + 13) % 256) * 3 // 256 AS INT),
+                           CAST(6 + (n_chars % 256) * 3 // 256 AS INT)]) AS hot_bins
          FROM documents""",
     "q_image_resize" ->
       """WITH a AS (SELECT doc_id AS asset_id,

@@ -55,6 +55,7 @@ object AnnBench {
     if (args.contains("layoutscale")) { layoutScaleSmoke(spark); spark.stop(); return }
     if (args.contains("diversity")) { diversitySmoke(spark); spark.stop(); return }
     if (args.contains("streamscale")) { streamScaleSmoke(spark); spark.stop(); return }
+    if (args.contains("piiscale")) { piiScaleSmoke(spark); spark.stop(); return }
     val emb = Tables.embeddings(spark, sfDir)
     val qs = emb.select(col("vec_id").as("query_id"),
       perturbQuery(col("embedding")).as("query_vec"))
@@ -1139,6 +1140,62 @@ object AnnBench {
     println(json)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/layout_scale.json"), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[annbench] file write failed: ${e.getMessage}") }
+  }
+
+  /** PII curation-stage smoke: span extraction and redaction over a
+    * 2M-doc synthetic corpus (~20 tokens/doc; 60% carry injected PII —
+    * email / phone / SSN+IPv4 by doc_id%5, the declared-query shapes).
+    * The claim under test: both operators are NARROW map-side passes —
+    * the measured shuffle-write bytes must be ~0 (only the count's own
+    * partial-agg exchange), so at 100 TB the PII stage rides the scan.
+    * Output: one JSON line + target/pii_scale.json.
+    */
+  private def piiScaleSmoke(spark: SparkSession): Unit = {
+    import graft.operators.TextAnalysis
+    val n = sys.env.get("SPARK_GRAFT_PII_N").flatMap(_.toIntOption).getOrElse(2000000)
+    val base = concat_ws(" ", transform(sequence(lit(0), lit(19)),
+      j => concat(lit("w"), pmod(hash(col("id"), j), lit(1000)))))
+    val m = pmod(col("id"), lit(5))
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      when(m === 0, concat(base, lit(" user"), col("id").cast("string"),
+          lit("@example.com")))
+        .when(m === 1, concat(base, lit(" 555-010-"),
+          lpad(pmod(col("id"), lit(10000)).cast("string"), 4, "0")))
+        .when(m === 2, concat(base, lit(" 123-45-"),
+          lpad(pmod(col("id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" at 10.0.42.7")))
+        .otherwise(base).as("text")).cache()
+    docs.count()
+
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+    def phase(label: String)(f: => Long): String = {
+      System.gc()
+      val s0 = shuffleBytes.get()
+      val t0 = System.nanoTime()
+      val count = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      val sb = shuffleBytes.get() - s0
+      println(s"[annbench] piiscale $label: $count rows, ${fmt(sec, 1)} s " +
+        s"(${(n / sec).toLong} docs/s), shuffle $sb B")
+      s""""$label":{"rows":$count,"wall_sec":${fmt(sec, 1)},""" +
+        s""""docs_per_sec":${(n / sec).toLong},"shuffle_write_bytes":$sb}"""
+    }
+    val spans = phase("pii_spans")(
+      TextAnalysis.piiSpans(docs).filter(col("kind").isNotNull).count())
+    val redact = phase("redact_pii")(
+      TextAnalysis.redactPii(docs).filter(col("n_pii") > 0).count())
+    val json = s"""{"pii_scale":{"n_docs":$n,$spans,$redact}}"""
+    println(json)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/pii_scale.json"), json + "\n")
     catch { case e: Throwable => System.err.println(s"[annbench] file write failed: ${e.getMessage}") }
   }
 

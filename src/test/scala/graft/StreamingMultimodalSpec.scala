@@ -661,6 +661,30 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(f1(2L).length === 9)
   }
 
+  test("multimodal: image decode is streaming-safe (micro-batched decode == batch)") {
+    implicit val sqlCtx = spark.sqlContext
+    import Multimodal.ImageCodec
+    val assets = (1L to 6L).map(i =>
+      (i, ImageCodec.solidPng(4 + i.toInt, 3, (i * 40 % 256).toInt, 7, 99), "image/png"))
+    val mem = MemoryStream[(Long, Array[Byte], String)]
+    val q = Multimodal.decodeImages(
+        mem.toDF().toDF("asset_id", "media", "mime"), batchSize = 2)
+      .writeStream.format("memory").queryName("decode_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(assets.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(assets.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("decode_out").collect().map(_.toSeq).toSet
+    val batch = Multimodal.decodeImages(
+        assets.toDF("asset_id", "media", "mime"), batchSize = 2)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch, "the stateless codec pass must stream unchanged")
+    assert(streamed.size === 6)
+  }
+
   test("multimodal: resize metadata preserves aspect ratio and never upscales") {
     val assets = Seq(
       (1L, Array[Byte](1), "image/png", 1000, 500),
