@@ -168,7 +168,7 @@ object SparkEntry {
   }
 
   private val duckPiiInject: String =
-    """SELECT doc_id,
+    """SELECT doc_id, source, n_chars,
          CASE doc_id % 5
            WHEN 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
              || '@example.com via 10.0.' || CAST(doc_id % 100 AS VARCHAR)
@@ -2727,6 +2727,13 @@ object SparkEntry {
     "q_corpus_pipeline" -> ((s, dir) =>
       CorpusPipeline.curate(Tables.documents(s, dir), lang = "en",
         minQuality = 0.4, jaccardThreshold = 0.5)),
+    // The full curation pipeline WITH the PII stage wired in: inject
+    // deterministic PII (the q_pii_* formula), filter, REDACT between
+    // quality filtering and dedup, dedup on the redacted bytes, count
+    // redacted tokens — the whole composition hash-checks end to end.
+    "q_corpus_pipeline_redacted" -> ((s, dir) =>
+      CorpusPipeline.curate(injectPii(Tables.documents(s, dir)), lang = "en",
+        minQuality = 0.4, jaccardThreshold = 0.5, redactPii = true)),
     // Benchmark-contamination check: corpus docs (id ≥ 20) sharing any
     // 3-gram hash with the probe set (id < 20 plays the eval
     // benchmark). Probe side broadcast — one map-side pass over the
@@ -3390,6 +3397,56 @@ object SparkEntry {
                     JOIN lp USING (doc_id) JOIN qual USING (doc_id)
                     WHERE lang_pred = 'en' AND quality >= 0.4),
           kept2 AS (SELECT * FROM kept1
+                    QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+          shing AS (SELECT doc_id, $duckShingles AS sh FROM kept2 WHERE len(t) >= 3),
+          shd AS (SELECT doc_id, $duckHashedShingleSet AS sh FROM shing),
+          pairsq AS (SELECT * FROM (
+              SELECT a.doc_id AS id1, b.doc_id AS id2,
+                  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+                FROM shd a JOIN shd b ON a.doc_id < b.doc_id)
+              WHERE jaccard >= 0.5),
+          edges AS (SELECT id1 AS u, id2 AS v FROM pairsq
+                    UNION ALL SELECT id2, id1 FROM pairsq),
+          reach(u, v) AS (SELECT u, v FROM edges
+                          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+          comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+          kept3 AS (SELECT k.* FROM kept2 k LEFT JOIN comp c USING (doc_id)
+                    WHERE coalesce(c.cluster_id, k.doc_id) = k.doc_id)
+          SELECT source, count(*) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS n_tokens
+          FROM kept3 GROUP BY source"""
+    },
+    // pipeline + PII stage: inject (same formula as q_pii_*), score
+    // lang/quality on the injected text, REDACT the survivors, dedup/
+    // cluster/count on the redacted bytes — the engine's stage order,
+    // mirrored from the same generated fragments
+    "q_corpus_pipeline_redacted" -> {
+      val scores = TextAnalysis.stopwords.map { case (l, ws) =>
+        s"len(list_filter(t, w -> w IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS s_$l"
+      }.mkString(", ")
+      val langs = TextAnalysis.stopwords.map(_._1)
+      val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val cases = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+      val redacted = TextAnalysis.piiPatterns.foldLeft("text") {
+        case (e, (_, pat, rep)) => s"regexp_replace($e, '$pat', '$rep', 'g')"
+      }
+      s"""WITH RECURSIVE
+          p AS ($duckPiiInject),
+          toks0 AS (SELECT doc_id, source, n_chars, text, string_split(text, ' ') AS t
+                    FROM p),
+          lp AS (SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
+                 FROM (SELECT doc_id, $scores FROM toks0)),
+          qual AS (SELECT doc_id,
+              round(least(len(t) / 100.0, 1.0) * 0.5
+                + (CAST(len(list_filter(t, w -> w IN ($duckStopEn))) AS DOUBLE) / len(t)) * 0.3
+                + least(((CAST(n_chars AS DOUBLE) - (len(t) - 1.0)) / len(t)) / 8.0, 1.0) * 0.2,
+                6) AS quality
+            FROM toks0),
+          kept1 AS (SELECT doc_id, source, $redacted AS text FROM toks0
+                    JOIN lp USING (doc_id) JOIN qual USING (doc_id)
+                    WHERE lang_pred = 'en' AND quality >= 0.4),
+          toks AS (SELECT doc_id, source, text, string_split(text, ' ') AS t FROM kept1),
+          kept2 AS (SELECT * FROM toks
                     QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
           shing AS (SELECT doc_id, $duckShingles AS sh FROM kept2 WHERE len(t) >= 3),
           shd AS (SELECT doc_id, $duckHashedShingleSet AS sh FROM shing),
