@@ -2886,6 +2886,16 @@ object SparkEntry {
               (f, i) => when(f > 0f, i).otherwise(lit(-1))),
             i => i >= 0)).as("hot_bins"))
     }),
+    // REAL audio decode (javax.sound.sampled): each document becomes a
+    // genuine 16-bit PCM WAV square wave (encoded in-task), decoded
+    // back for header + exact amplitude stats — all pure formulas of
+    // (doc_id, n_chars), so DuckDB oracles the audio round trip too.
+    "q_audio_decode" -> ((s, dir) => {
+      val assets = Multimodal.wavAssetsFromDocuments(Tables.documents(s, dir))
+      Multimodal.decodeAudio(assets)
+        .select(col("asset_id"), col("sample_rate"), col("channels"),
+          col("n_frames"), col("mean_abs"), col("peak"))
+    }),
     // REAL pixel resize: decode → nearest-neighbor aspect-fit → PNG
     // re-encode → decode again. Solid inputs stay solid, so the second
     // decode's stats are still formula-predictable; out dims follow the
@@ -3934,6 +3944,14 @@ object SparkEntry {
                 CAST(doc_id % 256 AS DOUBLE) AS mean_r,
                 CAST((doc_id * 7 + 13) % 256 AS DOUBLE) AS mean_g,
                 CAST(n_chars % 256 AS DOUBLE) AS mean_b
+         FROM documents""",
+    "q_audio_decode" ->
+      """SELECT doc_id AS asset_id,
+                CAST(8000 + (doc_id % 3) * 4000 AS DOUBLE) AS sample_rate,
+                CAST(1 AS INT) AS channels,
+                CAST(n_chars % 400 + 50 AS BIGINT) AS n_frames,
+                CAST((doc_id * 13 + 7) % 2000 AS DOUBLE) AS mean_abs,
+                CAST((doc_id * 13 + 7) % 2000 AS DOUBLE) AS peak
          FROM documents""",
     "q_image_features" ->
       """SELECT doc_id AS asset_id,

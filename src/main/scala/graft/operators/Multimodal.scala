@@ -15,14 +15,16 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side plumbing is real — schemas, batched partition
   * processing, frame slicing, metadata math are all exactly what a
-  * production pipeline runs. The IMAGE codec is also real:
-  * [[ImageCodec]] decodes/encodes PNG/JPEG/BMP/GIF via the JDK's own
-  * `javax.imageio.ImageIO` (java.desktop ships in every JDK — no new
-  * dependency), computes true per-channel pixel statistics, and does a
-  * deterministic nearest-neighbor pixel resize. Audio/video mimes still
-  * go through the deterministic [[StubCodec]] stand-in (no audio/video
-  * codecs exist in a bare JDK); swapping in a real one changes one
-  * function, not the pipeline.
+  * production pipeline runs. The IMAGE codec is real ([[ImageCodec]]:
+  * PNG/JPEG/BMP/GIF via the JDK's own `javax.imageio.ImageIO` —
+  * java.desktop ships in every JDK, no new dependency — true
+  * per-channel pixel statistics, deterministic nearest-neighbor
+  * resize, lossless PNG re-encode) and so is the AUDIO codec
+  * ([[AudioCodec]]: WAV/AIFF/AU 16-bit PCM via `javax.sound.sampled`,
+  * also in-JDK — real sample arrays, exact amplitude stats). Only
+  * VIDEO still goes through the deterministic [[StubCodec]] stand-in
+  * (a bare JDK genuinely has no video codec); swapping in a real one
+  * changes one function, not the pipeline.
   *
   * Scale notes: decode and feature extraction run `mapPartitions` with
   * an explicit micro-batch size — the shape that amortizes per-batch
@@ -157,12 +159,102 @@ object Multimodal {
     }
   }
 
-  /** STUB decode/embed kernel for audio/video mimes — a deterministic
+  /** Real audio codec over the JDK's `javax.sound.sampled` (zero
+    * external dependencies): WAV/AIFF/AU containers with 16-bit signed
+    * PCM payloads decode to primitive sample arrays; anything else
+    * (compressed codecs need external libs) returns None and flags
+    * `decoded = false` downstream — the same poison-safe posture as
+    * [[ImageCodec]].
+    */
+  object AudioCodec {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    /** Mimes routed through this codec. */
+    val audioMimes: Set[String] =
+      Set("audio/wav", "audio/x-wav", "audio/aiff", "audio/basic")
+
+    final case class DecodedAudio(sampleRate: Double, channels: Int,
+        samples: Array[Short]) {
+      def nFrames: Long = samples.length.toLong / channels
+      /** Exact mean absolute amplitude and peak over all samples. */
+      def stats: (Double, Double) = {
+        var sum = 0L; var peak = 0
+        var i = 0
+        while (i < samples.length) {
+          val a = math.abs(samples(i).toInt)
+          sum += a; if (a > peak) peak = a
+          i += 1
+        }
+        (if (samples.isEmpty) 0.0 else sum.toDouble / samples.length, peak.toDouble)
+      }
+    }
+
+    /** Encode 16-bit signed PCM mono/interleaved samples as WAV. */
+    def encodeWav(sampleRate: Float, channels: Int, samples: Array[Short]): Array[Byte] = {
+      require(channels > 0 && samples.length % channels == 0, "ragged frames")
+      val fmt = new AudioFormat(sampleRate, 16, channels, true, false) // signed, LE
+      val bytes = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        bytes(2 * i) = (samples(i) & 0xff).toByte
+        bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val ais = new AudioInputStream(new ByteArrayInputStream(bytes), fmt,
+        samples.length.toLong / channels)
+      val out = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** Decode any JDK-supported audio container holding 16-bit signed
+      * PCM; None for corrupt payloads or unsupported sample formats.
+      */
+    def decode(bytes: Array[Byte]): Option[DecodedAudio] =
+      try {
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+        val f = ais.getFormat
+        if (f.getSampleSizeInBits != 16 ||
+            f.getEncoding != AudioFormat.Encoding.PCM_SIGNED) None
+        else {
+          val raw = ais.readAllBytes()
+          val n = raw.length / 2
+          val out = new Array[Short](n)
+          var i = 0
+          if (f.isBigEndian)
+            while (i < n) { out(i) = (((raw(2 * i) & 0xff) << 8) | (raw(2 * i + 1) & 0xff)).toShort; i += 1 }
+          else
+            while (i < n) { out(i) = (((raw(2 * i + 1) & 0xff) << 8) | (raw(2 * i) & 0xff)).toShort; i += 1 }
+          Some(DecodedAudio(f.getSampleRate.toDouble, f.getChannels, out))
+        }
+      } catch { case _: Exception => None }
+
+    /** Amplitude-histogram features: `dim` bins over |sample|/32768. */
+    def features(d: DecodedAudio, dim: Int): Array[Float] = {
+      require(dim >= 1, "need at least one bin")
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < d.samples.length) {
+        // |Short.MinValue| = 32768 would index past the last bin — clamp
+        out(math.min(dim - 1, math.abs(d.samples(i).toInt) * dim / 32768)) += 1f
+        i += 1
+      }
+      if (d.samples.nonEmpty) {
+        val n = d.samples.length.toFloat
+        var j = 0
+        while (j < dim) { out(j) /= n; j += 1 }
+      }
+      out
+    }
+  }
+
+  /** STUB decode/embed kernel for VIDEO mimes — a deterministic
     * stand-in (rolling FNV-1a of the payload folded per feature slot
     * into [0, 1) floats) with the same signature a real codec adapter
     * would have: stable across JVMs/partitionings, so pipeline tests
-    * assert real equalities. Image mimes do NOT use this — they decode
-    * for real via [[ImageCodec]].
+    * assert real equalities. Image and audio mimes do NOT use this —
+    * they decode for real via [[ImageCodec]] / [[AudioCodec]] (video
+    * is the one modality a bare JDK genuinely cannot decode).
     */
   object StubCodec {
     def featuresOf(bytes: Array[Byte], dim: Int): Array[Float] = {
@@ -219,6 +311,64 @@ object Multimodal {
           val cg = ((id * 7 + 13) % 256).toInt
           val cb = (nChars % 256).toInt
           Row(id, ImageCodec.solidPng(w, h, cr, cg, cb), "image/png", w, h)
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic REAL-WAV asset view of the `documents` table: each
+    * document becomes a genuine 16-bit PCM WAV (encoded in-task with
+    * `javax.sound.sampled`) holding a ±a square wave whose frame count,
+    * sample rate, and amplitude are pure formulas of (doc_id, n_chars)
+    * — so the decode queries exercise the real audio codec end to end
+    * while DuckDB oracles the decoded header + exact amplitude stats
+    * (|±a| is constantly a, so mean_abs = peak = a).
+    */
+  def wavAssetsFromDocuments(documents: DataFrame, batchSize: Int = 64): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    documents.select("doc_id", "n_chars").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0); val nChars = r.getLong(1)
+          val n = (nChars % 400 + 50).toInt
+          val rate = (8000 + (id % 3) * 4000).toFloat
+          val a = ((id * 13 + 7) % 2000).toShort
+          val samples = Array.tabulate(n)(i => if (i % 2 == 0) a else (-a).toShort)
+          Row(id, AudioCodec.encodeWav(rate, 1, samples), "audio/wav", 0, 0)
+        }
+      }
+    }(enc)
+  }
+
+  /** Real audio decode: `(asset_id, sample_rate, channels, n_frames,
+    * mean_abs, peak, decoded)` — header and stats come from the decoded
+    * PCM samples. Non-audio/corrupt/non-PCM16 payloads yield
+    * `decoded = false` with null fields (poison-safe).
+    */
+  def decodeAudio(assets: DataFrame, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("sample_rate", DoubleType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("n_frames", LongType, nullable = true),
+      StructField("mean_abs", DoubleType, nullable = true),
+      StructField("peak", DoubleType, nullable = true),
+      StructField("decoded", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    assets.select("asset_id", "media", "mime").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val dec =
+            if (AudioCodec.audioMimes.contains(r.getString(2)))
+              AudioCodec.decode(r.getAs[Array[Byte]](1))
+            else None
+          dec match {
+            case Some(d) =>
+              val (meanAbs, peak) = d.stats
+              Row(id, d.sampleRate, d.channels, d.nFrames, meanAbs, peak, true)
+            case None => Row(id, null, null, null, null, null, false)
+          }
         }
       }
     }(enc)
@@ -292,8 +442,10 @@ object Multimodal {
   /** Batched feature extraction: `(asset_id, features: array<float>)`.
     * Processes each partition in micro-batches of `batchSize` rows —
     * the real-codec shape (one codec/model session per batch). Image
-    * mimes produce real pixel-histogram descriptors via [[ImageCodec]];
-    * other mimes fall back to the deterministic [[StubCodec]].
+    * mimes produce real pixel-histogram descriptors via [[ImageCodec]],
+    * audio mimes real amplitude histograms via [[AudioCodec]]; video
+    * (and undecodable payloads) fall back to the deterministic
+    * [[StubCodec]].
     */
   def extractFeatures(assets: DataFrame, dim: Int = 16, batchSize: Int = 64): DataFrame = {
     val outSchema = StructType(Seq(
@@ -305,10 +457,15 @@ object Multimodal {
         // a real adapter would open one codec session for `batch` here
         batch.map { r =>
           val bytes = r.getAs[Array[Byte]](1)
+          val mime = r.getString(2)
           val feats =
-            if (ImageCodec.imageMimes.contains(r.getString(2)))
+            if (ImageCodec.imageMimes.contains(mime))
               (try ImageCodec.decode(bytes) catch { case _: Exception => None })
                 .map(ImageCodec.features(_, dim))
+                .getOrElse(StubCodec.featuresOf(bytes, dim))
+            else if (AudioCodec.audioMimes.contains(mime))
+              AudioCodec.decode(bytes)
+                .map(AudioCodec.features(_, dim))
                 .getOrElse(StubCodec.featuresOf(bytes, dim))
             else StubCodec.featuresOf(bytes, dim)
           Row(r.getLong(0), feats)

@@ -661,6 +661,53 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(f1(2L).length === 9)
   }
 
+  test("multimodal: WAV codec round-trips exact PCM16 samples, header, and stats") {
+    import Multimodal.AudioCodec
+    val samples = Array[Short](100, -100, 250, -32768, 32767, 0)
+    val d = AudioCodec.decode(AudioCodec.encodeWav(8000f, 1, samples)).get
+    assert(d.sampleRate === 8000.0)
+    assert(d.channels === 1)
+    assert(d.nFrames === 6L)
+    assert(d.samples.toSeq === samples.toSeq, "PCM16 must round-trip losslessly")
+    val (meanAbs, peak) = d.stats
+    assert(peak === 32768.0)
+    assert(meanAbs === (100 + 100 + 250 + 32768 + 32767 + 0) / 6.0)
+    // stereo: interleaved samples, frames = samples / channels
+    val st = AudioCodec.decode(AudioCodec.encodeWav(16000f, 2, samples)).get
+    assert(st.channels === 2 && st.nFrames === 3L)
+    // corrupt payload: None, never a throw
+    assert(AudioCodec.decode("definitely not audio".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("multimodal: decodeAudio decodes real WAVs and flags non-audio payloads") {
+    import Multimodal.AudioCodec
+    val wav = AudioCodec.encodeWav(12000f, 1, Array[Short](500, -500, 500, -500))
+    val assets = Seq(
+      (1L, wav, "audio/wav", 0, 0),
+      (2L, "text payload".getBytes("UTF-8"), "audio/wav", 0, 0),
+      (3L, wav, "text/plain", 0, 0))
+      .toDF("asset_id", "media", "mime", "width", "height")
+    val rows = Multimodal.decodeAudio(assets).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val ok = rows(1L)
+    assert((ok.getDouble(1), ok.getInt(2), ok.getLong(3)) === ((12000.0, 1, 4L)))
+    assert((ok.getDouble(4), ok.getDouble(5)) === ((500.0, 500.0)))
+    assert(ok.getBoolean(6))
+    assert(!rows(2L).getBoolean(6), "corrupt audio flags, never throws")
+    assert(!rows(3L).getBoolean(6), "non-audio mime skips the codec")
+  }
+
+  test("multimodal: audio features are real amplitude histograms") {
+    import Multimodal.AudioCodec
+    val wav = AudioCodec.encodeWav(8000f, 1, Array.fill[Short](64)(16000))
+    val assets = Seq((1L, wav, "audio/wav", 0, 0))
+      .toDF("asset_id", "media", "mime", "width", "height")
+    val f = Multimodal.extractFeatures(assets, dim = 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // constant |16000| lands wholly in bin 16000*4/32768 = 1
+    assert(f(1L).toSeq === Seq(0f, 1f, 0f, 0f))
+  }
+
   test("multimodal: image decode is streaming-safe (micro-batched decode == batch)") {
     implicit val sqlCtx = spark.sqlContext
     import Multimodal.ImageCodec
