@@ -481,7 +481,7 @@ class PlanPropertiesSpec extends AnyFunSuite {
     // encode→decode (and decode→resize→encode→decode) are per-row
     // mapPartitions chains — one narrow pass over documents, no joins,
     // no aggregation, nothing to exchange
-    for (name <- Seq("q_image_decode", "q_image_resize")) {
+    for (name <- Seq("q_image_decode", "q_image_resize", "q_audio_decode")) {
       val p = plan(name)
       assert(countOf(p, "Exchange") == 0,
         s"$name must be a narrow codec pass, found a shuffle:\n$p")
