@@ -167,6 +167,33 @@ object SparkEntry {
         .otherwise(col("text")))
   }
 
+  /** Deterministic URL injection (the [[injectPii]] pattern for the
+    * provenance stage): doc_id%4 ∈ {0,1,2} gain one good / one blocked
+    * / two-mixed links; 3 stays link-free. [[duckUrlInject]] mirrors it.
+    */
+  private val urlBlocklist = Seq("bad-site.com", "ads.net")
+  private def injectUrls(docs: DataFrame): DataFrame = {
+    val m = pmod(col("doc_id"), lit(4))
+    val id = col("doc_id").cast("string")
+    docs.withColumn("text",
+      when(m === 0, concat(col("text"), lit(" see https://good.example.org/a"), id))
+        .when(m === 1, concat(col("text"), lit(" via http://spam.bad-site.com/x"), id))
+        .when(m === 2, concat(col("text"),
+          lit(" refs https://sub.tracker.ads.net/p"), id,
+          lit(" and https://ok.example.com/q"), id))
+        .otherwise(col("text")))
+  }
+
+  private val duckUrlInject: String =
+    """SELECT doc_id, source,
+         CASE doc_id % 4
+           WHEN 0 THEN text || ' see https://good.example.org/a' || CAST(doc_id AS VARCHAR)
+           WHEN 1 THEN text || ' via http://spam.bad-site.com/x' || CAST(doc_id AS VARCHAR)
+           WHEN 2 THEN text || ' refs https://sub.tracker.ads.net/p' || CAST(doc_id AS VARCHAR)
+             || ' and https://ok.example.com/q' || CAST(doc_id AS VARCHAR)
+           ELSE text END AS text
+       FROM documents"""
+
   private val duckPiiInject: String =
     """SELECT doc_id, source, n_chars,
          CASE doc_id % 5
@@ -2562,6 +2589,15 @@ object SparkEntry {
         .select(col("doc_id"), col("kind"), col("pii"))),
     "q_pii_redact" -> ((s, dir) =>
       TextAnalysis.redactPii(injectPii(Tables.documents(s, dir)))),
+    // ---- URL / domain provenance filtering ----
+    // URL-free corpus → deterministic injection (formula mirrored in
+    // SQL), then the real extractor / blocklist gate (subdomain-suffix
+    // semantics). doc_id%4==3 stays link-free on purpose.
+    "q_url_domains" -> ((s, dir) =>
+      TextAnalysis.urlDomains(injectUrls(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("url"), col("domain"))),
+    "q_domain_gate" -> ((s, dir) =>
+      TextAnalysis.domainGate(injectUrls(Tables.documents(s, dir)), urlBlocklist)),
     // In-engine BPE tokenizer training (word-type-weighted merge
     // learning) and the re-encoded word-type view under those merges.
     "q_bpe_merges" -> ((s, dir) => Bpe.train(Tables.documents(s, dir), 8)),
@@ -3179,6 +3215,25 @@ object SparkEntry {
         s"SELECT doc_id, '$kind' AS kind, unnest(regexp_extract_all(text, '$pat')) AS pii FROM p"
       }.mkString(" UNION ALL ")
       s"WITH p AS ($duckPiiInject) $branches"
+    },
+    // GENERATED from TextAnalysis.urlPattern/domainPattern + the same
+    // blocklist constant — extractor and gate cannot drift.
+    "q_url_domains" ->
+      s"""WITH p AS ($duckUrlInject),
+          u AS (SELECT doc_id, unnest(regexp_extract_all(text, '${TextAnalysis.urlPattern}')) AS url
+                FROM p)
+          SELECT doc_id, url,
+                 regexp_extract(url, '${TextAnalysis.domainPattern}', 1) AS domain
+          FROM u""",
+    "q_domain_gate" -> {
+      val blocked = urlBlocklist.map(b =>
+        s"d = '$b' OR ends_with(d, '.$b')").mkString(" OR ")
+      s"""WITH p AS ($duckUrlInject)
+          SELECT doc_id, source FROM p
+          WHERE len(list_filter(
+              list_transform(regexp_extract_all(text, '${TextAnalysis.urlPattern}'),
+                u -> regexp_extract(u, '${TextAnalysis.domainPattern}', 1)),
+              d -> $blocked)) = 0"""
     },
     "q_pii_redact" -> {
       val redacted = TextAnalysis.piiPatterns.foldLeft("text") {

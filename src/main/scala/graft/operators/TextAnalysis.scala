@@ -142,6 +142,55 @@ object TextAnalysis {
   }
 
   // -------------------------------------------------------------------
+  // URL / domain analysis — the provenance-filter curation stage
+  // (extract every document's linked domains; gate on a domain
+  // blocklist with subdomain-suffix semantics). Lookaround-free
+  // patterns, so Java regex (engine) and RE2 (oracle) agree.
+  // -------------------------------------------------------------------
+
+  /** Full-URL matcher (scheme + host, optional path up to whitespace);
+    * host may not end in '.'/'-'.
+    */
+  val urlPattern: String = "https?://[A-Za-z0-9.-]+[A-Za-z0-9](/[^ ]*)?"
+
+  /** Host-capturing variant — group 1 is the domain. */
+  val domainPattern: String = "https?://([A-Za-z0-9.-]+[A-Za-z0-9])"
+
+  /** All URLs in a text column (full matches, document order). */
+  def urlsCol(text: Column): Column =
+    regexp_extract_all(text, lit(urlPattern), lit(0))
+
+  /** URL/domain table: `(doc_id, url, domain)` — one row per URL
+    * occurrence. Narrow map-side pass (scan → matcher → explode).
+    */
+  def urlDomains(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(urlsCol(col("text"))).as("url"))
+      .select(col("doc_id"), col("url"),
+        regexp_extract(col("url"), domainPattern, 1).as("domain"))
+
+  /** True when any linked domain is `b` or a subdomain of `b`, for any
+    * blocklist entry — the standard provenance-filter semantics.
+    */
+  def blockedCol(text: Column, blocklist: Seq[String]): Column = {
+    require(blocklist.nonEmpty, "empty blocklist blocks nothing — pass the real list")
+    val doms = transform(urlsCol(text), u => regexp_extract(u, domainPattern, 1))
+    exists(doms, d =>
+      blocklist.map(b => d === b || d.endsWith("." + b)).reduce(_ || _))
+  }
+
+  /** Domain blocklist gate: documents with NO blocked-domain link
+    * survive (doc_id, source). One narrow filter over the scan —
+    * streaming-safe like [[langId]]; the blocklist rides as plan
+    * literals (provenance lists are small; a corpus-sized list would
+    * broadcast-anti-join via [[urlDomains]] instead).
+    */
+  def domainGate(documents: DataFrame, blocklist: Seq[String]): DataFrame =
+    documents
+      .filter(!blockedCol(col("text"), blocklist))
+      .select("doc_id", "source")
+
+  // -------------------------------------------------------------------
   // Mergeable quality-quantile sketch — the CMS `_sketch` sidecar
   // pattern for ORDER STATISTICS, so streaming curation can maintain
   // per-source gate thresholds without ever re-scanning the corpus.

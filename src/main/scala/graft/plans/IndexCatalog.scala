@@ -76,6 +76,56 @@ object IndexCatalog {
 
   def clear(): Unit = registry.clear()
 
+  // ------------------------------------------------------------------
+  // Persistence: every build writes `indexDir/_catalog` (meta line +
+  // centroid parquet), so a NEW session restores the registration from
+  // disk instead of recomputing k-means — the catalog half of the
+  // engine's restart story (layouts already persist; the registry was
+  // the only session-lost piece).
+  // ------------------------------------------------------------------
+
+  private def writeCatalogMeta(spark: SparkSession, indexDir: String,
+                               dataPath: String, cents: org.apache.spark.sql.DataFrame,
+                               nprobe: Int, partitionedPath: Option[String],
+                               kind: String): Unit = {
+    cents.write.mode("overwrite").parquet(s"$indexDir/_catalog/centroids")
+    val meta = Seq(
+      s"dataPath=$dataPath", s"nprobe=$nprobe", s"kind=$kind",
+      s"partitionedPath=${partitionedPath.getOrElse("")}").mkString("\n")
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/_catalog/meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(meta.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Restore a registration persisted by any buildAndRegister* from
+    * `indexDir/_catalog` — no k-means, no data scan beyond the C-row
+    * centroid table. Returns the restored data path. `nprobe` may be
+    * overridden at restore time (it is a serving knob, not a build
+    * property).
+    */
+  def restore(spark: SparkSession, indexDir: String,
+              nprobeOverride: Option[Int] = None): String = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/_catalog/meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no persisted catalog under $indexDir/_catalog")
+    val in = fs.open(p)
+    val meta =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    val kv = meta.linesIterator.filter(_.contains("="))
+      .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
+      .toMap
+    val cents = spark.read.parquet(s"$indexDir/_catalog/centroids")
+      .as[(Long, Seq[Double])].collect().toSeq
+    register(kv("dataPath"), s"$indexDir/assign", cents,
+      nprobeOverride.getOrElse(kv("nprobe").toInt),
+      Option(kv.getOrElse("partitionedPath", "")).filter(_.nonEmpty),
+      kv.getOrElse("kind", "l2"))
+    kv("dataPath")
+  }
+
   /** Build and register an IVF index over a parquet vector table:
     * k-means centroids (deterministic Lloyd, [[Ivf.kmeans]]) and the
     * persisted assignment table under `indexDir/assign`. After this,
@@ -103,6 +153,7 @@ object IndexCatalog {
       Ivf.writePartitionedWith(emb, cents, pp)
       Some(pp)
     } else None
+    writeCatalogMeta(spark, indexDir, dataPath, cents, nprobe, partPath, "l2")
     register(dataPath, assignPath,
       cents.as[(Long, Seq[Double])].collect().toSeq, nprobe, partPath)
   }
@@ -121,6 +172,7 @@ object IndexCatalog {
     val cents = Ivf.kmeans(normed, c, iters)
     val assignPath = s"$indexDir/assign"
     Ivf.assignWith(normed, cents).write.mode("overwrite").parquet(assignPath)
+    writeCatalogMeta(spark, indexDir, dataPath, cents, nprobe, None, "cosine")
     register(dataPath, assignPath,
       cents.as[(Long, Seq[Double])].collect().toSeq, nprobe, None, kind = "cosine")
   }
@@ -138,6 +190,7 @@ object IndexCatalog {
     val cents = Ivf.kmeans(aug, c, iters)
     val assignPath = s"$indexDir/assign"
     Ivf.assignWith(aug, cents).write.mode("overwrite").parquet(assignPath)
+    writeCatalogMeta(spark, indexDir, dataPath, cents, nprobe, None, "mips")
     register(dataPath, assignPath,
       cents.as[(Long, Seq[Double])].collect().toSeq, nprobe, None, kind = "mips")
   }

@@ -371,6 +371,39 @@ class IndexRewriteSpec extends AnyFunSuite {
     IndexCatalog.unregister(dataPath)
   }
 
+  test("catalog restore: a new session's registry re-arms from the persisted _catalog sidecar") {
+    val rdir = java.nio.file.Files.createTempDirectory("idxrw_restore").toString
+    IndexCatalog.buildAndRegister(spark, dataPath, c = C, iters = 2,
+      nprobe = C, rdir, partitioned = true)
+    val exact = rows(naive(10))
+    // simulate a fresh session: the in-memory registry is wiped, the
+    // on-disk layouts/catalog survive
+    IndexCatalog.clear()
+    withRule {
+      assert(!naive(10).queryExecution.optimizedPlan.toString.contains("cell#"),
+        "wiped registry: the rewrite must not fire")
+    }
+    val restored = IndexCatalog.restore(spark, rdir)
+    assert(restored === dataPath)
+    withRule {
+      val df = naive(10)
+      assert(df.queryExecution.executedPlan.toString.contains("PartitionFilters"),
+        "restored registration must serve the partitioned-copy rewrite")
+      assert(rows(df) === exact, "restored index at nprobe = C is still exact")
+    }
+    // restore with an nprobe override = the serving-knob contract
+    IndexCatalog.restore(spark, rdir, nprobeOverride = Some(2))
+    assert(IndexCatalog.lookup(dataPath).get.nprobe === 2)
+    // cosine kind survives the round trip too
+    val cdir = java.nio.file.Files.createTempDirectory("idxrw_restore_c").toString
+    IndexCatalog.buildAndRegisterCosine(spark, dataPath, c = C, iters = 2,
+      nprobe = C, cdir)
+    IndexCatalog.clear()
+    IndexCatalog.restore(spark, cdir)
+    assert(IndexCatalog.lookup(dataPath).get.kind === "cosine")
+    IndexCatalog.unregister(dataPath)
+  }
+
   test("descending sort (farthest-first) is NOT rewritten") {
     IndexCatalog.buildAndRegister(spark, dataPath, c = C, iters = 2,
       nprobe = 2, indexDir)

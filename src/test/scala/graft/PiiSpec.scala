@@ -80,6 +80,24 @@ class PiiSpec extends AnyFunSuite {
     assert(viaSql.nonEmpty)
   }
 
+  test("url extraction and the domain gate use subdomain-suffix semantics, not substring") {
+    val docs = Seq(
+      (1L, "link https://a.bad-site.com/x more", "s"),   // subdomain of blocked
+      (2L, "link https://bad-site.com/y", "s"),          // exact blocked
+      (3L, "link https://notads.net/z", "s"),            // LOOKALIKE — must survive
+      (4L, "link https://good.org/w and http://ads.net/v", "s"), // one good one blocked
+      (5L, "no links at all", "s"))
+      .toDF("doc_id", "text", "source")
+    val domains = TextAnalysis.urlDomains(docs).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(domains === Set((1L, "a.bad-site.com"), (2L, "bad-site.com"),
+      (3L, "notads.net"), (4L, "good.org"), (4L, "ads.net")))
+    val kept = TextAnalysis.domainGate(docs, Seq("bad-site.com", "ads.net"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L, 5L),
+      "blocked exact + subdomains drop; lookalike domains and link-free docs survive")
+  }
+
   test("curation pipeline composes redaction between filtering and dedup") {
     import graft.operators.CorpusPipeline
     // two docs identical up to their PII: redaction ON must collapse
