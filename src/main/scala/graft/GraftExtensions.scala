@@ -305,6 +305,15 @@ object GraftExtensions {
         graft.operators.Classifier.scores(Tables.documents(spark, asString(args(0))),
           asString(args(2)), args.drop(3).map(asString), asInt(args(1)))
       }),
+    (FunctionIdentifier("corpus_pipeline"), info("corpus_pipeline"),
+      tvf("corpus_pipeline") { (spark, args) =>
+        require(args.length == 4 || args.length == 5,
+          "corpus_pipeline(dir, lang, minQuality, jaccardThreshold[, redactPii])")
+        graft.operators.CorpusPipeline.curate(
+          Tables.documents(spark, asString(args(0))), asString(args(1)),
+          asDouble(args(2)), asDouble(args(3)),
+          redactPii = args.length == 5 && asString(args(4)).toBoolean)
+      }),
     (FunctionIdentifier("pii_spans"), info("pii_spans"),
       tvf("pii_spans") { (spark, args) =>
         require(args.length == 1, "pii_spans(dir)")

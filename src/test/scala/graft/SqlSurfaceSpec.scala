@@ -233,6 +233,20 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(redSql === redApi)
   }
 
+  test("SQL TVF corpus_pipeline(dir, lang, minq, thr[, redact]) matches the Column API") {
+    GraftExtensions.register(spark)
+    val fromSql = spark.sql(s"SELECT * FROM corpus_pipeline('$sf', 'en', 0.4, 0.5)")
+      .collect().map(_.toSeq).toSet
+    val fromApi = SparkEntry.queries("q_corpus_pipeline")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(fromSql === fromApi)
+    assert(fromSql.nonEmpty)
+    // redaction flag parses and runs (corpus is PII-free → identical)
+    val redacted = spark.sql(s"SELECT * FROM corpus_pipeline('$sf', 'en', 0.4, 0.5, TRUE)")
+      .collect().map(_.toSeq).toSet
+    assert(redacted === fromApi, "redacting a PII-free corpus is the identity")
+  }
+
   test("TVFs compose with plain SQL (filter + order over the TVF result)") {
     GraftExtensions.register(spark)
     val top3 = spark.sql(
