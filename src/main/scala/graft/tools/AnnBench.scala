@@ -56,6 +56,7 @@ object AnnBench {
     if (args.contains("diversity")) { diversitySmoke(spark); spark.stop(); return }
     if (args.contains("streamscale")) { streamScaleSmoke(spark); spark.stop(); return }
     if (args.contains("piiscale")) { piiScaleSmoke(spark); spark.stop(); return }
+    if (args.contains("mediascale")) { mediaScaleSmoke(spark); spark.stop(); return }
     val emb = Tables.embeddings(spark, sfDir)
     val qs = emb.select(col("vec_id").as("query_id"),
       perturbQuery(col("embedding")).as("query_vec"))
@@ -1140,6 +1141,59 @@ object AnnBench {
     println(json)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/layout_scale.json"), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[annbench] file write failed: ${e.getMessage}") }
+  }
+
+  /** Multimodal codec smoke: REAL ImageIO / javax.sound throughput at
+    * corpus scale — 500k synthetic solid PNGs (formula dims ≤ 63×43)
+    * and 500k square-wave WAVs (≤ 450 frames), each synthesized
+    * in-task then run through the full decode path (and the images
+    * additionally through decode→resize→re-encode). All phases are
+    * shuffle-free mapPartitions chains; the measured shuffle bytes per
+    * phase must be the count's own partial-agg exchange only.
+    * Output: one JSON line + target/media_scale.json.
+    */
+  private def mediaScaleSmoke(spark: SparkSession): Unit = {
+    import graft.operators.Multimodal
+    val n = sys.env.get("SPARK_GRAFT_MEDIA_N").flatMap(_.toIntOption).getOrElse(500000)
+    // a documents-shaped frame (doc_id, n_chars) drives the synthesizers
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      (pmod(hash(col("id")), lit(2000)) + 40).cast("long").as("n_chars")).cache()
+    docs.count()
+
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+    def phase(label: String)(f: => Long): String = {
+      System.gc()
+      val s0 = shuffleBytes.get()
+      val t0 = System.nanoTime()
+      val count = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      val sb = shuffleBytes.get() - s0
+      println(s"[annbench] mediascale $label: $count rows, ${fmt(sec, 1)} s " +
+        s"(${(n / sec).toLong} assets/s), shuffle $sb B")
+      s""""$label":{"rows":$count,"wall_sec":${fmt(sec, 1)},""" +
+        s""""assets_per_sec":${(n / sec).toLong},"shuffle_write_bytes":$sb}"""
+    }
+    val encDec = phase("png_encode_decode")(
+      Multimodal.decodeImages(Multimodal.pngAssetsFromDocuments(docs))
+        .filter(col("decoded")).count())
+    val resize = phase("png_resize_roundtrip")(
+      Multimodal.resizeImages(Multimodal.pngAssetsFromDocuments(docs), maxSide = 16)
+        .count())
+    val audio = phase("wav_encode_decode")(
+      Multimodal.decodeAudio(Multimodal.wavAssetsFromDocuments(docs))
+        .filter(col("decoded")).count())
+    val json = s"""{"media_scale":{"n_assets":$n,$encDec,$resize,$audio}}"""
+    println(json)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/media_scale.json"), json + "\n")
     catch { case e: Throwable => System.err.println(s"[annbench] file write failed: ${e.getMessage}") }
   }
 

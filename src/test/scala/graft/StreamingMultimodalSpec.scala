@@ -677,6 +677,21 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(st.channels === 2 && st.nFrames === 3L)
     // corrupt payload: None, never a throw
     assert(AudioCodec.decode("definitely not audio".getBytes("UTF-8")).isEmpty)
+    // non-WAV container (AU, big-endian PCM16): the AudioSystem
+    // fallback path decodes it to the same samples
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val be = new Array[Byte](samples.length * 2)
+    samples.indices.foreach { i =>
+      be(2 * i) = ((samples(i) >> 8) & 0xff).toByte
+      be(2 * i + 1) = (samples(i) & 0xff).toByte
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(be), fmt, samples.length),
+      javax.sound.sampled.AudioFileFormat.Type.AU, out)
+    val au = AudioCodec.decode(out.toByteArray).get
+    assert(au.samples.toSeq === samples.toSeq, "AU decodes via the JDK fallback path")
   }
 
   test("multimodal: decodeAudio decodes real WAVs and flags non-audio payloads") {
