@@ -2722,6 +2722,17 @@ object SparkEntry {
         .select(col("doc_id"),
           concat_ws("_", transform(col("sig"), _.cast("string"))).as("sig"))),
     "q_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(Tables.documents(s, dir), 0.5)),
+    // INGEST-TIME near-dup: the base corpus's LSH buckets + shingle
+    // sets persist once; the arriving batch dedups against the store
+    // (batch bands broadcast, stored signatures never recomputed) and
+    // absorbs. ≡ batch minhashPairs restricted to pairs with a batch
+    // member — the oracle's form.
+    "q_minhash_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val store = idxDir(s, dir, "mhstore")
+      Dedup.writeMinhashStore(docs.filter(col("doc_id") < 250), store)
+      Dedup.minhashPairsIncremental(s, store, docs.filter(col("doc_id") >= 250), 0.5)
+    }),
     // maxDf: explicit finite stop-shingle cap (skew guard; non-binding
     // on the driver corpora, so the oracle — which has no cap — matches).
     "q_jaccard_pairs" -> ((s, dir) =>
@@ -3337,6 +3348,27 @@ object SparkEntry {
                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
             FROM cand JOIN shd a ON cand.id1 = a.doc_id JOIN shd b ON cand.id2 = b.doc_id)
           SELECT * FROM scored WHERE jaccard >= 0.5"""
+    },
+    // the incremental form = the batch pairs restricted to pairs with
+    // a batch member (base is doc_id < 250)
+    "q_minhash_incremental" -> {
+      val bandKeys = (0 until Dedup.bands).map { b =>
+        val parts = (0 until Dedup.rowsPerBand)
+          .map(r => s"sig[${b * Dedup.rowsPerBand + r + 1}]").mkString(", '_', ")
+        s"($b, concat($parts))"
+      }.mkString(", ")
+      s"""WITH $duckSigCte,
+          bands AS (SELECT doc_id, bk.b AS band, bk.k AS band_key
+                    FROM sigs CROSS JOIN LATERAL (VALUES $bandKeys) AS bk(b, k)),
+          cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+                   FROM bands l JOIN bands r
+                     ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+          shd AS (SELECT doc_id, $duckHashedShingleSet AS sh FROM shing),
+          scored AS (SELECT id1, id2,
+              round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+            FROM cand JOIN shd a ON cand.id1 = a.doc_id JOIN shd b ON cand.id2 = b.doc_id)
+          SELECT * FROM scored WHERE jaccard >= 0.5 AND greatest(id1, id2) >= 250"""
     },
     "q_jaccard_pairs" -> duckJaccardPairs,
     "q_dup_spans" ->

@@ -185,6 +185,67 @@ object Dedup {
     round(ni.cast("double") / (size(sh1) + size(sh2) - ni), 6)
   }
 
+  /** Persist the MinHash near-dup state for a corpus at `dir`: the LSH
+    * band buckets (`bands/`: doc_id, band, band_key) and the hashed
+    * shingle sets (`shingles/`: doc_id, sh) — everything
+    * [[minhashPairsIncremental]] needs to dedup ARRIVALS against the
+    * absorbed corpus without ever recomputing its signatures. Sizes:
+    * B rows/doc for bands, one set/doc for shingles — both O(corpus),
+    * never O(corpus²).
+    */
+  def writeMinhashStore(documents: DataFrame, dir: String): Unit = {
+    lshBands(minhashSignatures(documents))
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    hashedShingleSets(documents)
+      .write.mode("overwrite").parquet(s"$dir/shingles")
+  }
+
+  /** INCREMENTAL near-dup: every pair (new × absorbed-corpus and
+    * new × new) whose LSH bands collide and whose true shingle Jaccard
+    * meets the threshold — then (by default) the batch is ABSORBED
+    * (bands + shingle sets appended), so the next batch dedups against
+    * it too. This is ingest-time near-dup at the cost of the BATCH:
+    * the batch's bands broadcast against one scan of the stored
+    * buckets (never corpus × corpus, never recomputing stored
+    * signatures), verification joins touch only candidate ids, and
+    * the append is O(batch). Identical pair semantics to running
+    * [[minhashPairs]] over (absorbed ∪ batch) restricted to pairs with
+    * a batch member — the oracle's form.
+    */
+  def minhashPairsIncremental(spark: org.apache.spark.sql.SparkSession, dir: String,
+                              newDocs: DataFrame, threshold: Double = 0.7,
+                              absorb: Boolean = true): DataFrame = {
+    val newBands = lshBands(minhashSignatures(newDocs))
+      .localCheckpoint(true) // computed once: candidates + the absorb append
+    val newSh = hashedShingleSets(newDocs).localCheckpoint(true)
+    val stored = spark.read.parquet(s"$dir/bands")
+    val cross = stored
+      .join(broadcast(newBands.select(col("band"), col("band_key"),
+        col("doc_id").as("id_new"))), Seq("band", "band_key"))
+      .select(least(col("doc_id"), col("id_new")).as("id1"),
+        greatest(col("doc_id"), col("id_new")).as("id2"))
+    val withinL = newBands.select(col("band"), col("band_key"), col("doc_id").as("id1"))
+    val withinR = newBands.select(col("band"), col("band_key"), col("doc_id").as("id2"))
+    val within = withinL.join(withinR, Seq("band", "band_key"))
+      .select(col("id1"), col("id2"))
+    val cands = cross.unionByName(within)
+      .filter(col("id1") < col("id2"))
+      .distinct()
+    val allSh = spark.read.parquet(s"$dir/shingles").unionByName(newSh)
+    val pairs = cands
+      .join(allSh.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(allSh.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .withColumn("jaccard", jaccardOf(col("sh1"), col("sh2")))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+      .localCheckpoint(true) // materialize BEFORE the absorb mutates the store
+    if (absorb) {
+      newBands.write.mode("append").parquet(s"$dir/bands")
+      newSh.write.mode("append").parquet(s"$dir/shingles")
+    }
+    pairs
+  }
+
   /** Near-dup pairs, LSH candidates verified by true shingle-set Jaccard
     * ≥ threshold. Join back to the shingle sets is on doc_id; Jaccard
     * itself is per-candidate-pair array math — never touches non-pairs.

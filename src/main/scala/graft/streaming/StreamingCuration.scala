@@ -61,6 +61,26 @@ object StreamingCuration {
       }
       .start()
 
+  /** Streaming ingest-time NEAR-dup: each micro-batch runs
+    * [[graft.operators.Dedup.minhashPairsIncremental]] against the
+    * persisted MinHash store — pairs vs everything absorbed so far
+    * (plus within-batch) go to `handler`, then the batch absorbs. The
+    * cross-doc stage that [[curateStream]] declares out of streaming
+    * scope becomes incremental here because the store keys arrivals by
+    * LSH bucket: per-batch cost is the BATCH's signatures + one
+    * bucket-store probe, never a corpus rescan.
+    */
+  def dedupStreamMinhash(newDocs: DataFrame, storeDir: String,
+                         threshold: Double = 0.7)(
+      handler: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        handler(graft.operators.Dedup.minhashPairsIncremental(
+          batch.sparkSession, storeDir, batch.toDF(), threshold), id)
+      }
+      .start()
+
   /** Streaming maintenance of the per-source quality-quantile sketch
     * ([[TextAnalysis.qualitySketch]]): each micro-batch appends its
     * own (source, qbin, c) increment — O(distinct bins) rows, never

@@ -431,6 +431,32 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       "streamed residual code layout must serve like a single-pass encode")
   }
 
+  test("streaming MinHash near-dup: micro-batches dedup against the absorbing store") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = docs.filter(col("doc_id") <= 4)
+    val store = java.nio.file.Files.createTempDirectory("mh_stream").toString
+    Dedup.writeMinhashStore(base, store)
+    val baseText = docs.filter(col("doc_id") === 1).head().getString(1)
+    val perBatch = scala.collection.mutable.Map.empty[Long, Set[(Long, Long)]]
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingCuration.dedupStreamMinhash(
+        mem.toDF().toDF("doc_id", "text"), store, 0.5) { (pairs, id) =>
+      perBatch.synchronized {
+        perBatch(id) = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+    }
+    try {
+      mem.addData((100L, baseText), (101L, "totally fresh streaming words " * 3))
+      q.processAllAvailable()
+      mem.addData((200L, "totally fresh streaming words " * 3)) // dup of ABSORBED 101
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(perBatch(0L).contains((1L, 100L)), "batch 0 pairs with the base twin")
+    assert(perBatch(1L).contains((101L, 200L)),
+      "batch 1 must pair with the doc batch 0 absorbed — the streaming store works")
+  }
+
   test("streaming dedup drops in-watermark duplicate event ids before aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double, Long)]

@@ -116,6 +116,40 @@ class TextDedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)), "exact dup pair surfaces")
   }
 
+  test("minhashPairsIncremental: batches dedup against base AND earlier absorbed batches") {
+    import java.nio.file.Files
+    val base = docs.filter(col("doc_id") <= 4)
+    val store = Files.createTempDirectory("mh_store").toString
+    Dedup.writeMinhashStore(base, store)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch 1: one near-dup of a base doc + one fresh doc
+    val baseText = docs.filter(col("doc_id") === 1).head().getString(1)
+    val b1 = Seq((100L, baseText), (101L, "completely unrelated fresh words " * 3))
+      .toDF("doc_id", "text")
+    val p1 = pairs(Dedup.minhashPairsIncremental(spark, store, b1, 0.5))
+    assert(p1.contains((1L, 100L)), "batch-1 doc must pair with its base twin")
+    assert(!p1.exists(t => t._1 >= 100L && t._2 > 101L))
+    // batch 2: duplicates of a BATCH-1 doc (only findable if batch 1
+    // was absorbed) and of a base doc
+    val b2 = Seq((200L, "completely unrelated fresh words " * 3), (201L, baseText))
+      .toDF("doc_id", "text")
+    val p2 = pairs(Dedup.minhashPairsIncremental(spark, store, b2, 0.5))
+    assert(p2.contains((101L, 200L)),
+      "batch-2 doc must pair with the ABSORBED batch-1 doc")
+    assert(p2.contains((1L, 201L)) && p2.contains((100L, 201L)),
+      "batch-2 doc pairs with base and absorbed twins alike")
+    // equivalence with the one-shot batch form, restricted to new-member pairs
+    val all = base.select("doc_id", "text").unionByName(b1).unionByName(b2)
+    val expected = Dedup.minhashPairs(all, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(t => t._1 >= 100L || t._2 >= 100L)
+    val batchVsB2 = p2
+    val got = p1 ++ batchVsB2
+    assert(got === expected,
+      "incremental pairs across both batches == batch pairs with a new member")
+  }
+
   test("simhash pairs via quadrant blocking == brute-force hamming (pigeonhole losslessness)") {
     val hashes = Dedup.simhashes(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
