@@ -2924,14 +2924,17 @@ object SparkEntry {
     // nonzero feature indices is a pure formula of the synthesis color
     // — the histogram binning (and the decode under it) hash-checks
     // against DuckDB. dim=9 → 3 bins per channel at offsets 0/3/6.
+    // Output is exploded to SCALAR (asset_id, bin) rows — an array
+    // column defeats the driver's pandas-based hash harness (r11 gate
+    // error); same binning semantics, one row per hot bin.
     "q_image_features" -> ((s, dir) => {
       val assets = Multimodal.pngAssetsFromDocuments(Tables.documents(s, dir))
       Multimodal.extractFeatures(assets, dim = 9)
         .select(col("asset_id"),
-          sort_array(filter(
+          explode(filter(
             transform(col("features"),
               (f, i) => when(f > 0f, i).otherwise(lit(-1))),
-            i => i >= 0)).as("hot_bins"))
+            i => i >= 0)).as("bin"))
     }),
     // REAL audio decode (javax.sound.sampled): each document becomes a
     // genuine 16-bit PCM WAV square wave (encoded in-task), decoded
@@ -3247,11 +3250,16 @@ object SparkEntry {
               d -> $blocked)) = 0"""
     },
     "q_pii_redact" -> {
-      val redacted = TextAnalysis.piiPatterns.foldLeft("text") {
+      // intermediates(i) = text after the first i replace rules; each rule's
+      // count runs on ITS intermediate, mirroring TextAnalysis.redactPii's
+      // fold so n_pii = spans actually masked (no double-count of spans an
+      // earlier rule consumed).
+      val intermediates = TextAnalysis.piiPatterns.scanLeft("text") {
         case (e, (_, pat, rep)) => s"regexp_replace($e, '$pat', '$rep', 'g')"
       }
-      val counts = TextAnalysis.piiPatterns.map { case (_, pat, _) =>
-        s"len(regexp_extract_all(text, '$pat'))"
+      val redacted = intermediates.last
+      val counts = TextAnalysis.piiPatterns.zipWithIndex.map { case ((_, pat, _), i) =>
+        s"len(regexp_extract_all(${intermediates(i)}, '$pat'))"
       }.mkString(" + ")
       s"""WITH p AS ($duckPiiInject)
           SELECT doc_id, $redacted AS text_redacted,
@@ -4042,9 +4050,9 @@ object SparkEntry {
          FROM documents""",
     "q_image_features" ->
       """SELECT doc_id AS asset_id,
-                list_sort([CAST((doc_id % 256) * 3 // 256 AS INT),
-                           CAST(3 + ((doc_id * 7 + 13) % 256) * 3 // 256 AS INT),
-                           CAST(6 + (n_chars % 256) * 3 // 256 AS INT)]) AS hot_bins
+                unnest([CAST((doc_id % 256) * 3 // 256 AS INT),
+                        CAST(3 + ((doc_id * 7 + 13) % 256) * 3 // 256 AS INT),
+                        CAST(6 + (n_chars % 256) * 3 // 256 AS INT)]) AS bin
          FROM documents""",
     "q_image_resize" ->
       """WITH a AS (SELECT doc_id AS asset_id,

@@ -57,6 +57,11 @@ case class RegexpSpansExpr(left: Expression, right: Expression)
           s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
     else if (!right.foldable)
       TypeCheckResult.TypeCheckFailure(s"$prettyName pattern must be a literal")
+    else if (right.eval() == null)
+      // A foldable NULL (e.g. CAST(NULL AS STRING)) passes the type check
+      // but would NPE when the lazy matcher compiles — reject at analysis,
+      // matching Spark's own RegExpExtractAll behavior.
+      TypeCheckResult.TypeCheckFailure(s"$prettyName pattern must not be null")
     else TypeCheckResult.TypeCheckSuccess
 
   @transient private lazy val pattern: Pattern =

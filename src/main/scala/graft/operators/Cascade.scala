@@ -68,16 +68,24 @@ object Cascade {
     require(l1 >= l2 && l2 >= k, s"funnel must narrow: l1=$l1 >= l2=$l2 >= k=$k")
     // single-query form: a multi-row queries frame would silently mix
     // every query's signature/LUT into one shortlist and return a
-    // meaningless top-k — fail loudly (the batch form covers Q > 1)
-    require(queries.limit(2).count() == 1,
+    // meaningless top-k — fail loudly (the batch form covers Q > 1).
+    // take(2) collects the query side ONCE and the row is reused for
+    // every downstream broadcast, so the arity guard costs no extra
+    // action on the hot serving path (it replaces three re-evaluations
+    // of the queries plan with one localized row).
+    val qSchema = queries.select(col("query_vec")).schema
+    val qRows = queries.select(col("query_vec")).take(2)
+    require(qRows.length == 1,
       "topKFlat serves exactly one query row; use topKBatch for Q > 1")
+    val queriesLocal = emb.sparkSession.createDataFrame(
+      java.util.Arrays.asList(qRows(0)), qSchema)
     val thr = Binary.thresholds(emb)
     val words = (thr.length + Binary.BitsPerWord - 1) / Binary.BitsPerWord
     val (lo, hi) = Sq.bounds(emb)
     val qluts = Pq.withLuts(
-      queries.select(lit(0L).as("query_id"), col("query_vec")),
+      queriesLocal.select(lit(0L).as("query_id"), col("query_vec")),
       Sq.affineBooks(lo, hi))
-    val qsig = queries.select(Binary.signatureCol(col("query_vec"), thr).as("qsig"))
+    val qsig = queriesLocal.select(Binary.signatureCol(col("query_vec"), thr).as("qsig"))
     val c1 = emb
       .select(col("vec_id"), Binary.signatureCol(col("embedding"), thr).as("sig"))
       .crossJoin(broadcast(qsig))
@@ -91,7 +99,7 @@ object Cascade {
       .orderBy(col("dist"), col("vec_id")).limit(l2)
       .select("vec_id")
     emb.join(broadcast(c2), Seq("vec_id"))
-      .crossJoin(broadcast(queries))
+      .crossJoin(broadcast(queriesLocal))
       .select(col("vec_id"),
         round(l2Distance(col("embedding"), col("query_vec")), roundTo).as("dist"))
       .orderBy(col("dist"), col("vec_id"))

@@ -240,8 +240,20 @@ object Dedup {
       .select("id1", "id2", "jaccard")
       .localCheckpoint(true) // materialize BEFORE the absorb mutates the store
     if (absorb) {
-      newBands.write.mode("append").parquet(s"$dir/bands")
-      newSh.write.mode("append").parquet(s"$dir/shingles")
+      // Idempotent absorb: streaming foreachBatch can REPLAY a batch after
+      // failure; blindly appending would store duplicate band/shingle rows
+      // per doc and fan out every later candidate join. Skip docs already
+      // absorbed — one semi-join of the store against the (broadcast-sized)
+      // batch ids finds the overlap, one anti-join drops it from the append.
+      val newIds = newSh.select(col("doc_id")).distinct()
+      val alreadyIds = spark.read.parquet(s"$dir/shingles")
+        .join(broadcast(newIds), Seq("doc_id"), "left_semi")
+        .select("doc_id").distinct()
+        .localCheckpoint(true) // batch-bounded, materialized pre-append
+      newBands.join(broadcast(alreadyIds), Seq("doc_id"), "left_anti")
+        .write.mode("append").parquet(s"$dir/bands")
+      newSh.join(broadcast(alreadyIds), Seq("doc_id"), "left_anti")
+        .write.mode("append").parquet(s"$dir/shingles")
     }
     pairs
   }

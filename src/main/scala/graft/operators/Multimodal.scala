@@ -245,8 +245,12 @@ object Multimodal {
           channels = u16(off + 10)
           rate = u32(off + 12)
         } else if (tag(off, "data")) { dataOff = off + 8; dataLen = sz }
-        off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
-        if (sz < 0 || off < 0) return None   // corrupt size: punt to the JDK path
+        // Advance in Long: u32 sizes near 0xFFFFFFFF overflow Int (e.g.
+        // 0xFFFFFFF8 makes the Int advance 0 — an infinite loop). Any
+        // non-progressing or out-of-range next offset → punt to the JDK path.
+        val next = off.toLong + 8L + sz + (sz & 1L) // chunks are word-aligned
+        if (next <= off || next > Int.MaxValue) return None
+        off = next.toInt
       }
       if (!pcm16 || channels <= 0 || dataOff < 0) None
       else {

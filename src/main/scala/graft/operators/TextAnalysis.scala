@@ -530,13 +530,21 @@ object TextAnalysis {
   /** PII redaction: `(doc_id, text_redacted, n_pii)` — the curation
     * stage's output plus how many spans were masked (cheap audit
     * signal). Narrow per-row projection, no shuffle.
+    *
+    * n_pii counts each rule on the PROGRESSIVELY-REDACTED intermediate
+    * (the text after all earlier rules), mirroring the replace fold —
+    * so a span consumed by an earlier rule (an SSN-shaped substring
+    * inside an email local part, say) is counted exactly once, and
+    * n_pii always equals the number of spans actually masked.
     */
   def redactPii(documents: DataFrame): DataFrame = {
-    val nPii = piiPatterns.map { case (_, pat, _) =>
-      regexp_count(col("text"), lit(pat))
-    }.reduce(_ + _)
+    val (redacted, counts) =
+      piiPatterns.foldLeft((col("text"), Seq.empty[Column])) {
+        case ((t, cs), (_, pat, rep)) =>
+          (regexp_replace(t, pat, rep), cs :+ regexp_count(t, lit(pat)))
+      }
     documents.select(col("doc_id"),
-      redactCol(col("text")).as("text_redacted"),
-      nPii.cast("long").as("n_pii"))
+      redacted.as("text_redacted"),
+      counts.reduce(_ + _).cast("long").as("n_pii"))
   }
 }

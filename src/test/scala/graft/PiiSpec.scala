@@ -48,6 +48,17 @@ class PiiSpec extends AnyFunSuite {
     assert(got(2L) === (("no pii in here at all", 0L)))
   }
 
+  test("n_pii counts masked spans only — shadowed sub-matches don't inflate it") {
+    // the SSN-shaped substring lives inside the email local part: the email
+    // rule consumes it, so exactly ONE span is masked and n_pii must be 1
+    // (counting every rule against the ORIGINAL text would say 2)
+    val docs = Seq((1L, "contact a.123-45-6789@x.com today"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(1L) === (("contact <EMAIL> today", 1L)))
+  }
+
   test("rules stay disjoint on each other's shapes (no double redaction)") {
     // an SSN is not a phone, a card is not a phone, an IP is not a phone
     val docs = Seq((1L, "123-45-6789"), (2L, "4111 1111 1111 1234"),

@@ -703,6 +703,18 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(st.channels === 2 && st.nFrames === 3L)
     // corrupt payload: None, never a throw
     assert(AudioCodec.decode("definitely not audio".getBytes("UTF-8")).isEmpty)
+    // corrupt CHUNK SIZE: u32 values near 0xFFFFFFFF overflow the Int
+    // advance (0xFFFFFFF8 → advance 0), which pre-fix looped the RIFF
+    // walk forever. Must return None promptly, never hang the task.
+    for (badSize <- Seq(0xFFFFFFF8, 0xFFFFFFF7, 0xFFFFFFFF)) {
+      val bb = java.nio.ByteBuffer.allocate(64)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(56)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("junk".getBytes("US-ASCII")).putInt(badSize)
+      assert(AudioCodec.decode(bb.array()).isEmpty,
+        f"corrupt chunk size 0x$badSize%08x must punt, not loop")
+    }
     // non-WAV container (AU, big-endian PCM16): the AudioSystem
     // fallback path decodes it to the same samples
     val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)

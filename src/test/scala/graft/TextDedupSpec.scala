@@ -150,6 +150,35 @@ class TextDedupSpec extends AnyFunSuite {
       "incremental pairs across both batches == batch pairs with a new member")
   }
 
+  test("minhashPairsIncremental absorb is idempotent under micro-batch replay") {
+    import java.nio.file.Files
+    val base = docs.filter(col("doc_id") <= 4)
+    val store = Files.createTempDirectory("mh_replay").toString
+    Dedup.writeMinhashStore(base, store)
+    val baseText = docs.filter(col("doc_id") === 1).head().getString(1)
+    val b1 = Seq((100L, baseText), (101L, "completely unrelated fresh words " * 3))
+      .toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val first = pairs(Dedup.minhashPairsIncremental(spark, store, b1, 0.5))
+    val bandsAfter1 = spark.read.parquet(s"$store/bands").count()
+    val shAfter1 = spark.read.parquet(s"$store/shingles").count()
+    // foreachBatch REPLAYS the same batch after a failure: the absorb must
+    // not append duplicate band/shingle rows for already-stored doc_ids
+    val replay = pairs(Dedup.minhashPairsIncremental(spark, store, b1, 0.5))
+    assert(spark.read.parquet(s"$store/bands").count() === bandsAfter1,
+      "replayed absorb must not grow the band store")
+    assert(spark.read.parquet(s"$store/shingles").count() === shAfter1,
+      "replayed absorb must not grow the shingle store")
+    assert(replay.filter(t => t._1 < 100L || t._2 < 100L) ===
+      first.filter(t => t._1 < 100L || t._2 < 100L),
+      "replay still reports the same base-vs-batch pairs, no fan-out dupes")
+    // and a LATER batch against the store still sees single-copy evidence
+    val b2 = Seq((200L, baseText)).toDF("doc_id", "text")
+    val p2 = pairs(Dedup.minhashPairsIncremental(spark, store, b2, 0.5))
+    assert(p2.contains((1L, 200L)) && p2.contains((100L, 200L)))
+  }
+
   test("simhash pairs via quadrant blocking == brute-force hamming (pigeonhole losslessness)") {
     val hashes = Dedup.simhashes(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
