@@ -107,7 +107,33 @@ object Bench {
         s""""bytes_per_edge":${if (nEdges > 0) edgeBytes / nEdges else 0},""" +
         s""""cached_bytes":${vecBytes + edgeBytes}}"""
     } catch { case _: Throwable => "" }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","agg":"min","runs_per_query":$runs,"queries":$qs,"runs":$allRuns,"sf":"$sfDir"$mem}"""
+    // Per-query budget check vs the COMMITTED previous round
+    // (bench/latest.json, read before this run overwrites it): any
+    // query whose min regressed >2× — with a 0.2 s floor so
+    // scheduling-noise-dominated micro-queries can't false-alarm — is
+    // reported LOUDLY on stderr and in the artifact, so a silent 2×
+    // swing (the r11 q_triangle_counts episode) can't recur unnoticed.
+    val prev: Map[String, Double] = try {
+      val txt = java.nio.file.Files.readString(java.nio.file.Paths.get("bench/latest.json"))
+      val qobj = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+        .map(_.group(1)).getOrElse("")
+      """"([^"]+)":([0-9.Ee+-]+)""".r.findAllMatchIn(qobj)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+    val regressed = results.flatMap { case (k, v) =>
+      prev.get(k).filter(p => p >= 0.2 && v.min > 2.0 * p).map(p => (k, p, v.min))
+    }
+    if (regressed.nonEmpty) {
+      System.err.println(s"[bench] BUDGET CHECK FAILED: ${regressed.size} " +
+        "queries regressed >2x vs the committed bench/latest.json")
+      regressed.foreach { case (k, p, c) =>
+        System.err.println(f"[bench]   $k: $p%.3f -> $c%.3f s (${c / p}%.2f x)")
+      }
+    }
+    val regJson = regressed.map { case (k, p, c) =>
+      s"""\"$k\":{"prev":$p,"now":$c}"""
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","agg":"min","runs_per_query":$runs,"queries":$qs,"runs":$allRuns,"regressions":$regJson,"sf":"$sfDir"$mem}"""
     println(json)
     // Also write to fixed files: stdout is interleaved with sbt [info]
     // noise and the driver failed to extract the line in round 1

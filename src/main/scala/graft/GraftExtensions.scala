@@ -113,6 +113,13 @@ object GraftExtensions {
     *    `q_kcore` semantics.
     *  - `triangle_counts(dir)`: per-node triangle counts over the part
     *    co-occurrence graph — the `q_triangle_counts` semantics.
+    *  - `connected_components(dir)`: pointer-jumping connected
+    *    components over the repeat part co-occurrence graph — the
+    *    `q_connected_components` semantics.
+    *  - `phrase_topk(dir, k, term1, term2, ...)`: exact-phrase top-k
+    *    from the positional inverted index (slot-shifted position-list
+    *    intersection, ranked by occurrence count) — the
+    *    `q_phrase_topk` semantics.
     *  - `dup_spans(dir, n)` / `span_dedup(dir, n)`: substring-level
     *    dedup over `dir/documents` — maximal duplicated n-gram runs,
     *    and the keep-first rebuild (the `q_dup_spans` /
@@ -237,6 +244,13 @@ object GraftExtensions {
           graft.operators.Graph.partCoOccurrence(
             Tables.lineitem(spark, asString(args(0)))))
       }),
+    (FunctionIdentifier("connected_components"), info("connected_components"),
+      tvf("connected_components") { (spark, args) =>
+        require(args.length == 1, "connected_components(dir)")
+        graft.operators.Graph.connectedComponents(
+          graft.operators.Graph.partCoOccurrence(
+            Tables.lineitem(spark, asString(args(0))), minOrders = 2))
+      }),
     (FunctionIdentifier("diversified_topk"), info("diversified_topk"),
       tvf("diversified_topk") { (spark, args) =>
         require(args.length == 3, "diversified_topk(dir, k, j)")
@@ -289,6 +303,18 @@ object GraftExtensions {
         require(args.length >= 3, "tfidf_topk(dir, k, term, ...)")
         Retrieval.tfidfTopK(Tables.documents(spark, asString(args(0))),
           args.drop(2).map(asString), asInt(args(1)))
+      }),
+    (FunctionIdentifier("phrase_topk"), info("phrase_topk"),
+      tvf("phrase_topk") { (spark, args) =>
+        require(args.length >= 4, "phrase_topk(dir, k, term1, term2, ...)")
+        val sfDir = asString(args(0))
+        // same layout keying as the declared queries, so the TVF and
+        // q_phrase_topk share one persisted positional index
+        val base = spark.conf.getOption("spark.graft.indexDir")
+          .getOrElse("target/graft_index")
+        val ldir = s"$base/v2_tfidf_m_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+        Retrieval.ensureTfidfLayout(Tables.documents(spark, sfDir), ldir)
+        Retrieval.phraseTopK(spark, ldir, args.drop(2).map(asString), asInt(args(1)))
       }),
     (FunctionIdentifier("leakage_split"), info("leakage_split"),
       tvf("leakage_split") { (spark, args) =>

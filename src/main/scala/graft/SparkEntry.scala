@@ -60,7 +60,7 @@ object SparkEntry {
     */
   private def tfidfDir(s: SparkSession, sfDir: String, tag: String = "m"): String = {
     val base = s.conf.getOption("spark.graft.indexDir").getOrElse("target/graft_index")
-    s"$base/v1_tfidf_${tag}_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    s"$base/v2_tfidf_${tag}_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}" // v2: positional postings
   }
 
   /** Persisted PQ code-table dir (Pq.ensureEncoded*), keyed like
@@ -1011,6 +1011,43 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Connected-components oracle (mirrors Graph.connectedComponents
+    * over the repeat part co-occurrence graph): `rounds` unrolled
+    * pointer-jumping rounds — each a neighbor-min propagation
+    * (least over self + neighbor labels) followed by the jump
+    * (label := label of label). Extra rounds past convergence are
+    * no-ops, so a fixed count ≥ the needed ~log2(diameter) matches the
+    * engine's dynamically-converged fixpoint exactly.
+    */
+  private def duckConnComp(rounds: Int): String = {
+    // Every CTE is MATERIALIZED: each round references its predecessor
+    // twice, so DuckDB's default inlining would DOUBLE the expression
+    // tree per round — 2^rounds copies of the base lineitem scan, which
+    // exhausts file descriptors before it exhausts patience.
+    val sb = new StringBuilder(
+      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          und AS MATERIALIZED (SELECT a.l_partkey AS a, b.l_partkey AS b
+                  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+                  GROUP BY 1, 2 HAVING count(*) >= 2),
+          sym AS MATERIALIZED (SELECT a AS node, b AS nbr FROM und
+                  UNION ALL SELECT b, a FROM und),
+          l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM sym)""")
+    for (t <- 0 until rounds) {
+      sb ++= s""",
+          m${t + 1} AS MATERIALIZED (SELECT s.node, min(x.label) AS nmin
+              FROM sym s JOIN l$t x ON x.node = s.nbr
+              GROUP BY s.node),
+          p${t + 1} AS MATERIALIZED (SELECT l.node,
+                least(l.label, coalesce(m.nmin, l.label)) AS label
+              FROM l$t l LEFT JOIN m${t + 1} m ON m.node = l.node),
+          l${t + 1} AS MATERIALIZED (SELECT p.node, q.label
+              FROM p${t + 1} p JOIN p${t + 1} q ON q.node = p.label)"""
+    }
+    sb ++= s"\n          SELECT node, label AS component FROM l$rounds"
+    sb.toString
+  }
+
   /** Fixed-iteration PageRank oracle (mirrors Graph.pageRank over the
     * q_pagerank purchase graph): `iters` unrolled CTE rounds, each the
     * SAME arithmetic — contribution `pr/deg` summed through
@@ -1513,6 +1550,31 @@ object SparkEntry {
     * the Spark queries and the generated oracle SQL.
     */
   private val retrievalTerms = Seq("dup", "vector", "spark")
+
+  /** The declared phrase query — shared by `q_phrase_topk` and its
+    * generated oracle so the two sides cannot drift.
+    */
+  private val phraseTerms = Seq("spark", "join")
+
+  /** Phrase oracle (mirrors Retrieval.phraseTopK): per phrase slot i, a
+    * CTE of that term's 0-based token positions shifted by −i; the
+    * INTERSECT of all slots' (doc_id, q) sets is exactly the phrase
+    * start positions (set semantics match the engine's distinct-int
+    * position lists), counted per doc and ranked (n desc, doc_id).
+    */
+  private def duckPhrase(phrase: Seq[String], k: Int): String = {
+    val slots = phrase.zipWithIndex.map { case (t, i) =>
+      s"s$i AS (SELECT doc_id, pos - $i AS q FROM p WHERE term = '$t')"
+    }.mkString(",\n          ")
+    val inter = phrase.indices.map(i => s"SELECT doc_id, q FROM s$i")
+      .mkString(" INTERSECT ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+          p AS (SELECT doc_id, unnest(ts) AS term, unnest(range(len(ts))) AS pos FROM t),
+          $slots,
+          i AS ($inter)
+          SELECT doc_id, count(*) AS n_phrase FROM i GROUP BY doc_id
+          ORDER BY n_phrase DESC, doc_id LIMIT $k"""
+  }
 
   /** Query bags for the batch TF-IDF serving form: query 0 is the
     * single-form bag (the batch≡single pin rides it).
@@ -2390,6 +2452,14 @@ object SparkEntry {
     "q_kcore" -> ((s, dir) => {
       graft.operators.Graph.kcore(partCoEdgesRepeat(s, dir), k = 2, rounds = 3)
     }),
+    // Connected components (pointer-jumping min-label propagation, the
+    // generic op the dedup cluster substrate is built on) over the
+    // REPEAT part co-occurrence graph — sparse enough to have several
+    // real components. Deterministic min-label output, so the whole
+    // fixpoint oracle-checks as unrolled pointer-jumping SQL.
+    "q_connected_components" -> ((s, dir) => {
+      graft.operators.Graph.connectedComponents(partCoEdgesRepeat(s, dir))
+    }),
     // PCA moment pass — the dimensionality-reduction stage of an
     // embedding pipeline. The full d² covariance matrix through
     // DECIMAL-exact sums (partition-order invariant), the oracle
@@ -2660,6 +2730,15 @@ object SparkEntry {
     // exclusion semantics, so the oracle is the full-corpus SQL plus
     // the takedown predicate. Separate layout dir: the tombstones
     // must not leak into the plain indexed queries.
+    // PHRASE retrieval from the POSITIONAL inverted index: slot-shifted
+    // position-list intersection finds exact adjacent-in-order token
+    // sequences; ranked by occurrence count. Postings scan pruned to
+    // the phrase terms (pushed filter over the term-clustered files).
+    "q_phrase_topk" -> ((s, dir) => {
+      val ldir = tfidfDir(s, dir)
+      Retrieval.ensureTfidfLayout(Tables.documents(s, dir), ldir)
+      Retrieval.phraseTopK(s, ldir, phraseTerms, 10)
+    }),
     "q_tfidf_indexed_tombstone_topk" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val ldir = tfidfDir(s, dir, "del")
@@ -2935,6 +3014,16 @@ object SparkEntry {
             transform(col("features"),
               (f, i) => when(f > 0f, i).otherwise(lit(-1))),
             i => i >= 0)).as("bin"))
+    }),
+    // REAL multi-frame decode (animated GIF through the JDK sequence
+    // writer/reader): each document becomes a genuine multi-frame GIF;
+    // every frame extracts through ImageReader.getNumImages/read(i)
+    // with per-frame solid colors that are pure formulas of
+    // (doc_id, n_chars, frame_idx) — so DuckDB oracles real frame
+    // extraction, dims, and per-frame channel means end to end.
+    "q_gif_frames" -> ((s, dir) => {
+      val assets = Multimodal.gifAssetsFromDocuments(Tables.documents(s, dir))
+      Multimodal.decodeGifFrames(assets)
     }),
     // REAL audio decode (javax.sound.sampled): each document becomes a
     // genuine 16-bit PCM WAV square wave (encoded in-task), decoded
@@ -3654,6 +3743,9 @@ object SparkEntry {
     // 3 unrolled PageRank iterations over the purchase graph
     "q_pagerank" -> duckPageRank(3),
     "q_label_propagation" -> duckLabelProp(3),
+    // 8 unrolled pointer-jumping rounds (≥ log2(diameter) of the
+    // repeat co-occurrence graph; extra rounds are no-ops)
+    "q_connected_components" -> duckConnComp(8),
     // k-core: 3 unrolled synchronous peel rounds at k = 2 over the
     // repeat (>= 2 shared orders) part co-occurrence graph
     "q_kcore" ->
@@ -3878,6 +3970,9 @@ object SparkEntry {
       s"""WITH $duckTfidfShared
           ${tfidfBatchQueries.map { case (qid, ts) => duckTfidfBlock(qid, ts, 10) }
              .mkString("\n UNION ALL ")}""",
+    // phrase retrieval: slot-shifted position INTERSECT — the engine's
+    // position-list intersection in set-SQL form
+    "q_phrase_topk" -> duckPhrase(phraseTerms, 10),
     // layout-served twins: identical semantics, different physical
     // plan (pushed term filter over the stored posting table)
     "q_tfidf_indexed_topk" ->
@@ -4054,6 +4149,20 @@ object SparkEntry {
                         CAST(3 + ((doc_id * 7 + 13) % 256) * 3 // 256 AS INT),
                         CAST(6 + (n_chars % 256) * 3 // 256 AS INT)]) AS bin
          FROM documents""",
+    // the engine decodes real GIF frames; the oracle predicts each
+    // frame's stats from the synthesis formulas
+    "q_gif_frames" ->
+      """WITH d AS (SELECT doc_id, n_chars, doc_id % 4 + 2 AS nf FROM documents),
+            f AS (SELECT doc_id, n_chars, nf, unnest(range(nf)) AS i FROM d)
+         SELECT doc_id AS asset_id,
+                CAST(i AS INT) AS frame_idx,
+                CAST(nf AS INT) AS n_frames,
+                CAST(n_chars % 30 + 4 AS INT) AS width,
+                CAST(doc_id % 20 + 4 AS INT) AS height,
+                CAST((doc_id + 37 * i) % 256 AS DOUBLE) AS mean_r,
+                CAST((doc_id * 7 + 13 + 11 * i) % 256 AS DOUBLE) AS mean_g,
+                CAST((n_chars + 29 * i) % 256 AS DOUBLE) AS mean_b
+         FROM f""",
     "q_image_resize" ->
       """WITH a AS (SELECT doc_id AS asset_id,
                 CAST(n_chars % 60 + 4 AS DOUBLE) AS w,

@@ -71,6 +71,62 @@ object Dedup {
       .groupBy("text_md5").agg(min("doc_id").as("doc_id"))
       .select("doc_id", "text_md5")
 
+  /** Persisted BUCKETED digest store for incremental exact dedup: the
+    * corpus' distinct content md5s as a saved table bucketed (and
+    * sorted) by `text_md5`. Repeat ingestion's anti-join then reads
+    * the store PRE-PARTITIONED on the join key — no Exchange on the
+    * store side, ever (only the O(batch) side shuffles to match the
+    * bucket count) — the co-located-join layout [[incrementalExact]]'s
+    * contract promises.
+    */
+  def writeDigestStore(documents: DataFrame, table: String,
+                       buckets: Int = 32): Unit =
+    documents.select(md5(col("text")).as("text_md5")).distinct()
+      .write.mode("overwrite")
+      .bucketBy(buckets, "text_md5").sortBy("text_md5")
+      .saveAsTable(table)
+
+  /** Ingestion-time exact dedup against the BUCKETED digest store:
+    * same keep semantics as [[incrementalExact]] (absent from the
+    * store AND first of its md5 within the batch), with the store side
+    * of the anti-join exchange-free by bucket layout. `absorb = true`
+    * appends the kept batch's (novel, hence store-disjoint) digests
+    * back through the same bucket spec — an O(batch) append that is
+    * idempotent under micro-batch replay: a replayed batch's digests
+    * are all in the store already, so the anti-join keeps nothing and
+    * the append writes nothing.
+    */
+  def incrementalExactBucketed(spark: org.apache.spark.sql.SparkSession,
+                               table: String, batch: DataFrame,
+                               absorb: Boolean = true): DataFrame = {
+    val kept = batch.select(col("doc_id"), md5(col("text")).as("text_md5"))
+      .join(spark.table(table), Seq("text_md5"), "left_anti")
+      .groupBy("text_md5").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "text_md5")
+    if (!absorb) kept // read-only: hand back the lazy plan unmaterialized
+    else {
+      // materialize BEFORE the absorb mutates the store
+      val pinned = kept.localCheckpoint(true)
+      pinned.select("text_md5")
+        .write.mode("append")
+        .bucketBy(bucketCountOf(spark, table), "text_md5").sortBy("text_md5")
+        .saveAsTable(table)
+      pinned
+    }
+  }
+
+  /** The bucket count a saved store table was created with — appends
+    * must ride the EXISTING spec (Spark rejects a mismatched one), so
+    * it is read from the catalog, never passed in.
+    */
+  private def bucketCountOf(spark: org.apache.spark.sql.SparkSession,
+                            table: String): Int =
+    spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalArgumentException(
+        s"store table $table has no bucket spec"))
+
   // ---- MinHash ----
 
   /** Number of hash functions in the MinHash signature and the LSH
@@ -214,12 +270,73 @@ object Dedup {
     */
   def minhashPairsIncremental(spark: org.apache.spark.sql.SparkSession, dir: String,
                               newDocs: DataFrame, threshold: Double = 0.7,
-                              absorb: Boolean = true): DataFrame = {
+                              absorb: Boolean = true): DataFrame =
+    minhashIncrementalCore(spark,
+      spark.read.parquet(s"$dir/bands"), spark.read.parquet(s"$dir/shingles"),
+      newDocs, threshold,
+      if (!absorb) None else Some { (bands, sh) =>
+        bands.write.mode("append").parquet(s"$dir/bands")
+        sh.write.mode("append").parquet(s"$dir/shingles")
+      })
+
+  /** Persisted BUCKETED MinHash store: the band table saved bucketed
+    * (and sorted) by its collision key `(band, band_key)` and the
+    * shingle-set table bucketed by `doc_id` — the co-located layout
+    * [[writeMinhashStore]]'s contract promises. Repeat ingestion's
+    * store-side relations then arrive PRE-PARTITIONED on their join
+    * keys: the candidate probe and the verification joins never
+    * exchange the corpus-sized side (the batch-sized sides broadcast
+    * or shuffle to match), and appends ride the same bucket spec.
+    */
+  def writeMinhashStoreBucketed(documents: DataFrame, prefix: String,
+                                buckets: Int = 32): Unit = {
+    lshBands(minhashSignatures(documents))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "band", "band_key").sortBy("band", "band_key")
+      .saveAsTable(s"${prefix}_bands")
+    hashedShingleSets(documents)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "doc_id")
+      .saveAsTable(s"${prefix}_shingles")
+  }
+
+  /** [[minhashPairsIncremental]] against the BUCKETED store tables —
+    * identical pair semantics and replay-idempotent absorb, with the
+    * store sides exchange-free by bucket layout.
+    */
+  def minhashPairsIncrementalBucketed(spark: org.apache.spark.sql.SparkSession,
+                                      prefix: String, newDocs: DataFrame,
+                                      threshold: Double = 0.7,
+                                      absorb: Boolean = true): DataFrame =
+    minhashIncrementalCore(spark,
+      spark.table(s"${prefix}_bands"), spark.table(s"${prefix}_shingles"),
+      newDocs, threshold,
+      if (!absorb) None else Some { (bands, sh) =>
+        bands.write.mode("append")
+          .bucketBy(bucketCountOf(spark, s"${prefix}_bands"), "band", "band_key")
+          .sortBy("band", "band_key")
+          .saveAsTable(s"${prefix}_bands")
+        sh.write.mode("append")
+          .bucketBy(bucketCountOf(spark, s"${prefix}_shingles"), "doc_id")
+          .saveAsTable(s"${prefix}_shingles")
+      })
+
+  /** The shared incremental-ingest core over any (bands, shingles)
+    * store pair. `absorbFn`, when present, receives the REPLAY-SAFE
+    * batch remainder (docs already absorbed are anti-joined away) to
+    * append — one semi-join of the store against the broadcast-sized
+    * batch ids finds the overlap, so a replayed micro-batch can never
+    * duplicate store rows or fan out later candidate joins.
+    */
+  private def minhashIncrementalCore(spark: org.apache.spark.sql.SparkSession,
+                                     storedBands: DataFrame, storedSh: DataFrame,
+                                     newDocs: DataFrame, threshold: Double,
+                                     absorbFn: Option[(DataFrame, DataFrame) => Unit])
+      : DataFrame = {
     val newBands = lshBands(minhashSignatures(newDocs))
       .localCheckpoint(true) // computed once: candidates + the absorb append
     val newSh = hashedShingleSets(newDocs).localCheckpoint(true)
-    val stored = spark.read.parquet(s"$dir/bands")
-    val cross = stored
+    val cross = storedBands
       .join(broadcast(newBands.select(col("band"), col("band_key"),
         col("doc_id").as("id_new"))), Seq("band", "band_key"))
       .select(least(col("doc_id"), col("id_new")).as("id1"),
@@ -231,7 +348,7 @@ object Dedup {
     val cands = cross.unionByName(within)
       .filter(col("id1") < col("id2"))
       .distinct()
-    val allSh = spark.read.parquet(s"$dir/shingles").unionByName(newSh)
+    val allSh = storedSh.unionByName(newSh)
     val pairs = cands
       .join(allSh.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
       .join(allSh.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
@@ -239,21 +356,14 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
       .localCheckpoint(true) // materialize BEFORE the absorb mutates the store
-    if (absorb) {
-      // Idempotent absorb: streaming foreachBatch can REPLAY a batch after
-      // failure; blindly appending would store duplicate band/shingle rows
-      // per doc and fan out every later candidate join. Skip docs already
-      // absorbed — one semi-join of the store against the (broadcast-sized)
-      // batch ids finds the overlap, one anti-join drops it from the append.
+    absorbFn.foreach { append =>
       val newIds = newSh.select(col("doc_id")).distinct()
-      val alreadyIds = spark.read.parquet(s"$dir/shingles")
+      val alreadyIds = storedSh
         .join(broadcast(newIds), Seq("doc_id"), "left_semi")
         .select("doc_id").distinct()
         .localCheckpoint(true) // batch-bounded, materialized pre-append
-      newBands.join(broadcast(alreadyIds), Seq("doc_id"), "left_anti")
-        .write.mode("append").parquet(s"$dir/bands")
-      newSh.join(broadcast(alreadyIds), Seq("doc_id"), "left_anti")
-        .write.mode("append").parquet(s"$dir/shingles")
+      append(newBands.join(broadcast(alreadyIds), Seq("doc_id"), "left_anti"),
+        newSh.join(broadcast(alreadyIds), Seq("doc_id"), "left_anti"))
     }
     pairs
   }
@@ -346,71 +456,14 @@ object Dedup {
     * own singleton cluster. Output: `(doc_id, cluster_id)` for every
     * document.
     */
-  def nearDupClusters(allDocs: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val spark = allDocs.sparkSession
-    // The edge list is consumed once per round — persist it so the
-    // (possibly expensive) pair-generation pipeline upstream runs
-    // exactly once; released before returning.
-    val edges = pairs.select(col("id1").as("u"), col("id2").as("v"))
-      .union(pairs.select(col("id2").as("u"), col("id1").as("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = allDocs.select(col("doc_id"), col("doc_id").as("cluster_id"))
-    // Convergence is read off Σ cluster_id, exact in DECIMAL(38,0):
-    // every per-doc label is monotone non-increasing (prop takes a
-    // least(); jump maps a label to that doc's label, itself ≤ the doc
-    // id by induction), so the sum is unchanged iff NO label changed.
-    // That makes the convergence check a BY-PRODUCT of the round's
-    // materialization — round 2 ran a second full join+count per
-    // round just to count changed rows.
-    var prevSum: Option[java.math.BigDecimal] = None
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIters) {
-      val neighborMin = edges
-        .join(labels.select(col("doc_id").as("v"), col("cluster_id").as("nl")), Seq("v"))
-        .groupBy(col("u").as("doc_id"))
-        .agg(min("nl").as("nmin"))
-      // localCheckpoint (the Graph.scala iteration contract): prop is
-      // referenced TWICE by the jump self-join and labels feeds the
-      // next round — without truncation each round's LOGICAL plan
-      // embeds the previous round's plan at every reference, so the
-      // plan tree doubles per round (2^rounds nodes: measured 45 s of
-      // pure planning at ~20 rounds on 2,000 rows, and an OOM in
-      // treeString). Caching stores the DATA but not a flat plan;
-      // localCheckpoint stores blocks AND makes the plan a leaf.
-      val prop = labels
-        .join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
-        .localCheckpoint()
-      // pointer jump: label := label(label). Labels only ever shrink
-      // toward the component min and every label is itself a doc id,
-      // so the inner self-join is total and jump ≤ current label.
-      val next = prop
-        .join(prop.select(col("doc_id").as("cluster_id"), col("cluster_id").as("jump")),
-          Seq("cluster_id"))
-        .select(col("doc_id"), col("jump").as("cluster_id"))
-        .localCheckpoint()
-      val newSum = next.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
-      converged = prevSum.exists(_.compareTo(newSum) == 0)
-      labels = next
-      prevSum = Some(newSum)
-      i += 1
-    }
-    if (!converged)
-      org.slf4j.LoggerFactory.getLogger(getClass)
-        .warn(s"nearDupClusters: labels still changing after $maxIters rounds — " +
-          "returning PARTIALLY converged clusters (raise maxIters; " +
-          "convergence needs ~log2(graph diameter) rounds)")
-    // Hand the result off via a RELIABLE checkpoint: re-executions
-    // read the checkpoint files, not the loop, and the final labels
-    // survive the local-checkpoint blocks' lifetime (localCheckpoint
-    // blocks die with their executors — fine within the loop, not for
-    // the returned relation).
-    val out = checkpointed(labels)
-    edges.unpersist()
-    out
-  }
+  def nearDupClusters(allDocs: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame =
+    // The generic op lives in [[Graph.connectedComponents]] (promoted
+    // from here) — this is the dedup-vocabulary adapter over it.
+    Graph.connectedComponents(
+        allDocs.select(col("doc_id").as("node")),
+        pairs.select(col("id1").as("src"), col("id2").as("dst")),
+        maxIters)
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
 
   /** Per-cluster representative selection — the KEEP side of dedup:
     * for every near-dup cluster, keep the member with the highest

@@ -233,6 +233,96 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("deg"))
   }
 
+  /** Connected components of the undirected graph induced by
+    * `edges(src, dst)` (direction ignored; `vertices(node)` supplies
+    * the full vertex set so isolated nodes come out as their own
+    * singleton component). Returns `(node, component)` where
+    * `component` is the smallest node id in the component — the
+    * canonical deterministic labeling, so the whole iteration
+    * oracle-checks as unrolled SQL (the [[labelPropagation]] contract).
+    *
+    * Algorithm: iterative min-label propagation with POINTER JUMPING —
+    * each round every vertex adopts the smallest label among itself and
+    * its neighbors (one equi-join + one aggregation keyed on node id),
+    * then follows its label one hop (label := label of label), which
+    * halves the remaining path length: convergence in O(log diameter)
+    * rounds instead of O(diameter), and each round costs a driver
+    * round-trip, so the log matters. Each round runs exactly ONE Spark
+    * job whose scalar aggregate doubles as the convergence check (every
+    * label is monotone non-increasing, so Σ label is unchanged iff no
+    * label changed) — no data is ever collected.
+    *
+    * This is the op [[Dedup.nearDupClusters]] (and through it semantic
+    * dedup and the leakage split) is built on.
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+                          maxIters: Int = 20): DataFrame = {
+    val sym = edges.filter(col("src") =!= col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+      .union(edges.filter(col("src") =!= col("dst"))
+        .select(col("dst").as("u"), col("src").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = vertices.select(col("node"), col("node").as("component"))
+    // Convergence reads off Σ component, exact in DECIMAL(38,0): every
+    // per-node label is monotone non-increasing (prop takes a least();
+    // jump maps a label to that node's label, itself ≤ the node id by
+    // induction), so the sum is unchanged iff NO label changed — the
+    // convergence check is a BY-PRODUCT of the round's materialization.
+    var prevSum: Option[java.math.BigDecimal] = None
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = sym
+        .join(labels.select(col("node").as("v"), col("component").as("nl")), Seq("v"))
+        .groupBy(col("u").as("node"))
+        .agg(min("nl").as("nmin"))
+      // localCheckpoint (the iteration contract shared by every loop in
+      // this file): prop is referenced TWICE by the jump self-join and
+      // labels feeds the next round — without truncation each round's
+      // logical plan embeds the previous round's at every reference
+      // (2^rounds plan nodes). localCheckpoint stores blocks AND makes
+      // the plan a leaf.
+      val prop = labels
+        .join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+        .localCheckpoint()
+      // pointer jump: label := label(label). Labels only ever shrink
+      // toward the component min and every label is itself a node id
+      // from the vertex set, so the inner self-join is total.
+      val next = prop
+        .join(prop.select(col("node").as("component"), col("component").as("jump")),
+          Seq("component"))
+        .select(col("node"), col("jump").as("component"))
+        .localCheckpoint()
+      val newSum = next.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+      converged = prevSum.exists(_.compareTo(newSum) == 0)
+      labels = next
+      prevSum = Some(newSum)
+      i += 1
+    }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"connectedComponents: labels still changing after $maxIters rounds — " +
+          "returning PARTIALLY converged components (raise maxIters; " +
+          "convergence needs ~log2(graph diameter) rounds)")
+    // Reliable checkpoint on the way out: re-executions read the
+    // checkpoint files, not the loop, and the final labels survive the
+    // local-checkpoint blocks' lifetime.
+    val out = Dedup.checkpointed(labels)
+    sym.unpersist()
+    out
+  }
+
+  /** [[connectedComponents]] with the vertex set derived from the edge
+    * endpoints — the plain graph-analytics entry point.
+    */
+  def connectedComponents(edges: DataFrame): DataFrame =
+    connectedComponents(
+      edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct(),
+      edges)
+
   /** Degree relation `(node, out_deg, in_deg)` — the cheap centrality
     * twin (and the spec's cross-check surface).
     */

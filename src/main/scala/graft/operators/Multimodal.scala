@@ -19,12 +19,14 @@ import org.apache.spark.sql.types._
   * PNG/JPEG/BMP/GIF via the JDK's own `javax.imageio.ImageIO` —
   * java.desktop ships in every JDK, no new dependency — true
   * per-channel pixel statistics, deterministic nearest-neighbor
-  * resize, lossless PNG re-encode) and so is the AUDIO codec
-  * ([[AudioCodec]]: WAV/AIFF/AU 16-bit PCM via `javax.sound.sampled`,
-  * also in-JDK — real sample arrays, exact amplitude stats). Only
-  * VIDEO still goes through the deterministic [[StubCodec]] stand-in
-  * (a bare JDK genuinely has no video codec); swapping in a real one
-  * changes one function, not the pipeline.
+  * resize, lossless PNG re-encode, REAL multi-frame extraction for
+  * animated GIFs via `ImageReader.getNumImages`/`read(i)`) and so is
+  * the AUDIO codec ([[AudioCodec]]: WAV/AIFF/AU 16-bit PCM via
+  * `javax.sound.sampled`, also in-JDK — real sample arrays, exact
+  * amplitude stats). Only true VIDEO containers (MP4 etc.) still go
+  * through the deterministic [[StubCodec]] stand-in (a bare JDK
+  * genuinely has no video codec); swapping in a real one changes one
+  * function, not the pipeline.
   *
   * Scale notes: decode and feature extraction run `mapPartitions` with
   * an explicit micro-batch size — the shape that amortizes per-batch
@@ -103,6 +105,63 @@ object Multimodal {
     def solidPng(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] =
       encodePng(width, height,
         Array.fill(width * height)(0xff000000 | (r << 16) | (g << 8) | b))
+
+    /** Encode a MULTI-FRAME (animated-style) GIF: one solid-color frame
+      * per entry, written through the JDK GIF writer's real sequence
+      * API (`prepareWriteSequence`/`writeToSequence`). GIF's per-frame
+      * color table stores a solid frame's single color exactly, so the
+      * multi-frame decode round-trips the colors losslessly — the
+      * property the oracled frame queries rely on.
+      */
+    def encodeGifFrames(width: Int, height: Int,
+                        frameColors: Seq[(Int, Int, Int)]): Array[Byte] = {
+      require(frameColors.nonEmpty, "a GIF needs at least one frame")
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val out = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(out)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        frameColors.foreach { case (r, g, b) =>
+          val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+          img.setRGB(0, 0, width, height,
+            Array.fill(width * height)(0xff000000 | (r << 16) | (g << 8) | b), 0, width)
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      out.toByteArray
+    }
+
+    /** Decode ALL frames of a multi-image container (animated GIF via
+      * the JDK reader's `getNumImages`/`read(i)`; single-frame formats
+      * yield one frame). None for corrupt/undecodable payloads — the
+      * poison-safe contract. Frames are returned as STORED (no
+      * disposal compositing): exactly right for the full-size frames
+      * this engine synthesizes, and the documented semantics for
+      * anything else.
+      */
+    def decodeFrames(bytes: Array[Byte]): Option[Seq[Decoded]] =
+      try {
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); None }
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, false, true)
+            val n = reader.getNumImages(true)
+            val frames = (0 until n).map { i =>
+              val img = reader.read(i)
+              val w = img.getWidth; val h = img.getHeight
+              val px = new Array[Int](w * h)
+              img.getRGB(0, 0, w, h, px, 0, w)
+              Decoded(w, h, img.getColorModel.getNumComponents, px)
+            }
+            if (frames.isEmpty) None else Some(frames)
+          } finally { reader.dispose(); iis.close() }
+        }
+      } catch { case _: Exception => None }
 
     /** Deterministic nearest-neighbor pixel resize (no interpolation
       * state, bit-identical across JVMs — unlike AWT's area-averaging
@@ -367,6 +426,76 @@ object Multimodal {
           val cg = ((id * 7 + 13) % 256).toInt
           val cb = (nChars % 256).toInt
           Row(id, ImageCodec.solidPng(w, h, cr, cg, cb), "image/png", w, h)
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic REAL multi-frame GIF asset view of the `documents`
+    * table: each document becomes a genuine animated-style GIF
+    * (encoded in-task through the JDK sequence writer) whose frame
+    * count, dims, and per-frame solid colors are pure formulas of
+    * (doc_id, n_chars) — the multi-frame analog of
+    * [[pngAssetsFromDocuments]], so frame-extraction queries exercise
+    * a REAL multi-image codec end to end while DuckDB oracles every
+    * frame's stats from the formulas alone.
+    */
+  def gifAssetsFromDocuments(documents: DataFrame, batchSize: Int = 64): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    documents.select("doc_id", "n_chars").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0); val nChars = r.getLong(1)
+          val w = (nChars % 30 + 4).toInt
+          val h = (id % 20 + 4).toInt
+          val nf = (id % 4 + 2).toInt
+          val colors = (0 until nf).map { i =>
+            (((id + 37L * i) % 256).toInt,
+              ((id * 7 + 13 + 11L * i) % 256).toInt,
+              ((nChars + 29L * i) % 256).toInt)
+          }
+          Row(id, ImageCodec.encodeGifFrames(w, h, colors), "image/gif", w, h)
+        }
+      }
+    }(enc)
+  }
+
+  /** Real multi-frame decode: every `stride`-th stored frame of each
+    * image payload as `(asset_id, frame_idx, n_frames, width, height,
+    * mean_r, mean_g, mean_b)` — frame extraction through the real
+    * multi-image reader ([[ImageCodec.decodeFrames]]), the video-style
+    * sampling shape with an actual codec behind it. Non-image/corrupt
+    * payloads yield no rows (poison-safe skip). Batched
+    * `mapPartitions`, shuffle-free — the [[decodeImages]] scale shape.
+    */
+  def decodeGifFrames(assets: DataFrame, stride: Int = 1,
+                      batchSize: Int = 64): DataFrame = {
+    require(stride >= 1, "stride must be positive")
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("mean_r", DoubleType, nullable = false),
+      StructField("mean_g", DoubleType, nullable = false),
+      StructField("mean_b", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    assets.select("asset_id", "media", "mime").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val id = r.getLong(0)
+          val frames =
+            if (ImageCodec.imageMimes.contains(r.getString(2)))
+              ImageCodec.decodeFrames(r.getAs[Array[Byte]](1))
+            else None
+          frames.toSeq.flatMap { fs =>
+            fs.indices.by(stride).map { i =>
+              val f = fs(i)
+              val (mr, mg, mb) = f.channelMeans
+              Row(id, i, fs.length, f.width, f.height, mr, mg, mb)
+            }
+          }
         }
       }
     }(enc)

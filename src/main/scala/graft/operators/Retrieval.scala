@@ -297,10 +297,16 @@ object Retrieval {
   def writeTfidfLayout(documents: DataFrame, dir: String): Unit = {
     val spark = documents.sparkSession
     val nDocs = documents.count()
+    // POSITIONAL postings: the sorted 0-based token offsets ride beside
+    // tf (tf = their count, so the two cannot drift). Positions cost
+    // O(total tokens) — the same as the explode — and make phrase /
+    // proximity queries servable from the layout ([[phraseTopK]]);
+    // frequency-only readers simply never project the column (parquet
+    // columnar: they don't pay for it either).
     documents
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
       .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("positions"))
       .repartition(spark.sessionState.conf.numShufflePartitions, col("term"))
       .sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$dir/postings")
@@ -326,8 +332,8 @@ object Retrieval {
     */
   def ensureTfidfLayout(documents: DataFrame, dir: String): Unit = {
     val spark = documents.sparkSession
-    val fp = IndexMeta.cachedFingerprint(dir, "tfidf_v1", Seq(documents)) {
-      docsFingerprint(documents, "tfidf_v1")
+    val fp = IndexMeta.cachedFingerprint(dir, "tfidf_v2", Seq(documents)) {
+      docsFingerprint(documents, "tfidf_v2") // v2: positional postings
     }
     if (!IndexMeta.valid(spark, dir, "norms/_SUCCESS", fp)) {
       // rebuild IS this layout's compaction (deleteDocs contract): a
@@ -452,6 +458,59 @@ object Retrieval {
           roundTo).as("tfidf"))
     Ivf.heapTopKPerQuery(scored, k, "tfidf", asc = false)
       .withColumnRenamed("vec_id", "doc_id")
+  }
+
+  /** PHRASE top-k over the positional inverted index: documents
+    * containing the exact token sequence `phrase` (adjacent, in
+    * order), ranked by occurrence count (`n_phrase` desc, doc_id).
+    *
+    * Adjacency via position-list intersection — the classic phrase
+    * algorithm: slot i of the phrase contributes its term's positions
+    * shifted by −i, and a phrase occurrence starting at p exists iff p
+    * survives the intersection of all slots' shifted lists. Duplicate
+    * phrase terms are fine (each slot joins the same posting row,
+    * shifts differently).
+    *
+    * Scale shape: the postings scan carries `term IN (phrase)` as a
+    * pushed filter over the term-clustered files (serve cost bounded
+    * by the phrase terms' summed df, like [[tfidfTopKIndexed]]); the
+    * slot table broadcasts; ONE doc-keyed aggregation collects the m
+    * shifted lists and the intersection folds per doc (array math over
+    * that doc's own lists — never a corpus-wide positional join);
+    * tombstones excluded before ranking; final k via
+    * TakeOrderedAndProject.
+    */
+  def phraseTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.size >= 2, "a phrase needs at least two terms")
+    import spark.implicits._
+    val m = phrase.size
+    val slots = phrase.zipWithIndex.map { case (t, i) => (i, t) }.toDF("slot", "term")
+    val postings = spark.read.parquet(s"$dir/postings")
+      .filter(col("term").isin(phrase.distinct: _*))
+      .select(col("doc_id"), col("term"), col("positions"))
+    val shifted = postings
+      .join(broadcast(slots), Seq("term"))
+      .select(col("doc_id"), col("slot"),
+        transform(col("positions"), p => p - col("slot")).as("qpos"))
+    val perDoc = shifted
+      .groupBy("doc_id")
+      // one row per matched slot (postings are unique per (doc, term)):
+      // count == m iff every slot's term occurs in the doc
+      .agg(count(lit(1)).as("n_slots"), collect_list(col("qpos")).as("ls"))
+      .filter(col("n_slots") === m)
+      // fold intersection over the doc's own m lists; positions are
+      // distinct ints, so the intersection SIZE is collect-order
+      // invariant (set semantics) — deterministic despite collect_list
+      .withColumn("n_phrase",
+        size(aggregate(slice(col("ls"), lit(2), lit(m - 1)),
+          element_at(col("ls"), 1),
+          (acc, x) => array_intersect(acc, x))))
+      .filter(col("n_phrase") > 0)
+      .select(col("doc_id"), col("n_phrase").cast("long").as("n_phrase"))
+    excludeDeleted(spark, dir, perDoc)
+      .orderBy(col("n_phrase").desc, col("doc_id"))
+      .limit(k)
   }
 
   /** Hybrid retrieval by reciprocal-rank fusion (Cormack et al.):

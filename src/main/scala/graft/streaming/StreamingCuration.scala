@@ -29,14 +29,32 @@ object StreamingCuration {
     * IDENTICAL to the batch [[graft.operators.CorpusPipeline.filtered]]
     * (same classifier columns over one tokenization); the dedup keeps
     * the first in-watermark arrival per md5(text).
+    *
+    * The full curation stage set composes in: `blocklist` prepends the
+    * URL/domain provenance gate ([[TextAnalysis.blockedCol]] — drop
+    * docs linking a blocked domain) and `redactPii = true` slots PII
+    * redaction between the quality filter and the dedup (the batch
+    * [[graft.operators.CorpusPipeline.curatedDocs]] stage order, so
+    * dedup keys on the REDACTED bytes and documents differing only in
+    * their PII still collapse). Both are stateless narrow columns —
+    * the stream's state stays the watermark-bounded md5 set.
     */
   def curateStream(docs: DataFrame, lang: String, minQuality: Double,
-                   watermark: String = "1 hour"): DataFrame = {
+                   watermark: String = "1 hour",
+                   redactPii: Boolean = false,
+                   blocklist: Seq[String] = Nil): DataFrame = {
     val toks = TextFunctions.tokens(col("text"))
-    docs
+    val gated =
+      if (blocklist.isEmpty) docs
+      else docs.filter(!TextAnalysis.blockedCol(col("text"), blocklist))
+    val filtered = gated
       .withWatermark("ts", watermark)
       .filter(TextAnalysis.langPredCol(toks) === lang &&
         TextAnalysis.qualityCol(toks, col("n_chars")) >= minQuality)
+    val redacted =
+      if (redactPii) filtered.withColumn("text", TextAnalysis.redactCol(col("text")))
+      else filtered
+    redacted
       .withColumn("text_md5", md5(col("text")))
       .dropDuplicatesWithinWatermark("text_md5")
       .drop("text_md5")

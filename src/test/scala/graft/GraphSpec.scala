@@ -119,6 +119,35 @@ class GraphSpec extends AnyFunSuite {
     assert(got.values.sum % 3 === 0, "every triangle contributes to exactly 3 nodes")
   }
 
+  test("connectedComponents: random graph matches driver-side union-find; isolated vertices are singletons") {
+    val rnd = new scala.util.Random(7)
+    val raw = (0 until 300).map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+    val edges = raw.toDF("src", "dst")
+    val got = Graph.connectedComponents(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // driver-side union-find reference with min-label canonicalization
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    raw.foreach { case (a, b) =>
+      if (a != b) { val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) } }
+    val nodes = raw.flatMap(e => Seq(e._1, e._2)).distinct
+    val ref = nodes.map(n => n -> find(n)).toMap
+    assert(got === ref, "pointer-jumping components == union-find components")
+    // explicit vertex set: isolated vertices come out as their own singleton
+    val verts = Seq(1L, 2L, 3L, 999L).toDF("node")
+    val e2 = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got2 = Graph.connectedComponents(verts, e2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got2 === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 999L -> 999L))
+    // a chain (worst-case diameter) still converges via pointer jumping
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got3 = Graph.connectedComponents(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got3.forall(_._2 === 0L), "one chain, one min-labeled component")
+  }
+
   test("kcore: triangle with a pendant chain — the 2-core is exactly the triangle") {
     // 1-2-3 triangle, chain 3-4-5, isolated-ish leaf 6-1
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (6L, 1L))

@@ -384,6 +384,39 @@ class RetrievalSpec extends AnyFunSuite {
     assert(afterB.nonEmpty)
   }
 
+  test("phraseTopK: adjacency in order, repeated-term phrases, overlap counting, tombstones") {
+    val corpus = Seq(
+      (0L, "cat dog fish"),          // "cat dog" once
+      (1L, "dog cat dog cat dog"),   // "cat dog" twice; "dog cat" twice
+      (2L, "cat fish dog"),          // cat and dog present but NOT adjacent
+      (3L, "dog cat"),               // reverse order only
+      (4L, "go go go"),              // repeated-term phrase "go go" overlaps: 2
+      (5L, "nothing here")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("phrase_idx").toString
+    Retrieval.ensureTfidfLayout(corpus, dir)
+    def got(phrase: Seq[String]) =
+      Retrieval.phraseTopK(spark, dir, phrase, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // order matters: "cat dog" != "dog cat"; non-adjacent docs excluded
+    assert(got(Seq("cat", "dog")) === Seq((1L, 2L), (0L, 1L)),
+      "adjacent in-order occurrences only, ranked by count then doc_id")
+    assert(got(Seq("dog", "cat")) === Seq((1L, 2L), (3L, 1L)))
+    // repeated-term phrase: overlapping occurrences both count
+    assert(got(Seq("go", "go")) === Seq((4L, 2L)))
+    // 3-term phrase
+    assert(got(Seq("cat", "dog", "fish")) === Seq((0L, 1L)))
+    assert(got(Seq("cat", "fish", "dog")) === Seq((2L, 1L)))
+    // tombstoned docs vanish from phrase serving too
+    Retrieval.deleteDocs(spark, dir, Seq(1L).toDF("doc_id"))
+    assert(got(Seq("cat", "dog")) === Seq((0L, 1L)))
+    // the phrase-term predicate reaches the stored postings scan
+    val plan = Retrieval.phraseTopK(spark, dir, Seq("cat", "dog"), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("In(term") || plan.contains("EqualTo(term"),
+      s"phrase terms must push into the parquet postings scan:\n$plan")
+  }
+
   test("tfidfTopK: idf join broadcasts and scores are partition-count-invariant") {
     val many = (0L until 200L).map { i =>
       (i, if (i % 5 == 0) "cat common" else "common filler fish")

@@ -75,6 +75,59 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation with provenance gate + PII redaction == batch curate(redactPii) stages") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val blocklist = Seq("bad.example")
+    // real corpus rows with PII and URLs spliced in deterministically:
+    // every 3rd doc gets an email+SSN, every 5th a blocked link, every
+    // 7th a clean link
+    val fixture = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 60)
+      .select("doc_id", "text", "n_chars")
+      .collect().map { r =>
+        val id = r.getLong(0)
+        val base = r.getString(1)
+        val tx = base +
+          (if (id % 3 == 0) " mail a.123-45-6789@x.com now" else "") +
+          (if (id % 5 == 0) " see https://sub.bad.example/p" else "") +
+          (if (id % 7 == 0) " see https://ok.example/q" else "")
+        (id, tx, r.getLong(2))
+      }.sortBy(_._1)
+    val mem = MemoryStream[(Timestamp, Long, String, Long)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text", "n_chars")
+    val q = StreamingCuration.curateStream(docs, lang = "en", minQuality = 0.3,
+        watermark = "1 hour", redactPii = true, blocklist = blocklist)
+      .writeStream.format("memory").queryName("curated_pii_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(fixture.zipWithIndex.map { case ((id, tx, nc), i) =>
+        (t(i), id, tx, nc)
+      }.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("curated_pii_out").select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      // batch twin: provenance gate -> lang/quality filter -> redact ->
+      // exact dedup on the REDACTED bytes (the curatedDocs stage order)
+      val batchDocs = fixture.toSeq.toDF("doc_id", "text", "n_chars")
+      val gated = batchDocs.filter(!TextAnalysis.blockedCol(col("text"), blocklist))
+      val kept1 = CorpusPipeline.filtered(gated, "en", 0.3)
+        .withColumn("text", TextAnalysis.redactCol(col("text")))
+      val batch = kept1.join(Dedup.exactKept(kept1), Seq("doc_id"))
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(batch.nonEmpty, "fixture must keep at least one document")
+      assert(streamed.values.toSet === batch.values.toSet,
+        "streamed keep-set must equal the batch redacted keep-set")
+      assert(streamed.keySet.forall(_ % 5 != 0),
+        "docs linking the blocked domain must be gated out")
+      assert(streamed.forall { case (_, tx) => !tx.contains("@") },
+        "kept texts must be redacted (no raw emails survive)")
+      assert(streamed.exists(_._2.contains("<EMAIL>")),
+        "some kept doc must show the redaction token")
+    } finally q.stop()
+  }
+
   test("streaming ANN: micro-batches served from a persisted routed index match the batch path") {
     implicit val sqlCtx = spark.sqlContext
     // persisted routed index over the deterministic 200-vector fixture
@@ -685,6 +738,32 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(f1(1L)(3) === 1.0f, "g=0 fills the first g-bin")
     // non-image mime still flows through the deterministic stub
     assert(f1(2L).length === 9)
+  }
+
+  test("multimodal: multi-frame GIF round-trips every frame's dims and colors") {
+    import Multimodal.ImageCodec
+    val colors = Seq((255, 0, 128), (0, 200, 10), (17, 17, 17))
+    val gif = ImageCodec.encodeGifFrames(6, 4, colors)
+    val frames = ImageCodec.decodeFrames(gif).get
+    assert(frames.length === 3, "all three stored frames must decode")
+    frames.zip(colors).foreach { case (f, (r, g, b)) =>
+      assert((f.width, f.height) === ((6, 4)))
+      assert(f.channelMeans === ((r.toDouble, g.toDouble, b.toDouble)),
+        "solid frame colors survive the GIF palette round trip exactly")
+    }
+    // single-frame containers decode as one frame; corrupt bytes punt
+    val png = ImageCodec.solidPng(5, 5, 9, 8, 7)
+    assert(ImageCodec.decodeFrames(png).get.map(_.channelMeans) === Seq((9.0, 8.0, 7.0)))
+    assert(ImageCodec.decodeFrames("not an image".getBytes("UTF-8")).isEmpty)
+    // the frame-extraction operator: stride sampling + poison skip
+    val assets = Seq(
+      (1L, gif, "image/gif", 0, 0),
+      (2L, "garbage".getBytes("UTF-8"), "image/gif", 0, 0))
+      .toDF("asset_id", "media", "mime", "width", "height")
+    val rows = Multimodal.decodeGifFrames(assets, stride = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(5)))
+    assert(rows.toSeq === Seq((1L, 0, 3, 255.0), (1L, 2, 3, 17.0)),
+      "stride keeps frames 0 and 2; the corrupt asset yields no rows")
   }
 
   test("multimodal: WAV codec round-trips exact PCM16 samples, header, and stats") {

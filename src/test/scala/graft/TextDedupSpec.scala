@@ -150,6 +150,104 @@ class TextDedupSpec extends AnyFunSuite {
       "incremental pairs across both batches == batch pairs with a new member")
   }
 
+  private def withConfs[T](pairs: (String, String)*)(body: => T): T = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** Drop a managed table AND its warehouse location: the metastore is
+    * ephemeral per test JVM, so a previous run's managed-table dir
+    * survives as an ORPHAN the catalog doesn't know about — and
+    * `saveAsTable` then fails with LOCATION_ALREADY_EXISTS.
+    */
+  private def dropManaged(tables: String*): Unit = tables.foreach { t =>
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val dir = new java.io.File(wh, t)
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
+  test("bucketed digest store: keeps == in-memory incremental; store side of the anti-join never exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val corpus = docs.filter(col("doc_id") <= 4)
+    dropManaged("digest_store_spec")
+    Dedup.writeDigestStore(corpus, "digest_store_spec", buckets = 4)
+    val dupOf1 = docs.filter(col("doc_id") === 1).head().getString(1)
+    val batch = Seq((11L, "brand new content"), (12L, "brand new content"),
+      (13L, dupOf1)).toDF("doc_id", "text")
+    // keep semantics identical to the in-memory form
+    val ref = Dedup.incrementalExact(corpus, batch)
+      .collect().map(_.getLong(0)).toSet
+    val kept = Dedup.incrementalExactBucketed(spark, "digest_store_spec", batch,
+      absorb = false).collect().map(_.getLong(0)).toSet
+    assert(kept === ref && kept === Set(11L))
+    // plan pin: force SMJ (no broadcast, no AQE rewrite) — the bucketed
+    // store side must come exchange-free; only the batch side shuffles
+    withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+      val df = Dedup.incrementalExactBucketed(spark, "digest_store_spec", batch,
+        absorb = false)
+      val smj = df.queryExecution.executedPlan
+        .collectFirst { case j: SortMergeJoinExec => j }
+        .getOrElse(fail("expected a sort-merge anti-join against the store:\n" +
+          df.queryExecution.executedPlan.toString))
+      assert(smj.right.collectFirst { case e: ShuffleExchangeLike => e }.isEmpty,
+        s"store side must read pre-partitioned by bucket:\n${smj.right}")
+      assert(smj.left.collectFirst { case e: ShuffleExchangeLike => e }.nonEmpty,
+        "the batch side shuffles to the bucket count")
+    }
+    // absorb + replay idempotence: the kept digests land once; a replay
+    // keeps nothing and appends nothing
+    val withAbsorb = Dedup.incrementalExactBucketed(spark, "digest_store_spec", batch)
+      .collect().map(_.getLong(0)).toSet
+    assert(withAbsorb === Set(11L))
+    val n1 = spark.table("digest_store_spec").count()
+    val replay = Dedup.incrementalExactBucketed(spark, "digest_store_spec", batch)
+      .collect()
+    assert(replay.isEmpty, "a replayed batch is all duplicates now")
+    assert(spark.table("digest_store_spec").count() === n1,
+      "replay must not grow the digest store")
+  }
+
+  test("bucketed minhash store: incremental pairs == plain-parquet store; absorb rides the bucket spec") {
+    import java.nio.file.Files
+    val base = docs.filter(col("doc_id") <= 4)
+    dropManaged("mh_spec_bands", "mh_spec_shingles")
+    Dedup.writeMinhashStoreBucketed(base, "mh_spec", buckets = 4)
+    val pdir = Files.createTempDirectory("mh_plain").toString
+    Dedup.writeMinhashStore(base, pdir)
+    val baseText = docs.filter(col("doc_id") === 1).head().getString(1)
+    val b1 = Seq((100L, baseText), (101L, "completely unrelated fresh words " * 3))
+      .toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refP = pairs(Dedup.minhashPairsIncremental(spark, pdir, b1, 0.5))
+    val bucketedP = pairs(
+      Dedup.minhashPairsIncrementalBucketed(spark, "mh_spec", b1, 0.5))
+    assert(bucketedP === refP, "bucketed store must yield identical pairs")
+    // the absorb appended through the bucket spec: a second batch sees
+    // batch-1 docs, and the store stayed a bucketed table
+    val b2 = Seq((200L, baseText)).toDF("doc_id", "text")
+    val p2 = pairs(
+      Dedup.minhashPairsIncrementalBucketed(spark, "mh_spec", b2, 0.5))
+    assert(p2.contains((1L, 200L)) && p2.contains((100L, 200L)))
+    val cat = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("mh_spec_bands"))
+    assert(cat.bucketSpec.exists(_.numBuckets === 4),
+      "appends must preserve the bucketed layout")
+  }
+
   test("minhashPairsIncremental absorb is idempotent under micro-batch replay") {
     import java.nio.file.Files
     val base = docs.filter(col("doc_id") <= 4)
