@@ -2040,6 +2040,23 @@ object SparkEntry {
         .orderBy(col("dist"), col("vec_id"))
         .limit(10)
     }),
+    // the NAIVE FILTERED top-k ("top-k among eligible rows") over the
+    // same partitioned L2 index: the rule collects the scan-side
+    // eligibility predicate, swaps in the cell-partitioned copy with
+    // the probe as a partition filter, and re-applies the predicate
+    // over the re-aliased copy — nprobe = C ⇒ exact, filter preserved
+    "q_knn_filtered_rewrite" -> ((s, dir) => {
+      val dataPath = ensureRewriteSandbox(s, dir)
+      val emb = s.read.parquet(dataPath)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(perturbQuery(col("embedding")).as("query_vec"))
+      emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(l2Distance(col("embedding"), col("query_vec")), 6).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
+    }),
     // the NAIVE cosine top-k (the most common embedding metric) over a
     // table with a registered COSINE index: the rule recognizes the
     // similarity-descending dot/norm shape, transforms the query into
@@ -3152,6 +3169,11 @@ object SparkEntry {
     "q_knn_rewrite_topk" ->
       s"""SELECT vec_id, round(list_distance(embedding::DOUBLE[], q.query_vec), 6) AS dist
           FROM embeddings, $duckQueryVec q
+          ORDER BY dist, vec_id LIMIT 10""",
+    "q_knn_filtered_rewrite" ->
+      s"""SELECT vec_id, round(list_distance(embedding::DOUBLE[], q.query_vec), 6) AS dist
+          FROM embeddings, $duckQueryVec q
+          WHERE vec_id % 2 = 0
           ORDER BY dist, vec_id LIMIT 10""",
     // the cosine/MIPS rewrites restrict candidates at nprobe = C (all
     // cells) with the score expression untouched — the plain exact

@@ -96,17 +96,19 @@ object Graph {
     *
     * Scale shape — degree orientation (the classic O(m^{3/2}) triangle
     * enumeration): orient each undirected edge from its lower-(degree,
-    * id) endpoint to the higher. Every triangle then has exactly one
-    * node with two outgoing oriented edges (its apex), so wedge
-    * generation is the oriented edge set self-joined on the apex, and a
-    * wedge closes iff its outer pair is itself an edge. Oriented
-    * out-degree is O(√m) on ANY graph — a power-law hub's edges orient
-    * INTO it, so the hub never becomes a wedge apex. Naive id-ordered
-    * enumeration (the oracle's form, correct but un-oriented) pays
-    * Σ deg² wedges and dies on the first hub; this pays Σ outdeg² ≤
-    * m^{3/2} regardless of skew. Three shuffles total (degree agg, wedge
-    * self-join, closing equi-join) — all keyed on node/edge ids, never
-    * materializing more than the wedge set.
+    * id) endpoint to the higher, making the graph a DAG in which every
+    * triangle u<v<w appears exactly once as edge (u,v) plus one
+    * w ∈ out(u) ∩ out(v). Oriented out-degree is O(√m) on ANY graph —
+    * a power-law hub's edges orient INTO it, so the hub's neighborhood
+    * is never enumerated. Naive id-ordered enumeration (the oracle's
+    * form, correct but un-oriented) pays Σ deg² wedges and dies on the
+    * first hub; this pays Σ outdeg² ≤ m^{3/2} regardless of skew —
+    * and ships it as per-node SORTED ADJACENCY ARRAYS intersected
+    * locally at each edge (edge-iterator), never as a materialized
+    * wedge-row stream re-shuffled for a closing equi-join. Shuffles:
+    * degree agg, adjacency build, and two node-keyed edge↔adjacency
+    * joins — all O(m) rows; the only super-linear volume is the array
+    * payload, bounded by the same Σ outdeg².
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
     val und = edges.filter(col("src") =!= col("dst"))
@@ -136,16 +138,26 @@ object Graph {
     val oriented = withDeg.select(
       when(apexIsA, col("a")).otherwise(col("b")).as("u"),
       when(apexIsA, col("b")).otherwise(col("a")).as("v"))
-    // wedges at the apex u: unordered outer pair (v1 < v2 by id) — each
-    // candidate generated once; close against the canonical edge set
-    val w1 = oriented.select(col("u"), col("v").as("v1"))
-    val w2 = oriented.select(col("u"), col("v").as("v2"))
-    val tri = w1.join(w2.hint("shuffle_hash"), Seq("u")).filter(col("v1") < col("v2"))
-      .join(und.hint("shuffle_hash"), col("v1") === col("a") && col("v2") === col("b"))
-      .select("u", "v1", "v2")
+    // EDGE-ITERATOR closing over per-node adjacency arrays: in the
+    // oriented DAG every triangle u<v<w (by the (deg,id) order) is the
+    // edge (u,v) plus one w ∈ out(u) ∩ out(v). Joining each oriented
+    // edge to its endpoints' sorted out-neighbor arrays and
+    // intersecting LOCALLY replaces the wedge materialization (a
+    // Σ outdeg² row stream re-shuffled by its outer pair for the
+    // closing equi-join — the old plan's dominant shuffle) with array
+    // payloads that never exceed the same Σ outdeg² bound but ship in
+    // m rows and close without another exchange.
+    val adj = oriented.groupBy("u")
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+    val tri = oriented
+      .join(adj.select(col("u"), col("nbrs").as("nu")).hint("shuffle_hash"), Seq("u"))
+      .join(adj.select(col("u").as("v"), col("nbrs").as("nv")).hint("shuffle_hash"),
+        Seq("v"))
+      .select(col("u"), col("v"),
+        explode(array_intersect(col("nu"), col("nv"))).as("w"))
     val perNode = tri.select(col("u").as("node"))
-      .union(tri.select(col("v1").as("node")))
-      .union(tri.select(col("v2").as("node")))
+      .union(tri.select(col("v").as("node")))
+      .union(tri.select(col("w").as("node")))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
     deg.select(col("node")).join(perNode, Seq("node"), "left")
       .select(col("node"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))

@@ -355,27 +355,44 @@ case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
   /** Replace the scan side with the cell-partitioned copy, filtered to
     * the probed cells (a partition filter), with every original output
     * attribute re-aliased onto the copy's columns under its ORIGINAL
-    * exprId — everything above the join is untouched. Only sound when
-    * the scan side is a bare relation or a column-pruning projection
-    * (any residual Filter would be lost); otherwise None → assignment
-    * join.
+    * exprId — everything above the join is untouched. Sound when the
+    * scan side is a bare relation, a column-pruning projection, or a
+    * FILTER chain over one ("top-k among eligible rows"): collected
+    * filter conditions are re-applied above the re-aliasing Project,
+    * where the original exprIds resolve unchanged. Other shapes (or a
+    * non-deterministic eligibility predicate, which must evaluate
+    * against the ORIGINAL scan's rows) → None → assignment join.
     */
   private def rewriteToPartitioned(join: Join, left: LogicalPlan, qAttr: Attribute,
                                    idx: IndexCatalog.IvfIndex, pp: String,
                                    qidAttr: Option[Attribute],
                                    probe: Probe): Option[LogicalPlan] = {
-    if (!prunableScan(left)) return None
+    val residual = prunableScanFilters(left).getOrElse(return None)
+    if (residual.exists(!_.deterministic)) return None
     val scan = spark.read.parquet(pp).queryExecution.analyzed
     val byName = scan.output.map(a => a.name -> a).toMap
     val cellAttr = byName.getOrElse("cell", return None)
-    val mapped = left.output.map(a => byName.get(a.name).map(na =>
+    // re-alias every attribute the join OR the eligibility predicate
+    // needs (a pushed filter may reference a column the final
+    // projection pruned) onto the copy, under the ORIGINAL exprIds
+    val needed = AttributeSet(left.output ++ residual.flatMap(_.references)).toSeq
+    val mapped = needed.map(a => byName.get(a.name).map(na =>
       Alias(na, a.name)(exprId = a.exprId): NamedExpression))
     if (mapped.exists(_.isEmpty)) return None
     val aliases = mapped.flatten
+    // the eligibility predicate re-applies over the re-aliased copy —
+    // original exprIds are reproduced by the Project, so the untouched
+    // condition resolves as-is; a final Project restores the original
+    // left output shape (dropping filter-only columns again)
+    def filteredShape(pruned: LogicalPlan, extra: Seq[NamedExpression]): LogicalPlan = {
+      val base = Project(aliases ++ extra, pruned)
+      val filtered = residual.reduceOption(And).fold(base: LogicalPlan)(Filter(_, base))
+      Project(left.output ++ extra.map(_.toAttribute), filtered)
+    }
     (qidAttr, probe) match {
       case (None, SingleCells(cells)) =>
         val pruned = Filter(In(cellAttr, cells.map(typedLit(_, cellAttr.dataType))), scan)
-        Some(join.copy(left = Project(aliases, pruned)))
+        Some(join.copy(left = filteredShape(pruned, Nil)))
       case (Some(qid), BatchVecs(qrows)) =>
         val rel = probeRelation(qrows, idx, qid.dataType, cellAttr.dataType)
         // partition-prune to the UNION of all queries' probed cells,
@@ -384,7 +401,7 @@ case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
         val unionCells = rel.data.map(_.get(1, cellAttr.dataType)).distinct
         val pruned = Filter(
           In(cellAttr, unionCells.map(v => Literal.create(v, cellAttr.dataType))), scan)
-        val crossed = join.copy(left = Project(aliases :+ cellAttr, pruned))
+        val crossed = join.copy(left = filteredShape(pruned, Seq(cellAttr)))
         val Seq(pQid, pCell) = rel.output
         Some(Join(crossed, rel, Inner,
           Some(And(EqualTo(qid, pQid), EqualTo(cellAttr, pCell))), JoinHint.NONE))
@@ -394,17 +411,22 @@ case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
   }
 
-  /** True when `plan` is a bare relation (or a pure column-pruning
-    * projection of one) — the shapes the partitioned-copy swap can
-    * replace without dropping semantics.
+  /** The filter conditions along a prunable scan chain — Some(Nil) for
+    * a bare relation or pure column-pruning projection, Some(conds)
+    * when Filters interpose, None for any other shape (the
+    * partitioned-copy swap would drop semantics).
     */
-  private def prunableScan(plan: LogicalPlan): Boolean = plan match {
-    case _: LogicalRelation => true
-    case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
-      prunableScan(child)
-    case SubqueryAlias(_, child) => prunableScan(child)
-    case _ => false
-  }
+  private def prunableScanFilters(plan: LogicalPlan): Option[Seq[Expression]] =
+    plan match {
+      case _: LogicalRelation => Some(Nil)
+      case Project(projList, child)
+          if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        prunableScanFilters(child)
+      case Filter(cond, child) =>
+        prunableScanFilters(child).map(splitConjunctivePredicates(cond) ++ _)
+      case SubqueryAlias(_, child) => prunableScanFilters(child)
+      case _ => None
+    }
 
   /** The in-place form: assignment-table join + probe predicate. */
   private def rewriteWithAssignJoin(join: Join, left: LogicalPlan, idAttr: Attribute,

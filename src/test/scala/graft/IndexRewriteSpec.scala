@@ -44,6 +44,22 @@ class IndexRewriteSpec extends AnyFunSuite {
       .limit(k)
   }
 
+  /** The naive FILTERED user query — "top-k among eligible rows": a
+    * predicate on the scan side under the join, the shape every
+    * filtered-serving user writes without an index API in sight.
+    */
+  private def naiveFiltered(k: Int): DataFrame = {
+    val emb = spark.read.parquet(dataPath)
+    val q = emb.filter(col("vec_id") === 7)
+      .select(perturbQuery(col("embedding")).as("query_vec"))
+    emb.filter(col("vec_id") % 2 === 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(l2Distance(col("embedding"), col("query_vec")), 6).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
+
   private def withRule[T](body: => T): T = {
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = prev :+ IndexRewriteRule(spark)
@@ -68,6 +84,53 @@ class IndexRewriteSpec extends AnyFunSuite {
       assert(opt.contains(" IN ") || opt.contains("IN ("), s"no cell IN literal filter in:\n$opt")
       assert(!opt.contains("CASE WHEN"), s"per-row CASE rank should be replaced by IN:\n$opt")
       assert(rows(df) === exact, "nprobe = C must reproduce the exact result")
+    }
+    IndexCatalog.unregister(dataPath)
+  }
+
+  test("filtered naive shape: probe fires with the filter preserved, exact at nprobe = C") {
+    IndexCatalog.buildAndRegister(spark, dataPath, c = C, iters = 2,
+      nprobe = C, indexDir)
+    val exact = rows(naiveFiltered(10)) // rule not installed
+    assert(exact.forall(_._1 % 2 == 0) && exact.size === 10)
+    withRule {
+      val df = naiveFiltered(10)
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("cell#"), s"no assignment join in:\n$opt")
+      assert(opt.contains(" IN ") || opt.contains("IN ("),
+        s"no cell IN literal filter in:\n$opt")
+      assert(opt.contains("% 2"), s"eligibility filter must survive the rewrite:\n$opt")
+      assert(rows(df) === exact, "nprobe = C must reproduce the exact filtered result")
+    }
+    IndexCatalog.unregister(dataPath)
+  }
+
+  test("filtered shape over a partitioned-layout index: pruned scan keeps the filter; nprobe=2 equals the explicit filtered probe") {
+    val pdir = java.nio.file.Files.createTempDirectory("idxrw_part_f").toString
+    IndexCatalog.buildAndRegister(spark, dataPath, c = C, iters = 2,
+      nprobe = C, pdir, partitioned = true)
+    val exact = rows(naiveFiltered(10)) // rule not installed
+    withRule {
+      val df = naiveFiltered(10)
+      val phys = df.queryExecution.executedPlan.toString
+      assert(phys.contains("PartitionFilters: [cell"),
+        s"filtered probe should still partition-prune the copy:\n$phys")
+      assert(!df.queryExecution.optimizedPlan.toString.contains("assign"),
+        "filtered partitioned form should not fall back to the assignment join")
+      assert(rows(df) === exact, "nprobe = C must reproduce the exact filtered result")
+    }
+    // nprobe = 2: the rewritten naive-filtered plan must equal the
+    // EXPLICIT filtered serving path (Ivf.topKPartitioned(predicate))
+    IndexCatalog.register(dataPath, s"$pdir/assign",
+      IndexCatalog.lookup(dataPath).get.centroids, nprobe = 2, Some(s"$pdir/cells"))
+    val emb = spark.read.parquet(dataPath)
+    val q = emb.filter(col("vec_id") === 7)
+      .select(perturbQuery(col("embedding")).as("query_vec"))
+    val explicitProbe = rows(Ivf.topKPartitioned(spark, s"$pdir/cells", q, 10,
+      nprobe = 2, predicate = Some(col("vec_id") % 2 === 0)))
+    withRule {
+      assert(rows(naiveFiltered(10)) === explicitProbe,
+        "filtered rewrite must equal the explicit filtered IVF probe")
     }
     IndexCatalog.unregister(dataPath)
   }
