@@ -244,6 +244,29 @@ object SparkEntry {
       .mkString("[", ", ", "]")
 
   /** Signature CTE shared by the MinHash oracles. */
+  /** DSIR weight CTE chain (mirrors Sampling.dsirWeights at
+    * buckets = 256, target = source 'src0'): hashed unigram+bigram bag,
+    * add-one-smoothed target/source bucket models, per-doc DECIMAL sum
+    * of per-bucket log ratios truncated to 12 places.
+    */
+  private val duckDsirWeights =
+    s"""toks AS (SELECT doc_id, (source = 'src0') AS is_target,
+                        string_split(text, ' ') AS t FROM documents),
+        grams AS (SELECT doc_id, is_target,
+                    unnest(list_concat(t,
+                      list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS g
+                  FROM toks),
+        bkt AS (SELECT doc_id, is_target, ${duckMd5Int("g")} % 256 AS b FROM grams),
+        cnt AS (SELECT b, sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tc,
+                       sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS sc
+                FROM bkt GROUP BY b),
+        tot AS (SELECT sum(tc) AS tt, sum(sc) AS st FROM cnt),
+        lam AS (SELECT b, CAST(ln((tc + 1.0) / (tt + 256.0))
+                             - ln((sc + 1.0) / (st + 256.0)) AS DECIMAL(38,12)) AS lam
+                FROM cnt CROSS JOIN tot),
+        w AS (SELECT doc_id, round(CAST(sum(lam) AS DOUBLE), 6) AS weight
+              FROM bkt JOIN lam USING (b) GROUP BY doc_id)"""
+
   private val duckSigCte =
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         shing AS (SELECT doc_id, $duckShingles AS sh FROM toks WHERE len(t) >= 3),
@@ -2925,6 +2948,21 @@ object SparkEntry {
       Sampling.weightedBernoulli(Tables.documents(s, dir), col("doc_id"),
           least(col("n_chars") / lit(500.0), lit(1.0)))
         .select(col("doc_id"), col("source"), col("n_chars"))),
+    // DSIR data selection (Xie et al. 2023): hashed unigram+bigram bag
+    // models over target (source = 'src0') vs the rest; every doc's
+    // weight is its log importance ratio. Models are `buckets`-bounded
+    // hash-aggs; the λ table broadcasts; DECIMAL sums keep the weight
+    // exact at any partitioning — the same ln-truncation discipline as
+    // the bigram-NLL oracle.
+    "q_dsir_weights" -> ((s, dir) =>
+      Sampling.dsirWeights(Tables.documents(s, dir),
+        col("source") === "src0", buckets = 256)),
+    // Gumbel-top-k importance resampling: 100 source docs drawn without
+    // replacement ∝ exp(weight), portable-hash Gumbel noise — a
+    // deterministic, replayable weighted sample (bounded TakeOrdered).
+    "q_dsir_sample" -> ((s, dir) =>
+      Sampling.dsirResample(Tables.documents(s, dir),
+        col("source") === "src0", k = 100, buckets = 256)),
     // Z-order layout serving: events re-clustered on (user_id, value)
     // by interleaved-bit range shuffle (Layout.ensureZordered), then a
     // 2-D box filter over the clustered copy — every written file
@@ -3041,6 +3079,15 @@ object SparkEntry {
     "q_gif_frames" -> ((s, dir) => {
       val assets = Multimodal.gifAssetsFromDocuments(Tables.documents(s, dir))
       Multimodal.decodeGifFrames(assets)
+    }),
+    // REAL video decode (RIFF AVI, raw-DIB frames): each document
+    // becomes a genuine AVI encoded in-task, decoded back frame by
+    // frame — container fps from the stream header, exact per-frame
+    // pixel means (DIB is lossless), all pure formulas of
+    // (doc_id, n_chars) so DuckDB oracles the full video round trip.
+    "q_video_frames" -> ((s, dir) => {
+      val assets = Multimodal.aviAssetsFromDocuments(Tables.documents(s, dir))
+      Multimodal.decodeVideoFrames(assets)
     }),
     // REAL audio decode (javax.sound.sampled): each document becomes a
     // genuine 16-bit PCM WAV square wave (encoded in-task), decoded
@@ -4083,6 +4130,18 @@ object SparkEntry {
     "q_weighted_sample" ->
       s"""SELECT doc_id, source, n_chars FROM documents
           WHERE ${duckUnitHashSalted("doc_id", "weighted")} < least(n_chars / 500.0, 1.0)""",
+    "q_dsir_weights" ->
+      s"""WITH $duckDsirWeights
+          SELECT doc_id, weight FROM w""",
+    "q_dsir_sample" ->
+      s"""WITH $duckDsirWeights
+          SELECT doc_id, weight,
+                 round(CAST(CAST(weight AS DECIMAL(38,12)) +
+                   CAST(-ln(-ln(${duckUnitHashSalted("doc_id", "dsir")})) AS DECIMAL(38,12))
+                     AS DOUBLE), 6) AS score
+          FROM w JOIN documents USING (doc_id)
+          WHERE NOT (source = 'src0')
+          ORDER BY score DESC, doc_id LIMIT 100""",
     "q_zorder_box" ->
       """SELECT event_id, user_id, event_type, value FROM events
          WHERE user_id BETWEEN 3 AND 7 AND value BETWEEN 5.0 AND 50.0""",
@@ -4184,6 +4243,19 @@ object SparkEntry {
                 CAST((doc_id + 37 * i) % 256 AS DOUBLE) AS mean_r,
                 CAST((doc_id * 7 + 13 + 11 * i) % 256 AS DOUBLE) AS mean_g,
                 CAST((n_chars + 29 * i) % 256 AS DOUBLE) AS mean_b
+         FROM f""",
+    "q_video_frames" ->
+      """WITH d AS (SELECT doc_id, n_chars, doc_id % 5 + 2 AS nf FROM documents),
+            f AS (SELECT doc_id, n_chars, nf, unnest(range(nf)) AS i FROM d)
+         SELECT doc_id AS asset_id,
+                CAST(i AS INT) AS frame_idx,
+                CAST(nf AS INT) AS n_frames,
+                CAST((doc_id % 3 + 1) * 5 AS DOUBLE) AS fps,
+                CAST(n_chars % 24 + 4 AS INT) AS width,
+                CAST(doc_id % 16 + 4 AS INT) AS height,
+                CAST((doc_id + 41 * i) % 256 AS DOUBLE) AS mean_r,
+                CAST((doc_id * 7 + 13 + 17 * i) % 256 AS DOUBLE) AS mean_g,
+                CAST((n_chars + 23 * i) % 256 AS DOUBLE) AS mean_b
          FROM f""",
     "q_image_resize" ->
       """WITH a AS (SELECT doc_id AS asset_id,

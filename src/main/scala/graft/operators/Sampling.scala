@@ -177,6 +177,83 @@ object Sampling {
       .withColumn("shard_pos", row_number().over(w) - 1)
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — published):
+    * represent every document as a bag of HASHED n-grams (unigrams +
+    * word bigrams folded into `buckets` via the portable md5 hash), fit
+    * add-one-smoothed bucket models on the TARGET slice (the
+    * distribution you want more of) and the SOURCE remainder, and weight
+    * each document by its log importance ratio
+    * `Σ_grams [ln p_target(b) − ln p_source(b)]`. Output
+    * `(doc_id, weight)` for every document.
+    *
+    * Determinism: each bucket's log-ratio is truncated to
+    * DECIMAL(38,12) (the bigram-NLL discipline — truncation absorbs
+    * last-ulp libm differences between engines) and per-doc sums run in
+    * DECIMAL, exact and associative at any partitioning; the output
+    * rounds to 6 places.
+    *
+    * Scale shape: narrow explode of the gram stream, ONE hash-agg
+    * bounded by `buckets` keys for the models (map-side combine does
+    * the heavy lifting — the shuffle is ≤ buckets rows per task),
+    * totals as a 1-row broadcast cross join, and the λ table —
+    * `buckets` rows — broadcast to the per-gram join, so the only
+    * doc-keyed shuffle is the final per-doc sum. No driver action
+    * anywhere; model size is corpus-independent by construction (the
+    * paper's point: hashing bounds the vocabulary).
+    */
+  def dsirWeights(documents: DataFrame, isTarget: Column,
+                  buckets: Int = 256): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val toks = documents.select(col("doc_id"), isTarget.as("is_target"),
+      split(col("text"), " ").as("t"))
+    val n = size(col("t"))
+    val bigrams = zip_with(
+      slice(col("t"), lit(1), greatest(n - 1, lit(0))),
+      slice(col("t"), lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val grams = toks.select(col("doc_id"), col("is_target"),
+      explode(concat(col("t"), bigrams)).as("g"))
+    val bucketed = grams.select(col("doc_id"), col("is_target"),
+      pmod(Portable.md5Int(col("g")), lit(buckets.toLong)).as("b"))
+    val counts = bucketed.groupBy("b").agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("tc"),
+      sum(when(col("is_target"), 0L).otherwise(1L)).as("sc"))
+    val totals = counts.agg(sum("tc").as("tt"), sum("sc").as("st"))
+    val lam = counts.crossJoin(broadcast(totals)).select(col("b"),
+      (log((col("tc") + lit(1.0)) / (col("tt") + lit(buckets.toDouble))) -
+        log((col("sc") + lit(1.0)) / (col("st") + lit(buckets.toDouble))))
+        .cast("decimal(38,12)").as("lam"))
+    bucketed.join(broadcast(lam), Seq("b"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("lam")).cast("double"), 6).as("weight"))
+  }
+
+  /** Gumbel-top-k importance RESAMPLING over [[dsirWeights]]: select
+    * `k` documents from the SOURCE slice without replacement with
+    * probability ∝ exp(weight) — i.e. ∝ the importance ratio — via the
+    * Gumbel-max trick: score = weight + Gumbel(u) with
+    * `u = unitHashSalted(doc_id, salt)`, and the k largest scores ARE a
+    * weighted sample without replacement. Portable-hash noise makes the
+    * draw deterministic (replayable, partitioning-independent) and
+    * oracle-able; the top-k is a bounded TakeOrdered, never a global
+    * sort.
+    */
+  def dsirResample(documents: DataFrame, isTarget: Column, k: Int,
+                   buckets: Int = 256, salt: String = "dsir"): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val w = dsirWeights(documents, isTarget, buckets)
+    val u = Portable.unitHashSalted(col("doc_id"), salt)
+    val gumbel = (-log(-log(u))).cast("decimal(38,12)")
+    documents.filter(!isTarget).select(col("doc_id"))
+      .join(w, Seq("doc_id"))
+      .select(col("doc_id"), col("weight"),
+        round((col("weight").cast("decimal(38,12)") + gumbel).cast("double"), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   def epochMix(df: DataFrame, strata: Column, key: Column,
                epochs: Map[String, Double],
                salt: String = "epoch"): DataFrame = {

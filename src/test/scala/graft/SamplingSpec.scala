@@ -228,4 +228,70 @@ class SamplingSpec extends AnyFunSuite {
       .count(_ == "Exchange hashpartitioning")
     assert(n === 1, s"expected the single shard_id exchange, got $n:\n$p")
   }
+
+  // tiny controlled corpus for DSIR: target docs are about "x", source
+  // docs split between x-ish (should up-weight) and y-ish (down-weight)
+  private lazy val dsirDocs = Seq(
+    (0L, "x x x x", "tgt"), (1L, "x x y x", "tgt"),
+    (2L, "x x x x", "src"), (3L, "x x x y", "src"),
+    (4L, "y y y y", "src"), (5L, "y y x y", "src"),
+    (6L, "x y x y", "src"))
+    .toDF("doc_id", "text", "source").cache()
+
+  test("dsirWeights: log importance ratio matches a driver-side model") {
+    import graft.functions.Portable
+    val B = 16
+    val got = Sampling.dsirWeights(dsirDocs, col("source") === "tgt", buckets = B)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // driver-side reference: same grams, same md5 buckets, same smoothing
+    val corpus = Seq(
+      (0L, "x x x x", true), (1L, "x x y x", true),
+      (2L, "x x x x", false), (3L, "x x x y", false),
+      (4L, "y y y y", false), (5L, "y y x y", false),
+      (6L, "x y x y", false))
+    def grams(t: String): Seq[String] = {
+      val w = t.split(" ").toSeq
+      w ++ w.zip(w.tail).map { case (a, b) => s"$a $b" }
+    }
+    def bucket(g: String): Long = Portable.md5IntOf(g) % B
+    val all = corpus.flatMap { case (id, t, tgt) => grams(t).map(g => (id, tgt, bucket(g))) }
+    val tc = all.filter(_._2).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val sc = all.filterNot(_._2).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val (tt, st) = (tc.values.sum, sc.values.sum)
+    def lam(b: Long): BigDecimal = {
+      val v = math.log((tc.getOrElse(b, 0L) + 1.0) / (tt + B)) -
+        math.log((sc.getOrElse(b, 0L) + 1.0) / (st + B))
+      BigDecimal(v).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val want = all.groupBy(_._1).view.mapValues(
+      gs => gs.map(g => lam(g._3)).sum.setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble).toMap
+    assert(got === want, "engine weights must equal the reference model exactly")
+    // the x-duplicate of the target scores above the y-ish source docs
+    assert(got(2L) > got(4L) && got(3L) > got(4L),
+      "target-like source docs must out-weight off-target ones")
+    // partitioning invariance: DECIMAL sums are associative
+    val again = Sampling.dsirWeights(dsirDocs.repartition(13),
+      col("source") === "tgt", buckets = B)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again === got)
+  }
+
+  test("dsirResample: deterministic Gumbel-top-k over the source slice") {
+    val s1 = Sampling.dsirResample(dsirDocs, col("source") === "tgt", k = 3,
+      buckets = 16).collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(s1.length === 3)
+    assert(s1.map(_._1).toSet.subsetOf(Set(2L, 3L, 4L, 5L, 6L)),
+      "resample draws from the source slice only")
+    assert(s1.map(_._2).toSeq === s1.map(_._2).sorted(Ordering[Double].reverse).toSeq,
+      "rows come back score-descending")
+    val s2 = Sampling.dsirResample(dsirDocs.repartition(7),
+      col("source") === "tgt", k = 3, buckets = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(s1.toSeq === s2.toSeq, "draw is a pure function of ids + salt")
+    // a different salt is an independent draw: k=all keeps the set equal
+    val all = Sampling.dsirResample(dsirDocs, col("source") === "tgt", k = 5,
+      buckets = 16, salt = "other").collect().map(_.getLong(0)).toSet
+    assert(all === Set(2L, 3L, 4L, 5L, 6L))
+  }
 }

@@ -766,6 +766,90 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       "stride keeps frames 0 and 2; the corrupt asset yields no rows")
   }
 
+  test("multimodal: AVI/DIB video round-trips every frame's pixels and header fps") {
+    import Multimodal.VideoCodec
+    // odd width exercises the 4-byte DIB row padding (3*3=9 → stride 12)
+    val colors = Seq((255, 0, 128), (0, 200, 10), (17, 17, 17), (1, 2, 3))
+    val frames = colors.map { case (r, g, b) =>
+      Array.fill(3 * 2)(0xff000000 | (r << 16) | (g << 8) | b)
+    }
+    val avi = VideoCodec.encodeAvi(3, 2, 10, frames)
+    val d = VideoCodec.decode(avi).get
+    assert(d.fps === 10.0, "fps comes from the strh rate/scale")
+    assert(d.frames.length === 4, "all stored frames decode")
+    d.frames.zip(colors).foreach { case (f, (r, g, b)) =>
+      assert((f.width, f.height) === ((3, 2)))
+      assert(f.channelMeans === ((r.toDouble, g.toDouble, b.toDouble)),
+        "raw DIB frames round-trip pixels exactly")
+    }
+    // per-pixel (not just means): a non-solid frame round-trips bit-exactly
+    val grad = Array.tabulate(3 * 2)(i => 0xff000000 | (i * 40 << 16) | (i * 30 << 8) | i)
+    val d2 = VideoCodec.decode(VideoCodec.encodeAvi(3, 2, 5, Seq(grad))).get
+    assert(d2.frames.head.argb.toSeq === grad.toSeq,
+      "bottom-up row order and BGR byte order restore the exact raster")
+    // corrupt payloads: None, never a throw, never a hang
+    assert(VideoCodec.decode("not a video".getBytes("UTF-8")).isEmpty)
+    assert(VideoCodec.decode(avi.take(40)).isEmpty, "truncated mid-header punts")
+    for (badSize <- Seq(0xFFFFFFF8, 0xFFFFFFF7, 0)) {
+      val bb = java.nio.ByteBuffer.allocate(64)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(56)
+        .put("AVI ".getBytes("US-ASCII"))
+        .put("junk".getBytes("US-ASCII")).putInt(badSize)
+      assert(VideoCodec.decode(bb.array()).isEmpty,
+        f"corrupt chunk size 0x$badSize%08x must punt promptly, not loop")
+    }
+  }
+
+  test("multimodal: MJPEG AVI decodes real JPEG frames through ImageIO") {
+    import Multimodal.VideoCodec
+    val colors = Seq((200, 64, 32), (10, 180, 90))
+    val frames = colors.map { case (r, g, b) =>
+      Array.fill(16 * 8)(0xff000000 | (r << 16) | (g << 8) | b)
+    }
+    val avi = VideoCodec.encodeAvi(16, 8, 25, frames, mjpeg = true)
+    val d = VideoCodec.decode(avi).get
+    assert(d.fps === 25.0)
+    assert(d.frames.length === 2)
+    d.frames.zip(colors).foreach { case (f, (r, g, b)) =>
+      assert((f.width, f.height) === ((16, 8)), "JPEG dims are lossless")
+      val (mr, mg, mb) = f.channelMeans
+      // JPEG is lossy: solid frames stay near-solid (DC-only blocks),
+      // so channel means land within a small quantization tolerance
+      assert(math.abs(mr - r) <= 8 && math.abs(mg - g) <= 8 && math.abs(mb - b) <= 8,
+        s"MJPEG frame mean ($mr,$mg,$mb) must approximate ($r,$g,$b)")
+    }
+  }
+
+  test("multimodal: decodeVideoFrames strides, skips poison, and feeds real features") {
+    import Multimodal.VideoCodec
+    val colors = Seq((250, 0, 0), (0, 250, 0), (0, 0, 250))
+    val frames = colors.map { case (r, g, b) =>
+      Array.fill(4 * 4)(0xff000000 | (r << 16) | (g << 8) | b)
+    }
+    val avi = VideoCodec.encodeAvi(4, 4, 15, frames)
+    val assets = Seq(
+      (1L, avi, "video/avi", 4, 4),
+      (2L, "garbage".getBytes("UTF-8"), "video/avi", 0, 0),
+      (3L, avi, "application/octet-stream", 4, 4))
+      .toDF("asset_id", "media", "mime", "width", "height")
+    val rows = Multimodal.decodeVideoFrames(assets, stride = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3), r.getDouble(6)))
+    assert(rows.toSeq === Seq((1L, 0, 3, 15.0, 250.0), (1L, 2, 3, 15.0, 0.0)),
+      "stride keeps frames 0 and 2; corrupt and non-video assets yield no rows")
+    // extractFeatures: AVI mimes get REAL frame-averaged pixel histograms
+    // (nonzero mass in exactly the solid colors' bins), not the stub
+    val feats = Multimodal.extractFeatures(
+      Seq((1L, avi, "video/avi", 4, 4)).toDF("asset_id", "media", "mime", "width", "height"),
+      dim = 6).collect().head.getSeq[Float](1)
+    // dim=6 → 2 bins/channel; 250 → high bin, 0 → low bin; each channel
+    // is 250 in exactly one frame of three
+    assert(feats.toSeq === Seq(2f / 3, 1f / 3, 2f / 3, 1f / 3, 2f / 3, 1f / 3),
+      "video features are frame-averaged real pixel histograms")
+    val stub = Multimodal.StubCodec.featuresOf(avi, 6)
+    assert(feats.toSeq !== stub.toSeq, "the stub path is not used for AVI")
+  }
+
   test("multimodal: WAV codec round-trips exact PCM16 samples, header, and stats") {
     import Multimodal.AudioCodec
     val samples = Array[Short](100, -100, 250, -32768, 32767, 0)
