@@ -1190,7 +1190,16 @@ object AnnBench {
     val audio = phase("wav_encode_decode")(
       Multimodal.decodeAudio(Multimodal.wavAssetsFromDocuments(docs))
         .filter(col("decoded")).count())
-    val json = s"""{"media_scale":{"n_assets":$n,$encDec,$resize,$audio}}"""
+    // AVI rows out = frames (2-6 per asset), so assets/s prints low by
+    // the frame multiplier; the honest per-asset rate is rows/3.5/sec
+    val video = phase("avi_encode_decode_frames")(
+      Multimodal.decodeVideoFrames(Multimodal.aviAssetsFromDocuments(docs))
+        .count())
+    val mjpeg = phase("mjpeg_encode_decode_frames")(
+      Multimodal.decodeVideoFrames(
+        Multimodal.aviAssetsFromDocuments(docs, mjpeg = true)).count())
+    val json =
+      s"""{"media_scale":{"n_assets":$n,$encDec,$resize,$audio,$video,$mjpeg}}"""
     println(json)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/media_scale.json"), json + "\n")
