@@ -53,7 +53,13 @@ object GraftExtensions {
     (FunctionIdentifier("dot_product"), info("dot_product"),
       binary("dot_product", DotProductExpr(_, _))),
     (FunctionIdentifier("regexp_spans"), info("regexp_spans"),
-      binary("regexp_spans", graft.functions.RegexpSpansExpr(_, _))))
+      binary("regexp_spans", graft.functions.RegexpSpansExpr(_, _))),
+    (FunctionIdentifier("luhn_check"), info("luhn_check"),
+      { args =>
+        require(args.length == 1,
+          s"luhn_check requires exactly 1 argument, got ${args.length}")
+        graft.functions.LuhnCheckExpr(args(0))
+      }))
 
   /** Lift a DataFrame builder over literal arguments into a TVF plan
     * builder: arguments must be foldable (the SQL-literal contract of a

@@ -2699,6 +2699,13 @@ object SparkEntry {
         .select(col("doc_id"), col("kind"), col("pii"))),
     "q_pii_redact" -> ((s, dir) =>
       TextAnalysis.redactPii(injectPii(Tables.documents(s, dir)))),
+    // Card candidates + Luhn mod-10 validation (codegen luhn_check):
+    // the injected "4111 1111 1111 <id4>" cards are shape-valid always
+    // but checksum-valid ~1-in-10 — BOTH engines compute the checksum
+    // independently, so the oracle verifies the kernel digit-for-digit.
+    "q_card_luhn" -> ((s, dir) =>
+      TextAnalysis.cardCandidates(injectPii(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("card"), col("luhn_valid"))),
     // ---- URL / domain provenance filtering ----
     // URL-free corpus → deterministic injection (formula mirrored in
     // SQL), then the real extractor / blocklist gate (subdomain-suffix
@@ -3407,6 +3414,21 @@ object SparkEntry {
                 u -> regexp_extract(u, '${TextAnalysis.domainPattern}', 1)),
               d -> $blocked)) = 0"""
     },
+    "q_card_luhn" ->
+      """WITH c AS (SELECT doc_id,
+                '4111 1111 1111 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS card
+              FROM documents WHERE doc_id % 5 = 2),
+          d AS (SELECT doc_id, card,
+                       replace(replace(card, ' ', ''), '-', '') AS dg FROM c)
+          SELECT doc_id, card,
+                 (list_sum(list_transform(range(1, len(dg) + 1), i ->
+                    CASE WHEN (len(dg) - i) % 2 = 1
+                         THEN CASE WHEN 2 * CAST(substring(dg, i, 1) AS INT) > 9
+                                   THEN 2 * CAST(substring(dg, i, 1) AS INT) - 9
+                                   ELSE 2 * CAST(substring(dg, i, 1) AS INT) END
+                         ELSE CAST(substring(dg, i, 1) AS INT) END)) % 10 = 0)
+                   AS luhn_valid
+          FROM d""",
     "q_pii_redact" -> {
       // intermediates(i) = text after the first i replace rules; each rule's
       // count runs on ITS intermediate, mirroring TextAnalysis.redactPii's

@@ -519,6 +519,31 @@ object TextAnalysis {
       .select(col("doc_id"), col("m.kind"), col("m.start"), col("m.stop"), col("m.pii"))
   }
 
+  /** Luhn checksum as a column (codegen
+    * [[graft.functions.LuhnCheckExpr]], SQL `luhn_check`).
+    */
+  def luhnCheckCol(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.LuhnCheckExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+
+  /** Card-shaped candidates with Luhn validation:
+    * `(doc_id, start, stop, card, luhn_valid)` — the regex rule finds
+    * digit-shaped candidates, the mod-10 checksum promotes them to
+    * plausible PANs (the standard false-positive gate for card
+    * detection: a random 16-digit string passes the shape test always
+    * and the checksum 1-in-10). Narrow: one matcher sweep + one
+    * codegen checksum per candidate, shuffle-free, streaming-safe.
+    */
+  def cardCandidates(documents: DataFrame): DataFrame = {
+    val pat = piiPatterns.find(_._1 == "card").get._2
+    documents
+      .select(col("doc_id"), explode(piiSpansCol(col("text"), pat)).as("s"))
+      .select(col("doc_id"), col("s.start").as("start"),
+        col("s.stop").as("stop"), col("s.pii").as("card"),
+        luhnCheckCol(col("s.pii")).as("luhn_valid"))
+  }
+
   /** Redacted text as a pure column: the [[piiPatterns]] replace chain
     * in declared order (regexp_replace replaces ALL occurrences).
     */

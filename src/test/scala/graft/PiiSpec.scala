@@ -128,4 +128,53 @@ class PiiSpec extends AnyFunSuite {
     assert(on.map(_.getLong(1)).sum === 1L, "redacted twins must dedup to one")
     assert(off.map(_.getLong(1)).sum === 2L, "unredacted twins both survive")
   }
+
+  test("luhn_check validates PAN checksums from kernel to SQL surface") {
+    import graft.functions.PiiKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    def luhn(s: String) = PiiKernels.luhnValid(UTF8String.fromString(s))
+    // known-valid test PANs (public checksum examples) and off-by-one twins
+    assert(luhn("4111111111111111"))
+    assert(luhn("4111 1111 1111 1111"), "space separators allowed")
+    assert(luhn("4111-1111-1111-1111"), "dash separators allowed")
+    assert(luhn("5500005555555559"))
+    assert(luhn("378282246310005"), "15-digit Amex length in range")
+    assert(!luhn("4111111111111112"), "checksum off by one fails")
+    assert(!luhn("4111111111111121"), "transposition fails")
+    assert(!luhn("41111111111"), "11 digits below PAN range")
+    assert(!luhn("41111111111111111111"), "20 digits above PAN range")
+    assert(!luhn("4111x111111111111"), "non-separator character fails")
+    assert(!luhn(""), "empty fails")
+    // cardCandidates: regex shape + checksum gate over a corpus
+    val docs = Seq(
+      (1L, "pay 4111 1111 1111 1111 now"),
+      (2L, "fake 4111 1111 1111 1112 here"),
+      (3L, "no cards at all"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.cardCandidates(docs).collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getBoolean(4))).toSeq
+    assert(got === Seq(
+      (1L, "4111 1111 1111 1111", true),
+      (2L, "4111 1111 1111 1112", false)),
+      "shape-valid candidates split by checksum; cardless docs emit nothing")
+    // offsets point at the match
+    val span = TextAnalysis.cardCandidates(docs).filter(col("doc_id") === 1)
+      .select("start", "stop").head()
+    assert((span.getInt(0), span.getInt(1)) === ((4, 23)))
+    // SQL surface
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT luhn_check('4111-1111-1111-1111'), luhn_check('4111111111111112')").head()
+    assert(viaSql.getBoolean(0) && !viaSql.getBoolean(1))
+    // codegen pin: over a non-foldable source the expression runs inside
+    // whole-stage codegen (a local Seq constant-folds to LocalTableScan)
+    val wholeStage = spark.range(10).select(
+      TextAnalysis.luhnCheckCol(
+        concat(lit("4111 1111 1111 111"), col("id").cast("string"))).as("v"))
+    val planStr = wholeStage.queryExecution.executedPlan.toString
+    assert(planStr.contains("*(1) Project [luhn_check"),
+      s"luhn_check must stay inside whole-stage codegen (the * span):\n$planStr")
+    assert(wholeStage.collect().count(_.getBoolean(0)) === 1,
+      "exactly one last-digit completion satisfies the checksum")
+  }
 }
