@@ -3017,6 +3017,13 @@ object SparkEntry {
     "q_domain_mix" -> ((s, dir) =>
       Sampling.domainMix(Tables.documents(s, dir), col("lang"), col("doc_id"), mixTargets)
         .select(col("doc_id"), col("lang"))),
+    // Temperature-flattened mixing (T = 2): derived targets ∝ p^(1/T)
+    // over the observed language mixture — the multilingual sampling-
+    // temperature knob; the en head downsamples, tail langs keep ~all.
+    "q_temperature_mix" -> ((s, dir) =>
+      Sampling.temperatureMix(Tables.documents(s, dir), col("lang"),
+          col("doc_id"), temperature = 2.0)
+        .select(col("doc_id"), col("lang"))),
     // Epoch-style mixing with upsampling: fractional repeats per
     // stratum (the "N epochs of a source per pass" knob).
     "q_epoch_mix" -> ((s, dir) =>
@@ -4224,6 +4231,17 @@ object SparkEntry {
           SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
           WHERE ${duckUnitHashSalted("d.doc_id", "mix")} < r.rate"""
     },
+    "q_temperature_mix" ->
+      s"""WITH n AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+                     FROM documents GROUP BY lang),
+          tot AS (SELECT sum(n) AS tot FROM n),
+          p AS (SELECT lang, pow(n / tot, 1.0 / 2.0) AS pw, n FROM n, tot),
+          z AS (SELECT sum(pw) AS z FROM p),
+          t AS (SELECT lang, pw / z AS tgt, n FROM p, z),
+          k AS (SELECT min(n / tgt) AS k FROM t),
+          r AS (SELECT lang, least(1.0, tgt * k.k / n) AS rate FROM t, k)
+          SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+          WHERE ${duckUnitHashSalted("d.doc_id", "tmix")} < r.rate""",
 
     // The engine really encodes+decodes PNG pixels (ImageIO); the oracle
     // predicts the decoded metadata/stats from the synthesis formulas. A

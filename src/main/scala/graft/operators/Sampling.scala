@@ -123,6 +123,30 @@ object Sampling {
     df.filter(Portable.unitHashSalted(key, salt) < rate)
   }
 
+  /** TEMPERATURE-flattened domain mixing (the multilingual
+    * sampling-temperature knob, mT5/XLM-R style): derived targets
+    * `target_s ∝ (n_s/N)^(1/T)` over the strata present, then
+    * [[domainMix]] downsampling to that mixture at the largest
+    * achievable size. T = 1 reproduces the corpus mixture (every rate
+    * degenerates to 1), T → ∞ approaches uniform — the heavy-head
+    * flattening every multilingual / multi-source training mix uses.
+    * Costs one counting pass (C stratum counts to the driver — the
+    * [[mixRates]] bounded contract) and then a narrow map-side filter.
+    */
+  def temperatureMix(df: DataFrame, strata: Column, key: Column,
+                     temperature: Double,
+                     salt: String = "tmix"): DataFrame = {
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    val counts = df.groupBy(strata.as("s")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    require(counts.nonEmpty, "temperatureMix needs at least one stratum")
+    val total = counts.values.sum
+    val flat = counts.view
+      .mapValues(n => math.pow(n / total, 1.0 / temperature)).toMap
+    val z = flat.values.sum
+    domainMix(df, strata, key, flat.view.mapValues(_ / z).toMap, salt)
+  }
+
   /** Epoch-style mixing with UPSAMPLING: each stratum's rows appear
     * `epochs(s)` times in expectation — `floor(e)` full copies plus one
     * extra copy for the deterministic `e − floor(e)` fraction of keys

@@ -229,6 +229,31 @@ class SamplingSpec extends AnyFunSuite {
     assert(n === 1, s"expected the single shard_id exchange, got $n:\n$p")
   }
 
+  test("temperatureMix: T=1 is the identity mixture; T=2 flattens the head") {
+    // T = 1: targets equal the corpus mixture, so every rate is 1
+    val t1 = Sampling.temperatureMix(docs, col("lang"), col("doc_id"), 1.0)
+    assert(t1.count() === 1000, "T = 1 must keep the corpus unchanged")
+    // T = 2: the binding (smallest-n/target) stratum keeps everything,
+    // the 600-row head downsamples hardest
+    val t2 = Sampling.temperatureMix(docs, col("lang"), col("doc_id"), 2.0)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t2("c") === 100L, "the smallest stratum is binding — kept whole")
+    // expected: targets ∝ sqrt(p) → (.462,.327,.189)·k with k = 100/.189
+    // → a≈244, b≈173 in expectation under Bernoulli keeps
+    assert(t2("a") > 195 && t2("a") < 295, s"head kept ${t2("a")} of 600")
+    assert(t2("b") > 130 && t2("b") < 215, s"mid kept ${t2("b")} of 300")
+    // flattening: output shares are strictly closer to uniform than input
+    val total = t2.values.sum.toDouble
+    assert(t2("a") / total < 0.6 - 1e-9 && t2("c") / total > 0.1 + 1e-9)
+    // deterministic under repartitioning
+    val again = Sampling.temperatureMix(docs.repartition(11), col("lang"),
+      col("doc_id"), 2.0).collect().map(_.getLong(0)).toSet
+    val first = Sampling.temperatureMix(docs, col("lang"), col("doc_id"), 2.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(again === first)
+  }
+
   // tiny controlled corpus for DSIR: target docs are about "x", source
   // docs split between x-ish (should up-weight) and y-ish (down-weight)
   private lazy val dsirDocs = Seq(

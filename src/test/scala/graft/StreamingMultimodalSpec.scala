@@ -948,6 +948,33 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(streamed.size === 6)
   }
 
+  test("multimodal: video frame decode is streaming-safe (micro-batched == batch)") {
+    implicit val sqlCtx = spark.sqlContext
+    import Multimodal.VideoCodec
+    val assets = (1L to 4L).map { i =>
+      val frames = (0 until (i % 3 + 2).toInt).map(j =>
+        Array.fill(4 * 3)(0xff000000 | ((i * 50 + j * 20) % 256).toInt << 16))
+      (i, VideoCodec.encodeAvi(4, 3, 10, frames), "video/avi")
+    }
+    val mem = MemoryStream[(Long, Array[Byte], String)]
+    val q = Multimodal.decodeVideoFrames(
+        mem.toDF().toDF("asset_id", "media", "mime"), batchSize = 2)
+      .writeStream.format("memory").queryName("vdecode_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(assets.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(assets.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("vdecode_out").collect().map(_.toSeq).toSet
+    val batch = Multimodal.decodeVideoFrames(
+        assets.toDF("asset_id", "media", "mime"), batchSize = 2)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch, "the stateless video codec pass must stream unchanged")
+    assert(streamed.nonEmpty)
+  }
+
   test("multimodal: resize metadata preserves aspect ratio and never upscales") {
     val assets = Seq(
       (1L, Array[Byte](1), "image/png", 1000, 500),
