@@ -572,8 +572,11 @@ object Multimodal {
                           w: Int, hSigned: Int): Option[ImageCodec.Decoded] = {
       val h = math.abs(hSigned); val bottomUp = hSigned > 0
       if (w <= 0 || h == 0) return None
-      val stride = (w * 3 + 3) & ~3
-      if (len < stride * h) return None
+      // stride/extent in Long: a crafted biWidth near 2^31 overflows the
+      // Int product and could pass the bounds check into a bad allocation
+      val strideL = (w.toLong * 3 + 3) & ~3L
+      if (strideL * h > len.toLong) return None
+      val stride = strideL.toInt
       val px = new Array[Int](w * h)
       var sy = 0
       while (sy < h) {

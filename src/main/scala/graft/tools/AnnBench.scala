@@ -57,6 +57,7 @@ object AnnBench {
     if (args.contains("streamscale")) { streamScaleSmoke(spark); spark.stop(); return }
     if (args.contains("piiscale")) { piiScaleSmoke(spark); spark.stop(); return }
     if (args.contains("mediascale")) { mediaScaleSmoke(spark); spark.stop(); return }
+    if (args.contains("dsirscale")) { dsirScaleSmoke(spark); spark.stop(); return }
     val emb = Tables.embeddings(spark, sfDir)
     val qs = emb.select(col("vec_id").as("query_id"),
       perturbQuery(col("embedding")).as("query_vec"))
@@ -397,6 +398,64 @@ object AnnBench {
     * label / feature terms ("query", "spark", "join", "table") exist
     * with realistic document frequencies.
     */
+  /** DSIR data-selection smoke: importance weights + Gumbel-top-k
+    * resampling over a 2M-doc synthetic corpus (~40 tokens/doc, 10%
+    * marked target). The claims under test: (a) model state is
+    * corpus-INDEPENDENT (two bucket-bounded aggregates + a broadcast λ
+    * table — the paper's hashing point), so the measured shuffle is
+    * dominated by the per-doc weight partials, never gram text; (b)
+    * throughput is a scan-rate workload. Output: one JSON line +
+    * target/dsir_scale.json.
+    */
+  private def dsirScaleSmoke(spark: SparkSession): Unit = {
+    import graft.operators.Sampling
+    val n = sys.env.get("SPARK_GRAFT_DSIR_N").flatMap(_.toIntOption).getOrElse(2000000)
+    val base = concat_ws(" ", (0 until 40).map(j =>
+      concat(lit("w"), pmod(hash(col("id"), lit(j)), lit(50000)).cast("string"))): _*)
+    val docs = spark.range(n).select(
+        col("id").as("doc_id"), base.as("text"),
+        (pmod(col("id"), lit(10)) === 0).as("is_tgt"))
+      .cache()
+    docs.count()
+
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+    def phase(label: String)(f: => Long): String = {
+      System.gc()
+      val s0 = shuffleBytes.get()
+      val t0 = System.nanoTime()
+      val count = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      val sb = shuffleBytes.get() - s0
+      println(s"[annbench] dsirscale $label: $count rows, ${fmt(sec, 1)} s " +
+        s"(${(n / sec).toLong} docs/s), shuffle ${sb / 1024} KB")
+      s""""$label":{"rows":$count,"wall_sec":${fmt(sec, 1)},""" +
+        s""""docs_per_sec":${(n / sec).toLong},"shuffle_write_kb":${sb / 1024}}"""
+    }
+    // materialize through noop (the Bench convention): count() would let
+    // the optimizer prune the DECIMAL weight aggregation itself. Row
+    // counts are structural (one weight per doc; exactly k resampled).
+    def noop(df: org.apache.spark.sql.DataFrame, rows: Long): Long = {
+      df.write.format("noop").mode("overwrite").save(); rows
+    }
+    val weights = phase("dsir_weights")(
+      noop(Sampling.dsirWeights(docs, col("is_tgt"), buckets = 4096), n.toLong))
+    val sample = phase("dsir_resample_100k")(
+      noop(Sampling.dsirResample(docs, col("is_tgt"), k = 100000, buckets = 4096),
+        100000L))
+    val json = s"""{"dsir_scale":{"n_docs":$n,$weights,$sample}}"""
+    println(json)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/dsir_scale.json"), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[annbench] file write failed: ${e.getMessage}") }
+  }
+
   private def textScaleSmoke(spark: SparkSession): Unit = {
     import graft.operators.{Classifier, Packing, Retrieval}
     val n = sys.env.get("SPARK_GRAFT_TEXT_N").flatMap(_.toIntOption).getOrElse(2000000)

@@ -799,6 +799,16 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       assert(VideoCodec.decode(bb.array()).isEmpty,
         f"corrupt chunk size 0x$badSize%08x must punt promptly, not loop")
     }
+    // crafted biWidth near 2^31: the Int stride product would overflow
+    // past the bounds check into a bad allocation — must punt instead
+    val evil = avi.clone()
+    val strfAt = evil.indices.find(i =>
+      evil(i) == 's' && evil(i + 1) == 't' && evil(i + 2) == 'r' && evil(i + 3) == 'f').get
+    val wAt = strfAt + 8 + 4 // chunk header + biSize
+    evil(wAt) = 0xff.toByte; evil(wAt + 1) = 0xff.toByte
+    evil(wAt + 2) = 0xff.toByte; evil(wAt + 3) = 0x7f.toByte
+    assert(VideoCodec.decode(evil).isEmpty,
+      "a 2^31-ish biWidth must fail the Long bounds check, not allocate")
   }
 
   test("multimodal: MJPEG AVI decodes real JPEG frames through ImageIO") {
