@@ -310,6 +310,17 @@ object GraftExtensions {
         Retrieval.tfidfTopK(Tables.documents(spark, asString(args(0))),
           args.drop(2).map(asString), asInt(args(1)))
       }),
+    (FunctionIdentifier("proximity_topk"), info("proximity_topk"),
+      tvf("proximity_topk") { (spark, args) =>
+        require(args.length == 5, "proximity_topk(dir, k, termA, termB, slop)")
+        val sfDir = asString(args(0))
+        val base = spark.conf.getOption("spark.graft.indexDir")
+          .getOrElse("target/graft_index")
+        val ldir = s"$base/v2_tfidf_m_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+        Retrieval.ensureTfidfLayout(Tables.documents(spark, sfDir), ldir)
+        Retrieval.proximityTopK(spark, ldir, asString(args(2)), asString(args(3)),
+          asInt(args(4)), asInt(args(1)))
+      }),
     (FunctionIdentifier("phrase_topk"), info("phrase_topk"),
       tvf("phrase_topk") { (spark, args) =>
         require(args.length >= 4, "phrase_topk(dir, k, term1, term2, ...)")

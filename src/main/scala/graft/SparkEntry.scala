@@ -2786,6 +2786,14 @@ object SparkEntry {
       Retrieval.ensureTfidfLayout(Tables.documents(s, dir), ldir)
       Retrieval.phraseTopK(s, ldir, phraseTerms, 10)
     }),
+    // Proximity (slop) search over the same positional postings: count
+    // of ordered "spark … join" co-occurrences within 3 words.
+    "q_proximity_topk" -> ((s, dir) => {
+      val ldir = tfidfDir(s, dir)
+      Retrieval.ensureTfidfLayout(Tables.documents(s, dir), ldir)
+      Retrieval.proximityTopK(s, ldir, phraseTerms(0), phraseTerms(1),
+        slop = 3, k = 10)
+    }),
     "q_tfidf_indexed_tombstone_topk" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val ldir = tfidfDir(s, dir, "del")
@@ -4071,6 +4079,17 @@ object SparkEntry {
     // phrase retrieval: slot-shifted position INTERSECT — the engine's
     // position-list intersection in set-SQL form
     "q_phrase_topk" -> duckPhrase(phraseTerms, 10),
+    "q_proximity_topk" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+          p AS (SELECT doc_id, unnest(ts) AS term, unnest(range(len(ts))) AS pos FROM t),
+          a AS (SELECT doc_id, pos FROM p WHERE term = '${phraseTerms(0)}'),
+          b AS (SELECT doc_id, pos FROM p WHERE term = '${phraseTerms(1)}'),
+          j AS (SELECT a.doc_id, count(*) AS n_near
+                FROM a JOIN b ON a.doc_id = b.doc_id
+                              AND b.pos > a.pos AND b.pos <= a.pos + 3
+                GROUP BY a.doc_id)
+          SELECT doc_id, n_near FROM j
+          ORDER BY n_near DESC, doc_id LIMIT 10""",
     // layout-served twins: identical semantics, different physical
     // plan (pushed term filter over the stored posting table)
     "q_tfidf_indexed_topk" ->

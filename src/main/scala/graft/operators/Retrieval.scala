@@ -513,6 +513,37 @@ object Retrieval {
       .limit(k)
   }
 
+  /** PROXIMITY top-k over the positional postings — [[phraseTopK]]'s
+    * relaxation and the other standard positional query: rank documents
+    * by the number of ordered near co-occurrences of two terms, i.e.
+    * position pairs (p1, p2) with 0 < p2 − p1 ≤ slop (slop = 1
+    * degenerates to the exact 2-term phrase count). Same serving shape
+    * as the phrase query: the postings scan is term-pushed so cost is
+    * ∝ df(termA) + df(termB), and pair counting is LOCAL per document
+    * over the tf-bounded position arrays (a nested HOF fold — tf², but
+    * tf is tens, not corpus-scale). Takedowns ride the shared
+    * `_deletes` sidecar.
+    */
+  def proximityTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    termA: String, termB: String, slop: Int, k: Int): DataFrame = {
+    require(slop >= 1, s"slop must be positive, got $slop")
+    val postings = spark.read.parquet(s"$dir/postings")
+      .select(col("doc_id"), col("term"), col("positions"))
+    val a = postings.filter(col("term") === termA)
+      .select(col("doc_id"), col("positions").as("pa"))
+    val b = postings.filter(col("term") === termB)
+      .select(col("doc_id"), col("positions").as("pb"))
+    val paired = a.join(b, Seq("doc_id"))
+      .withColumn("n_near",
+        aggregate(col("pa"), lit(0), (acc, p1) =>
+          acc + size(filter(col("pb"), p2 => p2 > p1 && p2 <= p1 + slop))))
+      .filter(col("n_near") > 0)
+      .select(col("doc_id"), col("n_near").cast("long").as("n_near"))
+    excludeDeleted(spark, dir, paired)
+      .orderBy(col("n_near").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Hybrid retrieval by reciprocal-rank fusion (Cormack et al.):
     * fuse the BM25 top-`poolK` lexical list with the cosine top-`poolK`
     * embedding list (doc_id ≡ vec_id row alignment),

@@ -417,6 +417,32 @@ class RetrievalSpec extends AnyFunSuite {
       s"phrase terms must push into the parquet postings scan:\n$plan")
   }
 
+  test("proximityTopK: windowed ordered pairs; slop=1 == phrase count; tombstones") {
+    val corpus = Seq(
+      (0L, "cat dog"),                 // distance 1
+      (1L, "cat x dog cat y z dog"),   // pairs within 3: (0,2), (3,6)? 6-3=3 ✓ and (0→6)=6 ✗ → 2
+      (2L, "cat x y z dog"),           // distance 4 — outside slop 3
+      (3L, "dog cat"),                 // reverse order only
+      (4L, "cat dog dog")              // (0,1) and (0,2) → 2
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("prox_idx").toString
+    Retrieval.ensureTfidfLayout(corpus, dir)
+    def got(a: String, b: String, slop: Int) =
+      Retrieval.proximityTopK(spark, dir, a, b, slop, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got("cat", "dog", 3) === Seq((1L, 2L), (4L, 2L), (0L, 1L)),
+      "ordered pairs within the window, ranked by count then doc_id")
+    // slop = 1 degenerates to the exact 2-term phrase count
+    val phrase = Retrieval.phraseTopK(spark, dir, Seq("cat", "dog"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got("cat", "dog", 1) === phrase)
+    // direction matters: doc 1 has dog@2 → cat@3, doc 3 is reverse-only
+    assert(got("dog", "cat", 3) === Seq((1L, 1L), (3L, 1L)))
+    // tombstones drop from proximity serving too
+    Retrieval.deleteDocs(spark, dir, Seq(1L).toDF("doc_id"))
+    assert(got("cat", "dog", 3) === Seq((4L, 2L), (0L, 1L)))
+  }
+
   test("tfidfTopK: idf join broadcasts and scores are partition-count-invariant") {
     val many = (0L until 200L).map { i =>
       (i, if (i % 5 == 0) "cat common" else "common filler fish")

@@ -247,6 +247,27 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(redacted === fromApi, "redacting a PII-free corpus is the identity")
   }
 
+  test("SQL TVFs connected_components / phrase_topk / proximity_topk match the APIs") {
+    GraftExtensions.register(spark)
+    val ccSql = spark.sql(s"SELECT * FROM connected_components('$sf')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ccApi = SparkEntry.queries("q_connected_components")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ccSql === ccApi)
+    assert(ccSql.nonEmpty)
+    val phSql = spark.sql(s"SELECT * FROM phrase_topk('$sf', 10, 'spark', 'join')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val phApi = SparkEntry.queries("q_phrase_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(phSql === phApi)
+    val pxSql = spark.sql(s"SELECT * FROM proximity_topk('$sf', 10, 'spark', 'join', 3)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val pxApi = SparkEntry.queries("q_proximity_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pxSql === pxApi)
+    assert(pxSql.nonEmpty)
+  }
+
   test("TVFs compose with plain SQL (filter + order over the TVF result)") {
     GraftExtensions.register(spark)
     val top3 = spark.sql(
