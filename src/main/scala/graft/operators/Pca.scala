@@ -65,12 +65,24 @@ object Pca {
     val exploded = embeddings
       .select(col("embedding"),
         posexplode(transform(col("embedding"), x => x.cast("double"))).as(Seq("i", "x")))
+    // SYMMETRY: generate only the upper triangle (j ≥ i) — the second
+    // generator expands the SLICE from index i on, halving both the
+    // generated rows and the DECIMAL aggregation (n·d(d+1)/2 instead of
+    // n·d²); the lower triangle is mirrored from the same aggregated
+    // values afterwards, so the output is bit-identical (x·y = y·x and
+    // the (i, j) group's value multiset equals (j, i)'s).
     val pairs = exploded
       .select(col("i"), col("x"),
-        posexplode(transform(col("embedding"), y => y.cast("double"))).as(Seq("j", "y")))
-    val exy = pairs.groupBy("i", "j")
+        posexplode(transform(
+          slice(col("embedding"), col("i") + 1, size(col("embedding")) - col("i")),
+          y => y.cast("double"))).as(Seq("jo", "y")))
+      .select(col("i"), col("x"), (col("i") + col("jo")).as("j"), col("y"))
+    val tri = pairs.groupBy("i", "j")
       .agg((sum((col("x") * col("y")).cast("decimal(38,12)")).cast("double")
         / count(lit(1))).as("exy"))
+    val exy = tri.union(
+      tri.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("exy")))
     val mu = embeddings
       .select(posexplode(transform(col("embedding"), x => x.cast("double")))
         .as(Seq("i", "x")))
