@@ -511,4 +511,44 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert("""\*\(\d+\) Project \[[^\n]*l2_distance_sq""".r.findFirstIn(p).isDefined,
       s"distance projection must codegen:\n$p")
   }
+
+  test("video/GIF frame queries are shuffle-free codec passes") {
+    for (name <- Seq("q_video_frames", "q_gif_frames")) {
+      val p = plan(name)
+      assert(countOf(p, "Exchange") == 0,
+        s"$name must be a narrow codec pass, found a shuffle:\n$p")
+      assert(p.contains("MapPartitions"),
+        s"$name: the batched codec boundary must be a MapPartitions:\n$p")
+    }
+  }
+
+  test("q_dsir_weights: lambda table broadcast, no cartesian over the corpus") {
+    val p = plan("q_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bucket-bounded λ table must BROADCAST to the gram stream:\n$p")
+    assert(countOf(p, "BroadcastNestedLoopJoin") <= 1,
+      s"only the 1-row totals cross join may be nested-loop:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no corpus-scale cartesian anywhere in DSIR:\n$p")
+  }
+
+  test("q_dsir_sample / q_proximity_topk / q_card_luhn: bounded top-k, pushed terms, no shuffle") {
+    val ps = plan("q_dsir_sample")
+    assert(ps.contains("TakeOrderedAndProject"),
+      s"the Gumbel-top-k must stay a per-partition heap:\n$ps")
+    val pp = plan("q_proximity_topk")
+    assert(pp.contains("EqualTo(term") || pp.contains("In(term") ||
+      pp.contains("isnotnull(term"),
+      s"proximity terms must push into the postings scan:\n$pp")
+    assert(pp.contains("TakeOrderedAndProject"), s"bounded top-k:\n$pp")
+    val pl = plan("q_card_luhn")
+    assert(countOf(pl, "Exchange") == 0,
+      s"card+Luhn is one narrow matcher+checksum pass:\n$pl")
+  }
+
+  test("q_temperature_mix: narrow map-side filter after the bounded counting pass") {
+    val p = plan("q_temperature_mix")
+    assert(countOf(p, "Exchange") == 0,
+      s"the serving plan is a pure filter (rates are plan literals):\n$p")
+  }
 }
