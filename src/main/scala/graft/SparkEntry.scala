@@ -2683,6 +2683,11 @@ object SparkEntry {
     "q_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
     // Gopher-style repetition cut input: duplicate-shingle fraction.
     "q_repetition" -> ((s, dir) => TextAnalysis.repetition(Tables.documents(s, dir))),
+    // Word-distribution entropy (bits) per doc — the vocabulary-
+    // diversity quality signal; H = log2(n) − (Σ c·log2 c)/n so one
+    // (doc, word) count + one per-doc aggregate suffice.
+    "q_word_entropy" -> ((s, dir) =>
+      TextAnalysis.wordEntropy(Tables.documents(s, dir))),
     // Perplexity quality filter: corpus-trained add-0.5-smoothed bigram
     // LM, per-doc mean negative log-likelihood.
     "q_bigram_nll" -> ((s, dir) => TextAnalysis.bigramNll(Tables.documents(s, dir))),
@@ -3984,6 +3989,15 @@ object SparkEntry {
           SELECT doc_id, len(sh) AS n_shingles, len(list_distinct(sh)) AS n_distinct,
                  round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6) AS dup_frac
           FROM shing""",
+    "q_word_entropy" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+          c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY doc_id, w),
+          a AS (SELECT doc_id, sum(c) AS n,
+                       sum(CAST(c * log2(c) AS DECIMAL(38,12))) AS s
+                FROM c GROUP BY doc_id)
+          SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                 round(log2(n) - CAST(s AS DOUBLE) / n, 6) AS entropy
+          FROM a""",
     "q_bigram_nll" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
           prs AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2

@@ -313,6 +313,27 @@ object TextAnalysis {
       .withColumn("dup_frac",
         round(lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"), 6))
 
+  /** Per-document word-distribution entropy (bits) — the Gopher-style
+    * "natural text has a diverse vocabulary" quality signal: low
+    * entropy flags keyword stuffing and templated boilerplate, the
+    * failure mode [[repetition]]'s shingle dup-fraction misses when the
+    * repeats are non-contiguous. Computed via the aggregation-friendly
+    * identity `H = log2(n) − (Σ c_w·log2 c_w)/n` so ONE (doc, word)
+    * count plus one per-doc aggregate does it — the shuffle carries
+    * each doc's DISTINCT words, never the corpus. Determinism: the
+    * per-word `c·log2 c` terms truncate to DECIMAL(38,12) pre-sum (the
+    * bigram-NLL libm discipline); output rounds to 6.
+    */
+  def wordEntropy(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n"),
+        sum((col("c") * log2(col("c"))).cast("decimal(38,12)")).as("s"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        round(log2(col("n")) - col("s").cast("double") / col("n"), 6).as("entropy"))
+
   // ---- Count-Min Sketch heavy hitters ----
 
   /** CMS shape: `cmsRows` independent hash rows × `cmsWidth` counters.

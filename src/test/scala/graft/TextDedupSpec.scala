@@ -400,6 +400,30 @@ class TextDedupSpec extends AnyFunSuite {
     assert(rep(2L) === ((3, 3, 0.0)))
   }
 
+  test("wordEntropy: uniform == log2(k), constant == 0, skew matches hand math") {
+    val fixture = Seq(
+      (1L, "a b c d"),       // uniform over 4 → exactly 2 bits
+      (2L, "a a a a"),       // constant → 0
+      (3L, "a a b"),         // H = log2(3) − (2·log2 2 + 1·log2 1)/3
+      (4L, "solo"))          // single token → 0
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.wordEntropy(fixture).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L) === ((4L, 2.0)))
+    assert(got(2L) === ((4L, 0.0)))
+    assert(got(4L) === ((1L, 0.0)))
+    val h3 = BigDecimal(math.log(3) / math.log(2) - 2.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(3L)._2 === h3)
+    // entropy separates stuffing from diverse text even when the
+    // dup-fraction signal is identical-ish
+    assert(got(2L)._2 < got(3L)._2 && got(3L)._2 < got(1L)._2)
+    // partitioning invariance (DECIMAL pre-sum truncation)
+    val again = TextAnalysis.wordEntropy(fixture.repartition(5)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again === got.view.mapValues(_._2).toMap)
+  }
+
   test("editDistancePairs: deletion-neighborhood blocking is LOSSLESS for ed ≤ 1") {
     // planted: exact dup, substitution, insertion, deletion, transposed
     // (ed 2 — must NOT pair), and an unrelated key; keys are the full
