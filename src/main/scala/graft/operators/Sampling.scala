@@ -123,6 +123,71 @@ object Sampling {
     df.filter(Portable.unitHashSalted(key, salt) < rate)
   }
 
+  /** Freeze a fitted DSIR model as PLAN LITERALS and score any document
+    * frame statelessly — the bm25Scorer / Classifier.scorer convention:
+    * fit λ on the reference corpus once (a ≤`buckets`-row collect, the
+    * bounded-sidecar contract), then scoring is ONE narrow projection
+    * per row (grams → buckets → λ-map lookups → DECIMAL fold), so a
+    * document STREAM scores with no state and no join — and
+    * bit-equals [[dsirWeights]] on the same rows (the driver replicates
+    * Spark's double→DECIMAL(38,12) HALF_UP cast, and decimal addition
+    * is exact and associative). Buckets never seen in the reference
+    * score at the smoothed unseen value `ln(1/(T+B)) − ln(1/(S+B))` —
+    * the tc = sc = 0 case of the same formula.
+    */
+  def dsirScorer(reference: DataFrame, isTarget: Column,
+                 buckets: Int = 256): DataFrame => DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val counts = gramBuckets(reference.select(col("doc_id"),
+        isTarget.as("is_target"), col("text")), buckets)
+      .groupBy("b").agg(
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("tc"),
+        sum(when(col("is_target"), 0L).otherwise(1L)).as("sc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val tt = counts.map(_._2).sum
+    val st = counts.map(_._3).sum
+    def lamOf(tc: Long, sc: Long): java.math.BigDecimal =
+      BigDecimal(math.log((tc + 1.0) / (tt + buckets.toDouble)) -
+          math.log((sc + 1.0) / (st + buckets.toDouble)))
+        .setScale(12, scala.math.BigDecimal.RoundingMode.HALF_UP).bigDecimal
+    val lamMap = counts.map { case (b, tc, sc) => b -> lamOf(tc, sc) }.toMap
+    val unseen = lamOf(0L, 0L)
+
+    docs => {
+      val t = split(col("text"), " ")
+      val n = size(t)
+      val bigrams = zip_with(
+        slice(t, lit(1), greatest(n - 1, lit(0))),
+        slice(t, lit(2), greatest(n - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+      val lamOfGram = (g: Column) =>
+        coalesce(
+          element_at(typedLit(lamMap), pmod(Portable.md5Int(g), lit(buckets.toLong))),
+          typedLit(unseen)).cast("decimal(38,12)")
+      val score = aggregate(
+        transform(concat(t, bigrams), lamOfGram),
+        typedLit(java.math.BigDecimal.ZERO).cast("decimal(38,12)"),
+        (acc, x) => (acc + x).cast("decimal(38,12)"))
+      docs.withColumn("weight", round(score.cast("double"), 6))
+    }
+  }
+
+  /** The hashed unigram+bigram bucket stream shared by [[dsirWeights]]
+    * and [[dsirScorer]]'s model fit: one row per (doc, gram) with its
+    * bucket id; pass-through of every non-text column.
+    */
+  private def gramBuckets(docs: DataFrame, buckets: Int): DataFrame = {
+    val n = size(col("t"))
+    val bigrams = zip_with(
+      slice(col("t"), lit(1), greatest(n - 1, lit(0))),
+      slice(col("t"), lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    docs.withColumn("t", split(col("text"), " "))
+      .withColumn("g", explode(concat(col("t"), bigrams)))
+      .withColumn("b", pmod(Portable.md5Int(col("g")), lit(buckets.toLong)))
+      .drop("t", "g", "text")
+  }
+
   /** TEMPERATURE-flattened domain mixing (the multilingual
     * sampling-temperature knob, mT5/XLM-R style): derived targets
     * `target_s ∝ (n_s/N)^(1/T)` over the strata present, then
@@ -229,17 +294,8 @@ object Sampling {
   def dsirWeights(documents: DataFrame, isTarget: Column,
                   buckets: Int = 256): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val toks = documents.select(col("doc_id"), isTarget.as("is_target"),
-      split(col("text"), " ").as("t"))
-    val n = size(col("t"))
-    val bigrams = zip_with(
-      slice(col("t"), lit(1), greatest(n - 1, lit(0))),
-      slice(col("t"), lit(2), greatest(n - 1, lit(0))),
-      (a, b) => concat(a, lit(" "), b))
-    val grams = toks.select(col("doc_id"), col("is_target"),
-      explode(concat(col("t"), bigrams)).as("g"))
-    val bucketed = grams.select(col("doc_id"), col("is_target"),
-      pmod(Portable.md5Int(col("g")), lit(buckets.toLong)).as("b"))
+    val bucketed = gramBuckets(documents.select(col("doc_id"),
+      isTarget.as("is_target"), col("text")), buckets)
     val counts = bucketed.groupBy("b").agg(
       sum(when(col("is_target"), 1L).otherwise(0L)).as("tc"),
       sum(when(col("is_target"), 0L).otherwise(1L)).as("sc"))

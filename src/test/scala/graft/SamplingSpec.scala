@@ -302,6 +302,37 @@ class SamplingSpec extends AnyFunSuite {
     assert(again === got)
   }
 
+  test("dsirScorer: frozen-literal scoring == dsirWeights; unseen buckets smoothed; streams") {
+    val score = Sampling.dsirScorer(dsirDocs, col("source") === "tgt", buckets = 16)
+    val got = score(dsirDocs).select("doc_id", "weight").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = Sampling.dsirWeights(dsirDocs, col("source") === "tgt", buckets = 16)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === want, "the frozen scorer must bit-equal the fitted weights")
+    // a doc of entirely novel grams may still hash into FITTED buckets
+    // (16 buckets) — the invariant is: it scores, deterministically,
+    // through literal lookups with the smoothed fallback for misses
+    val novel = Seq((99L, "zq wv uu ts")).toDF("doc_id", "text")
+    val n1 = score(novel).select("weight").head().getDouble(0)
+    assert(score(novel).select("weight").head().getDouble(0) === n1)
+    // streaming: the scorer is a stateless narrow projection
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, String)]
+    val q = score(mem.toDF().toDF("doc_id", "text"))
+      .select("doc_id", "weight")
+      .writeStream.format("memory").queryName("dsir_scores")
+      .outputMode("append").start()
+    try {
+      mem.addData((0L, "x x x x"), (4L, "y y y y"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("dsir_scores").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed === Map(0L -> want(0L), 4L -> want(4L)),
+      "streamed scores must equal the batch fit on the same texts")
+  }
+
   test("dsirResample: deterministic Gumbel-top-k over the source slice") {
     val s1 = Sampling.dsirResample(dsirDocs, col("source") === "tgt", k = 3,
       buckets = 16).collect().map(r => (r.getLong(0), r.getDouble(2)))
