@@ -3116,6 +3116,17 @@ object SparkEntry {
       val assets = Multimodal.aviAssetsFromDocuments(Tables.documents(s, dir))
       Multimodal.decodeVideoFrames(assets)
     }),
+    // REAL A/V demux: each document becomes an AVI with an interleaved
+    // mono PCM16 square-wave track (stream 1, '01wb' chunks); both
+    // streams decode back — frame facts from the pixels, audio facts
+    // from the samples — all pure formulas of (doc_id, n_chars).
+    "q_av_demux" -> ((s, dir) => {
+      val assets = Multimodal.avAssetsFromDocuments(Tables.documents(s, dir))
+      Multimodal.demuxAv(assets)
+        .select(col("asset_id"), col("n_frames"), col("fps"),
+          col("width"), col("height"), col("audio_rate"),
+          col("audio_channels"), col("n_samples"), col("mean_abs"), col("peak"))
+    }),
     // REAL audio decode (javax.sound.sampled): each document becomes a
     // genuine 16-bit PCM WAV square wave (encoded in-task), decoded
     // back for header + exact amplitude stats — all pure formulas of
@@ -4288,6 +4299,18 @@ object SparkEntry {
                 CAST(doc_id % 256 AS DOUBLE) AS mean_r,
                 CAST((doc_id * 7 + 13) % 256 AS DOUBLE) AS mean_g,
                 CAST(n_chars % 256 AS DOUBLE) AS mean_b
+         FROM documents""",
+    "q_av_demux" ->
+      """SELECT doc_id AS asset_id,
+                CAST(doc_id % 5 + 2 AS INT) AS n_frames,
+                CAST((doc_id % 3 + 1) * 5 AS DOUBLE) AS fps,
+                CAST(n_chars % 24 + 4 AS INT) AS width,
+                CAST(doc_id % 16 + 4 AS INT) AS height,
+                CAST(8000 + (doc_id % 3) * 4000 AS DOUBLE) AS audio_rate,
+                CAST(1 AS INT) AS audio_channels,
+                CAST(n_chars % 400 + 50 AS BIGINT) AS n_samples,
+                CAST((doc_id * 13 + 7) % 2000 AS DOUBLE) AS mean_abs,
+                CAST((doc_id * 13 + 7) % 2000 AS DOUBLE) AS peak
          FROM documents""",
     "q_audio_decode" ->
       """SELECT doc_id AS asset_id,

@@ -387,7 +387,8 @@ object Multimodal {
     val videoMimes: Set[String] = Set("video/avi", "video/x-msvideo")
 
     final case class DecodedVideo(width: Int, height: Int, fps: Double,
-        frames: Seq[ImageCodec.Decoded])
+        frames: Seq[ImageCodec.Decoded],
+        audio: Option[AudioCodec.DecodedAudio] = None)
 
     private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
 
@@ -434,16 +435,22 @@ object Multimodal {
       out
     }
 
-    /** Encode packed-ARGB frames as a spec-valid single-stream AVI
-      * (RIFF: hdrl with avih + strl, movi with one chunk per frame,
+    /** Encode packed-ARGB frames as a spec-valid AVI (RIFF: hdrl with
+      * avih + one strl per stream, movi with one chunk per frame,
       * idx1). DIB (`mjpeg = false`) round-trips pixels exactly; MJPEG
-      * writes each frame through the JDK JPEG encoder (lossy).
+      * writes each frame through the JDK JPEG encoder (lossy). An
+      * optional MONO PCM16 AUDIO TRACK interleaves as stream 1 (`01wb`
+      * chunks, one per video frame in stream order — the standard A/V
+      * interleave) and round-trips samples exactly.
       */
     def encodeAvi(width: Int, height: Int, fps: Int,
-                  frameArgb: Seq[Array[Int]], mjpeg: Boolean = false): Array[Byte] = {
+                  frameArgb: Seq[Array[Int]], mjpeg: Boolean = false,
+                  audio: Option[(Int, Array[Short])] = None): Array[Byte] = {
       require(width > 0 && height > 0 && fps > 0, "dims and fps must be positive")
       require(frameArgb.nonEmpty, "an AVI needs at least one frame")
       require(frameArgb.forall(_.length == width * height), "pixel count must match dims")
+      audio.foreach { case (r, s) =>
+        require(r > 0 && s.nonEmpty, "audio needs a positive rate and samples") }
       val payloads: Seq[Array[Byte]] =
         if (!mjpeg) frameArgb.map(dibOf(width, height, _))
         else frameArgb.map { px =>
@@ -469,17 +476,59 @@ object Multimodal {
         .chunk("strh", strh.result).chunk("strf", strf.result)
       val avih = new LeBuf()
         .u32(1000000L / fps).u32(0).u32(0).u32(0x10) // AVIF_HASINDEX
-        .u32(frameArgb.length.toLong).u32(0).u32(1).u32(maxPayload)
+        .u32(frameArgb.length.toLong).u32(0)
+        .u32(if (audio.isDefined) 2L else 1L).u32(maxPayload)
         .u32(width.toLong).u32(height.toLong)
         .u32(0).u32(0).u32(0).u32(0)
       val hdrl = new LeBuf()
         .chunk("avih", avih.result).list("strl", strl.result)
+      // audio stream 1: mono PCM16 — strh 'auds' (scale 1, rate = sample
+      // rate, sample size 2) + PCMWAVEFORMAT strf; data interleaves as
+      // per-video-frame '01wb' slices (last slice takes the remainder)
+      val audioSlices: Seq[Array[Byte]] = audio.toSeq.flatMap { case (_, samples) =>
+        val per = math.max(1, samples.length / payloads.length)
+        samples.grouped(per).toSeq.map { grp =>
+          val out = new Array[Byte](grp.length * 2)
+          var i = 0
+          while (i < grp.length) {
+            out(2 * i) = (grp(i) & 0xff).toByte
+            out(2 * i + 1) = ((grp(i) >> 8) & 0xff).toByte
+            i += 1
+          }
+          out
+        }
+      }
+      audio.foreach { case (rateHz, samples) =>
+        val astrh = new LeBuf()
+          .tag("auds").u32(0)
+          .u32(0).u16(0).u16(0).u32(0)
+          .u32(1).u32(rateHz.toLong) // scale / rate: samples per second
+          .u32(0).u32(samples.length.toLong)
+          .u32(audioSlices.map(_.length).max.toLong)
+          .u32(0xffffffffL).u32(2) // dwSampleSize: PCM16 mono block = 2 bytes
+          .u16(0).u16(0).u16(0).u16(0)
+        val astrf = new LeBuf() // PCMWAVEFORMAT
+          .u16(1).u16(1) // wFormatTag = PCM, mono
+          .u32(rateHz.toLong).u32(rateHz.toLong * 2)
+          .u16(2).u16(16) // block align, bits
+        val astrl = new LeBuf()
+          .chunk("strh", astrh.result).chunk("strf", astrf.result)
+        hdrl.list("strl", astrl.result)
+      }
       val movi = new LeBuf()
-      payloads.foreach(movi.chunk(frameTag, _))
       val idx1 = new LeBuf()
-      payloads.foldLeft(4L) { (off, p) =>
-        idx1.tag(frameTag).u32(0x10).u32(off).u32(p.length.toLong) // AVIIF_KEYFRAME
-        off + 8 + p.length + (p.length & 1)
+      var idxOff = 4L
+      def emit(tag: String, p: Array[Byte]): Unit = {
+        movi.chunk(tag, p)
+        idx1.tag(tag).u32(0x10).u32(idxOff).u32(p.length.toLong) // AVIIF_KEYFRAME
+        idxOff += 8 + p.length + (p.length & 1)
+      }
+      payloads.zipWithIndex.foreach { case (p, i) =>
+        emit(frameTag, p)
+        // interleave: audio slice i rides after video frame i; any
+        // remainder slices (integer split) flush after the last frame
+        if (i < payloads.length - 1) audioSlices.lift(i).foreach(emit("01wb", _))
+        else audioSlices.drop(i).foreach(emit("01wb", _))
       }
       val body = new LeBuf()
         .list("hdrl", hdrl.result).list("movi", movi.result)
@@ -487,9 +536,13 @@ object Multimodal {
       new LeBuf().tag("RIFF").u32(body.length + 4L).tag("AVI ").bytes(body).result
     }
 
-    /** Decode an AVI payload: header fps + every stream-0 video frame
-      * (`00db` raw DIB via the BITMAPINFOHEADER geometry, `00dc` via
-      * ImageIO — MJPEG frames are complete JPEGs). None for corrupt,
+    /** Decode an AVI payload: header fps + every video-stream frame
+      * (`db` raw DIB via the BITMAPINFOHEADER geometry, `dc` via
+      * ImageIO — MJPEG frames are complete JPEGs), PLUS the first PCM16
+      * audio stream's samples (`wb` chunks concatenated in stream
+      * order) when one is present — a real A/V demux. Streams resolve
+      * by strl ORDINAL (the AVI stream-id contract), so a file whose
+      * audio is stream 0 still demuxes correctly. None for corrupt,
       * truncated, non-AVI, or codec-less payloads — never a guess, and
       * never a hang (Long-advance chunk walk).
       */
@@ -502,8 +555,14 @@ object Multimodal {
       if (b.length < 12 || !tagAt(0, "RIFF") || !tagAt(8, "AVI ")) return None
       var usecPf = 0L; var scale = 0L; var rate = 0L
       var bitCount = 0; var compression = 0L; var dibW = 0; var dibH = 0
-      var sawVids = false; var haveStrf = false
+      var haveStrf = false
+      // stream table: strl ordinal → kind; the FIRST 'vids' and first
+      // PCM16 'auds' streams are the ones served
+      var nStrl = 0; var curStrl = -1; var curKind = ""
+      var vidStream = -1; var audStream = -1
+      var audRate = 0L; var audChannels = 0; var audOk = false
       val framePayloads = scala.collection.mutable.ArrayBuffer.empty[(Boolean, Int, Int)]
+      val audioChunks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
       // Walk one chunk sequence; visit LIST bodies recursively. Returns
       // false on any malformed size/offset so the caller punts cleanly.
       def walk(start: Int, end: Int, ctx: String): Boolean = {
@@ -519,23 +578,41 @@ object Multimodal {
               val lt = new String(b, dataOff, 4, "US-ASCII")
               // rec : frame chunks grouped for interleaving — same ctx as movi
               val sub = if (lt == "rec ") "movi" else lt
+              if (sub == "strl") { curStrl = nStrl; nStrl += 1; curKind = "" }
               if (sub == "hdrl" || sub == "strl" || sub == "movi")
                 ok = walk(dataOff + 4, dataOff + len, sub)
             } else if (tagAt(off, "avih") && len >= 40) {
               usecPf = u32(dataOff)
-            } else if (tagAt(off, "strh") && ctx == "strl" && len >= 56 && !sawVids) {
-              if (tagAt(dataOff, "vids")) {
-                sawVids = true
+            } else if (tagAt(off, "strh") && ctx == "strl" && len >= 56) {
+              if (tagAt(dataOff, "vids") && vidStream < 0) {
+                curKind = "vids"; vidStream = curStrl
                 scale = u32(dataOff + 20); rate = u32(dataOff + 24)
+              } else if (tagAt(dataOff, "auds") && audStream < 0) {
+                curKind = "auds"; audStream = curStrl
+                // rate/scale fallback if the strf is absent/odd
+                val aScale = u32(dataOff + 20); val aRate = u32(dataOff + 24)
+                if (aScale > 0) audRate = aRate / aScale
               }
-            } else if (tagAt(off, "strf") && ctx == "strl" && sawVids && !haveStrf &&
-                len >= 40) {
-              haveStrf = true
-              dibW = u32(dataOff + 4).toInt; dibH = u32(dataOff + 8).toInt
-              bitCount = u16(dataOff + 14); compression = u32(dataOff + 16)
-            } else if (ctx == "movi" && (tagAt(off + 2, "db") || tagAt(off + 2, "dc")) &&
-                b(off) == '0'.toByte && b(off + 1) == '0'.toByte) {
-              framePayloads += ((b(off + 3) == 'b'.toByte, dataOff, len))
+            } else if (tagAt(off, "strf") && ctx == "strl") {
+              if (curKind == "vids" && curStrl == vidStream && !haveStrf && len >= 40) {
+                haveStrf = true
+                dibW = u32(dataOff + 4).toInt; dibH = u32(dataOff + 8).toInt
+                bitCount = u16(dataOff + 14); compression = u32(dataOff + 16)
+              } else if (curKind == "auds" && curStrl == audStream && len >= 16) {
+                // PCMWAVEFORMAT: only uncompressed 16-bit PCM is served
+                audOk = u16(dataOff) == 1 && u16(dataOff + 14) == 16
+                audChannels = u16(dataOff + 2)
+                val sps = u32(dataOff + 4)
+                if (sps > 0) audRate = sps
+              }
+            } else if (ctx == "movi" &&
+                b(off) >= '0'.toByte && b(off) <= '9'.toByte &&
+                b(off + 1) >= '0'.toByte && b(off + 1) <= '9'.toByte) {
+              val sid = (b(off) - '0') * 10 + (b(off + 1) - '0')
+              if (sid == vidStream && (tagAt(off + 2, "db") || tagAt(off + 2, "dc")))
+                framePayloads += ((b(off + 3) == 'b'.toByte, dataOff, len))
+              else if (sid == audStream && tagAt(off + 2, "wb"))
+                audioChunks += ((dataOff, len))
             }
             if (ok) {
               val next = off.toLong + 8L + sz + (sz & 1L)
@@ -561,8 +638,27 @@ object Multimodal {
           f.map(v :+ _)
         }
       }
+      // audio: concatenate 'wb' chunk payloads in stream order → PCM16 LE
+      val audio =
+        if (audStream >= 0 && audOk && audRate > 0 && audChannels > 0 &&
+            audioChunks.nonEmpty) {
+          val total = audioChunks.map(_._2.toLong).sum
+          if (total > Int.MaxValue || (total & 1) == 1) None
+          else {
+            val out = new Array[Short]((total / 2).toInt)
+            var w = 0
+            audioChunks.foreach { case (off, len) =>
+              var i = 0
+              while (i < len / 2) {
+                out(w) = (((b(off + 2 * i + 1) & 0xff) << 8) | (b(off + 2 * i) & 0xff)).toShort
+                i += 1; w += 1
+              }
+            }
+            Some(AudioCodec.DecodedAudio(audRate.toDouble, audChannels, out))
+          }
+        } else None
       frames.filter(_.nonEmpty)
-        .map(fs => DecodedVideo(fs.head.width, fs.head.height, fps, fs))
+        .map(fs => DecodedVideo(fs.head.width, fs.head.height, fps, fs, audio))
     } catch { case _: Exception => None }
 
     /** BI_RGB 24-bit DIB rows → packed ARGB. Positive biHeight means
@@ -818,6 +914,92 @@ object Multimodal {
               val (mr, mg, mb) = f.channelMeans
               Row(id, i, v.frames.length, v.fps, f.width, f.height, mr, mg, mb)
             }
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic A/V AVI asset view of the `documents` table: the
+    * [[aviAssetsFromDocuments]] video formulas PLUS an interleaved mono
+    * PCM16 square-wave audio track reusing the
+    * [[wavAssetsFromDocuments]] formulas (rate, length, amplitude all
+    * pure functions of (doc_id, n_chars)) — so the FULL demux, both
+    * streams, oracles from the formulas alone.
+    */
+  def avAssetsFromDocuments(documents: DataFrame, batchSize: Int = 64): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    documents.select("doc_id", "n_chars").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0); val nChars = r.getLong(1)
+          val w = (nChars % 24 + 4).toInt
+          val h = (id % 16 + 4).toInt
+          val nf = (id % 5 + 2).toInt
+          val fps = ((id % 3 + 1) * 5).toInt
+          val frames = (0 until nf).map { i =>
+            val cr = ((id + 41L * i) % 256).toInt
+            val cg = ((id * 7 + 13 + 17L * i) % 256).toInt
+            val cb = ((nChars + 23L * i) % 256).toInt
+            Array.fill(w * h)(0xff000000 | (cr << 16) | (cg << 8) | cb)
+          }
+          val n = (nChars % 400 + 50).toInt
+          val rateHz = (8000 + (id % 3) * 4000).toInt
+          val a = ((id * 13 + 7) % 2000).toShort
+          val samples = Array.tabulate(n)(i => if (i % 2 == 0) a else (-a).toShort)
+          Row(id, VideoCodec.encodeAvi(w, h, fps, frames,
+            audio = Some((rateHz, samples))), "video/avi", w, h)
+        }
+      }
+    }(enc)
+  }
+
+  /** Real A/V DEMUX: one row per asset with BOTH streams' decoded
+    * facts — `(asset_id, n_frames, fps, width, height, audio_rate,
+    * audio_channels, n_samples, mean_abs, peak, demuxed)`. Video facts
+    * from the decoded frames, audio facts from the decoded PCM
+    * samples; assets without a decodable audio track get null audio
+    * fields, undecodable payloads `demuxed = false` (poison-safe).
+    * Batched `mapPartitions`, shuffle-free — the [[decodeImages]]
+    * scale shape.
+    */
+  def demuxAv(assets: DataFrame, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = true),
+      StructField("fps", DoubleType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("audio_rate", DoubleType, nullable = true),
+      StructField("audio_channels", IntegerType, nullable = true),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("mean_abs", DoubleType, nullable = true),
+      StructField("peak", DoubleType, nullable = true),
+      StructField("demuxed", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    assets.select("asset_id", "media", "mime").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val dec =
+            if (VideoCodec.videoMimes.contains(r.getString(2)))
+              VideoCodec.decode(r.getAs[Array[Byte]](1))
+            else None
+          dec match {
+            case Some(v) =>
+              val f = v.frames.head
+              v.audio match {
+                case Some(a) =>
+                  val (meanAbs, peak) = a.stats
+                  Row(id, v.frames.length, v.fps, f.width, f.height,
+                    a.sampleRate, a.channels, a.samples.length.toLong,
+                    meanAbs, peak, true)
+                case None =>
+                  Row(id, v.frames.length, v.fps, f.width, f.height,
+                    null, null, null, null, null, true)
+              }
+            case None =>
+              Row(id, null, null, null, null, null, null, null, null, null, false)
           }
         }
       }

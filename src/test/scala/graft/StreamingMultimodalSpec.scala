@@ -811,6 +811,39 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       "a 2^31-ish biWidth must fail the Long bounds check, not allocate")
   }
 
+  test("multimodal: A/V AVI demuxes both streams — exact pixels AND exact PCM16 samples") {
+    import Multimodal.VideoCodec
+    val frames = Seq((10, 20, 30), (200, 100, 50)).map { case (r, g, b) =>
+      Array.fill(5 * 4)(0xff000000 | (r << 16) | (g << 8) | b)
+    }
+    val samples = Array[Short](100, -100, 2000, -2000, 31000, -31000, 7)
+    val avi = VideoCodec.encodeAvi(5, 4, 12, frames, audio = Some((16000, samples)))
+    val d = VideoCodec.decode(avi).get
+    assert(d.fps === 12.0 && d.frames.length === 2)
+    assert(d.frames.head.channelMeans === ((10.0, 20.0, 30.0)),
+      "video stream still round-trips exactly with audio interleaved")
+    val a = d.audio.get
+    assert(a.sampleRate === 16000.0 && a.channels === 1)
+    assert(a.samples.toSeq === samples.toSeq,
+      "interleaved '01wb' chunks reassemble the exact PCM16 stream")
+    // video-only files keep audio None (back-compat)
+    assert(VideoCodec.decode(VideoCodec.encodeAvi(5, 4, 12, frames)).get.audio.isEmpty)
+    // the demux operator: facts from both streams; poison-safe skip
+    val assets = Seq(
+      (1L, avi, "video/avi", 5, 4),
+      (2L, "junk".getBytes("UTF-8"), "video/avi", 0, 0))
+      .toDF("asset_id", "media", "mime", "width", "height")
+    val rows = Multimodal.demuxAv(assets).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val ok = rows(1L)
+    assert((ok.getInt(1), ok.getDouble(2), ok.getInt(3), ok.getInt(4)) ===
+      ((2, 12.0, 5, 4)))
+    assert((ok.getDouble(5), ok.getInt(6), ok.getLong(7)) === ((16000.0, 1, 7L)))
+    assert(ok.getDouble(9) === 31000.0, "peak from the decoded samples")
+    assert(ok.getBoolean(10))
+    assert(!rows(2L).getBoolean(10), "corrupt payload flags, never throws")
+  }
+
   test("multimodal: MJPEG AVI decodes real JPEG frames through ImageIO") {
     import Multimodal.VideoCodec
     val colors = Seq((200, 64, 32), (10, 180, 90))
