@@ -1257,8 +1257,11 @@ object AnnBench {
     val mjpeg = phase("mjpeg_encode_decode_frames")(
       Multimodal.decodeVideoFrames(
         Multimodal.aviAssetsFromDocuments(docs, mjpeg = true)).count())
+    val av = phase("av_encode_demux")(
+      Multimodal.demuxAv(Multimodal.avAssetsFromDocuments(docs))
+        .filter(col("demuxed")).count())
     val json =
-      s"""{"media_scale":{"n_assets":$n,$encDec,$resize,$audio,$video,$mjpeg}}"""
+      s"""{"media_scale":{"n_assets":$n,$encDec,$resize,$audio,$video,$mjpeg,$av}}"""
     println(json)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/media_scale.json"), json + "\n")
