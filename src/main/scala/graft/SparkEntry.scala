@@ -4279,7 +4279,9 @@ object SparkEntry {
       s"""WITH n AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
                      FROM documents GROUP BY lang),
           tot AS (SELECT sum(n) AS tot FROM n),
-          p AS (SELECT lang, pow(n / tot, 1.0 / 2.0) AS pw, n FROM n, tot),
+          p AS (SELECT lang,
+                       CAST(CAST(pow(n / tot, 1.0 / 2.0) AS DECIMAL(38,12)) AS DOUBLE) AS pw,
+                       n FROM n, tot),
           z AS (SELECT sum(pw) AS z FROM p),
           t AS (SELECT lang, pw / z AS tgt, n FROM p, z),
           k AS (SELECT min(n / tgt) AS k FROM t),

@@ -552,6 +552,11 @@ object Multimodal {
       def u16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
       def u32(o: Int) = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
         ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+      def hexDigit(c: Byte): Int =
+        if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'A' && c <= 'F') c - 'A' + 10
+        else if (c >= 'a' && c <= 'f') c - 'a' + 10
+        else -1
       if (b.length < 12 || !tagAt(0, "RIFF") || !tagAt(8, "AVI ")) return None
       var usecPf = 0L; var scale = 0L; var rate = 0L
       var bitCount = 0; var compression = 0L; var dibW = 0; var dibH = 0
@@ -565,7 +570,11 @@ object Multimodal {
       val audioChunks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
       // Walk one chunk sequence; visit LIST bodies recursively. Returns
       // false on any malformed size/offset so the caller punts cleanly.
-      def walk(start: Int, end: Int, ctx: String): Boolean = {
+      def walk(start: Int, end: Int, ctx: String, depth: Int = 0): Boolean = {
+        // a crafted payload nesting LIST headers (~87k per MB) would
+        // otherwise StackOverflowError past the Exception catch; real
+        // AVI never nests past riff > hdrl/movi > strl/rec (depth 3)
+        if (depth > 32) return false
         var off = start
         var ok = true
         while (ok && off + 8 <= end) {
@@ -580,7 +589,7 @@ object Multimodal {
               val sub = if (lt == "rec ") "movi" else lt
               if (sub == "strl") { curStrl = nStrl; nStrl += 1; curKind = "" }
               if (sub == "hdrl" || sub == "strl" || sub == "movi")
-                ok = walk(dataOff + 4, dataOff + len, sub)
+                ok = walk(dataOff + 4, dataOff + len, sub, depth + 1)
             } else if (tagAt(off, "avih") && len >= 40) {
               usecPf = u32(dataOff)
             } else if (tagAt(off, "strh") && ctx == "strl" && len >= 56) {
@@ -605,10 +614,11 @@ object Multimodal {
                 val sps = u32(dataOff + 4)
                 if (sps > 0) audRate = sps
               }
-            } else if (ctx == "movi" &&
-                b(off) >= '0'.toByte && b(off) <= '9'.toByte &&
-                b(off + 1) >= '0'.toByte && b(off + 1) <= '9'.toByte) {
-              val sid = (b(off) - '0') * 10 + (b(off + 1) - '0')
+            } else if (ctx == "movi" && hexDigit(b(off)) >= 0 &&
+                hexDigit(b(off + 1)) >= 0) {
+              // AVI stream ids are TWO HEX digits ('0A' = stream 10) —
+              // decimal parsing would silently skip streams >= 10
+              val sid = hexDigit(b(off)) * 16 + hexDigit(b(off + 1))
               if (sid == vidStream && (tagAt(off + 2, "db") || tagAt(off + 2, "dc")))
                 framePayloads += ((b(off + 3) == 'b'.toByte, dataOff, len))
               else if (sid == audStream && tagAt(off + 2, "wb"))
@@ -667,11 +677,14 @@ object Multimodal {
     private def decodeDib(b: Array[Byte], off: Int, len: Int,
                           w: Int, hSigned: Int): Option[ImageCodec.Decoded] = {
       val h = math.abs(hSigned); val bottomUp = hSigned > 0
-      if (w <= 0 || h == 0) return None
+      // h <= 0 also rejects biHeight = Int.MinValue (whose abs is itself
+      // negative) — the one crafted-header value the == 0 guard missed
+      if (w <= 0 || h <= 0) return None
       // stride/extent in Long: a crafted biWidth near 2^31 overflows the
-      // Int product and could pass the bounds check into a bad allocation
+      // Int product and could pass the bounds check into a bad allocation;
+      // divide instead of multiplying so strideL*h can never overflow Long
       val strideL = (w.toLong * 3 + 3) & ~3L
-      if (strideL * h > len.toLong) return None
+      if (strideL > len.toLong / h) return None
       val stride = strideL.toInt
       val px = new Array[Int](w * h)
       var sy = 0

@@ -206,8 +206,14 @@ object Sampling {
       .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
     require(counts.nonEmpty, "temperatureMix needs at least one stratum")
     val total = counts.values.sum
+    // pow is the one op here with no cross-libm bit-for-bit guarantee
+    // (unlike the +,/,min shape contract of mixRates) — truncate it
+    // through DECIMAL(38,12) HALF_UP, the same discipline the ln-based
+    // operators use, so a last-ulp libm divergence can't shift a rate
+    // and flip a boundary-straddling doc on another engine
     val flat = counts.view
-      .mapValues(n => math.pow(n / total, 1.0 / temperature)).toMap
+      .mapValues(n => BigDecimal(math.pow(n / total, 1.0 / temperature))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
     val z = flat.values.sum
     domainMix(df, strata, key, flat.view.mapValues(_ / z).toMap, salt)
   }

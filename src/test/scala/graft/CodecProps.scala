@@ -106,6 +106,88 @@ object CodecProps extends Properties("Multimodal.codecs") {
     }
   }
 
+  // --- crafted-payload pins: each of these once escaped the
+  // "a crafted payload can never hang or kill an executor task"
+  // contract (r12 ADVICE) -------------------------------------------
+
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  property("crafted biHeight = Int.MinValue decodes to None, not garbage rows") = {
+    // math.abs(Int.MinValue) is still negative — an h == 0 guard alone
+    // passes it, making strideL*h negative and the bounds check a no-op
+    val base = Multimodal.VideoCodec.encodeAvi(2, 1, 10,
+      Seq(Array(0xff102030, 0xff405060)))
+    val strfAt = base.indices.find(i => i + 4 <= base.length &&
+      new String(base, i, 4, "US-ASCII") == "strf").get
+    val patched = base.clone()
+    le32(0x80000000L).copyToArray(patched, strfAt + 8 + 8) // biHeight
+    Multimodal.VideoCodec.decode(base).isDefined &&
+      Multimodal.VideoCodec.decode(patched).isEmpty
+  }
+
+  property("crafted 2^30 x 2^30 DIB dims decode to None without allocating") = {
+    // strideL * h overflows Long for dims near 2^31; the divide-form
+    // bound must reject it BEFORE a multi-GB Array allocation (OOM is
+    // an Error, not caught by the Exception catch)
+    val base = Multimodal.VideoCodec.encodeAvi(2, 1, 10,
+      Seq(Array(0xff102030, 0xff405060)))
+    val strfAt = base.indices.find(i => i + 4 <= base.length &&
+      new String(base, i, 4, "US-ASCII") == "strf").get
+    val patched = base.clone()
+    le32(0x40000000L).copyToArray(patched, strfAt + 8 + 4) // biWidth
+    le32(0x40000000L).copyToArray(patched, strfAt + 8 + 8) // biHeight
+    Multimodal.VideoCodec.decode(patched).isEmpty
+  }
+
+  property("50k-deep nested LISTs return None promptly (no StackOverflowError)") = {
+    // 12 bytes per nest ≈ 87k deep per MB of payload; unbounded
+    // recursion overflows the stack PAST the Exception catch
+    var body = Array.empty[Byte]
+    var i = 0
+    while (i < 50000) {
+      body = "LIST".getBytes("US-ASCII") ++ le32(4L + body.length) ++
+        "movi".getBytes("US-ASCII") ++ body
+      i += 1
+    }
+    val payload = "RIFF".getBytes("US-ASCII") ++ le32(body.length + 4L) ++
+      "AVI ".getBytes("US-ASCII") ++ body
+    Multimodal.VideoCodec.decode(payload).isEmpty
+  }
+
+  property("movi stream ids parse as HEX: stream 10 serves via '0Adb' chunks") = {
+    // the AVI spec encodes the stream number as two hex digits; decimal
+    // parsing silently skips every chunk of streams >= 10
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] =
+      tag.getBytes("US-ASCII") ++ le32(data.length.toLong) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(kind: String, data: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ data)
+    val strh = new Array[Byte](56)
+    "vids".getBytes("US-ASCII").copyToArray(strh, 0)
+    le32(1L).copyToArray(strh, 20); le32(10L).copyToArray(strh, 24) // fps 10
+    val strf = new Array[Byte](40)
+    le32(40L).copyToArray(strf, 0)
+    le32(2L).copyToArray(strf, 4); le32(1L).copyToArray(strf, 8) // 2x1
+    strf(14) = 24 // bitCount LE low byte
+    le32(0L).copyToArray(strf, 16) // BI_RGB
+    val vidsStrl = list("strl", chunk("strh", strh) ++ chunk("strf", strf))
+    val dummyStrls = Array.fill(10)(list("strl", Array.empty[Byte]))
+      .reduce(_ ++ _) // ordinals 0..9; the vids stream lands at 10
+    val hdrl = list("hdrl", dummyStrls ++ vidsStrl)
+    // one bottom-up BGR frame, stride 8: px0 = (b,g,r), px1, 2 pad bytes
+    val dib = Array(0x30, 0x20, 0x10, 0x60, 0x50, 0x40, 0, 0).map(_.toByte)
+    val movi = list("movi", chunk("0Adb", dib))
+    val bodyAll = hdrl ++ movi
+    val payload = "RIFF".getBytes("US-ASCII") ++ le32(bodyAll.length + 4L) ++
+      "AVI ".getBytes("US-ASCII") ++ bodyAll
+    val d = Multimodal.VideoCodec.decode(payload)
+    d.exists(v => v.fps == 10.0 && v.frames.length == 1 &&
+      v.frames.head.width == 2 && v.frames.head.height == 1 &&
+      v.frames.head.argb.toSeq == Seq(0xff102030, 0xff405060))
+  }
+
   property("luhn kernel == arithmetic reference on arbitrary digit strings") = {
     val gen = for {
       n <- Gen.choose(0, 24)
