@@ -3127,6 +3127,16 @@ object SparkEntry {
           col("width"), col("height"), col("audio_rate"),
           col("audio_channels"), col("n_samples"), col("mean_abs"), col("peak"))
     }),
+    // REAL MP4/ISO-BMFF metadata demux: each document becomes a
+    // genuine ftyp+moov+mdat file encoded in-task; the box walk
+    // (mvhd/trak/tkhd/mdia/hdlr/stsd) extracts duration, timescale,
+    // tracks, codec fourccs, dims, audio shape — all pure formulas of
+    // (doc_id, n_chars). The metadata-pruning pass a 100-TB video
+    // corpus runs BEFORE paying GPU frame decode.
+    "q_mp4_meta" -> ((s, dir) => {
+      val assets = Multimodal.mp4AssetsFromDocuments(Tables.documents(s, dir))
+      Multimodal.mp4Meta(assets)
+    }),
     // REAL audio decode (javax.sound.sampled): each document becomes a
     // genuine 16-bit PCM WAV square wave (encoded in-task), decoded
     // back for header + exact amplitude stats — all pure formulas of
@@ -4313,6 +4323,24 @@ object SparkEntry {
                 CAST(n_chars % 400 + 50 AS BIGINT) AS n_samples,
                 CAST((doc_id * 13 + 7) % 2000 AS DOUBLE) AS mean_abs,
                 CAST((doc_id * 13 + 7) % 2000 AS DOUBLE) AS peak
+         FROM documents""",
+    // the engine runs the real ISO-BMFF box walk; the oracle predicts
+    // the parsed metadata from the synthesis formulas
+    "q_mp4_meta" ->
+      """SELECT doc_id AS asset_id,
+                'isom' AS brand,
+                CAST(600 * (doc_id % 4 + 1) AS BIGINT) AS timescale,
+                CAST(n_chars % 5000 + 100 AS BIGINT) AS duration_ticks,
+                (n_chars % 5000 + 100) * 1000.0 / (600 * (doc_id % 4 + 1)) AS duration_ms,
+                CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS INT) AS n_tracks,
+                'avc1' AS video_codec,
+                CAST(n_chars % 640 + 16 AS INT) AS width,
+                CAST(doc_id % 480 + 16 AS INT) AS height,
+                CASE WHEN doc_id % 3 = 0 THEN NULL ELSE 'mp4a' END AS audio_codec,
+                CAST(CASE WHEN doc_id % 3 = 0 THEN NULL
+                     ELSE 8000 + (doc_id % 3) * 4000 END AS INT) AS audio_rate,
+                CAST(CASE WHEN doc_id % 3 = 0 THEN NULL
+                     ELSE doc_id % 2 + 1 END AS INT) AS audio_channels
          FROM documents""",
     "q_audio_decode" ->
       """SELECT doc_id AS asset_id,

@@ -26,10 +26,12 @@ import org.apache.spark.sql.types._
   * amplitude stats) and the VIDEO codec ([[VideoCodec]]: RIFF AVI with
   * raw-DIB or MJPEG frames — the container is a plain chunk tree and
   * the frame payloads are formats the JDK decodes natively, so real
-  * per-frame pixels with zero new dependencies). Only containers whose
-  * codecs the JDK genuinely lacks (MP4/H.264 etc.) go through the
-  * deterministic [[StubCodec]] stand-in; swapping in a real adapter
-  * changes one function, not the pipeline.
+  * per-frame pixels with zero new dependencies). MP4/ISO-BMFF
+  * CONTAINERS are parsed for real too ([[Mp4Codec]]: box-walk metadata
+  * demux — duration, tracks, codecs, dims). Only frame CODECS the JDK
+  * genuinely lacks (H.264 etc.) go through the deterministic
+  * [[StubCodec]] stand-in; swapping in a real adapter changes one
+  * function, not the pipeline.
   *
   * Scale notes: decode and feature extraction run `mapPartitions` with
   * an explicit micro-batch size — the shape that amortizes per-batch
@@ -720,14 +722,339 @@ object Multimodal {
     }
   }
 
-  /** STUB decode/embed kernel for video containers the JDK genuinely
-    * cannot decode (MP4/H.264 etc.) — a deterministic stand-in (rolling
-    * FNV-1a of the payload folded per feature slot into [0, 1) floats)
-    * with the same signature a real codec adapter would have: stable
-    * across JVMs/partitionings, so pipeline tests assert real
-    * equalities. Image, audio, and AVI video mimes do NOT use this —
-    * they decode for real via [[ImageCodec]] / [[AudioCodec]] /
-    * [[VideoCodec]].
+  /** ISO-BMFF (MP4) CONTAINER metadata demux — the box-walk a real
+    * corpus runs BEFORE paying GPU decode: duration, timescale, track
+    * count, codec fourcc, and dimensions come from the moov box tree
+    * (ftyp/mvhd/trak/tkhd/mdia/mdhd/hdlr/stbl/stsd) with zero new
+    * dependencies. Frame DECODE of the mdat payload (H.264 etc.) is
+    * genuinely impossible on a bare JDK and stays behind [[StubCodec]];
+    * the container itself is fully parsed for real.
+    *
+    * The walk follows the [[VideoCodec.decode]] corrupt-chunk
+    * discipline: box extents advance in Long (a crafted 32-bit size
+    * can't wrap an offset), any size that escapes its enclosing box
+    * punts the whole parse to None, nesting is depth-capped, and
+    * 64-bit largesize / size-to-end-of-box forms are handled — a
+    * crafted payload can never hang or kill an executor task.
+    *
+    * Box layouts per ISO/IEC 14496-12 (public spec): mvhd/tkhd/mdhd in
+    * both version 0 (32-bit times) and version 1 (64-bit) forms;
+    * stsd sample entries as VisualSampleEntry (width/height at entry
+    * offset 32/34) or AudioSampleEntry (channelcount at 24,
+    * samplerate 16.16 at 32), discriminated by the track's hdlr type.
+    */
+  object Mp4Codec {
+    val mp4Mimes: Set[String] = Set("video/mp4", "audio/mp4", "video/quicktime")
+
+    /** One parsed trak: id + duration from tkhd, handler from hdlr,
+      * codec fourcc + per-kind geometry/rate from the first stsd entry.
+      */
+    case class TrackMeta(trackId: Long, handler: String, codec: String,
+                         width: Int, height: Int,
+                         sampleRate: Int, channels: Int, duration: Long)
+
+    /** Movie-level facts: ftyp major brand, mvhd timescale/duration
+      * (duration in timescale ticks), and every parsed track.
+      */
+    case class Mp4Meta(brand: String, timescale: Long, duration: Long,
+                       tracks: Vector[TrackMeta]) {
+      def durationMs: Double =
+        if (timescale > 0) duration * 1000.0 / timescale else 0.0
+    }
+
+    /** Track synthesis spec for [[encodeMp4]]: handler "vide" or
+      * "soun", the sample-entry fourcc, and kind-specific fields.
+      */
+    case class TrackSpec(handler: String, codec: String,
+                         width: Int = 0, height: Int = 0,
+                         sampleRate: Int = 0, channels: Int = 0)
+
+    private final class BeBuf {
+      private val o = new ByteArrayOutputStream()
+      def bytes(b: Array[Byte]): this.type = { o.write(b, 0, b.length); this }
+      def tag(s: String): this.type = {
+        s.foreach(c => o.write(c.toInt & 0xff)); this
+      }
+      def u16(v: Int): this.type = { o.write((v >> 8) & 0xff); o.write(v & 0xff); this }
+      def u32(v: Long): this.type = {
+        o.write(((v >> 24) & 0xff).toInt); o.write(((v >> 16) & 0xff).toInt)
+        o.write(((v >> 8) & 0xff).toInt); o.write((v & 0xff).toInt); this
+      }
+      def zeros(n: Int): this.type = { var i = 0; while (i < n) { o.write(0); i += 1 }; this }
+      def box(t: String, payload: Array[Byte]): this.type = {
+        u32(payload.length + 8L); tag(t); bytes(payload)
+      }
+      def result: Array[Byte] = o.toByteArray
+    }
+
+    private val unityMatrix: BeBuf => Unit = b => {
+      b.u32(0x00010000L).u32(0).u32(0)
+      b.u32(0).u32(0x00010000L).u32(0)
+      b.u32(0).u32(0).u32(0x40000000L); ()
+    }
+
+    /** Minimal spec-shaped MP4: `ftyp` + `moov` (mvhd + one trak per
+      * spec, each with tkhd/mdia/mdhd/hdlr/minf/stbl/stsd) + `mdat`
+      * with the given opaque payload. All durations are in the movie
+      * timescale. The output exercises exactly the boxes a metadata
+      * pass reads; it carries no sample tables (no frames to decode).
+      */
+    def encodeMp4(timescale: Long, duration: Long, tracks: Seq[TrackSpec],
+                  mdat: Array[Byte] = Array.empty): Array[Byte] = {
+      require(timescale > 0, "timescale must be positive")
+      require(tracks.nonEmpty, "an MP4 needs at least one track")
+      val ftyp = new BeBuf().tag("isom").u32(512).tag("isom").tag("mp42").result
+      val mvhd = {
+        val b = new BeBuf().u32(0) // version 0 + flags
+          .u32(0).u32(0) // creation / modification
+          .u32(timescale).u32(duration)
+          .u32(0x00010000L).u16(0x0100).u16(0) // rate 1.0, volume 1.0
+          .zeros(8)
+        unityMatrix(b)
+        b.zeros(24) // pre_defined[6]
+          .u32(tracks.length + 1L) // next_track_ID
+          .result
+      }
+      val traks = tracks.zipWithIndex.map { case (t, i) =>
+        val tkhd = {
+          val b = new BeBuf().u32(3) // version 0, flags enabled|in-movie
+            .u32(0).u32(0)
+            .u32(i + 1L).u32(0).u32(duration)
+            .zeros(8)
+            .u16(0).u16(0) // layer, alternate_group
+            .u16(if (t.handler == "soun") 0x0100 else 0).u16(0)
+          unityMatrix(b)
+          b.u32(t.width.toLong << 16).u32(t.height.toLong << 16).result
+        }
+        val mdhd = new BeBuf().u32(0)
+          .u32(0).u32(0).u32(timescale).u32(duration)
+          .u16(0x55c4).u16(0) // language 'und'
+          .result
+        val hdlr = new BeBuf().u32(0).u32(0).tag(t.handler).zeros(12)
+          .bytes(Array(0.toByte)) // empty NUL-terminated name
+          .result
+        val entry =
+          if (t.handler == "vide") {
+            // VisualSampleEntry: 6 reserved + dri, 16 pre/reserved,
+            // width/height, 72.2 dpi, frame_count 1, compressorname,
+            // depth 24, pre_defined -1
+            new BeBuf().u32(86L).tag(t.codec)
+              .zeros(6).u16(1).zeros(16)
+              .u16(t.width).u16(t.height)
+              .u32(0x00480000L).u32(0x00480000L).u32(0).u16(1)
+              .zeros(32).u16(24).u16(0xffff).result
+          } else {
+            // AudioSampleEntry: 6 reserved + dri, 8 reserved,
+            // channelcount, samplesize 16, 4 pre/reserved, rate 16.16
+            new BeBuf().u32(36L).tag(t.codec)
+              .zeros(6).u16(1).zeros(8)
+              .u16(t.channels).u16(16).u16(0).u16(0)
+              .u32(t.sampleRate.toLong << 16).result
+          }
+        val stsd = new BeBuf().u32(0).u32(1).bytes(entry).result
+        val stbl = new BeBuf().box("stsd", stsd).result
+        val minf = new BeBuf().box("stbl", stbl).result
+        val mdia = new BeBuf().box("mdhd", mdhd).box("hdlr", hdlr)
+          .box("minf", minf).result
+        new BeBuf().box("tkhd", tkhd).box("mdia", mdia).result
+      }
+      val moov = {
+        val b = new BeBuf().box("mvhd", mvhd)
+        traks.foreach(tk => b.box("trak", tk))
+        b.result
+      }
+      new BeBuf().box("ftyp", ftyp).box("moov", moov).box("mdat", mdat).result
+    }
+
+    /** Parse container metadata from MP4 bytes; None for anything
+      * corrupt, truncated, or not ISO-BMFF — never a guess, never a
+      * hang. Unknown boxes are skipped by size (a real file's free /
+      * udta / avcC boxes flow through untouched).
+      */
+    def parseMeta(b: Array[Byte]): Option[Mp4Meta] = try {
+      def u16(o: Int): Int = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+      def u32(o: Int): Long = ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+      def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+      def tagAt(o: Int): String = new String(b, o, 4, "US-ASCII")
+      var brand: Option[String] = None
+      var timescale = 0L; var duration = -1L
+      val tracks = scala.collection.mutable.ArrayBuffer.empty[TrackMeta]
+      // current-trak accumulation (trak subtree is walked depth-first)
+      var tId = 0L; var tDur = 0L; var tHandler = ""; var tCodec = ""
+      var tW = 0; var tH = 0; var tRate = 0; var tCh = 0
+      // Walk one box sequence [start, end). Returns false on any
+      // malformed size so the caller punts the whole parse — the
+      // VideoCodec corrupt-chunk discipline, extents always in Long.
+      def walk(start: Long, end: Long, depth: Int): Boolean = {
+        if (depth > 16) return false
+        var off = start
+        while (off + 8 <= end) {
+          val size32 = u32(off.toInt)
+          val t = tagAt(off.toInt + 4)
+          var hdr = 8L
+          var boxEnd = 0L
+          if (size32 == 0L) boxEnd = end // box extends to end of scope
+          else if (size32 == 1L) { // 64-bit largesize
+            if (off + 16 > end) return false
+            hdr = 16L
+            val size64 = u64(off.toInt + 8)
+            if (size64 < hdr) return false
+            boxEnd = off + size64
+          } else {
+            if (size32 < hdr) return false
+            boxEnd = off + size32
+          }
+          if (boxEnd > end) return false
+          val p = off + hdr // payload start
+          val plen = boxEnd - p
+          t match {
+            case "ftyp" if plen >= 4 && brand.isEmpty =>
+              brand = Some(tagAt(p.toInt))
+            case "moov" | "mdia" | "minf" | "stbl" =>
+              if (!walk(p, boxEnd, depth + 1)) return false
+            case "trak" =>
+              tId = 0L; tDur = 0L; tHandler = ""; tCodec = ""
+              tW = 0; tH = 0; tRate = 0; tCh = 0
+              if (!walk(p, boxEnd, depth + 1)) return false
+              tracks += TrackMeta(tId, tHandler, tCodec, tW, tH, tRate, tCh, tDur)
+            case "mvhd" if plen >= 4 =>
+              val v = b(p.toInt) & 0xff
+              if (v == 1 && plen >= 28) {
+                timescale = u32(p.toInt + 20); duration = u64(p.toInt + 24)
+              } else if (v == 0 && plen >= 20) {
+                timescale = u32(p.toInt + 12); duration = u32(p.toInt + 16)
+              } else return false
+            case "tkhd" if plen >= 4 =>
+              val v = b(p.toInt) & 0xff
+              if (v == 1 && plen >= 104) {
+                tId = u32(p.toInt + 20); tDur = u64(p.toInt + 28)
+                tW = (u32(p.toInt + 88) >> 16).toInt; tH = (u32(p.toInt + 92) >> 16).toInt
+              } else if (v == 0 && plen >= 84) {
+                tId = u32(p.toInt + 12); tDur = u32(p.toInt + 20)
+                tW = (u32(p.toInt + 76) >> 16).toInt; tH = (u32(p.toInt + 80) >> 16).toInt
+              } else return false
+            case "hdlr" if plen >= 12 =>
+              tHandler = tagAt(p.toInt + 8)
+            case "stsd" if plen >= 16 =>
+              val entries = u32(p.toInt + 4)
+              if (entries >= 1) {
+                val e = p + 8 // first sample entry
+                val esize = u32(e.toInt)
+                if (esize < 8 || e + esize > boxEnd) return false
+                tCodec = tagAt(e.toInt + 4)
+                if (tHandler == "vide" && esize >= 36) {
+                  tW = u16(e.toInt + 32); tH = u16(e.toInt + 34)
+                } else if (tHandler == "soun" && esize >= 36) {
+                  tCh = u16(e.toInt + 24)
+                  tRate = (u32(e.toInt + 32) >> 16).toInt
+                }
+              }
+            case _ => () // unknown box: skip by size
+          }
+          if (boxEnd <= off) return false // no-progress guard
+          off = boxEnd
+        }
+        true
+      }
+      if (b.length < 12 || !walk(0L, b.length.toLong, 0)) return None
+      // an ISO-BMFF file without ftyp + moov facts is not served
+      brand.filter(_ => timescale > 0 && duration >= 0)
+        .map(br => Mp4Meta(br, timescale, duration, tracks.toVector))
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic MP4 asset view of the `documents` table: each
+    * document becomes a genuine ISO-BMFF file (encoded in-task through
+    * [[Mp4Codec.encodeMp4]]) whose timescale, duration, track layout,
+    * codecs, dims, and audio shape are pure formulas of
+    * (doc_id, n_chars) — so DuckDB oracles the parsed metadata from
+    * the formulas alone while the engine runs the real box walk.
+    * Documents with `doc_id % 3 == 0` are video-only; the rest carry a
+    * second mp4a audio track.
+    */
+  def mp4AssetsFromDocuments(documents: DataFrame, batchSize: Int = 64): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    documents.select("doc_id", "n_chars").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0); val nChars = r.getLong(1)
+          val ts = 600L * (id % 4 + 1)
+          val dur = nChars % 5000 + 100
+          val w = (nChars % 640 + 16).toInt
+          val h = (id % 480 + 16).toInt
+          val video = Mp4Codec.TrackSpec("vide", "avc1", width = w, height = h)
+          val tracks =
+            if (id % 3 == 0) Seq(video)
+            else Seq(video, Mp4Codec.TrackSpec("soun", "mp4a",
+              sampleRate = (8000 + (id % 3) * 4000).toInt,
+              channels = (id % 2 + 1).toInt))
+          val mdat = Array.tabulate((nChars % 32 + 1).toInt)(i => ((id + i) % 256).toByte)
+          Row(id, Mp4Codec.encodeMp4(ts, dur, tracks, mdat), "video/mp4", w, h)
+        }
+      }
+    }(enc)
+  }
+
+  /** Real MP4 metadata demux: one row per parseable asset —
+    * `(asset_id, brand, timescale, duration_ticks, duration_ms,
+    * n_tracks, video_codec, width, height, audio_codec, audio_rate,
+    * audio_channels)`. Video facts from the first `vide` track, audio
+    * facts from the first `soun` track (null when absent). Corrupt /
+    * non-MP4 payloads yield no rows (poison-safe skip). Batched
+    * `mapPartitions`, shuffle-free — the [[decodeImages]] scale shape:
+    * this is the metadata-pruning pass a 100-TB video corpus runs
+    * BEFORE paying any GPU decode.
+    */
+  def mp4Meta(assets: DataFrame, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("brand", StringType, nullable = false),
+      StructField("timescale", LongType, nullable = false),
+      StructField("duration_ticks", LongType, nullable = false),
+      StructField("duration_ms", DoubleType, nullable = false),
+      StructField("n_tracks", IntegerType, nullable = false),
+      StructField("video_codec", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("audio_codec", StringType, nullable = true),
+      StructField("audio_rate", IntegerType, nullable = true),
+      StructField("audio_channels", IntegerType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    assets.select("asset_id", "media", "mime").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val meta =
+            if (Mp4Codec.mp4Mimes.contains(r.getString(2)))
+              Mp4Codec.parseMeta(r.getAs[Array[Byte]](1))
+            else None
+          meta.map { m =>
+            val v = m.tracks.find(_.handler == "vide")
+            val a = m.tracks.find(_.handler == "soun")
+            Row(r.getLong(0), m.brand, m.timescale, m.duration, m.durationMs,
+              m.tracks.length,
+              v.map(_.codec).orNull,
+              v.map(t => Int.box(t.width)).orNull,
+              v.map(t => Int.box(t.height)).orNull,
+              a.map(_.codec).orNull,
+              a.map(t => Int.box(t.sampleRate)).orNull,
+              a.map(t => Int.box(t.channels)).orNull)
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** STUB decode/embed kernel for frame CODECS the JDK genuinely
+    * cannot decode (H.264/HEVC/AAC sample data) — a deterministic
+    * stand-in (rolling FNV-1a of the payload folded per feature slot
+    * into [0, 1) floats) with the same signature a real codec adapter
+    * would have: stable across JVMs/partitionings, so pipeline tests
+    * assert real equalities. No CONTAINER goes through this anymore:
+    * image, audio, and AVI mimes decode for real via [[ImageCodec]] /
+    * [[AudioCodec]] / [[VideoCodec]], and MP4/ISO-BMFF metadata
+    * demuxes for real via [[Mp4Codec]] — only the compressed sample
+    * payloads inside an MP4 remain stubbed.
     */
   object StubCodec {
     def featuresOf(bytes: Array[Byte], dim: Int): Array[Float] = {

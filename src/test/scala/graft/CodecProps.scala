@@ -188,6 +188,75 @@ object CodecProps extends Properties("Multimodal.codecs") {
       v.frames.head.argb.toSeq == Seq(0xff102030, 0xff405060))
   }
 
+  property("mp4 box walk round-trips any synthesized track layout") = {
+    val trackGen = Gen.oneOf(
+      for {
+        w <- Gen.choose(1, 4096); h <- Gen.choose(1, 4096)
+        codec <- Gen.oneOf("avc1", "hev1", "mp4v")
+      } yield Multimodal.Mp4Codec.TrackSpec("vide", codec, width = w, height = h),
+      for {
+        rate <- Gen.choose(8000, 48000); ch <- Gen.choose(1, 8)
+        codec <- Gen.oneOf("mp4a", "ac-3")
+      } yield Multimodal.Mp4Codec.TrackSpec("soun", codec, sampleRate = rate, channels = ch))
+    val gen = for {
+      ts <- Gen.choose(1L, 1000000L)
+      dur <- Gen.choose(0L, 100000L)
+      tracks <- Gen.nonEmptyListOf(trackGen).map(_.take(5))
+      mdat <- Gen.listOf(Gen.choose(Int.MinValue, Int.MaxValue).map(_.toByte))
+    } yield (ts, dur, tracks, mdat.toArray)
+    Prop.forAll(gen) { case (ts, dur, tracks, mdat) =>
+      val m = Multimodal.Mp4Codec.parseMeta(
+        Multimodal.Mp4Codec.encodeMp4(ts, dur, tracks, mdat)).get
+      m.brand == "isom" && m.timescale == ts && m.duration == dur &&
+        m.tracks.length == tracks.length &&
+        m.tracks.zip(tracks).zipWithIndex.forall { case ((got, spec), i) =>
+          got.trackId == i + 1 && got.handler == spec.handler &&
+            got.codec == spec.codec && got.duration == dur &&
+            (if (spec.handler == "vide")
+              got.width == spec.width && got.height == spec.height
+            else
+              got.sampleRate == spec.sampleRate && got.channels == spec.channels)
+        }
+    }
+  }
+
+  property("mp4 parse never throws or hangs on arbitrary bytes") = {
+    val raw = Gen.listOf(Gen.choose(Int.MinValue, Int.MaxValue).map(_.toByte))
+      .map(_.toArray)
+    // adversarial prefix: a valid-looking ftyp so the walk engages
+    val prefixed = raw.map(b =>
+      Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes("US-ASCII") ++
+        Array[Byte](0, 0, 2, 0) ++ b)
+    Prop.forAll(Gen.oneOf(raw, prefixed)) { bytes =>
+      Multimodal.Mp4Codec.parseMeta(bytes)
+      true
+    }
+  }
+
+  property("mp4 corrupt boxes punt to None, never a wrong answer") = {
+    val good = Multimodal.Mp4Codec.encodeMp4(600, 1200,
+      Seq(Multimodal.Mp4Codec.TrackSpec("vide", "avc1", width = 64, height = 48)))
+    def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    // a box size that escapes the file; a size smaller than its header;
+    // a truncated file; and a 100k-deep nested moov (depth cap, no SOE)
+    val oversize = good.clone(); be32(0x7fffffffL).copyToArray(oversize, 0)
+    val undersize = good.clone(); be32(4L).copyToArray(undersize, 0)
+    val truncated = good.take(good.length - 10)
+    var nest = Array.empty[Byte]
+    var i = 0
+    while (i < 100000) {
+      nest = be32(8L + nest.length) ++ "moov".getBytes("US-ASCII") ++ nest
+      i += 1
+    }
+    val deep = good.take(24) ++ nest // keep the ftyp, then the bomb
+    Multimodal.Mp4Codec.parseMeta(good).isDefined &&
+      Multimodal.Mp4Codec.parseMeta(oversize).isEmpty &&
+      Multimodal.Mp4Codec.parseMeta(undersize).isEmpty &&
+      Multimodal.Mp4Codec.parseMeta(truncated).isEmpty &&
+      Multimodal.Mp4Codec.parseMeta(deep).isEmpty
+  }
+
   property("luhn kernel == arithmetic reference on arbitrary digit strings") = {
     val gen = for {
       n <- Gen.choose(0, 24)
