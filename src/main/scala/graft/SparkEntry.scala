@@ -2500,6 +2500,19 @@ object SparkEntry {
     "q_connected_components" -> ((s, dir) => {
       graft.operators.Graph.connectedComponents(partCoEdgesRepeat(s, dir))
     }),
+    // INCREMENTAL connected-components absorb: a stored labeling built
+    // from ~4/5 of the co-occurrence edges absorbs the remaining batch
+    // via Graph.ccAbsorb — seed-lookup + contracted-graph re-converge +
+    // broadcast label rewrite, the store never shuffling. The oracle is
+    // batch CC over the FULL edge set (duckConnComp): that equality IS
+    // the operator's claim (the q_ivf_insert_topk pattern).
+    "q_cc_incremental" -> ((s, dir) => {
+      val edges = partCoEdgesRepeat(s, dir)
+      val split = pmod(col("src") + col("dst"), lit(5))
+      val stored = graft.operators.Graph.connectedComponents(
+        edges.filter(split =!= 0))
+      graft.operators.Graph.ccAbsorb(stored, edges.filter(split === 0))
+    }),
     // PCA moment pass — the dimensionality-reduction stage of an
     // embedding pipeline. The full d² covariance matrix through
     // DECIMAL-exact sums (partition-order invariant), the oracle
@@ -3878,6 +3891,9 @@ object SparkEntry {
     // 8 unrolled pointer-jumping rounds (≥ log2(diameter) of the
     // repeat co-occurrence graph; extra rounds are no-ops)
     "q_connected_components" -> duckConnComp(8),
+    // the incremental absorb must equal batch CC over the union of the
+    // stored edges and the new batch — i.e. over ALL edges
+    "q_cc_incremental" -> duckConnComp(8),
     // k-core: 3 unrolled synchronous peel rounds at k = 2 over the
     // repeat (>= 2 shared orders) part co-occurrence graph
     "q_kcore" ->

@@ -308,7 +308,10 @@ object Graph {
         .select(col("node"), col("jump").as("component"))
         .localCheckpoint()
       val newSum = next.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
-      converged = prevSum.exists(_.compareTo(newSum) == 0)
+      // null-safe: an empty vertex set sums to null (and must converge
+      // immediately, not NPE) — the ccAbsorb empty-batch path hits this
+      converged = prevSum.exists(p =>
+        if (p == null || newSum == null) p == newSum else p.compareTo(newSum) == 0)
       labels = next
       prevSum = Some(newSum)
       i += 1
@@ -334,6 +337,80 @@ object Graph {
       edges.select(col("src").as("node"))
         .union(edges.select(col("dst").as("node"))).distinct(),
       edges)
+
+  /** INCREMENTAL connected-components absorb: merge a batch of new
+    * edges into a STORED canonical labeling (`(node, component)` where
+    * `component` is the component's min node id — [[connectedComponents]]'
+    * output contract) and return the full updated labeling, EXACTLY
+    * equal to batch CC over the union of the stored graph and the new
+    * edges — without re-running the fixpoint over the corpus. This is
+    * the missing half of the incremental dedup-store contract: the
+    * stores absorb PAIRS incrementally, and this absorbs their cluster
+    * LABELS.
+    *
+    * Work ∝ the batch, not the corpus:
+    *  1. Seed lookup — the batch's endpoints (bounded by 2·|batch|)
+    *     BROADCAST against the store: one narrow map-side semi-join
+    *     pass; the store never shuffles.
+    *  2. Contract — each new edge `(u,v)` becomes an edge between the
+    *     SEED LABELS `(label(u), label(v))` (a new node seeds as its
+    *     own id). The contracted graph has ≤ 2·|batch| vertices.
+    *  3. Re-converge — [[connectedComponents]] runs on the CONTRACTED
+    *     graph only: O(log batch-diameter) rounds over ∝|batch| rows.
+    *     Its min-label output over min-node labels is again the min
+    *     node id of each merged component, so canonicality is
+    *     preserved by construction.
+    *  4. Rewrite — only labels the contraction actually changed
+    *     (`old ≠ new`, bounded by the touched components) broadcast
+    *     back over the store: a second narrow map-side pass, again no
+    *     store-side Exchange. New nodes append with their re-converged
+    *     labels.
+    *
+    * The equality claim (absorb ≡ batch-over-union) holds because the
+    * stored labeling is a valid canonical CC of the stored graph: each
+    * stored component is internally connected, so contracting it to
+    * its label loses no connectivity that the new edges could use, and
+    * the min over merged labels equals the min node over merged
+    * components.
+    */
+  def ccAbsorb(stored: DataFrame, newEdges: DataFrame,
+               maxIters: Int = 20): DataFrame = {
+    val e = newEdges.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    val endpoints = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint() // referenced 3×; also pins the batch size once
+    // 1. seed lookup: store-side map-only (broadcast semi-join)
+    val seeds = stored.join(broadcast(endpoints), Seq("node"))
+      .select(col("node"), col("component"))
+      .localCheckpoint() // bounded by |endpoints|; safe to broadcast back
+    // 2. contract new edges to component-level edges
+    val contracted = e
+      .join(broadcast(seeds.select(col("node").as("src"), col("component").as("lu"))),
+        Seq("src"), "left")
+      .join(broadcast(seeds.select(col("node").as("dst"), col("component").as("lv"))),
+        Seq("dst"), "left")
+      .select(coalesce(col("lu"), col("src")).as("src"),
+        coalesce(col("lv"), col("dst")).as("dst"))
+    // 3. re-converge ONLY the touched subgraph
+    val remap = connectedComponents(
+      contracted.select(col("src").as("node"))
+        .union(contracted.select(col("dst").as("node"))).distinct(),
+      contracted, maxIters)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("oldc"), col("component").as("newc"))
+      .localCheckpoint() // bounded by touched components; broadcast below
+    // 4. rewrite: store-side map-only again (broadcast left join)
+    val updated = stored
+      .join(broadcast(remap), stored("component") === remap("oldc"), "left")
+      .select(stored("node"), coalesce(col("newc"), stored("component")).as("component"))
+    // new nodes seed as their own id, so their remap key is that id
+    val newNodes = endpoints
+      .join(broadcast(seeds.select(col("node"))), Seq("node"), "left_anti")
+      .join(broadcast(remap), col("node") === col("oldc"), "left")
+      .select(col("node"), coalesce(col("newc"), col("node")).as("component"))
+    updated.union(newNodes)
+  }
 
   /** Degree relation `(node, out_deg, in_deg)` — the cheap centrality
     * twin (and the spec's cross-check surface).

@@ -148,6 +148,59 @@ class GraphSpec extends AnyFunSuite {
     assert(got3.forall(_._2 === 0L), "one chain, one min-labeled component")
   }
 
+  test("ccAbsorb: multi-batch absorb == batch CC over the union, every batch boundary") {
+    val rnd = new scala.util.Random(13)
+    val raw = (0 until 400).map(_ => (rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+    val batches = raw.grouped(134).toSeq // 3 uneven batches
+    var store = Graph.connectedComponents(batches.head.toDF("src", "dst"))
+    var seen = batches.head
+    batches.tail.foreach { b =>
+      store = Graph.ccAbsorb(store, b.toDF("src", "dst"))
+      seen = seen ++ b
+      val got = store.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val ref = Graph.connectedComponents(seen.toDF("src", "dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === ref, s"absorb must equal batch CC over the union at each boundary")
+    }
+  }
+
+  test("ccAbsorb: empty batch leaves the store unchanged; new-nodes-only batch appends") {
+    val store = Graph.connectedComponents(Seq((1L, 2L), (3L, 4L)).toDF("src", "dst"))
+    val same = Graph.ccAbsorb(store, Seq.empty[(Long, Long)].toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(same === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    // a batch touching no stored node appends its own components
+    val appended = Graph.ccAbsorb(store, Seq((10L, 11L), (11L, 12L)).toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(appended === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // a batch merging the two stored components rewrites only their labels
+    val merged = Graph.ccAbsorb(store, Seq((2L, 4L)).toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(merged === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("ccAbsorb plan pin: the store side never shuffles — broadcast joins only") {
+    // store as a real file-backed table, the incremental-pipeline shape
+    val dir = java.nio.file.Files.createTempDirectory("cc_absorb_pin").toString
+    Graph.connectedComponents(
+      (0L until 200L).map(i => (i, i / 4 * 4)).toDF("src", "dst"))
+      .write.mode("overwrite").parquet(s"$dir/labels")
+    val store = spark.read.parquet(s"$dir/labels")
+    val out = Graph.ccAbsorb(store, Seq((0L, 4L), (8L, 300L)).toDF("src", "dst"))
+    val p = out.queryExecution.executedPlan.toString
+    // the contracted-graph CC is behind localCheckpoint leaves, so the
+    // visible plan is exactly the two store passes + union: any
+    // Exchange must be a BroadcastExchange (batch-sized sides), never a
+    // hash shuffle of the store
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"store side must not shuffle on absorb:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"remap must broadcast over the store:\n$p")
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(300L) === 8L && got(0L) === 0L && got(4L) === 0L)
+  }
+
   test("kcore: triangle with a pendant chain — the 2-core is exactly the triangle") {
     // 1-2-3 triangle, chain 3-4-5, isolated-ish leaf 6-1
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (6L, 1L))
