@@ -2080,6 +2080,22 @@ object SparkEntry {
         .orderBy(col("dist"), col("vec_id"))
         .limit(10)
     }),
+    // the NAIVE RADIUS plan ("everything within r") over the same
+    // partitioned L2 index: the rule recognizes the pushed-down
+    // Filter(round(l2,6) <= r, Join) shape and rewrites to the
+    // triangle-bound pruned scan (Ivf.rangeSearch's path) — LOSSLESS
+    // pruning, so exact at ANY nprobe, and the full-scan oracle applies
+    "q_range_rewrite" -> ((s, dir) => {
+      val dataPath = ensureRewriteSandbox(s, dir)
+      val emb = s.read.parquet(dataPath)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(perturbQuery(col("embedding")).as("query_vec"))
+      emb.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(l2Distance(col("embedding"), col("query_vec")), 6).as("dist"))
+        .filter(col("dist") <= 1.8)
+        .orderBy(col("dist"), col("vec_id"))
+    }),
     // the NAIVE cosine top-k (the most common embedding metric) over a
     // table with a registered COSINE index: the rule recognizes the
     // similarity-descending dot/norm shape, transforms the query into
@@ -3283,6 +3299,14 @@ object SparkEntry {
           FROM embeddings, $duckQueryVec q
           WHERE vec_id % 2 = 0
           ORDER BY dist, vec_id LIMIT 10""",
+    // the range rewrite's pruning is lossless (triangle inequality over
+    // the _radii sidecar) — the plain full-scan radius oracle applies
+    "q_range_rewrite" ->
+      s"""WITH q AS (SELECT query_vec FROM $duckQueryVec)
+          SELECT e.vec_id, round(list_distance(e.embedding::DOUBLE[], q.query_vec), 6) AS dist
+          FROM embeddings e JOIN q ON true
+          WHERE round(list_distance(e.embedding::DOUBLE[], q.query_vec), 6) <= 1.8
+          ORDER BY dist, e.vec_id""",
     // the cosine/MIPS rewrites restrict candidates at nprobe = C (all
     // cells) with the score expression untouched — the plain exact
     // oracles apply, perturbed-query form

@@ -94,7 +94,129 @@ case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
         .getOrElse(gl)
     case f @ Filter(cond, w: Window) =>
       tryRewriteBatch(cond, w).map(r => f.copy(child = r)).getOrElse(f)
+    case f @ Filter(cond, join: Join) =>
+      tryRewriteRange(cond, join).map(r => f.copy(child = r)).getOrElse(f)
+    // PushPredicateThroughJoin moves the cross-side range predicate
+    // INTO the join condition before user rules run — the same naive
+    // radius query surfaces as a conditioned cross join, no Filter node
+    case j @ Join(_, _, Cross | Inner, Some(cond), _) =>
+      tryRewriteRange(cond, j).getOrElse(j)
   }
+
+  // ------------------------------------------------------------------
+  // Shape 3: radius / range search
+  // ------------------------------------------------------------------
+
+  /** The naive RANGE plan — `Filter(l2_distance(emb, q) <= r, Join)` in
+    * any of its lowered spellings (the optimizer pushes the filter
+    * through the user's Project, substituting the alias):
+    * {{{
+    *   Filter round(SQRT(l2sq(embedding, query_vec)), s) <= lit(r)
+    *     Join Cross/Inner (no condition)
+    *       <scan of indexed table>
+    *       <query-vector side>                 -- 1 row
+    * }}}
+    * rewrites to the triangle-inequality pruned path of
+    * [[graft.operators.Ivf.rangeSearch]]: a cell whose centroid
+    * satisfies `‖q−c‖ − rad(cell) > r` can hold NO result, so pruning
+    * to the eligible cells is LOSSLESS — unlike the top-k shapes this
+    * rewrite is exact for ANY nprobe setting, not an approximation
+    * budget. Per-cell covering radii come from the layout's `_radii`
+    * sidecar ([[graft.operators.Ivf.ensureRadii]] — built once per
+    * layout, invalidated on membership change, ≤ C rows read fresh at
+    * every rewrite so a maintenance rebuild can never leave a stale
+    * bound in a plan). The threshold carries the score's rounding
+    * margin (`round(d, s) <= r` admits true distances up to
+    * `r + 10^-s`), and a squared-distance spelling compares against
+    * `sqrt(r)`. Requires the partitioned copy (that's where the radii
+    * live) and declines on a non-deterministic query side (the probe
+    * would prune against a different vector than the one the runtime
+    * join scores).
+    */
+  private def tryRewriteRange(cond: Expression, join: Join): Option[LogicalPlan] =
+    join match {
+      // any condition slot: the rewrite goes through join.copy(left = …),
+      // which preserves an existing condition (the pushed range conjunct
+      // keeps evaluating over the pruned scan — restriction, not removal)
+      case Join(left, right, Cross | Inner, _, _) =>
+        for {
+          (l2sq, thresholdL2) <- splitConjunctivePredicates(cond).iterator.flatMap {
+            case LessThanOrEqual(e, Literal(v, _)) => rangeScore(e, numeric(v))
+            case LessThan(e, Literal(v, _)) => rangeScore(e, numeric(v))
+            case GreaterThanOrEqual(Literal(v, _), e) => rangeScore(e, numeric(v))
+            case GreaterThan(Literal(v, _), e) => rangeScore(e, numeric(v))
+            case _ => None
+          }.nextOption()
+          if l2sq.references.exists(left.outputSet.contains) &&
+            l2sq.references.exists(right.outputSet.contains)
+          (qAttr, idAttr, idx) <- indexedSides(l2sq, left, right, L2Metric)
+          pp <- idx.partitionedPath
+          if !right.exists(_.expressions.exists(!_.deterministic))
+          q <- executeQuerySide(Project(Seq(qAttr), right), maxRows = 2) match {
+            case Some(rows) if rows.length == 1 && !rows.head.isNullAt(0) =>
+              scala.util.Try(vecOf(rows.head.getArray(0), qAttr.dataType)).toOption
+            case _ => None
+          }
+          cells <- eligibleCells(q, thresholdL2, idx, pp)
+          r <- rewriteToPartitioned(join, left, qAttr, idx, pp, None, SingleCells(cells))
+            .orElse(Some(rewriteWithAssignJoin(join, left, idAttr, qAttr, idx,
+              None, SingleCells(cells))))
+        } yield r
+      case _ => None
+    }
+
+  private def numeric(v: Any): Option[Double] = v match {
+    case d: Double => Some(d)
+    case f: Float => Some(f.toDouble)
+    case i: Int => Some(i.toDouble)
+    case l: Long => Some(l.toDouble)
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+    case _ => None
+  }
+
+  /** Decompose a range-predicate score into its cross [[L2DistanceSqExpr]]
+    * and the equivalent TRUE-L2 threshold for radius `r`: plain sqrt
+    * compares in distance units, a Round admits `10^-s` more, and the
+    * squared spellings take the root. The tiny additive epsilon only
+    * ever keeps MORE cells — pruning stays lossless at ulp boundaries.
+    */
+  private def rangeScore(e: Expression, r: Option[Double])
+      : Option[(L2DistanceSqExpr, Double)] = r.flatMap { radius =>
+    val eps = 1e-9
+    e match {
+      case Round(Sqrt(d: L2DistanceSqExpr), Literal(s: Int, _), _) =>
+        Some((d, radius + math.pow(10.0, -s) + eps))
+      case Sqrt(d: L2DistanceSqExpr) => Some((d, radius + eps))
+      case Round(d: L2DistanceSqExpr, Literal(s: Int, _), _) =>
+        Some((d, math.sqrt(math.max(radius + math.pow(10.0, -s), 0.0)) + eps))
+      case d: L2DistanceSqExpr => Some((d, math.sqrt(math.max(radius, 0.0)) + eps))
+      case _ => None
+    }
+  }
+
+  /** The cells whose covering ball intersects the query ball — the
+    * lossless triangle bound `‖q−c‖ − rad(cell) <= threshold`. Radii
+    * are read FRESH from the layout sidecar each rewrite (≤ C rows —
+    * the bounded-sidecar contract; caching would risk serving a bound
+    * from before a membership-changing maintenance op). A centroid with
+    * no radii row has no members — prunable outright. None (decline the
+    * rewrite, keep the naive plan) if the sidecar can't be built/read.
+    */
+  private def eligibleCells(q: Array[Double], thresholdL2: Double,
+                            idx: IndexCatalog.IvfIndex, pp: String): Option[Seq[Long]] =
+    try {
+      graft.operators.Ivf.ensureRadii(spark, pp)
+      val radii = spark.read.parquet(s"$pp/_radii")
+        .select("cell", "radius").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      Some(idx.centroids.collect { case (cid, v)
+          if radii.contains(cid) && {
+            var s = 0.0; var i = 0
+            val n = math.min(q.length, v.length)
+            while (i < n) { val d = q(i) - v(i); s += d * d; i += 1 }
+            math.sqrt(s) - radii(cid) <= thresholdL2
+          } => cid })
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   // ------------------------------------------------------------------
   // Shape 1: single-query Sort+Limit

@@ -467,6 +467,99 @@ class IndexRewriteSpec extends AnyFunSuite {
     IndexCatalog.unregister(dataPath)
   }
 
+  /** The naive RADIUS query — "everything within r", no index API. */
+  private def naiveRange(path: String, r: Double): DataFrame = {
+    val emb = spark.read.parquet(path)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("query_vec"))
+    emb.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(l2Distance(col("embedding"), col("query_vec")), 6).as("dist"))
+      .filter(col("dist") <= r)
+      .orderBy(col("dist"), col("vec_id"))
+  }
+
+  // two far-apart blobs: a small ball around a blob-A point provably
+  // excludes every blob-B cell — the triangle bound must actually skip
+  private lazy val blobPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("idxrw_range").toString
+    (0L until 200L).map { i =>
+      val rnd = new scala.util.Random(i)
+      val base = if (i < 100) 10f else 1000f
+      (i, Array.fill(8)(base + rnd.nextFloat()))
+    }.toDF("vec_id", "embedding").write.parquet(s"$dir/emb.parquet")
+    s"$dir/emb.parquet"
+  }
+
+  test("range shape: triangle-pruned partition scan fires, skips far cells, stays exact") {
+    val pdir = java.nio.file.Files.createTempDirectory("idxrw_range_idx").toString
+    IndexCatalog.buildAndRegister(spark, blobPath, c = 4, iters = 2,
+      nprobe = 1, pdir, partitioned = true)
+    val exact = rows(naiveRange(blobPath, 50.0)) // rule not installed
+    assert(exact.nonEmpty && exact.forall(_._1 < 100), "fixture: ball covers blob A only")
+    withRule {
+      val df = naiveRange(blobPath, 50.0)
+      val phys = df.queryExecution.executedPlan.toString
+      assert(phys.contains("PartitionFilters") && phys.contains("cell"),
+        s"range probe should be a partition filter on the cell copy:\n$phys")
+      assert(!df.queryExecution.optimizedPlan.toString.contains("assign"),
+        "partitioned range form should not join the assignment table")
+      // the bound must EXCLUDE blob B's cells, not list all C = 4:
+      // the partition filter carries the eligible-cell literals
+      val inList = "(?:IN|INSET)\\s*\\(?([-0-9,\\s]+)\\)?".r
+        .findFirstMatchIn(phys.linesIterator.find(_.contains("PartitionFilters")).getOrElse(""))
+        .map(_.group(1).split(",").count(_.trim.nonEmpty)).getOrElse(-1)
+      assert(inList >= 1 && inList < 4,
+        s"triangle bound should skip blob-B cells (eligible = $inList of 4):\n$phys")
+      // lossless: exact at ANY nprobe (index registered with nprobe = 1)
+      assert(rows(df) === exact, "triangle-pruned range must equal the full scan")
+    }
+    IndexCatalog.unregister(blobPath)
+  }
+
+  test("range shape without a partitioned copy declines (radii live in the layout)") {
+    val idir = java.nio.file.Files.createTempDirectory("idxrw_range_noidx").toString
+    IndexCatalog.buildAndRegister(spark, blobPath, c = 4, iters = 2,
+      nprobe = 4, idir) // partitioned = false
+    withRule {
+      val opt = naiveRange(blobPath, 50.0).queryExecution.optimizedPlan.toString
+      assert(!opt.contains("cell#"), s"no radii sidecar -> keep the naive plan:\n$opt")
+    }
+    IndexCatalog.unregister(blobPath)
+  }
+
+  test("range must-not-fire: outside-radius, non-literal threshold, unregistered scan") {
+    val pdir = java.nio.file.Files.createTempDirectory("idxrw_range_neg").toString
+    IndexCatalog.buildAndRegister(spark, blobPath, c = 4, iters = 2,
+      nprobe = 4, pdir, partitioned = true)
+    withRule {
+      val emb = spark.read.parquet(blobPath)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("query_vec"))
+      // "everything OUTSIDE r" — pruning eligible cells would be wrong
+      val outside = emb.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(l2Distance(col("embedding"), col("query_vec")), 6).as("dist"))
+        .filter(col("dist") >= 50.0)
+      assert(!outside.queryExecution.optimizedPlan.toString.contains("cell#"),
+        "outside-radius predicate must not be rewritten")
+      assert(outside.count() === 100L, "blob B survives the outside filter")
+      // non-literal threshold: no plan-time bound exists
+      val nonLit = emb.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(l2Distance(col("embedding"), col("query_vec")), 6).as("dist"))
+        .filter(col("dist") <= col("vec_id").cast("double"))
+      assert(!nonLit.queryExecution.optimizedPlan.toString.contains("cell#"),
+        "non-literal radius must not be rewritten")
+    }
+    IndexCatalog.unregister(blobPath)
+    // unregistered table: plan untouched even with the rule installed
+    withRule {
+      assert(!naiveRange(blobPath, 50.0).queryExecution.optimizedPlan.toString
+        .contains("cell#"), "no catalog entry -> naive plan")
+    }
+  }
+
   test("descending sort (farthest-first) is NOT rewritten") {
     IndexCatalog.buildAndRegister(spark, dataPath, c = C, iters = 2,
       nprobe = 2, indexDir)
