@@ -73,6 +73,82 @@ object CorpusPipeline {
         count(lit(1)).as("n_docs"),
         sum(size(TextFunctions.tokens(col("text"))).cast("long")).as("n_tokens"))
 
+  /** Per-stage cost/selectivity accounting for [[curate]]: one row per
+    * pipeline stage — `(stage, rows_in, rows_out, rows_changed,
+    * shuffle_write_bytes)` — the numbers a pipeline owner tunes with
+    * (which stage kills how many docs, and what each one pays in
+    * shuffle). Selectivities come from per-stage counts over the SAME
+    * deterministic stage predicates the pipeline runs; shuffle bytes
+    * come from a task-metrics listener around each stage's measurement
+    * block (the `AnnBench` smoke pattern, promoted to an operator API —
+    * it sees every job in the block, including checkpoint writes and
+    * the clustering loop's iterations, which per-plan metric inspection
+    * misses behind lineage truncation).
+    *
+    * Attribution notes, in the column semantics:
+    *  - `rows_changed` is `rows_in − rows_out` for filter/dedup stages
+    *    and the count of DOCUMENTS REWRITTEN for the (row-preserving)
+    *    PII stage;
+    *  - narrow stages (lang, quality, PII) legitimately report ~0
+    *    shuffle — they fuse into the scan at run time; their measured
+    *    bytes are just the count aggregation's partial-agg exchange;
+    *  - the near-dup block re-runs the exact-dedup join as its prefix
+    *    (stage blocks are measured independently), so the exact stage's
+    *    measured bytes are subtracted from it, clamped at 0.
+    *
+    * This is a DIAGNOSTIC pass: it re-executes stage prefixes (narrow
+    * prefixes re-scan but add no shuffle) and runs one counting job per
+    * stage. Run it at a sampled SF to budget a production run, not
+    * inside one.
+    */
+  def curateStats(documents: DataFrame, lang: String, minQuality: Double,
+                  jaccardThreshold: Double, maxDf: Int = 10000,
+                  redactPii: Boolean = false): DataFrame = {
+    val spark = documents.sparkSession
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def block(f: => Long): (Long, Long) = {
+        val s0 = shuffleBytes.get()
+        val n = f
+        Thread.sleep(500) // straggler task-end events drain async
+        (n, shuffleBytes.get() - s0)
+      }
+      val (n0, _) = block(documents.count())
+      val toks = TextFunctions.tokens(col("text"))
+      val (n1, b1) = block(
+        documents.filter(TextAnalysis.langPredCol(toks) === lang).count())
+      val kept1raw = filtered(documents, lang, minQuality)
+      val (n2, b2) = block(kept1raw.count())
+      val kept1 =
+        if (redactPii) kept1raw.withColumn("text", TextAnalysis.redactCol(col("text")))
+        else kept1raw
+      val (nPii, bPii) =
+        if (redactPii)
+          block(kept1raw.filter(TextAnalysis.redactCol(col("text")) =!= col("text")).count())
+        else (0L, 0L)
+      val (n3, b3) = block(
+        kept1.join(Dedup.exactKept(kept1), Seq("doc_id")).count())
+      val (n4, b4raw) = block(
+        curatedDocs(documents, lang, minQuality, jaccardThreshold, maxDf, redactPii).count())
+      val b4 = math.max(0L, b4raw - b3) // the block re-pays the exact join
+      import spark.implicits._
+      val base = Seq(
+        ("lang_id", n0, n1, n0 - n1, b1),
+        ("quality", n1, n2, n1 - n2, b2)) ++
+        (if (redactPii) Seq(("pii_redact", n2, n2, nPii, bPii)) else Nil) ++ Seq(
+        ("exact_dedup", n2, n3, n2 - n3, b3),
+        ("neardup_cluster", n3, n4, n3 - n4, b4))
+      base.toDF("stage", "rows_in", "rows_out", "rows_changed", "shuffle_write_bytes")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   /** The COMPLETE corpus-to-training-sequences flow: curation →
     * epoch-style source mixing ([[Sampling.epochMix]], sources absent
     * from `epochs` dropped) → sequence packing

@@ -136,14 +136,40 @@ object Sampling {
     * the tc = sc = 0 case of the same formula.
     */
   def dsirScorer(reference: DataFrame, isTarget: Column,
-                 buckets: Int = 256): DataFrame => DataFrame = {
+                 buckets: Int = 256): DataFrame => DataFrame =
+    dsirScorerFromCounts(
+      dsirModelIncrement(reference, isTarget, buckets)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq,
+      buckets)
+
+  /** One micro-batch's DSIR model increment: per-bucket target/source
+    * gram counts `(b, tc, sc)` — ≤ `buckets` rows regardless of batch
+    * size, and MERGEABLE (counts of a union = per-bucket sums), so a
+    * stream can append each batch's increment as immutable files (the
+    * CMS maintenance pattern) and fold them back into exactly the model
+    * a batch fit over the union would produce. Shared by [[dsirScorer]]
+    * (single-batch fit) and the streaming maintenance in
+    * [[graft.streaming.StreamingCuration.maintainDsirModel]].
+    */
+  def dsirModelIncrement(reference: DataFrame, isTarget: Column,
+                         buckets: Int = 256): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val counts = gramBuckets(reference.select(col("doc_id"),
+    gramBuckets(reference.select(col("doc_id"),
         isTarget.as("is_target"), col("text")), buckets)
       .groupBy("b").agg(
         sum(when(col("is_target"), 1L).otherwise(0L)).as("tc"),
         sum(when(col("is_target"), 0L).otherwise(1L)).as("sc"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+  }
+
+  /** Assemble the frozen stateless scorer from FOLDED per-bucket counts
+    * (the [[dsirModelIncrement]] rows, summed per bucket across
+    * increments). Identical λ assembly to a direct [[dsirScorer]] fit:
+    * integer count sums are exact, so fold-then-freeze bit-equals
+    * fit-on-the-union at every maintenance window boundary.
+    */
+  def dsirScorerFromCounts(counts: Seq[(Long, Long, Long)],
+                           buckets: Int): DataFrame => DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
     val tt = counts.map(_._2).sum
     val st = counts.map(_._3).sum
     def lamOf(tc: Long, sc: Long): java.math.BigDecimal =

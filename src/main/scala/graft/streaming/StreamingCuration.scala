@@ -99,6 +99,42 @@ object StreamingCuration {
       }
       .start()
 
+  /** Streaming maintenance of the DSIR importance model
+    * ([[graft.operators.Sampling.dsirScorer]]'s λ fit): each
+    * micro-batch appends its OWN per-bucket target/source gram counts
+    * (`(b, tc, sc)`, ≤ `buckets` rows — corpus-independent) as
+    * immutable files, the [[maintainCms]] pattern — no read-modify-
+    * write, no state store. Counts of a union are per-bucket sums, so
+    * [[dsirScorerFromDir]]'s fold serves EXACTLY the model a batch fit
+    * over everything appended would produce — rescoring with refreshed
+    * λ per maintenance window is one read + one ≤ `buckets`-row
+    * collect, never a reference-corpus rescan.
+    */
+  def maintainDsirModel(newDocs: DataFrame, isTarget: org.apache.spark.sql.Column,
+                        modelDir: String, buckets: Int = 256)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Sampling.dsirModelIncrement(batch.toDF(), isTarget, buckets)
+          .write.mode("append").parquet(modelDir)
+      }
+      .start()
+
+  /** The frozen DSIR scorer refreshed from a [[maintainDsirModel]] dir:
+    * fold the appended increments (per-bucket sums), freeze λ as plan
+    * literals, return the stateless scoring projection — bit-equal to
+    * [[graft.operators.Sampling.dsirScorer]] fit on the union of every
+    * batch absorbed so far (spec-pinned at each window boundary).
+    */
+  def dsirScorerFromDir(spark: org.apache.spark.sql.SparkSession, modelDir: String,
+                        buckets: Int = 256): DataFrame => DataFrame = {
+    val counts = spark.read.parquet(modelDir)
+      .groupBy("b").agg(sum("tc").as("tc"), sum("sc").as("sc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    graft.operators.Sampling.dsirScorerFromCounts(counts, buckets)
+  }
+
   /** Streaming maintenance of the per-source quality-quantile sketch
     * ([[TextAnalysis.qualitySketch]]): each micro-batch appends its
     * own (source, qbin, c) increment — O(distinct bins) rows, never

@@ -58,6 +58,7 @@ object AnnBench {
     if (args.contains("piiscale")) { piiScaleSmoke(spark); spark.stop(); return }
     if (args.contains("mediascale")) { mediaScaleSmoke(spark); spark.stop(); return }
     if (args.contains("dsirscale")) { dsirScaleSmoke(spark); spark.stop(); return }
+    if (args.contains("curatestats")) { curateStatsSmoke(spark); spark.stop(); return }
     val emb = Tables.embeddings(spark, sfDir)
     val qs = emb.select(col("vec_id").as("query_id"),
       perturbQuery(col("embedding")).as("query_vec"))
@@ -297,16 +298,18 @@ object AnnBench {
     * bound — the number that proves the banded blocking claim at
     * scale. Deterministic hash text, no RNG.
     */
-  private def dedupScaleSmoke(spark: SparkSession): Unit = {
-    import graft.operators.{CorpusPipeline, Dedup}
-    val n = sys.env.get("SPARK_GRAFT_DEDUP_N").flatMap(_.toIntOption).getOrElse(2000000)
+  /** The dedup-scale synthetic corpus: 40-word docs over a ~150k-token
+    * effective vocabulary, with planted near dups (id%20==1 → same word
+    * stream as id−1 plus one extra word) and exact dups (id%30==2 →
+    * byte-identical to id−2). Shared by the dedup-scale and
+    * curate-stats smokes so their numbers describe the same corpus.
+    */
+  private def syntheticCurationCorpus(spark: SparkSession, n: Int,
+                                      wordsPerDoc: Int = 40): org.apache.spark.sql.DataFrame = {
     val vocab = ("the quick brown fox jumps over lazy dog table scan merge sort join filter " +
       "group window batch stream row value data key order hash part small fast slow query " +
       "spark line customer index cache disk memory block shard range probe").split(" ").toSeq
     val vlit = array(vocab.map(lit): _*)
-    val wordsPerDoc = 40
-    // id%20==1 → NEAR-dup of id-1 (same word stream + one extra word);
-    // id%30==2 → EXACT dup of id-2
     val baseId = when(pmod(col("id"), lit(20)) === 1, col("id") - 1)
       .when(pmod(col("id"), lit(30)) === 2, col("id") - 2)
       .otherwise(col("id"))
@@ -323,11 +326,17 @@ object AnnBench {
         pmod(hash(baseId, lit(w + 104729)), lit(4096)).cast("string"))): _*)
     val text = when(pmod(col("id"), lit(20)) === 1, concat(baseText, lit(" extensionword")))
       .otherwise(baseText)
-    val docs = spark.range(n).select(
+    spark.range(n).select(
         col("id").as("doc_id"), text.as("text"),
         concat(lit("src"), pmod(col("id"), lit(8))).as("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
-      .cache()
+  }
+
+  private def dedupScaleSmoke(spark: SparkSession): Unit = {
+    import graft.operators.{CorpusPipeline, Dedup}
+    val n = sys.env.get("SPARK_GRAFT_DEDUP_N").flatMap(_.toIntOption).getOrElse(2000000)
+    val wordsPerDoc = 40
+    val docs = syntheticCurationCorpus(spark, n, wordsPerDoc).cache()
     docs.count()
 
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
@@ -375,6 +384,44 @@ object AnnBench {
     println(json)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/dedup_scale.json"), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[annbench] file write failed: ${e.getMessage}") }
+  }
+
+  /** The per-stage pipeline accounting ([[graft.operators.CorpusPipeline
+    * .curateStats]]) over the SAME 2M-doc synthetic corpus the dedup
+    * smoke uses — emits the stage table (rows in/out/changed + shuffle
+    * write bytes per stage) as JSON and a markdown table for
+    * SCALE_SMOKE.md. The numbers the smokes used to collect piecemeal,
+    * now produced by the operator itself.
+    */
+  private def curateStatsSmoke(spark: SparkSession): Unit = {
+    import graft.operators.CorpusPipeline
+    val n = sys.env.get("SPARK_GRAFT_DEDUP_N").flatMap(_.toIntOption).getOrElse(2000000)
+    val docs = syntheticCurationCorpus(spark, n).cache()
+    docs.count()
+    val lang = graft.operators.TextAnalysis
+      .langPredCol(graft.functions.TextFunctions.tokens(col("text")))
+    val majority = docs.limit(1000).select(lang.as("l"))
+      .groupBy("l").count().orderBy(col("count").desc).head().getString(0)
+    val t0 = System.nanoTime()
+    val rows = CorpusPipeline.curateStats(docs, majority, 0.0, 0.7, redactPii = true)
+      .collect()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val md = new StringBuilder(
+      "| stage | rows in | rows out | rows changed | shuffle write |\n|---|---|---|---|---|\n")
+    val json = new StringBuilder(s"""{"curate_stats":{"n_docs":$n,"wall_sec":${fmt(wall, 1)},"stages":[""")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val (st, ri, ro, rc, sb) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      md ++= f"| $st | $ri%,d | $ro%,d | $rc%,d | ${sb / 1048576.0}%.1f MB |%n"
+      if (i > 0) json ++= ","
+      json ++= s"""{"stage":"$st","rows_in":$ri,"rows_out":$ro,"rows_changed":$rc,"shuffle_write_bytes":$sb}"""
+    }
+    json ++= "]}}"
+    println(json)
+    println(md)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/curate_stats.json"), json + "\n" + md)
     catch { case e: Throwable => System.err.println(s"[annbench] file write failed: ${e.getMessage}") }
   }
 

@@ -333,6 +333,38 @@ class SamplingSpec extends AnyFunSuite {
       "streamed scores must equal the batch fit on the same texts")
   }
 
+  test("streaming DSIR: folded increments == batch dsirWeights at every window boundary") {
+    import graft.streaming.StreamingCuration
+    val modelDir = java.nio.file.Files.createTempDirectory("dsir_model").toString + "/m"
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamingCuration.maintainDsirModel(
+      mem.toDF().toDF("doc_id", "text", "source"),
+      col("source") === "tgt", modelDir, buckets = 16)
+    val all = dsirDocs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val batches = Seq(all.take(2), all.slice(2, 5), all.drop(5)) // 3 micro-batches
+    try {
+      var seen = Seq.empty[(Long, String, String)]
+      batches.foreach { b =>
+        mem.addData(b: _*)
+        q.processAllAvailable()
+        seen = seen ++ b
+        // window boundary: refreshed-λ scorer == batch fit on the union
+        val scorer = StreamingCuration.dsirScorerFromDir(spark, modelDir, buckets = 16)
+        val got = scorer(dsirDocs).select("doc_id", "weight").collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val want = Sampling.dsirWeights(
+            seen.toDF("doc_id", "text", "source"), col("source") === "tgt", buckets = 16)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        // dsirWeights scores the docs it was fit on; compare on those ids
+        assert(want.keySet.forall(id => got(id) === want(id)),
+          s"boundary after ${seen.length} docs: streamed model must bit-equal the batch fit")
+      }
+    } finally q.stop()
+  }
+
   test("dsirResample: deterministic Gumbel-top-k over the source slice") {
     val s1 = Sampling.dsirResample(dsirDocs, col("source") === "tgt", k = 3,
       buckets = 16).collect().map(r => (r.getLong(0), r.getDouble(2)))

@@ -308,6 +308,33 @@ class TextDedupSpec extends AnyFunSuite {
     assert(stats === Set(("s0", 1L, 6L), ("s2", 1L, 3L)))
   }
 
+  test("curateStats: per-stage rows match independently computed stage counts") {
+    // same fixture as the end-to-end test: 5 docs in → 4 en → 4 pass
+    // quality 0 → exact dedup drops doc 2 → near-dup clusters {1,3},
+    // keep 1 → 2 out. Chain consistency: rows_in(k) == rows_out(k-1).
+    val st = CorpusPipeline.curateStats(docs, lang = "en", minQuality = 0.0,
+        jaccardThreshold = 0.3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(st("lang_id") === ((5L, 4L, 1L)))
+    assert(st("quality") === ((4L, 4L, 0L)))
+    assert(st("exact_dedup") === ((4L, 3L, 1L)))
+    assert(st("neardup_cluster") === ((3L, 2L, 1L)))
+    assert(!st.contains("pii_redact"), "pii stage only appears when enabled")
+    // the final stage's rows_out is the pipeline's own kept count
+    val kept = CorpusPipeline.curatedDocs(docs, "en", 0.0, 0.3).count()
+    assert(st("neardup_cluster")._2 === kept)
+    // with redaction on: row-preserving stage, rows_changed counts the
+    // docs the matcher actually rewrote (this fixture has no PII)
+    val st2 = CorpusPipeline.curateStats(docs, lang = "en", minQuality = 0.0,
+        jaccardThreshold = 0.3, redactPii = true)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(st2("pii_redact") === ((4L, 4L, 0L)))
+    assert(st2("neardup_cluster")._2 ===
+      CorpusPipeline.curatedDocs(docs, "en", 0.0, 0.3, redactPii = true).count())
+  }
+
   test("contamination: corpus docs sharing probe shingles are flagged with exact overlap counts") {
     // probe = docs 1-2 ("the cat sat on the mat": shingles {"the cat sat",
     // "cat sat on", "sat on the", "on the mat"}); corpus = docs 3-5.
