@@ -106,6 +106,7 @@ object SparkEntry {
   // staleness entirely — the build is one embeddings write + a c=8
   // Lloyd run, trivial at every declared scale.
   private val rewriteSandboxBuilt = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private val edgeStoreBuilt = scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
   /** Sandbox for the optimizer-rewrite query: a dedicated parquet COPY
     * of the embeddings table, IVF-indexed (kmeans c=8, iters=2) and
@@ -2483,6 +2484,24 @@ object SparkEntry {
           (col("l_suppkey").cast("long") + 1000000L).as("dst"))
       graft.operators.Graph.pageRank(edges, iters = 3)
     }),
+    // PageRank served from the BUCKETED EDGE STORE (Graph.writeEdgeStore,
+    // the Dedup-store pattern): the orders⋈lineitem edge derivation is
+    // paid once at store-write time, and every iteration's src-keyed
+    // contribution join + the out-degree agg ride the bucket layout —
+    // no Exchange on the edge side, only the O(nodes) rank vector moves
+    // per round. Same oracle as q_pagerank: the store is the same rows.
+    "q_pagerank_stored" -> ((s, dir) => {
+      val table = "graft_edges_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      edgeStoreBuilt.getOrElseUpdate(table, {
+        val edges = Tables.orders(s, dir)
+          .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").cast("long").as("src"),
+            (col("l_suppkey").cast("long") + 1000000L).as("dst"))
+        graft.operators.Graph.writeEdgeStore(edges, table)
+        true
+      })
+      graft.operators.Graph.pageRank(s.table(table), iters = 3)
+    }),
     // Per-node triangle counts over the PART co-occurrence graph
     // (parts sharing an order — sparse and non-bipartite, unlike the
     // purchase graph). The engine enumerates via degree orientation
@@ -3911,6 +3930,9 @@ object SparkEntry {
           FROM x GROUP BY doc_id, i""",
     // 3 unrolled PageRank iterations over the purchase graph
     "q_pagerank" -> duckPageRank(3),
+    // the bucketed edge store holds the same rows the derivation
+    // produces — the layout changes the plan, never the result
+    "q_pagerank_stored" -> duckPageRank(3),
     "q_label_propagation" -> duckLabelProp(3),
     // 8 unrolled pointer-jumping rounds (≥ log2(diameter) of the
     // repeat co-occurrence graph; extra rounds are no-ops)

@@ -52,6 +52,26 @@ object Graph {
       .select("src", "dst")
   }
 
+  /** Persist a DERIVED edge relation as a saved table bucketed (and
+    * sorted) by `src` — the [[Dedup.writeDigestStore]] pattern for the
+    * graph substrate. Graph ops currently re-derive their edges from
+    * raw relations every run (e.g. [[partCoOccurrence]]'s distinct +
+    * self-join) and every PageRank iteration re-exchanges the edge
+    * stream for its src-keyed contribution join; reading the store back
+    * (`spark.table(table)`) makes BOTH free: the derivation is paid
+    * once at write time, and the bucket layout means the per-iteration
+    * edge↔rank join and the out-degree aggregation plan with NO
+    * Exchange on the edge side — only the O(nodes) rank vector moves,
+    * every iteration, at any scale (plan-pinned in GraphSpec). Pass the
+    * edge stream already canonicalized the way the consumer expects
+    * (e.g. [[partCoOccurrence]] output for the declared queries).
+    */
+  def writeEdgeStore(edges: DataFrame, table: String, buckets: Int = 32): Unit =
+    edges.select(col("src"), col("dst"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "src").sortBy("src", "dst")
+      .saveAsTable(table)
+
   /** Fixed-iteration PageRank over `edges(src, dst)` (multi-edges
     * count once per row, the adjacency-list convention). Returns
     * `(node, pr)` for every node appearing as a src or dst.

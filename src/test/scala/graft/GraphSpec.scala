@@ -148,6 +148,43 @@ class GraphSpec extends AnyFunSuite {
     assert(got3.forall(_._2 === 0L), "one chain, one min-labeled component")
   }
 
+  test("edge store: bucketed-table results == raw-edge results; iteration join has no edge-side Exchange") {
+    val rnd = new scala.util.Random(29)
+    val raw = (0 until 500).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    val edges = raw.toDF("src", "dst")
+    Graph.writeEdgeStore(edges, "graphspec_edges", buckets = 8)
+    val store = spark.table("graphspec_edges")
+    // results are identical — the store is the same rows, and every op
+    // is partition-order invariant (decimal sums / set semantics)
+    val prRaw = Graph.pageRank(edges, iters = 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val prStore = Graph.pageRank(store, iters = 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(prStore === prRaw, "pageRank over the store must equal raw edges")
+    val kcRaw = Graph.kcore(edges, k = 3, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val kcStore = Graph.kcore(store, k = 3, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(kcStore === kcRaw, "kcore over the store must equal raw edges")
+    // plan pins — the per-iteration shapes over the bucketed table:
+    // (a) the src-keyed contribution join exchanges ONLY the rank side
+    val rank = store.select(col("src")).distinct()
+      .select(col("src"), lit(0.1).as("pr"))
+    val iterJoin = store.join(rank.hint("shuffle_hash"), Seq("src"))
+      .select(col("dst"), col("pr"))
+    val jp = iterJoin.queryExecution.executedPlan.toString
+    assert(jp.contains("Bucketed: true"), s"store scan must ride the bucket layout:\n$jp")
+    val edgeSideExchanges = jp.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).size
+    assert(edgeSideExchanges <= 1,
+      s"only the O(nodes) rank side may exchange in an iteration join:\n$jp")
+    // (b) the out-degree aggregation plans with no Exchange at all
+    val degP = store.groupBy("src").count().queryExecution.executedPlan.toString
+    assert(!degP.contains("Exchange hashpartitioning"),
+      s"bucketed degree agg must not shuffle:\n$degP")
+  }
+
   test("ccAbsorb: multi-batch absorb == batch CC over the union, every batch boundary") {
     val rnd = new scala.util.Random(13)
     val raw = (0 until 400).map(_ => (rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
