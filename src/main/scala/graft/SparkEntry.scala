@@ -107,6 +107,26 @@ object SparkEntry {
   // Lloyd run, trivial at every declared scale.
   private val rewriteSandboxBuilt = scala.collection.concurrent.TrieMap.empty[String, Boolean]
   private val edgeStoreBuilt = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private val clusterStoreBuilt = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  /** Drop a managed table AND its warehouse location. The session
+    * catalog is in-memory, so a previous JVM's `saveAsTable` leaves an
+    * orphan directory the new catalog doesn't know about — a plain
+    * overwrite then fails LOCATION_ALREADY_EXISTS. Store-building
+    * queries call this before their once-per-JVM rebuild.
+    */
+  private def dropManagedTable(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+    val dir = new java.io.File(wh, table)
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
 
   /** Sandbox for the optimizer-rewrite query: a dedicated parquet COPY
     * of the embeddings table, IVF-indexed (kmeans c=8, iters=2) and
@@ -2493,6 +2513,7 @@ object SparkEntry {
     "q_pagerank_stored" -> ((s, dir) => {
       val table = "graft_edges_" + dir.replaceAll("[^A-Za-z0-9]", "_")
       edgeStoreBuilt.getOrElseUpdate(table, {
+        dropManagedTable(s, table)
         val edges = Tables.orders(s, dir)
           .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").cast("long").as("src"),
@@ -2945,6 +2966,31 @@ object SparkEntry {
     "q_neardup_clusters" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.nearDupClusters(docs, Dedup.jaccardPairsExact(docs, 0.5, maxDf = 10000))
+    }),
+    // INCREMENTAL cluster maintenance (the contract one level above the
+    // incremental pair stores): a gen-0 label store built from ~3/4 of
+    // the pairs absorbs the remaining pair batch via Dedup
+    // .clustersIncremental (Graph.ccAbsorbDelta + append-only delta
+    // generations; the store never shuffles and never rewrites). The
+    // oracle is batch clustering over ALL pairs — the equality IS the
+    // operator's claim (the q_cc_incremental pattern, dedup vocabulary).
+    "q_cluster_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardPairsExact(docs, 0.5, maxDf = 10000)
+        .localCheckpoint()
+      val split = pmod(col("id1") + col("id2"), lit(4))
+      val table = "graft_clusters_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      clusterStoreBuilt.getOrElseUpdate(table, {
+        dropManagedTable(s, table)
+        Dedup.writeClusterStore(
+          Dedup.nearDupClusters(docs, pairs.filter(split =!= 0)), table)
+        true
+      })
+      // absorb=false: the declared query must be re-runnable (bench
+      // samples it repeatedly); the returned labeling is the absorbed
+      // result either way, and the spec covers the absorbing path
+      Dedup.clustersIncremental(s, table,
+        docs.select("doc_id"), pairs.filter(split === 0), absorb = false)
     }),
     // The KEEP rule of dedup: per near-dup cluster, the highest-quality
     // member (ties → smaller id) with the cluster size — clusters ∘
@@ -3849,6 +3895,8 @@ object SparkEntry {
           FROM kept3 GROUP BY source"""
     },
     "q_neardup_clusters" -> duckClustersSql,
+    // the incremental absorb must equal batch clustering over ALL pairs
+    "q_cluster_incremental" -> duckClustersSql,
     // clusters ∘ quality composed: highest quality per cluster wins,
     // ties to the smaller doc id, cluster size alongside
     "q_cluster_representatives" ->

@@ -465,6 +465,85 @@ object Dedup {
         maxIters)
       .select(col("node").as("doc_id"), col("component").as("cluster_id"))
 
+  /** Persist a cluster labeling ([[nearDupClusters]] output) as the
+    * APPEND-ONLY bucketed label store `(doc_id, cluster_id, gen)`:
+    * generation 0 is the full snapshot; [[clustersIncremental]] appends
+    * only CHANGED labels at higher generations. Bucketed (and sorted)
+    * by `doc_id`, so the serve-side latest-generation fold
+    * ([[clusterStoreLabels]]) aggregates with no Exchange.
+    */
+  def writeClusterStore(labels: DataFrame, table: String, buckets: Int = 32): Unit =
+    labels.select(col("doc_id"), col("cluster_id"), lit(0L).as("gen"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(table)
+
+  /** The CURRENT labeling served from the append-only store: each doc's
+    * label at its highest generation — one bucketed-scan aggregation,
+    * exchange-free by layout (plan-pinned). Replayed batches append
+    * content-identical rows at a later generation, so the fold is
+    * replay-stable by construction.
+    */
+  def clusterStoreLabels(spark: org.apache.spark.sql.SparkSession,
+                         table: String): DataFrame =
+    spark.table(table)
+      .groupBy("doc_id")
+      .agg(max(struct(col("gen"), col("cluster_id"))).as("m"))
+      .select(col("doc_id"), col("m.cluster_id").as("cluster_id"))
+
+  /** INCREMENTAL cluster maintenance — the contract one level above the
+    * incremental PAIR stores: absorb a batch's docs and its new
+    * near-dup pairs (e.g. [[minhashPairsIncrementalBucketed]]'s output)
+    * into the persisted labeling WITHOUT re-running connected
+    * components over the corpus. Semantics: the returned labeling (and
+    * the absorbed store) equals batch [[nearDupClusters]] over (all
+    * docs so far, all pairs so far) — that equality is the spec's
+    * claim, checked at every batch boundary.
+    *
+    * Scale shape, all batch-proportional: [[Graph.ccAbsorbDelta]] does
+    * two map-only passes over the store (seed lookup + changed-label
+    * selection, both against broadcast batch-sized sides) and
+    * re-converges only the contracted touched subgraph; docs with no
+    * pair become singleton labels via broadcast anti-joins; the absorb
+    * APPENDS only the delta — changed labels + the batch's docs —
+    * at the next generation through the store's bucket spec. No
+    * corpus-sized shuffle, no corpus rewrite, ever.
+    */
+  def clustersIncremental(spark: org.apache.spark.sql.SparkSession, table: String,
+                          newDocs: DataFrame, newPairs: DataFrame,
+                          absorb: Boolean = true): DataFrame = {
+    val stored = clusterStoreLabels(spark, table)
+      .select(col("doc_id").as("node"), col("cluster_id").as("component"))
+    val edges = newPairs.select(col("id1").as("src"), col("id2").as("dst"))
+    val delta = Graph.ccAbsorbDelta(stored, edges)
+    val newIds = newDocs.select(col("doc_id")).distinct().localCheckpoint()
+    // docs already labeled (replay / re-ingest): map-side semi-join of
+    // the store against the broadcast batch ids — the store never moves
+    val known = stored.join(broadcast(newIds), stored("node") === newIds("doc_id"))
+      .select(col("doc_id")).localCheckpoint()
+    val endpoints = edges.select(col("src").as("doc_id"))
+      .union(edges.select(col("dst").as("doc_id"))).distinct()
+    // pairless novel docs are their own singleton cluster
+    val singletons = newIds
+      .join(broadcast(known), Seq("doc_id"), "left_anti")
+      .join(broadcast(endpoints), Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("node"), col("doc_id").as("component"))
+    val deltaAll = checkpointed(delta.union(singletons)
+      .select(col("node").as("doc_id"), col("component").as("cluster_id")))
+    if (absorb) {
+      val nextGen = spark.table(table).agg(max("gen")).head().getLong(0) + 1L
+      deltaAll.select(col("doc_id"), col("cluster_id"), lit(nextGen).as("gen"))
+        .write.mode("append")
+        .bucketBy(bucketCountOf(spark, table), "doc_id").sortBy("doc_id")
+        .saveAsTable(table)
+    }
+    // full updated labeling: untouched store rows + the delta
+    stored.join(broadcast(deltaAll.select(col("doc_id"))),
+        stored("node") === col("doc_id"), "left_anti")
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+      .union(deltaAll)
+  }
+
   /** Per-cluster representative selection — the KEEP side of dedup:
     * for every near-dup cluster, keep the member with the highest
     * quality score (ties → smaller doc id), with the cluster size

@@ -395,6 +395,29 @@ object Graph {
     */
   def ccAbsorb(stored: DataFrame, newEdges: DataFrame,
                maxIters: Int = 20): DataFrame = {
+    val (updated, _, newNodes) = ccAbsorbParts(stored, newEdges, maxIters)
+    updated.union(newNodes)
+  }
+
+  /** The DELTA form of [[ccAbsorb]]: only the labels the batch actually
+    * changes — stored rows whose component merged (bounded by the
+    * touched components' membership) plus the batch's new nodes. This
+    * is what an APPEND-ONLY label store persists per batch
+    * ([[Dedup.clustersIncremental]]): O(changed) rows written, never a
+    * corpus rewrite. Union it with the untouched store rows to get
+    * exactly [[ccAbsorb]]'s full labeling.
+    */
+  def ccAbsorbDelta(stored: DataFrame, newEdges: DataFrame,
+                    maxIters: Int = 20): DataFrame = {
+    val (_, changed, newNodes) = ccAbsorbParts(stored, newEdges, maxIters)
+    changed.union(newNodes)
+  }
+
+  /** Shared absorb core → (full updated store labels, changed store
+    * labels only, new-node labels).
+    */
+  private def ccAbsorbParts(stored: DataFrame, newEdges: DataFrame,
+                            maxIters: Int): (DataFrame, DataFrame, DataFrame) = {
     val e = newEdges.filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"))
     val endpoints = e.select(col("src").as("node"))
@@ -420,16 +443,19 @@ object Graph {
       .filter(col("node") =!= col("component"))
       .select(col("node").as("oldc"), col("component").as("newc"))
       .localCheckpoint() // bounded by touched components; broadcast below
-    // 4. rewrite: store-side map-only again (broadcast left join)
+    // 4. rewrite: store-side map-only again (broadcast joins)
     val updated = stored
       .join(broadcast(remap), stored("component") === remap("oldc"), "left")
       .select(stored("node"), coalesce(col("newc"), stored("component")).as("component"))
+    val changed = stored
+      .join(broadcast(remap), stored("component") === remap("oldc"))
+      .select(stored("node"), col("newc").as("component"))
     // new nodes seed as their own id, so their remap key is that id
     val newNodes = endpoints
       .join(broadcast(seeds.select(col("node"))), Seq("node"), "left_anti")
       .join(broadcast(remap), col("node") === col("oldc"), "left")
       .select(col("node"), coalesce(col("newc"), col("node")).as("component"))
-    updated.union(newNodes)
+    (updated, changed, newNodes)
   }
 
   /** Degree relation `(node, out_deg, in_deg)` — the cheap centrality

@@ -153,6 +153,13 @@ class GraphSpec extends AnyFunSuite {
     val raw = (0 until 500).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
       .filter { case (a, b) => a != b }
     val edges = raw.toDF("src", "dst")
+    spark.sql("DROP TABLE IF EXISTS graphspec_edges")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val stale = new java.io.File(wh, "graphspec_edges")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    if (stale.exists()) rm(stale)
     Graph.writeEdgeStore(edges, "graphspec_edges", buckets = 8)
     val store = spark.table("graphspec_edges")
     // results are identical — the store is the same rows, and every op

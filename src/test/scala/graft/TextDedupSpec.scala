@@ -356,6 +356,77 @@ class TextDedupSpec extends AnyFunSuite {
     assert(Dedup.jaccardPairsExact(docs, 0.0001, maxDf = 1).collect().isEmpty)
   }
 
+  test("clustersIncremental: multi-batch absorb == batch nearDupClusters at every boundary; delta append is O(changed)") {
+    val rnd = new scala.util.Random(41)
+    // synthetic doc/pair batches: docs arrive in 3 waves, each wave
+    // brings pairs among everything seen so far (the incremental-pair
+    // store contract: new x corpus + new x new)
+    val allDocs = (0L until 60L).map(i => (i, s"d$i"))
+    val docBatches = allDocs.grouped(20).toSeq
+    val pairsFor = (seen: Seq[Long], batch: Seq[Long]) => {
+      val pool = seen ++ batch
+      (0 until 25).map { _ =>
+        val a = pool(rnd.nextInt(pool.size)); val b = batch(rnd.nextInt(batch.size))
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+    }
+    val tbl = "textdedup_clusters"
+    dropManaged(tbl)
+    // gen-0 snapshot from the first wave
+    var seenDocs = docBatches.head.map(_._1)
+    var seenPairs = pairsFor(Nil, seenDocs)
+    Dedup.writeClusterStore(
+      Dedup.nearDupClusters(
+        seenDocs.map(i => (i, "")).toDF("doc_id", "text"),
+        seenPairs.toDF("id1", "id2")),
+      tbl, buckets = 4)
+    var lastWaveIds = Seq.empty[Long]
+    var lastNewPairs = Seq.empty[(Long, Long)]
+    docBatches.tail.foreach { wave =>
+      val waveIds = wave.map(_._1)
+      val newPairs = pairsFor(seenDocs, waveIds)
+      val preRows = spark.table(tbl).count()
+      val got = Dedup.clustersIncremental(spark, tbl,
+          waveIds.map(i => (i, "")).toDF("doc_id", "text"),
+          newPairs.toDF("id1", "id2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      seenDocs = seenDocs ++ waveIds
+      seenPairs = seenPairs ++ newPairs
+      lastWaveIds = waveIds; lastNewPairs = newPairs
+      val want = Dedup.nearDupClusters(
+          seenDocs.map(i => (i, "")).toDF("doc_id", "text"),
+          seenPairs.toDF("id1", "id2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === want, "absorb must equal batch CC over all docs/pairs so far")
+      val served = Dedup.clusterStoreLabels(spark, tbl)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(served === want, "store fold must serve the absorbed labeling")
+      // the append was a DELTA: bounded by the batch plus the members
+      // of clusters its pairs touch — never the corpus
+      val endpointIds = newPairs.flatMap(p => Seq(p._1, p._2)).toSet
+      val touched = want.collect { case (d, c) if endpointIds.contains(d) => c }.toSet
+      val bound = want.count { case (_, c) => touched.contains(c) } + waveIds.size
+      val appended = spark.table(tbl).count() - preRows
+      assert(appended <= bound, s"append ($appended) must stay within the delta bound ($bound)")
+    }
+    // replay idempotency: re-absorbing the EXACT last batch changes nothing
+    val lastWave = lastWaveIds
+    val replayPairs = lastNewPairs
+    val before = Dedup.clusterStoreLabels(spark, tbl)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    Dedup.clustersIncremental(spark, tbl,
+      lastWave.map(i => (i, "")).toDF("doc_id", "text"),
+      replayPairs.toDF("id1", "id2")).count()
+    val after = Dedup.clusterStoreLabels(spark, tbl)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(after === before, "replaying an absorbed batch must not change the labeling")
+    // plan pin: the bucketed fold aggregates without an Exchange
+    val foldPlan = Dedup.clusterStoreLabels(spark, tbl)
+      .queryExecution.executedPlan.toString
+    assert(!foldPlan.contains("Exchange hashpartitioning"),
+      s"latest-generation fold must ride the bucket layout:\n$foldPlan")
+  }
+
   test("nearDupClusters: transitive chain collapses to one min-labeled cluster") {
     // a(1)~b(2), b(2)~c(3) but 1 and 3 NOT directly paired — transitive
     // closure must still put all three in cluster 1; 4 and 5 stay
