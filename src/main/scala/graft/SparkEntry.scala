@@ -109,6 +109,51 @@ object SparkEntry {
   private val edgeStoreBuilt = scala.collection.concurrent.TrieMap.empty[String, Boolean]
   private val clusterStoreBuilt = scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
+  /** The curation pipeline's CTE chain in DuckDB — same composition,
+    * stage for stage, generated from the SAME Scala constants (stopword
+    * lists, quality weights, shingle/hash defs). Shared by the
+    * end-to-end pipeline oracle and the per-stage accounting oracle.
+    */
+  private def duckCurationCtes: String = {
+    val scores = TextAnalysis.stopwords.map { case (l, ws) =>
+      s"len(list_filter(t, w -> w IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS s_$l"
+    }.mkString(", ")
+    val langs = TextAnalysis.stopwords.map(_._1)
+    val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+    s"""WITH RECURSIVE
+          toks AS (SELECT doc_id, source, text, n_chars, string_split(text, ' ') AS t
+                   FROM documents),
+          lp AS (SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
+                 FROM (SELECT doc_id, $scores FROM toks)),
+          qual AS (SELECT doc_id,
+              round(least(len(t) / 100.0, 1.0) * 0.5
+                + (CAST(len(list_filter(t, w -> w IN ($duckStopEn))) AS DOUBLE) / len(t)) * 0.3
+                + least(((CAST(n_chars AS DOUBLE) - (len(t) - 1.0)) / len(t)) / 8.0, 1.0) * 0.2,
+                6) AS quality
+            FROM toks),
+          kept1 AS (SELECT toks.* FROM toks
+                    JOIN lp USING (doc_id) JOIN qual USING (doc_id)
+                    WHERE lang_pred = 'en' AND quality >= 0.4),
+          kept2 AS (SELECT * FROM kept1
+                    QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+          shing AS (SELECT doc_id, $duckShingles AS sh FROM kept2 WHERE len(t) >= 3),
+          shd AS (SELECT doc_id, $duckHashedShingleSet AS sh FROM shing),
+          pairsq AS (SELECT * FROM (
+              SELECT a.doc_id AS id1, b.doc_id AS id2,
+                  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+                FROM shd a JOIN shd b ON a.doc_id < b.doc_id)
+              WHERE jaccard >= 0.5),
+          edges AS (SELECT id1 AS u, id2 AS v FROM pairsq
+                    UNION ALL SELECT id2, id1 FROM pairsq),
+          reach(u, v) AS (SELECT u, v FROM edges
+                          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+          comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+          kept3 AS (SELECT k.* FROM kept2 k LEFT JOIN comp c USING (doc_id)
+                    WHERE coalesce(c.cluster_id, k.doc_id) = k.doc_id)"""
+  }
+
   /** Drop a managed table AND its warehouse location. The session
     * catalog is in-memory, so a previous JVM's `saveAsTable` leaves an
     * orphan directory the new catalog doesn't know about — a plain
@@ -3007,6 +3052,13 @@ object SparkEntry {
     "q_corpus_pipeline" -> ((s, dir) =>
       CorpusPipeline.curate(Tables.documents(s, dir), lang = "en",
         minQuality = 0.4, jaccardThreshold = 0.5)),
+    // Per-stage pipeline accounting (curateStats): the DETERMINISTIC
+    // columns — stage selectivities as the gate checks them; the
+    // shuffle-byte column is a runtime measurement and stays out.
+    "q_curate_stats" -> ((s, dir) =>
+      CorpusPipeline.curateStats(Tables.documents(s, dir), lang = "en",
+          minQuality = 0.4, jaccardThreshold = 0.5, measureShuffle = false)
+        .select(col("stage"), col("rows_in"), col("rows_out"), col("rows_changed"))),
     // The full curation pipeline WITH the PII stage wired in: inject
     // deterministic PII (the q_pii_* formula), filter, REDACT between
     // quality filtering and dedup, dedup on the redacted bytes, count
@@ -3801,49 +3853,25 @@ object SparkEntry {
           FROM corpus JOIN probe USING (h)
           GROUP BY doc_id
           HAVING count(*) >= 1""",
-    "q_corpus_pipeline" -> {
-      // same composition in SQL, stage for stage, from the SAME Scala
-      // constants (stopword lists, quality weights, shingle/hash defs)
-      val scores = TextAnalysis.stopwords.map { case (l, ws) =>
-        s"len(list_filter(t, w -> w IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS s_$l"
-      }.mkString(", ")
-      val langs = TextAnalysis.stopwords.map(_._1)
-      val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
-      val cases = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
-      s"""WITH RECURSIVE
-          toks AS (SELECT doc_id, source, text, n_chars, string_split(text, ' ') AS t
-                   FROM documents),
-          lp AS (SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
-                 FROM (SELECT doc_id, $scores FROM toks)),
-          qual AS (SELECT doc_id,
-              round(least(len(t) / 100.0, 1.0) * 0.5
-                + (CAST(len(list_filter(t, w -> w IN ($duckStopEn))) AS DOUBLE) / len(t)) * 0.3
-                + least(((CAST(n_chars AS DOUBLE) - (len(t) - 1.0)) / len(t)) / 8.0, 1.0) * 0.2,
-                6) AS quality
-            FROM toks),
-          kept1 AS (SELECT toks.* FROM toks
-                    JOIN lp USING (doc_id) JOIN qual USING (doc_id)
-                    WHERE lang_pred = 'en' AND quality >= 0.4),
-          kept2 AS (SELECT * FROM kept1
-                    QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
-          shing AS (SELECT doc_id, $duckShingles AS sh FROM kept2 WHERE len(t) >= 3),
-          shd AS (SELECT doc_id, $duckHashedShingleSet AS sh FROM shing),
-          pairsq AS (SELECT * FROM (
-              SELECT a.doc_id AS id1, b.doc_id AS id2,
-                  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
-                FROM shd a JOIN shd b ON a.doc_id < b.doc_id)
-              WHERE jaccard >= 0.5),
-          edges AS (SELECT id1 AS u, id2 AS v FROM pairsq
-                    UNION ALL SELECT id2, id1 FROM pairsq),
-          reach(u, v) AS (SELECT u, v FROM edges
-                          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-          comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
-          kept3 AS (SELECT k.* FROM kept2 k LEFT JOIN comp c USING (doc_id)
-                    WHERE coalesce(c.cluster_id, k.doc_id) = k.doc_id)
+    "q_corpus_pipeline" ->
+      s"""$duckCurationCtes
           SELECT source, count(*) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS n_tokens
-          FROM kept3 GROUP BY source"""
-    },
+          FROM kept3 GROUP BY source""",
+    // per-stage accounting over the SAME CTE chain: the deterministic
+    // columns of CorpusPipeline.curateStats (shuffle bytes are a
+    // measurement, not a query result — excluded from the gate)
+    "q_curate_stats" ->
+      s"""$duckCurationCtes,
+          c0 AS (SELECT count(*) AS n FROM documents),
+          c1 AS (SELECT count(*) AS n FROM lp WHERE lang_pred = 'en'),
+          c2 AS (SELECT count(*) AS n FROM kept1),
+          c3 AS (SELECT count(*) AS n FROM kept2),
+          c4 AS (SELECT count(*) AS n FROM kept3)
+          SELECT 'lang_id' AS stage, c0.n AS rows_in, c1.n AS rows_out,
+                 c0.n - c1.n AS rows_changed FROM c0, c1
+          UNION ALL SELECT 'quality', c1.n, c2.n, c1.n - c2.n FROM c1, c2
+          UNION ALL SELECT 'exact_dedup', c2.n, c3.n, c2.n - c3.n FROM c2, c3
+          UNION ALL SELECT 'neardup_cluster', c3.n, c4.n, c3.n - c4.n FROM c3, c4""",
     // pipeline + PII stage: inject (same formula as q_pii_*), score
     // lang/quality on the injected text, REDACT the survivors, dedup/
     // cluster/count on the redacted bytes — the engine's stage order,

@@ -103,7 +103,8 @@ object CorpusPipeline {
     */
   def curateStats(documents: DataFrame, lang: String, minQuality: Double,
                   jaccardThreshold: Double, maxDf: Int = 10000,
-                  redactPii: Boolean = false): DataFrame = {
+                  redactPii: Boolean = false,
+                  measureShuffle: Boolean = true): DataFrame = {
     val spark = documents.sparkSession
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
     val listener = new org.apache.spark.scheduler.SparkListener {
@@ -112,9 +113,15 @@ object CorpusPipeline {
         if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
       }
     }
-    spark.sparkContext.addSparkListener(listener)
+    // `measureShuffle = false` skips the listener AND the per-block
+    // drain sleeps and reports -1 bytes ("not measured") — for callers
+    // that only consume the deterministic selectivity columns (the
+    // declared gate query), where paying 0.5 s of drain per stage to
+    // measure a column they drop would be pure overhead.
+    if (measureShuffle) spark.sparkContext.addSparkListener(listener)
     try {
       def block(f: => Long): (Long, Long) = {
+        if (!measureShuffle) return (f, -1L)
         val s0 = shuffleBytes.get()
         val n = f
         Thread.sleep(500) // straggler task-end events drain async
@@ -137,7 +144,8 @@ object CorpusPipeline {
         kept1.join(Dedup.exactKept(kept1), Seq("doc_id")).count())
       val (n4, b4raw) = block(
         curatedDocs(documents, lang, minQuality, jaccardThreshold, maxDf, redactPii).count())
-      val b4 = math.max(0L, b4raw - b3) // the block re-pays the exact join
+      val b4 = // the block re-pays the exact join; -1 stays "not measured"
+        if (!measureShuffle) -1L else math.max(0L, b4raw - b3)
       import spark.implicits._
       val base = Seq(
         ("lang_id", n0, n1, n0 - n1, b1),
@@ -146,7 +154,7 @@ object CorpusPipeline {
         ("exact_dedup", n2, n3, n2 - n3, b3),
         ("neardup_cluster", n3, n4, n3 - n4, b4))
       base.toDF("stage", "rows_in", "rows_out", "rows_changed", "shuffle_write_bytes")
-    } finally spark.sparkContext.removeSparkListener(listener)
+    } finally if (measureShuffle) spark.sparkContext.removeSparkListener(listener)
   }
 
   /** The COMPLETE corpus-to-training-sequences flow: curation →

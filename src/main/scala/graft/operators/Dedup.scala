@@ -99,6 +99,10 @@ object Dedup {
   def incrementalExactBucketed(spark: org.apache.spark.sql.SparkSession,
                                table: String, batch: DataFrame,
                                absorb: Boolean = true): DataFrame = {
+    // cross-session freshness: an absorb from a cloned session (e.g. a
+    // streaming micro-batch) never invalidates THIS session's cached
+    // relation — refresh before reading (the clusterStoreLabels note)
+    spark.catalog.refreshTable(table)
     val kept = batch.select(col("doc_id"), md5(col("text")).as("text_md5"))
       .join(spark.table(table), Seq("text_md5"), "left_anti")
       .groupBy("text_md5").agg(min("doc_id").as("doc_id"))
@@ -308,8 +312,12 @@ object Dedup {
                                       prefix: String, newDocs: DataFrame,
                                       threshold: Double = 0.7,
                                       absorb: Boolean = true): DataFrame =
-    minhashIncrementalCore(spark,
-      spark.table(s"${prefix}_bands"), spark.table(s"${prefix}_shingles"),
+    minhashIncrementalCore(spark, {
+        // cross-session freshness (the clusterStoreLabels note)
+        spark.catalog.refreshTable(s"${prefix}_bands")
+        spark.catalog.refreshTable(s"${prefix}_shingles")
+        spark.table(s"${prefix}_bands")
+      }, spark.table(s"${prefix}_shingles"),
       newDocs, threshold,
       if (!absorb) None else Some { (bands, sh) =>
         bands.write.mode("append")
@@ -485,11 +493,20 @@ object Dedup {
     * replay-stable by construction.
     */
   def clusterStoreLabels(spark: org.apache.spark.sql.SparkSession,
-                         table: String): DataFrame =
+                         table: String): DataFrame = {
+    // Sessions CACHE resolved catalog relations (file listings
+    // included); an append from ANOTHER session — e.g. the cloned
+    // session a streaming micro-batch runs foreachBatch in — never
+    // invalidates this session's entry, so an un-refreshed read serves
+    // the labeling as of its own first read, forever. Refresh is a
+    // metadata-only invalidation (the next scan re-lists); correctness
+    // over a cached listing for a read-your-writes store API.
+    spark.catalog.refreshTable(table)
     spark.table(table)
       .groupBy("doc_id")
       .agg(max(struct(col("gen"), col("cluster_id"))).as("m"))
       .select(col("doc_id"), col("m.cluster_id").as("cluster_id"))
+  }
 
   /** INCREMENTAL cluster maintenance — the contract one level above the
     * incremental PAIR stores: absorb a batch's docs and its new

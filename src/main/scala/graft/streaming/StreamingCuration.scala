@@ -99,6 +99,39 @@ object StreamingCuration {
       }
       .start()
 
+  /** Streaming near-dup CLUSTER maintenance — [[dedupStreamMinhash]]
+    * composed with the incremental label store: each micro-batch (1)
+    * finds its near-dup pairs against the persisted MinHash store and
+    * absorbs its signatures ([[graft.operators.Dedup
+    * .minhashPairsIncremental]] — batch × corpus + batch × batch, cost
+    * ∝ batch), then (2) absorbs those pairs AND the batch's docs into
+    * the append-only cluster-label store ([[graft.operators.Dedup
+    * .clustersIncremental]] — contracted-graph re-converge, delta-only
+    * append). After every micro-batch,
+    * [[graft.operators.Dedup.clusterStoreLabels]] serves exactly the
+    * labeling batch clustering over everything ingested would produce
+    * (spec-pinned per batch) — the full ingest-time near-dup story,
+    * pairs and labels both incremental, with per-batch cost ∝ batch
+    * and replay-idempotent stores.
+    */
+  def clusterStreamMinhash(newDocs: DataFrame, minhashDir: String,
+                           clusterTable: String, threshold: Double = 0.7)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val df = batch.toDF()
+        val pairs = graft.operators.Dedup.minhashPairsIncremental(
+          df.sparkSession, minhashDir, df, threshold)
+        // the absorb (delta checkpoint + append) runs eagerly inside the
+        // call; the returned full labeling is lazy and intentionally
+        // unused — the store serves reads via clusterStoreLabels
+        graft.operators.Dedup.clustersIncremental(df.sparkSession, clusterTable,
+          df.select("doc_id"), pairs.select("id1", "id2"))
+        ()
+      }
+      .start()
+
   /** Streaming maintenance of the DSIR importance model
     * ([[graft.operators.Sampling.dsirScorer]]'s λ fit): each
     * micro-batch appends its OWN per-bucket target/source gram counts

@@ -1307,8 +1307,13 @@ object AnnBench {
     val av = phase("av_encode_demux")(
       Multimodal.demuxAv(Multimodal.avAssetsFromDocuments(docs))
         .filter(col("demuxed")).count())
+    // the MP4 metadata-pruning pass: full ISO-BMFF encode + box walk
+    // per asset — the pass a real corpus runs BEFORE paying frame decode
+    val mp4 = phase("mp4_encode_meta")(
+      Multimodal.mp4Meta(Multimodal.mp4AssetsFromDocuments(docs))
+        .count())
     val json =
-      s"""{"media_scale":{"n_assets":$n,$encDec,$resize,$audio,$video,$mjpeg,$av}}"""
+      s"""{"media_scale":{"n_assets":$n,$encDec,$resize,$audio,$video,$mjpeg,$av,$mp4}}"""
     println(json)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/media_scale.json"), json + "\n")

@@ -42,6 +42,59 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming cluster maintenance: store labels == batch clustering after every micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mhDir = java.nio.file.Files.createTempDirectory("mh_cluster_stream").toString
+    val tbl = "streamspec_clusters"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    val stale = new java.io.File(wh, tbl); if (stale.exists()) rm(stale)
+    val baseText = "the quick brown fox jumps over the lazy dog tonight"
+    val base = Seq(
+      (1L, baseText), (2L, baseText), // exact dups
+      (3L, "completely different words about streaming cluster stores here"),
+      (4L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    Dedup.writeMinhashStore(base, mhDir)
+    Dedup.writeClusterStore(
+      Dedup.nearDupClusters(base, Dedup.minhashPairs(base, 0.5)), tbl, buckets = 4)
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingCuration.clusterStreamMinhash(
+      mem.toDF().toDF("doc_id", "text"), mhDir, tbl, threshold = 0.5)
+    // batch 1 dups a BASE doc; batch 2 dups a BATCH-1 doc — the second
+    // merge only works if both stores (pairs AND labels) absorbed
+    val batches = Seq(
+      Seq((10L, baseText), (11L, "fresh unrelated content words flowing through the pipe")),
+      Seq((20L, "fresh unrelated content words flowing through the pipe"), (21L, baseText)))
+    try {
+      var seen = Seq((1L, baseText), (2L, baseText),
+        (3L, "completely different words about streaming cluster stores here"),
+        (4L, "one two three four five six seven eight nine ten"))
+      batches.foreach { b =>
+        mem.addData(b: _*)
+        q.processAllAvailable()
+        seen = seen ++ b
+        val allDf = seen.toDF("doc_id", "text")
+        val want = Dedup.nearDupClusters(allDf, Dedup.minhashPairs(allDf, 0.5))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val served = Dedup.clusterStoreLabels(spark, tbl)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(served === want,
+          s"after ${seen.size} docs: store labels must equal batch clustering")
+      }
+      // the transitive merge across batches actually happened
+      val labels = Dedup.clusterStoreLabels(spark, tbl)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(labels(21L) === 1L && labels(10L) === 1L,
+        "cross-batch dups must share the base cluster")
+      assert(labels(20L) === labels(11L) && labels(20L) === 11L,
+        "batch-2 dup of a batch-1 doc must share its cluster")
+    } finally q.stop()
+  }
+
   test("streaming curation: filters + in-watermark exact dedup match the batch stages") {
     implicit val sqlCtx = spark.sqlContext
     // real corpus rows (lang/quality classifiers need real text), fed

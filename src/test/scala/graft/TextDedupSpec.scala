@@ -333,6 +333,15 @@ class TextDedupSpec extends AnyFunSuite {
     assert(st2("pii_redact") === ((4L, 4L, 0L)))
     assert(st2("neardup_cluster")._2 ===
       CorpusPipeline.curatedDocs(docs, "en", 0.0, 0.3, redactPii = true).count())
+    // measureShuffle = false: identical selectivities, bytes = -1
+    // sentinel, no listener/drain overhead (the gate-query form)
+    val fast = CorpusPipeline.curateStats(docs, lang = "en", minQuality = 0.0,
+        jaccardThreshold = 0.3, measureShuffle = false)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(fast.view.mapValues(v => (v._1, v._2, v._3)).toMap ===
+      st.view.mapValues(identity).toMap)
+    assert(fast.values.forall(_._4 === -1L), "unmeasured bytes must be the -1 sentinel")
   }
 
   test("contamination: corpus docs sharing probe shingles are flagged with exact overlap counts") {
