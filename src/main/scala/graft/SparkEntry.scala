@@ -2163,6 +2163,22 @@ object SparkEntry {
         .filter(col("dist") <= 1.8)
         .orderBy(col("dist"), col("vec_id"))
     }),
+    // the NAIVE BATCH radius plan over the same partitioned L2 index:
+    // unlike top-k, range pruning needs no query ids — a cell prunes
+    // iff NO query's ball intersects it, so the rule executes the whole
+    // batch side at plan time and partition-prunes to the UNION of
+    // eligible cells; the preserved predicate keeps it exact
+    "q_range_batch_rewrite" -> ((s, dir) => {
+      val dataPath = ensureRewriteSandbox(s, dir)
+      val emb = s.read.parquet(dataPath)
+      val qs = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+      emb.crossJoin(broadcast(qs))
+        .select(col("query_id"), col("vec_id"),
+          round(l2Distance(col("embedding"), col("query_vec")), 6).as("dist"))
+        .filter(col("dist") <= 1.8)
+        .orderBy(col("query_id"), col("dist"), col("vec_id"))
+    }),
     // the NAIVE cosine top-k (the most common embedding metric) over a
     // table with a registered COSINE index: the rule recognizes the
     // similarity-descending dot/norm shape, transforms the query into
@@ -3435,6 +3451,14 @@ object SparkEntry {
           FROM embeddings e JOIN q ON true
           WHERE round(list_distance(e.embedding::DOUBLE[], q.query_vec), 6) <= 1.8
           ORDER BY dist, e.vec_id""",
+    // batch range: same lossless union pruning — full-scan batch oracle
+    "q_range_batch_rewrite" ->
+      s"""WITH qb AS (SELECT query_id, query_vec FROM ${duckQueryBatch(4)})
+          SELECT q.query_id, e.vec_id,
+            round(list_distance(e.embedding::DOUBLE[], q.query_vec), 6) AS dist
+          FROM embeddings e JOIN qb q ON true
+          WHERE round(list_distance(e.embedding::DOUBLE[], q.query_vec), 6) <= 1.8
+          ORDER BY q.query_id, dist, e.vec_id""",
     // the cosine/MIPS rewrites restrict candidates at nprobe = C (all
     // cells) with the score expression untouched — the plain exact
     // oracles apply, perturbed-query form

@@ -152,12 +152,19 @@ case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
           (qAttr, idAttr, idx) <- indexedSides(l2sq, left, right, L2Metric)
           pp <- idx.partitionedPath
           if !right.exists(_.expressions.exists(!_.deterministic))
-          q <- executeQuerySide(Project(Seq(qAttr), right), maxRows = 2) match {
-            case Some(rows) if rows.length == 1 && !rows.head.isNullAt(0) =>
-              scala.util.Try(vecOf(rows.head.getArray(0), qAttr.dataType)).toOption
+          // single query AND batch alike: unlike top-k, range pruning
+          // never needs the query ids — removing a cell is safe iff NO
+          // executed query's ball intersects it, so the UNION of
+          // eligible cells is lossless for any batch size (the
+          // per-(query, cell) equi-join of Ivf.rangeSearchBatch is a
+          // further optimization, not a correctness requirement: the
+          // preserved original predicate evaluates in full)
+          queries <- executeQuerySide(Project(Seq(qAttr), right), maxRows = 100000) match {
+            case Some(rows) if rows.nonEmpty && rows.forall(!_.isNullAt(0)) =>
+              scala.util.Try(rows.map(r => vecOf(r.getArray(0), qAttr.dataType))).toOption
             case _ => None
           }
-          cells <- eligibleCells(q, thresholdL2, idx, pp)
+          cells <- eligibleCellsUnion(queries, thresholdL2, idx, pp)
           r <- rewriteToPartitioned(join, left, qAttr, idx, pp, None, SingleCells(cells))
             .orElse(Some(rewriteWithAssignJoin(join, left, idAttr, qAttr, idx,
               None, SingleCells(cells))))
@@ -194,23 +201,24 @@ case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
   }
 
-  /** The cells whose covering ball intersects the query ball — the
-    * lossless triangle bound `‖q−c‖ − rad(cell) <= threshold`. Radii
+  /** The cells whose covering ball intersects ANY executed query's
+    * ball — the lossless triangle bound `‖q−c‖ − rad(cell) <=
+    * threshold`, unioned across the batch. Radii
     * are read FRESH from the layout sidecar each rewrite (≤ C rows —
     * the bounded-sidecar contract; caching would risk serving a bound
     * from before a membership-changing maintenance op). A centroid with
     * no radii row has no members — prunable outright. None (decline the
     * rewrite, keep the naive plan) if the sidecar can't be built/read.
     */
-  private def eligibleCells(q: Array[Double], thresholdL2: Double,
-                            idx: IndexCatalog.IvfIndex, pp: String): Option[Seq[Long]] =
+  private def eligibleCellsUnion(queries: Seq[Array[Double]], thresholdL2: Double,
+                                 idx: IndexCatalog.IvfIndex, pp: String): Option[Seq[Long]] =
     try {
       graft.operators.Ivf.ensureRadii(spark, pp)
       val radii = spark.read.parquet(s"$pp/_radii")
         .select("cell", "radius").collect()
         .map(r => r.getLong(0) -> r.getDouble(1)).toMap
       Some(idx.centroids.collect { case (cid, v)
-          if radii.contains(cid) && {
+          if radii.contains(cid) && queries.exists { q =>
             var s = 0.0; var i = 0
             val n = math.min(q.length, v.length)
             while (i < n) { val d = q(i) - v(i); s += d * d; i += 1 }

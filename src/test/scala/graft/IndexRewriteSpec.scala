@@ -517,6 +517,45 @@ class IndexRewriteSpec extends AnyFunSuite {
     IndexCatalog.unregister(blobPath)
   }
 
+  test("BATCH range shape: union-of-eligible-cells pruning fires, stays exact, skips unneeded blobs") {
+    val pdir = java.nio.file.Files.createTempDirectory("idxrw_range_batch").toString
+    IndexCatalog.buildAndRegister(spark, blobPath, c = 4, iters = 2,
+      nprobe = 1, pdir, partitioned = true)
+    def naiveBatch(ids: Seq[Long]): DataFrame = {
+      val emb = spark.read.parquet(blobPath)
+      val qs = emb.filter(col("vec_id").isin(ids: _*))
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      emb.crossJoin(broadcast(qs))
+        .select(col("query_id"), col("vec_id"),
+          round(l2Distance(col("embedding"), col("query_vec")), 6).as("dist"))
+        .filter(col("dist") <= 50.0)
+        .orderBy(col("query_id"), col("dist"), col("vec_id"))
+    }
+    def rowsB(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // both queries in blob A: blob-B cells must prune from the union
+    val exactA = rowsB(naiveBatch(Seq(0L, 1L)))
+    withRule {
+      val df = naiveBatch(Seq(0L, 1L))
+      val phys = df.queryExecution.executedPlan.toString
+      assert(phys.contains("PartitionFilters") && phys.contains("cell"),
+        s"batch range probe should partition-filter the cell copy:\n$phys")
+      val inList = "(?:IN|INSET)\\s*\\(?([-0-9,\\s]+)\\)?".r
+        .findFirstMatchIn(phys.linesIterator.find(_.contains("PartitionFilters")).getOrElse(""))
+        .map(_.group(1).split(",").count(_.trim.nonEmpty)).getOrElse(-1)
+      assert(inList >= 1 && inList < 4,
+        s"union bound should still skip blob-B cells (eligible = $inList of 4):\n$phys")
+      assert(rowsB(df) === exactA, "union-pruned batch range must equal the full scan")
+    }
+    // one query per blob: the union covers both blobs — still exact
+    val exactAB = rowsB(naiveBatch(Seq(0L, 150L)))
+    withRule {
+      assert(rowsB(naiveBatch(Seq(0L, 150L))) === exactAB,
+        "a cross-blob batch keeps every needed cell in the union")
+    }
+    IndexCatalog.unregister(blobPath)
+  }
+
   test("range shape without a partitioned copy declines (radii live in the layout)") {
     val idir = java.nio.file.Files.createTempDirectory("idxrw_range_noidx").toString
     IndexCatalog.buildAndRegister(spark, blobPath, c = 4, iters = 2,
