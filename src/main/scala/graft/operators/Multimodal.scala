@@ -920,14 +920,14 @@ object Multimodal {
               tracks += TrackMeta(tId, tHandler, tCodec, tW, tH, tRate, tCh, tDur)
             case "mvhd" if plen >= 4 =>
               val v = b(p.toInt) & 0xff
-              if (v == 1 && plen >= 28) {
+              if (v == 1 && plen >= 32) { // u64 duration at +24 needs 32
                 timescale = u32(p.toInt + 20); duration = u64(p.toInt + 24)
               } else if (v == 0 && plen >= 20) {
                 timescale = u32(p.toInt + 12); duration = u32(p.toInt + 16)
               } else return false
             case "tkhd" if plen >= 4 =>
               val v = b(p.toInt) & 0xff
-              if (v == 1 && plen >= 104) {
+              if (v == 1 && plen >= 96) { // spec v1 TrackHeaderBox is 96 bytes
                 tId = u32(p.toInt + 20); tDur = u64(p.toInt + 28)
                 tW = (u32(p.toInt + 88) >> 16).toInt; tH = (u32(p.toInt + 92) >> 16).toInt
               } else if (v == 0 && plen >= 84) {

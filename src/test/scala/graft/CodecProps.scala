@@ -257,6 +257,49 @@ object CodecProps extends Properties("Multimodal.codecs") {
       Multimodal.Mp4Codec.parseMeta(deep).isEmpty
   }
 
+  property("mp4 v1 box layouts, 64-bit largesize, size-to-end, and unknown boxes all parse") = {
+    // the encoder emits v0 boxes; real files use v1 (64-bit times),
+    // largesize headers, size-0 ("to end of scope") boxes, and carry
+    // boxes a metadata pass must skip by size — build those by hand
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def be16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(t: String, p: Array[Byte]) = be32(p.length + 8L) ++ t.getBytes("US-ASCII") ++ p
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(512) ++ "isom".getBytes)
+    // mvhd VERSION 1: 8-byte creation/modification/duration
+    val mvhd = box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+      be32(90000) ++ be64(123456789L) ++ be32(0x00010000L) ++ be16(0x0100) ++
+      new Array[Byte](2 + 8 + 36 + 24) ++ be32(2))
+    // tkhd VERSION 1 with width/height as 16.16
+    val tkhd = box("tkhd", Array[Byte](1, 0, 0, 3) ++ be64(0) ++ be64(0) ++
+      be32(7) ++ be32(0) ++ be64(123456789L) ++ new Array[Byte](8 + 8) ++
+      new Array[Byte](36) ++ be32(1920L << 16) ++ be32(1080L << 16))
+    val mdhd = box("mdhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+      be32(90000) ++ be64(123456789L) ++ be16(0x55c4) ++ be16(0))
+    val hdlr = box("hdlr", new Array[Byte](8) ++ "vide".getBytes ++ new Array[Byte](13))
+    val entry = be32(86) ++ "hev1".getBytes ++ new Array[Byte](6) ++ be16(1) ++
+      new Array[Byte](16) ++ be16(1920) ++ be16(1080) ++ new Array[Byte](50)
+    val stsd = box("stsd", be32(0) ++ be32(1) ++ entry)
+    val stbl = box("stbl", stsd)
+    // an unknown box interposed everywhere a walker visits
+    val free = box("free", Array.fill(17)(0x5a.toByte))
+    val mdia = box("mdia", mdhd ++ free ++ hdlr ++ box("minf", free ++ stbl))
+    val trak = box("trak", free ++ tkhd ++ mdia)
+    val moovPayload = free ++ mvhd ++ trak
+    // moov with a 64-BIT LARGESIZE header (size slot = 1)
+    val moov = be32(1) ++ "moov".getBytes ++ be64(16L + moovPayload.length) ++ moovPayload
+    // trailing mdat with size 0 = "extends to end of file"
+    val mdat = be32(0) ++ "mdat".getBytes ++ Array.fill(9)(1.toByte)
+    val m = Multimodal.Mp4Codec.parseMeta(ftyp ++ moov ++ mdat).get
+    m.brand == "isom" && m.timescale == 90000L && m.duration == 123456789L &&
+      m.tracks.length == 1 && {
+        val t = m.tracks.head
+        t.trackId == 7L && t.handler == "vide" && t.codec == "hev1" &&
+          t.width == 1920 && t.height == 1080 && t.duration == 123456789L
+      }
+  }
+
   property("luhn kernel == arithmetic reference on arbitrary digit strings") = {
     val gen = for {
       n <- Gen.choose(0, 24)
