@@ -1458,9 +1458,16 @@ object SparkEntry {
   /** Seed-centroid IVF probe at c=16, nprobe=2, k=10 (mirrors Ivf.topK
     * AND Ivf.topKPartitioned — same semantics, different physical plan).
     */
-  private val duckIvfTopK: String =
+  private val duckIvfTopK: String = duckIvfTopKSeeded(0)
+
+  /** [[duckIvfTopK]] with the seed-centroid WINDOW starting at `off`
+    * (rows `off ≤ vec_id < off+16`) — mirrors `Ivf.centroidsFrom`; the
+    * rebased centroid ids order identically to raw vec_ids (monotonic
+    * shift), so `cid = vec_id` keeps every tie-break aligned.
+    */
+  private def duckIvfTopKSeeded(off: Int): String =
     s"""WITH cent AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-                      FROM embeddings WHERE vec_id < 16),
+                      FROM embeddings WHERE vec_id >= $off AND vec_id < $off + 16),
         q AS (SELECT query_vec FROM $duckQueryVec),
         probed AS (SELECT cid FROM cent, q ORDER BY list_distance(cv, q.query_vec), cid LIMIT 2),
         assigned AS (SELECT e.vec_id, cid AS cell
@@ -2047,6 +2054,37 @@ object SparkEntry {
         emb.filter(pmod(col("vec_id"), lit(5)) === 0),
         Ivf.centroids(emb, 16), pdir, tag = "c16ins")
       Ivf.topKPartitioned(s, pdir, queryVecOf(emb, 0), 10, nprobe = 2)
+    }),
+    // The RECLUSTER half of layout maintenance (insert keeps the
+    // build-time cells; recluster repairs the drift): build on 4/5,
+    // insert 1/5, then re-assign EVERY live row onto a different
+    // deterministic centroid set (seed window at offset 100) and
+    // publish atomically. Serving the reclustered layout must equal a
+    // fresh single-pass build with those centroids — the oracle
+    // replays exactly that (duckIvfTopKSeeded(100)); nothing of the
+    // pre-recluster state may leak through.
+    "q_ivf_recluster_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pdir = ivfCellsDir(s, dir, "c16rec")
+      Ivf.ensureReclusteredPartitioned(
+        emb.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+        emb.filter(pmod(col("vec_id"), lit(5)) === 0),
+        Ivf.centroids(emb, 16), Ivf.centroidsFrom(emb, 16, 100),
+        pdir, tag = "c16rec")
+      Ivf.topKPartitioned(s, pdir, queryVecOf(emb, 0), 10, nprobe = 2)
+    }),
+    // Per-cell occupancy of the grown (build + insert) layout — the
+    // balance diagnostic that schedules a recluster. Reads only
+    // (vec_id, cell); the oracle independently re-derives every row's
+    // nearest-seed assignment and counts.
+    "q_ivf_cell_stats" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pdir = ivfCellsDir(s, dir, "c16ins")
+      Ivf.ensureInsertedPartitioned(
+        emb.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+        emb.filter(pmod(col("vec_id"), lit(5)) === 0),
+        Ivf.centroids(emb, 16), pdir, tag = "c16ins")
+      Ivf.cellStats(s, pdir)
     }),
     // The insert lifecycle on the COSINE serving layout: base 4/5 +
     // insertIntoCosine'd 1/5 (rows normalized with the layout's own
@@ -2829,6 +2867,11 @@ object SparkEntry {
     // (doc, word) count + one per-doc aggregate suffice.
     "q_word_entropy" -> ((s, dir) =>
       TextAnalysis.wordEntropy(Tables.documents(s, dir))),
+    // The Gopher rule bundle: per-doc shape signals (word count, mean
+    // word length, alpha-word fraction, stopword count) + the
+    // composite pass flag — all codegen columns over one tokenization.
+    "q_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(Tables.documents(s, dir))),
     // Perplexity quality filter: corpus-trained add-0.5-smoothed bigram
     // LM, per-doc mean negative log-likelihood.
     "q_bigram_nll" -> ((s, dir) => TextAnalysis.bigramNll(Tables.documents(s, dir))),
@@ -3513,6 +3556,20 @@ object SparkEntry {
     // insert layout under frozen centroids must serve exactly like a
     // single-pass build — THAT is the checked claim
     "q_ivf_insert_topk" -> duckIvfTopK,
+    // the recluster claim: the maintained layout (build 4/5 → insert
+    // 1/5 → recluster onto the offset-100 seed window) serves exactly
+    // like a fresh build over the union with those centroids
+    "q_ivf_recluster_topk" -> duckIvfTopKSeeded(100),
+    // per-cell occupancy of the grown layout ≡ independent re-derived
+    // nearest-seed assignment counts over the union corpus
+    "q_ivf_cell_stats" ->
+      """WITH cent AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                       FROM embeddings WHERE vec_id < 16),
+          assigned AS (SELECT e.vec_id, cid AS cell
+                       FROM embeddings e, cent c
+                       QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), cid) = 1)
+          SELECT cell, count(*) AS n_rows FROM assigned GROUP BY cell""",
     // diversified top-k: per-source quota first (rows beyond a
     // source's 2nd can never appear), then the global cut
     "q_diversified_topk" ->
@@ -4192,6 +4249,22 @@ object SparkEntry {
           SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
                  round(log2(n) - CAST(s AS DOUBLE) / n, 6) AS entropy
           FROM a""",
+    "q_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          s AS (SELECT doc_id, len(w) AS n_words,
+                  round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                    / len(w), 6) AS mean_word_len,
+                  round(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+                    / len(w), 6) AS frac_alpha_words,
+                  len(list_filter(w, x -> list_contains(['the','a','and','of','to'], x)))
+                    AS n_stopwords
+                FROM t)
+          SELECT doc_id, n_words, mean_word_len, frac_alpha_words, n_stopwords,
+                 (n_words BETWEEN 50 AND 100000
+                  AND mean_word_len BETWEEN 3.0 AND 10.0
+                  AND frac_alpha_words >= 0.8
+                  AND n_stopwords >= 2) AS gopher_pass
+          FROM s""",
     "q_bigram_nll" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
           prs AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -35,6 +36,25 @@ object CorpusPipeline {
         TextAnalysis.qualityCol(toks, col("n_chars")) >= minQuality)
   }
 
+  /** Exact-dup survivors of `kept1` (min doc_id per content md5, all
+    * columns) — semantically `kept1 ⋈ Dedup.exactKept(kept1)`, but as
+    * ONE window pass: `row_number() over (partition by md5 order by
+    * doc_id) = 1` compiles to `WindowGroupLimit` (map-side per-group
+    * truncation before the exchange, so a pathological duplicate flood
+    * never piles into one reducer), and the upstream stage prefix —
+    * the language/quality filters and, in the redacted pipeline, the
+    * N-pattern PII rewrite — is evaluated ONCE instead of once per
+    * join side. The join form double-paid that prefix; on the
+    * redacted pipeline the rewrite is the dominant narrow cost, so
+    * this halves it.
+    */
+  private def exactSurvivors(kept1: DataFrame): DataFrame =
+    kept1
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+
   /** Kept documents after all three filter/dedup stages (all source
     * columns) — the intermediate the mixing/packing stages consume.
     */
@@ -53,7 +73,7 @@ object CorpusPipeline {
     // (pair generation, the clustering vertex set, the final stats
     // join) and the iterative clustering downstream — without the cut,
     // the filter pipeline re-executes once per consumer.
-    val kept2 = Dedup.checkpointed(kept1.join(Dedup.exactKept(kept1), Seq("doc_id")))
+    val kept2 = Dedup.checkpointed(exactSurvivors(kept1))
     val pairs = Dedup.jaccardPairsExact(kept2, jaccardThreshold, maxDf)
     val reps = Dedup.nearDupClusters(kept2, pairs)
       .filter(col("doc_id") === col("cluster_id")) // one representative per cluster
@@ -117,7 +137,10 @@ object CorpusPipeline {
     // drain sleeps and reports -1 bytes ("not measured") — for callers
     // that only consume the deterministic selectivity columns (the
     // declared gate query), where paying 0.5 s of drain per stage to
-    // measure a column they drop would be pure overhead.
+    // measure a column they drop would be pure overhead. It also FUSES
+    // the three narrow-stage counts (and the PII rewrite count) into
+    // ONE conditional-count scan: byte attribution is the only reason
+    // to run them as separate jobs, and this mode doesn't attribute.
     if (measureShuffle) spark.sparkContext.addSparkListener(listener)
     try {
       def block(f: => Long): (Long, Long) = {
@@ -127,25 +150,51 @@ object CorpusPipeline {
         Thread.sleep(500) // straggler task-end events drain async
         (n, shuffleBytes.get() - s0)
       }
-      val (n0, _) = block(documents.count())
       val toks = TextFunctions.tokens(col("text"))
-      val (n1, b1) = block(
-        documents.filter(TextAnalysis.langPredCol(toks) === lang).count())
+      val langOk = TextAnalysis.langPredCol(toks) === lang
+      val qualOk = langOk && TextAnalysis.qualityCol(toks, col("n_chars")) >= minQuality
       val kept1raw = filtered(documents, lang, minQuality)
-      val (n2, b2) = block(kept1raw.count())
+      val (n0, n1, b1, n2, b2, nPii, bPii) =
+        if (measureShuffle) {
+          val (a0, _) = block(documents.count())
+          val (a1, c1) = block(documents.filter(langOk).count())
+          val (a2, c2) = block(kept1raw.count())
+          val (aP, cP) =
+            if (redactPii)
+              block(kept1raw.filter(TextAnalysis.redactCol(col("text")) =!= col("text")).count())
+            else (0L, 0L)
+          (a0, a1, c1, a2, c2, aP, cP)
+        } else {
+          val r = documents.agg(
+            count(lit(1)),
+            count_if(langOk),
+            count_if(qualOk),
+            if (redactPii)
+              count_if(qualOk && TextAnalysis.redactCol(col("text")) =!= col("text"))
+            else count_if(lit(false))).head()
+          (r.getLong(0), r.getLong(1), -1L, r.getLong(2), -1L, r.getLong(3), -1L)
+        }
       val kept1 =
         if (redactPii) kept1raw.withColumn("text", TextAnalysis.redactCol(col("text")))
         else kept1raw
-      val (nPii, bPii) =
-        if (redactPii)
-          block(kept1raw.filter(TextAnalysis.redactCol(col("text")) =!= col("text")).count())
-        else (0L, 0L)
-      val (n3, b3) = block(
-        kept1.join(Dedup.exactKept(kept1), Seq("doc_id")).count())
-      val (n4, b4raw) = block(
-        curatedDocs(documents, lang, minQuality, jaccardThreshold, maxDf, redactPii).count())
-      val b4 = // the block re-pays the exact join; -1 stays "not measured"
-        if (!measureShuffle) -1L else math.max(0L, b4raw - b3)
+      // Stage blocks SHARE the exact-dedup survivor checkpoint (the
+      // same cut [[curatedDocs]] makes): the exact-stage count
+      // materializes it, and the near-dup block's pair generation,
+      // clustering, and final join all read the checkpoint instead of
+      // re-running the filter + exact-join prefix — so the near-dup
+      // stage's measured bytes are ITS OWN (no b3 subtraction needed),
+      // and the diagnostic costs one prefix execution, not two. Kept
+      // in lockstep with [[curatedDocs]]'s body (that equality is
+      // spec-pinned against the declared counts).
+      val kept2 = Dedup.checkpointed(exactSurvivors(kept1))
+      val (n3, b3) = block(kept2.count())
+      val (n4, b4) = block {
+        val pairs = Dedup.jaccardPairsExact(kept2, jaccardThreshold, maxDf)
+        val reps = Dedup.nearDupClusters(kept2, pairs)
+          .filter(col("doc_id") === col("cluster_id"))
+          .select("doc_id")
+        kept2.join(reps, Seq("doc_id")).count()
+      }
       import spark.implicits._
       val base = Seq(
         ("lang_id", n0, n1, n0 - n1, b1),

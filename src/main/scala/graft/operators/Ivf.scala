@@ -319,7 +319,7 @@ object Ivf {
                       roundTo: Int = 6, predicate: Option[Column] = None,
                       excluded: Option[DataFrame] = None): DataFrame = {
     val stored = readLayout(spark, dir)
-    val cents = spark.read.parquet(s"$dir/_centroids")
+    val cents = centroidsOf(spark, dir)
     // collect() here moves exactly `nprobe` cell IDS (a handful of
     // longs) to the driver — required to form the partition filter
     // below; the vector data itself never leaves the executors
@@ -428,6 +428,120 @@ object Ivf {
     IndexMeta.invalidate(spark, dir)
   }
 
+  /** The layout's SERVING centroids, resolved consistently with the
+    * data snapshot: prefer the generation-scoped sidecar
+    * (`_centroids_g{v}`, written by [[reclusterPartitioned]] for the
+    * manifest version it publishes), falling back to the build-time
+    * flat `_centroids`. This is what makes a recluster atomic
+    * end-to-end — a reader that resolves manifest version v always
+    * probes with v's centroids, never a mix of new cells and old
+    * routing (or vice versa). Before the first recluster the
+    * generation sidecar doesn't exist and this is exactly the flat
+    * read (zero overhead beyond one existence check).
+    */
+  def centroidsOf(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val scoped = CellSnapshot.version(spark, dir).map(v => s"$dir/_centroids_g$v")
+      .filter { s =>
+        val p = new org.apache.hadoop.fs.Path(s)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      }
+    spark.read.parquet(scoped.getOrElse(s"$dir/_centroids"))
+  }
+
+  /** Per-cell occupancy of the serving layout: `(cell, n_rows)` over
+    * LIVE rows — the balance diagnostic that decides when to
+    * [[reclusterPartitioned]] (incremental [[insertInto]] batches keep
+    * the build-time Voronoi cells, so a drifted ingest stream piles
+    * into few cells and probe cost skews with it). The aggregation
+    * reads only `(vec_id, cell)` — cell is the partition value and
+    * vec_id is one narrow column, so the scan never touches the
+    * vectors; tombstoned rows are excluded (they occupy files but no
+    * longer serve).
+    */
+  def cellStats(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    withoutExcluded(
+        readLayout(spark, dir).select(col("vec_id"), col("cell")),
+        Tombstones.ids(spark, dir))
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_rows"))
+
+  /** RECLUSTER maintenance — the drift repair after enough
+    * [[insertInto]] batches skew the layout ([[compactPartitioned]] is
+    * the remove half; this is the re-balance): re-assign every LIVE
+    * row to `newCents` and publish the re-partitioned tree as the next
+    * snapshot generation. Semantics: the reclustered layout serves
+    * exactly like a fresh [[writePartitionedWith]] build over its live
+    * rows with the same centroids — that equality is the declared
+    * query's oracle (the `q_ivf_insert_topk` pattern, one lifecycle
+    * step further).
+    *
+    * Cost and atomicity at scale: one full-layout read + one
+    * partitioned write — the same I/O as the original build, which is
+    * the honest price of moving every row's cell; run it on the drift
+    * cadence, not per batch ([[cellStats]] is the trigger). The new
+    * generation's tree and its generation-scoped centroid sidecar are
+    * both staged BEFORE the one-file manifest flip, so concurrent
+    * readers see either the old layout with old centroids or the new
+    * with new — never a torn mix (see [[centroidsOf]]). Tombstones are
+    * folded in (a recluster is also a compaction) and cleared; radii
+    * are dropped (cell membership moved — [[ensureRadii]] regenerates
+    * on the next range query); the source fingerprint is invalidated
+    * like every other maintenance write.
+    *
+    * `newCents` must live in the SAME vector space the layout stores
+    * (raw floats for `plain`, unit doubles for `cosine`, augmented
+    * doubles for `mips`) — assignment runs over stored rows as-is.
+    */
+  def reclusterPartitioned(spark: org.apache.spark.sql.SparkSession, dir: String,
+                           newCents: DataFrame): Unit = {
+    val live = withoutExcluded(readLayout(spark, dir).drop("cell"),
+      Tombstones.ids(spark, dir))
+    val (v, _) = CellSnapshot.mappingOrBase(spark, dir, "", "cell")
+    val g = v + 1
+    val out = CellSnapshot.genRoot(dir, "", g)
+    live.join(assignWith(live, newCents), Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(out)
+    // stage the generation-scoped centroids BEFORE the manifest flip —
+    // the flip is the single atomic publish point for data AND routing
+    newCents.write.mode("overwrite").parquet(s"$dir/_centroids_g$g")
+    val parts = CellSnapshot.listParts(spark, out, "cell")
+    CellSnapshot.publish(spark, dir, g, parts.map(_ -> g).toMap)
+    // converge the flat sidecar too (readers outside the snapshot-aware
+    // serving paths, e.g. ad-hoc inspection) — once the publish is
+    // done, both views agree
+    newCents.write.mode("overwrite").parquet(s"$dir/_centroids")
+    Tombstones.clear(spark, dir)
+    dropRadii(spark, dir)
+    IndexMeta.invalidate(spark, dir)
+  }
+
+  /** The full insert-then-recluster lifecycle, memoized once per dir —
+    * build on `base` with `buildCents`, [[insertInto]] `fresh`, then
+    * [[reclusterPartitioned]] onto `newCents` (the declared
+    * `q_ivf_recluster_topk` state; the `ensureInsertedPartitioned`
+    * pattern one maintenance step further).
+    */
+  def ensureReclusteredPartitioned(base: DataFrame, fresh: DataFrame,
+                                   buildCents: DataFrame, newCents: DataFrame,
+                                   dir: String, tag: String): Unit = {
+    val spark = base.sparkSession
+    val fp = IndexMeta.cachedFingerprint(dir, s"ivfrec_$tag",
+        Seq(base, fresh, buildCents, newCents)) {
+      val cb = IndexMeta.centroidFingerprint(buildCents)
+      val cn = IndexMeta.centroidFingerprint(newCents)
+      s"${IndexMeta.fingerprint(base, s"ivfrec_$tag;cb=$cb;cn=$cn;base")}|" +
+        IndexMeta.fingerprint(fresh, "fresh")
+    }
+    if (!IndexMeta.valid(spark, dir, "_SUCCESS", fp)) {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      writePartitionedWith(base, buildCents, dir)
+      insertInto(spark, dir, fresh)
+      reclusterPartitioned(spark, dir, newCents)
+      IndexMeta.write(spark, dir, fp)
+    }
+  }
+
   // ------------------------------------------------------------------
   // Range (radius) search
   // ------------------------------------------------------------------
@@ -454,7 +568,7 @@ object Ivf {
     val p = radiiPath(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) {
-      val cents = spark.read.parquet(s"$dir/_centroids")
+      val cents = centroidsOf(spark, dir)
       readLayout(spark, dir)
         .join(broadcast(cents), col("cell") === col("centroid_id"))
         .groupBy(col("cell").cast("long").as("cell"))
@@ -492,7 +606,7 @@ object Ivf {
                   ordered: Boolean = true): DataFrame = {
     ensureRadii(spark, dir)
     val stored = readLayout(spark, dir)
-    val cents = spark.read.parquet(s"$dir/_centroids")
+    val cents = centroidsOf(spark, dir)
     val radii = spark.read.parquet(s"$dir/_radii")
     // ≤ C eligible cell ids to the driver — the partition filter, same
     // contract as topKPartitioned's nprobe collect
@@ -536,7 +650,7 @@ object Ivf {
                        excluded: Option[DataFrame] = None): DataFrame = {
     ensureRadii(spark, dir)
     val stored = readLayout(spark, dir)
-    val cents = spark.read.parquet(s"$dir/_centroids")
+    val cents = centroidsOf(spark, dir)
     val radii = spark.read.parquet(s"$dir/_radii")
     val probePairs = cents.join(radii, col("centroid_id") === col("cell"))
       .drop("cell")
@@ -584,7 +698,7 @@ object Ivf {
     val qn = normalizedQuery(queries)
     val r = math.sqrt(2.0 * (1.0 - minSim) + math.pow(10.0, -roundTo))
     val stored = readLayout(spark, dir)
-    val cents = spark.read.parquet(s"$dir/_centroids")
+    val cents = centroidsOf(spark, dir)
     val radii = spark.read.parquet(s"$dir/_radii")
     val eligible = cents.join(radii, col("centroid_id") === col("cell"))
       .crossJoin(broadcast(qn))
@@ -618,7 +732,7 @@ object Ivf {
       transform(col("query_vec"), x => x / l2Norm(col("query_vec"))).as("query_vec"))
     val r = math.sqrt(2.0 * (1.0 - minSim) + math.pow(10.0, -roundTo))
     val stored = readLayout(spark, dir)
-    val cents = spark.read.parquet(s"$dir/_centroids")
+    val cents = centroidsOf(spark, dir)
     val radii = spark.read.parquet(s"$dir/_radii")
     val probePairs = cents.join(radii, col("centroid_id") === col("cell"))
       .drop("cell")
@@ -677,7 +791,7 @@ object Ivf {
     ensureRadii(spark, dir)
     val qa = augmentedQuery(queries)
     val stored = readLayout(spark, dir)
-    val cents = spark.read.parquet(s"$dir/_centroids")
+    val cents = centroidsOf(spark, dir)
     val radii = spark.read.parquet(s"$dir/_radii")
     val lb = l2Distance(col("centroid_vec"), col("query_vec")) - col("radius")
     val rsq = dotProduct(col("query_vec"), col("query_vec")) + col("normsq") -
@@ -712,7 +826,7 @@ object Ivf {
       concat(transform(col("query_vec"), x => x.cast("double")), array(lit(0.0)))
         .as("query_vec"))
     val stored = readLayout(spark, dir)
-    val cents = spark.read.parquet(s"$dir/_centroids")
+    val cents = centroidsOf(spark, dir)
     val radii = spark.read.parquet(s"$dir/_radii")
     val lb = l2Distance(col("centroid_vec"), col("query_vec")) - col("radius")
     val rsq = dotProduct(col("query_vec"), col("query_vec")) + col("normsq") -
@@ -836,7 +950,7 @@ object Ivf {
     */
   private def appendPrepared(spark: org.apache.spark.sql.SparkSession, dir: String,
                              prepared: DataFrame): Unit = {
-    val cents = spark.read.parquet(s"$dir/_centroids")
+    val cents = centroidsOf(spark, dir)
     CellSnapshot.appendAssigned(spark, dir,
       prepared.join(assignWith(prepared, cents), Seq("vec_id")))
     // inserted rows can EXTEND a cell's covering radius, so a stale
@@ -1163,7 +1277,7 @@ object Ivf {
   private[operators] def batchProbePairs(spark: org.apache.spark.sql.SparkSession,
                                          dir: String, queries: DataFrame,
                                          nprobe: Int): DataFrame = {
-    val cents = spark.read.parquet(s"$dir/_centroids")
+    val cents = centroidsOf(spark, dir)
     val byQc = Window.partitionBy("query_id").orderBy(col("qdist"), col("centroid_id"))
     cents.crossJoin(broadcast(queries))
       .select(col("query_id"), col("centroid_id"),
@@ -1230,7 +1344,7 @@ object Ivf {
                             queries: DataFrame, k: Int, nprobe: Int,
                             roundTo: Int = 6): DataFrame = {
     val stored = readLayout(spark, dir)
-    val cents = spark.read.parquet(s"$dir/_centroids")
+    val cents = centroidsOf(spark, dir)
     val qn = normalizedQuery(queries)
     val probed = cents.crossJoin(broadcast(qn))
       .select(col("centroid_id"),
@@ -1326,7 +1440,7 @@ object Ivf {
                           queries: DataFrame, k: Int, nprobe: Int,
                           roundTo: Int = 6): DataFrame = {
     val stored = readLayout(spark, dir)
-    val cents = spark.read.parquet(s"$dir/_centroids")
+    val cents = centroidsOf(spark, dir)
     val qa = augmentedQuery(queries)
     val probed = cents.crossJoin(broadcast(qa))
       .select(col("centroid_id"),

@@ -334,6 +334,40 @@ object TextAnalysis {
       .select(col("doc_id"), col("n").as("n_tokens"),
         round(log2(col("n")) - col("s").cast("double") / col("n"), 6).as("entropy"))
 
+  /** The Gopher rule BUNDLE (Rae et al. 2021, table A1) — the
+    * document-shape sanity cuts a corpus pass runs before any learned
+    * scorer: word-count bounds, mean-word-length bounds, a minimum
+    * fraction of words containing an alphabetic character, and a
+    * minimum stopword count. Each signal is emitted alongside the
+    * composite `gopher_pass` so a pipeline owner can see WHICH rule
+    * kills a document, not just that one did (the [[curateStats]]
+    * philosophy at per-doc grain). All signals are pure codegen
+    * columns over ONE tokenization — a narrow shuffle-free projection,
+    * the same scan-fused shape as [[qualityScore]]. The reference
+    * line-based rules (bullet-line ratio, ellipsis-line ratio) are
+    * deliberately absent: the corpus is single-line by construction,
+    * so they would be constant columns, not signals.
+    */
+  def gopherRules(documents: DataFrame,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  minAlphaFrac: Double = 0.8, minStopwords: Int = 2): DataFrame = {
+    val w = tokens(col("text"))
+    documents
+      .select(col("doc_id"),
+        size(w).as("n_words"),
+        round(aggregate(w, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+          size(w), 6).as("mean_word_len"),
+        round(size(filter(w, x => x.rlike("[a-zA-Z]"))).cast("double") /
+          size(w), 6).as("frac_alpha_words"),
+        stopwordScore(w, stopwords.head._2).as("n_stopwords"))
+      .withColumn("gopher_pass",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanLen, maxMeanLen) &&
+          col("frac_alpha_words") >= minAlphaFrac &&
+          col("n_stopwords") >= minStopwords)
+  }
+
   // ---- Count-Min Sketch heavy hitters ----
 
   /** CMS shape: `cmsRows` independent hash rows × `cmsWidth` counters.

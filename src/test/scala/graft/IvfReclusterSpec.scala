@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions._
+import graft.operators.{CellSnapshot, IndexMeta, Ivf, Tombstones}
+
+/** Recluster lifecycle for the cell-partitioned layout — the
+  * re-balance half of maintenance (IvfInsertSpec is the append half,
+  * IvfDeleteSpec the remove half): `Ivf.reclusterPartitioned`
+  * re-assigns every LIVE row onto a new centroid set and publishes the
+  * re-partitioned tree atomically, so
+  *  (a) the reclustered layout serves EXACTLY like a fresh build over
+  *      its live rows with the same centroids (the declared query's
+  *      oracle claim),
+  *  (b) tombstones are folded in (a recluster is also a compaction)
+  *      and cleared,
+  *  (c) the serving centroids resolve consistently with the data
+  *      snapshot (`centroidsOf` prefers the generation-scoped sidecar
+  *      staged before the manifest flip), and
+  *  (d) `cellStats` reports live per-cell occupancy — the diagnostic
+  *      that schedules the recluster in the first place.
+  */
+class IvfReclusterSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val C = 8
+
+  private lazy val emb = (0L until 240L).map { i =>
+    val rnd = new scala.util.Random(i)
+    (i, Array.fill(8)(rnd.nextFloat() * 10f))
+  }.toDF("vec_id", "embedding").cache()
+
+  private lazy val centsA = Ivf.centroids(emb, C)
+  private lazy val centsB = Ivf.centroidsFrom(emb, C, 100)
+
+  private lazy val oneQuery = emb.filter(col("vec_id") === 0)
+    .select(perturbQuery(col("embedding")).as("query_vec"))
+
+  private def served(dir: String, nprobe: Int) =
+    Ivf.topKPartitioned(spark, dir, oneQuery, 10, nprobe)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("recluster == fresh build over the union with the new centroids; meta invalidated") {
+    val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val fresh = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+
+    val dir = Files.createTempDirectory("ivf_rec").toString
+    Ivf.ensureReclusteredPartitioned(base, fresh, centsA, centsB, dir, tag = "recspec")
+
+    val freshDir = Files.createTempDirectory("ivf_rec_fresh").toString
+    Ivf.writePartitionedWith(emb, centsB, freshDir)
+
+    // exact serving equality at every probe width, including partial
+    // probes (cell membership must match, not just the global top-k)
+    for (np <- Seq(1, 2, C))
+      assert(served(dir, np) == served(freshDir, np),
+        s"reclustered layout must serve like a fresh centsB build at nprobe=$np")
+
+    // ensure is memoized: a second call must not rebuild
+    val v0 = CellSnapshot.version(spark, dir)
+    Ivf.ensureReclusteredPartitioned(base, fresh, centsA, centsB, dir, tag = "recspec")
+    assert(CellSnapshot.version(spark, dir) == v0, "memoized ensure must not republish")
+  }
+
+  test("centroidsOf resolves the generation-scoped sidecar after recluster; flat sidecar converges") {
+    val dir = Files.createTempDirectory("ivf_rec_c").toString
+    Ivf.writePartitionedWith(emb, centsA, dir)
+    assert(Ivf.centroidsOf(spark, dir).agg(max("centroid_id")).head.getLong(0) == C - 1)
+
+    Ivf.reclusterPartitioned(spark, dir, centsB)
+    val g = CellSnapshot.version(spark, dir)
+    assert(g.nonEmpty, "recluster must publish a snapshot generation")
+    // generation-scoped sidecar exists and is what centroidsOf serves
+    val scoped = spark.read.parquet(s"$dir/_centroids_g${g.get}")
+      .orderBy("centroid_id").collect().toSeq
+    assert(Ivf.centroidsOf(spark, dir).orderBy("centroid_id").collect().toSeq == scoped)
+    // the flat sidecar converged to the same table
+    assert(spark.read.parquet(s"$dir/_centroids")
+      .orderBy("centroid_id").collect().toSeq == scoped)
+    // and it really is centsB, not centsA
+    assert(scoped == centsB.orderBy("centroid_id").collect().toSeq)
+  }
+
+  test("recluster folds tombstones in and clears them") {
+    val dir = Files.createTempDirectory("ivf_rec_t").toString
+    Ivf.writePartitionedWith(emb, centsA, dir)
+    val doomed = emb.filter(pmod(col("vec_id"), lit(7)) === 0).select("vec_id")
+    Tombstones.record(spark, dir, doomed)
+
+    Ivf.reclusterPartitioned(spark, dir, centsB)
+    assert(Tombstones.ids(spark, dir).isEmpty, "recluster must clear _deletes")
+    val survivors = Ivf.readLayout(spark, dir).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == (0L until 240L).filter(_ % 7 != 0).toSet,
+      "tombstoned rows must not survive the recluster rewrite")
+
+    // and the rewritten layout serves like a fresh centsB build over
+    // the survivors only
+    val freshDir = Files.createTempDirectory("ivf_rec_t_fresh").toString
+    Ivf.writePartitionedWith(emb.filter(pmod(col("vec_id"), lit(7)) =!= 0), centsB, freshDir)
+    assert(served(dir, 2) == served(freshDir, 2))
+  }
+
+  test("cellStats: live per-cell occupancy, tombstones excluded, == independent assignment counts") {
+    val dir = Files.createTempDirectory("ivf_stats").toString
+    Ivf.writePartitionedWith(emb, centsA, dir)
+
+    def expected(rows: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Ivf.assignWith(rows, centsA).groupBy("cell").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def observed(): Map[Long, Long] =
+      Ivf.cellStats(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    assert(observed() == expected(emb))
+
+    // tombstoned rows leave the stats immediately (before any compaction)
+    Tombstones.record(spark, dir, emb.filter(col("vec_id") < 50).select("vec_id"))
+    assert(observed() == expected(emb.filter(col("vec_id") >= 50)))
+  }
+}
