@@ -707,7 +707,11 @@ object Dedup {
   def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.99): DataFrame = {
     val withNorm = embeddings.select(
       col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+    // probe side partitioned by OUTPUT volume (N× fan-out per row) —
+    // the covariance/knnGraph pre-fan-out rule: a single-file scan
+    // would otherwise serialize the N² cosine sweep into one task
     val l = withNorm.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("nrm").as("n1"))
+      .repartition(withNorm.sparkSession.sparkContext.defaultParallelism)
     val r = withNorm.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("nrm").as("n2"))
     l.crossJoin(r)
       .filter(col("id1") < col("id2"))
