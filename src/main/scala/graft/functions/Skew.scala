@@ -66,4 +66,22 @@ object Skew {
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** PRE-FAN-OUT SPREAD: widen `df` to at least the cluster's core
+    * count before a stage whose per-row work dwarfs its input bytes —
+    * a big generator fan-out (covariance's d²/2 pair explode, an N×
+    * cross product) or per-row crypto/codec work (md5 per gram).
+    * Partition sizing must follow the GENERATED volume, not the scan
+    * bytes: a small single-file scan otherwise serializes the whole
+    * downstream sweep into one task. Conditional on the CURRENT
+    * partition count so it only ever WIDENS — on a real cluster where
+    * the scan already yields ≥ cores partitions this is a no-op (no
+    * shuffle added); results are invariant because every caller's
+    * downstream arithmetic is partition-order independent (decimal
+    * sums, hashes, per-row projections).
+    */
+  def spreadToCores(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 }

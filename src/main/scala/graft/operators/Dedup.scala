@@ -202,7 +202,11 @@ object Dedup {
     * a mismatch).
     */
   private def hashedShingleSets(documents: DataFrame): DataFrame =
-    documents
+    // tokenize + ~tokens shingles + an md5 EACH — per-row crypto work
+    // dwarfs scan bytes, so widen first (Skew.spreadToCores); every
+    // consumer aggregates or joins afterwards, so results are
+    // partition-invariant
+    graft.functions.Skew.spreadToCores(documents)
       .filter(size(tokens(col("text"))) >= 3)
       .select(col("doc_id"),
         array_distinct(transform(shingles(tokens(col("text"))), s => md5Int(s))).as("sh"))
@@ -561,6 +565,30 @@ object Dedup {
       .union(deltaAll)
   }
 
+  /** COMPACT the append-only cluster-label store: rewrite the CURRENT
+    * labeling ([[clusterStoreLabels]]'s fold) as a fresh generation-0
+    * snapshot, dropping every superseded delta row — the bounded-store
+    * half of the incremental contract (absorb appends grow the table
+    * by |changed labels| per batch; without compaction the serve-side
+    * latest-generation fold pays Σ appended rows forever, the same
+    * reason the index layouts have `compactGeneration`/
+    * `compactPartitioned`). Run on the maintenance cadence, not per
+    * batch. The fold result is staged to a sibling table first and
+    * swapped in via a metadata-only rename-shaped overwrite
+    * (`saveAsTable(Overwrite)` on the bucketed layout), preserving the
+    * bucket spec so post-compaction serve folds stay exchange-free.
+    * Serving before/after is identical — that equality is the spec's
+    * claim.
+    */
+  def compactClusterStore(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    val current = clusterStoreLabels(spark, table)
+      .select(col("doc_id"), col("cluster_id"), lit(0L).as("gen"))
+      .localCheckpoint(true) // sever from the table we're about to replace
+    current.write.mode("overwrite")
+      .bucketBy(bucketCountOf(spark, table), "doc_id").sortBy("doc_id")
+      .saveAsTable(table)
+  }
+
   /** Per-cluster representative selection — the KEEP side of dedup:
     * for every near-dup cluster, keep the member with the highest
     * quality score (ties → smaller doc id), with the cluster size
@@ -707,11 +735,11 @@ object Dedup {
   def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.99): DataFrame = {
     val withNorm = embeddings.select(
       col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
-    // probe side partitioned by OUTPUT volume (N× fan-out per row) —
-    // the covariance/knnGraph pre-fan-out rule: a single-file scan
-    // would otherwise serialize the N² cosine sweep into one task
-    val l = withNorm.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("nrm").as("n1"))
-      .repartition(withNorm.sparkSession.sparkContext.defaultParallelism)
+    // probe side partitioned by OUTPUT volume (N× fan-out per row,
+    // Skew.spreadToCores): a single-file scan would otherwise
+    // serialize the N² cosine sweep into one task
+    val l = graft.functions.Skew.spreadToCores(
+      withNorm.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("nrm").as("n1")))
     val r = withNorm.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("nrm").as("n2"))
     l.crossJoin(r)
       .filter(col("id1") < col("id2"))

@@ -465,6 +465,31 @@ object Ivf {
       .groupBy(col("cell").cast("long").as("cell"))
       .agg(count(lit(1)).as("n_rows"))
 
+  /** Cell-balance SKEW factor of the serving layout: max/mean live
+    * cell occupancy over the centroid set (empty cells count as 0 —
+    * a drained cell is exactly the imbalance this measures). 1.0 is
+    * perfectly balanced; probe latency degrades with the factor, since
+    * a probe's cost is the cells it opens. One [[cellStats]] pass +
+    * a C-row aggregate.
+    */
+  def cellSkew(spark: org.apache.spark.sql.SparkSession, dir: String): Double = {
+    val c = centroidsOf(spark, dir).count().toDouble
+    val r = cellStats(spark, dir)
+      .agg(max("n_rows").cast("double").as("mx"), sum("n_rows").cast("double").as("tot"))
+      .head()
+    if (r.isNullAt(1) || r.getDouble(1) == 0.0) 1.0
+    else r.getDouble(0) / (r.getDouble(1) / c)
+  }
+
+  /** The recluster SCHEDULING TRIGGER: true once [[cellSkew]] crosses
+    * `maxSkew` — the check a maintenance job runs per ingest window so
+    * [[reclusterPartitioned]] (full-layout I/O) fires on drift, not on
+    * a timer.
+    */
+  def needsRecluster(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     maxSkew: Double = 4.0): Boolean =
+    cellSkew(spark, dir) >= maxSkew
+
   /** RECLUSTER maintenance — the drift repair after enough
     * [[insertInto]] batches skew the layout ([[compactPartitioned]] is
     * the remove half; this is the re-balance): re-assign every LIVE

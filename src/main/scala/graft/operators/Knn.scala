@@ -90,12 +90,11 @@ object Knn {
     */
   def knnGraph(embeddings: DataFrame, k: Int, roundTo: Int = 6): DataFrame = {
     // the cross product fans each src row out N× — partition the
-    // PROBE side by output volume, not scan bytes, or a single-file
-    // scan serializes the whole N² distance sweep into one task (the
-    // covariance pre-explode rule; the anchor is still declared-
-    // quadratic, just not needlessly single-threaded)
-    val l = embeddings.select(col("vec_id").as("src_id"), col("embedding").as("src_vec"))
-      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+    // PROBE side by output volume, not scan bytes (Skew.spreadToCores;
+    // the anchor is still declared-quadratic, just not needlessly
+    // single-threaded)
+    val l = graft.functions.Skew.spreadToCores(
+      embeddings.select(col("vec_id").as("src_id"), col("embedding").as("src_vec")))
     val r = embeddings.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_vec"))
     val bySrc = Window.partitionBy("src_id").orderBy(col("dist"), col("nbr_id"))
     l.crossJoin(r)

@@ -62,16 +62,11 @@ object Pca {
     // arithmetic as [[means]]) substitutes for the per-pair exi/exj
     // sums — bit-identical output, one generator pipeline + a tiny
     // (i, j)-keyed partial agg instead of a 3-sum agg fed by a join.
-    // PRE-EXPLODE REPARTITION: the pair generator fans each input row
-    // out d(d+1)/2× (~2080× at d=64), so partition sizing must follow
-    // the GENERATED volume, not the scan bytes — a byte-sized scan
-    // split (or a single small file) would push the whole n·d²
-    // explode+DECIMAL aggregation through a handful of tasks. One
-    // narrow-row shuffle of the raw table (n·d floats) buys d²-wide
-    // parallelism; decimal sums are order-invariant, so the result is
-    // bit-identical at any partition count.
-    val spread = embeddings
-      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+    // PRE-EXPLODE SPREAD: the pair generator fans each input row out
+    // d(d+1)/2× (~2080× at d=64) — partition by generated volume, not
+    // scan bytes (Skew.spreadToCores); decimal sums are order-
+    // invariant, so the result is bit-identical at any partition count.
+    val spread = graft.functions.Skew.spreadToCores(embeddings)
     val exploded = spread
       .select(col("embedding"),
         posexplode(transform(col("embedding"), x => x.cast("double"))).as(Seq("i", "x")))

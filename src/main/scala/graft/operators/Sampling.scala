@@ -208,7 +208,11 @@ object Sampling {
       slice(col("t"), lit(1), greatest(n - 1, lit(0))),
       slice(col("t"), lit(2), greatest(n - 1, lit(0))),
       (a, b) => concat(a, lit(" "), b))
-    docs.withColumn("t", split(col("text"), " "))
+    // ~2·tokens explode with an md5 per gram — per-row crypto work
+    // dwarfs scan bytes, so widen first (Skew.spreadToCores; hashes
+    // and the downstream grouped sums are partition-order invariant)
+    graft.functions.Skew.spreadToCores(docs)
+      .withColumn("t", split(col("text"), " "))
       .withColumn("g", explode(concat(col("t"), bigrams)))
       .withColumn("b", pmod(Portable.md5Int(col("g")), lit(buckets.toLong)))
       .drop("t", "g", "text")

@@ -122,4 +122,17 @@ class IvfReclusterSpec extends AnyFunSuite {
     Tombstones.record(spark, dir, emb.filter(col("vec_id") < 50).select("vec_id"))
     assert(observed() == expected(emb.filter(col("vec_id") >= 50)))
   }
+
+  test("cellSkew / needsRecluster: max-over-mean trigger, empty cells count against balance") {
+    val dir = Files.createTempDirectory("ivf_skew").toString
+    Ivf.writePartitionedWith(emb, centsA, dir)
+    val counts = Ivf.assignWith(emb, centsA).groupBy("cell").count()
+      .collect().map(_.getLong(1))
+    val want = counts.max.toDouble / (counts.sum.toDouble / C)
+    val got = Ivf.cellSkew(spark, dir)
+    assert(math.abs(got - want) < 1e-9, s"skew $got != expected $want")
+    assert(got >= 1.0)
+    assert(Ivf.needsRecluster(spark, dir, maxSkew = 1.0))
+    assert(!Ivf.needsRecluster(spark, dir, maxSkew = 1000.0))
+  }
 }

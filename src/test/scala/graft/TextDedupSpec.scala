@@ -436,6 +436,46 @@ class TextDedupSpec extends AnyFunSuite {
       s"latest-generation fold must ride the bucket layout:\n$foldPlan")
   }
 
+  test("compactClusterStore: serving unchanged, superseded delta rows dropped, fold stays exchange-free") {
+    val tbl = "textdedup_clusters_compact"
+    dropManaged(tbl)
+    val docsOf = (ids: Seq[Long]) => ids.map(i => (i, "")).toDF("doc_id", "text")
+    Dedup.writeClusterStore(
+      Dedup.nearDupClusters(docsOf(0L until 20L), Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")),
+      tbl, buckets = 4)
+    // two absorb waves pile up delta generations
+    Dedup.clustersIncremental(spark, tbl, docsOf(20L until 30L),
+      Seq((3L, 21L), (25L, 26L)).toDF("id1", "id2")).count()
+    // (0, 3) merges the stored {1,2,3,21} cluster under label 0 —
+    // EXISTING docs get relabeled at a later generation, so the store
+    // provably holds superseded rows for the compaction to drop
+    Dedup.clustersIncremental(spark, tbl, docsOf(30L until 40L),
+      Seq((26L, 31L), (0L, 35L), (0L, 3L)).toDF("id1", "id2")).count()
+    val before = Dedup.clusterStoreLabels(spark, tbl)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val rowsBefore = spark.table(tbl).count()
+    assert(rowsBefore > before.size, "fixture must have superseded delta rows to drop")
+
+    Dedup.compactClusterStore(spark, tbl)
+    val after = Dedup.clusterStoreLabels(spark, tbl)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(after === before, "compaction must not change the served labeling")
+    assert(spark.table(tbl).count() == before.size.toLong,
+      "compacted store must hold exactly one row per doc")
+    assert(spark.table(tbl).agg(max("gen")).head.getLong(0) == 0L,
+      "compacted store must be a fresh generation-0 snapshot")
+    // the fold still rides the bucket layout after the overwrite
+    val foldPlan = Dedup.clusterStoreLabels(spark, tbl)
+      .queryExecution.executedPlan.toString
+    assert(!foldPlan.contains("Exchange hashpartitioning"),
+      s"post-compaction fold must stay exchange-free:\n$foldPlan")
+    // and absorbing AFTER a compaction still works (bucket count survives)
+    val got = Dedup.clustersIncremental(spark, tbl, docsOf(40L until 45L),
+        Seq((35L, 41L)).toDF("id1", "id2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(41L) == got(35L), "post-compaction absorb must merge the new edge")
+  }
+
   test("nearDupClusters: transitive chain collapses to one min-labeled cluster") {
     // a(1)~b(2), b(2)~c(3) but 1 and 3 NOT directly paired — transitive
     // closure must still put all three in cluster 1; 4 and 5 stay
