@@ -351,22 +351,45 @@ object TextAnalysis {
   def gopherRules(documents: DataFrame,
                   minWords: Int = 50, maxWords: Int = 100000,
                   minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
-                  minAlphaFrac: Double = 0.8, minStopwords: Int = 2): DataFrame = {
-    val w = tokens(col("text"))
+                  minAlphaFrac: Double = 0.8, minStopwords: Int = 2): DataFrame =
     documents
       .select(col("doc_id"),
-        size(w).as("n_words"),
-        round(aggregate(w, lit(0L), (acc, x) => acc + length(x)).cast("double") /
-          size(w), 6).as("mean_word_len"),
-        round(size(filter(w, x => x.rlike("[a-zA-Z]"))).cast("double") /
-          size(w), 6).as("frac_alpha_words"),
-        stopwordScore(w, stopwords.head._2).as("n_stopwords"))
+        size(tokens(col("text"))).as("n_words"),
+        gopherMeanLenCol(tokens(col("text"))).as("mean_word_len"),
+        gopherAlphaFracCol(tokens(col("text"))).as("frac_alpha_words"),
+        stopwordScore(tokens(col("text")), stopwords.head._2).as("n_stopwords"))
       .withColumn("gopher_pass",
         col("n_words").between(minWords, maxWords) &&
           col("mean_word_len").between(minMeanLen, maxMeanLen) &&
           col("frac_alpha_words") >= minAlphaFrac &&
           col("n_stopwords") >= minStopwords)
-  }
+
+  /** Mean word length over a token array, rounded like the declared
+    * signal (shared by the batch relation and the streaming column so
+    * borderline docs can never disagree between the two forms).
+    */
+  private def gopherMeanLenCol(w: Column): Column =
+    round(aggregate(w, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(w), 6)
+
+  /** Fraction of words containing an alphabetic character (rounded —
+    * same sharing rationale as [[gopherMeanLenCol]]).
+    */
+  private def gopherAlphaFracCol(w: Column): Column =
+    round(size(filter(w, x => x.rlike("[a-zA-Z]"))).cast("double") / size(w), 6)
+
+  /** The composite Gopher verdict as a PURE COLUMN over a token array
+    * — the streaming-composable form of [[gopherRules]] (identical
+    * rounded signals and thresholds, so the stream gate keeps exactly
+    * the docs the batch relation flags `gopher_pass`).
+    */
+  def gopherPassCol(w: Column,
+                    minWords: Int = 50, maxWords: Int = 100000,
+                    minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                    minAlphaFrac: Double = 0.8, minStopwords: Int = 2): Column =
+    size(w).between(minWords, maxWords) &&
+      gopherMeanLenCol(w).between(minMeanLen, maxMeanLen) &&
+      gopherAlphaFracCol(w) >= minAlphaFrac &&
+      stopwordScore(w, stopwords.head._2) >= minStopwords
 
   // ---- Count-Min Sketch heavy hitters ----
 

@@ -36,21 +36,28 @@ object StreamingCuration {
     * redaction between the quality filter and the dedup (the batch
     * [[graft.operators.CorpusPipeline.curatedDocs]] stage order, so
     * dedup keys on the REDACTED bytes and documents differing only in
-    * their PII still collapse). Both are stateless narrow columns —
-    * the stream's state stays the watermark-bounded md5 set.
+    * their PII still collapse). `gopher = true` adds the
+    * [[TextAnalysis.gopherRules]] composite cut beside the quality
+    * score (same signals, same thresholds as the batch operator). All
+    * three are stateless narrow columns — the stream's state stays the
+    * watermark-bounded md5 set.
     */
   def curateStream(docs: DataFrame, lang: String, minQuality: Double,
                    watermark: String = "1 hour",
                    redactPii: Boolean = false,
-                   blocklist: Seq[String] = Nil): DataFrame = {
+                   blocklist: Seq[String] = Nil,
+                   gopher: Boolean = false): DataFrame = {
     val toks = TextFunctions.tokens(col("text"))
     val gated =
       if (blocklist.isEmpty) docs
       else docs.filter(!TextAnalysis.blockedCol(col("text"), blocklist))
-    val filtered = gated
+    val filtered0 = gated
       .withWatermark("ts", watermark)
       .filter(TextAnalysis.langPredCol(toks) === lang &&
         TextAnalysis.qualityCol(toks, col("n_chars")) >= minQuality)
+    val filtered =
+      if (gopher) filtered0.filter(TextAnalysis.gopherPassCol(toks))
+      else filtered0
     val redacted =
       if (redactPii) filtered.withColumn("text", TextAnalysis.redactCol(col("text")))
       else filtered

@@ -181,6 +181,44 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation with the Gopher gate == batch filtered + gopher_pass + exact dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val fixture = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 60)
+      .select("doc_id", "text", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    val mem = MemoryStream[(Timestamp, Long, String, Long)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text", "n_chars")
+    val q = StreamingCuration.curateStream(docs, lang = "en", minQuality = 0.3,
+        watermark = "1 hour", gopher = true)
+      .writeStream.format("memory").queryName("curated_gopher_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(fixture.zipWithIndex.map { case ((id, tx, nc), i) =>
+        (t(i), id, tx, nc)
+      }.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("curated_gopher_out").select("text").collect()
+        .map(_.getString(0)).toSet
+      // batch twin: lang/quality filter -> gopher_pass -> exact dedup;
+      // the gate must be DISCRIMINATING on this fixture (some docs cut)
+      val batchDocs = fixture.toSeq.toDF("doc_id", "text", "n_chars")
+      val kept0 = CorpusPipeline.filtered(batchDocs, "en", 0.3)
+      val passIds = TextAnalysis.gopherRules(batchDocs)
+        .filter(col("gopher_pass")).select("doc_id")
+      val kept1 = kept0.join(passIds, Seq("doc_id"))
+      assert(kept1.count() < kept0.count(),
+        "fixture must have docs the gopher gate actually cuts")
+      val batch = kept1.join(Dedup.exactKept(kept1), Seq("doc_id"))
+        .select("text").collect().map(_.getString(0)).toSet
+      assert(batch.nonEmpty, "fixture must keep at least one document")
+      assert(streamed === batch,
+        "stream gate must keep exactly the docs the batch gopher_pass flags")
+    } finally q.stop()
+  }
+
   test("streaming ANN: micro-batches served from a persisted routed index match the batch path") {
     implicit val sqlCtx = spark.sqlContext
     // persisted routed index over the deterministic 200-vector fixture
