@@ -299,7 +299,7 @@ object Pq {
                 roundTo: Int = 6, predicate: Option[Column] = None,
                 excluded: Option[DataFrame] = None): DataFrame = {
     val stored = Ivf.readLayout(spark, dir) // snapshot-resolved cell scan
-    val cents = spark.read.parquet(s"$dir/_centroids")
+    val cents = Ivf.centroidsOf(spark, dir)
     // nprobe cell ids to the driver — partition-filter formation, as in
     // Ivf.topKPartitioned
     val probed = cents.crossJoin(broadcast(queries))
@@ -353,7 +353,7 @@ object Pq {
     val kind = Ivf.layoutKind(spark, dir)
     require(kind != "pq_residual",
       s"$dir holds residual codes — use insertIntoResidual, not insertInto")
-    val cents = spark.read.parquet(s"$dir/_centroids")
+    val cents = Ivf.centroidsOf(spark, dir)
     val books = spark.read.parquet(s"$dir/_codebooks")
     CellSnapshot.appendAssigned(spark, dir,
       codesArray(rows, books, m, subDim)
@@ -371,7 +371,7 @@ object Pq {
   def insertIntoResidual(spark: SparkSession, dir: String, rows: DataFrame): Unit = {
     require(Ivf.layoutKind(spark, dir) == "pq_residual",
       s"$dir does not hold residual codes — use insertInto")
-    val cents = spark.read.parquet(s"$dir/_centroids")
+    val cents = Ivf.centroidsOf(spark, dir)
     val books = spark.read.parquet(s"$dir/_codebooks")
     val bySub = collectBooks(books)
     CellSnapshot.appendAssigned(spark, dir,
@@ -379,6 +379,51 @@ object Pq {
         .select(col("vec_id"),
           pqEncode(col("embedding"), (0 until bySub.size).map(bySub(_).toSeq)).as("codes"),
           col("cell")))
+    IndexMeta.invalidate(spark, dir)
+  }
+
+  /** RECLUSTER the IVF-PQ code layout onto new coarse centroids — the
+    * compressed-tier twin of [[Ivf.reclusterPartitioned]]. Plain-PQ
+    * codes are CELL-INDEPENDENT (codebooks trained on raw vectors), so
+    * a recluster changes only the routing: stored codes are rewritten
+    * under their new cells byte-for-byte, and ADC scores are untouched
+    * — serving equality with a fresh encode-partitioned build over the
+    * live rows is exact, not approximate. Codes carry no geometry to
+    * assign with, so the SOURCE vector table supplies the assignment
+    * (`embeddings` must cover every live id — checked, because an
+    * inner join would silently drop unmatched rows from the index).
+    * Residual layouts fail fast: their codes encode `x − centroid(x)`,
+    * so moving a row's cell invalidates its code — rebuild through
+    * [[ensureEncodedPartitionedResidual]] (and retrain, since the
+    * codebooks were fit to the old cells' residual distribution).
+    * Atomicity: generation tree + generation-scoped centroid sidecar
+    * staged before the single manifest flip (`Ivf.centroidsOf` resolves
+    * routing consistently); tombstones folded and cleared.
+    */
+  def reclusterEncodedPartitioned(spark: SparkSession, dir: String,
+                                  embeddings: DataFrame, newCents: DataFrame): Unit = {
+    val kind = Ivf.layoutKind(spark, dir)
+    require(kind != "pq_residual",
+      s"$dir holds residual codes — cell-coupled, rebuild through " +
+        "ensureEncodedPartitionedResidual instead of reclustering")
+    val live = Ivf.withoutExcluded(
+      Ivf.readLayout(spark, dir).drop("cell"), Tombstones.ids(spark, dir))
+    val assigned = Ivf.assignWith(embeddings, newCents)
+    val moved = live.join(assigned, Seq("vec_id"))
+    val nLive = live.count()
+    val nMoved = moved.count()
+    require(nMoved == nLive,
+      s"source vector table covers $nMoved of $nLive live code rows at $dir — " +
+        "recluster would drop the difference; pass the table the layout was encoded from")
+    val (v, _) = CellSnapshot.mappingOrBase(spark, dir, "", "cell")
+    val g = v + 1
+    val out = CellSnapshot.genRoot(dir, "", g)
+    moved.write.mode("overwrite").partitionBy("cell").parquet(out)
+    newCents.write.mode("overwrite").parquet(s"$dir/_centroids_g$g")
+    val parts = CellSnapshot.listParts(spark, out, "cell")
+    CellSnapshot.publish(spark, dir, g, parts.map(_ -> g).toMap)
+    newCents.write.mode("overwrite").parquet(s"$dir/_centroids")
+    Tombstones.clear(spark, dir)
     IndexMeta.invalidate(spark, dir)
   }
 
@@ -710,7 +755,7 @@ object Pq {
                         predicate: Option[Column] = None,
                         excluded: Option[DataFrame] = None): DataFrame = {
     val stored = Ivf.readLayout(spark, dir)
-    val cents = spark.read.parquet(s"$dir/_centroids")
+    val cents = Ivf.centroidsOf(spark, dir)
     val books = collectBooks(spark.read.parquet(s"$dir/_codebooks"))
     val m = books.size
     val c = books(0).length
@@ -744,7 +789,7 @@ object Pq {
     val books = collectBooks(spark.read.parquet(s"$dir/_codebooks"))
     val m = books.size
     val c = books(0).length
-    val cents = spark.read.parquet(s"$dir/_centroids")
+    val cents = Ivf.centroidsOf(spark, dir)
     val (probes, pruned) = Ivf.batchPrunedCandidates(spark, dir, queries, nprobe)
     // LUTs only for the probed (query, cell) pairs: probes ⋈ queries ⋈
     // centroids (on cell), all broadcast-small

@@ -59,6 +59,7 @@ object AnnBench {
     if (args.contains("mediascale")) { mediaScaleSmoke(spark); spark.stop(); return }
     if (args.contains("dsirscale")) { dsirScaleSmoke(spark); spark.stop(); return }
     if (args.contains("curatestats")) { curateStatsSmoke(spark); spark.stop(); return }
+    if (args.contains("reclusterscale")) { reclusterScaleSmoke(spark); spark.stop(); return }
     val emb = Tables.embeddings(spark, sfDir)
     val qs = emb.select(col("vec_id").as("query_id"),
       perturbQuery(col("embedding")).as("query_vec"))
@@ -763,6 +764,68 @@ object AnnBench {
   }
 
   /** Deterministic hash vectors in [0,100) — the smoke's corpus. */
+  /** Recluster-maintenance smoke: a DRIFTED ingest stream (base corpus
+    * in one region of the space, insert batch offset far outside it)
+    * piles the appended rows into the few build-time Voronoi cells
+    * nearest the drift — exactly the skew [[graft.operators.Ivf.cellSkew]]
+    * is built to catch and [[graft.operators.Ivf.reclusterPartitioned]]
+    * to repair. Measures: the diagnostic's cost (cellStats is a
+    * (vec_id, cell)-only scan), skew before/after, the recluster
+    * rewrite's wall time and rows/s (its I/O is one full-layout read +
+    * one partitioned write — the honest price of moving every row's
+    * cell), and that post-recluster serving still partition-prunes.
+    * Deterministic hash vectors, no RNG. Output: one JSON line +
+    * target/recluster_scale.json.
+    */
+  private def reclusterScaleSmoke(spark: SparkSession): Unit = {
+    val n = sys.env.get("SPARK_GRAFT_REC_N").flatMap(_.toIntOption).getOrElse(500000)
+    val dim = sys.env.get("SPARK_GRAFT_SCALE_DIM").flatMap(_.toIntOption).getOrElse(25)
+    val c = 64
+    val base = scaleVectors(spark, n, dim)
+    // drift batch: n/5 rows offset +150 in every dim — far outside the
+    // base's [0, 100) cube, so frozen-centroid assignment funnels all
+    // of them into the boundary cells
+    val drift = spark.range(n / 5).select((col("id") + n).as("vec_id"),
+      array((0 until dim).map(i =>
+        ((pmod(hash(col("id"), lit(i + 7)), lit(100000)) / lit(1000.0)) + lit(150.0))
+          .cast("float")): _*).as("embedding"))
+    val dir = s"target/graft_scale_idx/recluster_n$n"
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(dirPath, true)
+
+    def timed[T](f: => T): (T, Double) = {
+      System.gc()
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val cents = Ivf.kmeansCached(base, c, 1, s"recsmoke_n$n")
+    val (_, buildSec) = timed { Ivf.writePartitionedWith(base, cents, dir) }
+    val (_, insertSec) = timed { Ivf.insertInto(spark, dir, drift) }
+    val (skew0, diagSec) = timed { Ivf.cellSkew(spark, dir) }
+    val newCents = Ivf.kmeans(base.union(drift), c, 1)
+    val total = n + n / 5
+    val (_, recSec) = timed { Ivf.reclusterPartitioned(spark, dir, newCents) }
+    val (skew1, _) = timed { Ivf.cellSkew(spark, dir) }
+    // serving sanity: the reclustered layout still partition-prunes
+    val q = base.filter(col("vec_id") === 0)
+      .select(graft.functions.VectorFunctions.perturbQuery(col("embedding")).as("query_vec"))
+    val served = Ivf.topKPartitioned(spark, dir, q, 10, nprobe = 4)
+    val pruned = served.queryExecution.executedPlan.toString.contains("PartitionFilters: [cell")
+    val rows = served.count()
+    println(s"[annbench] reclusterscale n=$total skew ${fmt(skew0, 2)} -> ${fmt(skew1, 2)}, " +
+      s"diag ${fmt(diagSec, 1)} s, recluster ${fmt(recSec, 1)} s " +
+      s"(${(total / recSec).toLong} rows/s), pruned=$pruned")
+    val json =
+      s"""{"recluster_scale":{"n_rows":$total,"c":$c,"build_sec":${fmt(buildSec, 1)},""" +
+        s""""insert_sec":${fmt(insertSec, 1)},"skew_before":${fmt(skew0, 2)},""" +
+        s""""skew_after":${fmt(skew1, 2)},"cellskew_diag_sec":${fmt(diagSec, 1)},""" +
+        s""""recluster_sec":${fmt(recSec, 1)},"recluster_rows_per_sec":${(total / recSec).toLong},""" +
+        s""""serve_rows":$rows,"serve_partition_pruned":$pruned}}"""
+    println(json)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/recluster_scale.json"), json + "\n")
+    catch { case _: Exception => }
+  }
+
   private def scaleVectors(spark: SparkSession, n: Int, dim: Int): DataFrame =
     spark.range(n).select(col("id").as("vec_id"),
       array((0 until dim).map(i =>

@@ -123,6 +123,49 @@ class IvfReclusterSpec extends AnyFunSuite {
     assert(observed() == expected(emb.filter(col("vec_id") >= 50)))
   }
 
+  test("PQ code-layout recluster: routing changes, codes byte-identical, == fresh encode build; residual + coverage guards") {
+    import graft.operators.Pq
+    val M = 4; val SubDim = 2 // dim 8 fixture → 4 subspaces of 2
+    val books = Pq.codebooks(emb, M, SubDim, 8, iters = 1).cache()
+
+    val dir = Files.createTempDirectory("pq_rec").toString
+    Pq.ensureEncodedPartitioned(emb, centsA, books, M, SubDim, dir)
+    Pq.reclusterEncodedPartitioned(spark, dir, emb, centsB)
+
+    val freshDir = Files.createTempDirectory("pq_rec_fresh").toString
+    Pq.ensureEncodedPartitioned(emb, centsB, books, M, SubDim, freshDir)
+
+    def serve(d: String, np: Int) =
+      Pq.ivfpqTopK(spark, d, oneQuery, 10, np)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    for (np <- Seq(1, 2, C))
+      assert(serve(dir, np) == serve(freshDir, np),
+        s"reclustered code layout must serve like a fresh centsB encode at nprobe=$np")
+    // codes themselves are untouched — only the routing moved
+    val codesOf = (d: String) => Ivf.readLayout(spark, d)
+      .select(col("vec_id"), col("codes").cast("array<int>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    assert(codesOf(dir) == codesOf(freshDir))
+
+    // coverage guard: a source table missing live ids must fail, not drop
+    val partial = emb.filter(col("vec_id") < 100)
+    val err = intercept[IllegalArgumentException] {
+      Pq.reclusterEncodedPartitioned(spark, dir, partial, centsA)
+    }
+    assert(err.getMessage.contains("covers"))
+
+    // residual guard: cell-coupled codes refuse to recluster
+    val resDir = Files.createTempDirectory("pq_rec_res").toString
+    val resBooks = Pq.codebooks(
+      Pq.residuals(emb, centsA).select(col("vec_id"), col("embedding")),
+      M, SubDim, 8, iters = 1, seedOffset = C)
+    Pq.ensureEncodedPartitionedResidual(emb, centsA, resBooks, M, SubDim, resDir)
+    val err2 = intercept[IllegalArgumentException] {
+      Pq.reclusterEncodedPartitioned(spark, resDir, emb, centsB)
+    }
+    assert(err2.getMessage.contains("residual"))
+  }
+
   test("cellSkew / needsRecluster: max-over-mean trigger, empty cells count against balance") {
     val dir = Files.createTempDirectory("ivf_skew").toString
     Ivf.writePartitionedWith(emb, centsA, dir)
