@@ -790,11 +790,12 @@ object SparkEntry {
     */
   private def duckIvfPqTopK(m: Int, subDim: Int, c: Int, iters: Int,
                             coarseC: Int, k: Int, nprobe: Int,
-                            pred: Option[String] = None): String =
+                            pred: Option[String] = None,
+                            coarseOff: Int = 0): String =
     s"""WITH ${duckPqCtes(m, subDim, c, iters)},
         q AS (SELECT query_vec FROM $duckQueryVec),
         coarse AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-                   FROM embeddings WHERE vec_id < $coarseC),
+                   FROM embeddings WHERE vec_id >= $coarseOff AND vec_id < $coarseOff + $coarseC),
         probed AS (SELECT cid FROM coarse, q
                    ORDER BY list_distance(cv, q.query_vec), cid LIMIT $nprobe),
         assigned AS (SELECT e.vec_id, cid AS cell FROM embeddings e, coarse c
@@ -2369,6 +2370,22 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val pdir = pqDir(s, dir, "ivfpq_c16_m4sd16c16i1")
       Pq.ensureEncodedPartitioned(emb, Ivf.centroids(emb, 16),
+        Pq.codebooksCached(emb, 4, 16, 16, 1, dir), 4, 16, pdir)
+      Pq.ivfpqTopK(s, pdir, queryVecOf(emb, 0), 10, nprobe = 4)
+    }),
+    // RECLUSTER on the compressed tier: build 4/5 on the seed cells,
+    // insert 1/5, re-route every live code row onto the offset-100
+    // seed centroids and publish atomically. Plain-PQ codes are
+    // cell-independent, so the rewrite moves routing only — serving
+    // must equal a fresh encode-partitioned build over the union with
+    // the new centroids (the oracle replays exactly that).
+    "q_ivfpq_recluster_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pdir = pqDir(s, dir, "ivfpq_rec_c16_m4sd16c16i1")
+      Pq.ensureReclusteredEncodedPartitioned(
+        emb.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+        emb.filter(pmod(col("vec_id"), lit(5)) === 0),
+        Ivf.centroids(emb, 16), Ivf.centroidsFrom(emb, 16, 100),
         Pq.codebooksCached(emb, 4, 16, 16, 1, dir), 4, 16, pdir)
       Pq.ivfpqTopK(s, pdir, queryVecOf(emb, 0), 10, nprobe = 4)
     }),
@@ -4076,6 +4093,10 @@ object SparkEntry {
     "q_pq_topk" -> duckPqTopK(4, 16, 16, 1, 10),
     // coarse seed cells (c=16) prune, product codes (m=4, c=16) score
     "q_ivfpq_topk" -> duckIvfPqTopK(4, 16, 16, 1, 16, 10, 4),
+    // the compressed-tier recluster claim: build 4/5 -> insert 1/5 ->
+    // recluster onto the offset-100 seed window serves exactly like a
+    // fresh encode-partitioned build over the union
+    "q_ivfpq_recluster_topk" -> duckIvfPqTopK(4, 16, 16, 1, 16, 10, 4, coarseOff = 100),
     // residual chain: codebooks train on x − centroid(cell); scoring
     // joins each cell's codes with that cell's residual-query LUT
     "q_ivfpq_residual_topk" -> duckIvfPqResidualTopK(4, 16, 16, 1, 16, 10, 4),

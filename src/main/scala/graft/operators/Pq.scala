@@ -427,6 +427,39 @@ object Pq {
     IndexMeta.invalidate(spark, dir)
   }
 
+  /** The full insert-then-recluster lifecycle on the code layout,
+    * memoized once per dir — build on `base` with `buildCents`,
+    * [[insertInto]] `fresh`, then [[reclusterEncodedPartitioned]] onto
+    * `newCents` with the union as the assignment source (the declared
+    * `q_ivfpq_recluster_topk` state; `Ivf.ensureReclusteredPartitioned`
+    * on the compressed tier).
+    */
+  def ensureReclusteredEncodedPartitioned(base: DataFrame, fresh: DataFrame,
+                                          buildCents: DataFrame, newCents: DataFrame,
+                                          books: DataFrame, m: Int, subDim: Int,
+                                          dir: String): Unit = {
+    val spark = base.sparkSession
+    val fp = IndexMeta.cachedFingerprint(dir, s"ivfpqrec_m=$m,sd=$subDim",
+        Seq(base, fresh, buildCents, newCents, books)) {
+      val tail = s"cb=${IndexMeta.centroidFingerprint(buildCents)}" +
+        s";cn=${IndexMeta.centroidFingerprint(newCents)};b=${booksFingerprint(books)}"
+      s"${IndexMeta.fingerprint(base, s"ivfpqrec_m=$m,sd=$subDim;$tail;base")}|" +
+        IndexMeta.fingerprint(fresh, "fresh")
+    }
+    if (!IndexMeta.valid(spark, dir, "_SUCCESS", fp)) {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      codesArray(base, books, m, subDim)
+        .join(Ivf.assignWith(base, buildCents), Seq("vec_id"))
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      buildCents.write.mode("overwrite").parquet(s"$dir/_centroids")
+      books.write.mode("overwrite").parquet(s"$dir/_codebooks")
+      insertInto(spark, dir, fresh, m, subDim)
+      reclusterEncodedPartitioned(spark, dir, base.union(fresh), newCents)
+      IndexMeta.write(spark, dir, fp)
+    }
+  }
+
   /** Build-on-base + [[insertInto]]-the-rest for the code layout,
     * memoized — the declared-query form (`Ivf.ensureInsertedPartitioned`
     * on the compressed tier).
