@@ -95,10 +95,22 @@ object Ivf {
     * never shuffled.
     */
   def kmeans(embeddings: DataFrame, c: Int, iters: Int,
-             seedOffset: Int = 0): DataFrame = {
+             seedOffset: Int = 0): DataFrame =
+    kmeansWith(embeddings, centroidsFrom(embeddings, c, seedOffset), iters)
+
+  /** [[kmeans]] from an EXPLICIT seed table `(centroid_id,
+    * centroid_vec)` — the retrain entry point for maintenance flows
+    * where the contiguous-id seed window no longer represents the
+    * corpus (a drifted layout about to [[reclusterPartitioned]] wants
+    * seeds spread across base AND drift rows, e.g. an id stride).
+    * Deterministic given the seeds, same Lloyd arithmetic as
+    * [[kmeans]].
+    */
+  def kmeansWith(embeddings: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    var cents = centroidsFrom(embeddings, c, seedOffset)
+    var cents = seeds.select(col("centroid_id"),
+      transform(col("centroid_vec"), x => x.cast("double")).as("centroid_vec"))
     for (_ <- 0 until iters) {
       val means = embeddings
         .join(assignWith(embeddings, cents), Seq("vec_id"))

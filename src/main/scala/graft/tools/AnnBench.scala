@@ -799,10 +799,21 @@ object AnnBench {
     }
     val cents = Ivf.kmeansCached(base, c, 1, s"recsmoke_n$n")
     val (_, buildSec) = timed { Ivf.writePartitionedWith(base, cents, dir) }
+    val (skewBase, _) = timed { Ivf.cellSkew(spark, dir) }
     val (_, insertSec) = timed { Ivf.insertInto(spark, dir, drift) }
     val (skew0, diagSec) = timed { Ivf.cellSkew(spark, dir) }
-    val newCents = Ivf.kmeans(base.union(drift), c, 1)
+    // retrain on the union from REPRESENTATIVE seeds (id stride across
+    // base AND drift — the contiguous seed window lives entirely in the
+    // base region and Lloyd can't migrate centroids across the gap in
+    // few rounds), then rewrite
     val total = n + n / 5
+    val stride = math.max(1, total / c).toLong
+    val union = base.union(drift)
+    val seeds = union
+      .filter(pmod(col("vec_id"), lit(stride)) === 0 && col("vec_id") < lit(stride * c))
+      .select((col("vec_id") / stride).cast("long").as("centroid_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("centroid_vec"))
+    val newCents = Ivf.kmeansWith(union, seeds, 1)
     val (_, recSec) = timed { Ivf.reclusterPartitioned(spark, dir, newCents) }
     val (skew1, _) = timed { Ivf.cellSkew(spark, dir) }
     // serving sanity: the reclustered layout still partition-prunes
@@ -811,12 +822,14 @@ object AnnBench {
     val served = Ivf.topKPartitioned(spark, dir, q, 10, nprobe = 4)
     val pruned = served.queryExecution.executedPlan.toString.contains("PartitionFilters: [cell")
     val rows = served.count()
-    println(s"[annbench] reclusterscale n=$total skew ${fmt(skew0, 2)} -> ${fmt(skew1, 2)}, " +
+    println(s"[annbench] reclusterscale n=$total skew base ${fmt(skewBase, 2)} " +
+      s"-> drifted ${fmt(skew0, 2)} -> reclustered ${fmt(skew1, 2)}, " +
       s"diag ${fmt(diagSec, 1)} s, recluster ${fmt(recSec, 1)} s " +
       s"(${(total / recSec).toLong} rows/s), pruned=$pruned")
     val json =
       s"""{"recluster_scale":{"n_rows":$total,"c":$c,"build_sec":${fmt(buildSec, 1)},""" +
-        s""""insert_sec":${fmt(insertSec, 1)},"skew_before":${fmt(skew0, 2)},""" +
+        s""""insert_sec":${fmt(insertSec, 1)},"skew_base":${fmt(skewBase, 2)},""" +
+        s""""skew_drifted":${fmt(skew0, 2)},""" +
         s""""skew_after":${fmt(skew1, 2)},"cellskew_diag_sec":${fmt(diagSec, 1)},""" +
         s""""recluster_sec":${fmt(recSec, 1)},"recluster_rows_per_sec":${(total / recSec).toLong},""" +
         s""""serve_rows":$rows,"serve_partition_pruned":$pruned}}"""
