@@ -642,7 +642,10 @@ object Dedup {
     * computed once per token (not once per bit).
     */
   def simhashes(documents: DataFrame): DataFrame = {
-    val tok = documents
+    // token explode with an md5 each — pre-fan-out spread
+    // (Skew.spreadToCores; the bit-count aggregation is
+    // partition-invariant)
+    val tok = graft.functions.Skew.spreadToCores(documents)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), md5Int(col("tok")).as("h"))
     val bitSums = (0 until simhashBits).map(j =>
@@ -710,8 +713,11 @@ object Dedup {
       if (maxEd == 1) s"array_union(array(k), ${d1("k")})"
       else s"array_distinct(concat(array(k), ${d1("k")}, " +
         s"flatten(transform(${d1("k")}, v -> ${d1("v")}))))"
-    val keyed = documents.select(col("doc_id"),
-      substring(col("text"), 1, keyLen).as("k"))
+    // the depth-2 neighborhood fans each key out 1+L+L(L−1) ≈ 241×
+    // with per-variant string builds — pre-fan-out spread
+    // (Skew.spreadToCores) before the explode
+    val keyed = graft.functions.Skew.spreadToCores(
+      documents.select(col("doc_id"), substring(col("text"), 1, keyLen).as("k")))
     val variants = keyed.select(col("doc_id"), col("k"),
       explode(expr(variantsExpr)).as("v"))
     val l = variants.select(col("v"), col("doc_id").as("id1"), col("k").as("k1"))
