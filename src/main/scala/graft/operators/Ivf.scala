@@ -552,6 +552,41 @@ object Ivf {
     IndexMeta.invalidate(spark, dir)
   }
 
+  /** Payload-agnostic recluster body shared by the ENCODED layouts
+    * whose per-row payload is cell-independent (plain PQ codes, SQ8
+    * codes): live rows keep their payload byte-for-byte, assignment is
+    * re-derived from `source` (the raw vector table — codes carry no
+    * geometry), and the re-partitioned tree publishes atomically with
+    * the generation-scoped centroid sidecar (the
+    * [[reclusterPartitioned]] protocol). Guards live in the per-layout
+    * wrappers (`Pq.reclusterEncodedPartitioned`,
+    * `Sq.reclusterEncodedPartitioned`) — the coverage check here
+    * protects every caller from an inner join silently dropping index
+    * rows whose id is missing from `source`.
+    */
+  private[operators] def reclusterPayloadPartitioned(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      source: DataFrame, newCents: DataFrame): Unit = {
+    val live = withoutExcluded(readLayout(spark, dir).drop("cell"),
+      Tombstones.ids(spark, dir))
+    val moved = live.join(assignWith(source, newCents), Seq("vec_id"))
+    val nLive = live.count()
+    val nMoved = moved.count()
+    require(nMoved == nLive,
+      s"source vector table covers $nMoved of $nLive live rows at $dir — " +
+        "recluster would drop the difference; pass the table the layout was encoded from")
+    val (v, _) = CellSnapshot.mappingOrBase(spark, dir, "", "cell")
+    val g = v + 1
+    val out = CellSnapshot.genRoot(dir, "", g)
+    moved.write.mode("overwrite").partitionBy("cell").parquet(out)
+    newCents.write.mode("overwrite").parquet(s"$dir/_centroids_g$g")
+    val parts = CellSnapshot.listParts(spark, out, "cell")
+    CellSnapshot.publish(spark, dir, g, parts.map(_ -> g).toMap)
+    newCents.write.mode("overwrite").parquet(s"$dir/_centroids")
+    Tombstones.clear(spark, dir)
+    IndexMeta.invalidate(spark, dir)
+  }
+
   /** The full insert-then-recluster lifecycle, memoized once per dir —
     * build on `base` with `buildCents`, [[insertInto]] `fresh`, then
     * [[reclusterPartitioned]] onto `newCents` (the declared

@@ -406,25 +406,7 @@ object Pq {
     require(kind != "pq_residual",
       s"$dir holds residual codes — cell-coupled, rebuild through " +
         "ensureEncodedPartitionedResidual instead of reclustering")
-    val live = Ivf.withoutExcluded(
-      Ivf.readLayout(spark, dir).drop("cell"), Tombstones.ids(spark, dir))
-    val assigned = Ivf.assignWith(embeddings, newCents)
-    val moved = live.join(assigned, Seq("vec_id"))
-    val nLive = live.count()
-    val nMoved = moved.count()
-    require(nMoved == nLive,
-      s"source vector table covers $nMoved of $nLive live code rows at $dir — " +
-        "recluster would drop the difference; pass the table the layout was encoded from")
-    val (v, _) = CellSnapshot.mappingOrBase(spark, dir, "", "cell")
-    val g = v + 1
-    val out = CellSnapshot.genRoot(dir, "", g)
-    moved.write.mode("overwrite").partitionBy("cell").parquet(out)
-    newCents.write.mode("overwrite").parquet(s"$dir/_centroids_g$g")
-    val parts = CellSnapshot.listParts(spark, out, "cell")
-    CellSnapshot.publish(spark, dir, g, parts.map(_ -> g).toMap)
-    newCents.write.mode("overwrite").parquet(s"$dir/_centroids")
-    Tombstones.clear(spark, dir)
-    IndexMeta.invalidate(spark, dir)
+    Ivf.reclusterPayloadPartitioned(spark, dir, embeddings, newCents)
   }
 
   /** The full insert-then-recluster lifecycle on the code layout,

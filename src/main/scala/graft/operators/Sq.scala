@@ -214,7 +214,7 @@ object Sq {
                 excluded: Option[DataFrame] = None,
                 exactSums: Boolean = true): DataFrame = {
     val stored = Ivf.readLayout(spark, dir)
-    val cents = spark.read.parquet(s"$dir/_centroids")
+    val cents = Ivf.centroidsOf(spark, dir)
     val (lo, hi) = readBounds(spark, dir)
     val books = affineBooks(lo, hi)
     val d = lo.length
@@ -305,12 +305,30 @@ object Sq {
   def insertInto(spark: SparkSession, dir: String, rows: DataFrame): Unit = {
     require(Ivf.layoutKind(spark, dir) == "ivfsq8",
       s"$dir is not an IVF-SQ8 layout")
-    val cents = spark.read.parquet(s"$dir/_centroids")
+    val cents = Ivf.centroidsOf(spark, dir)
     val (lo, hi) = readBounds(spark, dir)
     CellSnapshot.appendAssigned(spark, dir,
       rows.select(col("vec_id"), encodeCol(col("embedding"), lo, hi).as("codes"))
         .join(Ivf.assignWith(rows, cents), Seq("vec_id")))
     IndexMeta.invalidate(spark, dir)
+  }
+
+  /** RECLUSTER the IVF-SQ8 layout onto new coarse centroids — the SQ8
+    * instance of the encoded-layout recluster
+    * (`Pq.reclusterEncodedPartitioned` is the PQ one, both over
+    * `Ivf.reclusterPayloadPartitioned`): SQ8 codes quantize against the
+    * GLOBAL `_bounds`, so they are cell-independent and the rewrite
+    * moves routing only — codes byte-identical, serving equality with a
+    * fresh [[ensureEncodedPartitioned]] build over the live rows is
+    * exact. `embeddings` supplies the assignment geometry (must cover
+    * every live id — checked in the shared body); tombstones folded;
+    * publish is atomic with the generation-scoped centroid sidecar.
+    */
+  def reclusterEncodedPartitioned(spark: SparkSession, dir: String,
+                                  embeddings: DataFrame, newCents: DataFrame): Unit = {
+    require(Ivf.layoutKind(spark, dir) == "ivfsq8",
+      s"$dir is not an IVF-SQ8 layout")
+    Ivf.reclusterPayloadPartitioned(spark, dir, embeddings, newCents)
   }
 
   /** Dequantized reconstruction `(vec_id, recon)` — the affine decode

@@ -166,6 +166,32 @@ class IvfReclusterSpec extends AnyFunSuite {
     assert(err2.getMessage.contains("residual"))
   }
 
+  test("SQ8 code-layout recluster: routing-only rewrite == fresh encode build; kind guard") {
+    import graft.operators.Sq
+    val (lo, hi) = Sq.bounds(emb)
+    val dir = Files.createTempDirectory("sq_rec").toString
+    Sq.ensureEncodedPartitioned(emb, centsA, lo, hi, dir)
+    Sq.reclusterEncodedPartitioned(spark, dir, emb, centsB)
+
+    val freshDir = Files.createTempDirectory("sq_rec_fresh").toString
+    Sq.ensureEncodedPartitioned(emb, centsB, lo, hi, freshDir)
+
+    def serve(d: String, np: Int) =
+      Sq.ivfsqTopK(spark, d, oneQuery, 10, np)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    for (np <- Seq(1, 2, C))
+      assert(serve(dir, np) == serve(freshDir, np),
+        s"reclustered SQ8 layout must serve like a fresh centsB encode at nprobe=$np")
+
+    // a plain vector layout refuses the SQ entry point
+    val vdir = Files.createTempDirectory("sq_rec_guard").toString
+    Ivf.writePartitionedWith(emb, centsA, vdir)
+    val err = intercept[IllegalArgumentException] {
+      Sq.reclusterEncodedPartitioned(spark, vdir, emb, centsB)
+    }
+    assert(err.getMessage.contains("IVF-SQ8"))
+  }
+
   test("cellSkew / needsRecluster: max-over-mean trigger, empty cells count against balance") {
     val dir = Files.createTempDirectory("ivf_skew").toString
     Ivf.writePartitionedWith(emb, centsA, dir)
