@@ -573,12 +573,18 @@ object Dedup {
     * latest-generation fold pays Σ appended rows forever, the same
     * reason the index layouts have `compactGeneration`/
     * `compactPartitioned`). Run on the maintenance cadence, not per
-    * batch. The fold result is staged to a sibling table first and
-    * swapped in via a metadata-only rename-shaped overwrite
-    * (`saveAsTable(Overwrite)` on the bucketed layout), preserving the
-    * bucket spec so post-compaction serve folds stay exchange-free.
-    * Serving before/after is identical — that equality is the spec's
-    * claim.
+    * batch. The current labeling is materialized (local checkpoint)
+    * BEFORE the table is overwritten — the rewrite never reads through
+    * the table it replaces — and the overwrite preserves the bucket
+    * spec, so post-compaction serve folds stay exchange-free. Serving
+    * before/after is identical — that equality is the spec's claim.
+    * NOTE: `saveAsTable(Overwrite)` is not atomic for CONCURRENT
+    * readers (a reader between drop and re-create errors); run on the
+    * maintenance cadence in the ingestion session, the same exclusion
+    * the absorb writer already requires. (The index layouts get true
+    * reader atomicity from their manifest flips; a bucketed TABLE has
+    * no manifest seam, and the serve-fold's exchange-free property is
+    * worth more here than lock-free compaction.)
     */
   def compactClusterStore(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
     val current = clusterStoreLabels(spark, table)
@@ -881,7 +887,10 @@ object Dedup {
     * as 8-byte gram hashes.
     */
   private def spanWindows(documents: DataFrame, n: Int): DataFrame =
-    documents
+    // ~words-per-doc explode with an 8-byte hash per gram — pre-fan-out
+    // spread (Skew.spreadToCores; every consumer aggregates on g or
+    // doc_id afterwards, so results are partition-invariant)
+    graft.functions.Skew.spreadToCores(documents)
       .select(col("doc_id"), posexplode(shingles(tokens(col("text")), n)).as(Seq("p0", "gram")))
       .select(col("doc_id"),
         when(col("p0") + 1 < spanPosCap, col("p0") + 1)

@@ -403,8 +403,18 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"span detection must never pair windows with windows:\n$p")
     // gram-hash count (partial -> final) + ONE doc_id exchange shared by
     // the lag window, the span-id running sum, and the span aggregation
-    assert(countOf(p, "Exchange") - countOf(p, "BroadcastExchange") <= 2,
+    // — pinned as the HASH exchanges; the pre-fan-out spread
+    // (Skew.spreadToCores, round-robin over narrow doc rows) appears
+    // once per spanWindows consumer (the counts agg and the window
+    // join). Two narrow doc-row shuffles, not one — the measured win
+    // (3.4 -> 1.2 s: the gram-hash explode stops running single-task)
+    // dwarfs them; if the duplication ever matters, checkpoint the
+    // spread output instead of widening this bound.
+    assert(countOf(p, "Exchange hashpartitioning") <= 2,
       s"expected the gram-count shuffle + one shared doc_id shuffle:\n$p")
+    assert(countOf(p, "Exchange") - countOf(p, "BroadcastExchange")
+      - countOf(p, "Exchange hashpartitioning") <= 2,
+      s"non-hash exchanges must be the spread's round-robin only:\n$p")
   }
 
   test("q_span_dedup: stats count+min in ONE aggregate pass, no cartesian rebuild") {
