@@ -192,6 +192,66 @@ class IvfReclusterSpec extends AnyFunSuite {
     assert(err.getMessage.contains("IVF-SQ8"))
   }
 
+  test("maintenance state machine: random insert/delete/compact/recluster interleavings serve the live set exactly") {
+    import graft.operators.Tombstones
+    // deterministic random op sequences; invariant after EVERY op: a
+    // full-probe topK over the layout == brute-force kNN over the live
+    // rows (whatever mix of appends, tombstones, compactions, and
+    // recluster rewrites produced the on-disk state)
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val dir = Files.createTempDirectory(s"ivf_life$seed").toString
+      var nextId = 120L
+      var live = (0L until 120L).toSet
+      Ivf.writePartitionedWith(emb.filter(col("vec_id") < 120), centsA, dir)
+      var deleted = Set.empty[Long]
+
+      def check(step: String): Unit = {
+        val got = Ivf.topKPartitionedWithDeletes(spark, dir, oneQuery, 10, nprobe = C)
+          .collect().map(_.getLong(0)).toSeq
+        val want = emb.filter(col("vec_id").isin((live -- deleted).toSeq: _*))
+          .crossJoin(broadcast(oneQuery))
+          .select(col("vec_id"),
+            round(l2Distance(col("embedding"), col("query_vec")), 6).as("d"))
+          .orderBy(col("d"), col("vec_id")).limit(10)
+          .collect().map(_.getLong(0)).toSeq
+        assert(got == want, s"seed=$seed after $step: $got != $want")
+      }
+
+      for (_ <- 1 to 6) {
+        rnd.nextInt(4) match {
+          case 0 if nextId < 240 => // insert a fresh batch
+            val hi = math.min(240L, nextId + 30)
+            Ivf.insertInto(spark, dir,
+              emb.filter(col("vec_id") >= nextId && col("vec_id") < hi))
+            live ++= (nextId until hi); nextId = hi
+            check(s"insert->$hi")
+          case 1 => // tombstone a random slice of the live set
+            val doomed = (live -- deleted).filter(_ => rnd.nextBoolean()).take(15)
+            if (doomed.nonEmpty) {
+              Tombstones.record(spark, dir,
+                spark.createDataFrame(spark.sparkContext.parallelize(
+                    doomed.toSeq.map(org.apache.spark.sql.Row(_))),
+                  org.apache.spark.sql.types.StructType(Seq(
+                    org.apache.spark.sql.types.StructField("vec_id",
+                      org.apache.spark.sql.types.LongType)))))
+              deleted ++= doomed
+              check(s"delete ${doomed.size}")
+            }
+          case 2 => // fold tombstones into the files
+            Ivf.compactPartitioned(spark, dir)
+            live --= deleted; deleted = Set.empty
+            check("compact")
+          case _ => // full rewrite onto the other centroid set
+            Ivf.reclusterPartitioned(spark, dir,
+              if (rnd.nextBoolean()) centsB else centsA)
+            live --= deleted; deleted = Set.empty
+            check("recluster")
+        }
+      }
+    }
+  }
+
   test("cellSkew / needsRecluster: max-over-mean trigger, empty cells count against balance") {
     val dir = Files.createTempDirectory("ivf_skew").toString
     Ivf.writePartitionedWith(emb, centsA, dir)
