@@ -186,8 +186,14 @@ object CorpusPipeline {
       // and the diagnostic costs one prefix execution, not two. Kept
       // in lockstep with [[curatedDocs]]'s body (that equality is
       // spec-pinned against the declared counts).
-      val kept2 = Dedup.checkpointed(exactSurvivors(kept1))
-      val (n3, b3) = block(kept2.count())
+      // the checkpoint is EAGER — construct it inside the block so the
+      // exact stage's shuffle (the md5 window) is attributed to it,
+      // not to the gap between blocks
+      var kept2: DataFrame = null
+      val (n3, b3) = block {
+        kept2 = Dedup.checkpointed(exactSurvivors(kept1))
+        kept2.count()
+      }
       val (n4, b4) = block {
         val pairs = Dedup.jaccardPairsExact(kept2, jaccardThreshold, maxDf)
         val reps = Dedup.nearDupClusters(kept2, pairs)
