@@ -569,12 +569,19 @@ object Ivf {
       source: DataFrame, newCents: DataFrame): Unit = {
     val live = withoutExcluded(readLayout(spark, dir).drop("cell"),
       Tombstones.ids(spark, dir))
-    val moved = live.join(assignWith(source, newCents), Seq("vec_id"))
-    val nLive = live.count()
-    val nMoved = moved.count()
-    require(nMoved == nLive,
-      s"source vector table covers $nMoved of $nLive live rows at $dir — " +
-        "recluster would drop the difference; pass the table the layout was encoded from")
+    // coverage guard folded INTO the rewrite pass (a left join whose
+    // null cells raise): an inner join would silently DROP live rows
+    // missing from `source`, and a separate count-compare pre-flight
+    // would cost a second full assignment pass — at the layout sizes
+    // recluster exists for, the single-pass form is the honest one
+    val moved = live.join(assignWith(source, newCents), Seq("vec_id"), "left")
+      .withColumn("cell",
+        when(col("cell").isNotNull, col("cell")).otherwise(
+          raise_error(concat(lit("recluster: live row "),
+            col("vec_id").cast("string"),
+            lit(" is missing from the source vector table — it covers only part " +
+              "of the layout; pass the table the layout was encoded from")))
+            .cast("long")))
     val (v, _) = CellSnapshot.mappingOrBase(spark, dir, "", "cell")
     val g = v + 1
     val out = CellSnapshot.genRoot(dir, "", g)

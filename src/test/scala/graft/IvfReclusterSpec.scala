@@ -147,12 +147,18 @@ class IvfReclusterSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
     assert(codesOf(dir) == codesOf(freshDir))
 
-    // coverage guard: a source table missing live ids must fail, not drop
+    // coverage guard: a source table missing live ids must fail (the
+    // rewrite's left join raises on the first uncovered row — a single
+    // pass, not a pre-flight count), never silently drop
     val partial = emb.filter(col("vec_id") < 100)
-    val err = intercept[IllegalArgumentException] {
+    val err = intercept[Exception] {
       Pq.reclusterEncodedPartitioned(spark, dir, partial, centsA)
     }
-    assert(err.getMessage.contains("covers"))
+    def rootChain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(rootChain(err).exists(_.contains("missing from the source")),
+      s"expected the coverage raise, got: ${rootChain(err).mkString(" | ")}")
 
     // residual guard: cell-coupled codes refuse to recluster
     val resDir = Files.createTempDirectory("pq_rec_res").toString
@@ -164,6 +170,29 @@ class IvfReclusterSpec extends AnyFunSuite {
       Pq.reclusterEncodedPartitioned(spark, resDir, emb, centsB)
     }
     assert(err2.getMessage.contains("residual"))
+  }
+
+  test("cosine-layout recluster: stored-space centroids, == fresh cosine build") {
+    // the layout stores NORMALIZED doubles; newCents must live in that
+    // space (the documented contract) — seed them from the normalized
+    // table at offset 100, exactly like a fresh cosine build would
+    val normed = Ivf.normalized(emb)
+    val dir = Files.createTempDirectory("cos_rec").toString
+    Ivf.ensurePartitionedCosine(emb, C, dir)
+    Ivf.reclusterPartitioned(spark, dir, Ivf.centroidsFrom(normed, C, 100))
+
+    val freshDir = Files.createTempDirectory("cos_rec_fresh").toString
+    Ivf.ensurePartitionedWith(normed, Ivf.centroidsFrom(normed, C, 100), freshDir,
+      tag = "cosrecfresh", kind = "cosine")
+
+    def serve(d: String, np: Int) =
+      Ivf.cosineTopKPartitioned(spark, d, oneQuery, 10, np)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    for (np <- Seq(1, 2, C))
+      assert(serve(dir, np) == serve(freshDir, np),
+        s"reclustered cosine layout must serve like a fresh build at nprobe=$np")
+    // the kind marker survives the rewrite (insertIntoCosine still works)
+    assert(Ivf.layoutKind(spark, dir) == "cosine")
   }
 
   test("SQ8 code-layout recluster: routing-only rewrite == fresh encode build; kind guard") {
