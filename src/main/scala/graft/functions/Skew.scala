@@ -81,7 +81,21 @@ object Skew {
     * sums, hashes, per-row projections).
     */
   def spreadToCores(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // Width probe WITHOUT materializing an RDD (df.rdd would force a
+    // plan→RDD conversion per call and read a pre-AQE count anyway):
+    // estimate the scan's partition count from the optimizer's size
+    // statistics against the file-split size — the same arithmetic the
+    // file source uses to split. Unknown stats (sizeInBytes at the
+    // conf's defaultSizeInBytes ceiling) read as "already wide": the
+    // cluster-scale default where adding a shuffle is the only way to
+    // be wrong.
+    val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estParts = size / maxPart + 1
+    if (size >= BigInt(spark.sessionState.conf.defaultSizeInBytes) ||
+        estParts >= target) df
+    else df.repartition(target)
   }
 }

@@ -112,9 +112,10 @@ object CorpusPipeline {
     *  - narrow stages (lang, quality, PII) legitimately report ~0
     *    shuffle — they fuse into the scan at run time; their measured
     *    bytes are just the count aggregation's partial-agg exchange;
-    *  - the near-dup block re-runs the exact-dedup join as its prefix
-    *    (stage blocks are measured independently), so the exact stage's
-    *    measured bytes are subtracted from it, clamped at 0.
+    *  - the exact-dedup survivors are eagerly checkpointed INSIDE the
+    *    exact stage's measurement block, and the near-dup block reads
+    *    that checkpoint — so each block's measured bytes are its own
+    *    (no prefix re-run, no cross-stage subtraction needed).
     *
     * This is a DIAGNOSTIC pass: it re-executes stage prefixes (narrow
     * prefixes re-scan but add no shuffle) and runs one counting job per

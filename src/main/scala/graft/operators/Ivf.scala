@@ -330,8 +330,7 @@ object Ivf {
                       queries: DataFrame, k: Int, nprobe: Int,
                       roundTo: Int = 6, predicate: Option[Column] = None,
                       excluded: Option[DataFrame] = None): DataFrame = {
-    val stored = readLayout(spark, dir)
-    val cents = centroidsOf(spark, dir)
+    val (stored, cents) = readLayoutWithCentroids(spark, dir)
     // collect() here moves exactly `nprobe` cell IDS (a handful of
     // longs) to the driver — required to form the partition filter
     // below; the vector data itself never leaves the executors
@@ -441,24 +440,63 @@ object Ivf {
   }
 
   /** The layout's SERVING centroids, resolved consistently with the
-    * data snapshot: prefer the generation-scoped sidecar
-    * (`_centroids_g{v}`, written by [[reclusterPartitioned]] for the
-    * manifest version it publishes), falling back to the build-time
-    * flat `_centroids`. This is what makes a recluster atomic
-    * end-to-end — a reader that resolves manifest version v always
-    * probes with v's centroids, never a mix of new cells and old
-    * routing (or vice versa). Before the first recluster the
-    * generation sidecar doesn't exist and this is exactly the flat
-    * read (zero overhead beyond one existence check).
+    * data snapshot: the NEWEST generation-scoped sidecar
+    * (`_centroids_g{v'}`, written by [[reclusterPartitioned]] for the
+    * manifest version it publishes) with `v' <=` the current manifest
+    * version, falling back to the build-time flat `_centroids`. The
+    * "newest at-or-below" rule is what makes the whole lifecycle
+    * atomic: a recluster at version g writes `_centroids_g{g}` and
+    * LATER maintenance that bumps the version without moving cells
+    * ([[insertInto]] appends, [[compactPartitioned]]) keeps resolving
+    * g's centroids — never the pre-recluster flat file — while a
+    * reader still pinned before g resolves the flat build-time
+    * centroids it was built with. Published centroid files are
+    * immutable (nothing ever rewrites `_centroids` in place), so
+    * every version's routing is torn-proof by construction. Before the
+    * first recluster no generation sidecar exists and this is exactly
+    * the flat read (zero overhead beyond one directory listing).
     */
-  def centroidsOf(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val scoped = CellSnapshot.version(spark, dir).map(v => s"$dir/_centroids_g$v")
-      .filter { s =>
-        val p = new org.apache.hadoop.fs.Path(s)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-      }
-    spark.read.parquet(scoped.getOrElse(s"$dir/_centroids"))
+  def centroidsOf(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    CellSnapshot.version(spark, dir) match {
+      case Some(v) => centroidsAt(spark, dir, v)
+      case None    => spark.read.parquet(s"$dir/_centroids")
+    }
+
+  /** The centroids that pair with [[readLayoutAt]] `version` — the
+    * newest `_centroids_g{v'}` with `v' <= version`, else the flat
+    * build-time `_centroids` (see [[centroidsOf]] for why
+    * at-or-below). Pin both halves of a time-travel read with this.
+    */
+  def centroidsAt(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  version: Int): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens =
+      if (!fs.exists(root)) Array.empty[Int]
+      else fs.listStatus(root).map(_.getPath.getName)
+        .collect { case n if n.startsWith("_centroids_g") =>
+          n.stripPrefix("_centroids_g") }
+        .flatMap(s => scala.util.Try(s.toInt).toOption)
+        .filter(_ <= version)
+    if (gens.isEmpty) spark.read.parquet(s"$dir/_centroids")
+    else spark.read.parquet(s"$dir/_centroids_g${gens.max}")
   }
+
+  /** Both halves of the serving state — live rows AND routing
+    * centroids — resolved against ONE manifest version. Every serving
+    * path that needs both must use this (not separate [[readLayout]] +
+    * [[centroidsOf]] calls): the two reads each re-list `_manifests`,
+    * so a recluster publishing between them would hand one query new
+    * centroids over the old cell scan (or vice versa). Resolving the
+    * version once pins data and routing to the same snapshot.
+    */
+  def readLayoutWithCentroids(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): (DataFrame, DataFrame) =
+    CellSnapshot.version(spark, dir) match {
+      case Some(v) => (readLayoutAt(spark, dir, v), centroidsAt(spark, dir, v))
+      case None    => (CellSnapshot.read(spark, dir, "", "cell"),
+                       spark.read.parquet(s"$dir/_centroids"))
+    }
 
   /** Per-cell occupancy of the serving layout: `(cell, n_rows)` over
     * LIVE rows — the balance diagnostic that decides when to
@@ -543,10 +581,10 @@ object Ivf {
     newCents.write.mode("overwrite").parquet(s"$dir/_centroids_g$g")
     val parts = CellSnapshot.listParts(spark, out, "cell")
     CellSnapshot.publish(spark, dir, g, parts.map(_ -> g).toMap)
-    // converge the flat sidecar too (readers outside the snapshot-aware
-    // serving paths, e.g. ad-hoc inspection) — once the publish is
-    // done, both views agree
-    newCents.write.mode("overwrite").parquet(s"$dir/_centroids")
+    // the flat `_centroids` is NOT rewritten: published centroid files
+    // are immutable, and [[centroidsOf]]'s newest-at-or-below rule
+    // routes every version at or past g to `_centroids_g{g}` while
+    // readers pinned before g keep the build-time flat file
     Tombstones.clear(spark, dir)
     dropRadii(spark, dir)
     IndexMeta.invalidate(spark, dir)
@@ -574,7 +612,13 @@ object Ivf {
     // missing from `source`, and a separate count-compare pre-flight
     // would cost a second full assignment pass — at the layout sizes
     // recluster exists for, the single-pass form is the honest one
-    val moved = live.join(assignWith(source, newCents), Seq("vec_id"), "left")
+    // duplicate vec_ids in the caller-supplied source would fan live
+    // rows out through the left join, duplicating index rows in the
+    // published generation — collapse the assignment to one row per id
+    // (the assignment relation is narrow: (vec_id, cell) only)
+    val moved = live.join(
+        assignWith(source, newCents).dropDuplicates("vec_id"),
+        Seq("vec_id"), "left")
       .withColumn("cell",
         when(col("cell").isNotNull, col("cell")).otherwise(
           raise_error(concat(lit("recluster: live row "),
@@ -589,7 +633,7 @@ object Ivf {
     newCents.write.mode("overwrite").parquet(s"$dir/_centroids_g$g")
     val parts = CellSnapshot.listParts(spark, out, "cell")
     CellSnapshot.publish(spark, dir, g, parts.map(_ -> g).toMap)
-    newCents.write.mode("overwrite").parquet(s"$dir/_centroids")
+    // flat `_centroids` stays immutable — see [[reclusterPartitioned]]
     Tombstones.clear(spark, dir)
     IndexMeta.invalidate(spark, dir)
   }
@@ -684,8 +728,7 @@ object Ivf {
                   excluded: Option[DataFrame] = None,
                   ordered: Boolean = true): DataFrame = {
     ensureRadii(spark, dir)
-    val stored = readLayout(spark, dir)
-    val cents = centroidsOf(spark, dir)
+    val (stored, cents) = readLayoutWithCentroids(spark, dir)
     val radii = spark.read.parquet(s"$dir/_radii")
     // ≤ C eligible cell ids to the driver — the partition filter, same
     // contract as topKPartitioned's nprobe collect
@@ -728,8 +771,7 @@ object Ivf {
                        ordered: Boolean = true,
                        excluded: Option[DataFrame] = None): DataFrame = {
     ensureRadii(spark, dir)
-    val stored = readLayout(spark, dir)
-    val cents = centroidsOf(spark, dir)
+    val (stored, cents) = readLayoutWithCentroids(spark, dir)
     val radii = spark.read.parquet(s"$dir/_radii")
     val probePairs = cents.join(radii, col("centroid_id") === col("cell"))
       .drop("cell")
@@ -776,8 +818,7 @@ object Ivf {
     ensureRadii(spark, dir)
     val qn = normalizedQuery(queries)
     val r = math.sqrt(2.0 * (1.0 - minSim) + math.pow(10.0, -roundTo))
-    val stored = readLayout(spark, dir)
-    val cents = centroidsOf(spark, dir)
+    val (stored, cents) = readLayoutWithCentroids(spark, dir)
     val radii = spark.read.parquet(s"$dir/_radii")
     val eligible = cents.join(radii, col("centroid_id") === col("cell"))
       .crossJoin(broadcast(qn))
@@ -810,8 +851,7 @@ object Ivf {
     val qn = queries.select(col("query_id"),
       transform(col("query_vec"), x => x / l2Norm(col("query_vec"))).as("query_vec"))
     val r = math.sqrt(2.0 * (1.0 - minSim) + math.pow(10.0, -roundTo))
-    val stored = readLayout(spark, dir)
-    val cents = centroidsOf(spark, dir)
+    val (stored, cents) = readLayoutWithCentroids(spark, dir)
     val radii = spark.read.parquet(s"$dir/_radii")
     val probePairs = cents.join(radii, col("centroid_id") === col("cell"))
       .drop("cell")
@@ -869,8 +909,7 @@ object Ivf {
                       excluded: Option[DataFrame] = None): DataFrame = {
     ensureRadii(spark, dir)
     val qa = augmentedQuery(queries)
-    val stored = readLayout(spark, dir)
-    val cents = centroidsOf(spark, dir)
+    val (stored, cents) = readLayoutWithCentroids(spark, dir)
     val radii = spark.read.parquet(s"$dir/_radii")
     val lb = l2Distance(col("centroid_vec"), col("query_vec")) - col("radius")
     val rsq = dotProduct(col("query_vec"), col("query_vec")) + col("normsq") -
@@ -904,8 +943,7 @@ object Ivf {
     val qa = queries.select(col("query_id"),
       concat(transform(col("query_vec"), x => x.cast("double")), array(lit(0.0)))
         .as("query_vec"))
-    val stored = readLayout(spark, dir)
-    val cents = centroidsOf(spark, dir)
+    val (stored, cents) = readLayoutWithCentroids(spark, dir)
     val radii = spark.read.parquet(s"$dir/_radii")
     val lb = l2Distance(col("centroid_vec"), col("query_vec")) - col("radius")
     val rsq = dotProduct(col("query_vec"), col("query_vec")) + col("normsq") -
@@ -1180,7 +1218,8 @@ object Ivf {
                                 queries: DataFrame, k: Int, nprobe: Int,
                                 roundTo: Int = 6): DataFrame = {
     import spark.implicits._
-    val probePairs = batchProbePairs(spark, dir, queries, nprobe)
+    val (stored, cents) = readLayoutWithCentroids(spark, dir) // one-version pin
+    val probePairs = batchProbePairsWith(cents, queries, nprobe)
     val unionCells = probePairs.select("cell").distinct().collect().map(_.getLong(0))
     // per-cell query lists: the same Q·nprobe payload the declarative
     // path ships through its BroadcastExchange (a broadcast IS a
@@ -1191,7 +1230,7 @@ object Ivf {
         .as[(Long, Long, Array[Double])].collect()
         .groupBy(_._1).map { case (c, arr) => c -> arr.map(t => (t._2, t._3)) }
     val bc = spark.sparkContext.broadcast(qByCell)
-    val pruned = readLayout(spark, dir)
+    val pruned = stored
       .filter(col("cell").isin(unionCells.toIndexedSeq: _*)) // partition-pruned
       .select(col("cell"), col("vec_id"), col("embedding"))
     val perTask = pruned.as[(Long, Long, Array[Float])].mapPartitions { rows =>
@@ -1253,7 +1292,8 @@ object Ivf {
                                   (score: (Array[Double], Array[Double]) => Double)
       : DataFrame = {
     import spark.implicits._
-    val probePairs = batchProbePairs(spark, dir, qPrepared, nprobe)
+    val (stored, cents) = readLayoutWithCentroids(spark, dir) // one-version pin
+    val probePairs = batchProbePairsWith(cents, qPrepared, nprobe)
     val unionCells = probePairs.select("cell").distinct().collect().map(_.getLong(0))
     val qByCell: Map[Long, Array[(Long, Array[Double])]] =
       probePairs.join(qPrepared, Seq("query_id"))
@@ -1261,7 +1301,7 @@ object Ivf {
         .as[(Long, Long, Array[Double])].collect()
         .groupBy(_._1).map { case (c, arr) => c -> arr.map(t => (t._2, t._3)) }
     val bc = spark.sparkContext.broadcast(qByCell)
-    val perTask = readLayout(spark, dir)
+    val perTask = stored
       .filter(col("cell").isin(unionCells.toIndexedSeq: _*)) // partition-pruned
       .select(col("cell"), col("vec_id"), col("embedding"))
       .as[(Long, Long, Array[Double])].mapPartitions { rows =>
@@ -1342,11 +1382,26 @@ object Ivf {
   private[operators] def batchPrunedCandidates(spark: org.apache.spark.sql.SparkSession,
                                                dir: String, queries: DataFrame,
                                                nprobe: Int): (DataFrame, DataFrame) = {
-    val stored = readLayout(spark, dir)
-    val probePairs = batchProbePairs(spark, dir, queries, nprobe)
+    // data and routing pinned to ONE manifest version (see
+    // readLayoutWithCentroids) — probes formed from v's centroids prune
+    // v's cell scan, never a cross-version mix
+    val (probes, pruned, _) = batchPrunedCandidatesWithCents(spark, dir, queries, nprobe)
+    (probes, pruned)
+  }
+
+  /** [[batchPrunedCandidates]] that ALSO returns the centroid table the
+    * probes were formed from — for serving paths that need the
+    * centroids again (e.g. residual LUT construction), pinned to the
+    * same manifest version as the scan.
+    */
+  private[operators] def batchPrunedCandidatesWithCents(
+      spark: org.apache.spark.sql.SparkSession, dir: String, queries: DataFrame,
+      nprobe: Int): (DataFrame, DataFrame, DataFrame) = {
+    val (stored, cents) = readLayoutWithCentroids(spark, dir)
+    val probePairs = batchProbePairsWith(cents, queries, nprobe)
     val unionCells = probePairs.select("cell").distinct().collect().map(_.getLong(0))
     (broadcast(probePairs),
-      stored.filter(col("cell").isin(unionCells.toIndexedSeq: _*))) // partition-pruned
+      stored.filter(col("cell").isin(unionCells.toIndexedSeq: _*)), cents)
   }
 
   /** The per-query probe-pair relation `(query_id, cell)`: each query's
@@ -1355,8 +1410,15 @@ object Ivf {
     */
   private[operators] def batchProbePairs(spark: org.apache.spark.sql.SparkSession,
                                          dir: String, queries: DataFrame,
-                                         nprobe: Int): DataFrame = {
-    val cents = centroidsOf(spark, dir)
+                                         nprobe: Int): DataFrame =
+    batchProbePairsWith(centroidsOf(spark, dir), queries, nprobe)
+
+  /** [[batchProbePairs]] against an EXPLICIT centroid table — the form
+    * serving paths use so one snapshot resolution covers probes and
+    * scan ([[readLayoutWithCentroids]]).
+    */
+  private[operators] def batchProbePairsWith(cents: DataFrame, queries: DataFrame,
+                                             nprobe: Int): DataFrame = {
     val byQc = Window.partitionBy("query_id").orderBy(col("qdist"), col("centroid_id"))
     cents.crossJoin(broadcast(queries))
       .select(col("query_id"), col("centroid_id"),
@@ -1422,8 +1484,7 @@ object Ivf {
   def cosineTopKPartitioned(spark: org.apache.spark.sql.SparkSession, dir: String,
                             queries: DataFrame, k: Int, nprobe: Int,
                             roundTo: Int = 6): DataFrame = {
-    val stored = readLayout(spark, dir)
-    val cents = centroidsOf(spark, dir)
+    val (stored, cents) = readLayoutWithCentroids(spark, dir)
     val qn = normalizedQuery(queries)
     val probed = cents.crossJoin(broadcast(qn))
       .select(col("centroid_id"),
@@ -1518,8 +1579,7 @@ object Ivf {
   def mipsTopKPartitioned(spark: org.apache.spark.sql.SparkSession, dir: String,
                           queries: DataFrame, k: Int, nprobe: Int,
                           roundTo: Int = 6): DataFrame = {
-    val stored = readLayout(spark, dir)
-    val cents = centroidsOf(spark, dir)
+    val (stored, cents) = readLayoutWithCentroids(spark, dir)
     val qa = augmentedQuery(queries)
     val probed = cents.crossJoin(broadcast(qa))
       .select(col("centroid_id"),

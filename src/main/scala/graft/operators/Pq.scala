@@ -298,8 +298,8 @@ object Pq {
   def ivfpqTopK(spark: SparkSession, dir: String, queries: DataFrame, k: Int, nprobe: Int,
                 roundTo: Int = 6, predicate: Option[Column] = None,
                 excluded: Option[DataFrame] = None): DataFrame = {
-    val stored = Ivf.readLayout(spark, dir) // snapshot-resolved cell scan
-    val cents = Ivf.centroidsOf(spark, dir)
+    // data + routing pinned to one manifest version (Ivf contract)
+    val (stored, cents) = Ivf.readLayoutWithCentroids(spark, dir)
     // nprobe cell ids to the driver — partition-filter formation, as in
     // Ivf.topKPartitioned
     val probed = cents.crossJoin(broadcast(queries))
@@ -769,8 +769,7 @@ object Pq {
                         k: Int, nprobe: Int, roundTo: Int = 6,
                         predicate: Option[Column] = None,
                         excluded: Option[DataFrame] = None): DataFrame = {
-    val stored = Ivf.readLayout(spark, dir)
-    val cents = Ivf.centroidsOf(spark, dir)
+    val (stored, cents) = Ivf.readLayoutWithCentroids(spark, dir) // one-version pin
     val books = collectBooks(spark.read.parquet(s"$dir/_codebooks"))
     val m = books.size
     val c = books(0).length
@@ -804,8 +803,8 @@ object Pq {
     val books = collectBooks(spark.read.parquet(s"$dir/_codebooks"))
     val m = books.size
     val c = books(0).length
-    val cents = Ivf.centroidsOf(spark, dir)
-    val (probes, pruned) = Ivf.batchPrunedCandidates(spark, dir, queries, nprobe)
+    val (probes, pruned, cents) =
+      Ivf.batchPrunedCandidatesWithCents(spark, dir, queries, nprobe)
     // LUTs only for the probed (query, cell) pairs: probes ⋈ queries ⋈
     // centroids (on cell), all broadcast-small
     val luts = probes

@@ -638,12 +638,14 @@ object Retrieval {
         "query token a unique tok_id")
     require(tokIds.nonEmpty && tokIds.length <= 64,
       s"maxsimTopKPruned supports 1..64 query tokens (got ${tokIds.length})")
-    // per-token probes ride the batch machinery (tok_id plays query_id)
-    val probes = Ivf.batchProbePairs(spark, dir,
+    // data + routing pinned to one manifest version, per-token probes
+    // ride the batch machinery (tok_id plays query_id)
+    val (stored, cents) = Ivf.readLayoutWithCentroids(spark, dir)
+    val probes = Ivf.batchProbePairsWith(cents,
       queryTokens.select(col("tok_id").as("query_id"), col("query_vec")), nprobe)
       .select(col("query_id").as("tok_id"), col("cell"))
     val unionCells = probes.select("cell").distinct().collect().map(_.getLong(0))
-    val pruned = Ivf.readLayout(spark, dir) // snapshot-resolved cell scan
+    val pruned = stored
       .filter(col("cell").isin(unionCells.toIndexedSeq: _*)) // partition-pruned
     val maxCols = tokIds.map(t =>
       max(when(col("tok_id") === t, col("dot"))).as(s"m_$t"))
@@ -701,7 +703,9 @@ object Retrieval {
     // per-(query, token) probes: tok rows rank the C centroids
     // executor-side, exactly the Ivf.batchProbePairs geometry keyed by
     // the composite (query_id, tok_id)
-    val cents = spark.read.parquet(s"$dir/_centroids")
+    // data and routing pinned to ONE manifest version — a reclustered
+    // token-embedding layout must never probe with stale/torn routing
+    val (stored, cents) = Ivf.readLayoutWithCentroids(spark, dir)
     val byTok = Window.partitionBy("query_id", "tok_id")
       .orderBy(col("qdist"), col("centroid_id"))
     val probes = cents.crossJoin(broadcast(queryTokens))
@@ -711,7 +715,7 @@ object Retrieval {
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("tok_id"), col("centroid_id").as("cell"))
     val unionCells = probes.select("cell").distinct().collect().map(_.getLong(0))
-    val pruned = Ivf.readLayout(spark, dir)
+    val pruned = stored
       .filter(col("cell").isin(unionCells.toIndexedSeq: _*)) // partition-pruned
     // takedowns drop above the pruned scan (shared `_deletes` contract)
     val best = Ivf.withoutExcluded(pruned, excluded)

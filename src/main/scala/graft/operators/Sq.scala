@@ -213,8 +213,7 @@ object Sq {
                 nprobe: Int, roundTo: Int = 6, predicate: Option[Column] = None,
                 excluded: Option[DataFrame] = None,
                 exactSums: Boolean = true): DataFrame = {
-    val stored = Ivf.readLayout(spark, dir)
-    val cents = Ivf.centroidsOf(spark, dir)
+    val (stored, cents) = Ivf.readLayoutWithCentroids(spark, dir) // one-version pin
     val (lo, hi) = readBounds(spark, dir)
     val books = affineBooks(lo, hi)
     val d = lo.length

@@ -67,23 +67,41 @@ class IvfReclusterSpec extends AnyFunSuite {
     assert(CellSnapshot.version(spark, dir) == v0, "memoized ensure must not republish")
   }
 
-  test("centroidsOf resolves the generation-scoped sidecar after recluster; flat sidecar converges") {
+  test("centroid files are immutable: scoped sidecar serves, flat stays build-time, later versions inherit") {
     val dir = Files.createTempDirectory("ivf_rec_c").toString
     Ivf.writePartitionedWith(emb, centsA, dir)
     assert(Ivf.centroidsOf(spark, dir).agg(max("centroid_id")).head.getLong(0) == C - 1)
+    def cset(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("centroid_id").collect().toSeq
+    val flatBefore = cset(spark.read.parquet(s"$dir/_centroids"))
 
     Ivf.reclusterPartitioned(spark, dir, centsB)
     val g = CellSnapshot.version(spark, dir)
     assert(g.nonEmpty, "recluster must publish a snapshot generation")
     // generation-scoped sidecar exists and is what centroidsOf serves
-    val scoped = spark.read.parquet(s"$dir/_centroids_g${g.get}")
-      .orderBy("centroid_id").collect().toSeq
-    assert(Ivf.centroidsOf(spark, dir).orderBy("centroid_id").collect().toSeq == scoped)
-    // the flat sidecar converged to the same table
-    assert(spark.read.parquet(s"$dir/_centroids")
-      .orderBy("centroid_id").collect().toSeq == scoped)
-    // and it really is centsB, not centsA
-    assert(scoped == centsB.orderBy("centroid_id").collect().toSeq)
+    val scoped = cset(spark.read.parquet(s"$dir/_centroids_g${g.get}"))
+    assert(cset(Ivf.centroidsOf(spark, dir)) == scoped)
+    assert(scoped == cset(centsB))
+    // published centroid files are IMMUTABLE: the flat build-time
+    // sidecar is untouched, so a reader still pinned before the
+    // recluster resolves the routing it was built with
+    assert(cset(spark.read.parquet(s"$dir/_centroids")) == flatBefore)
+    assert(cset(Ivf.centroidsAt(spark, dir, g.get - 1)) == cset(centsA),
+      "pre-recluster version must resolve build-time centroids")
+
+    // a LATER version bump that moves no cells (tombstone compaction)
+    // must keep serving the recluster's centroids — the newest-at-or-
+    // below rule, covering the crash-between-publish-and-converge
+    // window the in-place flat rewrite used to leave open
+    Tombstones.record(spark, dir, emb.filter(col("vec_id") < 5).select("vec_id"))
+    Ivf.compactPartitioned(spark, dir)
+    val g2 = CellSnapshot.version(spark, dir)
+    assert(g2.exists(_ > g.get), "compaction must bump the version")
+    assert(cset(Ivf.centroidsOf(spark, dir)) == scoped,
+      "post-recluster maintenance versions must inherit the reclustered routing")
+    // and the one-resolve serving pair agrees with itself
+    val (_, cents) = Ivf.readLayoutWithCentroids(spark, dir)
+    assert(cset(cents) == scoped)
   }
 
   test("recluster folds tombstones in and clears them") {
