@@ -197,9 +197,9 @@ object SparkEntry {
       Tables.embeddings(s, sfDir).write.mode("overwrite").parquet(dataPath)
       metric match {
         case "cosine" => graft.plans.IndexCatalog.buildAndRegisterCosine(
-          s, dataPath, c = 8, iters = 2, nprobe = 8, rdir)
+          s, dataPath, c = 8, iters = 2, nprobe = 8, rdir, partitioned = true)
         case "mips" => graft.plans.IndexCatalog.buildAndRegisterMips(
-          s, dataPath, c = 8, iters = 2, nprobe = 8, rdir)
+          s, dataPath, c = 8, iters = 2, nprobe = 8, rdir, partitioned = true)
         case _ => graft.plans.IndexCatalog.buildAndRegister(s, dataPath, c = 8,
           iters = 2, nprobe = 8, rdir, partitioned = true)
       }
@@ -2248,6 +2248,39 @@ object SparkEntry {
         .orderBy(col("ip").desc, col("vec_id"))
         .limit(10)
     }),
+    // the NAIVE cosine similarity-FLOOR ("everything at least this
+    // similar" — the radius query embedding users actually write) over
+    // the registered cosine index: the rule recognizes the pushed
+    // Filter(round(dot/(‖a‖‖b‖), 6) >= s, Join) shape, reduces the
+    // floor to an L2 ball around the normalized query, and prunes cells
+    // by the `_radii` triangle bound — LOSSLESS, so the full-scan
+    // oracle applies at any nprobe
+    "q_cosine_range_rewrite" -> ((s, dir) => {
+      val dataPath = ensureRewriteSandbox(s, dir, metric = "cosine")
+      val emb = s.read.parquet(dataPath)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(perturbQuery(col("embedding")).as("query_vec"))
+      emb.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(cosineSimilarity(col("embedding"), col("query_vec")), 6).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.35)
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+    }),
+    // the NAIVE dot-product floor over the registered MIPS index: the
+    // bare cross-dot Filter shape, pruned by the augmented-space
+    // per-cell bound (‖q̂−c‖−rad)² ≤ ‖q̂‖² + maxnormsq − 2t — lossless,
+    // full-scan oracle
+    "q_mips_range_rewrite" -> ((s, dir) => {
+      val dataPath = ensureRewriteSandbox(s, dir, metric = "mips")
+      val emb = s.read.parquet(dataPath)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(perturbQuery(col("embedding")).as("query_vec"))
+      emb.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(dotProduct(col("embedding"), col("query_vec")), 6).as("ip"))
+        .filter(col("ip") >= 0.3)
+        .orderBy(col("ip").desc, col("vec_id"))
+    }),
 
     // Cosine ANN over the partitioned index: the normalize-then-L2
     // reduction (cos = 1 − ‖û−v̂‖²/2 on unit vectors) lets the same
@@ -3533,6 +3566,25 @@ object SparkEntry {
       s"""SELECT vec_id, round(list_inner_product(embedding::DOUBLE[], q.query_vec), 6) AS ip
           FROM embeddings, $duckQueryVec q
           ORDER BY ip DESC, vec_id LIMIT 10""",
+    // the similarity-floor rewrites prune losslessly (normalized-space
+    // ball / augmented-space dot bound over _radii) with the original
+    // predicate preserved — plain full-scan floor oracles apply
+    "q_cosine_range_rewrite" ->
+      s"""SELECT vec_id, round(
+              list_inner_product(embedding::DOUBLE[], q.query_vec)
+              / (sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                 * sqrt(list_inner_product(q.query_vec, q.query_vec))), 6) AS cos_sim
+          FROM embeddings, $duckQueryVec q
+          WHERE round(
+              list_inner_product(embedding::DOUBLE[], q.query_vec)
+              / (sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                 * sqrt(list_inner_product(q.query_vec, q.query_vec))), 6) >= 0.35
+          ORDER BY cos_sim DESC, vec_id""",
+    "q_mips_range_rewrite" ->
+      s"""SELECT vec_id, round(list_inner_product(embedding::DOUBLE[], q.query_vec), 6) AS ip
+          FROM embeddings, $duckQueryVec q
+          WHERE round(list_inner_product(embedding::DOUBLE[], q.query_vec), 6) >= 0.3
+          ORDER BY ip DESC, vec_id""",
     "q_knn_batch" ->
       """WITH q AS (SELECT vec_id AS query_id,
                 [CAST(embedding[1] AS DOUBLE)+1.0, CAST(embedding[2] AS DOUBLE)-1.0]

@@ -166,15 +166,33 @@ object IndexCatalog {
     * cosine score expression untouched, so nprobe = C is bit-exact.
     */
   def buildAndRegisterCosine(spark: SparkSession, dataPath: String,
-                             c: Int, iters: Int, nprobe: Int, indexDir: String): Unit = {
+                             c: Int, iters: Int, nprobe: Int, indexDir: String): Unit =
+    buildAndRegisterCosine(spark, dataPath, c, iters, nprobe, indexDir,
+      partitioned = false)
+
+  /** [[buildAndRegisterCosine]] with `partitioned = true` ALSO writes a
+    * cell-partitioned copy of the NORMALIZED table. The copy never
+    * serves the rewritten plan directly (it holds unit doubles, not
+    * the raw vectors the preserved score expression reads) — it exists
+    * so the similarity-floor range rewrite can build/read the `_radii`
+    * sidecar its lossless cell bound needs.
+    */
+  def buildAndRegisterCosine(spark: SparkSession, dataPath: String,
+                             c: Int, iters: Int, nprobe: Int, indexDir: String,
+                             partitioned: Boolean): Unit = {
     import spark.implicits._
     val normed = Ivf.normalized(spark.read.parquet(dataPath))
     val cents = Ivf.kmeans(normed, c, iters)
     val assignPath = s"$indexDir/assign"
     Ivf.assignWith(normed, cents).write.mode("overwrite").parquet(assignPath)
-    writeCatalogMeta(spark, indexDir, dataPath, cents, nprobe, None, "cosine")
+    val partPath = if (partitioned) {
+      val pp = s"$indexDir/cells"
+      Ivf.writePartitionedWith(normed, cents, pp, kind = "cosine")
+      Some(pp)
+    } else None
+    writeCatalogMeta(spark, indexDir, dataPath, cents, nprobe, partPath, "cosine")
     register(dataPath, assignPath,
-      cents.as[(Long, Seq[Double])].collect().toSeq, nprobe, None, kind = "cosine")
+      cents.as[(Long, Seq[Double])].collect().toSeq, nprobe, partPath, kind = "cosine")
   }
 
   /** Build and register a MIPS index: centroids/assignments over the
@@ -184,14 +202,31 @@ object IndexCatalog {
     * is preserved, nprobe = C is bit-exact.
     */
   def buildAndRegisterMips(spark: SparkSession, dataPath: String,
-                           c: Int, iters: Int, nprobe: Int, indexDir: String): Unit = {
+                           c: Int, iters: Int, nprobe: Int, indexDir: String): Unit =
+    buildAndRegisterMips(spark, dataPath, c, iters, nprobe, indexDir,
+      partitioned = false)
+
+  /** [[buildAndRegisterMips]] with `partitioned = true` ALSO writes a
+    * cell-partitioned copy of the AUGMENTED table — like the cosine
+    * variant, solely so the dot-floor range rewrite can build/read the
+    * `_radii` sidecar (per-cell covering radius + max squared norm) its
+    * lossless bound needs.
+    */
+  def buildAndRegisterMips(spark: SparkSession, dataPath: String,
+                           c: Int, iters: Int, nprobe: Int, indexDir: String,
+                           partitioned: Boolean): Unit = {
     import spark.implicits._
     val aug = Ivf.augmented(spark.read.parquet(dataPath))
     val cents = Ivf.kmeans(aug, c, iters)
     val assignPath = s"$indexDir/assign"
     Ivf.assignWith(aug, cents).write.mode("overwrite").parquet(assignPath)
-    writeCatalogMeta(spark, indexDir, dataPath, cents, nprobe, None, "mips")
+    val partPath = if (partitioned) {
+      val pp = s"$indexDir/cells"
+      Ivf.writePartitionedWith(aug, cents, pp, kind = "mips")
+      Some(pp)
+    } else None
+    writeCatalogMeta(spark, indexDir, dataPath, cents, nprobe, partPath, "mips")
     register(dataPath, assignPath,
-      cents.as[(Long, Seq[Double])].collect().toSeq, nprobe, None, kind = "mips")
+      cents.as[(Long, Seq[Double])].collect().toSeq, nprobe, partPath, kind = "mips")
   }
 }

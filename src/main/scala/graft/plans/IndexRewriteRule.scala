@@ -140,16 +140,30 @@ case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       // keeps evaluating over the pruned scan — restriction, not removal)
       case Join(left, right, Cross | Inner, _, _) =>
         for {
-          (l2sq, thresholdL2) <- splitConjunctivePredicates(cond).iterator.flatMap {
-            case LessThanOrEqual(e, Literal(v, _)) => rangeScore(e, numeric(v))
-            case LessThan(e, Literal(v, _)) => rangeScore(e, numeric(v))
-            case GreaterThanOrEqual(Literal(v, _), e) => rangeScore(e, numeric(v))
-            case GreaterThan(Literal(v, _), e) => rangeScore(e, numeric(v))
-            case _ => None
-          }.nextOption()
-          if l2sq.references.exists(left.outputSet.contains) &&
-            l2sq.references.exists(right.outputSet.contains)
-          (qAttr, idAttr, idx) <- indexedSides(l2sq, left, right, L2Metric)
+          (score, metric, bound) <- {
+            // distance-CAP spellings (radius search, L2): score <= r
+            val cap = splitConjunctivePredicates(cond).iterator.flatMap {
+              case LessThanOrEqual(e, Literal(v, _)) => rangeScore(e, numeric(v))
+              case LessThan(e, Literal(v, _)) => rangeScore(e, numeric(v))
+              case GreaterThanOrEqual(Literal(v, _), e) => rangeScore(e, numeric(v))
+              case GreaterThan(Literal(v, _), e) => rangeScore(e, numeric(v))
+              case _ => None
+            }.nextOption().map { case (l2sq, t) =>
+              (l2sq: Expression, L2Metric: Metric, BallBound(t): RangeBound) }
+            // similarity-FLOOR spellings (the embedding metrics):
+            // cos_sim >= s (cosine) / dot >= t (MIPS)
+            def floor = splitConjunctivePredicates(cond).iterator.flatMap {
+              case GreaterThanOrEqual(e, Literal(v, _)) => floorScore(e, numeric(v), join)
+              case GreaterThan(e, Literal(v, _)) => floorScore(e, numeric(v), join)
+              case LessThanOrEqual(Literal(v, _), e) => floorScore(e, numeric(v), join)
+              case LessThan(Literal(v, _), e) => floorScore(e, numeric(v), join)
+              case _ => None
+            }.nextOption()
+            cap.orElse(floor)
+          }
+          if score.references.exists(left.outputSet.contains) &&
+            score.references.exists(right.outputSet.contains)
+          (qAttr, idAttr, idx) <- indexedSides(score, left, right, metric)
           pp <- idx.partitionedPath
           if !right.exists(_.expressions.exists(!_.deterministic))
           // single query AND batch alike: unlike top-k, range pruning
@@ -161,13 +175,21 @@ case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
           // preserved original predicate evaluates in full)
           queries <- executeQuerySide(Project(Seq(qAttr), right), maxRows = 100000) match {
             case Some(rows) if rows.nonEmpty && rows.forall(!_.isNullAt(0)) =>
-              scala.util.Try(rows.map(r => vecOf(r.getArray(0), qAttr.dataType))).toOption
+              scala.util.Try(rows.map(r =>
+                transformQuery(vecOf(r.getArray(0), qAttr.dataType), metric))).toOption
             case _ => None
           }
-          cells <- eligibleCellsUnion(queries, thresholdL2, idx, pp)
-          r <- rewriteToPartitioned(join, left, qAttr, idx, pp, None, SingleCells(cells))
-            .orElse(Some(rewriteWithAssignJoin(join, left, idAttr, qAttr, idx,
-              None, SingleCells(cells))))
+          cells <- eligibleCellsUnion(queries, bound, idx, pp)
+          // the partitioned-copy swap serves the original score only
+          // when the copy holds raw vectors (L2); the cosine/MIPS
+          // copies store transformed vectors and exist for their
+          // `_radii` sidecar only — those take the assignment join
+          r <- (metric match {
+            case L2Metric =>
+              rewriteToPartitioned(join, left, qAttr, idx, pp, None, SingleCells(cells))
+            case _ => None
+          }).orElse(Some(rewriteWithAssignJoin(join, left, idAttr, qAttr, idx,
+            None, SingleCells(cells))))
         } yield r
       case _ => None
     }
@@ -201,28 +223,100 @@ case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
   }
 
-  /** The cells whose covering ball intersects ANY executed query's
-    * ball — the lossless triangle bound `‖q−c‖ − rad(cell) <=
-    * threshold`, unioned across the batch. Radii
+  /** The cell-pruning bound a range shape carries, evaluated in the
+    * INDEX geometry (queries already transformed by [[transformQuery]]).
+    */
+  private sealed trait RangeBound
+  /** L2 ball: cell eligible iff `‖q̂−c‖ − rad(cell) <= r`. Serves the
+    * L2 radius cap directly AND the cosine floor (on the normalized
+    * layout `cos >= s` is the ball of radius `√(2(1−s))` around the
+    * unit query — the [[graft.operators.Ivf.cosineRangeSearch]] math).
+    */
+  private case class BallBound(rL2: Double) extends RangeBound
+  /** MIPS dot floor: in the augmented space `d(q̂,x̂)² = ‖q̂‖² + ‖x̂‖² −
+    * 2·dot(q,x)`, so `dot >= t` confines members to a ball bounded per
+    * cell by its max squared norm — eligible iff `‖q̂−c‖ <= rad` or
+    * `(‖q̂−c‖ − rad)² <= ‖q̂‖² + maxnormsq(cell) − 2t` (the
+    * [[graft.operators.Ivf.mipsRangeSearch]] bound).
+    */
+  private case class DotBound(minDot: Double) extends RangeBound
+
+  /** Decompose a similarity-FLOOR predicate score into its metric and
+    * bound. Unlike the top-k shapes, range pruning claims LOSSLESSNESS,
+    * so the match is structurally EXACT — `round(expr, s)` around
+    * either form widens the bound by the rounding margin:
+    *  - cosine: `dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b)))` with the
+    *    cross dot over both join sides and one self-dot per side (the
+    *    engine's `cosineSimilarity` lowering) → the normalized-space
+    *    L2 ball of radius `√(2(1−s) + 2·margin)`;
+    *  - MIPS: a bare cross `dot(a,b)` → the augmented-space
+    *    [[DotBound]] with the margin folded into the floor.
+    * Anything else — arbitrary arithmetic AROUND a dot, a shifted
+    * score — declines: a floor on `f(dot)` is not a floor on `dot`.
+    */
+  private def floorScore(e: Expression, v: Option[Double], join: Join)
+      : Option[(Expression, Metric, RangeBound)] = v.flatMap { floor =>
+    val eps = 1e-9
+    val (inner, margin) = e match {
+      case Round(x, Literal(s: Int, _), _) => (x, math.pow(10.0, -s))
+      case x => (x, 0.0)
+    }
+    def cross(d: DotProductExpr): Boolean =
+      d.references.exists(join.left.outputSet.contains) &&
+        d.references.exists(join.right.outputSet.contains)
+    def selfDot(x: Expression, side: LogicalPlan): Boolean = x match {
+      case Sqrt(d: DotProductExpr) =>
+        d.left.semanticEquals(d.right) && d.references.nonEmpty &&
+          d.references.subsetOf(side.outputSet)
+      case _ => false
+    }
+    inner match {
+      case d: DotProductExpr if cross(d) =>
+        Some((d, MipsMetric, DotBound(floor - margin - eps)))
+      case Divide(d: DotProductExpr, Multiply(na, nb, _), _)
+          if cross(d) &&
+            ((selfDot(na, join.left) && selfDot(nb, join.right)) ||
+              (selfDot(na, join.right) && selfDot(nb, join.left))) =>
+        Some((d, CosMetric,
+          BallBound(math.sqrt(math.max(2.0 * (1.0 - floor) + 2.0 * margin, 0.0)) + eps)))
+      case _ => None
+    }
+  }
+
+  /** The cells whose covering ball can intersect ANY executed query's
+    * range — the lossless per-metric bound of [[RangeBound]], unioned
+    * across the batch. Radii (and per-cell max squared norms)
     * are read FRESH from the layout sidecar each rewrite (≤ C rows —
     * the bounded-sidecar contract; caching would risk serving a bound
     * from before a membership-changing maintenance op). A centroid with
-    * no radii row has no members — prunable outright. None (decline the
-    * rewrite, keep the naive plan) if the sidecar can't be built/read.
+    * no radii row has no members — prunable outright; a NaN radius
+    * (degenerate members, e.g. a zero-norm vector normalized) keeps
+    * the cell — pruning must only ever drop provably-empty cells. None
+    * (decline the rewrite, keep the naive plan) if the sidecar can't
+    * be built/read.
     */
-  private def eligibleCellsUnion(queries: Seq[Array[Double]], thresholdL2: Double,
+  private def eligibleCellsUnion(queries: Seq[Array[Double]], bound: RangeBound,
                                  idx: IndexCatalog.IvfIndex, pp: String): Option[Seq[Long]] =
     try {
       graft.operators.Ivf.ensureRadii(spark, pp)
       val radii = spark.read.parquet(s"$pp/_radii")
-        .select("cell", "radius").collect()
-        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        .select("cell", "radius", "normsq").collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
       Some(idx.centroids.collect { case (cid, v)
           if radii.contains(cid) && queries.exists { q =>
+            val (rad, maxNormSq) = radii(cid)
             var s = 0.0; var i = 0
             val n = math.min(q.length, v.length)
             while (i < n) { val d = q(i) - v(i); s += d * d; i += 1 }
-            math.sqrt(s) - radii(cid) <= thresholdL2
+            val dqc = math.sqrt(s)
+            rad.isNaN || (bound match {
+              case BallBound(r) => dqc - rad <= r
+              case DotBound(t) =>
+                var qq = 0.0; var j = 0
+                while (j < q.length) { qq += q(j) * q(j); j += 1 }
+                val lb = dqc - rad
+                lb <= 0.0 || lb * lb <= qq + maxNormSq - 2.0 * t
+            })
           } => cid })
     } catch { case scala.util.control.NonFatal(_) => None }
 

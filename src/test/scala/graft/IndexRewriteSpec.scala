@@ -599,6 +599,187 @@ class IndexRewriteSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Similarity-floor range shapes (cosine / MIPS)
+  // ------------------------------------------------------------------
+
+  /** Two ANGULAR blobs (cosine geometry): A hugs e1, B hugs e2, with
+    * random magnitudes (cosine ignores them) — a high similarity floor
+    * around an A-direction query provably excludes every B cell.
+    */
+  private lazy val angularPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("idxrw_cosr").toString
+    (0L until 200L).map { i =>
+      val rnd = new scala.util.Random(i)
+      val mag = 1f + rnd.nextFloat() * 99f
+      val v = Array.fill(8)(rnd.nextFloat() * 0.05f)
+      if (i < 100) v(0) += 1f else v(1) += 1f
+      (i, v.map(_ * mag))
+    }.toDF("vec_id", "embedding").write.parquet(s"$dir/emb.parquet")
+    s"$dir/emb.parquet"
+  }
+
+  private def naiveCosineFloor(path: String, minSim: Double): DataFrame = {
+    val emb = spark.read.parquet(path)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("query_vec"))
+    emb.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosineSimilarity(col("embedding"), col("query_vec")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= minSim)
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+  }
+
+  private def inListSize(planStr: String, marker: String): Int =
+    "(?:INSET|IN)\\s*\\(?([-0-9,\\s]+)\\)?".r
+      .findFirstMatchIn(planStr.linesIterator.find(_.contains(marker)).getOrElse(""))
+      .map(_.group(1).split(",").count(_.trim.nonEmpty)).getOrElse(-1)
+
+  test("cosine similarity-floor shape: normalized-ball pruning fires, skips far cells, stays exact") {
+    val cdir = java.nio.file.Files.createTempDirectory("idxrw_cosr_idx").toString
+    IndexCatalog.buildAndRegisterCosine(spark, angularPath, c = 4, iters = 2,
+      nprobe = 1, cdir, partitioned = true)
+    val exact = rows(naiveCosineFloor(angularPath, 0.9)) // rule not installed
+    assert(exact.nonEmpty && exact.forall(_._1 < 100),
+      "fixture: the floor admits blob A only")
+    withRule {
+      val df = naiveCosineFloor(angularPath, 0.9)
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("cell#"), s"no assignment join in:\n$opt")
+      val eligible = inListSize(opt, "cell#")
+      assert(eligible >= 1 && eligible < 4,
+        s"normalized-space ball should skip blob-B cells (eligible = $eligible of 4):\n$opt")
+      // lossless: exact at ANY nprobe (registered with nprobe = 1)
+      assert(rows(df) === exact, "pruned cosine floor must equal the full scan")
+    }
+    IndexCatalog.unregister(angularPath)
+  }
+
+  test("BATCH cosine floor: union pruning over executed query vectors stays exact") {
+    val cdir = java.nio.file.Files.createTempDirectory("idxrw_cosr_b").toString
+    IndexCatalog.buildAndRegisterCosine(spark, angularPath, c = 4, iters = 2,
+      nprobe = 1, cdir, partitioned = true)
+    def naiveBatch(ids: Seq[Long]): DataFrame = {
+      val emb = spark.read.parquet(angularPath)
+      val qs = emb.filter(col("vec_id").isin(ids: _*))
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      emb.crossJoin(broadcast(qs))
+        .select(col("query_id"), col("vec_id"),
+          round(cosineSimilarity(col("embedding"), col("query_vec")), 6).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.9)
+        .orderBy(col("query_id"), col("cos_sim").desc, col("vec_id"))
+    }
+    def rowsB(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exact = rowsB(naiveBatch(Seq(0L, 150L))) // one query per blob
+    withRule {
+      val df = naiveBatch(Seq(0L, 150L))
+      assert(df.queryExecution.optimizedPlan.toString.contains("cell#"),
+        "batch cosine floor should fire the assignment join")
+      assert(rowsB(df) === exact, "cross-blob union keeps every needed cell")
+    }
+    IndexCatalog.unregister(angularPath)
+  }
+
+  /** Norm-separated blobs (MIPS geometry): A is unit-ish noise, B is
+    * ~100× a fixed direction — a high dot floor from a B query
+    * provably excludes the A cells via the augmented-space bound.
+    */
+  private lazy val normPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("idxrw_mipsr").toString
+    (0L until 200L).map { i =>
+      val rnd = new scala.util.Random(i)
+      val v =
+        if (i < 100) Array.fill(8)(rnd.nextFloat() * 0.5f)
+        else {
+          val b = Array.fill(8)(rnd.nextFloat() * 2f)
+          b(0) += 100f; b
+        }
+      (i, v)
+    }.toDF("vec_id", "embedding").write.parquet(s"$dir/emb.parquet")
+    s"$dir/emb.parquet"
+  }
+
+  private def naiveDotFloor(path: String, minDot: Double): DataFrame = {
+    val emb = spark.read.parquet(path)
+    val q = emb.filter(col("vec_id") === 150)
+      .select(col("embedding").as("query_vec"))
+    emb.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dotProduct(col("embedding"), col("query_vec")), 6).as("ip"))
+      .filter(col("ip") >= minDot)
+      .orderBy(col("ip").desc, col("vec_id"))
+  }
+
+  test("MIPS dot-floor shape: augmented-space pruning fires, skips low-norm cells, stays exact") {
+    val mdir = java.nio.file.Files.createTempDirectory("idxrw_mipsr_idx").toString
+    IndexCatalog.buildAndRegisterMips(spark, normPath, c = 4, iters = 2,
+      nprobe = 1, mdir, partitioned = true)
+    val exact = rows(naiveDotFloor(normPath, 5000.0)) // rule not installed
+    assert(exact.nonEmpty && exact.forall(_._1 >= 100),
+      "fixture: the floor admits blob B only")
+    withRule {
+      val df = naiveDotFloor(normPath, 5000.0)
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("cell#"), s"no assignment join in:\n$opt")
+      val eligible = inListSize(opt, "cell#")
+      assert(eligible >= 1 && eligible < 4,
+        s"dot bound should skip low-norm cells (eligible = $eligible of 4):\n$opt")
+      assert(rows(df) === exact, "pruned dot floor must equal the full scan")
+    }
+    IndexCatalog.unregister(normPath)
+  }
+
+  test("floor must-not-fire: kind mismatch, below-floor direction, shifted score, non-literal") {
+    // L2 index registered: neither floor shape may prune with its cells
+    val ldir = java.nio.file.Files.createTempDirectory("idxrw_floor_mm").toString
+    IndexCatalog.buildAndRegister(spark, angularPath, c = 4, iters = 2,
+      nprobe = 4, ldir, partitioned = true)
+    withRule {
+      assert(!naiveCosineFloor(angularPath, 0.9).queryExecution.optimizedPlan
+        .toString.contains("cell#"), "cosine floor must not use L2 cells")
+    }
+    IndexCatalog.unregister(angularPath)
+    val cdir = java.nio.file.Files.createTempDirectory("idxrw_floor_neg").toString
+    IndexCatalog.buildAndRegisterCosine(spark, angularPath, c = 4, iters = 2,
+      nprobe = 4, cdir, partitioned = true)
+    val mdir2 = java.nio.file.Files.createTempDirectory("idxrw_floor_negm").toString
+    IndexCatalog.buildAndRegisterMips(spark, normPath, c = 4, iters = 2,
+      nprobe = 4, mdir2, partitioned = true)
+    withRule {
+      val emb = spark.read.parquet(angularPath)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("query_vec"))
+      // "everything BELOW the floor" — pruning would be wrong
+      val below = emb.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(cosineSimilarity(col("embedding"), col("query_vec")), 6).as("cos_sim"))
+        .filter(col("cos_sim") <= 0.9)
+      assert(!below.queryExecution.optimizedPlan.toString.contains("cell#"),
+        "below-floor predicate must not be rewritten")
+      // arbitrary arithmetic around the dot: a floor on dot+1 is not a
+      // floor on dot — exact-match contract
+      val embN = spark.read.parquet(normPath)
+      val qN = embN.filter(col("vec_id") === 150)
+        .select(col("embedding").as("query_vec"))
+      val shifted = embN.crossJoin(broadcast(qN))
+        .select(col("vec_id"),
+          (round(dotProduct(col("embedding"), col("query_vec")), 6) + lit(1.0)).as("ip"))
+        .filter(col("ip") >= 5000.0)
+      assert(!shifted.queryExecution.optimizedPlan.toString.contains("cell#"),
+        "shifted score must not be rewritten")
+      // non-literal floor: no plan-time bound exists
+      val nonLit = embN.crossJoin(broadcast(qN))
+        .select(col("vec_id"),
+          round(dotProduct(col("embedding"), col("query_vec")), 6).as("ip"))
+        .filter(col("ip") >= col("vec_id").cast("double"))
+      assert(!nonLit.queryExecution.optimizedPlan.toString.contains("cell#"),
+        "non-literal floor must not be rewritten")
+    }
+    IndexCatalog.unregister(angularPath)
+    IndexCatalog.unregister(normPath)
+  }
+
   test("descending sort (farthest-first) is NOT rewritten") {
     IndexCatalog.buildAndRegister(spark, dataPath, c = C, iters = 2,
       nprobe = 2, indexDir)

@@ -510,6 +510,14 @@ class PlanPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("cosine/MIPS similarity-floor range queries: lossless pruning fired (cell gate in plan)") {
+    for (name <- Seq("q_cosine_range_rewrite", "q_mips_range_rewrite")) {
+      val p = plan(name)
+      assert(p.contains("cell"),
+        s"$name: the similarity-floor rewrite must fire (no cell gate in the plan):\n$p")
+    }
+  }
+
   test("vector distance kernels stay inside whole-stage codegen") {
     // codegen spans only appear in the FINAL adaptive plan — execute
     // through the SAME QueryExecution (a sink write would clone it)
