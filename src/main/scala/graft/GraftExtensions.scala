@@ -59,6 +59,18 @@ object GraftExtensions {
         require(args.length == 1,
           s"luhn_check requires exactly 1 argument, got ${args.length}")
         graft.functions.LuhnCheckExpr(args(0))
+      }),
+    (FunctionIdentifier("html_text"), info("html_text"),
+      { args =>
+        require(args.length == 1,
+          s"html_text requires exactly 1 argument, got ${args.length}")
+        graft.functions.HtmlTextExpr(args(0))
+      }),
+    (FunctionIdentifier("link_density"), info("link_density"),
+      { args =>
+        require(args.length == 1,
+          s"link_density requires exactly 1 argument, got ${args.length}")
+        graft.functions.LinkDensityExpr(args(0))
       }))
 
   /** Lift a DataFrame builder over literal arguments into a TVF plan

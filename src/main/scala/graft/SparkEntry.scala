@@ -2886,6 +2886,30 @@ object SparkEntry {
     }),
 
     // ---- text analysis ----
+    // HTML extraction — the stage upstream of every curation operator:
+    // markup synthesized deterministically around each document (title/
+    // h1 structure, style+script to drop, a comment, an entity-laden
+    // paragraph, a two-anchor nav div), extracted by the single-pass
+    // HtmlKernels scan. The oracle computes the EXPECTED visible text
+    // and link density in closed form from (doc_id, text) — the
+    // injectPii pattern for markup
+    "q_html_extract" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><head><title>Doc "), id, lit("</title>"),
+        lit("<style>p { color: red }</style>"),
+        lit("<script>if (1 < 2) { alert('</p>'); }</script></head>"),
+        lit("<body><!-- nav boilerplate --><h1>Doc "), id, lit("</h1><p>"),
+        col("text"),
+        lit("</p><p>Tom &amp; Jerry &lt;3 &#65;&#x42;</p>"),
+        lit("<div><a href=\"/a\">nav one</a> <a href=\"/b\">nav two</a></div>"),
+        lit("</body></html>"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), html.as("html"))
+        .select(col("doc_id"),
+          TextAnalysis.htmlText(col("html")).as("text_out"),
+          round(TextAnalysis.linkDensity(col("html")), 6).as("link_density"))
+    }),
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "q_quality" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
     // per-source quality gate: thresholds = exact interpolated p75 per
@@ -3731,6 +3755,21 @@ object SparkEntry {
           WHERE round(1.0 - list_inner_product(d, d) / 2.0, 6) >= 0.15
           ORDER BY cos_sim DESC, vec_id""",
 
+    // expected extraction in CLOSED FORM (the markup is synthesized
+    // from (doc_id, text), so the oracle never parses HTML): lines =
+    // title, h1, text (already single-spaced/trimmed in the fixture),
+    // the decoded entity paragraph, the joined nav anchors; density =
+    // 12 anchor chars over the non-whitespace visible chars
+    "q_html_extract" ->
+      s"""SELECT doc_id,
+            'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+            'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+            text || chr(10) ||
+            'Tom & Jerry <3 AB' || chr(10) ||
+            'nav one nav two' AS text_out,
+            round(12.0 / (2 * (3 + length(CAST(doc_id AS VARCHAR)))
+              + length(replace(text, ' ', '')) + 25), 6) AS link_density
+          FROM documents""",
     "q_lang_id" -> {
       val scores = TextAnalysis.stopwords.map { case (l, ws) =>
         s"len(list_filter(t, w -> w IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS s_$l"

@@ -1,0 +1,265 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic, zero-dependency HTML/markup text extraction — the
+  * CCNet/trafilatura-shaped stage UPSTREAM of every text-curation
+  * operator in this engine: a web corpus starts at markup, the lang/
+  * quality/dedup pipeline starts at plain text. One single-forward-pass
+  * character scan per row (no regex backtracking, no recursion — every
+  * branch advances the cursor, so adversarial markup cannot hang it),
+  * shared by the interpreted and generated paths of [[HtmlTextExpr]] /
+  * [[LinkDensityExpr]].
+  *
+  * Extraction semantics (exact, so the declared query can oracle
+  * against closed-form expected text):
+  *  - `<!-- … -->` comments are dropped (unterminated → drop to end);
+  *  - `<![CDATA[ … ]]>` content is kept VERBATIM (markers stripped,
+  *    no entity decode inside — XML semantics);
+  *  - `<script>`/`<style>` elements are dropped INCLUDING content
+  *    (case-insensitive; unterminated → drop to end);
+  *  - block-level tags (p, div, br, li, table/tr/td, h1-h6, html/head/
+  *    body/title, section/article/nav/…) contribute a line break,
+  *    open and close alike; all other tags (a, span, b, em, …) are
+  *    stripped; a `<` not starting a tag is literal text;
+  *  - entities decode: the named five (&amp; &lt; &gt; &quot; &apos;)
+  *    plus &nbsp; (→ a plain space) and numeric &#NNN; / &#xHH;;
+  *    anything unrecognized stays literal;
+  *  - whitespace normalizes: source whitespace (incl. newlines —
+  *    HTML renders them as spaces) collapses to single spaces within a
+  *    line, lines trim, empty lines drop, lines join with `\n`.
+  *
+  * Link density — the classic boilerplate signal (nav bars and footer
+  * link farms are mostly anchor text) — is the fraction of visible
+  * NON-WHITESPACE characters that sit inside `<a>` elements, over the
+  * raw (pre-collapse) visible stream; 0.0 when nothing is visible.
+  */
+object HtmlKernels {
+
+  private val blockTags: java.util.Set[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("html", "head", "body", "title", "p", "div", "br", "hr", "li", "ul",
+      "ol", "table", "thead", "tbody", "tfoot", "tr", "td", "th", "caption",
+      "h1", "h2", "h3", "h4", "h5", "h6", "section", "article", "header",
+      "footer", "blockquote", "pre", "form", "nav", "aside", "main", "dl",
+      "dt", "dd", "figure", "figcaption").foreach(s.add)
+    s
+  }
+
+  /** The one-pass result: normalized text + the raw visible-character
+    * accounting the link-density signal needs.
+    */
+  final case class Extract(text: String, linkChars: Int, totalChars: Int)
+
+  def extract(s: UTF8String): Extract = extractStr(s.toString)
+
+  def visibleText(s: UTF8String): UTF8String =
+    UTF8String.fromString(extractStr(s.toString).text)
+
+  def linkDensity(s: UTF8String): Double = {
+    val e = extractStr(s.toString)
+    if (e.totalChars == 0) 0.0 else e.linkChars.toDouble / e.totalChars
+  }
+
+  private def extractStr(str: String): Extract = {
+    val n = str.length
+    val sb = new java.lang.StringBuilder(n)
+    var linkChars = 0
+    var totalChars = 0
+    var aDepth = 0
+    var i = 0
+
+    def emit(c: Char): Unit = {
+      if (Character.isWhitespace(c)) sb.append(' ')
+      else {
+        sb.append(c)
+        totalChars += 1
+        if (aDepth > 0) linkChars += 1
+      }
+    }
+
+    // case-insensitive search for the closing tag of a raw-text element
+    // (</script / </style); returns the index after its '>' or n
+    def skipRawElement(from: Int, name: String): Int = {
+      val target = "</" + name
+      var k = from
+      while (k >= 0 && k <= n - target.length) {
+        k = str.indexOf('<', k)
+        if (k < 0 || k > n - target.length) return n
+        if (str.regionMatches(true, k, target, 0, target.length)) {
+          val gt = str.indexOf('>', k)
+          return if (gt < 0) n else gt + 1
+        }
+        k += 1
+      }
+      n
+    }
+
+    while (i < n) {
+      val c = str.charAt(i)
+      if (c == '<') {
+        if (str.regionMatches(i, "<!--", 0, 4)) {
+          val e = str.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (str.regionMatches(i, "<![CDATA[", 0, 9)) {
+          val e = str.indexOf("]]>", i + 9)
+          val stop = if (e < 0) n else e
+          var k = i + 9
+          while (k < stop) { emit(str.charAt(k)); k += 1 }
+          i = if (e < 0) n else e + 3
+        } else if (i + 1 < n && {
+          val d = str.charAt(i + 1)
+          Character.isLetter(d) || d == '/' || d == '!' || d == '?'
+        }) {
+          // scan for the tag's '>' skipping quoted attribute values
+          var j = i + 1
+          var gt = -1
+          while (j < n && gt < 0) {
+            val t = str.charAt(j)
+            if (t == '>') gt = j
+            else if (t == '"' || t == '\'') {
+              val q = str.indexOf(t, j + 1)
+              j = if (q < 0) n else q + 1
+            } else j += 1
+          }
+          if (gt < 0) i = n // malformed tag: drop the unterminated tail
+          else {
+            val body = str.substring(i + 1, gt)
+            val closing = body.startsWith("/")
+            var k = if (closing) 1 else 0
+            val s0 = k
+            while (k < body.length && (Character.isLetterOrDigit(body.charAt(k))))
+              k += 1
+            val name = body.substring(s0, k).toLowerCase(java.util.Locale.ROOT)
+            if (!closing && (name == "script" || name == "style")) {
+              i = skipRawElement(gt + 1, name)
+            } else {
+              if (blockTags.contains(name)) sb.append('\n')
+              if (name == "a") {
+                if (closing) aDepth = math.max(0, aDepth - 1)
+                else if (!body.endsWith("/")) aDepth += 1
+              }
+              i = gt + 1
+            }
+          }
+        } else { emit('<'); i += 1 }
+      } else if (c == '&') {
+        val semi = str.indexOf(';', i + 1)
+        val decoded: String =
+          if (semi < 0 || semi - i > 11) null
+          else {
+            val ent = str.substring(i + 1, semi)
+            ent match {
+              case "amp" => "&"
+              case "lt" => "<"
+              case "gt" => ">"
+              case "quot" => "\""
+              case "apos" => "'"
+              case "nbsp" => " "
+              case _ if ent.length >= 2 && ent.charAt(0) == '#' =>
+                try {
+                  val cp =
+                    if (ent.charAt(1) == 'x' || ent.charAt(1) == 'X')
+                      Integer.parseInt(ent.substring(2), 16)
+                    else Integer.parseInt(ent.substring(1), 10)
+                  if (Character.isValidCodePoint(cp) && cp > 0)
+                    new String(Character.toChars(cp))
+                  else null
+                } catch { case _: NumberFormatException => null }
+              case _ => null
+            }
+          }
+        if (decoded == null) { emit('&'); i += 1 }
+        else {
+          var k = 0
+          while (k < decoded.length) { emit(decoded.charAt(k)); k += 1 }
+          i = semi + 1
+        }
+      } else { emit(c); i += 1 }
+    }
+
+    // line-structure normalization: collapse space runs, trim lines,
+    // drop empties, join with \n
+    val out = new java.lang.StringBuilder(sb.length)
+    val line = new java.lang.StringBuilder(80)
+    def flushLine(): Unit = {
+      // trim trailing space (leading handled by pendingSpace logic)
+      var e = line.length
+      while (e > 0 && line.charAt(e - 1) == ' ') e -= 1
+      if (e > 0) {
+        if (out.length > 0) out.append('\n')
+        out.append(line, 0, e)
+      }
+      line.setLength(0)
+    }
+    var p = 0
+    while (p < sb.length) {
+      val c = sb.charAt(p)
+      if (c == '\n') flushLine()
+      else if (c == ' ') {
+        if (line.length > 0 && line.charAt(line.length - 1) != ' ') line.append(' ')
+      } else line.append(c)
+      p += 1
+    }
+    flushLine()
+    Extract(out.toString, linkChars, totalChars)
+  }
+}
+
+/** `html_text(markup) → string`: the visible text of an HTML fragment
+  * per [[HtmlKernels]] — tag strip, script/style/comment removal,
+  * entity decode, block-level line structure, whitespace collapse. One
+  * static kernel call inside whole-stage codegen.
+  */
+case class HtmlTextExpr(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "html_text"
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${child.dataType.simpleString}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(s: Any): Any =
+    HtmlKernels.visibleText(s.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.HtmlKernels.visibleText($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlTextExpr =
+    copy(child = newChild)
+}
+
+/** `link_density(markup) → double`: fraction of visible non-whitespace
+  * characters inside `<a>` elements — the boilerplate gate signal
+  * (0.0 when the fragment has no visible text). Same kernel, same
+  * codegen shape as [[HtmlTextExpr]].
+  */
+case class LinkDensityExpr(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "link_density"
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${child.dataType.simpleString}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(s: Any): Any =
+    HtmlKernels.linkDensity(s.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.HtmlKernels.linkDensity($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): LinkDensityExpr =
+    copy(child = newChild)
+}

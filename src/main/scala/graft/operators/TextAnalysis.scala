@@ -14,6 +14,44 @@ import graft.functions.TextFunctions._
   */
 object TextAnalysis {
 
+  private def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(e)
+  private def exprOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.graft.ColumnBridge.expression(c)
+
+  /** Visible text of an HTML/markup column ([[graft.functions.HtmlKernels]]):
+    * tag strip, comment/script/style removal, entity decode, block-level
+    * line structure, whitespace collapse — one codegen kernel call per
+    * row, the extraction stage a web corpus runs BEFORE any of the
+    * text-curation operators here (lang ID, quality, dedup all assume
+    * plain text).
+    */
+  def htmlText(markup: Column): Column =
+    column(graft.functions.HtmlTextExpr(exprOf(markup)))
+
+  /** Anchor-text fraction of the visible characters — the classic
+    * link-density boilerplate signal (0.0 when nothing is visible).
+    */
+  def linkDensity(markup: Column): Column =
+    column(graft.functions.LinkDensityExpr(exprOf(markup)))
+
+  /** The HTML extraction STAGE: replace `markupCol` with its extracted
+    * text and flag boilerplate-dominated rows (`link_density >
+    * maxLinkDensity` — nav/footer link farms). Shuffle-free (one
+    * codegen projection over the scan); composes directly upstream of
+    * [[CorpusPipeline.curate]]'s lang filter:
+    * `curate(extractHtml(raw).filter(!col("boilerplate")).select(id, text, …), …)`.
+    */
+  def extractHtml(documents: DataFrame, markupCol: String = "html",
+                  maxLinkDensity: Double = 0.5): DataFrame = {
+    val m = col(markupCol)
+    val out = documents
+      .withColumn("link_density", round(linkDensity(m), 6))
+      .withColumn("boilerplate", linkDensity(m) > maxLinkDensity)
+      .withColumn(markupCol, htmlText(m))
+    if (markupCol == "text") out else out.withColumnRenamed(markupCol, "text")
+  }
+
   /** Stopword lists per language for the n-gram/stopword heuristic
     * language identifier. Order matters: it is the deterministic
     * tie-break (first language with the max score wins).

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.HtmlKernels
+import graft.operators.TextAnalysis
+
+/** HTML/markup text extraction ([[graft.functions.HtmlKernels]]): the
+  * deterministic zero-dep stage upstream of the whole text-curation
+  * surface. The kernel is a single forward pass — the adversarial
+  * corpus here (unclosed tags, nested tables, CDATA, attribute `>`,
+  * entity edge cases) must extract exactly and must not hang.
+  */
+class HtmlExtractSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def ext(s: String): String =
+    HtmlKernels.visibleText(UTF8String.fromString(s)).toString
+  private def dens(s: String): Double =
+    HtmlKernels.linkDensity(UTF8String.fromString(s))
+
+  test("basic structure: tags strip, blocks break lines, whitespace collapses") {
+    assert(ext("<html><head><title>T</title></head><body><p>a  b</p><p>c</p></body></html>")
+      === "T\na b\nc")
+    assert(ext("<div>one<br>two</div>") === "one\ntwo")
+    assert(ext("<span>in</span>line <b>bold</b>") === "inline bold")
+    assert(ext("  plain \n text  ") === "plain text")
+  }
+
+  test("script/style/comment content is dropped, including unterminated") {
+    assert(ext("<p>a</p><script>if (1 < 2) { alert('</p>'); }</script><p>b</p>")
+      === "a\nb")
+    assert(ext("<style>p > span { color: red }</style><p>x</p>") === "x")
+    assert(ext("<p>a</p><!-- <p>ghost</p> --><p>b</p>") === "a\nb")
+    // unterminated: drop to end, never hang
+    assert(ext("<p>a</p><script>var x = 1;") === "a")
+    assert(ext("<p>a</p><!-- no close") === "a")
+    // case-insensitive close
+    assert(ext("<SCRIPT>x</ScRiPt><p>ok</p>") === "ok")
+  }
+
+  test("entities decode; unknown and malformed stay literal") {
+    assert(ext("Tom &amp; Jerry &lt;3 &gt; &quot;q&quot; &apos;a&apos;")
+      === "Tom & Jerry <3 > \"q\" 'a'")
+    assert(ext("a&nbsp;b") === "a b")
+    assert(ext("&#65;&#x42;&#X43;") === "ABC")
+    assert(ext("&bogus; &amp &#xZZ; &#; &") === "&bogus; &amp &#xZZ; &#; &")
+    // entity inside an anchor counts toward link chars
+    assert(dens("<a>&amp;</a>") === 1.0)
+  }
+
+  test("CDATA content is kept verbatim (no entity decode), markers stripped") {
+    assert(ext("<p>a</p><![CDATA[<raw> &amp; stuff]]><p>b</p>")
+      === "a\n<raw> &amp; stuff\nb")
+    assert(ext("x<![CDATA[tail") === "xtail") // unterminated: verbatim to end
+  }
+
+  test("adversarial markup: unclosed tags, nested tables, attribute '>', stray '<'") {
+    assert(ext("<p>never closed <div>still fine") === "never closed\nstill fine")
+    assert(ext("<table><tr><td><table><tr><td>deep</td></tr></table></td></tr></table>")
+      === "deep")
+    // '>' inside a quoted attribute must not end the tag
+    assert(ext("""<a href="x?a>b" title='1>2'>link</a> out""") === "link out")
+    // a '<' not starting a tag is literal text
+    assert(ext("1 < 2 and 2 > 1") === "1 < 2 and 2 > 1")
+    // unterminated tag at end drops the tail
+    assert(ext("ok<a href=") === "ok")
+    assert(ext("ok<p") === "ok")
+    // degenerate: empty / markup-only
+    assert(ext("") === "")
+    assert(ext("<div></div><p></p>") === "")
+  }
+
+  test("link density: anchor fraction of visible non-whitespace chars") {
+    // 'navone'+'navtwo' = 12 link chars of 12+4 total
+    val h = "<div><a href='/a'>nav one</a> <a href='/b'>nav two</a></div><p>body</p>"
+    assert(math.abs(dens(h) - 12.0 / 16.0) < 1e-12)
+    assert(dens("<p>no links at all</p>") === 0.0)
+    assert(dens("") === 0.0)
+    assert(dens("<div></div>") === 0.0)
+    // nested/unclosed anchors never go negative or exceed 1
+    val weird = dens("</a>text<a>x<a>y</a>z</a>w")
+    assert(weird >= 0.0 && weird <= 1.0)
+  }
+
+  test("no hang on pathological inputs (single forward pass)") {
+    val big = new StringBuilder
+    (0 until 20000).foreach(i => big.append("<x" + (i % 7) + ">&bad; <"))
+    val t0 = System.nanoTime()
+    ext(big.toString)
+    assert((System.nanoTime() - t0) / 1e9 < 5.0, "pathological input must stay linear")
+  }
+
+  test("extractHtml stage: text replaced, boilerplate flagged, shuffle-free plan") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "<p>real article text here</p><div><a>n</a></div>"),
+      (1L, "<div><a href='/1'>one</a> <a href='/2'>two</a> <a href='/3'>three</a></div><p>x</p>")
+    ).toDF("doc_id", "html")
+    val out = TextAnalysis.extractHtml(docs, "html", maxLinkDensity = 0.5)
+    val rows = out.orderBy("doc_id").collect()
+    assert(rows(0).getAs[String]("text") === "real article text here\nn")
+    assert(!rows(0).getAs[Boolean]("boilerplate"))
+    assert(rows(1).getAs[String]("text") === "one two three\nx")
+    assert(rows(1).getAs[Boolean]("boilerplate"), "link farm must flag as boilerplate")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"extraction must be a narrow projection:\n$plan")
+    // composes upstream of curation: the flagged row drops, text is plain
+    val cleaned = out.filter(!col("boilerplate")).select("doc_id", "text")
+    assert(cleaned.count() === 1L)
+  }
+
+  test("SQL surface: html_text / link_density registered") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    Seq((1L, "<p>a &amp; b</p><a>z</a>")).toDF("id", "h").createOrReplaceTempView("htmlv")
+    val r = spark.sql(
+      "SELECT html_text(h) AS t, round(link_density(h), 3) AS d FROM htmlv").head()
+    assert(r.getString(0) === "a & b\nz")
+    assert(r.getDouble(1) === 0.25) // z = 1 link char; visible = a,&,b,z = 4
+  }
+}
