@@ -3195,7 +3195,7 @@ object SparkEntry {
       val split = pmod(col("id1") + col("id2"), lit(4))
       val table = "graft_clusters_" + dir.replaceAll("[^A-Za-z0-9]", "_")
       clusterStoreBuilt.getOrElseUpdate(table, {
-        dropManagedTable(s, table)
+        Dedup.dropClusterStore(s, table)
         Dedup.writeClusterStore(
           Dedup.nearDupClusters(docs, pairs.filter(split =!= 0)), table)
         true

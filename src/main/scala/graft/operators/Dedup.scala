@@ -483,12 +483,71 @@ object Dedup {
     * only CHANGED labels at higher generations. Bucketed (and sorted)
     * by `doc_id`, so the serve-side latest-generation fold
     * ([[clusterStoreLabels]]) aggregates with no Exchange.
+    *
+    * Layout: the PHYSICAL bucketed table is `{table}__gN` and `table`
+    * itself is a stable VIEW over the current generation — the tiny
+    * manifest that makes [[compactClusterStore]] reader-atomic (the
+    * view repoint is one in-catalog swap; physical tables are never
+    * overwritten in place). Readers and writers address the store by
+    * its logical name only.
     */
-  def writeClusterStore(labels: DataFrame, table: String, buckets: Int = 32): Unit =
+  def writeClusterStore(labels: DataFrame, table: String, buckets: Int = 32): Unit = {
+    val spark = labels.sparkSession
+    dropClusterStore(spark, table)
     labels.select(col("doc_id"), col("cluster_id"), lit(0L).as("gen"))
       .write.mode("overwrite")
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
-      .saveAsTable(table)
+      .saveAsTable(genTable(table, 0))
+    spark.sql(s"CREATE OR REPLACE VIEW $table AS SELECT * FROM ${genTable(table, 0)}")
+  }
+
+  private def genTable(table: String, g: Long): String = s"${table}__g$g"
+
+  /** Drop a cluster store completely: the stable view and every
+    * physical generation table (handles legacy plain-table stores and
+    * half-dropped leftovers alike — the fixture/reset helper).
+    */
+  def dropClusterStore(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    val cat = spark.sessionState.catalog
+    val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    if (cat.tableExists(id)) {
+      val isView = cat.getTableMetadata(id).tableType ==
+        org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW
+      spark.sql(if (isView) s"DROP VIEW $table" else s"DROP TABLE $table")
+    }
+    cat.listTables(id.database.getOrElse(cat.getCurrentDatabase), s"${table}__g*")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.quotedString}"))
+    // a NEW session's in-memory catalog has no entry for a previous
+    // session's tables, but their warehouse dirs survive — saveAsTable
+    // would fail with LOCATION_ALREADY_EXISTS; sweep the stray dirs
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val whDir = new java.io.File(wh)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    Option(whDir.listFiles()).foreach(_.foreach { f =>
+      if (f.getName == table || f.getName.startsWith(s"${table}__g")) rm(f)
+    })
+  }
+
+  /** The current physical generation table behind the store's stable
+    * view (legacy plain-table stores resolve to themselves), plus its
+    * generation number.
+    */
+  private def physicalOf(spark: org.apache.spark.sql.SparkSession,
+                         table: String): (String, Long) = {
+    val cat = spark.sessionState.catalog
+    val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = cat.getTableMetadata(id)
+    if (meta.tableType != org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW)
+      (table, 0L)
+    else meta.viewText
+      .flatMap(t => "__g(\\d+)".r.findFirstMatchIn(t).map(_.group(1).toLong))
+      .map(g => (genTable(table, g), g))
+      .getOrElse(throw new IllegalStateException(
+        s"cluster store view $table does not point at a generation table"))
+  }
 
   /** The CURRENT labeling served from the append-only store: each doc's
     * label at its highest generation — one bucketed-scan aggregation,
@@ -504,8 +563,10 @@ object Dedup {
     // invalidates this session's entry, so an un-refreshed read serves
     // the labeling as of its own first read, forever. Refresh is a
     // metadata-only invalidation (the next scan re-lists); correctness
-    // over a cached listing for a read-your-writes store API.
-    spark.catalog.refreshTable(table)
+    // over a cached listing for a read-your-writes store API. The
+    // PHYSICAL generation table is what holds the cached listing — the
+    // stable view is re-expanded at every analysis anyway.
+    spark.catalog.refreshTable(physicalOf(spark, table)._1)
     spark.table(table)
       .groupBy("doc_id")
       .agg(max(struct(col("gen"), col("cluster_id"))).as("m"))
@@ -552,11 +613,15 @@ object Dedup {
     val deltaAll = checkpointed(delta.union(singletons)
       .select(col("node").as("doc_id"), col("component").as("cluster_id")))
     if (absorb) {
+      // append to the CURRENT physical generation table — Spark cannot
+      // append through a view, and the bucket spec lives on the
+      // physical relation
+      val (phys, _) = physicalOf(spark, table)
       val nextGen = spark.table(table).agg(max("gen")).head().getLong(0) + 1L
       deltaAll.select(col("doc_id"), col("cluster_id"), lit(nextGen).as("gen"))
         .write.mode("append")
-        .bucketBy(bucketCountOf(spark, table), "doc_id").sortBy("doc_id")
-        .saveAsTable(table)
+        .bucketBy(bucketCountOf(spark, phys), "doc_id").sortBy("doc_id")
+        .saveAsTable(phys)
     }
     // full updated labeling: untouched store rows + the delta
     stored.join(broadcast(deltaAll.select(col("doc_id"))),
@@ -573,26 +638,50 @@ object Dedup {
     * latest-generation fold pays Σ appended rows forever, the same
     * reason the index layouts have `compactGeneration`/
     * `compactPartitioned`). Run on the maintenance cadence, not per
-    * batch. The current labeling is materialized (local checkpoint)
-    * BEFORE the table is overwritten — the rewrite never reads through
-    * the table it replaces — and the overwrite preserves the bucket
-    * spec, so post-compaction serve folds stay exchange-free. Serving
-    * before/after is identical — that equality is the spec's claim.
-    * NOTE: `saveAsTable(Overwrite)` is not atomic for CONCURRENT
-    * readers (a reader between drop and re-create errors); run on the
-    * maintenance cadence in the ingestion session, the same exclusion
-    * the absorb writer already requires. (The index layouts get true
-    * reader atomicity from their manifest flips; a bucketed TABLE has
-    * no manifest seam, and the serve-fold's exchange-free property is
-    * worth more here than lock-free compaction.)
+    * batch.
+    *
+    * READER-ATOMIC via the two-table flip: the compacted labeling is
+    * staged as the NEXT physical generation table `{table}__g{N+1}`
+    * (same bucket spec — the serve fold stays exchange-free), then the
+    * stable view repoints in one in-catalog swap, then generations
+    * OLDER than the one just superseded are reclaimed. A reader that
+    * planned against the pre-compaction store resolved `__g{N}` and
+    * keeps serving it — nothing it references is dropped until the
+    * FOLLOWING compaction (the keep-previous retention the index
+    * layouts' vacuum uses). Serving before/after is identical — that
+    * equality is the spec's claim. A crashed compaction leaves a
+    * half-written `__g{N+1}` that the next attempt drops and
+    * re-stages; the view never points at an unpublished table.
     */
   def compactClusterStore(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    val (phys, g) = physicalOf(spark, table)
+    val buckets = bucketCountOf(spark, phys)
     val current = clusterStoreLabels(spark, table)
       .select(col("doc_id"), col("cluster_id"), lit(0L).as("gen"))
-      .localCheckpoint(true) // sever from the table we're about to replace
+      .localCheckpoint(true) // sever from the relations we may drop below
+    val next = genTable(table, g + 1)
+    spark.sql(s"DROP TABLE IF EXISTS $next") // crashed-compaction leftover
     current.write.mode("overwrite")
-      .bucketBy(bucketCountOf(spark, table), "doc_id").sortBy("doc_id")
-      .saveAsTable(table)
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(next)
+    if (phys == table) {
+      // legacy plain-table store: one-time migration to the view
+      // layout — this drop/create seam is exactly the old overwrite
+      // behavior; every store written by this version starts as a view
+      spark.sql(s"DROP TABLE $table")
+      spark.sql(s"CREATE OR REPLACE VIEW $table AS SELECT * FROM $next")
+    } else {
+      spark.sql(s"CREATE OR REPLACE VIEW $table AS SELECT * FROM $next")
+      // reclaim everything OLDER than the generation just superseded:
+      // g stays for already-planned readers, g-1 and earlier go
+      val cat = spark.sessionState.catalog
+      val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      cat.listTables(id.database.getOrElse(cat.getCurrentDatabase), s"${table}__g*")
+        .foreach { t =>
+          "__g(\\d+)$".r.findFirstMatchIn(t.table).map(_.group(1).toLong)
+            .filter(_ < g).foreach(_ => spark.sql(s"DROP TABLE IF EXISTS ${t.quotedString}"))
+        }
+    }
   }
 
   /** Per-cluster representative selection — the KEEP side of dedup:

@@ -380,7 +380,7 @@ class TextDedupSpec extends AnyFunSuite {
       }.filter(p => p._1 != p._2).distinct
     }
     val tbl = "textdedup_clusters"
-    dropManaged(tbl)
+    Dedup.dropClusterStore(spark, tbl)
     // gen-0 snapshot from the first wave
     var seenDocs = docBatches.head.map(_._1)
     var seenPairs = pairsFor(Nil, seenDocs)
@@ -438,7 +438,7 @@ class TextDedupSpec extends AnyFunSuite {
 
   test("compactClusterStore: serving unchanged, superseded delta rows dropped, fold stays exchange-free") {
     val tbl = "textdedup_clusters_compact"
-    dropManaged(tbl)
+    Dedup.dropClusterStore(spark, tbl)
     val docsOf = (ids: Seq[Long]) => ids.map(i => (i, "")).toDF("doc_id", "text")
     Dedup.writeClusterStore(
       Dedup.nearDupClusters(docsOf(0L until 20L), Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")),
@@ -456,6 +456,11 @@ class TextDedupSpec extends AnyFunSuite {
     val rowsBefore = spark.table(tbl).count()
     assert(rowsBefore > before.size, "fixture must have superseded delta rows to drop")
 
+    // READER ATOMICITY: a fold PLANNED before the compaction resolves
+    // the pre-compaction physical generation and must keep serving
+    // through (and after) the flip — the two-table contract
+    val plannedBefore = Dedup.clusterStoreLabels(spark, tbl)
+
     Dedup.compactClusterStore(spark, tbl)
     val after = Dedup.clusterStoreLabels(spark, tbl)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
@@ -464,7 +469,9 @@ class TextDedupSpec extends AnyFunSuite {
       "compacted store must hold exactly one row per doc")
     assert(spark.table(tbl).agg(max("gen")).head.getLong(0) == 0L,
       "compacted store must be a fresh generation-0 snapshot")
-    // the fold still rides the bucket layout after the overwrite
+    assert(plannedBefore.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      === before, "a reader planned before compaction must still serve")
+    // the fold still rides the bucket layout after the flip
     val foldPlan = Dedup.clusterStoreLabels(spark, tbl)
       .queryExecution.executedPlan.toString
     assert(!foldPlan.contains("Exchange hashpartitioning"),
@@ -474,6 +481,15 @@ class TextDedupSpec extends AnyFunSuite {
         Seq((35L, 41L)).toDF("id1", "id2"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got(41L) == got(35L), "post-compaction absorb must merge the new edge")
+    // retention: a SECOND compaction reclaims the generation superseded
+    // two flips ago (keep-previous, like the index layouts' vacuum)
+    val gens0 = spark.sessionState.catalog.listTables("default", s"${tbl}__g*").map(_.table)
+    Dedup.compactClusterStore(spark, tbl)
+    val gens1 = spark.sessionState.catalog.listTables("default", s"${tbl}__g*").map(_.table)
+    assert(gens1.size <= 2, s"old generations must be reclaimed, have $gens1 (was $gens0)")
+    assert(Dedup.clusterStoreLabels(spark, tbl)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap === got,
+      "serving survives repeated compactions")
   }
 
   test("nearDupClusters: transitive chain collapses to one min-labeled cluster") {
