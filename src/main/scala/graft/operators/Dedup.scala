@@ -1080,7 +1080,9 @@ object Dedup {
     * the known-gram check is a left-semi equi-join on the hash, and
     * with the corpus gram set bucketed by `g` repeated ingestion is a
     * co-located join against a gram table, never a corpus rescan —
-    * exactly [[incrementalExact]]'s contract one level down.
+    * exactly [[incrementalExact]]'s contract one level down. The
+    * persisted form of that layout is [[writeGramStore]] +
+    * [[incrementalSpanDedupBucketed]].
     */
   def incrementalSpanDedup(corpus: DataFrame, batch: DataFrame, n: Int = 6): DataFrame = {
     val corpusGrams = spanWindows(corpus, n).select("g").distinct()
@@ -1093,6 +1095,63 @@ object Dedup {
       .select("doc_id", "pos")
     val drops = known.unionByName(batchDups).distinct()
     rebuildWithoutSpans(batch, mergeWindows(drops, n), n)
+  }
+
+  /** Persisted BUCKETED gram store for incremental span dedup: the
+    * corpus' DISTINCT 8-byte gram hashes as a saved table bucketed
+    * (and sorted) by `g` — [[writeDigestStore]]'s contract one level
+    * down, at n-gram granularity. Repeat span-level ingestion's
+    * known-gram join then reads the store PRE-PARTITIONED on the join
+    * key: no Exchange on the store side, ever (only the O(batch) side
+    * shuffles to the bucket count), instead of re-shuffling the corpus
+    * gram relation every batch.
+    */
+  def writeGramStore(documents: DataFrame, table: String, n: Int = 6,
+                     buckets: Int = 32): Unit =
+    spanWindows(documents, n).select("g").distinct()
+      .write.mode("overwrite")
+      .bucketBy(buckets, "g").sortBy("g")
+      .saveAsTable(table)
+
+  /** [[incrementalSpanDedup]] against the BUCKETED gram store: same cut
+    * semantics (gram known to the corpus OR a non-first repeat within
+    * the batch), with the store side of the known-gram join
+    * exchange-free by bucket layout. `absorb = true` appends the
+    * batch's NOVEL grams — from its ORIGINAL text, matching what the
+    * plain form's `corpus ∪ batch` would contain on the next call —
+    * through the same bucket spec: an O(batch) append, idempotent
+    * under micro-batch replay (a replayed batch's grams are all known,
+    * so the anti-join appends nothing — and the replayed docs cut to
+    * empty, which is what re-ingesting already-ingested content means
+    * at span granularity).
+    */
+  def incrementalSpanDedupBucketed(spark: org.apache.spark.sql.SparkSession,
+                                   table: String, batch: DataFrame, n: Int = 6,
+                                   absorb: Boolean = true): DataFrame = {
+    // cross-session freshness: see the clusterStoreLabels note
+    spark.catalog.refreshTable(table)
+    val corpusGrams = spark.table(table)
+    val bw = spanWindows(batch, n)
+      .withColumn("occ", col("doc_id") * spanPosCap + col("pos"))
+    val known = bw.join(corpusGrams, Seq("g"), "left_semi").select("doc_id", "pos")
+    val stats = bw.groupBy("g").agg(count(lit(1)).as("c"), min("occ").as("first_occ"))
+    val batchDups = bw.join(stats.filter(col("c") >= 2), Seq("g"))
+      .filter(col("occ") =!= col("first_occ"))
+      .select("doc_id", "pos")
+    val drops = known.unionByName(batchDups).distinct()
+    val out = rebuildWithoutSpans(batch, mergeWindows(drops, n), n)
+    if (!absorb) out // read-only: the lazy plan, unmaterialized
+    else {
+      // materialize BEFORE the absorb mutates the store — the cut
+      // plan's known-gram join must never see the batch's own grams
+      val pinned = out.localCheckpoint(true)
+      bw.select("g").distinct()
+        .join(corpusGrams, Seq("g"), "left_anti")
+        .write.mode("append")
+        .bucketBy(bucketCountOf(spark, table), "g").sortBy("g")
+        .saveAsTable(table)
+      pinned
+    }
   }
 
   /** Shared rebuild tail: docs minus the words covered by `spans`

@@ -696,6 +696,50 @@ class TextDedupSpec extends AnyFunSuite {
       (13L, "", 4L)))
   }
 
+  test("bucketed gram store: span dedup == plain form; store side exchange-free; absorb + replay") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val corpus = Seq((1L, "a b c d e x y")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "q r a b c d e s"),
+      (11L, "z z z z z z z z"),
+      (12L, "f g h i j"),
+      (13L, "z z z z"))
+      .toDF("doc_id", "text")
+    val tbl = "gram_store_spec"
+    dropManaged(tbl)
+    Dedup.writeGramStore(corpus, tbl, n = 3, buckets = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val plain = rows(Dedup.incrementalSpanDedup(corpus, batch, n = 3))
+    assert(rows(Dedup.incrementalSpanDedupBucketed(spark, tbl, batch, n = 3,
+      absorb = false)) === plain, "bucketed form must equal the plain form")
+    // plan pin: force SMJ — the known-gram join's STORE side must read
+    // pre-partitioned by bucket; only the batch side shuffles
+    withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+      val df = Dedup.incrementalSpanDedupBucketed(spark, tbl, batch, n = 3,
+        absorb = false)
+      val smjs = df.queryExecution.executedPlan
+        .collect { case j: SortMergeJoinExec => j }
+      // the known-gram join is the plan's one LEFT SEMI sort-merge join
+      val storeJoin = smjs
+        .find(_.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi)
+        .getOrElse(fail("expected a sort-merge semi-join against the gram store:\n" +
+          df.queryExecution.executedPlan.toString))
+      assert(storeJoin.right.collectFirst { case e: ShuffleExchangeLike => e }.isEmpty,
+        s"store side must read pre-partitioned by bucket:\n${storeJoin.right}")
+    }
+    // absorb appends the batch's novel grams through the bucket spec;
+    // a replayed batch is all-known -> cuts to empty, appends nothing
+    assert(rows(Dedup.incrementalSpanDedupBucketed(spark, tbl, batch, n = 3)) === plain)
+    val n1 = spark.table(tbl).count()
+    val replay = rows(Dedup.incrementalSpanDedupBucketed(spark, tbl, batch, n = 3))
+    assert(replay.forall(_._2 === ""),
+      "a replayed batch's grams are all known — every doc cuts to empty")
+    assert(spark.table(tbl).count() === n1, "replay must not grow the gram store")
+  }
+
   test("bigramNll matches the hand-computed smoothed bigram LM") {
     val d = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"))
       .toDF("doc_id", "text")
