@@ -2108,6 +2108,33 @@ object SparkEntry {
         Ivf.centroids(emb, 16), pdir, tag = "c16ins")
       Ivf.cellStats(s, pdir)
     }),
+    // ROUTED-layout occupancy (Hnsw.cellStatsRouted): the same balance
+    // diagnostic over the cell-sharded HNSW — with 2× SPANN replication
+    // every vector counts in its TWO nearest seed cells, so the oracle
+    // is the rn <= 2 twin of q_ivf_cell_stats
+    "q_hnsw_cell_stats" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val p = Hnsw.Params()
+      val rdir = idxDir(s, dir, "routedseed", p)
+      Hnsw.ensureSavedRouted(emb, Ivf.centroids(emb, 16), p, rdir)
+      Hnsw.cellStatsRouted(s, rdir)
+    }),
+    // The routed drift-repair lifecycle made driver-visible: build on
+    // the first-8 seed cells, recluster onto the next-8 seeds
+    // (re-route + boundary re-replication + per-cell adjacency rebuild,
+    // one atomic manifest flip), serve top-k. No oracle (ANN);
+    // RoutedReclusterSpec pins reclustered serving == fresh build on
+    // the new centroids, pinned-reader snapshots, and tombstone folds.
+    "q_hnsw_recluster_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val p = Hnsw.Params()
+      val rdir = idxDir(s, dir, "routedrec", p)
+      Hnsw.ensureReclusteredRouted(emb, Ivf.centroids(emb, 8),
+        Ivf.centroidsFrom(emb, 8, 8), p, rdir)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+      Hnsw.searchRoutedWithIndex(s, rdir, qs, 10, p, nprobe = 5)
+    }),
     // The insert lifecycle on the COSINE serving layout: base 4/5 +
     // insertIntoCosine'd 1/5 (rows normalized with the layout's own
     // transform before the cell-local append). Served at nprobe = C,
@@ -3698,6 +3725,16 @@ object SparkEntry {
                        FROM embeddings e, cent c
                        QUALIFY row_number() OVER (PARTITION BY e.vec_id
                          ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), cid) = 1)
+          SELECT cell, count(*) AS n_rows FROM assigned GROUP BY cell""",
+    // routed occupancy: every vector in its TWO nearest seed cells
+    // (SPANN replication r = 2) — rn <= 2 over the same distance rank
+    "q_hnsw_cell_stats" ->
+      """WITH cent AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                       FROM embeddings WHERE vec_id < 16),
+          assigned AS (SELECT e.vec_id, cid AS cell
+                       FROM embeddings e, cent c
+                       QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), cid) <= 2)
           SELECT cell, count(*) AS n_rows FROM assigned GROUP BY cell""",
     // diversified top-k: per-source quota first (rows beyond a
     // source's 2nd can never appear), then the global cut

@@ -746,6 +746,158 @@ object Hnsw {
     IndexMeta.invalidate(spark, dir)
   }
 
+  /** Per-cell occupancy of a ROUTED layout: `(cell, n_rows)` over LIVE
+    * node rows — `Ivf.cellStats`'s routed twin, the balance diagnostic
+    * that decides when to [[reclusterRouted]] (a drifted ingest piles
+    * into few cells and silently degrades the 2× boundary replication
+    * the routed recall depends on). Replicated rows count as stored —
+    * occupancy measures what a probe of the cell pays. The scan reads
+    * only `(vec_id, part)`; tombstoned ids are excluded.
+    */
+  def cellStatsRouted(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Ivf.withoutExcluded(
+        readRoutedNodes(spark, dir).select(col("vec_id"), col("part")),
+        Tombstones.ids(spark, dir))
+      .groupBy(col("part").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_rows"))
+
+  /** Cell-balance skew factor of a routed layout (`Ivf.cellSkew`'s
+    * routed twin): max/mean live occupancy over the centroid set,
+    * empty cells counting as 0.
+    */
+  def cellSkewRouted(spark: org.apache.spark.sql.SparkSession, dir: String): Double = {
+    val c = routedCentroidsOf(spark, dir).count().toDouble
+    val r = cellStatsRouted(spark, dir)
+      .agg(max("n_rows").cast("double").as("mx"), sum("n_rows").cast("double").as("tot"))
+      .head()
+    if (r.isNullAt(1) || r.getDouble(1) == 0.0) 1.0
+    else r.getDouble(0) / (r.getDouble(1) / c)
+  }
+
+  /** The routed recluster SCHEDULING TRIGGER (`Ivf.needsRecluster`'s
+    * twin): true once [[cellSkewRouted]] crosses `maxSkew`.
+    */
+  def needsReclusterRouted(spark: org.apache.spark.sql.SparkSession, dir: String,
+                           maxSkew: Double = 4.0): Boolean =
+    cellSkewRouted(spark, dir) >= maxSkew
+
+  /** The routed layout's SERVING centroids, resolved consistently with
+    * the node/edge snapshot: the newest `centroids_g{v'}` with `v' <=`
+    * the current manifest version, falling back to the build-time flat
+    * `centroids` — the `Ivf.centroidsOf` at-or-below rule (published
+    * centroid files are immutable; [[reclusterRouted]] stages a
+    * generation-scoped file before its manifest flip).
+    */
+  def routedCentroidsOf(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    CellSnapshot.version(spark, dir) match {
+      case Some(v) => routedCentroidsAt(spark, dir, v)
+      case None    => spark.read.parquet(s"$dir/centroids")
+    }
+
+  /** The centroids pairing with [[readRoutedNodesAt]] `version` (see
+    * [[routedCentroidsOf]]).
+    */
+  def routedCentroidsAt(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        version: Int): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens =
+      if (!fs.exists(root)) Array.empty[Int]
+      else fs.listStatus(root).map(_.getPath.getName)
+        .collect { case n if n.startsWith("centroids_g") => n.stripPrefix("centroids_g") }
+        .flatMap(s => scala.util.Try(s.toInt).toOption)
+        .filter(_ <= version)
+    if (gens.isEmpty) spark.read.parquet(s"$dir/centroids")
+    else spark.read.parquet(s"$dir/centroids_g${gens.max}")
+  }
+
+  /** All three halves of the routed serving state — nodes, edges,
+    * centroids — resolved against ONE manifest version (the
+    * `Ivf.readLayoutWithCentroids` contract): a recluster publishing
+    * between independent reads must never hand one query new routing
+    * over old shards or a cross-generation node/edge mix.
+    */
+  private def routedServingState(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String): (DataFrame, DataFrame, DataFrame) =
+    CellSnapshot.version(spark, dir) match {
+      case Some(v) => (readRoutedNodesAt(spark, dir, v),
+        readRoutedEdgesAt(spark, dir, v), routedCentroidsAt(spark, dir, v))
+      case None => (CellSnapshot.read(spark, dir, "nodes", "part"),
+        CellSnapshot.read(spark, dir, "edges", "part"),
+        spark.read.parquet(s"$dir/centroids"))
+    }
+
+  /** RECLUSTER maintenance for the ROUTED layout — the drift repair
+    * after enough appends skew the cells ([[compactRouted]] is the
+    * remove half): every LIVE vector re-routes onto `newCents` with the
+    * layout's SPANN boundary replication, every cell's HNSW adjacency
+    * rebuilds from its new membership (cell graphs are a function of
+    * membership — unlike the flat IVF recluster, moving rows without
+    * rebuilding edges would serve a stale navigable structure), and the
+    * new node AND edge trees publish with the generation-scoped
+    * centroid sidecar under ONE atomic manifest flip. Semantics: the
+    * reclustered layout serves EXACTLY like a fresh [[saveRouted]] over
+    * its live vectors with the same centroids (levels are a pure
+    * function of vec_id, assignment and per-cell builds are
+    * deterministic) — that equality is the spec's claim. Tombstones
+    * fold in and clear; the source fingerprint invalidates. Cost: one
+    * full-layout read + assignment + per-cell rebuild — the honest
+    * price of moving every row's cell; fire it on [[cellSkewRouted]]'s
+    * cadence, not per batch.
+    *
+    * `newCents` must live in the space the layout stores (raw floats
+    * for plain routed, unit directions for the cosine layout).
+    */
+  def reclusterRouted(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      newCents: DataFrame, p: Params, replication: Int = 2): Unit = {
+    val live = Ivf.withoutExcluded(readRoutedNodes(spark, dir),
+      Tombstones.ids(spark, dir))
+    // one payload row per vector: replicas carry identical
+    // (embedding, level), so any one of them re-routes the vector
+    val uniq = live.select(col("vec_id"), col("embedding"), col("level"))
+      .dropDuplicates("vec_id")
+    val assigned = uniq
+      .join(Ivf.assignMulti(uniq, newCents, replication), Seq("vec_id"))
+      .select(col("cell").cast("int").as("part"), col("vec_id"),
+        col("embedding"), col("level"))
+    val (v, _) = CellSnapshot.mappingOrBase(spark, dir, "nodes", "part")
+    val g = v + 1
+    assigned.write.mode("overwrite").partitionBy("part")
+      .parquet(CellSnapshot.genRoot(dir, "nodes", g))
+    buildEdgesBy(assigned, p).write.mode("overwrite").partitionBy("part")
+      .parquet(CellSnapshot.genRoot(dir, "edges", g))
+    // stage routing BEFORE the flip — the flip publishes data + routing
+    newCents.write.mode("overwrite").parquet(s"$dir/centroids_g$g")
+    val parts = CellSnapshot.listParts(spark,
+      CellSnapshot.genRoot(dir, "nodes", g), "part")
+    CellSnapshot.publish(spark, dir, g, parts.map(_ -> g).toMap)
+    Tombstones.clear(spark, dir)
+    IndexMeta.invalidate(spark, dir)
+  }
+
+  /** The full build-then-recluster routed lifecycle, memoized once per
+    * dir (`Ivf.ensureReclusteredPartitioned`'s routed twin — the
+    * declared `q_hnsw_recluster_topk` state).
+    */
+  def ensureReclusteredRouted(embeddings: DataFrame, buildCents: DataFrame,
+                              newCents: DataFrame, p: Params, dir: String,
+                              replication: Int = 2): Unit = {
+    val spark = embeddings.sparkSession
+    val fp = IndexMeta.cachedFingerprint(dir, s"routedrec;p=$p;r=$replication",
+        Seq(embeddings, buildCents, newCents)) {
+      fingerprint(embeddings, s"routedrec;p=$p;r=$replication;" +
+        s"cb=${IndexMeta.centroidFingerprint(buildCents)};" +
+        s"cn=${IndexMeta.centroidFingerprint(newCents)}")
+    }
+    if (!indexValid(spark, dir, fp)) {
+      val path = new org.apache.hadoop.fs.Path(dir)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(path, true)
+      saveRouted(embeddings, buildCents, p, dir, replication)
+      reclusterRouted(spark, dir, newCents, p, replication)
+      writeFp(spark, dir, fp)
+    }
+  }
+
   /** [[saveRouted]] once per dir (caller keys the dir by content/params),
     * no-op when the index already exists — the amortization point for
     * repeated-batch serving.
@@ -780,12 +932,13 @@ object Hnsw {
     // beam (removing them would sever graph edges and strand whole
     // regions), but they can never appear in results.
     val eligCol = predicate.map(pr => when(pr, 1L).otherwise(0L)).getOrElse(lit(1L))
-    val recs = readRoutedNodes(spark, dir)
+    // nodes, edges AND routing pinned to one manifest version
+    val (nodes, edges, cents) = routedServingState(spark, dir)
+    val recs = nodes
       .select(col("part"), lit(true).as("is_node"), col("vec_id"),
         eligCol.as("b"), col("level"), col("embedding"))
       .as[ShardRec]
-      .union(edgeRecs(readRoutedEdges(spark, dir)))
-    val cents = spark.read.parquet(s"$dir/centroids")
+      .union(edgeRecs(edges))
     searchCogrouped(recs, routeQueries(queries, cents, nprobe), k, p,
       rebuild = false, filtered = predicate.isDefined)
   }
@@ -804,15 +957,19 @@ object Hnsw {
       case None => searchRoutedWithIndex(spark, dir, queries, k, p, nprobe)
       case Some(dels) =>
         import spark.implicits._
-        val marked = readRoutedNodes(spark, dir)
+        // nodes, edges and routing pinned to ONE manifest version (the
+        // flat edge/centroid reads this path used before bypassed the
+        // snapshot — after a compaction or recluster they would serve
+        // gen-0 state against current nodes)
+        val (nodes, edges, cents) = routedServingState(spark, dir)
+        val marked = nodes
           .join(broadcast(dels.select(col("vec_id")).withColumn("__tomb", lit(true))),
             Seq("vec_id"), "left")
         val recs = marked.select(col("part"), lit(true).as("is_node"), col("vec_id"),
             when(col("__tomb").isNull, 1L).otherwise(0L).as("b"),
             col("level"), col("embedding"))
           .as[ShardRec]
-          .union(edgeRecs(spark.read.parquet(s"$dir/edges")))
-        val cents = spark.read.parquet(s"$dir/centroids")
+          .union(edgeRecs(edges))
         searchCogrouped(recs, routeQueries(queries, cents, nprobe), k, p,
           rebuild = false, filtered = true)
     }
