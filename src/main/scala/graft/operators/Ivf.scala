@@ -540,6 +540,34 @@ object Ivf {
                      maxSkew: Double = 4.0): Boolean =
     cellSkew(spark, dir) >= maxSkew
 
+  /** Retrain serving centroids from the layout's OWN live rows — the
+    * centroid half of an automated drift repair ([[reclusterPartitioned]]
+    * is the data half). Seeds are the `c` first rows in deterministic
+    * hash order (one TakeOrdered pass — a per-partition heap, never a
+    * global sort): hash order mixes base and drifted arrivals, the
+    * reclusterscale lesson that a contiguous seed window cannot migrate
+    * across a distribution gap in few Lloyd rounds. The rows (and hence
+    * the trained centroids) live in the layout's stored vector space —
+    * raw, normalized, or augmented — which is exactly what
+    * [[reclusterPartitioned]] assigns against, so one retrain entry
+    * point serves all three metric layouts.
+    */
+  def retrainCentroids(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       c: Int, iters: Int = 1): DataFrame = {
+    val live = withoutExcluded(readLayout(spark, dir).drop("cell"),
+      Tombstones.ids(spark, dir))
+    val spread = live
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(pmod(graft.functions.Portable.md5Int(col("vec_id").cast("string")),
+        lit(Int.MaxValue)), col("vec_id"))
+      .limit(c)
+    val seeds = spread
+      .select(row_number().over(Window.orderBy(col("vec_id"))).cast("long").as("rid"),
+        transform(col("embedding"), x => x.cast("double")).as("centroid_vec"))
+      .select((col("rid") - 1).as("centroid_id"), col("centroid_vec"))
+    kmeansWith(live, seeds, iters)
+  }
+
   /** RECLUSTER maintenance — the drift repair after enough
     * [[insertInto]] batches skew the layout ([[compactPartitioned]] is
     * the remove half; this is the re-balance): re-assign every LIVE

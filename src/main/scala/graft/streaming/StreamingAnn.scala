@@ -20,6 +20,35 @@ import graft.operators.Hnsw
   */
 object StreamingAnn {
 
+  /** Auto-recluster policy for the [[maintainIvf]] family: after each
+    * micro-batch append, if the layout's cell skew has crossed
+    * `maxSkew` ([[graft.operators.Ivf.needsRecluster]]), retrain
+    * centroids from the layout's own live rows
+    * ([[graft.operators.Ivf.retrainCentroids]] — hash-spread seeds +
+    * `iters` Lloyd rounds) and [[graft.operators.Ivf
+    * .reclusterPartitioned]] BEFORE the next batch. The recluster
+    * publishes one atomic snapshot generation with its
+    * generation-scoped centroids, so concurrent readers mid-stream see
+    * either the old layout with old routing or the new with new —
+    * never a torn mix. `c = 0` keeps the layout's current centroid
+    * count. The skew check costs one narrow `(vec_id, cell)` scan per
+    * batch; the recluster itself is full-layout I/O and fires only on
+    * drift.
+    */
+  final case class ReclusterPolicy(maxSkew: Double = 4.0, c: Int = 0, iters: Int = 1)
+
+  private def maybeRecluster(spark: org.apache.spark.sql.SparkSession,
+                             layoutDir: String,
+                             policy: Option[ReclusterPolicy]): Unit =
+    policy.foreach { pol =>
+      if (graft.operators.Ivf.needsRecluster(spark, layoutDir, pol.maxSkew)) {
+        val c = if (pol.c > 0) pol.c
+          else graft.operators.Ivf.centroidsOf(spark, layoutDir).count().toInt
+        graft.operators.Ivf.reclusterPartitioned(spark, layoutDir,
+          graft.operators.Ivf.retrainCentroids(spark, layoutDir, c, pol.iters))
+      }
+    }
+
   /** Start serving `queries` — a streaming DataFrame with
     * `(query_id, query_vec)` — from the index at `indexDir`, handing
     * each answered micro-batch `(query_id, vec_id, dist)` to `sink`.
@@ -71,11 +100,13 @@ object StreamingAnn {
     * IDENTICAL to a batch-built one (StreamingMultimodalSpec pins
     * serving equality).
     */
-  def maintainIvf(newVectors: DataFrame, layoutDir: String): StreamingQuery =
+  def maintainIvf(newVectors: DataFrame, layoutDir: String,
+                  recluster: Option[ReclusterPolicy] = None): StreamingQuery =
     newVectors.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         graft.operators.Ivf.insertInto(batch.sparkSession, layoutDir, batch.toDF())
+        maybeRecluster(batch.sparkSession, layoutDir, recluster)
       }
       .start()
 
@@ -85,11 +116,13 @@ object StreamingAnn {
     * the kind guard rejects a mis-wired plain/MIPS dir on the FIRST
     * batch instead of silently drifting the schema.
     */
-  def maintainIvfCosine(newVectors: DataFrame, layoutDir: String): StreamingQuery =
+  def maintainIvfCosine(newVectors: DataFrame, layoutDir: String,
+                        recluster: Option[ReclusterPolicy] = None): StreamingQuery =
     newVectors.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         graft.operators.Ivf.insertIntoCosine(batch.sparkSession, layoutDir, batch.toDF())
+        maybeRecluster(batch.sparkSession, layoutDir, recluster)
       }
       .start()
 
@@ -98,11 +131,13 @@ object StreamingAnn {
     * ([[graft.operators.Ivf.insertIntoMips]] — a larger-norm arrival
     * clamps its extra coordinate; served dots stay exact).
     */
-  def maintainIvfMips(newVectors: DataFrame, layoutDir: String): StreamingQuery =
+  def maintainIvfMips(newVectors: DataFrame, layoutDir: String,
+                      recluster: Option[ReclusterPolicy] = None): StreamingQuery =
     newVectors.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         graft.operators.Ivf.insertIntoMips(batch.sparkSession, layoutDir, batch.toDF())
+        maybeRecluster(batch.sparkSession, layoutDir, recluster)
       }
       .start()
 

@@ -396,6 +396,82 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       "every streamed row must land exactly once")
   }
 
+  test("auto-recluster policy: a drifted ingest stream ends rebalanced; serving stays exact and untorn") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{CellSnapshot, Ivf}
+    import graft.streaming.StreamingAnn.ReclusterPolicy
+    // base blob near the origin-ish corner; the streamed tail is a
+    // DRIFTED blob far away — with the build-time centroids it piles
+    // into one cell, exactly the degradation the policy exists for
+    val base = (0L until 100L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(8)(10f + rnd.nextFloat() * 20f))
+    }
+    val drift = (100L until 260L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(8)(1000f + rnd.nextFloat() * 20f))
+    }
+    val (drift1, drift2) = drift.splitAt(80)
+    def mkDir(tag: String) = java.nio.file.Files.createTempDirectory(tag).toString
+    val cents0 = Ivf.centroids(base.toDF("vec_id", "embedding"), 4)
+
+    def streamInto(dir: String, policy: Option[ReclusterPolicy]): Unit = {
+      Ivf.writePartitionedWith(base.toDF("vec_id", "embedding"), cents0, dir)
+      val mem = MemoryStream[(Long, Array[Float])]
+      val q = StreamingAnn.maintainIvf(mem.toDF().toDF("vec_id", "embedding"),
+        dir, recluster = policy)
+      try {
+        mem.addData(drift1: _*)
+        q.processAllAvailable()
+        // MID-STREAM reader between batches: the one-version pin hands
+        // it a consistent (scan, routing) pair whatever the policy did
+        val oneQuery = base.take(1).toDF("vec_id", "embedding")
+          .select(graft.functions.VectorFunctions.perturbQuery(col("embedding"))
+            .as("query_vec"))
+        assert(Ivf.topKPartitioned(spark, dir, oneQuery, 10,
+          nprobe = Ivf.centroidsOf(spark, dir).count().toInt).count() === 10L)
+        mem.addData(drift2: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+
+    val polDir = mkDir("stream_rec_pol")
+    streamInto(polDir, Some(ReclusterPolicy(maxSkew = 2.0, iters = 2)))
+    val noDir = mkDir("stream_rec_no")
+    streamInto(noDir, None)
+
+    // the policy FIRED (at least one recluster published a generation)…
+    assert(CellSnapshot.version(spark, polDir).nonEmpty,
+      "drift must trip the skew trigger and publish a recluster generation")
+    assert(CellSnapshot.version(spark, noDir).isEmpty,
+      "without the policy nothing publishes")
+    // …and the stream ends REBALANCED vs the unrepaired twin
+    val skewPol = Ivf.cellSkew(spark, polDir)
+    val skewNo = Ivf.cellSkew(spark, noDir)
+    assert(skewPol < skewNo,
+      s"auto-recluster must rebalance the drifted layout ($skewNo -> $skewPol)")
+
+    // no row lost or duplicated through the recluster(s)
+    val ids = Ivf.readLayout(spark, polDir).select("vec_id")
+      .collect().map(_.getLong(0))
+    assert(ids.length === 260 && ids.toSet === (0L until 260L).toSet)
+
+    // end-state serving == a fresh build over the union with the
+    // layout's CURRENT (retrained) centroids — the recluster equality
+    // contract surviving the whole streamed lifecycle
+    val freshDir = mkDir("stream_rec_fresh")
+    Ivf.writePartitionedWith((base ++ drift).toDF("vec_id", "embedding"),
+      Ivf.centroidsOf(spark, polDir), freshDir)
+    val qs = (base.take(1) ++ drift.take(1)).toDF("vec_id", "embedding")
+      .select(col("vec_id").as("query_id"),
+        graft.functions.VectorFunctions.perturbQuery(col("embedding")).as("query_vec"))
+    val c = Ivf.centroidsOf(spark, polDir).count().toInt
+    def rows(dir: String) = Ivf.topKPartitionedBatch(spark, dir, qs, 10, nprobe = c)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(polDir) === rows(freshDir),
+      "streamed+reclustered serving must equal a fresh build with the retrained centroids")
+  }
+
   test("streaming cosine/MIPS maintenance: transformed appends == single-pass layouts") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Ivf
