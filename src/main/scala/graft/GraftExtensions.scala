@@ -71,6 +71,18 @@ object GraftExtensions {
         require(args.length == 1,
           s"link_density requires exactly 1 argument, got ${args.length}")
         graft.functions.LinkDensityExpr(args(0))
+      }),
+    (FunctionIdentifier("html_links"), info("html_links"),
+      { args =>
+        require(args.length == 1,
+          s"html_links requires exactly 1 argument, got ${args.length}")
+        graft.functions.HtmlLinksExpr(args(0))
+      }),
+    (FunctionIdentifier("canonical_url"), info("canonical_url"),
+      { args =>
+        require(args.length == 1,
+          s"canonical_url requires exactly 1 argument, got ${args.length}")
+        graft.functions.CanonicalUrlExpr(args(0))
       }))
 
   /** Lift a DataFrame builder over literal arguments into a TVF plan

@@ -2960,6 +2960,54 @@ object SparkEntry {
           TextAnalysis.htmlText(col("html")).as("text_out"),
           round(TextAnalysis.linkDensity(col("html")), 6).as("link_density"))
     }),
+    // href extraction from markup (html_links) — the provenance feed
+    // when the corpus arrives as HTML: anchors in scripts/comments must
+    // NOT count, quoted and bare attribute forms both parse; hrefs are
+    // deterministic (doc_id formulas), so the oracle unnests the
+    // expected list directly
+    "q_html_links" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><script>var a = '<a href=\"/ghost\">x</a>';</script></head>"),
+        lit("<body><!-- <a href=\"/ghost2\">c</a> --><p>"), col("text"), lit("</p>"),
+        lit("<a href=\"/p/"), pmod(col("doc_id"), lit(7)).cast("string"), lit("\">rel</a>"),
+        lit("<a href='https://s"), pmod(col("doc_id"), lit(3)).cast("string"),
+        lit(".example.com/x'>abs</a>"),
+        lit("<a href=/plain>bare</a></body></html>"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextAnalysis.htmlLinks(html)).as("url"))
+    }),
+    // URL canonicalization (canonical_url): lowercase scheme/host,
+    // default port + fragment + tracking params stripped, one trailing
+    // slash removed — each injected variant exercises one rule, so the
+    // oracle states the expected canonical in closed form
+    "q_url_canonical" -> ((s, dir) => {
+      val a = pmod(col("doc_id"), lit(5)).cast("string")
+      val b = pmod(col("doc_id"), lit(7)).cast("string")
+      val m = pmod(col("doc_id"), lit(4))
+      val url = when(m === 0,
+          concat(lit("HTTPS://Site"), a, lit(".Example.COM:443/p/"), b, lit("#sec")))
+        .when(m === 1,
+          concat(lit("http://host"), a, lit(".example.com:80/q?utm_source=feed&id="), b))
+        .when(m === 2, concat(lit("https://plain"), a, lit(".example.com/dir/")))
+        .otherwise(concat(lit("http://keep"), a, lit(".example.com/x?id="), b,
+          lit("&utm_campaign=z&gclid=g")))
+      Tables.documents(s, dir).select(col("doc_id"), url.as("url"),
+        TextAnalysis.canonicalUrl(url).as("canonical_url"))
+    }),
+    // URL-level dedup over canonical forms: two spellings of the same
+    // page (case + trailing slash vs tracking param) collapse to ONE
+    // canonical row keeping the smallest doc_id — the normalize-
+    // before-dedup stage CCNet-style pipelines run on the URL column
+    "q_url_dedup" -> ((s, dir) => {
+      val k = pmod(col("doc_id"), lit(10)).cast("string")
+      val v = pmod(col("doc_id"), lit(2))
+      val docs = Tables.documents(s, dir).withColumn("text",
+        concat(col("text"), lit(" see "),
+          when(v === 0, concat(lit("https://Dup.Example.com/page/"), k, lit("/")))
+            .otherwise(concat(lit("https://dup.example.com/page/"), k,
+              lit("?utm_source=x")))))
+      TextAnalysis.urlDedup(docs)
+    }),
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "q_quality" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
     // per-source quality gate: thresholds = exact interpolated p75 per
@@ -3843,6 +3891,36 @@ object SparkEntry {
             round(12.0 / (2 * (3 + length(CAST(doc_id AS VARCHAR)))
               + length(replace(text, ' ', '')) + 25), 6) AS link_density
           FROM documents""",
+    // the synthesized anchors' hrefs in closed form (script/comment
+    // ghosts excluded by the extractor, asserted by their absence)
+    "q_html_links" ->
+      s"""SELECT doc_id, u.url
+          FROM documents, LATERAL (SELECT unnest([
+            '/p/' || CAST(doc_id % 7 AS VARCHAR),
+            'https://s' || CAST(doc_id % 3 AS VARCHAR) || '.example.com/x',
+            '/plain']) AS url) u""",
+    // expected canonical per injected variant, in closed form
+    "q_url_canonical" ->
+      s"""SELECT doc_id,
+            CASE doc_id % 4
+              WHEN 0 THEN 'HTTPS://Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.COM:443/p/' || CAST(doc_id % 7 AS VARCHAR) || '#sec'
+              WHEN 1 THEN 'http://host' || CAST(doc_id % 5 AS VARCHAR) || '.example.com:80/q?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR)
+              WHEN 2 THEN 'https://plain' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/dir/'
+              ELSE 'http://keep' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/x?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=z&gclid=g'
+            END AS url,
+            CASE doc_id % 4
+              WHEN 0 THEN 'https://site' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/p/' || CAST(doc_id % 7 AS VARCHAR)
+              WHEN 1 THEN 'http://host' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/q?id=' || CAST(doc_id % 7 AS VARCHAR)
+              WHEN 2 THEN 'https://plain' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/dir'
+              ELSE 'http://keep' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/x?id=' || CAST(doc_id % 7 AS VARCHAR)
+            END AS canonical_url
+          FROM documents""",
+    "q_url_dedup" ->
+      s"""WITH u AS (SELECT doc_id,
+            'https://dup.example.com/page/' || CAST(doc_id % 10 AS VARCHAR) AS canonical_url
+          FROM documents)
+          SELECT canonical_url, min(doc_id) AS doc_id, count(*) AS n_occurrences
+          FROM u GROUP BY 1""",
     "q_lang_id" -> {
       val scores = TextAnalysis.stopwords.map { case (l, ws) =>
         s"len(list_filter(t, w -> w IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS s_$l"

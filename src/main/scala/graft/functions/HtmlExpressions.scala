@@ -65,7 +65,52 @@ object HtmlKernels {
     if (e.totalChars == 0) 0.0 else e.linkChars.toDouble / e.totalChars
   }
 
-  private def extractStr(str: String): Extract = {
+  /** The `href` targets of the fragment's anchor tags, in document
+    * order — the provenance feed ([[graft.operators.TextAnalysis]]'s
+    * URL/domain ops run downstream of this on a web corpus). Raw
+    * attribute values (no entity decode — a URL's own escaping is the
+    * consumer's business); anchors inside comments/scripts/styles do
+    * not count; quoted and unquoted attribute forms both parse.
+    */
+  def links(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    extractStr(s.toString, out)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  /** First `href` attribute value of a tag body, null when absent. */
+  private def hrefOf(body: String): String = {
+    var i = 0
+    while (i < body.length - 4) {
+      if (body.regionMatches(true, i, "href", 0, 4) &&
+          (i == 0 || !Character.isLetterOrDigit(body.charAt(i - 1)))) {
+        var j = i + 4
+        while (j < body.length && Character.isWhitespace(body.charAt(j))) j += 1
+        if (j < body.length && body.charAt(j) == '=') {
+          j += 1
+          while (j < body.length && Character.isWhitespace(body.charAt(j))) j += 1
+          if (j < body.length) {
+            val q = body.charAt(j)
+            if (q == '"' || q == '\'') {
+              val e = body.indexOf(q, j + 1)
+              return if (e < 0) body.substring(j + 1) else body.substring(j + 1, e)
+            } else {
+              var e = j
+              while (e < body.length && !Character.isWhitespace(body.charAt(e)) &&
+                body.charAt(e) != '>') e += 1
+              return body.substring(j, e)
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    null
+  }
+
+  private def extractStr(str: String,
+                         links: scala.collection.mutable.ArrayBuffer[Any] = null)
+      : Extract = {
     val n = str.length
     val sb = new java.lang.StringBuilder(n)
     var linkChars = 0
@@ -141,7 +186,13 @@ object HtmlKernels {
               if (blockTags.contains(name)) sb.append('\n')
               if (name == "a") {
                 if (closing) aDepth = math.max(0, aDepth - 1)
-                else if (!body.endsWith("/")) aDepth += 1
+                else {
+                  if (!body.endsWith("/")) aDepth += 1
+                  if (links != null) {
+                    val h = hrefOf(body)
+                    if (h != null) links += UTF8String.fromString(h)
+                  }
+                }
               }
               i = gt + 1
             }
@@ -234,6 +285,33 @@ case class HtmlTextExpr(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, s => s"graft.functions.HtmlKernels.visibleText($s)")
 
   override protected def withNewChildInternal(newChild: Expression): HtmlTextExpr =
+    copy(child = newChild)
+}
+
+/** `html_links(markup) → array<string>`: the fragment's anchor `href`
+  * targets in document order ([[HtmlKernels.links]]) — the feed for the
+  * URL/domain provenance operators on a markup corpus. Same single-pass
+  * kernel and codegen shape as [[HtmlTextExpr]].
+  */
+case class HtmlLinksExpr(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "html_links"
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${child.dataType.simpleString}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(s: Any): Any =
+    HtmlKernels.links(s.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.HtmlKernels.links($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlLinksExpr =
     copy(child = newChild)
 }
 

@@ -35,6 +35,13 @@ object TextAnalysis {
   def linkDensity(markup: Column): Column =
     column(graft.functions.LinkDensityExpr(exprOf(markup)))
 
+  /** Anchor `href` targets in document order — what feeds
+    * [[urlDomains]]/[[domainGate]] when the corpus arrives as markup
+    * instead of plain text.
+    */
+  def htmlLinks(markup: Column): Column =
+    column(graft.functions.HtmlLinksExpr(exprOf(markup)))
+
   /** The HTML extraction STAGE: replace `markupCol` with its extracted
     * text and flag boilerplate-dominated rows (`link_density >
     * maxLinkDensity` — nav/footer link farms). Shuffle-free (one
@@ -206,6 +213,26 @@ object TextAnalysis {
       .select(col("doc_id"), explode(urlsCol(col("text"))).as("url"))
       .select(col("doc_id"), col("url"),
         regexp_extract(col("url"), domainPattern, 1).as("domain"))
+
+  /** Canonical URL form ([[graft.functions.UrlKernels]]): lowercase
+    * scheme/host, default port + fragment + tracking params stripped,
+    * one trailing slash removed — the normalize-before-dedup step
+    * (the same page arrives under many spellings; URL dedup without
+    * this silently keeps them all).
+    */
+  def canonicalUrl(url: Column): Column =
+    column(graft.functions.CanonicalUrlExpr(exprOf(url)))
+
+  /** URL-level dedup: one row per CANONICAL URL, keeping the smallest
+    * doc_id that linked it — `(canonical_url, doc_id, n_occurrences)`.
+    * One gram-sized shuffle on the canonical string; text never moves.
+    */
+  def urlDedup(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(urlsCol(col("text"))).as("url"))
+      .select(col("doc_id"), canonicalUrl(col("url")).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_occurrences"))
 
   /** True when any linked domain is `b` or a subdomain of `b`, for any
     * blocklist entry — the standard provenance-filter semantics.

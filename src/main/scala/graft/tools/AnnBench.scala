@@ -60,6 +60,7 @@ object AnnBench {
     if (args.contains("dsirscale")) { dsirScaleSmoke(spark); spark.stop(); return }
     if (args.contains("curatestats")) { curateStatsSmoke(spark); spark.stop(); return }
     if (args.contains("reclusterscale")) { reclusterScaleSmoke(spark); spark.stop(); return }
+    if (args.contains("htmlscale")) { htmlScaleSmoke(spark); spark.stop(); return }
     val emb = Tables.embeddings(spark, sfDir)
     val qs = emb.select(col("vec_id").as("query_id"),
       perturbQuery(col("embedding")).as("query_vec"))
@@ -1449,6 +1450,72 @@ object AnnBench {
     println(json)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/pii_scale.json"), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[annbench] file write failed: ${e.getMessage}") }
+  }
+
+  /** HTML-extraction throughput smoke: the markup stage every web
+    * corpus pays before ANY curation operator. 2M docs of synthesized
+    * realistic markup (head with style+script to drop, a comment,
+    * entity-laden body paragraphs, a nav link farm — ~1 KB/doc),
+    * extracted by the single-forward-pass [[graft.functions.HtmlKernels]]
+    * scan. Measures html_text extraction, the link-density boilerplate
+    * gate, and the composed extract→gate stage — all expected
+    * SHUFFLE-FREE (pure codegen projections over the scan; the
+    * listener proves it).
+    */
+  private def htmlScaleSmoke(spark: SparkSession): Unit = {
+    import graft.operators.TextAnalysis
+    val n = sys.env.get("SPARK_GRAFT_HTML_N").flatMap(_.toIntOption).getOrElse(2000000)
+    val body = concat_ws(" ", transform(sequence(lit(0), lit(39)),
+      j => concat(lit("word"), pmod(hash(col("id"), j), lit(5000)))))
+    val navy = pmod(col("id"), lit(10)) === 0 // every 10th doc is a link farm
+    val html = concat(
+      lit("<html><head><title>Doc "), col("id").cast("string"), lit("</title>"),
+      lit("<style>p { margin: 0 } .nav > a { color: blue }</style>"),
+      lit("<script>if (1 < 2) { track('</p>'); }</script></head>"),
+      lit("<body><!-- header --><h1>Doc "), col("id").cast("string"), lit("</h1>"),
+      lit("<p>"), body, lit(" &amp; more &#65;</p>"),
+      when(navy, concat_ws("", transform(sequence(lit(0), lit(60)),
+          j => concat(lit("<a href=\"/p/"), j.cast("string"), lit("\">link "),
+            j.cast("string"), lit("</a> ")))))
+        .otherwise(lit("<div><a href=\"/next\">next page</a></div>")),
+      lit("</body></html>"))
+    val docs = spark.range(n).select(col("id").as("doc_id"), html.as("html")).cache()
+    docs.count()
+
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+    def phase(label: String)(f: => Long): String = {
+      System.gc()
+      val s0 = shuffleBytes.get()
+      val t0 = System.nanoTime()
+      val count = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      val sb = shuffleBytes.get() - s0
+      println(s"[annbench] htmlscale $label: $count rows, ${fmt(sec, 1)} s " +
+        s"(${(n / sec).toLong} docs/s), shuffle $sb B")
+      s""""$label":{"rows":$count,"wall_sec":${fmt(sec, 1)},""" +
+        s""""docs_per_sec":${(n / sec).toLong},"shuffle_write_bytes":$sb}"""
+    }
+    val extract = phase("html_text")(
+      docs.select(TextAnalysis.htmlText(col("html")).as("text"))
+        .filter(length(col("text")) > 0).count())
+    val gate = phase("link_density_gate")(
+      docs.filter(TextAnalysis.linkDensity(col("html")) > 0.5).count())
+    val composed = phase("extract_and_gate")(
+      TextAnalysis.extractHtml(docs, "html", maxLinkDensity = 0.5)
+        .filter(!col("boilerplate"))
+        .filter(length(col("text")) > 0).count())
+    val json = s"""{"html_scale":{"n_docs":$n,$extract,$gate,$composed}}"""
+    println(json)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/html_scale.json"), json + "\n")
     catch { case e: Throwable => System.err.println(s"[annbench] file write failed: ${e.getMessage}") }
   }
 

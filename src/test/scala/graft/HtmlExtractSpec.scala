@@ -112,6 +112,81 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(cleaned.count() === 1L)
   }
 
+  test("html_links: hrefs in document order; script/comment ghosts excluded; attribute forms") {
+    def lk(s: String): Seq[String] = {
+      val a = HtmlKernels.links(UTF8String.fromString(s))
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+    }
+    assert(lk("""<a href="/one">1</a><a href='/two'>2</a><a href=/three>3</a>""")
+      === Seq("/one", "/two", "/three"))
+    // other attributes around href; case-insensitive name; self-closing
+    assert(lk("""<a class="x" HREF="/caps" title='1>2'>t</a><a href="/sc"/>""")
+      === Seq("/caps", "/sc"))
+    // ghosts in script/comment/style never count; anchors without href don't
+    assert(lk("""<script>'<a href="/g1">'</script><!-- <a href="/g2"> -->
+      <style>a { color: red }</style><a name="n">no href</a><a href="/real">r</a>""")
+      === Seq("/real"))
+    // xhref must not match (word boundary); an unterminated attribute
+    // quote makes the whole tag malformed — dropped, no link, no hang
+    assert(lk("""<a xhref="/no">x</a><a href="/tail>y</a>""") === Seq.empty)
+    assert(lk("") === Seq.empty)
+  }
+
+  test("html_links composes with domain provenance over extracted URLs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, """<a href="https://good.org/a">g</a><a href="https://ads.net/b">b</a>"""),
+      (2L, """<a href="/relative">r</a>"""))
+      .toDF("doc_id", "html")
+    val links = docs.select(col("doc_id"),
+      explode(TextAnalysis.htmlLinks(col("html"))).as("url"))
+    assert(links.count() === 3L)
+    val domains = links
+      .select(col("doc_id"), regexp_extract(col("url"),
+        "https?://([A-Za-z0-9.-]+)", 1).as("domain"))
+      .filter(col("domain") =!= "")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(domains === Set((1L, "good.org"), (1L, "ads.net")))
+  }
+
+  test("canonical_url: each rule exact; non-http passes through; composition collapses spellings") {
+    import graft.functions.UrlKernels
+    def c(s: String) = UrlKernels.canonicalStr(s)
+    // scheme/host lowercase, path case preserved
+    assert(c("HTTPS://WWW.Site.COM/Path/X") === "https://www.site.com/Path/X")
+    // default ports drop, non-default kept
+    assert(c("https://a.com:443/x") === "https://a.com/x")
+    assert(c("http://a.com:80/x") === "http://a.com/x")
+    assert(c("http://a.com:8080/x") === "http://a.com:8080/x")
+    assert(c("https://a.com:80/x") === "https://a.com:80/x") // 80 is not https default
+    // fragment drops; trailing slash (one) strips; bare '/' empties
+    assert(c("https://a.com/x#frag") === "https://a.com/x")
+    assert(c("https://a.com/") === "https://a.com")
+    assert(c("https://a.com/x//") === "https://a.com/x/")
+    // tracking params drop, others keep order; emptied query drops '?'
+    assert(c("https://a.com/x?utm_source=s&id=1&utm_medium=m&b=2")
+      === "https://a.com/x?id=1&b=2")
+    assert(c("https://a.com/x?fbclid=f") === "https://a.com/x")
+    assert(c("https://a.com/x?GCLID=g&k=v") === "https://a.com/x?k=v")
+    // query is NOT a path: its trailing slash survives
+    assert(c("https://a.com/x?p=a/") === "https://a.com/x?p=a/")
+    // no percent-decoding; non-http unchanged
+    assert(c("https://a.com/x%2Fy") === "https://a.com/x%2Fy")
+    assert(c("ftp://a.com/X/") === "ftp://a.com/X/")
+    assert(c("not a url") === "not a url")
+    // the dedup composition: three spellings, one canonical row, min id
+    import spark.implicits._
+    val docs = Seq(
+      (5L, "see https://Dup.Example.com/page/1/"),
+      (3L, "see https://dup.example.com/page/1?utm_source=x"),
+      (9L, "see https://DUP.example.com/page/1#top done"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.urlDedup(docs).collect()
+    assert(out.length === 1)
+    assert(out.head.getString(0) === "https://dup.example.com/page/1")
+    assert(out.head.getLong(1) === 3L && out.head.getLong(2) === 3L)
+  }
+
   test("SQL surface: html_text / link_density registered") {
     import spark.implicits._
     GraftExtensions.register(spark)
@@ -120,5 +195,7 @@ class HtmlExtractSpec extends AnyFunSuite {
       "SELECT html_text(h) AS t, round(link_density(h), 3) AS d FROM htmlv").head()
     assert(r.getString(0) === "a & b\nz")
     assert(r.getDouble(1) === 0.25) // z = 1 link char; visible = a,&,b,z = 4
+    assert(spark.sql("SELECT html_links('<a href=\"/u\">x</a>') AS l")
+      .head().getSeq[String](0) === Seq("/u"))
   }
 }
