@@ -110,6 +110,7 @@ object SparkEntry {
   private val clusterStoreBuilt = scala.collection.concurrent.TrieMap.empty[String, Boolean]
   private val ccStoreBuilt = scala.collection.concurrent.TrieMap.empty[String, Boolean]
   private val gramStoreBuilt = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private val urlStoreBuilt = scala.collection.concurrent.TrieMap.empty[String, Boolean]
   private val substrateBuilt = scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
   /** Persist a derived substrate relation ONCE per (tag, sf dir) and
@@ -3008,6 +3009,29 @@ object SparkEntry {
               lit("?utm_source=x")))))
       TextAnalysis.urlDedup(docs)
     }),
+    // INCREMENTAL URL dedup against the bucketed canonical-URL store
+    // (crawl-frontier semantics): the corpus half persists canonical
+    // forms of ONE spelling, the batch arrives under ANOTHER spelling
+    // of the same pages plus a novel-key tail — only the tail's first
+    // holders survive. The store is setup (a crawl pipeline persists
+    // it); the measured query is the batch's anti-join + keep.
+    "q_url_dedup_incremental" -> ((s, dir) => {
+      val k = pmod(col("doc_id"), lit(300)).cast("string")
+      val docs = Tables.documents(s, dir).withColumn("text",
+        concat(col("text"), lit(" see "),
+          when(col("doc_id") < 250,
+            concat(lit("https://Inc.Example.com/page/"), k, lit("/")))
+            .otherwise(concat(lit("https://inc.example.com/page/"), k,
+              lit("?utm_source=x")))))
+      val table = "graft_urls_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      urlStoreBuilt.getOrElseUpdate(table, {
+        dropManagedTable(s, table)
+        TextAnalysis.writeUrlStore(docs.filter(col("doc_id") < 250), table)
+        true
+      })
+      TextAnalysis.incrementalUrlDedup(s, table,
+        docs.filter(col("doc_id") >= 250), absorb = false)
+    }),
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "q_quality" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
     // per-source quality gate: thresholds = exact interpolated p75 per
@@ -3915,6 +3939,14 @@ object SparkEntry {
               ELSE 'http://keep' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/x?id=' || CAST(doc_id % 7 AS VARCHAR)
             END AS canonical_url
           FROM documents""",
+    // batch keys are doc_id % 300; keys < 250 are stored (corpus ids
+    // 0..249 under the other spelling — canonicalization collapses
+    // them), so the novel tail is exactly keys 250..299, first held by
+    // doc_id == key
+    "q_url_dedup_incremental" ->
+      s"""SELECT doc_id,
+            'https://inc.example.com/page/' || CAST(doc_id AS VARCHAR) AS canonical_url
+          FROM documents WHERE doc_id >= 250 AND doc_id < 300""",
     "q_url_dedup" ->
       s"""WITH u AS (SELECT doc_id,
             'https://dup.example.com/page/' || CAST(doc_id % 10 AS VARCHAR) AS canonical_url

@@ -234,6 +234,64 @@ object TextAnalysis {
       .groupBy("canonical_url")
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_occurrences"))
 
+  /** Persisted BUCKETED canonical-URL store for crawl-ingestion dedup:
+    * the corpus' distinct canonical URLs as a saved table bucketed
+    * (and sorted) by `canonical_url` — `Dedup.writeDigestStore`'s
+    * contract at URL granularity (a crawl frontier dedups arrivals by
+    * URL before fetching/processing the page twice). Repeat
+    * ingestion's anti-join reads the store PRE-PARTITIONED on the join
+    * key: no store-side Exchange, ever.
+    */
+  def writeUrlStore(documents: DataFrame, table: String, buckets: Int = 32): Unit =
+    documents
+      .select(explode(urlsCol(col("text"))).as("url"))
+      .select(canonicalUrl(col("url")).as("canonical_url"))
+      .distinct()
+      .write.mode("overwrite")
+      .bucketBy(buckets, "canonical_url").sortBy("canonical_url")
+      .saveAsTable(table)
+
+  /** Ingestion-time URL dedup against the bucketed store: a batch
+    * doc's URL survives iff its CANONICAL form is absent from the
+    * store AND it is the batch's first (min doc_id) holder of that
+    * form — `Dedup.incrementalExactBucketed`'s keep semantics on the
+    * URL column. Returns `(doc_id, canonical_url)` for the kept
+    * arrivals. `absorb = true` appends the kept (novel) canonical
+    * forms back through the bucket spec — O(batch), replay-idempotent
+    * (a replayed batch's URLs are all known, keeps nothing, appends
+    * nothing).
+    */
+  def incrementalUrlDedup(spark: org.apache.spark.sql.SparkSession,
+                          table: String, batch: DataFrame,
+                          absorb: Boolean = true): DataFrame = {
+    // cross-session freshness: the clusterStoreLabels refresh contract
+    spark.catalog.refreshTable(table)
+    val kept = batch
+      .select(col("doc_id"), explode(urlsCol(col("text"))).as("url"))
+      .select(col("doc_id"), canonicalUrl(col("url")).as("canonical_url"))
+      .join(spark.table(table), Seq("canonical_url"), "left_anti")
+      .groupBy("canonical_url").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "canonical_url")
+    if (!absorb) kept
+    else {
+      val pinned = kept.localCheckpoint(true) // materialize before the store moves
+      pinned.select("canonical_url")
+        .write.mode("append")
+        .bucketBy(bucketCountOfTable(spark, table), "canonical_url")
+        .sortBy("canonical_url")
+        .saveAsTable(table)
+      pinned
+    }
+  }
+
+  private def bucketCountOfTable(spark: org.apache.spark.sql.SparkSession,
+                                 table: String): Int =
+    spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalArgumentException(
+        s"store table $table has no bucket spec"))
+
   /** True when any linked domain is `b` or a subdomain of `b`, for any
     * blocklist entry — the standard provenance-filter semantics.
     */

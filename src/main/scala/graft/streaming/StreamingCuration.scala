@@ -86,6 +86,25 @@ object StreamingCuration {
       }
       .start()
 
+  /** Streaming crawl-frontier URL dedup: each micro-batch's kept
+    * arrivals — docs whose canonical URL is novel to the bucketed
+    * store AND batch-first ([[graft.operators.TextAnalysis
+    * .incrementalUrlDedup]]) — go to `handler`, then the batch's novel
+    * canonical forms absorb. Per-batch cost ∝ batch (the store side of
+    * the anti-join reads pre-partitioned); micro-batch replay is
+    * idempotent (all-known URLs keep nothing, append nothing), so
+    * at-least-once delivery never double-ingests a page.
+    */
+  def dedupStreamUrls(newDocs: DataFrame, urlTable: String)(
+      handler: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        handler(graft.operators.TextAnalysis.incrementalUrlDedup(
+          batch.sparkSession, urlTable, batch.toDF()), id)
+      }
+      .start()
+
   /** Streaming ingest-time NEAR-dup: each micro-batch runs
     * [[graft.operators.Dedup.minhashPairsIncremental]] against the
     * persisted MinHash store — pairs vs everything absorbed so far

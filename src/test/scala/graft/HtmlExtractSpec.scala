@@ -21,6 +21,15 @@ class HtmlExtractSpec extends AnyFunSuite {
   private def dens(s: String): Double =
     HtmlKernels.linkDensity(UTF8String.fromString(s))
 
+  private def withConfs[T](pairs: (String, String)*)(body: => T): T = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("basic structure: tags strip, blocks break lines, whitespace collapses") {
     assert(ext("<html><head><title>T</title></head><body><p>a  b</p><p>c</p></body></html>")
       === "T\na b\nc")
@@ -185,6 +194,49 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(out.length === 1)
     assert(out.head.getString(0) === "https://dup.example.com/page/1")
     assert(out.head.getLong(1) === 3L && out.head.getLong(2) === 3L)
+  }
+
+  test("bucketed URL store: spellings collapse across corpus/batch; store side exchange-free; absorb + replay") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import graft.operators.Dedup
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a https://Known.Example.com/p/1/"),
+      (2L, "b https://known.example.com/p/2#frag"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "c https://known.example.com/p/1?utm_source=x"), // known under another spelling
+      (11L, "d https://known.example.com/p/3"),              // novel
+      (12L, "e https://KNOWN.example.com/p/3/"),             // batch-dup of 11's page
+      (13L, "f no url here at all"))
+      .toDF("doc_id", "text")
+    val tbl = "url_store_spec"
+    Dedup.dropClusterStore(spark, tbl) // generic managed-table sweep
+    TextAnalysis.writeUrlStore(corpus, tbl, buckets = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val kept = rows(TextAnalysis.incrementalUrlDedup(spark, tbl, batch, absorb = false))
+    assert(kept === Set((11L, "https://known.example.com/p/3")),
+      "only the novel page's first holder survives")
+    // plan pin: the anti-join's store side reads pre-partitioned
+    withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+      val df = TextAnalysis.incrementalUrlDedup(spark, tbl, batch, absorb = false)
+      val smj = df.queryExecution.executedPlan
+        .collectFirst { case j: SortMergeJoinExec => j }
+        .getOrElse(fail("expected a sort-merge anti-join against the URL store:\n" +
+          df.queryExecution.executedPlan.toString))
+      assert(smj.right.collectFirst { case e: ShuffleExchangeLike => e }.isEmpty,
+        s"store side must read pre-partitioned by bucket:\n${smj.right}")
+    }
+    // absorb + replay idempotence
+    assert(rows(TextAnalysis.incrementalUrlDedup(spark, tbl, batch))
+      === Set((11L, "https://known.example.com/p/3")))
+    val n1 = spark.table(tbl).count()
+    assert(TextAnalysis.incrementalUrlDedup(spark, tbl, batch).collect().isEmpty,
+      "a replayed batch's URLs are all known")
+    assert(spark.table(tbl).count() === n1, "replay must not grow the URL store")
   }
 
   test("SQL surface: html_text / link_density registered") {

@@ -396,6 +396,39 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       "every streamed row must land exactly once")
   }
 
+  test("streaming URL dedup: per-batch keeps == batch form; absorb is replay-idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Dedup, TextAnalysis}
+    val tbl = "stream_url_store"
+    Dedup.dropClusterStore(spark, tbl) // generic managed-table sweep
+    TextAnalysis.writeUrlStore(
+      Seq((1L, "x https://Seed.Example.com/a/")).toDF("doc_id", "text"), tbl, buckets = 4)
+    val b1 = Seq(
+      (10L, "s https://seed.example.com/a?utm_source=x"), // known spelling variant
+      (11L, "s https://seed.example.com/b"))              // novel
+    val b2 = Seq(
+      (20L, "s https://SEED.example.com/b/"),             // b absorbed in batch 1
+      (21L, "s https://seed.example.com/c#f"))            // novel
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingCuration.dedupStreamUrls(
+      mem.toDF().toDF("doc_id", "text"), tbl) { (df, id) =>
+      df.collect().foreach(r => kept += ((id, r.getLong(0), r.getString(1))))
+    }
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable() // replay: all known now
+    } finally q.stop()
+    assert(kept.map(t => (t._2, t._3)).toSet === Set(
+      (11L, "https://seed.example.com/b"),
+      (21L, "https://seed.example.com/c")),
+      s"per-batch keeps must match the batch-form semantics, got $kept")
+    assert(kept.size === 2, "the replayed batch must keep nothing")
+    assert(spark.table(tbl).count() === 3L, // /a, /b, /c
+      "store holds one row per canonical form, replay appends nothing")
+  }
+
   test("auto-recluster policy: a drifted ingest stream ends rebalanced; serving stays exact and untorn") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.{CellSnapshot, Ivf}
