@@ -875,6 +875,75 @@ object Hnsw {
     IndexMeta.invalidate(spark, dir)
   }
 
+  /** Incremental APPEND into a persisted routed layout — the insert
+    * half of the routed lifecycle ([[reclusterRouted]] re-balances,
+    * [[compactRouted]] removes): fresh rows route onto the layout's
+    * CURRENT serving centroids with its SPANN replication, and ONLY the
+    * receiving cells rebuild — nodes union in, each affected cell's
+    * HNSW adjacency reconstructs from its full new membership (a cell
+    * graph is a function of membership: beam-inserting into stored
+    * adjacency would break the grown-≡-fresh-build equality the routed
+    * family pins), published as one new immutable [[CellSnapshot]]
+    * generation under a single manifest flip. Untouched cells' files
+    * are not touched at all, so per-batch I/O is proportional to the
+    * AFFECTED cells (a batch lands in ≤ replication·|batch| of them,
+    * and in practice far fewer — arrivals cluster). Semantics: the
+    * grown layout serves EXACTLY like a fresh [[saveRouted]] over the
+    * union (levels are pure functions of vec_id; assignment and
+    * per-cell builds are deterministic) — RoutedReclusterSpec pins it.
+    */
+  def insertIntoRouted(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       rows: DataFrame, p: Params, replication: Int = 2): Unit = {
+    val cents = routedCentroidsOf(spark, dir)
+    val fresh = rows
+      .join(Ivf.assignMulti(rows, cents, replication), Seq("vec_id"))
+      .select(col("cell").cast("int").as("part"), col("vec_id"),
+        col("embedding"), levelColumn(p).as("level"))
+    // receiving cell ids: ≤ replication·|batch| ints to the driver
+    // (partition-filter + manifest-delta formation)
+    val affected = fresh.select(col("part").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    if (affected.isEmpty) return
+    val existing = readRoutedNodes(spark, dir)
+      .filter(col("part").isin(affected.toIndexedSeq: _*)) // partition-pruned
+      .select(col("part").cast("int").as("part"), col("vec_id"),
+        col("embedding"), col("level"))
+    val union = existing.unionByName(fresh)
+    val (v, m) = CellSnapshot.mappingOrBase(spark, dir, "nodes", "part")
+    val g = v + 1
+    union.write.mode("overwrite").partitionBy("part")
+      .parquet(CellSnapshot.genRoot(dir, "nodes", g))
+    buildEdgesBy(union, p).write.mode("overwrite").partitionBy("part")
+      .parquet(CellSnapshot.genRoot(dir, "edges", g))
+    val staged = CellSnapshot.listParts(spark,
+      CellSnapshot.genRoot(dir, "nodes", g), "part")
+    CellSnapshot.publish(spark, dir, g, m ++ staged.map(_ -> g))
+    IndexMeta.invalidate(spark, dir)
+  }
+
+  /** Retrain routing centroids from a routed layout's OWN live rows
+    * (`Ivf.retrainCentroids`'s routed twin — hash-spread seeds via one
+    * TakeOrdered pass, `iters` Lloyd rounds over the distinct node
+    * vectors). Feeds [[reclusterRouted]] in an automated drift repair.
+    */
+  def retrainCentroidsRouted(spark: org.apache.spark.sql.SparkSession, dir: String,
+                             c: Int, iters: Int = 1): DataFrame = {
+    val live = Ivf.withoutExcluded(
+        readRoutedNodes(spark, dir).select(col("vec_id"), col("embedding")),
+        Tombstones.ids(spark, dir))
+      .dropDuplicates("vec_id")
+    val spread = live
+      .orderBy(pmod(graft.functions.Portable.md5Int(col("vec_id").cast("string")),
+        lit(Int.MaxValue)), col("vec_id"))
+      .limit(c)
+    val seeds = spread
+      .select(row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("vec_id"))).cast("long").as("rid"),
+        transform(col("embedding"), x => x.cast("double")).as("centroid_vec"))
+      .select((col("rid") - 1).as("centroid_id"), col("centroid_vec"))
+    Ivf.kmeansWith(live, seeds, iters)
+  }
+
   /** The full build-then-recluster routed lifecycle, memoized once per
     * dir (`Ivf.ensureReclusteredPartitioned`'s routed twin — the
     * declared `q_hnsw_recluster_topk` state).

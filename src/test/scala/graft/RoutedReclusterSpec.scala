@@ -125,6 +125,80 @@ class RoutedReclusterSpec extends AnyFunSuite {
     assert(cset(Hnsw.routedCentroidsAt(spark, dir, 0)) === cset(centsA))
   }
 
+  test("insertIntoRouted: grown layout == fresh build over the union; untouched cells stay at gen 0") {
+    val dir = java.nio.file.Files.createTempDirectory("routed_ins").toString
+    val cents = centsOf(Seq(0L, 60L, 120L, 190L))
+    val base = emb.filter(col("vec_id") < 150)
+    val fresh = emb.filter(col("vec_id") >= 150)
+    Hnsw.saveRouted(base, cents, p, dir, replication = 2)
+
+    Hnsw.insertIntoRouted(spark, dir, fresh, p, replication = 2)
+
+    // grown == fresh single-pass build over the union, bit-equal
+    val freshDir = java.nio.file.Files.createTempDirectory("routed_ins_fresh").toString
+    Hnsw.saveRouted(emb, cents, p, freshDir, replication = 2)
+    assert(served(dir) === served(freshDir),
+      "grown routed layout must serve like a fresh build over the union")
+
+    // only the receiving cells staged into the new generation — cells
+    // the batch never touched keep their generation-0 files
+    val (v, m) = CellSnapshot.mappingOrBase(spark, dir, "nodes", "part")
+    assert(v === 1, "append must publish one new generation")
+    val receiving = Ivf.assignMulti(fresh, cents, 2)
+      .select("cell").distinct().collect().map(_.getLong(0)).toSet
+    val untouched = m.collect { case (cell, gen) if !receiving.contains(cell) => gen }
+    assert(untouched.forall(_ == 0),
+      s"untouched cells must stay at gen 0: $m (receiving = $receiving)")
+    assert(receiving.forall(c => m(c) == 1), "receiving cells must move to gen 1")
+
+    // composes with the lifecycle: tombstone + recluster after the grow
+    Tombstones.record(spark, dir, emb.filter(col("vec_id") % 50 === 0).select("vec_id"))
+    Hnsw.reclusterRouted(spark, dir, centsOf(Seq(10L, 70L, 130L, 180L)), p, replication = 2)
+    val liveIds = Hnsw.readRoutedNodes(spark, dir).select("vec_id")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(liveIds === (0L until 200L).filter(_ % 50 != 0).toSet)
+  }
+
+  test("maintainRouted streaming: micro-batch appends == single-pass; drifted tail rebalances under the policy") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingAnn
+    val dir = java.nio.file.Files.createTempDirectory("routed_stream").toString
+    val cents = centsOf(Seq(0L, 60L, 120L, 190L))
+    val base = (0L until 150L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(8)(rnd.nextFloat() * 100f))
+    }
+    // drifted tail: far from every base centroid
+    val drift = (150L until 200L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(8)(2000f + rnd.nextFloat() * 20f))
+    }
+    Hnsw.saveRouted(base.toDF("vec_id", "embedding"), cents, p, dir, replication = 2)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamingAnn.maintainRouted(mem.toDF().toDF("vec_id", "embedding"),
+      dir, p, replication = 2,
+      recluster = Some(StreamingAnn.ReclusterPolicy(maxSkew = 1.6, iters = 2)))
+    try {
+      mem.addData(drift.take(25): _*)
+      q.processAllAvailable()
+      mem.addData(drift.drop(25): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // every streamed row serves; nothing lost or duplicated
+    val ids = Hnsw.readRoutedNodes(spark, dir).select("vec_id")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(ids === (0L until 200L).toSet)
+    // the policy fired and the layout ends balanced at its threshold
+    assert(CellSnapshot.version(spark, dir).exists(_ >= 2),
+      "append + recluster must have published generations")
+    assert(!Hnsw.needsReclusterRouted(spark, dir, maxSkew = 1.6),
+      s"drifted tail must end rebalanced (skew = ${Hnsw.cellSkewRouted(spark, dir)})")
+    // serving still answers with full results after the flips
+    assert(served(dir).size === 5 * 10)
+  }
+
   test("reclusterRouted folds tombstones in and clears them") {
     val dir = java.nio.file.Files.createTempDirectory("routed_rec_t").toString
     val centsA = centsSkewed
