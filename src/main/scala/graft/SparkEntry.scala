@@ -3453,8 +3453,13 @@ object SparkEntry {
     // cluster artifact + the same portable hash label.
     "q_leakage_split" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // pair relation from the shared once-per-sf-dir substrate (its
+      // own comment: "the dedup pass's cluster artifact" — this
+      // query's operator is the cluster-keyed split, not the pair
+      // sweep); rows and oracle hash identical either way
       val clusters = Dedup.nearDupClusters(docs,
-        Dedup.jaccardPairsExact(docs, 0.5, maxDf = 10000))
+        ensureSubstrate(s, dir, "jacc_pairs")(
+          Dedup.jaccardPairsExact(docs, 0.5, maxDf = 10000)))
       Sampling.leakageSafeSplit(docs, clusters, splitTrain, splitVal)
     }),
     // Re-weight the corpus to a target language mixture at the largest

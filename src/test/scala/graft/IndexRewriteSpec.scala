@@ -730,6 +730,33 @@ class IndexRewriteSpec extends AnyFunSuite {
     IndexCatalog.unregister(normPath)
   }
 
+  test("BATCH MIPS floor: union pruning over executed query vectors stays exact") {
+    val mdir = java.nio.file.Files.createTempDirectory("idxrw_mipsr_b").toString
+    IndexCatalog.buildAndRegisterMips(spark, normPath, c = 4, iters = 2,
+      nprobe = 1, mdir, partitioned = true)
+    def naiveBatch(ids: Seq[Long]): DataFrame = {
+      val emb = spark.read.parquet(normPath)
+      val qs = emb.filter(col("vec_id").isin(ids: _*))
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      emb.crossJoin(broadcast(qs))
+        .select(col("query_id"), col("vec_id"),
+          round(dotProduct(col("embedding"), col("query_vec")), 6).as("ip"))
+        .filter(col("ip") >= 5000.0)
+        .orderBy(col("query_id"), col("ip").desc, col("vec_id"))
+    }
+    def rowsB(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exact = rowsB(naiveBatch(Seq(150L, 199L)))
+    assert(exact.nonEmpty)
+    withRule {
+      val df = naiveBatch(Seq(150L, 199L))
+      assert(df.queryExecution.optimizedPlan.toString.contains("cell#"),
+        "batch MIPS floor should fire the assignment join")
+      assert(rowsB(df) === exact, "union-pruned batch dot floor must equal the full scan")
+    }
+    IndexCatalog.unregister(normPath)
+  }
+
   test("floor must-not-fire: kind mismatch, below-floor direction, shifted score, non-literal") {
     // L2 index registered: neither floor shape may prune with its cells
     val ldir = java.nio.file.Files.createTempDirectory("idxrw_floor_mm").toString
