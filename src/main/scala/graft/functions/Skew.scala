@@ -93,9 +93,15 @@ object Skew {
     // be wrong.
     val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
     val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val estParts = size / maxPart + 1
-    if (size >= BigInt(spark.sessionState.conf.defaultSizeInBytes) ||
-        estParts >= target) df
-    else df.repartition(target)
+    // Stats at the defaultSizeInBytes ceiling mean UNKNOWN, not wide —
+    // for those (rare: non-file relations, some post-transform plans)
+    // fall back to the physical RDD's partition count. The conversion
+    // costs one plan→RDD translation, paid only on the unknown path;
+    // the common file-scan path stays stats-only.
+    val estParts =
+      if (size >= BigInt(spark.sessionState.conf.defaultSizeInBytes))
+        BigInt(df.rdd.getNumPartitions)
+      else size / maxPart + 1
+    if (estParts >= target) df else df.repartition(target)
   }
 }

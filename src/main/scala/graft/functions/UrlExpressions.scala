@@ -53,7 +53,16 @@ object UrlKernels {
     // authority = up to the first '/' or '?' after the scheme
     var a = schemeEnd
     while (a < noFrag.length && noFrag.charAt(a) != '/' && noFrag.charAt(a) != '?') a += 1
-    var auth = noFrag.substring(schemeEnd, a).toLowerCase(java.util.Locale.ROOT)
+    // lowercase ONLY the host[:port] segment — userinfo (anything
+    // before the last '@') is case-significant on real servers, so
+    // folding it would merge fetch-distinct URLs
+    var auth = {
+      val raw = noFrag.substring(schemeEnd, a)
+      val at = raw.lastIndexOf('@')
+      if (at < 0) raw.toLowerCase(java.util.Locale.ROOT)
+      else raw.substring(0, at + 1) +
+        raw.substring(at + 1).toLowerCase(java.util.Locale.ROOT)
+    }
     val defPort = if (https) ":443" else ":80"
     if (auth.endsWith(defPort)) auth = auth.substring(0, auth.length - defPort.length)
     // path = up to '?', query = the rest

@@ -515,11 +515,19 @@ object Dedup {
         org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW
       spark.sql(if (isView) s"DROP VIEW $table" else s"DROP TABLE $table")
     }
+    // only OUR generation tables: exactly `{table}__g<digits>` — a
+    // prefix match would also hit an unrelated table that merely
+    // starts with the same characters (e.g. `{table}__grants`)
+    val genName = s"^${java.util.regex.Pattern.quote(table)}__g\\d+$$".r
     cat.listTables(id.database.getOrElse(cat.getCurrentDatabase), s"${table}__g*")
+      .filter(t => genName.matches(t.table))
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.quotedString}"))
     // a NEW session's in-memory catalog has no entry for a previous
     // session's tables, but their warehouse dirs survive — saveAsTable
-    // would fail with LOCATION_ALREADY_EXISTS; sweep the stray dirs
+    // would fail with LOCATION_ALREADY_EXISTS; sweep ONLY the dirs
+    // whose names are exactly this store's (the logical name or a
+    // `__g<digits>` generation) — never anything that merely shares a
+    // prefix, which could be another session's unrelated table
     val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
     val whDir = new java.io.File(wh)
     def rm(f: java.io.File): Unit = {
@@ -527,7 +535,7 @@ object Dedup {
       f.delete()
     }
     Option(whDir.listFiles()).foreach(_.foreach { f =>
-      if (f.getName == table || f.getName.startsWith(s"${table}__g")) rm(f)
+      if (f.getName == table || genName.matches(f.getName)) rm(f)
     })
   }
 
@@ -542,8 +550,12 @@ object Dedup {
     val meta = cat.getTableMetadata(id)
     if (meta.tableType != org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW)
       (table, 0L)
+    // the view text is exactly `SELECT * FROM {table}__gN` — anchor the
+    // generation match to the END of the referenced identifier, else a
+    // logical name that itself contains `__g<digits>` (e.g. `sf__g2`)
+    // would resolve ITS embedded digits instead of the generation
     else meta.viewText
-      .flatMap(t => "__g(\\d+)".r.findFirstMatchIn(t).map(_.group(1).toLong))
+      .flatMap(t => "__g(\\d+)`?\\s*$".r.findFirstMatchIn(t.trim).map(_.group(1).toLong))
       .map(g => (genTable(table, g), g))
       .getOrElse(throw new IllegalStateException(
         s"cluster store view $table does not point at a generation table"))

@@ -52,7 +52,15 @@ object TextAnalysis {
   def extractHtml(documents: DataFrame, markupCol: String = "html",
                   maxLinkDensity: Double = 0.5): DataFrame = {
     val m = col(markupCol)
-    val out = documents
+    // this stage's contract is that the extracted text BECOMES the
+    // `text` column — a pre-existing `text` alongside a distinct
+    // markup column is superseded (dropping it up front avoids the
+    // ambiguous duplicate `text` the rename would otherwise create)
+    val base =
+      if (markupCol != "text" && documents.columns.contains("text"))
+        documents.drop("text")
+      else documents
+    val out = base
       .withColumn("link_density", round(linkDensity(m), 6))
       .withColumn("boilerplate", linkDensity(m) > maxLinkDensity)
       .withColumn(markupCol, htmlText(m))

@@ -119,6 +119,14 @@ class HtmlExtractSpec extends AnyFunSuite {
     // composes upstream of curation: the flagged row drops, text is plain
     val cleaned = out.filter(!col("boilerplate")).select("doc_id", "text")
     assert(cleaned.count() === 1L)
+    // a pre-existing `text` column is superseded (NOT duplicated): the
+    // stage yields exactly one `text`, holding the extracted markup
+    val withText = docs.withColumn("text", lit("stale plain text"))
+    val out2 = TextAnalysis.extractHtml(withText, "html")
+    assert(out2.columns.count(_ == "text") === 1,
+      "rename over a pre-existing text column must not duplicate it")
+    assert(out2.orderBy("doc_id").head().getAs[String]("text")
+      === "real article text here\nn")
   }
 
   test("html_links: hrefs in document order; script/comment ghosts excluded; attribute forms") {
@@ -179,6 +187,10 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(c("https://a.com/x?GCLID=g&k=v") === "https://a.com/x?k=v")
     // query is NOT a path: its trailing slash survives
     assert(c("https://a.com/x?p=a/") === "https://a.com/x?p=a/")
+    // userinfo case is preserved (fetch-significant); host after the
+    // LAST '@' still folds
+    assert(c("https://User:Pw@A.com/x") === "https://User:Pw@a.com/x")
+    assert(c("http://A@B@Host.COM/x") === "http://A@B@host.com/x")
     // no percent-decoding; non-http unchanged
     assert(c("https://a.com/x%2Fy") === "https://a.com/x%2Fy")
     assert(c("ftp://a.com/X/") === "ftp://a.com/X/")

@@ -492,6 +492,57 @@ class TextDedupSpec extends AnyFunSuite {
       "serving survives repeated compactions")
   }
 
+  test("cluster store hygiene: sweep never touches prefix-colliding neighbors; embedded __gN names resolve") {
+    val docsOf = (ids: Seq[Long]) => ids.map(i => (i, "")).toDF("doc_id", "text")
+    // 1) a NEIGHBOR table whose name merely starts with `{tbl}__g` (no
+    //    digits) must survive creating/dropping the store — the sweep
+    //    is exact-name or `__g<digits>` only
+    val tbl = "hygiene_store"
+    spark.sql("DROP TABLE IF EXISTS hygiene_store__grants")
+    Seq((1L, "keep")).toDF("id", "v").write.mode("overwrite")
+      .saveAsTable("hygiene_store__grants")
+    // and a stray warehouse DIR with the same shape (another session's)
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val strayDir = new java.io.File(wh, "hygiene_store__gold")
+    strayDir.mkdirs()
+    val strayFile = new java.io.File(strayDir, "data.txt")
+    java.nio.file.Files.write(strayFile.toPath, "x".getBytes)
+    try {
+      Dedup.dropClusterStore(spark, tbl)
+      Dedup.writeClusterStore(
+        Dedup.nearDupClusters(docsOf(0L until 5L), Seq((1L, 2L)).toDF("id1", "id2")),
+        tbl, buckets = 2)
+      assert(spark.table("hygiene_store__grants").count() === 1L,
+        "prefix-colliding catalog table must survive the store sweep")
+      assert(strayFile.exists(),
+        "prefix-colliding warehouse dir must survive the store sweep")
+      Dedup.dropClusterStore(spark, tbl)
+      assert(spark.table("hygiene_store__grants").count() === 1L)
+      assert(strayFile.exists())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS hygiene_store__grants")
+      strayFile.delete(); strayDir.delete()
+    }
+    // 2) a logical store name that itself CONTAINS `__g<digits>` must
+    //    resolve its generation from the END of the view text, not the
+    //    embedded digits — absorb + compact + serve all still work
+    val weird = "sf__g2_store"
+    Dedup.dropClusterStore(spark, weird)
+    Dedup.writeClusterStore(
+      Dedup.nearDupClusters(docsOf(0L until 10L), Seq((1L, 2L)).toDF("id1", "id2")),
+      weird, buckets = 2)
+    Dedup.clustersIncremental(spark, weird, docsOf(10L until 15L),
+      Seq((2L, 11L)).toDF("id1", "id2")).count()
+    val want = Dedup.clusterStoreLabels(spark, weird)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(want(11L) === want(1L), "absorb through the weird-named store must merge")
+    Dedup.compactClusterStore(spark, weird)
+    assert(Dedup.clusterStoreLabels(spark, weird)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap === want,
+      "compaction of an embedded-__gN-named store must not change serving")
+    Dedup.dropClusterStore(spark, weird)
+  }
+
   test("nearDupClusters: transitive chain collapses to one min-labeled cluster") {
     // a(1)~b(2), b(2)~c(3) but 1 and 3 NOT directly paired — transitive
     // closure must still put all three in cluster 1; 4 and 5 stay
