@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Portable
 import graft.functions.VectorFunctions._
 import graft.operators.{AsofJoin, Bpe, Classifier, CorpusPipeline, Dedup, Events, Hnsw, Ivf, Knn, Multimodal, Packing, Pca, Pq, Relational, Retrieval, Sampling, Sq, TextAnalysis, VectorLsh}
-import graft.sources.Tables
+import graft.sources.{Tables, Warc}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -50,6 +50,15 @@ object SparkEntry {
     * like [[idxDir]]; staleness is caught by Ivf.ensurePartitioned*'s
     * content fingerprint.
     */
+  /** Synthesized raw-corpus fixture dir (WARC segments / JSONL shards),
+    * keyed like [[idxDir]]; `Warc.ensure*Files` markers make it
+    * write-once per (row count, layout).
+    */
+  private def corpusDir(s: SparkSession, sfDir: String, tag: String): String = {
+    val base = s.conf.getOption("spark.graft.indexDir").getOrElse("target/graft_index")
+    s"$base/corpus_${tag}_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+  }
+
   private def ivfCellsDir(s: SparkSession, sfDir: String, tag: String): String = {
     val base = s.conf.getOption("spark.graft.indexDir").getOrElse("target/graft_index")
     s"$base/v5_ivfcells_${tag}_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
@@ -3032,6 +3041,38 @@ object SparkEntry {
       TextAnalysis.incrementalUrlDedup(s, table,
         docs.filter(col("doc_id") >= 250), absorb = false)
     }),
+    // RAW-CORPUS INGESTION: the documents table materialized as genuine
+    // WARC segment files (4 plain + 4 per-record-gzip-member — the
+    // CommonCrawl layout), then read back through the from-spec ISO
+    // 28500 codec over a whole-file binaryFile scan. The synthesis is a
+    // fixture (every field a pure formula of doc_id/text — Warc.urlOf/
+    // dateOf/requestPayload/responsePayload); the READER is the
+    // operator under test, and DuckDB oracles every parsed header
+    // closed-form: 8 warcinfo rows + a request and a response per doc,
+    // with Content-Length arithmetic down to the byte.
+    "q_warc_records" -> ((s, dir) => {
+      val glob = Warc.ensureWarcFiles(Tables.documents(s, dir), corpusDir(s, dir, "warc"))
+      Warc.read(s, glob).select(
+        "warc_type", "url", "warc_date", "record_id", "content_type", "content_length")
+    }),
+    // crawl → curation bridge end-to-end: WARC files → response records
+    // → HTTP split → html_text extraction → canonical_url — the row the
+    // documents table would hold if this crawl had been pre-extracted.
+    // The oracle rebuilds (url, canonical form, timestamp, text) from
+    // the documents table directly, so hash equality IS the pinned
+    // "warc path ≡ pre-extracted path" claim at gate scale.
+    "q_warc_extract" -> ((s, dir) => {
+      val glob = Warc.ensureWarcFiles(Tables.documents(s, dir), corpusDir(s, dir, "warc"))
+      Warc.htmlDocuments(Warc.responses(Warc.read(s, glob)))
+        .select("url", "canonical_url", "warc_ts", "text")
+    }),
+    // JSONL documents path under the explicit schema contract (half the
+    // corpus plain shards, half gzip): reader under test is
+    // text-source + codegen from_json with corrupt-line quarantine.
+    "q_jsonl_docs" -> ((s, dir) => {
+      val glob = Warc.ensureJsonlFiles(Tables.documents(s, dir), corpusDir(s, dir, "jsonl"))
+      Warc.readJsonl(s, glob)
+    }),
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "q_quality" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
     // per-source quality gate: thresholds = exact interpolated p75 per
@@ -3951,6 +3992,47 @@ object SparkEntry {
               ELSE 'http://keep' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/x?id=' || CAST(doc_id % 7 AS VARCHAR)
             END AS canonical_url
           FROM documents""",
+    // WARC reader: every parsed header closed-form from the synthesis
+    // formulas. Content-Length arithmetic: warcinfo payload is the
+    // fixed 32-byte fields block; request = 47 + digits(doc_id);
+    // response = 77 + digits(body_len) + body_len where body_len =
+    // n_chars + 33 (the <html><body><p>…</p></body></html> wrapper).
+    "q_warc_records" ->
+      s"""SELECT 'warcinfo' AS warc_type,
+            CAST(NULL AS VARCHAR) AS url,
+            '2023-01-01T00:00:00Z' AS warc_date,
+            '<urn:graft:warcinfo:bucket-' || CAST(b AS VARCHAR) || '>' AS record_id,
+            'application/warc-fields' AS content_type,
+            CAST(32 AS BIGINT) AS content_length
+          FROM range(8) t(b)
+          UNION ALL
+          SELECT 'request',
+            'http://Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.com/doc/' || CAST(doc_id AS VARCHAR) || '?utm_source=synth',
+            '2023-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z',
+            '<urn:graft:request:' || CAST(doc_id AS VARCHAR) || '>',
+            'application/http; msgtype=request',
+            47 + length(CAST(doc_id AS VARCHAR))
+          FROM documents
+          UNION ALL
+          SELECT 'response',
+            'http://Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.com/doc/' || CAST(doc_id AS VARCHAR) || '?utm_source=synth',
+            '2023-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z',
+            '<urn:graft:response:' || CAST(doc_id AS VARCHAR) || '>',
+            'application/http; msgtype=response',
+            77 + length(CAST(n_chars + 33 AS VARCHAR)) + n_chars + 33
+          FROM documents""",
+    // crawl-to-curation bridge: the oracle rebuilds what extraction +
+    // canonicalization must recover — the exact original text and the
+    // lowercased/stripped canonical URL
+    "q_warc_extract" ->
+      s"""SELECT
+            'http://Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.com/doc/' || CAST(doc_id AS VARCHAR) || '?utm_source=synth' AS url,
+            'http://site' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS canonical_url,
+            '2023-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z' AS warc_ts,
+            text
+          FROM documents""",
+    "q_jsonl_docs" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
     // batch keys are doc_id % 300; keys < 250 are stored (corpus ids
     // 0..249 under the other spelling — canonicalization collapses
     // them), so the novel tail is exactly keys 250..299, first held by

@@ -61,6 +61,7 @@ object AnnBench {
     if (args.contains("curatestats")) { curateStatsSmoke(spark); spark.stop(); return }
     if (args.contains("reclusterscale")) { reclusterScaleSmoke(spark); spark.stop(); return }
     if (args.contains("htmlscale")) { htmlScaleSmoke(spark); spark.stop(); return }
+    if (args.contains("warcscale")) { warcScaleSmoke(spark); spark.stop(); return }
     val emb = Tables.embeddings(spark, sfDir)
     val qs = emb.select(col("vec_id").as("query_id"),
       perturbQuery(col("embedding")).as("query_vec"))
@@ -1516,6 +1517,58 @@ object AnnBench {
     println(json)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/html_scale.json"), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[annbench] file write failed: ${e.getMessage}") }
+  }
+
+  /** WARC ingestion throughput smoke: a deterministic synthetic crawl
+    * (SPARK_GRAFT_WARC_N docs, default 200k, across 64 segment files —
+    * half plain, half per-record-gzip-member) written once, then the
+    * READ path measured: raw record parse, and the full
+    * crawl-to-curation bridge (records → HTTP split → html_text →
+    * canonical_url). Both are whole-file binaryFile scans into narrow
+    * mapPartitions — expected shuffle-free (listener proves it); the
+    * unit of parallelism is the segment file, exactly the 100-TB shape.
+    */
+  private def warcScaleSmoke(spark: SparkSession): Unit = {
+    import graft.sources.Warc
+    val n = sys.env.get("SPARK_GRAFT_WARC_N").flatMap(_.toIntOption).getOrElse(200000)
+    val body = concat_ws(" ", transform(sequence(lit(0), lit(39)),
+      j => concat(lit("word"), pmod(hash(col("id"), j), lit(5000)))))
+    val docs = spark.range(n).select(col("id").as("doc_id"), body.as("text"))
+    val dir = new java.io.File(s"target/warc_scale_$n").getAbsolutePath
+    val t0 = System.nanoTime()
+    val glob = Warc.ensureWarcFiles(docs, dir, buckets = 64)
+    println(s"[annbench] warcscale synth: ${fmt((System.nanoTime() - t0) / 1e9, 1)} s " +
+      "(fixture write, not measured)")
+
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+    def phase(label: String)(f: => Long): String = {
+      System.gc()
+      val s0 = shuffleBytes.get()
+      val t1 = System.nanoTime()
+      val count = f
+      val sec = (System.nanoTime() - t1) / 1e9
+      Thread.sleep(500)
+      val sb = shuffleBytes.get() - s0
+      println(s"[annbench] warcscale $label: $count rows, ${fmt(sec, 1)} s " +
+        s"(${(n / sec).toLong} docs/s), shuffle $sb B")
+      s""""$label":{"rows":$count,"wall_sec":${fmt(sec, 1)},""" +
+        s""""docs_per_sec":${(n / sec).toLong},"shuffle_write_bytes":$sb}"""
+    }
+    val parse = phase("parse_records")(Warc.read(spark, glob).count())
+    val bridge = phase("extract_bridge")(
+      Warc.htmlDocuments(Warc.responses(Warc.read(spark, glob)))
+        .filter(length(col("text")) > 0).count())
+    val json = s"""{"warc_scale":{"n_docs":$n,$parse,$bridge}}"""
+    println(json)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/warc_scale.json"), json + "\n")
     catch { case e: Throwable => System.err.println(s"[annbench] file write failed: ${e.getMessage}") }
   }
 
