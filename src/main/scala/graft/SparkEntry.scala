@@ -3575,6 +3575,24 @@ object SparkEntry {
               (f, i) => when(f > 0f, i).otherwise(lit(-1))),
             i => i >= 0)).as("bin"))
     }),
+    // PERCEPTUAL image fingerprints (dHash): structured gradient-field
+    // assets whose 9×8 downsample lands exactly on the synthesis grid,
+    // decoded and hashed through the REAL ImageIO + resize + luma +
+    // gradient-sign pass — every one of the 64 bits is a closed-form
+    // SQL formula, incl. a genuine 2× rescale (even docs), a BMP
+    // re-encode (odd docs), and a one-cell perturbation (every 5th).
+    "q_image_phash" -> ((s, dir) => {
+      val assets = Multimodal.dhashAssetsFromDocuments(Tables.documents(s, dir))
+      Multimodal.imageDhash(assets).select("asset_id", "dhash_bits")
+    }),
+    // Perceptual near-dup: 8×8-bit band join (exact recall to Hamming 7
+    // by pigeonhole) + bit_count verify. Planted rescale/re-encode
+    // variants pair at Hamming 0, the perturbed variant at ≤ 1;
+    // distinct docs differ in ~32 independent bits and never pair.
+    "q_image_neardup_pairs" -> ((s, dir) => {
+      val assets = Multimodal.dhashAssetsFromDocuments(Tables.documents(s, dir))
+      Multimodal.imageNearDupPairs(Multimodal.imageDhash(assets), maxHamming = 6)
+    }),
     // REAL multi-frame decode (animated GIF through the JDK sequence
     // writer/reader): each document becomes a genuine multi-frame GIF;
     // every frame extracts through ImageReader.getNumImages/read(i)
@@ -5034,6 +5052,51 @@ object SparkEntry {
                 CAST(cg AS DOUBLE) AS mean_g,
                 CAST(cb AS DOUBLE) AS mean_b
          FROM s""",
+    // dHash oracle: the 9×8 downsample cell (x,y) has luma
+    // 10 + md5Int('<doc_id>:<x>:<y>:dhash') mod 230 (the Portable
+    // convention — 64 independent bits); bit (y·8+x) = left>right.
+    // The perturbed variant blows cell (0,0) to 255, so ONLY char 1 of
+    // the bit string changes — and always to '1'.
+    "q_image_phash" ->
+      """WITH grid AS (
+           SELECT doc_id, x, y, 10 + CAST(concat('0x', substring(md5(concat(doc_id, ':', x, ':', y, ':dhash')), 1, 8)) AS BIGINT) % 230 AS v
+           FROM documents, range(9) tx(x), range(8) ty(y)),
+         bits AS (
+           SELECT l.doc_id, l.x, l.y, CASE WHEN l.v > r.v THEN '1' ELSE '0' END AS b
+           FROM grid l JOIN grid r ON l.doc_id = r.doc_id AND r.x = l.x + 1 AND r.y = l.y
+           WHERE l.x < 8),
+         hash AS (
+           SELECT doc_id, string_agg(b, '' ORDER BY y, x) AS dhash_bits
+           FROM bits GROUP BY doc_id)
+         SELECT doc_id*10 AS asset_id, dhash_bits FROM hash
+         UNION ALL SELECT doc_id*10+1, dhash_bits FROM hash WHERE doc_id % 2 = 0
+         UNION ALL SELECT doc_id*10+2, dhash_bits FROM hash WHERE doc_id % 2 = 1
+         UNION ALL SELECT doc_id*10+3, '1' || substring(dhash_bits, 2) FROM hash WHERE doc_id % 5 = 0""",
+    // near-dup pairs: exactly the same-doc variant pairs (rescale and
+    // re-encode at Hamming 0; the perturbed asset at 1 unless the base
+    // bit 0 was already '1'); distinct docs never pair (~32 independent
+    // differing bits vs threshold 6)
+    "q_image_neardup_pairs" ->
+      """WITH grid AS (
+           SELECT doc_id, x, y, 10 + CAST(concat('0x', substring(md5(concat(doc_id, ':', x, ':', y, ':dhash')), 1, 8)) AS BIGINT) % 230 AS v
+           FROM documents, range(9) tx(x), range(8) ty(y)),
+         bits AS (
+           SELECT l.doc_id, l.x, l.y, CASE WHEN l.v > r.v THEN '1' ELSE '0' END AS b
+           FROM grid l JOIN grid r ON l.doc_id = r.doc_id AND r.x = l.x + 1 AND r.y = l.y
+           WHERE l.x < 8),
+         hash AS (
+           SELECT doc_id, string_agg(b, '' ORDER BY y, x) AS dhash_bits
+           FROM bits GROUP BY doc_id),
+         assets AS (
+           SELECT doc_id, doc_id*10 AS asset_id, dhash_bits FROM hash
+           UNION ALL SELECT doc_id, doc_id*10+1, dhash_bits FROM hash WHERE doc_id % 2 = 0
+           UNION ALL SELECT doc_id, doc_id*10+2, dhash_bits FROM hash WHERE doc_id % 2 = 1
+           UNION ALL SELECT doc_id, doc_id*10+3, '1' || substring(dhash_bits, 2) FROM hash WHERE doc_id % 5 = 0)
+         SELECT a.asset_id AS id1, b.asset_id AS id2,
+                CASE WHEN substring(a.dhash_bits, 1, 1) = substring(b.dhash_bits, 1, 1)
+                     THEN 0 ELSE 1 END AS hamming
+         FROM assets a JOIN assets b
+           ON a.doc_id = b.doc_id AND a.asset_id < b.asset_id""",
     "q_multimodal_meta" ->
       """WITH a AS (SELECT doc_id AS asset_id,
                 n_chars % 640 + 32 AS w, doc_id % 480 + 32 AS h,

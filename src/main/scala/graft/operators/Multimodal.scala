@@ -200,6 +200,60 @@ object Multimodal {
         math.max(1, math.floor(d.height * scale).toInt))
     }
 
+    /** Integer ITU-R 601 luma (exact for r=g=b: weights sum to 1000,
+      * so a gray pixel's luma is its channel value — what makes the
+      * synthetic dHash fixtures formula-exact).
+      */
+    def luma(p: Int): Int =
+      (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)) / 1000
+
+    /** Difference hash (dHash), the published perceptual fingerprint:
+      * downsample to (w+1)×h via [[resizeNearest]], take luma, and set
+      * bit (y·w + x) when sample (x,y) is BRIGHTER than its right
+      * neighbor. Gradient-sign structure survives re-encoding and
+      * (grid-aligned) rescaling — the invariance perceptual dedup keys
+      * on. Default 8×8 = 64 bits.
+      */
+    def dhash(d: Decoded, w: Int = 8, h: Int = 8): Long = {
+      val g = resizeNearest(d, w + 1, h)
+      var bits = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          if (luma(g.argb(y * (w + 1) + x)) > luma(g.argb(y * (w + 1) + x + 1)))
+            bits |= 1L << (y * w + x)
+          x += 1
+        }
+        y += 1
+      }
+      bits
+    }
+
+    /** The 64-bit hash as a '0'/'1' string, char i = bit i — the
+      * oracle-portable form (a raw signed BIGINT can't carry bit 63
+      * through closed-form SQL arithmetic without overflow).
+      */
+    def dhashBits(hash: Long, nBits: Int = 64): String = {
+      val sb = new java.lang.StringBuilder(nBits)
+      var i = 0
+      while (i < nBits) { sb.append(if (((hash >>> i) & 1L) == 1L) '1' else '0'); i += 1 }
+      sb.toString
+    }
+
+    /** Encode packed-ARGB pixels as BMP — the lossless re-encode twin
+      * of [[encodePng]] for the perceptual-dedup fixtures (same pixels,
+      * different container, same dHash).
+      */
+    def encodeBmp(width: Int, height: Int, argb: Array[Int]): Array[Byte] = {
+      require(argb.length == width * height, "pixel count must match dims")
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, width, height, argb, 0, width)
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "bmp", out)
+      out.toByteArray
+    }
+
     /** Pixel-histogram features: `dim/3` luminance-ordered bins per
       * channel — a real (if simple) visual descriptor, deterministic.
       */
@@ -1114,6 +1168,121 @@ object Multimodal {
         }
       }
     }(enc)
+  }
+
+  /** Deterministic STRUCTURED image assets for perceptual dedup: each
+    * document becomes a gray gradient-field PNG at 36×32 whose 9×8
+    * nearest-neighbor downsample lands exactly on the synthesis grid —
+    * cell (x,y) of the downsample has luma
+    * `10 + md5Int("<doc_id>:<x>:<y>:dhash") mod 230` (r=g=b, so luma is
+    * the value itself — and md5 makes all 64 bits INDEPENDENT across
+    * docs, the [[graft.functions.Portable]] convention), making the
+    * full 64-bit dHash a closed-form SQL formula. Planted variants per
+    * doc:
+    *   - `asset_id = doc_id·10`: the base 36×32 PNG (every doc)
+    *   - `+1` (even doc_id): the SAME field at 72×64 — a genuine 2×
+    *     rescale; grid-aligned, so dHash-identical
+    *   - `+2` (odd doc_id): the same pixels re-encoded as BMP —
+    *     container change, dHash-identical
+    *   - `+3` (doc_id % 5 == 0): cell (0,0) blown to 255 — a NEAR
+    *     duplicate at Hamming ≤ 1 (bit 0 flips iff the base had
+    *     luma(0,0) ≤ luma(1,0); every other bit is untouched)
+    * Distinct documents differ in ~32 of 64 independent bits (binomial
+    * tail past Hamming 6 ≈ 4·10⁻¹² per pair) — no cross-doc pair lands
+    * within any sane threshold.
+    */
+  def dhashAssetsFromDocuments(documents: DataFrame, batchSize: Int = 64): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    documents.select("doc_id").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val id = r.getLong(0)
+          def v(x: Int, y: Int): Int =
+            (10 + graft.functions.Portable.md5IntOf(s"$id:$x:$y:dhash") % 230).toInt
+          def px(scale: Int, perturb: Boolean) =
+            Array.tabulate(9 * scale * 8 * scale) { i =>
+              val cx = (i % (9 * scale)) / scale
+              val cy = (i / (9 * scale)) / scale
+              val g = if (perturb && cx == 0 && cy == 0) 255 else v(cx, cy)
+              0xff000000 | (g << 16) | (g << 8) | g
+            }
+          val base = Row(id * 10,
+            ImageCodec.encodePng(36, 32, px(4, perturb = false)), "image/png", 36, 32)
+          val variant =
+            if (id % 2 == 0)
+              Row(id * 10 + 1,
+                ImageCodec.encodePng(72, 64, px(8, perturb = false)), "image/png", 72, 64)
+            else
+              Row(id * 10 + 2,
+                ImageCodec.encodeBmp(36, 32, px(4, perturb = false)), "image/bmp", 36, 32)
+          val near =
+            if (id % 5 == 0)
+              Seq(Row(id * 10 + 3,
+                ImageCodec.encodePng(36, 32, px(4, perturb = true)), "image/png", 36, 32))
+            else Seq.empty
+          Seq(base, variant) ++ near
+        }
+      }
+    }(enc)
+  }
+
+  /** Perceptual fingerprints: decode each asset and dHash it. Output
+    * `(asset_id, dhash, dhash_bits, decoded)` — the Long for the
+    * Hamming machinery, the bit string for portability. Undecodable
+    * payloads flag `decoded = false` with null hash (poison-safe).
+    * Batched `mapPartitions`, shuffle-free — the metadata-sized output
+    * (16 B/asset) is what downstream dedup shuffles, never pixels.
+    */
+  def imageDhash(assets: DataFrame, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = true),
+      StructField("dhash_bits", StringType, nullable = true),
+      StructField("decoded", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    assets.select("asset_id", "media", "mime").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val dec =
+            if (ImageCodec.imageMimes.contains(r.getString(2)))
+              try ImageCodec.decode(r.getAs[Array[Byte]](1)) catch { case _: Exception => None }
+            else None
+          dec match {
+            case Some(d) =>
+              val h = ImageCodec.dhash(d)
+              Row(r.getLong(0), h, ImageCodec.dhashBits(h), true)
+            case None => Row(r.getLong(0), null, null, false)
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Perceptual NEAR-DUP pairs over dHash fingerprints: band the 64-bit
+    * hash into eight 8-bit bands, equi-join on (band_ix, band) for
+    * candidates — by pigeonhole, any pair within Hamming ≤ 7 shares at
+    * least one clean band, so recall is EXACT for maxHamming ≤ 7 — then
+    * verify the true Hamming distance (`bit_count(xor)`, codegen) on
+    * candidates only. The published MinHash-LSH shape applied to the
+    * image tier: the only shuffle is on 9-byte band keys; pixels never
+    * move; pair work is Σ_band (collisions²), not n².
+    */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 6): DataFrame = {
+    require(maxHamming <= 7, "8×8-bit banding guarantees recall only to Hamming 7")
+    val h = hashes.filter(col("decoded")).select("asset_id", "dhash")
+    val banded = h.select(col("asset_id"), col("dhash"),
+      explode(sequence(lit(0), lit(7))).as("band_ix"))
+      .withColumn("band",
+        expr("shiftrightunsigned(dhash, band_ix * 8)").bitwiseAND(lit(255L)))
+    val other = banded.select(col("asset_id").as("id2"), col("dhash").as("dhash2"),
+      col("band_ix"), col("band"))
+    banded.join(other,
+        banded("band_ix") === other("band_ix") && banded("band") === other("band") &&
+          banded("asset_id") < other("id2"))
+      .select(col("asset_id").as("id1"), col("id2"),
+        bit_count(col("dhash").bitwiseXOR(col("dhash2"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Deterministic REAL multi-frame GIF asset view of the `documents`

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.ImageCodec
+
+/** Perceptual image near-dup (dHash + the 8×8-bit Hamming band funnel):
+  * the gradient-sign hash must survive re-encoding and grid-aligned
+  * rescale, flag planted perturbations as NEAR, keep distinct content
+  * apart, and the band join must find EVERY pair the brute-force
+  * Hamming scan finds (pigeonhole-exact to distance 7).
+  */
+class ImageDhashSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  // a deterministic structured test image: per-cell luma from the id
+  private def img(id: Long, scale: Int, flip: Set[(Int, Int)] = Set.empty): ImageCodec.Decoded = {
+    val px = Array.tabulate(9 * scale * 8 * scale) { i =>
+      val cx = (i % (9 * scale)) / scale
+      val cy = (i / (9 * scale)) / scale
+      val g =
+        if (flip((cx, cy))) 255
+        else (10 + graft.functions.Portable.md5IntOf(s"$id:$cx:$cy:spec") % 230).toInt
+      0xff000000 | (g << 16) | (g << 8) | g
+    }
+    ImageCodec.Decoded(9 * scale, 8 * scale, 3, px)
+  }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("dHash invariances: re-encode (PNG/BMP) and grid-aligned rescale are exact; perturbation is near") {
+    val base = img(7L, 4)
+    val h = ImageCodec.dhash(base)
+    // real encode → decode → hash, both containers
+    val viaPng = ImageCodec.decode(ImageCodec.encodePng(36, 32, base.argb)).get
+    val viaBmp = ImageCodec.decode(ImageCodec.encodeBmp(36, 32, base.argb)).get
+    assert(ImageCodec.dhash(viaPng) === h, "PNG round trip must preserve the hash")
+    assert(ImageCodec.dhash(viaBmp) === h, "BMP re-encode must preserve the hash")
+    // genuine 2× rescale of the same field
+    assert(ImageCodec.dhash(img(7L, 8)) === h, "grid-aligned rescale must preserve the hash")
+    // one-cell perturbation moves at most the bits its comparisons touch
+    assert(hamming(ImageCodec.dhash(img(7L, 4, flip = Set((0, 0)))), h) <= 1)
+    assert(hamming(ImageCodec.dhash(img(7L, 4, flip = Set((3, 2)))), h) <= 2,
+      "an interior cell touches exactly its two adjacent comparisons")
+    // distinct content is far apart
+    assert(hamming(ImageCodec.dhash(img(8L, 4)), h) > 12)
+    // bit-string form mirrors the Long bit for bit
+    val bits = ImageCodec.dhashBits(h)
+    assert(bits.length === 64)
+    (0 until 64).foreach(i =>
+      assert((bits.charAt(i) == '1') === (((h >>> i) & 1L) == 1L)))
+  }
+
+  test("luma is exact on gray pixels and weighs channels per ITU-R 601") {
+    assert(ImageCodec.luma(0xff000000 | (200 << 16) | (200 << 8) | 200) === 200)
+    assert(ImageCodec.luma(0xffff0000) === 299 * 255 / 1000)
+    assert(ImageCodec.luma(0xff00ff00) === 587 * 255 / 1000)
+    assert(ImageCodec.luma(0xff0000ff) === 114 * 255 / 1000)
+  }
+
+  test("band funnel finds exactly the brute-force pairs; undecodable assets poison-skip") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, "")).toDF("doc_id", "text")
+    val assets = Multimodal.dhashAssetsFromDocuments(docs)
+    // one corrupt payload row: must flag decoded=false and never pair
+    val poisoned = assets.unionByName(
+      Seq((999L, Array[Byte](1, 2, 3), "image/png", 4, 4))
+        .toDF("asset_id", "media", "mime", "width", "height"))
+    val hashes = Multimodal.imageDhash(poisoned).cache()
+    assert(hashes.filter(col("asset_id") === 999L && !col("decoded")).count() === 1L)
+    val got = Multimodal.imageNearDupPairs(hashes, maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over the decoded hash set
+    val hs = hashes.filter(col("decoded")).select("asset_id", "dhash")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (i1, h1) <- hs; (i2, h2) <- hs
+      if i1 < i2 && hamming(h1, h2) <= 7
+    } yield (i1, i2, hamming(h1, h2))).toSet
+    assert(got === brute, "band join must be exactly the brute-force pair set to Hamming 7")
+    assert(got.nonEmpty && got.forall { case (a, b, _) => a / 10 == b / 10 },
+      "only planted same-doc variants may pair")
+    // keep-one composition: representatives over the pair graph
+    val clusters = graft.operators.Dedup.nearDupClusters(
+      hashes.filter(col("decoded")).select(col("asset_id").as("doc_id"), lit("").as("text")),
+      Multimodal.imageNearDupPairs(hashes, 7).select(col("id1"), col("id2")))
+    val reps = graft.operators.Dedup.clusterRepresentatives(
+      clusters,
+      hashes.filter(col("decoded"))
+        .select(col("asset_id").as("doc_id"), lit(1.0).as("quality")))
+    // every planted variant group collapses to ONE representative
+    assert(reps.filter(col("n_members") > 1).count() === 40L)
+    hashes.unpersist()
+  }
+}
