@@ -59,6 +59,29 @@ object SparkEntry {
     s"$base/corpus_${tag}_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
   }
 
+  // Planted long-duplicate fixture for the maximal-span queries: docs
+  // with doc_id % 7 < 2 get a 25-word passage (variant doc_id % 3)
+  // appended — Spark column and DuckDB SQL are generated from the SAME
+  // word list so the two sides cannot drift.
+  private val spanPassageWords: Seq[String] = (0 until 25).map(i => s"w$i")
+
+  private def plantedSpanDocs(documents: DataFrame): DataFrame = {
+    val j = pmod(col("doc_id"), lit(3)).cast("string")
+    val passage = concat_ws(" ",
+      spanPassageWords.map(w => concat(lit("dup"), j, lit(w))): _*)
+    documents.withColumn("text",
+      when(pmod(col("doc_id"), lit(7)) < 2, concat(col("text"), lit(" "), passage))
+        .otherwise(col("text")))
+  }
+
+  /** The planted-doc rewrite as a DuckDB expression over `documents`. */
+  private def duckPlantedSpanText: String = {
+    val passage = spanPassageWords
+      .map(w => s"'dup' || CAST(doc_id % 3 AS VARCHAR) || '$w'")
+      .mkString(" || ' ' || ")
+    s"CASE WHEN doc_id % 7 < 2 THEN text || ' ' || $passage ELSE text END"
+  }
+
   private def ivfCellsDir(s: SparkSession, sfDir: String, tag: String): String = {
     val base = s.conf.getOption("spark.graft.indexDir").getOrElse("target/graft_index")
     s"$base/v5_ivfcells_${tag}_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
@@ -3304,6 +3327,17 @@ object SparkEntry {
       Dedup.duplicateSpans(Tables.documents(s, dir), n = 6)),
     "q_span_dedup" -> ((s, dir) =>
       Dedup.spanDedup(Tables.documents(s, dir), n = 6)),
+    // MAXIMAL repeated spans (the suffix-array contract without a
+    // suffix array): planted 25-word passages (one of three variants,
+    // on docs with doc_id % 7 < 2) must surface as ONE full-extent span
+    // each — gap==1 gram-chain islands, ≥ 20-word floor.
+    "q_max_spans" -> ((s, dir) =>
+      Dedup.maximalSpans(plantedSpanDocs(Tables.documents(s, dir)), n = 6, minWords = 20)),
+    // ... and the removal form: every occurrence but the globally first
+    // of each repeated ≥20-word substring excised as one contiguous
+    // cut (span identity = md5 of the exact word range).
+    "q_max_span_dedup" -> ((s, dir) =>
+      Dedup.maxSpanDedup(plantedSpanDocs(Tables.documents(s, dir)), n = 6, minWords = 20)),
     // Ingestion-time span dedup: docs >= 250 arrive against the
     // existing corpus of docs < 250; the corpus participates only as
     // its distinct gram-hash set.
@@ -4299,6 +4333,72 @@ object SparkEntry {
           SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
                  CAST(len(string_split(d.text, ' ')) AS BIGINT) - coalesce(r.n_kept, 0) AS n_removed
           FROM documents d LEFT JOIN rebuilt r USING (doc_id)""",
+    // maximal spans: gap==1 islands over duplicated windows, >=20-word
+    // floor — same gram hashing as q_dup_spans over the planted docs
+    "q_max_spans" ->
+      s"""WITH docs AS (SELECT doc_id, $duckPlantedSpanText AS text FROM documents),
+          toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs),
+          grams AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   ${duckMd5Long("array_to_string(t[i:i+5], ' ')")} AS g
+            FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 5)) AS i) u
+            WHERE len(t) >= 6),
+          counts AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+          dup AS (SELECT doc_id, pos FROM grams JOIN counts USING (g) WHERE c >= 2),
+          flagged AS (SELECT doc_id, pos,
+              CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 1
+                   THEN 1 ELSE 0 END AS brk
+            FROM dup),
+          ids AS (SELECT doc_id, pos,
+              sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id
+            FROM flagged)
+          SELECT doc_id, span_start, span_end, span_words FROM (
+            SELECT doc_id, min(pos) AS span_start, max(pos) + 5 AS span_end,
+                   max(pos) + 5 - min(pos) + 1 AS span_words
+            FROM ids GROUP BY doc_id, span_id)
+          WHERE span_words >= 20""",
+    "q_max_span_dedup" ->
+      s"""WITH docs AS (SELECT doc_id, $duckPlantedSpanText AS text FROM documents),
+          toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs),
+          grams AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   ${duckMd5Long("array_to_string(t[i:i+5], ' ')")} AS g
+            FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 5)) AS i) u
+            WHERE len(t) >= 6),
+          counts AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+          dup AS (SELECT doc_id, pos FROM grams JOIN counts USING (g) WHERE c >= 2),
+          flagged AS (SELECT doc_id, pos,
+              CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 1
+                   THEN 1 ELSE 0 END AS brk
+            FROM dup),
+          ids AS (SELECT doc_id, pos,
+              sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id
+            FROM flagged),
+          sp AS (SELECT doc_id, s, e FROM (
+              SELECT doc_id, min(pos) AS s, max(pos) + 5 AS e,
+                     max(pos) + 5 - min(pos) + 1 AS w
+              FROM ids GROUP BY doc_id, span_id)
+            WHERE w >= 20),
+          words AS (SELECT doc_id, CAST(i AS BIGINT) AS wpos, t[i] AS word
+                    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) u),
+          keyed AS (SELECT sp.doc_id, sp.s, sp.e,
+                           ${duckMd5Long("string_agg(w.word, ' ' ORDER BY w.wpos)")} AS k,
+                           sp.doc_id * 1048576 + sp.s AS occ
+                    FROM sp JOIN words w
+                      ON w.doc_id = sp.doc_id AND w.wpos BETWEEN sp.s AND sp.e
+                    GROUP BY sp.doc_id, sp.s, sp.e),
+          firsts AS (SELECT k, min(occ) AS first_occ FROM keyed GROUP BY k),
+          drops AS (SELECT doc_id, s, e FROM keyed JOIN firsts USING (k)
+                    WHERE occ <> first_occ),
+          kept AS (SELECT w.doc_id, w.wpos, w.word FROM words w
+                   WHERE NOT EXISTS (SELECT 1 FROM drops
+                     WHERE drops.doc_id = w.doc_id AND w.wpos BETWEEN drops.s AND drops.e)),
+          rebuilt AS (SELECT doc_id, string_agg(word, ' ' ORDER BY wpos) AS clean_text,
+                             count(*) AS n_kept
+                      FROM kept GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+                 CAST(len(string_split(d.text, ' ')) AS BIGINT) - coalesce(r.n_kept, 0) AS n_removed
+          FROM docs d LEFT JOIN rebuilt r USING (doc_id)""",
     "q_span_dedup_incremental" ->
       s"""WITH ctoks AS (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id < 250),
           cgrams AS (SELECT DISTINCT ${duckMd5Long("array_to_string(t[i:i+5], ' ')")} AS g

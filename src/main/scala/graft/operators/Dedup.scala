@@ -1079,6 +1079,83 @@ object Dedup {
     rebuildWithoutSpans(documents, mergeWindows(drops, n), n)
   }
 
+  /** MAXIMAL repeated spans ≥ `minWords` tokens — the suffix-array
+    * dedup contract (the published train-data substring dedup) WITHOUT
+    * a literal suffix array: a substring of m ≥ n words repeats in the
+    * corpus iff every one of its m−n+1 n-gram windows repeats, so the
+    * maximal runs of CONSECUTIVE duplicated window positions (gap == 1
+    * islands) report the FULL extent of every repeated substring in one
+    * row each. ([[duplicateSpans]]' gap ≤ n merge answers the REMOVAL
+    * question — which words are covered by any duplicated window — and
+    * would bridge across non-duplicated junction windows; this one
+    * answers the suffix-array question.) Output
+    * `(doc_id, span_start, span_end, span_words)`, inclusive 1-based.
+    *
+    * Scale shape identical to [[duplicateSpans]]: one 8-byte gram-hash
+    * shuffle for the occurrence count, one doc_id shuffle for the
+    * island merge; linear in total words. Gram-chain caveat (shared
+    * with every windowed approximation of the suffix-array method):
+    * windows of one run may repeat against DIFFERENT partners, so a
+    * reported span is a union of overlapping repeats — the right
+    * removal semantics, a superset of single-partner repeats.
+    */
+  def maximalSpans(documents: DataFrame, n: Int = 6, minWords: Int = 15): DataFrame = {
+    require(minWords >= n, s"a span shorter than one window (n=$n) is not detectable")
+    val wins = spanWindows(documents, n)
+    val counts = wins.groupBy("g").agg(count(lit(1)).as("c"))
+    val dup = wins.join(counts.filter(col("c") >= 2), Seq("g")).select("doc_id", "pos")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    dup
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(byDoc) > 1, 1).otherwise(0))
+      .withColumn("span_id",
+        sum("brk").over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min("pos").as("span_start"), (max("pos") + (n - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_words"))
+      .filter(col("span_words") >= minWords)
+  }
+
+  /** Maximal-span REMOVAL: cut every occurrence of each repeated
+    * ≥ `minWords`-token substring except the globally first (minimal
+    * `(doc_id, span_start)` as one 64-bit key), each occurrence excised
+    * as ONE contiguous span — long planted duplicates disappear whole,
+    * never as fragments. Span identity is the md5 of its exact word
+    * range (the repeated SUBSTRING, not its window set), so two
+    * differently-extended overlapping repeats keep independent
+    * first-occurrence accounting. Returns `(doc_id, clean_text,
+    * n_removed)` for every input doc.
+    *
+    * Scale shape: [[maximalSpans]] + one additional doc-keyed
+    * words×spans range join to read each span's text (spans are rare
+    * and bounded by corpus duplication; words never leave their doc
+    * key), one hash agg on the 8-byte span key, and the
+    * [[rebuildWithoutSpans]] doc_id shuffle. Still nothing quadratic.
+    */
+  def maxSpanDedup(documents: DataFrame, n: Int = 6, minWords: Int = 15): DataFrame = {
+    val spans = maximalSpans(documents, n, minWords)
+      .select(col("doc_id").as("span_doc"), col("span_start"), col("span_end"))
+    val words = documents
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("w0", "word")))
+      .select(col("doc_id"), (col("w0") + 1).cast("long").as("wpos"), col("word"))
+    val keyed = words.join(spans,
+        col("doc_id") === col("span_doc") &&
+          col("wpos") >= col("span_start") && col("wpos") <= col("span_end"))
+      .groupBy(col("span_doc"), col("span_start"), col("span_end"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("wpos"), col("word")))),
+          s => s.getField("word")), " ").as("span_text"))
+      .select(col("span_doc"), col("span_start"), col("span_end"),
+        md5Long(col("span_text")).as("span_key"),
+        (col("span_doc") * spanPosCap + col("span_start")).as("occ"))
+    val firsts = keyed.groupBy("span_key").agg(min("occ").as("first_occ"))
+    val drops = keyed.join(firsts, Seq("span_key"))
+      .filter(col("occ") =!= col("first_occ"))
+      .select(col("span_doc").as("doc_id"), col("span_start"), col("span_end"))
+    rebuildWithoutSpans(documents, drops, n)
+  }
+
   /** Ingestion-time INCREMENTAL span dedup: cut from each BATCH doc
     * every n-gram window whose gram (a) already occurs anywhere in the
     * existing corpus or (b) repeats within the batch and is not the

@@ -492,6 +492,45 @@ class TextDedupSpec extends AnyFunSuite {
       "serving survives repeated compactions")
   }
 
+  test("maximalSpans: a long planted duplicate reports as ONE full-extent span, never fragments") {
+    // two docs share a 30-word passage embedded at different offsets in
+    // otherwise-unique text; a third doc is clean
+    val passage = (0 until 30).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $passage delta epsilon"),
+      (2L, s"one two three four five six seven $passage eight"),
+      (3L, "totally unrelated words nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.maximalSpans(docs, n = 6, minWords = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1: passage at words 4..33; doc 2: at words 8..37 — exactly one
+    // span each, covering the exact planted extent
+    assert(spans === Set((1L, 4L, 33L), (2L, 8L, 37L)),
+      "each planted duplicate must surface as one exact-extent span")
+    // the removal form: doc 1 (first occurrence) keeps everything; doc 2
+    // loses the passage as ONE contiguous cut, nothing else
+    val byId = Dedup.maxSpanDedup(docs, n = 6, minWords = 20)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(byId(1L)._1 === s"alpha beta gamma $passage delta epsilon" && byId(1L)._2 === 0L,
+      "the globally first occurrence must survive intact")
+    assert(byId(2L)._1 === "one two three four five six seven eight" && byId(2L)._2 === 30L,
+      "a later occurrence must lose the passage as one contiguous cut")
+    assert(byId(3L)._2 === 0L)
+    // below the floor: a 12-word repeat is NOT a maximal span at L=20
+    val short = Seq(
+      (1L, "a b c " + (0 until 12).map(i => s"s$i").mkString(" ") + " x y"),
+      (2L, "p q r " + (0 until 12).map(i => s"s$i").mkString(" ") + " z"))
+      .toDF("doc_id", "text")
+    assert(Dedup.maximalSpans(short, n = 6, minWords = 20).count() === 0L)
+    assert(Dedup.maximalSpans(short, n = 6, minWords = 12).count() === 2L)
+    // fragments never split: duplicateSpans' removal merge (gap<=n) may
+    // bridge, but every maximal span is covered by exactly one island —
+    // consecutive window positions with no interior break
+    val winsPerSpan = Dedup.maximalSpans(docs, n = 6, minWords = 20)
+    assert(winsPerSpan.filter(col("span_words") =!= col("span_end") - col("span_start") + 1)
+      .count() === 0L)
+  }
+
   test("cluster store hygiene: sweep never touches prefix-colliding neighbors; embedded __gN names resolve") {
     val docsOf = (ids: Seq[Long]) => ids.map(i => (i, "")).toDF("doc_id", "text")
     // 1) a NEIGHBOR table whose name merely starts with `{tbl}__g` (no
