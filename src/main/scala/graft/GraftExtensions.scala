@@ -83,6 +83,12 @@ object GraftExtensions {
         require(args.length == 1,
           s"canonical_url requires exactly 1 argument, got ${args.length}")
         graft.functions.CanonicalUrlExpr(args(0))
+      }),
+    (FunctionIdentifier("fix_text"), info("fix_text"),
+      { args =>
+        require(args.length == 1,
+          s"fix_text requires exactly 1 argument, got ${args.length}")
+        graft.functions.FixTextExpr(args(0))
       }))
 
   /** Lift a DataFrame builder over literal arguments into a TVF plan

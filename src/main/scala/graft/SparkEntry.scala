@@ -2985,6 +2985,7 @@ object SparkEntry {
         lit("<body><!-- nav boilerplate --><h1>Doc "), id, lit("</h1><p>"),
         col("text"),
         lit("</p><p>Tom &amp; Jerry &lt;3 &#65;&#x42;</p>"),
+        lit("<p>caf&eacute; &ndash; &euro;5 &nbsp; ok &Omega;&unknown;</p>"),
         lit("<div><a href=\"/a\">nav one</a> <a href=\"/b\">nav two</a></div>"),
         lit("</body></html>"))
       Tables.documents(s, dir)
@@ -2992,6 +2993,20 @@ object SparkEntry {
         .select(col("doc_id"),
           TextAnalysis.htmlText(col("html")).as("text_out"),
           round(TextAnalysis.linkDensity(col("html")), 6).as("link_density"))
+    }),
+    // Fix-text stage (mojibake repair + NFKC): four injected variants —
+    // cp1252-mojibake (repairs), a combining sequence (NFC-composes), a
+    // ligature + fullwidth letter (NFKC-folds), and clean — each with a
+    // closed-form expected string. The ASCII doc text is NFKC-invariant,
+    // so the oracle is text || expected(variant).
+    "q_text_normalize" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(4))
+      val variant = when(m === 0, lit(" caf\u00C3\u00A9")) // UTF-8 'caf\u00E9' read as cp1252
+        .when(m === 1, lit(" ne\u0301e")) // e + combining acute (decomposed)
+        .when(m === 2, lit(" \uFB01le \uFF21")) // fi ligature + fullwidth A
+        .otherwise(lit(""))
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.fixText(concat(col("text"), variant)).as("fixed"))
     }),
     // href extraction from markup (html_links) — the provenance feed
     // when the corpus arrives as HTML: anchors in scripts/comments must
@@ -4016,9 +4031,10 @@ object SparkEntry {
             'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
             text || chr(10) ||
             'Tom & Jerry <3 AB' || chr(10) ||
+            'caf' || chr(233) || ' ' || chr(8211) || ' ' || chr(8364) || '5 ok ' || chr(937) || '&unknown;' || chr(10) ||
             'nav one nav two' AS text_out,
             round(12.0 / (2 * (3 + length(CAST(doc_id AS VARCHAR)))
-              + length(replace(text, ' ', '')) + 25), 6) AS link_density
+              + length(replace(text, ' ', '')) + 44), 6) AS link_density
           FROM documents""",
     // the synthesized anchors' hrefs in closed form (script/comment
     // ghosts excluded by the extractor, asserted by their absence)
@@ -4028,6 +4044,18 @@ object SparkEntry {
             '/p/' || CAST(doc_id % 7 AS VARCHAR),
             'https://s' || CAST(doc_id % 3 AS VARCHAR) || '.example.com/x',
             '/plain']) AS url) u""",
+    // expected fixed text per injected variant: repair recovers 'café',
+    // NFC composes the combining sequence, NFKC folds ligature +
+    // fullwidth; the doc's own ASCII text is invariant
+    "q_text_normalize" ->
+      s"""SELECT doc_id,
+            text || CASE doc_id % 4
+              WHEN 0 THEN ' caf' || chr(233)
+              WHEN 1 THEN ' n' || chr(233) || 'e'
+              WHEN 2 THEN ' file A'
+              ELSE ''
+            END AS fixed
+          FROM documents""",
     // expected canonical per injected variant, in closed form
     "q_url_canonical" ->
       s"""SELECT doc_id,

@@ -26,9 +26,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    body/title, section/article/nav/…) contribute a line break,
   *    open and close alike; all other tags (a, span, b, em, …) are
   *    stripped; a `<` not starting a tag is literal text;
-  *  - entities decode: the named five (&amp; &lt; &gt; &quot; &apos;)
-  *    plus &nbsp; (→ a plain space) and numeric &#NNN; / &#xHH;;
-  *    anything unrecognized stays literal;
+  *  - entities decode: the FULL HTML 4.01 named table (Latin-1,
+  *    Greek/symbol, special blocks — see [[HtmlKernels.namedEntities]];
+  *    &nbsp; → a plain space) and numeric &#NNN; / &#xHH;; anything
+  *    unrecognized (incl. HTML5-only names) stays literal;
   *  - whitespace normalizes: source whitespace (incl. newlines —
   *    HTML renders them as spaces) collapses to single spaces within a
   *    line, lines trim, empty lines drop, lines join with `\n`.
@@ -39,6 +40,84 @@ import org.apache.spark.unsafe.types.UTF8String
   * raw (pre-collapse) visible stream; 0.0 when nothing is visible.
   */
 object HtmlKernels {
+
+  /** The full HTML 4.01 named-entity table (the public W3C list:
+    * Latin-1, symbol/Greek, and special blocks — 252 names, plus XML's
+    * `apos`), GENERATED where the list is structured: the Latin-1 block
+    * is the 96 standard names for code points 160–255 in order. HTML5's
+    * extended names degrade gracefully — unknown stays literal, the
+    * documented fallback. `nbsp` maps to a plain space (extraction
+    * semantics: downstream tokenization wants ' ', and NFKC agrees).
+    */
+  private[graft] val namedEntities: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String](512)
+    def put(name: String, cp: Int): Unit = m.put(name, new String(Character.toChars(cp)))
+    // Latin-1 block: names for U+00A0..U+00FF, in code-point order
+    val latin1 = Array(
+      "nbsp", "iexcl", "cent", "pound", "curren", "yen", "brvbar", "sect",
+      "uml", "copy", "ordf", "laquo", "not", "shy", "reg", "macr", "deg",
+      "plusmn", "sup2", "sup3", "acute", "micro", "para", "middot", "cedil",
+      "sup1", "ordm", "raquo", "frac14", "frac12", "frac34", "iquest",
+      "Agrave", "Aacute", "Acirc", "Atilde", "Auml", "Aring", "AElig",
+      "Ccedil", "Egrave", "Eacute", "Ecirc", "Euml", "Igrave", "Iacute",
+      "Icirc", "Iuml", "ETH", "Ntilde", "Ograve", "Oacute", "Ocirc",
+      "Otilde", "Ouml", "times", "Oslash", "Ugrave", "Uacute", "Ucirc",
+      "Uuml", "Yacute", "THORN", "szlig", "agrave", "aacute", "acirc",
+      "atilde", "auml", "aring", "aelig", "ccedil", "egrave", "eacute",
+      "ecirc", "euml", "igrave", "iacute", "icirc", "iuml", "eth", "ntilde",
+      "ograve", "oacute", "ocirc", "otilde", "ouml", "divide", "oslash",
+      "ugrave", "uacute", "ucirc", "uuml", "yacute", "thorn", "yuml")
+    latin1.zipWithIndex.foreach { case (n, i) => put(n, 160 + i) }
+    // Greek block: uppercase U+0391..U+03A9 (no U+03A2), lowercase
+    // U+03B1..U+03C9 with final sigma at U+03C2, plus the three symbol
+    // variants
+    val greekUpper = Array("Alpha", "Beta", "Gamma", "Delta", "Epsilon",
+      "Zeta", "Eta", "Theta", "Iota", "Kappa", "Lambda", "Mu", "Nu", "Xi",
+      "Omicron", "Pi", "Rho")
+    greekUpper.zipWithIndex.foreach { case (n, i) => put(n, 0x391 + i) }
+    val greekUpper2 = Array("Sigma", "Tau", "Upsilon", "Phi", "Chi", "Psi", "Omega")
+    greekUpper2.zipWithIndex.foreach { case (n, i) => put(n, 0x3A3 + i) }
+    val greekLower = Array("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi",
+      "omicron", "pi", "rho")
+    greekLower.zipWithIndex.foreach { case (n, i) => put(n, 0x3B1 + i) }
+    put("sigmaf", 0x3C2)
+    val greekLower2 = Array("sigma", "tau", "upsilon", "phi", "chi", "psi", "omega")
+    greekLower2.zipWithIndex.foreach { case (n, i) => put(n, 0x3C3 + i) }
+    put("thetasym", 0x3D1); put("upsih", 0x3D2); put("piv", 0x3D6)
+    // symbol block
+    Seq("fnof" -> 402, "bull" -> 8226, "hellip" -> 8230, "prime" -> 8242,
+      "Prime" -> 8243, "oline" -> 8254, "frasl" -> 8260, "weierp" -> 8472,
+      "image" -> 8465, "real" -> 8476, "trade" -> 8482, "alefsym" -> 8501,
+      "larr" -> 8592, "uarr" -> 8593, "rarr" -> 8594, "darr" -> 8595,
+      "harr" -> 8596, "crarr" -> 8629, "lArr" -> 8656, "uArr" -> 8657,
+      "rArr" -> 8658, "dArr" -> 8659, "hArr" -> 8660, "forall" -> 8704,
+      "part" -> 8706, "exist" -> 8707, "empty" -> 8709, "nabla" -> 8711,
+      "isin" -> 8712, "notin" -> 8713, "ni" -> 8715, "prod" -> 8719,
+      "sum" -> 8721, "minus" -> 8722, "lowast" -> 8727, "radic" -> 8730,
+      "prop" -> 8733, "infin" -> 8734, "ang" -> 8736, "and" -> 8743,
+      "or" -> 8744, "cap" -> 8745, "cup" -> 8746, "int" -> 8747,
+      "there4" -> 8756, "sim" -> 8764, "cong" -> 8773, "asymp" -> 8776,
+      "ne" -> 8800, "equiv" -> 8801, "le" -> 8804, "ge" -> 8805,
+      "sub" -> 8834, "sup" -> 8835, "nsub" -> 8836, "sube" -> 8838,
+      "supe" -> 8839, "oplus" -> 8853, "otimes" -> 8855, "perp" -> 8869,
+      "sdot" -> 8901, "lceil" -> 8968, "rceil" -> 8969, "lfloor" -> 8970,
+      "rfloor" -> 8971, "lang" -> 9001, "rang" -> 9002, "loz" -> 9674,
+      "spades" -> 9824, "clubs" -> 9827, "hearts" -> 9829, "diams" -> 9830)
+      .foreach { case (n, cp) => put(n, cp) }
+    // special block (markup five + Latin Extended / punctuation)
+    Seq("quot" -> 34, "amp" -> 38, "lt" -> 60, "gt" -> 62, "apos" -> 39,
+      "OElig" -> 338, "oelig" -> 339, "Scaron" -> 352, "scaron" -> 353,
+      "Yuml" -> 376, "circ" -> 710, "tilde" -> 732, "ensp" -> 8194,
+      "emsp" -> 8195, "thinsp" -> 8201, "zwnj" -> 8204, "zwj" -> 8205,
+      "lrm" -> 8206, "rlm" -> 8207, "ndash" -> 8211, "mdash" -> 8212,
+      "lsquo" -> 8216, "rsquo" -> 8217, "sbquo" -> 8218, "ldquo" -> 8220,
+      "rdquo" -> 8221, "bdquo" -> 8222, "dagger" -> 8224, "Dagger" -> 8225,
+      "permil" -> 8240, "lsaquo" -> 8249, "rsaquo" -> 8250, "euro" -> 8364)
+      .foreach { case (n, cp) => put(n, cp) }
+    m.put("nbsp", " ") // extraction semantics: a word separator
+    m
+  }
 
   private val blockTags: java.util.Set[String] = {
     val s = new java.util.HashSet[String]()
@@ -204,25 +283,17 @@ object HtmlKernels {
           if (semi < 0 || semi - i > 11) null
           else {
             val ent = str.substring(i + 1, semi)
-            ent match {
-              case "amp" => "&"
-              case "lt" => "<"
-              case "gt" => ">"
-              case "quot" => "\""
-              case "apos" => "'"
-              case "nbsp" => " "
-              case _ if ent.length >= 2 && ent.charAt(0) == '#' =>
-                try {
-                  val cp =
-                    if (ent.charAt(1) == 'x' || ent.charAt(1) == 'X')
-                      Integer.parseInt(ent.substring(2), 16)
-                    else Integer.parseInt(ent.substring(1), 10)
-                  if (Character.isValidCodePoint(cp) && cp > 0)
-                    new String(Character.toChars(cp))
-                  else null
-                } catch { case _: NumberFormatException => null }
-              case _ => null
-            }
+            if (ent.length >= 2 && ent.charAt(0) == '#')
+              try {
+                val cp =
+                  if (ent.charAt(1) == 'x' || ent.charAt(1) == 'X')
+                    Integer.parseInt(ent.substring(2), 16)
+                  else Integer.parseInt(ent.substring(1), 10)
+                if (Character.isValidCodePoint(cp) && cp > 0)
+                  new String(Character.toChars(cp))
+                else null
+              } catch { case _: NumberFormatException => null }
+            else namedEntities.get(ent) // null when unknown → literal
           }
         if (decoded == null) { emit('&'); i += 1 }
         else {

@@ -60,12 +60,21 @@ object CorpusPipeline {
     */
   def curatedDocs(documents: DataFrame, lang: String, minQuality: Double,
                   jaccardThreshold: Double, maxDf: Int = 10000,
-                  redactPii: Boolean = false): DataFrame = {
+                  redactPii: Boolean = false,
+                  normalize: Boolean = false): DataFrame = {
+    // the fix-text stage (mojibake repair + NFKC) runs AHEAD of
+    // lang-ID — stopword matching and quality signals assume composed,
+    // correctly-decoded text — and therefore ahead of everything else;
+    // a narrow codegen projection, order-invariant with the scan
+    val docs =
+      if (normalize)
+        documents.withColumn("text", TextAnalysis.fixText(col("text")))
+      else documents
     // PII redaction slots between quality filtering and dedup (the
     // production stage order): a narrow per-row rewrite, so exact dedup
     // then keys on the redacted bytes and identical documents that
     // differed only in their PII still collapse.
-    val kept1raw = filtered(documents, lang, minQuality)
+    val kept1raw = filtered(docs, lang, minQuality)
     val kept1 =
       if (redactPii) kept1raw.withColumn("text", TextAnalysis.redactCol(col("text")))
       else kept1raw
@@ -86,8 +95,9 @@ object CorpusPipeline {
     */
   def curate(documents: DataFrame, lang: String, minQuality: Double,
              jaccardThreshold: Double, maxDf: Int = 10000,
-             redactPii: Boolean = false): DataFrame =
-    curatedDocs(documents, lang, minQuality, jaccardThreshold, maxDf, redactPii)
+             redactPii: Boolean = false,
+             normalize: Boolean = false): DataFrame =
+    curatedDocs(documents, lang, minQuality, jaccardThreshold, maxDf, redactPii, normalize)
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),

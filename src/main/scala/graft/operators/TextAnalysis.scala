@@ -29,6 +29,16 @@ object TextAnalysis {
   def htmlText(markup: Column): Column =
     column(graft.functions.HtmlTextExpr(exprOf(markup)))
 
+  /** Fix-text stage ([[graft.functions.TextNormKernels]]): mojibake
+    * repair (strict cp1252→UTF-8 round trip, two rounds) + Unicode
+    * normalization (NFKC by default — ligatures, fullwidth forms, and
+    * NBSP fold; `nfkc = false` for plain canonical NFC). Sits between
+    * HTML extraction and lang-ID in the pipeline ordering
+    * ([[CorpusPipeline.curatedDocs]]'s `normalize` flag).
+    */
+  def fixText(text: Column, nfkc: Boolean = true): Column =
+    column(graft.functions.FixTextExpr(exprOf(text), nfkc))
+
   /** Anchor-text fraction of the visible characters — the classic
     * link-density boilerplate signal (0.0 when nothing is visible).
     */

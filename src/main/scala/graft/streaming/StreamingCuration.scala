@@ -46,11 +46,17 @@ object StreamingCuration {
                    watermark: String = "1 hour",
                    redactPii: Boolean = false,
                    blocklist: Seq[String] = Nil,
-                   gopher: Boolean = false): DataFrame = {
+                   gopher: Boolean = false,
+                   normalize: Boolean = false): DataFrame = {
     val toks = TextFunctions.tokens(col("text"))
+    // fix-text ahead of lang-ID, exactly the batch stage order — a
+    // stateless narrow column, so stream ≡ batch holds trivially
+    val normed =
+      if (normalize) docs.withColumn("text", TextAnalysis.fixText(col("text")))
+      else docs
     val gated =
-      if (blocklist.isEmpty) docs
-      else docs.filter(!TextAnalysis.blockedCol(col("text"), blocklist))
+      if (blocklist.isEmpty) normed
+      else normed.filter(!TextAnalysis.blockedCol(col("text"), blocklist))
     val filtered0 = gated
       .withWatermark("ts", watermark)
       .filter(TextAnalysis.langPredCol(toks) === lang &&
