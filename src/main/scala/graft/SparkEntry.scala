@@ -265,6 +265,28 @@ object SparkEntry {
     dataPath
   }
 
+  /** The LEXICAL rewrite sandbox: a documents copy with a persisted
+    * TF-IDF posting layout registered in the [[graft.plans.IndexCatalog]]
+    * lexical tier — the `ensureRewriteSandbox` pattern one tier over.
+    */
+  private def ensureLexRewriteSandbox(s: SparkSession, sfDir: String): String = {
+    val base = s.conf.getOption("spark.graft.indexDir").getOrElse("target/graft_index")
+    val rdir = java.nio.file.Paths.get(
+        s"$base/v2_rwlex_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}")
+      .toAbsolutePath.toString
+    val dataPath = s"$rdir/data"
+    rewriteSandboxBuilt.getOrElseUpdate(rdir, {
+      Tables.documents(s, sfDir).write.mode("overwrite").parquet(dataPath)
+      Retrieval.ensureTfidfLayout(s.read.parquet(dataPath), s"$rdir/tfidf")
+      graft.plans.IndexCatalog.registerTfidf(dataPath, s"$rdir/tfidf")
+      true
+    })
+    if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.IndexRewriteRule]))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.IndexRewriteRule(s)
+    dataPath
+  }
+
   // ---------------- DuckDB SQL fragments (mirror the Scala constants) --
 
   /** md5Int (Portable.md5Int) in DuckDB. */
@@ -3266,6 +3288,29 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(7)) === 0).select("doc_id"))
       Retrieval.tfidfTopKIndexed(s, ldir, retrievalTerms, 10)
     }),
+    // LEXICAL index-aware planning: the NAIVE tf-idf top-k — corpus
+    // explode + groupBy + idf join + rank, no index API in sight —
+    // over a documents copy whose posting layout is registered.
+    // IndexRewriteRule swaps the posting-build subplan for the
+    // term-clustered layout (materialized-view rewrite, bit-identical
+    // tf), so the plain tfidf oracle applies verbatim.
+    "q_tfidf_rewrite_topk" -> ((s, dir) => {
+      val dataPath = ensureLexRewriteSandbox(s, dir)
+      Retrieval.tfidfTopK(s.read.parquet(dataPath), retrievalTerms, 10)
+    }),
+    // ... and the naive token-membership filter: array_contains(
+    // split(text,' '), term) conjuncts become df(term)-bounded posting
+    // semi-joins (term literal pushed into the term-clustered files);
+    // bare substring contains() deliberately declines (lossy).
+    "q_contains_rewrite_topk" -> ((s, dir) => {
+      val dataPath = ensureLexRewriteSandbox(s, dir)
+      s.read.parquet(dataPath)
+        .filter(array_contains(split(col("text"), " "), retrievalTerms.head) &&
+          array_contains(split(col("text"), " "), retrievalTerms(1)))
+        .select("doc_id", "n_chars")
+        .orderBy(col("doc_id"))
+        .limit(50)
+    }),
     // Reciprocal-rank fusion of the BM25 list with the cosine top-k
     // list (doc_id ≡ vec_id) — both inputs already truncated to
     // poolK rows before the windows and the full-outer join.
@@ -4920,6 +4965,19 @@ object SparkEntry {
       s"""WITH $duckTfidfShared
           SELECT doc_id, tfidf
           FROM ${duckTfidfBlock(0L, retrievalTerms, 10, Some("nq.doc_id % 7 != 0"))} y""",
+    // the lexical rewrite serves the SAME naive tf-idf plan from the
+    // registered posting layout, bit-identically — plain oracle applies
+    "q_tfidf_rewrite_topk" ->
+      s"""WITH $duckTfidfShared
+          SELECT doc_id, tfidf
+          FROM ${duckTfidfBlock(0L, retrievalTerms, 10)} y""",
+    // token membership ≡ posting membership (same tokenizer) — the
+    // rewrite is lossless, so the naive predicate is the oracle
+    "q_contains_rewrite_topk" ->
+      s"""SELECT doc_id, n_chars FROM documents
+          WHERE list_contains(string_split(text, ' '), '${retrievalTerms.head}')
+            AND list_contains(string_split(text, ' '), '${retrievalTerms(1)}')
+          ORDER BY doc_id LIMIT 50""",
     // maxsim: per (doc, query-token) max inner product, summed in the
     // SAME static ascending-tok order as the engine's score chain
     "q_maxsim_topk" -> duckMaxsimTopK,

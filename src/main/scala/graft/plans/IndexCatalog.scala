@@ -74,7 +74,27 @@ object IndexCatalog {
 
   def unregister(dataPath: String): Unit = registry.remove(canon(dataPath))
 
-  def clear(): Unit = registry.clear()
+  /** LEXICAL tier: a persisted TF-IDF posting layout
+    * ([[graft.operators.Retrieval.writeTfidfLayout]] —
+    * `dir/postings` term-clustered, `dir/idf`, `dir/norms`) registered
+    * for a documents table. Registration declares the layout CURRENT
+    * for the table's content (the `ensureTfidfLayout` fingerprint
+    * contract) — the rewrite serves postings-derived relations from it
+    * bit-exactly.
+    */
+  final case class TfidfIndex(layoutDir: String)
+
+  private val lexRegistry = TrieMap.empty[String, TfidfIndex]
+
+  def registerTfidf(dataPath: String, layoutDir: String): Unit =
+    lexRegistry(canon(dataPath)) = TfidfIndex(layoutDir)
+
+  def lookupTfidf(dataPath: String): Option[TfidfIndex] =
+    lexRegistry.get(canon(dataPath))
+
+  def unregisterTfidf(dataPath: String): Unit = lexRegistry.remove(canon(dataPath))
+
+  def clear(): Unit = { registry.clear(); lexRegistry.clear() }
 
   // ------------------------------------------------------------------
   // Persistence: every build writes `indexDir/_catalog` (meta line +

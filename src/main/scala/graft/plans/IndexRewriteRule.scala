@@ -4,8 +4,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
@@ -101,6 +103,15 @@ case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     // radius query surfaces as a conditioned cross join, no Filter node
     case j @ Join(_, _, Cross | Inner, Some(cond), _) =>
       tryRewriteRange(cond, j).getOrElse(j)
+    // LEXICAL tier: the posting-build subplan of any naive tf-idf /
+    // BM25 / df plan is served from the registered posting layout
+    case agg: Aggregate =>
+      tryRewritePostingBuild(agg).getOrElse(agg)
+    // ... and token-membership predicates become pruned posting
+    // semi-joins (general Filter shapes; the Window/Join forms above
+    // are tried first)
+    case f @ Filter(cond, child) =>
+      tryRewriteTokenContains(cond, child).getOrElse(f)
   }
 
   // ------------------------------------------------------------------
@@ -762,6 +773,167 @@ case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
         Literal(1), Literal(0)): Expression
     }.reduce(Add(_, _))
     LessThan(rank, Literal(idx.nprobe))
+  }
+
+  // ------------------------------------------------------------------
+  // Lexical tier: posting-layout rewrites
+  // ------------------------------------------------------------------
+
+  /** Materialized-view rewrite of the POSTING BUILD: the subplan
+    * {{{
+    *   Aggregate [doc_id, term] [doc_id, term, count(1) AS tf]
+    *     Generate explode(split(text, ' ')) AS term
+    *       <scan of a table with a registered TF-IDF layout>
+    * }}}
+    * is exactly how [[graft.operators.Retrieval.writeTfidfLayout]]
+    * derives `dir/postings` (same tokenizer, same tf), so it is served
+    * FROM the layout: the corpus-scale explode disappears, and any
+    * term predicate above now pushes into the TERM-CLUSTERED postings
+    * files (footer min/max skip). This covers the naive tf-idf / BM25
+    * top-k join shapes in one stroke — their expensive node IS the
+    * posting build; all idf/norm arithmetic above is preserved under
+    * the original exprIds, so scores stay bit-identical and the naive
+    * plan's oracle applies verbatim. Declines when a Filter interposes
+    * below the explode (a filtered corpus's postings are not the
+    * layout's), when the split delimiter is not the engine tokenizer's
+    * single space, or when no layout is registered for the scan.
+    */
+  private def tryRewritePostingBuild(agg: Aggregate): Option[LogicalPlan] = {
+    if (agg.groupingExpressions.size != 2) return None
+    val gAttrs = agg.groupingExpressions.collect { case a: Attribute => a }
+    if (gAttrs.size != 2) return None
+    val gIds = gAttrs.map(_.exprId).toSet
+    def isCount1(ae: AggregateExpression): Boolean =
+      !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+        case Count(Seq(Literal(1, _))) => true
+        case _ => false
+      })
+    // the output may be both keys + count(1) (the tf build), or any
+    // subset of the keys alone (the column-pruned DISTINCT (doc,term)
+    // shape the optimizer leaves under a df/idf aggregate)
+    val shapeOk = agg.aggregateExpressions.forall {
+      case a: Attribute => gIds.contains(a.exprId)
+      case Alias(ae: AggregateExpression, _) => isCount1(ae)
+      case _ => false
+    }
+    if (!shapeOk ||
+        agg.aggregateExpressions.count(!_.isInstanceOf[Attribute]) > 1) return None
+    postingSource(agg.child).flatMap { case (docId, term, path, residual) =>
+      if (gIds != Set(docId.exprId, term.exprId)) None
+      // any residual filter must be decidable from the posting keys
+      // alone — a predicate touching a corpus column has no layout twin
+      else if (residual.exists(f => !f.deterministic ||
+          !f.references.subsetOf(AttributeSet(Seq(docId, term))))) None
+      else IndexCatalog.lookupTfidf(path).map { idx =>
+        val scan = spark.read.parquet(s"${idx.layoutDir}/postings")
+          .queryExecution.analyzed
+        val byName = scan.output.map(a => a.name -> a).toMap
+        // re-key the stored posting columns under the ORIGINAL exprIds,
+        // re-apply any residual (doc_id/term-only) filters, then
+        // restore the aggregate's exact output shape
+        val base = Project(Seq(
+          Alias(byName("doc_id"), docId.name)(exprId = docId.exprId),
+          Alias(byName("term"), term.name)(exprId = term.exprId),
+          byName("tf")), scan)
+        val filtered = residual.reduceOption(And)
+          .fold(base: LogicalPlan)(Filter(_, base))
+        val out = agg.aggregateExpressions.map {
+          case a: Attribute => a: NamedExpression
+          case al: Alias =>
+            Alias(byName("tf").withNullability(false), al.name)(exprId = al.exprId)
+        }
+        Project(out, filtered)
+      }
+    }
+  }
+
+  /** The `(doc_id attr, term attr, scan path, residual filters)` of a
+    * posting-build child: attribute-only projections and Filters over
+    * an inner `Generate(explode(split(text, ' ')))` over a pure
+    * (filterless) chain to one parquet relation carrying `doc_id`.
+    * Filters ABOVE the Generate are returned for the caller to
+    * validate and re-apply; Filters BELOW it (on corpus columns)
+    * decline via [[pureScanPath]].
+    */
+  private def postingSource(plan: LogicalPlan)
+      : Option[(Attribute, Attribute, String, Seq[Expression])] =
+    plan match {
+      case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        postingSource(child)
+      case SubqueryAlias(_, child) => postingSource(child)
+      case Filter(cond, child) =>
+        postingSource(child).map { case (d, t, p, fs) =>
+          (d, t, p, splitConjunctivePredicates(cond) ++ fs)
+        }
+      case Generate(Explode(StringSplit(text: Attribute,
+            Literal(sep: UTF8String, org.apache.spark.sql.types.StringType),
+            Literal(-1, _))),
+          _, false, _, Seq(term: Attribute), child) if sep.toString == " " =>
+        for {
+          path <- pureScanPath(child)
+          docId <- child.output.find(_.name == "doc_id")
+        } yield (docId, term, path, Nil)
+      case _ => None
+    }
+
+  /** Like [[leafPath]] but DECLINES on interposed Filters — the layout
+    * holds whole-corpus postings, so a pre-filtered build must not be
+    * served from it.
+    */
+  private def pureScanPath(plan: LogicalPlan): Option[String] = plan match {
+    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      pureScanPath(child)
+    case SubqueryAlias(_, child) => pureScanPath(child)
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation => fs.location.rootPaths.headOption.map(_.toString)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Token-membership prune: each
+    * `array_contains(split(text, ' '), 'term')` conjunct over a
+    * registered documents scan is EXACTLY posting membership (the
+    * layout is built with the same single-space tokenizer over the
+    * same corpus — the registration contract), so it becomes a
+    * left-semi join against that term's pruned posting list: the term
+    * literal pushes into the term-clustered files, candidates are
+    * df(term)-bounded, and the corpus stops paying a per-row
+    * tokenize-and-search. Non-token conjuncts stay as a residual
+    * Filter. Bare substring `contains(text, 'term')` is deliberately
+    * NOT rewritten: substring matches cross token boundaries
+    * ("oo b" inside "foo bar"), so a posting prune would be lossy —
+    * the rule declines rather than approximate.
+    */
+  private def tryRewriteTokenContains(cond: Expression,
+                                      child: LogicalPlan): Option[LogicalPlan] = {
+    def isTokenPred(e: Expression): Boolean = e match {
+      case ArrayContains(StringSplit(t: Attribute,
+            Literal(sep: UTF8String, org.apache.spark.sql.types.StringType),
+            Literal(-1, _)),
+          Literal(_: UTF8String, org.apache.spark.sql.types.StringType))
+          if sep.toString == " " && child.outputSet.contains(t) => true
+      case _ => false
+    }
+    val conjuncts = splitConjunctivePredicates(cond)
+    val (tokenPreds, rest) = conjuncts.partition(isTokenPred)
+    if (tokenPreds.isEmpty) return None
+    val path = leafPath(child).getOrElse(return None)
+    val idx = IndexCatalog.lookupTfidf(path).getOrElse(return None)
+    val docId = child.output.find(_.name == "doc_id").getOrElse(return None)
+    val rewritten = tokenPreds.foldLeft(child) { (acc, p) =>
+      val termLit = p.asInstanceOf[ArrayContains].right
+      // a FRESH read per term: two semi-joins must not share attr ids
+      val scan = spark.read.parquet(s"${idx.layoutDir}/postings")
+        .queryExecution.analyzed
+      val pDoc = scan.output.find(_.name == "doc_id")
+        .getOrElse(sys.error(s"${idx.layoutDir}/postings lacks doc_id"))
+      val pTerm = scan.output.find(_.name == "term")
+        .getOrElse(sys.error(s"${idx.layoutDir}/postings lacks term"))
+      val pruned = Project(Seq(pDoc), Filter(EqualTo(pTerm, termLit), scan))
+      Join(acc, pruned, LeftSemi, Some(EqualTo(docId, pDoc)), JoinHint.NONE)
+    }
+    Some(rest.reduceOption(And).fold(rewritten: LogicalPlan)(Filter(_, rewritten)))
   }
 
   /** Root path of the single relation a Project/Filter chain scans. */

@@ -825,4 +825,115 @@ class IndexRewriteSpec extends AnyFunSuite {
     }
     IndexCatalog.unregister(dataPath)
   }
+
+  // ------------------------------------------------------------------
+  // Lexical tier: posting-layout rewrites
+  // ------------------------------------------------------------------
+
+  private lazy val lexData: (String, String) = {
+    val dir = java.nio.file.Files.createTempDirectory("idxrw_lex").toString
+    Seq(
+      (1L, "spark join scan fast table", 25L),
+      (2L, "dup vector spark slow merge", 27L),
+      (3L, "vector dup dup scan batch", 25L),
+      (4L, "plain words only here now", 25L),
+      (5L, "spark vector dup mix hash", 25L))
+      .toDF("doc_id", "text", "n_chars")
+      .write.parquet(s"$dir/docs.parquet")
+    graft.operators.Retrieval.ensureTfidfLayout(
+      spark.read.parquet(s"$dir/docs.parquet"), s"$dir/tfidf")
+    (s"$dir/docs.parquet", s"$dir/tfidf")
+  }
+
+  private def lexRows(df: DataFrame): Seq[(Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  /** Root paths of every file relation in the optimized plan. */
+  private def scanPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+
+  test("lexical: naive tf-idf top-k serves the posting build from the layout, bit-identical") {
+    val (docsPath, layout) = lexData
+    def naiveTfidf = graft.operators.Retrieval.tfidfTopK(
+      spark.read.parquet(docsPath), Seq("spark", "dup"), 3)
+    val want = lexRows(naiveTfidf) // unregistered, unrewritten
+    IndexCatalog.registerTfidf(docsPath, layout)
+    try withRule {
+      val df = naiveTfidf
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(scanPaths(df).exists(_.contains("tfidf/postings")),
+        s"posting build must serve from the layout:\n$opt")
+      assert(!opt.contains("explode"),
+        s"every corpus-scale explode (tf AND idf branches) must disappear:\n$opt")
+      assert(lexRows(df) === want, "layout-served scores must be bit-identical")
+    } finally IndexCatalog.unregisterTfidf(docsPath)
+  }
+
+  test("lexical: token-membership filter becomes a pruned posting semi-join; substring contains declines") {
+    val (docsPath, layout) = lexData
+    def naiveContains = spark.read.parquet(docsPath)
+      .filter(array_contains(split(col("text"), " "), "spark") &&
+        array_contains(split(col("text"), " "), "vector") &&
+        col("n_chars") > 10)
+      .select("doc_id", "n_chars").orderBy("doc_id")
+    val want = naiveContains.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(want === Seq((2L, 27L), (5L, 25L)))
+    IndexCatalog.registerTfidf(docsPath, layout)
+    try withRule {
+      val df = naiveContains
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("LeftSemi") && scanPaths(df).count(_.contains("tfidf/postings")) == 2,
+        s"each token predicate must become its own posting semi-join:\n$opt")
+      assert(!opt.contains("array_contains"),
+        s"matched token predicates must be replaced, not duplicated:\n$opt")
+      assert(opt.contains("n_chars"), "non-token conjuncts must survive as residual")
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === want)
+      // bare substring contains: lossy to prune → must decline
+      val sub = spark.read.parquet(docsPath)
+        .filter(col("text").contains("park")).select("doc_id")
+      assert(!sub.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+        "substring contains must NOT rewrite (crosses token boundaries)")
+      assert(sub.collect().map(_.getLong(0)).toSet === Set(1L, 2L, 5L))
+      // non-space tokenizer: not the layout's tokens → decline
+      val comma = spark.read.parquet(docsPath)
+        .filter(array_contains(split(col("text"), ","), "spark")).select("doc_id")
+      assert(!comma.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+        "a different delimiter is not posting membership")
+    } finally IndexCatalog.unregisterTfidf(docsPath)
+  }
+
+  test("lexical declines: unregistered path untouched; filtered corpus posting build untouched") {
+    val (docsPath, layout) = lexData
+    withRule {
+      val opt = graft.operators.Retrieval.tfidfTopK(
+          spark.read.parquet(docsPath), Seq("spark"), 3)
+        .queryExecution.optimizedPlan.toString
+      assert(!opt.contains("postings"), s"no registration → no rewrite:\n$opt")
+    }
+    IndexCatalog.registerTfidf(docsPath, layout)
+    try withRule {
+      // a pre-filtered corpus's postings are NOT the layout's — decline
+      val filteredBuild = spark.read.parquet(docsPath)
+        .filter(col("doc_id") =!= 2L)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      assert(!scanPaths(filteredBuild).exists(_.contains("tfidf")),
+        s"a filtered posting build must not serve from the whole-corpus layout:\n${filteredBuild.queryExecution.optimizedPlan}")
+      assert(filteredBuild.filter(col("doc_id") === 2L).count() === 0L)
+      // the unfiltered build DOES rewrite and matches stored tf exactly
+      val build = spark.read.parquet(docsPath)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      assert(scanPaths(build).exists(_.contains("tfidf/postings")))
+      assert(build.filter(col("doc_id") === 3L && col("term") === "dup")
+        .head.getLong(2) === 2L)
+    } finally IndexCatalog.unregisterTfidf(docsPath)
+  }
 }
