@@ -157,8 +157,26 @@ object SparkEntry {
     val base = s.conf.getOption("spark.graft.indexDir").getOrElse("target/graft_index")
     val p = java.nio.file.Paths.get(
       s"$base/${tag}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}").toAbsolutePath.toString
+    // SESSION-DURABLE memo: the validity marker lives on disk beside
+    // the substrate (stamped with the SOURCE dir's file sizes+mtimes,
+    // so regenerated testdata rebuilds), and the TrieMap only
+    // de-duplicates the stat() within one JVM — a fresh session REUSES
+    // a previous session's substrate instead of rewriting it.
+    def sourceStamp: String = {
+      val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(_.isFile).sortBy(_.getName)
+      val h = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(";")
+      s"v1;$tag;${java.util.UUID.nameUUIDFromBytes(h.getBytes("UTF-8"))}"
+    }
     substrateBuilt.getOrElseUpdate(p, {
-      build.write.mode("overwrite").parquet(p)
+      val marker = new java.io.File(p, "_GRAFT_SUBSTRATE")
+      val stamp = sourceStamp
+      val fresh = marker.exists() &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp
+      if (!fresh) {
+        build.write.mode("overwrite").parquet(p)
+        java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8"))
+      }
       true
     })
     s.read.parquet(p)

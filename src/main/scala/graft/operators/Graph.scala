@@ -435,14 +435,48 @@ object Graph {
         Seq("dst"), "left")
       .select(coalesce(col("lu"), col("src")).as("src"),
         coalesce(col("lv"), col("dst")).as("dst"))
-    // 3. re-converge ONLY the touched subgraph
-    val remap = connectedComponents(
-      contracted.select(col("src").as("node"))
-        .union(contracted.select(col("dst").as("node"))).distinct(),
-      contracted, maxIters)
-      .filter(col("node") =!= col("component"))
-      .select(col("node").as("oldc"), col("component").as("newc"))
-      .localCheckpoint() // bounded by touched components; broadcast below
+    // 3. re-converge ONLY the touched subgraph. The contracted graph is
+    // BATCH-BOUNDED by contract (≤ |new edges| component-level edges),
+    // so the normal path is a driver-local min-label union-find — one
+    // collect job instead of an iteration of label-propagation jobs
+    // whose fixed scheduling cost dwarfs a small batch (measured 1.5 s
+    // for 65 edges). Identical labels to [[connectedComponents]] (min
+    // reachable id per set); a contract-violating giant batch falls
+    // back to the distributed loop via the capped probe.
+    val localCap = 100000
+    val probe = contracted.limit(localCap + 1).collect()
+    val remap =
+      if (probe.length <= localCap) {
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        probe.foreach { r =>
+          val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+          if (a != b) parent(math.max(a, b)) = math.min(a, b)
+        }
+        val nodes = probe.iterator.flatMap(r => Iterator(r.getLong(0), r.getLong(1)))
+          .toSet
+        val minOf = nodes.groupBy(find).map { case (root, members) =>
+          root -> members.min
+        }
+        val pairs = nodes.iterator
+          .map(n => (n, minOf(find(n))))
+          .filter { case (n, m) => n != m }
+          .toSeq.sortBy(_._1)
+        import stored.sparkSession.implicits._
+        pairs.toDF("oldc", "newc")
+      } else connectedComponents(
+        contracted.select(col("src").as("node"))
+          .union(contracted.select(col("dst").as("node"))).distinct(),
+        contracted, maxIters)
+        .filter(col("node") =!= col("component"))
+        .select(col("node").as("oldc"), col("component").as("newc"))
+        .localCheckpoint() // bounded by touched components; broadcast below
     // 4. rewrite: store-side map-only again (broadcast joins)
     val updated = stored
       .join(broadcast(remap), stored("component") === remap("oldc"), "left")
