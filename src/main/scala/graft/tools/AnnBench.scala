@@ -1661,6 +1661,53 @@ object AnnBench {
     println(s"[annbench] streamscale hnsw: ${5 * hnswBatch} inserts in ${fmt(hWall, 1)} s " +
       s"($hRowsPerSec inserts/s, ${gens + 1} generations); index ${bytes(hnswDir)} B")
 
+    // ---- ROUTED HNSW maintenance + auto-recluster ----
+    // 100k-row routed layout; 5 batches of 10k inserts of which the
+    // last two are a DRIFTED tail (offset far outside every base
+    // centroid) — the auto-recluster policy must fire mid-stream and
+    // the layout must end within its skew threshold, with serving
+    // answering consistently before / mid-stream / after.
+    val rBase = 100000
+    val rBatch = 10000
+    val rp = Hnsw.Params(numPartitions = 8)
+    val routedDir = s"target/graft_stream/routed_n$rBase"
+    fsOf(routedDir).delete(new org.apache.hadoop.fs.Path(routedDir), true)
+    val rEmb = scaleVectors(spark, rBase, dim)
+    Hnsw.saveRouted(rEmb, Ivf.kmeans(rEmb, 16, 1), rp, routedDir, replication = 2)
+    val rQs = scaleVectors(spark, 20, dim)
+      .select(col("vec_id").as("query_id"), perturbQuery(col("embedding")).as("query_vec"))
+    def serveRouted(): Double = timed(
+      Hnsw.searchRoutedWithIndex(spark, routedDir, rQs, 10, rp, nprobe = 4).collect())._2
+    val rServeBefore = serveRouted()
+    def driftRows(from: Long, until: Long): Seq[(Long, Array[Float])] =
+      vecRows(from, until).map { case (id, v) => (id, v.map(_ + 2000f)) }
+    val memR = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val qR = graft.streaming.StreamingAnn.maintainRouted(
+      memR.toDF().toDF("vec_id", "embedding"), routedDir, rp, replication = 2,
+      recluster = Some(graft.streaming.StreamingAnn.ReclusterPolicy(maxSkew = 2.5, iters = 1)))
+    var rMidServe = 0.0
+    val (_, rWall) = timed {
+      for (b <- 0 until 5) {
+        val (from, until) = (rBase + b.toLong * rBatch, rBase + (b + 1).toLong * rBatch)
+        memR.addData((if (b >= 3) driftRows(from, until) else vecRows(from, until)): _*)
+        qR.processAllAvailable()
+        if (b == 2) rMidServe = serveRouted()
+      }
+    }
+    qR.stop()
+    val rServeAfter = serveRouted()
+    val rRowsPerSec = (5L * rBatch / rWall).toLong
+    val endSkew = Hnsw.cellSkewRouted(spark, routedDir)
+    val rGen = graft.operators.CellSnapshot.version(spark, routedDir).getOrElse(-1)
+    val nServed = Hnsw.readRoutedNodes(spark, routedDir)
+      .select("vec_id").distinct().count()
+    println(s"[annbench] streamscale routed: ${5 * rBatch} inserts in ${fmt(rWall, 1)} s " +
+      s"($rRowsPerSec inserts/s, ${rGen + 1} generations, end skew ${fmt(endSkew, 2)}, " +
+      s"rebalanced=${!Hnsw.needsReclusterRouted(spark, routedDir, maxSkew = 2.5)}, " +
+      s"$nServed distinct rows); serve ${fmt(rServeBefore, 2)} s before, " +
+      s"${fmt(rMidServe, 2)} s mid-stream, ${fmt(rServeAfter, 2)} s after; " +
+      s"layout ${bytes(routedDir)} B")
+
     // ---- CMS sketch increments ----
     val docBatch = 20000
     val cmsDir = s"target/graft_stream/cms"
