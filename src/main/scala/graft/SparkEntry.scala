@@ -143,6 +143,7 @@ object SparkEntry {
   private val ccStoreBuilt = scala.collection.concurrent.TrieMap.empty[String, Boolean]
   private val gramStoreBuilt = scala.collection.concurrent.TrieMap.empty[String, Boolean]
   private val urlStoreBuilt = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private val dhashStoreBuilt = scala.collection.concurrent.TrieMap.empty[String, Boolean]
   private val substrateBuilt = scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
   /** Persist a derived substrate relation ONCE per (tag, sf dir) and
@@ -3705,6 +3706,28 @@ object SparkEntry {
       val assets = Multimodal.dhashAssetsFromDocuments(Tables.documents(s, dir))
       Multimodal.imageNearDupPairs(Multimodal.imageDhash(assets), maxHamming = 6)
     }),
+    // INCREMENTAL perceptual dedup against the bucketed banded-dHash
+    // store (crawl-frontier semantics for images): the store holds the
+    // base assets of docs < 250; the batch arrives as (a) re-encodes/
+    // rescales of stored docs — dropped at Hamming 0, (b) novel docs'
+    // bases + their twins — batch-internal clusters keep the min id,
+    // (c) perturbed near-variants — dropped at Hamming ≤ 1. Kept =
+    // exactly the novel docs' base assets, closed-form.
+    "q_image_neardup_incremental" -> ((s, dir) => {
+      val assets = Multimodal.dhashAssetsFromDocuments(Tables.documents(s, dir))
+      val isStored = col("asset_id") % 10 === 0 && col("asset_id") < 2500
+      val table = "graft_dhash_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      dhashStoreBuilt.getOrElseUpdate(table, {
+        dropManagedTable(s, table)
+        Multimodal.writeDhashStore(
+          Multimodal.imageDhash(assets.filter(isStored)), table)
+        true
+      })
+      Multimodal.incrementalImageNearDup(s, table,
+        Multimodal.imageDhash(assets.filter(!isStored)),
+        maxHamming = 6, absorb = false)
+        .select("asset_id", "dhash_bits")
+    }),
     // REAL multi-frame decode (animated GIF through the JDK sequence
     // writer/reader): each document becomes a genuine multi-frame GIF;
     // every frame extracts through ImageReader.getNumImages/read(i)
@@ -5301,6 +5324,21 @@ object SparkEntry {
                      THEN 0 ELSE 1 END AS hamming
          FROM assets a JOIN assets b
            ON a.doc_id = b.doc_id AND a.asset_id < b.asset_id""",
+    // kept = exactly the novel (doc_id >= 250) docs' base assets —
+    // stored docs' variants drop against the store, novel docs' twins
+    // and perturbations drop batch-internally to the min-id base
+    "q_image_neardup_incremental" ->
+      """WITH grid AS (
+           SELECT doc_id, x, y, 10 + CAST(concat('0x', substring(md5(concat(doc_id, ':', x, ':', y, ':dhash')), 1, 8)) AS BIGINT) % 230 AS v
+           FROM documents, range(9) tx(x), range(8) ty(y)),
+         bits AS (
+           SELECT l.doc_id, l.x, l.y, CASE WHEN l.v > r.v THEN '1' ELSE '0' END AS b
+           FROM grid l JOIN grid r ON l.doc_id = r.doc_id AND r.x = l.x + 1 AND r.y = l.y
+           WHERE l.x < 8),
+         hash AS (
+           SELECT doc_id, string_agg(b, '' ORDER BY y, x) AS dhash_bits
+           FROM bits GROUP BY doc_id)
+         SELECT doc_id*10 AS asset_id, dhash_bits FROM hash WHERE doc_id >= 250""",
     "q_multimodal_meta" ->
       """WITH a AS (SELECT doc_id AS asset_id,
                 n_chars % 640 + 32 AS w, doc_id % 480 + 32 AS h,

@@ -1193,7 +1193,9 @@ object Multimodal {
     */
   def dhashAssetsFromDocuments(documents: DataFrame, batchSize: Int = 64): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
-    documents.select("doc_id").mapPartitions { rows =>
+    // per-row ImageIO encode work dwarfs the 8-byte input rows: spread
+    // a narrow single-file scan across cores before paying it
+    graft.functions.Skew.spreadToCores(documents.select("doc_id")).mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.iterator.flatMap { r =>
           val id = r.getLong(0)
@@ -1267,13 +1269,25 @@ object Multimodal {
     * image tier: the only shuffle is on 9-byte band keys; pixels never
     * move; pair work is Σ_band (collisions²), not n².
     */
-  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 6): DataFrame = {
-    require(maxHamming <= 7, "8×8-bit banding guarantees recall only to Hamming 7")
-    val h = hashes.filter(col("decoded")).select("asset_id", "dhash")
-    val banded = h.select(col("asset_id"), col("dhash"),
+  /** The 8-band LSH form of a `(asset_id, dhash)` relation — the
+    * candidate-join key shared by [[imageNearDupPairs]] and the
+    * persisted [[writeDhashStore]] layout.
+    */
+  private def bandedOf(h: DataFrame): DataFrame =
+    h.select(col("asset_id"), col("dhash"),
       explode(sequence(lit(0), lit(7))).as("band_ix"))
       .withColumn("band",
         expr("shiftrightunsigned(dhash, band_ix * 8)").bitwiseAND(lit(255L)))
+
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 6): DataFrame = {
+    require(maxHamming <= 7, "8×8-bit banding guarantees recall only to Hamming 7")
+    // CUT the lineage before the self-join: both band sides descend
+    // from `hashes`, whose upstream is a full decode+hash pass — an
+    // uncut plan would pay the pixels twice for a 16-byte/asset
+    // relation
+    val h = Dedup.checkpointed(
+      hashes.filter(col("decoded")).select("asset_id", "dhash"))
+    val banded = bandedOf(h)
     val other = banded.select(col("asset_id").as("id2"), col("dhash").as("dhash2"),
       col("band_ix"), col("band"))
     banded.join(other,
@@ -1284,6 +1298,119 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Persisted BANDED dHash store for incremental perceptual dedup:
+    * the corpus representatives' eight `(band_ix, band)` LSH keys plus
+    * the full 64-bit hash, saved bucketed (and sorted) by the band key
+    * — `Dedup.writeDigestStore`'s contract at perceptual granularity.
+    * Repeat image ingestion's candidate join then reads the store
+    * PRE-PARTITIONED on its join key: no store-side Exchange, ever,
+    * and candidate work stays Σ_band collisions, never batch×corpus.
+    */
+  def writeDhashStore(hashes: DataFrame, table: String, buckets: Int = 16): Unit =
+    bandedOf(hashes.filter(col("decoded")).select("asset_id", "dhash"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "band_ix", "band").sortBy("band_ix", "band")
+      .saveAsTable(table)
+
+  /** Ingestion-time perceptual image dedup against the store: a batch
+    * asset survives iff (a) NO stored representative lies within
+    * `maxHamming` (banded candidates → exact `bit_count` verify) and
+    * (b) it is its batch-internal near-dup cluster's representative
+    * (min asset_id over the connected candidate graph — transitive,
+    * like every dedup family here). Returns the kept
+    * `(asset_id, dhash, dhash_bits)` rows — the NEW representatives.
+    * `absorb = true` appends their banded form through the bucket spec
+    * — O(batch), replay-idempotent (a replayed batch's assets sit at
+    * Hamming 0 from their own stored copies: keeps nothing, appends
+    * nothing).
+    */
+  def incrementalImageNearDup(spark: org.apache.spark.sql.SparkSession,
+                              table: String, batchHashes: DataFrame,
+                              maxHamming: Int = 6,
+                              absorb: Boolean = true): DataFrame = {
+    require(maxHamming <= 7, "8×8-bit banding guarantees recall only to Hamming 7")
+    // cross-session freshness: the clusterStoreLabels refresh contract
+    spark.catalog.refreshTable(table)
+    // cut: `batch` feeds the candidate join, the anti-join, AND the
+    // batch-internal pair pass — without the cut the decode pipeline
+    // above re-executes per consumer
+    val batch = Dedup.checkpointed(batchHashes.filter(col("decoded"))
+      .select("asset_id", "dhash", "dhash_bits"))
+    val matched = dhashStoreCandidates(spark, table, batch)
+      .filter(bit_count(col("dhash").bitwiseXOR(col("rep_hash"))) <= maxHamming)
+      .select("asset_id").distinct()
+    val novel = batch.join(matched, Seq("asset_id"), "left_anti").localCheckpoint(true)
+    // batch-internal transitive keep-one among the store-novel assets.
+    // The pair relation is BATCH-BOUNDED (candidate collisions of one
+    // ingest batch), so the normal path is the driver-local min-label
+    // union-find (the Graph.ccAbsorbParts fast path): collect the
+    // pairs, drop every non-minimal member. Falls back to the
+    // distributed clustering past the cap.
+    val pairs = imageNearDupPairs(novel.withColumn("decoded", lit(true)), maxHamming)
+      .select("id1", "id2")
+    val localCap = 100000
+    val probe = pairs.limit(localCap + 1).collect()
+    val kept =
+      if (probe.length <= localCap) {
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        probe.foreach { r =>
+          val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+          if (a != b) parent(math.max(a, b)) = math.min(a, b)
+        }
+        val nodes = probe.iterator.flatMap(r => Iterator(r.getLong(0), r.getLong(1))).toSet
+        val minOf = nodes.groupBy(find).map { case (root, ms) => root -> ms.min }
+        val drop = nodes.iterator.filter(n => minOf(find(n)) != n).toSeq
+        if (drop.isEmpty) novel
+        else {
+          import spark.implicits._
+          novel.join(broadcast(drop.toDF("asset_id")), Seq("asset_id"), "left_anti")
+        }
+      } else {
+        val reps = Dedup.nearDupClusters(
+            novel.select(col("asset_id").as("doc_id"), lit("").as("text")), pairs)
+          .filter(col("doc_id") === col("cluster_id"))
+          .select(col("doc_id").as("asset_id"))
+        novel.join(reps, Seq("asset_id"))
+      }
+    if (!absorb) kept
+    else {
+      val pinned = kept.localCheckpoint(true) // materialize before the store moves
+      bandedOf(pinned.select("asset_id", "dhash"))
+        .write.mode("append")
+        .bucketBy(bucketCountOfTable(spark, table), "band_ix", "band")
+        .sortBy("band_ix", "band")
+        .saveAsTable(table)
+      pinned
+    }
+  }
+
+  /** The banded candidate join of a batch against the store —
+    * `(asset_id, dhash, rep_hash, band_ix, band)` rows whose exact
+    * Hamming distance the caller verifies. Factored out so the
+    * store-side exchange-free plan property is pinnable (the absorb
+    * path executes it eagerly behind a checkpoint).
+    */
+  def dhashStoreCandidates(spark: org.apache.spark.sql.SparkSession,
+                           table: String, batch: DataFrame): DataFrame =
+    bandedOf(batch.select("asset_id", "dhash"))
+      .join(spark.table(table).select(col("dhash").as("rep_hash"),
+        col("band_ix"), col("band")), Seq("band_ix", "band"))
+
+  private def bucketCountOfTable(spark: org.apache.spark.sql.SparkSession,
+                                 table: String): Int =
+    spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalArgumentException(
+        s"store table $table has no bucket spec"))
 
   /** Deterministic REAL multi-frame GIF asset view of the `documents`
     * table: each document becomes a genuine animated-style GIF

@@ -424,14 +424,16 @@ object Warc {
     * corrupt-record column, which is exactly what a quarantine audit
     * (`count where corrupt`) does.
     */
-  def readJsonl(spark: SparkSession, glob: String,
-                schema: StructType = documentsJsonSchema,
-                keepCorrupt: Boolean = false): DataFrame = {
-    // PERMISSIVE from_json fills a corrupt-record field (the raw line)
-    // on malformed input rather than returning null — declare one in
-    // the parse schema so damage is detectable per row
+  /** Shared parse projection: one text `value` column → the contract
+    * columns (+ quarantine). PERMISSIVE from_json fills a
+    * corrupt-record field (the raw line) on malformed input rather
+    * than returning null — declare one in the parse schema so damage
+    * is detectable per row.
+    */
+  private def parseJsonLines(lines: DataFrame, schema: StructType,
+                             keepCorrupt: Boolean): DataFrame = {
     val withCorrupt = schema.add(StructField("_corrupt_record", StringType, nullable = true))
-    val parsed = spark.read.text(glob)
+    val parsed = lines
       .select(from_json(col("value"), withCorrupt,
         Map("mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> "_corrupt_record")).as("r"))
@@ -441,6 +443,24 @@ object Warc {
       parsed.filter(col("r._corrupt_record").isNull)
         .select(schema.fieldNames.map(f => col(s"r.$f")): _*)
   }
+
+  def readJsonl(spark: SparkSession, glob: String,
+                schema: StructType = documentsJsonSchema,
+                keepCorrupt: Boolean = false): DataFrame =
+    parseJsonLines(spark.read.text(glob), schema, keepCorrupt)
+
+  /** STREAMING JSONL ingestion: the same contract-schema parse over the
+    * file-streaming text source — new shards landing in `glob` become
+    * micro-batches, damaged lines quarantine instead of killing the
+    * query, and the output composes directly into
+    * [[graft.streaming.StreamingCuration.curateStream]] (add an event
+    * ts and a watermark). Batch ≡ streaming is structural: both paths
+    * run the SAME [[parseJsonLines]] projection (spec-pinned).
+    */
+  def readJsonlStream(spark: SparkSession, glob: String,
+                      schema: StructType = documentsJsonSchema,
+                      keepCorrupt: Boolean = false): DataFrame =
+    parseJsonLines(spark.readStream.text(glob), schema, keepCorrupt)
 
   /** Materialize the documents table as JSONL text files: half the
     * rows into a plain directory, half gzip — one corpus, both codec

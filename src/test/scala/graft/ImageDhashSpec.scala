@@ -94,4 +94,61 @@ class ImageDhashSpec extends AnyFunSuite {
     assert(reps.filter(col("n_members") > 1).count() === 40L)
     hashes.unpersist()
   }
+
+  test("banded dHash store: store side exchange-free; keep semantics; absorb + replay idempotent") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import spark.implicits._
+    val docs = (0L until 30L).map(i => (i, "")).toDF("doc_id", "text")
+    val assets = Multimodal.dhashAssetsFromDocuments(docs)
+    // store = base assets of docs < 20; batch = everything else
+    val isStored = col("asset_id") % 10 === 0 && col("asset_id") < 200
+    val tbl = "dhash_store_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    // a previous crashed run's warehouse dir survives the catalog drop
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    def rmAll(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmAll)); f.delete()
+    }
+    rmAll(new java.io.File(wh, tbl))
+    Multimodal.writeDhashStore(Multimodal.imageDhash(assets.filter(isStored)), tbl,
+      buckets = 4)
+    val batch = Multimodal.imageDhash(assets.filter(!isStored)).cache()
+    val kept = Multimodal.incrementalImageNearDup(spark, tbl, batch, 6, absorb = false)
+      .collect().map(_.getLong(0)).toSet
+    // kept = exactly the novel docs' (20..29) base assets
+    assert(kept === (20L until 30L).map(_ * 10).toSet,
+      s"stored docs' variants drop, novel twins keep min id — got $kept")
+    // plan pin: the candidate join's store side reads pre-partitioned
+    withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+      val df = Multimodal.dhashStoreCandidates(spark, tbl,
+        batch.filter(col("decoded")).select("asset_id", "dhash"))
+      val smj = df.queryExecution.executedPlan
+        .collectFirst { case j: SortMergeJoinExec => j }
+        .getOrElse(fail("expected a sort-merge candidate join against the store:\n" +
+          df.queryExecution.executedPlan.toString))
+      assert(smj.right.collectFirst { case e: ShuffleExchangeLike => e }.isEmpty,
+        s"store side must read pre-partitioned by bucket:\n${smj.right}")
+    }
+    // absorb + replay: second absorb of the same batch keeps nothing,
+    // appends nothing
+    assert(Multimodal.incrementalImageNearDup(spark, tbl, batch, 6)
+      .collect().map(_.getLong(0)).toSet === kept)
+    val n1 = spark.table(tbl).count()
+    assert(Multimodal.incrementalImageNearDup(spark, tbl, batch, 6).collect().isEmpty,
+      "a replayed batch's assets are all within Hamming 0 of their stored copies")
+    assert(spark.table(tbl).count() === n1, "replay must not grow the store")
+    batch.unpersist()
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  private def withConfs[T](pairs: (String, String)*)(body: => T): T = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
