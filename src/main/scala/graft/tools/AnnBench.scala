@@ -62,6 +62,7 @@ object AnnBench {
     if (args.contains("reclusterscale")) { reclusterScaleSmoke(spark); spark.stop(); return }
     if (args.contains("htmlscale")) { htmlScaleSmoke(spark); spark.stop(); return }
     if (args.contains("warcscale")) { warcScaleSmoke(spark); spark.stop(); return }
+    if (args.contains("dhashscale")) { dhashScaleSmoke(spark); spark.stop(); return }
     val emb = Tables.embeddings(spark, sfDir)
     val qs = emb.select(col("vec_id").as("query_id"),
       perturbQuery(col("embedding")).as("query_vec"))
@@ -1337,6 +1338,51 @@ object AnnBench {
     * phase must be the count's own partial-agg exchange only.
     * Output: one JSON line + target/media_scale.json.
     */
+  /** Perceptual image dedup throughput: decode + dHash fingerprints
+    * over SPARK_GRAFT_DHASH_N docs' structured assets (~2.2 assets/doc
+    * incl. planted rescale / re-encode / perturbed variants), then the
+    * 8-band near-dup pair pass. The hash relation is 16 B/asset — the
+    * only thing the pair join shuffles; pixels never move.
+    */
+  private def dhashScaleSmoke(spark: SparkSession): Unit = {
+    import graft.operators.Multimodal
+    val n = sys.env.get("SPARK_GRAFT_DHASH_N").flatMap(_.toIntOption).getOrElse(100000)
+    val docs = spark.range(n).select(col("id").as("doc_id")).cache()
+    docs.count()
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+    val nAssets = n + n + n / 5 // base + variant + every-5th perturbed
+    def phase(label: String)(f: => Long): String = {
+      System.gc()
+      val s0 = shuffleBytes.get()
+      val t0 = System.nanoTime()
+      val count = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      val sb = shuffleBytes.get() - s0
+      println(s"[annbench] dhashscale $label: $count rows, ${fmt(sec, 1)} s " +
+        s"(${(nAssets / sec).toLong} assets/s), shuffle $sb B")
+      s""""$label":{"rows":$count,"wall_sec":${fmt(sec, 1)},""" +
+        s""""assets_per_sec":${(nAssets / sec).toLong},"shuffle_write_bytes":$sb}"""
+    }
+    val assets = Multimodal.dhashAssetsFromDocuments(docs)
+    val fp = phase("decode_dhash")(
+      Multimodal.imageDhash(assets).filter(col("decoded")).count())
+    val hashes = Multimodal.imageDhash(assets)
+    val pairs = phase("neardup_pairs")(
+      Multimodal.imageNearDupPairs(hashes, maxHamming = 6).count())
+    val json = s"""{"dhash_scale":{"n_docs":$n,"n_assets":$nAssets,$fp,$pairs}}"""
+    println(json)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/dhash_scale.json"), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[annbench] file write failed: ${e.getMessage}") }
+  }
+
   private def mediaScaleSmoke(spark: SparkSession): Unit = {
     import graft.operators.Multimodal
     val n = sys.env.get("SPARK_GRAFT_MEDIA_N").flatMap(_.toIntOption).getOrElse(500000)
