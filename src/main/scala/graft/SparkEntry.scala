@@ -3706,6 +3706,23 @@ object SparkEntry {
       val assets = Multimodal.dhashAssetsFromDocuments(Tables.documents(s, dir))
       Multimodal.imageNearDupPairs(Multimodal.imageDhash(assets), maxHamming = 6)
     }),
+    // ACOUSTIC fingerprints (the dHash analog over PCM): structured
+    // block-amplitude clips through the REAL codec path (WAV fast
+    // parse + JDK AIFF), 65-window louder-than-next bits — all 64
+    // closed-form, incl. a genuine 2× sample-and-hold resample, an
+    // AIFF re-encode, and a one-block perturbation.
+    "q_audio_fingerprint" -> ((s, dir) =>
+      Multimodal.audioFingerprint(
+        Multimodal.afpAssetsFromDocuments(Tables.documents(s, dir)))
+        .select("asset_id", "afp_bits")),
+    // acoustic near-dup: the same 8-band Hamming funnel over audio
+    // fingerprints — resample/re-encode at 0, perturbed at ≤ 1,
+    // distinct docs never pair
+    "q_audio_neardup_pairs" -> ((s, dir) =>
+      Multimodal.audioNearDupPairs(
+        Multimodal.audioFingerprint(
+          Multimodal.afpAssetsFromDocuments(Tables.documents(s, dir))),
+        maxHamming = 6)),
     // INCREMENTAL perceptual dedup against the bucketed banded-dHash
     // store (crawl-frontier semantics for images): the store holds the
     // base assets of docs < 250; the batch arrives as (a) re-encodes/
@@ -5321,6 +5338,46 @@ object SparkEntry {
            UNION ALL SELECT doc_id, doc_id*10+3, '1' || substring(dhash_bits, 2) FROM hash WHERE doc_id % 5 = 0)
          SELECT a.asset_id AS id1, b.asset_id AS id2,
                 CASE WHEN substring(a.dhash_bits, 1, 1) = substring(b.dhash_bits, 1, 1)
+                     THEN 0 ELSE 1 END AS hamming
+         FROM assets a JOIN assets b
+           ON a.doc_id = b.doc_id AND a.asset_id < b.asset_id""",
+    // acoustic fingerprint: block b's |amplitude| is
+    // abs(md5Int('<doc_id>:<b>:afp') mod 20000 − 10000); bit b =
+    // louder-than-next. The perturbed variant blows block 0 past every
+    // base amplitude, so only char 1 changes — always to '1'.
+    "q_audio_fingerprint" ->
+      """WITH blocks AS (
+           SELECT doc_id, b, abs(CAST(concat('0x', substring(md5(concat(doc_id, ':', b, ':afp')), 1, 8)) AS BIGINT) % 20000 - 10000) AS a
+           FROM documents, range(65) t(b)),
+         bits AS (
+           SELECT l.doc_id, l.b, CASE WHEN l.a > r.a THEN '1' ELSE '0' END AS bit
+           FROM blocks l JOIN blocks r ON l.doc_id = r.doc_id AND r.b = l.b + 1
+           WHERE l.b < 64),
+         hash AS (
+           SELECT doc_id, string_agg(bit, '' ORDER BY b) AS afp_bits
+           FROM bits GROUP BY doc_id)
+         SELECT doc_id*10 AS asset_id, afp_bits FROM hash
+         UNION ALL SELECT doc_id*10+1, afp_bits FROM hash WHERE doc_id % 2 = 0
+         UNION ALL SELECT doc_id*10+2, afp_bits FROM hash WHERE doc_id % 2 = 1
+         UNION ALL SELECT doc_id*10+3, '1' || substring(afp_bits, 2) FROM hash WHERE doc_id % 5 = 0""",
+    "q_audio_neardup_pairs" ->
+      """WITH blocks AS (
+           SELECT doc_id, b, abs(CAST(concat('0x', substring(md5(concat(doc_id, ':', b, ':afp')), 1, 8)) AS BIGINT) % 20000 - 10000) AS a
+           FROM documents, range(65) t(b)),
+         bits AS (
+           SELECT l.doc_id, l.b, CASE WHEN l.a > r.a THEN '1' ELSE '0' END AS bit
+           FROM blocks l JOIN blocks r ON l.doc_id = r.doc_id AND r.b = l.b + 1
+           WHERE l.b < 64),
+         hash AS (
+           SELECT doc_id, string_agg(bit, '' ORDER BY b) AS afp_bits
+           FROM bits GROUP BY doc_id),
+         assets AS (
+           SELECT doc_id, doc_id*10 AS asset_id, afp_bits FROM hash
+           UNION ALL SELECT doc_id, doc_id*10+1, afp_bits FROM hash WHERE doc_id % 2 = 0
+           UNION ALL SELECT doc_id, doc_id*10+2, afp_bits FROM hash WHERE doc_id % 2 = 1
+           UNION ALL SELECT doc_id, doc_id*10+3, '1' || substring(afp_bits, 2) FROM hash WHERE doc_id % 5 = 0)
+         SELECT a.asset_id AS id1, b.asset_id AS id2,
+                CASE WHEN substring(a.afp_bits, 1, 1) = substring(b.afp_bits, 1, 1)
                      THEN 0 ELSE 1 END AS hamming
          FROM assets a JOIN assets b
            ON a.doc_id = b.doc_id AND a.asset_id < b.asset_id""",

@@ -331,6 +331,58 @@ object Multimodal {
       buf.array()
     }
 
+    /** Encode 16-bit signed PCM as AIFF through the JDK writer — the
+      * lossless container re-encode twin of [[encodeWav]] for the
+      * acoustic-dedup fixtures (same samples, big-endian container,
+      * same fingerprint).
+      */
+    def encodeAiff(sampleRate: Float, channels: Int, samples: Array[Short]): Array[Byte] = {
+      val fmt = new AudioFormat(sampleRate, 16, channels, true, true) // signed BE
+      val bytes = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        bytes(2 * i) = (samples(i) >> 8).toByte
+        bytes(2 * i + 1) = samples(i).toByte
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new ByteArrayInputStream(bytes), fmt, samples.length.toLong / channels)
+      val out = new ByteArrayOutputStream(bytes.length + 64)
+      AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.AIFF, out)
+      out.toByteArray
+    }
+
+    /** Acoustic fingerprint — the dHash analog over PCM: the samples
+      * split into 65 equal time windows, summed |amplitude| per
+      * window, bit i set when window i is LOUDER than window i+1. The
+      * mean comparison is an exact integer cross-multiply
+      * (`sum_i·len_j > sum_j·len_i`), so uneven window lengths stay
+      * deterministic; envelope-shape structure survives container
+      * re-encoding and sample-and-hold resampling (window-aligned
+      * duplication scales both sides of every comparison equally).
+      * Exact to ~2^63/(32768·n) samples — fine to hours of PCM16.
+      */
+    def afingerprint(d: DecodedAudio, w: Int = 64): Long = {
+      val n = d.samples.length
+      if (n == 0) return 0L
+      val sums = new Array[Long](w + 1)
+      val lens = new Array[Long](w + 1)
+      var i = 0
+      while (i < n) {
+        val b = (i.toLong * (w + 1) / n).toInt
+        sums(b) += math.abs(d.samples(i).toInt)
+        lens(b) += 1
+        i += 1
+      }
+      var bits = 0L
+      var k = 0
+      while (k < w) {
+        if (sums(k) * lens(k + 1) > sums(k + 1) * lens(k)) bits |= 1L << k
+        k += 1
+      }
+      bits
+    }
+
     /** Decode any JDK-supported audio container holding 16-bit signed
       * PCM; None for corrupt payloads or unsupported sample formats.
       * Canonical PCM16 WAV takes a direct RIFF-chunk parse
@@ -1665,6 +1717,91 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** Deterministic STRUCTURED audio assets for acoustic dedup — the
+    * [[dhashAssetsFromDocuments]] discipline one modality over: each
+    * document becomes a mono PCM16 clip of 65 window-aligned blocks
+    * (16 samples each, constant per block) whose block amplitude is
+    * `md5Int("<doc_id>:<b>:afp") mod 20000 − 10000`, so every one of
+    * the 64 louder-than-next fingerprint bits is a closed-form SQL
+    * formula. Planted variants per doc:
+    *   - `asset_id = doc_id·10`: the base WAV (every doc)
+    *   - `+1` (even doc_id): 2× sample-and-hold upsample — genuine
+    *     resample, window-aligned, fingerprint-identical
+    *   - `+2` (odd doc_id): the same samples re-encoded as AIFF —
+    *     container change, fingerprint-identical
+    *   - `+3` (doc_id % 5 == 0): block 0 blown to amplitude 15000
+    *     (louder than any base block) — a NEAR duplicate at
+    *     Hamming ≤ 1 (bit 0 becomes 1; every other bit untouched)
+    */
+  def afpAssetsFromDocuments(documents: DataFrame, batchSize: Int = 64): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    graft.functions.Skew.spreadToCores(documents.select("doc_id")).mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val id = r.getLong(0)
+          def v(b: Int): Short =
+            (graft.functions.Portable.md5IntOf(s"$id:$b:afp") % 20000 - 10000).toShort
+          def samples(scale: Int, perturb: Boolean): Array[Short] =
+            Array.tabulate(65 * 16 * scale) { i =>
+              val b = i / (16 * scale)
+              if (perturb && b == 0) 15000.toShort else v(b)
+            }
+          val base = Row(id * 10,
+            AudioCodec.encodeWav(8000f, 1, samples(1, perturb = false)), "audio/wav", 0, 0)
+          val variant =
+            if (id % 2 == 0)
+              Row(id * 10 + 1,
+                AudioCodec.encodeWav(16000f, 1, samples(2, perturb = false)), "audio/wav", 0, 0)
+            else
+              Row(id * 10 + 2,
+                AudioCodec.encodeAiff(8000f, 1, samples(1, perturb = false)), "audio/aiff", 0, 0)
+          val near =
+            if (id % 5 == 0)
+              Seq(Row(id * 10 + 3,
+                AudioCodec.encodeWav(8000f, 1, samples(1, perturb = true)), "audio/wav", 0, 0))
+            else Seq.empty
+          Seq(base, variant) ++ near
+        }
+      }
+    }(enc)
+  }
+
+  /** Acoustic fingerprints: decode each asset and [[AudioCodec.afingerprint]]
+    * it — `(asset_id, afp, afp_bits, decoded)`, the audio twin of
+    * [[imageDhash]] (same 16 B/asset output; PCM never shuffles).
+    */
+  def audioFingerprint(assets: DataFrame, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("afp", LongType, nullable = true),
+      StructField("afp_bits", StringType, nullable = true),
+      StructField("decoded", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    assets.select("asset_id", "media", "mime").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val dec =
+            if (AudioCodec.audioMimes.contains(r.getString(2)))
+              AudioCodec.decode(r.getAs[Array[Byte]](1))
+            else None
+          dec match {
+            case Some(d) =>
+              val h = AudioCodec.afingerprint(d)
+              Row(r.getLong(0), h, ImageCodec.dhashBits(h), true)
+            case None => Row(r.getLong(0), null, null, false)
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Acoustic near-dup pairs: the SAME 8×8-bit band funnel as
+    * [[imageNearDupPairs]] (the Hamming machinery is
+    * fingerprint-agnostic) over the audio fingerprints.
+    */
+  def audioNearDupPairs(fps: DataFrame, maxHamming: Int = 6): DataFrame =
+    imageNearDupPairs(fps.withColumnRenamed("afp", "dhash"), maxHamming)
 
   /** Real audio decode: `(asset_id, sample_rate, channels, n_frames,
     * mean_abs, peak, decoded)` — header and stats come from the decoded

@@ -143,6 +143,48 @@ class ImageDhashSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("acoustic fingerprint: container re-encode and sample-and-hold resample exact; perturbation near; uneven windows deterministic") {
+    import graft.operators.Multimodal.AudioCodec
+    def clip(id: Long, scale: Int, perturb: Boolean = false): AudioCodec.DecodedAudio = {
+      val samples = Array.tabulate(65 * 16 * scale) { i =>
+        val b = i / (16 * scale)
+        if (perturb && b == 0) 15000.toShort
+        else (graft.functions.Portable.md5IntOf(s"$id:$b:afpspec") % 20000 - 10000).toShort
+      }
+      AudioCodec.DecodedAudio(8000.0 * scale, 1, samples)
+    }
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = clip(3L, 1)
+    val h = AudioCodec.afingerprint(base)
+    // real encode → decode → fingerprint through BOTH containers
+    val viaWav = AudioCodec.decode(AudioCodec.encodeWav(8000f, 1, base.samples)).get
+    val viaAiff = AudioCodec.decode(AudioCodec.encodeAiff(8000f, 1, base.samples)).get
+    assert(AudioCodec.afingerprint(viaWav) === h, "WAV round trip must preserve the print")
+    assert(AudioCodec.afingerprint(viaAiff) === h, "AIFF re-encode must preserve the print")
+    // genuine 2× sample-and-hold resample
+    assert(AudioCodec.afingerprint(clip(3L, 2)) === h,
+      "window-aligned resample must preserve the print")
+    // one-block perturbation: at most bit 0 moves — and TO 1
+    val hp = AudioCodec.afingerprint(clip(3L, 1, perturb = true))
+    assert(hamming(hp, h) <= 1 && (hp & 1L) === 1L)
+    // distinct content far apart
+    assert(hamming(AudioCodec.afingerprint(clip(4L, 1)), h) > 12)
+    // uneven window lengths (n not divisible by 65): deterministic and
+    // equal to the exact cross-multiplied mean comparison
+    val odd = AudioCodec.DecodedAudio(8000.0, 1,
+      Array.tabulate(1003)(i => ((i * 37) % 3000 - 1500).toShort))
+    val sums = new Array[Long](65); val lens = new Array[Long](65)
+    odd.samples.indices.foreach { i =>
+      val b = (i.toLong * 65 / 1003).toInt
+      sums(b) += math.abs(odd.samples(i).toInt); lens(b) += 1
+    }
+    val want = (0 until 64).foldLeft(0L) { (acc, k) =>
+      if (sums(k) * lens(k + 1) > sums(k + 1) * lens(k)) acc | (1L << k) else acc
+    }
+    assert(AudioCodec.afingerprint(odd) === want)
+    assert(AudioCodec.afingerprint(AudioCodec.DecodedAudio(8000.0, 1, Array.empty)) === 0L)
+  }
+
   private def withConfs[T](pairs: (String, String)*)(body: => T): T = {
     val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
