@@ -3706,6 +3706,21 @@ object SparkEntry {
       val assets = Multimodal.dhashAssetsFromDocuments(Tables.documents(s, dir))
       Multimodal.imageNearDupPairs(Multimodal.imageDhash(assets), maxHamming = 6)
     }),
+    // VIDEO perceptual fingerprints: 4-frame gray GIFs (exact-palette
+    // encode through the JDK sequence writer), one dHash per decoded
+    // frame — every bit closed-form per (doc, frame), incl. a 2×
+    // rescaled re-encode and a 3-frame clip.
+    "q_video_dhash" -> ((s, dir) =>
+      Multimodal.videoFrameDhash(
+        Multimodal.videoDhashAssetsFromDocuments(Tables.documents(s, dir)))
+        .select("asset_id", "frame_ix", "dhash_bits")),
+    // video near-dup by shared frame content: rescale shares all 4
+    // frames, the clip shares 3 — one equi-join on the 8-byte hash
+    "q_video_neardup_pairs" -> ((s, dir) =>
+      Multimodal.videoNearDupPairs(
+        Multimodal.videoFrameDhash(
+          Multimodal.videoDhashAssetsFromDocuments(Tables.documents(s, dir))),
+        minShared = 2)),
     // ACOUSTIC fingerprints (the dHash analog over PCM): structured
     // block-amplitude clips through the REAL codec path (WAV fast
     // parse + JDK AIFF), 65-window louder-than-next bits — all 64
@@ -5341,6 +5356,32 @@ object SparkEntry {
                      THEN 0 ELSE 1 END AS hamming
          FROM assets a JOIN assets b
            ON a.doc_id = b.doc_id AND a.asset_id < b.asset_id""",
+    // per-frame dHash: cell (x,y) of frame f has gray value
+    // 10 + md5Int('<doc_id>:<f>:<x>:<y>:vfp') mod 230; the clip's GIF
+    // frame k holds source frame k+1
+    "q_video_dhash" ->
+      """WITH grid AS (
+           SELECT doc_id, f, x, y, 10 + CAST(concat('0x', substring(md5(concat(doc_id, ':', f, ':', x, ':', y, ':vfp')), 1, 8)) AS BIGINT) % 230 AS v
+           FROM documents, range(4) tf(f), range(9) tx(x), range(8) ty(y)),
+         bits AS (
+           SELECT l.doc_id, l.f, l.x, l.y, CASE WHEN l.v > r.v THEN '1' ELSE '0' END AS b
+           FROM grid l JOIN grid r ON l.doc_id = r.doc_id AND l.f = r.f AND r.x = l.x + 1 AND l.y = r.y
+           WHERE l.x < 8),
+         hash AS (
+           SELECT doc_id, f, string_agg(b, '' ORDER BY y, x) AS dhash_bits
+           FROM bits GROUP BY doc_id, f)
+         SELECT doc_id*10 AS asset_id, CAST(f AS INT) AS frame_ix, dhash_bits FROM hash
+         UNION ALL SELECT doc_id*10+1, CAST(f AS INT), dhash_bits FROM hash WHERE doc_id % 2 = 0
+         UNION ALL SELECT doc_id*10+3, CAST(f - 1 AS INT), dhash_bits FROM hash WHERE doc_id % 5 = 0 AND f >= 1""",
+    // pairs by shared frame hashes at minShared = 2: rescale ↔ base
+    // share 4, clip shares its 3 surviving frames with both
+    "q_video_neardup_pairs" ->
+      """SELECT doc_id*10 AS id1, doc_id*10+1 AS id2, CAST(4 AS BIGINT) AS n_shared
+         FROM documents WHERE doc_id % 2 = 0
+         UNION ALL
+         SELECT doc_id*10, doc_id*10+3, CAST(3 AS BIGINT) FROM documents WHERE doc_id % 5 = 0
+         UNION ALL
+         SELECT doc_id*10+1, doc_id*10+3, CAST(3 AS BIGINT) FROM documents WHERE doc_id % 10 = 0""",
     // acoustic fingerprint: block b's |amplitude| is
     // abs(md5Int('<doc_id>:<b>:afp') mod 20000 − 10000); bit b =
     // louder-than-next. The perturbed variant blows block 0 past every

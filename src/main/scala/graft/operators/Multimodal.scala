@@ -138,6 +138,35 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** Encode STRUCTURED grayscale frames as a multi-frame GIF through
+      * the JDK sequence writer with an EXPLICIT 256-gray palette
+      * (TYPE_BYTE_INDEXED — the writer stores the image's own color
+      * table, so gray values round-trip exactly; a non-indexed source
+      * would be re-quantized). The full-pixel twin of
+      * [[encodeGifFrames]] for the video perceptual-dedup fixtures.
+      */
+    def encodeGifGrayFrames(width: Int, height: Int,
+                            frames: Seq[Array[Byte]]): Array[Byte] = {
+      require(frames.nonEmpty, "a GIF needs at least one frame")
+      require(frames.forall(_.length == width * height), "frame size must match dims")
+      val ramp = Array.tabulate(256)(_.toByte)
+      val icm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val out = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(out)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        frames.foreach { g =>
+          val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_INDEXED, icm)
+          img.getRaster.setDataElements(0, 0, width, height, g)
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      out.toByteArray
+    }
+
     /** Decode ALL frames of a multi-image container (animated GIF via
       * the JDK reader's `getNumImages`/`read(i)`; single-frame formats
       * yield one frame). None for corrupt/undecodable payloads — the
@@ -1802,6 +1831,94 @@ object Multimodal {
     */
   def audioNearDupPairs(fps: DataFrame, maxHamming: Int = 6): DataFrame =
     imageNearDupPairs(fps.withColumnRenamed("afp", "dhash"), maxHamming)
+
+  /** Deterministic STRUCTURED multi-frame video assets for perceptual
+    * dedup: each document becomes a 4-frame gray GIF whose frame f's
+    * 9×8-grid cell (x,y) has value
+    * `10 + md5Int("<doc_id>:<f>:<x>:<y>:vfp") mod 230` at a 36×32
+    * grid-aligned resolution — so every frame's full 64-bit dHash is a
+    * closed-form SQL formula (the [[dhashAssetsFromDocuments]]
+    * discipline per FRAME). Variants per doc:
+    *   - `asset_id = doc_id·10`: the base 4-frame 36×32 GIF
+    *   - `+1` (even doc_id): the SAME frames at 72×64 — rescaled
+    *     re-encode, per-frame dHash identical
+    *   - `+3` (doc_id % 5 == 0): frames 1..3 only — a CLIP, sharing
+    *     3 of 4 frame hashes with its source
+    */
+  def videoDhashAssetsFromDocuments(documents: DataFrame, batchSize: Int = 64): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    graft.functions.Skew.spreadToCores(documents.select("doc_id")).mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val id = r.getLong(0)
+          def frame(f: Int, scale: Int): Array[Byte] =
+            Array.tabulate(9 * scale * 8 * scale) { i =>
+              val cx = (i % (9 * scale)) / scale
+              val cy = (i / (9 * scale)) / scale
+              (10 + graft.functions.Portable.md5IntOf(s"$id:$f:$cx:$cy:vfp") % 230).toByte
+            }
+          def gif(scale: Int, fs: Seq[Int]) =
+            ImageCodec.encodeGifGrayFrames(9 * scale * 4, 8 * scale * 4,
+              fs.map(f => frame(f, scale * 4)))
+          val base = Row(id * 10, gif(1, 0 until 4), "image/gif", 36, 32)
+          val variant =
+            if (id % 2 == 0) Seq(Row(id * 10 + 1, gif(2, 0 until 4), "image/gif", 72, 64))
+            else Seq.empty
+          val clip =
+            if (id % 5 == 0) Seq(Row(id * 10 + 3, gif(1, 1 until 4), "image/gif", 36, 32))
+            else Seq.empty
+          Seq(base) ++ variant ++ clip
+        }
+      }
+    }(enc)
+  }
+
+  /** Per-frame perceptual fingerprints of multi-frame assets:
+    * `(asset_id, frame_ix, dhash, dhash_bits)` — one [[ImageCodec.dhash]]
+    * per decoded frame, shuffle-free, 16 B/frame out. Undecodable
+    * assets yield no rows (poison-safe skip — the frame relation has
+    * no meaningful null row).
+    */
+  def videoFrameDhash(assets: DataFrame, batchSize: Int = 16): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("frame_ix", IntegerType, nullable = false),
+      StructField("dhash", LongType, nullable = false),
+      StructField("dhash_bits", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    assets.select("asset_id", "media").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          ImageCodec.decodeFrames(r.getAs[Array[Byte]](1)).toSeq.flatMap { frames =>
+            frames.zipWithIndex.map { case (d, ix) =>
+              val h = ImageCodec.dhash(d)
+              Row(r.getLong(0), ix, h, ImageCodec.dhashBits(h))
+            }
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Video near-dup pairs by SHARED FRAME CONTENT: assets pair when at
+    * least `minShared` distinct frame fingerprints coincide — the
+    * published shot/keyframe-overlap contract (a rescaled re-encode
+    * shares everything; a clip shares its surviving frames; distinct
+    * content shares nothing). One equi-join on the 8-byte hash — pair
+    * work is Σ_hash collisions², never assets²; frame pixels never
+    * shuffle.
+    */
+  def videoNearDupPairs(frameHashes: DataFrame, minShared: Int = 2): DataFrame = {
+    val h = Dedup.checkpointed(
+      frameHashes.select("asset_id", "dhash").distinct())
+    val other = h.select(col("asset_id").as("id2"), col("dhash"))
+    h.join(other, Seq("dhash"))
+      .filter(col("asset_id") < col("id2"))
+      .groupBy(col("asset_id").as("id1"), col("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("id1"), col("id2"), col("n_shared"))
+  }
 
   /** Real audio decode: `(asset_id, sample_rate, channels, n_frames,
     * mean_abs, peak, decoded)` — header and stats come from the decoded

@@ -143,6 +143,47 @@ class ImageDhashSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("video frame dHash: gray-palette GIF round-trips exactly; rescale/clip share frames; corrupt skips") {
+    import spark.implicits._
+    val docs = (0L until 20L).map(i => (i, "")).toDF("doc_id", "text")
+    val assets = Multimodal.videoDhashAssetsFromDocuments(docs)
+    val fh = Multimodal.videoFrameDhash(assets).cache()
+    // per-asset frame counts: base 4, rescale 4, clip 3
+    val counts = fh.groupBy("asset_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0L until 20L).foreach { d =>
+      assert(counts(d * 10) === 4L)
+      if (d % 2 == 0) assert(counts(d * 10 + 1) === 4L)
+      if (d % 5 == 0) assert(counts(d * 10 + 3) === 3L)
+    }
+    // the rescaled re-encode's per-frame hashes equal the base's
+    val byAsset = fh.collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(r => (r.getInt(1), r.getLong(2))).toMap }
+    (0L until 20L by 2).foreach { d =>
+      assert(byAsset(d * 10) === byAsset(d * 10 + 1),
+        s"rescale must preserve every frame hash for doc $d")
+    }
+    // the clip's frame k is the source's frame k+1
+    (0L until 20L by 5).foreach { d =>
+      (0 until 3).foreach(k =>
+        assert(byAsset(d * 10 + 3)(k) === byAsset(d * 10)(k + 1)))
+    }
+    // shared-frame pairs equal the planted closed form
+    val pairs = Multimodal.videoNearDupPairs(fh, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want =
+      (0L until 20L by 2).map(d => (d * 10, d * 10 + 1, 4L)).toSet ++
+        (0L until 20L by 5).map(d => (d * 10, d * 10 + 3, 3L)) ++
+        (0L until 20L by 10).map(d => (d * 10 + 1, d * 10 + 3, 3L))
+    assert(pairs === want)
+    // corrupt payload: no rows, no throw
+    val poisoned = Seq((999L, Array[Byte](9, 9, 9), "image/gif", 4, 4))
+      .toDF("asset_id", "media", "mime", "width", "height")
+    assert(Multimodal.videoFrameDhash(poisoned).count() === 0L)
+    fh.unpersist()
+  }
+
   test("acoustic fingerprint: container re-encode and sample-and-hold resample exact; perturbation near; uneven windows deterministic") {
     import graft.operators.Multimodal.AudioCodec
     def clip(id: Long, scale: Int, perturb: Boolean = false): AudioCodec.DecodedAudio = {
