@@ -1840,8 +1840,9 @@ object Multimodal {
     * closed-form SQL formula (the [[dhashAssetsFromDocuments]]
     * discipline per FRAME). Variants per doc:
     *   - `asset_id = doc_id·10`: the base 4-frame 36×32 GIF
-    *   - `+1` (even doc_id): the SAME frames at 72×64 — rescaled
-    *     re-encode, per-frame dHash identical
+    *   - `+1` (even doc_id): the SAME frames as an 18×16 THUMBNAIL —
+    *     the classic re-encode-at-half-size near-dup; grid-aligned, so
+    *     per-frame dHash identical
     *   - `+3` (doc_id % 5 == 0): frames 1..3 only — a CLIP, sharing
     *     3 of 4 frame hashes with its source
     */
@@ -1857,15 +1858,15 @@ object Multimodal {
               val cy = (i / (9 * scale)) / scale
               (10 + graft.functions.Portable.md5IntOf(s"$id:$f:$cx:$cy:vfp") % 230).toByte
             }
-          def gif(scale: Int, fs: Seq[Int]) =
-            ImageCodec.encodeGifGrayFrames(9 * scale * 4, 8 * scale * 4,
-              fs.map(f => frame(f, scale * 4)))
-          val base = Row(id * 10, gif(1, 0 until 4), "image/gif", 36, 32)
+          def gif(gridScale: Int, fs: Seq[Int]) =
+            ImageCodec.encodeGifGrayFrames(9 * gridScale, 8 * gridScale,
+              fs.map(f => frame(f, gridScale)))
+          val base = Row(id * 10, gif(4, 0 until 4), "image/gif", 36, 32)
           val variant =
-            if (id % 2 == 0) Seq(Row(id * 10 + 1, gif(2, 0 until 4), "image/gif", 72, 64))
+            if (id % 2 == 0) Seq(Row(id * 10 + 1, gif(2, 0 until 4), "image/gif", 18, 16))
             else Seq.empty
           val clip =
-            if (id % 5 == 0) Seq(Row(id * 10 + 3, gif(1, 1 until 4), "image/gif", 36, 32))
+            if (id % 5 == 0) Seq(Row(id * 10 + 3, gif(4, 1 until 4), "image/gif", 36, 32))
             else Seq.empty
           Seq(base) ++ variant ++ clip
         }

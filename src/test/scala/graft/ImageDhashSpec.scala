@@ -162,7 +162,7 @@ class ImageDhashSpec extends AnyFunSuite {
       .map { case (id, rs) => id -> rs.map(r => (r.getInt(1), r.getLong(2))).toMap }
     (0L until 20L by 2).foreach { d =>
       assert(byAsset(d * 10) === byAsset(d * 10 + 1),
-        s"rescale must preserve every frame hash for doc $d")
+        s"thumbnail re-encode must preserve every frame hash for doc $d")
     }
     // the clip's frame k is the source's frame k+1
     (0L until 20L by 5).foreach { d =>
