@@ -3145,6 +3145,22 @@ object SparkEntry {
       Warc.htmlDocuments(Warc.responses(Warc.read(s, glob)))
         .select("url", "canonical_url", "warc_ts", "text")
     }),
+    // crawl → MULTIMODAL routing: a mixed-media WARC corpus (every 4th
+    // doc's crawl also fetched a PNG) read once, image responses routed
+    // by mime into the perceptual tier — url → doc identity, body →
+    // real ImageIO decode → dHash, byte-exact against the same formula
+    // the image queries oracle. The text half of the SAME corpus keeps
+    // serving the extract path (q_warc_records/extract cover it).
+    "q_warc_media" -> ((s, dir) => {
+      val glob = Warc.ensureWarcFiles(Tables.documents(s, dir),
+        corpusDir(s, dir, "warcm"), withImages = true)
+      val imgs = Warc.responses(Warc.read(s, glob))
+        .filter(col("mime") === "image/png" && col("status") === 200)
+        .select(
+          regexp_extract(col("url"), "/img/(\\d+)\\.png$", 1).cast("long").as("asset_id"),
+          col("body").as("media"), lit("image/png").as("mime"))
+      Multimodal.imageDhash(imgs).select("asset_id", "dhash_bits")
+    }),
     // JSONL documents path under the explicit schema contract (half the
     // corpus plain shards, half gzip): reader under test is
     // text-source + codegen from_json with corrupt-line quarantine.
@@ -4231,6 +4247,19 @@ object SparkEntry {
           FROM documents""",
     "q_jsonl_docs" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // crawled images are every 4th doc's base dHash fixture — the same
+    // closed-form bit formula, asset identity from the url
+    "q_warc_media" ->
+      """WITH grid AS (
+           SELECT doc_id, x, y, 10 + CAST(concat('0x', substring(md5(concat(doc_id, ':', x, ':', y, ':dhash')), 1, 8)) AS BIGINT) % 230 AS v
+           FROM documents, range(9) tx(x), range(8) ty(y)
+           WHERE doc_id % 4 = 0),
+         bits AS (
+           SELECT l.doc_id, l.x, l.y, CASE WHEN l.v > r.v THEN '1' ELSE '0' END AS b
+           FROM grid l JOIN grid r ON l.doc_id = r.doc_id AND r.x = l.x + 1 AND l.y = r.y
+           WHERE l.x < 8)
+         SELECT doc_id AS asset_id, string_agg(b, '' ORDER BY y, x) AS dhash_bits
+         FROM bits GROUP BY doc_id""",
     // batch keys are doc_id % 300; keys < 250 are stored (corpus ids
     // 0..249 under the other spelling — canonicalization collapses
     // them), so the novel tail is exactly keys 250..299, first held by

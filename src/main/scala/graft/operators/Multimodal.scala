@@ -1272,6 +1272,27 @@ object Multimodal {
     * tail past Hamming 6 ≈ 4·10⁻¹² per pair) — no cross-doc pair lands
     * within any sane threshold.
     */
+  /** The fixture pixel field of doc `id` at `scale`× the 9×8 grid —
+    * shared by [[dhashAssetsFromDocuments]] and the WARC mixed-media
+    * corpus so crawled image payloads carry the SAME closed-form
+    * hashes.
+    */
+  private[graft] def dhashFixturePixels(id: Long, scale: Int,
+                                        perturb: Boolean = false): Array[Int] = {
+    def v(x: Int, y: Int): Int =
+      (10 + graft.functions.Portable.md5IntOf(s"$id:$x:$y:dhash") % 230).toInt
+    Array.tabulate(9 * scale * 8 * scale) { i =>
+      val cx = (i % (9 * scale)) / scale
+      val cy = (i / (9 * scale)) / scale
+      val g = if (perturb && cx == 0 && cy == 0) 255 else v(cx, cy)
+      0xff000000 | (g << 16) | (g << 8) | g
+    }
+  }
+
+  /** Doc `id`'s base 36×32 gradient-field PNG. */
+  def dhashBasePng(id: Long): Array[Byte] =
+    ImageCodec.encodePng(36, 32, dhashFixturePixels(id, 4))
+
   def dhashAssetsFromDocuments(documents: DataFrame, batchSize: Int = 64): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
     // per-row ImageIO encode work dwarfs the 8-byte input rows: spread
@@ -1280,15 +1301,7 @@ object Multimodal {
       rows.grouped(batchSize).flatMap { batch =>
         batch.iterator.flatMap { r =>
           val id = r.getLong(0)
-          def v(x: Int, y: Int): Int =
-            (10 + graft.functions.Portable.md5IntOf(s"$id:$x:$y:dhash") % 230).toInt
-          def px(scale: Int, perturb: Boolean) =
-            Array.tabulate(9 * scale * 8 * scale) { i =>
-              val cx = (i % (9 * scale)) / scale
-              val cy = (i / (9 * scale)) / scale
-              val g = if (perturb && cx == 0 && cy == 0) 255 else v(cx, cy)
-              0xff000000 | (g << 16) | (g << 8) | g
-            }
+          def px(scale: Int, perturb: Boolean) = dhashFixturePixels(id, scale, perturb)
           val base = Row(id * 10,
             ImageCodec.encodePng(36, 32, px(4, perturb = false)), "image/png", 36, 32)
           val variant =

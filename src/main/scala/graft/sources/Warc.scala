@@ -346,6 +346,24 @@ object Warc {
       s"<urn:graft:warcinfo:bucket-$bucket>", "application/warc-fields",
       warcinfoPayload.getBytes("UTF-8"))
 
+  def mediaUrlOf(id: Long): String =
+    s"http://Site${id % 5}.Example.com/img/$id.png"
+
+  /** A fetched IMAGE response record: HTTP headers + binary body — the
+    * multimodal half of a real crawl. The payload is the doc's base
+    * dHash-fixture PNG ([[graft.operators.Multimodal.dhashBasePng]]),
+    * so the crawled image's perceptual hash is the same closed-form
+    * SQL formula the image queries oracle against.
+    */
+  def mediaRecordOf(id: Long): Array[Byte] = {
+    val body = graft.operators.Multimodal.dhashBasePng(id)
+    val head = (s"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8")
+    WarcCodec.encodeRecord("response", Some(mediaUrlOf(id)), dateOf(id),
+      s"<urn:graft:media:$id>", "application/http; msgtype=response",
+      head ++ body)
+  }
+
   /** Materialize the documents table as `buckets` WARC segment files
     * under `outDir` — each bucket holds a leading `warcinfo` record plus
     * request/response pairs for its docs in doc_id order; ODD buckets
@@ -355,10 +373,11 @@ object Warc {
     * bucket — the synthesis is a fixture, the READER is the operator
     * under test). Returns the glob to read back.
     */
-  def ensureWarcFiles(documents: DataFrame, outDir: String, buckets: Int = 8): String = {
+  def ensureWarcFiles(documents: DataFrame, outDir: String, buckets: Int = 8,
+                      withImages: Boolean = false): String = {
     val n = documents.count()
     val marker = new java.io.File(outDir, "_GRAFT_WARC")
-    val stamp = s"n=$n;buckets=$buckets;v=1"
+    val stamp = s"n=$n;buckets=$buckets;img=$withImages;v=2"
     val glob = s"$outDir/*.warc*"
     if (marker.exists() &&
         new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp)
@@ -388,7 +407,13 @@ object Warc {
             out.write(bs, 0, bs.length)
           }
           put(warcinfoOf(b))
-          docs.foreach(r => recordsOf(r.getLong(0), r.getString(1)).foreach(put))
+          docs.foreach { r =>
+            val id = r.getLong(0)
+            recordsOf(id, r.getString(1)).foreach(put)
+            // mixed-media corpus: every 4th doc's crawl also fetched
+            // an image — one crawl, two modalities
+            if (withImages && id % 4 == 0) put(mediaRecordOf(id))
+          }
           val name = f"segment-$b%05d.warc" + (if (gz) ".gz" else "")
           java.nio.file.Files.write(
             java.nio.file.Paths.get(absOut, name), out.toByteArray)
