@@ -3161,6 +3161,15 @@ object SparkEntry {
           col("body").as("media"), lit("image/png").as("mime"))
       Multimodal.imageDhash(imgs).select("asset_id", "dhash_bits")
     }),
+    // crawl-exchange audit over the mixed corpus: every html response
+    // pairs with its logged request; the embedded-media fetches have
+    // none — exactly the unpaired rows a capture QA hunts for
+    "q_warc_exchanges" -> ((s, dir) => {
+      val glob = Warc.ensureWarcFiles(Tables.documents(s, dir),
+        corpusDir(s, dir, "warcm"), withImages = true)
+      Warc.exchanges(Warc.read(s, glob))
+        .select("url", "warc_ts", "status", "mime", "paired")
+    }),
     // JSONL documents path under the explicit schema contract (half the
     // corpus plain shards, half gzip): reader under test is
     // text-source + codegen from_json with corrupt-line quarantine.
@@ -4247,6 +4256,18 @@ object SparkEntry {
           FROM documents""",
     "q_jsonl_docs" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // html responses pair with their logged requests; embedded-media
+    // fetches (every 4th doc's PNG) have none
+    "q_warc_exchanges" ->
+      s"""SELECT 'http://Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.com/doc/' || CAST(doc_id AS VARCHAR) || '?utm_source=synth' AS url,
+            '2023-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z' AS warc_ts,
+            200 AS status, 'text/html' AS mime, true AS paired
+          FROM documents
+          UNION ALL
+          SELECT 'http://Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.com/img/' || CAST(doc_id AS VARCHAR) || '.png',
+            '2023-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z',
+            200, 'image/png', false
+          FROM documents WHERE doc_id % 4 = 0""",
     // crawled images are every 4th doc's base dHash fixture — the same
     // closed-form bit formula, asset identity from the url
     "q_warc_media" ->

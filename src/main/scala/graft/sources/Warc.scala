@@ -293,6 +293,25 @@ object Warc {
       }(enc)
   }
 
+  /** Crawl-exchange audit: each RESPONSE joined to its REQUEST record
+    * by (target URI, capture timestamp) — the fetch-QA relation a
+    * crawl pipeline audits (an unpaired response signals a truncated
+    * capture session or an out-of-band fetch, e.g. embedded media
+    * pulled without a logged request). One equi-join on the narrow
+    * `(url, ts)` key; payload bytes are column-pruned out of the
+    * request side entirely.
+    */
+  def exchanges(recs: DataFrame): DataFrame = {
+    val reqs = recs.filter(col("warc_type") === "request")
+      .select(col("url").as("r_url"), col("warc_date").as("r_ts")).distinct()
+    responses(recs)
+      .select(col("url"), col("warc_ts"), col("status"), col("mime"),
+        length(col("body")).as("body_len"))
+      .join(reqs, col("url") === col("r_url") && col("warc_ts") === col("r_ts"), "left")
+      .select(col("url"), col("warc_ts"), col("status"), col("mime"),
+        col("body_len"), col("r_url").isNotNull.as("paired"))
+  }
+
   /** The crawl-to-curation bridge: 200-status `text/html` responses as
     * `(url, canonical_url, warc_ts, text)` rows — extracted through the
     * [[graft.functions.HtmlKernels]] codegen pass, canonicalized
