@@ -580,9 +580,34 @@ object Multimodal {
       * chunks, one per video frame in stream order — the standard A/V
       * interleave) and round-trips samples exactly.
       */
+    /** One JPEG frame at an EXPLICIT compression quality. At
+      * `quality = 1.0` the scaled luminance quant table degenerates to
+      * all-ones, so an image whose 8×8 JPEG blocks are each CONSTANT
+      * round-trips bit-exactly (DC-only blocks, integer DCT exact) —
+      * the property the MJPEG perceptual-dedup fixtures build on
+      * (verified by MjpegDhashSpec).
+      */
+    def encodeJpeg(width: Int, height: Int, argb: Array[Int],
+                   quality: Float): Array[Byte] = {
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, width, height, argb, 0, width)
+      val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      val o = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(o)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      } finally { writer.dispose(); ios.close() }
+      o.toByteArray
+    }
+
     def encodeAvi(width: Int, height: Int, fps: Int,
                   frameArgb: Seq[Array[Int]], mjpeg: Boolean = false,
-                  audio: Option[(Int, Array[Short])] = None): Array[Byte] = {
+                  audio: Option[(Int, Array[Short])] = None,
+                  jpegQuality: Float = -1f): Array[Byte] = {
       require(width > 0 && height > 0 && fps > 0, "dims and fps must be positive")
       require(frameArgb.nonEmpty, "an AVI needs at least one frame")
       require(frameArgb.forall(_.length == width * height), "pixel count must match dims")
@@ -590,6 +615,8 @@ object Multimodal {
         require(r > 0 && s.nonEmpty, "audio needs a positive rate and samples") }
       val payloads: Seq[Array[Byte]] =
         if (!mjpeg) frameArgb.map(dibOf(width, height, _))
+        else if (jpegQuality >= 0f)
+          frameArgb.map(encodeJpeg(width, height, _, jpegQuality))
         else frameArgb.map { px =>
           val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
           img.setRGB(0, 0, width, height, px, 0, width)
@@ -1361,7 +1388,27 @@ object Multimodal {
     * verify the true Hamming distance (`bit_count(xor)`, codegen) on
     * candidates only. The published MinHash-LSH shape applied to the
     * image tier: the only shuffle is on 9-byte band keys; pixels never
-    * move; pair work is Σ_band (collisions²), not n².
+    * move.
+    *
+    * DENSITY GUARD (what keeps the funnel sub-quadratic at 100×): an
+    * 8-bit band key has only 256 values per band index, so a naive
+    * band join has a STRUCTURAL candidate floor of Σ 8·256·(N/256)² ≈
+    * N²/32 — invisible at 10⁵ assets, fatal at 10⁹. Two guards make
+    * candidate work content-driven instead:
+    *   1. Hamming-0 collapse — identical hashes (the bulk of real
+    *      crawl image duplication) collapse to ONE representative
+    *      before banding; exact-dup pairs come from a plain equi-join
+    *      on the full 64-bit hash, whose collision mass is true dup
+    *      mass, never band geometry.
+    *   2. A per-bucket df cap — any (band_ix, band) bucket holding
+    *      more than `bandDfCap` DISTINCT hashes is skipped (the
+    *      simhash-dedup practice, Manku et al. WWW'07). The skip
+    *      relation is at most 8·256 = 2048 rows, so the guard is a
+    *      broadcast anti-join. RECALL CAVEAT: a pair is found iff it
+    *      shares at least one clean band under the cap; pairs whose
+    *      every clean band is over-dense are missed. At the default
+    *      cap the worst bucket costs cap² ≈ 1.7·10⁷ cheap word ops —
+    *      bounded regardless of corpus size.
     */
   /** The 8-band LSH form of a `(asset_id, dhash)` relation — the
     * candidate-join key shared by [[imageNearDupPairs]] and the
@@ -1373,24 +1420,67 @@ object Multimodal {
       .withColumn("band",
         expr("shiftrightunsigned(dhash, band_ix * 8)").bitwiseAND(lit(255L)))
 
-  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 6): DataFrame = {
+  /** The 8-band form of a bare `(dhash)` relation (representative
+    * level — post Hamming-0 collapse).
+    */
+  private def bandedHashes(hashes: DataFrame): DataFrame =
+    hashes.select(col("dhash"), explode(sequence(lit(0), lit(7))).as("band_ix"))
+      .withColumn("band",
+        expr("shiftrightunsigned(dhash, band_ix * 8)").bitwiseAND(lit(255L)))
+
+  /** Over-dense (band_ix, band) buckets of a DISTINCT-hash relation —
+    * at most 2048 rows by construction (8 band indexes × 256 values),
+    * so always broadcastable.
+    */
+  private def denseBands(distinctHashes: DataFrame, bandDfCap: Int): DataFrame =
+    bandedHashes(distinctHashes)
+      .groupBy("band_ix", "band").agg(count(lit(1)).as("df"))
+      .filter(col("df") > bandDfCap)
+      .select("band_ix", "band")
+
+  /** Representative-level band candidates of a distinct-hash relation:
+    * unordered `(dhash, dhash2)` rows with `dhash < dhash2`, one row
+    * per shared under-cap band (callers verify Hamming then dedup).
+    * Exposed so specs and scale smokes can pin the candidate VOLUME —
+    * the quantity the density guard exists to bound.
+    */
+  def dhashBandCandidates(distinctHashes: DataFrame, bandDfCap: Int = 4096): DataFrame = {
+    val guarded = bandedHashes(distinctHashes)
+      .join(broadcast(denseBands(distinctHashes, bandDfCap)),
+        Seq("band_ix", "band"), "left_anti")
+    val other = guarded.select(col("dhash").as("dhash2"), col("band_ix"), col("band"))
+    guarded.join(other, Seq("band_ix", "band"))
+      .filter(col("dhash") < col("dhash2"))
+      .select("dhash", "dhash2")
+  }
+
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 6,
+                        bandDfCap: Int = 4096): DataFrame = {
     require(maxHamming <= 7, "8×8-bit banding guarantees recall only to Hamming 7")
-    // CUT the lineage before the self-join: both band sides descend
-    // from `hashes`, whose upstream is a full decode+hash pass — an
-    // uncut plan would pay the pixels twice for a 16-byte/asset
-    // relation
+    // CUT the lineage before the self-joins: all sides descend from
+    // `hashes`, whose upstream is a full decode+hash pass — an uncut
+    // plan would pay the pixels repeatedly for a 16-byte/asset relation
     val h = Dedup.checkpointed(
       hashes.filter(col("decoded")).select("asset_id", "dhash"))
-    val banded = bandedOf(h)
-    val other = banded.select(col("asset_id").as("id2"), col("dhash").as("dhash2"),
-      col("band_ix"), col("band"))
-    banded.join(other,
-        banded("band_ix") === other("band_ix") && banded("band") === other("band") &&
-          banded("asset_id") < other("id2"))
-      .select(col("asset_id").as("id1"), col("id2"),
-        bit_count(col("dhash").bitwiseXOR(col("dhash2"))).as("hamming"))
+    // Hamming-0 pairs: plain equi-join on the full hash (guard #1 —
+    // exact-dup mass never enters the band funnel, and its recall is
+    // unconditional: the df cap cannot lose these)
+    val zero = h.join(h.select(col("asset_id").as("id2"), col("dhash")), Seq("dhash"))
+      .filter(col("asset_id") < col("id2"))
+      .select(col("asset_id").as("id1"), col("id2"), lit(0).as("hamming"))
+    // Hamming 1..max: banded candidates over DISTINCT hashes (guard #2
+    // applies), verified by codegen bit_count, then expanded back to
+    // every member of each hash group
+    val repPairs = dhashBandCandidates(h.select("dhash").distinct(), bandDfCap)
+      .withColumn("hamming", bit_count(col("dhash").bitwiseXOR(col("dhash2"))))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+    val cross = repPairs
+      .join(h.select(col("asset_id").as("a1"), col("dhash")), Seq("dhash"))
+      .join(h.select(col("asset_id").as("a2"), col("dhash").as("dhash2")), Seq("dhash2"))
+      .select(least(col("a1"), col("a2")).as("id1"),
+        greatest(col("a1"), col("a2")).as("id2"), col("hamming"))
+    zero.unionByName(cross)
   }
 
   /** Persisted BANDED dHash store for incremental perceptual dedup:
@@ -1402,7 +1492,14 @@ object Multimodal {
     * and candidate work stays Σ_band collisions, never batch×corpus.
     */
   def writeDhashStore(hashes: DataFrame, table: String, buckets: Int = 16): Unit =
-    bandedOf(hashes.filter(col("decoded")).select("asset_id", "dhash"))
+    // Hamming-0 collapse at WRITE time (density guard #1, store side):
+    // the store answers "does any representative lie within
+    // maxHamming" — distinct hashes carry that answer exactly, and a
+    // crawl's exact-dup mass (its bulk) never inflates bucket density.
+    // The kept asset_id is the min member — informative, not load-bearing.
+    bandedOf(hashes.filter(col("decoded"))
+        .groupBy("dhash").agg(min(col("asset_id")).as("asset_id"))
+        .select("asset_id", "dhash"))
       .write.mode("overwrite")
       .bucketBy(buckets, "band_ix", "band").sortBy("band_ix", "band")
       .saveAsTable(table)
@@ -1422,7 +1519,8 @@ object Multimodal {
   def incrementalImageNearDup(spark: org.apache.spark.sql.SparkSession,
                               table: String, batchHashes: DataFrame,
                               maxHamming: Int = 6,
-                              absorb: Boolean = true): DataFrame = {
+                              absorb: Boolean = true,
+                              bandDfCap: Int = 4096): DataFrame = {
     require(maxHamming <= 7, "8×8-bit banding guarantees recall only to Hamming 7")
     // cross-session freshness: the clusterStoreLabels refresh contract
     spark.catalog.refreshTable(table)
@@ -1431,9 +1529,14 @@ object Multimodal {
     // above re-executes per consumer
     val batch = Dedup.checkpointed(batchHashes.filter(col("decoded"))
       .select("asset_id", "dhash", "dhash_bits"))
-    val matched = dhashStoreCandidates(spark, table, batch)
+    // probe the store once per DISTINCT batch hash (guard #1: a batch
+    // of M copies of one image pays one probe, not M), then map the
+    // matched-hash verdicts back to every member asset
+    val matchedHashes = dhashStoreCandidates(spark, table, batch, bandDfCap)
       .filter(bit_count(col("dhash").bitwiseXOR(col("rep_hash"))) <= maxHamming)
-      .select("asset_id").distinct()
+      .select("dhash").distinct()
+    val matched = batch.join(matchedHashes, Seq("dhash"), "left_semi")
+      .select("asset_id")
     val novel = batch.join(matched, Seq("asset_id"), "left_anti").localCheckpoint(true)
     // batch-internal transitive keep-one among the store-novel assets.
     // The pair relation is BATCH-BOUNDED (candidate collisions of one
@@ -1487,16 +1590,31 @@ object Multimodal {
   }
 
   /** The banded candidate join of a batch against the store —
-    * `(asset_id, dhash, rep_hash, band_ix, band)` rows whose exact
-    * Hamming distance the caller verifies. Factored out so the
-    * store-side exchange-free plan property is pinnable (the absorb
-    * path executes it eagerly behind a checkpoint).
+    * `(dhash, rep_hash, band_ix, band)` rows (one per DISTINCT batch
+    * hash per shared band) whose exact Hamming distance the caller
+    * verifies. Factored out so the store-side exchange-free plan
+    * property is pinnable (the absorb path executes it eagerly behind
+    * a checkpoint).
+    *
+    * Density guard: store buckets holding more than `bandDfCap`
+    * representatives are skipped (same recall caveat as
+    * [[imageNearDupPairs]]) — each probe hash then touches at most
+    * 8·cap stored reps instead of a structural |store|/32. The df
+    * relation is ≤ 2048 rows (8 band indexes × 256 band values), and
+    * its aggregation groups on the store's own bucket keys, so neither
+    * side of the guard adds an Exchange to the store scan.
     */
   def dhashStoreCandidates(spark: org.apache.spark.sql.SparkSession,
-                           table: String, batch: DataFrame): DataFrame =
-    bandedOf(batch.select("asset_id", "dhash"))
-      .join(spark.table(table).select(col("dhash").as("rep_hash"),
+                           table: String, batch: DataFrame,
+                           bandDfCap: Int = 4096): DataFrame = {
+    val store = spark.table(table)
+    val dense = store.groupBy("band_ix", "band").agg(count(lit(1)).as("df"))
+      .filter(col("df") > bandDfCap).select("band_ix", "band")
+    bandedHashes(batch.select("dhash").distinct())
+      .join(broadcast(dense), Seq("band_ix", "band"), "left_anti")
+      .join(store.select(col("dhash").as("rep_hash"),
         col("band_ix"), col("band")), Seq("band_ix", "band"))
+  }
 
   private def bucketCountOfTable(spark: org.apache.spark.sql.SparkSession,
                                  table: String): Int =
@@ -1887,11 +2005,58 @@ object Multimodal {
     }(enc)
   }
 
+  /** The MJPEG-in-AVI twin of [[videoDhashAssetsFromDocuments]]: the
+    * SAME per-frame cell formulas (`10 + md5Int("<doc_id>:<f>:<x>:<y>:
+    * vfp") mod 230`), carried by a REAL video container with a
+    * JDK-decodable frame codec — each asset is a RIFF AVI whose frames
+    * are complete JPEGs ([[VideoCodec.encodeAvi]] `mjpeg = true`). The
+    * cells are rendered at 8×8 pixels, aligned to the JPEG block grid,
+    * and encoded at quality 1.0: block-constant gray content
+    * round-trips JPEG bit-exactly (all-ones quant table, DC-only
+    * blocks — see [[VideoCodec.encodeJpeg]]), so every frame's dHash
+    * equals the GIF twin's closed-form formula and the SAME oracle SQL
+    * pins a real-container path end to end. Variants per doc mirror
+    * the twin: `+1` (even) a 2× re-render sharing every frame hash,
+    * `+3` (%5) the frames-1..3 clip.
+    */
+  def mjpegDhashAssetsFromDocuments(documents: DataFrame, batchSize: Int = 64): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    graft.functions.Skew.spreadToCores(documents.select("doc_id")).mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val id = r.getLong(0)
+          def frame(f: Int, cell: Int): Array[Int] =
+            Array.tabulate(9 * cell * 8 * cell) { i =>
+              val cx = (i % (9 * cell)) / cell
+              val cy = (i / (9 * cell)) / cell
+              val g = (10 + graft.functions.Portable.md5IntOf(s"$id:$f:$cx:$cy:vfp") % 230).toInt
+              0xff000000 | (g << 16) | (g << 8) | g
+            }
+          def avi(cell: Int, fs: Seq[Int]) =
+            VideoCodec.encodeAvi(9 * cell, 8 * cell, 10,
+              fs.map(frame(_, cell)), mjpeg = true, jpegQuality = 1.0f)
+          val base = Row(id * 10, avi(8, 0 until 4), "video/avi", 72, 64)
+          val variant =
+            if (id % 2 == 0) Seq(Row(id * 10 + 1, avi(16, 0 until 4), "video/avi", 144, 128))
+            else Seq.empty
+          val clip =
+            if (id % 5 == 0) Seq(Row(id * 10 + 3, avi(8, 1 until 4), "video/avi", 72, 64))
+            else Seq.empty
+          Seq(base) ++ variant ++ clip
+        }
+      }
+    }(enc)
+  }
+
   /** Per-frame perceptual fingerprints of multi-frame assets:
     * `(asset_id, frame_ix, dhash, dhash_bits)` — one [[ImageCodec.dhash]]
     * per decoded frame, shuffle-free, 16 B/frame out. Undecodable
     * assets yield no rows (poison-safe skip — the frame relation has
-    * no meaningful null row).
+    * no meaningful null row). Containers route by MAGIC BYTES: RIFF
+    * AVI payloads (raw-DIB or MJPEG frames) demux through
+    * [[VideoCodec.decode]]; everything else goes through the
+    * multi-image reader (animated GIF etc.) — so one frame-hash pass
+    * serves a mixed-container corpus.
     */
   def videoFrameDhash(assets: DataFrame, batchSize: Int = 16): DataFrame = {
     val outSchema = StructType(Seq(
@@ -1900,14 +2065,19 @@ object Multimodal {
       StructField("dhash", LongType, nullable = false),
       StructField("dhash_bits", StringType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    def isAvi(b: Array[Byte]): Boolean =
+      b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
     assets.select("asset_id", "media").mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.iterator.flatMap { r =>
-          ImageCodec.decodeFrames(r.getAs[Array[Byte]](1)).toSeq.flatMap { frames =>
-            frames.zipWithIndex.map { case (d, ix) =>
-              val h = ImageCodec.dhash(d)
-              Row(r.getLong(0), ix, h, ImageCodec.dhashBits(h))
-            }
+          val bytes = r.getAs[Array[Byte]](1)
+          val frames: Seq[ImageCodec.Decoded] =
+            if (isAvi(bytes)) VideoCodec.decode(bytes).map(_.frames).getOrElse(Seq.empty)
+            else ImageCodec.decodeFrames(bytes).getOrElse(Seq.empty)
+          frames.zipWithIndex.map { case (d, ix) =>
+            val h = ImageCodec.dhash(d)
+            Row(r.getLong(0), ix, h, ImageCodec.dhashBits(h))
           }
         }
       }
@@ -1921,12 +2091,28 @@ object Multimodal {
     * content shares nothing). One equi-join on the 8-byte hash — pair
     * work is Σ_hash collisions², never assets²; frame pixels never
     * shuffle.
+    *
+    * STOP-FRAME REMOVAL (`frameDfCap`): the join key is the full
+    * 64-bit frame hash, so random collisions are negligible — but one
+    * ubiquitous real-world frame (black frame, studio card, test
+    * pattern) shared by M videos is one M²-hot key. Frame hashes held
+    * by more than `frameDfCap` assets are dropped before the
+    * self-join — the df-bounded discipline the lexical tier applies
+    * to stopwords, and the same signal logic: a frame that appears in
+    * thousands of videos identifies none of them. RECALL CAVEAT: a
+    * dropped hash no longer counts toward `n_shared`, so pairs whose
+    * overlap is mostly stop-frames fall below the threshold — by
+    * design (such pairs are not near-dups of each other).
     */
-  def videoNearDupPairs(frameHashes: DataFrame, minShared: Int = 2): DataFrame = {
+  def videoNearDupPairs(frameHashes: DataFrame, minShared: Int = 2,
+                        frameDfCap: Int = 1024): DataFrame = {
     val h = Dedup.checkpointed(
       frameHashes.select("asset_id", "dhash").distinct())
-    val other = h.select(col("asset_id").as("id2"), col("dhash"))
-    h.join(other, Seq("dhash"))
+    val ok = h.groupBy("dhash").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= frameDfCap).select("dhash")
+    val kept = h.join(ok, Seq("dhash"), "left_semi")
+    val other = kept.select(col("asset_id").as("id2"), col("dhash"))
+    kept.join(other, Seq("dhash"))
       .filter(col("asset_id") < col("id2"))
       .groupBy(col("asset_id").as("id1"), col("id2"))
       .agg(count(lit(1)).as("n_shared"))
@@ -2071,6 +2257,32 @@ object Multimodal {
         }
       }
     }(enc)
+  }
+
+  /** SEMANTIC (embedding-space) image dedup — the image tier's
+    * `q_semdedup` twin: real pixel-histogram descriptors
+    * ([[ImageCodec.features]] over the decoded raster) → cosine
+    * near-dup pairs → transitive clusters keeping the min asset id.
+    * Output `(asset_id, cluster_id, keep)` for every decodable asset.
+    *
+    * Composition is the text path's, organ for organ: the pair stage
+    * is [[Dedup.embeddingNearDups]] (the correctness baseline;
+    * [[Dedup.embeddingNearDupsBlocked]] is the drop-in 100-TB path —
+    * same output contract, IVF-cell-blocked pair work) and the
+    * labeling is [[Dedup.nearDupClusters]] (pointer-jumping
+    * components). Pixels are paid once in the feature pass;
+    * everything after moves `dim` floats per asset.
+    */
+  def imageSemanticDedup(assets: DataFrame, dim: Int = 9,
+                         threshold: Double = 0.9): DataFrame = {
+    val feats = Dedup.checkpointed(extractFeatures(assets, dim)
+      .select(col("asset_id").as("vec_id"), col("features").as("embedding")))
+    val pairs = Dedup.embeddingNearDups(feats, threshold)
+      .select(col("id1"), col("id2"))
+    Dedup.nearDupClusters(
+        feats.select(col("vec_id").as("doc_id")), pairs)
+      .select(col("doc_id").as("asset_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("keep"))
   }
 
   /** Frame sampling: treat the payload as `frameBytes`-sized frames and

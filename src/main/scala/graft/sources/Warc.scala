@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, InputStream}
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -21,12 +21,24 @@ import org.apache.spark.sql.types._
   *    published WARC processor shards. Real crawls ship ~1 GiB segments
   *    in the tens of thousands per snapshot: at 100 TB that is ~100k
   *    independent file-tasks — more than any executor count needs. The
-  *    scan is `binaryFile` (whole-file rows) into batched
-  *    `mapPartitions` ([[graft.operators.Multimodal.Mp4Codec]]
-  *    discipline): shuffle-free, embarrassingly parallel.
-  *  - parsing is a single forward pass per file with magic-byte resync:
-  *    a truncated/corrupt record skips to the next `WARC/` magic
-  *    instead of poisoning the file (a crawl ALWAYS contains damage).
+  *    scan is `binaryFile` (whole-file rows) into `mapPartitions`
+  *    ([[graft.operators.Multimodal.Mp4Codec]] discipline):
+  *    shuffle-free, embarrassingly parallel.
+  *  - parsing is STREAMING, record-at-a-time ([[WarcScanner]]): a task
+  *    holds the compressed file bytes plus AT MOST one decompressed
+  *    record — a ~1 GiB segment inflating past 2 GiB (typical) never
+  *    materializes whole, so the r15 whole-array OutOfMemoryError mode
+  *    (an Error no damage guard can catch) is gone by construction.
+  *    Damage resyncs at the next `WARC/` magic: a truncated/corrupt
+  *    record skips instead of poisoning the file (a crawl ALWAYS
+  *    contains damage).
+  *  - HTTP payloads decode FOR REAL: `Transfer-Encoding: chunked`
+  *    framing is undone, `Content-Encoding: gzip/deflate` bodies
+  *    inflate, and text charsets resolve from the Content-Type header,
+  *    then `<meta charset>`, then a UTF-8 fallback — the order RFC 9110
+  *    / WHATWG prescribe. A real CommonCrawl segment is mostly
+  *    chunked/compressed/non-UTF-8; decoding it as raw UTF-8 bytes (the
+  *    r15 behavior) is a correctness bug this module no longer has.
   *  - JSONL reads under an EXPLICIT schema contract — schema inference
   *    at 100 TB is a second full pass over the corpus before the first
   *    useful byte; `mode=PERMISSIVE` + corrupt-record column quarantines
@@ -36,11 +48,16 @@ object WarcCodec {
 
   /** One parsed WARC record: the named headers a pipeline consumes plus
     * the raw payload block. `targetUri` is null for record types that
-    * carry none (warcinfo).
+    * carry none (warcinfo). The revisit-family headers (ISO 28500
+    * §6.7.2 — `WARC-Refers-To`, `WARC-Refers-To-Target-URI`,
+    * `WARC-Payload-Digest`, `WARC-Profile`) surface so crawl-side
+    * dedup accounting is not silently lost.
     */
   case class WarcRecord(warcType: String, targetUri: String, warcDate: String,
                         recordId: String, contentType: String,
-                        payload: Array[Byte])
+                        payload: Array[Byte],
+                        refersTo: String = null, refersToUri: String = null,
+                        payloadDigest: String = null, warcProfile: String = null)
 
   // ---------------------------------------------------------------
   // encode — the synthesis/fixture side (deterministic, from-spec)
@@ -48,16 +65,20 @@ object WarcCodec {
 
   /** Serialize one record per ISO 28500 §4: version line, named headers,
     * CRLF, `Content-Length` payload octets, CRLF CRLF block end.
+    * `extraHeaders` carry record-type-specific fields (the revisit
+    * family) verbatim.
     */
   def encodeRecord(warcType: String, targetUri: Option[String], warcDate: String,
                    recordId: String, contentType: String,
-                   payload: Array[Byte]): Array[Byte] = {
+                   payload: Array[Byte],
+                   extraHeaders: Seq[(String, String)] = Nil): Array[Byte] = {
     val sb = new StringBuilder(160)
     sb.append("WARC/1.0\r\n")
     sb.append("WARC-Type: ").append(warcType).append("\r\n")
     sb.append("WARC-Record-ID: ").append(recordId).append("\r\n")
     sb.append("WARC-Date: ").append(warcDate).append("\r\n")
     targetUri.foreach(u => sb.append("WARC-Target-URI: ").append(u).append("\r\n"))
+    extraHeaders.foreach { case (k, v) => sb.append(k).append(": ").append(v).append("\r\n") }
     sb.append("Content-Type: ").append(contentType).append("\r\n")
     sb.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
     val head = sb.toString.getBytes("UTF-8")
@@ -89,20 +110,24 @@ object WarcCodec {
 
   /** Inflate a (possibly multi-member) gzip stream — JDK
     * `GZIPInputStream` reads concatenated members transparently, which
-    * is exactly the per-record-member WARC layout.
+    * is exactly the per-record-member WARC layout. Fixture/HTTP-body
+    * helper: SEGMENT files never inflate whole (see [[WarcScanner]]).
+    * The size hint clamps through Long arithmetic — `b.length * 3`
+    * wraps negative past 715 MB in Int.
     */
   def gunzipMembers(b: Array[Byte]): Array[Byte] = {
     val in = new java.util.zip.GZIPInputStream(new ByteArrayInputStream(b), 64 * 1024)
-    val out = new ByteArrayOutputStream(math.max(64, b.length * 3))
+    val hint = math.min(math.max(64L, b.length.toLong * 3L), 1L << 20).toInt
+    val out = new ByteArrayOutputStream(hint)
     val buf = new Array[Byte](64 * 1024)
     var n = in.read(buf)
     while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
     out.toByteArray
   }
 
-  private def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
+  private def byteIndexOf(hay: Array[Byte], needle: Array[Byte], from: Int, end: Int): Int = {
     var i = math.max(from, 0)
-    val last = hay.length - needle.length
+    val last = math.min(end, hay.length) - needle.length
     while (i <= last) {
       var j = 0
       while (j < needle.length && hay(i + j) == needle(j)) j += 1
@@ -112,33 +137,38 @@ object WarcCodec {
     -1
   }
 
-  /** Bounded CRLF line read: returns (line-without-terminator, next pos)
-    * or null past `limit` — headers are small; an unterminated multi-MB
-    * "line" is damage, not a header.
+  /** Bounded CRLF line read over `b[pos, min(limit, end))`: returns
+    * (line-without-terminator, next pos) or null past the bound —
+    * headers are small; an unterminated multi-MB "line" is damage,
+    * not a header.
     */
-  private def readLine(b: Array[Byte], pos: Int, limit: Int): (String, Int) = {
+  private def readLine(b: Array[Byte], pos: Int, limit: Int,
+                       end: Int): (String, Int) = {
     var i = pos
-    val max = math.min(b.length, limit)
+    val max = math.min(end, limit)
     while (i < max && b(i) != '\n') i += 1
     if (i >= max) return null
-    val end = if (i > pos && b(i - 1) == '\r') i - 1 else i // tolerate bare LF
-    (new String(b, pos, end - pos, "UTF-8"), i + 1)
+    val lineEnd = if (i > pos && b(i - 1) == '\r') i - 1 else i // tolerate bare LF
+    (new String(b, pos, lineEnd - pos, "UTF-8"), i + 1)
   }
 
-  /** Parse one record headed at `pos` (which must point at `WARC/`).
-    * Returns the record and the position just past its payload, or None
-    * when the block is damaged (bad version, malformed header, missing
-    * or unparseable Content-Length, truncated payload) — the caller
-    * resyncs at the next magic.
+  /** Parse one record headed at `pos` (which must point at `WARC/`)
+    * within `b[pos, end)`. Returns the record and the position just
+    * past its payload, or None when the block is damaged (bad version,
+    * malformed header, missing or unparseable Content-Length,
+    * truncated payload) — the caller resyncs at the next magic.
     */
-  private def parseOne(b: Array[Byte], pos: Int): Option[(WarcRecord, Int)] = {
+  private[sources] def parseOne(b: Array[Byte], pos: Int,
+                                end: Int): Option[(WarcRecord, Int)] = {
     val headerLimit = pos + 64 * 1024 // spec headers are tiny; bound the scan
-    val first = readLine(b, pos, headerLimit)
+    val first = readLine(b, pos, headerLimit, end)
     if (first == null || !first._1.startsWith("WARC/")) return None
     var p = first._2
     var warcType: String = null; var uri: String = null; var date: String = null
     var recId: String = null; var cType: String = null; var cLen = -1L
-    var line = readLine(b, p, headerLimit)
+    var refersTo: String = null; var refersToUri: String = null
+    var digest: String = null; var profile: String = null
+    var line = readLine(b, p, headerLimit, end)
     while (line != null && line._1.nonEmpty) {
       val s = line._1
       val colon = s.indexOf(':')
@@ -151,74 +181,307 @@ object WarcCodec {
         case "warc-date"       => date = value
         case "warc-record-id"  => recId = value
         case "content-type"    => cType = value
+        case "warc-refers-to"  => refersTo = value
+        case "warc-refers-to-target-uri" => refersToUri = value
+        case "warc-payload-digest" => digest = value
+        case "warc-profile"    => profile = value
         case "content-length"  =>
           cLen = try value.toLong catch { case _: NumberFormatException => -1L }
         case _ => // unknown headers are legal; skip
       }
       p = line._2
-      line = readLine(b, p, headerLimit)
+      line = readLine(b, p, headerLimit, end)
     }
     if (line == null) return None                 // headers never terminated
     p = line._2                                   // past the blank line
-    if (warcType == null || cLen < 0 || p + cLen > b.length) return None
+    if (warcType == null || cLen < 0 || p + cLen > end) return None
     val payload = java.util.Arrays.copyOfRange(b, p, p + cLen.toInt)
-    Some((WarcRecord(warcType, uri, date, recId, cType, payload), p + cLen.toInt))
+    Some((WarcRecord(warcType, uri, date, recId, cType, payload,
+      refersTo, refersToUri, digest, profile), p + cLen.toInt))
   }
 
-  /** All parseable records of one WARC file (gzip-transparent). Damage
-    * anywhere — corrupt gzip, truncated record, garbage between records
-    * — never throws and never hides the records that ARE intact.
+  /** STREAMING record scanner: pulls one WARC record at a time off an
+    * InputStream, holding at most the current record (plus a 64 KiB
+    * header window) in memory — the decompressed segment never
+    * materializes whole. Damage discipline matches the array parser
+    * exactly: a malformed block skips forward to the next `WARC/`
+    * magic; a Content-Length past `maxRecordBytes` is treated as
+    * damage (a crafted header cannot OOM an executor task); any
+    * upstream IO error (corrupt gzip mid-stream) reads as EOF — the
+    * records already emitted stand, the rest of the file is skipped.
     */
-  def parseAll(raw: Array[Byte]): Vector[WarcRecord] = {
-    val bytes =
-      if (isGzip(raw)) try gunzipMembers(raw) catch { case _: Exception => Array.empty[Byte] }
-      else raw
-    val out = Vector.newBuilder[WarcRecord]
-    var pos = indexOf(bytes, Magic, 0)
-    while (pos >= 0) {
-      parseOne(bytes, pos) match {
-        case Some((rec, next)) => out += rec; pos = indexOf(bytes, Magic, next)
-        case None              => pos = indexOf(bytes, Magic, pos + Magic.length)
+  final class WarcScanner(in: InputStream,
+                          maxRecordBytes: Int = 256 << 20)
+      extends Iterator[WarcRecord] {
+    private var buf = new Array[Byte](64 * 1024)
+    private var len = 0            // valid bytes in buf[0, len)
+    private var eof = false
+    private var from = 0           // next magic-scan offset
+    private var nextRec: WarcRecord = _
+
+    /** Read until `buf` holds ≥ `target` bytes or EOF; IO errors = EOF. */
+    private def fill(target: Int): Unit = {
+      if (target > buf.length) {
+        val grown = new Array[Byte](math.max(target, buf.length * 2))
+        System.arraycopy(buf, 0, grown, 0, len)
+        buf = grown
+      }
+      while (!eof && len < target) {
+        val n = try in.read(buf, len, buf.length - len)
+          catch { case _: Exception => -1 } // corrupt stream: stop, keep what parsed
+        if (n < 0) eof = true else len += n
       }
     }
-    out.result()
+
+    /** Drop the first `n` consumed bytes. */
+    private def compact(n: Int): Unit = {
+      if (n > 0) { System.arraycopy(buf, n, buf, 0, len - n); len -= n }
+    }
+
+    private def advance(): WarcRecord = {
+      while (true) {
+        fill(from + 64 * 1024)
+        val at = byteIndexOf(buf, Magic, from, len)
+        if (at < 0) {
+          if (eof) return null
+          // keep a magic-length-1 tail so a boundary-straddling magic
+          // survives the compaction, then pull the next window
+          compact(math.max(0, len - (Magic.length - 1)))
+          from = 0
+          fill(buf.length) // extend past the kept tail
+        } else {
+          compact(at); from = 0
+          fill(64 * 1024) // the full header window for this record
+          parseHere() match {
+            case Some(rec) => return rec
+            case None =>
+              if (eof && byteIndexOf(buf, Magic, Magic.length, len) < 0) return null
+              from = Magic.length // resync past this magic
+          }
+        }
+      }
+      null
+    }
+
+    /** Try to parse the record at buf[0] (a magic position): extend the
+      * buffer to the payload end first so truncation is genuine damage,
+      * not an under-filled buffer.
+      */
+    private def parseHere(): Option[WarcRecord] = {
+      // probe pass: find Content-Length + header end within the window
+      parseProbe() match {
+        case Some((headerEnd, cLen)) =>
+          if (cLen > maxRecordBytes) None
+          else {
+            val need = headerEnd + cLen.toInt
+            fill(need)
+            if (len < need) None // truncated payload: damage
+            else parseOne(buf, 0, len).map { case (rec, consumed) =>
+              compact(consumed); rec
+            }
+          }
+        case None => None
+      }
+    }
+
+    /** Header-only scan: (payload start, Content-Length) or None. */
+    private def parseProbe(): Option[(Int, Long)] = {
+      val headerLimit = 64 * 1024
+      val first = readLine(buf, 0, headerLimit, len)
+      if (first == null || !first._1.startsWith("WARC/")) return None
+      var p = first._2
+      var cLen = -1L
+      var line = readLine(buf, p, headerLimit, len)
+      while (line != null && line._1.nonEmpty) {
+        val s = line._1
+        val colon = s.indexOf(':')
+        if (colon <= 0) return None
+        if (s.substring(0, colon).trim.equalsIgnoreCase("content-length"))
+          cLen = try s.substring(colon + 1).trim.toLong
+            catch { case _: NumberFormatException => -1L }
+        p = line._2
+        line = readLine(buf, p, headerLimit, len)
+      }
+      if (line == null || cLen < 0) None else Some((line._2, cLen))
+    }
+
+    override def hasNext: Boolean = {
+      if (nextRec == null) nextRec = advance()
+      nextRec != null
+    }
+    override def next(): WarcRecord = {
+      if (!hasNext) throw new NoSuchElementException("WarcScanner exhausted")
+      val r = nextRec; nextRec = null; r
+    }
   }
+
+  /** Streaming records of one raw file payload (gzip-transparent).
+    * Damage anywhere — corrupt gzip, truncated record, garbage between
+    * records — never throws and never hides the records that ARE
+    * intact.
+    */
+  def streamRecords(raw: Array[Byte]): Iterator[WarcRecord] = {
+    val base = new ByteArrayInputStream(raw)
+    val in: InputStream =
+      if (isGzip(raw))
+        try new java.util.zip.GZIPInputStream(base, 64 * 1024)
+        catch { case _: Exception => new ByteArrayInputStream(Array.empty[Byte]) }
+      else base
+    new WarcScanner(in)
+  }
+
+  /** All parseable records of one WARC file — the materialized form of
+    * [[streamRecords]] (fixture/spec convenience; the scan path stays
+    * streaming).
+    */
+  def parseAll(raw: Array[Byte]): Vector[WarcRecord] = streamRecords(raw).toVector
 
   // ---------------------------------------------------------------
   // HTTP payload (application/http; msgtype=response)
   // ---------------------------------------------------------------
 
-  /** The response half a crawler stores: status code, media type
-    * (Content-Type up to any `;` parameter, lowercased), and the body
-    * octets after the header block.
+  /** The response half a crawler stores, DECODED: status code, media
+    * type (Content-Type up to any `;` parameter, lowercased), resolved
+    * text charset (header param → `<meta charset>` sniff → "utf-8"),
+    * and the body octets with chunked framing and gzip/deflate content
+    * coding undone — real crawl payloads are stored as-fetched, so the
+    * stored octets are NOT the page bytes until both layers unwrap.
     */
-  case class HttpResponse(status: Int, mime: String, body: Array[Byte])
+  case class HttpResponse(status: Int, mime: String, charset: String,
+                          body: Array[Byte])
+
+  /** Undo `Transfer-Encoding: chunked` (RFC 9112 §7.1): hex size line
+    * (chunk extensions tolerated), data, CRLF, … , 0-chunk; trailers
+    * ignored. None on malformed framing — damage, skip the record.
+    */
+  private[sources] def dechunk(b: Array[Byte]): Option[Array[Byte]] = {
+    val out = new ByteArrayOutputStream(math.max(64, b.length))
+    var pos = 0
+    while (true) {
+      val line = readLine(b, pos, pos + 1024, b.length)
+      if (line == null) return None
+      val sizeStr = line._1.split(";")(0).trim
+      val size = try Integer.parseInt(sizeStr, 16)
+        catch { case _: NumberFormatException => return None }
+      if (size < 0) return None
+      pos = line._2
+      if (size == 0) return Some(out.toByteArray) // trailers ignored
+      if (pos + size > b.length) return None
+      out.write(b, pos, size)
+      pos += size
+      if (pos + 2 <= b.length && b(pos) == '\r' && b(pos + 1) == '\n') pos += 2
+      else if (pos < b.length && b(pos) == '\n') pos += 1
+      else return None
+    }
+    None
+  }
+
+  /** Undo `Content-Encoding: deflate` — zlib-wrapped per the RFC, raw
+    * DEFLATE as the widely-shipped server bug fallback.
+    */
+  private def inflateDeflate(b: Array[Byte]): Option[Array[Byte]] = {
+    def run(nowrap: Boolean): Option[Array[Byte]] = try {
+      val inf = new java.util.zip.Inflater(nowrap)
+      inf.setInput(b)
+      val out = new ByteArrayOutputStream(math.max(64, b.length * 2))
+      val chunk = new Array[Byte](64 * 1024)
+      while (!inf.finished()) {
+        val n = inf.inflate(chunk)
+        if (n == 0 && inf.needsInput()) { inf.end(); return None } // truncated
+        out.write(chunk, 0, n)
+      }
+      inf.end()
+      Some(out.toByteArray)
+    } catch { case _: Exception => None }
+    run(nowrap = false).orElse(run(nowrap = true))
+  }
+
+  private val MetaCharset = java.util.regex.Pattern.compile(
+    "(?i)<meta[^>]*charset\\s*=\\s*[\"']?([A-Za-z0-9._:-]+)")
+
+  /** WHATWG-style prescan of the first 4 KiB for `<meta charset=…>` /
+    * `<meta http-equiv=Content-Type content="…charset=…">` (the
+    * pattern matches the charset= in either form). ISO-8859-1 view —
+    * byte-preserving, and the markup itself is ASCII.
+    */
+  private[sources] def sniffMetaCharset(body: Array[Byte]): String = {
+    val n = math.min(body.length, 4096)
+    val head = new String(body, 0, n, "ISO-8859-1")
+    val m = MetaCharset.matcher(head)
+    if (m.find()) m.group(1).toLowerCase(java.util.Locale.ROOT) else ""
+  }
+
+  /** Decode text bytes under a claimed charset name, falling back to
+    * UTF-8 (with replacement) when the label is unknown — a crawl
+    * carries every misspelled charset label ever served.
+    */
+  def decodeText(body: Array[Byte], charset: String): String = {
+    val cs =
+      try java.nio.charset.Charset.forName(charset)
+      catch { case _: Exception => java.nio.charset.StandardCharsets.UTF_8 }
+    new String(body, cs)
+  }
 
   def parseHttpResponse(p: Array[Byte]): Option[HttpResponse] = {
     val limit = math.min(p.length, 64 * 1024)
-    val status = readLine(p, 0, limit)
+    val status = readLine(p, 0, limit, p.length)
     if (status == null) return None
     val parts = status._1.split(" ", 3)
     if (parts.length < 2 || !parts(0).startsWith("HTTP/")) return None
     val code = try parts(1).toInt catch { case _: NumberFormatException => return None }
     var pos = status._2
-    var mime = ""
-    var line = readLine(p, pos, limit)
+    var mime = ""; var headerCharset = ""
+    var transferEnc = ""; var contentEnc = ""
+    var line = readLine(p, pos, limit, p.length)
     while (line != null && line._1.nonEmpty) {
       val s = line._1
       val colon = s.indexOf(':')
-      if (colon > 0 &&
-          s.substring(0, colon).trim.equalsIgnoreCase("content-type")) {
+      if (colon > 0) {
+        val name = s.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
         val v = s.substring(colon + 1).trim
-        val semi = v.indexOf(';')
-        mime = (if (semi < 0) v else v.substring(0, semi)).trim
-          .toLowerCase(java.util.Locale.ROOT)
+        name match {
+          case "content-type" =>
+            val semi = v.indexOf(';')
+            mime = (if (semi < 0) v else v.substring(0, semi)).trim
+              .toLowerCase(java.util.Locale.ROOT)
+            if (semi >= 0) {
+              val m = java.util.regex.Pattern
+                .compile("(?i)charset\\s*=\\s*[\"']?([A-Za-z0-9._:-]+)")
+                .matcher(v.substring(semi))
+              if (m.find()) headerCharset = m.group(1).toLowerCase(java.util.Locale.ROOT)
+            }
+          case "transfer-encoding" => transferEnc = v.toLowerCase(java.util.Locale.ROOT)
+          case "content-encoding"  => contentEnc = v.toLowerCase(java.util.Locale.ROOT)
+          case _ =>
+        }
       }
       pos = line._2
-      line = readLine(p, pos, limit)
+      line = readLine(p, pos, limit, p.length)
     }
     if (line == null) return None // header block never terminated
-    Some(HttpResponse(code, mime, java.util.Arrays.copyOfRange(p, line._2, p.length)))
+    val raw = java.util.Arrays.copyOfRange(p, line._2, p.length)
+    // transfer coding is the OUTER layer (it framed the wire transfer);
+    // content coding is inside it
+    val unframed =
+      if (transferEnc.contains("chunked")) dechunk(raw) else Some(raw)
+    unframed.flatMap { u =>
+      val body = contentEnc match {
+        case "" | "identity" => Some(u)
+        case "gzip" | "x-gzip" =>
+          try Some(gunzipMembers(u)) catch { case _: Exception => None }
+        case "deflate" => inflateDeflate(u)
+        case _ => None // an undecodable coding (br etc.): damage-skip
+      }
+      body.map { b =>
+        val cs =
+          if (headerCharset.nonEmpty) headerCharset
+          else if (mime == "text/html") {
+            val sniffed = sniffMetaCharset(b)
+            if (sniffed.nonEmpty) sniffed else "utf-8"
+          } else "utf-8"
+        HttpResponse(code, mime, cs, b)
+      }
+    }
   }
 }
 
@@ -234,24 +497,32 @@ object Warc {
     StructField("record_id", StringType, nullable = true),
     StructField("content_type", StringType, nullable = true),
     StructField("content_length", LongType, nullable = false),
-    StructField("payload", BinaryType, nullable = true)))
+    StructField("payload", BinaryType, nullable = true),
+    StructField("refers_to", StringType, nullable = true),
+    StructField("refers_to_uri", StringType, nullable = true),
+    StructField("payload_digest", StringType, nullable = true),
+    StructField("warc_profile", StringType, nullable = true)))
 
   /** One row per parseable WARC record of every file row in `files`
     * (`path` string + `content` binary — the `binaryFile` shape).
-    * Shuffle-free batched `mapPartitions`; corrupt records skip.
+    * Shuffle-free `mapPartitions`, records STREAMED out per file
+    * ([[WarcCodec.streamRecords]]) — peak task memory is one
+    * compressed file plus one record, and `batchSize` defaults to 1 so
+    * grouped batching never pins several segment files at once.
     */
-  def records(files: DataFrame, batchSize: Int = 4): DataFrame = {
+  def records(files: DataFrame, batchSize: Int = 1): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(recordSchema)
     files.select(col("path").cast("string"), col("content")).mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.iterator.flatMap { r =>
           val path = r.getString(0)
           val recs =
-            try WarcCodec.parseAll(r.getAs[Array[Byte]](1))
-            catch { case _: Exception => Vector.empty }
-          recs.iterator.zipWithIndex.map { case (w, ix) =>
+            try WarcCodec.streamRecords(r.getAs[Array[Byte]](1))
+            catch { case _: Exception => Iterator.empty }
+          recs.zipWithIndex.map { case (w, ix) =>
             Row(path, ix, w.warcType, w.targetUri, w.warcDate, w.recordId,
-              w.contentType, w.payload.length.toLong, w.payload)
+              w.contentType, w.payload.length.toLong, w.payload,
+              w.refersTo, w.refersToUri, w.payloadDigest, w.warcProfile)
           }
         }
       }
@@ -262,7 +533,7 @@ object Warc {
     * the per-record relation. The whole-file `binaryFile` scan is the
     * correct split unit — see the object doc.
     */
-  def read(spark: SparkSession, glob: String, batchSize: Int = 4): DataFrame =
+  def read(spark: SparkSession, glob: String, batchSize: Int = 1): DataFrame =
     records(spark.read.format("binaryFile").load(glob)
       .select(col("path"), col("content")), batchSize)
 
@@ -271,12 +542,17 @@ object Warc {
     StructField("warc_ts", StringType, nullable = true),
     StructField("status", IntegerType, nullable = false),
     StructField("mime", StringType, nullable = false),
-    StructField("body", BinaryType, nullable = false)))
+    StructField("charset", StringType, nullable = true),
+    StructField("body", BinaryType, nullable = false),
+    StructField("body_text", StringType, nullable = true)))
 
   /** The crawl's fetched pages: each `response` record's HTTP payload
-    * split into status/mime/body. Unparseable payloads skip (damage,
-    * again). Narrow `mapPartitions` over [[records]] — still no shuffle
-    * end to end from the file scan.
+    * split into status/mime/charset/body, with transfer and content
+    * codings undone ([[WarcCodec.parseHttpResponse]]); `body_text` is
+    * the charset-decoded string for text mimes (null otherwise —
+    * binary payloads have no text form). Unparseable payloads skip
+    * (damage, again). Narrow `mapPartitions` over [[records]] — still
+    * no shuffle end to end from the file scan.
     */
   def responses(recs: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(responseSchema)
@@ -287,7 +563,11 @@ object Warc {
       .mapPartitions { rows =>
         rows.flatMap { r =>
           WarcCodec.parseHttpResponse(r.getAs[Array[Byte]](2)).map { h =>
-            Row(r.getString(0), r.getString(1), h.status, h.mime, h.body)
+            val text =
+              if (h.mime.startsWith("text/")) WarcCodec.decodeText(h.body, h.charset)
+              else null
+            Row(r.getString(0), r.getString(1), h.status, h.mime, h.charset,
+              h.body, text)
           }
         }
       }(enc)
@@ -297,27 +577,69 @@ object Warc {
     * by (target URI, capture timestamp) — the fetch-QA relation a
     * crawl pipeline audits (an unpaired response signals a truncated
     * capture session or an out-of-band fetch, e.g. embedded media
-    * pulled without a logged request). One equi-join on the narrow
-    * `(url, ts)` key; payload bytes are column-pruned out of the
-    * request side entirely.
+    * pulled without a logged request).
+    *
+    * ONE pass over the files: request rows and parsed response rows
+    * come out of the same narrow `mapPartitions` projection, which is
+    * checkpointed before the two sides fork — the r15 shape re-ran the
+    * whole binaryFile + gunzip + record parse once per side.
     */
   def exchanges(recs: DataFrame): DataFrame = {
-    val reqs = recs.filter(col("warc_type") === "request")
-      .select(col("url").as("r_url"), col("warc_date").as("r_ts")).distinct()
-    responses(recs)
-      .select(col("url"), col("warc_ts"), col("status"), col("mime"),
-        length(col("body")).as("body_len"))
+    val rowSchema = StructType(Seq(
+      StructField("kind", StringType, nullable = false),
+      StructField("url", StringType, nullable = true),
+      StructField("warc_ts", StringType, nullable = true),
+      StructField("status", IntegerType, nullable = true),
+      StructField("mime", StringType, nullable = true),
+      StructField("body_len", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(rowSchema)
+    val narrow = graft.operators.Dedup.checkpointed(
+      recs.filter(col("warc_type").isin("request", "response"))
+        .select("warc_type", "url", "warc_date", "content_type", "payload")
+        .mapPartitions { rows =>
+          rows.flatMap { r =>
+            if (r.getString(0) == "request")
+              Iterator(Row("request", r.getString(1), r.getString(2), null, null, null))
+            else if (r.getString(3) != null &&
+                r.getString(3).startsWith("application/http"))
+              WarcCodec.parseHttpResponse(r.getAs[Array[Byte]](4)).iterator.map { h =>
+                Row("response", r.getString(1), r.getString(2), h.status, h.mime,
+                  h.body.length.toLong)
+              }
+            else Iterator.empty
+          }
+        }(enc))
+    val reqs = narrow.filter(col("kind") === "request")
+      .select(col("url").as("r_url"), col("warc_ts").as("r_ts")).distinct()
+    narrow.filter(col("kind") === "response")
+      .select(col("url"), col("warc_ts"), col("status"), col("mime"), col("body_len"))
       .join(reqs, col("url") === col("r_url") && col("warc_ts") === col("r_ts"), "left")
       .select(col("url"), col("warc_ts"), col("status"), col("mime"),
         col("body_len"), col("r_url").isNotNull.as("paired"))
   }
 
+  /** Per-mime crawl YIELD accounting — the relation that makes
+    * curation yield measurable before anything heavy runs: how many
+    * responses arrived per media type, how many fetched OK, and
+    * whether this engine's documents surface extracts them
+    * (`text/html` through the HTML kernel, `text/plain` verbatim;
+    * everything else is routed-but-skipped and the count says exactly
+    * how much). One hash aggregate over the parsed response relation.
+    */
+  def mimeYield(resp: DataFrame): DataFrame =
+    resp.groupBy("mime").agg(
+        count(lit(1)).as("n_responses"),
+        sum(when(col("status") === 200, 1L).otherwise(0L)).as("n_ok"))
+      .withColumn("extractable",
+        col("mime") === "text/html" || col("mime") === "text/plain")
+
   /** The crawl-to-curation bridge: 200-status `text/html` responses as
     * `(url, canonical_url, warc_ts, text)` rows — extracted through the
-    * [[graft.functions.HtmlKernels]] codegen pass, canonicalized
-    * through [[graft.functions.UrlKernels]]. Output composes directly
-    * into `CorpusPipeline.curate` (after assigning a doc id) — the
-    * equality against a pre-extracted documents table is spec-pinned.
+    * [[graft.functions.HtmlKernels]] codegen pass over the
+    * CHARSET-DECODED body, canonicalized through
+    * [[graft.functions.UrlKernels]]. Output composes directly into
+    * `CorpusPipeline.curate` (after assigning a doc id) — the equality
+    * against a pre-extracted documents table is spec-pinned.
     */
   def htmlDocuments(resp: DataFrame): DataFrame =
     resp.filter(col("status") === 200 && col("mime") === "text/html")
@@ -325,7 +647,46 @@ object Warc {
         col("url"),
         graft.operators.TextAnalysis.canonicalUrl(col("url")).as("canonical_url"),
         col("warc_ts"),
-        graft.operators.TextAnalysis.htmlText(decode(col("body"), "UTF-8")).as("text"))
+        graft.operators.TextAnalysis.htmlText(col("body_text")).as("text"))
+
+  /** The MIME-ROUTED documents surface: `text/html` responses extract
+    * through the HTML kernel, `text/plain` responses flow through
+    * verbatim (a real segment is ~40% non-HTML; plain text is corpus
+    * the pipeline must not drop). Non-text mimes route to the media
+    * tier instead ([[mimeYield]] accounts for them).
+    */
+  def textDocuments(resp: DataFrame): DataFrame =
+    resp.filter(col("status") === 200 &&
+        (col("mime") === "text/html" || col("mime") === "text/plain"))
+      .select(
+        col("url"),
+        graft.operators.TextAnalysis.canonicalUrl(col("url")).as("canonical_url"),
+        col("warc_ts"),
+        when(col("mime") === "text/html",
+          graft.operators.TextAnalysis.htmlText(col("body_text")))
+          .otherwise(col("body_text")).as("text"),
+        col("mime"))
+
+  /** WARC `revisit` records (ISO 28500 §6.7.2) — the crawl-side dedup
+    * signal CommonCrawl emits when a refetched URL's payload digest
+    * matches an earlier capture — paired with the response they point
+    * at (`WARC-Refers-To` → record id). `original_found = false` rows
+    * are dangling references (the original lives in another segment or
+    * was lost): the accounting a crawl-dedup audit needs.
+    */
+  def revisits(recs: DataFrame): DataFrame = {
+    val originals = recs.filter(col("warc_type") === "response")
+      .select(col("record_id").as("orig_record_id"))
+      .distinct()
+    recs.filter(col("warc_type") === "revisit")
+      .select(col("url"), col("warc_date"), col("record_id"),
+        col("refers_to"), col("refers_to_uri"), col("warc_profile"),
+        col("payload_digest"))
+      .join(originals, col("refers_to") === col("orig_record_id"), "left")
+      .select(col("url"), col("warc_date"), col("refers_to"),
+        col("refers_to_uri"), col("warc_profile"), col("payload_digest"),
+        col("orig_record_id").isNotNull.as("original_found"))
+  }
 
   // ---------------------------------------------------------------
   // Deterministic synthesis: the documents table AS a crawl
@@ -351,14 +712,78 @@ object Warc {
       s"Content-Length: ${body.getBytes("UTF-8").length}\r\n\r\n$body"
   }
 
-  /** The two per-document records (request + response), encoded. */
-  def recordsOf(id: Long, text: String): Seq[Array[Byte]] = Seq(
+  // ---- encoding-variant responses (the real-crawl transfer stack) ----
+  // Variant v = doc_id % 5 — all five produce the SAME extracted text
+  // (documents.text + the closed-form suffix), which is the whole
+  // point: if any decode layer is wrong, that variant's text drifts
+  // and the oracle hash catches it.
+  //   0: identity UTF-8 (the r15 baseline shape)
+  //   1: Content-Encoding: gzip
+  //   2: Transfer-Encoding: chunked (no Content-Length — per RFC)
+  //   3: ISO-8859-1 text with a non-ASCII suffix; charset declared in
+  //      the header (even id/5) or ONLY via <meta charset> (odd id/5)
+  //   4: windows-1252 text (a cp1252-only € in the suffix), gzip
+  //      INSIDE chunked — the full stack at once
+
+  def encSuffix(id: Long): String = (id % 5) match {
+    case 3 => " caf\u00e9"      // é = 0xE9 in latin-1: UTF-8 misread breaks it
+    case 4 => " \u20ac42"       // € = 0x80 only in cp1252
+    case _ => ""
+  }
+
+  private def chunkedOf(b: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(b.length + 32)
+    def chunk(off: Int, n: Int): Unit = if (n > 0) {
+      val hex = Integer.toHexString(n).getBytes("US-ASCII")
+      out.write(hex, 0, hex.length); out.write('\r'); out.write('\n')
+      out.write(b, off, n); out.write('\r'); out.write('\n')
+    }
+    val mid = b.length / 2
+    chunk(0, mid); chunk(mid, b.length - mid)
+    out.write("0\r\n\r\n".getBytes("US-ASCII"), 0, 5)
+    out.toByteArray
+  }
+
+  def encResponsePayload(id: Long, text: String): Array[Byte] = {
+    val v = (id % 5).toInt
+    val meta =
+      if (v == 3 && (id / 5) % 2 == 1) "<meta charset=\"iso-8859-1\">" else ""
+    val html = s"<html><body>$meta<p>$text${encSuffix(id)}</p></body></html>"
+    val charset = v match {
+      case 3 => "ISO-8859-1"
+      case 4 => "windows-1252"
+      case _ => "UTF-8"
+    }
+    val body0 = html.getBytes(charset)
+    val (body1, ceHdr) =
+      if (v == 1 || v == 4) (WarcCodec.gzipMember(body0), "Content-Encoding: gzip\r\n")
+      else (body0, "")
+    val (body2, teHdr) =
+      if (v == 2 || v == 4) (chunkedOf(body1), "Transfer-Encoding: chunked\r\n")
+      else (body1, "")
+    val ctParam =
+      if (v == 3 && (id / 5) % 2 == 1) "" // meta-only declaration
+      else s"; charset=$charset"
+    val lenHdr =
+      if (v == 2 || v == 4) "" else s"Content-Length: ${body2.length}\r\n"
+    val head = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html$ctParam\r\n" +
+      ceHdr + teHdr + lenHdr + "\r\n").getBytes("UTF-8")
+    head ++ body2
+  }
+
+  /** The two per-document records (request + response), encoded.
+    * `withEncodings` swaps the identity-UTF-8 response body for the
+    * per-variant transfer stack above.
+    */
+  def recordsOf(id: Long, text: String,
+                withEncodings: Boolean = false): Seq[Array[Byte]] = Seq(
     WarcCodec.encodeRecord("request", Some(urlOf(id)), dateOf(id),
       s"<urn:graft:request:$id>", "application/http; msgtype=request",
       requestPayload(id).getBytes("UTF-8")),
     WarcCodec.encodeRecord("response", Some(urlOf(id)), dateOf(id),
       s"<urn:graft:response:$id>", "application/http; msgtype=response",
-      responsePayload(text).getBytes("UTF-8")))
+      if (withEncodings) encResponsePayload(id, text)
+      else responsePayload(text).getBytes("UTF-8")))
 
   def warcinfoOf(bucket: Int): Array[Byte] =
     WarcCodec.encodeRecord("warcinfo", None, "2023-01-01T00:00:00Z",
@@ -383,20 +808,65 @@ object Warc {
       head ++ body)
   }
 
+  def plainUrlOf(id: Long): String =
+    s"http://Site${id % 5}.Example.com/txt/$id.txt"
+
+  /** A fetched text/plain response: the document text verbatim — the
+    * non-HTML text corpus a real segment carries (~40% of responses).
+    */
+  def plainRecordOf(id: Long, text: String): Array[Byte] = {
+    val body = text.getBytes("UTF-8")
+    val head = (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=UTF-8\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8")
+    WarcCodec.encodeRecord("response", Some(plainUrlOf(id)), dateOf(id),
+      s"<urn:graft:plain:$id>", "application/http; msgtype=response",
+      head ++ body)
+  }
+
+  def revisitDateOf(id: Long): String =
+    f"2023-02-${id % 28 + 1}%02dT00:00:${id % 60}%02dZ"
+
+  /** A crawl-dedup `revisit` record (ISO 28500 §6.7.2): the crawler
+    * refetched `urlOf(id)` a month later, found an identical payload
+    * digest, and stored a zero-payload pointer at the original
+    * response record instead of the body.
+    */
+  def revisitRecordOf(id: Long): Array[Byte] =
+    WarcCodec.encodeRecord("revisit", Some(urlOf(id)), revisitDateOf(id),
+      s"<urn:graft:revisit:$id>", "message/http",
+      Array.empty[Byte],
+      extraHeaders = Seq(
+        "WARC-Refers-To" -> s"<urn:graft:response:$id>",
+        "WARC-Refers-To-Target-URI" -> urlOf(id),
+        "WARC-Payload-Digest" -> s"sha1:GRAFTFAKE$id",
+        "WARC-Profile" ->
+          "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"))
+
   /** Materialize the documents table as `buckets` WARC segment files
     * under `outDir` — each bucket holds a leading `warcinfo` record plus
     * request/response pairs for its docs in doc_id order; ODD buckets
     * write the per-record-gzip-member `.warc.gz` layout so one corpus
-    * exercises both codec paths. Idempotent per (row count, buckets)
-    * via a marker file; tasks write their own segment files (one per
-    * bucket — the synthesis is a fixture, the READER is the operator
-    * under test). Returns the glob to read back.
+    * exercises both codec paths. `withImages` adds an image fetch
+    * (every 4th doc), a text/plain fetch (every 3rd), and a revisit
+    * record (every 6th) — the mixed-media + crawl-dedup corpus.
+    * `withEncodings` runs every HTML response through the
+    * chunked/gzip/charset transfer stack. Idempotent per (row count,
+    * layout, SOURCE files) via a marker stamped with the source dir's
+    * file sizes+mtimes — regenerated testdata with an equal row count
+    * can no longer serve a stale fixture against a fresh oracle.
+    * Tasks write their own segment files (one per bucket — the
+    * synthesis is a fixture, the READER is the operator under test).
+    * Returns the glob to read back.
     */
   def ensureWarcFiles(documents: DataFrame, outDir: String, buckets: Int = 8,
-                      withImages: Boolean = false): String = {
+                      withImages: Boolean = false,
+                      withEncodings: Boolean = false,
+                      sourceDir: String = ""): String = {
     val n = documents.count()
     val marker = new java.io.File(outDir, "_GRAFT_WARC")
-    val stamp = s"n=$n;buckets=$buckets;img=$withImages;v=2"
+    val stamp =
+      s"n=$n;buckets=$buckets;img=$withImages;enc=$withEncodings;v=3;" +
+        s"src=${sourceStampOf(sourceDir)}"
     val glob = s"$outDir/*.warc*"
     if (marker.exists() &&
         new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp)
@@ -428,10 +898,16 @@ object Warc {
           put(warcinfoOf(b))
           docs.foreach { r =>
             val id = r.getLong(0)
-            recordsOf(id, r.getString(1)).foreach(put)
-            // mixed-media corpus: every 4th doc's crawl also fetched
-            // an image — one crawl, two modalities
-            if (withImages && id % 4 == 0) put(mediaRecordOf(id))
+            recordsOf(id, r.getString(1), withEncodings).foreach(put)
+            if (withImages) {
+              // mixed-media corpus: every 4th doc's crawl also fetched
+              // an image, every 3rd a plain-text asset — one crawl,
+              // several modalities; every 6th doc was refetched later
+              // and stored as a revisit pointer
+              if (id % 4 == 0) put(mediaRecordOf(id))
+              if (id % 3 == 0) put(plainRecordOf(id, r.getString(1)))
+              if (id % 6 == 0) put(revisitRecordOf(id))
+            }
           }
           val name = f"segment-$b%05d.warc" + (if (gz) ".gz" else "")
           java.nio.file.Files.write(
@@ -441,6 +917,18 @@ object Warc {
     java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8"))
     glob
   }
+
+  /** Size+mtime fingerprint of a source data dir (the ensureSubstrate
+    * sourceStamp pattern) — "" when no dir is supplied.
+    */
+  private def sourceStampOf(dir: String): String =
+    if (dir.isEmpty) ""
+    else {
+      val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(_.isFile).sortBy(_.getName)
+      val h = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(";")
+      java.util.UUID.nameUUIDFromBytes(h.getBytes("UTF-8")).toString
+    }
 
   // ---------------------------------------------------------------
   // JSONL documents path
@@ -508,12 +996,14 @@ object Warc {
 
   /** Materialize the documents table as JSONL text files: half the
     * rows into a plain directory, half gzip — one corpus, both codec
-    * paths. Idempotent via marker. Returns the glob covering both.
+    * paths. Idempotent via marker (row count + source files stamp).
+    * Returns the glob covering both.
     */
-  def ensureJsonlFiles(documents: DataFrame, outDir: String): String = {
+  def ensureJsonlFiles(documents: DataFrame, outDir: String,
+                       sourceDir: String = ""): String = {
     val n = documents.count()
     val marker = new java.io.File(outDir, "_GRAFT_JSONL")
-    val stamp = s"n=$n;v=1"
+    val stamp = s"n=$n;v=2;src=${sourceStampOf(sourceDir)}"
     val glob = s"$outDir/{plain,gz}"
     if (marker.exists() &&
         new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp)
@@ -524,6 +1014,7 @@ object Warc {
       .write.mode("overwrite").text(s"$outDir/plain")
     documents.filter(col("doc_id") % 2 === 1).select(line)
       .write.mode("overwrite").option("compression", "gzip").text(s"$outDir/gz")
+    new java.io.File(outDir).mkdirs()
     java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8"))
     glob
   }
