@@ -297,7 +297,7 @@ object SparkEntry {
     rewriteSandboxBuilt.getOrElseUpdate(rdir, {
       Tables.documents(s, sfDir).write.mode("overwrite").parquet(dataPath)
       Retrieval.ensureTfidfLayout(s.read.parquet(dataPath), s"$rdir/tfidf")
-      graft.plans.IndexCatalog.registerTfidf(dataPath, s"$rdir/tfidf")
+      graft.plans.IndexCatalog.registerTfidf(s, dataPath, s"$rdir/tfidf")
       true
     })
     if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.IndexRewriteRule]))
@@ -3130,18 +3130,23 @@ object SparkEntry {
     // closed-form: 8 warcinfo rows + a request and a response per doc,
     // with Content-Length arithmetic down to the byte.
     "q_warc_records" -> ((s, dir) => {
-      val glob = Warc.ensureWarcFiles(Tables.documents(s, dir), corpusDir(s, dir, "warc"))
+      val glob = Warc.ensureWarcFiles(Tables.documents(s, dir), corpusDir(s, dir, "warc"),
+        sourceDir = dir)
       Warc.read(s, glob).select(
         "warc_type", "url", "warc_date", "record_id", "content_type", "content_length")
     }),
     // crawl → curation bridge end-to-end: WARC files → response records
-    // → HTTP split → html_text extraction → canonical_url — the row the
-    // documents table would hold if this crawl had been pre-extracted.
-    // The oracle rebuilds (url, canonical form, timestamp, text) from
-    // the documents table directly, so hash equality IS the pinned
-    // "warc path ≡ pre-extracted path" claim at gate scale.
+    // → HTTP split (chunked framing undone, gzip inflated, charset from
+    // header/meta/fallback) → html_text extraction → canonical_url —
+    // the row the documents table would hold if this crawl had been
+    // pre-extracted. The corpus runs the FULL transfer stack (r16):
+    // doc_id%5 picks identity / gzip / chunked / latin-1 (header or
+    // meta-declared) / cp1252-inside-gzip-inside-chunked, each planting
+    // a closed-form text suffix — if any decode layer were wrong, that
+    // variant's text would drift and the oracle hash catches it.
     "q_warc_extract" -> ((s, dir) => {
-      val glob = Warc.ensureWarcFiles(Tables.documents(s, dir), corpusDir(s, dir, "warc"))
+      val glob = Warc.ensureWarcFiles(Tables.documents(s, dir), corpusDir(s, dir, "warce"),
+        withEncodings = true, sourceDir = dir)
       Warc.htmlDocuments(Warc.responses(Warc.read(s, glob)))
         .select("url", "canonical_url", "warc_ts", "text")
     }),
@@ -3153,7 +3158,7 @@ object SparkEntry {
     // serving the extract path (q_warc_records/extract cover it).
     "q_warc_media" -> ((s, dir) => {
       val glob = Warc.ensureWarcFiles(Tables.documents(s, dir),
-        corpusDir(s, dir, "warcm"), withImages = true)
+        corpusDir(s, dir, "warcm"), withImages = true, sourceDir = dir)
       val imgs = Warc.responses(Warc.read(s, glob))
         .filter(col("mime") === "image/png" && col("status") === 200)
         .select(
@@ -3162,19 +3167,50 @@ object SparkEntry {
       Multimodal.imageDhash(imgs).select("asset_id", "dhash_bits")
     }),
     // crawl-exchange audit over the mixed corpus: every html response
-    // pairs with its logged request; the embedded-media fetches have
-    // none — exactly the unpaired rows a capture QA hunts for
+    // pairs with its logged request; the embedded-media and plain-text
+    // fetches have none — exactly the unpaired rows a capture QA hunts
+    // for. ONE parse pass feeds both audit sides (r16).
     "q_warc_exchanges" -> ((s, dir) => {
       val glob = Warc.ensureWarcFiles(Tables.documents(s, dir),
-        corpusDir(s, dir, "warcm"), withImages = true)
+        corpusDir(s, dir, "warcm"), withImages = true, sourceDir = dir)
       Warc.exchanges(Warc.read(s, glob))
         .select("url", "warc_ts", "status", "mime", "paired")
+    }),
+    // per-mime crawl YIELD over the mixed corpus: what arrived, what
+    // fetched OK, what this engine's documents surface extracts — the
+    // accounting that makes curation yield measurable before anything
+    // heavy runs (a real segment is ~40% non-HTML).
+    "q_warc_mime_yield" -> ((s, dir) => {
+      val glob = Warc.ensureWarcFiles(Tables.documents(s, dir),
+        corpusDir(s, dir, "warcm"), withImages = true, sourceDir = dir)
+      Warc.mimeYield(Warc.responses(Warc.read(s, glob)))
+    }),
+    // MIME-ROUTED documents surface: text/html extracts through the
+    // HTML kernel, text/plain flows through verbatim — the non-HTML
+    // text corpus no longer drops on the floor.
+    "q_warc_text_docs" -> ((s, dir) => {
+      val glob = Warc.ensureWarcFiles(Tables.documents(s, dir),
+        corpusDir(s, dir, "warcm"), withImages = true, sourceDir = dir)
+      Warc.textDocuments(Warc.responses(Warc.read(s, glob)))
+        .select("url", "canonical_url", "warc_ts", "text", "mime")
+    }),
+    // WARC revisit records (ISO 28500 §6.7.2): the crawl-side dedup
+    // signal — every 6th doc was refetched a month later and stored as
+    // an identical-payload-digest pointer; each pairs back to its
+    // original response by WARC-Refers-To.
+    "q_warc_revisits" -> ((s, dir) => {
+      val glob = Warc.ensureWarcFiles(Tables.documents(s, dir),
+        corpusDir(s, dir, "warcm"), withImages = true, sourceDir = dir)
+      Warc.revisits(Warc.read(s, glob))
+        .select("url", "warc_date", "refers_to", "refers_to_uri",
+          "warc_profile", "payload_digest", "original_found")
     }),
     // JSONL documents path under the explicit schema contract (half the
     // corpus plain shards, half gzip): reader under test is
     // text-source + codegen from_json with corrupt-line quarantine.
     "q_jsonl_docs" -> ((s, dir) => {
-      val glob = Warc.ensureJsonlFiles(Tables.documents(s, dir), corpusDir(s, dir, "jsonl"))
+      val glob = Warc.ensureJsonlFiles(Tables.documents(s, dir), corpusDir(s, dir, "jsonl"),
+        sourceDir = dir)
       Warc.readJsonl(s, glob)
     }),
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
@@ -3719,16 +3755,27 @@ object SparkEntry {
     // gradient-sign pass — every one of the 64 bits is a closed-form
     // SQL formula, incl. a genuine 2× rescale (even docs), a BMP
     // re-encode (odd docs), and a one-cell perturbation (every 5th).
+    // Media-asset fixtures persist as SUBSTRATE (one parquet write per
+    // sf dir): a real pipeline's crawled assets exist as FILES — the
+    // in-task synthesis is fixture setup, the decode+hash pass is the
+    // operator under test, and the bench should measure the latter
+    // (r15's media queries re-paid the encode every sample, and the
+    // codec warm-up dominated first runs).
     "q_image_phash" -> ((s, dir) => {
-      val assets = Multimodal.dhashAssetsFromDocuments(Tables.documents(s, dir))
+      val assets = ensureSubstrate(s, dir, "assets_dhash")(
+        Multimodal.dhashAssetsFromDocuments(Tables.documents(s, dir)))
       Multimodal.imageDhash(assets).select("asset_id", "dhash_bits")
     }),
     // Perceptual near-dup: 8×8-bit band join (exact recall to Hamming 7
-    // by pigeonhole) + bit_count verify. Planted rescale/re-encode
-    // variants pair at Hamming 0, the perturbed variant at ≤ 1;
-    // distinct docs differ in ~32 independent bits and never pair.
+    // by pigeonhole) + bit_count verify, DENSITY-GUARDED (r16): exact
+    // dups collapse to representatives before banding and over-dense
+    // band buckets skip — candidate work is content-driven, not the
+    // structural N²/32 floor. Planted rescale/re-encode variants pair
+    // at Hamming 0, the perturbed variant at ≤ 1; distinct docs differ
+    // in ~32 independent bits and never pair.
     "q_image_neardup_pairs" -> ((s, dir) => {
-      val assets = Multimodal.dhashAssetsFromDocuments(Tables.documents(s, dir))
+      val assets = ensureSubstrate(s, dir, "assets_dhash")(
+        Multimodal.dhashAssetsFromDocuments(Tables.documents(s, dir)))
       Multimodal.imageNearDupPairs(Multimodal.imageDhash(assets), maxHamming = 6)
     }),
     // VIDEO perceptual fingerprints: 4-frame gray GIFs (exact-palette
@@ -3737,14 +3784,27 @@ object SparkEntry {
     // rescaled re-encode and a 3-frame clip.
     "q_video_dhash" -> ((s, dir) =>
       Multimodal.videoFrameDhash(
-        Multimodal.videoDhashAssetsFromDocuments(Tables.documents(s, dir)))
+        ensureSubstrate(s, dir, "assets_vdhash")(
+          Multimodal.videoDhashAssetsFromDocuments(Tables.documents(s, dir))))
+        .select("asset_id", "frame_ix", "dhash_bits")),
+    // the SAME frame formulas through a REAL video container: MJPEG
+    // frames in a RIFF AVI, quality-1.0 JPEG over block-aligned cells
+    // is bit-exact (DC-only blocks) — so one oracle pins GIF and AVI
+    // containers alike, and videoFrameDhash's magic-byte routing runs
+    // the AVI demux end to end.
+    "q_video_dhash_mjpeg" -> ((s, dir) =>
+      Multimodal.videoFrameDhash(
+        ensureSubstrate(s, dir, "assets_mjpeg")(
+          Multimodal.mjpegDhashAssetsFromDocuments(Tables.documents(s, dir))))
         .select("asset_id", "frame_ix", "dhash_bits")),
     // video near-dup by shared frame content: rescale shares all 4
-    // frames, the clip shares 3 — one equi-join on the 8-byte hash
+    // frames, the clip shares 3 — one equi-join on the 8-byte hash,
+    // stop-frame df cap ahead of it (r16)
     "q_video_neardup_pairs" -> ((s, dir) =>
       Multimodal.videoNearDupPairs(
         Multimodal.videoFrameDhash(
-          Multimodal.videoDhashAssetsFromDocuments(Tables.documents(s, dir))),
+          ensureSubstrate(s, dir, "assets_vdhash")(
+            Multimodal.videoDhashAssetsFromDocuments(Tables.documents(s, dir)))),
         minShared = 2)),
     // ACOUSTIC fingerprints (the dHash analog over PCM): structured
     // block-amplitude clips through the REAL codec path (WAV fast
@@ -3753,16 +3813,27 @@ object SparkEntry {
     // AIFF re-encode, and a one-block perturbation.
     "q_audio_fingerprint" -> ((s, dir) =>
       Multimodal.audioFingerprint(
-        Multimodal.afpAssetsFromDocuments(Tables.documents(s, dir)))
+        ensureSubstrate(s, dir, "assets_afp")(
+          Multimodal.afpAssetsFromDocuments(Tables.documents(s, dir))))
         .select("asset_id", "afp_bits")),
-    // acoustic near-dup: the same 8-band Hamming funnel over audio
-    // fingerprints — resample/re-encode at 0, perturbed at ≤ 1,
-    // distinct docs never pair
+    // acoustic near-dup: the same density-guarded 8-band Hamming
+    // funnel over audio fingerprints — resample/re-encode at 0,
+    // perturbed at ≤ 1, distinct docs never pair
     "q_audio_neardup_pairs" -> ((s, dir) =>
       Multimodal.audioNearDupPairs(
         Multimodal.audioFingerprint(
-          Multimodal.afpAssetsFromDocuments(Tables.documents(s, dir))),
+          ensureSubstrate(s, dir, "assets_afp")(
+            Multimodal.afpAssetsFromDocuments(Tables.documents(s, dir)))),
         maxHamming = 6)),
+    // SEMANTIC image dedup — the image tier's q_semdedup twin: real
+    // pixel-histogram features over decoded PNGs → cosine near-dup
+    // pairs → transitive clusters keeping the min asset id. Solid
+    // assets one-hot exactly one bin per channel, so clusters = equal
+    // (r,g,b) bin triples, closed-form.
+    "q_image_semdedup" -> ((s, dir) =>
+      Multimodal.imageSemanticDedup(
+        Multimodal.pngAssetsFromDocuments(Tables.documents(s, dir)),
+        dim = 9, threshold = 0.9)),
     // INCREMENTAL perceptual dedup against the bucketed banded-dHash
     // store (crawl-frontier semantics for images): the store holds the
     // base assets of docs < 250; the batch arrives as (a) re-encodes/
@@ -3771,7 +3842,8 @@ object SparkEntry {
     // (c) perturbed near-variants — dropped at Hamming ≤ 1. Kept =
     // exactly the novel docs' base assets, closed-form.
     "q_image_neardup_incremental" -> ((s, dir) => {
-      val assets = Multimodal.dhashAssetsFromDocuments(Tables.documents(s, dir))
+      val assets = ensureSubstrate(s, dir, "assets_dhash")(
+        Multimodal.dhashAssetsFromDocuments(Tables.documents(s, dir)))
       val isStored = col("asset_id") % 10 === 0 && col("asset_id") < 2500
       val table = "graft_dhash_" + dir.replaceAll("[^A-Za-z0-9]", "_")
       dhashStoreBuilt.getOrElseUpdate(table, {
@@ -4245,19 +4317,24 @@ object SparkEntry {
             77 + length(CAST(n_chars + 33 AS VARCHAR)) + n_chars + 33
           FROM documents""",
     // crawl-to-curation bridge: the oracle rebuilds what extraction +
-    // canonicalization must recover — the exact original text and the
+    // canonicalization must recover — the exact original text (plus
+    // the per-variant transfer-stack suffix: doc_id%5=3 plants a
+    // latin-1 'café', %5=4 a cp1252 '€42'; gzip/chunked variants plant
+    // nothing but would garble the WHOLE text if undone wrong) and the
     // lowercased/stripped canonical URL
     "q_warc_extract" ->
       s"""SELECT
             'http://Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.com/doc/' || CAST(doc_id AS VARCHAR) || '?utm_source=synth' AS url,
             'http://site' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS canonical_url,
             '2023-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z' AS warc_ts,
-            text
+            text || CASE doc_id % 5
+              WHEN 3 THEN ' café' WHEN 4 THEN ' €42' ELSE '' END AS text
           FROM documents""",
     "q_jsonl_docs" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     // html responses pair with their logged requests; embedded-media
-    // fetches (every 4th doc's PNG) have none
+    // (every 4th doc's PNG) and plain-text (every 3rd doc's .txt)
+    // fetches have none
     "q_warc_exchanges" ->
       s"""SELECT 'http://Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.com/doc/' || CAST(doc_id AS VARCHAR) || '?utm_source=synth' AS url,
             '2023-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z' AS warc_ts,
@@ -4267,7 +4344,48 @@ object SparkEntry {
           SELECT 'http://Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.com/img/' || CAST(doc_id AS VARCHAR) || '.png',
             '2023-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z',
             200, 'image/png', false
-          FROM documents WHERE doc_id % 4 = 0""",
+          FROM documents WHERE doc_id % 4 = 0
+          UNION ALL
+          SELECT 'http://Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.com/txt/' || CAST(doc_id AS VARCHAR) || '.txt',
+            '2023-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z',
+            200, 'text/plain', false
+          FROM documents WHERE doc_id % 3 = 0""",
+    // per-mime yield of the mixed corpus: html every doc, png every
+    // 4th, txt every 3rd — all 200s; html+txt extractable
+    "q_warc_mime_yield" ->
+      s"""SELECT 'text/html' AS mime, count(*) AS n_responses, count(*) AS n_ok, true AS extractable FROM documents
+          UNION ALL
+          SELECT 'image/png', count(*), count(*), false FROM documents WHERE doc_id % 4 = 0
+          UNION ALL
+          SELECT 'text/plain', count(*), count(*), true FROM documents WHERE doc_id % 3 = 0""",
+    // mime-routed documents surface: every doc's html extraction plus
+    // every 3rd doc's verbatim text/plain body
+    "q_warc_text_docs" ->
+      s"""SELECT
+            'http://Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.com/doc/' || CAST(doc_id AS VARCHAR) || '?utm_source=synth' AS url,
+            'http://site' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS canonical_url,
+            '2023-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z' AS warc_ts,
+            text, 'text/html' AS mime
+          FROM documents
+          UNION ALL
+          SELECT
+            'http://Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.com/txt/' || CAST(doc_id AS VARCHAR) || '.txt',
+            'http://site' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/txt/' || CAST(doc_id AS VARCHAR) || '.txt',
+            '2023-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z',
+            text, 'text/plain'
+          FROM documents WHERE doc_id % 3 = 0""",
+    // every 6th doc refetched a month later as an identical-payload
+    // revisit pointing at its original response record
+    "q_warc_revisits" ->
+      s"""SELECT
+            'http://Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.com/doc/' || CAST(doc_id AS VARCHAR) || '?utm_source=synth' AS url,
+            '2023-02-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z' AS warc_date,
+            '<urn:graft:response:' || CAST(doc_id AS VARCHAR) || '>' AS refers_to,
+            'http://Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.com/doc/' || CAST(doc_id AS VARCHAR) || '?utm_source=synth' AS refers_to_uri,
+            'http://netpreserve.org/warc/1.0/revisit/identical-payload-digest' AS warc_profile,
+            'sha1:GRAFTFAKE' || CAST(doc_id AS VARCHAR) AS payload_digest,
+            true AS original_found
+          FROM documents WHERE doc_id % 6 = 0""",
     // crawled images are every 4th doc's base dHash fixture — the same
     // closed-form bit formula, asset identity from the url
     "q_warc_media" ->
@@ -5423,6 +5541,38 @@ object SparkEntry {
          SELECT doc_id*10 AS asset_id, CAST(f AS INT) AS frame_ix, dhash_bits FROM hash
          UNION ALL SELECT doc_id*10+1, CAST(f AS INT), dhash_bits FROM hash WHERE doc_id % 2 = 0
          UNION ALL SELECT doc_id*10+3, CAST(f - 1 AS INT), dhash_bits FROM hash WHERE doc_id % 5 = 0 AND f >= 1""",
+    // the MJPEG-in-AVI twin carries the SAME frame formulas (q=1.0
+    // JPEG over block-aligned constant cells is bit-exact), so its
+    // oracle is literally the GIF query's
+    "q_video_dhash_mjpeg" ->
+      """WITH grid AS (
+           SELECT doc_id, f, x, y, 10 + CAST(concat('0x', substring(md5(concat(doc_id, ':', f, ':', x, ':', y, ':vfp')), 1, 8)) AS BIGINT) % 230 AS v
+           FROM documents, range(4) tf(f), range(9) tx(x), range(8) ty(y)),
+         bits AS (
+           SELECT l.doc_id, l.f, l.x, l.y, CASE WHEN l.v > r.v THEN '1' ELSE '0' END AS b
+           FROM grid l JOIN grid r ON l.doc_id = r.doc_id AND l.f = r.f AND r.x = l.x + 1 AND l.y = r.y
+           WHERE l.x < 8),
+         hash AS (
+           SELECT doc_id, f, string_agg(b, '' ORDER BY y, x) AS dhash_bits
+           FROM bits GROUP BY doc_id, f)
+         SELECT doc_id*10 AS asset_id, CAST(f AS INT) AS frame_ix, dhash_bits FROM hash
+         UNION ALL SELECT doc_id*10+1, CAST(f AS INT), dhash_bits FROM hash WHERE doc_id % 2 = 0
+         UNION ALL SELECT doc_id*10+3, CAST(f - 1 AS INT), dhash_bits FROM hash WHERE doc_id % 5 = 0 AND f >= 1""",
+    // semantic image dedup over solid PNGs: each channel one-hots its
+    // 3-bin histogram, cosine 1 iff the (r,g,b) bin triple matches
+    // (2/3 otherwise, under the 0.9 threshold) — clusters are equal
+    // triples keeping the min asset id
+    "q_image_semdedup" ->
+      """WITH f AS (
+           SELECT doc_id,
+             (doc_id % 256) * 3 // 256 AS rb,
+             ((doc_id * 7 + 13) % 256) * 3 // 256 AS gb,
+             (n_chars % 256) * 3 // 256 AS bb
+           FROM documents)
+         SELECT doc_id AS asset_id,
+                min(doc_id) OVER (PARTITION BY rb, gb, bb) AS cluster_id,
+                doc_id = min(doc_id) OVER (PARTITION BY rb, gb, bb) AS keep
+         FROM f""",
     // pairs by shared frame hashes at minShared = 2: rescale ↔ base
     // share 4, clip shares its 3 surviving frames with both
     "q_video_neardup_pairs" ->

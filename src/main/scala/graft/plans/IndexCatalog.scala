@@ -86,8 +86,34 @@ object IndexCatalog {
 
   private val lexRegistry = TrieMap.empty[String, TfidfIndex]
 
+  /** Registration CONTRACT (what `tryRewriteTokenContains` relies on):
+    * the relation at `dataPath` holds ONE row per `doc_id`, with the
+    * SAME text the layout was built from. A duplicate doc_id (or
+    * drifted text) would let the posting semi-join keep a row whose
+    * own text lacks the term — the rewrite would be silently lossy.
+    * Use the validating overload wherever a SparkSession is in hand;
+    * the raw form exists for restore-from-disk paths that already
+    * carry the `ensureTfidfLayout` content fingerprint.
+    */
   def registerTfidf(dataPath: String, layoutDir: String): Unit =
     lexRegistry(canon(dataPath)) = TfidfIndex(layoutDir)
+
+  /** [[registerTfidf]] with the uniqueness half of the contract
+    * ASSERTED at registration time (one aggregate over doc_id — cheap
+    * next to the posting build that precedes every registration; the
+    * currency half is the `ensureTfidfLayout` fingerprint).
+    */
+  def registerTfidf(spark: SparkSession, dataPath: String,
+                    layoutDir: String): Unit = {
+    import org.apache.spark.sql.functions.{count, countDistinct, lit, col}
+    val r = spark.read.parquet(dataPath)
+      .agg(count(lit(1)), countDistinct(col("doc_id"))).head
+    require(r.getLong(0) == r.getLong(1),
+      s"registerTfidf($dataPath): doc_id must be unique — " +
+        s"${r.getLong(0)} rows vs ${r.getLong(1)} distinct; a duplicate " +
+        "doc_id makes the token-contains posting semi-join lossy")
+    registerTfidf(dataPath, layoutDir)
+  }
 
   def lookupTfidf(dataPath: String): Option[TfidfIndex] =
     lexRegistry.get(canon(dataPath))

@@ -1376,7 +1376,22 @@ object AnnBench {
     val hashes = Multimodal.imageDhash(assets)
     val pairs = phase("neardup_pairs")(
       Multimodal.imageNearDupPairs(hashes, maxHamming = 6).count())
-    val json = s"""{"dhash_scale":{"n_docs":$n,"n_assets":$nAssets,$fp,$pairs}}"""
+    // density-guard accounting: candidate volume the banded join
+    // actually evaluates (rep level, under the default df cap) vs the
+    // structural N²/32 floor an unguarded 8-bit band join would pay —
+    // the number that has to stay content-driven at 100×
+    val distinctHashes = hashes.filter(col("decoded"))
+      .select("dhash").distinct().cache()
+    val nDistinct = distinctHashes.count()
+    val candRows = Multimodal.dhashBandCandidates(distinctHashes).count()
+    val naiveFloor = nAssets.toLong * nAssets.toLong / 32L
+    distinctHashes.unpersist()
+    println(s"[annbench] dhashscale candidates: $candRows rep-level rows " +
+      s"($nDistinct distinct of $nAssets assets) vs naive N^2/32 = $naiveFloor " +
+      f"(${candRows.toDouble / naiveFloor}%.6f of floor)")
+    val guard = s""""candidates":{"distinct_hashes":$nDistinct,""" +
+      s""""candidate_rows":$candRows,"naive_floor":$naiveFloor}"""
+    val json = s"""{"dhash_scale":{"n_docs":$n,"n_assets":$nAssets,$fp,$pairs,$guard}}"""
     println(json)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/dhash_scale.json"), json + "\n")

@@ -226,6 +226,114 @@ class ImageDhashSpec extends AnyFunSuite {
     assert(AudioCodec.afingerprint(AudioCodec.DecodedAudio(8000.0, 1, Array.empty)) === 0L)
   }
 
+  test("density guard: dup mass collapses, over-dense band buckets cap, recall holds through clean bands") {
+    import spark.implicits._
+    def h64(s: String): Long =
+      (graft.functions.Portable.md5IntOf(s + ":hi") << 32) |
+        graft.functions.Portable.md5IntOf(s + ":lo")
+    // --- exact-dup mass: 128 distinct hashes × 8 copies = 1024 assets.
+    // Candidates are evaluated at REPRESENTATIVE level: volume scales
+    // with 128², never 1024² — dup mass exits the funnel entirely.
+    val dupAssets = (0 until 128).flatMap { i =>
+      (0 until 8).map(j => (i * 8L + j, h64(s"dup$i"), true))
+    }.toDF("asset_id", "dhash", "decoded")
+    val repCands = graft.operators.Multimodal.dhashBandCandidates(
+      dupAssets.select("dhash").distinct()).count()
+    val naiveFloor = 1024L * 1024L / 32L // what unguarded 8-bit banding pays
+    assert(repCands < naiveFloor / 10,
+      s"rep-level candidates ($repCands) must sit far under the N²/32 floor ($naiveFloor)")
+    // correctness unchanged: pairs == brute force over the dup corpus
+    val got = graft.operators.Multimodal.imageNearDupPairs(dupAssets, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val hs = dupAssets.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (i1, v1) <- hs; (i2, v2) <- hs
+      if i1 < i2 && java.lang.Long.bitCount(v1 ^ v2) <= 7
+    } yield (i1, i2, java.lang.Long.bitCount(v1 ^ v2))).toSet
+    assert(got === brute, "collapse+expand must reproduce the exact pair set")
+    // --- hot-band adversary: 300 pairwise-distant hashes ALL sharing
+    // band 0 (the all-identical-band shape) + 10 planted near pairs at
+    // Hamming 1. The shared bucket alone would be 300²/2 candidates;
+    // the df cap skips it, and the planted pairs still surface through
+    // their 6 other clean, under-cap bands.
+    val hot = (0 until 300).map(i => (i.toLong, (h64(s"hot$i") << 8) | 0x42L, true))
+    val planted = (0 until 10).map(i => (1000L + i, hot(i)._2 ^ (1L << 63), true))
+    val adv = (hot ++ planted).toDF("asset_id", "dhash", "decoded")
+    val uncapped = graft.operators.Multimodal.dhashBandCandidates(
+      adv.select("dhash").distinct(), bandDfCap = Int.MaxValue).count()
+    val capped = graft.operators.Multimodal.dhashBandCandidates(
+      adv.select("dhash").distinct(), bandDfCap = 100).count()
+    assert(uncapped > 40000L, s"the hot band must dominate uncapped volume ($uncapped)")
+    assert(capped < 8000L, s"the df cap must remove the structural bucket ($capped)")
+    val pairsCapped = graft.operators.Multimodal.imageNearDupPairs(adv, 6, bandDfCap = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsCapped === (0 until 10).map(i => (i.toLong, 1000L + i)).toSet,
+      "every planted near pair must survive the cap via a clean band")
+  }
+
+  test("stop-frame cap: an ubiquitous frame is removed before the self-join; genuine overlap still pairs") {
+    import spark.implicits._
+    def h64(s: String): Long =
+      (graft.functions.Portable.md5IntOf(s + ":hi") << 32) |
+        graft.functions.Portable.md5IntOf(s + ":lo")
+    val black = h64("black-stop-frame")
+    // 200 videos: 3 unique frames each + the shared black frame;
+    // videos 0 and 1 additionally share two genuine frames
+    val rows = (0L until 200L).flatMap { v =>
+      val own = (0 until 3).map(f => (v, f, h64(s"v$v:f$f")))
+      val shared =
+        if (v <= 1) Seq((v, 3, h64("shared:a")), (v, 4, h64("shared:b"))) else Seq.empty
+      own ++ shared :+ ((v, 9, black))
+    }.map { case (v, f, h) =>
+      (v, f, h, graft.operators.Multimodal.ImageCodec.dhashBits(h))
+    }.toDF("asset_id", "frame_ix", "dhash", "dhash_bits")
+    // minShared=1 makes the hot key's damage visible in the OUTPUT:
+    // uncapped, every video pairs with every other via the black frame
+    val unc = graft.operators.Multimodal.videoNearDupPairs(rows, minShared = 1,
+      frameDfCap = 1 << 20).count()
+    assert(unc === 200L * 199L / 2,
+      "uncapped, the ubiquitous frame alone pairs all videos quadratically")
+    val capped = graft.operators.Multimodal.videoNearDupPairs(rows, minShared = 1,
+      frameDfCap = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped === Set((0L, 1L, 2L)),
+      "capped, only the genuinely-overlapping pair remains (its own 2 shared frames)")
+    // and at the declared minShared=2 the capped output is identical
+    val def2 = graft.operators.Multimodal.videoNearDupPairs(rows, minShared = 2,
+      frameDfCap = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(def2 === Set((0L, 1L, 2L)))
+  }
+
+  test("MJPEG-in-AVI twin: q=1.0 JPEG is bit-exact on block-constant gray; frame hashes equal the GIF twin's") {
+    import spark.implicits._
+    import graft.operators.Multimodal.VideoCodec
+    // block-constant gray at quality 1.0 round-trips EXACTLY (all-ones
+    // quant table, DC-only blocks) — the property the fixture builds on
+    val cells = Array.tabulate(9 * 8 * 8 * 8) { i =>
+      val cx = (i % 72) / 8; val cy = (i / 72) / 8
+      val g = (10 + graft.functions.Portable.md5IntOf(s"jq:$cx:$cy") % 230).toInt
+      0xff000000 | (g << 16) | (g << 8) | g
+    }
+    val back = ImageCodec.decode(VideoCodec.encodeJpeg(72, 64, cells, 1.0f)).get
+    assert(back.argb.map(_ & 0xffffff).toSeq === cells.map(_ & 0xffffff).toSeq,
+      "quality-1.0 JPEG must round-trip block-constant gray exactly")
+    // the MJPEG corpus carries the SAME per-frame hash formulas as the
+    // GIF corpus — one oracle pins both containers
+    val docs = (0L until 12L).map(i => (i, "")).toDF("doc_id", "text")
+    def frameHashes(assets: org.apache.spark.sql.DataFrame) =
+      graft.operators.Multimodal.videoFrameDhash(assets)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val viaGif = frameHashes(
+      graft.operators.Multimodal.videoDhashAssetsFromDocuments(docs))
+    val viaMjpeg = frameHashes(
+      graft.operators.Multimodal.mjpegDhashAssetsFromDocuments(docs))
+    assert(viaMjpeg.keySet === viaGif.keySet,
+      "same asset/frame structure (base, 2× re-render, clip)")
+    viaMjpeg.foreach { case (k, h) =>
+      assert(h === viaGif(k), s"frame $k must hash identically across containers") }
+  }
+
   private def withConfs[T](pairs: (String, String)*)(body: => T): T = {
     val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -200,6 +200,134 @@ class WarcSpec extends AnyFunSuite {
     resp.unpersist()
   }
 
+  test("HTTP body decoding: chunked framing, gzip/deflate codings, header/meta charsets; damage skips") {
+    def http(headers: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\n$headers\r\n").getBytes("UTF-8") ++ body
+    // chunked: two chunks + terminator, extension tolerated
+    val chunked = http("Content-Type: text/html\r\nTransfer-Encoding: chunked\r\n",
+      "5;ext=1\r\nhello\r\n6\r\n world\r\n0\r\n\r\n".getBytes("UTF-8"))
+    val hc = WarcCodec.parseHttpResponse(chunked).get
+    assert(new String(hc.body, "UTF-8") === "hello world")
+    // gzip content coding
+    val gz = http("Content-Type: text/plain\r\nContent-Encoding: gzip\r\n",
+      WarcCodec.gzipMember("compressed page".getBytes("UTF-8")))
+    assert(new String(WarcCodec.parseHttpResponse(gz).get.body, "UTF-8")
+      === "compressed page")
+    // deflate (zlib-wrapped)
+    val d = {
+      val def1 = new java.util.zip.Deflater()
+      def1.setInput("deflated page".getBytes("UTF-8")); def1.finish()
+      val buf = new Array[Byte](256); val n = def1.deflate(buf); def1.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    val df = http("Content-Type: text/plain\r\nContent-Encoding: deflate\r\n", d)
+    assert(new String(WarcCodec.parseHttpResponse(df).get.body, "UTF-8")
+      === "deflated page")
+    // gzip INSIDE chunked (transfer coding is the outer layer)
+    val stacked = {
+      val inner = WarcCodec.gzipMember("stacked body".getBytes("UTF-8"))
+      val hex = Integer.toHexString(inner.length)
+      http("Content-Type: text/html\r\nContent-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n",
+        s"$hex\r\n".getBytes("UTF-8") ++ inner ++ "\r\n0\r\n\r\n".getBytes("UTF-8"))
+    }
+    assert(new String(WarcCodec.parseHttpResponse(stacked).get.body, "UTF-8")
+      === "stacked body")
+    // header charset beats the UTF-8 default: latin-1 é (0xE9)
+    val latin = http("Content-Type: text/html; charset=ISO-8859-1\r\n",
+      "café".getBytes("ISO-8859-1"))
+    val hl = WarcCodec.parseHttpResponse(latin).get
+    assert(hl.charset === "iso-8859-1")
+    assert(WarcCodec.decodeText(hl.body, hl.charset) === "café")
+    // meta-sniffed charset when the header stays silent
+    val metaBody = "<html><meta charset=\"windows-1252\"><body>€9</body></html>"
+      .getBytes("windows-1252")
+    val hm = WarcCodec.parseHttpResponse(
+      http("Content-Type: text/html\r\n", metaBody)).get
+    assert(hm.charset === "windows-1252")
+    assert(WarcCodec.decodeText(hm.body, hm.charset).contains("€9"))
+    // unknown charset label falls back to UTF-8 without throwing
+    assert(WarcCodec.decodeText("ok".getBytes("UTF-8"), "not-a-charset") === "ok")
+    // damage: malformed chunk size, truncated chunk, undecodable coding
+    assert(WarcCodec.parseHttpResponse(http(
+      "Transfer-Encoding: chunked\r\n", "ZZ\r\nbody".getBytes("UTF-8"))).isEmpty)
+    assert(WarcCodec.parseHttpResponse(http(
+      "Transfer-Encoding: chunked\r\n", "ff\r\nshort".getBytes("UTF-8"))).isEmpty)
+    assert(WarcCodec.parseHttpResponse(http(
+      "Content-Encoding: br\r\n", "x".getBytes("UTF-8"))).isEmpty)
+    assert(WarcCodec.parseHttpResponse(http(
+      "Content-Encoding: gzip\r\n", "not gzip".getBytes("UTF-8"))).isEmpty)
+  }
+
+  test("encoding-variant corpus: every transfer stack extracts the same closed-form text") {
+    import spark.implicits._
+    val docs = (0L until 20L).map(i => (i, s"enc body $i", "en", "web", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = new java.io.File("target/test_warc_enc").getAbsolutePath
+    val glob = Warc.ensureWarcFiles(docs, dir, buckets = 2, withEncodings = true)
+    val got = Warc.htmlDocuments(Warc.responses(Warc.read(spark, glob)))
+      .select(regexp_extract(col("canonical_url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val want = (0L until 20L).map(i => i -> (s"enc body $i" + Warc.encSuffix(i))).toMap
+    assert(got === want,
+      "gzip/chunked/latin-1/cp1252/meta variants must all decode to the planted text")
+  }
+
+  test("revisit records parse, pair with originals, and mime yield accounts the routed corpus") {
+    import spark.implicits._
+    val docs = (0L until 24L).map(i => (i, s"rv body $i", "en", "web", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = new java.io.File("target/test_warc_revisit").getAbsolutePath
+    val glob = Warc.ensureWarcFiles(docs, dir, buckets = 2, withImages = true)
+    val recs = Warc.read(spark, glob)
+    val rv = Warc.revisits(recs).collect()
+      .map(r => (r.getString(0), r.getString(2), r.getBoolean(6))).toSet
+    assert(rv === (0L until 24L by 6).map(i =>
+      (Warc.urlOf(i), s"<urn:graft:response:$i>", true)).toSet,
+      "every planted revisit must pair with its original response")
+    // a dangling revisit (original in a lost segment) audits as unfound
+    val lone = WarcCodec.parseAll(Warc.revisitRecordOf(99L))
+    assert(lone.head.refersTo === "<urn:graft:response:99>")
+    assert(lone.head.warcProfile.contains("identical-payload-digest"))
+    val loneDf = Warc.records(Seq(("x", Warc.revisitRecordOf(99L)))
+      .toDF("path", "content"))
+    assert(Warc.revisits(loneDf).collect().map(_.getBoolean(6)).toSeq === Seq(false))
+    // routed yield: html every doc, png every 4th, txt every 3rd
+    val y = Warc.mimeYield(Warc.responses(recs)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(y === Map(
+      "text/html" -> ((24L, 24L, true)),
+      "image/png" -> ((6L, 6L, false)),
+      "text/plain" -> ((8L, 8L, true))))
+    // the text/plain half flows into the documents surface verbatim
+    val plain = Warc.textDocuments(Warc.responses(recs))
+      .filter(col("mime") === "text/plain")
+      .collect().map(r => (r.getString(0), r.getString(3))).toMap
+    assert(plain === (0L until 24L by 3).map(i =>
+      Warc.plainUrlOf(i) -> s"rv body $i").toMap)
+  }
+
+  test("streaming scanner: multi-megabyte record round-trips; oversized Content-Length is damage") {
+    val big = new Array[Byte](3 * 1024 * 1024)
+    new java.util.Random(7).nextBytes(big) // noise payload; length framing
+    // wins over any accidental in-payload magic bytes
+    val rec = WarcCodec.encodeRecord("resource", Some("http://big/1"),
+      "2024-01-01T00:00:00Z", "<urn:big:1>", "application/octet-stream", big)
+    val tail = WarcCodec.encodeRecord("response", Some("http://big/2"),
+      "2024-01-01T00:00:00Z", "<urn:big:2>", "text/plain", "after".getBytes("UTF-8"))
+    val got = WarcCodec.parseAll(WarcCodec.gzipMember(rec) ++ WarcCodec.gzipMember(tail))
+    assert(got.length === 2)
+    assert(java.util.Arrays.equals(got.head.payload, big),
+      "a multi-MB payload must stream through intact")
+    assert(new String(got(1).payload, "UTF-8") === "after")
+    // a crafted Content-Length past maxRecordBytes is damage, not an OOM
+    val crafted = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 99999999999\r\n\r\n").getBytes("UTF-8")
+    assert(new WarcCodec.WarcScanner(
+      new java.io.ByteArrayInputStream(crafted ++ tail)).toVector.length === 1,
+      "oversized claim skips; the following record survives")
+  }
+
   test("streaming JSONL ingestion == batch read over the same shards; corrupt lines quarantine") {
     import spark.implicits._
     val docs = (0L until 25L).map(i => (i, s"stream text $i", "en", "web", 13L))
