@@ -5,7 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import javax.imageio.ImageIO
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1393,60 +1393,111 @@ object Multimodal {
     * DENSITY GUARD (what keeps the funnel sub-quadratic at 100×): an
     * 8-bit band key has only 256 values per band index, so a naive
     * band join has a STRUCTURAL candidate floor of Σ 8·256·(N/256)² ≈
-    * N²/32 — invisible at 10⁵ assets, fatal at 10⁹. Two guards make
+    * N²/32 — invisible at 10⁵ assets, fatal at 10⁹. Three guards make
     * candidate work content-driven instead:
     *   1. Hamming-0 collapse — identical hashes (the bulk of real
     *      crawl image duplication) collapse to ONE representative
     *      before banding; exact-dup pairs come from a plain equi-join
     *      on the full 64-bit hash, whose collision mass is true dup
     *      mass, never band geometry.
-    *   2. A per-bucket df cap — any (band_ix, band) bucket holding
+    *   2. COMBINATION keys for the common budgets — at maxHamming ≤ 6
+    *      at most 6 of 8 bands are dirty, so ≥ 2 are clean and every
+    *      qualifying pair shares one of the C(8,2) = 28 band-PAIR
+    *      (16-bit) keys ([[bandedPairHashes]], the Manku et al. WWW'07
+    *      combination-table construction): recall stays
+    *      pigeonhole-exact while the structural floor drops 256× per
+    *      key (measured 381M → 10.7M rep-level candidate rows at 110k
+    *      distinct hashes — 0.7% of the N²/32 floor, dhashscale).
+    *      maxHamming = 7 (one clean band guaranteed) falls back to
+    *      the 8 single-band keys.
+    *   3. A per-bucket df cap — any (band_ix, band) bucket holding
     *      more than `bandDfCap` DISTINCT hashes is skipped (the
-    *      simhash-dedup practice, Manku et al. WWW'07). The skip
-    *      relation is at most 8·256 = 2048 rows, so the guard is a
+    *      published simhash-dedup practice). The over-cap relation is
+    *      tiny by construction (≤ keys·D/cap rows), so the guard is a
     *      broadcast anti-join. RECALL CAVEAT: a pair is found iff it
-    *      shares at least one clean band under the cap; pairs whose
-    *      every clean band is over-dense are missed. At the default
+    *      shares at least one clean key under the cap; pairs whose
+    *      every clean key is over-dense are missed. At the default
     *      cap the worst bucket costs cap² ≈ 1.7·10⁷ cheap word ops —
     *      bounded regardless of corpus size.
     */
-  /** The 8-band LSH form of a `(asset_id, dhash)` relation — the
-    * candidate-join key shared by [[imageNearDupPairs]] and the
-    * persisted [[writeDhashStore]] layout.
+  /** The banded LSH form of a `(asset_id, dhash)` relation for the
+    * persisted [[writeDhashStore]] layout — BAND-PAIR (16-bit) keys,
+    * matching [[bandedPairHashes]]: the store serves Hamming budgets
+    * ≤ 6 (the incremental contract), where two clean bands are
+    * guaranteed and the 28-combination key keeps bucket density
+    * content-driven.
     */
-  private def bandedOf(h: DataFrame): DataFrame =
-    h.select(col("asset_id"), col("dhash"),
-      explode(sequence(lit(0), lit(7))).as("band_ix"))
-      .withColumn("band",
-        expr("shiftrightunsigned(dhash, band_ix * 8)").bitwiseAND(lit(255L)))
+  private def bandedOf(h: DataFrame): DataFrame = {
+    def band8(i: Int): Column =
+      expr(s"shiftrightunsigned(dhash, ${i * 8})").bitwiseAND(lit(255L))
+    val combos = for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)
+    val keys = array(combos.zipWithIndex.map { case ((i, j), ix) =>
+      struct(lit(ix).as("band_ix"),
+        (band8(i) * lit(256L) + band8(j)).as("band"))
+    }: _*)
+    h.select(col("asset_id"), col("dhash"), explode(keys).as("k"))
+      .select(col("asset_id"), col("dhash"),
+        col("k.band_ix").as("band_ix"), col("k.band").as("band"))
+  }
 
   /** The 8-band form of a bare `(dhash)` relation (representative
-    * level — post Hamming-0 collapse).
+    * level — post Hamming-0 collapse). Single 8-bit bands: the
+    * maxHamming = 7 key (pigeonhole needs only ONE clean band).
     */
   private def bandedHashes(hashes: DataFrame): DataFrame =
     hashes.select(col("dhash"), explode(sequence(lit(0), lit(7))).as("band_ix"))
       .withColumn("band",
         expr("shiftrightunsigned(dhash, band_ix * 8)").bitwiseAND(lit(255L)))
 
-  /** Over-dense (band_ix, band) buckets of a DISTINCT-hash relation —
-    * at most 2048 rows by construction (8 band indexes × 256 values),
-    * so always broadcastable.
+  /** The 28 BAND-PAIR (16-bit) keys of a `(dhash)` relation — the
+    * Manku et al. (WWW'07) combination-table construction: a pair
+    * within Hamming ≤ 6 dirties at most 6 of the 8 bands, so at least
+    * TWO bands are clean and the pair shares at least one of the
+    * C(8,2) = 28 band-PAIR keys — recall stays pigeonhole-exact while
+    * the per-key value space grows 256 → 65536, collapsing the
+    * structural collision floor from D²/32 (8-bit keys) to
+    * 28·D²/2¹⁷ ≈ D²/4681. `band_ix` enumerates the (i,j) combination;
+    * `band` packs band_i·256 + band_j.
     */
-  private def denseBands(distinctHashes: DataFrame, bandDfCap: Int): DataFrame =
-    bandedHashes(distinctHashes)
-      .groupBy("band_ix", "band").agg(count(lit(1)).as("df"))
+  private def bandedPairHashes(hashes: DataFrame): DataFrame = {
+    def band8(i: Int): Column =
+      expr(s"shiftrightunsigned(dhash, ${i * 8})").bitwiseAND(lit(255L))
+    val combos = for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)
+    val keys = array(combos.zipWithIndex.map { case ((i, j), ix) =>
+      struct(lit(ix).as("band_ix"),
+        (band8(i) * lit(256L) + band8(j)).as("band"))
+    }: _*)
+    hashes.select(col("dhash"), explode(keys).as("k"))
+      .select(col("dhash"), col("k.band_ix").as("band_ix"), col("k.band").as("band"))
+  }
+
+  /** Key layout for a Hamming budget: band pairs for ≤ 6 (two clean
+    * bands guaranteed), single bands for 7 (only one clean guaranteed).
+    */
+  private def bandedFor(hashes: DataFrame, maxHamming: Int): DataFrame =
+    if (maxHamming <= 6) bandedPairHashes(hashes) else bandedHashes(hashes)
+
+  /** Over-dense (band_ix, band) buckets of a banded relation. The
+    * FILTERED relation is tiny by construction (a bucket exceeds the
+    * cap only by holding > cap distinct hashes, so there are at most
+    * keys·D/cap such rows), so the guard is a broadcast anti-join.
+    */
+  private def denseBands(banded: DataFrame, bandDfCap: Int): DataFrame =
+    banded.groupBy("band_ix", "band").agg(count(lit(1)).as("df"))
       .filter(col("df") > bandDfCap)
       .select("band_ix", "band")
 
   /** Representative-level band candidates of a distinct-hash relation:
     * unordered `(dhash, dhash2)` rows with `dhash < dhash2`, one row
-    * per shared under-cap band (callers verify Hamming then dedup).
+    * per shared under-cap key (callers verify Hamming then dedup).
     * Exposed so specs and scale smokes can pin the candidate VOLUME —
     * the quantity the density guard exists to bound.
     */
-  def dhashBandCandidates(distinctHashes: DataFrame, bandDfCap: Int = 4096): DataFrame = {
-    val guarded = bandedHashes(distinctHashes)
-      .join(broadcast(denseBands(distinctHashes, bandDfCap)),
+  def dhashBandCandidates(distinctHashes: DataFrame, bandDfCap: Int = 4096,
+                          maxHamming: Int = 6): DataFrame = {
+    val banded = bandedFor(distinctHashes, maxHamming)
+    val guarded = banded
+      .join(broadcast(denseBands(banded, bandDfCap)),
         Seq("band_ix", "band"), "left_anti")
     val other = guarded.select(col("dhash").as("dhash2"), col("band_ix"), col("band"))
     guarded.join(other, Seq("band_ix", "band"))
@@ -1471,7 +1522,7 @@ object Multimodal {
     // Hamming 1..max: banded candidates over DISTINCT hashes (guard #2
     // applies), verified by codegen bit_count, then expanded back to
     // every member of each hash group
-    val repPairs = dhashBandCandidates(h.select("dhash").distinct(), bandDfCap)
+    val repPairs = dhashBandCandidates(h.select("dhash").distinct(), bandDfCap, maxHamming)
       .withColumn("hamming", bit_count(col("dhash").bitwiseXOR(col("dhash2"))))
       .filter(col("hamming") <= maxHamming)
       .distinct()
@@ -1484,9 +1535,11 @@ object Multimodal {
   }
 
   /** Persisted BANDED dHash store for incremental perceptual dedup:
-    * the corpus representatives' eight `(band_ix, band)` LSH keys plus
-    * the full 64-bit hash, saved bucketed (and sorted) by the band key
-    * — `Dedup.writeDigestStore`'s contract at perceptual granularity.
+    * the corpus representatives' 28 band-PAIR `(band_ix, band)` LSH
+    * keys plus the full 64-bit hash, saved bucketed (and sorted) by
+    * the band key — `Dedup.writeDigestStore`'s contract at perceptual
+    * granularity, [[bandedPairHashes]]'s key layout (serves Hamming
+    * budgets ≤ 6).
     * Repeat image ingestion's candidate join then reads the store
     * PRE-PARTITIONED on its join key: no store-side Exchange, ever,
     * and candidate work stays Σ_band collisions, never batch×corpus.
@@ -1521,7 +1574,9 @@ object Multimodal {
                               maxHamming: Int = 6,
                               absorb: Boolean = true,
                               bandDfCap: Int = 4096): DataFrame = {
-    require(maxHamming <= 7, "8×8-bit banding guarantees recall only to Hamming 7")
+    require(maxHamming <= 6,
+      "the band-PAIR store layout guarantees recall only to Hamming 6 " +
+        "(two clean bands needed); rebuild with single-band keys for 7")
     // cross-session freshness: the clusterStoreLabels refresh contract
     spark.catalog.refreshTable(table)
     // cut: `batch` feeds the candidate join, the anti-join, AND the
@@ -1610,7 +1665,7 @@ object Multimodal {
     val store = spark.table(table)
     val dense = store.groupBy("band_ix", "band").agg(count(lit(1)).as("df"))
       .filter(col("df") > bandDfCap).select("band_ix", "band")
-    bandedHashes(batch.select("dhash").distinct())
+    bandedPairHashes(batch.select("dhash").distinct())
       .join(broadcast(dense), Seq("band_ix", "band"), "left_anti")
       .join(store.select(col("dhash").as("rep_hash"),
         col("band_ix"), col("band")), Seq("band_ix", "band"))

@@ -251,19 +251,20 @@ class ImageDhashSpec extends AnyFunSuite {
       if i1 < i2 && java.lang.Long.bitCount(v1 ^ v2) <= 7
     } yield (i1, i2, java.lang.Long.bitCount(v1 ^ v2))).toSet
     assert(got === brute, "collapse+expand must reproduce the exact pair set")
-    // --- hot-band adversary: 300 pairwise-distant hashes ALL sharing
-    // band 0 (the all-identical-band shape) + 10 planted near pairs at
-    // Hamming 1. The shared bucket alone would be 300²/2 candidates;
-    // the df cap skips it, and the planted pairs still surface through
-    // their 6 other clean, under-cap bands.
-    val hot = (0 until 300).map(i => (i.toLong, (h64(s"hot$i") << 8) | 0x42L, true))
+    // --- hot-key adversary: 300 pairwise-distant hashes ALL sharing
+    // bands 0 AND 1 (the all-identical-band shape under the band-PAIR
+    // key layout) + 10 planted near pairs at Hamming 1. The shared
+    // (0,1)-pair bucket alone would be 300²/2 candidates; the df cap
+    // skips it, and the planted pairs still surface through their
+    // many other clean, under-cap pair keys.
+    val hot = (0 until 300).map(i => (i.toLong, (h64(s"hot$i") << 16) | 0x4242L, true))
     val planted = (0 until 10).map(i => (1000L + i, hot(i)._2 ^ (1L << 63), true))
     val adv = (hot ++ planted).toDF("asset_id", "dhash", "decoded")
     val uncapped = graft.operators.Multimodal.dhashBandCandidates(
       adv.select("dhash").distinct(), bandDfCap = Int.MaxValue).count()
     val capped = graft.operators.Multimodal.dhashBandCandidates(
       adv.select("dhash").distinct(), bandDfCap = 100).count()
-    assert(uncapped > 40000L, s"the hot band must dominate uncapped volume ($uncapped)")
+    assert(uncapped > 40000L, s"the hot key must dominate uncapped volume ($uncapped)")
     assert(capped < 8000L, s"the df cap must remove the structural bucket ($capped)")
     val pairsCapped = graft.operators.Multimodal.imageNearDupPairs(adv, 6, bandDfCap = 100)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

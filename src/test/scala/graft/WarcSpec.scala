@@ -299,12 +299,26 @@ class WarcSpec extends AnyFunSuite {
       "text/html" -> ((24L, 24L, true)),
       "image/png" -> ((6L, 6L, false)),
       "text/plain" -> ((8L, 8L, true))))
-    // the text/plain half flows into the documents surface verbatim
-    val plain = Warc.textDocuments(Warc.responses(recs))
+    // the text/plain half flows into the documents surface verbatim…
+    val plainDf = Warc.textDocuments(Warc.responses(recs))
       .filter(col("mime") === "text/plain")
+    val plain = plainDf
       .collect().map(r => (r.getString(0), r.getString(3))).toMap
     assert(plain === (0L until 24L by 3).map(i =>
       Warc.plainUrlOf(i) -> s"rv body $i").toMap)
+    // …and CURATES identically to the equivalent pre-extracted table
+    // (crawl text + metadata sidecar, the real shape)
+    val plainDocs = plainDf
+      .select(regexp_extract(col("url"), "/txt/(\\d+)\\.txt$", 1).cast("long").as("doc_id"),
+        col("text"))
+      .join(docs.select("doc_id", "lang", "source", "n_chars"), "doc_id")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val preExtracted = docs.filter(col("doc_id") % 3 === 0)
+    def curStats(d: org.apache.spark.sql.DataFrame) =
+      CorpusPipeline.curate(d, "en", 0.1, 0.5)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(curStats(plainDocs) === curStats(preExtracted),
+      "routed text/plain must curate identically to the pre-extracted table")
   }
 
   test("streaming scanner: multi-megabyte record round-trips; oversized Content-Length is damage") {
