@@ -272,6 +272,40 @@ class ImageDhashSpec extends AnyFunSuite {
       "every planted near pair must survive the cap via a clean band")
   }
 
+  test("store probe volume: a batch hash touches ~28·|store|/2¹⁶ reps, not |store|/32") {
+    import spark.implicits._
+    def h64(s: String): Long =
+      (graft.functions.Portable.md5IntOf(s + ":hi") << 32) |
+        graft.functions.Portable.md5IntOf(s + ":lo")
+    val tbl = "dhash_probe_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    def rmAll(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmAll)); f.delete()
+    }
+    rmAll(new java.io.File(wh, tbl))
+    val store = (0 until 2000).map(i => (i.toLong, h64(s"store$i"), true))
+      .toDF("asset_id", "dhash", "decoded")
+    Multimodal.writeDhashStore(store, tbl, buckets = 4)
+    // 100 probe hashes: 90 distant + 10 near-dups of stored reps
+    val probes = ((0 until 90).map(i => (5000L + i, h64(s"probe$i"))) ++
+      (0 until 10).map(i => (6000L + i, h64(s"store$i") ^ 1L)))
+      .toDF("asset_id", "dhash")
+    val cands = Multimodal.dhashStoreCandidates(spark, tbl, probes)
+    val volume = cands.count()
+    // old 8-bit floor: 100 probes × |store|/32 ≈ 6,250 touched reps;
+    // pair keys: 100 × 28 × 2000/65536 ≈ 85 expected random collisions
+    // + the 10 planted matches' shared keys
+    assert(volume < 1500L,
+      s"probe volume must be combination-key bounded, got $volume (old floor ≈ 6250)")
+    // and the planted near-dups are all caught at Hamming ≤ 6
+    val matched = cands
+      .filter(bit_count(col("dhash").bitwiseXOR(col("rep_hash"))) <= 6)
+      .select("dhash").distinct().count()
+    assert(matched === 10L, "every planted near-dup must match its stored rep")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("stop-frame cap: an ubiquitous frame is removed before the self-join; genuine overlap still pairs") {
     import spark.implicits._
     def h64(s: String): Long =
