@@ -3834,6 +3834,13 @@ object SparkEntry {
       Multimodal.imageSemanticDedup(
         Multimodal.pngAssetsFromDocuments(Tables.documents(s, dir)),
         dim = 9, threshold = 0.9)),
+    // the IVF-cell-BLOCKED scale twin (pair work Σ_cell, never N²) —
+    // must reproduce the brute result: identical descriptors share
+    // every cell assignment, so the same oracle hash-checks it
+    "q_image_semdedup_blocked" -> ((s, dir) =>
+      Multimodal.imageSemanticDedup(
+        Multimodal.pngAssetsFromDocuments(Tables.documents(s, dir)),
+        dim = 9, threshold = 0.9, blocked = true)),
     // INCREMENTAL perceptual dedup against the bucketed banded-dHash
     // store (crawl-frontier semantics for images): the store holds the
     // base assets of docs < 250; the batch arrives as (a) re-encodes/
@@ -5562,6 +5569,17 @@ object SparkEntry {
     // 3-bin histogram, cosine 1 iff the (r,g,b) bin triple matches
     // (2/3 otherwise, under the 0.9 threshold) — clusters are equal
     // triples keeping the min asset id
+    "q_image_semdedup_blocked" ->
+      """WITH f AS (
+           SELECT doc_id,
+             (doc_id % 256) * 3 // 256 AS rb,
+             ((doc_id * 7 + 13) % 256) * 3 // 256 AS gb,
+             (n_chars % 256) * 3 // 256 AS bb
+           FROM documents)
+         SELECT doc_id AS asset_id,
+                min(doc_id) OVER (PARTITION BY rb, gb, bb) AS cluster_id,
+                doc_id = min(doc_id) OVER (PARTITION BY rb, gb, bb) AS keep
+         FROM f""",
     "q_image_semdedup" ->
       """WITH f AS (
            SELECT doc_id,

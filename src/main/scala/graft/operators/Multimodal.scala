@@ -2329,11 +2329,21 @@ object Multimodal {
     * everything after moves `dim` floats per asset.
     */
   def imageSemanticDedup(assets: DataFrame, dim: Int = 9,
-                         threshold: Double = 0.9): DataFrame = {
+                         threshold: Double = 0.9,
+                         blocked: Boolean = false,
+                         c: Int = 8, probes: Int = 4): DataFrame = {
     val feats = Dedup.checkpointed(extractFeatures(assets, dim)
       .select(col("asset_id").as("vec_id"), col("features").as("embedding")))
-    val pairs = Dedup.embeddingNearDups(feats, threshold)
-      .select(col("id1"), col("id2"))
+    // brute pair stage = the correctness baseline; `blocked` is the
+    // 100-TB path (IVF-cell blocking, pair work Σ_cell (probes·N/C)²
+    // instead of N²) — the same twin contract as the text tier's
+    // q_embedding_neardups / _blocked. Near-identical descriptors land
+    // in identical cells, so at the declared parameters the blocked
+    // form reproduces the brute result (oracle-checked).
+    val pairs =
+      (if (blocked) Dedup.embeddingNearDupsBlocked(feats, threshold, c, probes)
+       else Dedup.embeddingNearDups(feats, threshold))
+        .select(col("id1"), col("id2"))
     Dedup.nearDupClusters(
         feats.select(col("vec_id").as("doc_id")), pairs)
       .select(col("doc_id").as("asset_id"), col("cluster_id"),

@@ -321,6 +321,23 @@ class WarcSpec extends AnyFunSuite {
       "routed text/plain must curate identically to the pre-extracted table")
   }
 
+  test("exchange audit parses files ONCE: both sides read the checkpoint, no file scan in the plan") {
+    import spark.implicits._
+    val docs = (0L until 10L).map(i => (i, s"x body $i", "en", "web", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = new java.io.File("target/test_warc_onepass").getAbsolutePath
+    val glob = Warc.ensureWarcFiles(docs, dir, buckets = 2)
+    val ex = Warc.exchanges(Warc.read(spark, glob))
+    // correctness first
+    assert(ex.count() === 10L)
+    // the r15 shape re-ran the binaryFile scan + gunzip + record parse
+    // once per audit side; the forked sides must now both descend from
+    // the checkpointed single-pass projection — no file source left
+    val plan = ex.queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan") && !plan.contains("BatchScan"),
+      s"both audit sides must read the checkpointed parse pass:\n$plan")
+  }
+
   test("streaming scanner: multi-megabyte record round-trips; oversized Content-Length is damage") {
     val big = new Array[Byte](3 * 1024 * 1024)
     new java.util.Random(7).nextBytes(big) // noise payload; length framing
