@@ -675,10 +675,18 @@ object Warc {
     * was lost): the accounting a crawl-dedup audit needs.
     */
   def revisits(recs: DataFrame): DataFrame = {
-    val originals = recs.filter(col("warc_type") === "response")
+    // ONE parse pass: both sides (revisit rows, original record ids)
+    // fork from a checkpointed payload-free projection — the
+    // exchanges() discipline (an uncut plan would re-run the
+    // binaryFile + parse subtree per side)
+    val narrow = graft.operators.Dedup.checkpointed(
+      recs.filter(col("warc_type").isin("response", "revisit"))
+        .select("warc_type", "url", "warc_date", "record_id",
+          "refers_to", "refers_to_uri", "warc_profile", "payload_digest"))
+    val originals = narrow.filter(col("warc_type") === "response")
       .select(col("record_id").as("orig_record_id"))
       .distinct()
-    recs.filter(col("warc_type") === "revisit")
+    narrow.filter(col("warc_type") === "revisit")
       .select(col("url"), col("warc_date"), col("record_id"),
         col("refers_to"), col("refers_to_uri"), col("warc_profile"),
         col("payload_digest"))
