@@ -3806,6 +3806,16 @@ object SparkEntry {
           ensureSubstrate(s, dir, "assets_vdhash")(
             Multimodal.videoDhashAssetsFromDocuments(Tables.documents(s, dir)))),
         minShared = 2)),
+    // the same shared-frame pairing over the REAL-container corpus
+    // (MJPEG AVIs through the demux) — bit-identical hashes mean the
+    // same pair structure, so the same oracle pins the whole
+    // container-decode-hash-pair chain end to end
+    "q_video_neardup_mjpeg" -> ((s, dir) =>
+      Multimodal.videoNearDupPairs(
+        Multimodal.videoFrameDhash(
+          ensureSubstrate(s, dir, "assets_mjpeg")(
+            Multimodal.mjpegDhashAssetsFromDocuments(Tables.documents(s, dir)))),
+        minShared = 2)),
     // ACOUSTIC fingerprints (the dHash analog over PCM): structured
     // block-amplitude clips through the REAL codec path (WAV fast
     // parse + JDK AIFF), 65-window louder-than-next bits — all 64
@@ -3871,7 +3881,8 @@ object SparkEntry {
     // (doc_id, n_chars, frame_idx) — so DuckDB oracles real frame
     // extraction, dims, and per-frame channel means end to end.
     "q_gif_frames" -> ((s, dir) => {
-      val assets = Multimodal.gifAssetsFromDocuments(Tables.documents(s, dir))
+      val assets = ensureSubstrate(s, dir, "assets_gif")(
+        Multimodal.gifAssetsFromDocuments(Tables.documents(s, dir)))
       Multimodal.decodeGifFrames(assets)
     }),
     // REAL video decode (RIFF AVI, raw-DIB frames): each document
@@ -5594,6 +5605,15 @@ object SparkEntry {
     // pairs by shared frame hashes at minShared = 2: rescale ↔ base
     // share 4, clip shares its 3 surviving frames with both
     "q_video_neardup_pairs" ->
+      """SELECT doc_id*10 AS id1, doc_id*10+1 AS id2, CAST(4 AS BIGINT) AS n_shared
+         FROM documents WHERE doc_id % 2 = 0
+         UNION ALL
+         SELECT doc_id*10, doc_id*10+3, CAST(3 AS BIGINT) FROM documents WHERE doc_id % 5 = 0
+         UNION ALL
+         SELECT doc_id*10+1, doc_id*10+3, CAST(3 AS BIGINT) FROM documents WHERE doc_id % 10 = 0""",
+    // identical pair structure through the MJPEG AVI corpus (frame
+    // hashes are bit-equal to the GIF twin's)
+    "q_video_neardup_mjpeg" ->
       """SELECT doc_id*10 AS id1, doc_id*10+1 AS id2, CAST(4 AS BIGINT) AS n_shared
          FROM documents WHERE doc_id % 2 = 0
          UNION ALL
