@@ -3842,14 +3842,16 @@ object SparkEntry {
     // (r,g,b) bin triples, closed-form.
     "q_image_semdedup" -> ((s, dir) =>
       Multimodal.imageSemanticDedup(
-        Multimodal.pngAssetsFromDocuments(Tables.documents(s, dir)),
+        ensureSubstrate(s, dir, "assets_png")(
+          Multimodal.pngAssetsFromDocuments(Tables.documents(s, dir))),
         dim = 9, threshold = 0.9)),
     // the IVF-cell-BLOCKED scale twin (pair work Σ_cell, never N²) —
     // must reproduce the brute result: identical descriptors share
     // every cell assignment, so the same oracle hash-checks it
     "q_image_semdedup_blocked" -> ((s, dir) =>
       Multimodal.imageSemanticDedup(
-        Multimodal.pngAssetsFromDocuments(Tables.documents(s, dir)),
+        ensureSubstrate(s, dir, "assets_png")(
+          Multimodal.pngAssetsFromDocuments(Tables.documents(s, dir))),
         dim = 9, threshold = 0.9, blocked = true)),
     // INCREMENTAL perceptual dedup against the bucketed banded-dHash
     // store (crawl-frontier semantics for images): the store holds the
