@@ -3846,13 +3846,16 @@ object SparkEntry {
           Multimodal.pngAssetsFromDocuments(Tables.documents(s, dir))),
         dim = 9, threshold = 0.9)),
     // the IVF-cell-BLOCKED scale twin (pair work Σ_cell, never N²) —
-    // must reproduce the brute result: identical descriptors share
-    // every cell assignment, so the same oracle hash-checks it
+    // must reproduce the brute result: at this threshold (0.9 over
+    // one-hot bin triples) only IDENTICAL descriptors pair, and
+    // identical vectors share their top-1 cell deterministically, so
+    // probes = 1 is lossless here and the same oracle hash-checks it
+    // (multi-probe is the knob for geometries where near ≠ equal)
     "q_image_semdedup_blocked" -> ((s, dir) =>
       Multimodal.imageSemanticDedup(
         ensureSubstrate(s, dir, "assets_png")(
           Multimodal.pngAssetsFromDocuments(Tables.documents(s, dir))),
-        dim = 9, threshold = 0.9, blocked = true)),
+        dim = 9, threshold = 0.9, blocked = true, probes = 1)),
     // INCREMENTAL perceptual dedup against the bucketed banded-dHash
     // store (crawl-frontier semantics for images): the store holds the
     // base assets of docs < 250; the batch arrives as (a) re-encodes/
