@@ -585,7 +585,7 @@ object Multimodal {
       * all-ones, so an image whose 8×8 JPEG blocks are each CONSTANT
       * round-trips bit-exactly (DC-only blocks, integer DCT exact) —
       * the property the MJPEG perceptual-dedup fixtures build on
-      * (verified by MjpegDhashSpec).
+      * (verified by ImageDhashSpec).
       */
     def encodeJpeg(width: Int, height: Int, argb: Array[Int],
                    quality: Float): Array[Byte] = {
@@ -1544,7 +1544,31 @@ object Multimodal {
     * PRE-PARTITIONED on its join key: no store-side Exchange, ever,
     * and candidate work stays Σ_band collisions, never batch×corpus.
     */
-  def writeDhashStore(hashes: DataFrame, table: String, buckets: Int = 16): Unit =
+  /** Key-layout contract of the persisted store. The r16 rework changed
+    * the on-disk keys from 8 single bands to 28 band pairs; a store
+    * written under one layout probed under the other joins on keys
+    * that almost never match — near-dup batch assets would silently
+    * classify as novel. The version is stamped as a table property at
+    * write time and validated on EVERY probe path (the store is an
+    * explicitly cross-session contract, so "the same JVM wrote it" is
+    * not an assumption the reader may make).
+    */
+  private val DhashLayoutKey = "graft.dhash.layout"
+  private val DhashLayoutVersion = "band-pair-28-v2"
+
+  private def assertDhashLayout(spark: org.apache.spark.sql.SparkSession,
+                                table: String): Unit = {
+    val props = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .properties
+    val got = props.getOrElse(DhashLayoutKey, "<absent — pre-band-pair store>")
+    require(got == DhashLayoutVersion,
+      s"dhash store $table has key layout '$got' but this build probes " +
+        s"'$DhashLayoutVersion' — rebuild the store with writeDhashStore " +
+        "(probing across layouts silently classifies near-dups as novel)")
+  }
+
+  def writeDhashStore(hashes: DataFrame, table: String, buckets: Int = 16): Unit = {
     // Hamming-0 collapse at WRITE time (density guard #1, store side):
     // the store answers "does any representative lie within
     // maxHamming" — distinct hashes carry that answer exactly, and a
@@ -1556,6 +1580,9 @@ object Multimodal {
       .write.mode("overwrite")
       .bucketBy(buckets, "band_ix", "band").sortBy("band_ix", "band")
       .saveAsTable(table)
+    hashes.sparkSession.sql(
+      s"ALTER TABLE $table SET TBLPROPERTIES ('$DhashLayoutKey' = '$DhashLayoutVersion')")
+  }
 
   /** Ingestion-time perceptual image dedup against the store: a batch
     * asset survives iff (a) NO stored representative lies within
@@ -1599,7 +1626,8 @@ object Multimodal {
     // union-find (the Graph.ccAbsorbParts fast path): collect the
     // pairs, drop every non-minimal member. Falls back to the
     // distributed clustering past the cap.
-    val pairs = imageNearDupPairs(novel.withColumn("decoded", lit(true)), maxHamming)
+    val pairs = imageNearDupPairs(novel.withColumn("decoded", lit(true)),
+        maxHamming, bandDfCap)
       .select("id1", "id2")
     val localCap = 100000
     val probe = pairs.limit(localCap + 1).collect()
@@ -1654,14 +1682,17 @@ object Multimodal {
     * Density guard: store buckets holding more than `bandDfCap`
     * representatives are skipped (same recall caveat as
     * [[imageNearDupPairs]]) — each probe hash then touches at most
-    * 8·cap stored reps instead of a structural |store|/32. The df
-    * relation is ≤ 2048 rows (8 band indexes × 256 band values), and
-    * its aggregation groups on the store's own bucket keys, so neither
+    * 28·cap stored reps (one cap per band-pair key) instead of a
+    * structural |store|/4681. The over-cap relation is small by
+    * construction (a bucket exceeds the cap only by holding > cap
+    * distinct reps, so at most 28·D/cap rows exist), and its
+    * aggregation groups on the store's own bucket keys, so neither
     * side of the guard adds an Exchange to the store scan.
     */
   def dhashStoreCandidates(spark: org.apache.spark.sql.SparkSession,
                            table: String, batch: DataFrame,
                            bandDfCap: Int = 4096): DataFrame = {
+    assertDhashLayout(spark, table)
     val store = spark.table(table)
     val dense = store.groupBy("band_ix", "band").agg(count(lit(1)).as("df"))
       .filter(col("df") > bandDfCap).select("band_ix", "band")

@@ -306,6 +306,34 @@ class ImageDhashSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("store layout version: a pre-band-pair (or future-layout) store fails fast at probe time") {
+    import spark.implicits._
+    val tbl = "dhash_layout_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    def rmAll(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmAll)); f.delete()
+    }
+    rmAll(new java.io.File(wh, tbl))
+    val store = (0 until 50).map(i => (i.toLong, i.toLong * 7919L, true))
+      .toDF("asset_id", "dhash", "decoded")
+    Multimodal.writeDhashStore(store, tbl, buckets = 4)
+    val probes = Seq((1000L, 3L)).toDF("asset_id", "dhash")
+    // the stamped store probes fine
+    Multimodal.dhashStoreCandidates(spark, tbl, probes).count()
+    // a store written under another layout (simulated by re-stamping —
+    // the r15 single-band tables carried no property at all, which the
+    // assert reports as '<absent>') must refuse, not silently miss
+    spark.sql(
+      s"ALTER TABLE $tbl SET TBLPROPERTIES ('graft.dhash.layout' = 'single-band-8-v1')")
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.dhashStoreCandidates(spark, tbl, probes).count()
+    }
+    assert(e.getMessage.contains("rebuild the store"),
+      s"layout mismatch must name the remedy: ${e.getMessage}")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("stop-frame cap: an ubiquitous frame is removed before the self-join; genuine overlap still pairs") {
     import spark.implicits._
     def h64(s: String): Long =
