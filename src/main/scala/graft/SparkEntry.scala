@@ -3205,6 +3205,53 @@ object SparkEntry {
         .select("url", "warc_date", "refers_to", "refers_to_uri",
           "warc_profile", "payload_digest", "original_found")
     }),
+    // DECODE-LOSS accounting (r17): responses the HTTP decoder cannot
+    // decode no longer vanish silently — each surfaces (url, reason).
+    // The corpus plants one failure mode per doc_id%6 variant
+    // (unknown_coding:br — the declared brotli limitation — plus
+    // bad_chunked/bad_gzip/bad_headers/bad_status_line), all
+    // text-independent, so the skip relation is a pure doc_id formula.
+    "q_warc_skip_reasons" -> ((s, dir) => {
+      val glob = Warc.ensureWarcFiles(Tables.documents(s, dir),
+        corpusDir(s, dir, "warcs"), withSkips = true, sourceDir = dir)
+      Warc.responseSkips(Warc.read(s, glob))
+        .select("url", "warc_ts", "reason")
+    }),
+    // Per-FILE parse audit (r17): planted damage — a malformed header
+    // block, a 300 MiB Content-Length claim (over the anti-OOM cap),
+    // and a truncation (mid-gzip-member in gz buckets → io_error;
+    // mid-payload at EOF in plain) — counts exactly, while the record
+    // read of the same corpus still yields every intact record. A
+    // systematically corrupt corpus is now distinguishable from a
+    // clean small one.
+    "q_warc_file_audit" -> ((s, dir) => {
+      val glob = Warc.ensureWarcFiles(Tables.documents(s, dir),
+        corpusDir(s, dir, "warcd"), withDamage = true, sourceDir = dir)
+      Warc.fileAudit(s.read.format("binaryFile").load(glob)
+          .select(col("path"), col("content")))
+        .select(regexp_extract(col("path"), "segment-(\\d+)", 1).cast("int").as("bucket"),
+          col("n_records"), col("n_skipped"), col("n_oversized"), col("io_error"))
+    }),
+    // Crawl-side dedup CONSUMED (r17): every 6th doc was refetched a
+    // month later as a byte-identical duplicate response (plus a
+    // revisit pointer); firstCaptureResponses drops the refetch at the
+    // RECORD tier — before the HTTP split, charset decode, or HTML
+    // kernel run — so extraction over the refetch-polluted corpus
+    // equals extraction over a never-refetched one: one row per doc,
+    // January capture timestamps only.
+    "q_warc_dedup_curate" -> ((s, dir) => {
+      val glob = Warc.ensureWarcFiles(Tables.documents(s, dir),
+        corpusDir(s, dir, "warcr"), withRefetch = true, sourceDir = dir)
+      Warc.htmlDocuments(Warc.responses(
+          Warc.firstCaptureResponses(Warc.read(s, glob))))
+        .select("url", "canonical_url", "warc_ts", "text")
+    }),
+    // the one-row accounting of what that dedup consumed
+    "q_warc_crawl_dedup_stats" -> ((s, dir) => {
+      val glob = Warc.ensureWarcFiles(Tables.documents(s, dir),
+        corpusDir(s, dir, "warcr"), withRefetch = true, sourceDir = dir)
+      Warc.crawlDedupStats(Warc.read(s, glob))
+    }),
     // JSONL documents path under the explicit schema contract (half the
     // corpus plain shards, half gzip): reader under test is
     // text-source + codegen from_json with corrupt-line quarantine.
@@ -4409,6 +4456,48 @@ object SparkEntry {
             'sha1:GRAFTFAKE' || CAST(doc_id AS VARCHAR) AS payload_digest,
             true AS original_found
           FROM documents WHERE doc_id % 6 = 0""",
+    // skip accounting: every doc_id%6≠0 variant plants exactly one
+    // decode-failure mode; the reason vocabulary is a pure formula
+    "q_warc_skip_reasons" ->
+      s"""SELECT
+            'http://Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.com/doc/' || CAST(doc_id AS VARCHAR) || '?utm_source=synth' AS url,
+            '2023-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z' AS warc_ts,
+            CASE doc_id % 6
+              WHEN 1 THEN 'unknown_coding:br'
+              WHEN 2 THEN 'bad_chunked'
+              WHEN 3 THEN 'bad_gzip'
+              WHEN 4 THEN 'bad_headers'
+              ELSE 'bad_status_line' END AS reason
+          FROM documents WHERE doc_id % 6 <> 0""",
+    // per-file audit of the planted-damage corpus: every bucket counts
+    // 2 skips (bad header + truncation) and 1 oversized claim; gz
+    // (odd) buckets' truncation is a mid-member inflate failure → the
+    // io_error flag
+    "q_warc_file_audit" ->
+      s"""SELECT CAST(b AS INT) AS bucket,
+            1 + 2 * cnt AS n_records,
+            CAST(2 AS BIGINT) AS n_skipped,
+            CAST(1 AS BIGINT) AS n_oversized,
+            b % 2 = 1 AS io_error
+          FROM (SELECT doc_id % 8 AS b, count(*) AS cnt
+                FROM documents GROUP BY doc_id % 8)""",
+    // crawl dedup consumed: the refetch-polluted corpus extracts to
+    // EXACTLY one row per doc with the January (first-capture)
+    // timestamp — the February duplicates drop before extraction
+    "q_warc_dedup_curate" ->
+      s"""SELECT
+            'http://Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.com/doc/' || CAST(doc_id AS VARCHAR) || '?utm_source=synth' AS url,
+            'http://site' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS canonical_url,
+            '2023-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z' AS warc_ts,
+            text
+          FROM documents""",
+    "q_warc_crawl_dedup_stats" ->
+      s"""SELECT
+            count(*) + CAST(sum(CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_responses,
+            count(*) AS n_unique,
+            CAST(sum(CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_refetch_dropped,
+            CAST(sum(CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_revisit_pointers
+          FROM documents""",
     // crawled images are every 4th doc's base dHash fixture — the same
     // closed-form bit formula, asset identity from the url
     "q_warc_media" ->

@@ -219,6 +219,31 @@ object WarcCodec {
     private var from = 0           // next magic-scan offset
     private var nextRec: WarcRecord = _
 
+    // Damage ACCOUNTING (r17): the skip policies below are deliberate
+    // (a crawl always contains damage; resync-and-continue beats
+    // poisoning the file), but silent loss is not — these counters let
+    // [[Warc.fileAudit]] distinguish a clean small file from a
+    // systematically corrupt corpus that parses as a small-but-
+    // successful one.
+    /** Records successfully emitted. */
+    var nRecords: Long = 0L
+    /** Damaged blocks skipped (malformed header, truncated payload,
+      * spurious magic inside garbage — each failed resync counts once).
+      */
+    var nSkipped: Long = 0L
+    /** Records dropped because their declared Content-Length exceeds
+      * `maxRecordBytes` (the anti-OOM policy — a crafted header cannot
+      * allocate past the cap; a LEGITIMATE large record, e.g. a video
+      * capture, is also dropped, which is why the count exists and the
+      * cap is caller-tunable).
+      */
+    var nOversized: Long = 0L
+    /** An upstream IO/decompression error was converted to EOF (corrupt
+      * gzip mid-stream, truncated file): the records already emitted
+      * stand, but the file did NOT parse to a clean end.
+      */
+    var ioError: Boolean = false
+
     /** Read until `buf` holds ≥ `target` bytes or EOF; IO errors = EOF. */
     private def fill(target: Int): Unit = {
       if (target > buf.length) {
@@ -228,7 +253,7 @@ object WarcCodec {
       }
       while (!eof && len < target) {
         val n = try in.read(buf, len, buf.length - len)
-          catch { case _: Exception => -1 } // corrupt stream: stop, keep what parsed
+          catch { case _: Exception => ioError = true; -1 } // corrupt stream: stop, keep what parsed
         if (n < 0) eof = true else len += n
       }
     }
@@ -271,16 +296,18 @@ object WarcCodec {
       // probe pass: find Content-Length + header end within the window
       parseProbe() match {
         case Some((headerEnd, cLen)) =>
-          if (cLen > maxRecordBytes) None
+          if (cLen > maxRecordBytes) { nOversized += 1; None }
           else {
             val need = headerEnd + cLen.toInt
             fill(need)
-            if (len < need) None // truncated payload: damage
-            else parseOne(buf, 0, len).map { case (rec, consumed) =>
-              compact(consumed); rec
+            if (len < need) { nSkipped += 1; None } // truncated payload: damage
+            else parseOne(buf, 0, len) match {
+              case Some((rec, consumed)) =>
+                compact(consumed); nRecords += 1; Some(rec)
+              case None => nSkipped += 1; None
             }
           }
-        case None => None
+        case None => nSkipped += 1; None
       }
     }
 
@@ -320,14 +347,22 @@ object WarcCodec {
     * records — never throws and never hides the records that ARE
     * intact.
     */
-  def streamRecords(raw: Array[Byte]): Iterator[WarcRecord] = {
+  def streamRecords(raw: Array[Byte],
+                    maxRecordBytes: Int = 256 << 20): WarcScanner = {
     val base = new ByteArrayInputStream(raw)
+    var headerError = false
     val in: InputStream =
       if (isGzip(raw))
         try new java.util.zip.GZIPInputStream(base, 64 * 1024)
-        catch { case _: Exception => new ByteArrayInputStream(Array.empty[Byte]) }
+        catch { case _: Exception =>
+          headerError = true; new ByteArrayInputStream(Array.empty[Byte])
+        }
       else base
-    new WarcScanner(in)
+    val sc = new WarcScanner(in, maxRecordBytes)
+    // a gzip HEADER failure substitutes an empty stream (damage
+    // discipline) but must not read as a clean empty file
+    if (headerError) sc.ioError = true
+    sc
   }
 
   /** All parseable records of one WARC file — the materialized form of
@@ -422,13 +457,30 @@ object WarcCodec {
     new String(body, cs)
   }
 
-  def parseHttpResponse(p: Array[Byte]): Option[HttpResponse] = {
+  /** Decode a stored HTTP response, or say exactly WHY it cannot be
+    * decoded. The Left reasons form the skip-accounting vocabulary
+    * ([[graft.sources.Warc.responseSkips]]):
+    *   - `bad_status_line` — not an HTTP response head
+    *   - `bad_headers` — header block never terminated
+    *   - `bad_chunked` — malformed chunked transfer framing
+    *   - `bad_gzip` / `bad_deflate` — content coding claimed but the
+    *     body does not inflate
+    *   - `unknown_coding:<name>` — a content coding this decoder does
+    *     not implement. DECLARED LIMITATION: `br` (RFC 7932) lands
+    *     here — a from-spec brotli decoder needs the published 120 KiB
+    *     static dictionary verbatim, which cannot be synthesized from
+    *     the spec's prose, so the loss is surfaced through this
+    *     accounting instead of silently flatMapped away (the r16
+    *     behavior this refactor removes).
+    */
+  def decodeHttpResponse(p: Array[Byte]): Either[String, HttpResponse] = {
     val limit = math.min(p.length, 64 * 1024)
     val status = readLine(p, 0, limit, p.length)
-    if (status == null) return None
+    if (status == null) return Left("bad_status_line")
     val parts = status._1.split(" ", 3)
-    if (parts.length < 2 || !parts(0).startsWith("HTTP/")) return None
-    val code = try parts(1).toInt catch { case _: NumberFormatException => return None }
+    if (parts.length < 2 || !parts(0).startsWith("HTTP/")) return Left("bad_status_line")
+    val code = try parts(1).toInt
+      catch { case _: NumberFormatException => return Left("bad_status_line") }
     var pos = status._2
     var mime = ""; var headerCharset = ""
     var transferEnc = ""; var contentEnc = ""
@@ -458,19 +510,21 @@ object WarcCodec {
       pos = line._2
       line = readLine(p, pos, limit, p.length)
     }
-    if (line == null) return None // header block never terminated
+    if (line == null) return Left("bad_headers") // header block never terminated
     val raw = java.util.Arrays.copyOfRange(p, line._2, p.length)
     // transfer coding is the OUTER layer (it framed the wire transfer);
     // content coding is inside it
     val unframed =
-      if (transferEnc.contains("chunked")) dechunk(raw) else Some(raw)
+      if (transferEnc.contains("chunked"))
+        dechunk(raw).toRight("bad_chunked")
+      else Right(raw)
     unframed.flatMap { u =>
-      val body = contentEnc match {
-        case "" | "identity" => Some(u)
+      val body: Either[String, Array[Byte]] = contentEnc match {
+        case "" | "identity" => Right(u)
         case "gzip" | "x-gzip" =>
-          try Some(gunzipMembers(u)) catch { case _: Exception => None }
-        case "deflate" => inflateDeflate(u)
-        case _ => None // an undecodable coding (br etc.): damage-skip
+          try Right(gunzipMembers(u)) catch { case _: Exception => Left("bad_gzip") }
+        case "deflate" => inflateDeflate(u).toRight("bad_deflate")
+        case other => Left(s"unknown_coding:$other")
       }
       body.map { b =>
         val cs =
@@ -483,6 +537,9 @@ object WarcCodec {
       }
     }
   }
+
+  def parseHttpResponse(p: Array[Byte]): Option[HttpResponse] =
+    decodeHttpResponse(p).toOption
 }
 
 /** DataFrame surface over [[WarcCodec]] plus the JSONL documents path. */
@@ -510,14 +567,15 @@ object Warc {
     * compressed file plus one record, and `batchSize` defaults to 1 so
     * grouped batching never pins several segment files at once.
     */
-  def records(files: DataFrame, batchSize: Int = 1): DataFrame = {
+  def records(files: DataFrame, batchSize: Int = 1,
+              maxRecordBytes: Int = 256 << 20): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(recordSchema)
     files.select(col("path").cast("string"), col("content")).mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.iterator.flatMap { r =>
           val path = r.getString(0)
-          val recs =
-            try WarcCodec.streamRecords(r.getAs[Array[Byte]](1))
+          val recs: Iterator[WarcCodec.WarcRecord] =
+            try WarcCodec.streamRecords(r.getAs[Array[Byte]](1), maxRecordBytes)
             catch { case _: Exception => Iterator.empty }
           recs.zipWithIndex.map { case (w, ix) =>
             Row(path, ix, w.warcType, w.targetUri, w.warcDate, w.recordId,
@@ -531,11 +589,43 @@ object Warc {
 
   /** Read WARC segment files (`.warc` / `.warc.gz`, glob accepted) into
     * the per-record relation. The whole-file `binaryFile` scan is the
-    * correct split unit — see the object doc.
+    * correct split unit — see the object doc. `maxRecordBytes` is the
+    * anti-OOM record cap (a crafted Content-Length is damage, not an
+    * allocation); raise it for corpora that legitimately carry very
+    * large records (video captures) — [[fileAudit]]'s `n_oversized`
+    * says whether the default is dropping anything.
     */
-  def read(spark: SparkSession, glob: String, batchSize: Int = 1): DataFrame =
+  def read(spark: SparkSession, glob: String, batchSize: Int = 1,
+           maxRecordBytes: Int = 256 << 20): DataFrame =
     records(spark.read.format("binaryFile").load(glob)
-      .select(col("path"), col("content")), batchSize)
+      .select(col("path"), col("content")), batchSize, maxRecordBytes)
+
+  val fileAuditSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("n_records", LongType, nullable = false),
+    StructField("n_skipped", LongType, nullable = false),
+    StructField("n_oversized", LongType, nullable = false),
+    StructField("io_error", BooleanType, nullable = false)))
+
+  /** Per-file parse AUDIT: how many records emitted, how many damaged
+    * blocks skipped, how many dropped by the `maxRecordBytes` anti-OOM
+    * cap, and whether an upstream IO/decompression error truncated the
+    * parse — the fetch-QA relation that distinguishes a clean small
+    * file from a systematically corrupt corpus reading as a
+    * small-but-successful one (both looked identical before r17).
+    * Same shuffle-free whole-file `mapPartitions` shape as [[records]];
+    * payloads are scanned and dropped, never held.
+    */
+  def fileAudit(files: DataFrame, maxRecordBytes: Int = 256 << 20): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(fileAuditSchema)
+    files.select(col("path").cast("string"), col("content")).mapPartitions { rows =>
+      rows.map { r =>
+        val sc = WarcCodec.streamRecords(r.getAs[Array[Byte]](1), maxRecordBytes)
+        while (sc.hasNext) sc.next()
+        Row(r.getString(0), sc.nRecords, sc.nSkipped, sc.nOversized, sc.ioError)
+      }
+    }(enc)
+  }
 
   val responseSchema: StructType = StructType(Seq(
     StructField("url", StringType, nullable = true),
@@ -572,6 +662,85 @@ object Warc {
         }
       }(enc)
   }
+
+  val responseSkipSchema: StructType = StructType(Seq(
+    StructField("url", StringType, nullable = true),
+    StructField("warc_ts", StringType, nullable = true),
+    StructField("reason", StringType, nullable = false)))
+
+  /** The responses [[responses]] CANNOT decode, with the reason —
+    * `(url, warc_ts, reason)` per undecodable payload
+    * ([[WarcCodec.decodeHttpResponse]]'s Left vocabulary:
+    * bad_status_line / bad_headers / bad_chunked / bad_gzip /
+    * bad_deflate / unknown_coding:&lt;name&gt;). Before r17 these rows
+    * silently flatMapped away and never reached [[mimeYield]] — the
+    * yield accounting could not see how much corpus the DECODER itself
+    * dropped (e.g. every brotli-encoded page). Same narrow
+    * shuffle-free `mapPartitions` shape as [[responses]]; a pipeline
+    * counts `groupBy(reason)` to state the loss exactly.
+    */
+  def responseSkips(recs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(responseSkipSchema)
+    recs
+      .filter(col("warc_type") === "response" &&
+        col("content_type").startsWith("application/http"))
+      .select("url", "warc_date", "payload")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          WarcCodec.decodeHttpResponse(r.getAs[Array[Byte]](2)).left.toOption
+            .map(reason => Row(r.getString(0), r.getString(1), reason))
+        }
+      }(enc)
+  }
+
+  /** Crawl-side dedup CONSUMED (r17): drop refetched-identical
+    * responses BEFORE any payload decoding. A real crawl stores the
+    * same page repeatedly — as `revisit` pointer records when the
+    * crawler's own dedup caught the refetch (those carry no payload
+    * and never enter [[responses]]), and as full duplicate `response`
+    * records when it did not (cross-segment refetches). This keeps,
+    * per `(url, payload digest)`, only the FIRST capture; every later
+    * identical refetch is dropped before the HTTP split / charset
+    * decode / HTML kernel ever run — the crawl's dedup signal saving
+    * extraction work, not just being audited ([[revisits]]).
+    *
+    * Scale shape: the winner decision moves only slim
+    * `(url, digest, warc_date)` rows (the sha1 is computed codegen-side
+    * below the aggregate — payloads never shuffle); the drop set
+    * (`losers`) is refetch-mass-sized, so the final anti-join
+    * broadcasts it in the common case and the payload-bearing side
+    * stays in place.
+    */
+  def firstCaptureResponses(recs: DataFrame): DataFrame = {
+    val resp = recs.filter(col("warc_type") === "response" &&
+      col("content_type").startsWith("application/http"))
+    val slim = resp.select(col("url"), col("warc_date"),
+      sha1(col("payload")).as("digest"))
+    val winners = slim.groupBy("url", "digest")
+      .agg(min(col("warc_date")).as("first_ts"))
+    val losers = slim.join(winners, Seq("url", "digest"))
+      .filter(col("warc_date") > col("first_ts"))
+      .select("url", "warc_date").distinct()
+    resp.join(losers, Seq("url", "warc_date"), "left_anti")
+  }
+
+  /** One-row accounting of what the crawl-side dedup consumed:
+    * responses seen, unique first captures kept, duplicate refetches
+    * dropped, and revisit pointer records (the crawler's own dedup —
+    * payload-free by construction). One aggregate over slim columns.
+    */
+  def crawlDedupStats(recs: DataFrame): DataFrame =
+    recs.filter(col("warc_type").isin("response", "revisit"))
+      .select(col("warc_type"),
+        when(col("warc_type") === "response",
+          concat_ws("|", col("url"), sha1(col("payload")))).as("capture_key"))
+      .agg(
+        sum(when(col("warc_type") === "response", 1L).otherwise(0L)).as("n_responses"),
+        countDistinct(col("capture_key")).as("n_unique"),
+        sum(when(col("warc_type") === "revisit", 1L).otherwise(0L)).as("n_revisit_pointers"))
+      .select(col("n_responses"), col("n_unique"),
+        (col("n_responses") - col("n_unique")).as("n_refetch_dropped"),
+        col("n_revisit_pointers"))
 
   /** Crawl-exchange audit: each RESPONSE joined to its REQUEST record
     * by (target URI, capture timestamp) — the fetch-QA relation a
@@ -779,19 +948,107 @@ object Warc {
     head ++ body2
   }
 
+  // ---- skip-reason variant responses (decoder-loss accounting) ----
+  // Variant v = doc_id % 6 — v = 0 decodes clean; 1..5 each plant ONE
+  // decode-failure mode, text-independent by construction (the damaged
+  // layer fails before any body byte is interpreted), so the skip
+  // relation is a pure formula of doc_id.
+
+  def skipReasonOf(id: Long): String = (id % 6) match {
+    case 1 => "unknown_coding:br"
+    case 2 => "bad_chunked"
+    case 3 => "bad_gzip"
+    case 4 => "bad_headers"
+    case 5 => "bad_status_line"
+    case _ => null
+  }
+
+  def skipResponsePayload(id: Long, text: String): Array[Byte] = (id % 6) match {
+    case 1 => // a coding this decoder declares it cannot inflate (RFC 7932)
+      val body = s"BR-OPAQUE-$id".getBytes("UTF-8")
+      (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        s"Content-Encoding: br\r\nContent-Length: ${body.length}\r\n\r\n")
+        .getBytes("UTF-8") ++ body
+    case 2 => // chunk size line is not hex: malformed framing
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        "Transfer-Encoding: chunked\r\n\r\nZZ\r\nbroken").getBytes("UTF-8")
+    case 3 => // gzip claimed, body is not a gzip stream
+      val body = s"NOT-GZIP-$id".getBytes("UTF-8")
+      (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        s"Content-Encoding: gzip\r\nContent-Length: ${body.length}\r\n\r\n")
+        .getBytes("UTF-8") ++ body
+    case 4 => // header block never terminates
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nX-Incomplete: cut"
+        .getBytes("UTF-8")
+    case 5 => // not an HTTP response head at all
+      "GOPHER-GARBAGE 200 NOPE\r\n\r\n".getBytes("UTF-8")
+    case _ => responsePayload(text).getBytes("UTF-8")
+  }
+
   /** The two per-document records (request + response), encoded.
     * `withEncodings` swaps the identity-UTF-8 response body for the
-    * per-variant transfer stack above.
+    * per-variant transfer stack above; `withSkips` for the per-variant
+    * decode-failure stack.
     */
   def recordsOf(id: Long, text: String,
-                withEncodings: Boolean = false): Seq[Array[Byte]] = Seq(
+                withEncodings: Boolean = false,
+                withSkips: Boolean = false): Seq[Array[Byte]] = Seq(
     WarcCodec.encodeRecord("request", Some(urlOf(id)), dateOf(id),
       s"<urn:graft:request:$id>", "application/http; msgtype=request",
       requestPayload(id).getBytes("UTF-8")),
     WarcCodec.encodeRecord("response", Some(urlOf(id)), dateOf(id),
       s"<urn:graft:response:$id>", "application/http; msgtype=response",
-      if (withEncodings) encResponsePayload(id, text)
+      if (withSkips) skipResponsePayload(id, text)
+      else if (withEncodings) encResponsePayload(id, text)
       else responsePayload(text).getBytes("UTF-8")))
+
+  /** A refetched-IDENTICAL full response (the crawler's dedup did NOT
+    * catch it — the cross-segment duplicate [[Warc.firstCaptureResponses]]
+    * exists to drop): same url, byte-identical payload, one month
+    * later, its own record id.
+    */
+  def refetchRecordOf(id: Long, text: String): Array[Byte] =
+    WarcCodec.encodeRecord("response", Some(urlOf(id)), revisitDateOf(id),
+      s"<urn:graft:refetch:$id>", "application/http; msgtype=response",
+      responsePayload(text).getBytes("UTF-8"))
+
+  // ---- planted parse damage (the fileAudit fixture) ----
+
+  /** A record whose header block is malformed (a named field with no
+    * colon): one resync skip.
+    */
+  def damageBadHeader: Array[Byte] =
+    "WARC/1.0\r\nTHIS DAMAGED LINE HAS NO COLON\r\n\r\n".getBytes("UTF-8")
+
+  /** A record CLAIMING a 300 MiB payload (over the default 256 MiB
+    * anti-OOM cap) followed by a small garbage body: one oversized
+    * drop, no allocation.
+    */
+  def damageOversized: Array[Byte] =
+    (s"WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: ${300L << 20}\r\n\r\n" +
+      "OVERSIZE-CLAIM-SMALL-BODY").getBytes("UTF-8")
+
+  /** A record whose payload the file cuts off (plain-file truncation):
+    * one skip, clean EOF.
+    */
+  def damageTruncatedPlain: Array[Byte] =
+    ("WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: 50000\r\n\r\n" +
+      "x" * 100).getBytes("UTF-8")
+
+  /** A gzip member CUT IN HALF mid-payload (the compressed-stream
+    * corruption case): the inflater fails mid-record — one skip AND
+    * the io_error flag. The payload is incompressible (seeded PRNG) so
+    * the truncation genuinely lands inside the member's deflate data.
+    */
+  def damageTruncatedGzMember(bucket: Int): Array[Byte] = {
+    val rnd = new java.util.Random(0xD15EA5EL + bucket)
+    val payload = new Array[Byte](96 * 1024)
+    rnd.nextBytes(payload)
+    val rec = (s"WARC/1.0\r\nWARC-Type: resource\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n").getBytes("UTF-8") ++ payload
+    val gz = WarcCodec.gzipMember(rec)
+    java.util.Arrays.copyOfRange(gz, 0, gz.length / 2)
+  }
 
   def warcinfoOf(bucket: Int): Array[Byte] =
     WarcCodec.encodeRecord("warcinfo", None, "2023-01-01T00:00:00Z",
@@ -869,12 +1126,17 @@ object Warc {
   def ensureWarcFiles(documents: DataFrame, outDir: String, buckets: Int = 8,
                       withImages: Boolean = false,
                       withEncodings: Boolean = false,
-                      sourceDir: String = ""): String = {
+                      sourceDir: String = "",
+                      withSkips: Boolean = false,
+                      withRefetch: Boolean = false,
+                      withDamage: Boolean = false): String = {
     val n = documents.count()
     val marker = new java.io.File(outDir, "_GRAFT_WARC")
     val stamp =
       s"n=$n;buckets=$buckets;img=$withImages;enc=$withEncodings;v=3;" +
-        s"src=${sourceStampOf(sourceDir)}"
+        s"src=${sourceStampOf(sourceDir)}" +
+        (if (withSkips || withRefetch || withDamage)
+          s";skips=$withSkips;refetch=$withRefetch;dmg=$withDamage" else "")
     val glob = s"$outDir/*.warc*"
     if (marker.exists() &&
         new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp)
@@ -906,7 +1168,7 @@ object Warc {
           put(warcinfoOf(b))
           docs.foreach { r =>
             val id = r.getLong(0)
-            recordsOf(id, r.getString(1), withEncodings).foreach(put)
+            recordsOf(id, r.getString(1), withEncodings, withSkips).foreach(put)
             if (withImages) {
               // mixed-media corpus: every 4th doc's crawl also fetched
               // an image, every 3rd a plain-text asset — one crawl,
@@ -916,6 +1178,28 @@ object Warc {
               if (id % 3 == 0) put(plainRecordOf(id, r.getString(1)))
               if (id % 6 == 0) put(revisitRecordOf(id))
             }
+            if (withRefetch && id % 6 == 0) {
+              // crawl-dedup corpus: every 6th doc was refetched a month
+              // later — once as a full byte-identical duplicate response
+              // (the crawler's dedup missed it) and once as the revisit
+              // pointer (it caught it)
+              put(refetchRecordOf(id, r.getString(1)))
+              put(revisitRecordOf(id))
+            }
+          }
+          if (withDamage) {
+            // planted parse damage, appended after the clean records:
+            // a malformed header block (1 skip), an over-cap
+            // Content-Length claim (1 oversized), and a truncation —
+            // mid-gzip-member for gz buckets (1 skip + io_error),
+            // mid-payload at EOF for plain buckets (1 skip)
+            put(damageBadHeader)
+            put(damageOversized)
+            if (gz) {
+              val t = damageTruncatedGzMember(b)
+              out.write(t, 0, t.length)
+            } else
+              out.write(damageTruncatedPlain, 0, damageTruncatedPlain.length)
           }
           val name = f"segment-$b%05d.warc" + (if (gz) ".gz" else "")
           java.nio.file.Files.write(

@@ -338,6 +338,106 @@ class WarcSpec extends AnyFunSuite {
       s"both audit sides must read the checkpointed parse pass:\n$plan")
   }
 
+  test("skip reasons: every decode-failure variant surfaces its reason; clean variants still decode") {
+    import spark.implicits._
+    val docs = (0L until 36L).map(i => (i, s"clean body $i", "en", "web", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = new java.io.File("target/test_warc_skips").getAbsolutePath
+    val glob = Warc.ensureWarcFiles(docs, dir, buckets = 2, withSkips = true)
+    val recs = Warc.read(spark, glob)
+    val skips = Warc.responseSkips(recs)
+      .select(regexp_extract(col("url"), "/doc/(\\d+)\\?", 1).cast("long").as("doc_id"),
+        col("reason"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(skips.keySet === (0L until 36L).filter(_ % 6 != 0).toSet,
+      "exactly the damaged variants must surface")
+    skips.foreach { case (id, reason) =>
+      assert(reason === Warc.skipReasonOf(id), s"doc $id")
+    }
+    // the decoded half is exactly the complement — nothing vanishes
+    // silently anymore: skips + responses partition the response records
+    val ok = Warc.responses(recs)
+      .select(regexp_extract(col("url"), "/doc/(\\d+)\\?", 1).cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    assert(ok === (0L until 36L).filter(_ % 6 == 0).toSet)
+    // bad_deflate (not plantable text-independently above): unit level
+    val br = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Content-Encoding: deflate\r\nContent-Length: 9\r\n\r\nNOTZLIB!!").getBytes("UTF-8")
+    assert(WarcCodec.decodeHttpResponse(br) === Left("bad_deflate"))
+  }
+
+  test("file audit: planted damage counts exactly; a clean corpus audits clean; tiny cap counts oversize") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, s"doc body $i", "en", "web", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = new java.io.File("target/test_warc_damage").getAbsolutePath
+    val glob = Warc.ensureWarcFiles(docs, dir, buckets = 4, withDamage = true)
+    val files = spark.read.format("binaryFile").load(glob)
+      .select(col("path"), col("content"))
+    val audit = Warc.fileAudit(files)
+      .select(regexp_extract(col("path"), "segment-(\\d+)", 1).cast("int").as("b"),
+        col("n_records"), col("n_skipped"), col("n_oversized"), col("io_error"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(audit.keySet === (0 until 4).toSet)
+    (0 until 4).foreach { b =>
+      val (nRec, nSkip, nOver, ioErr) = audit(b)
+      assert(nRec === 21L, s"bucket $b: warcinfo + 10 × (request+response)")
+      assert(nSkip === 2L, s"bucket $b: bad header + truncated record")
+      assert(nOver === 1L, s"bucket $b: the 300 MiB claim")
+      assert(ioErr === (b % 2 == 1), s"bucket $b: gz truncation is an IO error")
+    }
+    // the records() read of the SAME damaged corpus still yields every
+    // intact record — the audit observes loss, it does not change policy
+    assert(Warc.read(spark, glob).count() === 4L * 21L)
+    // clean corpus audits clean
+    val cleanDir = new java.io.File("target/test_warc_read").getAbsolutePath
+    val cleanGlob = Warc.ensureWarcFiles(docs, cleanDir, buckets = 4)
+    val clean = Warc.fileAudit(spark.read.format("binaryFile").load(cleanGlob)
+      .select(col("path"), col("content")))
+    assert(clean.filter(col("n_skipped") > 0 || col("n_oversized") > 0 ||
+      col("io_error")).count() === 0L)
+    // a caller-tuned cap is respected end to end: at 10 bytes every
+    // request/response drops as oversized (warcinfo's 32-byte payload too)
+    val tiny = Warc.fileAudit(spark.read.format("binaryFile").load(cleanGlob)
+      .select(col("path"), col("content")), maxRecordBytes = 10)
+    assert(tiny.agg(sum("n_records"), sum("n_oversized")).collect().head
+      .toSeq === Seq(0L, 84L))
+    // a corrupt gzip HEADER no longer reads as a clean empty file
+    val sc = WarcCodec.streamRecords(Array[Byte](0x1f, 0x8b.toByte, 99, 99, 99))
+    assert(!sc.hasNext && sc.ioError)
+  }
+
+  test("crawl dedup consumed: refetched-identical responses drop BEFORE payload decode; stats account it") {
+    import spark.implicits._
+    val docs = (0L until 36L).map(i => (i, s"crawl dedup body $i", "en", "web", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = new java.io.File("target/test_warc_refetch").getAbsolutePath
+    val glob = Warc.ensureWarcFiles(docs, dir, buckets = 2, withRefetch = true)
+    val recs = Warc.read(spark, glob)
+    // stage counts: the skip happens UPSTREAM of the HTTP split and the
+    // HTML kernel — the deduped relation is still raw record rows
+    val nResp = recs.filter(col("warc_type") === "response").count()
+    assert(nResp === 42L, "36 first captures + 6 refetched duplicates")
+    val first = Warc.firstCaptureResponses(recs)
+    assert(first.count() === 36L, "every duplicate drops at the record tier")
+    // the survivors are the JANUARY captures (min warc_date per capture)
+    assert(first.filter(col("warc_date").startsWith("2023-02")).count() === 0L)
+    // curate-over-deduped ≡ curate-over-the-never-refetched corpus
+    val baseDir = new java.io.File("target/test_warc_refetch_base").getAbsolutePath
+    val baseGlob = Warc.ensureWarcFiles(docs, baseDir, buckets = 2)
+    def extracted(g: String, dedup: Boolean) = {
+      val r = Warc.read(spark, g)
+      Warc.htmlDocuments(Warc.responses(
+          if (dedup) Warc.firstCaptureResponses(r) else r))
+        .collect().map(x => (x.getString(0), x.getString(2), x.getString(3))).toSet
+    }
+    assert(extracted(glob, dedup = true) === extracted(baseGlob, dedup = false))
+    // the accounting row
+    val stats = Warc.crawlDedupStats(recs).collect().head
+    assert(stats.toSeq === Seq(42L, 36L, 6L, 6L))
+  }
+
   test("streaming scanner: multi-megabyte record round-trips; oversized Content-Length is damage") {
     val big = new Array[Byte](3 * 1024 * 1024)
     new java.util.Random(7).nextBytes(big) // noise payload; length framing
