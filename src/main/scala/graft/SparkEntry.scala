@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Portable
 import graft.functions.VectorFunctions._
 import graft.operators.{AsofJoin, Bpe, Classifier, CorpusPipeline, Dedup, Events, Hnsw, Ivf, Knn, Multimodal, Packing, Pca, Pq, Relational, Retrieval, Sampling, Sq, TextAnalysis, VectorLsh}
-import graft.sources.{Tables, Warc}
+import graft.sources.{PdfCodec, Tables, Warc}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -3252,6 +3252,33 @@ object SparkEntry {
         corpusDir(s, dir, "warcr"), withRefetch = true, sourceDir = dir)
       Warc.crawlDedupStats(Warc.read(s, glob))
     }),
+    // FROM-SPEC PDF TEXT EXTRACTION (r17): each doc materialized as a
+    // genuine PDF — structural variant by doc_id%5 (plain literal /
+    // Flate content / Contents-ARRAY across two streams / TJ array
+    // with kerning / Identity-H with a ToUnicode bfchar+bfrange CMap),
+    // file layout by doc_id%2 (classic xref table vs xref STREAM +
+    // packed ObjStm, PNG predictor 12 every 4th) — then extracted
+    // through the zero-dep ISO 32000 walk. Every extracted character
+    // is a closed-form formula; doc_id%9==7 plants damage that must
+    // skip.
+    "q_pdf_extract" -> ((s, dir) => {
+      val glob = PdfCodec.ensurePdfFiles(Tables.documents(s, dir),
+        corpusDir(s, dir, "pdf"), sourceDir = dir)
+      PdfCodec.extractFiles(s.read.format("binaryFile").load(glob)
+          .select(col("path"), col("content")))
+        .select(regexp_extract(col("path"), "doc-(\\d+)\\.pdf", 1)
+          .cast("long").as("doc_id"), col("text"))
+    }),
+    // crawl → PDF routing: every 2nd doc's crawl also fetched a PDF
+    // rendition; the mime-routed documents surface now extracts THREE
+    // mimes — html through the HTML kernel, plain verbatim, pdf
+    // through PdfCodec — in one pass, damage (doc_id%9==7) skipping
+    "q_warc_pdf_docs" -> ((s, dir) => {
+      val glob = Warc.ensureWarcFiles(Tables.documents(s, dir),
+        corpusDir(s, dir, "warcp"), withPdfs = true, sourceDir = dir)
+      Warc.textDocuments(Warc.responses(Warc.read(s, glob)), withPdf = true)
+        .select("url", "canonical_url", "warc_ts", "text", "mime")
+    }),
     // JSONL documents path under the explicit schema contract (half the
     // corpus plain shards, half gzip): reader under test is
     // text-source + codegen from_json with corrupt-line quarantine.
@@ -4498,6 +4525,33 @@ object SparkEntry {
             CAST(sum(CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_refetch_dropped,
             CAST(sum(CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_revisit_pointers
           FROM documents""",
+    // PDF extraction: the shown text is a pure formula — the doc text
+    // plus a per-variant suffix ('pdfv<v>'), '>'-prefixed for the
+    // Identity-H variant (a bfchar'd lead glyph); damage docs
+    // (doc_id%9==7) are absent
+    "q_pdf_extract" ->
+      s"""SELECT doc_id,
+            CASE WHEN doc_id % 5 = 4 THEN '>' ELSE '' END
+              || text || ' pdfv' || CAST(doc_id % 5 AS VARCHAR) AS text
+          FROM documents WHERE doc_id % 9 <> 7""",
+    // mime-routed surface with the PDF tier: html for every doc, pdf
+    // for every 2nd (minus damage)
+    "q_warc_pdf_docs" ->
+      s"""SELECT
+            'http://Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.com/doc/' || CAST(doc_id AS VARCHAR) || '?utm_source=synth' AS url,
+            'http://site' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS canonical_url,
+            '2023-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z' AS warc_ts,
+            text, 'text/html' AS mime
+          FROM documents
+          UNION ALL
+          SELECT
+            'http://Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.com/pdf/' || CAST(doc_id AS VARCHAR) || '.pdf',
+            'http://site' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/pdf/' || CAST(doc_id AS VARCHAR) || '.pdf',
+            '2023-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z',
+            CASE WHEN doc_id % 5 = 4 THEN '>' ELSE '' END
+              || text || ' pdfv' || CAST(doc_id % 5 AS VARCHAR),
+            'application/pdf'
+          FROM documents WHERE doc_id % 2 = 0 AND doc_id % 9 <> 7""",
     // crawled images are every 4th doc's base dHash fixture — the same
     // closed-form bit formula, asset identity from the url
     "q_warc_media" ->

@@ -800,7 +800,8 @@ object Warc {
         count(lit(1)).as("n_responses"),
         sum(when(col("status") === 200, 1L).otherwise(0L)).as("n_ok"))
       .withColumn("extractable",
-        col("mime") === "text/html" || col("mime") === "text/plain")
+        col("mime") === "text/html" || col("mime") === "text/plain" ||
+          col("mime") === "application/pdf")
 
   /** The crawl-to-curation bridge: 200-status `text/html` responses as
     * `(url, canonical_url, warc_ts, text)` rows — extracted through the
@@ -824,8 +825,8 @@ object Warc {
     * the pipeline must not drop). Non-text mimes route to the media
     * tier instead ([[mimeYield]] accounts for them).
     */
-  def textDocuments(resp: DataFrame): DataFrame =
-    resp.filter(col("status") === 200 &&
+  def textDocuments(resp: DataFrame, withPdf: Boolean = false): DataFrame = {
+    val textual = resp.filter(col("status") === 200 &&
         (col("mime") === "text/html" || col("mime") === "text/plain"))
       .select(
         col("url"),
@@ -835,6 +836,37 @@ object Warc {
           graft.operators.TextAnalysis.htmlText(col("body_text")))
           .otherwise(col("body_text")).as("text"),
         col("mime"))
+    // the PDF route is opt-IN: it adds a second consumer branch over
+    // `resp` (one more pass over the upstream scan), so callers without
+    // PDFs in their corpus keep the single-branch plan
+    if (withPdf) textual.unionByName(pdfDocuments(resp)) else textual
+  }
+
+  /** `application/pdf` responses extracted through the from-spec
+    * [[PdfCodec]] — the third extractable mime of the documents
+    * surface ([[mimeYield]] flags it). Undecodable documents
+    * damage-skip (truncated mid-transfer PDFs are routine in a
+    * crawl); the kernel is per-document and the pass stays batched
+    * `mapPartitions`, shuffle-free.
+    */
+  def pdfDocuments(resp: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("url", StringType, nullable = true),
+      StructField("warc_ts", StringType, nullable = true),
+      StructField("text", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    resp.filter(col("status") === 200 && col("mime") === "application/pdf")
+      .select("url", "warc_ts", "body")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          PdfCodec.extractText(r.getAs[Array[Byte]](2))
+            .map(t => Row(r.getString(0), r.getString(1), t))
+        }
+      }(enc)
+      .select(col("url"),
+        graft.operators.TextAnalysis.canonicalUrl(col("url")).as("canonical_url"),
+        col("warc_ts"), col("text"), lit("application/pdf").as("mime"))
+  }
 
   /** WARC `revisit` records (ISO 28500 §6.7.2) — the crawl-side dedup
     * signal CommonCrawl emits when a refetched URL's payload digest
@@ -1088,6 +1120,24 @@ object Warc {
       head ++ body)
   }
 
+  def pdfUrlOf(id: Long): String =
+    s"http://Site${id % 5}.Example.com/pdf/$id.pdf"
+
+  /** A fetched PDF response: the doc's fixture PDF
+    * ([[PdfCodec.pdfOf]] — structural variant by id%5, layout by
+    * id%2, damage every id%9==7), so the crawled document's extracted
+    * text is the same closed-form formula the standalone PDF queries
+    * oracle against.
+    */
+  def pdfRecordOf(id: Long, text: String): Array[Byte] = {
+    val body = PdfCodec.pdfOf(id, text)
+    val head = (s"HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8")
+    WarcCodec.encodeRecord("response", Some(pdfUrlOf(id)), dateOf(id),
+      s"<urn:graft:pdf:$id>", "application/http; msgtype=response",
+      head ++ body)
+  }
+
   def revisitDateOf(id: Long): String =
     f"2023-02-${id % 28 + 1}%02dT00:00:${id % 60}%02dZ"
 
@@ -1129,14 +1179,16 @@ object Warc {
                       sourceDir: String = "",
                       withSkips: Boolean = false,
                       withRefetch: Boolean = false,
-                      withDamage: Boolean = false): String = {
+                      withDamage: Boolean = false,
+                      withPdfs: Boolean = false): String = {
     val n = documents.count()
     val marker = new java.io.File(outDir, "_GRAFT_WARC")
     val stamp =
       s"n=$n;buckets=$buckets;img=$withImages;enc=$withEncodings;v=3;" +
         s"src=${sourceStampOf(sourceDir)}" +
-        (if (withSkips || withRefetch || withDamage)
-          s";skips=$withSkips;refetch=$withRefetch;dmg=$withDamage" else "")
+        (if (withSkips || withRefetch || withDamage || withPdfs)
+          s";skips=$withSkips;refetch=$withRefetch;dmg=$withDamage;pdfs=$withPdfs"
+        else "")
     val glob = s"$outDir/*.warc*"
     if (marker.exists() &&
         new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp)
@@ -1178,6 +1230,9 @@ object Warc {
               if (id % 3 == 0) put(plainRecordOf(id, r.getString(1)))
               if (id % 6 == 0) put(revisitRecordOf(id))
             }
+            if (withPdfs && id % 2 == 0)
+              // every 2nd doc's crawl also fetched a PDF rendition
+              put(pdfRecordOf(id, r.getString(1)))
             if (withRefetch && id % 6 == 0) {
               // crawl-dedup corpus: every 6th doc was refetched a month
               // later — once as a full byte-identical duplicate response
@@ -1213,7 +1268,7 @@ object Warc {
   /** Size+mtime fingerprint of a source data dir (the ensureSubstrate
     * sourceStamp pattern) — "" when no dir is supplied.
     */
-  private def sourceStampOf(dir: String): String =
+  private[sources] def sourceStampOf(dir: String): String =
     if (dir.isEmpty) ""
     else {
       val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)

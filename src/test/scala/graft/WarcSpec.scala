@@ -438,6 +438,32 @@ class WarcSpec extends AnyFunSuite {
     assert(stats.toSeq === Seq(42L, 36L, 6L, 6L))
   }
 
+  test("pdf tier: crawled PDFs extract through the documents surface; yield flags them extractable") {
+    import spark.implicits._
+    val docs = (0L until 20L).map(i => (i, s"pdf corpus body $i", "en", "web", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = new java.io.File("target/test_warc_pdfs").getAbsolutePath
+    val glob = Warc.ensureWarcFiles(docs, dir, buckets = 2, withPdfs = true)
+    val resp = Warc.responses(Warc.read(spark, glob))
+    val routed = Warc.textDocuments(resp, withPdf = true)
+    val pdfTexts = routed.filter(col("mime") === "application/pdf")
+      .select(regexp_extract(col("url"), "/pdf/(\\d+)\\.pdf", 1).cast("long").as("id"),
+        col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every 2nd doc fetched a PDF; doc 16 (id%9==7) planted damage
+    assert(pdfTexts.keySet === (0L until 20L by 2).filter(_ % 9 != 7).toSet)
+    pdfTexts.foreach { case (id, t) =>
+      assert(t === graft.sources.PdfCodec.shownTextOf(id, s"pdf corpus body $id"), s"doc $id")
+    }
+    // the html half of the same corpus is untouched by the pdf branch
+    assert(routed.filter(col("mime") === "text/html").count() === 20L)
+    // yield accounting: application/pdf is now an extractable mime
+    val y = Warc.mimeYield(resp).filter(col("mime") === "application/pdf").collect().head
+    assert(y.getAs[Long]("n_responses") === 10L && y.getAs[Boolean]("extractable"))
+    // default textDocuments keeps the single-branch plan (no pdf rows)
+    assert(Warc.textDocuments(resp).filter(col("mime") === "application/pdf").count() === 0L)
+  }
+
   test("streaming scanner: multi-megabyte record round-trips; oversized Content-Length is damage") {
     val big = new Array[Byte](3 * 1024 * 1024)
     new java.util.Random(7).nextBytes(big) // noise payload; length framing
