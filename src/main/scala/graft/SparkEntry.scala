@@ -3930,6 +3930,19 @@ object SparkEntry {
         ensureSubstrate(s, dir, "assets_png")(
           Multimodal.pngAssetsFromDocuments(Tables.documents(s, dir))),
         dim = 9, threshold = 0.9, blocked = true, probes = 1)),
+    // MULTI-PROBE on a NON-degenerate geometry (r17): the spread
+    // fixture's four near-dup groups each span a cosine cone, and
+    // c = 8 cells force k-means to split groups across cells — so
+    // probes = 1 demonstrably loses the cross-split pairs
+    // (SemDedupSpec pins the loss) and probes = 2 restores the brute
+    // result. This is the recall machinery the 100-TB blocked path
+    // actually relies on, oracle-pinned: cluster = doc_id % 4,
+    // closed form.
+    "q_image_semdedup_multiprobe" -> ((s, dir) =>
+      Multimodal.imageSemanticDedup(
+        ensureSubstrate(s, dir, "assets_sem")(
+          Multimodal.semAssetsFromDocuments(Tables.documents(s, dir))),
+        dim = 9, threshold = 0.99, blocked = true, c = 8, probes = 2)),
     // INCREMENTAL perceptual dedup against the bucketed banded-dHash
     // store (crawl-frontier semantics for images): the store holds the
     // base assets of docs < 250; the batch arrives as (a) re-encodes/
@@ -5739,6 +5752,12 @@ object SparkEntry {
                 min(doc_id) OVER (PARTITION BY rb, gb, bb) AS cluster_id,
                 doc_id = min(doc_id) OVER (PARTITION BY rb, gb, bb) AS keep
          FROM f""",
+    // the spread fixture's clusters are the four (g-bin, b-bin) groups
+    // — closed form regardless of where k-means cuts the r spread
+    "q_image_semdedup_multiprobe" ->
+      """SELECT doc_id AS asset_id, doc_id % 4 AS cluster_id,
+                doc_id % 4 = doc_id AS keep
+         FROM documents""",
     "q_image_semdedup" ->
       """WITH f AS (
            SELECT doc_id,

@@ -2345,6 +2345,38 @@ object Multimodal {
     }(enc)
   }
 
+  /** NON-DEGENERATE semantic-dedup fixture (r17): one 16×8 two-color
+    * PNG per doc whose pixel histogram is near-but-NOT-equal to its
+    * group siblings'. Four natural groups (g/b channels one-hot by
+    * `doc_id % 2` and `(doc_id/2) % 2`); within a group the r channel
+    * SPREADS — `(doc_id % 8) · 2` of the 128 pixels take the far r bin
+    * — so intra-group cosine ranges over [0.9966, 1] (all above a 0.99
+    * threshold, transitively one cluster) while inter-group cosine
+    * stays ≤ ~0.7. The point: with c = 8 cells over 4 groups, k-means
+    * MUST split groups across cells, so single-probe blocking loses
+    * the cross-split pairs and disconnects the cluster — multi-probe
+    * (probes ≥ 2 posts each vector to its split-sibling cell too) is
+    * what restores the brute result. Cluster structure stays
+    * closed-form: cluster = `doc_id % 4`, keep = the min member.
+    */
+  def semAssetsFromDocuments(documents: DataFrame, batchSize: Int = 64): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    documents.select("doc_id").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val (w, h) = (16, 8)
+          val k = ((id % 8) * 2).toInt // pixels in the far r bin
+          val cg = if (id % 2 == 0) 32 else 224
+          val cb = if ((id / 2) % 2 == 0) 32 else 224
+          val argb = Array.tabulate(w * h)(i =>
+            0xff000000 | ((if (i < k) 224 else 32) << 16) | (cg << 8) | cb)
+          Row(id, ImageCodec.encodePng(w, h, argb), "image/png", w, h)
+        }
+      }
+    }(enc)
+  }
+
   /** SEMANTIC (embedding-space) image dedup — the image tier's
     * `q_semdedup` twin: real pixel-histogram descriptors
     * ([[ImageCodec.features]] over the decoded raster) → cosine
