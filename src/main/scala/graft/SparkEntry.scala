@@ -144,6 +144,7 @@ object SparkEntry {
   private val gramStoreBuilt = scala.collection.concurrent.TrieMap.empty[String, Boolean]
   private val urlStoreBuilt = scala.collection.concurrent.TrieMap.empty[String, Boolean]
   private val dhashStoreBuilt = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private val semStoreBuilt = scala.collection.concurrent.TrieMap.empty[String, Boolean]
   private val substrateBuilt = scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
   /** Persist a derived substrate relation ONCE per (tag, sf dir) and
@@ -3943,6 +3944,29 @@ object SparkEntry {
         ensureSubstrate(s, dir, "assets_sem")(
           Multimodal.semAssetsFromDocuments(Tables.documents(s, dir))),
         dim = 9, threshold = 0.99, blocked = true, c = 8, probes = 2)),
+    // INCREMENTAL semantic dedup against the CELL-KEYED embedding
+    // store (the writeDhashStore contract at the embedding tier, r17):
+    // the store persists groups 0 and 1 of the spread fixture with
+    // frozen centroids; the batch arrives as group-1 redundancy
+    // (matched at cosine ≥ 0.99 through the multi-probe candidate
+    // join, store side exchange-free) plus novel groups 2 and 3 whose
+    // batch-internal clusters keep their min member. Every batch
+    // vector is labeled, closed-form.
+    "q_image_semdedup_incremental" -> ((s, dir) => {
+      val feats = Multimodal.extractFeatures(
+          ensureSubstrate(s, dir, "assets_sem")(
+            Multimodal.semAssetsFromDocuments(Tables.documents(s, dir))), dim = 9)
+        .select(col("asset_id").as("vec_id"), col("features").as("embedding"))
+      val table = "graft_semstore_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      semStoreBuilt.getOrElseUpdate(table, {
+        dropManagedTable(s, table)
+        dropManagedTable(s, table + "_cents")
+        Dedup.writeEmbeddingStore(feats.filter(col("vec_id") % 4 <= 1), table)
+        true
+      })
+      Dedup.incrementalEmbeddingDedup(s, table,
+        feats.filter(col("vec_id") % 4 >= 1), 0.99, probes = 2, absorb = false)
+    }),
     // INCREMENTAL perceptual dedup against the bucketed banded-dHash
     // store (crawl-frontier semantics for images): the store holds the
     // base assets of docs < 250; the batch arrives as (a) re-encodes/
@@ -5752,6 +5776,13 @@ object SparkEntry {
                 min(doc_id) OVER (PARTITION BY rb, gb, bb) AS cluster_id,
                 doc_id = min(doc_id) OVER (PARTITION BY rb, gb, bb) AS keep
          FROM f""",
+    // batch = groups 1..3: group 1 matches its stored copies, groups
+    // 2 and 3 are novel and keep their min member (docs 2 and 3)
+    "q_image_semdedup_incremental" ->
+      """SELECT doc_id AS vec_id,
+                doc_id % 4 = 1 AS matched_store,
+                doc_id % 4 >= 2 AND doc_id = doc_id % 4 AS kept
+         FROM documents WHERE doc_id % 4 >= 1""",
     // the spread fixture's clusters are the four (g-bin, b-bin) groups
     // — closed form regardless of where k-means cuts the r spread
     "q_image_semdedup_multiprobe" ->

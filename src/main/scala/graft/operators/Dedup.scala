@@ -965,6 +965,184 @@ object Dedup {
       .select("vec_id", "cluster_id", "cos_centroid", "keep")
   }
 
+  // ---- Incremental embedding-tier near-dup store (r17) ----
+
+  /** Key-layout stamp for the persisted embedding store — the
+    * [[graft.operators.Multimodal.writeDhashStore]] discipline: the
+    * store is a cross-session contract, so the probe side validates
+    * the layout it was written under and fails fast with a rebuild
+    * message on mismatch instead of silently joining on wrong keys.
+    */
+  private val EmbStoreLayoutKey = "graft.embstore.layout"
+  private val EmbStoreLayoutVersion = "cell-top1-v1"
+
+  private def assertEmbStoreLayout(spark: org.apache.spark.sql.SparkSession,
+                                   table: String): Unit = {
+    val props = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .properties
+    val got = props.getOrElse(EmbStoreLayoutKey, "<absent>")
+    require(got == EmbStoreLayoutVersion,
+      s"embedding store $table has layout '$got' but this build probes " +
+        s"'$EmbStoreLayoutVersion' — rebuild with writeEmbeddingStore")
+  }
+
+  /** Top-`probes` cell assignment of raw embeddings against broadcast
+    * centroids (centroids were fit on NORMALIZED vectors — direction
+    * blocking, the [[embeddingNearDupsBlocked]] geometry).
+    */
+  private def assignTopCells(embeddings: DataFrame, cents: DataFrame,
+                             probes: Int): DataFrame = {
+    val normed = embeddings.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double") / l2Norm(col("embedding")))
+        .as("nembedding"))
+    val byVec = Window.partitionBy("vec_id").orderBy(col("cdist"), col("centroid_id"))
+    normed.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        l2Distance(col("nembedding"), col("centroid_vec")).as("cdist"))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") <= probes)
+      .select(col("centroid_id").as("cell"), col("vec_id"))
+  }
+
+  /** Persisted CELL-KEYED embedding store for incremental semantic
+    * dedup — the `writeDhashStore` contract at the embedding tier:
+    * corpus representatives saved WITH their top-1 IVF cell, bucketed
+    * (and sorted) by `cell`, so repeat ingestion's candidate join
+    * reads the store pre-partitioned on its join key — no store-side
+    * Exchange, ever — and candidate work stays Σ_cell collisions,
+    * never batch×corpus. Centroids (fit on normalized vectors, c
+    * cells) persist in a `<table>_cents` sidecar the probe side
+    * broadcasts. Centroids are FROZEN at write time — drift is a
+    * rebuild (`writeEmbeddingStore` again), the IVF recluster
+    * discipline, which the layout stamp makes explicit.
+    */
+  def writeEmbeddingStore(embeddings: DataFrame, table: String,
+                          c: Int = 8, buckets: Int = 16): Unit = {
+    val spark = embeddings.sparkSession
+    val normed = embeddings.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double") / l2Norm(col("embedding")))
+        .as("embedding"))
+    Ivf.centroids(normed, c).write.mode("overwrite").saveAsTable(table + "_cents")
+    val assigned = assignTopCells(embeddings, spark.table(table + "_cents"), 1)
+    embeddings
+      .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+      .join(assigned, Seq("vec_id"))
+      .select("vec_id", "embedding", "nrm", "cell")
+      .write.mode("overwrite")
+      .bucketBy(buckets, "cell").sortBy("cell")
+      .saveAsTable(table)
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+      s"('$EmbStoreLayoutKey' = '$EmbStoreLayoutVersion')")
+  }
+
+  /** The candidate join of a batch against the store: each batch
+    * vector posts to its top-`probes` cells under the STORED centroids
+    * (multi-probe — the recall knob [[embeddingNearDupsBlocked]]
+    * validates; one probe loses pairs that straddle a cell split) and
+    * meets the stored representatives of those cells; `cos_sim` is
+    * evaluated cell-locally. Store side reads pre-partitioned by its
+    * bucket key.
+    */
+  def embeddingStoreCandidates(spark: org.apache.spark.sql.SparkSession,
+                               table: String, batch: DataFrame,
+                               probes: Int = 2): DataFrame = {
+    assertEmbStoreLayout(spark, table)
+    val cells = assignTopCells(batch, spark.table(table + "_cents"), probes)
+    val posted = batch
+      .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+      .join(cells, Seq("vec_id"))
+    posted.join(
+        spark.table(table).select(col("cell"), col("vec_id").as("rep_id"),
+          col("embedding").as("rep_emb"), col("nrm").as("rep_nrm")),
+        Seq("cell"))
+      .withColumn("cos_sim",
+        round(dotProduct(col("embedding"), col("rep_emb"))
+          / (col("nrm") * col("rep_nrm")), 6))
+  }
+
+  /** The members of a pair relation that are NOT their connected
+    * component's minimum — the drop set of every keep-min-per-cluster
+    * incremental path. Batch-bounded pair relations take the capped
+    * driver union-find fast path (the `ccAbsorbParts` discipline);
+    * past the cap it falls back to distributed pointer-jumping.
+    */
+  def nonMinMembers(pairs: DataFrame, cap: Int = 100000): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val probe = pairs.select("id1", "id2").limit(cap + 1).collect()
+    if (probe.length <= cap) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      probe.foreach { r =>
+        val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (a != b) parent(math.max(a, b)) = math.min(a, b)
+      }
+      val nodes = probe.iterator.flatMap(r => Iterator(r.getLong(0), r.getLong(1))).toSet
+      val minOf = nodes.groupBy(find).map { case (root, ms) => root -> ms.min }
+      nodes.iterator.filter(n => minOf(find(n)) != n).toSeq.toDF("doc_id")
+    } else {
+      val nodes = pairs.select(col("id1").as("doc_id"))
+        .unionByName(pairs.select(col("id2").as("doc_id"))).distinct()
+      nearDupClusters(nodes, pairs)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select("doc_id")
+    }
+  }
+
+  /** Ingestion-time SEMANTIC dedup against the store: labels every
+    * batch vector `(vec_id, matched_store, kept)` — `matched_store`
+    * when some stored representative lies within `threshold` cosine
+    * (the vector is redundant corpus: drop), `kept` when it is novel
+    * AND its batch-internal near-dup cluster's min member (transitive,
+    * via the blocked pair stage at `probes ≥ 2`). `absorb = true`
+    * appends the kept representatives through the store's bucket spec
+    * — O(batch), replay-idempotent (a replayed batch matches its own
+    * stored copies at cosine 1 and keeps nothing).
+    */
+  def incrementalEmbeddingDedup(spark: org.apache.spark.sql.SparkSession,
+                                table: String, batch: DataFrame,
+                                threshold: Double, probes: Int = 2,
+                                absorb: Boolean = true): DataFrame = {
+    spark.catalog.refreshTable(table)
+    val b = checkpointed(batch.select("vec_id", "embedding"))
+    val matched = embeddingStoreCandidates(spark, table, b, probes)
+      .filter(col("cos_sim") >= threshold)
+      .select("vec_id").distinct()
+    val novel = b.join(matched, Seq("vec_id"), "left_anti").localCheckpoint(true)
+    val drop =
+      if (novel.isEmpty) novel.select(col("vec_id").as("doc_id"))
+      else nonMinMembers(
+        embeddingNearDupsBlocked(novel, threshold, c = 8,
+          probes = math.max(2, probes)).select("id1", "id2"))
+    val labeled = b.select("vec_id")
+      .join(matched.withColumn("matched_store", lit(true)), Seq("vec_id"), "left")
+      .join(drop.withColumnRenamed("doc_id", "vec_id")
+        .withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("matched_store"), lit(false)).as("matched_store"),
+        (coalesce(col("matched_store"), lit(false)) === false &&
+          col("dropped").isNull).as("kept"))
+    if (absorb) {
+      val kept = novel.join(drop.withColumnRenamed("doc_id", "vec_id"),
+        Seq("vec_id"), "left_anti").localCheckpoint(true)
+      val cells = assignTopCells(kept, spark.table(table + "_cents"), 1)
+      kept.select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+        .join(cells, Seq("vec_id"))
+        .select("vec_id", "embedding", "nrm", "cell")
+        .write.mode("append")
+        .bucketBy(bucketCountOf(spark, table), "cell").sortBy("cell")
+        .saveAsTable(table)
+    }
+    labeled
+  }
+
   // ---- Duplicated-span (substring-level) dedup ----
 
   /** Word-position cap for the span-occurrence encoding: an occurrence

@@ -1629,37 +1629,13 @@ object Multimodal {
     val pairs = imageNearDupPairs(novel.withColumn("decoded", lit(true)),
         maxHamming, bandDfCap)
       .select("id1", "id2")
-    val localCap = 100000
-    val probe = pairs.limit(localCap + 1).collect()
-    val kept =
-      if (probe.length <= localCap) {
-        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent(r)
-          var c = x
-          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-          r
-        }
-        probe.foreach { r =>
-          val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
-          if (a != b) parent(math.max(a, b)) = math.min(a, b)
-        }
-        val nodes = probe.iterator.flatMap(r => Iterator(r.getLong(0), r.getLong(1))).toSet
-        val minOf = nodes.groupBy(find).map { case (root, ms) => root -> ms.min }
-        val drop = nodes.iterator.filter(n => minOf(find(n)) != n).toSeq
-        if (drop.isEmpty) novel
-        else {
-          import spark.implicits._
-          novel.join(broadcast(drop.toDF("asset_id")), Seq("asset_id"), "left_anti")
-        }
-      } else {
-        val reps = Dedup.nearDupClusters(
-            novel.select(col("asset_id").as("doc_id"), lit("").as("text")), pairs)
-          .filter(col("doc_id") === col("cluster_id"))
-          .select(col("doc_id").as("asset_id"))
-        novel.join(reps, Seq("asset_id"))
-      }
+    // batch-internal transitive keep-one: the shared capped driver
+    // union-find with distributed fallback (Dedup.nonMinMembers — the
+    // ccAbsorbParts discipline, r17-factored so the embedding-tier
+    // store shares it)
+    val kept = novel.join(
+      Dedup.nonMinMembers(pairs).withColumnRenamed("doc_id", "asset_id"),
+      Seq("asset_id"), "left_anti")
     if (!absorb) kept
     else {
       val pinned = kept.localCheckpoint(true) // materialize before the store moves

@@ -25,6 +25,15 @@ class SemDedupSpec extends AnyFunSuite {
   private def labelSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Boolean)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
 
+  private def withConfs[T](pairs: (String, String)*)(body: => T): T = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("multi-probe blocked semdedup == brute on the spread fixture; closed form holds") {
     val assets = Multimodal.semAssetsFromDocuments(docs(40)).cache()
     val brute = labelSet(Multimodal.imageSemanticDedup(assets, dim = 9, threshold = 0.99))
@@ -48,6 +57,64 @@ class SemDedupSpec extends AnyFunSuite {
       s"probes = 1 should fragment at least one group (got $keepers keepers); " +
         "if this ever holds at 4, the fixture has degenerated and must be re-spread")
     assets.unpersist()
+  }
+
+  test("incremental embedding store: exchange-free probe, match/keep labels, absorb + replay idempotent") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val tbl = "emb_store_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_cents")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    def rmAll(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmAll)); f.delete()
+    }
+    rmAll(new java.io.File(wh, tbl)); rmAll(new java.io.File(wh, tbl + "_cents"))
+    val assets = Multimodal.semAssetsFromDocuments(docs(40)).cache()
+    val feats = Multimodal.extractFeatures(assets, dim = 9)
+      .select(col("asset_id").as("vec_id"), col("features").as("embedding")).cache()
+    // store = groups 0 and 1; batch = groups 1 (redundant), 2, 3 (novel)
+    Dedup.writeEmbeddingStore(feats.filter(col("vec_id") % 4 <= 1), tbl, c = 8, buckets = 4)
+    val batch = feats.filter(col("vec_id") % 4 >= 1)
+    val labeled = Dedup.incrementalEmbeddingDedup(spark, tbl, batch, 0.99,
+        probes = 2, absorb = false)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    labeled.foreach { case (id, (m, k)) =>
+      assert(m === (id % 4 == 1), s"vec $id matched_store")
+      assert(k === (id % 4 >= 2 && id == id % 4), s"vec $id kept")
+    }
+    assert(labeled.keySet === (0L until 40L).filter(_ % 4 >= 1).toSet)
+    // plan pin: the candidate join's store side reads pre-partitioned
+    withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+      val df = Dedup.embeddingStoreCandidates(spark, tbl, batch, probes = 2)
+      val smj = df.queryExecution.executedPlan
+        .collectFirst { case j: SortMergeJoinExec => j }
+        .getOrElse(fail("expected a sort-merge candidate join against the store:\n" +
+          df.queryExecution.executedPlan.toString))
+      assert(smj.right.collectFirst { case e: ShuffleExchangeLike => e }.isEmpty,
+        s"store side must read pre-partitioned by bucket:\n${smj.right}")
+    }
+    // absorb appends exactly the kept reps; a replayed batch keeps nothing
+    Dedup.incrementalEmbeddingDedup(spark, tbl, batch, 0.99, probes = 2)
+    val n1 = spark.table(tbl).count()
+    assert(n1 === 20L + 2L, "store grew by the two novel-group representatives")
+    val replay = Dedup.incrementalEmbeddingDedup(spark, tbl, batch, 0.99, probes = 2)
+    assert(replay.filter(col("kept")).count() === 0L,
+      "every replayed vector matches its own stored copy")
+    assert(spark.table(tbl).count() === n1, "replay must not grow the store")
+    // incremental ∪ stored reps ≡ batch semdedup reps over the union
+    val unionReps = labelSet(Multimodal.imageSemanticDedup(assets, dim = 9,
+      threshold = 0.99)).filter(_._3).map(_._1)
+    assert(unionReps === Set(0L, 1L, 2L, 3L))
+    // a layout mismatch refuses instead of silently missing
+    spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES ('graft.embstore.layout' = 'future-v9')")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingStoreCandidates(spark, tbl, batch).count()
+    }
+    assert(e.getMessage.contains("rebuild"))
+    feats.unpersist(); assets.unpersist()
+    spark.sql(s"DROP TABLE IF EXISTS $tbl"); spark.sql(s"DROP TABLE IF EXISTS ${tbl}_cents")
   }
 
   test("blocked pair stage at the embedding tier: probes=2 finds every brute pair on the fixture features") {
