@@ -3872,6 +3872,14 @@ object SparkEntry {
         ensureSubstrate(s, dir, "assets_mjpeg")(
           Multimodal.mjpegDhashAssetsFromDocuments(Tables.documents(s, dir))))
         .select("asset_id", "frame_ix", "dhash_bits")),
+    // the SAME formulas through ISO-BMFF (r17): quality-1.0 JPEG
+    // samples behind genuine stsd/stts/stsc/stsz/stco tables — the
+    // GIF oracle pins Mp4Codec.extractSamples' whole table walk
+    "q_video_dhash_mp4" -> ((s, dir) =>
+      Multimodal.videoFrameDhash(
+        ensureSubstrate(s, dir, "assets_mp4v")(
+          Multimodal.mp4DhashAssetsFromDocuments(Tables.documents(s, dir))))
+        .select("asset_id", "frame_ix", "dhash_bits")),
     // video near-dup by shared frame content: rescale shares all 4
     // frames, the clip shares 3 — one equi-join on the 8-byte hash,
     // stop-frame df cap ahead of it (r16)
@@ -3890,6 +3898,14 @@ object SparkEntry {
         Multimodal.videoFrameDhash(
           ensureSubstrate(s, dir, "assets_mjpeg")(
             Multimodal.mjpegDhashAssetsFromDocuments(Tables.documents(s, dir)))),
+        minShared = 2)),
+    // shared-frame pairing over the MP4 corpus — bit-identical hashes
+    // mean the same pair structure as the GIF and AVI twins
+    "q_video_neardup_mp4" -> ((s, dir) =>
+      Multimodal.videoNearDupPairs(
+        Multimodal.videoFrameDhash(
+          ensureSubstrate(s, dir, "assets_mp4v")(
+            Multimodal.mp4DhashAssetsFromDocuments(Tables.documents(s, dir)))),
         minShared = 2)),
     // ACOUSTIC fingerprints (the dHash analog over PCM): structured
     // block-amplitude clips through the REAL codec path (WAV fast
@@ -5761,6 +5777,29 @@ object SparkEntry {
          SELECT doc_id*10 AS asset_id, CAST(f AS INT) AS frame_ix, dhash_bits FROM hash
          UNION ALL SELECT doc_id*10+1, CAST(f AS INT), dhash_bits FROM hash WHERE doc_id % 2 = 0
          UNION ALL SELECT doc_id*10+3, CAST(f - 1 AS INT), dhash_bits FROM hash WHERE doc_id % 5 = 0 AND f >= 1""",
+    // the ISO-BMFF twin: same formulas, same oracle — through the
+    // stsd/stsz/stsc/stco sample walk
+    "q_video_dhash_mp4" ->
+      """WITH grid AS (
+           SELECT doc_id, f, x, y, 10 + CAST(concat('0x', substring(md5(concat(doc_id, ':', f, ':', x, ':', y, ':vfp')), 1, 8)) AS BIGINT) % 230 AS v
+           FROM documents, range(4) tf(f), range(9) tx(x), range(8) ty(y)),
+         bits AS (
+           SELECT l.doc_id, l.f, l.x, l.y, CASE WHEN l.v > r.v THEN '1' ELSE '0' END AS b
+           FROM grid l JOIN grid r ON l.doc_id = r.doc_id AND l.f = r.f AND r.x = l.x + 1 AND l.y = r.y
+           WHERE l.x < 8),
+         hash AS (
+           SELECT doc_id, f, string_agg(b, '' ORDER BY y, x) AS dhash_bits
+           FROM bits GROUP BY doc_id, f)
+         SELECT doc_id*10 AS asset_id, CAST(f AS INT) AS frame_ix, dhash_bits FROM hash
+         UNION ALL SELECT doc_id*10+1, CAST(f AS INT), dhash_bits FROM hash WHERE doc_id % 2 = 0
+         UNION ALL SELECT doc_id*10+3, CAST(f - 1 AS INT), dhash_bits FROM hash WHERE doc_id % 5 = 0 AND f >= 1""",
+    "q_video_neardup_mp4" ->
+      """SELECT doc_id*10 AS id1, doc_id*10+1 AS id2, CAST(4 AS BIGINT) AS n_shared
+         FROM documents WHERE doc_id % 2 = 0
+         UNION ALL
+         SELECT doc_id*10, doc_id*10+3, CAST(3 AS BIGINT) FROM documents WHERE doc_id % 5 = 0
+         UNION ALL
+         SELECT doc_id*10+1, doc_id*10+3, CAST(3 AS BIGINT) FROM documents WHERE doc_id % 10 = 0""",
     // semantic image dedup over solid PNGs: each channel one-hots its
     // 3-bin histogram, cosine 1 iff the (r,g,b) bin triple matches
     // (2/3 otherwise, under the 0.9 threshold) — clusters are equal

@@ -926,10 +926,16 @@ object Multimodal {
 
     /** Track synthesis spec for [[encodeMp4]]: handler "vide" or
       * "soun", the sample-entry fourcc, and kind-specific fields.
+      * `samples` (r17) adds REAL sample tables: each byte array
+      * becomes one sample in its own chunk (stts/stsc/stsz/stco
+      * written from spec, stco holding absolute file offsets into the
+      * mdat) — the layout a real MJPEG-in-MP4 writer emits.
       */
     case class TrackSpec(handler: String, codec: String,
                          width: Int = 0, height: Int = 0,
-                         sampleRate: Int = 0, channels: Int = 0)
+                         sampleRate: Int = 0, channels: Int = 0,
+                         samples: Seq[Array[Byte]] = Nil,
+                         sampleDelta: Long = 1L)
 
     private final class BeBuf {
       private val o = new ByteArrayOutputStream()
@@ -977,7 +983,16 @@ object Multimodal {
           .u32(tracks.length + 1L) // next_track_ID
           .result
       }
-      val traks = tracks.zipWithIndex.map { case (t, i) =>
+      // sample data lays out in the mdat after the caller's explicit
+      // payload, track order; stco needs ABSOLUTE file offsets, which
+      // depend on moov's length — but moov's length does not depend on
+      // the offset VALUES (fixed-width u32 entries), so a two-pass
+      // build (probe with base 0, rebuild with the real base) is exact
+      def sampleOffsetsAt(base: Long): Seq[Seq[Long]] = {
+        var run = base + mdat.length
+        tracks.map(_.samples.map { s => val o = run; run += s.length; o })
+      }
+      def traksOf(offsets: Seq[Seq[Long]]) = tracks.zipWithIndex.map { case (t, i) =>
         val tkhd = {
           val b = new BeBuf().u32(3) // version 0, flags enabled|in-movie
             .u32(0).u32(0)
@@ -1014,18 +1029,37 @@ object Multimodal {
               .u32(t.sampleRate.toLong << 16).result
           }
         val stsd = new BeBuf().u32(0).u32(1).bytes(entry).result
-        val stbl = new BeBuf().box("stsd", stsd).result
+        val stblB = new BeBuf().box("stsd", stsd)
+        if (t.samples.nonEmpty) {
+          // one chunk per sample (§8.7.4/8.7.5): stts one run, stsc
+          // one (1,1,1) entry, per-sample stsz, absolute-offset stco
+          val stts = new BeBuf().u32(0).u32(1)
+            .u32(t.samples.length.toLong).u32(t.sampleDelta).result
+          val stsc = new BeBuf().u32(0).u32(1).u32(1).u32(1).u32(1).result
+          val stszB = new BeBuf().u32(0).u32(0).u32(t.samples.length.toLong)
+          t.samples.foreach(s => stszB.u32(s.length.toLong))
+          val stcoB = new BeBuf().u32(0).u32(t.samples.length.toLong)
+          offsets(i).foreach(o => stcoB.u32(o))
+          stblB.box("stts", stts).box("stsc", stsc)
+            .box("stsz", stszB.result).box("stco", stcoB.result)
+        }
+        val stbl = stblB.result
         val minf = new BeBuf().box("stbl", stbl).result
         val mdia = new BeBuf().box("mdhd", mdhd).box("hdlr", hdlr)
           .box("minf", minf).result
         new BeBuf().box("tkhd", tkhd).box("mdia", mdia).result
       }
-      val moov = {
+      def moovOf(offsets: Seq[Seq[Long]]): Array[Byte] = {
         val b = new BeBuf().box("mvhd", mvhd)
-        traks.foreach(tk => b.box("trak", tk))
+        traksOf(offsets).foreach(tk => b.box("trak", tk))
         b.result
       }
-      new BeBuf().box("ftyp", ftyp).box("moov", moov).box("mdat", mdat).result
+      val mdatPayload = mdat ++ tracks.flatMap(_.samples).flatten.toArray
+      val probeMoov = moovOf(sampleOffsetsAt(0L))
+      // mdat payload starts after ftyp box + moov box + mdat header
+      val mdatBase = (8L + ftyp.length) + (8L + probeMoov.length) + 8L
+      new BeBuf().box("ftyp", ftyp).box("moov", moovOf(sampleOffsetsAt(mdatBase)))
+        .box("mdat", mdatPayload).result
     }
 
     /** Parse container metadata from MP4 bytes; None for anything
@@ -1124,6 +1158,146 @@ object Multimodal {
       brand.filter(_ => timescale > 0 && duration >= 0)
         .map(br => Mp4Meta(br, timescale, duration, tracks.toVector))
     } catch { case _: Exception => None }
+
+    /** Sample-entry fourccs whose samples a bare JDK can decode (the
+      * Motion-JPEG family: each sample is an independent JPEG image).
+      * Everything else (avc1 etc.) genuinely needs an external codec
+      * and stays behind [[StubCodec]].
+      */
+    val JpegFourccs: Set[String] = Set("jpeg", "JPEG", "mjpa", "mjpg", "MJPG")
+
+    /** Extract the raw samples of the first video track whose codec is
+      * in `fourccs`, via the stsd/stsz/stsc/stco walk (§8.7): map each
+      * sample to its chunk through the stsc run table, then to bytes
+      * through the chunk's stco offset plus the sizes of its
+      * preceding in-chunk samples. None for a corrupt/truncated/
+      * non-matching container — every extent checked in Long against
+      * the file length (a crafted table cannot read out of bounds or
+      * hang), the [[parseMeta]] damage discipline.
+      */
+    def extractSamples(b: Array[Byte],
+                       fourccs: Set[String] = JpegFourccs): Option[Seq[Array[Byte]]] = try {
+      def u16(o: Int): Int = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+      def u32(o: Int): Long = ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+      def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+      def tagAt(o: Int): String = new String(b, o, 4, "US-ASCII")
+      // per-trak table ranges (payload start, payload end)
+      final case class Tak(handler: String, codec: String,
+                           stsz: (Long, Long), stsc: (Long, Long),
+                           stco: (Long, Long), co64: Boolean)
+      val taks = scala.collection.mutable.ArrayBuffer.empty[Tak]
+      var tHandler = ""; var tCodec = ""
+      var tStsz = (-1L, -1L); var tStsc = (-1L, -1L); var tStco = (-1L, -1L)
+      var tCo64 = false
+      def walk(start: Long, end: Long, depth: Int): Boolean = {
+        if (depth > 16) return false
+        var off = start
+        while (off + 8 <= end) {
+          val size32 = u32(off.toInt)
+          val t = tagAt(off.toInt + 4)
+          var hdr = 8L
+          var boxEnd = 0L
+          if (size32 == 0L) boxEnd = end
+          else if (size32 == 1L) {
+            if (off + 16 > end) return false
+            hdr = 16L
+            val size64 = u64(off.toInt + 8)
+            if (size64 < hdr) return false
+            boxEnd = off + size64
+          } else {
+            if (size32 < hdr) return false
+            boxEnd = off + size32
+          }
+          if (boxEnd > end) return false
+          val p = off + hdr
+          t match {
+            case "moov" | "mdia" | "minf" | "stbl" =>
+              if (!walk(p, boxEnd, depth + 1)) return false
+            case "trak" =>
+              tHandler = ""; tCodec = ""
+              tStsz = (-1L, -1L); tStsc = (-1L, -1L); tStco = (-1L, -1L); tCo64 = false
+              if (!walk(p, boxEnd, depth + 1)) return false
+              taks += Tak(tHandler, tCodec, tStsz, tStsc, tStco, tCo64)
+            case "hdlr" if boxEnd - p >= 12 => tHandler = tagAt(p.toInt + 8)
+            case "stsd" if boxEnd - p >= 16 =>
+              val e = p + 8
+              if (u32(e.toInt) >= 8 && e + 8 <= boxEnd) tCodec = tagAt(e.toInt + 4)
+            case "stsz" => tStsz = (p, boxEnd)
+            case "stsc" => tStsc = (p, boxEnd)
+            case "stco" => tStco = (p, boxEnd); tCo64 = false
+            case "co64" => tStco = (p, boxEnd); tCo64 = true
+            case _ => ()
+          }
+          if (boxEnd <= off) return false
+          off = boxEnd
+        }
+        true
+      }
+      if (b.length < 12 || !walk(0L, b.length.toLong, 0)) return None
+      val tk = taks.find(t => t.handler == "vide" && fourccs.contains(t.codec) &&
+        t.stsz._1 >= 0 && t.stsc._1 >= 0 && t.stco._1 >= 0).getOrElse(return None)
+      // stsz: version/flags, uniform sample_size, count, [sizes]
+      val (szP, szEnd) = tk.stsz
+      if (szEnd - szP < 12) return None
+      val uniform = u32(szP.toInt + 4)
+      val n = u32(szP.toInt + 8)
+      if (n <= 0 || n > (1L << 20)) return None // a crafted count cannot balloon
+      val sizes: IndexedSeq[Long] =
+        if (uniform != 0) IndexedSeq.fill(n.toInt)(uniform)
+        else {
+          if (szEnd - szP < 12 + 4 * n) return None
+          (0 until n.toInt).map(i => u32(szP.toInt + 12 + 4 * i))
+        }
+      // stsc: count, entries (first_chunk, samples_per_chunk, sdi)
+      val (scP, scEnd) = tk.stsc
+      if (scEnd - scP < 8) return None
+      val scN = u32(scP.toInt + 4)
+      if (scN <= 0 || scEnd - scP < 8 + 12 * scN) return None
+      val stsc = (0 until scN.toInt).map { i =>
+        (u32(scP.toInt + 8 + 12 * i), u32(scP.toInt + 8 + 12 * i + 4))
+      }
+      // stco/co64: count, offsets
+      val (coP, coEnd) = tk.stco
+      if (coEnd - coP < 8) return None
+      val coN = u32(coP.toInt + 4)
+      val w = if (tk.co64) 8 else 4
+      if (coN <= 0 || coEnd - coP < 8 + w * coN) return None
+      val chunkOff = (0 until coN.toInt).map(i =>
+        if (tk.co64) u64(coP.toInt + 8 + 8 * i) else u32(coP.toInt + 8 + 4 * i))
+      // walk chunks, assigning samples per the stsc run in force
+      val out = Seq.newBuilder[Array[Byte]]
+      var s = 0
+      var e = 0
+      var chunk = 1L
+      while (chunk <= coN && s < n) {
+        while (e + 1 < stsc.length && stsc(e + 1)._1 <= chunk) e += 1
+        var off = chunkOff(chunk.toInt - 1)
+        var k = 0L
+        while (k < stsc(e)._2 && s < n) {
+          val size = sizes(s)
+          if (off < 0 || size < 0 || off + size > b.length) return None
+          out += java.util.Arrays.copyOfRange(b, off.toInt, (off + size).toInt)
+          off += size; s += 1; k += 1
+        }
+        chunk += 1
+      }
+      if (s < n) return None // tables promise more samples than chunks hold
+      Some(out.result())
+    } catch { case _: Exception => None }
+
+    /** Decode the MJPEG video samples of an MP4 to raster frames —
+      * the second REAL container (after RIFF/AVI) closed end to end.
+      * All-or-nothing per asset: one undecodable sample poisons the
+      * whole file ([[VideoCodec.decode]]'s corrupt-chunk discipline —
+      * a half-decoded video would silently under-count frames).
+      */
+    def decodeVideoFrames(b: Array[Byte]): Option[Seq[ImageCodec.Decoded]] =
+      extractSamples(b).flatMap { samples =>
+        val dec = samples.flatMap(s =>
+          try ImageCodec.decode(s) catch { case _: Exception => None })
+        if (dec.nonEmpty && dec.length == samples.length) Some(dec) else None
+      }
   }
 
   /** Deterministic MP4 asset view of the `documents` table: each
@@ -2110,15 +2284,57 @@ object Multimodal {
     }(enc)
   }
 
+  /** The MJPEG-in-MP4 twin of [[mjpegDhashAssetsFromDocuments]] (r17):
+    * the same closed-form frame formulas through a REAL ISO-BMFF
+    * container — quality-1.0 JPEG samples behind genuine
+    * stsd('jpeg')/stts/stsc/stsz/stco tables, so the GIF twin's oracle
+    * pins [[Mp4Codec.extractSamples]]'s whole sample-table walk end to
+    * end (the second real video container after RIFF/AVI).
+    */
+  def mp4DhashAssetsFromDocuments(documents: DataFrame, batchSize: Int = 64): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    graft.functions.Skew.spreadToCores(documents.select("doc_id")).mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val id = r.getLong(0)
+          def frame(f: Int, cell: Int): Array[Int] =
+            Array.tabulate(9 * cell * 8 * cell) { i =>
+              val cx = (i % (9 * cell)) / cell
+              val cy = (i / (9 * cell)) / cell
+              val g = (10 + graft.functions.Portable.md5IntOf(s"$id:$f:$cx:$cy:vfp") % 230).toInt
+              0xff000000 | (g << 16) | (g << 8) | g
+            }
+          def mp4(cell: Int, fs: Seq[Int]) = {
+            val (w, h) = (9 * cell, 8 * cell)
+            Mp4Codec.encodeMp4(10, fs.length.toLong,
+              Seq(Mp4Codec.TrackSpec("vide", "jpeg", width = w, height = h,
+                samples = fs.map(f =>
+                  VideoCodec.encodeJpeg(w, h, frame(f, cell), 1.0f)))))
+          }
+          val base = Row(id * 10, mp4(8, 0 until 4), "video/mp4", 72, 64)
+          val variant =
+            if (id % 2 == 0) Seq(Row(id * 10 + 1, mp4(16, 0 until 4), "video/mp4", 144, 128))
+            else Seq.empty
+          val clip =
+            if (id % 5 == 0) Seq(Row(id * 10 + 3, mp4(8, 1 until 4), "video/mp4", 72, 64))
+            else Seq.empty
+          Seq(base) ++ variant ++ clip
+        }
+      }
+    }(enc)
+  }
+
   /** Per-frame perceptual fingerprints of multi-frame assets:
     * `(asset_id, frame_ix, dhash, dhash_bits)` — one [[ImageCodec.dhash]]
     * per decoded frame, shuffle-free, 16 B/frame out. Undecodable
     * assets yield no rows (poison-safe skip — the frame relation has
     * no meaningful null row). Containers route by MAGIC BYTES: RIFF
     * AVI payloads (raw-DIB or MJPEG frames) demux through
-    * [[VideoCodec.decode]]; everything else goes through the
-    * multi-image reader (animated GIF etc.) — so one frame-hash pass
-    * serves a mixed-container corpus.
+    * [[VideoCodec.decode]], ISO-BMFF (`ftyp`) through
+    * [[Mp4Codec.decodeVideoFrames]]'s sample-table walk (r17);
+    * everything else goes through the multi-image reader (animated
+    * GIF etc.) — so one frame-hash pass serves a mixed-container
+    * corpus.
     */
   def videoFrameDhash(assets: DataFrame, batchSize: Int = 16): DataFrame = {
     val outSchema = StructType(Seq(
@@ -2130,12 +2346,16 @@ object Multimodal {
     def isAvi(b: Array[Byte]): Boolean =
       b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+    def isMp4(b: Array[Byte]): Boolean =
+      b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
     assets.select("asset_id", "media").mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.iterator.flatMap { r =>
           val bytes = r.getAs[Array[Byte]](1)
           val frames: Seq[ImageCodec.Decoded] =
             if (isAvi(bytes)) VideoCodec.decode(bytes).map(_.frames).getOrElse(Seq.empty)
+            else if (isMp4(bytes))
+              Mp4Codec.decodeVideoFrames(bytes).getOrElse(Seq.empty)
             else ImageCodec.decodeFrames(bytes).getOrElse(Seq.empty)
           frames.zipWithIndex.map { case (d, ix) =>
             val h = ImageCodec.dhash(d)

@@ -306,6 +306,35 @@ class ImageDhashSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("MJPEG-in-MP4 twin: sample-table walk yields the GIF twin's frame hashes; corrupt tables skip") {
+    import spark.implicits._
+    val docs = (0L until 10L).map(i => (i, "")).toDF("doc_id", "text")
+    val gif = Multimodal.videoFrameDhash(Multimodal.videoDhashAssetsFromDocuments(docs))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(3)).toMap
+    val mp4Assets = Multimodal.mp4DhashAssetsFromDocuments(docs).cache()
+    val mp4 = Multimodal.videoFrameDhash(mp4Assets)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(3)).toMap
+    assert(mp4 === gif,
+      "q=1.0 JPEG samples through stsd/stsz/stsc/stco must hash bit-equal to the GIF twin")
+    // corrupt sample tables damage-skip the asset, never throw
+    val bytes = mp4Assets.filter(col("asset_id") === 0L)
+      .select("media").collect().head.getAs[Array[Byte]](0)
+    val s = new String(bytes.map(b => (b & 0xff).toChar))
+    // garble the stsz box's sample count field
+    val at = s.indexOf("stsz")
+    assert(at > 0)
+    val broken = bytes.clone()
+    broken(at + 12) = 0x7f.toByte // count becomes ~2G: refused by the cap
+    assert(Multimodal.Mp4Codec.extractSamples(broken) === None)
+    // truncating the file under the stco offsets: out-of-bounds → None
+    val cut = java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 200)
+    assert(Multimodal.Mp4Codec.extractSamples(cut) === None)
+    // and parseMeta still serves the intact container's metadata
+    val meta = Multimodal.Mp4Codec.parseMeta(bytes)
+    assert(meta.exists(m => m.tracks.exists(t => t.handler == "vide" && t.codec == "jpeg")))
+    mp4Assets.unpersist()
+  }
+
   test("store layout version: a pre-band-pair (or future-layout) store fails fast at probe time") {
     import spark.implicits._
     val tbl = "dhash_layout_spec"
