@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -62,37 +61,31 @@ object Bpe {
   }
 
   /** Apply one merge rule (a,b) → "ab" to every row's symbol array —
-    * greedy left-to-right via run-parity (see object doc). Explode →
-    * two windows → regroup; all work is vocabulary-sized.
+    * greedy left-to-right as ONE narrow `aggregate` fold over the
+    * array, entirely inside the row (guide §2.4/§4: the r16 form was
+    * explode → two windows → join → regroup, i.e. FOUR exchanges of
+    * the exploded symbol stream per merge round; this is zero).
+    *
+    * The fold IS the greedy scan: append each symbol unless the
+    * accumulator's last element is `a` and the incoming symbol is `b`,
+    * in which case replace the last element with "ab". Run-parity for
+    * a = b falls out for free — after a merge the last element is
+    * "aa" ≠ "a", so the next `a` of the run appends (1st, 3rd, …
+    * matches merge, exactly the reference greedy). The one case that
+    * could confuse the scan — a freshly merged element colliding with
+    * `a` — is impossible: `a + b` is strictly longer than `a` since
+    * symbols are non-empty.
     */
   def applyMerge(syms: DataFrame, a: String, b: String): DataFrame = {
-    val byWord = Window.partitionBy("word").orderBy("i")
-    val e = syms
-      .select(col("word"), col("freq"), posexplode(col("sym")).as(Seq("i0", "s")))
-      .select(col("word"), col("freq"), (col("i0") + 1).as("i"), col("s"))
-      .withColumn("mm",
-        when(col("s") === a && lead("s", 1).over(byWord) === b, 1).otherwise(0))
-    // islands of CONSECUTIVE matches (only possible when a = b); greedy
-    // takes the 1st, 3rd, ... match of each island
-    val matches = e.filter(col("mm") === 1)
-      .withColumn("grp", col("i") - row_number().over(byWord))
-    val taken = matches
-      .withColumn("tk",
-        when(row_number().over(Window.partitionBy("word", "grp").orderBy("i")) % 2 === 1, 1)
-          .otherwise(0))
-      .select(col("word").as("t_word"), col("i").as("t_i"), col("tk"))
-    val joined = e
-      .join(taken, col("word") === col("t_word") && col("i") === col("t_i"), "left")
-      .select(col("word"), col("freq"), col("i"), col("s"),
-        coalesce(col("tk"), lit(0)).as("tk"))
-      .withColumn("drop_second",
-        coalesce(lag("tk", 1).over(byWord), lit(0)) === 1)
-    joined
-      .filter(!col("drop_second"))
-      .groupBy("word", "freq")
-      .agg(transform(array_sort(collect_list(struct(col("i"),
-          when(col("tk") === 1, lit(a + b)).otherwise(col("s")).as("s")))),
-        x => x.getField("s")).as("sym"))
+    val merged = a + b
+    syms.select(col("word"), col("freq"),
+      aggregate(
+        col("sym"),
+        array().cast("array<string>"),
+        (acc, s) => when(
+          size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+          .otherwise(concat(acc, array(s)))).as("sym"))
   }
 
   /** Learn `k` merge rules: `(step, w1, w2, c)`, step 1-based in learn
@@ -120,7 +113,12 @@ object Bpe {
         val r = top(0)
         val (a, b) = (r.getString(0), r.getString(1))
         rules += ((step, a, b, r.getLong(2)))
-        syms = applyMerge(syms, a, b).localCheckpoint(true)
+        // LAZY checkpoint (r17): applyMerge is now a narrow projection,
+        // so the next round's top-1 job materializes the cut as a
+        // by-product — an eager checkpoint would pay one extra job per
+        // round for data this small. The cut still keeps the plan flat
+        // (8 nested folds would otherwise re-analyze per round).
+        syms = applyMerge(syms, a, b).localCheckpoint(false)
       }
     }
     (rules.result().toDF("step", "w1", "w2", "c"), syms)

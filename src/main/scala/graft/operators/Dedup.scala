@@ -897,17 +897,35 @@ object Dedup {
     val posted = embeddings
       .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
       .join(cells, Seq("vec_id"))
+    // The pair join keys on `cell` alone — c distinct values. When c is
+    // below the session's parallelism, a cell's whole quadratic pair
+    // sweep lands on ONE task (guide §2.5: low-cardinality join keys
+    // collapse parallelism). SALT the join: each left row keeps
+    // salt = pmod(hash(id1), s), the right side replicates s ways, so
+    // every pair still meets exactly once per shared cell but a cell's
+    // sweep spreads over s tasks. s is derived from the session's
+    // parallelism and degenerates to 1 (no replication, the original
+    // plan) once c alone saturates the cluster — the guard is
+    // scale-adaptive, not a local[32] constant.
+    val nSalt = math.min(16, math.max(1,
+      embeddings.sparkSession.sparkContext.defaultParallelism * 2 / math.max(1, c)))
     val l = posted.select(col("cell"), col("vec_id").as("id1"),
       col("embedding").as("e1"), col("nrm").as("n1"))
+      .withColumn("salt", pmod(hash(col("id1")), lit(nSalt)))
     val r = posted.select(col("cell"), col("vec_id").as("id2"),
       col("embedding").as("e2"), col("nrm").as("n2"))
+      .withColumn("salt", explode(sequence(lit(0), lit(nSalt - 1))))
     // cosine is evaluated CELL-LOCALLY right after the join and the
     // threshold filter runs before the pair dedup: a pair sharing two
     // cells costs one redundant local dot product, but the
     // dropDuplicates shuffle then carries only the few surviving slim
     // rows — deduping the full candidate set first would shuffle every
-    // candidate WITH both embedding payloads (measured 16× slower)
-    l.join(r, Seq("cell"))
+    // candidate WITH both embedding payloads (measured 16× slower).
+    // (r17 note: a min-shared-cell filter carrying each side's probe
+    // array was tried instead of this dropDuplicates — per-candidate
+    // array_intersect cost 4× the whole stage; rejected on measurement.)
+    l.join(r, Seq("cell", "salt"))
+      .drop("salt")
       .filter(col("id1") < col("id2"))
       .withColumn("cos_sim",
         round(dotProduct(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
@@ -941,11 +959,21 @@ object Dedup {
     val posted = embeddings
       .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
       .join(assigned, Seq("vec_id"))
+    // salt the cell-keyed pair join exactly as in
+    // [[embeddingNearDupsBlocked]] (guide §2.5): C below the session's
+    // parallelism would otherwise serialize each cell's quadratic sweep
+    // into one task; s degenerates to 1 at scale (C ≥ parallelism).
+    // `cents` is the kmeans local relation, so the count is driver-cheap.
+    val nSalt = math.min(16, math.max(1,
+      embeddings.sparkSession.sparkContext.defaultParallelism * 2
+        / math.max(1, cents.count().toInt)))
     val l = posted.select(col("cell"), col("vec_id").as("id1"),
       col("embedding").as("e1"), col("nrm").as("n1"))
+      .withColumn("salt", pmod(hash(col("id1")), lit(nSalt)))
     val r = posted.select(col("cell"), col("vec_id").as("id2"),
       col("embedding").as("e2"), col("nrm").as("n2"))
-    val pairs = l.join(r, Seq("cell"))
+      .withColumn("salt", explode(sequence(lit(0), lit(nSalt - 1))))
+    val pairs = l.join(r, Seq("cell", "salt"))
       .filter(col("id1") < col("id2"))
       .filter(round(dotProduct(col("e1"), col("e2")) / (col("n1") * col("n2")), 6) >= tau)
       .select("id1", "id2")
@@ -1070,7 +1098,15 @@ object Dedup {
   def nonMinMembers(pairs: DataFrame, cap: Int = 100000): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val probe = pairs.select("id1", "id2").limit(cap + 1).collect()
+    // Materialize the pair relation ONCE before the capped probe:
+    // `limit(n).collect()` runs Spark's incremental executeTake, whose
+    // scale-up waves (1, 4, 16 … partitions) re-execute the upstream
+    // plan several times when the relation is smaller than the cap —
+    // measured 12 s against a 2.7 s pair plan (r17). The localCheckpoint
+    // pays one execution; the probe (and the distributed fallback's two
+    // further references) read cached blocks.
+    val p = pairs.select("id1", "id2").localCheckpoint(true)
+    val probe = p.limit(cap + 1).collect()
     if (probe.length <= cap) {
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -1088,9 +1124,9 @@ object Dedup {
       val minOf = nodes.groupBy(find).map { case (root, ms) => root -> ms.min }
       nodes.iterator.filter(n => minOf(find(n)) != n).toSeq.toDF("doc_id")
     } else {
-      val nodes = pairs.select(col("id1").as("doc_id"))
-        .unionByName(pairs.select(col("id2").as("doc_id"))).distinct()
-      nearDupClusters(nodes, pairs)
+      val nodes = p.select(col("id1").as("doc_id"))
+        .unionByName(p.select(col("id2").as("doc_id"))).distinct()
+      nearDupClusters(nodes, p)
         .filter(col("doc_id") =!= col("cluster_id"))
         .select("doc_id")
     }
@@ -1112,9 +1148,13 @@ object Dedup {
                                 absorb: Boolean = true): DataFrame = {
     spark.catalog.refreshTable(table)
     val b = checkpointed(batch.select("vec_id", "embedding"))
+    // localCheckpoint: `matched` is referenced twice (the novel
+    // anti-join and the final labeling join) — without the cut the
+    // store-candidates join executes once per reference (r17: 1.8 s
+    // each at sf0.1). The relation is batch-bounded vec_ids.
     val matched = embeddingStoreCandidates(spark, table, b, probes)
       .filter(col("cos_sim") >= threshold)
-      .select("vec_id").distinct()
+      .select("vec_id").distinct().localCheckpoint(true)
     val novel = b.join(matched, Seq("vec_id"), "left_anti").localCheckpoint(true)
     val drop =
       if (novel.isEmpty) novel.select(col("vec_id").as("doc_id"))

@@ -289,6 +289,16 @@ object Graph {
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxIters: Int = 20): DataFrame = {
+    // NOTE (r17 optimization round, measured and rejected): both
+    // shuffle_hash hints on the per-round joins and a pre-partitioned
+    // (repartition-by-v) persist of `sym` were tried here. The hints
+    // REGRESSED the query ~2-4× — AQE already converts every
+    // label-sided join to a runtime broadcast join once it sees the
+    // actual O(nodes) exchange sizes, and a join-strategy hint pins
+    // shuffled-hash and forbids exactly that conversion. The
+    // pre-partitioned persist bought nothing over the plain persist
+    // for the same reason (the label side broadcasts; the edge side
+    // never re-exchanges). Keep this loop hint-free.
     val sym = edges.filter(col("src") =!= col("dst"))
       .select(col("src").as("u"), col("dst").as("v"))
       .union(edges.filter(col("src") =!= col("dst"))
@@ -444,7 +454,13 @@ object Graph {
     // reachable id per set); a contract-violating giant batch falls
     // back to the distributed loop via the capped probe.
     val localCap = 100000
-    val probe = contracted.limit(localCap + 1).collect()
+    // One materialization before the capped probe: limit().collect()'s
+    // incremental executeTake re-runs the upstream plan once per
+    // scale-up wave when the relation is under the cap (the
+    // nonMinMembers lesson); the checkpoint also serves the fallback's
+    // three further references.
+    val contractedCk = contracted.localCheckpoint(true)
+    val probe = contractedCk.limit(localCap + 1).collect()
     val remap =
       if (probe.length <= localCap) {
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]
@@ -471,9 +487,9 @@ object Graph {
         import stored.sparkSession.implicits._
         pairs.toDF("oldc", "newc")
       } else connectedComponents(
-        contracted.select(col("src").as("node"))
-          .union(contracted.select(col("dst").as("node"))).distinct(),
-        contracted, maxIters)
+        contractedCk.select(col("src").as("node"))
+          .union(contractedCk.select(col("dst").as("node"))).distinct(),
+        contractedCk, maxIters)
         .filter(col("node") =!= col("component"))
         .select(col("node").as("oldc"), col("component").as("newc"))
         .localCheckpoint() // bounded by touched components; broadcast below
