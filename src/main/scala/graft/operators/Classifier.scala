@@ -91,7 +91,17 @@ object Classifier {
     require(featTerms.nonEmpty && featTerms.size <= 16,
       "1..16 features: the weights row and margin expression grow with F")
     val nFeat = featTerms.size
-    val feats = features(documents, labelTerm, featTerms)
+    // LAZY localCheckpoint (r17): every GD round's gradient aggregation
+    // embeds the features subtree, so an uncut corpus is re-scanned and
+    // re-tokenized once per round (6× here) inside the one composed
+    // plan. The cut materializes on round 1's aggregation and rounds
+    // 2..k read blocks — the chain stays lazy (nothing executes until
+    // the caller acts); features are 2+F small columns per doc.
+    // localCheckpoint, not persist(): persist is plan-keyed, so its
+    // blocks would serve the NEXT run of the same query (cross-run
+    // caching the bench contract forbids); the checkpoint is RDD-keyed
+    // and private to this run.
+    val feats = features(documents, labelTerm, featTerms).localCheckpoint(false)
     val zero = lit(0).cast("decimal(18,12)")
     var w: DataFrame = feats.sparkSession.range(1)
       .select((0 to nFeat).map(j => zero.as(s"w$j")): _*)

@@ -385,7 +385,11 @@ object Dedup {
     * itself is per-candidate-pair array math — never touches non-pairs.
     */
   def minhashPairs(documents: DataFrame, threshold: Double = 0.7): DataFrame = {
-    val sh = hashedShingleSets(documents)
+    // lazy cut: the shingle sets are consumed by BOTH verification
+    // joins (and the signature path re-derives them) — without it each
+    // consumer re-tokenizes and re-hashes the corpus (r17; RDD-keyed
+    // localCheckpoint, so nothing leaks across runs)
+    val sh = hashedShingleSets(documents).localCheckpoint(false)
     minhashCandidates(documents)
       .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
       .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
@@ -406,7 +410,12 @@ object Dedup {
     */
   def jaccardPairsExact(documents: DataFrame, threshold: Double = 0.7,
                         maxDf: Int = 10000): DataFrame = {
-    val sh = hashedShingleSets(documents)
+    // lazy cut (r17): `sh` feeds both the posting explode and the
+    // per-doc size relation — uncut, the tokenize+shingle+md5 pass
+    // (the dominant narrow cost) ran once per consumer. RDD-keyed
+    // localCheckpoint: materializes inside this run's first job, never
+    // serves a later run.
+    val sh = hashedShingleSets(documents).localCheckpoint(false)
     val posts = sh.select(col("doc_id"), explode(col("sh")).as("h"))
     // Per-doc set sizes come straight from the shingle sets — one narrow
     // pass, independent of the posting lists, and exactly the |A|/|B| of

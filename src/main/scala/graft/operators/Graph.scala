@@ -79,13 +79,27 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
                roundTo: Int = 6): DataFrame = {
     val spark = edges.sparkSession
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
+    // Keep the edge stream materialized ONCE per run (r17): before
+    // this, every iteration's contribution join — and the node-set and
+    // out-degree derivations — re-executed the caller's edge subtree
+    // (for the declared purchase-graph query that is an
+    // orders⋈lineitem join, re-paid iters+2 times per run). LAZY
+    // localCheckpoint, not persist(): persist is plan-keyed in the
+    // CacheManager, so its blocks would silently serve the NEXT
+    // invocation of the same query (cross-run result caching — the
+    // bench contract forbids it); a localCheckpoint is RDD-keyed and
+    // dies with this run's plan. The node-set count below materializes
+    // it; every later pass reads blocks. The other loops in this file
+    // already kept their edge stream cut (sym/und localCheckpoints) —
+    // pageRank was the one that did not.
+    val e = edges.localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint()
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty edge table")
-    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     val base = (1.0 - damping) / n
     var pr = nodes.select(col("node"), lit(1.0 / n).as("pr"))
@@ -93,7 +107,7 @@ object Graph {
       // shuffle_hash on the O(nodes) side: the edge stream is the big
       // relation; sort-merge would re-sort it every round (the
       // triangleCounts lesson — build on the small keyed side instead)
-      val contribs = edges
+      val contribs = e
         .join(pr.withColumnRenamed("node", "src").hint("shuffle_hash"), Seq("src"))
         .join(outDeg.hint("shuffle_hash"), Seq("src"))
         .select(col("dst").as("node"), (col("pr") / col("deg")).as("c"))

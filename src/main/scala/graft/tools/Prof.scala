@@ -191,6 +191,86 @@ object Prof {
         val edges = SparkEntry.queries("q_connected_components")
         timeAct("q_connected_components (warm 1)") { edges(spark, sfDir).write.format("noop").mode("overwrite").save() }
         timeAct("q_connected_components (warm 2)") { edges(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      case "pipeline" =>
+        import graft.functions.TextFunctions
+        val docs = Tables.documents(spark, sfDir)
+        time("raw scan") { docs }
+        val kept1 = CorpusPipeline.filtered(docs, "en", 0.4)
+        time("lang+quality filter") { kept1 }
+        var kept2: DataFrame = null
+        timeAct("exact survivors + reliable ckpt") {
+          kept2 = Dedup.checkpointed(
+            kept1.withColumn("__rn",
+              org.apache.spark.sql.functions.row_number().over(
+                org.apache.spark.sql.expressions.Window
+                  .partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+              .filter(col("__rn") === 1).drop("__rn"))
+        }
+        var pairs: DataFrame = null
+        timeAct("jaccard pairs") {
+          pairs = Dedup.jaccardPairsExact(kept2, 0.5, 10000)
+          pairs.write.format("noop").mode("overwrite").save()
+        }
+        timeAct("nearDupClusters + reps + final join + agg") {
+          val reps = Dedup.nearDupClusters(kept2, pairs)
+            .filter(col("doc_id") === col("cluster_id")).select("doc_id")
+          kept2.join(reps, Seq("doc_id"))
+            .groupBy("source")
+            .agg(count(lit(1)).as("n_docs"),
+              sum(size(TextFunctions.tokens(col("text"))).cast("long")).as("n_tokens"))
+            .write.format("noop").mode("overwrite").save()
+        }
+        time("full curate") { CorpusPipeline.curate(docs, "en", 0.4, 0.5) }
+        time("full curate again") { CorpusPipeline.curate(docs, "en", 0.4, 0.5) }
+      case "tri" =>
+        val edges = Graph.partCoOccurrence(Tables.lineitem(spark, sfDir))
+        val und = edges.filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+          .localCheckpoint()
+        timeAct("und localCheckpoint") { val _ = und.count() }
+        println(s"[prof] und edges: ${und.count()}")
+        val deg = und.select(col("a").as("node"))
+          .union(und.select(col("b").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        time("deg") { deg }
+        val withDeg = und
+          .join(deg.select(col("node").as("a"), col("deg").as("da")).hint("shuffle_hash"), Seq("a"))
+          .join(deg.select(col("node").as("b"), col("deg").as("db")).hint("shuffle_hash"), Seq("b"))
+        val apexIsA = col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b"))
+        val oriented = withDeg.select(
+          when(apexIsA, col("a")).otherwise(col("b")).as("u"),
+          when(apexIsA, col("b")).otherwise(col("a")).as("v")).localCheckpoint()
+        timeAct("oriented localCheckpoint") { val _ = oriented.count() }
+        val adj = oriented.groupBy("u")
+          .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+        time("adj build") { adj }
+        val tri = oriented
+          .join(adj.select(col("u"), col("nbrs").as("nu")).hint("shuffle_hash"), Seq("u"))
+          .join(adj.select(col("u").as("v"), col("nbrs").as("nv")).hint("shuffle_hash"), Seq("v"))
+          .select(col("u"), col("v"),
+            explode(array_intersect(col("nu"), col("nv"))).as("w"))
+        time("closing join + intersect") { tri }
+        time("full triangleCounts") { Graph.triangleCounts(Graph.partCoOccurrence(Tables.lineitem(spark, sfDir))) }
+        time("full triangleCounts again") { Graph.triangleCounts(Graph.partCoOccurrence(Tables.lineitem(spark, sfDir))) }
+      case "ckpt" =>
+        // does Dataset.checkpoint(eager=true) double-compute its plan?
+        import org.apache.spark.storage.StorageLevel
+        def expensive = Tables.lineitem(spark, sfDir)
+          .groupBy("l_orderkey").agg(count(lit(1)).as("n"), sum("l_extendedprice").as("s"))
+          .withColumn("z", sha2(concat_ws(":", col("l_orderkey"), col("n"), col("s")), 256))
+        timeAct("plain noop (1x plan)") { expensive.write.format("noop").mode("overwrite").save() }
+        timeAct("plain noop (again)") { expensive.write.format("noop").mode("overwrite").save() }
+        timeAct("reliable checkpoint(eager)") { Dedup.checkpointed(expensive) }
+        timeAct("persist + checkpoint + unpersist") {
+          val c = expensive.persist(StorageLevel.MEMORY_AND_DISK)
+          val out = c.checkpoint(eager = true)
+          c.unpersist(false)
+          out
+        }
+        timeAct("localCheckpoint(true)") { expensive.localCheckpoint(true) }
       case "blockedab" =>
         import org.apache.spark.sql.expressions.Window
         import graft.functions.VectorFunctions.{l2Norm, l2Distance, dotProduct}
